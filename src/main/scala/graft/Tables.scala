@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md).
+  * Every query receives the scale-factor directory at call time, so the same
+  * code runs at sf0.001 (smoke), sf0.01 (oracle), sf0.1 (bench) — and, on a
+  * real cluster, against a 100 TB dataset directory: nothing here assumes
+  * data fits on the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as LongType
+    // under spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench).
+    // Normalize to a microsecond TimestampType here; integer division keeps
+    // full precision (a double roundtrip would not: ns epochs exceed 2^53).
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+    else df
+  }
+
+  /** Register every table as a temp view named after itself, so both the
+    * DataFrame API and spark.sql can reach them.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,458 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational coverage queries (SURVEY.md §2.B): scans, projection/filter,
+  * joins (incl. semi/anti), aggregation (incl. rollup/cube), windows, set
+  * ops, scalar functions, sorts/top-k, quantiles.
+  *
+  * Conventions for the differential oracle (driver hash-compares against
+  * DuckDB, sorting columns by name):
+  *   - every computed column is aliased identically here and in the SQL;
+  *   - every query ends with a deterministic ORDER BY over key columns;
+  *   - floating-point aggregates are round()ed;
+  *   - integer-typed aggregates are kept BIGINT on both sides (DuckDB
+  *     sum(int) is HUGEINT → cast in the oracle SQL).
+  *
+  * Scale notes are per-query; the global stance: group-bys are partial-agg
+  * friendly (low-cardinality keys), joins broadcast the dimension side,
+  * filters/projections sit directly on the parquet scan so pushdown and
+  * column pruning apply.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Aggregation ---------------------------------------------------
+    // TPC-H Q1 shape: low-cardinality groupBy → map-side partial agg does
+    // almost all the work; shuffle carries ~6 rows per partition at any SF.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // -- Projection + filter (pushdown check) --------------------------
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // -- Join: fact ⋈ dims, dims broadcast ------------------------------
+    // customer/nation/region are tiny at every SF → broadcast them; the
+    // only shuffle is the groupBy, keyed on n_name (25 values).
+    "q3_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // -- Join: semi / anti ----------------------------------------------
+    "q4_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q5_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_no_urgent"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // -- Window functions ------------------------------------------------
+    // Top-3 orders per customer segment by price: partition by segment →
+    // 5 partitions is too few to parallelize at 100 TB, but each group's
+    // sort is a local partial top-k under rank pushdown (WindowGroupLimit
+    // in Spark 3.5+/4.x pushes k=3 into the sort).
+    "q6_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+    "q7_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // -- Set operations ---------------------------------------------------
+    "q8_set_ops" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      big.intersect(urgent)
+        .union(t(s, dir, "orders").filter(col("o_totalprice") > 550000)
+          .select(col("o_custkey")))
+        .except(t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
+    // -- Rollup / cube ------------------------------------------------------
+    "q9_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // -- Scalar functions: string/date/math --------------------------------
+    "q10_scalar_fns" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+          round(pow(col("p_size").cast("double"), 1.5), 4).as("size_pow"),
+          (floor(col("p_retailprice")).cast("bigint") % 10).as("price_mod"))
+        .orderBy(col("p_partkey"))
+    }),
+    "q11_date_fns" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .cast("bigint").as("days_to_eoy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- Semi-structured: JSON in events.props -----------------------------
+    "q12_json_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("k_bucket").asc_nulls_first)
+    }),
+
+    // -- Sorts / limits / top-k --------------------------------------------
+    "q13_topk_global" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    // -- Quantiles -----------------------------------------------------------
+    // Exact percentile keeps the oracle comparable (DuckDB quantile_cont);
+    // at 100 TB swap to approx_percentile (t-digest) — see q15.
+    "q14_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(min(col("l_extendedprice")), 2).as("mn"),
+          round(max(col("l_extendedprice")), 2).as("mx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- Multi-join: TPC-H Q5 shape ------------------------------------------
+    // lineitem⋈orders shuffles on orderkey once; every dimension broadcasts.
+    "q15_local_supplier_volume" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // -- Grouped distinct counting -------------------------------------------
+    "q16_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- CASE / conditional aggregation ----------------------------------------
+    "q17_case_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+            .as("n_urgent"),
+          sum(when(col("o_totalprice") > 200000, col("o_totalprice"))
+            .otherwise(0.0)).cast("double").as("big_total_raw"))
+        .withColumn("big_total", round(col("big_total_raw"), 2))
+        .drop("big_total_raw")
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // -- Array / higher-order functions -----------------------------------------
+    "q18_array_fns" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Time-windowed event aggregation (batch analog of streaming window) ----
+    "q19_event_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+          col("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // -- Correlated-subquery shape (decorrelated as join) -----------------------
+    // "parts priced above their brand average": window avg avoids the
+    // self-join; one shuffle on p_brand.
+    "q20_above_brand_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+      // Output sums/counts, not rounded averages: a rounded quotient can sit
+      // exactly on a .005 boundary and flip between engines on the last bit.
+      t(s, dir, "part")
+        .withColumn("brand_avg", avg(col("p_retailprice")).over(w))
+        .withColumn("brand_sum", sum(col("p_retailprice")).over(w))
+        .withColumn("n_in_brand", count(lit(1)).over(w))
+        .filter(col("p_retailprice") > col("brand_avg") * 1.05)
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice"), 2).as("price"),
+          round(col("brand_sum"), 2).as("brand_sum"),
+          col("n_in_brand"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  /** DuckDB oracle SQL — column names and ordering must match the Spark side
+    * exactly (driver sorts columns by name before hashing).
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount < 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_no_urgent
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q6_window_topk" ->
+      """SELECT c_mktsegment, rk, o_orderkey, price FROM (
+        |  SELECT c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |    o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk""".stripMargin,
+    "q7_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q8_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 550000
+        |) u
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_custkey""".stripMargin,
+    "q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q10_scalar_fns" ->
+      """SELECT p_partkey,
+        |  upper(substring(p_name, 1, 8)) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+        |  round(pow(CAST(p_size AS DOUBLE), 1.5), 4) AS size_pow,
+        |  CAST(floor(p_retailprice) AS BIGINT) % 10 AS price_mod
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
+    "q11_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |       AS BIGINT) AS days_to_eoy
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q12_json_events" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, k_bucket NULLS FIRST""".stripMargin,
+    "q13_topk_global" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
+    "q14_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  round(min(l_extendedprice), 2) AS mn,
+        |  round(max(l_extendedprice), 2) AS mx
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q15_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q16_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q17_case_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_urgent,
+        |  round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice
+        |                 ELSE 0.0 END), 2) AS big_total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q18_array_fns" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER)
+        |    AS n_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
+        |    AS INTEGER) AS n_distinct
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q19_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
+    "q20_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price,
+        |  round(brand_sum, 2) AS brand_sum, n_in_brand
+        |FROM (SELECT p_partkey, p_brand, p_retailprice,
+        |        avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg,
+        |        sum(p_retailprice) OVER (PARTITION BY p_brand) AS brand_sum,
+        |        count(*) OVER (PARTITION BY p_brand) AS n_in_brand
+        |      FROM part) t
+        |WHERE p_retailprice > brand_avg * 1.05
+        |ORDER BY p_partkey""".stripMargin
+  )
+}
