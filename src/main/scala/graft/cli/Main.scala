@@ -1,0 +1,127 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.pipeline._
+import graft.viz.GraphViz
+
+/** CLI entry point mirroring the reference's three commands
+  * (/root/reference/src/main.rs:24-84):
+  *
+  *   run       [--models-dir D] [--db-path P] [--parallel]
+  *   run-file  <script.sql> [more.sql …]
+  *   viz       <out.svg>
+  *
+  * Config comes from ./config.yaml; CLI flags override it
+  * (src/main.rs:110-132). A missing db_path runs "in-memory": temp views
+  * only, warehouse in a temp dir — the analog of DuckDB's in-memory mode.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run" :: rest      => runPipeline(parseFlags(rest))
+    case "run-file" :: rest => runFiles(rest)
+    case "viz" :: out :: _  => viz(out)
+    case other =>
+      System.err.println(
+        s"""Unknown command: ${other.mkString(" ")}
+           |Usage: graft run [--models-dir D] [--db-path P] [--parallel]
+           |       graft run-file <script.sql> […]
+           |       graft viz <out.svg>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def parseFlags(rest: List[String]): Map[String, String] = {
+    def go(l: List[String], acc: Map[String, String]): Map[String, String] = l match {
+      case "--models-dir" :: v :: t => go(t, acc + ("models-dir" -> v))
+      case "--db-path" :: v :: t    => go(t, acc + ("db-path" -> v))
+      case "--parallel" :: t        => go(t, acc + ("parallel" -> "true"))
+      case _ :: t                   => go(t, acc)
+      case Nil                      => acc
+    }
+    go(rest, Map.empty)
+  }
+
+  private def loadConfig(flags: Map[String, String]): PipelineConfig = {
+    val base = PipelineConfig.load(Paths.get("config.yaml"))
+    base.copy(
+      modelsDir = flags.getOrElse("models-dir", base.modelsDir),
+      dbPath = flags.get("db-path").orElse(base.dbPath))
+  }
+
+  def buildSpark(config: PipelineConfig): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val warehouse = config.dbPath.getOrElse(
+      Files.createTempDirectory("graft-warehouse").toString)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def runPipeline(flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
+    val spark = buildSpark(config)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val session = new PipelineSession(spark, config,
+        parallel = flags.contains("parallel"))
+      val report = session.runNodes()
+      if (report.errors.nonEmpty) sys.exit(1)
+    } catch {
+      case e: GraftError => System.err.println(e.render); sys.exit(1)
+    } finally spark.stop()
+  }
+
+  /** Per-file batch execution: no rendering, no DAG, no materialization; a
+    * failing file is reported and skipped (src/main.rs:158-178).
+    */
+  private def runFiles(paths: List[String]): Unit = {
+    if (paths.isEmpty) { System.err.println("run-file: no scripts given"); sys.exit(2) }
+    val spark = buildSpark(PipelineConfig())
+    spark.sparkContext.setLogLevel("WARN")
+    try paths.foreach { p =>
+      val path = Paths.get(p)
+      if (!Files.exists(path)) println(s"Cannot open $p, skipping")
+      else {
+        try {
+          SqlText.splitStatements(Files.readString(path))
+            .map(DialectShim.rewrite)
+            .foreach(st => spark.sql(st).collect())
+          println(s"OK: $p")
+        } catch {
+          case e: Exception => println(s"ERROR: ${e.getMessage} Skipping $p")
+        }
+      }
+    } finally spark.stop()
+  }
+
+  /** Build the graph (no SQL execution) and write DOT-derived SVG; `.svg`
+    * suffix auto-appended (src/main.rs:63-84).
+    */
+  private def viz(out: String): Unit = {
+    val config = loadConfig(Map.empty)
+    val spark = SparkSession.builder().master("local[1]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val session = new PipelineSession(spark, config)
+      val (order, nodeMap) = session.buildGraph()
+      val target = if (out.endsWith(".svg")) out else out + ".svg"
+      Files.writeString(Paths.get(target),
+        GraphViz.renderSvg(order, nodeMap))
+      Files.writeString(Paths.get(target.stripSuffix(".svg") + ".dot"),
+        GraphViz.renderDot(order, nodeMap))
+      println(s"Visualization saved to $target")
+    } catch {
+      case e: GraftError => System.err.println(e.render); sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkSqlParser
+
+/** SQL dependency extraction via the Catalyst parser.
+  *
+  * The reference walks a sqlparser-rs AST collecting table names from
+  * top-level FROM, joins, CTE bodies, and derived tables
+  * (/root/reference/src/node.rs:211-272), then intersects with the set of
+  * known model ids to drop CTE/alias false positives (src/node.rs:94-98).
+  *
+  * We parse with Spark's own SQL parser and collect every
+  * `UnresolvedRelation` in the logical plan. This walks ALL nesting —
+  * set-operation branches, correlated subqueries in WHERE/SELECT, joins
+  * inside deeply nested CTEs — which the reference misses (its match arms
+  * only descend into `SetExpr::Select`, src/node.rs:223,259,267). Documented
+  * divergence: strictly more complete, never less.
+  */
+object DepExtractor {
+
+  private lazy val parser = new SparkSqlParser()
+
+  /** All table names referenced anywhere in `sql` (last identifier part,
+    * lowercased). Unparseable SQL yields the empty set — scheduling then
+    * treats the model as independent and surfaces the real error at
+    * execution time with full context, like the reference does.
+    */
+  def tableRefs(sql: String): Set[String] = {
+    val plan: LogicalPlan =
+      try parser.parsePlan(sql)
+      catch { case _: Exception => return Set.empty }
+    val refs = collectRefs(plan)
+    // Exclude names bound by CTEs in this statement: `WITH x AS (…) SELECT
+    // … FROM x` must not depend on a *model* named x that it shadows.
+    val cteNames = collectCteNames(plan)
+    refs -- cteNames
+  }
+
+  // CTE definitions hang off UnresolvedWith.cteRelations, which are
+  // innerChildren, not children — plan.collect does NOT traverse them, so
+  // recurse explicitly.
+  private def collectRefs(plan: LogicalPlan): Set[String] =
+    plan.collectWithSubqueries {
+      case r: UnresolvedRelation =>
+        Set(r.multipartIdentifier.last.toLowerCase)
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.flatMap(c => collectRefs(c._2)).toSet
+    }.flatten.toSet
+
+  private def collectCteNames(plan: LogicalPlan): Set[String] =
+    plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase).toSet ++
+          w.cteRelations.flatMap(c => collectCteNames(c._2))
+    }.flatten.toSet
+
+  /** References restricted to known model ids (the reference's
+    * false-positive filter, src/node.rs:94-98).
+    */
+  def modelRefs(sql: String, modelIds: Set[String]): Set[String] =
+    tableRefs(sql).intersect(modelIds.map(_.toLowerCase))
+}

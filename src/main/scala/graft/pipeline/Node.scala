@@ -1,0 +1,22 @@
+package graft.pipeline
+
+/** One model = one .sql file (/root/reference/src/node.rs:29-38).
+  * Orchestration state is driver-side only — the distributed work is the
+  * Spark jobs the rendered SQL plans into.
+  *
+  * @param id           filename stem; directory ignored (src/session.rs:87-92)
+  * @param path         source file path (diagnostics)
+  * @param rawSrc       file contents as read
+  * @param renderedSrc  after comment-strip + macro render + dialect shim
+  * @param prevs        model ids this node reads FROM
+  * @param nexts        model ids that read this node
+  * @param materialize  None/"view" → temp view; "table" → saved table
+  */
+final case class ModelNode(
+    id: String,
+    path: String,
+    rawSrc: String,
+    renderedSrc: String = "",
+    prevs: Set[String] = Set.empty,
+    nexts: Set[String] = Set.empty,
+    materialize: Option[String] = None)

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Pipeline configuration, the analog of the reference's `config.yaml`
+  * (/root/reference/src/session.rs:22-40, examples/basic/config.yaml).
+  *
+  * Keys (reference name kept; Spark-flavored alias also accepted):
+  *   models_dir       — root scanned recursively for *.sql models
+  *   db_path          — reference: DuckDB file. Ours: warehouse directory
+  *                      for `table` materializations; absent → in-memory
+  *                      (temp views only), mirroring DuckDB's in-memory mode
+  *   macro_path       — directory of macro files
+  *   duckdb_settings / spark_settings — engine key/value pass-through
+  *   models.<id>.materialize — "view" (default) | "table"
+  */
+final case class PipelineConfig(
+    modelsDir: String = ".",
+    dbPath: Option[String] = None,
+    macroPath: Option[String] = None,
+    settings: Map[String, String] = Map.empty,
+    models: Map[String, ModelConfig] = Map.empty)
+
+final case class ModelConfig(materialize: Option[String] = None)
+
+object PipelineConfig {
+
+  /** Load config.yaml; a missing file yields defaults with a notice, like
+    * the reference (src/main.rs:110-120).
+    */
+  def load(path: Path): PipelineConfig = {
+    if (!Files.exists(path)) {
+      println(s"Config file not found at $path, using defaults")
+      return PipelineConfig()
+    }
+    fromYaml(Files.readString(path))
+  }
+
+  def fromYaml(text: String): PipelineConfig = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = Option(yaml.load[java.util.Map[String, Object]](text))
+      .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
+
+    def str(k: String): Option[String] = root.get(k).map(_.toString)
+    val settings = root.get("duckdb_settings").orElse(root.get("spark_settings"))
+      .collect { case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap }
+      .getOrElse(Map.empty)
+    val models = root.get("models")
+      .collect { case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) =>
+          val mat = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, mv) if mk.toString == "materialize" => mv.toString }
+            case _ => None
+          }
+          k.toString -> ModelConfig(mat)
+        }.toMap }
+      .getOrElse(Map.empty[String, ModelConfig])
+
+    PipelineConfig(
+      modelsDir = str("models_dir").getOrElse("."),
+      dbPath = str("db_path"),
+      macroPath = str("macro_path"),
+      settings = settings,
+      models = models)
+  }
+
+  def loadFromDir(dir: String): PipelineConfig =
+    load(Paths.get(dir, "config.yaml"))
+}

@@ -1,0 +1,249 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** One pipeline run: discovery → render → dependency graph → topological
+  * execution against Spark (the reference's `Session`,
+  * /root/reference/src/session.rs:43-316, with DuckDB swapped for Spark SQL).
+  *
+  * Materialization mapping (src/node.rs:151-173):
+  *   view  → CREATE OR REPLACE TEMPORARY VIEW (lazy; Catalyst inlines views
+  *           into consumers and optimizes ACROSS model boundaries — pushdown
+  *           through views is a genuine win over the reference)
+  *   table → DROP + saveAsTable (pipeline-breaking materialization; written
+  *           to the warehouse dir ≙ db_path)
+  *
+  * Execution is sequential in the reference; `parallel=true` runs
+  * independent DAG waves concurrently on the (thread-safe) Spark scheduler —
+  * the scale path for wide pipelines on a real cluster.
+  */
+final class PipelineSession(
+    val spark: SparkSession,
+    val config: PipelineConfig,
+    parallel: Boolean = false) {
+
+  final case class NodeResult(id: String, status: String, millis: Long,
+      error: Option[GraftError])
+  final case class RunReport(results: Seq[NodeResult], totalMillis: Long) {
+    def nSuccess: Int = results.count(_.error.isEmpty)
+    def errors: Seq[GraftError] = results.flatMap(_.error)
+  }
+
+  // --- graph build (src/session.rs:56-181) --------------------------------
+
+  def discoverModelPaths(): Seq[Path] = {
+    val root = Paths.get(config.modelsDir)
+    if (!Files.exists(root)) return Seq.empty
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql"))
+      .toSeq.sortBy(_.toString)
+    finally s.close()
+  }
+
+  def loadMacros(): Map[String, String] = config.macroPath match {
+    case None => Map.empty
+    case Some(dir) =>
+      val root = Paths.get(dir)
+      if (!Files.exists(root)) Map.empty
+      else {
+        val s = Files.list(root)
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.contains("."))
+          .map(p => p.toString -> Files.readString(p)).toMap
+        finally s.close()
+      }
+  }
+
+  /** Discover, render, wire edges; returns execution order + node map. */
+  def buildGraph(): (Seq[String], Map[String, ModelNode]) = {
+    val paths = discoverModelPaths()
+    val macros = loadMacros()
+    val macroSrc = macros.values.mkString("\n")
+
+    var nodeMap = paths.map { p =>
+      val id = {
+        val fn = p.getFileName.toString
+        fn.substring(0, fn.lastIndexOf('.'))
+      }
+      println(s"Found model source: $p")
+      val raw = Files.readString(p)
+      id -> ModelNode(id, p.toString, raw,
+        materialize = config.models.get(id).flatMap(_.materialize))
+    }.toMap
+
+    val modelIds = nodeMap.keySet
+    // render: strip comments → expand macros → extract refs (src/node.rs:62-107)
+    nodeMap = nodeMap.map { case (id, node) =>
+      val stripped = SqlText.stripComments(node.rawSrc)
+      val rendered = MacroRenderer.render(stripped, macroSrc)
+      val prevs = DepExtractor.modelRefs(rendered, modelIds) - id
+      id -> node.copy(renderedSrc = rendered, prevs = prevs)
+    }
+    println(s"Found ${paths.size} model source${if (paths.size > 1) "s" else ""}, " +
+      s"${macros.size} macro${if (macros.size > 1) "s" else ""}\n")
+
+    // invert edges; warn + quarantine unknown refs (src/session.rs:135-155)
+    val invalid = mutable.Set[String]()
+    nodeMap.foreach { case (id, node) =>
+      node.prevs.foreach { prev =>
+        nodeMap.get(prev) match {
+          case Some(p) => nodeMap = nodeMap.updated(prev, p.copy(nexts = p.nexts + id))
+          case None =>
+            invalid += prev
+            println(s"WARNING: Model `$prev` required by `$id` not found")
+        }
+      }
+    }
+
+    val graph = Dag.Graph(nodeMap.map { case (id, n) =>
+      id -> n.prevs.filter(nodeMap.contains) })
+    val order = Dag.topoSort(graph).filterNot(invalid.contains)
+    (order, nodeMap)
+  }
+
+  // --- execution (src/session.rs:189-279, src/node.rs:125-207) -------------
+
+  def runNodes(): RunReport = {
+    applySettings()
+    val (order, nodeMap) = buildGraph()
+    println(s"Start pipeline execution on " +
+      LocalDateTime.now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd")))
+
+    val t0 = System.nanoTime()
+    val results =
+      if (!parallel) order.zipWithIndex.map { case (id, i) =>
+        executeReported(nodeMap(id), i + 1, order.size)
+      }
+      else {
+        val graph = Dag.Graph(nodeMap.map { case (id, n) =>
+          id -> n.prevs.filter(nodeMap.contains) })
+        val idx = order.zipWithIndex.toMap
+        Dag.waves(graph).flatMap { wave =>
+          val valid = wave.filter(idx.contains)
+          valid.par.map(id =>
+            executeReported(nodeMap(id), idx(id) + 1, order.size)).toList
+            .sortBy(r => idx(r.id))
+        }
+      }
+    val report = RunReport(results, (System.nanoTime() - t0) / 1000000)
+
+    if (report.errors.nonEmpty) {
+      println("\nErrors:")
+      report.errors.foreach {
+        case StatementExecutionError(msg, _, path) =>
+          println("Failed to execute SQL statement.")
+          println(s"Source path : $path")
+          println(s"Error       : $msg\n")
+        case e => println(s"${e.render}\n")
+      }
+    }
+    println(s"\nPipeline execution completed in ${formatElapsed(report.totalMillis)} " +
+      s"with ${report.nSuccess} success and ${report.errors.size} errors")
+    report
+  }
+
+  private implicit class ParSeq[A](s: Seq[A]) {
+    // minimal .par shim: scala-parallel-collections isn't on the classpath;
+    // use plain threads per wave (waves are small, driver-side only)
+    def par: ParOps[A] = new ParOps(s)
+  }
+  private class ParOps[A](s: Seq[A]) {
+    def map[B](f: A => B): Seq[B] = {
+      if (s.lengthCompare(1) <= 0) s.map(f)
+      else {
+        val futs = s.map { a =>
+          val t = new java.util.concurrent.FutureTask(() => f(a))
+          val th = new Thread(t); th.setDaemon(true); th.start(); t
+        }
+        futs.map(_.get())
+      }
+    }
+  }
+
+  private def executeReported(node: ModelNode, nth: Int, total: Int): NodeResult = {
+    val ts = LocalDateTime.now.format(DateTimeFormatter.ofPattern("HH:mm:ss"))
+    val mat = node.materialize.getOrElse("view").toLowerCase
+    val info = s"$ts  $nth of $total: creating ${node.id} $mat model"
+    print(info + "." * math.max(0, 80 - info.length))
+    val t0 = System.nanoTime()
+    val (status, err) =
+      try { val st = executeNode(node); (st, None) }
+      catch {
+        case e: GraftError => ("ERROR", Some(e))
+        case e: Exception =>
+          ("ERROR", Some(StatementExecutionError(e.getMessage, node.renderedSrc, node.path)))
+      }
+    val ms = (System.nanoTime() - t0) / 1000000
+    println(s"[$status in ${formatElapsed(ms)}]")
+    NodeResult(node.id, status, ms, err)
+  }
+
+  /** Execute one node: split statements, validate exactly one
+    * record-producing statement, run side statements in order, materialize
+    * the SELECT (src/node.rs:125-207). Returns the status string.
+    */
+  def executeNode(node: ModelNode): String = {
+    val stmts = SqlText.splitStatements(node.renderedSrc).map(DialectShim.rewrite)
+    val (producing, side) = stmts.partition(SqlText.producesRecords)
+    if (producing.size != 1)
+      throw StatementExecutionError(
+        s"Model must contain exactly one record-producing (SELECT/WITH) statement, found ${producing.size}",
+        node.renderedSrc, node.path)
+
+    // side statements run as-is, in file order relative to one another
+    side.foreach { st =>
+      try spark.sql(st).collect()
+      catch { case e: Exception =>
+        throw StatementExecutionError(e.getMessage, st, node.path) }
+    }
+
+    val select = producing.head
+    node.materialize.map(_.toLowerCase) match {
+      case None | Some("view") =>
+        try {
+          spark.sql(select).createOrReplaceTempView(node.id)
+          "CREATE VIEW"
+        } catch { case e: Exception =>
+          throw StatementExecutionError(e.getMessage, select, node.path) }
+      case Some("table") =>
+        try {
+          spark.sql(s"DROP TABLE IF EXISTS `${node.id}`")
+          spark.sql(select).write.mode("overwrite").saveAsTable(node.id)
+          val n = spark.table(node.id).count() // row-count postlude (node.rs:179-189)
+          s"SELECT $n"
+        } catch {
+          case e: GraftError => throw e
+          case e: Exception =>
+            throw StatementExecutionError(e.getMessage, select, node.path)
+        }
+      case Some(other) =>
+        throw GenericError(s"Unknown materialization type: $other")
+    }
+  }
+
+  /** Engine settings pass-through, fail-fast (src/main.rs:134-155). */
+  def applySettings(): Unit =
+    config.settings.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case e: Exception =>
+        throw GenericError(s"Cannot set setting `$k` to `$v`: ${e.getMessage}") }
+    }
+
+  /** h/m/s/ms wall-time format (src/session.rs:294-316). */
+  def formatElapsed(ms: Long): String = {
+    val h = ms / 3600000; val m = (ms % 3600000) / 60000
+    val s = (ms % 60000) / 1000; val rem = ms % 1000
+    val parts = Seq.newBuilder[String]
+    if (h > 0) parts += s"${h}h"
+    if (m > 0) parts += s"${m}m"
+    if (s > 0) parts += s"${s}s"
+    parts += s"${rem}ms"
+    parts.result().mkString(" ")
+  }
+}

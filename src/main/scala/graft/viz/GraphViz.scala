@@ -1,0 +1,63 @@
+package graft.viz
+
+import graft.pipeline.{Dag, ModelNode}
+
+/** DAG visualization: DOT text + a dependency-free layered SVG renderer
+  * (the reference renders DOT → SVG via layout-rs,
+  * /root/reference/src/graphviz.rs:11-41; no such dep resolves offline, so
+  * the SVG writer is a small longest-path layered layout of our own).
+  */
+object GraphViz {
+
+  /** DOT source, same shape as the reference (`digraph LR`, one line per
+    * node, `a -> b;` per edge).
+    */
+  def renderDot(nodeNames: Seq[String], nodeMap: Map[String, ModelNode]): String = {
+    val nodes = nodeNames.map(s => s"\t$s;").mkString("\n")
+    val edges = nodeNames.flatMap { name =>
+      nodeMap.get(name).toSeq.flatMap(_.nexts.toSeq.sorted.map(n => s"\t$name -> $n;"))
+    }.mkString("\n")
+    s"digraph LR {\n $nodes \n $edges \n}"
+  }
+
+  /** Layered SVG: levels = longest path from sources; nodes are rounded
+    * rects on a grid; edges are lines with arrowheads.
+    */
+  def renderSvg(nodeNames: Seq[String], nodeMap: Map[String, ModelNode]): String = {
+    val graph = Dag.Graph(nodeNames.map { id =>
+      id -> nodeMap.get(id).map(_.prevs.filter(nodeMap.contains)).getOrElse(Set.empty)
+    }.toMap)
+    val levels = Dag.waves(graph)
+    val boxW = 180; val boxH = 40; val hGap = 60; val vGap = 50
+
+    val pos: Map[String, (Int, Int)] = levels.zipWithIndex.flatMap {
+      case (wave, li) =>
+        wave.sorted.zipWithIndex.map { case (id, ni) =>
+          id -> (ni * (boxW + hGap) + 20, li * (boxH + vGap) + 20)
+        }
+    }.toMap
+
+    val width = math.max(400,
+      levels.map(_.size).maxOption.getOrElse(1) * (boxW + hGap) + 40)
+    val height = math.max(200, levels.size * (boxH + vGap) + 40)
+
+    val rects = pos.toSeq.sortBy(_._1).map { case (id, (x, y)) =>
+      s"""<rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6" fill="#eef2f7" stroke="#4a5568"/>
+         |<text x="${x + boxW / 2}" y="${y + boxH / 2 + 5}" text-anchor="middle" font-family="monospace" font-size="13">$id</text>""".stripMargin
+    }.mkString("\n")
+
+    val lines = nodeNames.flatMap { from =>
+      nodeMap.get(from).toSeq.flatMap(_.nexts.toSeq.sorted).flatMap { to =>
+        for { (x1, y1) <- pos.get(from); (x2, y2) <- pos.get(to) } yield
+          s"""<line x1="${x1 + boxW / 2}" y1="${y1 + boxH}" x2="${x2 + boxW / 2}" y2="$y2" stroke="#4a5568" marker-end="url(#arr)"/>"""
+      }
+    }.mkString("\n")
+
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height">
+       |<defs><marker id="arr" markerWidth="8" markerHeight="8" refX="7" refY="3" orient="auto">
+       |<path d="M0,0 L7,3 L0,6 Z" fill="#4a5568"/></marker></defs>
+       |$rects
+       |$lines
+       |</svg>""".stripMargin
+  }
+}

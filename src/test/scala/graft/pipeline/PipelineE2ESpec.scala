@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** End-to-end pipeline run over a zero-egress clone of the reference's
+  * examples/basic project (FIXTURES.md §1): a source model reading parquet
+  * (table materialization), a dependent aggregation model (default view),
+  * a macro, and the negative fixtures.
+  */
+class PipelineE2ESpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def fixture(models: Map[String, String],
+      macros: Map[String, String] = Map.empty,
+      configExtra: String = ""): (Path, PipelineConfig) = {
+    val dir = Files.createTempDirectory("graft-e2e")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    models.foreach { case (name, sql) =>
+      Files.writeString(modelsDir.resolve(s"$name.sql"), sql) }
+    val macroDir = dir.resolve("macros"); Files.createDirectories(macroDir)
+    macros.foreach { case (name, src) =>
+      Files.writeString(macroDir.resolve(name), src) }
+    val yaml =
+      s"""models_dir: $modelsDir
+         |macro_path: $macroDir
+         |$configExtra""".stripMargin
+    Files.writeString(dir.resolve("config.yaml"), yaml)
+    (dir, PipelineConfig.load(dir.resolve("config.yaml")))
+  }
+
+  test("examples/basic clone: source table + dependent view, count() shim") {
+    val (_, config) = fixture(
+      models = Map(
+        "source_orders" ->
+          s"SELECT * FROM read_parquet('$sfDir/orders.parquet')",
+        "orders_per_status" ->
+          """SELECT o_orderstatus, count() AS item_count
+            |FROM source_orders
+            |GROUP BY o_orderstatus""".stripMargin),
+      configExtra =
+        """models:
+          |  source_orders:
+          |    materialize: table""".stripMargin)
+
+    val session = new PipelineSession(spark, config)
+    val (order, nodeMap) = session.buildGraph()
+    assert(order == Seq("source_orders", "orders_per_status"))
+    assert(nodeMap("orders_per_status").prevs == Set("source_orders"))
+    assert(nodeMap("source_orders").nexts == Set("orders_per_status"))
+
+    val report = session.runNodes()
+    assert(report.errors.isEmpty)
+    assert(report.results.map(_.status).exists(_.startsWith("SELECT ")))
+    assert(report.results.map(_.status).contains("CREATE VIEW"))
+
+    // view result matches a directly computed DataFrame
+    val viaPipeline = spark.table("orders_per_status")
+      .orderBy("o_orderstatus").collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_orderstatus").count()
+      .orderBy("o_orderstatus").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaPipeline.sameElements(direct))
+  }
+
+  test("macro expansion inside a model") {
+    val (_, config) = fixture(
+      models = Map(
+        "src_part" -> s"SELECT * FROM read_parquet('$sfDir/part.parquet')",
+        "part_sized" ->
+          "SELECT p_partkey, p_size, {{ bump(p_size, 10) }} AS sz FROM src_part"),
+      macros = Map("util.sql" ->
+        "{% macro bump(c, amt) %}({{ c }} + {{ amt }}){% endmacro %}"))
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty)
+    val row = spark.sql(
+      "SELECT sz - p_size FROM part_sized LIMIT 1").collect().head
+    assert(row.getInt(0) == 10)
+  }
+
+  test("model with two SELECT statements errors") {
+    val (_, config) = fixture(models = Map(
+      "bad" -> "SELECT 1; SELECT 2"))
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.size == 1)
+    assert(report.errors.head.getMessage.contains("exactly one"))
+  }
+
+  test("reference to a missing model warns and quarantines") {
+    val (_, config) = fixture(models = Map(
+      "lonely" -> "SELECT * FROM no_such_model"))
+    val session = new PipelineSession(spark, config)
+    val (order, _) = session.buildGraph()
+    assert(order == Seq("lonely")) // ref dropped, node still runs (and fails at exec)
+  }
+
+  test("unknown materialization type errors") {
+    val (_, config) = fixture(
+      models = Map("m" -> "SELECT 1 AS x"),
+      configExtra =
+        """models:
+          |  m:
+          |    materialize: pyramid""".stripMargin)
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.exists(_.getMessage.contains("Unknown materialization")))
+  }
+
+  test("cyclic pipeline fails with cycle error (reference stack-overflows)") {
+    val (_, config) = fixture(models = Map(
+      "a" -> "SELECT * FROM b",
+      "b" -> "SELECT * FROM a"))
+    val session = new PipelineSession(spark, config)
+    val e = intercept[GenericError](session.buildGraph())
+    assert(e.msg.contains("Cycle"))
+  }
+
+  test("side statements (SET) run before materialization") {
+    val (_, config) = fixture(models = Map(
+      "with_set" ->
+        "SET spark.sql.ansi.enabled=false; SELECT 1 AS one"))
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty)
+    assert(spark.table("with_set").collect().head.getInt(0) == 1)
+  }
+
+  test("parallel wave execution produces the same results") {
+    val (_, config) = fixture(models = Map(
+      "s1" -> s"SELECT * FROM read_parquet('$sfDir/region.parquet')",
+      "s2" -> s"SELECT * FROM read_parquet('$sfDir/nation.parquet')",
+      "joined" ->
+        "SELECT n_name, r_name FROM s1 JOIN s2 ON r_regionkey = n_regionkey"))
+    val report = new PipelineSession(spark, config, parallel = true).runNodes()
+    assert(report.errors.isEmpty)
+    assert(spark.table("joined").count() == 25)
+  }
+
+  test("DOT + SVG visualization") {
+    val (_, config) = fixture(models = Map(
+      "up" -> "SELECT 1 AS x",
+      "down" -> "SELECT * FROM up"))
+    val session = new PipelineSession(spark, config)
+    val (order, nodeMap) = session.buildGraph()
+    val dot = graft.viz.GraphViz.renderDot(order, nodeMap)
+    assert(dot.contains("digraph LR"))
+    assert(dot.contains("up -> down;"))
+    val svg = graft.viz.GraphViz.renderSvg(order, nodeMap)
+    assert(svg.startsWith("<svg"))
+    assert(svg.contains(">up<") && svg.contains(">down<"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlTextSpec extends AnyFunSuite {
+
+  test("strips line comments") {
+    val out = SqlText.stripComments("SELECT a -- comment FROM fake\nFROM t")
+    assert(!out.contains("fake"))
+    assert(out.contains("FROM t"))
+  }
+
+  test("strips block comments") {
+    val out = SqlText.stripComments("SELECT a /* FROM fake */ FROM t")
+    assert(!out.contains("fake"))
+    assert(out.contains("FROM t"))
+  }
+
+  test("preserves comment markers inside string literals") {
+    val sql = "SELECT '--not a comment', 'a /* b */ c' FROM t"
+    assert(SqlText.stripComments(sql) == sql)
+  }
+
+  test("splits statements on semicolons outside literals") {
+    val stmts = SqlText.splitStatements("SET a=1; SELECT 'x;y' FROM t;  ;")
+    assert(stmts == Seq("SET a=1", "SELECT 'x;y' FROM t"))
+  }
+
+  test("record-producing detection matches reference semantics") {
+    assert(SqlText.producesRecords("SELECT 1"))
+    assert(SqlText.producesRecords("  with x as (select 1) select * from x"))
+    assert(!SqlText.producesRecords("CREATE TABLE t AS SELECT 1"))
+    assert(!SqlText.producesRecords("VALUES (1)")) // parity: not wrapped
+    assert(!SqlText.producesRecords("SET a = 1"))
+  }
+}
