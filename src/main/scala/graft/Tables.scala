@@ -22,8 +22,7 @@ object Tables {
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
 

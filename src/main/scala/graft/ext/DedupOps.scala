@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation (SURVEY.md §2.C):
+  * exact, n-gram Jaccard, SimHash, and MinHash-LSH (see [[MinHashDedup]]).
+  * Shared design rule: the only shuffles are on uniformly-distributed hash
+  * keys (md5 / xxhash64 / band values), so no operator has a skew problem at
+  * 100 TB, and nothing ever collects to the driver.
+  */
+object DedupOps {
+
+  /** Exact dedup by content hash. groupBy(md5) instead of groupBy(text):
+    * the shuffle then carries a 32-byte key instead of whole documents, and
+    * the key space is uniform. Keeps the lowest doc_id per group (stable
+    * winner), reports group size.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("fp"))
+
+  /** n-gram Jaccard similarity for every pair of documents in scope.
+    * Quadratic by construction — callers bound the scope (a blocking key or
+    * an LSH candidate set) before calling; the testdata query caps doc_id.
+    * Set semantics: distinct shingles, |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int): DataFrame = {
+    val withShingles = docs.select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), k))
+        .as("sh"))
+    val a = withShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = withShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(inter / (size(col("sh_a")) + size(col("sh_b")) -
+          size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over distinct tokens: for each bit, sum +1/-1 according
+    * to xxhash64(token)'s bit, then take the sign. Pure higher-order-function
+    * expression (aggregate over a 64-long accumulator array) — codegen'd,
+    * map-only, no shuffle. xxhash64 is Spark-native; the operator is
+    * engine-deterministic but not cross-engine (oracle is rows-only).
+    */
+  def simHash(toks: Column): Column = {
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(
+      hashes,
+      transform(bitIdx, _ => lit(0L)),
+      (acc, h) => zip_with(acc, bitIdx,
+        (a, b) => a + when(
+          shiftright_col(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, bitIdx,
+        (c, b) => when(c > 0, shiftleft_col(lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  // functions.shiftright/shiftleft only accept a literal Int shift; the
+  // underlying Catalyst expressions accept any expression, so reach them
+  // through the SQL function registry via expr-style Column composition.
+  private def shiftright_col(v: Column, n: Column): Column =
+    call_function("shiftright", v, n)
+  private def shiftleft_col(v: Column, n: Column): Column =
+    call_function("shiftleft", v, n)
+
+  /** MinHash signature: numHashes independent permutations simulated as
+    * xxhash64(i, shingle); signature[i] = min over shingles. Pure codegen'd
+    * expression — contrast with Spark ML's MinHashLSH, which routes every
+    * row through a ScalaUDF + VectorUDT (10× slower on the same corpus, see
+    * [[MinHashDedup]]).
+    */
+  def minHashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+
+  /** MinHash-LSH near-dup pairs, banding scheme (numBands × rowsPerBand =
+    * numHashes). Stages, each one shuffle on a uniform key:
+    *   1. map: shingle set → 16-long signature → 4 band hashes
+    *   2. candidate generation: self-join on (band_idx, band_hash)
+    *   3. verification: join candidate ids back to shingle sets, exact
+    *      Jaccard, threshold filter.
+    * Verification re-joins by id instead of carrying shingle arrays through
+    * the band explode — the explode would otherwise multiply the (large)
+    * array payload by numBands across the shuffle.
+    */
+  def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
+                      rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sh = docs.select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), k)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh.select(col("doc_id"),
+      minHashSignature(col("sh"), numHashes).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          struct(b.as("band_idx"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("band_hash")))).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    val cands = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(inter / (size(col("sh_a")) + size(col("sh_b")) -
+          size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash near-dup pairs via banding: split the 64-bit signature into
+    * four 16-bit bands; candidate pairs must agree on at least one band
+    * (standard LSH banding — two docs within Hamming distance 3 of each
+    * other agree on some band with certainty by pigeonhole when the 4
+    * differing bits... more precisely, hamming<=3 guarantees >=1 clean band).
+    * The band join shuffles on (band_idx, band_value) — uniform keys — and
+    * only candidate pairs pay the 64-bit Hamming check (bit_count(xor)).
+    */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      simHash(TextOps.tokens(col("text"))).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(3)), i =>
+          struct(i.as("band_idx"),
+            shiftright_col(col("sig"), i * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("band_val")))).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

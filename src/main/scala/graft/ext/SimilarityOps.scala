@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `array<float>` embedding column
+  * (SURVEY.md §2.C). All arithmetic is built from codegen'd higher-order
+  * functions (zip_with/aggregate) — no UDF, no driver collect — and every
+  * float is cast to double *before* multiplication so results are bitwise
+  * reproducible across engines (the DuckDB oracle does the same cast).
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every probe row scores against every
+    * candidate. The candidate side is the big one; probes are broadcast, so
+    * the plan is a map-side BroadcastNestedLoopJoin over the candidate scan —
+    * no shuffle until the per-probe top-k (WindowGroupLimit pushes k into
+    * the sort). This is the exact baseline ANN implementations are recalled
+    * against; at 100 TB you run it only on a sampled slice, or switch to
+    * [[ivfTopK]].
+    */
+  def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_emb"))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("probe_emb"), col("cand_emb")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+
+  /** Exact near-duplicate pairs *within blocks*: candidate pairs only form
+    * inside a blocking key (here the label; in production a coarse quantizer
+    * / IVF cell id). Within a block the scan is exact, so — unlike LSH —
+    * recall inside a block is 1.0. The self-join shuffles both sides on the
+    * block key once; block sizes bound the quadratic term, so the cost is
+    * sum(|block|²), not |table|².
+    */
+  def blockedNearDupPairs(vecs: DataFrame, blockCol: String, minSim: Double): DataFrame = {
+    val a = vecs.select(col(blockCol).as("blk"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = vecs.select(col(blockCol).as("blk"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("blk"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** IVF-style ANN: (1) centroids = mean vector per coarse cell (here the
+    * label column stands in for a k-means assignment — deterministic and
+    * dependency-free); (2) each probe picks its `nprobe` nearest centroids
+    * (broadcast — centroid count is tiny); (3) exact search only inside
+    * those cells. The expensive exact scan touches |nprobe|/|cells| of the
+    * data — the same pruning a FAISS IVF index does, expressed as two
+    * broadcast joins + one shuffle on cell id.
+    */
+  def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val dim = 64
+    // Centroid = element-wise mean per cell: aggregate over zipped arrays.
+    val sumArr = candidates.groupBy(col("label").as("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sums"))
+      .select(col("cell"),
+        transform(col("sums"), s => s / col("n")).as("centroid"))
+
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .join(broadcast(sumArr), lit(true))
+      .withColumn("csim", cosine(col("probe_emb"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("cell"))
+
+    val cands = candidates.select(col("label").as("cell"),
+      col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val scored = cands.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("probe_emb"), col("cand_emb")), 6))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+}

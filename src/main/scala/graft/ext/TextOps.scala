@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for a large-scale training-data pipeline
+  * (SURVEY.md §2.C). Everything here is a pure Column expression — no UDFs,
+  * no driver-side state — so the whole operator stays inside whole-stage
+  * codegen and scales linearly with input splits: at 100 TB each of these is
+  * a map-only pass over the parquet scan (no shuffle at all until a
+  * downstream groupBy).
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single
+    * punctuation marks. A real BPE vocab lookup would be a broadcast-map
+    * join against a merges table; the regex keeps the token *count*
+    * deterministic and cheap (the common use: cost estimation / filtering
+    * by token budget).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Token k-gram shingles: ["a b c", "b c d", ...]; empty when fewer than
+    * k tokens. Built with sequence+slice so it stays a codegen'd expression.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Stable whole-document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. Cross-engine reproducible (md5 is md5 everywhere),
+    * unlike xxhash64/murmur whose implementations differ per engine.
+    */
+  def docFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Min-shingle fingerprint (1-permutation MinHash): the lexicographic
+    * minimum of md5(shingle). Two documents sharing any low-hashing shingle
+    * collide — the classic single-band LSH signal. At scale: groupBy this
+    * column is one shuffle whose key space is uniform (md5), so no skew.
+    */
+  def minShingleFingerprint(toks: Column, k: Int): Column =
+    array_min(transform(shingles(toks, k), s => md5(s)))
+
+  private val Stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Stopword-token ratio — a standard quality signal (C4/Gopher rules). */
+  def stopwordRatio(toks: Column): Column = {
+    val stops = filter(toks, t => t.isInCollection(Stopwords))
+    round(size(stops).cast("double") / size(toks), 4)
+  }
+
+  /** Punctuation-character ratio over the raw text. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      length(text), 4)
+
+  /** Mean token length (chars per token, whitespace removed). */
+  def avgTokenLen(text: Column, toks: Column): Column =
+    round(length(regexp_replace(text, "\\s", "")).cast("double") / size(toks), 4)
+
+  /** Composite quality score in [0,1]: documents with natural stopword
+    * density, enough tokens, and little punctuation score high. The exact
+    * weights are illustrative; the shape (pure arithmetic over per-row
+    * signals) is what matters for scale.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    round(
+      stopwordRatio(toks) * 0.4 +
+        least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - punctRatio(text)) * 0.3, 4)
+  }
+
+  /** Language profiles: the distinct-token overlap with each profile is the
+    * language score. Real language ID would use char-n-gram profiles over a
+    * trained table (a broadcast join); the mechanism — array_intersect
+    * against a tiny in-plan constant list, argmax with a deterministic
+    * alphabetical tie-break — is identical.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "不"))
+
+  /** Per-language overlap scores as columns (name -> score). */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(array_distinct(toks),
+        array(words.map(lit): _*)))
+    }
+
+  /** Predicted language: argmax of profile overlap, ties resolved
+    * alphabetically (profiles are already alphabetical).
+    */
+  def langId(toks: Column): Column = {
+    val scores = langScores(toks)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      when(acc.isNotNull, acc).when(s === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

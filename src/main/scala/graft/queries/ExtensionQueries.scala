@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{DedupOps, MinHashDedup, MultimodalOps, SimilarityOps, TextOps}
+
+/** Layer-C extension queries (SURVEY.md §2.C): training-data-pipeline
+  * operators over the `documents` / `embeddings` / `events` tables — dedup
+  * (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search (brute
+  * force + IVF), text analysis (tokens, quality, language-ID, fingerprints),
+  * multimodal plumbing, and sessionization.
+  *
+  * Queries q21–q26, q29, q30, q32, q33 carry a DuckDB oracle; q27/q28/q31
+  * use engine-specific hashing (xxhash64 / ML MinHashLSH) or approximate
+  * pruning, so they get the driver's rows-only check and a ScalaTest spec
+  * instead.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Text analysis -------------------------------------------------
+    "q21_token_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(TextOps.bpeTokens(col("text"))).as("n_bpe"),
+          size(array_distinct(toks)).as("n_distinct"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+            .as("ttr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_quality_score" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("bigint").as("len_chars"),
+          TextOps.stopwordRatio(toks).as("stop_ratio"),
+          TextOps.punctRatio(col("text")).as("punct_ratio"),
+          TextOps.avgTokenLen(col("text"), toks).as("avg_tok_len"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q23_lang_id" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TextOps.langId(toks).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q24_fingerprint" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.docFingerprint(col("text")).as("fp"),
+          TextOps.minShingleFingerprint(toks, 5).as("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Dedup ---------------------------------------------------------
+    "q25_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactDedup(t(s, dir, "documents"))
+        .orderBy(col("keep_id"))),
+
+    "q26_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 40), k = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Engine-specific signatures below → rows-only driver check + specs.
+    // The synthetic corpus shares one small vocabulary, so token-set Jaccard
+    // is adversarially dense (most pairs are "near-dups") and LSH candidate
+    // pruning cannot help — cap the scope so the exercised path stays the
+    // LSH one, not an accidental cross product. Real web corpora have
+    // ~1e-6 pair density and this cap would not exist.
+    "q27_minhash_neardup" -> ((s, dir) =>
+      DedupOps.minHashLshPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 1000),
+          k = 1, numBands = 4, rowsPerBand = 4, minJaccard = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q28_simhash_neardup" -> ((s, dir) =>
+      DedupOps.simHashNearDupPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 2000),
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // -- Similarity search ----------------------------------------------
+    "q29_embedding_neardup" -> ((s, dir) =>
+      SimilarityOps.blockedNearDupPairs(
+          t(s, dir, "embeddings"), blockCol = "label", minSim = 0.3)
+        .orderBy(col("blk"), col("id_a"), col("id_b"))),
+
+    "q30_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    "q31_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5, nprobe = 3)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // -- Multimodal plumbing ---------------------------------------------
+    "q32_multimodal" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(
+          s, MultimodalOps.packDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("media_id"))),
+
+    // -- Sessionization (batch analog of streaming state) ------------------
+    "q33_session_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("n_events"), col("total"))
+        .orderBy(col("user_id"), col("sess_start")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_token_stats" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS bpe
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(bpe) AS INTEGER) AS n_bpe,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q22_quality_score" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  round(CAST(len(list_filter(toks, t -> t IN
+        |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+        |    / len(toks), 4) AS stop_ratio,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |    AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(toks), 4) AS avg_tok_len,
+        |  len(toks) AS n_toks
+        |  FROM d)
+        |SELECT doc_id, len_chars, stop_ratio, punct_ratio, avg_tok_len,
+        |  round(stop_ratio * 0.4 + least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+        |    * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q23_lang_id" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_distinct(regexp_split_to_array(lower(text), '\s+')) AS dt
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_intersect(dt, ['der','die','und','ist','das','nicht','ein'])) AS c_de,
+        |  len(list_intersect(dt, ['the','a','of','and','is','to','in'])) AS c_en,
+        |  len(list_intersect(dt, ['el','la','de','que','y','es','un'])) AS c_es,
+        |  len(list_intersect(dt, ['le','la','et','les','des','est','un'])) AS c_fr,
+        |  len(list_intersect(dt, ['的','是','了','在','我','有','不'])) AS c_zh
+        |  FROM d)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_de = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'de'
+        |       WHEN c_en = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'en'
+        |       WHEN c_es = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'es'
+        |       WHEN c_fr = greatest(c_de,c_en,c_es,c_fr,c_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q24_fingerprint" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  md5(array_to_string(toks, ' ')) AS fp,
+        |  list_aggregate([md5(array_to_string(toks[i:i+4], ' '))
+        |    for i in generate_series(1, len(toks) - 4)], 'min')
+        |    AS min_shingle_fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q25_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  md5(array_to_string(regexp_split_to_array(lower(text), '\s+'), ' '))
+        |    AS fp
+        |FROM documents
+        |GROUP BY fp
+        |ORDER BY keep_id""".stripMargin,
+    "q26_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in generate_series(1, len(toks) - 2)]) AS sh FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+        |    AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q29_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings)
+        |SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
+        |ORDER BY blk, id_a, id_b""".stripMargin,
+    "q30_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
+        |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, rk, cand_id, sim FROM (
+        |  SELECT probe_id, cand_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk
+        |  FROM sc) t
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "q32_multimodal" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) // 100 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q33_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM m)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS total
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exactDedup groups case/whitespace-normalized duplicates, keeps min id") {
+    val docs = Seq(
+      (1L, "Hello World"), (2L, "hello  world"), (3L, "something else"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.exactDedup(docs).orderBy("keep_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 2L) // keep 1, 2 copies
+    assert(r(1).getLong(0) == 3L && r(1).getLong(1) == 1L)
+  }
+
+  test("ngramJaccardPairs: identical docs 1.0, disjoint docs 0.0") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.ngramJaccardPairs(docs, k = 3)
+      .orderBy("id_a", "id_b").collect()
+    assert(r.length == 3)
+    assert(r(0).getDouble(2) == 1.0)   // (1,2)
+    assert(r(1).getDouble(2) == 0.0)   // (1,3)
+    assert(r(2).getDouble(2) == 0.0)   // (2,3)
+  }
+
+  test("simHash: identical token sets have identical signatures") {
+    val sigs = Seq("a b c d", "d c b a", "totally different words here")
+      .toDF("text")
+      .select(DedupOps.simHash(TextOps.tokens(col("text"))))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))   // order-insensitive (set semantics)
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simHashNearDupPairs finds near-identical docs, skips distant ones") {
+    // identical token SET (different order/duplication) → identical simhash
+    // → same bands, hamming 0: deterministically caught. A doc with a
+    // disjoint vocabulary must never pass the hamming filter.
+    val base = (1 to 25).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.reverse ++ base.take(3)).mkString(" ")),
+      (3L, (1 to 25).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simHashNearDupPairs(docs, maxHamming = 16).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.contains((1L, 3L)) && !ids.contains((2L, 3L)))
+    assert(pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .get.getInt(2) == 0)
+  }
+
+  test("minhash near-dup (ML variant) finds planted duplicate") {
+    val docs = Seq(
+      (1L, "spark catalyst tungsten shuffle partition broadcast join agg"),
+      (2L, "spark catalyst tungsten shuffle partition broadcast join scan"),
+      (3L, "completely unrelated vocabulary nothing shared at all ever"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDupPairs(docs, k = 1, numHashTables = 8,
+      maxDistance = 0.5).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.exists(p => p._2 == 3L))
+  }
+
+  test("minHashLshPairs (native) finds planted duplicate with exact Jaccard") {
+    val docs = Seq(
+      (1L, "spark catalyst tungsten shuffle partition broadcast join agg"),
+      (2L, "spark catalyst tungsten shuffle partition broadcast join scan"),
+      (3L, "completely unrelated vocabulary nothing shared at all ever"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minHashLshPairs(docs, k = 1, numBands = 4,
+      rowsPerBand = 4, minJaccard = 0.5).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.exists(p => p._2 == 3L))
+    // exact verification: |{7 shared}| / |{9 union}| = 0.7778
+    val j = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .get.getDouble(2)
+    assert(j == 0.7778)
+  }
+
+  test("minHashSignature is order-insensitive and deterministic") {
+    val sigs = Seq("a b c d e", "e d c b a")
+      .toDF("text")
+      .select(DedupOps.minHashSignature(
+        array_distinct(TextOps.tokens(col("text"))), 8))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 8)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilarityOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical→1, orthogonal→0, opposite→-1") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+    val r = df.select(round(SimilarityOps.cosine(col("a"), col("b")), 9))
+      .collect().map(_.getDouble(0))
+    assert(r.toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks by similarity with deterministic ties") {
+    val data = vecs(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f), 0),   // closest to 0
+      (2L, Seq(0f, 1f, 0f), 1),
+      (3L, Seq(0.5f, 0.5f, 0f), 1))
+    val r = SimilarityOps.bruteForceTopK(
+      data.filter(col("vec_id") === 0), data, k = 2)
+      .orderBy("rk").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 3L))
+    assert(r(0).getInt(1) == 1 && r(1).getInt(1) == 2)
+  }
+
+  test("blockedNearDupPairs only pairs within a block") {
+    val data = vecs(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.01f), 0),
+      (2L, Seq(1f, 0f), 1))  // identical to 0 but different block
+    val r = SimilarityOps.blockedNearDupPairs(data, "label", minSim = 0.9)
+      .collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2)) == ((0L, 1L)))
+  }
+
+  test("ivfTopK achieves full recall when probe cell holds the neighbors") {
+    // 64-dim requirement in ivfTopK's centroid build → use padded vectors
+    def pad(v: Seq[Float]): Seq[Float] = v ++ Seq.fill(64 - v.size)(0f)
+    val data = vecs(
+      (0L, pad(Seq(1f, 0f)), 0), (1L, pad(Seq(0.95f, 0.05f)), 0),
+      (2L, pad(Seq(0.9f, 0.1f)), 0),
+      (3L, pad(Seq(0f, 1f)), 1), (4L, pad(Seq(0.05f, 0.95f)), 1))
+    val brute = SimilarityOps.bruteForceTopK(
+      data.filter(col("vec_id") === 0), data, k = 2)
+      .collect().map(_.getLong(2)).toSet
+    val ivf = SimilarityOps.ivfTopK(
+      data.filter(col("vec_id") === 0), data, k = 2, nprobe = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(ivf == brute)
+  }
+}
