@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events schema (SURVEY.md §2.B
+  * "Streaming" row — absent from the reference, Layer-C extension here).
+  *
+  * Every transform is written against an unbounded DataFrame/Dataset, so the
+  * SAME code runs in batch (events.parquet) and streaming (readStream) —
+  * Spark's unified model. State lives in the executor-side state store
+  * (RocksDB/HDFS-backed on a cluster), partitioned by the grouping key:
+  * nothing accumulates on the driver, so the operators scale horizontally
+  * with key cardinality.
+  */
+object EventStreams {
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String,
+                   value: Double)
+
+  case class SessionOut(user_id: Long, sess_start: Timestamp,
+                        sess_end: Timestamp, n_events: Int, total: Double)
+
+  // not private: the state-store encoder's generated code instantiates it
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  /** File-based event stream: the streaming read of the same parquet the
+    * batch queries use. maxFilesPerTrigger bounds per-batch work — the knob
+    * that keeps backfill from flooding the cluster.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/events.parquet")
+  }
+
+  /** Watermarked tumbling-window counts. Late events beyond the watermark
+    * are dropped; windows finalize (and emit, in Append mode) once the
+    * watermark passes their end. The aggregation state is bounded by
+    * (#open windows × #event types) — independent of stream length.
+    */
+  def windowedCounts(events: DataFrame, watermark: String,
+                     windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Custom-state sessionization: flatMapGroupsWithState with event-time
+    * timeout. A session closes `gapMinutes` after its last event (tracked by
+    * the watermark), emitting one SessionOut row. This is the streaming
+    * twin of q33's batch session_window — identical session boundaries.
+    *
+    * State per user is O(1) (a 4-field struct); the state store shards by
+    * user_id across executors.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 watermark: String, gapMinutes: Int): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events.selectExpr("ts", "user_id", "event_type", "value").as[Event]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap → close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, math.rint(s.total * 100) / 100))
+          } else {
+            // fold the micro-batch's events (they arrive unordered within
+            // the batch — sort; batches themselves respect the watermark)
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, math.rint(s.total * 100) / 100)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** End-to-end streaming pipeline wiring: file source → windowed agg →
+    * sink. Returns the started query; callers own its lifecycle.
+    */
+  def runWindowedPipeline(spark: SparkSession, dir: String, outPath: String,
+                          checkpoint: String) = {
+    val agg = windowedCounts(readEventStream(spark, dir), "1 hour", "1 day")
+    agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(minute: Int, user: Long, v: Double) =
+    EventStreams.Event(ts(minute), user, "click", v)
+
+  test("windowedCounts finalizes windows as the watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.windowedCounts(mem.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour-0 events, then an event far enough ahead to close hour 0
+      mem.addData(ev(5, 1, 1.0), ev(20, 1, 2.0), ev(59, 2, 3.0))
+      q.processAllAvailable()
+      mem.addData(ev(135, 1, 9.0)) // watermark → 02:15-10min > 01:00
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.length == 1) // only hour 0 finalized
+      val r = rows.head
+      assert(r.getAs[Timestamp]("w_start") == ts(0))
+      assert(r.getAs[Long]("n") == 3L)
+      assert(r.getAs[Double]("total") == 6.0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap timeout with correct aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(spark, mem.toDF(), "5 minutes", gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 0,10,20 (one session); user 2: event at 15
+      mem.addData(ev(0, 1, 1.0), ev(10, 1, 2.0), ev(20, 1, 3.5))
+      mem.addData(ev(15, 2, 7.0))
+      q.processAllAvailable()
+      // push watermark far past 20+30 → both sessions time out
+      mem.addData(ev(600, 9, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(3), r.getDouble(4)))
+        .sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows(0) == ((1L, ts(0), 3, 6.5)))
+      assert(rows(1) == ((2L, ts(15), 1, 7.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on in-batch gaps too") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(spark, mem.toDF(), "5 minutes", gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_split")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts 90 minutes apart in ONE batch → first closes inline
+      mem.addData(ev(0, 1, 1.0), ev(5, 1, 1.0), ev(95, 1, 2.0))
+      q.processAllAvailable()
+      val closedInline = spark.table("sess_split").collect()
+      assert(closedInline.length == 1)
+      assert(closedInline.head.getInt(3) == 2) // first burst had 2 events
+    } finally q.stop()
+  }
+}
