@@ -13,6 +13,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT the scheduler/parquet/codegen machinery and read
+    // every table's footer once, so the first timed query doesn't absorb
+    // ~5s of session start-up cost. Runs at the smallest SF.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let

@@ -28,9 +28,13 @@ object DedupOps {
     * Set semantics: distinct shingles, |A∩B| / (|A|+|B|-|A∩B|).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int): DataFrame = {
-    val withShingles = docs.select(col("doc_id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), k))
-        .as("sh"))
+    // tokens materialize as a column BEFORE shingling: higher-order fns are
+    // interpreted (CodegenFallback), so a split() nested inside the shingle
+    // lambda would re-run per shingle — O(tokens²) per document
+    val withShingles = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), k)).as("sh"))
     val a = withShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -92,8 +96,10 @@ object DedupOps {
   def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
                       rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val sh = docs.select(col("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), k)).as("sh"))
+    val sh = docs
+      .withColumn("toks", TextOps.tokens(col("text"))) // see ngramJaccardPairs
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), k)).as("sh"))
       .filter(size(col("sh")) > 0)
     val sigs = sh.select(col("doc_id"),
       minHashSignature(col("sh"), numHashes).as("sig"))

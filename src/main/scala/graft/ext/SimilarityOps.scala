@@ -24,6 +24,20 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize once per VECTOR so pairwise cosine becomes a bare dot
+    * product: O(pairs·dim) instead of O(pairs·3·dim) — the norms are paid
+    * |V| times, not |pairs| times. At near-dup scale (pairs ≫ vectors) this
+    * is the dominant cost, so every pairwise operator below normalizes
+    * before joining. The norm is materialized as its own column first —
+    * referencing norm() inside the transform lambda would re-evaluate it
+    * per element (O(dim²)).
+    */
+  def withUnitVec(df: DataFrame, embCol: String, outCol: String): DataFrame =
+    df.withColumn("__nrm", norm(col(embCol)))
+      .withColumn(outCol,
+        transform(col(embCol), x => x.cast("double") / col("__nrm")))
+      .drop("__nrm")
+
   /** Brute-force cosine top-k: every probe row scores against every
     * candidate. The candidate side is the big one; probes are broadcast, so
     * the plan is a map-side BroadcastNestedLoopJoin over the candidate scan —
@@ -33,12 +47,12 @@ object SimilarityOps {
     * [[ivfTopK]].
     */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"),
-      col("embedding").as("probe_emb"))
-    val c = candidates.select(col("vec_id").as("cand_id"),
-      col("embedding").as("cand_emb"))
+    val p = withUnitVec(probes, "embedding", "probe_emb")
+      .select(col("vec_id").as("probe_id"), col("probe_emb"))
+    val c = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("probe_emb"), col("cand_emb")), 6))
+      .withColumn("sim", round(dot(col("probe_emb"), col("cand_emb")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -54,12 +68,13 @@ object SimilarityOps {
     * sum(|block|²), not |table|².
     */
   def blockedNearDupPairs(vecs: DataFrame, blockCol: String, minSim: Double): DataFrame = {
-    val a = vecs.select(col(blockCol).as("blk"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = vecs.select(col(blockCol).as("blk"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
+    val unit = withUnitVec(vecs, "embedding", "emb_n")
+    val a = unit.select(col(blockCol).as("blk"), col("vec_id").as("id_a"),
+      col("emb_n").as("emb_a"))
+    val b = unit.select(col(blockCol).as("blk"), col("vec_id").as("id_b"),
+      col("emb_n").as("emb_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("sim", round(dot(col("emb_a"), col("emb_b")), 6))
       .filter(col("sim") >= minSim)
       .select(col("blk"), col("id_a"), col("id_b"), col("sim"))
   }
@@ -93,8 +108,9 @@ object SimilarityOps {
       .filter(col("crk") <= nprobe)
       .select(col("probe_id"), col("probe_emb"), col("cell"))
 
-    val cands = candidates.select(col("label").as("cell"),
-      col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val cands = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(col("label").as("cell"), col("vec_id").as("cand_id"),
+        col("cand_emb"))
     val scored = cands.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(cosine(col("probe_emb"), col("cand_emb")), 6))

@@ -55,14 +55,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "q24_fingerprint" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      t(s, dir, "documents").select(
+    "q24_fingerprint" -> ((s, dir) =>
+      // toks materialized first — see DedupOps.ngramJaccardPairs note
+      t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(
           col("doc_id"),
-          TextOps.docFingerprint(col("text")).as("fp"),
-          TextOps.minShingleFingerprint(toks, 5).as("min_shingle_fp"))
-        .orderBy(col("doc_id"))
-    }),
+          md5(concat_ws(" ", col("toks"))).as("fp"),
+          TextOps.minShingleFingerprint(col("toks"), 5).as("min_shingle_fp"))
+        .orderBy(col("doc_id"))),
 
     // -- Dedup ---------------------------------------------------------
     "q25_exact_dedup" -> ((s, dir) =>
