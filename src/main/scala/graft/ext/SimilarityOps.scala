@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.VectorFunctions
+
 /** Vector-similarity operators over an `array<float>` embedding column
   * (SURVEY.md §2.C). All arithmetic is built from codegen'd higher-order
   * functions (zip_with/aggregate) — no UDF, no driver collect — and every
@@ -12,11 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Dot product in double precision — delegates to the native codegen'd
+    * [[graft.functions.DotProduct]] expression (the higher-order-function
+    * formulation `aggregate(zip_with(...))` is CodegenFallback: interpreted
+    * + boxed per element, ~10× slower in a pairwise join).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    VectorFunctions.dotProduct(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),

@@ -1,0 +1,141 @@
+// Hosted under org.apache.spark.sql so the expressions can use the
+// private[sql] pieces of the expression API (AbstractDataType for
+// ExpectsInputTypes, ExpressionUtils for Expression↔Column) — the same
+// approach established Spark extension libraries take.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot path
+  * (SURVEY.md §4 "candidate custom pieces").
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * CodegenFallback — every element access goes through an interpreted
+  * lambda with boxing. These expressions generate a tight primitive loop
+  * via doGenCode instead, and participate in whole-stage codegen, so the
+  * per-pair cost in a near-dup or ANN join drops to the raw FLOPs.
+  * Preference order per the design brief: built-in functions < native
+  * Expression (this) < UDF — a ScalaUDF here would pay serialization on
+  * every row pair.
+  */
+
+/** dot(a, b) over array<double>: the pairwise kernel after unit
+  * normalization (see SimilarityOps.withUnitVec). Null/length handling:
+  * null input → null; lengths may differ (min is used), matching the
+  * higher-order-function formulation it replaces.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine similarity over raw array<float> embeddings: dot product
+  * and both norms in ONE traversal (no normalization pre-pass needed),
+  * accumulating in double — numerically identical to
+  * dot(a,b)/(norm(a)*norm(b)) with per-element float→double promotion,
+  * which is what the DuckDB oracle (list_cosine_similarity on DOUBLE[])
+  * computes. Zero-norm input → null (no finite cosine exists).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the native expressions. */
+object VectorFunctions {
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dotProduct matches the higher-order-function formulation exactly") {
+    val df = Seq(
+      (Seq(1.5f, -2f, 3f), Seq(4f, 5f, -6f)),
+      (Seq(0.1f, 0.2f), Seq(0.3f, 0.4f))).toDF("a", "b")
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)).collect().map(_.getDouble(0))
+    val native = df.select(VectorFunctions.dotProduct(
+      col("a").cast("array<double>"), col("b").cast("array<double>")))
+      .collect().map(_.getDouble(0))
+    assert(native.toSeq == hof.toSeq) // bitwise: same fold order, same casts
+  }
+
+  test("cosineSim: identity, orthogonality, zero-norm null") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(r(1).getDouble(0) == 0.0)
+    assert(r(2).isNullAt(0))
+  }
+
+  test("expressions work under codegen AND interpreted eval") {
+    val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+    def run(): Double =
+      df.select(VectorFunctions.cosineSim(col("a"), col("b")))
+        .collect().head.getDouble(0)
+    val expected = 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(math.abs(run() - expected) < 1e-12)
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(math.abs(run() - expected) < 1e-12)
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("SQL registration via GraftExtensions: cosine_sim callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("a", "b")
+      .createOrReplaceTempView("vec_pairs")
+    val r = spark.sql("SELECT cosine_sim(a, b) AS s, dot_product(" +
+        "CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>)) AS d FROM vec_pairs")
+      .collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("mismatched lengths use the common prefix (min length)") {
+    val r = Seq((Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dotProduct(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+}
