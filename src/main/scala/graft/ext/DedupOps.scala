@@ -87,14 +87,20 @@ object DedupOps {
     * numHashes). Stages, each one shuffle on a uniform key:
     *   1. map: shingle set → 16-long signature → 4 band hashes
     *   2. candidate generation: self-join on (band_idx, band_hash)
-    *   3. verification: join candidate ids back to shingle sets, exact
-    *      Jaccard, threshold filter.
-    * Verification re-joins by id instead of carrying shingle arrays through
-    * the band explode — the explode would otherwise multiply the (large)
-    * array payload by numBands across the shuffle.
+    *   3. verification: threshold filter on the Jaccard similarity —
+    *      `exact=false` (default, the 100 TB path) estimates it as the
+    *      fraction of agreeing signature positions, joining only the
+    *      16-long signatures back to candidates; `exact=true` re-joins the
+    *      full shingle sets and computes true Jaccard (what the big web
+    *      corpora pipelines skip, because the candidate payload is then the
+    *      documents themselves, not fixed-width signatures).
+    * Verification re-joins by id instead of carrying payloads through the
+    * band explode — the explode would otherwise multiply the payload by
+    * numBands across the shuffle.
     */
   def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
-                      rowsPerBand: Int, minJaccard: Double): DataFrame = {
+                      rowsPerBand: Int, minJaccard: Double,
+                      exact: Boolean = false): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val sh = docs
       .withColumn("toks", TextOps.tokens(col("text"))) // see ngramJaccardPairs
@@ -114,14 +120,27 @@ object DedupOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    cands
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(inter / (size(col("sh_a")) + size(col("sh_b")) -
-          size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    if (exact) {
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      cands
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(inter / (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    } else {
+      // E[matching positions / numHashes] = true Jaccard
+      val agree = size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        b => b)).cast("double")
+      cands
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(agree / numHashes, 4).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    }
   }
 
   /** SimHash near-dup pairs via banding: split the 64-bit signature into

@@ -77,7 +77,7 @@ class DedupOpsSpec extends AnyFunSuite {
       (3L, "completely unrelated vocabulary nothing shared at all ever"))
       .toDF("doc_id", "text")
     val pairs = DedupOps.minHashLshPairs(docs, k = 1, numBands = 4,
-      rowsPerBand = 4, minJaccard = 0.5).collect()
+      rowsPerBand = 4, minJaccard = 0.5, exact = true).collect()
     val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ids.contains((1L, 2L)))
     assert(!ids.exists(p => p._2 == 3L))
@@ -85,6 +85,15 @@ class DedupOpsSpec extends AnyFunSuite {
     val j = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
       .get.getDouble(2)
     assert(j == 0.7778)
+
+    // estimate mode: same pair surfaces; jaccard is the signature-agreement
+    // fraction (k/16 granularity), an unbiased estimator of 0.7778
+    val est = DedupOps.minHashLshPairs(docs, k = 1, numBands = 4,
+      rowsPerBand = 4, minJaccard = 0.4).collect()
+    val estPair = est.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(estPair.isDefined)
+    assert((estPair.get.getDouble(2) * 16).round.toDouble / 16 ==
+      estPair.get.getDouble(2))
   }
 
   test("minHashSignature is order-insensitive and deterministic") {
