@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties the queries claim
+  * (pushdown, pruning, broadcast, partial aggregation, top-k pushdown) are
+  * enforced here, so a refactor that silently loses one fails the build —
+  * at 100 TB these ARE the correctness properties.
+  */
+class QueryPlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q2: predicates and projection push into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    assert(p.contains("LessThan(l_discount,0.02)"))
+    // pruned: only the 5 needed columns of lineitem's 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q3/q15: dimension joins broadcast (no dimension-side shuffle)") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+    val p15 = plan("q15_local_supplier_volume")
+    assert(p15.contains("BroadcastHashJoin"))
+    // the only sort-merge/shuffle join allowed is fact⋈orders
+    val smj = "SortMergeJoin".r.findAllIn(p15).size
+    assert(smj <= 1, s"expected <=1 sort-merge join, got $smj")
+  }
+
+  test("q1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("q6: rank filter pushes k into the sort (WindowGroupLimit)") {
+    assert(plan("q6_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q13: global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("q13_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q30: probe side broadcasts (candidate scan stays map-side)") {
+    assert(plan("q30_ann_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q25: exact dedup shuffles the 32-byte hash key, not the documents") {
+    val p = plan("q25_exact_dedup")
+    assert(p.contains("md5"))
+    // text column must not survive past the partial aggregate
+    assert(!p.contains("Exchange hashpartitioning(text"))
+  }
+}
