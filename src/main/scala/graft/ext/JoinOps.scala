@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators the reference's engine (DuckDB) has natively but Spark
+  * lacks (SURVEY.md §2.B joins row: ASOF; custom-operator preference (a):
+  * "compose existing ops if semantics allow" — both of these compose, so no
+  * custom SparkPlan is needed).
+  */
+object JoinOps {
+
+  /** As-of join: for each left row, the single latest right row with
+    * right.ts <= left.ts and equal keys (DuckDB `ASOF JOIN ... ON l.ts >= r.ts`).
+    *
+    * NOT implemented as an inequality join — that is a per-key cross product
+    * which explodes quadratically on active keys. Instead: union both sides
+    * tagged, one window pass per key ordered by (ts, side), and carry the
+    * last non-null right payload forward. Cost: ONE shuffle on the key
+    * (same as any keyed join) + a linear in-partition scan — the optimal
+    * distributed as-of shape. Right rows sort before left rows at equal ts,
+    * so a right row exactly at left.ts matches (>= semantics).
+    *
+    * Output: leftKeep ++ keys ++ ts, plus each rightKeep column as
+    * `<name>_r` and the matched right timestamp as `ts_r`; unmatched left
+    * rows are dropped (inner as-of, the DuckDB default).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               ts: String, leftKeep: Seq[String], rightKeep: Seq[String]): DataFrame = {
+    val rightOut = rightKeep.map(_ + "_r") :+ (ts + "_r")
+    val l = left.select(
+      (keys.map(col) :+ col(ts) :+ lit(1).as("__side")) ++
+        leftKeep.map(col) ++
+        (rightKeep :+ ts).map(c => lit(null).cast(
+          right.schema(c).dataType).as(c + "_r")): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(ts) :+ lit(0).as("__side")) ++
+        leftKeep.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        (rightKeep :+ ts).map(c => col(c).as(c + "_r")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightOut.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1 && col(ts + "_r").isNotNull)
+      .drop("__side")
+  }
+
+  /** Range join: pair each left row with right rows whose timestamp falls
+    * in [left.ts, left.ts + windowSeconds), with equal keys.
+    *
+    * A raw inequality join would be a BroadcastNestedLoopJoin (quadratic
+    * scan). Instead the classic bucketization: quantize time into
+    * windowSeconds-wide buckets; an interval spans at most 2 buckets, so
+    * the LEFT side explodes ×2, the point side maps to its single bucket,
+    * and the join is a plain equi-join on (key, bucket) with the residual
+    * range predicate applied after. Shuffle keys are (key, bucket) —
+    * fine-grained and uniform, so skew from hot keys is also diluted.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                ts: String, windowSeconds: Long): DataFrame = {
+    val bucket = (c: String) =>
+      floor(unix_timestamp(col(c)) / windowSeconds).cast("long")
+    val l = left
+      .withColumn("__b0", bucket(ts))
+      .withColumn("__bucket", explode(array(col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val r = right
+      .withColumnRenamed(ts, ts + "_r")
+      .withColumn("__bucket", bucket(ts + "_r"))
+    l.join(r, keys :+ "__bucket")
+      .filter(col(ts + "_r") >= col(ts) &&
+        col(ts + "_r") < col(ts) + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("__bucket")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{DedupOps, MinHashDedup, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, SimilarityOps, TextOps}
 
 /** Layer-C extension queries (SURVEY.md §2.C): training-data-pipeline
   * operators over the `documents` / `embeddings` / `events` tables — dedup
@@ -120,6 +120,44 @@ object ExtensionQueries {
           col("width"), col("height"), col("n_frames"))
         .orderBy(col("media_id"))),
 
+    // -- As-of join: click → latest prior purchase per user -----------------
+    "q34_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      JoinOps.asofJoin(clicks, purchases, keys = Seq("user_id"), ts = "ts",
+          leftKeep = Seq("event_id"), rightKeep = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ts_r").as("purch_ts"), round(col("value_r"), 2).as("purch_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- Range join: clicks within 1h after each signup, per user -----------
+    "q35_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      JoinOps.rangeJoin(signups, clicks, keys = Seq("user_id"), ts = "ts",
+          windowSeconds = 3600)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("value")), 2).as("click_value"))
+        .orderBy(col("signup_id"))
+    }),
+
+    // -- Salted aggregation: identical result to a direct groupBy -----------
+    "q36_salted_agg" -> ((s, dir) =>
+      AggOps.saltedSumCount(
+          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+          keys = Seq("l_returnflag"), valueCol = "l_quantity")
+        .select(col("l_returnflag"), round(col("sum_v"), 2).as("sum_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag"))),
+
     // -- Sessionization (batch analog of streaming state) ------------------
     "q33_session_windows" -> ((s, dir) =>
       t(s, dir, "events")
@@ -233,6 +271,33 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) // 100 AS INTEGER) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q34_asof_join" ->
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |  CAST(p.ts AS TIMESTAMP) AS purch_ts,
+        |  round(p.value, 2) AS purch_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q35_range_join" ->
+      """SELECT s.event_id AS signup_id, count(*) AS n_clicks,
+        |  round(sum(c.value), 2) AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON s.user_id = c.user_id
+        |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id
+        |ORDER BY signup_id""".stripMargin,
+    "q36_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q33_session_windows" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |  FROM events),

@@ -1,0 +1,57 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(m: Int) =
+    Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  test("asofJoin picks the latest right row at or before left ts, per key") {
+    val left = Seq((1L, ts(60), 100L), (1L, ts(30), 101L), (2L, ts(60), 102L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(10), 1.0), (1L, ts(45), 2.0), (1L, ts(61), 9.0),
+      (2L, ts(60), 5.0)) // exactly-equal ts must match (>= semantics)
+      .toDF("user_id", "ts", "value")
+    val r = JoinOps.asofJoin(left, right, Seq("user_id"), "ts",
+        leftKeep = Seq("event_id"), rightKeep = Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "value_r", "ts_r").collect()
+    assert(r.map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      Seq((100L, 2.0), (101L, 1.0), (102L, 5.0)))
+  }
+
+  test("asofJoin drops left rows with no prior right row (inner as-of)") {
+    val left = Seq((1L, ts(5), 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(10), 1.0)).toDF("user_id", "ts", "value")
+    assert(JoinOps.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("event_id"), Seq("value")).count() == 0)
+  }
+
+  test("rangeJoin matches rows in [ts, ts+window) incl. bucket-crossing") {
+    val left = Seq((1L, ts(50), 100L)).toDF("user_id", "ts", "signup_id")
+    // window [00:50, 01:50): 00:55 in same hour-bucket, 01:20 in the next,
+    // 01:50 excluded (half-open), 00:49 before start
+    val right = Seq((1L, ts(55), 1.0), (1L, ts(80), 2.0),
+      (1L, ts(110), 4.0), (1L, ts(49), 8.0))
+      .toDF("user_id", "ts", "value")
+    val r = JoinOps.rangeJoin(left, right, Seq("user_id"), "ts", 3600)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    assert(r.toSeq == Seq(1.0, 2.0))
+  }
+
+  test("rangeJoin produces each qualifying pair exactly once") {
+    val left = Seq((1L, ts(0), 1L), (1L, ts(30), 2L))
+      .toDF("user_id", "ts", "signup_id")
+    val right = Seq((1L, ts(30), 1.0)).toDF("user_id", "ts", "value")
+    val r = JoinOps.rangeJoin(left, right, Seq("user_id"), "ts", 3600)
+    assert(r.count() == 2)            // matches both intervals, once each
+    assert(r.distinct().count() == 2)
+  }
+}
