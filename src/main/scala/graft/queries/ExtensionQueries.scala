@@ -158,6 +158,44 @@ object ExtensionQueries {
           col("n"))
         .orderBy(col("l_returnflag"))),
 
+    // -- Cube (rollup covered by q9) ----------------------------------------
+    "q37_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // -- String similarity join (SURVEY §2.C): blocking + levenshtein -------
+    // The equi-join key is the blocking prefix (first char) so Catalyst
+    // hash-joins 26 blocks instead of scanning the cross product; the cheap
+    // length filter prunes before the O(len²) edit distance runs.
+    "q38_string_simjoin" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 4)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- Exploded token frequencies per language (corpus stats) -------------
+    "q39_token_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+        .orderBy(col("lang"), col("tok"))),
+
     // -- Sessionization (batch analog of streaming state) ------------------
     "q33_session_windows" -> ((s, dir) =>
       t(s, dir, "events")
@@ -271,6 +309,30 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) // 100 AS INTEGER) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q37_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q38_string_simjoin" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 300)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM p a JOIN p b
+        |  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+        |  AND a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q39_token_freq" ->
+      """SELECT lang, u.tok, count(*) AS n
+        |FROM documents,
+        |  unnest(regexp_split_to_array(lower(text), '\s+')) AS u(tok)
+        |GROUP BY lang, u.tok
+        |HAVING count(*) >= 20
+        |ORDER BY lang, tok""".stripMargin,
     "q34_asof_join" ->
       """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
         |  CAST(p.ts AS TIMESTAMP) AS purch_ts,
