@@ -22,14 +22,22 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column (count() would let
-      // Catalyst prune the projections and under-measure scalar-heavy
-      // queries) without paying parquet-encode or local-disk cost.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Dev-only knobs (driver sets neither): ONLY=comma-list to subset,
+    // REPS=n to repeat each query and keep the fastest run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column (count() would let
+        // Catalyst prune the projections and under-measure scalar-heavy
+        // queries) without paying parquet-encode or local-disk cost.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

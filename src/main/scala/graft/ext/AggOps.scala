@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation helpers for skewed data (SURVEY.md §2.C / the 100 TB design
@@ -36,6 +37,53 @@ object AggOps {
     phase1.groupBy(keys.map(col): _*)
       .agg(finals.head._2(finals.head._1).as(finals.head._1),
         finals.tail.map { case (n, f) => f(n).as(n) }: _*)
+  }
+
+  /** Exact linear-interpolated quantiles (SQL `quantile_cont` semantics)
+    * computed with a distributed sort instead of Spark's built-in
+    * `percentile`, whose value→count hash map degenerates on
+    * mostly-distinct doubles (it holds every distinct value in one
+    * aggregation buffer per group). Here each group is sorted once inside
+    * its shuffle partition, only the O(#probs) boundary rows survive the
+    * filter, and the final aggregate interpolates between them — the
+    * per-executor memory is O(partition), never O(group).
+    *
+    * probs maps output column name → probability in [0,1]; 0.0 and 1.0
+    * give exact min/max for free. Groups must be non-empty (SQL GROUP BY
+    * guarantees this). Low-cardinality group keys bound the sort
+    * parallelism at #groups; for very hot groups at 100 TB prefer
+    * `approx_percentile`, which keeps partial sketches map-side.
+    */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     probs: Seq[(String, Double)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val wSort = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranked = df.select(gcols :+ col(valueCol): _*)
+      .withColumn("__rn", row_number().over(wSort))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    // Keep only rows that can be an interpolation endpoint for some prob.
+    val needed = probs.map(_._2).flatMap { p =>
+      val pos = (col("__n") - 1) * p
+      Seq(floor(pos) + 1, ceil(pos) + 1)
+    }
+    // Per-prob endpoint index + interpolation weight as plain columns (n is
+    // constant per group), so the final aggregates stay un-nested.
+    val kept = probs.zipWithIndex.foldLeft(
+        ranked.filter(needed.map(col("__rn") === _).reduce(_ || _))) {
+      case (d, ((_, p), i)) =>
+        val pos = (col("__n") - 1) * p
+        d.withColumn(s"__lo_$i", floor(pos) + 1)
+          .withColumn(s"__frac_$i", pos - floor(pos))
+    }
+    val aggs = probs.zipWithIndex.map { case ((name, _), i) =>
+      val vLo = max(when(col("__rn") === col(s"__lo_$i"), col(valueCol)))
+      val vHi = max(when(col("__rn") === col(s"__lo_$i") + 1, col(valueCol)))
+      val frac = first(col(s"__frac_$i"))
+      // frac == 0 leaves vHi absent; coalesce keeps the 0-weight term sane.
+      (vLo + frac * (coalesce(vHi, vLo) - vLo)).as(name)
+    }
+    kept.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Convenience: salted sum+count (the common skew case). */

@@ -94,9 +94,12 @@ object DedupOps {
     *      full shingle sets and computes true Jaccard (what the big web
     *      corpora pipelines skip, because the candidate payload is then the
     *      documents themselves, not fixed-width signatures).
-    * Verification re-joins by id instead of carrying payloads through the
-    * band explode — the explode would otherwise multiply the payload by
-    * numBands across the shuffle.
+    * In estimate mode the fixed-width signature (numHashes longs, ~128 B)
+    * rides through the band explode, so candidate verification needs no
+    * further join — numBands × 128 B of extra shuffle per doc is far
+    * cheaper than re-scanning and re-hashing the corpus for a join-back.
+    * Exact mode re-joins the (unbounded-size) shingle sets by id instead:
+    * THAT payload through a ×numBands explode would dominate the shuffle.
     */
   def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
                       rowsPerBand: Int, minJaccard: Double,
@@ -107,20 +110,35 @@ object DedupOps {
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(col("toks"), k)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = sh.select(col("doc_id"),
-      minHashSignature(col("sh"), numHashes).as("sig"))
-    val bands = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-          struct(b.as("band_idx"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-              .as("band_hash")))).as("b"))
-      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
-    val cands = bands.as("a")
-      .join(bands.as("b"), Seq("band_idx", "band_hash"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    // Signature via explode + per-hash min aggregates rather than
+    // [[minHashSignature]]'s nested transform/array_min: higher-order
+    // functions are CodegenFallback (interpreted lambda per element ×
+    // numHashes passes), while explode + min(xxhash64) is whole-stage
+    // codegen end-to-end with map-side partial mins — the shuffle carries
+    // one numHashes-wide row per doc per partition, not the shingles.
+    // Same result: sig[i] = min over distinct shingles of xxhash64(i, s).
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
+    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    def bandsOf(extra: Column*): DataFrame = sigs.select(
+        (Seq(col("doc_id")) ++ extra :+
+          explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+            struct(b.as("band_idx"),
+              xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+                .as("band_hash")))).as("b")): _*)
+      .withColumns(Map("band_idx" -> col("b.band_idx"),
+        "band_hash" -> col("b.band_hash"))).drop("b")
     if (exact) {
+      val bands = bandsOf()
+      val cands = bands.as("a")
+        .join(bands.as("b"), Seq("band_idx", "band_hash"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       cands
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -130,16 +148,26 @@ object DedupOps {
             size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
     } else {
-      // E[matching positions / numHashes] = true Jaccard
-      val agree = size(filter(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        b => b)).cast("double")
-      cands
-        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      // Signatures ride along; a band-collision pair verifies in place.
+      // E[matching positions / numHashes] = true Jaccard. The agreement
+      // count unrolls to numHashes element_at comparisons — whole-stage
+      // codegen, unlike zip_with/filter (CodegenFallback), which dominated
+      // the runtime when weak LSH parameters let bucket sizes grow.
+      val bands = bandsOf(col("sig"))
+      val agree = (0 until numHashes).map(i =>
+          when(element_at(col("sig_a"), i + 1) ===
+            element_at(col("sig_b"), i + 1), 1).otherwise(0))
+        .reduce(_ + _).cast("double")
+      bands.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        .join(bands.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("id_b"), col("sig").as("sig_b")),
+          Seq("band_idx", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(agree / numHashes, 4).as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
+        .distinct()
     }
   }
 

