@@ -283,6 +283,113 @@ object RelationalQueries {
           round(col("brand_sum"), 2).as("brand_sum"),
           col("n_in_brand"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // -- Full outer join -----------------------------------------------
+    // Both sides pre-aggregate to ≤|custkey| rows BEFORE the join, and both
+    // shuffles hash on o_custkey, so the join itself adds no exchange
+    // (Catalyst reuses the childrens' partitioning).
+    "q40_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n95"))
+      val b = o.filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n96"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n95"), lit(0L)).as("n95"),
+          coalesce(col("n96"), lit(0L)).as("n96"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // -- Pivot ----------------------------------------------------------
+    // Explicit value list keeps pivot a single pass (no distinct-values
+    // pre-query) and the output schema static — required at scale.
+    "q41_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))),
+
+    // -- Grouping sets + grouping() markers ------------------------------
+    "q42_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // -- from_json into a typed struct (vs q12's get_json_object) --------
+    "q43_from_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("p", from_json(col("props"), lit("k INT")))
+        .filter(col("p.k") >= 95)
+        .select(col("event_id"), col("event_type"), col("p.k").as("k"))
+        .orderBy(col("event_id"))),
+
+    // -- Multiset set ops (EXCEPT ALL / INTERSECT ALL) -------------------
+    "q44_multiset_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val ex = a.exceptAll(b)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_except"))
+      val in = a.intersectAll(b)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_intersect"))
+      ex.join(in, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // -- RANGE window frame over time (vs q7's ROWS frame) ---------------
+    // RANGE includes date peers on both engines, so ties in o_orderdate
+    // don't make the frame sum order-dependent.
+    "q45_range_frame" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("""round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)""")
+            .as("sum_7d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    // -- Approximate sketches (HLL + quantile) ---------------------------
+    // No DuckDB oracle: sketch algorithms differ per engine, so the driver
+    // records a rows-only check; `ApproxSketchSpec` bounds the error vs the
+    // exact values instead. These are THE 100 TB aggregation path: both
+    // sketches are fixed-size mergeable partials, so the shuffle carries
+    // bytes-per-group, not values-per-group.
+    "q46_approx_sketch" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          round(expr("percentile_approx(value, 0.5, 1000)"), 2)
+            .as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // -- Scalar subquery (uncorrelated) ----------------------------------
+    // The 1-row aggregate broadcasts; the big side never shuffles.
+    "q47_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price") * 1.8)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -456,6 +563,59 @@ object RelationalQueries {
         |        count(*) OVER (PARTITION BY p_brand) AS n_in_brand
         |      FROM part) t
         |WHERE p_retailprice > brand_avg * 1.05
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "q40_full_outer" ->
+      """SELECT o_custkey, coalesce(a.n95, 0) AS n95, coalesce(b.n96, 0) AS n96
+        |FROM (SELECT o_custkey, count(*) AS n95 FROM orders
+        |      WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey, count(*) AS n96 FROM orders
+        |      WHERE year(o_orderdate) = 1996 GROUP BY 1) b
+        |USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+    "q41_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q43_from_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+        |ORDER BY event_id""".stripMargin,
+    "q44_multiset_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |ex AS (SELECT o_custkey, count(*) AS n_except
+        |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+        |i AS (SELECT o_custkey, count(*) AS n_intersect
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT o_custkey, coalesce(ex.n_except, 0) AS n_except,
+        |  coalesce(i.n_intersect, 0) AS n_intersect
+        |FROM ex FULL OUTER JOIN i USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+    "q45_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS sum_7d
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q47_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

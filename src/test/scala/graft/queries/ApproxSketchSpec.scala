@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q46 has no DuckDB oracle (sketch algorithms are engine-specific), so its
+  * correctness bar lives here: the HLL cardinality and KLL-style quantile
+  * must land within their published error bounds of the exact values
+  * computed on the same data.
+  */
+class ApproxSketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q46: approx_count_distinct within 5% of exact per group") {
+    val approx = SparkEntry.queries("q46_approx_sketch")(spark, dir)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.05).toLong),
+        s"group $k: approx $a vs exact $n")
+    }
+  }
+
+  test("q46: approximate median within 2 percentile ranks of exact") {
+    val approx = SparkEntry.queries("q46_approx_sketch")(spark, dir)
+      .select("event_type", "p50_approx").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bounds = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.48)").as("lo"),
+        expr("percentile(value, 0.52)").as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    bounds.foreach { case (k, (lo, hi)) =>
+      val a = approx(k)
+      assert(a >= lo - 0.01 && a <= hi + 0.01,
+        s"group $k: approx median $a outside exact [$lo, $hi]")
+    }
+  }
+}
