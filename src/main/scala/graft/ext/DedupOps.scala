@@ -45,10 +45,11 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over distinct tokens: for each bit, sum +1/-1 according
-    * to xxhash64(token)'s bit, then take the sign. Pure higher-order-function
-    * expression (aggregate over a 64-long accumulator array) — codegen'd,
-    * map-only, no shuffle. xxhash64 is Spark-native; the operator is
-    * engine-deterministic but not cross-engine (oracle is rows-only).
+    * to xxhash64(token)'s bit, then take the sign. Scalar higher-order
+    * formulation — NOTE aggregate/zip_with are CodegenFallback (interpreted,
+    * 64 lambda dispatches per token), so the pairwise operator below uses
+    * the equivalent explode-based [[simHashSignatures]] instead; this form
+    * is kept as the executable spec of the semantics.
     */
   def simHash(toks: Column): Column = {
     val hashes = transform(array_distinct(toks), t => xxhash64(t))
@@ -171,6 +172,27 @@ object DedupOps {
     }
   }
 
+  /** [[simHash]] as a whole-stage-codegen DataFrame op: explode distinct
+    * tokens, hash once, then 64 `sum(bit ? +1 : -1)` partial aggregates and
+    * a sign→bit reassembly. Map-side combine collapses the shuffle to one
+    * 64-long row per doc per partition; every expression is native, so the
+    * per-token cost is 64 primitive ops, not 64 interpreted lambdas.
+    * Bitwise-identical to [[simHash]] for docs with ≥1 token (tokenless
+    * docs drop out here; the scalar form gives them sig 0).
+    */
+  def simHashSignatures(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val ex = docs.select(col(idCol), explode(array_distinct(toks)).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val cnt = (0 until 64).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__c$b"))
+    ex.groupBy(col(idCol)).agg(cnt.head, cnt.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+            when(col(s"__c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
   /** SimHash near-dup pairs via banding: split the 64-bit signature into
     * four 16-bit bands; candidate pairs must agree on at least one band
     * (standard LSH banding — two docs within Hamming distance 3 of each
@@ -180,8 +202,7 @@ object DedupOps {
     * only candidate pairs pay the 64-bit Hamming check (bit_count(xor)).
     */
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      simHash(TextOps.tokens(col("text"))).as("sig"))
+    val sigs = simHashSignatures(docs, "doc_id", TextOps.tokens(col("text")))
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(3)), i =>
           struct(i.as("band_idx"),

@@ -390,6 +390,36 @@ object RelationalQueries {
         .filter(col("o_totalprice") > col("avg_price") * 1.8)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // -- Correlated LATERAL subquery with LIMIT (top-k per outer row) ----
+    // Through spark.sql — the same path model files execute on. Catalyst
+    // decorrelates the lateral into a window-style per-group limit rather
+    // than running |customer| subqueries.
+    "q48_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.price
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 2) AS price
+          FROM orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, price DESC, o.o_orderkey""")
+    }),
+
+    // -- Recursive CTE (Spark 4 WITH RECURSIVE) --------------------------
+    // Dimension generated by recursion, fact left-joined so empty months
+    // still appear.
+    "q49_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""WITH RECURSIVE m(mo) AS (
+          SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+        SELECT m.mo, count(o_orderkey) AS n,
+          round(coalesce(sum(o_totalprice), 0), 2) AS total
+        FROM m LEFT JOIN orders
+          ON month(o_orderdate) = m.mo AND year(o_orderdate) = 1995
+        GROUP BY m.mo ORDER BY m.mo""")
     })
   )
 
@@ -616,6 +646,22 @@ object RelationalQueries {
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q48_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin,
+    "q49_recursive_cte" ->
+      """WITH RECURSIVE m(mo) AS (
+        |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+        |SELECT m.mo, count(o_orderkey) AS n,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |FROM m LEFT JOIN orders
+        |  ON month(o_orderdate) = m.mo AND year(o_orderdate) = 1995
+        |GROUP BY m.mo ORDER BY m.mo""".stripMargin
   )
 }
