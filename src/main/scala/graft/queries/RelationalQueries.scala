@@ -408,6 +408,22 @@ object RelationalQueries {
         ORDER BY c.c_custkey, price DESC, o.o_orderkey""")
     }),
 
+    // -- Map functions: literal map build + lookup + keys ----------------
+    // The oracle re-expresses the lookup as CASE — same result, proving
+    // the map path produces cross-checkable values.
+    "q50_map_fns" -> ((s, dir) => {
+      val statusMap = map(
+        lit("F"), lit("finished"), lit("O"), lit("open"),
+        lit("P"), lit("pending"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          element_at(statusMap, col("o_orderstatus")).as("status_label"),
+          size(map_keys(statusMap)).as("n_labels"))
+        .groupBy(col("status_label"), col("n_labels"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status_label"))
+    }),
+
     // -- Recursive CTE (Spark 4 WITH RECURSIVE) --------------------------
     // Dimension generated by recursion, fact left-joined so empty months
     // still appear.
@@ -655,6 +671,13 @@ object RelationalQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |WHERE c.c_custkey <= 200
         |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin,
+    "q50_map_fns" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'finished'
+        |  WHEN 'O' THEN 'open' WHEN 'P' THEN 'pending' END AS status_label,
+        |  3 AS n_labels, count(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY status_label""".stripMargin,
     "q49_recursive_cte" ->
       """WITH RECURSIVE m(mo) AS (
         |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)

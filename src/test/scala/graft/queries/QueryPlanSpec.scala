@@ -58,4 +58,27 @@ class QueryPlanSpec extends AnyFunSuite {
     // text column must not survive past the partial aggregate
     assert(!p.contains("Exchange hashpartitioning(text"))
   }
+
+  test("q40: full outer join reuses the pre-aggregation partitioning") {
+    val p = plan("q40_full_outer")
+    assert(p.contains("FullOuter"))
+    // both groupBys and the join hash on o_custkey: exactly 2 exchanges
+    // (one per aggregated side), none added for the join itself
+    val ex = "Arguments: hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(ex == 2, s"expected 2 o_custkey exchanges, got $ex\n$p")
+  }
+
+  test("q47: scalar aggregate broadcasts; fact side never shuffles") {
+    val p = plan("q47_scalar_subquery")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q48: lateral subquery decorrelates (no per-row replay)") {
+    val p = plan("q48_lateral_topk")
+    // Catalyst rewrites the correlated LATERAL+LIMIT into a window-style
+    // group limit over one join — a cartesian replay would show here
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"))
+  }
 }
