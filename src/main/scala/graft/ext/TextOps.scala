@@ -46,6 +46,20 @@ object TextOps {
   def minShingleFingerprint(toks: Column, k: Int): Column =
     array_min(transform(shingles(toks, k), s => md5(s)))
 
+  /** [[minShingleFingerprint]] as a whole-stage-codegen DataFrame op:
+    * explode the shingles and take a min(md5) partial aggregate — the
+    * scalar form's `transform(_, md5)` is CodegenFallback (interpreted
+    * lambda per shingle). Map-side combine reduces the shuffle to one
+    * 32-byte row per doc per partition. Docs with fewer than k tokens get
+    * a null fingerprint (the scalar form's array_min(empty) does too).
+    */
+  def minShingleFingerprints(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, toks: Column, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode_outer(shingles(toks, k)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(min(md5(col("__s"))).as("min_shingle_fp"))
+
   private val Stopwords: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 

@@ -55,15 +55,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "q24_fingerprint" -> ((s, dir) =>
+    "q24_fingerprint" -> ((s, dir) => {
       // toks materialized first — see DedupOps.ngramJaccardPairs note
-      t(s, dir, "documents")
+      val d = t(s, dir, "documents")
         .withColumn("toks", TextOps.tokens(col("text")))
-        .select(
-          col("doc_id"),
-          md5(concat_ws(" ", col("toks"))).as("fp"),
-          TextOps.minShingleFingerprint(col("toks"), 5).as("min_shingle_fp"))
-        .orderBy(col("doc_id"))),
+      val fp = d.select(col("doc_id"),
+        md5(concat_ws(" ", col("toks"))).as("fp"))
+      fp.join(
+          TextOps.minShingleFingerprints(d, "doc_id", col("toks"), 5),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("fp"), col("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    }),
 
     // -- Dedup ---------------------------------------------------------
     "q25_exact_dedup" -> ((s, dir) =>
