@@ -63,11 +63,14 @@ object TextOps {
   private val Stopwords: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
-  /** Stopword-token ratio — a standard quality signal (C4/Gopher rules). */
-  def stopwordRatio(toks: Column): Column = {
-    val stops = filter(toks, t => t.isInCollection(Stopwords))
-    round(size(stops).cast("double") / size(toks), 4)
-  }
+  /** Stopword-token ratio — a standard quality signal (C4/Gopher rules).
+    * Counted by the native [[org.apache.spark.sql.graft.ArrayCountIn]]
+    * (duplicates counted, matching the oracle's list_filter); the
+    * higher-order `filter` it replaces was interpreted per token.
+    */
+  def stopwordRatio(toks: Column): Column =
+    round(org.apache.spark.sql.graft.VectorFunctions
+      .arrayCountIn(toks, Stopwords).cast("double") / size(toks), 4)
 
   /** Punctuation-character ratio over the raw text. */
   def punctRatio(text: Column): Column =
@@ -104,12 +107,16 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "un"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "不"))
 
-  /** Per-language overlap scores as columns (name -> score). */
-  def langScores(toks: Column): Seq[(String, Column)] =
+  /** Per-language overlap scores as columns (name -> score). Distinct
+    * tokens first, so each profile word counts once (= the oracle's
+    * len(list_intersect)); the count itself is the native ArrayCountIn.
+    */
+  def langScores(toks: Column): Seq[(String, Column)] = {
+    val dt = array_distinct(toks)
     LangProfiles.map { case (lang, words) =>
-      lang -> size(array_intersect(array_distinct(toks),
-        array(words.map(lit): _*)))
+      lang -> org.apache.spark.sql.graft.VectorFunctions.arrayCountIn(dt, words)
     }
+  }
 
   /** Predicted language: argmax of profile overlap, ties resolved
     * alphabetically (profiles are already alphabetical).

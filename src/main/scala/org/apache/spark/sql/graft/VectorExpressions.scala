@@ -253,6 +253,63 @@ case class Shingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Count of array elements contained in a constant string set (duplicates
+  * counted — unlike `size(array_intersect(...))`, which dedups). Replaces
+  * the interpreted `size(filter(toks, t -> t IN (...)))` formulation:
+  * higher-order `filter` is CodegenFallback, paying a lambda dispatch per
+  * token; this is a primitive loop over a pre-built hash set. Null
+  * elements don't match; null array → null.
+  */
+case class ArrayCountIn(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_count_in"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  // Called from generated code via addReferenceObj — must be public.
+  def contains(v: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    v != null && set.contains(v)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && set.contains(x.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInExpr", this, classOf[ArrayCountIn].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $ref.contains($a.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayCountIn =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
@@ -268,4 +325,7 @@ object VectorFunctions {
 
   def shingles(toks: Column, k: Int): Column =
     ExpressionUtils.column(Shingles(ExpressionUtils.expression(toks), k))
+
+  def arrayCountIn(arr: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(ArrayCountIn(ExpressionUtils.expression(arr), words))
 }
