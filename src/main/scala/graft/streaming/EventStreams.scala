@@ -106,6 +106,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of q25's batch dedup (the
+    * ingest-side first line of a training-data pipeline). State holds one
+    * entry per key and is evicted once the watermark passes the event's
+    * time + delay, so memory is bounded by keys-per-watermark-horizon
+    * instead of stream length — duplicates later than the watermark are a
+    * correctness/retention trade the watermark makes explicit. The state
+    * store shards by the dedup key across executors.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** End-to-end streaming pipeline wiring: file source → windowed agg →
     * sink. Returns the started query; callers own its lifecycle.
     */

@@ -78,4 +78,32 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(closedInline.head.getInt(3) == 2) // first burst had 2 events
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark drops in-horizon duplicates, keeps the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams
+      .dedupWithinWatermark(mem.toDF(), "30 minutes", Seq("user_id", "value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // duplicate (user 1, value 1.0) within the horizon → dropped;
+      // distinct value and distinct user pass through
+      mem.addData(ev(0, 1, 1.0), ev(5, 1, 1.0), ev(10, 1, 2.0), ev(10, 2, 1.0))
+      q.processAllAvailable()
+      // advance the watermark past the horizon (evicts batch-1 state)...
+      mem.addData(ev(300, 9, 0.0))
+      q.processAllAvailable()
+      // ...then the same key again → treated as new
+      mem.addData(ev(600, 1, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+          r.getAs[Double]("value"))).sortBy(r => (r._1, r._2.getTime))
+      assert(rows.length == 5) // incl. the watermark-advancing event
+      assert(rows.count(_._1 == 1L) == 3) // 1@0 v1, 1@10 v2, 1@600 v1
+      assert(rows.contains((2L, ts(10), 1.0)))
+    } finally q.stop()
+  }
 }
