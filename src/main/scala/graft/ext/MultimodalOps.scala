@@ -65,4 +65,42 @@ object MultimodalOps {
       iter.map(decodeStub)
     }
   }
+
+  /** Resize stub: aspect-fit the decoded dimensions into maxW×maxH (never
+    * upscale). Pure column arithmetic — a real resize would keep exactly
+    * this metadata path and add a payload re-encode inside mapPartitions.
+    */
+  def resizeFit(feats: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / greatest(col("width"), lit(1)),
+      lit(maxH.toDouble) / greatest(col("height"), lit(1)),
+      lit(1.0))
+    feats
+      .withColumn("out_w", floor(col("width") * scale).cast("int"))
+      .withColumn("out_h", floor(col("height") * scale).cast("int"))
+  }
+
+  /** One sampled frame: payload slice + index. */
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: every `everyN`-th 100-byte "frame" of the payload
+    * becomes its own row — the fan-out a video pipeline does before
+    * per-frame models. Partition-local and streamed (flatMap over the
+    * row iterator): the full frame set of one media item never
+    * materializes at once, and output rows inherit the input
+    * partitioning — no shuffle until a downstream op asks for one.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.flatMap { r =>
+        val nFrames = (r.n_bytes / 100).toInt
+        (0 until nFrames by everyN).iterator.map { f =>
+          val start = f * 100
+          Frame(r.media_id, f,
+            java.util.Arrays.copyOfRange(r.payload, start, start + 100))
+        }
+      }
+    }
+  }
 }

@@ -204,6 +204,20 @@ object ExtensionQueries {
         .filter(col("n") >= 20)
         .orderBy(col("lang"), col("tok"))),
 
+    // -- Multimodal frame sampling + resize (oracle via byte arithmetic) --
+    "q51_frame_sample" -> ((s, dir) => {
+      val media = MultimodalOps.packDocuments(t(s, dir, "documents"))
+      val frames = MultimodalOps.sampleFrames(s, media, everyN = 4)
+      val dims = MultimodalOps.resizeFit(
+        MultimodalOps.extractFeatures(s, media).toDF(), 320, 240)
+      frames.groupBy(col("media_id"))
+        .agg(count(lit(1)).cast("long").as("n_sampled"),
+          sum(octet_length(col("frame_bytes"))).cast("long").as("sample_bytes"))
+        .join(dims.select(col("media_id"), col("out_w"), col("out_h")),
+          Seq("media_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // -- Sessionization (batch analog of streaming state) ------------------
     "q33_session_windows" -> ((s, dir) =>
       t(s, dir, "events")
@@ -341,6 +355,21 @@ object ExtensionQueries {
         |GROUP BY lang, u.tok
         |HAVING count(*) >= 20
         |ORDER BY lang, tok""".stripMargin,
+    "q51_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT media_id, nb // 100 AS n_frames,
+        |    CAST(nb % 640 AS INTEGER) AS width,
+        |    CAST(nb % 480 AS INTEGER) AS height
+        |  FROM d WHERE nb >= 100)
+        |SELECT media_id,
+        |  CAST((n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+        |  CAST(100 * ((n_frames + 3) // 4) AS BIGINT) AS sample_bytes,
+        |  CAST(floor(width * least(320.0 / greatest(width, 1),
+        |    240.0 / greatest(height, 1), 1.0)) AS INTEGER) AS out_w,
+        |  CAST(floor(height * least(320.0 / greatest(width, 1),
+        |    240.0 / greatest(height, 1), 1.0)) AS INTEGER) AS out_h
+        |FROM f ORDER BY media_id""".stripMargin,
     "q34_asof_join" ->
       """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
         |  CAST(p.ts AS TIMESTAMP) AS purch_ts,
