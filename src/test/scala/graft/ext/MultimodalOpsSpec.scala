@@ -34,6 +34,32 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(one.checksum != 0L)
   }
 
+  test("sampleFrames slices every Nth 100-byte frame, no shuffle") {
+    val docs = Seq((1L, "x" * 250), (2L, "y" * 99), (3L, "z" * 900))
+      .toDF("doc_id", "text").repartition(3)
+    val media = MultimodalOps.packDocuments(docs)
+    val frames = MultimodalOps.sampleFrames(spark, media, everyN = 4)
+    assert(frames.rdd.getNumPartitions == 3) // partition-local fan-out
+    val rows = frames.collect().sortBy(f => (f.media_id, f.frame_idx))
+    // doc1: 2 frames → sample idx 0; doc2: 0 frames; doc3: 9 → idx 0,4,8
+    assert(rows.map(f => (f.media_id, f.frame_idx)).toSeq ==
+      Seq((1L, 0), (3L, 0), (3L, 4), (3L, 8)))
+    assert(rows.forall(_.frame_bytes.length == 100))
+    assert(rows.find(f => f.media_id == 3L && f.frame_idx == 4)
+      .get.frame_bytes.forall(_ == 'z'.toByte))
+  }
+
+  test("resizeFit aspect-fits without upscaling") {
+    val feats = Seq((1L, 640, 240), (2L, 100, 50), (3L, 320, 480))
+      .toDF("media_id", "width", "height")
+    val out = MultimodalOps.resizeFit(feats, 320, 240).orderBy("media_id")
+      .select("media_id", "out_w", "out_h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out(0) == ((1L, 320, 120))) // scale 0.5 on width
+    assert(out(1) == ((2L, 100, 50))) // never upscale
+    assert(out(2) == ((3L, 160, 240))) // scale 0.5 on height
+  }
+
   test("decodeStub checksum distinguishes payloads") {
     val r1 = MultimodalOps.decodeStub(
       MultimodalOps.MediaRecord(1, "text/plain", 3, Array[Byte](1, 2, 3)))
