@@ -89,6 +89,56 @@ object SimilarityOps {
     * data — the same pruning a FAISS IVF index does, expressed as two
     * broadcast joins + one shuffle on cell id.
     */
+  /** Random-hyperplane LSH ANN (the bucketed alternative to [[ivfTopK]]):
+    * signature bit i = sign(dot(v, plane_i)) over nBands×bitsPerBand fixed
+    * Gaussian hyperplanes (deterministic seed — signatures are
+    * reproducible across runs and retries); candidates must agree with the
+    * probe on ALL bits of at least one band. Each band join shuffles on a
+    * uniform (band_idx, band_val) key; only band-collision pairs pay the
+    * exact dot product. P[bit agrees] = 1 − θ/π, so near vectors collide
+    * on some band with high probability while the bucket sizes stay
+    * |V| / 2^bitsPerBand per band — the knob that bounds the quadratic
+    * term at 100 TB. Probe side broadcasts (probe sets are small);
+    * candidate signatures are computed in one codegen'd map pass.
+    */
+  def hyperplaneLshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
+                        nBands: Int = 8, bitsPerBand: Int = 4,
+                        seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBands * bitsPerBand)(
+      Array.fill(dim)(rnd.nextGaussian()))
+    def bandsOf(emb: Column): Column = {
+      val embD = emb.cast("array<double>")
+      array((0 until nBands).map { b =>
+        val bits = (0 until bitsPerBand).map { i =>
+          when(VectorFunctions.dotProduct(embD,
+            typedLit(planes(b * bitsPerBand + i).toSeq)) > 0,
+            lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+        struct(lit(b).as("band_idx"), bits.as("band_val"))
+      }: _*)
+    }
+    val c = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"),
+        explode(bandsOf(col("embedding"))).as("b"))
+      .select(col("b.band_idx"), col("b.band_val"), col("cand_id"), col("cand_emb"))
+    val p = withUnitVec(probes, "embedding", "probe_emb")
+      .select(col("vec_id").as("probe_id"), col("probe_emb"),
+        explode(bandsOf(col("embedding"))).as("b"))
+      .select(col("b.band_idx"), col("b.band_val"), col("probe_id"), col("probe_emb"))
+    val scored = c.join(broadcast(p), Seq("band_idx", "band_val"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("probe_emb"), col("cand_emb")), 6).as("sim"))
+      .distinct() // a pair may collide on several bands
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val dim = 64
     // Centroid = element-wise mean per cell: aggregate over zipped arrays.

@@ -119,6 +119,14 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Rows-only like q31; recall vs q30's exact top-k is bounded in
+    // SimilarityOpsSpec (0.74 @ the default 8x4 banding, fixed seed).
+    "q52_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.hyperplaneLshTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // -- Multimodal plumbing ---------------------------------------------
     "q32_multimodal" -> ((s, dir) =>
       MultimodalOps.extractFeatures(

@@ -58,4 +58,17 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).toSet
     assert(ivf == brute)
   }
+
+  test("hyperplaneLshTopK recall vs exact top-k on the real fixture") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(SimilarityOps.bruteForceTopK(probes, e, 5))
+    val lsh = pairs(SimilarityOps.hyperplaneLshTopK(probes, e, 5))
+    // deterministic seed → stable recall; 0.74 measured at 8 bands × 4 bits
+    val recall = truth.intersect(lsh).size.toDouble / truth.size
+    assert(recall >= 0.65, s"recall@5 = $recall")
+  }
 }
