@@ -58,10 +58,14 @@ object AggOps {
                      probs: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
     val wSort = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
-    val wAll = Window.partitionBy(gcols: _*)
+    // Group sizes via a separate partial aggregate + broadcast join back:
+    // a `count() over (partition)` window would drag every row through a
+    // second WindowExec buffer pass; the aggregate is one cheap scan and
+    // the join adds no shuffle.
+    val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
     val ranked = df.select(gcols :+ col(valueCol): _*)
       .withColumn("__rn", row_number().over(wSort))
-      .withColumn("__n", count(lit(1)).over(wAll))
+      .join(broadcast(counts), groupCols)
     // Keep only rows that can be an interpolation endpoint for some prob.
     val needed = probs.map(_._2).flatMap { p =>
       val pos = (col("__n") - 1) * p
