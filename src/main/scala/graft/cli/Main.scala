@@ -8,7 +8,7 @@ import graft.viz.GraphViz
 /** CLI entry point mirroring the reference's three commands
   * (/root/reference/src/main.rs:24-84):
   *
-  *   run       [--models-dir D] [--db-path P] [--parallel]
+  *   run       [--config C] [--models-dir D] [--db-path P] [--parallel]
   *   run-file  <script.sql> [more.sql …]
   *   viz       <out.svg>
   *
@@ -25,7 +25,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--models-dir D] [--db-path P] [--parallel]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel]
            |       graft run-file <script.sql> […]
            |       graft viz <out.svg>""".stripMargin)
       sys.exit(2)
@@ -35,6 +35,7 @@ object Main {
     def go(l: List[String], acc: Map[String, String]): Map[String, String] = l match {
       case "--models-dir" :: v :: t => go(t, acc + ("models-dir" -> v))
       case "--db-path" :: v :: t    => go(t, acc + ("db-path" -> v))
+      case "--config" :: v :: t     => go(t, acc + ("config" -> v))
       case "--parallel" :: t        => go(t, acc + ("parallel" -> "true"))
       case _ :: t                   => go(t, acc)
       case Nil                      => acc
@@ -43,7 +44,21 @@ object Main {
   }
 
   private def loadConfig(flags: Map[String, String]): PipelineConfig = {
-    val base = PipelineConfig.load(Paths.get("config.yaml"))
+    // --config points at a config.yaml anywhere; relative models_dir /
+    // macro_path inside it resolve against the config file's directory
+    // (so `run --config examples/basic/config.yaml` works from the repo
+    // root). Default stays ./config.yaml, reference behavior.
+    val configPath = Paths.get(flags.getOrElse("config", "config.yaml"))
+    val loaded = PipelineConfig.load(configPath)
+    val baseDir = Option(configPath.toAbsolutePath.getParent)
+    def rebase(p: String): String = {
+      val path = Paths.get(p)
+      if (path.isAbsolute) p
+      else baseDir.map(_.resolve(path).toString).getOrElse(p)
+    }
+    val base = loaded.copy(
+      modelsDir = rebase(loaded.modelsDir),
+      macroPath = loaded.macroPath.map(rebase))
     base.copy(
       modelsDir = flags.getOrElse("models-dir", base.modelsDir),
       dbPath = flags.get("db-path").orElse(base.dbPath))
