@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Sink helpers for the 100 TB layout decisions a plain
+  * `df.write.parquet(path)` leaves on the table:
+  *
+  *   - `partitionBy` on low-cardinality columns → downstream queries with
+  *     a partition predicate scan only matching directories (partition
+  *     pruning happens before any file is opened);
+  *   - `sortWithinPartitions` on high-selectivity columns → parquet
+  *     row-group min/max statistics become tight, so point/range filters
+  *     skip row groups inside the files too;
+  *   - `maxRecordsPerFile` bounds file sizes so a hot output partition
+  *     becomes many parallel-readable files instead of one giant one.
+  *
+  * Partition columns must be low-cardinality (dates, categories): one
+  * directory per value; a high-cardinality partitionBy creates the classic
+  * small-files failure mode.
+  */
+object SinkOps {
+
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String],
+                              sortCols: Seq[String] = Nil,
+                              maxRecordsPerFile: Long = 5000000L): Unit = {
+    val clustered =
+      if (sortCols.nonEmpty)
+        // repartition on the partition columns first so each output
+        // directory is written by few tasks (few, large files), then sort
+        // within tasks for row-group statistics locality
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df
+    clustered.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}

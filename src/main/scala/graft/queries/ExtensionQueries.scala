@@ -11,10 +11,10 @@ import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, Simila
   * force + IVF), text analysis (tokens, quality, language-ID, fingerprints),
   * multimodal plumbing, and sessionization.
   *
-  * Queries q21–q26, q29, q30, q32, q33 carry a DuckDB oracle; q27/q28/q31
-  * use engine-specific hashing (xxhash64 / ML MinHashLSH) or approximate
-  * pruning, so they get the driver's rows-only check and a ScalaTest spec
-  * instead.
+  * Most queries carry a DuckDB oracle; q27/q28/q31/q52 use engine-specific
+  * hashing (xxhash64, hyperplane signs) or approximate pruning and q46 uses
+  * engine-specific sketches, so those get the driver's rows-only check plus
+  * a ScalaTest spec (recall / error bounds) instead.
   */
 object ExtensionQueries {
 
