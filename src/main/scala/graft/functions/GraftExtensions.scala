@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Shingles, VectorNormalize}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions hook: registers graft's native expressions as SQL
   * functions, so pipeline model files (plain SQL) can call them:
@@ -30,7 +32,26 @@ object GraftExtensions {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
     (FunctionIdentifier("dot_product"),
       info("dot_product", classOf[DotProduct]),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("vector_normalize"),
+      info("vector_normalize", classOf[VectorNormalize]),
+      (args: Seq[Expression]) => VectorNormalize(args(0))),
+    // shingles(toks, k): k must be a literal int (it shapes the codegen)
+    (FunctionIdentifier("shingles"),
+      info("shingles", classOf[Shingles]),
+      (args: Seq[Expression]) => Shingles(args(0), args(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"shingles(toks, k): k must be an integer literal, got $other")
+      })),
+    // array_count_in(arr, 'w1,w2,...'): word set as a literal csv string
+    (FunctionIdentifier("array_count_in"),
+      info("array_count_in", classOf[ArrayCountIn]),
+      (args: Seq[Expression]) => ArrayCountIn(args(0), args(1) match {
+        case Literal(s: UTF8String, _) => s.toString.split(",").toSeq
+        case other => throw new IllegalArgumentException(
+          s"array_count_in(arr, words): words must be a string literal, got $other")
+      })))
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -58,6 +58,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("SQL registration: vector_normalize, shingles, array_count_in") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vector_normalize(ARRAY(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nv,
+        |  shingles(ARRAY('a', 'b', 'c'), 2) AS sh,
+        |  array_count_in(ARRAY('the', 'cat', 'the'), 'the,a,of') AS c
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+    assert(r.getInt(2) == 2)
+    // non-literal k rejected with a clear message
+    val e = intercept[Exception](
+      spark.sql("SELECT shingles(ARRAY('a'), CAST(id AS INT)) FROM range(1)")
+        .collect())
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+
   test("mismatched lengths use the common prefix (min length)") {
     val r = Seq((Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
       .toDF("a", "b")
