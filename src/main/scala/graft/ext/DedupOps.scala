@@ -221,4 +221,60 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over an undirected pair list — the cluster-
+    * resolution step that turns near-dup PAIRS (minhash/simhash/cosine
+    * candidates) into dedup DECISIONS: every member of a component keeps
+    * exactly one canonical representative (the min id).
+    *
+    * Hash-min label propagation: each vertex repeatedly adopts the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * this is 2-3 rounds in practice. Each round is one shuffle join on
+    * vertex id plus a partial-min aggregate; labels are (id, comp) pairs
+    * only, never payloads. The driver loop checks a single scalar
+    * (#changed) per round — no data collects. localCheckpoint truncates
+    * the iterative lineage (GraphFrames does the same); at petabyte scale
+    * swap for checkpoint() on a durable dir to survive executor loss.
+    *
+    * `vertices` contributes isolated vertices (their component is
+    * themselves); pass e.g. the full doc-id column so singletons appear
+    * in the output.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("id"))
+      .distinct().withColumn("comp", col("id")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp") < col("comp")).as("ch"))
+        .localCheckpoint(true)
+      changed = next.filter(col("ch")).count()
+      labels = next.select(col("id"), col("comp"))
+      round += 1
+    }
+    labels
+  }
+
+  /** Cluster-level dedup: drop every document whose component canonical
+    * (min id) is another document. Singletons survive untouched.
+    */
+  def clusterDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nonCanonical = connectedComponents(docs.select(col(idCol)), idCol, pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(nonCanonical, Seq(idCol), "left_anti")
+  }
 }

@@ -212,6 +212,20 @@ object ExtensionQueries {
         .filter(col("n") >= 20)
         .orderBy(col("lang"), col("tok"))),
 
+    // -- Near-dup cluster resolution: pairs → connected components --------
+    // Oracle: DuckDB recursive transitive closure (min reachable id ==
+    // hash-min fixpoint). Bounded scope (200 docs) keeps the closure cheap
+    // oracle-side; the Spark operator itself is the 100 TB path.
+    "q53_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = DedupOps.ngramJaccardPairs(docs, k = 2)
+        .filter(col("jaccard") >= 0.5)
+      DedupOps.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("id"), col("comp"))
+        .orderBy(col("id"))
+    }),
+
     // -- Multimodal frame sampling + resize (oracle via byte arithmetic) --
     "q51_frame_sample" -> ((s, dir) => {
       val media = MultimodalOps.packDocuments(t(s, dir, "documents"))
@@ -363,6 +377,28 @@ object ExtensionQueries {
         |GROUP BY lang, u.tok
         |HAVING count(*) >= 20
         |ORDER BY lang, tok""".stripMargin,
+    "q53_dedup_clusters" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in generate_series(1, len(toks) - 2)]) AS sh FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+        |    >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |  UNION SELECT doc_id, doc_id FROM d),
+        |r AS (
+        |  WITH RECURSIVE rr(a, b) AS (
+        |    SELECT a, b FROM e
+        |    UNION
+        |    SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a)
+        |  SELECT * FROM rr)
+        |SELECT a AS id, min(b) AS comp FROM r GROUP BY a ORDER BY id""".stripMargin,
     "q51_frame_sample" ->
       """WITH d AS (SELECT doc_id AS media_id,
         |    octet_length(encode(text)) AS nb FROM documents),

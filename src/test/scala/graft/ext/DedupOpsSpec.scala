@@ -96,6 +96,27 @@ class DedupOpsSpec extends AnyFunSuite {
       estPair.get.getDouble(2))
   }
 
+  test("connectedComponents: chains merge, singletons self-label") {
+    import spark.implicits._
+    val vertices = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} (chain), {5,6}, singletons {4}, {7}
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = DedupOps.connectedComponents(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("clusterDedup keeps exactly one canonical doc per cluster") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DedupOps.clusterDedup(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   test("minHashSignature is order-insensitive and deterministic") {
     val sigs = Seq("a b c d e", "e d c b a")
       .toDF("text")
