@@ -66,6 +66,31 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(viaPipeline.sameElements(direct))
   }
 
+  test("cross-model optimization: downstream filter pushes through view " +
+      "boundaries into the parquet scan (impossible in the reference)") {
+    // Three chained VIEW models. Because views are lazy logical plans,
+    // Catalyst optimizes the WHOLE chain per consumer: the filter and the
+    // 2-column projection of `big_rows` must reach the parquet scan that
+    // `source_lineitem` wraps — the reference's DuckDB views are opaque
+    // per-model statements, optimized one at a time.
+    val (_, config) = fixture(models = Map(
+      "source_lineitem" ->
+        s"SELECT * FROM read_parquet('$sfDir/lineitem.parquet')",
+      "item_prices" ->
+        "SELECT l_orderkey, l_quantity, l_extendedprice FROM source_lineitem",
+      "big_rows" ->
+        "SELECT l_orderkey, l_extendedprice FROM item_prices WHERE l_quantity > 45"))
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty)
+    val plan = spark.table("big_rows").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"),
+      s"filter did not reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double,l_extendedprice:double>"),
+      s"projection did not prune the scan:\n$plan")
+  }
+
   test("macro expansion inside a model") {
     val (_, config) = fixture(
       models = Map(
