@@ -222,6 +222,19 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Deterministic hash sampling: keep rows whose md5(id) starts with one
+    * of `keepHexPrefixes` — a `len/16` fraction per single-char prefix.
+    * Unlike `df.sample()` (rand()-seeded, partition-order dependent), the
+    * kept set is a pure function of the id: reproducible across engines,
+    * retries, and cluster sizes, and downstream incremental runs see a
+    * STABLE sample as the corpus grows. Map-only — no shuffle, prunes at
+    * the scan's filter.
+    */
+  def hashSample(df: DataFrame, idCol: String,
+                 keepHexPrefixes: Seq[String]): DataFrame =
+    df.filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
+      .isInCollection(keepHexPrefixes))
+
   /** Connected components over an undirected pair list — the cluster-
     * resolution step that turns near-dup PAIRS (minhash/simhash/cosine
     * candidates) into dedup DECISIONS: every member of a component keeps

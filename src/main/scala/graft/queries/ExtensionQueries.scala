@@ -212,6 +212,13 @@ object ExtensionQueries {
         .filter(col("n") >= 20)
         .orderBy(col("lang"), col("tok"))),
 
+    // -- Deterministic hash sampling (2/16 ≈ 12.5% per-id stable sample) --
+    "q54_hash_sample" -> ((s, dir) =>
+      DedupOps.hashSample(t(s, dir, "documents"), "doc_id", Seq("0", "1"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))),
+
     // -- Near-dup cluster resolution: pairs → connected components --------
     // Oracle: DuckDB recursive transitive closure (min reachable id ==
     // hash-min fixpoint). Bounded scope (200 docs) keeps the closure cheap
@@ -377,6 +384,12 @@ object ExtensionQueries {
         |GROUP BY lang, u.tok
         |HAVING count(*) >= 20
         |ORDER BY lang, tok""".stripMargin,
+    "q54_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q53_dedup_clusters" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks
