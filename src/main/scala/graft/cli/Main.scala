@@ -102,21 +102,29 @@ object Main {
     if (paths.isEmpty) { System.err.println("run-file: no scripts given"); sys.exit(2) }
     val spark = buildSpark(PipelineConfig())
     spark.sparkContext.setLogLevel("WARN")
-    try paths.foreach { p =>
+    try runFilesOn(spark, paths).foreach { case (_, status) => println(status) }
+    finally spark.stop()
+  }
+
+  /** Testable core of run-file: returns (path, status line) per script;
+    * statuses mirror the reference ("Cannot open …, skipping" /
+    * "OK: …" / "ERROR: … Skipping …").
+    */
+  def runFilesOn(spark: SparkSession, paths: List[String]): List[(String, String)] =
+    paths.map { p =>
       val path = Paths.get(p)
-      if (!Files.exists(path)) println(s"Cannot open $p, skipping")
+      if (!Files.exists(path)) p -> s"Cannot open $p, skipping"
       else {
         try {
           SqlText.splitStatements(Files.readString(path))
             .map(DialectShim.rewrite)
             .foreach(st => spark.sql(st).collect())
-          println(s"OK: $p")
+          p -> s"OK: $p"
         } catch {
-          case e: Exception => println(s"ERROR: ${e.getMessage} Skipping $p")
+          case e: Exception => p -> s"ERROR: ${e.getMessage} Skipping $p"
         }
       }
-    } finally spark.stop()
-  }
+    }
 
   /** Build the graph (no SQL execution) and write DOT-derived SVG; `.svg`
     * suffix auto-appended (src/main.rs:63-84).

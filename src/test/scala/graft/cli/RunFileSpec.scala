@@ -1,0 +1,38 @@
+package graft.cli
+
+import java.nio.file.Files
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A19 run-file parity: per-file OK/ERROR status, unreadable files and
+  * failing files are skipped without aborting later files, statements run
+  * in file order with the dialect shim applied.
+  */
+class RunFileSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("run-file: ok / missing / failing files each get the right status") {
+    val dir = Files.createTempDirectory("graft-runfile")
+    val good = dir.resolve("good.sql")
+    // two statements incl. a DuckDB-ism the shim must rewrite
+    Files.writeString(good,
+      """CREATE OR REPLACE TEMPORARY VIEW rf_v AS
+        |  SELECT * FROM VALUES (1), (2), (3) AS t(x);
+        |SELECT count() AS n FROM rf_v""".stripMargin)
+    val bad = dir.resolve("bad.sql")
+    Files.writeString(bad, "SELECT * FROM definitely_missing_table_xyz")
+    val missing = dir.resolve("nope.sql").toString
+    val after = dir.resolve("after.sql")
+    Files.writeString(after, "SELECT 1 AS one")
+
+    val statuses = Main.runFilesOn(spark,
+      List(good.toString, missing, bad.toString, after.toString))
+    assert(statuses(0)._2 == s"OK: $good")
+    assert(statuses(1)._2 == s"Cannot open $missing, skipping")
+    assert(statuses(2)._2.startsWith("ERROR: "))
+    assert(statuses(2)._2.endsWith(s"Skipping $bad"))
+    assert(statuses(3)._2 == s"OK: $after") // later file still ran
+    // the good file's view exists in the session
+    assert(spark.table("rf_v").count() == 3)
+  }
+}
