@@ -16,8 +16,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT the scheduler/parquet/codegen machinery and read
     // every table's footer once, so the first timed query doesn't absorb
-    // ~5s of session start-up cost. Runs at the smallest SF.
-    val warmDir = "/root/testdata/sf0.001"
+    // ~5s of session start-up cost. sf0.01 (not the smallest SF) so AQE
+    // picks the same plan shapes the timed pass will compile.
+    val warmDir = "/root/testdata/sf0.01"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

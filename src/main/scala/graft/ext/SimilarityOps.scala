@@ -108,8 +108,11 @@ object SimilarityOps {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nBands * bitsPerBand)(
       Array.fill(dim)(rnd.nextGaussian()))
-    def bandsOf(emb: Column): Column = {
-      val embD = emb.cast("array<double>")
+    // Sign bits are computed on the UNIT vector (sign(dot) is
+    // norm-invariant), which is already a materialized array<double>
+    // column — an inline cast of the raw floats here would re-materialize
+    // the array once per bit expression.
+    def bandsOf(embD: Column): Column =
       array((0 until nBands).map { b =>
         val bits = (0 until bitsPerBand).map { i =>
           when(VectorFunctions.dotProduct(embD,
@@ -118,14 +121,13 @@ object SimilarityOps {
         }.reduce(_ + _)
         struct(lit(b).as("band_idx"), bits.as("band_val"))
       }: _*)
-    }
     val c = withUnitVec(candidates, "embedding", "cand_emb")
       .select(col("vec_id").as("cand_id"), col("cand_emb"),
-        explode(bandsOf(col("embedding"))).as("b"))
+        explode(bandsOf(col("cand_emb"))).as("b"))
       .select(col("b.band_idx"), col("b.band_val"), col("cand_id"), col("cand_emb"))
     val p = withUnitVec(probes, "embedding", "probe_emb")
       .select(col("vec_id").as("probe_id"), col("probe_emb"),
-        explode(bandsOf(col("embedding"))).as("b"))
+        explode(bandsOf(col("probe_emb"))).as("b"))
       .select(col("b.band_idx"), col("b.band_val"), col("probe_id"), col("probe_emb"))
     val scored = c.join(broadcast(p), Seq("band_idx", "band_val"))
       .filter(col("probe_id") =!= col("cand_id"))
