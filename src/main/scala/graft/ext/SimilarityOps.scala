@@ -152,22 +152,26 @@ object SimilarityOps {
       .select(col("cell"),
         transform(col("sums"), s => s / col("n")).as("centroid"))
 
-    val probeCells = probes
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    // Cell pick scores |probes|×|cells| rows (tiny — the interpreted
+    // cosine is fine there); the exact scan over candidates uses unit
+    // vectors + the native dot kernel, as every pairwise operator here.
+    val probeCells = withUnitVec(probes, "embedding", "probe_unit")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("probe_unit"))
       .join(broadcast(sumArr), lit(true))
       .withColumn("csim", cosine(col("probe_emb"), col("centroid")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("csim").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
-      .select(col("probe_id"), col("probe_emb"), col("cell"))
+      .select(col("probe_id"), col("probe_unit"), col("cell"))
 
     val cands = withUnitVec(candidates, "embedding", "cand_emb")
       .select(col("label").as("cell"), col("vec_id").as("cand_id"),
         col("cand_emb"))
     val scored = cands.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("probe_emb"), col("cand_emb")), 6))
+      .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rk") <= k)
