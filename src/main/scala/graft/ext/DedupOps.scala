@@ -218,8 +218,11 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // Hamming check BEFORE the pair dedup: the codegen'd filter runs on
+      // every collision row either way, but the distinct then shuffles
+      // only the surviving near-dup pairs, not the full collision set.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Deterministic hash sampling: keep rows whose md5(id) starts with one
