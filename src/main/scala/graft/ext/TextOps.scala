@@ -118,6 +118,41 @@ object TextOps {
     }
   }
 
+  /** TF-IDF top-k terms per document. Stages, each shuffle-friendly:
+    *   1. explode tokens → term frequency per (doc, term) — partial agg
+    *      combines map-side, the shuffle key (doc, term) is uniform;
+    *   2. document frequency per term — second partial agg over the tf
+    *      table (already deduped per doc, so count(*) IS the doc count);
+    *   3. idf = ln(N/df) via a 1-row broadcast of N; the tf⋈df join keys
+    *      on term — Catalyst/AQE picks broadcast vs shuffle by vocab size
+    *      (a 100 TB vocabulary shuffles; don't force broadcast);
+    *   4. per-doc top-k by (score desc, term) — WindowGroupLimit pushes k
+    *      into the sort.
+    * Scores round to 6 decimals BEFORE ranking so rank ties (equal tf and
+    * df) break on the term, deterministically, in any engine.
+    */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf").cast("long").as("tf"),
+        col("tfidf"))
+  }
+
   /** Predicted language: argmax of profile overlap, ties resolved
     * alphabetically (profiles are already alphabetical).
     */

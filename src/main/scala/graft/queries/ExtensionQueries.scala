@@ -212,6 +212,12 @@ object ExtensionQueries {
         .filter(col("n") >= 20)
         .orderBy(col("lang"), col("tok"))),
 
+    // -- TF-IDF top terms per document ------------------------------------
+    "q55_tfidf" -> ((s, dir) =>
+      TextOps.tfIdfTopK(
+          t(s, dir, "documents").filter(col("doc_id") < 100), k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
     // -- Deterministic hash sampling (2/16 ≈ 12.5% per-id stable sample) --
     "q54_hash_sample" -> ((s, dir) =>
       DedupOps.hashSample(t(s, dir, "documents"), "doc_id", Seq("0", "1"))
@@ -384,6 +390,25 @@ object ExtensionQueries {
         |GROUP BY lang, u.tok
         |HAVING count(*) >= 20
         |ORDER BY lang, tok""".stripMargin,
+    "q55_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |toks AS (SELECT doc_id, u.term
+        |  FROM docs, unnest(regexp_split_to_array(lower(text), '\s+'))
+        |    AS u(term)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf, tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q54_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled
         |FROM documents
