@@ -21,6 +21,30 @@ class AggOpsSpec extends AnyFunSuite {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("both exact-quantile variants match the built-in percentile") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9,
+      "mn" -> 0.0, "mx" -> 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0),
+          probs.indices.map(i => math.rint(r.getDouble(i + 1) * 100) / 100)))
+    val expected = rows(li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.25)").as("p25"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.9)").as("p90"),
+      min(col("l_extendedprice")).cast("double").as("mn"),
+      max(col("l_extendedprice")).cast("double").as("mx")))
+    val sorted = rows(AggOps.exactQuantiles(
+      li, Seq("l_returnflag"), "l_extendedprice", probs))
+    val selected = rows(AggOps.exactQuantilesBySelection(
+      li, Seq("l_returnflag"), "l_extendedprice", probs, numBuckets = 8))
+    assert(sorted.toSeq == expected.toSeq)
+    assert(selected.toSeq == expected.toSeq)
+  }
+
   test("salted plan has two aggregation exchanges (salt then key)") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     val plan = AggOps.saltedSumCount(df, Seq("k"), "v", 4)
