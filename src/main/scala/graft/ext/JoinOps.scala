@@ -48,6 +48,30 @@ object JoinOps {
       .drop("__side")
   }
 
+  /** Skew-salted inner equi-join. For a fact⋈fact join where one key is
+    * hot enough that a single reducer partition overflows (beyond what AQE
+    * skew-split handles — it can split the skewed SIDE's partition, but
+    * every split still reads the other side's full key partition): the
+    * probe side gets a deterministic salt in [0, saltFactor), the build
+    * side is replicated saltFactor× via explode, and the join keys on
+    * (keys, salt) — the hot key's rows spread over saltFactor reducers.
+    * Result is EXACTLY the plain inner join: each probe row carries one
+    * salt and meets each matching build row exactly once (at that salt's
+    * replica). Cost: build-side shuffle volume × saltFactor — use only
+    * when the build side is the smaller input and skew is proven.
+    * The salt hashes the probe's join keys + a per-row component so one
+    * hot key's rows fan out; hashing the whole row keeps it deterministic
+    * (retry-safe), unlike rand().
+    */
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                     saltFactor: Int): DataFrame = {
+    val p = probe.withColumn("__salt",
+      pmod(hash(probe.columns.map(col): _*), lit(saltFactor)))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    p.join(b, keys :+ "__salt").drop("__salt")
+  }
+
   /** Range join: pair each left row with right rows whose timestamp falls
     * in [left.ts, left.ts + windowSeconds), with equal keys.
     *

@@ -54,4 +54,19 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(r.count() == 2)            // matches both intervals, once each
     assert(r.distinct().count() == 2)
   }
+
+  test("saltedEquiJoin equals the plain inner join exactly") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = JoinOps.saltedEquiJoin(orders, customer, Seq("o_custkey"), 8)
+      .select("o_orderkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
 }
