@@ -29,22 +29,38 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink materializes every output column (count() would let
-        // Catalyst prune the projections and under-measure scalar-heavy
-        // queries) without paying parquet-encode or local-disk cost.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // A failed query must NOT bench as a fast one: record the error instead
+    // of a time and keep it out of the total, so a regression that breaks a
+    // query can only make the bench look worse, never better.
+    val results: Seq[(String, Either[String, Double])] = selected.toSeq.map {
+      case (name, fn) =>
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink materializes every output column (count() would let
+          // Catalyst prune the projections and under-measure scalar-heavy
+          // queries) without paying parquet-encode or local-disk cost.
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable => Left(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
+          }
+        }
+        val oks = runs.collect { case Right(t) => t }
+        name -> (if (oks.nonEmpty) Right(oks.min)
+                 else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map {
+      case (k, Right(t)) => jstr(k) + ":" + t
+      case (k, Left(m))  => jstr(k) + ":" + jstr("err: " + m)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    val errField =
+      if (errs.isEmpty) "" else s""","errors":${errs.map(jstr).mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -191,10 +191,12 @@ object RelationalQueries {
     // Exact percentile keeps the oracle comparable (DuckDB quantile_cont);
     // at 100 TB swap to approx_percentile (t-digest) — see q15.
     "q14_quantiles" -> ((s, dir) => {
-      // Sort-based exact quantiles (see AggOps.exactQuantiles): ~5x faster
-      // than the built-in `percentile`, whose hash map holds every distinct
-      // double. 0.0/1.0 probs double as exact min/max.
-      graft.ext.AggOps.exactQuantiles(
+      // Two-phase selection quantiles (see AggOps.exactQuantilesBySelection):
+      // lineitem has only 3 l_returnflag groups, so the sort-window variant
+      // would funnel a third of the table through ONE task — fatal at 100 TB.
+      // Selection keeps per-task work to a bucket (#groups × numBuckets
+      // parallelism) while staying exact; 0.0/1.0 probs double as min/max.
+      graft.ext.AggOps.exactQuantilesBySelection(
           t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
           Seq("l_returnflag"), "l_extendedprice",
           Seq("p50" -> 0.5, "p90" -> 0.9, "mn" -> 0.0, "mx" -> 1.0))

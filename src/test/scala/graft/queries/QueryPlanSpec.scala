@@ -81,4 +81,54 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("WindowGroupLimit") || p.contains("Window"))
   }
+
+  test("q14: no per-group single-task sort (rank windows are bucket-local)") {
+    val p = plan("q14_quantiles")
+    // The scale-killer shape is row_number() over a window partitioned by
+    // the group column alone and ordered by the value column — that funnels
+    // a whole group through one task. The selection variant ranks only
+    // candidate buckets: its row_number windows must include __bkt.
+    val rankWindows = "row_number\\(\\) windowspecdefinition\\([^)]*\\)".r
+      .findAllIn(p).toList
+    assert(rankWindows.nonEmpty, s"expected a bucket-local rank window\n$p")
+    rankWindows.foreach { w =>
+      assert(w.contains("__bkt"),
+        s"rank window not bucket-local (whole-group sort): $w")
+    }
+  }
+
+  test("dedup/LSH hot paths stay inside whole-stage codegen") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // These queries' throughput rests on native doGenCode kernels; a
+    // refactor that reintroduces a higher-order function (Spark HOFs are
+    // CodegenFallback — every element pays interpreted dispatch) must fail.
+    for (q <- Seq("q24_fingerprint", "q27_minhash_neardup",
+                  "q28_simhash_neardup", "q29_embedding_neardup")) {
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val falls = exec.collect {
+        case node => node.expressions.flatMap(_.collect {
+          case e: CodegenFallback => e.getClass.getSimpleName
+        })
+      }.flatten.distinct
+      assert(falls.isEmpty, s"$q has CodegenFallback expressions: $falls")
+    }
+  }
+
+  test("no BroadcastNestedLoopJoin outside the intentional scalar/probe ones") {
+    // q30 broadcasts 5 probe vectors; q47 and q55 a 1-row scalar aggregate
+    // (avg price / corpus doc count) — all O(1) broadcast sides. Anywhere
+    // else a BNLJ means a join lost its equi-condition and would
+    // cross-product at scale.
+    // q31/q52's is the probe-set × centroid/plane-set pairing — both sides
+    // O(probes)/O(k), never data-sized.
+    // q26 is the documented all-pairs operator (emits zero-overlap pairs
+    // too, so no equi-key exists) — callers bound its scope.
+    val intentional = Set("q30_ann_topk", "q47_scalar_subquery", "q55_tfidf",
+      "q31_ann_ivf", "q52_ann_lsh", "q26_ngram_jaccard")
+    for ((name, _) <- SparkEntry.queries if !intentional(name)) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name contains BroadcastNestedLoopJoin")
+    }
+  }
 }
