@@ -118,7 +118,7 @@ object Main {
         try {
           SqlText.splitStatements(Files.readString(path))
             .map(DialectShim.rewrite)
-            .foreach(st => spark.sql(st).collect())
+            .foreach(SqlExec.run(spark, _))
           p -> s"OK: $p"
         } catch {
           case e: Exception => p -> s"ERROR: ${e.getMessage} Skipping $p"

@@ -196,9 +196,11 @@ final class PipelineSession(
         s"Model must contain exactly one record-producing (SELECT/WITH) statement, found ${producing.size}",
         node.renderedSrc, node.path)
 
-    // side statements run as-is, in file order relative to one another
+    // side statements run as-is, in file order relative to one another;
+    // non-record-producing by construction, but SqlExec still guards
+    // against any row-returning statement materializing on the driver
     side.foreach { st =>
-      try spark.sql(st).collect()
+      try SqlExec.run(spark, st)
       catch { case e: Exception =>
         throw StatementExecutionError(e.getMessage, st, node.path) }
     }

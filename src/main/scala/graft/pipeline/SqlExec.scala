@@ -1,0 +1,23 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.CommandResult
+
+/** Executes a script statement WITHOUT fetching rows to the driver.
+  *
+  * A `SELECT * FROM lineitem` line in a script must stream through the
+  * executors and be discarded, never materialize driver-side — the
+  * reference's execute_batch likewise never fetches rows
+  * (/root/reference/src/main.rs:165). Commands (DDL/SET/INSERT) execute
+  * eagerly inside `spark.sql` and come back as a CommandResult whose rows
+  * are already a tiny local relation, so only genuine queries take the
+  * noop-sink path (the noop v2 sink runs the full plan distributed and
+  * discards every row at the executor).
+  */
+object SqlExec {
+  def run(spark: SparkSession, st: String): Unit = {
+    val df = spark.sql(st)
+    val isCommand = df.queryExecution.analyzed.isInstanceOf[CommandResult]
+    if (!isCommand) df.write.format("noop").mode("overwrite").save()
+  }
+}

@@ -35,4 +35,39 @@ class RunFileSpec extends AnyFunSuite {
     // the good file's view exists in the session
     assert(spark.table("rf_v").count() == 3)
   }
+
+  test("run-file: SELECT statements execute distributed, never collect()") {
+    // A script whose SELECT yields 1M rows must not materialize on the
+    // driver. Assert via QueryExecutionListener: the only actions fired
+    // while the script runs are v2 writes (the noop sink), no `collect`.
+    val dir = Files.createTempDirectory("graft-runfile-big")
+    val big = dir.resolve("big.sql")
+    Files.writeString(big,
+      """CREATE OR REPLACE TEMPORARY VIEW rf_big AS
+        |  SELECT id, id * 2 AS twice FROM range(1000000);
+        |SELECT * FROM rf_big""".stripMargin)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = seen.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = seen.add("FAIL:" + funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val statuses = Main.runFilesOn(spark, List(big.toString))
+      assert(statuses.head._2 == s"OK: $big")
+      // listener delivery is async; wait for at least one event
+      val deadline = System.currentTimeMillis() + 20000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val funcs = seen.asScala.toSet
+      assert(funcs.nonEmpty, "listener saw no query executions")
+      assert(!funcs.exists(_.contains("collect")),
+        s"driver-side collect fired during run-file: $funcs")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
