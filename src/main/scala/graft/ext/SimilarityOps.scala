@@ -81,14 +81,79 @@ object SimilarityOps {
       .select(col("blk"), col("id_a"), col("id_b"), col("sim"))
   }
 
-  /** IVF-style ANN: (1) centroids = mean vector per coarse cell (here the
-    * label column stands in for a k-means assignment — deterministic and
-    * dependency-free); (2) each probe picks its `nprobe` nearest centroids
-    * (broadcast — centroid count is tiny); (3) exact search only inside
-    * those cells. The expensive exact scan touches |nprobe|/|cells| of the
-    * data — the same pruning a FAISS IVF index does, expressed as two
-    * broadcast joins + one shuffle on cell id.
+  /** Embedding dimensionality, read from one row (a LIMIT-1 scan — the one
+    * acceptable driver fetch here; every per-element expression below is
+    * unrolled over the dimension at plan time, so it must be known before
+    * the plan is built).
     */
+  def inferDim(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol))).head().getInt(0)
+
+  /** Spherical k-means (Lloyd's) coarse quantizer, expressed as repeated
+    * DataFrame passes — the index-build step of [[ivfTopK]], usable on any
+    * unlabeled corpus:
+    *   - vectors are unit-normalized once, so "nearest centroid by cosine"
+    *     is an argmax of dot products;
+    *   - assignment is MAP-ONLY: nCells native dot products against literal
+    *     centroid arrays, argmax via greatest+when — no explode, no join,
+    *     fully codegen'd;
+    *   - update is a partial aggregate (per-dim sums + count per cell):
+    *     map-side combine leaves nCells rows to collect; only
+    *     nCells × dim doubles ever reach the driver per iteration (the same
+    *     driver-resident-centroid shape Spark ML's KMeans uses).
+    *   - init = the nCells vectors with the smallest xxhash64 —
+    *     deterministic across runs/retries, no RNG in the data path.
+    * At 100 TB: fit on a hash-sample (`sampleOneIn`) — centroid quality
+    * needs ~1000 points per cell, not the corpus — then assign the full
+    * data in the single map-only pass. Empty cells keep their previous
+    * centroid.
+    */
+  def fitCentroids(vecs: DataFrame, embCol: String, nCells: Int,
+                   maxIters: Int = 4, sampleOneIn: Int = 1): Array[Array[Double]] = {
+    val dim = inferDim(vecs, embCol)
+    val unitAll = vecs.select(VectorFunctions.normalize(col(embCol)).as("v"))
+    val unit = (if (sampleOneIn > 1)
+        unitAll.filter(pmod(xxhash64(col("v")), lit(sampleOneIn)) === 0)
+      else unitAll).cache()
+    try {
+      var cents = unit.withColumn("h", xxhash64(col("v")))
+        .orderBy(col("h")).limit(nCells) // TakeOrderedAndProject, no full sort
+        .collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until maxIters) {
+        val sums = unit.groupBy(cellOf(col("v"), cents).as("cell"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(i =>
+              sum(element_at(col("v"), i + 1))): _*).as("sums"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2)))
+          .toMap
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          sums.get(i).fold(old) { case (n, s) =>
+            val mean = s.map(_ / n).toArray
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm == 0) old else mean.map(_ / nrm)
+          }
+        }
+      }
+      cents
+    } finally unit.unpersist()
+  }
+
+  /** Nearest-centroid id (argmax of native dot products against literal
+    * centroids) as a single codegen'd column — ties break to the lowest
+    * cell id via coalesce order.
+    */
+  def cellOf(embUnit: Column, centroids: Array[Array[Double]]): Column = {
+    val sims = centroids.map(c =>
+      VectorFunctions.dotProduct(embUnit, typedLit(c.toSeq))).toSeq
+    if (sims.size == 1) lit(0)
+    else {
+      val best = greatest(sims: _*)
+      coalesce(sims.zipWithIndex.map { case (s, i) =>
+        when(s === best, lit(i)) }: _*)
+    }
+  }
+
   /** Random-hyperplane LSH ANN (the bucketed alternative to [[ivfTopK]]):
     * signature bit i = sign(dot(v, plane_i)) over nBands×bitsPerBand fixed
     * Gaussian hyperplanes (deterministic seed — signatures are
@@ -104,7 +169,10 @@ object SimilarityOps {
   def hyperplaneLshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
                         nBands: Int = 8, bitsPerBand: Int = 4,
                         seed: Long = 42L): DataFrame = {
-    val dim = 64
+    // Planes are built driver-side per call: nBands×bitsPerBand×dim doubles
+    // (32 planes by default) — fine up to a few hundred planes; beyond
+    // that, ship them as a broadcast literal table instead.
+    val dim = inferDim(candidates, "embedding")
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nBands * bitsPerBand)(
       Array.fill(dim)(rnd.nextGaussian()))
@@ -141,25 +209,26 @@ object SimilarityOps {
       .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
   }
 
-  def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val dim = 64
-    // Centroid = element-wise mean per cell: aggregate over zipped arrays.
-    val sumArr = candidates.groupBy(col("label").as("cell"))
-      .agg(
-        count(lit(1)).as("n"),
-        array((0 until dim).map(i =>
-          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sums"))
-      .select(col("cell"),
-        transform(col("sums"), s => s / col("n")).as("centroid"))
+  /** IVF ANN over an UNLABELED corpus: (1) [[fitCentroids]] learns nCells
+    * spherical-k-means centroids (the coarse quantizer FAISS IVF trains);
+    * (2) each probe picks its `nprobe` nearest centroids — a map-side
+    * posexplode of the literal centroid array, |probes|×nCells rows, no
+    * join; (3) exact native-dot search only inside those cells, candidates
+    * reaching them through one broadcast hash join on cell id. The
+    * expensive exact scan touches ~nprobe/nCells of the data; candidate
+    * cell assignment is the same single map-only argmax pass used during
+    * fitting.
+    */
+  def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int,
+              nCells: Int = 16, maxIters: Int = 4): DataFrame = {
+    val cents = fitCentroids(candidates, "embedding", nCells, maxIters)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
 
-    // Cell pick scores |probes|×|cells| rows (tiny — the interpreted
-    // cosine is fine there); the exact scan over candidates uses unit
-    // vectors + the native dot kernel, as every pairwise operator here.
     val probeCells = withUnitVec(probes, "embedding", "probe_unit")
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        col("probe_unit"))
-      .join(broadcast(sumArr), lit(true))
-      .withColumn("csim", cosine(col("probe_emb"), col("centroid")))
+      .select(col("vec_id").as("probe_id"), col("probe_unit"))
+      .select(col("probe_id"), col("probe_unit"),
+        posexplode(centLit).as(Seq("cell", "centroid")))
+      .withColumn("csim", VectorFunctions.dotProduct(col("probe_unit"), col("centroid")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("csim").desc, col("cell"))))
@@ -167,8 +236,8 @@ object SimilarityOps {
       .select(col("probe_id"), col("probe_unit"), col("cell"))
 
     val cands = withUnitVec(candidates, "embedding", "cand_emb")
-      .select(col("label").as("cell"), col("vec_id").as("cand_id"),
-        col("cand_emb"))
+      .select(cellOf(col("cand_emb"), cents).as("cell"),
+        col("vec_id").as("cand_id"), col("cand_emb"))
     val scored = cands.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))

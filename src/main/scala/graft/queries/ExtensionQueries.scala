@@ -114,8 +114,10 @@ object ExtensionQueries {
     }),
 
     "q31_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5, nprobe = 3)
+      // label column deliberately unused: cells come from the k-means fit
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5, nprobe = 3,
+          nCells = 10)
         .orderBy(col("probe_id"), col("rk"))
     }),
 

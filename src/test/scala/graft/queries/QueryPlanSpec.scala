@@ -119,12 +119,12 @@ class QueryPlanSpec extends AnyFunSuite {
     // (avg price / corpus doc count) — all O(1) broadcast sides. Anywhere
     // else a BNLJ means a join lost its equi-condition and would
     // cross-product at scale.
-    // q31/q52's is the probe-set × centroid/plane-set pairing — both sides
-    // O(probes)/O(k), never data-sized.
     // q26 is the documented all-pairs operator (emits zero-overlap pairs
-    // too, so no equi-key exists) — callers bound its scope.
+    // too, so no equi-key exists) — callers bound its scope. q31's cell
+    // pick is a map-side posexplode of the literal centroids, so IVF needs
+    // no BNLJ at all.
     val intentional = Set("q30_ann_topk", "q47_scalar_subquery", "q55_tfidf",
-      "q31_ann_ivf", "q52_ann_lsh", "q26_ngram_jaccard")
+      "q26_ngram_jaccard")
     for ((name, _) <- SparkEntry.queries if !intentional(name)) {
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin"),
