@@ -84,6 +84,22 @@ object DedupOps {
     array((0 until numHashes).map(i =>
       array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
 
+  /** Portable permutation family for `portable = true` MinHash: shingle →
+    * x = first 8 hex chars of md5 (one digest per shingle, not one per
+    * hash), then h_i(x) = (a_i·x + b_i) mod P — plain 64-bit arithmetic
+    * that DuckDB evaluates identically, so the whole operator is
+    * oracle-checkable. P = 2^31−1 keeps a_i·x < 2^62 (no overflow);
+    * coefficients are fixed by seed so signatures are stable across runs,
+    * engines and retries.
+    */
+  val MinHashPrime: Long = 2147483647L
+  def minHashCoeffs(numHashes: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (1L + r.nextInt((MinHashPrime - 1).toInt),
+       r.nextInt(MinHashPrime.toInt).toLong))
+  }
+
   /** MinHash-LSH near-dup pairs, banding scheme (numBands × rowsPerBand =
     * numHashes). Stages, each one shuffle on a uniform key:
     *   1. map: shingle set → 16-long signature → 4 band hashes
@@ -104,7 +120,8 @@ object DedupOps {
     */
   def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
                       rowsPerBand: Int, minJaccard: Double,
-                      exact: Boolean = false): DataFrame = {
+                      exact: Boolean = false,
+                      portable: Boolean = false): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val sh = docs
       .withColumn("toks", TextOps.tokens(col("text"))) // see ngramJaccardPairs
@@ -114,23 +131,39 @@ object DedupOps {
     // Signature via explode + per-hash min aggregates rather than
     // [[minHashSignature]]'s nested transform/array_min: higher-order
     // functions are CodegenFallback (interpreted lambda per element ×
-    // numHashes passes), while explode + min(xxhash64) is whole-stage
+    // numHashes passes), while explode + min(hash) is whole-stage
     // codegen end-to-end with map-side partial mins — the shuffle carries
     // one numHashes-wide row per doc per partition, not the shingles.
-    // Same result: sig[i] = min over distinct shingles of xxhash64(i, s).
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
-    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // Default: sig[i] = min over distinct shingles of xxhash64(i, s)
+    // (fastest). portable=true: the md5-derived [[minHashCoeffs]] family —
+    // same plan shape, DuckDB-reproducible signatures.
+    val sigCols =
+      if (portable) minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("x") + lit(b)) % lit(MinHashPrime)).as(s"__h$i")
+      }
+      else (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashed =
+      if (portable) exploded.withColumn("x",
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % lit(MinHashPrime))
+      else exploded
+    val sigs = hashed
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    // Band key: in portable mode the raw signature slice (a rowsPerBand-long
+    // array — exact equality, nothing engine-specific); otherwise its
+    // xxhash64 (narrower shuffle key, same collision semantics to ~2^-64).
+    def bandKey(b: Column): Column = {
+      val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+      if (portable) sl else xxhash64(sl)
+    }
     def bandsOf(extra: Column*): DataFrame = sigs.select(
         (Seq(col("doc_id")) ++ extra :+
           explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-            struct(b.as("band_idx"),
-              xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-                .as("band_hash")))).as("b")): _*)
+            struct(b.as("band_idx"), bandKey(b).as("band_hash")))).as("b")): _*)
       .withColumns(Map("band_idx" -> col("b.band_idx"),
         "band_hash" -> col("b.band_hash"))).drop("b")
     if (exact) {

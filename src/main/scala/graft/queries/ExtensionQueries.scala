@@ -78,7 +78,6 @@ object ExtensionQueries {
           t(s, dir, "documents").filter(col("doc_id") < 40), k = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Engine-specific signatures below → rows-only driver check + specs.
     // The synthetic corpus shares one small vocabulary, so token-set Jaccard
     // is adversarially dense (most pairs are "near-dups") and LSH candidate
     // pruning cannot help — cap the scope so the exercised path stays the
@@ -89,10 +88,14 @@ object ExtensionQueries {
     // s=0.1, so buckets stay near cluster-sized. Unigram shingles (k=1)
     // saturate on a shared vocabulary: every signature collapses to the
     // corpus-wide min-hash tokens and LSH prunes nothing.
+    // portable=true: the md5-derived permutation family is reproducible in
+    // DuckDB SQL, so this graduates from rows-only to a full hash-match
+    // oracle (the oracle below is generated from the same coefficients).
     "q27_minhash_neardup" -> ((s, dir) =>
       DedupOps.minHashLshPairs(
           t(s, dir, "documents"),
-          k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8)
+          k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
+          portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q28_simhash_neardup" -> ((s, dir) =>
@@ -265,6 +268,40 @@ object ExtensionQueries {
         .orderBy(col("user_id"), col("sess_start")))
   )
 
+  /** q27's oracle, generated from the SAME coefficient family the portable
+    * Spark operator uses ([[graft.ext.DedupOps.minHashCoeffs]]) — the two
+    * sides can only agree because the permutation constants are shared.
+    */
+  private lazy val minHashOracleSql: String = {
+    val p = DedupOps.MinHashPrime
+    val coeffs = DedupOps.minHashCoeffs(16)
+      .map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |shg AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |    for i in generate_series(1, len(toks) - 2)]) AS sh
+       |  FROM d WHERE len(toks) >= 3),
+       |xs AS (SELECT doc_id,
+       |    [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % $p for s in sh] AS xs
+       |  FROM shg),
+       |sig AS (SELECT doc_id,
+       |    [list_aggregate([(c[1] * x + c[2]) % $p for x in xs], 'min')
+       |      for c in $coeffs] AS sig
+       |  FROM xs),
+       |bands AS (SELECT doc_id, sig, t.b AS b, sig[t.b*2+1 : t.b*2+2] AS key
+       |  FROM sig, generate_series(0, 7) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |scored AS (SELECT id_a, id_b,
+       |    round(len([i for i in generate_series(1, 16)
+       |      if sig_a[i] = sig_b[i]]) / 16.0, 4) AS jaccard
+       |  FROM cand)
+       |SELECT id_a, id_b, jaccard FROM scored
+       |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks,
@@ -341,6 +378,7 @@ object ExtensionQueries {
         |    AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q27_minhash_neardup" -> minHashOracleSql,
     "q29_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings)
