@@ -86,6 +86,9 @@ object Main {
     val spark = buildSpark(config)
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // a persistent db_path carries the previous run's views/tables into
+      // this session before anything executes (reference .duckdb parity)
+      config.dbPath.foreach(ViewStore.restore(spark, _))
       val session = new PipelineSession(spark, config,
         parallel = flags.contains("parallel"))
       val report = session.runNodes()

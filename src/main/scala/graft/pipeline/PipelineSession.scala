@@ -210,6 +210,9 @@ final class PipelineSession(
       case None | Some("view") =>
         try {
           spark.sql(select).createOrReplaceTempView(node.id)
+          // persist the rendered definition so later sessions over the
+          // same db_path see the view (reference node.rs:157-165 parity)
+          ViewStore.saveView(config.dbPath, node.id, select)
           "CREATE VIEW"
         } catch { case e: Exception =>
           throw StatementExecutionError(e.getMessage, select, node.path) }
@@ -217,6 +220,7 @@ final class PipelineSession(
         try {
           spark.sql(s"DROP TABLE IF EXISTS `${node.id}`")
           spark.sql(select).write.mode("overwrite").saveAsTable(node.id)
+          ViewStore.saveTable(config.dbPath, node.id)
           val n = spark.table(node.id).count() // row-count postlude (node.rs:179-189)
           s"SELECT $n"
         } catch {

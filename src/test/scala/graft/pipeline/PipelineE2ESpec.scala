@@ -162,6 +162,34 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("joined").count() == 25)
   }
 
+  test("views persist across sessions via db_path (reference .duckdb parity)") {
+    val db = Files.createTempDirectory("graft-dbpath")
+    val (_, config) = fixture(
+      models = Map(
+        "persist_src" -> "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, v)",
+        "persist_view" ->
+          "SELECT k * 10 AS k10, v FROM persist_src"),
+      configExtra = s"db_path: $db")
+    assert(config.dbPath.contains(db.toString))
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty)
+
+    // a brand-new session has NO temp views — restore must bring them back
+    // in dependency order from the db_path store
+    val s2 = spark.newSession()
+    assert(!s2.catalog.tableExists("persist_view"))
+    val restored = ViewStore.restore(s2, db.toString)
+    assert(restored == 2)
+    val rows = s2.table("persist_view").orderBy("k10")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((10, "a"), (20, "b")))
+
+    // re-running the pipeline rewrites, not duplicates, manifest entries
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    val s3 = spark.newSession()
+    assert(ViewStore.restore(s3, db.toString) == 2)
+  }
+
   test("DOT + SVG visualization") {
     val (_, config) = fixture(models = Map(
       "up" -> "SELECT 1 AS x",
