@@ -79,6 +79,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source end-to-end: parquet dir -> watermarked agg -> parquet " +
+      "sink, resuming from the checkpoint") {
+    import spark.implicits._
+    def at(s: String, v: Double, user: Long = 1L) =
+      EventStreams.Event(Timestamp.valueOf(s), user, "click", v)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-e2e")
+    val evDir = root.resolve("events.parquet").toString
+    val out = root.resolve("out").toString
+    val chk = root.resolve("chk").toString
+    // two files → two micro-batches under maxFilesPerTrigger=1; the day-2
+    // event pushes the watermark (1h) past day 1, finalizing its window
+    Seq(at("2024-01-01 00:05:00", 1.0), at("2024-01-01 10:00:00", 2.0),
+        at("2024-01-01 23:00:00", 3.0, user = 2L))
+      .toDF().write.mode("append").parquet(evDir)
+    Seq(at("2024-01-02 02:00:00", 9.0)).toDF().write.mode("append").parquet(evDir)
+    val q1 = EventStreams.runWindowedPipeline(spark, root.toString, out, chk)
+    try q1.processAllAvailable() finally q1.stop()
+    val first = spark.read.parquet(out).collect()
+    assert(first.length == 1) // only the day-1 window is final
+    assert(first.head.getAs[Timestamp]("w_start") ==
+      Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(first.head.getAs[Long]("n") == 3L)
+    assert(first.head.getAs[Double]("total") == 6.0)
+
+    // a NEW query on the same checkpoint resumes: the day-3 file closes
+    // day 2 without re-emitting day 1 (exactly-once from the file sink)
+    Seq(at("2024-01-03 02:00:00", 0.5)).toDF().write.mode("append").parquet(evDir)
+    val q2 = EventStreams.runWindowedPipeline(spark, root.toString, out, chk)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[Long]("n"),
+        r.getAs[Double]("total"))).sortBy(_._1.getTime)
+    assert(rows.length == 2, s"expected day-1 + day-2 windows, got ${rows.toSeq}")
+    assert(rows(1) == ((Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 9.0)))
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates, keeps the rest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
