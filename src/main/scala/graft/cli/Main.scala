@@ -120,7 +120,7 @@ object Main {
       else {
         try {
           SqlText.splitStatements(Files.readString(path))
-            .map(DialectShim.rewrite)
+            .map(DialectShim.rewrite(_, spark))
             .foreach(SqlExec.run(spark, _))
           p -> s"OK: $p"
         } catch {

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import org.apache.spark.sql.SparkSession
+
 /** DuckDB → Spark SQL dialect shim (SURVEY.md §2.D).
   *
   * Model SQL in the reference is DuckDB dialect; the examples exercise two
@@ -7,32 +9,116 @@ package graft.pipeline
   *   1. zero-arg count()            → count with star argument
   *   2. read_parquet('path')        → parquet.`path` file-format table
   *      (likewise read_csv / read_csv_auto / read_json / read_json_auto)
-  * Everything else passes through verbatim; unknown constructs fail at
-  * execution with a StatementExecutionError carrying the SQL + model path,
-  * matching the reference (src/node.rs:198-202).
+  * Plus the forms DuckDB users reach for next:
+  *   3. read_parquet(['a','b',…])   → (SELECT * FROM parquet.`a`
+  *                                     UNION ALL SELECT * FROM parquet.`b`)
+  *      — list args for any read_* fn. Globs need no rewrite: Spark's
+  *      file-format tables already expand patterns like `part-*.parquet`.
+  *   4. read_csv('p', header=true, delim='|', …) — keyword options. No
+  *      inline OPTIONS syntax exists for file tables in Spark SQL, so the
+  *      session-aware overload registers a deterministic temp view via
+  *      DataFrameReader options and substitutes its name. Only the
+  *      documented option keys rewrite; a call with an unsupported kwarg
+  *      is left verbatim, failing at execution with the SQL + model path
+  *      attached, matching the reference (src/node.rs:198-202).
   *
   * Token-aware (string literals preserved); a parser-injection seam
   * (SparkSessionExtensions.injectParser) is the upgrade path if the shim
-  * grows beyond lexical rewrites.
+  * grows beyond these rewrites.
   */
 object DialectShim {
 
+  private val fnNames = "read_parquet|read_csv_auto|read_csv|read_json_auto|read_json"
   private val readFn =
-    """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']*)'\s*\)""".r
+    s"""(?i)\\b($fnNames)\\s*\\(\\s*'([^']*)'\\s*\\)""".r
+  private val readFnList =
+    s"""(?i)\\b($fnNames)\\s*\\(\\s*\\[([^\\]]*)\\]\\s*\\)""".r
+  private val readFnKwargs =
+    s"""(?i)\\b(read_csv_auto|read_csv|read_json_auto|read_json)\\s*\\(\\s*'([^']*)'\\s*,\\s*([^()\\[\\]]*)\\)""".r
+  private val pathLit = """'([^']*)'""".r
   private val bareCount = """(?i)\bcount\s*\(\s*\)""".r
 
-  def rewrite(sql: String): String = {
-    // Process outside string literals for count(); read_* carries its own
-    // quoted literal so the regex anchors on it directly.
-    val afterRead = readFn.replaceAllIn(sql, m => {
-      val fmt = m.group(1).toLowerCase match {
-        case "read_parquet"                  => "parquet"
-        case "read_csv" | "read_csv_auto"    => "csv"
-        case _                               => "json"
-      }
-      java.util.regex.Matcher.quoteReplacement(s"$fmt.`${m.group(2)}`")
+  private def fmtOf(fn: String): String = fn.toLowerCase match {
+    case "read_parquet"               => "parquet"
+    case "read_csv" | "read_csv_auto" => "csv"
+    case _                            => "json"
+  }
+
+  // DuckDB kwarg → Spark DataFrameReader option; unsupported keys abort
+  // the rewrite (the call is left for execution to reject).
+  private val kwargKeys = Map(
+    "header" -> "header", "delim" -> "sep", "sep" -> "sep",
+    "quote" -> "quote", "escape" -> "escape", "nullstr" -> "nullValue",
+    "compression" -> "compression")
+
+  /** Lexical-only rewrite (no session): count(), single-literal and
+    * list-literal read_* forms.
+    */
+  def rewrite(sql: String): String = rewriteImpl(sql, None)
+
+  /** Session-aware rewrite: everything above plus kwarg read_csv/json via
+    * temp-view registration.
+    */
+  def rewrite(sql: String, spark: SparkSession): String =
+    rewriteImpl(sql, Some(spark))
+
+  private def rewriteImpl(sql: String, spark: Option[SparkSession]): String = {
+    val afterList = readFnList.replaceAllIn(sql, m => {
+      val fmt = fmtOf(m.group(1))
+      val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      val rewritten =
+        if (paths.isEmpty) m.matched // malformed; let execution report it
+        else if (paths.size == 1) s"$fmt.`${paths.head}`"
+        else paths.map(p => s"SELECT * FROM $fmt.`$p`")
+          .mkString("(", " UNION ALL ", ")")
+      java.util.regex.Matcher.quoteReplacement(rewritten)
     })
+    val afterKwargs = spark match {
+      case None => afterList
+      case Some(s) => readFnKwargs.replaceAllIn(afterList, m => {
+        java.util.regex.Matcher.quoteReplacement(
+          rewriteKwargCall(s, m.group(1), m.group(2), m.group(3))
+            .getOrElse(m.matched))
+      })
+    }
+    val afterRead = readFn.replaceAllIn(afterKwargs, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${fmtOf(m.group(1))}.`${m.group(2)}`"))
     replaceOutsideLiterals(afterRead)
+  }
+
+  /** One kwarg call → Some(viewName) if every option maps, else None.
+    * The view name is a hash of (fn, path, options), so repeated rewrites
+    * of the same call reuse one registration and stay deterministic.
+    */
+  private def rewriteKwargCall(spark: SparkSession, fn: String, path: String,
+                               kwargText: String): Option[String] = {
+    val kwarg = """(?i)\s*([a-z_]+)\s*=\s*(?:'([^']*)'|([^,\s]+))\s*""".r
+    val parsed = kwargText.split(",").toSeq.map {
+      case kwarg(k, strV, rawV) =>
+        kwargKeys.get(k.toLowerCase)
+          .map(_ -> Option(strV).getOrElse(rawV))
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val opts = parsed.flatten.toMap ++
+      // the *_auto variants infer types, like DuckDB's sniffer
+      (if (fn.toLowerCase.endsWith("_auto")) Map("inferSchema" -> "true")
+       else Map.empty)
+    val fmt = fmtOf(fn)
+    val name = "__graft_read_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$fmt|$path|${opts.toSeq.sorted}".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    if (!spark.catalog.tableExists(name)) {
+      val r = spark.read.options(opts)
+      val df = fmt match {
+        case "csv"  => r.csv(path)
+        case "json" => r.json(path)
+        case _      => r.parquet(path)
+      }
+      df.createOrReplaceTempView(name)
+    }
+    Some(name)
   }
 
   private def replaceOutsideLiterals(sql: String): String = {

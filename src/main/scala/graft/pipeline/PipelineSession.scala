@@ -189,7 +189,8 @@ final class PipelineSession(
     * the SELECT (src/node.rs:125-207). Returns the status string.
     */
   def executeNode(node: ModelNode): String = {
-    val stmts = SqlText.splitStatements(node.renderedSrc).map(DialectShim.rewrite)
+    val stmts = SqlText.splitStatements(node.renderedSrc)
+      .map(DialectShim.rewrite(_, spark))
     val (producing, side) = stmts.partition(SqlText.producesRecords)
     if (producing.size != 1)
       throw StatementExecutionError(

@@ -36,4 +36,41 @@ class DialectShimSpec extends AnyFunSuite {
     val sql = "SELECT a, sum(b) FROM t WHERE c > 1 GROUP BY a ORDER BY a"
     assert(DialectShim.rewrite(sql) == sql)
   }
+
+  test("read_parquet with a list of paths becomes a UNION ALL table") {
+    assert(DialectShim.rewrite(
+      "SELECT * FROM read_parquet(['/d/a.parquet', '/d/b.parquet'])") ==
+      "SELECT * FROM (SELECT * FROM parquet.`/d/a.parquet` " +
+        "UNION ALL SELECT * FROM parquet.`/d/b.parquet`)")
+    // one-element list degrades to the plain table form
+    assert(DialectShim.rewrite("FROM read_csv(['only.csv'])") ==
+      "FROM csv.`only.csv`")
+  }
+
+  test("glob paths pass through into the file-format table") {
+    assert(DialectShim.rewrite("FROM read_parquet('/d/part-*.parquet')") ==
+      "FROM parquet.`/d/part-*.parquet`")
+  }
+
+  test("read_csv kwargs register a temp view with mapped options") {
+    val spark = graft.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-shim-csv")
+    val f = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(f, "id|name\n1|alpha\n2|beta\n")
+    val sql = s"SELECT * FROM read_csv('$f', header=true, delim='|')"
+    val rewritten = DialectShim.rewrite(sql, spark)
+    assert(rewritten.matches("SELECT \\* FROM __graft_read_[0-9a-f]{12}"),
+      rewritten)
+    val rows = spark.sql(rewritten).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSeq == Seq("alpha", "beta"))
+    // deterministic: the same call rewrites to the same view, no re-register
+    assert(DialectShim.rewrite(sql, spark) == rewritten)
+  }
+
+  test("unsupported kwargs are left verbatim for execution to reject") {
+    val spark = graft.SparkTestSession.spark
+    val sql = "SELECT * FROM read_csv('f.csv', sample_size=100)"
+    assert(DialectShim.rewrite(sql, spark) == sql)
+  }
 }
