@@ -89,12 +89,15 @@ object AggOps {
     * broadcast-join filter; nothing funnels a whole group through one task.
     */
   def exactQuantilesBySelection(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                                probs: Seq[(String, Double)], numBuckets: Int = 32): DataFrame = {
+                                probs: Seq[(String, Double)], numBuckets: Int = 16): DataFrame = {
     val gcols = groupCols.map(col)
-    // Phase 1: split sketch + exact group sizes in one pass.
+    // Phase 1: split sketch + exact group sizes in one pass. Sketch
+    // accuracy only shapes bucket SIZES (ranks stay exact), so the cheap
+    // accuracy=1000 summary is plenty — with numBuckets=16 a 2× size skew
+    // still leaves candidate buckets at ~12% of the group.
     val fracs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val splits = df.groupBy(gcols: _*).agg(
-      expr(s"percentile_approx($valueCol, array(${fracs.mkString(",")}), 10000)")
+      expr(s"percentile_approx($valueCol, array(${fracs.mkString(",")}), 1000)")
         .as("__splits"),
       count(lit(1)).as("__n"))
     val bucket = (1 until numBuckets).map(i =>

@@ -109,8 +109,7 @@ object SimilarityOps {
     * centroid.
     */
   def fitCentroids(vecs: DataFrame, embCol: String, nCells: Int,
-                   maxIters: Int = 4, sampleOneIn: Int = 1): Array[Array[Double]] = {
-    val dim = inferDim(vecs, embCol)
+                   maxIters: Int = 3, sampleOneIn: Int = 1): Array[Array[Double]] = {
     val unitAll = vecs.select(VectorFunctions.normalize(col(embCol)).as("v"))
     val unit = (if (sampleOneIn > 1)
         unitAll.filter(pmod(xxhash64(col("v")), lit(sampleOneIn)) === 0)
@@ -119,6 +118,8 @@ object SimilarityOps {
       var cents = unit.withColumn("h", xxhash64(col("v")))
         .orderBy(col("h")).limit(nCells) // TakeOrderedAndProject, no full sort
         .collect().map(_.getSeq[Double](0).toArray)
+      require(cents.nonEmpty, "fitCentroids: no input vectors")
+      val dim = cents.head.length // free — saves the separate LIMIT-1 job
       for (_ <- 0 until maxIters) {
         val sums = unit.groupBy(cellOf(col("v"), cents).as("cell"))
           .agg(count(lit(1)).as("n"),
@@ -220,7 +221,7 @@ object SimilarityOps {
     * fitting.
     */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int,
-              nCells: Int = 16, maxIters: Int = 4): DataFrame = {
+              nCells: Int = 16, maxIters: Int = 3): DataFrame = {
     val cents = fitCentroids(candidates, "embedding", nCells, maxIters)
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
 
