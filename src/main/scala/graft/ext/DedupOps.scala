@@ -213,15 +213,24 @@ object DedupOps {
     * Bitwise-identical to [[simHash]] for docs with ≥1 token (tokenless
     * docs drop out here; the scalar form gives them sig 0).
     */
-  def simHashSignatures(docs: DataFrame, idCol: String, toks: Column): DataFrame = {
+  def simHashSignatures(docs: DataFrame, idCol: String, toks: Column,
+                        portable: Boolean = false): DataFrame = {
+    // portable mode trades 4 signature bits for oracle-reproducibility:
+    // the token hash is the first 15 hex chars of md5 (60 bits — a 16th
+    // char would overflow BIGINT), which DuckDB derives identically via
+    // CAST('0x'||substr(md5(t),1,15) AS BIGINT).
+    val nBits = if (portable) 60 else 64
+    val tokHash =
+      if (portable) conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("__t"))
     val ex = docs.select(col(idCol), explode(array_distinct(toks)).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val cnt = (0 until 64).map(b =>
+      .withColumn("__h", tokHash)
+    val cnt = (0 until nBits).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__c$b"))
     ex.groupBy(col(idCol)).agg(cnt.head, cnt.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(b =>
+        (0 until nBits).map(b =>
             when(col(s"__c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("sig"))
   }
@@ -234,13 +243,17 @@ object DedupOps {
     * The band join shuffles on (band_idx, band_value) — uniform keys — and
     * only candidate pairs pay the 64-bit Hamming check (bit_count(xor)).
     */
-  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = simHashSignatures(docs, "doc_id", TextOps.tokens(col("text")))
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int,
+                          portable: Boolean = false): DataFrame = {
+    val bandBits = if (portable) 15 else 16 // 4 bands either way
+    val mask = (1L << bandBits) - 1
+    val sigs = simHashSignatures(docs, "doc_id", TextOps.tokens(col("text")),
+      portable)
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(3)), i =>
           struct(i.as("band_idx"),
-            shiftright_col(col("sig"), i * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("band_val")))).as("band"))
+            shiftright_col(col("sig"), i * bandBits)
+              .bitwiseAND(lit(mask)).as("band_val")))).as("band"))
       .select(col("doc_id"), col("sig"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
     val a = banded.select(col("band_idx"), col("band_val"),

@@ -98,10 +98,12 @@ object ExtensionQueries {
           portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // portable=true (60-bit md5-derived token hashes) → full DuckDB oracle,
+    // like q27; the 64-bit xxhash64 form stays the cluster-throughput path.
     "q28_simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashNearDupPairs(
           t(s, dir, "documents").filter(col("doc_id") < 2000),
-          maxHamming = 6)
+          maxHamming = 6, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     // -- Similarity search ----------------------------------------------
@@ -379,6 +381,31 @@ object ExtensionQueries {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_minhash_neardup" -> minHashOracleSql,
+    "q28_simhash_neardup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 2000),
+        |tok AS (SELECT DISTINCT doc_id, t
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM d)),
+        |hx AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+        |cnt AS (SELECT doc_id, g.b AS b,
+        |    sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hx, generate_series(0, 59) AS g(b) GROUP BY doc_id, g.b),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        |  FROM cnt GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sig, gi.i AS i, (sig >> (gi.i*15)) & 32767 AS bv
+        |  FROM sig, generate_series(0, 3) AS gi(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |h AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming FROM cand)
+        |SELECT id_a, id_b, hamming FROM h
+        |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
     "q29_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings)
