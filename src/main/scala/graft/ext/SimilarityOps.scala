@@ -167,6 +167,17 @@ object SimilarityOps {
     * term at 100 TB. Probe side broadcasts (probe sets are small);
     * candidate signatures are computed in one codegen'd map pass.
     */
+  /** The fixed Gaussian hyperplanes for a given (bands, bits, dim, seed) —
+    * shared by [[hyperplaneLshTopK]] and the q52 oracle generator, which
+    * embeds the SAME constants as SQL literals (Double.toString round-trips
+    * exactly through DuckDB's decimal parser).
+    */
+  def lshPlanes(nBands: Int, bitsPerBand: Int, dim: Int,
+                seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   def hyperplaneLshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
                         nBands: Int = 8, bitsPerBand: Int = 4,
                         seed: Long = 42L): DataFrame = {
@@ -174,9 +185,7 @@ object SimilarityOps {
     // (32 planes by default) — fine up to a few hundred planes; beyond
     // that, ship them as a broadcast literal table instead.
     val dim = inferDim(candidates, "embedding")
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nBands * bitsPerBand)(
-      Array.fill(dim)(rnd.nextGaussian()))
+    val planes = lshPlanes(nBands, bitsPerBand, dim, seed)
     // Sign bits are computed on the UNIT vector (sign(dot) is
     // norm-invariant), which is already a materialized array<double>
     // column — an inline cast of the raw floats here would re-materialize

@@ -11,10 +11,12 @@ import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, Simila
   * force + IVF), text analysis (tokens, quality, language-ID, fingerprints),
   * multimodal plumbing, and sessionization.
   *
-  * Most queries carry a DuckDB oracle; q27/q28/q31/q52 use engine-specific
-  * hashing (xxhash64, hyperplane signs) or approximate pruning and q46 uses
-  * engine-specific sketches, so those get the driver's rows-only check plus
-  * a ScalaTest spec (recall / error bounds) instead.
+  * Every query carries a DuckDB oracle except q31 (its k-means centroids
+  * are fit at run time, so no static SQL can reproduce them) and q46
+  * (engine-specific sketches) — those two get the driver's rows-only check
+  * plus a ScalaTest spec (recall / error bounds) instead. q27/q28 use the
+  * portable md5-derived hash families; q52 shares its literal hyperplanes
+  * with the generated oracle.
   */
 object ExtensionQueries {
 
@@ -304,6 +306,43 @@ object ExtensionQueries {
        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q52's oracle: the hyperplanes are seed-derived constants, so the SAME
+    * planes embed as SQL literals (Double.toString round-trips exactly
+    * through DuckDB's parser), and DuckDB's list_dot_product matches the
+    * native kernel bitwise (both sum ascending in double precision —
+    * verified empirically over the fixture), so even the sign bits agree.
+    * Dim 64 is fixture-specific, like every oracle here.
+    */
+  private lazy val lshOracleSql: String = {
+    val planes = SimilarityOps.lshPlanes(nBands = 8, bitsPerBand = 4,
+      dim = 64, seed = 42L)
+    def planeLit(p: Array[Double]) = p.mkString("[", ", ", "]")
+    val bandExprs = (0 until 8).map { b =>
+      (0 until 4).map { i =>
+        s"CASE WHEN list_dot_product(u, ${planeLit(planes(b * 4 + i))}) > 0" +
+          s" THEN ${1 << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u FROM e),
+       |sigs AS (SELECT vec_id, u, $bandExprs AS bands FROM n),
+       |bd AS (SELECT vec_id, u, gi.i AS i, bands[gi.i + 1] AS bv
+       |  FROM sigs, generate_series(0, 7) AS gi(i)),
+       |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    p.u AS pu, c.u AS cu
+       |  FROM bd p JOIN bd c ON p.i = c.i AND p.bv = c.bv
+       |  WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
+       |sc AS (SELECT DISTINCT probe_id, cand_id,
+       |    round(list_dot_product(pu, cu), 6) AS sim FROM cand),
+       |rk AS (SELECT probe_id, cand_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM sc)
+       |SELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks,
@@ -381,6 +420,7 @@ object ExtensionQueries {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_minhash_neardup" -> minHashOracleSql,
+    "q52_ann_lsh" -> lshOracleSql,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks
