@@ -39,4 +39,29 @@ object SinkOps {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Bucketed (hash-clustered) table sink — the co-located-join layout:
+    * two tables bucketed on the same keys with the same bucket count join
+    * with NO exchange on either side, because the bucketed scan already
+    * reports the required hash distribution. For a fact table joined every
+    * run on the same key (lineitem⋈orders), this converts the recurring
+    * shuffle of the BIG side into a one-time write-side cost — the single
+    * biggest recurring-saving knob at 100 TB.
+    *
+    * The pre-write `repartition(nBuckets, keys)` aligns task and bucket
+    * boundaries, yielding ONE file per bucket instead of
+    * (#tasks × #buckets) small files; `sortBy` additionally persists
+    * in-bucket order so a sort-merge join skips its Sort too. nBuckets
+    * sizes a bucket ≈ one task's comfortable input (~128-256 MB at
+    * target scale).
+    */
+  def writeBucketedTable(df: DataFrame, table: String,
+                         bucketCols: Seq[String], nBuckets: Int,
+                         sortCols: Seq[String] = Nil): Unit = {
+    val writer = df.repartition(nBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
+     else writer).saveAsTable(table)
+  }
 }

@@ -34,4 +34,37 @@ class SinkOpsSpec extends AnyFunSuite {
     assert(one.count() ==
       events.filter(col("event_type") === dirs.head.split("=")(1)).count())
   }
+
+  test("writeBucketedTable: co-bucketed join plans with zero exchanges") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    SinkOps.writeBucketedTable(orders, "bkt_orders",
+      Seq("o_orderkey"), nBuckets = 8, sortCols = Seq("o_orderkey"))
+    SinkOps.writeBucketedTable(lineitem, "bkt_lineitem",
+      Seq("l_orderkey"), nBuckets = 8, sortCols = Seq("l_orderkey"))
+    // one file per bucket: task/bucket boundaries were aligned pre-write
+    val files = spark.table("bkt_orders").inputFiles
+    assert(files.length == 8, s"expected 8 bucket files, got ${files.length}")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_lineitem").join(spark.table("bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // and it still computes the right thing
+      val expect = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
 }
