@@ -52,11 +52,11 @@ object AggOps {
     * give exact min/max for free. Groups must be non-empty (SQL GROUP BY
     * guarantees this).
     *
-    * One sort-window pass per group: parallelism is bounded by #groups, so
-    * use this when groups fit a task (the common case — it beats
-    * [[exactQuantilesBySelection]] by ~35% at bench scale because it makes
-    * two passes instead of four). When a single group outgrows a task,
-    * switch to the selection variant.
+    * One sort-window pass per group: parallelism is bounded by #groups —
+    * fine when every group fits a task AND there are enough groups to fill
+    * the cluster. [[exactQuantilesBySelection]] (the q14 path) removes both
+    * bounds at roughly the same bench cost; this variant remains for
+    * many-small-groups shapes where its single window pass wins.
     */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      probs: Seq[(String, Double)]): DataFrame = {

@@ -102,6 +102,21 @@ object ExtensionQueries {
 
     // portable=true (60-bit md5-derived token hashes) → full DuckDB oracle,
     // like q27; the 64-bit xxhash64 form stays the cluster-throughput path.
+    // The end-to-end near-dup dedup a training-data pipeline actually runs:
+    // portable MinHash-LSH candidates → signature-agreement verification →
+    // hash-min connected components → keep each cluster's min doc_id
+    // (plus every unclustered doc). Fully oracle-checked: portable pairs +
+    // DuckDB recursive closure + anti-join reproduce the decision exactly.
+    "q56_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minHashLshPairs(docs,
+        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
+        portable = true)
+      DedupOps.clusterDedup(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q28_simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashNearDupPairs(
           t(s, dir, "documents").filter(col("doc_id") < 2000),
@@ -276,11 +291,11 @@ object ExtensionQueries {
     * Spark operator uses ([[graft.ext.DedupOps.minHashCoeffs]]) — the two
     * sides can only agree because the permutation constants are shared.
     */
-  private lazy val minHashOracleSql: String = {
+  private lazy val minHashPairCtes: String = {
     val p = DedupOps.MinHashPrime
     val coeffs = DedupOps.minHashCoeffs(16)
       .map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
        |shg AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
        |    for i in generate_series(1, len(toks) - 2)]) AS sh
@@ -301,10 +316,32 @@ object ExtensionQueries {
        |scored AS (SELECT id_a, id_b,
        |    round(len([i for i in generate_series(1, 16)
        |      if sig_a[i] = sig_b[i]]) / 16.0, 4) AS jaccard
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+  }
+
+  private lazy val minHashOracleSql: String =
+    s"""WITH $minHashPairCtes
        |SELECT id_a, id_b, jaccard FROM scored
        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q56: the pair CTEs above + a recursive transitive closure (the oracle
+    * twin of hash-min connected components, as in q53) + the anti-join
+    * keep decision.
+    */
+  private lazy val nearDupDedupOracleSql: String =
+    s"""WITH RECURSIVE $minHashPairCtes,
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       |dropids AS (SELECT a AS id FROM rr GROUP BY a HAVING min(b) < a)
+       |SELECT doc.doc_id, doc.lang FROM documents doc
+       |LEFT JOIN dropids ON doc.doc_id = dropids.id
+       |WHERE dropids.id IS NULL
+       |ORDER BY doc.doc_id""".stripMargin
 
   /** q52's oracle: the hyperplanes are seed-derived constants, so the SAME
     * planes embed as SQL literals (Double.toString round-trips exactly
@@ -420,6 +457,7 @@ object ExtensionQueries {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_minhash_neardup" -> minHashOracleSql,
+    "q56_neardup_dedup" -> nearDupDedupOracleSql,
     "q52_ann_lsh" -> lshOracleSql,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
