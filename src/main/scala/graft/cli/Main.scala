@@ -99,14 +99,31 @@ object Main {
   }
 
   /** Per-file batch execution: no rendering, no DAG, no materialization; a
-    * failing file is reported and skipped (src/main.rs:158-178).
+    * failing file is reported and skipped (src/main.rs:158-178). Like the
+    * reference — whose run-file executes on the connection opened from the
+    * config's db_path (src/main.rs:126-130,165) — scripts run against the
+    * configured database and therefore see previously persisted
+    * views/tables.
     */
-  private def runFiles(paths: List[String]): Unit = {
+  private def runFiles(rest: List[String]): Unit = {
+    // split flag tokens (--config C / --db-path P) from script paths
+    def split(l: List[String], flags: Map[String, String],
+              paths: List[String]): (Map[String, String], List[String]) =
+      l match {
+        case "--config" :: v :: t  => split(t, flags + ("config" -> v), paths)
+        case "--db-path" :: v :: t => split(t, flags + ("db-path" -> v), paths)
+        case p :: t                => split(t, flags, paths :+ p)
+        case Nil                   => (flags, paths)
+      }
+    val (flags, paths) = split(rest, Map.empty, Nil)
     if (paths.isEmpty) { System.err.println("run-file: no scripts given"); sys.exit(2) }
-    val spark = buildSpark(PipelineConfig())
+    val config = loadConfig(flags)
+    val spark = buildSpark(config)
     spark.sparkContext.setLogLevel("WARN")
-    try runFilesOn(spark, paths).foreach { case (_, status) => println(status) }
-    finally spark.stop()
+    try {
+      config.dbPath.foreach(ViewStore.restore(spark, _))
+      runFilesOn(spark, paths).foreach { case (_, status) => println(status) }
+    } finally spark.stop()
   }
 
   /** Testable core of run-file: returns (path, status line) per script;

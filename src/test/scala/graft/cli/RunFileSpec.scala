@@ -36,6 +36,22 @@ class RunFileSpec extends AnyFunSuite {
     assert(spark.table("rf_v").count() == 3)
   }
 
+  test("run-file: scripts see views persisted under db_path") {
+    // reference parity: run-file executes on the connection opened from
+    // the config's db_path, so prior runs' views resolve in scripts
+    val db = Files.createTempDirectory("graft-runfile-db")
+    graft.pipeline.ViewStore.saveView(Some(db.toString), "persisted_v",
+      "SELECT 7 AS seven")
+    val s2 = spark.newSession()
+    assert(graft.pipeline.ViewStore.restore(s2, db.toString) == 1)
+    val f = Files.createTempDirectory("graft-runfile2").resolve("q.sql")
+    Files.writeString(f,
+      "CREATE OR REPLACE TEMPORARY VIEW got AS SELECT seven FROM persisted_v")
+    val statuses = Main.runFilesOn(s2, List(f.toString))
+    assert(statuses.head._2 == s"OK: $f")
+    assert(s2.table("got").collect().head.getInt(0) == 7)
+  }
+
   test("run-file: SELECT statements execute distributed, never collect()") {
     // A script whose SELECT yields 1M rows must not materialize on the
     // driver. Assert via QueryExecutionListener: the only actions fired
