@@ -284,6 +284,27 @@ object DedupOps {
     df.filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
       .isInCollection(keepHexPrefixes))
 
+  /** Stratified deterministic sampling — the dataset-mixing primitive:
+    * per-stratum keep rates in sixteenths (4 → keep ids whose md5 nibble
+    * < 4 ≈ 25%; 16 → keep all; absent strata use `defaultSixteenths`).
+    * Same md5-of-id coin as [[hashSample]], so the kept set is a pure
+    * function of (id, stratum rate): reproducible across engines/retries,
+    * stable under corpus growth, and a stratum's sample only shrinks or
+    * grows monotonically when its rate is tuned. Map-only: the rate lookup
+    * compiles to a when-chain, the filter runs at the scan.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           sixteenths: Map[String, Int],
+                           defaultSixteenths: Int = 0): DataFrame = {
+    val nibble = conv(
+      substring(md5(col(idCol).cast("string").cast("binary")), 1, 1),
+      16, 10).cast("int")
+    val rate = sixteenths.toSeq.sortBy(_._1).foldLeft(lit(defaultSixteenths)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(nibble < rate)
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * resolution step that turns near-dup PAIRS (minhash/simhash/cosine
     * candidates) into dedup DECISIONS: every member of a component keeps

@@ -249,6 +249,15 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))),
 
+    // -- Stratified sampling: per-language mixing rates ------------------
+    "q57_stratified_sample" -> ((s, dir) =>
+      DedupOps.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
+          sixteenths = Map("en" -> 4, "de" -> 8, "fr" -> 16),
+          defaultSixteenths = 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))),
+
     // -- Near-dup cluster resolution: pairs → connected components --------
     // Oracle: DuckDB recursive transitive closure (min reachable id ==
     // hash-min fixpoint). Bounded scope (200 docs) keeps the closure cheap
@@ -558,6 +567,15 @@ object ExtensionQueries {
       """SELECT lang, count(*) AS n_sampled
         |FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q57_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |    AS INTEGER) <
+        |  CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 8 WHEN 'fr' THEN 16
+        |    ELSE 2 END
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     "q53_dedup_clusters" ->

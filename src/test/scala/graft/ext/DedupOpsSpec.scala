@@ -126,4 +126,19 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(sigs(0) == sigs(1))
     assert(sigs(0).length == 8)
   }
+
+  test("stratifiedHashSample: deterministic, monotone per-stratum rates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // rate 16 keeps a stratum whole; default 0 drops the rest
+    val all = DedupOps.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 16), defaultSixteenths = 0)
+    assert(all.filter(col("lang") =!= "en").count() == 0)
+    assert(all.count() == docs.filter(col("lang") === "en").count())
+    // raising a rate only ADDS ids (the md5 coin is shared across rates)
+    def ids(r: Int) = DedupOps.stratifiedHashSample(docs, "doc_id", "lang",
+        Map("en" -> r), defaultSixteenths = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (at4, at8) = (ids(4), ids(8))
+    assert(at4.nonEmpty && at4.subsetOf(at8))
+  }
 }
