@@ -120,6 +120,31 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream inner join — the attribution shape: each
+    * left event pairs with right events of the same key that happen within
+    * `within` AFTER it. The time-range predicate is what bounds the state
+    * store: Spark keeps a side's buffered rows only until the other side's
+    * watermark passes the range, so state is O(events per watermark
+    * horizon) per key shard, independent of stream length. Both inputs
+    * shuffle once on the key (the state store shards likewise), exactly as
+    * the batch equi-join would.
+    */
+  def followWithinJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftWatermark: String, rightWatermark: String,
+                       within: String): DataFrame = {
+    val l = left.withWatermark("ts", leftWatermark)
+      .select(col(key), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", rightWatermark)
+      .select(col(key).as("__rk"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .drop("__rk")
+  }
+
   /** End-to-end streaming pipeline wiring: file source → windowed agg →
     * sink. Returns the started query; callers own its lifecycle.
     */

@@ -115,6 +115,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows(1) == ((Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 9.0)))
   }
 
+  test("followWithinJoin pairs events within the window, not outside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventStreams.Event]
+    val clicks = MemoryStream[EventStreams.Event]
+    val q = EventStreams.followWithinJoin(
+        views.toDF(), clicks.toDF(), "user_id",
+        leftWatermark = "10 minutes", rightWatermark = "10 minutes",
+        within = "10 minutes")
+      .writeStream.format("memory").queryName("follow_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        EventStreams.Event(ts(0), 1, "view", 1.0),
+        EventStreams.Event(ts(0), 2, "view", 2.0))
+      clicks.addData(
+        EventStreams.Event(ts(5), 1, "click", 10.0),  // within 10m → joins
+        EventStreams.Event(ts(30), 2, "click", 20.0), // 30m later → no
+        EventStreams.Event(ts(3), 3, "click", 30.0))  // no matching view
+      q.processAllAvailable()
+      val rows = spark.table("follow_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("l_value"),
+          r.getAs[Double]("r_value")))
+      assert(rows.toSeq == Seq((1L, 1.0, 10.0)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates, keeps the rest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
