@@ -97,6 +97,26 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q34: as-of join is union+window — no join operator, one shuffle") {
+    val p = plan("q34_asof_join")
+    // an inequality-join formulation would appear as a per-key cross
+    // product (SortMergeJoin with range condition or BNLJ); the composed
+    // shape has NO join node at all, just the tagged union and one
+    // key-partitioned window pass
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"))
+    assert(p.contains("Union"))
+  }
+
+  test("q35: range join buckets to an equi-join (explode, then hash keys)") {
+    val p = plan("q35_range_join")
+    assert(p.contains("Generate")) // the x2 bucket explode
+    // the residual range predicate must ride an equi-join, not a
+    // nested-loop scan (the no-BNLJ sweep below also covers this)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"range join lost its equi-keys:\n$p")
+  }
+
   test("dedup/LSH hot paths stay inside whole-stage codegen") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     // These queries' throughput rests on native doGenCode kernels; a
