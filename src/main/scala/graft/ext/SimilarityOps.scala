@@ -230,8 +230,35 @@ object SimilarityOps {
     * fitting.
     */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int,
-              nCells: Int = 16, maxIters: Int = 3): DataFrame = {
-    val cents = fitCentroids(candidates, "embedding", nCells, maxIters)
+              nCells: Int = 16, maxIters: Int = 3): DataFrame =
+    ivfTopKWithCentroids(probes, candidates,
+      fitCentroids(candidates, "embedding", nCells, maxIters), k, nprobe)
+
+  /** Centroid persistence — the index lifecycle: [[fitCentroids]] once
+    * (an index BUILD, typically on a sample), save, then every query run
+    * loads k×dim doubles and pays only the map-only assignment + pruned
+    * scan. Stored as one parquet row per cell so the index is inspectable
+    * with any reader.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** [[ivfTopK]] with a prebuilt quantizer (from [[fitCentroids]] or
+    * [[loadCentroids]]) — the steady-state query path: zero fit jobs.
+    */
+  def ivfTopKWithCentroids(probes: DataFrame, candidates: DataFrame,
+                           cents: Array[Array[Double]], k: Int,
+                           nprobe: Int): DataFrame = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
 
     val probeCells = withUnitVec(probes, "embedding", "probe_unit")

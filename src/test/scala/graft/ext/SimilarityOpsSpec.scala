@@ -77,6 +77,23 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(recall >= 0.68, s"recall@5 = $recall")
   }
 
+  test("centroid save/load round-trips; prefit query matches one-shot") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .drop("label")
+    val cents = SimilarityOps.fitCentroids(e, "embedding", nCells = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    SimilarityOps.saveCentroids(spark, cents, path)
+    val loaded = SimilarityOps.loadCentroids(spark, path)
+    assert(loaded.length == cents.length)
+    assert(loaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    val probes = e.filter(col("vec_id") < 3)
+    val oneShot = SimilarityOps.ivfTopKWithCentroids(probes, e, cents, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val prefit = SimilarityOps.ivfTopKWithCentroids(probes, e, loaded, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(oneShot == prefit)
+  }
+
   test("fitCentroids: centroids are unit vectors; assignment covers cells") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = SimilarityOps.fitCentroids(e, "embedding", nCells = 4)
