@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, ProfileOps, SimilarityOps, TextOps}
 
 /** Layer-C extension queries (SURVEY.md §2.C): training-data-pipeline
   * operators over the `documents` / `embeddings` / `events` tables — dedup
@@ -248,6 +248,12 @@ object ExtensionQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))),
+
+    // -- Column profiling (the reference idiom is DuckDB SUMMARIZE) ------
+    "q58_profile" -> ((s, dir) =>
+      ProfileOps.profileNumeric(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name"))),
 
     // -- Stratified sampling: per-language mixing rates ------------------
     "q57_stratified_sample" -> ((s, dir) =>
@@ -569,6 +575,17 @@ object ExtensionQueries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q58_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST($c AS DOUBLE)) AS min_v,
+           |  max(CAST($c AS DOUBLE)) AS max_v,
+           |  round(avg(CAST($c AS DOUBLE)), 4) AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q57_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled
         |FROM documents
