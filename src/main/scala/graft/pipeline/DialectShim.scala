@@ -51,6 +51,28 @@ object DialectShim {
     "quote" -> "quote", "escape" -> "escape", "nullstr" -> "nullValue",
     "compression" -> "compression")
 
+  // DuckDB → Spark function renames that are semantically 1:1 (argument
+  // shapes and null behavior match); anything not exactly equivalent
+  // (strftime's %-codes, len's string/list overload, …) is deliberately
+  // NOT mapped — it fails at execution with the original name visible.
+  private val fnRenames = Seq(
+    "list_contains" -> "array_contains",
+    "list_has_any" -> "arrays_overlap",
+    "regexp_matches" -> "regexp_like", // both are find-anywhere semantics
+    "epoch_ms" -> "unix_millis")
+    .map { case (from, to) => (s"(?i)\\b$from\\s*\\(").r -> (to + "(") }
+
+  // string_split's separator is a LITERAL; Spark split takes a regex —
+  // rewrite only the quoted-literal form and regex-escape the separator.
+  private val stringSplitFn =
+    """(?i)\b(?:string_split|str_split)\s*\(([^,()']+|'[^']*'),\s*'([^']*)'\s*\)""".r
+  private def regexEscapeForSqlLiteral(sep: String): String =
+    sep.flatMap { c =>
+      // \ must double once for the regex engine and again for Spark's
+      // string-literal escape handling
+      if ("\\^$.|?*+()[]{}".contains(c)) s"\\\\$c" else c.toString
+    }
+
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.
     */
@@ -84,7 +106,12 @@ object DialectShim {
     val afterRead = readFn.replaceAllIn(afterKwargs, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${fmtOf(m.group(1))}.`${m.group(2)}`"))
-    replaceOutsideLiterals(afterRead)
+    // string_split carries its own quoted separator, so (like read_*) it
+    // anchors on the literal and runs against the full statement
+    val afterSplit = stringSplitFn.replaceAllIn(afterRead, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"split(${m.group(1)}, '${regexEscapeForSqlLiteral(m.group(2))}')"))
+    replaceOutsideLiterals(afterSplit)
   }
 
   /** One kwarg call → Some(viewName) if every option maps, else None.
@@ -133,8 +160,19 @@ object DialectShim {
     }
     segs += ((cur.toString, inSingle))
     segs.result().foreach { case (text, isLit) =>
-      result.append(if (isLit) text else bareCount.replaceAllIn(text, "count(*)"))
+      result.append(if (isLit) text else rewriteFunctions(text))
     }
     result.toString
+  }
+
+  private def rewriteFunctions(sql: String): String = {
+    val counted = bareCount.replaceAllIn(sql, "count(*)")
+    val renamed = fnRenames.foldLeft(counted) { case (s, (re, repl)) =>
+      re.replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    // string_split spans the literal-segment boundary (its separator IS a
+    // literal), so it is handled on the full statement in rewriteImpl —
+    // nothing to do here.
+    renamed
   }
 }

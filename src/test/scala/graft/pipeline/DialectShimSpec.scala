@@ -73,4 +73,31 @@ class DialectShimSpec extends AnyFunSuite {
     val sql = "SELECT * FROM read_csv('f.csv', sample_size=100)"
     assert(DialectShim.rewrite(sql, spark) == sql)
   }
+
+  test("1:1 function renames apply outside string literals only") {
+    assert(DialectShim.rewrite("SELECT list_contains(arr, 'x') FROM t") ==
+      "SELECT array_contains(arr, 'x') FROM t")
+    assert(DialectShim.rewrite("SELECT regexp_matches(s, 'a+'), epoch_ms(ts)," +
+      " list_has_any(a, b) FROM t") ==
+      "SELECT regexp_like(s, 'a+'), unix_millis(ts), arrays_overlap(a, b) FROM t")
+    // inside a literal → untouched
+    assert(DialectShim.rewrite("SELECT 'list_contains(arr)' FROM t") ==
+      "SELECT 'list_contains(arr)' FROM t")
+  }
+
+  test("string_split literal separators become escaped split() regexes") {
+    val spark = graft.SparkTestSession.spark
+    assert(DialectShim.rewrite("SELECT string_split(s, ',') FROM t") ==
+      "SELECT split(s, ',') FROM t")
+    // regex metachars in the separator are escaped for Spark's regex split
+    val piped = DialectShim.rewrite("SELECT str_split(s, '|') FROM t")
+    assert(piped == "SELECT split(s, '\\\\|') FROM t", piped)
+    // end-to-end: '|'-separated value really splits on the pipe character
+    val r = spark.sql(DialectShim.rewrite(
+      "SELECT size(string_split('a|b|c', '|')) AS n")).head.getInt(0)
+    assert(r == 3)
+    // non-literal separator → untouched (fails at execution, name visible)
+    val dyn = "SELECT string_split(s, sep_col) FROM t"
+    assert(DialectShim.rewrite(dyn) == dyn)
+  }
 }
