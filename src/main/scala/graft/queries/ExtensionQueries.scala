@@ -249,6 +249,33 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))),
 
+    // -- Flagship composition: the full corpus-cleaning pipeline ---------
+    // quality filter → exact dedup (min-id keep) → portable-MinHash
+    // near-dup dedup → per-language stratified sample. Every stage is one
+    // of the operators above, and the whole decision chain is
+    // oracle-checked end to end. At 100 TB each stage is shuffle-bounded
+    // exactly as its standalone operator: nothing about composition adds
+    // a driver sync or an extra pass over dropped rows.
+    "q59_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+      val qual = docs.filter(col("quality") >= 0.5)
+      val keepExact = qual
+        .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val exactKept = qual.join(keepExact, Seq("doc_id"))
+      val pairs = DedupOps.minHashLshPairs(exactKept,
+        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
+        portable = true)
+      val nearKept = DedupOps.clusterDedup(exactKept, "doc_id", pairs)
+      DedupOps.stratifiedHashSample(nearKept, "doc_id", "lang",
+          sixteenths = Map("en" -> 8, "de" -> 16, "fr" -> 16),
+          defaultSixteenths = 4)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Column profiling (the reference idiom is DuckDB SUMMARIZE) ------
     "q58_profile" -> ((s, dir) =>
       ProfileOps.profileNumeric(t(s, dir, "lineitem"),
@@ -306,12 +333,12 @@ object ExtensionQueries {
     * Spark operator uses ([[graft.ext.DedupOps.minHashCoeffs]]) — the two
     * sides can only agree because the permutation constants are shared.
     */
-  private lazy val minHashPairCtes: String = {
+  private def minHashPairCtes(source: String = "documents"): String = {
     val p = DedupOps.MinHashPrime
     val coeffs = DedupOps.minHashCoeffs(16)
       .map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
     s"""d AS (SELECT doc_id,
-       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM $source),
        |shg AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
        |    for i in generate_series(1, len(toks) - 2)]) AS sh
        |  FROM d WHERE len(toks) >= 3),
@@ -335,7 +362,7 @@ object ExtensionQueries {
   }
 
   private lazy val minHashOracleSql: String =
-    s"""WITH $minHashPairCtes
+    s"""WITH ${minHashPairCtes()}
        |SELECT id_a, id_b, jaccard FROM scored
        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
@@ -344,7 +371,7 @@ object ExtensionQueries {
     * keep decision.
     */
   private lazy val nearDupDedupOracleSql: String =
-    s"""WITH RECURSIVE $minHashPairCtes,
+    s"""WITH RECURSIVE ${minHashPairCtes()},
        |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
        |e AS (SELECT id_a AS a, id_b AS b FROM p
        |  UNION SELECT id_b, id_a FROM p),
@@ -395,7 +422,50 @@ object ExtensionQueries {
        |ORDER BY probe_id, rk""".stripMargin
   }
 
+  /** q59: quality formula (mirroring q22's double-rounding exactly), exact
+    * dedup keep set, the MinHash pair CTEs scoped to the kept subset,
+    * recursive closure, and the stratified-sample coin — all in one
+    * statement.
+    */
+  private lazy val cleanCorpusOracleSql: String =
+    s"""WITH RECURSIVE
+       |q0 AS (SELECT doc_id, lang, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |q1 AS (SELECT doc_id, lang, text, toks,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+       |    / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |    AS DOUBLE) / length(text), 4) AS punct_ratio
+       |  FROM q0),
+       |q2 AS (SELECT doc_id, lang, text, toks,
+       |  round(stop_ratio * 0.4 + least(CAST(len(toks) AS DOUBLE) / 100.0,
+       |    1.0) * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS quality
+       |  FROM q1),
+       |qual AS (SELECT * FROM q2 WHERE quality >= 0.5),
+       |keepx AS (SELECT min(doc_id) AS doc_id FROM qual
+       |  GROUP BY md5(array_to_string(toks, ' '))),
+       |base AS (SELECT q.* FROM qual q JOIN keepx USING (doc_id)),
+       |${minHashPairCtes(source = "base")},
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       |dropids AS (SELECT a AS id FROM rr GROUP BY a HAVING min(b) < a)
+       |SELECT b.doc_id, b.lang, b.quality FROM base b
+       |LEFT JOIN dropids ON b.doc_id = dropids.id
+       |WHERE dropids.id IS NULL
+       |  AND CAST(('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 1))
+       |    AS INTEGER) <
+       |  CASE b.lang WHEN 'en' THEN 8 WHEN 'de' THEN 16 WHEN 'fr' THEN 16
+       |    ELSE 4 END
+       |ORDER BY b.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q59_clean_corpus" -> cleanCorpusOracleSql,
     "q21_token_stats" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks,
         |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS bpe
