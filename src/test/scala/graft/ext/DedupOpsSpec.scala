@@ -96,6 +96,25 @@ class DedupOpsSpec extends AnyFunSuite {
       estPair.get.getDouble(2))
   }
 
+  test("minHashLshPairs portable mode: same candidates, md5-family estimate") {
+    val docs = Seq(
+      (1L, "spark catalyst tungsten shuffle partition broadcast join agg"),
+      (2L, "spark catalyst tungsten shuffle partition broadcast join scan"),
+      (3L, "completely unrelated vocabulary nothing shared at all ever"))
+      .toDF("doc_id", "text")
+    val portable = DedupOps.minHashLshPairs(docs, k = 1, numBands = 4,
+      rowsPerBand = 4, minJaccard = 0.4, portable = true).collect()
+    val ids = portable.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.exists(p => p._2 == 3L))
+    // the estimate is still k/16-granular and in a plausible band around
+    // the true Jaccard 0.7778 (different hash family → different k)
+    val j = portable.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .get.getDouble(2)
+    assert((j * 16).round.toDouble / 16 == j)
+    assert(j >= 0.4 && j <= 1.0)
+  }
+
   test("connectedComponents: chains merge, singletons self-label") {
     import spark.implicits._
     val vertices = (1L to 7L).toDF("doc_id")
