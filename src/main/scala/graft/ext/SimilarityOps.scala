@@ -178,6 +178,23 @@ object SimilarityOps {
     Array.fill(nBands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Sign-bit band signatures against literal planes: array of
+    * (band_idx, band_val) structs for an already-unit embedding column.
+    * Bits are computed on the UNIT vector (sign(dot) is norm-invariant),
+    * which is a materialized array<double> column — an inline cast of the
+    * raw floats here would re-materialize the array once per bit.
+    */
+  private def lshBandsOf(embD: Column, planes: Array[Array[Double]],
+                         nBands: Int, bitsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      val bits = (0 until bitsPerBand).map { i =>
+        when(VectorFunctions.dotProduct(embD,
+          typedLit(planes(b * bitsPerBand + i).toSeq)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_idx"), bits.as("band_val"))
+    }: _*)
+
   def hyperplaneLshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
                         nBands: Int = 8, bitsPerBand: Int = 4,
                         seed: Long = 42L): DataFrame = {
@@ -186,19 +203,8 @@ object SimilarityOps {
     // that, ship them as a broadcast literal table instead.
     val dim = inferDim(candidates, "embedding")
     val planes = lshPlanes(nBands, bitsPerBand, dim, seed)
-    // Sign bits are computed on the UNIT vector (sign(dot) is
-    // norm-invariant), which is already a materialized array<double>
-    // column — an inline cast of the raw floats here would re-materialize
-    // the array once per bit expression.
     def bandsOf(embD: Column): Column =
-      array((0 until nBands).map { b =>
-        val bits = (0 until bitsPerBand).map { i =>
-          when(VectorFunctions.dotProduct(embD,
-            typedLit(planes(b * bitsPerBand + i).toSeq)) > 0,
-            lit(1 << i)).otherwise(lit(0))
-        }.reduce(_ + _)
-        struct(lit(b).as("band_idx"), bits.as("band_val"))
-      }: _*)
+      lshBandsOf(embD, planes, nBands, bitsPerBand)
     val c = withUnitVec(candidates, "embedding", "cand_emb")
       .select(col("vec_id").as("cand_id"), col("cand_emb"),
         explode(bandsOf(col("cand_emb"))).as("b"))
@@ -217,6 +223,37 @@ object SimilarityOps {
           .orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+  }
+
+  /** Label-free embedding near-dup pairs: LSH band buckets replace
+    * [[blockedNearDupPairs]]'s blocking column, so the operator runs on any
+    * corpus. Each vector lands in nBands buckets of expected size
+    * |V| / 2^bitsPerBand; the self-join shuffles on the uniform
+    * (band_idx, band_val) key and only bucket-mates pay the exact native
+    * dot product — sum(bucket²) work, never |V|². High-cosine pairs agree
+    * on some band with probability (1-θ/π)^bits per band, so recall is
+    * tunable via nBands (more bands = more recall, more candidate volume).
+    * Pairs surface once (distinct over multi-band collisions).
+    */
+  def lshNearDupPairs(vecs: DataFrame, minSim: Double,
+                      nBands: Int = 8, bitsPerBand: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+    val dim = inferDim(vecs, "embedding")
+    val planes = lshPlanes(nBands, bitsPerBand, dim, seed)
+    val banded = withUnitVec(vecs, "embedding", "u")
+      .select(col("vec_id"), col("u"),
+        explode(lshBandsOf(col("u"), planes, nBands, bitsPerBand)).as("b"))
+      .select(col("b.band_idx"), col("b.band_val"), col("vec_id"), col("u"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_a"), col("u").as("u_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_b"), col("u").as("u_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dotProduct(col("u_a"), col("u_b")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+      .distinct()
   }
 
   /** IVF ANN over an UNLABELED corpus: (1) [[fitCentroids]] learns nCells

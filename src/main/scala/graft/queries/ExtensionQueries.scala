@@ -151,6 +151,14 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Label-free embedding near-dup: LSH buckets as the blocking key, so
+    // it runs on any corpus (q29's label blocking needs curated labels).
+    // Shares q52's literal planes → full oracle.
+    "q60_lsh_neardup" -> ((s, dir) =>
+      SimilarityOps.lshNearDupPairs(t(s, dir, "embeddings").drop("label"),
+          minSim = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // -- Multimodal plumbing ---------------------------------------------
     "q32_multimodal" -> ((s, dir) =>
       MultimodalOps.extractFeatures(
@@ -392,7 +400,7 @@ object ExtensionQueries {
     * verified empirically over the fixture), so even the sign bits agree.
     * Dim 64 is fixture-specific, like every oracle here.
     */
-  private lazy val lshOracleSql: String = {
+  private lazy val lshBandCtes: String = {
     val planes = SimilarityOps.lshPlanes(nBands = 8, bitsPerBand = 4,
       dim = 64, seed = 42L)
     def planeLit(p: Array[Double]) = p.mkString("[", ", ", "]")
@@ -402,13 +410,17 @@ object ExtensionQueries {
           s" THEN ${1 << i} ELSE 0 END"
       }.mkString("(", " + ", ")")
     }.mkString("[", ",\n    ", "]")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
        |n AS (SELECT vec_id,
        |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u FROM e),
        |sigs AS (SELECT vec_id, u, $bandExprs AS bands FROM n),
        |bd AS (SELECT vec_id, u, gi.i AS i, bands[gi.i + 1] AS bv
-       |  FROM sigs, generate_series(0, 7) AS gi(i)),
+       |  FROM sigs, generate_series(0, 7) AS gi(i))""".stripMargin
+  }
+
+  private lazy val lshOracleSql: String =
+    s"""WITH $lshBandCtes,
        |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id,
        |    p.u AS pu, c.u AS cu
        |  FROM bd p JOIN bd c ON p.i = c.i AND p.bv = c.bv
@@ -420,7 +432,18 @@ object ExtensionQueries {
        |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM sc)
        |SELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5
        |ORDER BY probe_id, rk""".stripMargin
-  }
+
+  /** q60: same literal planes, bucket self-join instead of probe top-k. */
+  private lazy val lshNearDupOracleSql: String =
+    s"""WITH $lshBandCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.u AS ua, b.u AS ub
+       |  FROM bd a JOIN bd b ON a.i = b.i AND a.bv = b.bv
+       |    AND a.vec_id < b.vec_id),
+       |sc AS (SELECT DISTINCT id_a, id_b,
+       |    round(list_dot_product(ua, ub), 6) AS sim FROM cand)
+       |SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** q59: quality formula (mirroring q22's double-rounding exactly), exact
     * dedup keep set, the MinHash pair CTEs scoped to the kept subset,
@@ -544,6 +567,7 @@ object ExtensionQueries {
     "q27_minhash_neardup" -> minHashOracleSql,
     "q56_neardup_dedup" -> nearDupDedupOracleSql,
     "q52_ann_lsh" -> lshOracleSql,
+    "q60_lsh_neardup" -> lshNearDupOracleSql,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks
