@@ -64,14 +64,45 @@ object DialectShim {
 
   // string_split's separator is a LITERAL; Spark split takes a regex —
   // rewrite only the quoted-literal form and regex-escape the separator.
+  // first arg: any run of non-paren/comma chars and/or quoted literals
+  // (covers columns, simple exprs, and TIMESTAMP '…' literals)
   private val stringSplitFn =
-    """(?i)\b(?:string_split|str_split)\s*\(([^,()']+|'[^']*'),\s*'([^']*)'\s*\)""".r
+    """(?i)\b(?:string_split|str_split)\s*\(((?:[^,()']|'[^']*')+),\s*'([^']*)'\s*\)""".r
   private def regexEscapeForSqlLiteral(sep: String): String =
     sep.flatMap { c =>
       // \ must double once for the regex engine and again for Spark's
       // string-literal escape handling
       if ("\\^$.|?*+()[]{}".contains(c)) s"\\\\$c" else c.toString
     }
+
+  // strftime's %-codes → Spark's date_format (JDK DateTimeFormatter)
+  // pattern letters. Only formats built ENTIRELY from these codes and
+  // pattern-inert literal chars rewrite; anything else (locale-dependent
+  // %a/%b, unknown codes, embedded letters that Java would interpret as
+  // pattern fields) is left verbatim for execution to reject with the
+  // original name visible.
+  private val strftimeFn =
+    """(?i)\bstrftime\s*\(((?:[^,()']|'[^']*')+),\s*'([^']*)'\s*\)""".r
+  private val strftimeCodes = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", '%' -> "%")
+  private def translateStrftime(fmt: String): Option[String] = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      fmt(i) match {
+        case '%' if i + 1 < fmt.length =>
+          strftimeCodes.get(fmt(i + 1)) match {
+            case Some(p) => out.append(p); i += 2
+            case None    => return None
+          }
+        case c if c.isLetter => return None // Java would treat as a field
+        case '\'' => return None            // quoting rules differ; bail
+        case c => out.append(c); i += 1
+      }
+    }
+    Some(out.toString)
+  }
 
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.
@@ -106,12 +137,17 @@ object DialectShim {
     val afterRead = readFn.replaceAllIn(afterKwargs, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${fmtOf(m.group(1))}.`${m.group(2)}`"))
-    // string_split carries its own quoted separator, so (like read_*) it
-    // anchors on the literal and runs against the full statement
+    // string_split/strftime carry their own quoted literal, so (like
+    // read_*) they anchor on it and run against the full statement
     val afterSplit = stringSplitFn.replaceAllIn(afterRead, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"split(${m.group(1)}, '${regexEscapeForSqlLiteral(m.group(2))}')"))
-    replaceOutsideLiterals(afterSplit)
+    val afterStrftime = strftimeFn.replaceAllIn(afterSplit, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        translateStrftime(m.group(2))
+          .map(p => s"date_format(${m.group(1)}, '$p')")
+          .getOrElse(m.matched)))
+    replaceOutsideLiterals(afterStrftime)
   }
 
   /** One kwarg call → Some(viewName) if every option maps, else None.

@@ -100,4 +100,23 @@ class DialectShimSpec extends AnyFunSuite {
     val dyn = "SELECT string_split(s, sep_col) FROM t"
     assert(DialectShim.rewrite(dyn) == dyn)
   }
+
+  test("strftime %-codes translate to date_format patterns") {
+    assert(DialectShim.rewrite("SELECT strftime(ts, '%Y-%m-%d') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd') FROM t")
+    assert(DialectShim.rewrite("SELECT strftime(ts, '%H:%M:%S') FROM t") ==
+      "SELECT date_format(ts, 'HH:mm:ss') FROM t")
+    // locale-dependent / unknown codes stay verbatim
+    val monthName = "SELECT strftime(ts, '%b %Y') FROM t"
+    assert(DialectShim.rewrite(monthName) == monthName)
+    // literal letters would become Java pattern fields — stay verbatim
+    val letters = "SELECT strftime(ts, 'at %H') FROM t"
+    assert(DialectShim.rewrite(letters) == letters)
+    // end-to-end on a real session
+    val spark = graft.SparkTestSession.spark
+    val r = spark.sql(DialectShim.rewrite(
+      "SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S') AS s"))
+      .head.getString(0)
+    assert(r == "2024-03-05 07:08:09")
+  }
 }
