@@ -23,11 +23,15 @@ object JoinOps {
     * so a right row exactly at left.ts matches (>= semantics).
     *
     * Output: leftKeep ++ keys ++ ts, plus each rightKeep column as
-    * `<name>_r` and the matched right timestamp as `ts_r`; unmatched left
-    * rows are dropped (inner as-of, the DuckDB default).
+    * `<name>_r` and the matched right timestamp as `ts_r`; with
+    * `inner = true` (the DuckDB ASOF JOIN default) unmatched left rows are
+    * dropped, with `inner = false` (ASOF LEFT JOIN) they survive with null
+    * right columns — same single-shuffle plan either way, the variants
+    * differ only in the final filter.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               ts: String, leftKeep: Seq[String], rightKeep: Seq[String]): DataFrame = {
+               ts: String, leftKeep: Seq[String], rightKeep: Seq[String],
+               inner: Boolean = true): DataFrame = {
     val rightOut = rightKeep.map(_ + "_r") :+ (ts + "_r")
     val l = left.select(
       (keys.map(col) :+ col(ts) :+ lit(1).as("__side")) ++
@@ -44,7 +48,8 @@ object JoinOps {
     val filled = rightOut.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1 && col(ts + "_r").isNotNull)
+    val leftRows = filled.filter(col("__side") === 1)
+    (if (inner) leftRows.filter(col(ts + "_r").isNotNull) else leftRows)
       .drop("__side")
   }
 

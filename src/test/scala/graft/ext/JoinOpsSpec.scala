@@ -34,6 +34,21 @@ class JoinOpsSpec extends AnyFunSuite {
       Seq("event_id"), Seq("value")).count() == 0)
   }
 
+  test("asofJoin inner=false keeps unmatched left rows with null right " +
+      "(ASOF LEFT JOIN)") {
+    val left = Seq((1L, ts(5), 100L), (1L, ts(20), 101L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(10), 1.0)).toDF("user_id", "ts", "value")
+    val r = JoinOps.asofJoin(left, right, Seq("user_id"), "ts",
+        Seq("event_id"), Seq("value"), inner = false)
+      .orderBy("event_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(r(0).fieldIndex("event_id")) == 100L &&
+      r(0).isNullAt(r(0).fieldIndex("value_r")))
+    assert(r(1).getLong(r(1).fieldIndex("event_id")) == 101L &&
+      r(1).getDouble(r(1).fieldIndex("value_r")) == 1.0)
+  }
+
   test("rangeJoin matches rows in [ts, ts+window) incl. bucket-crossing") {
     val left = Seq((1L, ts(50), 100L)).toDF("user_id", "ts", "signup_id")
     // window [00:50, 01:50): 00:55 in same hour-bucket, 01:20 in the next,
