@@ -25,9 +25,12 @@ object Bench {
         catch { case _: Throwable => () }
       }
     // Dev-only knobs (driver sets neither): ONLY=comma-list to subset,
-    // REPS=n to repeat each query and keep the fastest run.
+    // REPS=n to repeat each query and keep the fastest run. Default is
+    // min-of-3: single-run times on this workload swing up to 3.5× between
+    // identical-code runs (r2 vs r3: q44 3.78→1.07 s), so one run cannot
+    // distinguish a regression from scheduler noise.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     // A failed query must NOT bench as a fast one: record the error instead
     // of a time and keep it out of the total, so a regression that breaks a

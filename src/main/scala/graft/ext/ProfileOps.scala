@@ -2,12 +2,14 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Dataset profiling — the Spark analog of DuckDB's `SUMMARIZE`
   * (/root/reference delegates profiling to DuckDB, where SUMMARIZE is the
   * idiom): per-column row counts, null counts, exact distinct counts,
-  * min/max/mean, emitted in long format (one row per column) so the
-  * profile of a 1000-column table is still a 1000-row result.
+  * min/max (+mean for numerics), emitted in long format (one row per
+  * column) so the profile of a 1000-column table is still a 1000-row
+  * result.
   *
   * Two branches, both expand-free:
   *   - base metrics: ONE aggregate pass computes rows/nulls/min/max/mean
@@ -20,31 +22,73 @@ import org.apache.spark.sql.functions._
   *     magnitude fewer rows. Exact distinct (not approx_count_distinct)
   *     keeps the operator oracle-checkable; swap in approx at trillion-row
   *     scale where a 2% error beats any exact plan.
+  *
+  * Like SUMMARIZE, the output schema is uniform across column types:
+  * numeric stats land in (min_num, max_num, mean_v); string/temporal
+  * min/max land in (min_str, max_str) — temporals formatted to a fixed
+  * second-precision pattern so the rendering is engine-independent.
   */
 object ProfileOps {
 
-  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  private def kindOf(dt: DataType): String = dt match {
+    case _: NumericType => "numeric"
+    case StringType     => "string"
+    case TimestampType | TimestampNTZType => "timestamp"
+    case DateType       => "date"
+    case other => throw new IllegalArgumentException(
+      s"ProfileOps.profile: unsupported column type $other")
+  }
+
+  /** Mixed-type profile; see object doc. One agg pass + one exploded
+    * two-phase distinct pass, any mix of numeric/string/timestamp/date
+    * columns.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val kinds = cols.map(c => c -> kindOf(df.schema(c).dataType)).toMap
     def d(c: String): Column = col(c).cast("double")
-    val aggs: Seq[Column] = cols.flatMap { c => Seq(
-      count(lit(1)).as(s"${c}__rows"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      min(d(c)).as(s"${c}__min"),
-      max(d(c)).as(s"${c}__max"),
-      round(avg(d(c)), 4).as(s"${c}__mean"))
+
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
+      (kinds(c) match {
+        case "numeric" => Seq(
+          min(d(c)).as(s"${c}__minn"), max(d(c)).as(s"${c}__maxn"),
+          round(avg(d(c)), 4).as(s"${c}__mean"))
+        case "string" => Seq(
+          min(col(c)).as(s"${c}__mins"), max(col(c)).as(s"${c}__maxs"))
+        case "timestamp" => Seq(
+          date_format(min(col(c)), TsFmt).as(s"${c}__mins"),
+          date_format(max(col(c)), TsFmt).as(s"${c}__maxs"))
+        case "date" => Seq(
+          min(col(c)).cast("string").as(s"${c}__mins"),
+          max(col(c)).cast("string").as(s"${c}__maxs"))
+      })
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
+
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
     val rows = cols.map { c =>
-      struct(lit(c).as("col_name"),
+      val numeric = kinds(c) == "numeric"
+      struct(lit(c).as("col_name"), lit(kinds(c)).as("col_type"),
         col(s"${c}__rows").as("n_rows"),
         col(s"${c}__nulls").as("n_null"),
-        col(s"${c}__min").as("min_v"),
-        col(s"${c}__max").as("max_v"),
-        col(s"${c}__mean").as("mean_v"))
+        (if (numeric) col(s"${c}__minn") else nullD).as("min_num"),
+        (if (numeric) col(s"${c}__maxn") else nullD).as("max_num"),
+        (if (numeric) col(s"${c}__mean") else nullD).as("mean_v"),
+        (if (numeric) nullS else col(s"${c}__mins")).as("min_str"),
+        (if (numeric) nullS else col(s"${c}__maxs")).as("max_str"))
     }
     val base = agged.select(explode(array(rows: _*)).as("p")).select("p.*")
 
+    // the string cast is injective per source type (Double.toString,
+    // micro-precision timestamp rendering), so DISTINCT cardinality is
+    // exactly that of the native values
     val nd = df
-      .select(posexplode(array(cols.map(d): _*)).as(Seq("__i", "__v")))
+      .select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
+        .as(Seq("__i", "__v")))
       .filter(col("__v").isNotNull) // count(DISTINCT c) ignores nulls
       .distinct()
       .groupBy(col("__i"))
@@ -53,8 +97,16 @@ object ProfileOps {
         col("n_distinct"))
 
     base.join(nd, Seq("col_name"), "left")
-      .select(col("col_name"), col("n_rows"), col("n_null"),
+      .select(col("col_name"), col("col_type"), col("n_rows"), col("n_null"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"), // all-null col
-        col("min_v"), col("max_v"), col("mean_v"))
+        col("min_num"), col("max_num"), col("mean_v"),
+        col("min_str"), col("max_str"))
   }
+
+  /** Numeric-only profile, kept for callers that want the narrow schema. */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols)
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num").as("min_v"),
+        col("max_num").as("max_v"), col("mean_v"))
 }

@@ -11,12 +11,12 @@ import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, Profil
   * force + IVF), text analysis (tokens, quality, language-ID, fingerprints),
   * multimodal plumbing, and sessionization.
   *
-  * Every query carries a DuckDB oracle except q31 (its k-means centroids
-  * are fit at run time, so no static SQL can reproduce them) and q46
-  * (engine-specific sketches) — those two get the driver's rows-only check
-  * plus a ScalaTest spec (recall / error bounds) instead. q27/q28 use the
-  * portable md5-derived hash families; q52 shares its literal hyperplanes
-  * with the generated oracle.
+  * Every query carries a DuckDB oracle except q46 (engine-specific
+  * sketches — rows-only check plus ApproxSketchSpec error bounds; its
+  * exact aggregates are split into the fully-oracled q61). q27/q28 use
+  * the portable md5-derived hash families; q52/q60 share their literal
+  * hyperplanes with the generated oracle, and q31 shares its committed
+  * prefit centroids (graft.ext.IvfCentroids) the same way.
   */
 object ExtensionQueries {
 
@@ -135,16 +135,22 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Steady-state IVF: the quantizer is PREFIT and committed
+    // (graft.ext.IvfCentroids, built once by graft.tools.FitIvfCentroids) —
+    // the query pays only the map-only cell assignment + pruned scan, zero
+    // fit jobs, no corpus cache. The oracle embeds the same centroid
+    // literals, so this carries a full hash-match oracle like q52.
     "q31_ann_ivf" -> ((s, dir) => {
-      // label column deliberately unused: cells come from the k-means fit
+      // label column deliberately unused: cells come from the quantizer
       val e = t(s, dir, "embeddings").drop("label")
-      SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5, nprobe = 3,
-          nCells = 10)
+      SimilarityOps.ivfTopKWithCentroids(e.filter(col("vec_id") < 10), e,
+          graft.ext.IvfCentroids.centroids, k = 5, nprobe = 3)
         .orderBy(col("probe_id"), col("rk"))
     }),
 
-    // Rows-only like q31; recall vs q30's exact top-k is bounded in
-    // SimilarityOpsSpec (0.74 @ the default 8x4 banding, fixed seed).
+    // Full oracle via shared literal planes; recall vs q30's exact top-k
+    // is bounded in SimilarityOpsSpec (0.74 @ the default 8x4 banding,
+    // fixed seed).
     "q52_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilarityOps.hyperplaneLshTopK(e.filter(col("vec_id") < 10), e, k = 5)
@@ -285,9 +291,12 @@ object ExtensionQueries {
     }),
 
     // -- Column profiling (the reference idiom is DuckDB SUMMARIZE) ------
+    // Mixed-type: numeric, string, and timestamp columns in one profile,
+    // SUMMARIZE-style uniform schema.
     "q58_profile" -> ((s, dir) =>
-      ProfileOps.profileNumeric(t(s, dir, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      ProfileOps.profile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"))
         .orderBy(col("col_name"))),
 
     // -- Stratified sampling: per-language mixing rates ------------------
@@ -433,6 +442,43 @@ object ExtensionQueries {
        |SELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5
        |ORDER BY probe_id, rk""".stripMargin
 
+  /** q31's oracle: the committed centroids ([[graft.ext.IvfCentroids]])
+    * embed as SQL literals exactly like q52's hyperplanes. Candidate cell
+    * assignment (argmax dot, ties → lowest cell, mirroring
+    * [[SimilarityOps.cellOf]]) and probe cell ranking (top-nprobe by dot)
+    * are both plain `row_number` over `list_dot_product`, which DuckDB
+    * evaluates bitwise-identically to the native kernel.
+    */
+  private lazy val ivfOracleSql: String = {
+    val centRows = graft.ext.IvfCentroids.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u FROM e),
+       |cents(cell, c) AS (VALUES $centRows),
+       |pcand AS (SELECT n.vec_id AS probe_id, n.u AS pu, cents.cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell) AS crk
+       |  FROM n, cents WHERE n.vec_id < 10),
+       |probes AS (SELECT probe_id, pu, cell FROM pcand WHERE crk <= 3),
+       |ccand AS (SELECT n.vec_id AS cand_id, n.u AS cu, cents.cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell) AS rn
+       |  FROM n, cents),
+       |cands AS (SELECT cand_id, cu, cell FROM ccand WHERE rn = 1),
+       |sc AS (SELECT p.probe_id, c.cand_id,
+       |    round(list_dot_product(p.pu, c.cu), 6) AS sim
+       |  FROM cands c JOIN probes p USING (cell)
+       |  WHERE p.probe_id <> c.cand_id),
+       |rk AS (SELECT probe_id, cand_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM sc)
+       |SELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
   /** q60: same literal planes, bucket self-join instead of probe top-k. */
   private lazy val lshNearDupOracleSql: String =
     s"""WITH $lshBandCtes,
@@ -567,6 +613,7 @@ object ExtensionQueries {
     "q27_minhash_neardup" -> minHashOracleSql,
     "q56_neardup_dedup" -> nearDupDedupOracleSql,
     "q52_ann_lsh" -> lshOracleSql,
+    "q31_ann_ivf" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
@@ -669,17 +716,44 @@ object ExtensionQueries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
-    "q58_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      .map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_null,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  min(CAST($c AS DOUBLE)) AS min_v,
-           |  max(CAST($c AS DOUBLE)) AS max_v,
-           |  round(avg(CAST($c AS DOUBLE)), 4) AS mean_v
-           |FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q58_profile" -> {
+      // one UNION-ALL branch per column, shaped by its type — mirrors the
+      // uniform SUMMARIZE-style schema of ProfileOps.profile
+      def branch(c: String, kind: String): String = {
+        val common =
+          s"""SELECT '$c' AS col_name, '$kind' AS col_type,
+             |  count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,""".stripMargin
+        val typed = kind match {
+          case "numeric" =>
+            s"""  min(CAST($c AS DOUBLE)) AS min_num,
+               |  max(CAST($c AS DOUBLE)) AS max_num,
+               |  round(avg(CAST($c AS DOUBLE)), 4) AS mean_v,
+               |  CAST(NULL AS VARCHAR) AS min_str,
+               |  CAST(NULL AS VARCHAR) AS max_str""".stripMargin
+          case "string" =>
+            s"""  CAST(NULL AS DOUBLE) AS min_num,
+               |  CAST(NULL AS DOUBLE) AS max_num,
+               |  CAST(NULL AS DOUBLE) AS mean_v,
+               |  min($c) AS min_str,
+               |  max($c) AS max_str""".stripMargin
+          case _ => // timestamp
+            s"""  CAST(NULL AS DOUBLE) AS min_num,
+               |  CAST(NULL AS DOUBLE) AS max_num,
+               |  CAST(NULL AS DOUBLE) AS mean_v,
+               |  strftime(min($c), '%Y-%m-%d %H:%M:%S') AS min_str,
+               |  strftime(max($c), '%Y-%m-%d %H:%M:%S') AS max_str""".stripMargin
+        }
+        s"$common\n$typed\nFROM lineitem"
+      }
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(branch(_, "numeric")) ++
+        Seq("l_returnflag", "l_linestatus").map(branch(_, "string")) ++
+        Seq(branch("l_shipdate", "timestamp")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q57_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled
         |FROM documents

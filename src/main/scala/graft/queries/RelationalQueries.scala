@@ -383,6 +383,25 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // Exact companion to q46: the same aggregates computed exactly, so the
+    // sketch-free half of the operator carries a full DuckDB oracle (q46
+    // itself stays rows-only — sketch internals differ per engine by
+    // design). Exact median reuses q14's selection-based quantile: no
+    // per-group sort funnel, candidate buckets bound per-task work.
+    "q61_sketch_exact" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val base = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+      val med = graft.ext.AggOps.exactQuantilesBySelection(
+          e.select(col("event_type"), col("value")),
+          Seq("event_type"), "value", Seq("p50" -> 0.5))
+        .select(col("event_type"), round(col("p50"), 2).as("p50"))
+      base.join(med, Seq("event_type"))
+        .select(col("event_type"), col("n_users"), col("p50"), col("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- Scalar subquery (uncorrelated) ----------------------------------
     // The 1-row aggregate broadcasts; the big side never shuffles.
     "q47_scalar_subquery" -> ((s, dir) => {
@@ -552,6 +571,14 @@ object RelationalQueries {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 25""".stripMargin,
+    "q61_sketch_exact" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(quantile_cont(value, 0.5), 2) AS p50,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q14_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
