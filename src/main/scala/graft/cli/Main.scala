@@ -69,7 +69,7 @@ object Main {
       Runtime.getRuntime.availableProcessors.toString)
     val warehouse = config.dbPath.getOrElse(
       Files.createTempDirectory("graft-warehouse").toString)
-    SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.warehouse.dir", warehouse)
@@ -79,6 +79,9 @@ object Main {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // model SQL can call graft's native functions (len, cosine_sim, …)
+    graft.functions.GraftExtensions.register(spark)
+    spark
   }
 
   private def runPipeline(flags: Map[String, String]): Unit = {

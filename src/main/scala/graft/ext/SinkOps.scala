@@ -54,14 +54,22 @@ object SinkOps {
     * in-bucket order so a sort-merge join skips its Sort too. nBuckets
     * sizes a bucket ≈ one task's comfortable input (~128-256 MB at
     * target scale).
+    *
+    * Pass `dbPath` to also record the table (WITH its bucket spec) in the
+    * pipeline's ViewStore manifest, so a later session over the same
+    * db_path restores it still bucketed — otherwise the zero-exchange
+    * property silently dies at the session boundary.
     */
   def writeBucketedTable(df: DataFrame, table: String,
                          bucketCols: Seq[String], nBuckets: Int,
-                         sortCols: Seq[String] = Nil): Unit = {
+                         sortCols: Seq[String] = Nil,
+                         dbPath: Option[String] = None): Unit = {
     val writer = df.repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
      else writer).saveAsTable(table)
+    if (dbPath.isDefined)
+      graft.pipeline.ViewStore.saveTable(df.sparkSession, dbPath, table)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Shingles, VectorNormalize}
+import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Len, Shingles, VectorNormalize}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions hook: registers graft's native expressions as SQL
@@ -36,6 +36,11 @@ object GraftExtensions {
     (FunctionIdentifier("vector_normalize"),
       info("vector_normalize", classOf[VectorNormalize]),
       (args: Seq[Expression]) => VectorNormalize(args(0))),
+    // len(x): DuckDB's string/list-overloaded length — type-dispatching
+    // RuntimeReplaceable, because a textual shim can't know the arg type
+    (FunctionIdentifier("len"),
+      info("len", classOf[Len]),
+      (args: Seq[Expression]) => Len(args(0))),
     // shingles(toks, k): k must be a literal int (it shapes the codegen)
     (FunctionIdentifier("shingles"),
       info("shingles", classOf[Shingles]),

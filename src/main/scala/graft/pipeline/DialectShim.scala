@@ -59,7 +59,13 @@ object DialectShim {
     "list_contains" -> "array_contains",
     "list_has_any" -> "arrays_overlap",
     "regexp_matches" -> "regexp_like", // both are find-anywhere semantics
-    "epoch_ms" -> "unix_millis")
+    "epoch_ms" -> "unix_millis",
+    // lambda syntax (`x -> …`) is identical in both dialects, so the
+    // higher-order pair is a pure rename (len() is NOT here: its overload
+    // set needs type dispatch — see the registered `len` function in
+    // graft.functions.GraftExtensions)
+    "list_transform" -> "transform",
+    "list_filter" -> "filter")
     .map { case (from, to) => (s"(?i)\\b$from\\s*\\(").r -> (to + "(") }
 
   // string_split's separator is a LITERAL; Spark split takes a regex —
@@ -104,6 +110,134 @@ object DialectShim {
     Some(out.toString)
   }
 
+  // --- DuckDB CREATE MACRO (scalar form) --------------------------------
+  // The reference passes ANY side statement through to DuckDB
+  // (/root/reference/src/node.rs:151-205), so a model may define a macro
+  // and a later statement/model may call it. Spark's SQL UDFs need typed
+  // parameters, which untyped DuckDB macros don't carry — so scalar macros
+  // are expanded TEXTUALLY instead: the definition statement registers
+  // (name, params, body) in a per-session registry and executes as a
+  // no-op; call sites in later statements inline the body with arguments
+  // substituted (paren-wrapped, so precedence is preserved). Table macros
+  // (`AS TABLE …`) and parameter defaults (`a := 1`) stay verbatim and
+  // fail at execution with the original statement visible — the
+  // reference's error shape for anything DuckDB-only.
+
+  private final case class SqlMacro(name: String, params: Seq[String], body: String)
+
+  private val macroDefRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+)\s*$""".r
+  private val identRe = """^[A-Za-z_]\w*$""".r
+
+  /** Parse a scalar CREATE MACRO definition: Some((name, params, body)),
+    * or None for the table form / defaulted params / anything else.
+    */
+  def macroDefinition(st: String): Option[(String, Seq[String], String)] =
+    st match {
+      case macroDefRe(name, params, body)
+          if !body.trim.toUpperCase.startsWith("TABLE") =>
+        val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (ps.forall(p => identRe.findFirstIn(p).isDefined))
+          Some((name.toLowerCase, ps, body.trim))
+        else None
+      case _ => None
+    }
+
+  // session-scoped, like DuckDB TEMP macros; a session is a driver-side
+  // singleton here so the map stays tiny
+  private val macroRegistries =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, SqlMacro]]()
+  private def registryOf(spark: SparkSession) =
+    macroRegistries.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[String, SqlMacro])
+
+  /** Register `st` if it is a scalar macro definition; true when handled
+    * (the caller should then skip executing the statement).
+    */
+  def registerMacroIfDef(spark: SparkSession, st: String): Boolean =
+    macroDefinition(st) match {
+      case Some((name, ps, body)) =>
+        registryOf(spark).put(name, SqlMacro(name, ps, body)); true
+      case None => false
+    }
+
+  /** Inline registered macro calls (repeatedly, so macros may call macros;
+    * bounded in case of accidental self-reference). Literal-aware; a call
+    * only rewrites when its arg count matches the definition.
+    */
+  private def inlineMacros(sql: String,
+      macros: scala.collection.Map[String, SqlMacro]): String = {
+    if (macros.isEmpty) return sql
+    var out = sql
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 10) {
+      changed = false; rounds += 1
+      val sb = new StringBuilder
+      var i = 0
+      while (i < out.length) {
+        val c = out.charAt(i)
+        if (c == '\'') {
+          val j = out.indexOf('\'', i + 1)
+          val end = if (j < 0) out.length else j + 1
+          sb.append(out.substring(i, end)); i = end
+        } else if (Character.isJavaIdentifierStart(c)) {
+          var j = i
+          while (j < out.length && Character.isJavaIdentifierPart(out.charAt(j))) j += 1
+          val word = out.substring(i, j)
+          var k = j
+          while (k < out.length && Character.isWhitespace(out.charAt(k))) k += 1
+          val qualified = sb.nonEmpty && sb.charAt(sb.length - 1) == '.'
+          macros.get(word.toLowerCase) match {
+            case Some(m) if !qualified && k < out.length && out.charAt(k) == '(' =>
+              parseArgs(out, k) match {
+                case Some((args, end)) if args.length == m.params.length =>
+                  sb.append(expandMacro(m, args)); i = end; changed = true
+                case _ => sb.append(word); i = j
+              }
+            case _ => sb.append(word); i = j
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      out = sb.toString
+    }
+    out
+  }
+
+  /** Balanced-paren, literal-aware argument scan starting at `open` (which
+    * must index a '('): Some((topLevelArgs, indexAfterCloser)).
+    */
+  private def parseArgs(s: String, open: Int): Option[(Seq[String], Int)] = {
+    var i = open + 1; var depth = 1; var inLit = false
+    val args = Seq.newBuilder[String]; val cur = new StringBuilder
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (inLit) { cur.append(c); if (c == '\'') inLit = false }
+      else c match {
+        case '\''              => inLit = true; cur.append(c)
+        case '('               => depth += 1; cur.append(c)
+        case ')'               => depth -= 1; if (depth > 0) cur.append(c)
+        case ',' if depth == 1 => args += cur.toString; cur.clear()
+        case _                 => cur.append(c)
+      }
+      i += 1
+    }
+    if (depth != 0) None
+    else {
+      val all = (args.result() :+ cur.toString).map(_.trim)
+      Some((if (all == Seq("")) Seq.empty else all, i))
+    }
+  }
+
+  private def expandMacro(m: SqlMacro, args: Seq[String]): String = {
+    val sub = m.params.zip(args).foldLeft(m.body) { case (b, (p, a)) =>
+      b.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(s"($a)"))
+    }
+    s"($sub)"
+  }
+
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.
     */
@@ -116,7 +250,17 @@ object DialectShim {
     rewriteImpl(sql, Some(spark))
 
   private def rewriteImpl(sql: String, spark: Option[SparkSession]): String = {
-    val afterList = readFnList.replaceAllIn(sql, m => {
+    // macro handling first: a definition registers and passes through
+    // verbatim (SqlExec skips it); call sites inline BEFORE the other
+    // rewrites so macro bodies may themselves use DuckDB-isms
+    val afterMacros = spark match {
+      case Some(s) =>
+        if (registerMacroIfDef(s, sql)) return sql
+        inlineMacros(sql, registryOf(s))
+      case None => sql
+    }
+    val afterAsof = rewriteAsof(afterMacros)
+    val afterList = readFnList.replaceAllIn(afterAsof, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       val rewritten =
@@ -148,6 +292,161 @@ object DialectShim {
           .map(p => s"date_format(${m.group(1)}, '$p')")
           .getOrElse(m.matched)))
     replaceOutsideLiterals(afterStrftime)
+  }
+
+  // --- DuckDB ASOF JOIN --------------------------------------------------
+  // `L ASOF [LEFT] JOIN R [alias] ON eq-conds AND <one ts inequality>`
+  // rewrites to a correlated LATERAL top-1 subquery:
+  //   L [LEFT] JOIN LATERAL (SELECT * FROM R AS alias WHERE <cond>
+  //                          ORDER BY <right ts> DESC|ASC LIMIT 1) AS alias
+  //     ON true
+  // Catalyst decorrelates LATERAL+LIMIT into a window-style per-key top-1
+  // (no nested loop — same machinery q48 plan-asserts), which is the
+  // correct distributed shape; the DataFrame-level operator
+  // (graft.ext.JoinOps.asofJoin) remains the zero-join union+window form
+  // for hot paths. Unsupported ASOF forms fail fast with an error NAMING
+  // the operator instead of a bare Spark parse error.
+  private val asofRe = """(?i)\bASOF\s+(LEFT\s+)?JOIN\b""".r
+  private val asofTerminators = Set(
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "SEMI",
+    "ANTI", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+    "INTERSECT", "EXCEPT", "QUALIFY", "WINDOW")
+
+  private def unsupportedAsof(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      "ASOF JOIN: unsupported form (" + detail + "); supported: " +
+        "`ASOF [LEFT] JOIN <rel> [alias] ON <equi conds AND one ts inequality>`")
+
+  private def rewriteAsof(sql: String): String =
+    asofRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) if sql.take(m.start).count(_ == '\'') % 2 == 1 =>
+        sql // inside a string literal; leave verbatim
+      case Some(m) =>
+        val isLeft = m.group(1) != null
+        val (rel, alias, afterRel) = parseAsofRelation(sql, m.end)
+        val onEnd = {
+          var k = afterRel
+          while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+          if (!sql.regionMatches(true, k, "ON", 0, 2)) unsupportedAsof("missing ON")
+          k + 2
+        }
+        val (cond, end) = scanAsofCondition(sql, onEnd)
+        val (orderExpr, desc) = asofOrdering(cond, alias)
+        val dir = if (desc) "DESC" else "ASC"
+        val sub = s"(SELECT * FROM $rel AS $alias WHERE $cond " +
+          s"ORDER BY $orderExpr $dir LIMIT 1) AS $alias"
+        val joined =
+          (if (isLeft) "LEFT JOIN LATERAL " else "JOIN LATERAL ") + sub + " ON true"
+        // the whitespace before the terminator keyword was trimmed out of
+        // the condition — re-separate explicitly
+        val sep = if (end < sql.length) " " else ""
+        rewriteAsof(sql.substring(0, m.start) + joined + sep + sql.substring(end))
+    }
+
+  /** Parse the right relation after `ASOF … JOIN`: a parenthesized
+    * subquery or a table name, plus optional [AS] alias. Returns
+    * (relationText, alias, indexAfter).
+    */
+  private def parseAsofRelation(sql: String, from: Int): (String, String, Int) = {
+    var i = from
+    while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
+    val (rel, afterRel) =
+      if (i < sql.length && sql.charAt(i) == '(') {
+        parseArgs(sql, i) match { // reuse the balanced scan; rejoin args
+          case Some((_, end)) => (sql.substring(i, end), end)
+          case None           => unsupportedAsof("unbalanced subquery parens")
+        }
+      } else {
+        var j = i
+        while (j < sql.length &&
+          (Character.isJavaIdentifierPart(sql.charAt(j)) ||
+            sql.charAt(j) == '.' || sql.charAt(j) == '`')) j += 1
+        if (j == i) unsupportedAsof("missing right relation")
+        (sql.substring(i, j), j)
+      }
+    var k = afterRel
+    while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    // optional AS
+    if (sql.regionMatches(true, k, "AS", 0, 2) && k + 2 < sql.length &&
+        !Character.isJavaIdentifierPart(sql.charAt(k + 2))) {
+      k += 2
+      while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    }
+    var a = k
+    while (a < sql.length && Character.isJavaIdentifierPart(sql.charAt(a))) a += 1
+    val tok = sql.substring(k, a)
+    if (tok.nonEmpty && !tok.equalsIgnoreCase("ON")) (rel, tok, a)
+    else if (!rel.startsWith("(")) // bare table, no alias: table name IS the alias
+      (rel, rel.split('.').last.stripPrefix("`").stripSuffix("`"), k)
+    else unsupportedAsof("subquery right side needs an alias")
+  }
+
+  /** Condition text from `from` to the next top-level clause keyword /
+    * unbalanced ')' / statement end. Literal-aware.
+    */
+  private def scanAsofCondition(sql: String, from: Int): (String, Int) = {
+    var i = from; var depth = 0; var inLit = false
+    var end = sql.length
+    var done = false
+    while (i < sql.length && !done) {
+      val c = sql.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false; i += 1 }
+      else if (c == '\'') { inLit = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        if (depth == 0) { end = i; done = true } else { depth -= 1; i += 1 }
+      } else if (depth == 0 && Character.isJavaIdentifierStart(c)) {
+        var j = i
+        while (j < sql.length && Character.isJavaIdentifierPart(sql.charAt(j))) j += 1
+        if (asofTerminators(sql.substring(i, j).toUpperCase)) { end = i; done = true }
+        else i = j
+      } else i += 1
+    }
+    (sql.substring(from, end).trim, end)
+  }
+
+  /** Find the single top-level ts inequality in the ON condition and
+    * derive the subquery ordering: the operand referencing the right
+    * alias is the sort key; direction picks the closest right row on the
+    * correct side (e.g. `l.ts >= r.ts` → max r.ts ≤ l.ts → DESC).
+    */
+  private def asofOrdering(cond: String, alias: String): (String, Boolean) = {
+    // split on top-level ANDs (literal- and paren-aware)
+    val conjuncts = Seq.newBuilder[String]
+    var i = 0; var depth = 0; var inLit = false; var start = 0
+    while (i < cond.length) {
+      val c = cond.charAt(i)
+      if (inLit) { if (c == '\'') inLit = false; i += 1 }
+      else if (c == '\'') { inLit = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && Character.isJavaIdentifierStart(c)) {
+        var j = i
+        while (j < cond.length && Character.isJavaIdentifierPart(cond.charAt(j))) j += 1
+        if (cond.substring(i, j).equalsIgnoreCase("AND")) {
+          conjuncts += cond.substring(start, i); start = j
+        }
+        i = j
+      } else i += 1
+    }
+    conjuncts += cond.substring(start)
+    val cmp = """(?s)^(.*?)(>=|<=|>|<)(.*)$""".r
+    val ineqs = conjuncts.result().map(_.trim).flatMap {
+      // exclude `<>` (matches as `<` + r starting with `>`)
+      case cmp(l, op, r) if !r.startsWith("=") && !r.startsWith(">") =>
+        Some((l.trim, op, r.trim))
+      case _ => None
+    }
+    if (ineqs.size != 1)
+      unsupportedAsof(s"need exactly one ts inequality, found ${ineqs.size}")
+    val (l, op, r) = ineqs.head
+    val refsAlias = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\s*\\.").r
+    val lRefs = refsAlias.findFirstIn(l).isDefined
+    val rRefs = refsAlias.findFirstIn(r).isDefined
+    if (rRefs && !lRefs) (r, op == ">=" || op == ">")
+    else if (lRefs && !rRefs) (l, op == "<=" || op == "<")
+    else unsupportedAsof("ts inequality must reference the right alias on exactly one side")
   }
 
   /** One kwarg call → Some(viewName) if every option maps, else None.

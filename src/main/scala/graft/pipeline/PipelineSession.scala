@@ -221,7 +221,7 @@ final class PipelineSession(
         try {
           spark.sql(s"DROP TABLE IF EXISTS `${node.id}`")
           spark.sql(select).write.mode("overwrite").saveAsTable(node.id)
-          ViewStore.saveTable(config.dbPath, node.id)
+          ViewStore.saveTable(spark, config.dbPath, node.id)
           val n = spark.table(node.id).count() // row-count postlude (node.rs:179-189)
           s"SELECT $n"
         } catch {

@@ -16,6 +16,11 @@ import org.apache.spark.sql.catalyst.plans.logical.CommandResult
   */
 object SqlExec {
   def run(spark: SparkSession, st: String): Unit = {
+    // scalar CREATE MACRO is a registry operation, not a Spark statement:
+    // it was recorded at rewrite time (idempotently re-recorded here for
+    // direct callers) and call sites are inlined textually — see
+    // DialectShim. Nothing to execute.
+    if (DialectShim.registerMacroIfDef(spark, st)) return
     val df = spark.sql(st)
     val isCommand = df.queryExecution.analyzed.isInstanceOf[CommandResult]
     if (!isCommand) df.write.format("noop").mode("overwrite").save()

@@ -42,15 +42,38 @@ object ViewStore {
       appendEntry(db, "table", id)
     }
 
+  /** Catalog-aware variant: if `id` is a BUCKETED table (saveAsTable with
+    * bucketBy — e.g. graft.ext.SinkOps.writeBucketedTable), the bucket
+    * spec is recorded in the manifest so [[restore]] re-registers it with
+    * CLUSTERED BY and the table keeps its zero-exchange join property in
+    * later sessions — losing the spec silently re-adds the big-side
+    * shuffle the bucketed layout was bought to remove.
+    */
+  def saveTable(spark: SparkSession, dbPath: Option[String], id: String): Unit =
+    dbPath.foreach { db =>
+      val extra = try {
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(id))
+          .bucketSpec
+          .map(bs => s"\t${bs.numBuckets}\t${bs.bucketColumnNames.mkString(",")}" +
+            s"\t${bs.sortColumnNames.mkString(",")}")
+          .getOrElse("")
+      } catch { case _: Exception => "" }
+      Files.createDirectories(storeDir(db))
+      appendEntry(db, "table", id, extra)
+    }
+
   // re-registering a model keeps its original (topo) position so replay
   // order stays dependency-safe; a changed definition just overwrites
-  private def appendEntry(dbPath: String, kind: String, id: String): Unit = {
+  private def appendEntry(dbPath: String, kind: String, id: String,
+                          extra: String = ""): Unit = {
     val m = manifest(dbPath)
     val cur =
       if (Files.exists(m)) Files.readAllLines(m).asScala.toSeq else Seq.empty
-    val line = s"$kind\t$id"
-    val next = if (cur.exists(_.endsWith(s"\t$id")))
-      cur.map(l => if (l.endsWith(s"\t$id")) line else l)
+    val line = s"$kind\t$id$extra"
+    def sameId(l: String): Boolean =
+      l.split("\t", -1).lift(1).contains(id)
+    val next = if (cur.exists(sameId)) cur.map(l => if (sameId(l)) line else l)
     else cur :+ line
     Files.write(m, next.asJava)
   }
@@ -63,7 +86,7 @@ object ViewStore {
     if (!Files.exists(m)) return 0
     var n = 0
     Files.readAllLines(m).asScala.foreach { line =>
-      line.split("\t", 2) match {
+      line.split("\t", -1) match {
         case Array("view", id) =>
           try {
             val sql = Files.readString(storeDir(dbPath).resolve(s"$id.sql"))
@@ -72,7 +95,8 @@ object ViewStore {
           } catch { case e: Exception =>
             println(s"WARNING: could not restore view `$id`: ${e.getMessage}")
           }
-        case Array("table", id) =>
+        case fields if fields.length >= 2 && fields(0) == "table" =>
+          val id = fields(1)
           try {
             if (!spark.catalog.tableExists(id)) {
               // managed-table data written by saveAsTable lives at
@@ -80,7 +104,24 @@ object ViewStore {
               val wh = spark.conf.get("spark.sql.warehouse.dir")
               val loc = (if (wh.startsWith("file:"))
                 Paths.get(new java.net.URI(wh)) else Paths.get(wh)).resolve(id)
-              spark.catalog.createTable(id, loc.toString, "parquet")
+              if (fields.length >= 4) {
+                // bucketed: re-register with the recorded CLUSTERED BY so
+                // the bucketed-scan distribution (zero-exchange joins)
+                // survives the session boundary. saveAsTable encodes the
+                // bucket id in each file name, which the bucketed scan
+                // reads back — the data needs no rewrite.
+                val nBuckets = fields(2).toInt
+                val bcols = fields(3).split(",").filter(_.nonEmpty)
+                  .map(c => s"`$c`").mkString(", ")
+                val scols = fields.lift(4).getOrElse("")
+                  .split(",").filter(_.nonEmpty).map(c => s"`$c`").mkString(", ")
+                val sorted = if (scols.nonEmpty) s"SORTED BY ($scols) " else ""
+                val schemaDDL = spark.read.parquet(loc.toString).schema.toDDL
+                spark.sql(s"CREATE TABLE `$id` ($schemaDDL) USING parquet " +
+                  s"CLUSTERED BY ($bcols) ${sorted}INTO $nBuckets BUCKETS " +
+                  s"LOCATION '${loc.toString}'")
+              } else
+                spark.catalog.createTable(id, loc.toString, "parquet")
             }
             n += 1
           } catch { case e: Exception =>

@@ -17,6 +17,8 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // same function surface the CLI session gets (Main.buildSpark)
+    graft.functions.GraftExtensions.register(s)
     s
   }
 }

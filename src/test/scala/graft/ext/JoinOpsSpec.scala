@@ -84,4 +84,27 @@ class JoinOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("saltedEquiJoin plan shuffles on (keys, salt), never bare keys") {
+    // guards the refactor hazard: if the salt column fell out of the join
+    // keys, the operator would silently regress to a plain skewed join and
+    // still pass the equality test above
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = JoinOps.saltedEquiJoin(orders, customer, Seq("o_custkey"), 8)
+        .queryExecution.executedPlan.toString
+      val parts = "hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      val keyed = parts.filter(_.contains("o_custkey"))
+      assert(keyed.nonEmpty, s"expected shuffles on the join key:\n$plan")
+      keyed.foreach(p =>
+        assert(p.contains("__salt"), s"shuffle on bare keys (salt lost): $p\n$plan"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

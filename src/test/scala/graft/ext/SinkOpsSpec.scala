@@ -67,4 +67,63 @@ class SinkOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
   }
+
+  test("ViewStore.restore keeps bucketing: zero-exchange join in a new session") {
+    import java.nio.file.{Files => JFiles, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    def copyTree(src: Path, dst: Path): Unit = {
+      val s = JFiles.walk(src)
+      try s.iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (JFiles.isDirectory(p)) JFiles.createDirectories(t)
+        else { JFiles.createDirectories(t.getParent); JFiles.copy(p, t) }
+      } finally s.close()
+    }
+    val db = Files.createTempDirectory("graft-sink-db").toString
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    SinkOps.writeBucketedTable(orders, "bktr_orders",
+      Seq("o_orderkey"), nBuckets = 8, sortCols = Seq("o_orderkey"),
+      dbPath = Some(db))
+    SinkOps.writeBucketedTable(lineitem, "bktr_lineitem",
+      Seq("l_orderkey"), nBuckets = 8, sortCols = Seq("l_orderkey"),
+      dbPath = Some(db))
+
+    // simulate a fresh JVM over the same warehouse: stash the managed data,
+    // DROP (which deletes it from the in-memory catalog AND disk), put the
+    // data back, then let restore re-register from the manifest
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val wh = if (whConf.startsWith("file:"))
+      Paths.get(new java.net.URI(whConf)) else Paths.get(whConf)
+    val stash = Files.createTempDirectory("graft-sink-stash")
+    Seq("bktr_orders", "bktr_lineitem").foreach { t =>
+      copyTree(wh.resolve(t), stash.resolve(t))
+      spark.sql(s"DROP TABLE $t")
+    }
+    Seq("bktr_orders", "bktr_lineitem").foreach { t =>
+      copyTree(stash.resolve(t), wh.resolve(t))
+    }
+
+    val s2 = spark.newSession()
+    assert(graft.pipeline.ViewStore.restore(s2, db) == 2)
+    val prevThreshold = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s2.table("bktr_lineitem").join(s2.table("bktr_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"restored co-bucketed join must not shuffle either side:\n$plan")
+      val expect = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s2.sql("DROP TABLE IF EXISTS bktr_orders")
+      s2.sql("DROP TABLE IF EXISTS bktr_lineitem")
+    }
+  }
 }

@@ -119,4 +119,128 @@ class DialectShimSpec extends AnyFunSuite {
       .head.getString(0)
     assert(r == "2024-03-05 07:08:09")
   }
+
+  test("list_transform / list_filter rename to Spark's lambda HOFs") {
+    assert(DialectShim.rewrite("SELECT list_transform(a, x -> x + 1) FROM t") ==
+      "SELECT transform(a, x -> x + 1) FROM t")
+    assert(DialectShim.rewrite("SELECT list_filter(a, x -> x > 0) FROM t") ==
+      "SELECT filter(a, x -> x > 0) FROM t")
+    // end-to-end, nested
+    val spark = graft.SparkTestSession.spark
+    val got = spark.sql(DialectShim.rewrite(
+      "SELECT list_transform(list_filter(array(1, 2, 3, 4), x -> x % 2 = 0), " +
+        "x -> x * 10) AS a")).head.getSeq[Int](0)
+    assert(got == Seq(20, 40))
+  }
+
+  test("len() dispatches on argument type via the registered function") {
+    val spark = graft.SparkTestSession.spark
+    val row = spark.sql(
+      "SELECT len('abcd') AS ls, len(array(1, 2, 3)) AS la, " +
+        "len(map('a', 1)) AS lm").head
+    assert(row.getInt(0) == 4 && row.getInt(1) == 3 && row.getInt(2) == 1)
+  }
+
+  test("scalar CREATE MACRO parses; table form and defaults do not") {
+    assert(DialectShim.macroDefinition(
+      "CREATE MACRO add_one(x) AS x + 1") == Some(("add_one", Seq("x"), "x + 1")))
+    assert(DialectShim.macroDefinition(
+      "CREATE OR REPLACE TEMP MACRO f() AS 41 + 1") == Some(("f", Seq.empty, "41 + 1")))
+    // table macros stay verbatim (DuckDB-only; execution reports them)
+    assert(DialectShim.macroDefinition(
+      "CREATE MACRO t1() AS TABLE SELECT 1").isEmpty)
+    // parameter defaults unsupported
+    assert(DialectShim.macroDefinition(
+      "CREATE MACRO g(x := 1) AS x").isEmpty)
+    assert(DialectShim.macroDefinition("CREATE TABLE x AS SELECT 1").isEmpty)
+  }
+
+  test("macro definition registers and call sites inline textually") {
+    val spark = graft.SparkTestSession.spark.newSession()
+    val defn = "CREATE MACRO add_one(x) AS x + 1"
+    // the definition passes through verbatim (SqlExec skips it)…
+    assert(DialectShim.rewrite(defn, spark) == defn)
+    // …and later statements in the same session inline the body
+    assert(DialectShim.rewrite("SELECT add_one(2) AS y", spark) ==
+      "SELECT ((2) + 1) AS y")
+    // arguments substitute paren-wrapped: precedence survives
+    assert(DialectShim.rewrite("SELECT add_one(1 + 1) * 3 AS y", spark) ==
+      "SELECT ((1 + 1) + 1) * 3 AS y")
+    // string literals elsewhere in the statement copy through verbatim
+    // (regression: the literal-copy once re-appended the whole statement)
+    assert(DialectShim.rewrite(
+      "SELECT add_one(2) AS y, 'add_one(9)' AS s FROM t", spark) ==
+      "SELECT ((2) + 1) AS y, 'add_one(9)' AS s FROM t")
+    // macros can call macros
+    DialectShim.rewrite("CREATE MACRO add_two(v) AS add_one(v) + 1", spark)
+    assert(spark.sql(DialectShim.rewrite("SELECT add_two(40) AS y", spark))
+      .head.getInt(0) == 42)
+    // qualified names and other sessions don't inline
+    assert(DialectShim.rewrite("SELECT ns.add_one(2) FROM t", spark) ==
+      "SELECT ns.add_one(2) FROM t")
+    val other = graft.SparkTestSession.spark.newSession()
+    assert(DialectShim.rewrite("SELECT add_one(2) AS y", other) ==
+      "SELECT add_one(2) AS y")
+    // arity mismatch stays verbatim (fails at execution, name visible)
+    assert(DialectShim.rewrite("SELECT add_one(1, 2) AS y", spark) ==
+      "SELECT add_one(1, 2) AS y")
+  }
+
+  test("SqlExec treats a macro definition as a no-op registry operation") {
+    val spark = graft.SparkTestSession.spark.newSession()
+    SqlExec.run(spark, "CREATE MACRO sq(x) AS x * x") // must not throw
+    assert(spark.sql(DialectShim.rewrite("SELECT sq(6) AS y", spark))
+      .head.getInt(0) == 36)
+  }
+
+  test("ASOF JOIN rewrites to a lateral top-1 subquery") {
+    val got = DialectShim.rewrite(
+      "SELECT c.x, p.v FROM c ASOF JOIN p ON c.k = p.k AND c.ts >= p.ts")
+    assert(got == "SELECT c.x, p.v FROM c JOIN LATERAL (SELECT * FROM p AS p " +
+      "WHERE c.k = p.k AND c.ts >= p.ts ORDER BY p.ts DESC LIMIT 1) AS p " +
+      "ON true", got)
+    // LEFT variant keeps unmatched probe rows
+    assert(DialectShim.rewrite(
+      "SELECT 1 FROM c ASOF LEFT JOIN p ON c.k = p.k AND c.ts >= p.ts")
+      .contains("LEFT JOIN LATERAL"))
+    // direction flips with the inequality: l.ts <= r.ts → first row AT or
+    // AFTER the probe → ASC
+    assert(DialectShim.rewrite(
+      "SELECT 1 FROM c ASOF JOIN p ON c.k = p.k AND c.ts <= p.ts")
+      .contains("ORDER BY p.ts ASC LIMIT 1"))
+    // inside a string literal → untouched
+    val lit = "SELECT 'ASOF JOIN docs' FROM t"
+    assert(DialectShim.rewrite(lit) == lit)
+    // unsupported forms fail NAMING the operator, not with a parse error
+    val e = intercept[IllegalArgumentException] {
+      DialectShim.rewrite(
+        "SELECT 1 FROM c ASOF JOIN p ON c.a >= p.a AND c.b >= p.b")
+    }
+    assert(e.getMessage.contains("ASOF JOIN"))
+  }
+
+  test("ASOF JOIN executes correctly through spark.sql") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW asof_l AS
+      SELECT * FROM VALUES (1, 10), (1, 20), (2, 15), (3, 5)
+        AS t(k, ts)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW asof_r AS
+      SELECT * FROM VALUES (1, 9, 'a'), (1, 18, 'b'), (1, 25, 'c'),
+        (2, 15, 'd') AS t(k, ts, v)""")
+    // inner: latest right row with r.ts <= l.ts per key; (3,5) has no match
+    val inner = spark.sql(DialectShim.rewrite(
+      """SELECT l.k, l.ts, r.v FROM asof_l l
+        |ASOF JOIN asof_r r ON l.k = r.k AND l.ts >= r.ts
+        |ORDER BY l.k, l.ts""".stripMargin))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getString(2))).toSeq
+    assert(inner == Seq((1, 10, "a"), (1, 20, "b"), (2, 15, "d")))
+    // left: unmatched probe row survives with NULL
+    val left = spark.sql(DialectShim.rewrite(
+      """SELECT l.k, l.ts, r.v FROM asof_l l
+        |ASOF LEFT JOIN asof_r r ON l.k = r.k AND l.ts >= r.ts
+        |ORDER BY l.k, l.ts""".stripMargin))
+      .collect().map(x => (x.getInt(0), x.getInt(1), Option(x.getString(2)))).toSeq
+    assert(left == Seq((1, 10, Some("a")), (1, 20, Some("b")),
+      (2, 15, Some("d")), (3, 5, None)))
+  }
 }

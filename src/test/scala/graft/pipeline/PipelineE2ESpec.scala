@@ -190,6 +190,35 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(ViewStore.restore(s3, db.toString) == 2)
   }
 
+  test("model defines a DuckDB CREATE MACRO side statement and uses it") {
+    // reference parity: any non-SELECT statement passes through
+    // (/root/reference/src/node.rs:151-205), so a DuckDB user's model may
+    // define a scalar macro and call it from the SELECT of the same model
+    // (or a later one). The shim registers + textually inlines it.
+    val (_, config) = fixture(models = Map(
+      "bucketed_orders" ->
+        s"""CREATE MACRO price_bucket(p) AS CAST(floor(p / 50000) AS INT);
+           |SELECT price_bucket(o_totalprice) AS bucket, count() AS n
+           |FROM read_parquet('$sfDir/orders.parquet')
+           |GROUP BY bucket""".stripMargin,
+      // macro registrations are session-scoped, so a LATER model sees it
+      "top_bucket" ->
+        """SELECT max(bucket) AS top FROM bucketed_orders"""))
+    val session = new PipelineSession(spark, config)
+    val report = session.runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy((org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("o_totalprice") / 50000))
+        .cast("int").as("bucket"))
+      .count().orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val viaPipeline = spark.table("bucketed_orders").orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(viaPipeline == direct)
+    assert(spark.table("top_bucket").head.getInt(0) == direct.map(_._1).max)
+  }
+
   test("DOT + SVG visualization") {
     val (_, config) = fixture(models = Map(
       "up" -> "SELECT 1 AS x",
