@@ -36,6 +36,31 @@ class RunFileSpec extends AnyFunSuite {
     assert(spark.table("rf_v").count() == 3)
   }
 
+  test("run-file: a script using CREATE MACRO and ASOF JOIN executes") {
+    val s = spark.newSession()
+    val dir = Files.createTempDirectory("graft-runfile-asof")
+    val f = dir.resolve("asof.sql")
+    // a DuckDB-dialect script: macro definition, macro use, ASOF JOIN —
+    // all statements the reference passes straight to DuckDB
+    Files.writeString(f,
+      """CREATE OR REPLACE TEMPORARY VIEW clicks AS
+        |  SELECT * FROM VALUES (1, 10), (1, 20), (2, 5) AS t(k, ts);
+        |CREATE OR REPLACE TEMPORARY VIEW buys AS
+        |  SELECT * FROM VALUES (1, 9, 100.0), (1, 15, 200.0) AS t(k, ts, amt);
+        |CREATE MACRO doubled(x) AS x * 2;
+        |CREATE OR REPLACE TEMPORARY VIEW attributed AS
+        |  SELECT c.k, c.ts, doubled(b.amt) AS amt2 FROM clicks c
+        |  ASOF JOIN buys b ON c.k = b.k AND c.ts >= b.ts;
+        |SELECT count() FROM attributed""".stripMargin)
+    val statuses = Main.runFilesOn(s, List(f.toString))
+    assert(statuses.head._2 == s"OK: $f", statuses.head._2)
+    val rows = s.table("attributed").orderBy("k", "ts")
+      .collect() // 100.0 in SQL VALUES is a DECIMAL literal
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue())).toSeq
+    // click(1,10)→buy@9, click(1,20)→buy@15, click(2,5)→no match (inner)
+    assert(rows == Seq((1, 10, 200.0), (1, 20, 400.0)))
+  }
+
   test("run-file: scripts see views persisted under db_path") {
     // reference parity: run-file executes on the connection opened from
     // the config's db_path, so prior runs' views resolve in scripts

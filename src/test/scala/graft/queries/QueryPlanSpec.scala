@@ -52,6 +52,16 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(plan("q30_ann_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q31: steady-state IVF — broadcast probes, no fit jobs, no cache") {
+    val p = plan("q31_ann_ivf")
+    // candidates meet the (tiny) probe-cell set through a broadcast join
+    assert(p.contains("BroadcastHashJoin"))
+    // the prefit quantizer means no corpus cache and no k-means iteration
+    // remnants in the query plan
+    assert(!p.contains("InMemoryTableScan") && !p.contains("InMemoryRelation"),
+      "q31 must not cache the corpus in the query path")
+  }
+
   test("q25: exact dedup shuffles the 32-byte hash key, not the documents") {
     val p = plan("q25_exact_dedup")
     assert(p.contains("md5"))
