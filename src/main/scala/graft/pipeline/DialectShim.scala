@@ -65,7 +65,13 @@ object DialectShim {
     // set needs type dispatch — see the registered `len` function in
     // graft.functions.GraftExtensions)
     "list_transform" -> "transform",
-    "list_filter" -> "filter")
+    "list_filter" -> "filter",
+    // literal list/array constructors and appends are 1:1 (same arg order,
+    // same null-in → null-out); list_distinct is NOT (DuckDB drops NULL
+    // elements, Spark keeps one) and stays unmapped
+    "list_value" -> "array",
+    "list_append" -> "array_append",
+    "array_length" -> "array_size")
     .map { case (from, to) => (s"(?i)\\b$from\\s*\\(").r -> (to + "(") }
 
   // string_split's separator is a LITERAL; Spark split takes a regex —
@@ -91,7 +97,10 @@ object DialectShim {
     """(?i)\bstrftime\s*\(((?:[^,()']|'[^']*')+),\s*'([^']*)'\s*\)""".r
   private val strftimeCodes = Map(
     'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
-    'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", '%' -> "%")
+    'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", '%' -> "%",
+    // %f = 6-digit microseconds; %I = 12-hour clock; %p = AM/PM (Spark's
+    // date_format renders with Locale.US, matching DuckDB's output)
+    'f' -> "SSSSSS", 'I' -> "hh", 'p' -> "a")
   private def translateStrftime(fmt: String): Option[String] = {
     val out = new StringBuilder
     var i = 0

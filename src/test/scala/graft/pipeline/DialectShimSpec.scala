@@ -133,6 +133,25 @@ class DialectShimSpec extends AnyFunSuite {
     assert(got == Seq(20, 40))
   }
 
+  test("list constructor/append/length renames execute 1:1") {
+    val spark = graft.SparkTestSession.spark
+    val row = spark.sql(DialectShim.rewrite(
+      "SELECT list_value(1, 2, 3) AS a, " +
+        "list_append(list_value(1, 2), 9) AS b, " +
+        "array_length(list_value(4, 5)) AS n")).head
+    assert(row.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(row.getSeq[Int](1) == Seq(1, 2, 9))
+    assert(row.getInt(2) == 2)
+  }
+
+  test("strftime %f/%I/%p codes translate and render like DuckDB") {
+    val spark = graft.SparkTestSession.spark
+    val r = spark.sql(DialectShim.rewrite(
+      "SELECT strftime(TIMESTAMP '2024-03-05 14:08:09.123456', " +
+        "'%I:%M %p %S.%f') AS s")).head.getString(0)
+    assert(r == "02:08 PM 09.123456", r)
+  }
+
   test("len() dispatches on argument type via the registered function") {
     val spark = graft.SparkTestSession.spark
     val row = spark.sql(
