@@ -83,13 +83,28 @@ object ProfileOps {
     }
     val base = agged.select(explode(array(rows: _*)).as("p")).select("p.*")
 
-    // the string cast is injective per source type (Double.toString,
-    // micro-precision timestamp rendering), so DISTINCT cardinality is
-    // exactly that of the native values
+    // posexplode needs one element type across columns, but rendering
+    // every value to string (Double.toString, timestamp formatting) costs
+    // more than the distinct itself — so values ride in a typed slot
+    // struct instead: numerics in `d`, strings in `s`, temporals as their
+    // integer epoch in `t`. Each mapping is injective per column and
+    // struct equality is fieldwise, so DISTINCT cardinality is exactly
+    // that of the native values, cast-free.
+    def slot(c: String): Column = kinds(c) match {
+      case "numeric" =>
+        struct(d(c).as("d"), nullS.as("s"), lit(null).cast("long").as("t"))
+      case "string" =>
+        struct(nullD.as("d"), col(c).as("s"), lit(null).cast("long").as("t"))
+      case _ => // timestamp | date
+        struct(nullD.as("d"), nullS.as("s"),
+          (if (kinds(c) == "date") unix_date(col(c)).cast("long")
+           else unix_micros(col(c).cast("timestamp"))).as("t"))
+    }
     val nd = df
-      .select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
-        .as(Seq("__i", "__v")))
-      .filter(col("__v").isNotNull) // count(DISTINCT c) ignores nulls
+      .select(posexplode(array(cols.map(slot): _*)).as(Seq("__i", "__v")))
+      // count(DISTINCT c) ignores nulls: a null value leaves every slot null
+      .filter(col("__v.d").isNotNull || col("__v.s").isNotNull ||
+        col("__v.t").isNotNull)
       .distinct()
       .groupBy(col("__i"))
       .agg(count(lit(1)).as("n_distinct"))
