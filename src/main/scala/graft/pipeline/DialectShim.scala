@@ -309,12 +309,17 @@ object DialectShim {
   //   L [LEFT] JOIN LATERAL (SELECT * FROM R AS alias WHERE <cond>
   //                          ORDER BY <right ts> DESC|ASC LIMIT 1) AS alias
   //     ON true
-  // Catalyst decorrelates LATERAL+LIMIT into a window-style per-key top-1
-  // (no nested loop — same machinery q48 plan-asserts), which is the
-  // correct distributed shape; the DataFrame-level operator
-  // (graft.ext.JoinOps.asofJoin) remains the zero-join union+window form
-  // for hot paths. Unsupported ASOF forms fail fast with an error NAMING
-  // the operator instead of a bare Spark parse error.
+  // This is the only alias-preserving textual rewrite (the outer statement
+  // keeps referencing both `l.` and `alias.`), and Catalyst decorrelates
+  // it — no per-row re-execution; the per-key top-1 runs as
+  // WindowGroupLimit. The decorrelated plan does join the DISTINCT probe
+  // timestamps against the right side with the bare inequality (a
+  // broadcast nested-loop on that domain), so the shim path is
+  // |distinct ts| × |R| at worst — fine for DuckDB-script parity, but hot
+  // paths should call graft.ext.JoinOps.asofJoin, whose union+window form
+  // is one shuffle and join-free at any scale. Unsupported ASOF forms
+  // fail fast with an error NAMING the operator instead of a bare Spark
+  // parse error.
   private val asofRe = """(?i)\bASOF\s+(LEFT\s+)?JOIN\b""".r
   private val asofTerminators = Set(
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "SEMI",
