@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the branches q58's oracle doesn't reach: DateType
+  * columns, all-null columns, and null accounting in the typed-slot
+  * distinct pass.
+  */
+class ProfileOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("mixed-type profile incl. date and all-null columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Option(2.0), Option("b"), Option(java.sql.Date.valueOf("2024-01-02"))),
+      (2, Option(2.0), Option("a"), Option(java.sql.Date.valueOf("2024-01-05"))),
+      (3, Option.empty[Double], Option.empty[String], Option.empty[java.sql.Date]))
+      .toDF("id", "v", "s", "d")
+      .withColumn("allnull", org.apache.spark.sql.functions.lit(null).cast("double"))
+    val p = ProfileOps.profile(df, Seq("id", "v", "s", "d", "allnull"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(p("id").getAs[String]("col_type") == "numeric")
+    assert(p("id").getAs[Long]("n_distinct") == 3)
+    assert(p("id").getAs[Double]("min_num") == 1.0)
+    assert(p("v").getAs[Long]("n_null") == 1)
+    assert(p("v").getAs[Long]("n_distinct") == 1) // nulls don't count
+    assert(p("v").getAs[Double]("mean_v") == 2.0)
+    assert(p("s").getAs[String]("col_type") == "string")
+    assert(p("s").getAs[String]("min_str") == "a")
+    assert(p("s").getAs[String]("max_str") == "b")
+    assert(p("s").isNullAt(p("s").fieldIndex("min_num")))
+    assert(p("d").getAs[String]("col_type") == "date")
+    assert(p("d").getAs[String]("min_str") == "2024-01-02")
+    assert(p("d").getAs[String]("max_str") == "2024-01-05")
+    assert(p("d").getAs[Long]("n_distinct") == 2)
+    assert(p("allnull").getAs[Long]("n_null") == 3)
+    assert(p("allnull").getAs[Long]("n_distinct") == 0)
+  }
+
+  test("profileNumeric keeps the narrow legacy schema") {
+    import spark.implicits._
+    val df = Seq((1, 10.0), (2, 30.0)).toDF("k", "x")
+    val r = ProfileOps.profileNumeric(df, Seq("x")).collect().head
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v", "mean_v"))
+    assert(r.getAs[Double]("min_v") == 10.0 && r.getAs[Double]("max_v") == 30.0)
+    assert(r.getAs[Double]("mean_v") == 20.0)
+  }
+}
