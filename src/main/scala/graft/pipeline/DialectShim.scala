@@ -247,6 +247,69 @@ object DialectShim {
     s"($sub)"
   }
 
+  // --- DuckDB SUMMARIZE ---------------------------------------------------
+  // `SUMMARIZE <table>` profiles every column. The reference passes it to
+  // DuckDB; here it expands (schema from the session catalog) into one
+  // UNION-ALL branch per column, mirroring graft.ext.ProfileOps.profile's
+  // uniform output schema. The expansion is wrapped in parens so the
+  // statement stays side-classified (runs + discards rows, like the
+  // reference's pass-through); the efficient single-pass operator for
+  // production profiles remains ProfileOps.profile. Anything but a bare
+  // table/view name stays verbatim (fails with SUMMARIZE visible).
+  private val summarizeRe = """(?is)^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*$""".r
+
+  private def summarizeBranch(c: String, kind: String, ident: String): String = {
+    val q = s"`$c`"
+    val (minMax, mean) = kind match {
+      case "numeric" =>
+        (s"CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str",
+          s"min(CAST($q AS DOUBLE)) AS min_num, max(CAST($q AS DOUBLE)) AS max_num, " +
+            s"round(avg(CAST($q AS DOUBLE)), 4) AS mean_v")
+      case "string" =>
+        (s"min($q) AS min_str, max($q) AS max_str",
+          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+            "CAST(NULL AS DOUBLE) AS mean_v")
+      case "timestamp" =>
+        (s"date_format(min($q), 'yyyy-MM-dd HH:mm:ss') AS min_str, " +
+          s"date_format(max($q), 'yyyy-MM-dd HH:mm:ss') AS max_str",
+          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+            "CAST(NULL AS DOUBLE) AS mean_v")
+      case "date" =>
+        (s"CAST(min($q) AS STRING) AS min_str, CAST(max($q) AS STRING) AS max_str",
+          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+            "CAST(NULL AS DOUBLE) AS mean_v")
+      case _ => // arrays/structs: counts only
+        ("CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str",
+          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+            "CAST(NULL AS DOUBLE) AS mean_v")
+    }
+    s"""SELECT '$c' AS col_name, '$kind' AS col_type, count(*) AS n_rows,
+       |  sum(CASE WHEN $q IS NULL THEN 1 ELSE 0 END) AS n_null,
+       |  count(DISTINCT $q) AS n_distinct,
+       |  $mean, $minMax
+       |FROM $ident""".stripMargin
+  }
+
+  private def rewriteSummarize(spark: SparkSession, sql: String): Option[String] =
+    sql match {
+      case summarizeRe(ident) =>
+        try {
+          import org.apache.spark.sql.types._
+          val branches = spark.table(ident).schema.fields.map { f =>
+            val kind = f.dataType match {
+              case _: NumericType                   => "numeric"
+              case StringType                       => "string"
+              case TimestampType | TimestampNTZType => "timestamp"
+              case DateType                         => "date"
+              case _                                => "other"
+            }
+            summarizeBranch(f.name, kind, ident)
+          }
+          Some(branches.mkString("(", "\nUNION ALL\n", "\nORDER BY col_name)"))
+        } catch { case _: Exception => None } // unresolvable → verbatim
+      case _ => None
+    }
+
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.
     */
@@ -265,7 +328,10 @@ object DialectShim {
     val afterMacros = spark match {
       case Some(s) =>
         if (registerMacroIfDef(s, sql)) return sql
-        inlineMacros(sql, registryOf(s))
+        rewriteSummarize(s, sql) match {
+          case Some(r) => return r
+          case None    => inlineMacros(sql, registryOf(s))
+        }
       case None => sql
     }
     val afterAsof = rewriteAsof(afterMacros)

@@ -212,6 +212,28 @@ class DialectShimSpec extends AnyFunSuite {
       .head.getInt(0) == 36)
   }
 
+  test("SUMMARIZE <table> expands to a per-column profile union") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW sum_t AS
+      SELECT * FROM VALUES (1, 'a', 2.5), (2, 'b', CAST(NULL AS DOUBLE)),
+        (3, 'a', 4.5) AS t(id, s, v)""")
+    val rewritten = DialectShim.rewrite("SUMMARIZE sum_t", spark)
+    // parenthesized → still side-classified, like the reference pass-through
+    assert(rewritten.startsWith("("))
+    assert(!SqlText.producesRecords(rewritten))
+    val rows = spark.sql(rewritten).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "s", "v"))
+    assert(rows("id").getAs[String]("col_type") == "numeric")
+    assert(rows("id").getAs[Long]("n_distinct") == 3)
+    assert(rows("s").getAs[String]("min_str") == "a")
+    assert(rows("v").getAs[Long]("n_null") == 1)
+    assert(rows("v").getAs[Double]("mean_v") == 3.5)
+    // non-table forms stay verbatim (execution reports SUMMARIZE)
+    val dyn = "SUMMARIZE SELECT 1"
+    assert(DialectShim.rewrite(dyn, spark) == dyn)
+  }
+
   test("ASOF JOIN rewrites to a lateral top-1 subquery") {
     val got = DialectShim.rewrite(
       "SELECT c.x, p.v FROM c ASOF JOIN p ON c.k = p.k AND c.ts >= p.ts")
