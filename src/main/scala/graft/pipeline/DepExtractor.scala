@@ -61,4 +61,20 @@ object DepExtractor {
     */
   def modelRefs(sql: String, modelIds: Set[String]): Set[String] =
     tableRefs(sql).intersect(modelIds.map(_.toLowerCase))
+
+  /** Model-level extraction: statements are split and LEXICALLY shimmed
+    * first, so a multi-statement model — or one written in DuckDB dialect
+    * (count(), read_parquet, ASOF JOIN) — still yields its edges instead
+    * of failing the whole-source parse and silently scheduling as
+    * independent. Statements only the session-aware shim can rewrite
+    * (SUMMARIZE <table>) contribute their target via
+    * [[DialectShim.statementRefHints]]; statements that stay unparseable
+    * (CREATE MACRO, unknown DuckDB-isms) contribute nothing and surface
+    * their real error at execution, reference-style.
+    */
+  def modelRefsInModel(rendered: String, modelIds: Set[String]): Set[String] =
+    SqlText.splitStatements(rendered).flatMap { st =>
+      val shimmed = try DialectShim.rewrite(st) catch { case _: Exception => st }
+      DialectShim.statementRefHints(st) ++ tableRefs(shimmed)
+    }.toSet.intersect(modelIds.map(_.toLowerCase))
 }

@@ -152,14 +152,17 @@ object DialectShim {
       case _ => None
     }
 
-  // session-scoped, like DuckDB TEMP macros; a session is a driver-side
-  // singleton here so the map stays tiny
-  private val macroRegistries =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, SqlMacro]]()
+  // session-scoped, like DuckDB TEMP macros; weak keys so a stopped
+  // session's registry is collectable (a long-lived driver may build many
+  // sessions)
+  private val macroRegistries = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, SqlMacro]]())
   private def registryOf(spark: SparkSession) =
-    macroRegistries.computeIfAbsent(spark,
-      _ => scala.collection.concurrent.TrieMap.empty[String, SqlMacro])
+    macroRegistries.synchronized {
+      macroRegistries.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, SqlMacro])
+    }
 
   /** Register `st` if it is a scalar macro definition; true when handled
     * (the caller should then skip executing the statement).
@@ -309,6 +312,16 @@ object DialectShim {
         } catch { case _: Exception => None } // unresolvable → verbatim
       case _ => None
     }
+
+  /** Table references only the shim knows about, for dependency
+    * extraction: statements the Catalyst parser can't see through even
+    * after the lexical rewrite, but whose target is plain in the DuckDB
+    * form (currently SUMMARIZE <table>).
+    */
+  def statementRefHints(st: String): Set[String] = st match {
+    case summarizeRe(ident) => Set(ident.split('.').last.toLowerCase)
+    case _                  => Set.empty
+  }
 
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.

@@ -82,7 +82,7 @@ final class PipelineSession(
     nodeMap = nodeMap.map { case (id, node) =>
       val stripped = SqlText.stripComments(node.rawSrc)
       val rendered = MacroRenderer.render(stripped, macroSrc)
-      val prevs = DepExtractor.modelRefs(rendered, modelIds) - id
+      val prevs = DepExtractor.modelRefsInModel(rendered, modelIds) - id
       id -> node.copy(renderedSrc = rendered, prevs = prevs)
     }
     println(s"Found ${paths.size} model source${if (paths.size > 1) "s" else ""}, " +

@@ -43,4 +43,21 @@ class DepExtractorSpec extends AnyFunSuite {
   test("unparseable SQL yields empty set") {
     assert(DepExtractor.tableRefs("THIS IS NOT ((( SQL") == Set.empty)
   }
+
+  test("modelRefsInModel: multi-statement DuckDB-dialect models keep edges") {
+    val ids = Set("purchases", "other")
+    // a side statement + ASOF JOIN + count(): the whole-source Catalyst
+    // parse fails, but per-statement lexical shimming recovers the edge
+    val m =
+      """CREATE MACRO usd(v) AS round(v, 2);
+        |SELECT c.id, count() AS n FROM clicks c
+        |ASOF JOIN purchases p ON c.k = p.k AND c.ts >= p.ts
+        |GROUP BY c.id""".stripMargin
+    assert(DepExtractor.modelRefsInModel(m, ids) == Set("purchases"))
+    // SUMMARIZE's target is a shim-level hint (Catalyst never parses it)
+    assert(DepExtractor.modelRefsInModel(
+      "SUMMARIZE purchases;\nSELECT 1 AS x", ids) == Set("purchases"))
+    // fully unparseable statements still contribute nothing
+    assert(DepExtractor.modelRefsInModel("FROB knob1", ids) == Set.empty)
+  }
 }
