@@ -33,13 +33,19 @@ object ProfileOps {
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
   private def kindOf(dt: DataType): String = dt match {
-    case _: NumericType => "numeric"
+    case _: NumericType | BooleanType => "numeric" // bool profiles as 0/1
     case StringType     => "string"
     case TimestampType | TimestampNTZType => "timestamp"
     case DateType       => "date"
     case other => throw new IllegalArgumentException(
       s"ProfileOps.profile: unsupported column type $other")
   }
+
+  /** Whether [[profile]] supports this column type (used by the
+    * SUMMARIZE shim to select columns).
+    */
+  def supported(dt: DataType): Boolean =
+    try { kindOf(dt); true } catch { case _: IllegalArgumentException => false }
 
   /** Mixed-type profile; see object doc. One agg pass + one exploded
     * two-phase distinct pass, any mix of numeric/string/timestamp/date

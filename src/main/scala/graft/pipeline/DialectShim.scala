@@ -242,76 +242,55 @@ object DialectShim {
     }
   }
 
+  /** Body expansion is a SINGLE literal-aware pass with all parameters
+    * substituted simultaneously: sequential replaceAll would re-substitute
+    * an argument whose text matches a later parameter name (classic
+    * capture bug — `diff(a, b) AS a - b` called as `diff(b, 10)` must
+    * yield `(b) - (10)`, not `((10)) - (10)`), and a regex pass would also
+    * rewrite parameter names inside the body's string literals.
+    */
   private def expandMacro(m: SqlMacro, args: Seq[String]): String = {
-    val sub = m.params.zip(args).foldLeft(m.body) { case (b, (p, a)) =>
-      b.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(s"($a)"))
+    val byParam = m.params.zip(args)
+      .map { case (p, a) => p.toLowerCase -> a }.toMap
+    val b = m.body
+    val sb = new StringBuilder("(")
+    var i = 0
+    while (i < b.length) {
+      val c = b.charAt(i)
+      if (c == '\'') {
+        val j = b.indexOf('\'', i + 1)
+        val end = if (j < 0) b.length else j + 1
+        sb.append(b.substring(i, end)); i = end
+      } else if (Character.isJavaIdentifierStart(c)) {
+        var j = i
+        while (j < b.length && Character.isJavaIdentifierPart(b.charAt(j))) j += 1
+        val w = b.substring(i, j)
+        val qualified = sb.length > 1 && sb.charAt(sb.length - 1) == '.'
+        byParam.get(w.toLowerCase) match {
+          case Some(a) if !qualified => sb.append('(').append(a).append(')')
+          case _                     => sb.append(w)
+        }
+        i = j
+      } else { sb.append(c); i += 1 }
     }
-    s"($sub)"
+    sb.append(')').toString
   }
 
   // --- DuckDB SUMMARIZE ---------------------------------------------------
   // `SUMMARIZE <table>` profiles every column. The reference passes it to
-  // DuckDB; here it expands (schema from the session catalog) into one
-  // UNION-ALL branch per column, mirroring graft.ext.ProfileOps.profile's
-  // uniform output schema. The expansion is wrapped in parens so the
-  // statement stays side-classified (runs + discards rows, like the
-  // reference's pass-through); the efficient single-pass operator for
-  // production profiles remains ProfileOps.profile. Anything but a bare
+  // DuckDB; here SqlExec runs graft.ext.ProfileOps.profile over the table
+  // AT EXECUTION TIME (rows discarded, like the reference's pass-through).
+  // Execution-time handling matters: the target may be a view created by
+  // an earlier statement of the same model/script, which does not exist
+  // yet when statements are rewritten up front. Anything but a bare
   // table/view name stays verbatim (fails with SUMMARIZE visible).
   private val summarizeRe = """(?is)^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*$""".r
 
-  private def summarizeBranch(c: String, kind: String, ident: String): String = {
-    val q = s"`$c`"
-    val (minMax, mean) = kind match {
-      case "numeric" =>
-        (s"CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str",
-          s"min(CAST($q AS DOUBLE)) AS min_num, max(CAST($q AS DOUBLE)) AS max_num, " +
-            s"round(avg(CAST($q AS DOUBLE)), 4) AS mean_v")
-      case "string" =>
-        (s"min($q) AS min_str, max($q) AS max_str",
-          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
-            "CAST(NULL AS DOUBLE) AS mean_v")
-      case "timestamp" =>
-        (s"date_format(min($q), 'yyyy-MM-dd HH:mm:ss') AS min_str, " +
-          s"date_format(max($q), 'yyyy-MM-dd HH:mm:ss') AS max_str",
-          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
-            "CAST(NULL AS DOUBLE) AS mean_v")
-      case "date" =>
-        (s"CAST(min($q) AS STRING) AS min_str, CAST(max($q) AS STRING) AS max_str",
-          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
-            "CAST(NULL AS DOUBLE) AS mean_v")
-      case _ => // arrays/structs: counts only
-        ("CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str",
-          "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
-            "CAST(NULL AS DOUBLE) AS mean_v")
-    }
-    s"""SELECT '$c' AS col_name, '$kind' AS col_type, count(*) AS n_rows,
-       |  sum(CASE WHEN $q IS NULL THEN 1 ELSE 0 END) AS n_null,
-       |  count(DISTINCT $q) AS n_distinct,
-       |  $mean, $minMax
-       |FROM $ident""".stripMargin
+  /** The bare-name SUMMARIZE target, if `st` is one. */
+  def summarizeTarget(st: String): Option[String] = st match {
+    case summarizeRe(ident) => Some(ident)
+    case _                  => None
   }
-
-  private def rewriteSummarize(spark: SparkSession, sql: String): Option[String] =
-    sql match {
-      case summarizeRe(ident) =>
-        try {
-          import org.apache.spark.sql.types._
-          val branches = spark.table(ident).schema.fields.map { f =>
-            val kind = f.dataType match {
-              case _: NumericType                   => "numeric"
-              case StringType                       => "string"
-              case TimestampType | TimestampNTZType => "timestamp"
-              case DateType                         => "date"
-              case _                                => "other"
-            }
-            summarizeBranch(f.name, kind, ident)
-          }
-          Some(branches.mkString("(", "\nUNION ALL\n", "\nORDER BY col_name)"))
-        } catch { case _: Exception => None } // unresolvable → verbatim
-      case _ => None
-    }
 
   /** Table references only the shim knows about, for dependency
     * extraction: statements the Catalyst parser can't see through even
@@ -341,10 +320,8 @@ object DialectShim {
     val afterMacros = spark match {
       case Some(s) =>
         if (registerMacroIfDef(s, sql)) return sql
-        rewriteSummarize(s, sql) match {
-          case Some(r) => return r
-          case None    => inlineMacros(sql, registryOf(s))
-        }
+        if (summarizeTarget(sql).isDefined) return sql // executes in SqlExec
+        inlineMacros(sql, registryOf(s))
       case None => sql
     }
     val afterAsof = rewriteAsof(afterMacros)
@@ -411,10 +388,12 @@ object DialectShim {
         "`ASOF [LEFT] JOIN <rel> [alias] ON <equi conds AND one ts inequality>`")
 
   private def rewriteAsof(sql: String): String =
-    asofRe.findFirstMatchIn(sql) match {
+    // skip matches inside string literals (odd quote count before the
+    // match) and keep looking — a literal mentioning ASOF JOIN must not
+    // shadow a real one later in the statement
+    asofRe.findAllMatchIn(sql)
+      .find(m => sql.take(m.start).count(_ == '\'') % 2 == 0) match {
       case None => sql
-      case Some(m) if sql.take(m.start).count(_ == '\'') % 2 == 1 =>
-        sql // inside a string literal; leave verbatim
       case Some(m) =>
         val isLeft = m.group(1) != null
         val (rel, alias, afterRel) = parseAsofRelation(sql, m.end)
@@ -534,6 +513,14 @@ object DialectShim {
     if (ineqs.size != 1)
       unsupportedAsof(s"need exactly one ts inequality, found ${ineqs.size}")
     val (l, op, r) = ineqs.head
+    // guard the simple-form contract: an OR anywhere around the
+    // inequality, or a conjunct whose split sides have unbalanced parens
+    // (the inequality sat inside a parenthesized boolean expression),
+    // would otherwise produce a garbled ORDER BY instead of a clear error
+    def balanced(s: String) = s.count(_ == '(') == s.count(_ == ')')
+    if ("(?i)\\bOR\\b".r.findFirstIn(l + " " + r).isDefined ||
+        !balanced(l) || !balanced(r))
+      unsupportedAsof("ts inequality must be a plain top-level conjunct")
     val refsAlias = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\s*\\.").r
     val lRefs = refsAlias.findFirstIn(l).isDefined
     val rRefs = refsAlias.findFirstIn(r).isDefined

@@ -21,6 +21,22 @@ object SqlExec {
     // direct callers) and call sites are inlined textually — see
     // DialectShim. Nothing to execute.
     if (DialectShim.registerMacroIfDef(spark, st)) return
+    // DuckDB SUMMARIZE runs the native single-pass profiler over the
+    // (execution-time-resolved) table — a view created by an EARLIER
+    // statement of this same script resolves here, which an up-front
+    // rewrite could not do. Rows discarded like any other side statement.
+    DialectShim.summarizeTarget(st) match {
+      case Some(ident) =>
+        val t = spark.table(ident)
+        val cols = t.schema.fields
+          .filter(f => graft.ext.ProfileOps.supported(f.dataType)).map(_.name)
+        val prof =
+          if (cols.nonEmpty) graft.ext.ProfileOps.profile(t, cols.toSeq)
+          else t // only unprofilable columns: still validate + scan
+        prof.write.format("noop").mode("overwrite").save()
+        return
+      case None => ()
+    }
     val df = spark.sql(st)
     val isCommand = df.queryExecution.analyzed.isInstanceOf[CommandResult]
     if (!isCommand) df.write.format("noop").mode("overwrite").save()

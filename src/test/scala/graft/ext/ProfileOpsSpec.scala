@@ -39,6 +39,16 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(p("allnull").getAs[Long]("n_distinct") == 0)
   }
 
+  test("boolean columns profile as numeric 0/1") {
+    import spark.implicits._
+    val df = Seq(true, false, true).toDF("b")
+    val r = ProfileOps.profile(df, Seq("b")).collect().head
+    assert(r.getAs[String]("col_type") == "numeric")
+    assert(r.getAs[Double]("min_num") == 0.0)
+    assert(r.getAs[Double]("max_num") == 1.0)
+    assert(r.getAs[Long]("n_distinct") == 2)
+  }
+
   test("profileNumeric keeps the narrow legacy schema") {
     import spark.implicits._
     val df = Seq((1, 10.0), (2, 30.0)).toDF("k", "x")

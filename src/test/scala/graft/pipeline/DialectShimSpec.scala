@@ -205,6 +205,19 @@ class DialectShimSpec extends AnyFunSuite {
       "SELECT add_one(1, 2) AS y")
   }
 
+  test("macro expansion is simultaneous and literal-aware (capture bugs)") {
+    val spark = graft.SparkTestSession.spark.newSession()
+    // an argument whose text equals a LATER parameter name must not be
+    // re-substituted: diff(b, 10) is b - 10, not 0
+    DialectShim.rewrite("CREATE MACRO diff(a, b) AS a - b", spark)
+    assert(DialectShim.rewrite("SELECT diff(b, 10) AS y FROM t", spark) ==
+      "SELECT ((b) - (10)) AS y FROM t")
+    // parameter names inside the body's string literals stay verbatim
+    DialectShim.rewrite("CREATE MACRO tag(x) AS concat('x=', x)", spark)
+    assert(spark.sql(DialectShim.rewrite("SELECT tag(7) AS s", spark))
+      .head.getString(0) == "x=7")
+  }
+
   test("SqlExec treats a macro definition as a no-op registry operation") {
     val spark = graft.SparkTestSession.spark.newSession()
     SqlExec.run(spark, "CREATE MACRO sq(x) AS x * x") // must not throw
@@ -212,26 +225,29 @@ class DialectShimSpec extends AnyFunSuite {
       .head.getInt(0) == 36)
   }
 
-  test("SUMMARIZE <table> expands to a per-column profile union") {
+  test("SUMMARIZE <table> runs the native profiler at execution time") {
     val spark = graft.SparkTestSession.spark
-    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW sum_t AS
-      SELECT * FROM VALUES (1, 'a', 2.5), (2, 'b', CAST(NULL AS DOUBLE)),
-        (3, 'a', 4.5) AS t(id, s, v)""")
-    val rewritten = DialectShim.rewrite("SUMMARIZE sum_t", spark)
-    // parenthesized → still side-classified, like the reference pass-through
-    assert(rewritten.startsWith("("))
-    assert(!SqlText.producesRecords(rewritten))
-    val rows = spark.sql(rewritten).collect()
-      .map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("id", "s", "v"))
-    assert(rows("id").getAs[String]("col_type") == "numeric")
-    assert(rows("id").getAs[Long]("n_distinct") == 3)
-    assert(rows("s").getAs[String]("min_str") == "a")
-    assert(rows("v").getAs[Long]("n_null") == 1)
-    assert(rows("v").getAs[Double]("mean_v") == 3.5)
+    // rewrite passes it through (still side-classified); SqlExec executes
+    assert(DialectShim.rewrite("SUMMARIZE sum_t", spark) == "SUMMARIZE sum_t")
+    assert(!SqlText.producesRecords("SUMMARIZE sum_t"))
+    assert(DialectShim.summarizeTarget("SUMMARIZE sum_t") == Some("sum_t"))
+    // execution-time resolution: the target view is created by an EARLIER
+    // statement of the same script — an up-front expansion could not see it
+    val dir = java.nio.file.Files.createTempDirectory("graft-summarize")
+    val f = dir.resolve("s.sql")
+    java.nio.file.Files.writeString(f,
+      """CREATE OR REPLACE TEMPORARY VIEW sum_t AS
+        |  SELECT * FROM VALUES (1, 'a', 2.5), (2, 'b', CAST(NULL AS DOUBLE)),
+        |    (3, 'a', 4.5) AS t(id, s, v);
+        |SUMMARIZE sum_t""".stripMargin)
+    val statuses = graft.cli.Main.runFilesOn(spark, List(f.toString))
+    assert(statuses.head._2 == s"OK: $f", statuses.head._2)
+    // a missing target errors with context, not silently
+    intercept[Exception] { SqlExec.run(spark, "SUMMARIZE definitely_missing") }
     // non-table forms stay verbatim (execution reports SUMMARIZE)
     val dyn = "SUMMARIZE SELECT 1"
     assert(DialectShim.rewrite(dyn, spark) == dyn)
+    assert(DialectShim.summarizeTarget(dyn).isEmpty)
   }
 
   test("ASOF JOIN rewrites to a lateral top-1 subquery") {
@@ -252,12 +268,24 @@ class DialectShimSpec extends AnyFunSuite {
     // inside a string literal → untouched
     val lit = "SELECT 'ASOF JOIN docs' FROM t"
     assert(DialectShim.rewrite(lit) == lit)
+    // …but a literal match must not shadow a REAL asof join later on
+    val mixed = DialectShim.rewrite("SELECT 'via ASOF JOIN' AS how, p.v " +
+      "FROM c ASOF JOIN p ON c.k = p.k AND c.ts >= p.ts")
+    assert(mixed.contains("JOIN LATERAL") && mixed.contains("'via ASOF JOIN'"),
+      mixed)
     // unsupported forms fail NAMING the operator, not with a parse error
     val e = intercept[IllegalArgumentException] {
       DialectShim.rewrite(
         "SELECT 1 FROM c ASOF JOIN p ON c.a >= p.a AND c.b >= p.b")
     }
     assert(e.getMessage.contains("ASOF JOIN"))
+    // an OR around the inequality is NOT the simple form — named error,
+    // never a garbled ORDER BY
+    val e2 = intercept[IllegalArgumentException] {
+      DialectShim.rewrite(
+        "SELECT 1 FROM c ASOF JOIN p ON c.k = p.k AND (c.ts >= p.ts OR p.f = 1)")
+    }
+    assert(e2.getMessage.contains("ASOF JOIN"))
   }
 
   test("ASOF JOIN executes correctly through spark.sql") {

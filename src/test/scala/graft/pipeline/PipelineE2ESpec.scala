@@ -219,6 +219,29 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("top_bucket").head.getInt(0) == direct.map(_._1).max)
   }
 
+  test("table model re-materializes over a leftover warehouse directory") {
+    // cross-JVM re-run shape: a previous session's table was restored
+    // external and dropped (files survive) — or the JVM died after the
+    // write — leaving data at <warehouse>/<id> with no catalog entry.
+    // Re-materializing must clear it, not die with LOCATION_ALREADY_EXISTS.
+    val (_, config) = fixture(
+      models = Map("rerun_tbl" -> "SELECT 1 AS x"),
+      configExtra =
+        """models:
+          |  rerun_tbl:
+          |    materialize: table""".stripMargin)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = (if (wh.startsWith("file:"))
+      java.nio.file.Paths.get(new java.net.URI(wh))
+      else java.nio.file.Paths.get(wh)).resolve("rerun_tbl")
+    Files.createDirectories(loc)
+    Files.writeString(loc.resolve("leftover.parquet"), "junk")
+    spark.sql("DROP TABLE IF EXISTS rerun_tbl") // no catalog entry, dir stays
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    assert(spark.table("rerun_tbl").count() == 1)
+  }
+
   test("DOT + SVG visualization") {
     val (_, config) = fixture(models = Map(
       "up" -> "SELECT 1 AS x",
