@@ -52,24 +52,28 @@ object ProfileOps {
     * columns.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "ProfileOps.profile: no columns given")
     val kinds = cols.map(c => c -> kindOf(df.schema(c).dataType)).toMap
-    def d(c: String): Column = col(c).cast("double")
+    // backtick-quote every reference: a column named `price.usd` must stay
+    // one column, not a struct-field path
+    def q(c: String): Column = col(s"`$c`")
+    def d(c: String): Column = q(c).cast("double")
 
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(count(lit(1)).as(s"${c}__rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
+        sum(when(q(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
       (kinds(c) match {
         case "numeric" => Seq(
           min(d(c)).as(s"${c}__minn"), max(d(c)).as(s"${c}__maxn"),
           round(avg(d(c)), 4).as(s"${c}__mean"))
         case "string" => Seq(
-          min(col(c)).as(s"${c}__mins"), max(col(c)).as(s"${c}__maxs"))
+          min(q(c)).as(s"${c}__mins"), max(q(c)).as(s"${c}__maxs"))
         case "timestamp" => Seq(
-          date_format(min(col(c)), TsFmt).as(s"${c}__mins"),
-          date_format(max(col(c)), TsFmt).as(s"${c}__maxs"))
+          date_format(min(q(c)), TsFmt).as(s"${c}__mins"),
+          date_format(max(q(c)), TsFmt).as(s"${c}__maxs"))
         case "date" => Seq(
-          min(col(c)).cast("string").as(s"${c}__mins"),
-          max(col(c)).cast("string").as(s"${c}__maxs"))
+          min(q(c)).cast("string").as(s"${c}__mins"),
+          max(q(c)).cast("string").as(s"${c}__maxs"))
       })
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
@@ -79,32 +83,41 @@ object ProfileOps {
     val rows = cols.map { c =>
       val numeric = kinds(c) == "numeric"
       struct(lit(c).as("col_name"), lit(kinds(c)).as("col_type"),
-        col(s"${c}__rows").as("n_rows"),
-        col(s"${c}__nulls").as("n_null"),
-        (if (numeric) col(s"${c}__minn") else nullD).as("min_num"),
-        (if (numeric) col(s"${c}__maxn") else nullD).as("max_num"),
-        (if (numeric) col(s"${c}__mean") else nullD).as("mean_v"),
-        (if (numeric) nullS else col(s"${c}__mins")).as("min_str"),
-        (if (numeric) nullS else col(s"${c}__maxs")).as("max_str"))
+        col(s"`${c}__rows`").as("n_rows"),
+        col(s"`${c}__nulls`").as("n_null"),
+        (if (numeric) col(s"`${c}__minn`") else nullD).as("min_num"),
+        (if (numeric) col(s"`${c}__maxn`") else nullD).as("max_num"),
+        (if (numeric) col(s"`${c}__mean`") else nullD).as("mean_v"),
+        (if (numeric) nullS else col(s"`${c}__mins`")).as("min_str"),
+        (if (numeric) nullS else col(s"`${c}__maxs`")).as("max_str"))
     }
     val base = agged.select(explode(array(rows: _*)).as("p")).select("p.*")
 
     // posexplode needs one element type across columns, but rendering
     // every value to string (Double.toString, timestamp formatting) costs
     // more than the distinct itself — so values ride in a typed slot
-    // struct instead: numerics in `d`, strings in `s`, temporals as their
-    // integer epoch in `t`. Each mapping is injective per column and
-    // struct equality is fieldwise, so DISTINCT cardinality is exactly
-    // that of the native values, cast-free.
-    def slot(c: String): Column = kinds(c) match {
-      case "numeric" =>
-        struct(d(c).as("d"), nullS.as("s"), lit(null).cast("long").as("t"))
-      case "string" =>
-        struct(nullD.as("d"), col(c).as("s"), lit(null).cast("long").as("t"))
-      case _ => // timestamp | date
+    // struct instead, with each slot an EXACT mapping for its source
+    // type: integrals/booleans/temporals as long, float/double as double,
+    // decimals as their fixed-scale string (a double slot would collapse
+    // 64-bit values differing beyond 2^53). Values from different columns
+    // can never collide: the column index rides beside the slot. Struct
+    // equality is fieldwise, so DISTINCT cardinality is exactly that of
+    // the native values.
+    val nullT = lit(null).cast("long")
+    def slot(c: String): Column = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        struct(nullD.as("d"), nullS.as("s"), q(c).cast("long").as("t"))
+      case FloatType | DoubleType =>
+        struct(d(c).as("d"), nullS.as("s"), nullT.as("t"))
+      case _: DecimalType => // fixed scale per column → injective rendering
+        struct(nullD.as("d"), q(c).cast("string").as("s"), nullT.as("t"))
+      case StringType =>
+        struct(nullD.as("d"), q(c).as("s"), nullT.as("t"))
+      case DateType =>
+        struct(nullD.as("d"), nullS.as("s"), unix_date(q(c)).cast("long").as("t"))
+      case _ => // timestamp (tz or ntz)
         struct(nullD.as("d"), nullS.as("s"),
-          (if (kinds(c) == "date") unix_date(col(c)).cast("long")
-           else unix_micros(col(c).cast("timestamp"))).as("t"))
+          unix_micros(q(c).cast("timestamp")).as("t"))
     }
     val nd = df
       .select(posexplode(array(cols.map(slot): _*)).as(Seq("__i", "__v")))
@@ -124,9 +137,13 @@ object ProfileOps {
         col("min_str"), col("max_str"))
   }
 
-  /** Numeric-only profile, kept for callers that want the narrow schema. */
+  /** Numeric-only profile, kept for callers that want the narrow schema.
+    * Coerces every column to double first (the original contract: a
+    * numeric-string column profiles as its parsed values).
+    */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
-    profile(df, cols)
+    profile(df.select(cols.map(c => col(s"`$c`").cast("double").as(c)): _*),
+        cols)
       .select(col("col_name"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_num").as("min_v"),
         col("max_num").as("max_v"), col("mean_v"))

@@ -69,7 +69,7 @@ object SinkOps {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
      else writer).saveAsTable(table)
-    if (dbPath.isDefined)
-      graft.pipeline.ViewStore.saveTable(df.sparkSession, dbPath, table)
+    // no-op when dbPath is None (saveTable's own contract)
+    graft.pipeline.ViewStore.saveTable(df.sparkSession, dbPath, table)
   }
 }

@@ -58,4 +58,30 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("min_v") == 10.0 && r.getAs[Double]("max_v") == 30.0)
     assert(r.getAs[Double]("mean_v") == 20.0)
   }
+
+  test("profileNumeric coerces numeric strings (original contract)") {
+    import spark.implicits._
+    val df = Seq("1", "2", "2.0").toDF("amount")
+    val r = ProfileOps.profileNumeric(df, Seq("amount")).collect().head
+    assert(r.getAs[Double]("min_v") == 1.0 && r.getAs[Double]("max_v") == 2.0)
+    assert(r.getAs[Long]("n_distinct") == 2) // "2" and "2.0" parse equal
+  }
+
+  test("bigint distinct counts are exact beyond double precision") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 collapse to one double; the long slot keeps them apart
+    val df = Seq(9007199254740992L, 9007199254740993L).toDF("big")
+    val r = ProfileOps.profile(df, Seq("big")).collect().head
+    assert(r.getAs[Long]("n_distinct") == 2)
+  }
+
+  test("column names containing dots profile intact") {
+    import spark.implicits._
+    val df = Seq((1.5, "x"), (2.5, "y")).toDF("price.usd", "tag")
+    val p = ProfileOps.profile(df, Seq("price.usd", "tag")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("price.usd").getAs[Double]("max_num") == 2.5)
+    assert(p("price.usd").getAs[Long]("n_distinct") == 2)
+    assert(p("tag").getAs[String]("max_str") == "y")
+  }
 }
