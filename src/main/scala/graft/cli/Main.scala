@@ -21,14 +21,24 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: rest      => runPipeline(parseFlags(rest))
     case "run-file" :: rest => runFiles(rest)
-    case "viz" :: out :: _  => viz(out)
+    case "viz" :: rest if positionals(rest).nonEmpty =>
+      viz(positionals(rest).head, parseFlags(rest))
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel]
-           |       graft run-file <script.sql> […]
-           |       graft viz <out.svg>""".stripMargin)
+           |       graft run-file [--config C] <script.sql> […]
+           |       graft viz [--config C] <out.svg>""".stripMargin)
       sys.exit(2)
+  }
+
+  /** Arguments that are neither flags nor flag values. */
+  private def positionals(l: List[String]): List[String] = l match {
+    case k :: _ :: t if Set("--config", "--models-dir", "--db-path")(k) =>
+      positionals(t)
+    case "--parallel" :: t => positionals(t)
+    case a :: t            => a :: positionals(t)
+    case Nil               => Nil
   }
 
   private def parseFlags(rest: List[String]): Map[String, String] = {
@@ -152,13 +162,14 @@ object Main {
   /** Build the graph (no SQL execution) and write DOT-derived SVG; `.svg`
     * suffix auto-appended (src/main.rs:63-84).
     */
-  private def viz(out: String): Unit = {
-    val config = loadConfig(Map.empty)
-    val spark = SparkSession.builder().master("local[1]")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  private def viz(out: String, flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
     try {
-      val session = new PipelineSession(spark, config)
+      // graph building is a pure driver-side text transform — the session
+      // parameter is by-name/lazy and never touched, so viz skips the
+      // multi-second Spark startup entirely
+      val session = new PipelineSession(
+        throw new IllegalStateException("viz does not execute SQL"), config)
       val (order, nodeMap) = session.buildGraph()
       val target = if (out.endsWith(".svg")) out else out + ".svg"
       Files.writeString(Paths.get(target),
@@ -168,6 +179,6 @@ object Main {
       println(s"Visualization saved to $target")
     } catch {
       case e: GraftError => System.err.println(e.render); sys.exit(1)
-    } finally spark.stop()
+    }
   }
 }

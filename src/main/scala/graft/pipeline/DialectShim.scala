@@ -59,6 +59,9 @@ object DialectShim {
     "list_contains" -> "array_contains",
     "list_has_any" -> "arrays_overlap",
     "regexp_matches" -> "regexp_like", // both are find-anywhere semantics
+    // maps the common timestamp→ms overload; DuckDB's reverse BIGINT→
+    // timestamp overload is NOT covered and fails (naming unix_millis) —
+    // the one deliberate exception to the fail-with-original-name rule
     "epoch_ms" -> "unix_millis",
     // lambda syntax (`x -> …`) is identical in both dialects, so the
     // higher-order pair is a pure rename (len() is NOT here: its overload
@@ -536,7 +539,21 @@ object DialectShim {
   private def rewriteKwargCall(spark: SparkSession, fn: String, path: String,
                                kwargText: String): Option[String] = {
     val kwarg = """(?i)\s*([a-z_]+)\s*=\s*(?:'([^']*)'|([^,\s]+))\s*""".r
-    val parsed = kwargText.split(",").toSeq.map {
+    // quote-aware comma split: delim=',' is the most common CSV kwarg and
+    // a naive split would cut inside its literal
+    val pieces = {
+      val out = Seq.newBuilder[String]; val cur = new StringBuilder
+      var inQ = false
+      kwargText.foreach { c =>
+        if (inQ) { cur.append(c); if (c == '\'') inQ = false }
+        else if (c == '\'') { inQ = true; cur.append(c) }
+        else if (c == ',') { out += cur.toString; cur.clear() }
+        else cur.append(c)
+      }
+      out += cur.toString
+      out.result()
+    }
+    val parsed = pieces.map {
       case kwarg(k, strV, rawV) =>
         kwargKeys.get(k.toLowerCase)
           .map(_ -> Option(strV).getOrElse(rawV))

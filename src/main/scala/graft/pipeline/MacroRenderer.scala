@@ -124,13 +124,37 @@ object MacroRenderer {
     val afterVars = varPat.replaceAllIn(mac.body, m =>
       java.util.regex.Matcher.quoteReplacement(bound.getOrElse(m.group(1), "")))
     callPat.replaceAllIn(afterVars, m => {
-      val substArgs = bound.foldLeft(m.group(2)) { case (s, (k, v)) =>
-        s.replaceAll(s"\\b${java.util.regex.Pattern.quote(k)}\\b",
-          java.util.regex.Matcher.quoteReplacement(v))
-      }
       java.util.regex.Matcher.quoteReplacement(
-        s"{{ ${m.group(1)}($substArgs) }}")
+        s"{{ ${m.group(1)}(${substParams(m.group(2), bound)}) }}")
     })
+  }
+
+  /** Substitute bound params in a nested call's argument text: one
+    * quote-aware pass with ALL params substituted simultaneously — a
+    * sequential replaceAll would re-substitute an argument whose text
+    * matches a later parameter name (the capture bug DialectShim's macro
+    * expansion also guards against), and would rewrite matches inside
+    * quoted literals.
+    */
+  private def substParams(text: String,
+      bound: collection.Map[String, String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"') {
+        val j = text.indexOf(c, i + 1)
+        val end = if (j < 0) text.length else j + 1
+        sb.append(text.substring(i, end)); i = end
+      } else if (Character.isJavaIdentifierStart(c)) {
+        var j = i
+        while (j < text.length && Character.isJavaIdentifierPart(text.charAt(j))) j += 1
+        val w = text.substring(i, j)
+        sb.append(bound.getOrElse(w, w))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Split a call's argument list on commas outside quotes. */

@@ -23,9 +23,13 @@ import org.apache.spark.sql.SparkSession
   * the scale path for wide pipelines on a real cluster.
   */
 final class PipelineSession(
-    val spark: SparkSession,
+    spark0: => SparkSession,
     val config: PipelineConfig,
     parallel: Boolean = false) {
+
+  // by-name + lazy: graph building and viz never touch Spark, so `viz`
+  // can construct a session-free PipelineSession and skip Spark startup
+  lazy val spark: SparkSession = spark0
 
   final case class NodeResult(id: String, status: String, millis: Long,
       error: Option[GraftError])
@@ -78,11 +82,16 @@ final class PipelineSession(
     }.toMap
 
     val modelIds = nodeMap.keySet
+    // refs come back lowercased (Spark resolution is case-insensitive);
+    // map them to the original-case model ids or an uppercase model would
+    // silently lose every inbound edge
+    val byLower = modelIds.map(i => i.toLowerCase -> i).toMap
     // render: strip comments → expand macros → extract refs (src/node.rs:62-107)
     nodeMap = nodeMap.map { case (id, node) =>
       val stripped = SqlText.stripComments(node.rawSrc)
       val rendered = MacroRenderer.render(stripped, macroSrc)
-      val prevs = DepExtractor.modelRefsInModel(rendered, modelIds) - id
+      val prevs = DepExtractor.modelRefsInModel(rendered, modelIds)
+        .flatMap(byLower.get) - id
       id -> node.copy(renderedSrc = rendered, prevs = prevs)
     }
     println(s"Found ${paths.size} model source${if (paths.size > 1) "s" else ""}, " +
@@ -189,9 +198,17 @@ final class PipelineSession(
     * the SELECT (src/node.rs:125-207). Returns the status string.
     */
   def executeNode(node: ModelNode): String = {
-    val stmts = SqlText.splitStatements(node.renderedSrc)
-      .map(DialectShim.rewrite(_, spark))
-    val (producing, side) = stmts.partition(SqlText.producesRecords)
+    // classify on the RAW statements (the reference applies its prefix
+    // rule to the un-rewritten DuckDB text) and keep the raw text paired
+    // with its rewrite — the raw SELECT is persisted alongside the
+    // rewritten one so restore can re-shim it in a future session (see
+    // ViewStore.saveView)
+    val pairs = SqlText.splitStatements(node.renderedSrc)
+      .map(st => (st, DialectShim.rewrite(st, spark)))
+    val (producingPairs, sidePairs) =
+      pairs.partition { case (raw, _) => SqlText.producesRecords(raw) }
+    val producing = producingPairs.map(_._2)
+    val side = sidePairs.map(_._2)
     if (producing.size != 1)
       throw StatementExecutionError(
         s"Model must contain exactly one record-producing (SELECT/WITH) statement, found ${producing.size}",
@@ -207,18 +224,23 @@ final class PipelineSession(
     }
 
     val select = producing.head
+    val rawSelect = producingPairs.head._1
     node.materialize.map(_.toLowerCase) match {
       case None | Some("view") =>
         try {
           spark.sql(select).createOrReplaceTempView(node.id)
           // persist the rendered definition so later sessions over the
           // same db_path see the view (reference node.rs:157-165 parity)
-          ViewStore.saveView(config.dbPath, node.id, select)
+          ViewStore.saveView(config.dbPath, node.id, select, Some(rawSelect))
           "CREATE VIEW"
         } catch { case e: Exception =>
           throw StatementExecutionError(e.getMessage, select, node.path) }
       case Some("table") =>
         try {
+          // a restored view with this name (e.g. the model switched from
+          // view to table materialization) would otherwise SHADOW the new
+          // table — temp views win single-part name resolution
+          spark.catalog.dropTempView(node.id)
           spark.sql(s"DROP TABLE IF EXISTS `${node.id}`")
           // a table restored from a PREVIOUS session is registered external
           // (the in-memory catalog cannot recreate managed-ness), so the

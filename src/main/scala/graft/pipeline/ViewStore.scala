@@ -29,17 +29,20 @@ object ViewStore {
   private def manifest(dbPath: String): Path =
     storeDir(dbPath).resolve("manifest.tsv")
 
-  def saveView(dbPath: Option[String], id: String, select: String): Unit =
+  /** Persist a view definition. `select` is the session-ready (rewritten)
+    * SQL; `raw` is the pre-shim text, stored alongside so a LATER session
+    * can re-run the dialect shim when the rewritten form referenced
+    * session-scoped state (e.g. the kwarg read_csv temp views) that no
+    * longer exists.
+    */
+  def saveView(dbPath: Option[String], id: String, select: String,
+               raw: Option[String] = None): Unit =
     dbPath.foreach { db =>
       Files.createDirectories(storeDir(db))
       Files.writeString(storeDir(db).resolve(s"$id.sql"), select)
+      raw.foreach(r =>
+        Files.writeString(storeDir(db).resolve(s"$id.raw.sql"), r))
       appendEntry(db, "view", id)
-    }
-
-  def saveTable(dbPath: Option[String], id: String): Unit =
-    dbPath.foreach { db =>
-      Files.createDirectories(storeDir(db))
-      appendEntry(db, "table", id)
     }
 
   /** Catalog-aware variant: if `id` is a BUCKETED table (saveAsTable with
@@ -64,9 +67,11 @@ object ViewStore {
     }
 
   // re-registering a model keeps its original (topo) position so replay
-  // order stays dependency-safe; a changed definition just overwrites
+  // order stays dependency-safe; a changed definition just overwrites.
+  // Synchronized: --parallel waves persist concurrently, and an
+  // unsynchronized read-modify-write would drop a sibling's entry.
   private def appendEntry(dbPath: String, kind: String, id: String,
-                          extra: String = ""): Unit = {
+                          extra: String = ""): Unit = this.synchronized {
     val m = manifest(dbPath)
     val cur =
       if (Files.exists(m)) Files.readAllLines(m).asScala.toSeq else Seq.empty
@@ -89,8 +94,19 @@ object ViewStore {
       line.split("\t", -1) match {
         case Array("view", id) =>
           try {
-            val sql = Files.readString(storeDir(dbPath).resolve(s"$id.sql"))
-            spark.sql(sql).createOrReplaceTempView(id)
+            def register(sql: String): Unit =
+              spark.sql(sql).createOrReplaceTempView(id)
+            val stored = Files.readString(storeDir(dbPath).resolve(s"$id.sql"))
+            try register(stored)
+            catch { case e: Exception =>
+              // the rewritten form may reference session-scoped state (a
+              // kwarg read_* temp view); re-shim the raw text in THIS
+              // session instead
+              val rawF = storeDir(dbPath).resolve(s"$id.raw.sql")
+              if (Files.exists(rawF))
+                register(DialectShim.rewrite(Files.readString(rawF), spark))
+              else throw e
+            }
             n += 1
           } catch { case e: Exception =>
             println(s"WARNING: could not restore view `$id`: ${e.getMessage}")

@@ -13,9 +13,13 @@ object GraphViz {
     * node, `a -> b;` per edge).
     */
   def renderDot(nodeNames: Seq[String], nodeMap: Map[String, ModelNode]): String = {
-    val nodes = nodeNames.map(s => s"\t$s;").mkString("\n")
+    // ids are quoted: a model file named daily-orders.sql is a legal model
+    // but `daily-orders` is not a bare DOT identifier
+    def q(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    val nodes = nodeNames.map(s => s"\t${q(s)};").mkString("\n")
     val edges = nodeNames.flatMap { name =>
-      nodeMap.get(name).toSeq.flatMap(_.nexts.toSeq.sorted.map(n => s"\t$name -> $n;"))
+      nodeMap.get(name).toSeq
+        .flatMap(_.nexts.toSeq.sorted.map(n => s"\t${q(name)} -> ${q(n)};"))
     }.mkString("\n")
     s"digraph LR {\n $nodes \n $edges \n}"
   }
@@ -41,9 +45,11 @@ object GraphViz {
       levels.map(_.size).maxOption.getOrElse(1) * (boxW + hGap) + 40)
     val height = math.max(200, levels.size * (boxH + vGap) + 40)
 
+    def esc(s: String) = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
     val rects = pos.toSeq.sortBy(_._1).map { case (id, (x, y)) =>
       s"""<rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6" fill="#eef2f7" stroke="#4a5568"/>
-         |<text x="${x + boxW / 2}" y="${y + boxH / 2 + 5}" text-anchor="middle" font-family="monospace" font-size="13">$id</text>""".stripMargin
+         |<text x="${x + boxW / 2}" y="${y + boxH / 2 + 5}" text-anchor="middle" font-family="monospace" font-size="13">${esc(id)}</text>""".stripMargin
     }.mkString("\n")
 
     val lines = nodeNames.flatMap { from =>

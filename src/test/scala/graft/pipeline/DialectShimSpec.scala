@@ -68,6 +68,17 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(sql, spark) == rewritten)
   }
 
+  test("kwarg values containing commas split correctly (delim=',')") {
+    val spark = graft.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("c.csv")
+    java.nio.file.Files.writeString(f, "a,b\n1,2\n3,4\n")
+    val out = DialectShim.rewrite(
+      s"SELECT * FROM read_csv('$f', header=true, delim=',')", spark)
+    assert(!out.contains("read_csv"), out) // rewrote to a temp view
+    assert(spark.sql(out).count() == 2)
+  }
+
   test("unsupported kwargs are left verbatim for execution to reject") {
     val spark = graft.SparkTestSession.spark
     val sql = "SELECT * FROM read_csv('f.csv', sample_size=100)"

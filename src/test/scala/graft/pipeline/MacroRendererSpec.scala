@@ -44,4 +44,14 @@ class MacroRendererSpec extends AnyFunSuite {
     assert(MacroRenderer.render("SELECT {{ q('a,b') }}", macros) ==
       "SELECT 'a,b'")
   }
+
+  test("nested-call args substitute simultaneously (no capture)") {
+    // an argument whose text equals a LATER parameter name must not be
+    // re-substituted: ratio(den, 2) is den / 2, never 2 / 2
+    val macros =
+      """{% macro per(x, y) %}{{ x }} / {{ y }}{% endmacro %}
+        |{% macro ratio(num, den) %}{{ per(num, den) }}{% endmacro %}""".stripMargin
+    assert(MacroRenderer.render("SELECT {{ ratio(den, 2) }} FROM t", macros) ==
+      "SELECT den / 2 FROM t")
+  }
 }

@@ -219,6 +219,34 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("top_bucket").head.getInt(0) == direct.map(_._1).max)
   }
 
+  test("uppercase model ids keep their dependency edges") {
+    // dep extraction lowercases (Spark resolution is case-insensitive);
+    // edges must map back to the original-case ids or they vanish
+    val (_, config) = fixture(models = Map(
+      "DimSource" -> "SELECT 1 AS k, 'x' AS v",
+      "FactAgg" -> "SELECT k, count() AS n FROM DimSource GROUP BY k"))
+    val session = new PipelineSession(spark, config)
+    val (order, nodeMap) = session.buildGraph()
+    assert(nodeMap("FactAgg").prevs == Set("DimSource"))
+    assert(order == Seq("DimSource", "FactAgg"))
+    assert(session.runNodes().errors.isEmpty)
+  }
+
+  test("switching a model from view to table drops the shadowing view") {
+    // run 1 materializes m as a view (restored runs recreate the temp
+    // view); run 2 switches to table — the temp view must not shadow it
+    val (_, config) = fixture(models = Map(
+      "switch_m" -> "SELECT 42 AS answer"),
+      configExtra =
+        """models:
+          |  switch_m:
+          |    materialize: table""".stripMargin)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW switch_m AS SELECT 0 AS answer")
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    assert(spark.table("switch_m").head.getInt(0) == 42)
+  }
+
   test("table model re-materializes over a leftover warehouse directory") {
     // cross-JVM re-run shape: a previous session's table was restored
     // external and dropped (files survive) — or the JVM died after the
@@ -250,7 +278,8 @@ class PipelineE2ESpec extends AnyFunSuite {
     val (order, nodeMap) = session.buildGraph()
     val dot = graft.viz.GraphViz.renderDot(order, nodeMap)
     assert(dot.contains("digraph LR"))
-    assert(dot.contains("up -> down;"))
+    // ids are quoted so hyphenated model names stay legal DOT
+    assert(dot.contains("\"up\" -> \"down\";"))
     val svg = graft.viz.GraphViz.renderSvg(order, nodeMap)
     assert(svg.startsWith("<svg"))
     assert(svg.contains(">up<") && svg.contains(">down<"))
