@@ -328,7 +328,8 @@ object DialectShim {
       case None => sql
     }
     val afterAsof = rewriteAsof(afterMacros)
-    val afterList = readFnList.replaceAllIn(afterAsof, m => {
+    val afterQualify = rewriteQualify(afterAsof)
+    val afterList = readFnList.replaceAllIn(afterQualify, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       val rewritten =
@@ -360,6 +361,132 @@ object DialectShim {
           .map(p => s"date_format(${m.group(1)}, '$p')")
           .getOrElse(m.matched)))
     replaceOutsideLiterals(afterStrftime)
+  }
+
+  // --- DuckDB QUALIFY ----------------------------------------------------
+  // `SELECT <sel> FROM <mid> QUALIFY <pred> [<tail>]` — Spark has no
+  // QUALIFY clause, so it rewrites to a subquery + WHERE:
+  //   - pred contains a raw window fn (`OVER`): the predicate is injected
+  //     as a boolean column INSIDE the subquery (windows are legal in a
+  //     select list, never in WHERE) and filtered outside —
+  //       SELECT * EXCEPT (__qualify) FROM
+  //         (SELECT <sel>, (<pred>) AS __qualify FROM <mid>) __graft_q
+  //       WHERE __qualify [<tail>]
+  //   - otherwise pred references select-list aliases: plain wrap —
+  //       SELECT * FROM (SELECT <sel> FROM <mid>) __graft_q
+  //       WHERE <pred> [<tail>]
+  // Catalyst collapses the adjacent projections, and a filter on a
+  // non-window alias is pushed back below the subquery boundary — the
+  // rewritten plan is the plan QUALIFY describes, with no extra exchange.
+  // Nested occurrences (in subqueries/CTEs) are handled innermost-span
+  // first; each pass eliminates one QUALIFY.
+
+  /** Depth-0 positions of word-bounded, case-insensitive `word` in `sql`,
+    * ignoring single-quoted literals. Depth is measured from `sql`'s start.
+    */
+  private def keywordPositions(sql: String, word: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0; var depth = 0
+    val n = sql.length; val w = word.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        while (j < n && sql.charAt(j) != '\'') j += 1
+        i = j + 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (sql.regionMatches(true, i, word, 0, w) &&
+            (i == 0 || !Character.isJavaIdentifierPart(sql.charAt(i - 1))) &&
+            (i + w >= n || !Character.isJavaIdentifierPart(sql.charAt(i + w)))) {
+          out += ((i, depth)); i += w - 1
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def unsupportedQualify(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      "QUALIFY: unsupported form (" + detail + "); supported: " +
+        "`SELECT … FROM … QUALIFY <predicate>` (predicate over select-list" +
+        " aliases or containing the window expression itself)")
+
+  private def rewriteQualify(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (keywordPositions(cur, "QUALIFY").nonEmpty) {
+      guard += 1
+      if (guard > 20) unsupportedQualify("rewrite did not converge")
+      val (pos, depth) = keywordPositions(cur, "QUALIFY").head
+      if (depth == 0) cur = transformQualify(cur)
+      else {
+        // innermost enclosing paren span: walk to `pos` keeping a stack of
+        // open-paren indices (literal-aware), then to the matching close
+        var i = 0; var stack = List.empty[Int]
+        while (i < pos) {
+          val c = cur.charAt(i)
+          if (c == '\'') { i += 1; while (i < cur.length && cur.charAt(i) != '\'') i += 1 }
+          else if (c == '(') stack ::= i
+          else if (c == ')') stack = stack.tail
+          i += 1
+        }
+        val open = stack.head
+        var d = 0; var close = open
+        var found = false
+        while (!found && close < cur.length) {
+          val c = cur.charAt(close)
+          if (c == '\'') { close += 1; while (close < cur.length && cur.charAt(close) != '\'') close += 1 }
+          else if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0) found = true }
+          if (!found) close += 1
+        }
+        if (!found) unsupportedQualify("unbalanced parentheses")
+        cur = cur.substring(0, open + 1) +
+          transformQualify(cur.substring(open + 1, close)) +
+          cur.substring(close)
+      }
+    }
+    cur
+  }
+
+  private val qualifyTailKeywords =
+    Seq("ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+
+  /** Rewrite the (single) depth-0 QUALIFY in `text`; see the section
+    * comment for the two output shapes.
+    */
+  private def transformQualify(text: String): String = {
+    val qPos = keywordPositions(text, "QUALIFY")
+      .collectFirst { case (p, 0) => p }
+      .getOrElse(return text)
+    val selPos = keywordPositions(text, "SELECT")
+      .collect { case (p, 0) if p < qPos => p }
+      .lastOption.getOrElse(unsupportedQualify("no owning SELECT"))
+    val fromPos = keywordPositions(text, "FROM")
+      .collectFirst { case (p, 0) if p > selPos && p < qPos => p }
+      .getOrElse(unsupportedQualify("no FROM clause"))
+    val predEnd = qualifyTailKeywords
+      .flatMap(k => keywordPositions(text, k).collect {
+        case (p, 0) if p > qPos => p
+      })
+      .minOption.getOrElse(text.length)
+    val prefix = text.substring(0, selPos)
+    val selList = text.substring(selPos + "SELECT".length, fromPos).trim
+    val mid = text.substring(fromPos + "FROM".length, qPos).trim
+    val pred = text.substring(qPos + "QUALIFY".length, predEnd).trim
+    val tail = text.substring(predEnd)
+    if (pred.isEmpty) unsupportedQualify("empty predicate")
+    val hasWindow = keywordPositions(pred, "OVER").nonEmpty
+    val rewritten =
+      if (hasWindow)
+        s"SELECT * EXCEPT (__qualify) FROM (SELECT $selList, ($pred) AS " +
+          s"__qualify FROM $mid) __graft_q WHERE __qualify"
+      else
+        s"SELECT * FROM (SELECT $selList FROM $mid) __graft_q WHERE $pred"
+    s"$prefix$rewritten $tail"
   }
 
   // --- DuckDB ASOF JOIN --------------------------------------------------
@@ -597,9 +724,17 @@ object DialectShim {
     result.toString
   }
 
+  // DuckDB `* EXCLUDE (a, b)` / `* EXCLUDE a` → Spark `* EXCEPT (a, b)`.
+  // Anchored on the preceding `*` so the EXCEPT set operator (and any
+  // column named exclude) is never touched.
+  private val starExcludeParen = """(?i)(\*\s*)EXCLUDE\s*\(""".r
+  private val starExcludeBare = """(?i)(\*\s*)EXCLUDE\s+([A-Za-z_]\w*)""".r
+
   private def rewriteFunctions(sql: String): String = {
     val counted = bareCount.replaceAllIn(sql, "count(*)")
-    val renamed = fnRenames.foldLeft(counted) { case (s, (re, repl)) =>
+    val excluded = starExcludeBare.replaceAllIn(
+      starExcludeParen.replaceAllIn(counted, "$1EXCEPT ("), "$1EXCEPT ($2)")
+    val renamed = fnRenames.foldLeft(excluded) { case (s, (re, repl)) =>
       re.replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(repl))
     }
     // string_split spans the literal-segment boundary (its separator IS a

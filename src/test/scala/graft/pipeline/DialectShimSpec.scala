@@ -323,4 +323,62 @@ class DialectShimSpec extends AnyFunSuite {
     assert(left == Seq((1, 10, Some("a")), (1, 20, Some("b")),
       (2, 15, Some("d")), (3, 5, None)))
   }
+
+  test("* EXCLUDE rewrites to * EXCEPT") {
+    assert(DialectShim.rewrite("SELECT * EXCLUDE (b, c) FROM t") ==
+      "SELECT * EXCEPT (b, c) FROM t")
+    assert(DialectShim.rewrite("SELECT t.* EXCLUDE b FROM t") ==
+      "SELECT t.* EXCEPT (b) FROM t")
+    // the EXCEPT set operator and plain identifiers are never touched
+    val setOp = "SELECT a FROM t EXCEPT SELECT a FROM u"
+    assert(DialectShim.rewrite(setOp) == setOp)
+    val colRef = "SELECT exclude FROM t"
+    assert(DialectShim.rewrite(colRef) == colRef)
+  }
+
+  test("QUALIFY over a select-list alias wraps in a subquery") {
+    val out = DialectShim.rewrite(
+      "SELECT k, row_number() OVER (ORDER BY v) AS rn FROM t QUALIFY rn <= 2 ORDER BY k")
+    assert(out ==
+      "SELECT * FROM (SELECT k, row_number() OVER (ORDER BY v) AS rn " +
+        "FROM t) __graft_q WHERE rn <= 2 ORDER BY k")
+  }
+
+  test("QUALIFY with a raw window injects the predicate as a column") {
+    val out = DialectShim.rewrite(
+      "SELECT k, v FROM t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1")
+    assert(out.contains("AS __qualify"))
+    assert(out.contains("SELECT * EXCEPT (__qualify) FROM"))
+    assert(out.trim.endsWith("WHERE __qualify"))
+  }
+
+  test("QUALIFY inside a subquery / literal-shadowed QUALIFY") {
+    val out = DialectShim.rewrite(
+      "SELECT * FROM (SELECT k, max(v) OVER (PARTITION BY k) AS mx FROM t QUALIFY mx > 1) s")
+    assert(!out.toUpperCase.contains("QUALIFY"))
+    assert(out.startsWith("SELECT * FROM ("))
+    val lit = "SELECT 'QUALIFY rn = 1' FROM t"
+    assert(DialectShim.rewrite(lit) == lit)
+  }
+
+  test("QUALIFY executes correctly through spark.sql") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW qual_t AS
+      SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, 7), (2, 9)
+        AS t(k, v)""")
+    // top-1 per key via alias form
+    val top1 = spark.sql(DialectShim.rewrite(
+      """SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |FROM qual_t QUALIFY rn = 1 ORDER BY k""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(top1 == Seq((1, 20), (2, 9)))
+    // raw-window form keeps the original column set
+    val raw = spark.sql(DialectShim.rewrite(
+      """SELECT k, v FROM qual_t
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1
+        |ORDER BY k""".stripMargin))
+    assert(raw.columns.toSeq == Seq("k", "v"))
+    assert(raw.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 10), (2, 5)))
+  }
 }
