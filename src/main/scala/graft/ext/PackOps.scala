@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation (SURVEY.md §2.C scope:
+  * "operations a large-scale training-data pipeline would need"): assign
+  * documents to fixed token-budget bins, the step that turns a cleaned
+  * corpus into constant-length training sequences.
+  *
+  * The scheme is deterministic concat-and-chunk: documents are sharded by
+  * id (shards are the parallel unit — a real pipeline packs each shard
+  * independently on one task), ordered by id within the shard, and a
+  * document starts in the bin where the running token count before it
+  * lands: bin = floor(prefix_sum / budget). That is exactly what a
+  * streaming concat-then-chunk tokenizer run produces, computed as one
+  * window over the shard.
+  *
+  * At 100 TB: ONE shuffle (hash partition by shard) + a sort within each
+  * shard; no driver state, no iteration. Shard count is the knob — set it
+  * to ~(corpus tokens / executor-task budget) so a shard's documents fit a
+  * task's sort buffer. Skew-free by construction: id-mod sharding spreads
+  * documents uniformly regardless of length distribution.
+  */
+object PackOps {
+
+  /** Per-document bin assignment: adds `shard`, `bin`, and the document's
+    * token count `n_tok` (from `nTokCol`). Deterministic in (id, nShards,
+    * budget) only — reproducible across engines and retries.
+    */
+  def packBins(docs: DataFrame, idCol: String, nTokCol: Column,
+               budget: Int, nShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+      .withColumn("n_tok", nTokCol.cast("long"))
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col("n_tok")).cast("double") / budget)
+          .cast("int"))
+      .drop("__cum")
+  }
+
+  /** Per-bin packing summary: document count, filled tokens, id range.
+    * The groupBy rides the same (shard) partitioning the window produced —
+    * Catalyst reuses the exchange, so the summary adds no extra shuffle
+    * of the corpus.
+    */
+  def packSummary(docs: DataFrame, idCol: String, nTokCol: Column,
+                  budget: Int, nShards: Int): DataFrame =
+    packBins(docs, idCol, nTokCol, budget, nShards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"))
+}

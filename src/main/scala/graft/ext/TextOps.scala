@@ -153,6 +153,85 @@ object TextOps {
         col("tfidf"))
   }
 
+  /** Duplicate k-gram fraction: 1 - distinct/total over the document's
+    * token k-grams — the Gopher-style repetition signal. Map-only: the
+    * shingle expression is the native codegen kernel and
+    * `array_distinct`/`size` are built-ins, so this runs entirely inside
+    * the scan's whole-stage codegen. Fewer than k tokens → null (no
+    * k-grams to measure).
+    */
+  def dupNgramFrac(toks: Column, k: Int): Column = {
+    val sh = shingles(toks, k)
+    when(size(sh) > 0,
+      round(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh), 4))
+  }
+
+  /** Per-document repetition metrics + a Gopher-style repetition gate:
+    *   - top_tok_frac: frequency of the most common token / token count;
+    *   - dup_2gram_frac / dup_3gram_frac: duplicate k-gram fractions;
+    *   - repetitive: true when any signal crosses its threshold.
+    * The duplicate fractions are map-only (see [[dupNgramFrac]]); the top
+    * token needs real counting, done as explode → two partial aggregates
+    * (both combine map-side; the (doc, token) shuffle key is uniform), then
+    * a join back on the doc id — at 100 TB that's two well-shaped shuffles
+    * and nothing driver-side.
+    */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        maxTopTokFrac: Double = 0.14,
+                        maxDup2Frac: Double = 0.07,
+                        maxDup3Frac: Double = 0.02)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val topTok = docs
+      .select(col(idCol), explode(toks).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__top"), sum(col("__c")).as("__n"))
+      .select(col(idCol),
+        round(col("__top").cast("double") / col("__n"), 4).as("top_tok_frac"))
+    docs
+      .select(col(idCol),
+        dupNgramFrac(toks, 2).as("dup_2gram_frac"),
+        dupNgramFrac(toks, 3).as("dup_3gram_frac"))
+      .join(topTok, Seq(idCol))
+      .withColumn("repetitive",
+        col("top_tok_frac") > maxTopTokFrac ||
+          col("dup_2gram_frac") > maxDup2Frac ||
+          col("dup_3gram_frac") > maxDup3Frac)
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any token
+    * k-gram with an evaluation set — the standard pre-training hygiene
+    * pass. Eval k-grams are distinct-collected and BROADCAST (benchmark
+    * suites are tiny next to a training corpus; the probe side never
+    * shuffles), each training document contributes its DISTINCT k-grams
+    * (explode → distinct, partial-agg combined), and the hit count joins
+    * back to the full training set so clean documents keep n_hit_grams=0.
+    * Output: (idCol, n_hit_grams, contaminated).
+    */
+  def contaminationFlags(train: org.apache.spark.sql.DataFrame,
+                         evalDocs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val banned = evalDocs
+      .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
+      .distinct()
+    val hits = train
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), k)).as("__g"))
+      .distinct()
+      .join(broadcast(banned), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hits"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
   /** Predicted language: argmax of profile overlap, ties resolved
     * alphabetically (profiles are already alphabetical).
     */

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, ProfileOps, SimilarityOps, TextOps}
+import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, PackOps, ProfileOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.graft.VectorFunctions
 
 /** Layer-C extension queries (SURVEY.md §2.C): training-data-pipeline
   * operators over the `documents` / `embeddings` / `events` tables — dedup
@@ -68,6 +69,42 @@ object ExtensionQueries {
           Seq("doc_id"))
         .select(col("doc_id"), col("fp"), col("min_shingle_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- Repetition metrics + Gopher-style gate (thresholds sit at the
+    // corpus's p90 so the flag splits meaningfully; real pipelines tune
+    // them per corpus) ---------------------------------------------------
+    "q62_repetition" -> ((s, dir) =>
+      TextOps.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // -- Benchmark decontamination: train docs sharing any 3-gram with the
+    // eval subset (doc_id % 50 == 0 stands in for a benchmark suite) ------
+    "q63_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.contaminationFlags(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Quality-weighted sampling: band by quality score, keep high
+    // quality at 16/16, mid at 8/16, low at 2/16 — the q57 deterministic
+    // coin keyed on a DERIVED stratum instead of a stored column ----------
+    "q64_quality_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("band",
+          when(col("quality") >= 0.55, "high")
+            .when(col("quality") >= 0.45, "mid")
+            .otherwise("low"))
+      DedupOps.stratifiedHashSample(docs, "doc_id", "band",
+          sixteenths = Map("high" -> 16, "mid" -> 8, "low" -> 2))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+        .orderBy(col("band"))
     }),
 
     // -- Dedup ---------------------------------------------------------
@@ -164,6 +201,24 @@ object ExtensionQueries {
       SimilarityOps.lshNearDupPairs(t(s, dir, "embeddings").drop("label"),
           minSim = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // -- Sequence packing: documents → fixed token-budget bins ----------
+    "q65_seq_packing" -> ((s, dir) =>
+      PackOps.packSummary(t(s, dir, "documents"), "doc_id",
+          size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
+        .orderBy(col("shard"), col("bin"))),
+
+    // -- Int8 embedding quantization audit (native fused kernel) --------
+    "q66_int8_quant" -> ((s, dir) => {
+      val st = VectorFunctions.int8QuantStats(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), st.as("st"))
+        .select(col("vec_id"),
+          round(col("st").getItem(0), 8).as("scale"),
+          round(col("st").getItem(1), 8).as("max_abs_err"),
+          round(col("st").getItem(2), 8).as("rmse"))
+        .orderBy(col("vec_id"))
+    }),
 
     // -- Multimodal plumbing ---------------------------------------------
     "q32_multimodal" -> ((s, dir) =>
@@ -610,8 +665,98 @@ object ExtensionQueries {
         |    AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q62_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |top AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4)
+        |    AS top_tok_frac
+        |  FROM (SELECT doc_id, t, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+        |        GROUP BY doc_id, t)
+        |  GROUP BY doc_id),
+        |m AS (SELECT d.doc_id,
+        |  CASE WHEN len(toks) - 1 > 0 THEN round(1.0 -
+        |    CAST(len(list_distinct([array_to_string(toks[i:i+1], ' ')
+        |      for i in generate_series(1, len(toks) - 1)])) AS DOUBLE)
+        |    / (len(toks) - 1), 4) END AS dup_2gram_frac,
+        |  CASE WHEN len(toks) - 2 > 0 THEN round(1.0 -
+        |    CAST(len(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in generate_series(1, len(toks) - 2)])) AS DOUBLE)
+        |    / (len(toks) - 2), 4) END AS dup_3gram_frac,
+        |  top_tok_frac
+        |  FROM d JOIN top USING (doc_id))
+        |SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_tok_frac,
+        |  (top_tok_frac > 0.14 OR dup_2gram_frac > 0.07
+        |    OR dup_3gram_frac > 0.02) AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q63_decontam" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |    for i in generate_series(1, len(toks) - 2)]) AS g FROM d),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |tg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+        |h AS (SELECT doc_id, count(*) AS nh FROM tg JOIN ev USING (g)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_grams,
+        |  coalesce(nh, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM d WHERE doc_id % 50 <> 0) t
+        |LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q64_quality_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |r AS (SELECT doc_id,
+        |  round(CAST(len(list_filter(toks, t -> t IN
+        |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+        |    / len(toks), 4) AS stop_ratio,
+        |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |    AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |  len(toks) AS n_toks
+        |  FROM d),
+        |q AS (SELECT doc_id,
+        |  round(stop_ratio * 0.4 + least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+        |    * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS quality FROM r),
+        |b AS (SELECT doc_id, quality,
+        |  CASE WHEN quality >= 0.55 THEN 'high'
+        |       WHEN quality >= 0.45 THEN 'mid' ELSE 'low' END AS band FROM q)
+        |SELECT band, count(*) AS n_kept,
+        |  min(quality) AS min_q, max(quality) AS max_q
+        |FROM b
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |    AS INTEGER) <
+        |  CASE band WHEN 'high' THEN 16 WHEN 'mid' THEN 8 ELSE 2 END
+        |GROUP BY band ORDER BY band""".stripMargin,
     "q27_minhash_neardup" -> minHashOracleSql,
     "q56_neardup_dedup" -> nearDupDedupOracleSql,
+    "q65_seq_packing" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |b AS (SELECT shard, doc_id, n_tok,
+        |    CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS INTEGER) AS bin
+        |  FROM c)
+        |SELECT CAST(shard AS INTEGER) AS shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q66_int8_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |    list_max([abs(x) for x in emb]) / 127 AS scale FROM e),
+        |err AS (SELECT vec_id, scale,
+        |    [abs(floor(x / scale + 0.5) * scale - x) for x in emb] AS er,
+        |    len(emb) AS n
+        |  FROM s)
+        |SELECT vec_id, round(scale, 8) AS scale,
+        |  round(list_aggregate(er, 'max'), 8) AS max_abs_err,
+        |  round(sqrt(list_dot_product(er, er) / n), 8) AS rmse
+        |FROM err ORDER BY vec_id""".stripMargin,
     "q52_ann_lsh" -> lshOracleSql,
     "q31_ann_ivf" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,

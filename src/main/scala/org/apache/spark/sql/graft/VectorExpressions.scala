@@ -310,6 +310,96 @@ case class ArrayCountIn(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Int8 quantization statistics over an array<float> embedding, fused in
+  * one traversal: out = [scale, max_abs_err, rmse] where
+  * scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) (explicit half-up —
+  * identical in every engine, unlike banker's rounding), and the errors
+  * are |q_i*scale - x_i| with float→double promotion. The sum of squared
+  * errors accumulates in ascending element order, so a DuckDB
+  * `list_dot_product(err, err)` reproduces it bitwise (the same property
+  * q52's oracle relies on). Nothing clips: the max-magnitude element maps
+  * to exactly ±127. Zero/empty vector → [0,0,0] (quantizes exactly).
+  *
+  * This is the storage-planning primitive for embedding corpora: int8
+  * cuts a 100 TB float corpus to 25 TB, and this expression is the
+  * map-only audit pass that bounds the recall impact before committing.
+  */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "int8_quant_stats"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    if (n == 0 || scale == 0.0) new GenericArrayData(Array(0.0, 0.0, 0.0))
+    else {
+      var maxErr = 0.0
+      var sumSq = 0.0
+      i = 0
+      while (i < n) {
+        val v = x.getFloat(i).toDouble
+        val q = math.floor(v / scale + 0.5)
+        val e = math.abs(q * scale - v)
+        if (e > maxErr) maxErr = e
+        sumSq += e * e
+        i += 1
+      }
+      new GenericArrayData(Array(scale, maxErr, math.sqrt(sumSq / n)))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val maxErr = ctx.freshName("maxErr")
+      val sumSq = ctx.freshName("sumSq")
+      val v = ctx.freshName("v")
+      val e = ctx.freshName("e")
+      s"""
+         |int $n = $a.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($v > $maxAbs) $maxAbs = $v;
+         |}
+         |double $scale = $maxAbs / 127.0;
+         |if ($n == 0 || $scale == 0.0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new double[]{0.0, 0.0, 0.0});
+         |} else {
+         |  double $maxErr = 0.0;
+         |  double $sumSq = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = (double) $a.getFloat($i);
+         |    double $e = java.lang.Math.abs(
+         |      java.lang.Math.floor($v / $scale + 0.5) * $scale - $v);
+         |    if ($e > $maxErr) $maxErr = $e;
+         |    $sumSq += $e * $e;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new double[]{$scale, $maxErr, java.lang.Math.sqrt($sumSq / $n)});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
@@ -328,4 +418,7 @@ object VectorFunctions {
 
   def arrayCountIn(arr: Column, words: Seq[String]): Column =
     ExpressionUtils.column(ArrayCountIn(ExpressionUtils.expression(arr), words))
+
+  def int8QuantStats(a: Column): Column =
+    ExpressionUtils.column(Int8QuantStats(ExpressionUtils.expression(a)))
 }

@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, 100L), (8L, 300L), (16L, 200L), (24L, 50L), // shard 0
+    (1L, 400L), (9L, 200L)                           // shard 1
+  ).toDF("doc_id", "n")
+
+  test("packBins: concat-and-chunk bin = floor(prefix_sum / budget)") {
+    val r = PackOps.packBins(docs, "doc_id", col("n"), budget = 512, nShards = 8)
+      .select("doc_id", "shard", "bin")
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2)))).toMap
+    // shard 0 prefix sums before each doc: 0, 100, 400, 600
+    assert(r(0L) == ((0, 0)))
+    assert(r(8L) == ((0, 0)))
+    assert(r(16L) == ((0, 0)))
+    assert(r(24L) == ((0, 1))) // starts at 600 >= 512
+    // shard 1: prefix 0, 400
+    assert(r(1L) == ((1, 0)))
+    assert(r(9L) == ((1, 0)))
+  }
+
+  test("packSummary conserves documents and tokens") {
+    val s = PackOps.packSummary(docs, "doc_id", col("n"), 512, 8)
+    val tot = s.agg(sum("n_docs"), sum("n_tokens")).head
+    assert(tot.getLong(0) == 6L)
+    assert(tot.getLong(1) == 1250L)
+    // bins within a shard are contiguous from 0
+    val bins = s.filter(col("shard") === 0).select("bin")
+      .collect().map(_.getInt(0)).sorted
+    assert(bins.sameElements(Array(0, 1)))
+  }
+
+  test("bin assignment is deterministic in (id, budget, shards) only") {
+    // same rows, shuffled input order → identical assignment
+    val shuffled = docs.orderBy(rand(7))
+    val a = PackOps.packBins(docs, "doc_id", col("n"), 512, 8)
+      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = PackOps.packBins(shuffled, "doc_id", col("n"), 512, 8)
+      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
+
+  test("plan: one exchange on shard, summary reuses it") {
+    val plan = PackOps.packSummary(docs, "doc_id", col("n"), 512, 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected single shard exchange:\n$plan")
+  }
+}

@@ -62,6 +62,56 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
   }
 
+  test("repetitionMetrics: degenerate doc flagged, varied doc passes") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val r = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: one token repeated — every signal saturates
+    assert(r(0).getAs[Double]("top_tok_frac") == 1.0)
+    assert(r(0).getAs[Double]("dup_2gram_frac") == 0.8)   // 5 bigrams, 1 distinct
+    assert(r(0).getAs[Double]("dup_3gram_frac") == 0.75)  // 4 trigrams, 1 distinct
+    assert(r(0).getAs[Boolean]("repetitive"))
+    // doc 2: all-distinct tokens — no duplicate n-grams, low top fraction
+    assert(r(1).getAs[Double]("top_tok_frac") == 0.125)
+    assert(r(1).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(r(1).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(!r(1).getAs[Boolean]("repetitive"))
+  }
+
+  test("repetitionMetrics: doc shorter than k yields null fraction") {
+    val r = TextOps.repetitionMetrics(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text").head
+    assert(r.getAs[Double]("dup_2gram_frac") == 0.0) // one bigram, distinct
+    assert(r.isNullAt(r.fieldIndex("dup_3gram_frac"))) // no trigrams exist
+    // top_tok_frac 0.5 still trips the gate (null OR true = true)
+    assert(r.getAs[Boolean]("repetitive"))
+  }
+
+  test("contaminationFlags: shared k-gram flags, disjoint doc stays clean") {
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma x y"), // shares "alpha beta gamma"
+      (2L, "p q r s t")).toDF("doc_id", "text")
+    val r = TextOps.contaminationFlags(train, evalSet, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_hit_grams") == 1L)
+    assert(r(0).getAs[Boolean]("contaminated"))
+    assert(r(1).getAs[Long]("n_hit_grams") == 0L)
+    assert(!r(1).getAs[Boolean]("contaminated"))
+  }
+
+  test("contaminationFlags counts distinct grams once per doc") {
+    // the shared gram occurs twice in the train doc — distinct-per-doc
+    // semantics count it once
+    val evalSet = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c z a b c")).toDF("doc_id", "text")
+    val r = TextOps.contaminationFlags(train, evalSet, "doc_id", "text", k = 3)
+      .head
+    assert(r.getAs[Long]("n_hit_grams") == 1L)
+  }
+
   test("langId picks max-overlap profile with alphabetical tie-break") {
     val en = one("the cat is on a mat")
       .select(TextOps.langId(TextOps.tokens(col("text")))).head.getString(0)

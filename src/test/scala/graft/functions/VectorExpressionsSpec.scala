@@ -33,6 +33,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r(2).isNullAt(0))
   }
 
+  test("int8QuantStats: scale, error bound, zero vector") {
+    val df = Seq(
+      Seq(1.0f, -0.5f, 0.25f),
+      Seq(0.0f, 0.0f)).toDF("a")
+    val r = df.select(VectorFunctions.int8QuantStats(col("a"))).collect()
+      .map(_.getSeq[Double](0))
+    val Seq(scale, maxErr, rmse) = r(0)
+    assert(math.abs(scale - 1.0 / 127) < 1e-15)
+    // max element maps to exactly 127 (zero error); worst case is half a
+    // quantization step
+    assert(maxErr <= scale / 2 + 1e-15)
+    assert(math.abs(maxErr - 0.5 / 127) < 1e-12) // -0.5 sits on a half step
+    assert(rmse > 0 && rmse <= maxErr)
+    assert(r(1) == Seq(0.0, 0.0, 0.0)) // zero vector quantizes exactly
+  }
+
+  test("int8QuantStats agrees between codegen and interpreted eval") {
+    val df = Seq(Seq(0.3f, -0.7f, 0.11f, 0.002f)).toDF("a")
+    def run(): Seq[Double] =
+      df.select(VectorFunctions.int8QuantStats(col("a"))).head.getSeq[Double](0)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run()
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val gen = try run()
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(interp == gen) // bitwise-identical paths
+  }
+
   test("expressions work under codegen AND interpreted eval") {
     val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
     def run(): Double =

@@ -133,7 +133,8 @@ class QueryPlanSpec extends AnyFunSuite {
     // refactor that reintroduces a higher-order function (Spark HOFs are
     // CodegenFallback — every element pays interpreted dispatch) must fail.
     for (q <- Seq("q24_fingerprint", "q27_minhash_neardup",
-                  "q28_simhash_neardup", "q29_embedding_neardup")) {
+                  "q28_simhash_neardup", "q29_embedding_neardup",
+                  "q62_repetition", "q66_int8_quant")) {
       val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val falls = exec.collect {
         case node => node.expressions.flatMap(_.collect {
@@ -142,6 +143,25 @@ class QueryPlanSpec extends AnyFunSuite {
       }.flatten.distinct
       assert(falls.isEmpty, s"$q has CodegenFallback expressions: $falls")
     }
+  }
+
+  test("q62: top-token counting is two partial aggregations, no expand") {
+    val p = plan("q62_repetition")
+    // explode → (doc, tok) agg → (doc) agg: both must combine map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 aggs × partial+final
+    assert(!p.contains("Generate explode") || !p.contains("Expand"))
+  }
+
+  test("q63: eval-set grams broadcast — the corpus side never re-shuffles them") {
+    val p = plan("q63_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"banned-gram join should broadcast the benchmark set:\n$p")
+  }
+
+  test("q66: quantization audit is map-only (no hash exchange at all)") {
+    val p = plan("q66_int8_quant")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"int8 audit must not shuffle:\n$p")
   }
 
   test("no BroadcastNestedLoopJoin outside the intentional scalar/probe ones") {
