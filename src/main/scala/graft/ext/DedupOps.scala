@@ -305,6 +305,57 @@ object DedupOps {
     df.filter(nibble < rate)
   }
 
+  /** Sub-document (chunk-level) dedup — the C4 idiom at passage
+    * granularity: split every document into non-overlapping k-token chunks
+    * (native [[org.apache.spark.sql.graft.TokenChunks]] kernel, trailing
+    * partial included), fingerprint each chunk with md5, and keep only the
+    * corpus-wide FIRST occurrence of each fingerprint (lowest (doc, pos)),
+    * then reassemble each document from its surviving chunks in order.
+    *
+    * Output: (idCol, n_chunks, n_kept, clean_text) — clean_text is null
+    * when every chunk of the document appeared earlier somewhere else.
+    *
+    * At 100 TB: the only shuffles carry (32-byte fp, 8-byte key) pairs or
+    * chunk rows keyed by fp/doc — all uniform. The first-occurrence pick
+    * encodes (doc, pos) as doc*1e6+pos so the argmin is a plain min over
+    * one long (portable to the SQL oracle bitwise); that caps chunks per
+    * document at 1e6 — fine for any document that fits in a task.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def chunksOf(c: Column) =
+      org.apache.spark.sql.graft.VectorFunctions.tokenChunks(
+        split(lower(c), "\\s+"), chunkTokens)
+    val chunks = docs
+      .select(col(idCol), posexplode(chunksOf(col(textCol))).as(Seq("pos", "chunk")))
+      .withColumn("fp", md5(col("chunk")))
+      .withColumn("__key", col(idCol) * lit(1000000L) + col("pos"))
+    val firsts = chunks.groupBy(col("fp"))
+      .agg(min(col("__key")).as("__first"))
+    // window-ordered collect_list builds the chunk array in pos order; the
+    // max(struct(pos, arr)) then picks the complete array — no interpreted
+    // higher-order function anywhere in the rebuild
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rebuilt = chunks
+      .join(firsts, Seq("fp"))
+      .filter(col("__key") === col("__first"))
+      .withColumn("__arr", collect_list(col("chunk")).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        max(struct(col("pos"), col("__arr"))).as("__last"))
+      .select(col(idCol), col("n_kept"),
+        concat_ws(" ", col("__last").getField("__arr")).as("clean_text"))
+    docs
+      .select(col(idCol),
+        size(chunksOf(col(textCol))).cast("long").as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text"))
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * resolution step that turns near-dup PAIRS (minhash/simhash/cosine
     * candidates) into dedup DECISIONS: every member of a component keeps

@@ -202,6 +202,32 @@ object ExtensionQueries {
           minSim = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- Chunk-level (sub-document) dedup: corpus-wide first occurrence --
+    "q67_chunk_dedup" -> ((s, dir) =>
+      DedupOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 8)
+        .orderBy(col("doc_id"))),
+
+    // -- Domain-mixture report: exact token counts → temperature-flattened
+    // (α=0.5) sampling boost relative to the largest domain. All the
+    // cross-domain math is over exact BIGINT sums, so the doubles appear
+    // only in the final per-row division — order-free, oracle-exact ------
+    "q68_domain_mix" -> ((s, dir) => {
+      val stats = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+      val tot = stats.agg(sum(col("n_tokens")).as("tot_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+            .as("tok_frac"),
+          round(sqrt(col("n_tokens").cast("double") / col("max_tokens")), 6)
+            .as("samp_boost"))
+        .orderBy(col("source"))
+    }),
+
     // -- Sequence packing: documents → fixed token-budget bins ----------
     "q65_seq_packing" -> ((s, dir) =>
       PackOps.packSummary(t(s, dir, "documents"), "doc_id",
@@ -744,6 +770,39 @@ object ExtensionQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q67_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |ch0 AS (SELECT doc_id, unnest([{'pos': j - 1,
+        |      'chunk': array_to_string(toks[(j-1)*8+1 : least(j*8, len(toks))],
+        |        ' ')}
+        |    for j in generate_series(1,
+        |      CAST(ceil(len(toks) / 8.0) AS INTEGER))]) AS c
+        |  FROM d),
+        |ch AS (SELECT doc_id, c.pos AS pos, c.chunk AS chunk,
+        |    md5(c.chunk) AS fp FROM ch0),
+        |f AS (SELECT fp, min(doc_id*1000000 + pos) AS fk FROM ch GROUP BY fp),
+        |kept AS (SELECT ch.doc_id, ch.pos, ch.chunk FROM ch JOIN f
+        |  ON ch.fp = f.fp AND ch.doc_id*1000000 + ch.pos = f.fk),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |nc AS (SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS BIGINT)
+        |    AS n_chunks FROM d)
+        |SELECT nc.doc_id, nc.n_chunks,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept, agg.clean_text
+        |FROM nc LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q68_domain_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |    max(n_tokens) AS mx FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS tok_frac,
+        |  round(sqrt(CAST(n_tokens AS DOUBLE) / mx), 6) AS samp_boost
+        |FROM s, t ORDER BY source""".stripMargin,
     "q66_int8_quant" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

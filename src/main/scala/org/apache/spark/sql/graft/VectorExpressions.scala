@@ -310,6 +310,62 @@ case class ArrayCountIn(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Non-overlapping k-token chunks of an array<string>:
+  * out[j] = tokens[j*k .. min((j+1)*k, n)-1] joined by a single space, so
+  * the trailing partial chunk IS included (unlike [[Shingles]], which
+  * slides by 1 and drops tails — chunking must cover every token exactly
+  * once). ceil(n/k) chunks; empty input → empty array. This is the
+  * unit-of-work splitter for sub-document (C4-style line/passage) dedup.
+  */
+case class TokenChunks(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, "chunk size must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_chunks"
+
+  // Called from generated code via addReferenceObj — must be public.
+  def chunkAt(x: ArrayData, j: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val start = j * k
+    val end = math.min(start + k, x.numElements())
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - start)
+    var i = start
+    while (i < end) { parts(i - start) = x.getUTF8String(i); i += 1 }
+    org.apache.spark.unsafe.types.UTF8String.concatWs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "), parts: _*)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = (x.numElements() + k - 1) / k
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) { out(j) = chunkAt(x, j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chunkExpr", this, classOf[TokenChunks].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = ($a.numElements() + ${k - 1}) / $k;
+         |Object[] $out = new Object[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $out[$j] = $ref.chunkAt($a, $j);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
 /** Int8 quantization statistics over an array<float> embedding, fused in
   * one traversal: out = [scale, max_abs_err, rmse] where
   * scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) (explicit half-up —
@@ -421,4 +477,7 @@ object VectorFunctions {
 
   def int8QuantStats(a: Column): Column =
     ExpressionUtils.column(Int8QuantStats(ExpressionUtils.expression(a)))
+
+  def tokenChunks(toks: Column, k: Int): Column =
+    ExpressionUtils.column(TokenChunks(ExpressionUtils.expression(toks), k))
 }

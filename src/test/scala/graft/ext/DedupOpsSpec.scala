@@ -160,4 +160,34 @@ class DedupOpsSpec extends AnyFunSuite {
     val (at4, at8) = (ids(4), ids(8))
     assert(at4.nonEmpty && at4.subsetOf(at8))
   }
+
+  test("chunkDedup keeps first occurrence corpus-wide, rebuilds in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // chunks: "a b c d" "e f g h" "i j"
+      (2L, "a b c d x y z w"),      // first chunk duplicates doc 1's
+      (3L, "a b c d"),              // entirely duplicate → null text
+      (4L, "p q r s p q r s")       // within-doc duplicate chunk
+    ).toDF("doc_id", "text")
+    val r = DedupOps.chunkDedup(docs, "doc_id", "text", chunkTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 3L)
+    assert(r(0).getString(3) == "a b c d e f g h i j")
+    assert(r(1).getLong(1) == 2L && r(1).getLong(2) == 1L)
+    assert(r(1).getString(3) == "x y z w")
+    assert(r(2).getLong(1) == 1L && r(2).getLong(2) == 0L)
+    assert(r(2).isNullAt(3))
+    assert(r(3).getLong(1) == 2L && r(3).getLong(2) == 1L)
+    assert(r(3).getString(3) == "p q r s")
+  }
+
+  test("chunkDedup is idempotent on already-clean text") {
+    val once = DedupOps.chunkDedup(
+      Seq((1L, "m n o p q r")).toDF("doc_id", "text"), "doc_id", "text", 4)
+    val row = once.head
+    assert(row.getString(3) == "m n o p q r")
+    val again = DedupOps.chunkDedup(
+      once.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", 4).head
+    assert(again.getString(3) == row.getString(3))
+  }
 }

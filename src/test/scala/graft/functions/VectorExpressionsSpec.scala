@@ -49,6 +49,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r(1) == Seq(0.0, 0.0, 0.0)) // zero vector quantizes exactly
   }
 
+  test("tokenChunks: non-overlapping cover including the trailing partial") {
+    val df = Seq(Seq("a", "b", "c", "d", "e"), Seq.empty[String]).toDF("t")
+    val r = df.select(VectorFunctions.tokenChunks(col("t"), 2)).collect()
+      .map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b", "c d", "e"))
+    assert(r(1).isEmpty)
+  }
+
   test("int8QuantStats agrees between codegen and interpreted eval") {
     val df = Seq(Seq(0.3f, -0.7f, 0.11f, 0.002f)).toDF("a")
     def run(): Seq[Double] =

@@ -134,7 +134,7 @@ class QueryPlanSpec extends AnyFunSuite {
     // CodegenFallback — every element pays interpreted dispatch) must fail.
     for (q <- Seq("q24_fingerprint", "q27_minhash_neardup",
                   "q28_simhash_neardup", "q29_embedding_neardup",
-                  "q62_repetition", "q66_int8_quant")) {
+                  "q62_repetition", "q66_int8_quant", "q67_chunk_dedup")) {
       val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val falls = exec.collect {
         case node => node.expressions.flatMap(_.collect {
@@ -165,8 +165,9 @@ class QueryPlanSpec extends AnyFunSuite {
   }
 
   test("no BroadcastNestedLoopJoin outside the intentional scalar/probe ones") {
-    // q30 broadcasts 5 probe vectors; q47 and q55 a 1-row scalar aggregate
-    // (avg price / corpus doc count) — all O(1) broadcast sides. Anywhere
+    // q30 broadcasts 5 probe vectors; q47, q55, and q68 a 1-row scalar
+    // aggregate (avg price / corpus doc count / corpus token totals) — all
+    // O(1) broadcast sides. Anywhere
     // else a BNLJ means a join lost its equi-condition and would
     // cross-product at scale.
     // q26 is the documented all-pairs operator (emits zero-overlap pairs
@@ -174,7 +175,7 @@ class QueryPlanSpec extends AnyFunSuite {
     // pick is a map-side posexplode of the literal centroids, so IVF needs
     // no BNLJ at all.
     val intentional = Set("q30_ann_topk", "q47_scalar_subquery", "q55_tfidf",
-      "q26_ngram_jaccard")
+      "q26_ngram_jaccard", "q68_domain_mix")
     for ((name, _) <- SparkEntry.queries if !intentional(name)) {
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin"),
