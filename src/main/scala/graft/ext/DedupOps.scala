@@ -315,23 +315,39 @@ object DedupOps {
     * Output: (idCol, n_chunks, n_kept, clean_text) — clean_text is null
     * when every chunk of the document appeared earlier somewhere else.
     *
-    * At 100 TB: the only shuffles carry (32-byte fp, 8-byte key) pairs or
-    * chunk rows keyed by fp/doc — all uniform. The first-occurrence pick
-    * encodes (doc, pos) as doc*1e6+pos so the argmin is a plain min over
-    * one long (portable to the SQL oracle bitwise); that caps chunks per
-    * document at 1e6 — fine for any document that fits in a task.
+    * At 100 TB: the corpus is scanned and tokenized ONCE (n_chunks comes
+    * from the same exploded pass that feeds the dedup, not a second scan);
+    * the only shuffles carry (32-byte fp, 8-byte key) pairs or chunk rows
+    * keyed by fp/doc — all uniform. The first-occurrence pick encodes
+    * (doc, pos) as doc*1e6+pos so the argmin is a plain min over one long
+    * (portable to the SQL oracle bitwise); that caps chunks per document
+    * at 1e6 — fine for any document that fits in a task — and requires an
+    * integral id (enforced: a string id would cast to null and silently
+    * mark the whole corpus duplicate).
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require({
+        import org.apache.spark.sql.types._
+        Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(docs.schema(idCol).dataType)
+      },
+      s"chunkDedup needs an integral id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString)
     def chunksOf(c: Column) =
       org.apache.spark.sql.graft.VectorFunctions.tokenChunks(
-        split(lower(c), "\\s+"), chunkTokens)
+        TextOps.tokens(c), chunkTokens)
+    // posexplode_outer: a null-text doc keeps one (null pos, null chunk)
+    // row, so it still appears in the output (0 chunks, 0 kept)
     val chunks = docs
-      .select(col(idCol), posexplode(chunksOf(col(textCol))).as(Seq("pos", "chunk")))
+      .select(col(idCol),
+        posexplode_outer(chunksOf(col(textCol))).as(Seq("pos", "chunk")))
       .withColumn("fp", md5(col("chunk")))
       .withColumn("__key", col(idCol) * lit(1000000L) + col("pos"))
-    val firsts = chunks.groupBy(col("fp"))
+    val nChunks = chunks.groupBy(col(idCol))
+      .agg(count(col("chunk")).as("n_chunks"))
+    val firsts = chunks.filter(col("fp").isNotNull).groupBy(col("fp"))
       .agg(min(col("__key")).as("__first"))
     // window-ordered collect_list builds the chunk array in pos order; the
     // max(struct(pos, arr)) then picks the complete array — no interpreted
@@ -347,9 +363,7 @@ object DedupOps {
         max(struct(col("pos"), col("__arr"))).as("__last"))
       .select(col(idCol), col("n_kept"),
         concat_ws(" ", col("__last").getField("__arr")).as("clean_text"))
-    docs
-      .select(col(idCol),
-        size(chunksOf(col(textCol))).cast("long").as("n_chunks"))
+    nChunks
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -196,7 +196,10 @@ object TextOps {
       .select(col(idCol),
         dupNgramFrac(toks, 2).as("dup_2gram_frac"),
         dupNgramFrac(toks, 3).as("dup_3gram_frac"))
-      .join(topTok, Seq(idCol))
+      // left join: a null-text doc has no exploded tokens and so no topTok
+      // row — it must still come out (with null metrics), a gate operator
+      // never drops input rows
+      .join(topTok, Seq(idCol), "left")
       .withColumn("repetitive",
         col("top_tok_frac") > maxTopTokFrac ||
           col("dup_2gram_frac") > maxDup2Frac ||
@@ -206,10 +209,13 @@ object TextOps {
   /** Benchmark decontamination: flag training documents sharing any token
     * k-gram with an evaluation set — the standard pre-training hygiene
     * pass. Eval k-grams are distinct-collected and BROADCAST (benchmark
-    * suites are tiny next to a training corpus; the probe side never
-    * shuffles), each training document contributes its DISTINCT k-grams
-    * (explode → distinct, partial-agg combined), and the hit count joins
-    * back to the full training set so clean documents keep n_hit_grams=0.
+    * suites are tiny next to a training corpus), and the broadcast filter
+    * runs BEFORE any corpus-side shuffle: the exploded (doc, gram) stream
+    * is cut down to the contaminated subset map-side, so the only corpus
+    * shuffle carries hits — near-empty for a clean corpus — not every
+    * distinct gram. Per-doc distinct semantics come from countDistinct
+    * AFTER the filter (a gram repeated within a doc counts once). The hit
+    * count left-joins back so clean documents keep n_hit_grams=0.
     * Output: (idCol, n_hit_grams, contaminated).
     */
   def contaminationFlags(train: org.apache.spark.sql.DataFrame,
@@ -221,10 +227,9 @@ object TextOps {
       .distinct()
     val hits = train
       .select(col(idCol), explode(shingles(tokens(col(textCol)), k)).as("__g"))
-      .distinct()
       .join(broadcast(banned), Seq("__g"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__hits"))
+      .agg(countDistinct(col("__g")).as("__hits"))
     train.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),

@@ -804,17 +804,24 @@ object ExtensionQueries {
         |  round(sqrt(CAST(n_tokens AS DOUBLE) / mx), 6) AS samp_boost
         |FROM s, t ORDER BY source""".stripMargin,
     "q66_int8_quant" ->
+      // the scale > 0 guards mirror the kernel's zero/empty-vector branch
+      // ([0,0,0]); without them DuckDB's 0.0/0.0 → NULL poisons the error
+      // list and list_dot_product rejects NULL elements
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),
         |s AS (SELECT vec_id, emb,
-        |    list_max([abs(x) for x in emb]) / 127 AS scale FROM e),
-        |err AS (SELECT vec_id, scale,
-        |    [abs(floor(x / scale + 0.5) * scale - x) for x in emb] AS er,
-        |    len(emb) AS n
+        |    coalesce(list_max([abs(x) for x in emb]), 0) / 127 AS scale
+        |  FROM e),
+        |err AS (SELECT vec_id, scale, len(emb) AS n,
+        |    CASE WHEN scale > 0 THEN
+        |      [abs(floor(x / scale + 0.5) * scale - x) for x in emb]
+        |    END AS er
         |  FROM s)
         |SELECT vec_id, round(scale, 8) AS scale,
-        |  round(list_aggregate(er, 'max'), 8) AS max_abs_err,
-        |  round(sqrt(list_dot_product(er, er) / n), 8) AS rmse
+        |  CASE WHEN scale > 0 THEN round(list_aggregate(er, 'max'), 8)
+        |       ELSE 0.0 END AS max_abs_err,
+        |  CASE WHEN scale > 0 THEN round(sqrt(list_dot_product(er, er) / n), 8)
+        |       ELSE 0.0 END AS rmse
         |FROM err ORDER BY vec_id""".stripMargin,
     "q52_ann_lsh" -> lshOracleSql,
     "q31_ann_ivf" -> ivfOracleSql,

@@ -147,15 +147,24 @@ class QueryPlanSpec extends AnyFunSuite {
 
   test("q62: top-token counting is two partial aggregations, no expand") {
     val p = plan("q62_repetition")
-    // explode → (doc, tok) agg → (doc) agg: both must combine map-side
+    // explode → (doc, tok) agg → (doc) agg: both must combine map-side,
+    // and nothing may rewrite the count into a distinct-agg Expand (which
+    // would replay every token row per grouping)
     assert("HashAggregate".r.findAllIn(p).size >= 4) // 2 aggs × partial+final
-    assert(!p.contains("Generate explode") || !p.contains("Expand"))
+    assert(!p.contains("Expand"), s"q62 gained an Expand node:\n$p")
   }
 
   test("q63: eval-set grams broadcast — the corpus side never re-shuffles them") {
     val p = plan("q63_decontam")
     assert(p.contains("BroadcastHashJoin"),
       s"banned-gram join should broadcast the benchmark set:\n$p")
+    // exactly ONE shuffle keyed on the gram: the tiny eval-side distinct.
+    // A second one means the corpus-wide (doc, gram) stream is being
+    // deduped BEFORE the broadcast filter — the 100 TB anti-pattern the
+    // operator exists to avoid.
+    val gramShuffles = "hashpartitioning\\(__g".r.findAllIn(p).size
+    assert(gramShuffles <= 1,
+      s"corpus grams shuffled before the broadcast filter:\n$p")
   }
 
   test("q66: quantization audit is map-only (no hash exchange at all)") {
