@@ -237,6 +237,40 @@ object TextOps {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** Tokenizer-vocabulary coverage audit: derive the top-`vocabSize`
+    * corpus vocabulary (by frequency, ties broken alphabetically — a
+    * strict total order, so the cutoff is deterministic) and report each
+    * document's token count, out-of-vocabulary count, and OOV rate — the
+    * signal that decides whether a tokenizer's vocab fits a corpus before
+    * an expensive training run.
+    *
+    * Plan shape: the vocab derivation is a partial-agg token count +
+    * TakeOrderedAndProject (top-N never sorts the full vocabulary), and
+    * the coverage pass left-joins the BROADCAST vocab (vocabSize rows) so
+    * the corpus-side token stream only shuffles once, on the doc id, for
+    * the per-doc rollup. A production pipeline would persist the vocab
+    * and skip the derivation scan; deriving inline keeps the operator
+    * self-contained.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, vocabSize: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val tokStream = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__t"))
+    val vocab = tokStream.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__t"))
+      .limit(vocabSize)
+      .select(col("__t"), lit(1).as("__in"))
+    tokStream
+      .join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Predicted language: argmax of profile overlap, ties resolved
     * alphabetically (profiles are already alphabetical).
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Len, Shingles, VectorNormalize}
+import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Int8QuantStats, Len, Shingles, TokenChunks, VectorNormalize}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions hook: registers graft's native expressions as SQL
@@ -56,7 +56,18 @@ object GraftExtensions {
         case Literal(s: UTF8String, _) => s.toString.split(",").toSeq
         case other => throw new IllegalArgumentException(
           s"array_count_in(arr, words): words must be a string literal, got $other")
-      })))
+      })),
+    // token_chunks(toks, k): k must be a literal int (it shapes the codegen)
+    (FunctionIdentifier("token_chunks"),
+      info("token_chunks", classOf[TokenChunks]),
+      (args: Seq[Expression]) => TokenChunks(args(0), args(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"token_chunks(toks, k): k must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("int8_quant_stats"),
+      info("int8_quant_stats", classOf[Int8QuantStats]),
+      (args: Seq[Expression]) => Int8QuantStats(args(0))))
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

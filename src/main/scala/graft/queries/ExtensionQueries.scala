@@ -202,6 +202,12 @@ object ExtensionQueries {
           minSim = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- Tokenizer-vocab coverage: top-25 corpus vocab → per-doc OOV ----
+    "q69_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 25)
+        .orderBy(col("doc_id"))),
+
     // -- Chunk-level (sub-document) dedup: corpus-wide first occurrence --
     "q67_chunk_dedup" -> ((s, dir) =>
       DedupOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
@@ -770,6 +776,19 @@ object ExtensionQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q69_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t FROM (SELECT t, count(*) AS n FROM tok GROUP BY t
+        |  ORDER BY n DESC, t LIMIT 25)),
+        |a AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM tok LEFT JOIN v USING (t) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q67_chunk_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),

@@ -112,6 +112,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_hit_grams") == 1L)
   }
 
+  test("vocabCoverage: OOV counted per doc, alphabetical cutoff tie-break") {
+    val docs = Seq(
+      (1L, "x x x y y z"),  // corpus freq: x=4, y=3, z=1, q=1
+      (2L, "x y q")).toDF("doc_id", "text")
+    val r = TextOps.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 6L)
+    assert(r(0).getAs[Long]("n_oov") == 1L)  // z outside {x, y}
+    assert(r(1).getAs[Long]("n_oov") == 1L)  // q outside {x, y}
+    assert(r(1).getAs[Double]("oov_rate") == 0.3333)
+    // third vocab slot: q and z tie at freq 1 → 'q' wins alphabetically
+    val r3 = TextOps.vocabCoverage(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").collect()
+    assert(r3(0).getAs[Long]("n_oov") == 1L)  // z still OOV
+    assert(r3(1).getAs[Long]("n_oov") == 0L)  // q now in vocab
+  }
+
   test("langId picks max-overlap profile with alphabetical tie-break") {
     val en = one("the cat is on a mat")
       .select(TextOps.langId(TextOps.tokens(col("text")))).head.getString(0)

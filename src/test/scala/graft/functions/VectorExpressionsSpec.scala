@@ -113,6 +113,17 @@ class VectorExpressionsSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
 
+  test("SQL registration: token_chunks, int8_quant_stats") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT token_chunks(ARRAY('a', 'b', 'c', 'd', 'e'), 2) AS ch,
+        |  int8_quant_stats(ARRAY(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS st
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "c d", "e"))
+    val st = r.getSeq[Double](1)
+    assert(math.abs(st(0) - 1.0 / 127) < 1e-15)
+  }
+
   test("mismatched lengths use the common prefix (min length)") {
     val r = Seq((Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
       .toDF("a", "b")

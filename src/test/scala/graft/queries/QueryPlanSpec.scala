@@ -173,6 +173,13 @@ class QueryPlanSpec extends AnyFunSuite {
       s"int8 audit must not shuffle:\n$p")
   }
 
+  test("q69: vocab cutoff is top-N, and the vocab broadcasts to the corpus") {
+    val p = plan("q69_vocab_coverage")
+    // top-N never globally sorts the vocabulary
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cutoff full-sorts:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join should broadcast:\n$p")
+  }
+
   test("no BroadcastNestedLoopJoin outside the intentional scalar/probe ones") {
     // q30 broadcasts 5 probe vectors; q47, q55, and q68 a 1-row scalar
     // aggregate (avg price / corpus doc count / corpus token totals) — all
