@@ -270,6 +270,29 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("rerun_tbl").count() == 1)
   }
 
+  test("examples/curation: native kernels callable from model SQL") {
+    // the CLI registers these on session build (Main.buildSpark); tests
+    // share a session, so mirror that here
+    graft.functions.GraftExtensions.register(spark)
+    val cfgPath = java.nio.file.Paths.get("examples/curation/config.yaml")
+    val loaded = PipelineConfig.load(cfgPath)
+    // the CLI rebases a relative models_dir against the config file's dir
+    val config = loaded.copy(modelsDir = cfgPath.toAbsolutePath.getParent
+      .resolve(loaded.modelsDir).toString)
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    // chunk inventory: every doc produced ceil(n_tokens/8) chunks
+    assert(spark.table("corpus_chunks").count() > 0)
+    // the duplicate audit found the corpus's repeated passages
+    assert(spark.table("chunk_audit").count() > 0)
+    // quantization audit: scale positive, error bounded by half a step
+    import org.apache.spark.sql.functions.{col, expr}
+    val bad = spark.table("embed_quant")
+      .filter(col("scale") <= 0 || col("max_abs_err") > expr("scale / 2 + 1e-12"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("DOT + SVG visualization") {
     val (_, config) = fixture(models = Map(
       "up" -> "SELECT 1 AS x",

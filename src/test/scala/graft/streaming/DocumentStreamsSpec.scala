@@ -44,4 +44,25 @@ class DocumentStreamsSpec extends AnyFunSuite {
       assert(quality.values.forall(_ >= 0.5))
     } finally q.stop()
   }
+
+  test("cleanIngest repetition gate drops degenerate docs statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocumentStreams.Doc]
+    // "the is ... the is" repeated: quality is fine (stopword-rich), but
+    // nearly every 2-gram is a duplicate
+    val repetitive = Seq.fill(30)("the is a of and to in it").mkString(" ")
+    val q = DocumentStreams.cleanIngest(mem.toDF(), "10 minutes",
+        minQuality = 0.3, maxDup2Frac = 0.5)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        DocumentStreams.Doc(ts(1), 1L, "en", goodText),
+        DocumentStreams.Doc(ts(2), 2L, "en", repetitive))
+      q.processAllAvailable()
+      val kept = spark.table("gate_out").collect().map(_.getAs[Long]("doc_id"))
+      assert(kept.toSeq == Seq(1L))
+    } finally q.stop()
+  }
 }
