@@ -271,6 +271,35 @@ object TextOps {
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
 
+  /** Unigram language-model quality score — the KenLM-style perplexity
+    * filter reduced to its distributed skeleton: train the LM on the
+    * corpus itself (token frequencies), score each document by its average
+    * per-token log-probability, and flag outliers below `minAvgLogp`
+    * (gibberish and vocabulary-foreign documents sit in the low tail).
+    * A real pipeline swaps the in-plan frequency table for a pretrained
+    * LM table; the plan shape — frequency join + per-doc rollup — is
+    * identical.
+    *
+    * Plan shape: one token-count partial agg, the tf⋈freq join keyed on
+    * the token (AQE picks broadcast vs shuffle by vocab size — a 100 TB
+    * corpus's vocabulary may not fit a broadcast, so it is not forced),
+    * a 1-row total broadcast, and one per-doc rollup shuffle.
+    */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, minAvgLogp: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val total = tok.agg(count(lit(1)).cast("double").as("__total"))
+    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    tok.join(freq, Seq("__t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(log(col("__c") / col("__total"))) / count(lit(1)), 4)
+          .as("avg_logp"))
+      .withColumn("lm_outlier", col("avg_logp") < minAvgLogp)
+  }
+
   /** Predicted language: argmax of profile overlap, ties resolved
     * alphabetically (profiles are already alphabetical).
     */

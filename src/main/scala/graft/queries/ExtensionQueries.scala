@@ -202,6 +202,12 @@ object ExtensionQueries {
           minSim = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- Unigram-LM perplexity filter: corpus-trained token logprobs ----
+    "q70_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(t(s, dir, "documents"), "doc_id", "text",
+          minAvgLogp = -3.43)
+        .orderBy(col("doc_id"))),
+
     // -- Tokenizer-vocab coverage: top-25 corpus vocab → per-doc OOV ----
     "q69_vocab_coverage" -> ((s, dir) =>
       TextOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
@@ -776,6 +782,17 @@ object ExtensionQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q70_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+        |f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |sc AS (SELECT doc_id, count(*) AS n_toks,
+        |    round(sum(ln(c / total)) / count(*), 4) AS avg_logp
+        |  FROM tok JOIN f USING (t) CROSS JOIN n GROUP BY doc_id)
+        |SELECT doc_id, n_toks, avg_logp, avg_logp < -3.43 AS lm_outlier
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "q69_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t

@@ -129,6 +129,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r3(1).getAs[Long]("n_oov") == 0L)  // q now in vocab
   }
 
+  test("lmScore: rare-token docs score low and get flagged") {
+    val docs = Seq(
+      (1L, "a a a b"),  // common tokens → high avg logp
+      (2L, "b c")       // contains the rarest token → low avg logp
+    ).toDF("doc_id", "text")
+    // corpus freqs: a=3, b=2, c=1; total=6
+    val r = TextOps.lmScore(docs, "doc_id", "text", minAvgLogp = -1.0)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("avg_logp") ==
+      math.rint((3 * math.log(3.0 / 6) + math.log(2.0 / 6)) / 4 * 1e4) / 1e4)
+    assert(!r(0).getAs[Boolean]("lm_outlier"))
+    assert(r(1).getAs[Double]("avg_logp") < -1.4)
+    assert(r(1).getAs[Boolean]("lm_outlier"))
+  }
+
   test("langId picks max-overlap profile with alphabetical tie-break") {
     val en = one("the cat is on a mat")
       .select(TextOps.langId(TextOps.tokens(col("text")))).head.getString(0)

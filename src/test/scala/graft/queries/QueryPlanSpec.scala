@@ -181,9 +181,9 @@ class QueryPlanSpec extends AnyFunSuite {
   }
 
   test("no BroadcastNestedLoopJoin outside the intentional scalar/probe ones") {
-    // q30 broadcasts 5 probe vectors; q47, q55, and q68 a 1-row scalar
-    // aggregate (avg price / corpus doc count / corpus token totals) — all
-    // O(1) broadcast sides. Anywhere
+    // q30 broadcasts 5 probe vectors; q47, q55, q68, and q70 a 1-row
+    // scalar aggregate (avg price / corpus doc count / corpus token
+    // totals) — all O(1) broadcast sides. Anywhere
     // else a BNLJ means a join lost its equi-condition and would
     // cross-product at scale.
     // q26 is the documented all-pairs operator (emits zero-overlap pairs
@@ -191,7 +191,7 @@ class QueryPlanSpec extends AnyFunSuite {
     // pick is a map-side posexplode of the literal centroids, so IVF needs
     // no BNLJ at all.
     val intentional = Set("q30_ann_topk", "q47_scalar_subquery", "q55_tfidf",
-      "q26_ngram_jaccard", "q68_domain_mix")
+      "q26_ngram_jaccard", "q68_domain_mix", "q70_lm_score")
     for ((name, _) <- SparkEntry.queries if !intentional(name)) {
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin"),
