@@ -54,21 +54,11 @@ object Main {
   }
 
   private def loadConfig(flags: Map[String, String]): PipelineConfig = {
-    // --config points at a config.yaml anywhere; relative models_dir /
-    // macro_path inside it resolve against the config file's directory
-    // (so `run --config examples/basic/config.yaml` works from the repo
-    // root). Default stays ./config.yaml, reference behavior.
-    val configPath = Paths.get(flags.getOrElse("config", "config.yaml"))
-    val loaded = PipelineConfig.load(configPath)
-    val baseDir = Option(configPath.toAbsolutePath.getParent)
-    def rebase(p: String): String = {
-      val path = Paths.get(p)
-      if (path.isAbsolute) p
-      else baseDir.map(_.resolve(path).toString).getOrElse(p)
-    }
-    val base = loaded.copy(
-      modelsDir = rebase(loaded.modelsDir),
-      macroPath = loaded.macroPath.map(rebase))
+    // --config points at a config.yaml anywhere; PipelineConfig.load
+    // resolves relative models_dir / macro_path against the config file's
+    // directory (so `run --config examples/basic/config.yaml` works from
+    // the repo root). Default stays ./config.yaml, reference behavior.
+    val base = PipelineConfig.load(Paths.get(flags.getOrElse("config", "config.yaml")))
     base.copy(
       modelsDir = flags.getOrElse("models-dir", base.modelsDir),
       dbPath = flags.get("db-path").orElse(base.dbPath))

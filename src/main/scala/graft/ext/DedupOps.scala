@@ -305,6 +305,33 @@ object DedupOps {
     df.filter(nibble < rate)
   }
 
+  /** Dataset merge with source precedence: when several datasets carry
+    * copies of the same content (by any caller-supplied merge key — exact
+    * fingerprint, min-shingle fingerprint, a cluster id), keep exactly one
+    * copy, chosen by the LOWEST priority value first and the lowest id as
+    * the tie-break. This is the union step of multi-source curation:
+    * "prefer the curated dump's copy over the crawl's".
+    *
+    * The composite argmin runs as two fp-keyed aggregations (min priority,
+    * then min id within the winning priority) instead of one min(struct) —
+    * each phase is a plain partial-agg shuffle on the uniform key, and the
+    * decision is reproducible in any engine. A row with a NULL key never
+    * survives the self-join — supply a total key (coalesce a fallback).
+    * Output: (keep_id, priorityCol, n_copies, fp).
+    */
+  def priorityMerge(docs: DataFrame, idCol: String, priorityCol: String,
+                    key: Column): DataFrame = {
+    val withFp = docs.withColumn("fp", key)
+    val best = withFp.groupBy(col("fp"))
+      .agg(min(col(priorityCol)).as("__p"), count(lit(1)).as("n_copies"))
+    withFp.join(best, Seq("fp"))
+      .filter(col(priorityCol) === col("__p"))
+      .groupBy(col("fp"), col("__p"), col("n_copies"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select(col("keep_id"), col("__p").as(priorityCol),
+        col("n_copies"), col("fp"))
+  }
+
   /** Sub-document (chunk-level) dedup — the C4 idiom at passage
     * granularity: split every document into non-overlapping k-token chunks
     * (native [[org.apache.spark.sql.graft.TokenChunks]] kernel, trailing

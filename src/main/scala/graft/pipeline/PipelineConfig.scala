@@ -27,14 +27,26 @@ final case class ModelConfig(materialize: Option[String] = None)
 object PipelineConfig {
 
   /** Load config.yaml; a missing file yields defaults with a notice, like
-    * the reference (src/main.rs:110-120).
+    * the reference (src/main.rs:110-120). Relative models_dir / macro_path
+    * resolve against the CONFIG FILE's directory, not the process cwd —
+    * `run --config examples/basic/config.yaml` must work from anywhere,
+    * and a silently-empty model discovery is the failure mode otherwise.
     */
   def load(path: Path): PipelineConfig = {
     if (!Files.exists(path)) {
       println(s"Config file not found at $path, using defaults")
       return PipelineConfig()
     }
-    fromYaml(Files.readString(path))
+    val loaded = fromYaml(Files.readString(path))
+    val baseDir = Option(path.toAbsolutePath.getParent)
+    def rebase(p: String): String = {
+      val pp = Paths.get(p)
+      if (pp.isAbsolute) p
+      else baseDir.map(_.resolve(pp).toString).getOrElse(p)
+    }
+    loaded.copy(
+      modelsDir = rebase(loaded.modelsDir),
+      macroPath = loaded.macroPath.map(rebase))
   }
 
   def fromYaml(text: String): PipelineConfig = {

@@ -202,6 +202,20 @@ object ExtensionQueries {
           minSim = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- Source-precedence merge: near-dup key (1-perm MinHash), lowest
+    // source name wins, doc id breaks ties; short docs fall back to the
+    // exact fingerprint so the key is total ------------------------------
+    "q71_priority_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+      val msf = TextOps.minShingleFingerprints(d, "doc_id", col("toks"), 5)
+      val keyed = d.join(msf, Seq("doc_id"))
+        .withColumn("key", coalesce(col("min_shingle_fp"),
+          md5(concat_ws(" ", col("toks")))))
+      DedupOps.priorityMerge(keyed, "doc_id", "source", col("key"))
+        .orderBy(col("keep_id"))
+    }),
+
     // -- Unigram-LM perplexity filter: corpus-trained token logprobs ----
     "q70_lm_score" -> ((s, dir) =>
       TextOps.lmScore(t(s, dir, "documents"), "doc_id", "text",
@@ -782,6 +796,21 @@ object ExtensionQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q71_priority_merge" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |kf AS (SELECT doc_id, source,
+        |    coalesce(list_aggregate([md5(array_to_string(toks[i:i+4], ' '))
+        |      for i in generate_series(1, len(toks) - 4)], 'min'),
+        |      md5(array_to_string(toks, ' '))) AS fp FROM d),
+        |b AS (SELECT fp, min(source) AS src, count(*) AS n_copies
+        |  FROM kf GROUP BY fp),
+        |k AS (SELECT kf.fp, b.src AS source, b.n_copies,
+        |    min(kf.doc_id) AS keep_id
+        |  FROM kf JOIN b ON kf.fp = b.fp AND kf.source = b.src
+        |  GROUP BY kf.fp, b.src, b.n_copies)
+        |SELECT keep_id, source, CAST(n_copies AS BIGINT) AS n_copies, fp
+        |FROM k ORDER BY keep_id""".stripMargin,
     "q70_lm_score" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t

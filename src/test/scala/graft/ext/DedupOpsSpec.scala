@@ -161,6 +161,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(at4.nonEmpty && at4.subsetOf(at8))
   }
 
+  test("priorityMerge: lowest priority wins, id breaks ties within it") {
+    val docs = Seq(
+      (1L, "b_src", "one two three four five six"),
+      (5L, "a_src", "one two three four five six"), // same content, better src
+      (2L, "a_src", "totally different unique content here now")
+    ).toDF("doc_id", "source", "text")
+    val r = DedupOps.priorityMerge(docs, "doc_id", "source",
+        graft.ext.TextOps.docFingerprint(col("text")))
+      .orderBy("keep_id").collect()
+    // the a_src copy wins despite the higher doc id
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq((2L, "a_src", 1L), (5L, "a_src", 2L)))
+  }
+
   test("chunkDedup keeps first occurrence corpus-wide, rebuilds in order") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),  // chunks: "a b c d" "e f g h" "i j"

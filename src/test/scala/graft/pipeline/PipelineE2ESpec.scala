@@ -274,11 +274,9 @@ class PipelineE2ESpec extends AnyFunSuite {
     // the CLI registers these on session build (Main.buildSpark); tests
     // share a session, so mirror that here
     graft.functions.GraftExtensions.register(spark)
-    val cfgPath = java.nio.file.Paths.get("examples/curation/config.yaml")
-    val loaded = PipelineConfig.load(cfgPath)
-    // the CLI rebases a relative models_dir against the config file's dir
-    val config = loaded.copy(modelsDir = cfgPath.toAbsolutePath.getParent
-      .resolve(loaded.modelsDir).toString)
+    // load resolves the relative models_dir against the config's own dir
+    val config = PipelineConfig.load(
+      java.nio.file.Paths.get("examples/curation/config.yaml"))
     val report = new PipelineSession(spark, config).runNodes()
     assert(report.errors.isEmpty, report.errors.map(_.render))
     // chunk inventory: every doc produced ceil(n_tokens/8) chunks
