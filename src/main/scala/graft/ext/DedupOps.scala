@@ -305,6 +305,25 @@ object DedupOps {
     df.filter(nibble < rate)
   }
 
+  /** Leakage-safe train/validation split: documents are assigned to
+    * splits by their NEAR-DUP CLUSTER label, not their own id, so two
+    * near-duplicates can never land on opposite sides of the split — the
+    * eval-set leakage a doc-keyed split silently permits. Composition:
+    * near-dup pairs → [[connectedComponents]] → the [[stratifiedHashSample]]
+    * md5-nibble coin applied to the component label.
+    * Returns per-doc (idCol, comp, split); `trainSixteenths`/16 of the
+    * CLUSTERS go to "train", the rest to "val".
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainSixteenths: Int): DataFrame = {
+    val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)
+    val nibble = conv(
+      substring(md5(col("comp").cast("string").cast("binary")), 1, 1),
+      16, 10).cast("int")
+    comp.select(col("id").as(idCol), col("comp"),
+      when(nibble < trainSixteenths, "train").otherwise("val").as("split"))
+  }
+
   /** Dataset merge with source precedence: when several datasets carry
     * copies of the same content (by any caller-supplied merge key — exact
     * fingerprint, min-shingle fingerprint, a cluster id), keep exactly one

@@ -202,6 +202,21 @@ object ExtensionQueries {
           minSim = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // -- Leakage-safe split: near-dup clusters assigned to train/val as
+    // units (13/16 ≈ 81% of clusters to train), so no near-duplicate pair
+    // ever straddles the split --------------------------------------------
+    "q72_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minHashLshPairs(docs,
+        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
+        portable = true)
+      DedupOps.leakageSafeSplit(docs, "doc_id", pairs, trainSixteenths = 13)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // -- Source-precedence merge: near-dup key (1-perm MinHash), lowest
     // source name wins, doc id breaks ties; short docs fall back to the
     // exact fingerprint so the key is total ------------------------------
@@ -640,7 +655,30 @@ object ExtensionQueries {
        |    ELSE 4 END
        |ORDER BY b.doc_id""".stripMargin
 
+  /** q72: the minhash pair CTEs + recursive closure give each doc its
+    * min-reachable component label (the hash-min fixpoint, as in q53/q56);
+    * the split coin is the q57 md5-nibble applied to that label.
+    */
+  private lazy val leakageSplitOracleSql: String =
+    s"""WITH RECURSIVE ${minHashPairCtes()},
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |  UNION SELECT doc_id, doc_id FROM d),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS comp FROM rr GROUP BY a),
+       |sp AS (SELECT doc_id, comp,
+       |  CASE WHEN CAST(('0x' || substring(md5(CAST(comp AS VARCHAR)), 1, 1))
+       |      AS INTEGER) < 13
+       |    THEN 'train' ELSE 'val' END AS split FROM comp)
+       |SELECT split, count(*) AS n_docs, count(DISTINCT comp) AS n_clusters
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q72_leakage_split" -> leakageSplitOracleSql,
     "q59_clean_corpus" -> cleanCorpusOracleSql,
     "q21_token_stats" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks,

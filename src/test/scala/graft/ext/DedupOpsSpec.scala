@@ -161,6 +161,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(at4.nonEmpty && at4.subsetOf(at8))
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle the split") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val r = DedupOps.leakageSafeSplit(docs, "doc_id", pairs,
+      trainSixteenths = 8)
+    val bySplit = r.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    // every member of a component shares its split
+    val splitOf = bySplit.map(t => t._1 -> t._3).toMap
+    for ((a, b) <- Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L)))
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles the split")
+    // both splits are populated at 8/16
+    assert(bySplit.map(_._3).distinct.sorted.toSeq == Seq("train", "val"))
+  }
+
   test("priorityMerge: lowest priority wins, id breaks ties within it") {
     val docs = Seq(
       (1L, "b_src", "one two three four five six"),
