@@ -279,10 +279,21 @@ object DedupOps {
     * STABLE sample as the corpus grows. Map-only — no shuffle, prunes at
     * the scan's filter.
     */
+  /** First hex character of md5(value rendered as a string) — THE shared
+    * deterministic coin. Every sampler/splitter here derives from this one
+    * expression so their kept sets stay mutually reproducible (and match
+    * the generated oracles' `substring(md5(CAST(x AS VARCHAR)), 1, 1)`).
+    */
+  private def md5Hex1(c: Column): Column =
+    substring(md5(c.cast("string").cast("binary")), 1, 1)
+
+  /** [[md5Hex1]] as an integer nibble in [0, 16) for rate comparisons. */
+  private def md5Nibble(c: Column): Column =
+    conv(md5Hex1(c), 16, 10).cast("int")
+
   def hashSample(df: DataFrame, idCol: String,
                  keepHexPrefixes: Seq[String]): DataFrame =
-    df.filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
-      .isInCollection(keepHexPrefixes))
+    df.filter(md5Hex1(col(idCol)).isInCollection(keepHexPrefixes))
 
   /** Stratified deterministic sampling — the dataset-mixing primitive:
     * per-stratum keep rates in sixteenths (4 → keep ids whose md5 nibble
@@ -296,9 +307,7 @@ object DedupOps {
   def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
                            sixteenths: Map[String, Int],
                            defaultSixteenths: Int = 0): DataFrame = {
-    val nibble = conv(
-      substring(md5(col(idCol).cast("string").cast("binary")), 1, 1),
-      16, 10).cast("int")
+    val nibble = md5Nibble(col(idCol))
     val rate = sixteenths.toSeq.sortBy(_._1).foldLeft(lit(defaultSixteenths)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
@@ -317,11 +326,9 @@ object DedupOps {
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        trainSixteenths: Int): DataFrame = {
     val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)
-    val nibble = conv(
-      substring(md5(col("comp").cast("string").cast("binary")), 1, 1),
-      16, 10).cast("int")
     comp.select(col("id").as(idCol), col("comp"),
-      when(nibble < trainSixteenths, "train").otherwise("val").as("split"))
+      when(md5Nibble(col("comp")) < trainSixteenths, "train")
+        .otherwise("val").as("split"))
   }
 
   /** Dataset merge with source precedence: when several datasets carry
@@ -336,6 +343,9 @@ object DedupOps {
     * each phase is a plain partial-agg shuffle on the uniform key, and the
     * decision is reproducible in any engine. A row with a NULL key never
     * survives the self-join — supply a total key (coalesce a fallback).
+    * NULL priorities lose to any non-null one (min skips them); a group
+    * that is ALL-null still keeps one copy (the null-safe comparison
+    * below — a plain === would silently drop the whole group).
     * Output: (keep_id, priorityCol, n_copies, fp).
     */
   def priorityMerge(docs: DataFrame, idCol: String, priorityCol: String,
@@ -344,7 +354,7 @@ object DedupOps {
     val best = withFp.groupBy(col("fp"))
       .agg(min(col(priorityCol)).as("__p"), count(lit(1)).as("n_copies"))
     withFp.join(best, Seq("fp"))
-      .filter(col(priorityCol) === col("__p"))
+      .filter(col(priorityCol) <=> col("__p"))
       .groupBy(col("fp"), col("__p"), col("n_copies"))
       .agg(min(col(idCol)).as("keep_id"))
       .select(col("keep_id"), col("__p").as(priorityCol),
@@ -434,6 +444,13 @@ object DedupOps {
     * `vertices` contributes isolated vertices (their component is
     * themselves); pass e.g. the full doc-id column so singletons appear
     * in the output.
+    *
+    * Throws if labels still changed on the `maxIter`-th round: a silent
+    * early exit would hand downstream decisions (cluster dedup keeps,
+    * [[leakageSafeSplit]]'s no-straddle guarantee) labels that are NOT a
+    * fixpoint — adjacent near-dups could carry different components.
+    * A >maxIter-diameter chain is pathological for near-dup graphs but
+    * must fail loudly, not corrupt the keep/split decision.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -459,6 +476,11 @@ object DedupOps {
       labels = next.select(col("id"), col("comp"))
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          s"maxIter; raise maxIter rather than consume non-fixpoint labels")
     labels
   }
 

@@ -280,17 +280,19 @@ object TextOps {
     * LM table; the plan shape — frequency join + per-doc rollup — is
     * identical.
     *
-    * Plan shape: one token-count partial agg, the tf⋈freq join keyed on
-    * the token (AQE picks broadcast vs shuffle by vocab size — a 100 TB
-    * corpus's vocabulary may not fit a broadcast, so it is not forced),
-    * a 1-row total broadcast, and one per-doc rollup shuffle.
+    * Plan shape: one token-count partial agg over the corpus, the tf⋈freq
+    * join keyed on the token (AQE picks broadcast vs shuffle by vocab
+    * size — a 100 TB corpus's vocabulary may not fit a broadcast, so it
+    * is not forced), a 1-row total broadcast, and one per-doc rollup
+    * shuffle. The scalar total is summed from the ALREADY-AGGREGATED
+    * vocab-sized freq table, not by a third scan of the corpus.
     */
   def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
               textCol: String, minAvgLogp: Double)
       : org.apache.spark.sql.DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-    val total = tok.agg(count(lit(1)).cast("double").as("__total"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val total = freq.agg(sum(col("__c")).cast("double").as("__total"))
     tok.join(freq, Seq("__t"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))

@@ -33,11 +33,14 @@ object PipelineConfig {
     * and a silently-empty model discovery is the failure mode otherwise.
     */
   def load(path: Path): PipelineConfig = {
-    if (!Files.exists(path)) {
-      println(s"Config file not found at $path, using defaults")
-      return PipelineConfig()
-    }
-    val loaded = fromYaml(Files.readString(path))
+    // a missing file still rebases the defaults (models_dir ".") against
+    // the config's directory, so `run --config some/dir/config.yaml`
+    // scans some/dir either way instead of silently scanning the cwd
+    val loaded =
+      if (!Files.exists(path)) {
+        println(s"Config file not found at $path, using defaults")
+        PipelineConfig()
+      } else fromYaml(Files.readString(path))
     val baseDir = Option(path.toAbsolutePath.getParent)
     def rebase(p: String): String = {
       val pp = Paths.get(p)

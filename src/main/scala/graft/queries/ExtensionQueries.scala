@@ -845,7 +845,8 @@ object ExtensionQueries {
         |  FROM kf GROUP BY fp),
         |k AS (SELECT kf.fp, b.src AS source, b.n_copies,
         |    min(kf.doc_id) AS keep_id
-        |  FROM kf JOIN b ON kf.fp = b.fp AND kf.source = b.src
+        |  FROM kf JOIN b ON kf.fp = b.fp
+        |    AND kf.source IS NOT DISTINCT FROM b.src
         |  GROUP BY kf.fp, b.src, b.n_copies)
         |SELECT keep_id, source, CAST(n_copies AS BIGINT) AS n_copies, fp
         |FROM k ORDER BY keep_id""".stripMargin,

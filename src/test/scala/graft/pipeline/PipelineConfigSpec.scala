@@ -37,11 +37,12 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.settings == Map("spark.sql.shuffle.partitions" -> "8"))
   }
 
-  test("missing config file yields defaults (reference parity)") {
-    val c = PipelineConfig.load(
-      Files.createTempDirectory("cfg").resolve("config.yaml"))
-    assert(c == PipelineConfig())
-    assert(c.modelsDir == ".")
+  test("missing config file yields defaults anchored at the config's dir") {
+    val dir = Files.createTempDirectory("cfg")
+    val c = PipelineConfig.load(dir.resolve("config.yaml"))
+    // defaults, but models_dir "." resolves against the config's directory
+    // (not the process cwd) so discovery scans where the user pointed
+    assert(java.nio.file.Paths.get(c.modelsDir).normalize() == dir.normalize())
     assert(c.dbPath.isEmpty) // in-memory mode
   }
 
