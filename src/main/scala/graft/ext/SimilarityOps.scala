@@ -266,6 +266,40 @@ object SimilarityOps {
     * cell assignment is the same single map-only argmax pass used during
     * fitting.
     */
+  /** k-NN graph over the whole corpus: every vector's top-k most similar
+    * neighbors among its LSH bucket-mates — the build step for graph-based
+    * ANN indexes and for density/novelty scoring. Same banded sign-bit
+    * buckets as [[lshNearDupPairs]], but DIRECTED candidates (src ≠ dst,
+    * both orientations) and a per-source rank instead of a global
+    * threshold. Ties break on (sim desc, dst) over the 6-decimal-rounded
+    * similarity, so the ranking is engine-reproducible. At 100 TB the
+    * work is Σ(bucket²) like every bucketed self-join here, and the
+    * per-source top-k is a WindowGroupLimit, not a global sort.
+    */
+  def knnGraph(vecs: DataFrame, k: Int, nBands: Int = 8,
+               bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = inferDim(vecs, "embedding")
+    val planes = lshPlanes(nBands, bitsPerBand, dim, seed)
+    val banded = withUnitVec(vecs, "embedding", "u")
+      .select(col("vec_id"), col("u"),
+        explode(lshBandsOf(col("u"), planes, nBands, bitsPerBand)).as("b"))
+      .select(col("b.band_idx"), col("b.band_val"), col("vec_id"), col("u"))
+    val src = banded.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("src"), col("u").as("u_s"))
+    val dst = banded.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("dst"), col("u").as("u_d"))
+    src.join(dst, Seq("band_idx", "band_val"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorFunctions.dotProduct(col("u_s"), col("u_d")), 6).as("sim"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+  }
+
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int,
               nCells: Int = 16, maxIters: Int = 3): DataFrame =
     ivfTopKWithCentroids(probes, candidates,

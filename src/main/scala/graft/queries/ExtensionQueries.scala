@@ -194,6 +194,12 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Corpus-wide k-NN graph: every vector's top-3 bucket-mates (shared
+    // literal planes → full oracle, like q52/q60)
+    "q74_knn_graph" -> ((s, dir) =>
+      SimilarityOps.knnGraph(t(s, dir, "embeddings").drop("label"), k = 3)
+        .orderBy(col("src"), col("rk"))),
+
     // Label-free embedding near-dup: LSH buckets as the blocking key, so
     // it runs on any corpus (q29's label blocking needs curated labels).
     // Shares q52's literal planes → full oracle.
@@ -323,6 +329,22 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_clicks"),
           round(sum(col("value")), 2).as("click_value"))
         .orderBy(col("signup_id"))
+    }),
+
+    // -- Salted equi-join: skew-spread join, result identical to a plain
+    // join — the oracle IS the plain join, proving salting is invisible --
+    "q73_salted_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"),
+          col("c_nationkey"))
+      JoinOps.saltedEquiJoin(orders, customer, Seq("o_custkey"),
+          saltFactor = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_nationkey"))
     }),
 
     // -- Salted aggregation: identical result to a direct groupBy -----------
@@ -601,6 +623,23 @@ object ExtensionQueries {
        |ORDER BY probe_id, rk""".stripMargin
   }
 
+  /** q74: same literal planes, directed bucket self-join + per-source
+    * top-k rank (ties on the rounded sim break by dst in both engines).
+    */
+  private lazy val knnGraphOracleSql: String =
+    s"""WITH $lshBandCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    a.u AS ua, b.u AS ub
+       |  FROM bd a JOIN bd b ON a.i = b.i AND a.bv = b.bv
+       |    AND a.vec_id <> b.vec_id),
+       |sc AS (SELECT DISTINCT src, dst,
+       |    round(list_dot_product(ua, ub), 6) AS sim FROM cand),
+       |rk AS (SELECT src, dst, sim,
+       |    CAST(row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) AS INTEGER) AS rk FROM sc)
+       |SELECT src, rk, dst, sim FROM rk WHERE rk <= 3
+       |ORDER BY src, rk""".stripMargin
+
   /** q60: same literal planes, bucket self-join instead of probe top-k. */
   private lazy val lshNearDupOracleSql: String =
     s"""WITH $lshBandCtes,
@@ -834,6 +873,12 @@ object ExtensionQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q73_salted_join" ->
+      """SELECT c.c_nationkey, count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin,
     "q71_priority_merge" ->
       """WITH d AS (SELECT doc_id, source,
         |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
@@ -930,6 +975,7 @@ object ExtensionQueries {
     "q52_ann_lsh" -> lshOracleSql,
     "q31_ann_ivf" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,
+    "q74_knn_graph" -> knnGraphOracleSql,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks

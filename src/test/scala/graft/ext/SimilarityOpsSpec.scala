@@ -117,4 +117,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val recall = truth.intersect(lsh).size.toDouble / truth.size
     assert(recall >= 0.65, s"recall@5 = $recall")
   }
+
+  test("knnGraph restricted to the probe set equals hyperplaneLshTopK") {
+    // same planes, same buckets, same tie-break — the graph rows for a
+    // source must be exactly that source's probe top-k
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .drop("label")
+    val graph = SimilarityOps.knnGraph(e, k = 5)
+      .filter(col("src") < 10)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val topk = SimilarityOps.hyperplaneLshTopK(e.filter(col("vec_id") < 10), e, 5)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(graph == topk)
+  }
 }
