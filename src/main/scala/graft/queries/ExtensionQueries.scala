@@ -293,6 +293,30 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // -- Embedding-curation flagship (the q59 analog for vectors): LSH
+    // near-dup prune (drop the higher id of each >=0.45 pair) → bucket
+    // neighborhood density over the survivors → int8 storage audit, the
+    // whole decision chain under ONE oracle. Every stage is an operator
+    // registered above; composition adds no driver sync or extra pass ----
+    "q75_embed_curation" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val dropIds = SimilarityOps.lshNearDupPairs(e, minSim = 0.45)
+        .select(col("id_b").as("vec_id")).distinct()
+      val survivors = e.join(dropIds, Seq("vec_id"), "left_anti")
+      val prs = SimilarityOps.lshNearDupPairs(survivors, minSim = 0.3)
+      val deg = prs.select(col("id_a").as("vec_id"))
+        .union(prs.select(col("id_b").as("vec_id")))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("density"))
+      val st = VectorFunctions.int8QuantStats(col("embedding"))
+      survivors.select(col("vec_id"), st.as("st"))
+        .join(deg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("density"), lit(0L)).as("density"),
+          round(col("st").getItem(0), 8).as("scale"),
+          round(col("st").getItem(2), 8).as("rmse"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- Multimodal plumbing ---------------------------------------------
     "q32_multimodal" -> ((s, dir) =>
       MultimodalOps.extractFeatures(
@@ -640,6 +664,49 @@ object ExtensionQueries {
        |SELECT src, rk, dst, sim FROM rk WHERE rk <= 3
        |ORDER BY src, rk""".stripMargin
 
+  /** q75: the full embedding-curation chain under one statement — the
+    * shared-plane band CTEs, the >=0.45 prune, survivor-only density, and
+    * the q66 int8 fragments, all over the SAME literals the Spark
+    * operators use.
+    */
+  private lazy val embedCurationOracleSql: String =
+    s"""WITH $lshBandCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.u AS ua, b.u AS ub
+       |  FROM bd a JOIN bd b ON a.i = b.i AND a.bv = b.bv
+       |    AND a.vec_id < b.vec_id),
+       |sc AS (SELECT DISTINCT id_a, id_b,
+       |    round(list_dot_product(ua, ub), 6) AS sim FROM cand),
+       |dropids AS (SELECT DISTINCT id_b AS vec_id FROM sc WHERE sim >= 0.45),
+       |surv AS (SELECT n.vec_id, n.u FROM n LEFT JOIN dropids USING (vec_id)
+       |  WHERE dropids.vec_id IS NULL),
+       |bd2 AS (SELECT bd.* FROM bd JOIN surv USING (vec_id)),
+       |cand2 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.u AS ua, b.u AS ub
+       |  FROM bd2 a JOIN bd2 b ON a.i = b.i AND a.bv = b.bv
+       |    AND a.vec_id < b.vec_id),
+       |sc2 AS (SELECT DISTINCT id_a, id_b,
+       |    round(list_dot_product(ua, ub), 6) AS sim FROM cand2),
+       |pr AS (SELECT id_a, id_b FROM sc2 WHERE sim >= 0.3),
+       |deg AS (SELECT vec_id, count(*) AS density FROM (
+       |    SELECT id_a AS vec_id FROM pr
+       |    UNION ALL SELECT id_b FROM pr) GROUP BY vec_id),
+       |qs AS (SELECT e.vec_id,
+       |    coalesce(list_max([abs(x) for x in e.emb]), 0) / 127 AS scale,
+       |    e.emb AS emb FROM e JOIN surv ON e.vec_id = surv.vec_id),
+       |qerr AS (SELECT vec_id, scale, len(emb) AS nn,
+       |    CASE WHEN scale > 0 THEN
+       |      [abs(floor(x / scale + 0.5) * scale - x) for x in emb]
+       |    END AS er FROM qs)
+       |SELECT q.vec_id,
+       |  CAST(coalesce(deg.density, 0) AS BIGINT) AS density,
+       |  round(q.scale, 8) AS scale,
+       |  CASE WHEN q.scale > 0
+       |    THEN round(sqrt(list_dot_product(q.er, q.er) / q.nn), 8)
+       |    ELSE 0.0 END AS rmse
+       |FROM qerr q LEFT JOIN deg USING (vec_id)
+       |ORDER BY q.vec_id""".stripMargin
+
   /** q60: same literal planes, bucket self-join instead of probe top-k. */
   private lazy val lshNearDupOracleSql: String =
     s"""WITH $lshBandCtes,
@@ -976,6 +1043,7 @@ object ExtensionQueries {
     "q31_ann_ivf" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,
     "q74_knn_graph" -> knnGraphOracleSql,
+    "q75_embed_curation" -> embedCurationOracleSql,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks

@@ -211,6 +211,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(r(3).getString(3) == "p q r s")
   }
 
+  test("property: kept chunks == distinct corpus-wide chunk fingerprints") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d")
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(20) + 3)(vocab(rnd.nextInt(4))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = DedupOps.chunkDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .collect()
+    val chunks = docs.select(posexplode(VectorFunctions.tokenChunks(
+      split(lower(col("text")), "\\s+"), 3)).as(Seq("p", "c")))
+    // each distinct chunk survives exactly once, every chunk is accounted
+    assert(r.map(_.getAs[Long]("n_kept")).sum ==
+      chunks.select("c").distinct().count())
+    assert(r.map(_.getAs[Long]("n_chunks")).sum == chunks.count())
+  }
+
   test("chunkDedup is idempotent on already-clean text") {
     val once = DedupOps.chunkDedup(
       Seq((1L, "m n o p q r")).toDF("doc_id", "text"), "doc_id", "text", 4)

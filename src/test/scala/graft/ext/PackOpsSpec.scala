@@ -48,6 +48,29 @@ class PackOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("property: random corpora conserve docs/tokens; bins start at 0") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val rows = (0 until 200).map(i =>
+        (i.toLong, (rnd.nextInt(500) + 1).toLong))
+      val total = rows.map(_._2).sum
+      val budget = rnd.nextInt(900) + 100
+      val s = PackOps.packSummary(rows.toDF("doc_id", "n"), "doc_id",
+        col("n"), budget, 8).collect()
+      assert(s.map(_.getAs[Long]("n_docs")).sum == 200L)
+      assert(s.map(_.getAs[Long]("n_tokens")).sum == total)
+      // a huge doc may SKIP bins (its successor starts several budgets
+      // later) but every shard's first bin is 0 and ids never exceed
+      // floor(shard total / budget)
+      for ((_, group) <- s.groupBy(_.getInt(0))) {
+        val bins = group.map(_.getInt(1)).sorted
+        assert(bins.head == 0)
+        val shardTotal = group.map(_.getAs[Long]("n_tokens")).sum
+        assert(bins.last <= shardTotal / budget)
+      }
+    }
+  }
+
   test("plan: one exchange on shard, summary reuses it") {
     val plan = PackOps.packSummary(docs, "doc_id", col("n"), 512, 8)
       .queryExecution.executedPlan.toString
