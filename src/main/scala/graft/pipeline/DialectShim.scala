@@ -329,7 +329,9 @@ object DialectShim {
     }
     val afterAsof = rewriteAsof(afterMacros)
     val afterQualify = rewriteQualify(afterAsof)
-    val afterList = readFnList.replaceAllIn(afterQualify, m => {
+    val afterDistinctOn = rewriteDistinctOn(afterQualify)
+    val afterStarReplace = rewriteStarReplace(afterDistinctOn)
+    val afterList = readFnList.replaceAllIn(afterStarReplace, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       val rewritten =
@@ -407,6 +409,146 @@ object DialectShim {
     }
     out.result()
   }
+
+  /** Paren depth at `pos`, literal-aware, measured from `sql`'s start. */
+  private def depthAt(sql: String, pos: Int): Int = {
+    var i = 0; var depth = 0
+    while (i < pos) {
+      val c = sql.charAt(i)
+      if (c == '\'') { i += 1; while (i < sql.length && sql.charAt(i) != '\'') i += 1 }
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      i += 1
+    }
+    depth
+  }
+
+  /** Innermost paren span strictly containing `pos`: (openIdx, closeIdx). */
+  private def innermostSpan(sql: String, pos: Int): (Int, Int) = {
+    var i = 0; var stack = List.empty[Int]
+    while (i < pos) {
+      val c = sql.charAt(i)
+      if (c == '\'') { i += 1; while (i < sql.length && sql.charAt(i) != '\'') i += 1 }
+      else if (c == '(') stack ::= i
+      else if (c == ')') stack = stack.tail
+      i += 1
+    }
+    val open = stack.head
+    var d = 0; var close = open
+    var found = false
+    while (!found && close < sql.length) {
+      val c = sql.charAt(close)
+      if (c == '\'') { close += 1; while (close < sql.length && sql.charAt(close) != '\'') close += 1 }
+      else if (c == '(') d += 1
+      else if (c == ')') { d -= 1; if (d == 0) found = true }
+      if (!found) close += 1
+    }
+    (open, close)
+  }
+
+  // --- DuckDB SELECT DISTINCT ON ----------------------------------------
+  // `SELECT DISTINCT ON (<keys>) <sel> FROM <mid> [ORDER BY <ord>] [tail]`
+  // keeps the FIRST row of each key group under <ord> (arbitrary without
+  // it). Spark has no DISTINCT ON, so it becomes the row_number idiom:
+  //   SELECT * EXCEPT (__graft_rn) FROM
+  //     (SELECT <sel>, row_number() OVER (PARTITION BY <keys>
+  //        ORDER BY <ord | keys>) AS __graft_rn FROM <mid>) __graft_d
+  //   WHERE __graft_rn = 1 [ORDER BY <ord>] [tail]
+  // Without an ORDER BY the keys order the window — deterministic, where
+  // the reference is arbitrary. The outer ORDER BY must reference
+  // select-list columns (same scoping DuckDB applies to the final order).
+  private val distinctOnRe = """(?i)SELECT\s+DISTINCT\s+ON\s*\(""".r
+
+  private def unsupportedDistinctOn(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      "DISTINCT ON: unsupported form (" + detail + "); supported: " +
+        "`SELECT DISTINCT ON (keys) cols FROM … [ORDER BY …] [LIMIT …]`")
+
+  private def rewriteDistinctOn(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (distinctOnRe.findFirstMatchIn(cur).nonEmpty) {
+      guard += 1
+      if (guard > 20) unsupportedDistinctOn("rewrite did not converge")
+      val m = distinctOnRe.findFirstMatchIn(cur).get
+      if (depthAt(cur, m.start) == 0) cur = transformDistinctOn(cur)
+      else {
+        val (open, close) = innermostSpan(cur, m.start)
+        cur = cur.substring(0, open + 1) +
+          transformDistinctOn(cur.substring(open + 1, close)) +
+          cur.substring(close)
+      }
+    }
+    cur
+  }
+
+  /** Rewrite the (single) depth-0 DISTINCT ON in `text`. */
+  private def transformDistinctOn(text: String): String = {
+    val m = distinctOnRe.findFirstMatchIn(text)
+      .filter(mm => depthAt(text, mm.start)  == 0)
+      .getOrElse(return text)
+    val open = m.end - 1
+    val (keys, afterKeys) = parseArgs(text, open) match {
+      case Some((args, idx)) if args.nonEmpty => (args.mkString(", "), idx)
+      case _ => unsupportedDistinctOn("unparseable key list")
+    }
+    val rest = text.substring(afterKeys)
+    val fromPos = keywordPositions(rest, "FROM")
+      .collectFirst { case (p, 0) => p }
+      .getOrElse(unsupportedDistinctOn("no FROM clause"))
+    val sel = rest.substring(0, fromPos).trim
+    val afterFrom = rest.substring(fromPos)
+    for (kw <- Seq("UNION", "INTERSECT", "EXCEPT"))
+      if (keywordPositions(afterFrom, kw).exists(_._2 == 0))
+        unsupportedDistinctOn(s"set operator $kw after DISTINCT ON")
+    val ordPos = keywordPositions(afterFrom, "ORDER")
+      .collectFirst { case (p, 0) => p }
+    val tailPos = Seq("LIMIT", "OFFSET")
+      .flatMap(k => keywordPositions(afterFrom, k).collect { case (p, 0) => p })
+      .minOption
+    val midEnd = Seq(ordPos, tailPos).flatten.minOption.getOrElse(afterFrom.length)
+    val mid = afterFrom.substring(0, midEnd)
+    val ordClause = ordPos.map(o =>
+      afterFrom.substring(o, tailPos.filter(_ > o).getOrElse(afterFrom.length)))
+      .getOrElse("")
+    val tail = tailPos.map(afterFrom.substring(_)).getOrElse("")
+    val winOrder =
+      if (ordClause.nonEmpty)
+        ordClause.trim.replaceFirst("(?i)^ORDER\\s+BY", "").trim
+      else keys
+    text.substring(0, m.start) +
+      s"SELECT * EXCEPT (__graft_rn) FROM (SELECT $sel, row_number() OVER " +
+      s"(PARTITION BY $keys ORDER BY $winOrder) AS __graft_rn $mid) " +
+      s"__graft_d WHERE __graft_rn = 1 $ordClause $tail"
+  }
+
+  // --- DuckDB SELECT * REPLACE -------------------------------------------
+  // `* REPLACE (expr AS col, …)` → `* EXCEPT (col, …), expr AS col, …`.
+  // Schema-free (no session needed). DIVERGENCE: replaced columns move to
+  // the END of the projection — name-addressed reads are identical, but a
+  // positional consumer (UNION by position) would see reordered columns.
+  private val starReplaceRe = """(?i)\*\s*REPLACE\s*\(""".r
+  private val replaceItemRe = """(?is)^(.*)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+
+  private def rewriteStarReplace(sql: String): String =
+    starReplaceRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        parseArgs(sql, open) match {
+          case Some((items, idxAfter)) if items.nonEmpty =>
+            val parsed = items.map {
+              case replaceItemRe(e, n) => (e.trim, n)
+              case other => throw new IllegalArgumentException(
+                s"* REPLACE: each item must be `expr AS name`, got: $other")
+            }
+            val rebuilt = "* EXCEPT (" + parsed.map(_._2).mkString(", ") +
+              "), " + parsed.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+            rewriteStarReplace(
+              sql.substring(0, m.start) + rebuilt + sql.substring(idxAfter))
+          case _ => sql
+        }
+    }
 
   private def unsupportedQualify(detail: String): Nothing =
     throw new IllegalArgumentException(
@@ -730,8 +872,20 @@ object DialectShim {
   private val starExcludeParen = """(?i)(\*\s*)EXCLUDE\s*\(""".r
   private val starExcludeBare = """(?i)(\*\s*)EXCLUDE\s+([A-Za-z_]\w*)""".r
 
+  // DuckDB `USING SAMPLE n%` / `n PERCENT` / `n [ROWS]` → Spark
+  // TABLESAMPLE. Percent first: the bare-rows pattern would otherwise
+  // grab the number out of `10 PERCENT`. (Both engines sample
+  // nondeterministically — this maps syntax, not a seeded sample.)
+  private val usingSamplePct =
+    """(?i)USING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)""".r
+  private val usingSampleRows =
+    """(?i)USING\s+SAMPLE\s+(\d+)(?:\s+ROWS?\b)?""".r
+
   private def rewriteFunctions(sql: String): String = {
-    val counted = bareCount.replaceAllIn(sql, "count(*)")
+    val sampled = usingSampleRows.replaceAllIn(
+      usingSamplePct.replaceAllIn(sql, "TABLESAMPLE ($1 PERCENT)"),
+      "TABLESAMPLE ($1 ROWS)")
+    val counted = bareCount.replaceAllIn(sampled, "count(*)")
     val excluded = starExcludeBare.replaceAllIn(
       starExcludeParen.replaceAllIn(counted, "$1EXCEPT ("), "$1EXCEPT ($2)")
     val renamed = fnRenames.foldLeft(excluded) { case (s, (re, repl)) =>

@@ -381,4 +381,64 @@ class DialectShimSpec extends AnyFunSuite {
     assert(raw.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
       Seq((1, 10), (2, 5)))
   }
+
+  test("DISTINCT ON rewrites to the row_number idiom and executes") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW don_t AS
+      SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, 7)
+        AS t(k, v)""")
+    val out = DialectShim.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM don_t ORDER BY k, v DESC")
+    assert(!out.toUpperCase.contains("DISTINCT ON"))
+    // first row per k under (k, v DESC) = the max v
+    val r = spark.sql(out).collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(r == Seq((1, 20), (2, 7)))
+    // no ORDER BY → keys order the window (deterministic here by k alone,
+    // so either v may win; just check one row per key survives)
+    val bare = spark.sql(DialectShim.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM don_t")).collect()
+    assert(bare.map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // set operators after DISTINCT ON are refused with a clear message
+    val e = intercept[IllegalArgumentException](DialectShim.rewrite(
+      "SELECT DISTINCT ON (k) k FROM don_t UNION SELECT 1"))
+    assert(e.getMessage.contains("DISTINCT ON"))
+  }
+
+  test("* REPLACE rewrites to * EXCEPT + re-added expressions") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW rep_t AS
+      SELECT * FROM VALUES (1, CAST(2.0 AS DOUBLE), 'x') AS t(a, b, c)""")
+    val out = DialectShim.rewrite(
+      "SELECT * REPLACE (b * 2 AS b, upper(c) AS c) FROM rep_t")
+    assert(!out.toUpperCase.contains("REPLACE"))
+    val row = spark.sql(out).collect().head
+    // name-addressed values are the replaced ones (column ORDER moves the
+    // replaced columns to the end — documented divergence)
+    assert(row.getAs[Double]("b") == 4.0)
+    assert(row.getAs[String]("c") == "X")
+    assert(row.getAs[Int]("a") == 1)
+    // a non-`expr AS name` item is refused
+    val e = intercept[IllegalArgumentException](DialectShim.rewrite(
+      "SELECT * REPLACE (b * 2) FROM rep_t"))
+    assert(e.getMessage.contains("REPLACE"))
+  }
+
+  test("USING SAMPLE maps to TABLESAMPLE (percent and rows forms)") {
+    assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 10%")
+      .contains("TABLESAMPLE (10 PERCENT)"))
+    assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 2.5 PERCENT")
+      .contains("TABLESAMPLE (2.5 PERCENT)"))
+    assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 50 ROWS")
+      .contains("TABLESAMPLE (50 ROWS)"))
+    assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 50")
+      .contains("TABLESAMPLE (50 ROWS)"))
+    // executes end-to-end (TABLESAMPLE needs a named relation, so the
+    // range goes through a view — same restriction DuckDB users see for
+    // table functions)
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW samp_t AS SELECT * FROM range(100)")
+    val n = spark.sql(DialectShim.rewrite(
+      "SELECT * FROM samp_t USING SAMPLE 10 ROWS")).count()
+    assert(n == 10)
+  }
 }
