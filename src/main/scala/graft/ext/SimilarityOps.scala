@@ -235,15 +235,27 @@ object SimilarityOps {
     * tunable via nBands (more bands = more recall, more candidate volume).
     * Pairs surface once (distinct over multi-band collisions).
     */
-  def lshNearDupPairs(vecs: DataFrame, minSim: Double,
-                      nBands: Int = 8, bitsPerBand: Int = 4,
-                      seed: Long = 42L): DataFrame = {
-    val dim = inferDim(vecs, "embedding")
-    val planes = lshPlanes(nBands, bitsPerBand, dim, seed)
-    val banded = withUnitVec(vecs, "embedding", "u")
+  /** (band_idx, band_val, vec_id, u) rows: each vector exploded into its
+    * nBands sign-bit buckets over the seed-derived planes — the shared
+    * front half of [[lshNearDupPairs]] and [[knnGraph]]. `dim` < 1 infers
+    * from the input; callers composing over a derived/pruned DataFrame
+    * pass the base table's dim so the head() probe does not execute the
+    * whole upstream chain.
+    */
+  private def bandedVectors(vecs: DataFrame, nBands: Int, bitsPerBand: Int,
+                            seed: Long, dim: Int): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(vecs, "embedding")
+    val planes = lshPlanes(nBands, bitsPerBand, d, seed)
+    withUnitVec(vecs, "embedding", "u")
       .select(col("vec_id"), col("u"),
         explode(lshBandsOf(col("u"), planes, nBands, bitsPerBand)).as("b"))
       .select(col("b.band_idx"), col("b.band_val"), col("vec_id"), col("u"))
+  }
+
+  def lshNearDupPairs(vecs: DataFrame, minSim: Double,
+                      nBands: Int = 8, bitsPerBand: Int = 4,
+                      seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val banded = bandedVectors(vecs, nBands, bitsPerBand, seed, dim)
     val a = banded.select(col("band_idx"), col("band_val"),
       col("vec_id").as("id_a"), col("u").as("u_a"))
     val b = banded.select(col("band_idx"), col("band_val"),
@@ -278,13 +290,7 @@ object SimilarityOps {
     */
   def knnGraph(vecs: DataFrame, k: Int, nBands: Int = 8,
                bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dim = inferDim(vecs, "embedding")
-    val planes = lshPlanes(nBands, bitsPerBand, dim, seed)
-    val banded = withUnitVec(vecs, "embedding", "u")
-      .select(col("vec_id"), col("u"),
-        explode(lshBandsOf(col("u"), planes, nBands, bitsPerBand)).as("b"))
-      .select(col("b.band_idx"), col("b.band_val"), col("vec_id"), col("u"))
+    val banded = bandedVectors(vecs, nBands, bitsPerBand, seed, dim = -1)
     val src = banded.select(col("band_idx"), col("band_val"),
       col("vec_id").as("src"), col("u").as("u_s"))
     val dst = banded.select(col("band_idx"), col("band_val"),

@@ -330,7 +330,8 @@ object DialectShim {
     val afterAsof = rewriteAsof(afterMacros)
     val afterQualify = rewriteQualify(afterAsof)
     val afterDistinctOn = rewriteDistinctOn(afterQualify)
-    val afterStarReplace = rewriteStarReplace(afterDistinctOn)
+    val afterSample = rewriteUsingSample(afterDistinctOn)
+    val afterStarReplace = rewriteStarReplace(afterSample)
     val afterList = readFnList.replaceAllIn(afterStarReplace, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
@@ -410,17 +411,27 @@ object DialectShim {
     out.result()
   }
 
-  /** Paren depth at `pos`, literal-aware, measured from `sql`'s start. */
-  private def depthAt(sql: String, pos: Int): Int = {
+  /** Paren depth at `pos`, literal-aware, measured from `sql`'s start;
+    * None when `pos` sits INSIDE a string literal (rewrites must skip it).
+    */
+  private def depthAt(sql: String, pos: Int): Option[Int] = {
     var i = 0; var depth = 0
     while (i < pos) {
       val c = sql.charAt(i)
-      if (c == '\'') { i += 1; while (i < sql.length && sql.charAt(i) != '\'') i += 1 }
+      if (c == '\'') {
+        val litEnd = {
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j) != '\'') j += 1
+          j
+        }
+        if (pos <= litEnd) return None
+        i = litEnd
+      }
       else if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       i += 1
     }
-    depth
+    Some(depth)
   }
 
   /** Innermost paren span strictly containing `pos`: (openIdx, closeIdx). */
@@ -467,25 +478,50 @@ object DialectShim {
   private def rewriteDistinctOn(sql: String): String = {
     var cur = sql
     var guard = 0
-    while (distinctOnRe.findFirstMatchIn(cur).nonEmpty) {
+    var go = true
+    while (go) {
       guard += 1
       if (guard > 20) unsupportedDistinctOn("rewrite did not converge")
-      val m = distinctOnRe.findFirstMatchIn(cur).get
-      if (depthAt(cur, m.start) == 0) cur = transformDistinctOn(cur)
-      else {
-        val (open, close) = innermostSpan(cur, m.start)
-        cur = cur.substring(0, open + 1) +
-          transformDistinctOn(cur.substring(open + 1, close)) +
-          cur.substring(close)
+      // literal-aware: a match inside a string literal is not a clause
+      distinctOnRe.findAllMatchIn(cur)
+        .flatMap(m => depthAt(cur, m.start).map(d => (m, d)))
+        .to(LazyList).headOption match {
+        case None => go = false
+        case Some((_, 0)) => cur = transformDistinctOn(cur)
+        case Some((m, _)) =>
+          val (open, close) = innermostSpan(cur, m.start)
+          cur = cur.substring(0, open + 1) +
+            transformDistinctOn(cur.substring(open + 1, close)) +
+            cur.substring(close)
       }
     }
     cur
   }
 
+  /** Split on commas at paren depth 0, literal-aware. */
+  private def splitTopLevel(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var i = 0; var depth = 0; var inLit = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inLit) { cur.append(c); if (c == '\'') inLit = false }
+      else c match {
+        case '\''              => inLit = true; cur.append(c)
+        case '('               => depth += 1; cur.append(c)
+        case ')'               => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _                 => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Rewrite the (single) depth-0 DISTINCT ON in `text`. */
   private def transformDistinctOn(text: String): String = {
-    val m = distinctOnRe.findFirstMatchIn(text)
-      .filter(mm => depthAt(text, mm.start)  == 0)
+    val m = distinctOnRe.findAllMatchIn(text)
+      .find(mm => depthAt(text, mm.start).contains(0))
       .getOrElse(return text)
     val open = m.end - 1
     val (keys, afterKeys) = parseArgs(text, open) match {
@@ -512,9 +548,35 @@ object DialectShim {
       afterFrom.substring(o, tailPos.filter(_ > o).getOrElse(afterFrom.length)))
       .getOrElse("")
     val tail = tailPos.map(afterFrom.substring(_)).getOrElse("")
+    // the query-level ORDER BY moves into the window, where Spark resolves
+    // neither ordinals (they become constant literals — silently wrong
+    // order) nor select-list aliases (no lateral-alias resolution inside
+    // windows). Substitute both from the select list before splicing.
+    val selItems = splitTopLevel(sel)
+    val aliasMap: Map[String, String] = selItems.flatMap(_.trim match {
+      case replaceItemRe(e, n) => Some(n.toLowerCase -> e.trim)
+      case _                   => None
+    }).toMap
+    def exprOf(item: String): String = item.trim match {
+      case replaceItemRe(e, _) => e.trim
+      case other               => other.trim
+    }
+    val ordinalItem = """^(\d+)((?:\s+[\s\S]*)?)$""".r
+    val aliasItem = """^([A-Za-z_]\w*)((?:\s+[\s\S]*)?)$""".r
+    def resolveOrderItem(item: String): String = item.trim match {
+      case ordinalItem(nStr, mods) =>
+        val n = nStr.toInt
+        if (sel.trim == "*" || n < 1 || n > selItems.size)
+          unsupportedDistinctOn(s"ordinal $n not resolvable against the select list")
+        "(" + exprOf(selItems(n - 1)) + ")" + mods
+      case aliasItem(name, mods) if aliasMap.contains(name.toLowerCase) =>
+        "(" + aliasMap(name.toLowerCase) + ")" + mods
+      case other => other
+    }
     val winOrder =
       if (ordClause.nonEmpty)
-        ordClause.trim.replaceFirst("(?i)^ORDER\\s+BY", "").trim
+        splitTopLevel(ordClause.trim.replaceFirst("(?i)^ORDER\\s+BY", "").trim)
+          .map(resolveOrderItem).mkString(", ")
       else keys
     text.substring(0, m.start) +
       s"SELECT * EXCEPT (__graft_rn) FROM (SELECT $sel, row_number() OVER " +
@@ -530,8 +592,26 @@ object DialectShim {
   private val starReplaceRe = """(?i)\*\s*REPLACE\s*\(""".r
   private val replaceItemRe = """(?is)^(.*)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
 
+  /** True when the `*` at `starPos` is a projection star (follows SELECT /
+    * DISTINCT / ',' / '(' / '.'), not multiplication by the replace()
+    * FUNCTION (`price * replace(s, ',', '')` must be left alone).
+    */
+  private def isProjectionStar(sql: String, starPos: Int): Boolean = {
+    val before = sql.substring(0, starPos).reverse.dropWhile(_.isWhitespace)
+    if (before.isEmpty) return false
+    before.head match {
+      case ',' | '(' | '.' => true
+      case c if Character.isJavaIdentifierPart(c) =>
+        val word = before.takeWhile(Character.isJavaIdentifierPart).reverse
+        Set("SELECT", "DISTINCT", "ALL")(word.toUpperCase)
+      case _ => false
+    }
+  }
+
   private def rewriteStarReplace(sql: String): String =
-    starReplaceRe.findFirstMatchIn(sql) match {
+    starReplaceRe.findAllMatchIn(sql)
+      .find(m => depthAt(sql, m.start).isDefined &&
+        isProjectionStar(sql, m.start)) match {
       case None => sql
       case Some(m) =>
         val open = m.end - 1
@@ -550,6 +630,60 @@ object DialectShim {
         }
     }
 
+  // --- DuckDB USING SAMPLE -----------------------------------------------
+  // A query-level clause: `<query> USING SAMPLE n [%|PERCENT|ROWS]` samples
+  // the query's RESULT. Rewritten by wrapping everything before it:
+  //   SELECT * FROM (<query>) TABLESAMPLE (n PERCENT|ROWS)
+  // so join-sample semantics survive (a naive in-place splice would attach
+  // the sample to the nearest relation — silently different rows — or
+  // parse-error after WHERE). Only the final-clause form is supported;
+  // trailing clauses after the sample are refused with the operator named.
+  // DIVERGENCE (documented): Spark's `TABLESAMPLE (n ROWS)` is a
+  // deterministic first-n limit, while the reference reservoir-samples n
+  // random rows; PERCENT is Bernoulli-random in both.
+  private val usingSampleRe =
+    """(?i)USING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS?\b)?""".r
+
+  private def rewriteUsingSample(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var go = true
+    while (go) {
+      guard += 1
+      if (guard > 20) throw new IllegalArgumentException(
+        "USING SAMPLE: rewrite did not converge")
+      usingSampleRe.findAllMatchIn(cur)
+        .flatMap(m => depthAt(cur, m.start).map(d => (m, d)))
+        .to(LazyList).headOption match {
+        case None => go = false
+        case Some((m, 0)) => cur = transformUsingSample(cur)
+        case Some((m, _)) =>
+          val (open, close) = innermostSpan(cur, m.start)
+          cur = cur.substring(0, open + 1) +
+            transformUsingSample(cur.substring(open + 1, close)) +
+            cur.substring(close)
+      }
+    }
+    cur
+  }
+
+  private def transformUsingSample(text: String): String = {
+    val m = usingSampleRe.findAllMatchIn(text)
+      .find(mm => depthAt(text, mm.start).contains(0))
+      .getOrElse(return text)
+    val unit = Option(m.group(2)).map(_.trim.toUpperCase) match {
+      case Some("%") | Some("PERCENT") => "PERCENT"
+      case _                           => "ROWS"
+    }
+    val rest = text.substring(m.end).trim
+    if (rest.nonEmpty)
+      throw new IllegalArgumentException(
+        "USING SAMPLE: only the final-clause form is supported " +
+          s"(found trailing: ${rest.take(40)})")
+    val prefix = text.substring(0, m.start).trim
+    s"SELECT * FROM ($prefix) TABLESAMPLE (${m.group(1)} $unit)"
+  }
+
   private def unsupportedQualify(detail: String): Nothing =
     throw new IllegalArgumentException(
       "QUALIFY: unsupported form (" + detail + "); supported: " +
@@ -565,27 +699,10 @@ object DialectShim {
       val (pos, depth) = keywordPositions(cur, "QUALIFY").head
       if (depth == 0) cur = transformQualify(cur)
       else {
-        // innermost enclosing paren span: walk to `pos` keeping a stack of
-        // open-paren indices (literal-aware), then to the matching close
-        var i = 0; var stack = List.empty[Int]
-        while (i < pos) {
-          val c = cur.charAt(i)
-          if (c == '\'') { i += 1; while (i < cur.length && cur.charAt(i) != '\'') i += 1 }
-          else if (c == '(') stack ::= i
-          else if (c == ')') stack = stack.tail
-          i += 1
-        }
-        val open = stack.head
-        var d = 0; var close = open
-        var found = false
-        while (!found && close < cur.length) {
-          val c = cur.charAt(close)
-          if (c == '\'') { close += 1; while (close < cur.length && cur.charAt(close) != '\'') close += 1 }
-          else if (c == '(') d += 1
-          else if (c == ')') { d -= 1; if (d == 0) found = true }
-          if (!found) close += 1
-        }
-        if (!found) unsupportedQualify("unbalanced parentheses")
+        // recurse into the innermost enclosing paren span (shared helper —
+        // same walk rewriteDistinctOn/rewriteUsingSample use)
+        val (open, close) = innermostSpan(cur, pos)
+        if (close >= cur.length) unsupportedQualify("unbalanced parentheses")
         cur = cur.substring(0, open + 1) +
           transformQualify(cur.substring(open + 1, close)) +
           cur.substring(close)
@@ -872,20 +989,8 @@ object DialectShim {
   private val starExcludeParen = """(?i)(\*\s*)EXCLUDE\s*\(""".r
   private val starExcludeBare = """(?i)(\*\s*)EXCLUDE\s+([A-Za-z_]\w*)""".r
 
-  // DuckDB `USING SAMPLE n%` / `n PERCENT` / `n [ROWS]` → Spark
-  // TABLESAMPLE. Percent first: the bare-rows pattern would otherwise
-  // grab the number out of `10 PERCENT`. (Both engines sample
-  // nondeterministically — this maps syntax, not a seeded sample.)
-  private val usingSamplePct =
-    """(?i)USING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)""".r
-  private val usingSampleRows =
-    """(?i)USING\s+SAMPLE\s+(\d+)(?:\s+ROWS?\b)?""".r
-
   private def rewriteFunctions(sql: String): String = {
-    val sampled = usingSampleRows.replaceAllIn(
-      usingSamplePct.replaceAllIn(sql, "TABLESAMPLE ($1 PERCENT)"),
-      "TABLESAMPLE ($1 ROWS)")
-    val counted = bareCount.replaceAllIn(sampled, "count(*)")
+    val counted = bareCount.replaceAllIn(sql, "count(*)")
     val excluded = starExcludeBare.replaceAllIn(
       starExcludeParen.replaceAllIn(counted, "$1EXCEPT ("), "$1EXCEPT ($2)")
     val renamed = fnRenames.foldLeft(excluded) { case (s, (re, repl)) =>

@@ -300,10 +300,15 @@ object ExtensionQueries {
     // registered above; composition adds no driver sync or extra pass ----
     "q75_embed_curation" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").drop("label")
-      val dropIds = SimilarityOps.lshNearDupPairs(e, minSim = 0.45)
+      // dim probed ONCE on the base scan; passing it down keeps the
+      // second stage's plan from executing the whole prune chain just to
+      // infer the vector width
+      val dim = SimilarityOps.inferDim(e, "embedding")
+      val dropIds = SimilarityOps.lshNearDupPairs(e, minSim = 0.45, dim = dim)
         .select(col("id_b").as("vec_id")).distinct()
       val survivors = e.join(dropIds, Seq("vec_id"), "left_anti")
-      val prs = SimilarityOps.lshNearDupPairs(survivors, minSim = 0.3)
+      val prs = SimilarityOps.lshNearDupPairs(survivors, minSim = 0.3,
+        dim = dim)
       val deg = prs.select(col("id_a").as("vec_id"))
         .union(prs.select(col("id_b").as("vec_id")))
         .groupBy(col("vec_id")).agg(count(lit(1)).as("density"))

@@ -423,22 +423,56 @@ class DialectShimSpec extends AnyFunSuite {
     assert(e.getMessage.contains("REPLACE"))
   }
 
-  test("USING SAMPLE maps to TABLESAMPLE (percent and rows forms)") {
+  test("USING SAMPLE wraps the query so result-sampling semantics survive") {
     assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 10%")
-      .contains("TABLESAMPLE (10 PERCENT)"))
+      == "SELECT * FROM (SELECT * FROM t) TABLESAMPLE (10 PERCENT)")
     assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 2.5 PERCENT")
       .contains("TABLESAMPLE (2.5 PERCENT)"))
-    assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 50 ROWS")
-      .contains("TABLESAMPLE (50 ROWS)"))
     assert(DialectShim.rewrite("SELECT * FROM t USING SAMPLE 50")
       .contains("TABLESAMPLE (50 ROWS)"))
-    // executes end-to-end (TABLESAMPLE needs a named relation, so the
-    // range goes through a view — same restriction DuckDB users see for
-    // table functions)
+    // a WHERE before the sample stays inside the wrap — no parse break,
+    // and a JOIN samples the RESULT, not the nearest relation
     val spark = graft.SparkTestSession.spark
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW samp_t AS SELECT * FROM range(100)")
     val n = spark.sql(DialectShim.rewrite(
-      "SELECT * FROM samp_t USING SAMPLE 10 ROWS")).count()
-    assert(n == 10)
+      "SELECT * FROM samp_t WHERE id >= 90 USING SAMPLE 5 ROWS")).count()
+    assert(n == 5)
+    // trailing clauses after the sample are refused, operator named
+    val e = intercept[IllegalArgumentException](DialectShim.rewrite(
+      "SELECT * FROM t USING SAMPLE 10% ORDER BY x"))
+    assert(e.getMessage.contains("USING SAMPLE"))
+  }
+
+  test("DISTINCT ON resolves ordinals and aliases into the window order") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW don2_t AS
+      SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, 7) AS t(k, v)""")
+    // ordinals: ORDER BY 1, 2 DESC means (k, v DESC) — inside OVER Spark
+    // would read them as constants, so the shim substitutes the exprs
+    val byOrdinal = spark.sql(DialectShim.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM don2_t ORDER BY 1, 2 DESC"))
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(byOrdinal == Seq((1, 20), (2, 7)))
+    // select-list alias in the order: Spark has no lateral aliases inside
+    // windows, so the alias is substituted with its expression
+    val byAlias = spark.sql(DialectShim.rewrite(
+      "SELECT DISTINCT ON (k) k, v * 2 AS d FROM don2_t ORDER BY k, d DESC"))
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(byAlias == Seq((1, 40), (2, 14)))
+  }
+
+  test("literal/multiplication guards: shims leave lookalikes alone") {
+    // DISTINCT ON inside a string literal is content, not a clause
+    val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"
+    assert(DialectShim.rewrite(lit) == lit)
+    // * REPLACE in a literal unchanged
+    val lit2 = "SELECT '* REPLACE (a AS b)' AS doc FROM t"
+    assert(DialectShim.rewrite(lit2) == lit2)
+    // multiplication by the replace() FUNCTION is not the star-modifier
+    val mul = "SELECT price * replace(amount, 'x', '') AS v FROM t"
+    assert(DialectShim.rewrite(mul) == mul)
+    // USING SAMPLE in a literal unchanged
+    val lit3 = "SELECT 'USING SAMPLE 10%' AS doc FROM t"
+    assert(DialectShim.rewrite(lit3) == lit3)
   }
 }
