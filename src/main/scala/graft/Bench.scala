@@ -37,7 +37,7 @@ object Bench {
     // query can only make the bench look worse, never better.
     val results: Seq[(String, Either[String, Double])] = selected.toSeq.map {
       case (name, fn) =>
-        val runs = (1 to reps).map { _ =>
+        def runOnce(): Either[String, Double] = {
           val t0 = System.nanoTime()
           // noop sink materializes every output column (count() would let
           // Catalyst prune the projections and under-measure scalar-heavy
@@ -50,7 +50,16 @@ object Bench {
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
           }
         }
-        val oks = runs.collect { case Right(t) => t }
+        val runs = (1 to reps).map(_ => runOnce())
+        // Sub-second queries are dominated by scheduler jitter: a contended
+        // min-of-3 measured q24 at 2.95s where a quiet run gives 0.53s. Two
+        // extra reps shrink that lottery without stretching the bench for
+        // the multi-second queries where 3 reps already converge.
+        val extra =
+          if (runs.exists(r => r.exists(_ < 1.0)) && reps < 5)
+            (reps until 5).map(_ => runOnce())
+          else Seq.empty
+        val oks = (runs ++ extra).collect { case Right(t) => t }
         name -> (if (oks.nonEmpty) Right(oks.min)
                  else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
@@ -64,6 +73,10 @@ object Bench {
     val errField =
       if (errs.isEmpty) "" else s""","errors":${errs.map(jstr).mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    // The per-query line above is one long record; BENCH_r04's tail capture
+    // truncated it and lost the total. Repeat the headline number as a short
+    // final line so any tail of the output still carries the round's result.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errs.size}}""")
     spark.stop()
   }
 }

@@ -75,6 +75,18 @@ object DepExtractor {
   def modelRefsInModel(rendered: String, modelIds: Set[String]): Set[String] =
     SqlText.splitStatements(rendered).flatMap { st =>
       val shimmed = try DialectShim.rewrite(st) catch { case _: Exception => st }
-      DialectShim.statementRefHints(st) ++ tableRefs(shimmed)
+      DialectShim.statementRefHints(st) ++ copyQueryRefs(shimmed) ++
+        tableRefs(shimmed)
     }.toSet.intersect(modelIds.map(_.toLowerCase))
+
+  /** `COPY (<query>) TO …` can't be parsed by Catalyst whole, but its inner
+    * query can — a model exporting another model's output must still get
+    * that edge. (The `COPY <table> TO` form is covered by statementRefHints.)
+    */
+  private def copyQueryRefs(st: String): Set[String] =
+    (try DialectShim.copyToTarget(st)
+     catch { case _: Exception => None }) match {
+      case Some(c) => c.source.fold(_ => Set.empty[String], q => tableRefs(q))
+      case None    => Set.empty
+    }
 }

@@ -298,12 +298,140 @@ object DialectShim {
   /** Table references only the shim knows about, for dependency
     * extraction: statements the Catalyst parser can't see through even
     * after the lexical rewrite, but whose target is plain in the DuckDB
-    * form (currently SUMMARIZE <table>).
+    * form (SUMMARIZE <table>; COPY <table> TO …).
     */
   def statementRefHints(st: String): Set[String] = st match {
     case summarizeRe(ident) => Set(ident.split('.').last.toLowerCase)
-    case _                  => Set.empty
+    case _ =>
+      // malformed COPY contributes no edges here; the real error surfaces
+      // at execution with the statement + model path attached
+      (try copyToTarget(st) catch { case _: IllegalArgumentException => None }) match {
+        case Some(CopyToSpec(Left(ident), _, _, _)) =>
+          Set(ident.split('.').last.toLowerCase)
+        case _ => Set.empty
+      }
   }
+
+  // --- DuckDB COPY … TO --------------------------------------------------
+  // The reference passes COPY straight to DuckDB (src/node.rs:151-205), so
+  // `COPY (SELECT …) TO 'out.parquet' (FORMAT parquet)` is the standard
+  // export idiom in a model's side statements or a run-file script. Spark
+  // has no COPY statement; SqlExec executes the parsed spec as
+  // `df.write.format(fmt).options(…).save(path)`. Documented divergence:
+  // Spark writes `path` as a DIRECTORY of part files (the distributed-
+  // native shape — a single file would force a 1-partition collect), where
+  // DuckDB writes a single file; `spark.read.<fmt>(path)` and DuckDB's
+  // `read_<fmt>('path/*')` both read it back.
+
+  /** A parsed COPY statement: source is Left(table/view ident) or
+    * Right(inner query SQL); `options` are Spark DataFrameWriter options.
+    */
+  final case class CopyToSpec(source: Either[String, String], path: String,
+      format: String, options: Map[String, String])
+
+  private val copyHead = """(?is)^\s*COPY\s""".r
+
+  private def unsupportedCopy(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      "COPY … TO: unsupported form (" + detail + "); supported: " +
+        "`COPY <table>|(<query>) TO '<path>' [(FORMAT parquet|csv|json, " +
+        "HEADER [true|false], DELIMITER '<c>', COMPRESSION <codec>, …)]`")
+
+  /** Parse a `COPY <src> TO '<path>' [(options)]` statement; None if `st`
+    * is not a COPY. A statement that IS a COPY but uses an unsupported
+    * form/option throws — silently passing it to spark.sql would produce
+    * an unrelated parse error, and silently dropping an option (say,
+    * a partition or encryption clause) would corrupt the export contract.
+    */
+  def copyToTarget(st: String): Option[CopyToSpec] = {
+    val head = copyHead.findFirstMatchIn(st).getOrElse(return None)
+    val n = st.length
+    var i = head.end
+    def skipWs(): Unit = { while (i < n && st.charAt(i).isWhitespace) i += 1 }
+    skipWs()
+    if (i >= n) unsupportedCopy("missing source")
+    val source: Either[String, String] =
+      if (st.charAt(i) == '(') {
+        // balanced-paren, literal-aware scan for the inner query
+        val start = i
+        var depth = 0; var close = -1; var j = i
+        while (j < n && close < 0) {
+          st.charAt(j) match {
+            case '\'' => j += 1; while (j < n && st.charAt(j) != '\'') j += 1
+            case '('  => depth += 1
+            case ')'  => depth -= 1; if (depth == 0) close = j
+            case _    => ()
+          }
+          j += 1
+        }
+        if (close < 0) unsupportedCopy("unbalanced parentheses")
+        i = close + 1
+        Right(st.substring(start + 1, close).trim)
+      } else {
+        val start = i
+        while (i < n && (st.charAt(i).isLetterOrDigit ||
+          st.charAt(i) == '_' || st.charAt(i) == '.')) i += 1
+        if (i == start) unsupportedCopy("missing source")
+        Left(st.substring(start, i))
+      }
+    skipWs()
+    // DuckDB also has COPY FROM (import); only TO is shimmed
+    if (i + 2 > n || !st.regionMatches(true, i, "TO", 0, 2))
+      unsupportedCopy("expected TO (COPY FROM import is not supported)")
+    i += 2
+    skipWs()
+    if (i >= n || st.charAt(i) != '\'') unsupportedCopy("expected quoted path")
+    val pEnd = st.indexOf('\'', i + 1)
+    if (pEnd < 0) unsupportedCopy("unterminated path literal")
+    val path = st.substring(i + 1, pEnd)
+    i = pEnd + 1
+    skipWs()
+    // optional [WITH] (opt [value], …)
+    var raw = Map.empty[String, String]
+    if (i + 4 <= n && st.regionMatches(true, i, "WITH", 0, 4)) { i += 4; skipWs() }
+    if (i < n && st.charAt(i) == '(') {
+      val close = st.lastIndexOf(')')
+      if (close < i) unsupportedCopy("unbalanced option list")
+      splitTopLevel(st.substring(i + 1, close)).foreach { item =>
+        val t = item.trim
+        if (t.nonEmpty) {
+          val sp = t.indexWhere(_.isWhitespace)
+          val (k, v) = if (sp < 0) (t, "") else (t.substring(0, sp), t.substring(sp).trim)
+          raw += k.toLowerCase -> stripQuotes(v)
+        }
+      }
+      i = close + 1
+    }
+    skipWs()
+    if (i < n) unsupportedCopy("trailing text after option list")
+    val fmt = raw.get("format").map(_.toLowerCase).getOrElse {
+      val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+      ext match {
+        case "parquet"                      => "parquet"
+        case "json" | "jsonl" | "ndjson"    => "json"
+        case _                              => "csv" // DuckDB's default format
+      }
+    }
+    if (!Set("parquet", "csv", "json")(fmt))
+      unsupportedCopy(s"format $fmt")
+    val opts = (raw - "format").map {
+      case ("header", v)    => "header" -> (if (v.isEmpty) "true" else v.toLowerCase)
+      case ("delimiter", v) => "sep" -> v
+      case ("delim", v)     => "sep" -> v
+      case ("sep", v)       => "sep" -> v
+      case ("quote", v)     => "quote" -> v
+      case ("escape", v)    => "escape" -> v
+      case ("compression", v) => "compression" -> v.toLowerCase
+      case ("nullstr", v)   => "nullValue" -> v
+      case (k, _)           => unsupportedCopy(s"option $k")
+    }
+    Some(CopyToSpec(source, path, fmt, opts))
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1)
+    else s
 
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.

@@ -37,6 +37,18 @@ object SqlExec {
         return
       case None => ()
     }
+    // DuckDB COPY … TO export: runs the (already-shimmed) source fully
+    // distributed into a DataFrameWriter — rows never touch the driver.
+    DialectShim.copyToTarget(st) match {
+      case Some(c) =>
+        val df = c.source match {
+          case Left(ident)  => spark.table(ident)
+          case Right(query) => spark.sql(query)
+        }
+        df.write.mode("overwrite").format(c.format).options(c.options).save(c.path)
+        return
+      case None => ()
+    }
     val df = spark.sql(st)
     val isCommand = df.queryExecution.analyzed.isInstanceOf[CommandResult]
     if (!isCommand) df.write.format("noop").mode("overwrite").save()

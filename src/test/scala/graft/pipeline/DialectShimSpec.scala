@@ -461,6 +461,64 @@ class DialectShimSpec extends AnyFunSuite {
     assert(byAlias == Seq((1, 40), (2, 14)))
   }
 
+  test("COPY … TO parses: query/table forms, format inference, options") {
+    // table form + format inferred from the path extension
+    val t = DialectShim.copyToTarget("COPY mytbl TO 'out/dir.parquet'").get
+    assert(t.source == Left("mytbl"))
+    assert(t.format == "parquet" && t.options.isEmpty)
+    // query form with an option list; bare HEADER means true
+    val q = DialectShim.copyToTarget(
+      "COPY (SELECT a, b FROM t WHERE a > 1) TO '/tmp/x.csv' " +
+        "(FORMAT csv, HEADER, DELIMITER '|')").get
+    assert(q.source.toOption.get.startsWith("SELECT a, b"))
+    assert(q.format == "csv")
+    assert(q.options == Map("header" -> "true", "sep" -> "|"))
+    // WITH (…) postgres-style option list; codec lowercased
+    val w = DialectShim.copyToTarget(
+      "COPY t TO 'x' WITH (FORMAT PARQUET, COMPRESSION ZSTD)").get
+    assert(w.format == "parquet" && w.options == Map("compression" -> "zstd"))
+    // quoted literals inside the inner query don't derail the paren scan
+    val lit = DialectShim.copyToTarget(
+      "COPY (SELECT ')' AS p, 'TO ''x''' AS d FROM t) TO 'y.json'").get
+    assert(lit.format == "json")
+    assert(lit.source.toOption.get.endsWith("FROM t"))
+    // non-COPY statements are not COPY
+    assert(DialectShim.copyToTarget("SELECT 1").isEmpty)
+    assert(DialectShim.copyToTarget("SELECT 'COPY t TO ''x''' AS doc").isEmpty)
+    // COPY FROM (import) and unknown options are refused, operator named
+    val e = intercept[IllegalArgumentException](
+      DialectShim.copyToTarget("COPY t FROM 'x.csv'"))
+    assert(e.getMessage.contains("COPY"))
+    val e2 = intercept[IllegalArgumentException](
+      DialectShim.copyToTarget("COPY t TO 'x.csv' (PARTITION_BY a)"))
+    assert(e2.getMessage.contains("PARTITION_BY".toLowerCase))
+  }
+
+  test("COPY … TO executes distributed through SqlExec") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW copy_t AS " +
+      "SELECT id, id * 2 AS v FROM range(10)")
+    val out = java.nio.file.Files.createTempDirectory("graft-copy")
+    // query form → parquet; the inner query passes through the full shim
+    // (count() would rewrite, etc.) because COPY survives rewriteImpl
+    val pq = out.resolve("out.parquet").toString
+    SqlExec.run(spark, DialectShim.rewrite(
+      s"COPY (SELECT * FROM copy_t WHERE id < 5) TO '$pq' (FORMAT parquet)",
+      spark))
+    assert(spark.read.parquet(pq).count() == 5)
+    // table form → csv with header + custom delimiter, reads back intact
+    val csv = out.resolve("out.csv").toString
+    SqlExec.run(spark, DialectShim.rewrite(
+      s"COPY copy_t TO '$csv' (HEADER, DELIMITER '|')", spark))
+    val back = spark.read.option("header", "true").option("sep", "|").csv(csv)
+    assert(back.count() == 10 && back.columns.toSeq == Seq("id", "v"))
+    // overwrite semantics: a second export replaces, not appends
+    SqlExec.run(spark, DialectShim.rewrite(
+      s"COPY (SELECT * FROM copy_t WHERE id < 3) TO '$pq' (FORMAT parquet)",
+      spark))
+    assert(spark.read.parquet(pq).count() == 3)
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"

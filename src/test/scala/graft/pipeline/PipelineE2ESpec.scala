@@ -291,6 +291,43 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("COPY … TO: model side statement exports csv, run-file exports parquet") {
+    val out = Files.createTempDirectory("graft-copy-e2e")
+    val csvOut = out.resolve("status_counts.csv")
+    val (_, config) = fixture(models = Map(
+      "src_orders" ->
+        s"SELECT * FROM read_parquet('$sfDir/orders.parquet')",
+      // the ONLY reference to src_orders is inside the COPY's inner query —
+      // the dependency edge must come from the COPY shim's ref extraction
+      "export_only" ->
+        s"""COPY (SELECT o_orderstatus, count() AS n
+           |      FROM src_orders GROUP BY o_orderstatus)
+           |  TO '$csvOut' (FORMAT csv, HEADER);
+           |SELECT 1 AS marker""".stripMargin))
+    val session = new PipelineSession(spark, config)
+    val (order, nodeMap) = session.buildGraph()
+    assert(nodeMap("export_only").prevs == Set("src_orders"))
+    assert(order == Seq("src_orders", "export_only"))
+    val report = session.runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    val expected = spark.table("src_orders")
+      .groupBy("o_orderstatus").count().count()
+    val back = spark.read.option("header", "true").csv(csvOut.toString)
+    assert(back.columns.toSeq == Seq("o_orderstatus", "n"))
+    assert(back.count() == expected)
+
+    // run-file: the reference's standard export idiom in a script
+    val pqOut = out.resolve("statuses.parquet")
+    val script = out.resolve("export.sql")
+    Files.writeString(script,
+      s"""COPY (SELECT o_orderstatus, count() AS n
+         |      FROM src_orders GROUP BY o_orderstatus)
+         |  TO '$pqOut' (FORMAT parquet, COMPRESSION snappy)""".stripMargin)
+    val statuses = graft.cli.Main.runFilesOn(spark, List(script.toString))
+    assert(statuses.head._2 == s"OK: $script", statuses.head._2)
+    assert(spark.read.parquet(pqOut.toString).count() == expected)
+  }
+
   test("DOT + SVG visualization") {
     val (_, config) = fixture(models = Map(
       "up" -> "SELECT 1 AS x",
