@@ -78,7 +78,8 @@ object MacroRenderer {
     else s
 
   private val callPat = """\{\{-?\s*(\w+)\s*\(([^)]*)\)\s*-?\}\}""".r
-  private val varPat = """\{\{-?\s*(\w+)\s*-?\}\}""".r
+  // dotted names cover the loop.* variables bound inside {% for %} bodies
+  private val varPat = """\{\{-?\s*([A-Za-z_][\w.]*)\s*-?\}\}""".r
 
   /** Render `src` with macros from `macroSrc` ++ those defined inline.
     * Macro-call expansion runs to a fixpoint (bounded) so macros may call
@@ -86,7 +87,9 @@ object MacroRenderer {
     */
   def render(src: String, macroSrc: String): String = {
     val macros = parseMacros(macroSrc) ++ parseMacros(src)
-    var cur = stripMacroDefs(src)
+    // control tags FIRST: a top-level {% for %} must multiply the macro
+    // calls inside its body before the call-expansion fixpoint sees them
+    var cur = renderTags(stripMacroDefs(src), Map.empty)
     var depth = 0
     var changed = true
     while (changed && depth < 16) {
@@ -119,14 +122,277 @@ object MacroRenderer {
           pos += 1
       }
     }
-    // substitute params in plain {{ p }} slots AND inside nested macro-call
-    // arguments ({{ inner(p) }}), so macros can pass their params through
-    val afterVars = varPat.replaceAllIn(mac.body, m =>
-      java.util.regex.Matcher.quoteReplacement(bound.getOrElse(m.group(1), "")))
-    callPat.replaceAllIn(afterVars, m => {
+    // control tags ({% if %}/{% for %}) render with the bound params in
+    // scope; {{ p }} slots and nested macro-call arguments substitute in
+    // the same pass (see subst)
+    renderTags(mac.body, bound.map { case (k, v) => k -> JStr(v) }.toMap)
+  }
+
+  // --- jinja control structures ({% if %} / {% for %}) ---------------------
+  // The reference renders with full minijinja (/root/reference/src/node.rs:
+  // 100-106; minijinja = "1.0.12", Cargo.toml:15), so control tags are legal
+  // anywhere in a model — but with the EMPTY top-level context the only
+  // places a tag can see a defined name are macro bodies (params) and
+  // literal lists. Implemented subset; any other tag FAILS with a named
+  // GenericError instead of leaking `{% … %}` text into the SQL:
+  //   {% for x in [a, 'b', 1] %} … {% endfor %}
+  //     list items: quoted/numeric literals or in-scope names; the body sees
+  //     loop.index / loop.index0 / loop.first / loop.last / loop.length
+  //   {% if cond %} … {% elif cond %} … {% else %} … {% endif %}
+  //     cond: atom | not cond | atom ==|!= atom | atom in list-or-string
+  //     truthiness: undefined, '', 'false', '0', 'none' are false — the
+  //     minijinja falsy values as they appear after untyped string binding
+  //   {%- … -%} trims whitespace toward the tag, minijinja-style.
+
+  private sealed trait JVal
+  private final case class JStr(s: String) extends JVal
+  private final case class JList(xs: Seq[String]) extends JVal
+
+  private type Tok = scala.util.matching.Regex.Match
+
+  private val tagRe = """(?s)\{%(-?)\s*(\w+)\s*(.*?)\s*(-?)%\}""".r
+  private val nameRe = """^[A-Za-z_][\w.]*$""".r
+  private val numRe = """^-?\d+(\.\d+)?$""".r
+
+  private def unsupportedJinja(detail: String): Nothing =
+    throw GenericError("jinja render: " + detail + "; supported: " +
+      "{% for x in [..] %}…{% endfor %}, {% if %}/{% elif %}/{% else %}/" +
+      "{% endif %} with not/==/!=/in conditions")
+
+  /** Render all control tags in `text` with `env` in scope; text between
+    * tags is substituted via [[subst]]. Tag-free text with an empty env
+    * passes through verbatim.
+    */
+  private def renderTags(text: String, env: Map[String, JVal]): String = {
+    val toks = tagRe.findAllMatchIn(text).toList
+    if (toks.isEmpty) return subst(text, env)
+    val sb = new StringBuilder
+    var from = 0
+    var trimNext = false
+    var rest = toks
+    def appendText(upTo: Int, trimRight: Boolean): Unit = {
+      var seg = text.substring(from, upTo)
+      if (trimNext) { seg = seg.replaceFirst("^\\s+", ""); trimNext = false }
+      if (trimRight) seg = seg.replaceFirst("\\s+$", "")
+      sb.append(subst(seg, env))
+    }
+    while (rest.nonEmpty) {
+      val m = rest.head
+      m.group(2) match {
+        case "for" =>
+          appendText(m.start, m.group(1) == "-")
+          val (endTok, after) = matchEnd(rest.tail, "for", "endfor")
+          val body = trimBody(text.substring(m.end, endTok.start),
+            m.group(4) == "-", endTok.group(1) == "-")
+          sb.append(renderFor(m.group(3), body, env))
+          trimNext = endTok.group(4) == "-"
+          from = endTok.end
+          rest = after
+        case "if" =>
+          appendText(m.start, m.group(1) == "-")
+          val (branches, endTok, after) = splitIf(text, m, rest.tail)
+          branches.collectFirst {
+            case (cond, body) if cond.forall(evalCond(_, env)) => body
+          }.foreach(b => sb.append(renderTags(b, env)))
+          trimNext = endTok.group(4) == "-"
+          from = endTok.end
+          rest = after
+        case k @ ("endfor" | "endif" | "elif" | "else") =>
+          unsupportedJinja(s"unexpected {% $k %}")
+        case other =>
+          unsupportedJinja(s"unsupported tag {% $other %}")
+      }
+    }
+    appendText(text.length, trimRight = false)
+    sb.toString
+  }
+
+  /** Matching close tag at the same nesting depth (tags pair by kind, so a
+    * kind-specific counter is exact), and the tokens after it.
+    */
+  private def matchEnd(toks: List[Tok], open: String,
+      close: String): (Tok, List[Tok]) = {
+    var depth = 0
+    var rest = toks
+    while (rest.nonEmpty) {
+      val t = rest.head
+      val k = t.group(2)
+      if (k == open) depth += 1
+      else if (k == close) {
+        if (depth == 0) return (t, rest.tail)
+        depth -= 1
+      }
+      rest = rest.tail
+    }
+    unsupportedJinja(s"missing {% $close %}")
+  }
+
+  /** Split an if-block into (condition, body-text) branches — None is the
+    * else branch — plus the endif token and the tokens after it.
+    */
+  private def splitIf(text: String, open: Tok, toks: List[Tok])
+      : (Seq[(Option[String], String)], Tok, List[Tok]) = {
+    val branches = Seq.newBuilder[(Option[String], String)]
+    var condOpt: Option[String] = Some(open.group(3))
+    var bodyStart = open.end
+    var trimL = open.group(4) == "-"
+    var seenElse = false
+    var depth = 0
+    var rest = toks
+    def closeBranch(t: Tok): Unit =
+      branches += condOpt -> trimBody(text.substring(bodyStart, t.start),
+        trimL, t.group(1) == "-")
+    while (rest.nonEmpty) {
+      val t = rest.head
+      t.group(2) match {
+        case "if" => depth += 1
+        case "endif" if depth > 0 => depth -= 1
+        case "endif" =>
+          closeBranch(t)
+          return (branches.result(), t, rest.tail)
+        case "elif" if depth == 0 =>
+          if (seenElse) unsupportedJinja("elif after else")
+          closeBranch(t)
+          condOpt = Some(t.group(3)); bodyStart = t.end; trimL = t.group(4) == "-"
+        case "else" if depth == 0 =>
+          if (seenElse) unsupportedJinja("duplicate else")
+          seenElse = true
+          closeBranch(t)
+          condOpt = None; bodyStart = t.end; trimL = t.group(4) == "-"
+        case _ => ()
+      }
+      rest = rest.tail
+    }
+    unsupportedJinja("missing {% endif %}")
+  }
+
+  private val forExprRe = """(?s)^(\w+)\s+in\s+(.+)$""".r
+
+  private def renderFor(expr: String, body: String,
+      env: Map[String, JVal]): String = expr.trim match {
+    case forExprRe(v, iterExpr) =>
+      val items = evalAtom(iterExpr.trim, env) match {
+        case Some(JList(xs)) => xs
+        case Some(JStr(s))   => unsupportedJinja(s"for over non-list value `$s`")
+        case None            => unsupportedJinja(s"for over undefined `${iterExpr.trim}`")
+      }
+      val n = items.size
+      items.zipWithIndex.map { case (item, i) =>
+        renderTags(body, env ++ Map(
+          v -> JStr(item),
+          "loop.index" -> JStr((i + 1).toString),
+          "loop.index0" -> JStr(i.toString),
+          "loop.first" -> JStr(if (i == 0) "true" else "false"),
+          "loop.last" -> JStr(if (i == n - 1) "true" else "false"),
+          "loop.length" -> JStr(n.toString)))
+      }.mkString
+    case other => unsupportedJinja(s"for expression `$other`")
+  }
+
+  private def evalCond(c0: String, env: Map[String, JVal]): Boolean = {
+    val c = c0.trim
+    if (c.isEmpty) unsupportedJinja("empty condition")
+    if (c.matches("(?s)^not\\s.+")) return !evalCond(c.substring(3), env)
+    splitBinary(c, "==") match {
+      case Some((l, r)) => atomStr(l, env) == atomStr(r, env)
+      case None => splitBinary(c, "!=") match {
+        case Some((l, r)) => atomStr(l, env) != atomStr(r, env)
+        case None => splitBinary(c, " in ") match {
+          case Some((l, r)) =>
+            val item = atomStr(l, env)
+            item != null && (evalAtom(r.trim, env) match {
+              case Some(JList(xs)) => xs.contains(item)
+              case Some(JStr(s))   => s.contains(item)
+              case None            => false
+            })
+          case None => evalAtom(c, env).exists(truthy)
+        }
+      }
+    }
+  }
+
+  /** Atom as a comparison string; null marks undefined (so `x == y` is true
+    * for two undefined names, matching jinja's undefined equality).
+    */
+  private def atomStr(a: String, env: Map[String, JVal]): String =
+    evalAtom(a.trim, env) match {
+      case Some(JStr(s))   => s
+      case Some(JList(xs)) => xs.mkString(", ")
+      case None            => null
+    }
+
+  private def truthy(v: JVal): Boolean = v match {
+    case JStr(s) =>
+      s.nonEmpty && !Set("false", "0", "none").contains(s.toLowerCase)
+    case JList(xs) => xs.nonEmpty
+  }
+
+  /** Evaluate an atom: quoted/numeric literal, literal list, boolean
+    * keyword, or in-scope name (None when undefined). Anything else fails
+    * named — a silently-ignored expression would render wrong SQL.
+    */
+  private def evalAtom(a: String, env: Map[String, JVal]): Option[JVal] = {
+    if (a.isEmpty) unsupportedJinja("empty expression")
+    if (a.head == '[' && a.last == ']')
+      Some(JList(splitArgs(a.substring(1, a.length - 1)).map { item =>
+        val t = item.trim
+        if (t.nonEmpty && (t.head == '\'' || t.head == '"')) unquote(t)
+        else if (numRe.findFirstIn(t).isDefined) t
+        else if (nameRe.findFirstIn(t).isDefined) env.get(t) match {
+          case Some(JStr(s))   => s
+          case Some(JList(xs)) => xs.mkString(", ")
+          case None            => "" // undefined item → empty, non-strict
+        }
+        else unsupportedJinja(s"unsupported list item `$t`")
+      }))
+    else if (a.head == '\'' || a.head == '"') Some(JStr(unquote(a)))
+    else if (numRe.findFirstIn(a).isDefined) Some(JStr(a))
+    else if (nameRe.findFirstIn(a).isDefined) a.toLowerCase match {
+      case "true"  => Some(JStr("true"))
+      case "false" => Some(JStr("false"))
+      case "none"  => Some(JStr(""))
+      case _       => env.get(a)
+    }
+    else unsupportedJinja(s"unsupported expression `$a`")
+  }
+
+  /** First `op` outside quotes, splitting `c` into (left, right). */
+  private def splitBinary(c: String, op: String): Option[(String, String)] = {
+    var i = 0; var inQ = false; var q = ' '
+    while (i + op.length <= c.length) {
+      val ch = c.charAt(i)
+      if (inQ) { if (ch == q) inQ = false; i += 1 }
+      else if (ch == '\'' || ch == '"') { inQ = true; q = ch; i += 1 }
+      else if (c.regionMatches(i, op, 0, op.length))
+        return Some((c.substring(0, i), c.substring(i + op.length)))
+      else i += 1
+    }
+    None
+  }
+
+  private def trimBody(s: String, trimLeft: Boolean, trimRight: Boolean): String = {
+    var r = s
+    if (trimLeft) r = r.replaceFirst("^\\s+", "")
+    if (trimRight) r = r.replaceFirst("\\s+$", "")
+    r
+  }
+
+  /** Substitute in-scope names into a tag-free text segment: {{ name }}
+    * slots (unknown names → empty, jinja non-strict) and nested macro-call
+    * arguments. With an empty env the text passes through untouched so the
+    * top-level pass can't disturb pre-macro-expansion text.
+    */
+  private def subst(text: String, env: Map[String, JVal]): String = {
+    if (env.isEmpty) return text
+    val strs: Map[String, String] = env.map { case (k, v) => k -> (v match {
+      case JStr(s)   => s
+      case JList(xs) => xs.mkString(", ")
+    })}
+    val afterVars = varPat.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(strs.getOrElse(m.group(1), "")))
+    callPat.replaceAllIn(afterVars, m =>
       java.util.regex.Matcher.quoteReplacement(
-        s"{{ ${m.group(1)}(${substParams(m.group(2), bound)}) }}")
-    })
+        s"{{ ${m.group(1)}(${substParams(m.group(2), strs)}) }}"))
   }
 
   /** Substitute bound params in a nested call's argument text: one

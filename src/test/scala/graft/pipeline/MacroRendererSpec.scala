@@ -54,4 +54,76 @@ class MacroRendererSpec extends AnyFunSuite {
     assert(MacroRenderer.render("SELECT {{ ratio(den, 2) }} FROM t", macros) ==
       "SELECT den / 2 FROM t")
   }
+
+  test("{% for %} over a literal list inside a macro body, with loop.last") {
+    // the canonical use: a macro generating a comma-separated column list
+    val macros =
+      """{% macro sums(suffix) %}{% for c in ['a', 'b', 'c'] -%}
+        |sum({{ c }}) AS {{ c }}_{{ suffix }}{% if not loop.last %}, {% endif %}
+        |{%- endfor %}{% endmacro %}""".stripMargin
+    assert(MacroRenderer.render("SELECT {{ sums(tot) }} FROM t", macros) ==
+      "SELECT sum(a) AS a_tot, sum(b) AS b_tot, sum(c) AS c_tot FROM t")
+  }
+
+  test("{% for %} binds loop.index/index0/first/last/length") {
+    val macros =
+      """{% macro idx() %}{% for x in [10, 20] -%}
+        |[{{ loop.index }}:{{ loop.index0 }}:{{ loop.first }}:{{ loop.last }}:{{ loop.length }}:{{ x }}]
+        |{%- endfor %}{% endmacro %}"""
+        .stripMargin
+    assert(MacroRenderer.render("{{ idx() }}", "" + macros) ==
+      "[1:0:true:false:2:10][2:1:false:true:2:20]")
+  }
+
+  test("{% if %} truthiness and comparisons over bound params") {
+    val macros =
+      """{% macro col(agg) %}{% if agg == 'sum' %}sum(v){% elif agg == 'avg' %}avg(v){% else %}count(*){% endif %}{% endmacro %}
+        |{% macro opt(flag) %}{% if flag %}WITH_FLAG{% else %}NO_FLAG{% endif %}{% endmacro %}""".stripMargin
+    assert(MacroRenderer.render("SELECT {{ col('sum') }}", macros) == "SELECT sum(v)")
+    assert(MacroRenderer.render("SELECT {{ col('avg') }}", macros) == "SELECT avg(v)")
+    assert(MacroRenderer.render("SELECT {{ col('max') }}", macros) == "SELECT count(*)")
+    // truthiness after untyped binding: true/1 truthy; false/0/'' falsy
+    assert(MacroRenderer.render("{{ opt(true) }}", macros) == "WITH_FLAG")
+    assert(MacroRenderer.render("{{ opt(1) }}", macros) == "WITH_FLAG")
+    assert(MacroRenderer.render("{{ opt(false) }}", macros) == "NO_FLAG")
+    assert(MacroRenderer.render("{{ opt(0) }}", macros) == "NO_FLAG")
+    assert(MacroRenderer.render("{{ opt('') }}", macros) == "NO_FLAG")
+  }
+
+  test("{% if x in [...] %} membership and nested control structures") {
+    val macros =
+      """{% macro pick(c) %}{% if c in ['a', 'b'] %}{% for s in ['x', 'y'] %}{{ c }}{{ s }} {% endfor %}{% else %}none{% endif %}{% endmacro %}""".stripMargin
+    assert(MacroRenderer.render("{{ pick(a) }}", macros).trim == "ax ay")
+    assert(MacroRenderer.render("{{ pick(z) }}", macros).trim == "none")
+  }
+
+  test("top-level {% for %} multiplies macro calls before expansion") {
+    // the loop must expand BEFORE the call fixpoint or f(c) would bind the
+    // literal text "c" instead of each item
+    val macros = "{% macro f(c) %}sum({{ c }}) AS {{ c }}_sum{% endmacro %}"
+    val src =
+      "SELECT {% for c in ['q', 'r'] %}{{ f(c) }}{% if not loop.last %}, {% endif %}{% endfor %} FROM t"
+    assert(MacroRenderer.render(src, macros) ==
+      "SELECT sum(q) AS q_sum, sum(r) AS r_sum FROM t")
+    // top-level {% if %} with an undefined name: non-strict false
+    assert(MacroRenderer.render(
+      "SELECT 1{% if undefined_flag %}, 2{% endif %}", "") == "SELECT 1")
+  }
+
+  test("unsupported tags and malformed blocks fail with a named error") {
+    // {% set %} is minijinja, not the supported subset: named failure, not
+    // tags leaking through into SQL
+    val e1 = intercept[GenericError](
+      MacroRenderer.render("{% set x = 1 %}SELECT {{ x }}", ""))
+    assert(e1.getMessage.contains("set"))
+    val e2 = intercept[GenericError](
+      MacroRenderer.render("SELECT 1{% if a %} oops", ""))
+    assert(e2.getMessage.contains("endif"))
+    val e3 = intercept[GenericError](
+      MacroRenderer.render("{% for x in undefined_list %}{{ x }}{% endfor %}", ""))
+    assert(e3.getMessage.contains("undefined"))
+    val e4 = intercept[GenericError](
+      MacroRenderer.render("SELECT 1{% endfor %}", ""))
+    assert(e4.getMessage.contains("unexpected"))
+  }
 }

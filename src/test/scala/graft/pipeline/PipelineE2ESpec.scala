@@ -291,6 +291,27 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("model using a {% for %}/{% if %} macro renders and runs") {
+    val (_, config) = fixture(
+      models = Map(
+        "src_li" ->
+          s"SELECT * FROM read_parquet('$sfDir/lineitem.parquet')",
+        "li_sums" ->
+          ("SELECT l_returnflag, {{ sums('l_quantity', 'l_extendedprice') }}" +
+            " FROM src_li GROUP BY l_returnflag")),
+      macros = Map("sums.sql" ->
+        """{% macro sums(a, b) %}{% for c in [a, b] -%}
+          |sum({{ c }}) AS {{ c }}_sum{% if not loop.last %}, {% endif %}
+          |{%- endfor %}{% endmacro %}""".stripMargin))
+    val session = new PipelineSession(spark, config)
+    val report = session.runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    val out = spark.table("li_sums")
+    assert(out.columns.toSeq ==
+      Seq("l_returnflag", "l_quantity_sum", "l_extendedprice_sum"))
+    assert(out.count() > 0)
+  }
+
   test("COPY … TO: model side statement exports csv, run-file exports parquet") {
     val out = Files.createTempDirectory("graft-copy-e2e")
     val csvOut = out.resolve("status_counts.csv")
