@@ -79,14 +79,25 @@ object DepExtractor {
         tableRefs(shimmed)
     }.toSet.intersect(modelIds.map(_.toLowerCase))
 
-  /** `COPY (<query>) TO …` can't be parsed by Catalyst whole, but its inner
-    * query can — a model exporting another model's output must still get
-    * that edge. (The `COPY <table> TO` form is covered by statementRefHints.)
+  /** `COPY (<query>) TO …` and `PIVOT (<query>) ON …` can't be parsed by
+    * Catalyst whole, but their inner queries can — a model exporting or
+    * pivoting another model's output must still get that edge. (The
+    * table-ident forms are covered by statementRefHints; an IN-listed
+    * PIVOT rewrites lexically so tableRefs(shimmed) already sees it, and
+    * re-adding the same refs here is harmless.)
     */
-  private def copyQueryRefs(st: String): Set[String] =
-    (try DialectShim.copyToTarget(st)
-     catch { case _: Exception => None }) match {
+  private def copyQueryRefs(st: String): Set[String] = {
+    val copy = (try DialectShim.copyToTarget(st)
+      catch { case _: Exception => None }) match {
       case Some(c) => c.source.fold(_ => Set.empty[String], q => tableRefs(q))
-      case None    => Set.empty
+      case None    => Set.empty[String]
     }
+    val pivot = (try DialectShim.pivotStatement(st)
+      catch { case _: Exception => None }) match {
+      case Some(Left(p))  => p.source.fold(_ => Set.empty[String], q => tableRefs(q))
+      case Some(Right(u)) => u.source.fold(_ => Set.empty[String], q => tableRefs(q))
+      case None           => Set.empty[String]
+    }
+    copy ++ pivot
+  }
 }

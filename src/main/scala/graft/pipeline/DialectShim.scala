@@ -303,13 +303,23 @@ object DialectShim {
   def statementRefHints(st: String): Set[String] = st match {
     case summarizeRe(ident) => Set(ident.split('.').last.toLowerCase)
     case _ =>
-      // malformed COPY contributes no edges here; the real error surfaces
-      // at execution with the statement + model path attached
-      (try copyToTarget(st) catch { case _: IllegalArgumentException => None }) match {
-        case Some(CopyToSpec(Left(ident), _, _, _)) =>
-          Set(ident.split('.').last.toLowerCase)
-        case _ => Set.empty
-      }
+      // malformed COPY/PIVOT contributes no edges here; the real error
+      // surfaces at execution with the statement + model path attached
+      val copyHint =
+        (try copyToTarget(st) catch { case _: IllegalArgumentException => None }) match {
+          case Some(CopyToSpec(Left(ident), _, _, _)) =>
+            Set(ident.split('.').last.toLowerCase)
+          case _ => Set.empty[String]
+        }
+      val pivotHint =
+        (try pivotStatement(st) catch { case _: IllegalArgumentException => None }) match {
+          case Some(Left(p))  => p.source.left.toOption
+            .map(_.split('.').last.toLowerCase).toSet
+          case Some(Right(u)) => u.source.left.toOption
+            .map(_.split('.').last.toLowerCase).toSet
+          case None => Set.empty[String]
+        }
+      copyHint ++ pivotHint
   }
 
   // --- DuckDB COPY … TO --------------------------------------------------
@@ -433,6 +443,222 @@ object DialectShim {
       s.substring(1, s.length - 1)
     else s
 
+  // --- DuckDB PIVOT / UNPIVOT statements ---------------------------------
+  // DuckDB's statement forms (pass-through in the reference,
+  // src/node.rs:151-205):
+  //   PIVOT <src> ON <col> [IN (v,…)] USING <agg> [AS a][, …] [GROUP BY …]
+  //   UNPIVOT <src> ON c1, c2[, …] [INTO NAME n VALUE v]
+  // Spark expresses both as table clauses (`FROM t PIVOT (agg FOR col IN
+  // (…))` / `FROM t UNPIVOT (v FOR n IN (…))`), so the rewrite is a SELECT
+  // wrap. Two semantic alignments make it exact:
+  //   - no GROUP BY → both engines group by every remaining column;
+  //     an explicit GROUP BY projects the input down to (group cols, pivot
+  //     col, agg args) first, because Spark's implicit grouping IS the
+  //     projection.
+  //   - dynamic ON (no IN list) → DuckDB enumerates the distinct values;
+  //     the session-aware rewrite runs the same `SELECT DISTINCT … ORDER BY
+  //     1` (both engines produce value columns in ascending order). This is
+  //     a deliberate small driver-side query at rewrite time, exactly like
+  //     the SUMMARIZE shim's schema probe.
+
+  final case class PivotStmt(source: Either[String, String], onCol: String,
+      inVals: Option[Seq[String]], usings: Seq[(String, Option[String])],
+      groupBy: Option[String])
+  final case class UnpivotStmt(source: Either[String, String],
+      onCols: Seq[String], nameCol: String, valueCol: String)
+
+  private val pivotHead = """(?is)^\s*(UN)?PIVOT\s""".r
+
+  private def unsupportedPivot(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      "PIVOT/UNPIVOT statement: unsupported form (" + detail + "); " +
+        "supported: `PIVOT <src> ON <col> [IN (…)] USING agg(x) [AS a][, …] " +
+        "[GROUP BY …]`, `UNPIVOT <src> ON c1, c2 [INTO NAME n VALUE v]`")
+
+  /** Identifier or balanced-paren subquery starting at `from`; returns the
+    * parsed source and the index just past it.
+    */
+  private def parseSourceAt(st: String, from: Int): (Either[String, String], Int) = {
+    val n = st.length
+    var i = from
+    while (i < n && st.charAt(i).isWhitespace) i += 1
+    if (i >= n) unsupportedPivot("missing source")
+    if (st.charAt(i) == '(') {
+      val start = i
+      var depth = 0; var close = -1; var j = i
+      while (j < n && close < 0) {
+        st.charAt(j) match {
+          case '\'' => j += 1; while (j < n && st.charAt(j) != '\'') j += 1
+          case '('  => depth += 1
+          case ')'  => depth -= 1; if (depth == 0) close = j
+          case _    => ()
+        }
+        j += 1
+      }
+      if (close < 0) unsupportedPivot("unbalanced parentheses")
+      (Right(st.substring(start + 1, close).trim), close + 1)
+    } else {
+      val start = i
+      while (i < n && (st.charAt(i).isLetterOrDigit ||
+        st.charAt(i) == '_' || st.charAt(i) == '.')) i += 1
+      if (i == start) unsupportedPivot("missing source")
+      (Left(st.substring(start, i)), i)
+    }
+  }
+
+  /** First word-bounded, depth-0, quote-free occurrence of `word` at or
+    * after `from`; -1 when absent.
+    */
+  private def topLevelKeyword(st: String, word: String, from: Int): Int = {
+    val n = st.length
+    var i = from; var depth = 0
+    while (i < n) {
+      val c = st.charAt(i)
+      if (c == '\'') { i += 1; while (i < n && st.charAt(i) != '\'') i += 1; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && st.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || !Character.isJavaIdentifierPart(st.charAt(i - 1))) &&
+        (i + word.length >= n ||
+          !Character.isJavaIdentifierPart(st.charAt(i + word.length))))
+        return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Parse a statement-level PIVOT/UNPIVOT; None if `st` is neither.
+    * Malformed PIVOT forms throw with the operator named (same contract as
+    * the COPY shim).
+    */
+  def pivotStatement(st: String): Option[Either[PivotStmt, UnpivotStmt]] = {
+    val head = pivotHead.findFirstMatchIn(st).getOrElse(return None)
+    val isUnpivot = head.group(1) != null
+    val (source, afterSrc) = parseSourceAt(st, head.end)
+    val n = st.length
+    var i = afterSrc
+    def skipWs(): Unit = { while (i < n && st.charAt(i).isWhitespace) i += 1 }
+    skipWs()
+    if (i + 2 > n || !st.regionMatches(true, i, "ON", 0, 2))
+      unsupportedPivot("expected ON")
+    i += 2
+    if (isUnpivot) {
+      val intoIdx = topLevelKeyword(st, "INTO", i)
+      val colsText = if (intoIdx < 0) st.substring(i) else st.substring(i, intoIdx)
+      val cols = splitTopLevel(colsText).map(_.trim).filter(_.nonEmpty)
+      if (cols.isEmpty) unsupportedPivot("UNPIVOT needs ON columns")
+      if (!cols.forall(c => identRe.findFirstIn(c).isDefined))
+        unsupportedPivot("UNPIVOT ON items must be plain columns")
+      var (nameCol, valueCol) = ("name", "value") // DuckDB defaults
+      if (intoIdx >= 0) {
+        val intoRe =
+          """(?is)^\s*INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*)\s*$""".r
+        st.substring(intoIdx) match {
+          case intoRe(nc, vc) => nameCol = nc; valueCol = vc
+          case _ => unsupportedPivot("INTO clause must be `INTO NAME n VALUE v`")
+        }
+      }
+      Some(Right(UnpivotStmt(source, cols, nameCol, valueCol)))
+    } else {
+      val usingIdx = topLevelKeyword(st, "USING", i)
+      if (usingIdx < 0) unsupportedPivot("PIVOT without USING")
+      // between ON and USING: `<col> [IN (values)]`
+      val onPart = st.substring(i, usingIdx).trim
+      val inIdx = topLevelKeyword(onPart, "IN", 0)
+      val (onCol, inVals) =
+        if (inIdx < 0) (onPart, None)
+        else {
+          val valsText = onPart.substring(inIdx + 2).trim
+          if (!(valsText.startsWith("(") && valsText.endsWith(")")))
+            unsupportedPivot("IN needs a parenthesized value list")
+          (onPart.substring(0, inIdx).trim,
+            Some(splitTopLevel(valsText.substring(1, valsText.length - 1))
+              .map(_.trim).filter(_.nonEmpty)))
+        }
+      if (identRe.findFirstIn(onCol).isEmpty)
+        unsupportedPivot("ON must name a single plain column")
+      val groupIdx = topLevelKeyword(st, "GROUP", usingIdx + 5)
+      val aggsText =
+        if (groupIdx < 0) st.substring(usingIdx + 5)
+        else st.substring(usingIdx + 5, groupIdx)
+      val groupBy = if (groupIdx < 0) None else {
+        val byRe = """(?is)^\s*GROUP\s+BY\s+(.+)$""".r
+        st.substring(groupIdx) match {
+          case byRe(cols) => Some(cols.trim)
+          case _          => unsupportedPivot("GROUP must be GROUP BY")
+        }
+      }
+      val asRe = """(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+      val usings = splitTopLevel(aggsText).map(_.trim).filter(_.nonEmpty).map {
+        case asRe(e, a) => (e.trim, Some(a))
+        case e          => (e, None)
+      }
+      if (usings.isEmpty) unsupportedPivot("USING needs at least one aggregate")
+      Some(Left(PivotStmt(source, onCol, inVals, usings, groupBy)))
+    }
+  }
+
+  private def pivotSrcSql(source: Either[String, String]): String =
+    source.fold(identity, q => s"($q)")
+
+  /** SQL literal for a collected distinct pivot value. */
+  private def sqlLit(v: Any): String = v match {
+    case null                   => "NULL"
+    case s: String              => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date       => s"DATE '$d'"
+    case t: java.sql.Timestamp  => s"TIMESTAMP '$t'"
+    case other                  => other.toString
+  }
+
+  private def rewritePivotStatement(st: String, spark: Option[SparkSession]): String =
+    pivotStatement(st) match {
+      case None => st
+      case Some(Right(u)) =>
+        s"SELECT * FROM ${pivotSrcSql(u.source)} UNPIVOT (${u.valueCol} " +
+          s"FOR ${u.nameCol} IN (${u.onCols.mkString(", ")}))"
+      case Some(Left(p)) =>
+        val vals: Seq[String] = p.inVals.getOrElse {
+          spark match {
+            case None => return st // lexical-only pass: hints carry the refs
+            case Some(s) =>
+              // the distinct probe re-enters the full shim so a read_* or
+              // macro-bearing source still resolves
+              s.sql(rewrite(
+                s"SELECT DISTINCT ${p.onCol} AS __graft_v FROM " +
+                  s"${pivotSrcSql(p.source)} WHERE ${p.onCol} IS NOT NULL " +
+                  "ORDER BY 1", s))
+                .collect().toSeq.map(r => sqlLit(r.get(0)))
+          }
+        }
+        if (vals.isEmpty) unsupportedPivot("no pivot values (empty IN / source)")
+        // naming parity: DuckDB suffixes `_alias` even for a SINGLE aliased
+        // aggregate, Spark only for multiple — so the single-aliased case
+        // aliases each IN value to `<value>_<alias>` instead
+        val (aggsSql, valsSql) = p.usings match {
+          case Seq((e, Some(a))) =>
+            (e, vals.map(v => s"$v AS `${stripQuotes(v)}_$a`").mkString(", "))
+          case us =>
+            (us.map { case (e, a) => e + a.map(x => s" AS $x").getOrElse("") }
+              .mkString(", "),
+              vals.mkString(", "))
+        }
+        val pivotClause = s"PIVOT ($aggsSql FOR ${p.onCol} IN ($valsSql))"
+        p.groupBy match {
+          case None => s"SELECT * FROM ${pivotSrcSql(p.source)} $pivotClause"
+          case Some(cols) =>
+            // Spark groups by every non-pivot column, so the explicit
+            // GROUP BY becomes a projection of the pivot's input
+            val fnRe = """(?s)^\s*\w+\s*\((.*)\)\s*$""".r
+            val argCols = p.usings.map(_._1).map {
+              case fnRe(arg) => arg.trim
+              case other => unsupportedPivot(
+                s"GROUP BY needs simple fn(col) aggregates, got `$other`")
+            }.filterNot(a => a == "*" || a.isEmpty).distinct
+            val proj = (Seq(cols, p.onCol) ++ argCols).mkString(", ")
+            s"SELECT * FROM (SELECT $proj FROM ${pivotSrcSql(p.source)}) $pivotClause"
+        }
+    }
+
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.
     */
@@ -455,7 +681,10 @@ object DialectShim {
         inlineMacros(sql, registryOf(s))
       case None => sql
     }
-    val afterAsof = rewriteAsof(afterMacros)
+    // statement-level PIVOT/UNPIVOT first: the produced SELECT (and its
+    // subquery source) then flows through every later rewrite
+    val afterPivot = rewritePivotStatement(afterMacros, spark)
+    val afterAsof = rewriteAsof(afterPivot)
     val afterQualify = rewriteQualify(afterAsof)
     val afterDistinctOn = rewriteDistinctOn(afterQualify)
     val afterSample = rewriteUsingSample(afterDistinctOn)

@@ -516,7 +516,23 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
         .select(col("user_id"), col("sw.start").as("sess_start"),
           col("n_events"), col("total"))
-        .orderBy(col("user_id"), col("sess_start")))
+        .orderBy(col("user_id"), col("sess_start"))),
+
+    // -- DuckDB PIVOT statement through the dialect shim -------------------
+    // Dynamic ON (no IN list): the shim probes the distinct return flags
+    // exactly as DuckDB enumerates them, then emits Spark's PIVOT clause;
+    // GROUP BY prunes the pivot input to the three referenced columns.
+    // sum(l_quantity) is integer-valued, so both engines sum exactly.
+    "q76_pivot_stmt" -> ((s, dir) => {
+      val stmt =
+        s"""PIVOT (SELECT l_linestatus, l_returnflag, l_quantity
+           |       FROM read_parquet('$dir/lineitem.parquet'))
+           |ON l_returnflag
+           |USING sum(l_quantity) AS qty
+           |GROUP BY l_linestatus""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+        .orderBy(col("l_linestatus"))
+    })
   )
 
   /** q27's oracle, generated from the SAME coefficient family the portable
@@ -1049,6 +1065,12 @@ object ExtensionQueries {
     "q60_lsh_neardup" -> lshNearDupOracleSql,
     "q74_knn_graph" -> knnGraphOracleSql,
     "q75_embed_curation" -> embedCurationOracleSql,
+    // the oracle IS the native DuckDB statement the shim translates —
+    // the strongest cross-engine check for the PIVOT rewrite
+    "q76_pivot_stmt" ->
+      """SELECT * FROM (PIVOT lineitem ON l_returnflag
+        |  USING sum(l_quantity) AS qty GROUP BY l_linestatus)
+        |ORDER BY l_linestatus""".stripMargin,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks

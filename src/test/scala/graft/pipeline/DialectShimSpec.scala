@@ -519,6 +519,85 @@ class DialectShimSpec extends AnyFunSuite {
     assert(spark.read.parquet(pq).count() == 3)
   }
 
+  test("PIVOT statement: static IN list rewrites lexically and executes") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW pv_t AS SELECT * FROM VALUES
+      ('nl', 2000, 10), ('nl', 2010, 17), ('us', 2000, 282), ('us', 2010, 309)
+      AS t(country, yr, pop)""")
+    val rw = DialectShim.rewrite(
+      "PIVOT pv_t ON yr IN (2000, 2010) USING sum(pop)")
+    assert(rw == "SELECT * FROM pv_t PIVOT (sum(pop) FOR yr IN (2000, 2010))")
+    val rows = spark.sql(rw).orderBy("country").collect()
+    assert(spark.sql(rw).columns.toSeq == Seq("country", "2000", "2010"))
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("nl", 10L, 17L), ("us", 282L, 309L)))
+  }
+
+  test("PIVOT statement: dynamic ON enumerates distinct values in order") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW pv_d AS SELECT * FROM VALUES
+      ('a', 'x', 1.0), ('a', 'y', 2.0), ('b', 'x', 3.0), ('b', 'z', 4.0)
+      AS t(k, cat, v)""")
+    // no IN list: the session-aware rewrite probes SELECT DISTINCT … ORDER
+    // BY 1, so the value columns come out ascending like DuckDB's
+    val rw = DialectShim.rewrite("PIVOT pv_d ON cat USING sum(v) AS s", spark)
+    // single aliased agg: values alias to DuckDB's <value>_<alias> names
+    assert(rw.contains("IN ('x' AS `x_s`, 'y' AS `y_s`, 'z' AS `z_s`)"), rw)
+    val df = spark.sql(rw)
+    assert(df.columns.toSeq == Seq("k", "x_s", "y_s", "z_s"))
+    assert(df.count() == 2)
+    // sessionless (dep-extraction) pass leaves the dynamic form verbatim
+    assert(DialectShim.rewrite("PIVOT pv_d ON cat USING sum(v)")
+      .startsWith("PIVOT"))
+  }
+
+  test("PIVOT statement: explicit GROUP BY projects the pivot input") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW pv_g AS SELECT * FROM VALUES
+      ('a', 'north', 'x', 1), ('a', 'south', 'x', 2), ('b', 'north', 'y', 3)
+      AS t(k, region, cat, v)""")
+    // region must NOT appear in the output: GROUP BY k collapses it
+    val rw = DialectShim.rewrite(
+      "PIVOT pv_g ON cat IN ('x', 'y') USING sum(v) GROUP BY k", spark)
+    val df = spark.sql(rw)
+    assert(df.columns.toSeq == Seq("k", "x", "y"))
+    val rows = df.orderBy("k").collect()
+    assert(rows(0).getString(0) == "a" && rows(0).getLong(1) == 3L && rows(0).isNullAt(2))
+    // subquery source also works through the same path
+    val rw2 = DialectShim.rewrite(
+      "PIVOT (SELECT k, cat, v FROM pv_g) ON cat IN ('x') USING sum(v)", spark)
+    assert(spark.sql(rw2).columns.toSeq == Seq("k", "x"))
+  }
+
+  test("UNPIVOT statement rewrites to Spark's UNPIVOT clause") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW up_t AS SELECT * FROM VALUES
+      ('a', 1, 2), ('b', 3, 4) AS t(k, jan, feb)""")
+    val rw = DialectShim.rewrite(
+      "UNPIVOT up_t ON jan, feb INTO NAME month VALUE sales")
+    assert(rw ==
+      "SELECT * FROM up_t UNPIVOT (sales FOR month IN (jan, feb))")
+    val rows = spark.sql(rw).orderBy("k", "month").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq(("a", "feb", 2), ("a", "jan", 1),
+      ("b", "feb", 4), ("b", "jan", 3)))
+    // INTO omitted → DuckDB's default name/value columns
+    assert(DialectShim.rewrite("UNPIVOT up_t ON jan, feb")
+      .contains("(value FOR name IN (jan, feb))"))
+  }
+
+  test("PIVOT/UNPIVOT unsupported forms fail with the operator named") {
+    val e1 = intercept[IllegalArgumentException](
+      DialectShim.rewrite("PIVOT t ON c"))
+    assert(e1.getMessage.contains("USING"))
+    val e2 = intercept[IllegalArgumentException](
+      DialectShim.rewrite("UNPIVOT t ON a INTO NAME n"))
+    assert(e2.getMessage.contains("INTO"))
+    // a PIVOT-named view inside a SELECT is untouched
+    val ok = "SELECT * FROM pivot_results"
+    assert(DialectShim.rewrite(ok) == ok)
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"
