@@ -598,6 +598,104 @@ object DialectShim {
     }
   }
 
+  // --- DuckDB list comprehensions -----------------------------------------
+  // `[expr for x in xs if p]` (DuckDB 0.10) → `transform(filter(xs,
+  // x -> p), x -> expr)`; without the filter, plain `transform`. The lambda
+  // dialect (`x -> …`) is identical in both engines, so expr/cond pass
+  // through verbatim. A literal-list iterable (`[1, 2, 3]`) becomes
+  // `array(1, 2, 3)`; nested comprehensions resolve on the next fixpoint
+  // pass. Plain subscripts (`arr[1]`) and list literals without a `for`
+  // are left untouched.
+
+  private def rewriteListComprehension(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 20) {
+      val next = rewriteOneComprehension(cur)
+      changed = next != cur
+      cur = next
+      guard += 1
+    }
+    cur
+  }
+
+  /** Word-bounded `word` at bracket/paren depth 0 outside quotes; -1 if
+    * absent. (Unlike topLevelKeyword this also tracks square brackets —
+    * comprehension parts may nest lists.)
+    */
+  private def topLevelWord(text: String, word: String): Int = {
+    val n = text.length
+    var i = 0; var depth = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'') { i += 1; while (i < n && text.charAt(i) != '\'') i += 1; i += 1 }
+      else if (c == '(' || c == '[') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']') { depth -= 1; i += 1 }
+      else if (depth == 0 && text.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || !Character.isJavaIdentifierPart(text.charAt(i - 1))) &&
+        (i + word.length >= n ||
+          !Character.isJavaIdentifierPart(text.charAt(i + word.length))))
+        return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Rewrite the first comprehension found (leftmost opening bracket whose
+    * content has a top-level `for`); identity when none remain.
+    */
+  private def rewriteOneComprehension(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { i += 1; while (i < n && sql.charAt(i) != '\'') i += 1; i += 1 }
+      else if (c == '[') {
+        // matching close bracket, quote/paren/bracket aware
+        var depth = 0; var close = -1; var j = i
+        while (j < n && close < 0) {
+          sql.charAt(j) match {
+            case '\'' => j += 1; while (j < n && sql.charAt(j) != '\'') j += 1
+            case '[' | '(' => depth += 1
+            case ']' | ')' => depth -= 1; if (depth == 0) close = j
+            case _ => ()
+          }
+          j += 1
+        }
+        if (close < 0) return sql // unbalanced; leave for execution to report
+        val inner = sql.substring(i + 1, close)
+        val forIdx = topLevelWord(inner, "for")
+        if (forIdx >= 0) {
+          val expr = inner.substring(0, forIdx).trim
+          val after = inner.substring(forIdx + 3)
+          val inIdx = topLevelWord(after, "in")
+          if (inIdx < 0) return sql // not a comprehension after all
+          val v = after.substring(0, inIdx).trim
+          if (identRe.findFirstIn(v).isEmpty) return sql
+          val rest = after.substring(inIdx + 2)
+          val ifIdx = topLevelWord(rest, "if")
+          val (iterRaw, cond) =
+            if (ifIdx < 0) (rest.trim, None)
+            else (rest.substring(0, ifIdx).trim,
+              Some(rest.substring(ifIdx + 2).trim))
+          val iter =
+            if (iterRaw.startsWith("[") && iterRaw.endsWith("]") &&
+                topLevelWord(iterRaw.substring(1, iterRaw.length - 1), "for") < 0)
+              s"array(${iterRaw.substring(1, iterRaw.length - 1).trim})"
+            else iterRaw
+          val replacement = cond match {
+            case Some(p) => s"transform(filter($iter, $v -> $p), $v -> $expr)"
+            case None    => s"transform($iter, $v -> $expr)"
+          }
+          return sql.substring(0, i) + replacement + sql.substring(close + 1)
+        }
+        i += 1 // plain bracket: keep scanning inside (it may hold one)
+      } else i += 1
+    }
+    sql
+  }
+
   private def pivotSrcSql(source: Either[String, String]): String =
     source.fold(identity, q => s"($q)")
 
@@ -689,7 +787,8 @@ object DialectShim {
     val afterDistinctOn = rewriteDistinctOn(afterQualify)
     val afterSample = rewriteUsingSample(afterDistinctOn)
     val afterStarReplace = rewriteStarReplace(afterSample)
-    val afterList = readFnList.replaceAllIn(afterStarReplace, m => {
+    val afterComp = rewriteListComprehension(afterStarReplace)
+    val afterList = readFnList.replaceAllIn(afterComp, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       val rewritten =

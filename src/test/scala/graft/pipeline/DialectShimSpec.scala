@@ -598,6 +598,50 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(ok) == ok)
   }
 
+  test("list comprehensions rewrite to transform/filter and execute") {
+    // bare comprehension over a column
+    assert(DialectShim.rewrite("SELECT [x * 2 for x in xs] AS d FROM t")
+      == "SELECT transform(xs, x -> x * 2) AS d FROM t")
+    // with a filter clause
+    assert(DialectShim.rewrite(
+      "SELECT [upper(x) for x in xs if x != ''] AS u FROM t")
+      == "SELECT transform(filter(xs, x -> x != ''), x -> upper(x)) AS u FROM t")
+    // literal-list iterable becomes array(); executes end to end
+    val spark = graft.SparkTestSession.spark
+    val rw = DialectShim.rewrite(
+      "SELECT [n * 10 for n in [1, 2, 3] if n != 2] AS v")
+    assert(rw == "SELECT transform(filter(array(1, 2, 3), n -> n != 2), n -> n * 10) AS v")
+    assert(spark.sql(rw).collect().head.getSeq[Int](0) == Seq(10, 30))
+    // nested comprehension resolves on the fixpoint pass
+    val nested = DialectShim.rewrite(
+      "SELECT [y + 1 for y in [x * 2 for x in xs]] AS v FROM t")
+    assert(nested ==
+      "SELECT transform(transform(xs, x -> x * 2), y -> y + 1) AS v FROM t")
+    // execution over a real array column
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lc_t AS " +
+      "SELECT array(1, 2, 3, 4) AS xs")
+    val out = spark.sql(DialectShim.rewrite(
+      "SELECT [x * x for x in xs if x % 2 = 0] AS sq FROM lc_t"))
+      .collect().head.getSeq[Int](0)
+    assert(out == Seq(4, 16))
+  }
+
+  test("list-comprehension lookalikes are untouched") {
+    // subscripts
+    val sub = "SELECT arr[1] AS first FROM t"
+    assert(DialectShim.rewrite(sub) == sub)
+    // plain list args to read_* still take the UNION ALL path
+    assert(DialectShim.rewrite("SELECT * FROM read_parquet(['a.parquet'])")
+      .contains("parquet.`a.parquet`"))
+    // 'for' inside a string literal is content
+    val lit = "SELECT '[x for x in xs]' AS doc FROM t"
+    assert(DialectShim.rewrite(lit) == lit)
+    // substring(… FROM … FOR …) sits inside parens: depth > 0, untouched
+    val ss = "SELECT [substring(x FROM 1 FOR 2) for x in xs] AS p FROM t"
+    assert(DialectShim.rewrite(ss) ==
+      "SELECT transform(xs, x -> substring(x FROM 1 FOR 2)) AS p FROM t")
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"
