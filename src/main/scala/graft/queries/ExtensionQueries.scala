@@ -395,16 +395,26 @@ object ExtensionQueries {
           col("o_orderpriority").asc_nulls_first)),
 
     // -- String similarity join (SURVEY §2.C): blocking + levenshtein -------
-    // The equi-join key is the blocking prefix (first char) so Catalyst
-    // hash-joins 26 blocks instead of scanning the cross product; the cheap
-    // length filter prunes before the O(len²) edit distance runs.
+    // The equi-join key is the blocking pair (2-char prefix, length band of
+    // 8): Σ(block²) stays bounded as the corpus grows — a 1-char prefix
+    // alone gives 26 skew-prone blocks whose squared sizes grow
+    // quadratically at 100×. The probe side explodes to its own and the
+    // two adjacent bands, so the ±2-length filter can never straddle a
+    // band boundary (band width 8 > 2) and no qualifying pair is lost to
+    // banding; each pair matches in exactly one band, so no dedup pass is
+    // needed. The cheap length filter still prunes before the O(len²)
+    // edit distance runs.
     "q38_string_simjoin" -> ((s, dir) => {
       val p = t(s, dir, "part").filter(col("p_partkey") <= 300)
       val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-        substring(col("p_name"), 1, 1).as("blk"))
+        substring(col("p_name"), 1, 2).as("pfx"),
+        floor(length(col("p_name")) / 8).as("band"))
       val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-        substring(col("p_name"), 1, 1).as("blk"))
-      a.join(b, Seq("blk"))
+          substring(col("p_name"), 1, 2).as("pfx"),
+          floor(length(col("p_name")) / 8).as("band0"))
+        .withColumn("band", explode(array(col("band0") - 1, col("band0"),
+          col("band0") + 1)))
+      a.join(b, Seq("pfx", "band"))
         .filter(col("id_a") < col("id_b") &&
           abs(length(col("name_a")) - length(col("name_b"))) <= 2)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
@@ -1130,12 +1140,16 @@ object ExtensionQueries {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q38_string_simjoin" ->
+      // same (2-char prefix, length-band) blocking as the Spark side; the
+      // |band delta| <= 1 predicate is the oracle's view of the Spark
+      // probe-side band explosion
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 300)
         |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM p a JOIN p b
-        |  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+        |  ON substring(a.p_name, 1, 2) = substring(b.p_name, 1, 2)
+        |  AND abs(floor(length(a.p_name) / 8) - floor(length(b.p_name) / 8)) <= 1
         |  AND a.p_partkey < b.p_partkey
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) <= 4

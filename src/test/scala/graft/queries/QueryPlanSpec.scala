@@ -129,6 +129,17 @@ class QueryPlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), s"range join lost its equi-keys:\n$p")
   }
 
+  test("q38: string-sim join blocks on (prefix, band) — bounded equi-keys") {
+    val p = plan("q38_string_simjoin")
+    assert(p.contains("Generate")) // probe side explodes to adjacent bands
+    // both blocking columns must be join keys: prefix alone leaves 26
+    // skewed blocks whose squared sizes blow up at 100x scale
+    assert(p.contains("pfx") && p.contains("band"),
+      s"blocking key lost a component:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"blocked join lost its equi-keys:\n$p")
+  }
+
   test("dedup/LSH hot paths stay inside whole-stage codegen") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     // These queries' throughput rests on native doGenCode kernels; a
