@@ -139,7 +139,10 @@ object Main {
       if (!Files.exists(path)) p -> s"Cannot open $p, skipping"
       else {
         try {
-          SqlText.splitStatements(Files.readString(path))
+          // comments strip BEFORE the split: an apostrophe inside a `--`
+          // comment would otherwise open a phantom string literal and
+          // derail the statement boundaries
+          SqlText.splitStatements(SqlText.stripComments(Files.readString(path)))
             .map(DialectShim.rewrite(_, spark))
             .foreach(SqlExec.run(spark, _))
           p -> s"OK: $p"

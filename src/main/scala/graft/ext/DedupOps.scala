@@ -437,9 +437,14 @@ object DedupOps {
     * this is 2-3 rounds in practice. Each round is one shuffle join on
     * vertex id plus a partial-min aggregate; labels are (id, comp) pairs
     * only, never payloads. The driver loop checks a single scalar
-    * (#changed) per round — no data collects. localCheckpoint truncates
-    * the iterative lineage (GraphFrames does the same); at petabyte scale
-    * swap for checkpoint() on a durable dir to survive executor loss.
+    * (#changed) per round — no data collects. Lineage is truncated every
+    * round (GraphFrames does the same): by default with an eager
+    * localCheckpoint (executor-memory, zero I/O); `durable = true` swaps
+    * in reliable `checkpoint()` files under the session's checkpoint dir,
+    * so losing an executor replays the round from storage instead of
+    * recomputing the whole iteration history — the right trade at
+    * petabyte scale where a 20-round replay is unaffordable. Durable mode
+    * fails fast if no checkpoint dir is configured.
     *
     * `vertices` contributes isolated vertices (their component is
     * themselves); pass e.g. the full doc-id column so singletons appear
@@ -453,13 +458,20 @@ object DedupOps {
     * must fail loudly, not corrupt the keep/split decision.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
-                          pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+                          pairs: DataFrame, maxIter: Int = 20,
+                          durable: Boolean = false): DataFrame = {
+    if (durable &&
+        vertices.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "connectedComponents(durable = true) needs " +
+          "spark.sparkContext.setCheckpointDir(<reliable storage path>)")
+    def cut(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val edges = cut(pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col(idCol).as("id"))
-      .distinct().withColumn("comp", col("id")).localCheckpoint(true)
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(vertices.select(col(idCol).as("id"))
+      .distinct().withColumn("comp", col("id")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxIter) {
@@ -467,11 +479,10 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = cut(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp") < col("comp")).as("ch"))
-        .localCheckpoint(true)
+          (col("ncomp") < col("comp")).as("ch")))
       changed = next.filter(col("ch")).count()
       labels = next.select(col("id"), col("comp"))
       round += 1

@@ -126,6 +126,27 @@ class DedupOpsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents durable mode checkpoints to reliable storage") {
+    import spark.implicits._
+    val vertices = (1L to 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    // durable without a checkpoint dir fails fast, not mid-iteration
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      intercept[IllegalStateException](
+        DedupOps.connectedComponents(vertices, "doc_id", pairs, durable = true))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    sc.setCheckpointDir(dir.toString)
+    val comp = DedupOps
+      .connectedComponents(vertices, "doc_id", pairs, durable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // reliable checkpoint files actually landed under the dir
+    val wrote = java.nio.file.Files.walk(dir)
+      .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+    assert(wrote)
+  }
+
   test("clusterDedup keeps exactly one canonical doc per cluster") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))

@@ -291,6 +291,56 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("examples/parity: the full dialect-shim surface in one pipeline") {
+    graft.functions.GraftExtensions.register(spark) // len() etc., as the CLI does
+    val base = PipelineConfig.load(
+      java.nio.file.Paths.get("examples/parity/config.yaml"))
+    // isolate this run's persisted views from the example's default db_path
+    val config = base.copy(dbPath =
+      Some(Files.createTempDirectory("graft-parity-db").toString))
+    // fresh export target so the COPY below provably ran
+    val export = java.nio.file.Paths.get("/tmp/graft-parity-export")
+    if (Files.exists(export)) {
+      val s = Files.walk(export)
+      try s.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
+      finally s.close()
+    }
+
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    import org.apache.spark.sql.functions.col
+
+    // DISTINCT ON: exactly one row per customer
+    assert(spark.table("latest_order").groupBy("o_custkey").count()
+      .filter(col("count") > 1).count() == 0)
+    // QUALIFY: at most two orders per customer survive the rank filter
+    val top = spark.table("top_orders")
+    assert(top.groupBy("o_custkey").count().filter(col("count") > 2).count() == 0)
+    // the {% for %} macro emitted both threshold flags
+    assert(top.columns.toSeq.endsWith(Seq("ge_100000", "ge_200000")))
+    assert(top.filter(col("ge_200000") === 1 && col("ge_100000") === 0).count() == 0)
+    // ASOF LEFT: matches are strictly prior orders, unmatched rows survive
+    val gap = spark.table("prior_order_gap")
+    assert(gap.filter(col("prev_date") >= col("o_orderdate")).count() == 0)
+    assert(gap.count() == spark.table("src_orders").count())
+    // USING SAMPLE: the row-count form is exact
+    assert(spark.table("order_sample").count() == 50)
+    // list comprehension produced a real array column with no empties
+    val words = spark.table("doc_words")
+    assert(words.schema("words").dataType.typeName == "array")
+    assert(words.filter(org.apache.spark.sql.functions
+      .array_contains(col("words"), "")).count() == 0)
+    // COPY … TO side statement exported the same aggregate the model holds
+    val exported = spark.read.option("header", "true")
+      .csv("/tmp/graft-parity-export/status_counts.csv")
+    assert(exported.count() == spark.table("status_report").count())
+
+    // PIVOT statement script via run-file against the session's views
+    val st = graft.cli.Main.runFilesOn(spark,
+      List("examples/parity/scripts/pivot_report.sql"))
+    assert(st.head._2.startsWith("OK"), st.head._2)
+  }
+
   test("model using a {% for %}/{% if %} macro renders and runs") {
     val (_, config) = fixture(
       models = Map(
