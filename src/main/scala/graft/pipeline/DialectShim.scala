@@ -468,6 +468,7 @@ object DialectShim {
       onCols: Seq[String], nameCol: String, valueCol: String)
 
   private val pivotHead = """(?is)^\s*(UN)?PIVOT\s""".r
+  private val fromFirstRe = """(?is)^\s*FROM\s""".r
 
   private def unsupportedPivot(detail: String): Nothing =
     throw new IllegalArgumentException(
@@ -779,9 +780,19 @@ object DialectShim {
         inlineMacros(sql, registryOf(s))
       case None => sql
     }
+    // DuckDB FROM-first shorthand: `FROM t [WHERE …]` ≡ `SELECT * FROM t
+    // [WHERE …]`. Only when no top-level SELECT follows (the reordered
+    // `FROM t SELECT …` form stays verbatim and fails with the original
+    // text visible). Note producesRecords deliberately does NOT treat
+    // FROM-statements as record-producing — reference prefix-rule parity.
+    val afterFromFirst =
+      if (fromFirstRe.findFirstIn(afterMacros).isDefined &&
+          topLevelKeyword(afterMacros, "SELECT", 0) < 0)
+        "SELECT * " + afterMacros.trim
+      else afterMacros
     // statement-level PIVOT/UNPIVOT first: the produced SELECT (and its
     // subquery source) then flows through every later rewrite
-    val afterPivot = rewritePivotStatement(afterMacros, spark)
+    val afterPivot = rewritePivotStatement(afterFromFirst, spark)
     val afterAsof = rewriteAsof(afterPivot)
     val afterQualify = rewriteQualify(afterAsof)
     val afterDistinctOn = rewriteDistinctOn(afterQualify)

@@ -158,20 +158,21 @@ final class PipelineSession(
   }
 
   private implicit class ParSeq[A](s: Seq[A]) {
-    // minimal .par shim: scala-parallel-collections isn't on the classpath;
-    // use plain threads per wave (waves are small, driver-side only)
+    // minimal .par shim: scala-parallel-collections isn't on the classpath.
+    // A bounded shared pool, not a thread per wave member: a 500-model
+    // pipeline with a wide wave must queue work, not spawn 500 driver
+    // threads. Submission threads only block on Spark job completion, so
+    // a modest pool keeps the scheduler saturated.
     def par: ParOps[A] = new ParOps(s)
   }
+  private def wavePool = PipelineSession.wavePool
   private class ParOps[A](s: Seq[A]) {
     def map[B](f: A => B): Seq[B] = {
       if (s.lengthCompare(1) <= 0) s.map(f)
-      else {
-        val futs = s.map { a =>
-          val t = new java.util.concurrent.FutureTask(() => f(a))
-          val th = new Thread(t); th.setDaemon(true); th.start(); t
-        }
-        futs.map(_.get())
-      }
+      else s.map { a =>
+        val task: java.util.concurrent.Callable[B] = () => f(a)
+        wavePool.submit(task)
+      }.map(_.get())
     }
   }
 
@@ -289,4 +290,14 @@ final class PipelineSession(
     parts += s"${rem}ms"
     parts.result().mkString(" ")
   }
+}
+
+object PipelineSession {
+  // shared across sessions (a long-lived driver may build many): daemon
+  // threads, so JVM exit is never held up
+  private lazy val wavePool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(4, Runtime.getRuntime.availableProcessors / 2),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-wave"); t.setDaemon(true); t
+    })
 }

@@ -42,14 +42,15 @@ class DialectShimSpec extends AnyFunSuite {
       "SELECT * FROM read_parquet(['/d/a.parquet', '/d/b.parquet'])") ==
       "SELECT * FROM (SELECT * FROM parquet.`/d/a.parquet` " +
         "UNION ALL SELECT * FROM parquet.`/d/b.parquet`)")
-    // one-element list degrades to the plain table form
+    // one-element list degrades to the plain table form (FROM-first
+    // shorthand also kicks in: a bare FROM is a complete DuckDB query)
     assert(DialectShim.rewrite("FROM read_csv(['only.csv'])") ==
-      "FROM csv.`only.csv`")
+      "SELECT * FROM csv.`only.csv`")
   }
 
   test("glob paths pass through into the file-format table") {
     assert(DialectShim.rewrite("FROM read_parquet('/d/part-*.parquet')") ==
-      "FROM parquet.`/d/part-*.parquet`")
+      "SELECT * FROM parquet.`/d/part-*.parquet`")
   }
 
   test("read_csv kwargs register a temp view with mapped options") {
@@ -640,6 +641,24 @@ class DialectShimSpec extends AnyFunSuite {
     val ss = "SELECT [substring(x FROM 1 FOR 2) for x in xs] AS p FROM t"
     assert(DialectShim.rewrite(ss) ==
       "SELECT transform(xs, x -> substring(x FROM 1 FOR 2)) AS p FROM t")
+  }
+
+  test("FROM-first shorthand becomes SELECT * and composes with shims") {
+    assert(DialectShim.rewrite("FROM t") == "SELECT * FROM t")
+    assert(DialectShim.rewrite("FROM t WHERE x > 1")
+      == "SELECT * FROM t WHERE x > 1")
+    // composes: shorthand + USING SAMPLE both rewrite
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ff_t AS SELECT * FROM range(20)")
+    assert(spark.sql(DialectShim.rewrite("FROM ff_t USING SAMPLE 5")).count() == 5)
+    // the reordered `FROM t SELECT …` form stays verbatim (fails at
+    // execution with the original text, reference-style)
+    val reordered = "FROM t SELECT a, b"
+    assert(DialectShim.rewrite(reordered) == reordered)
+    // a SELECT whose FROM is merely leading whitespace on line 2 is not
+    // FROM-first
+    val normal = "SELECT a\nFROM t"
+    assert(DialectShim.rewrite(normal) == normal)
   }
 
   test("literal/multiplication guards: shims leave lookalikes alone") {
