@@ -75,8 +75,12 @@ object DepExtractor {
   def modelRefsInModel(rendered: String, modelIds: Set[String]): Set[String] =
     SqlText.splitStatements(rendered).flatMap { st =>
       val shimmed = try DialectShim.rewrite(st) catch { case _: Exception => st }
-      DialectShim.statementRefHints(st) ++ copyQueryRefs(shimmed) ++
-        tableRefs(shimmed)
+      // session-aware-only forms (UNION BY NAME, COLUMNS) survive the
+      // lexical rewrite verbatim; parseNormalize flattens them into
+      // Catalyst-parseable text that keeps their table references
+      val normalized = DialectShim.parseNormalize(shimmed)
+      DialectShim.statementRefHints(st) ++ copyQueryRefs(normalized) ++
+        tableRefs(normalized)
     }.toSet.intersect(modelIds.map(_.toLowerCase))
 
   /** `COPY (<query>) TO …` and `PIVOT (<query>) ON …` can't be parsed by

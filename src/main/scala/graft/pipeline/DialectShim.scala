@@ -74,7 +74,13 @@ object DialectShim {
     // elements, Spark keeps one) and stays unmapped
     "list_value" -> "array",
     "list_append" -> "array_append",
-    "array_length" -> "array_size")
+    "array_length" -> "array_size",
+    // DuckDB's arg_max/arg_min (a.k.a. argmax/argmin) are Spark's
+    // max_by/min_by: value at max/min key, NULL keys ignored, in both
+    // engines. DuckDB's 3-arg top-n overload is NOT equivalent and fails
+    // at analysis (naming max_by — a lexical rename can't see arity).
+    "arg_max" -> "max_by", "argmax" -> "max_by",
+    "arg_min" -> "min_by", "argmin" -> "min_by")
     .map { case (from, to) => (s"(?i)\\b$from\\s*\\(").r -> (to + "(") }
 
   // string_split's separator is a LITERAL; Spark split takes a regex —
@@ -758,6 +764,189 @@ object DialectShim {
         }
     }
 
+  // --- DuckDB UNION [ALL] BY NAME ----------------------------------------
+  // Combines arms by COLUMN NAME instead of position: the result carries
+  // the union of the arms' columns (left arm's columns first, then each
+  // later arm's new ones — DuckDB order), a column missing from an arm
+  // fills with NULL, and the non-ALL form dedups. Spark has unionByName
+  // only in the DataFrame API, so the shim aligns the arms textually:
+  //   SELECT <aligned cols> FROM ( <arm> ) __graft_bn<i>
+  // joined with UNION ALL / UNION. A trailing top-level ORDER BY / LIMIT
+  // on the last arm scopes to the whole union (DuckDB semantics) and is
+  // re-appended outside. Arm columns come from an analysis-only
+  // spark.sql(arm).schema probe, so the rewrite is session-aware and
+  // top-level only; a nested occurrence fails at execution with the
+  // original text visible, and dependency extraction still sees every
+  // arm via [[parseNormalize]].
+
+  private val unionByNameRe = """(?is)\bUNION\s+(ALL\s+)?BY\s+NAME\b""".r
+
+  private def unsupportedUnionByName(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      "UNION BY NAME: unsupported form (" + detail + "); supported: " +
+        "`<query> UNION [ALL] BY NAME <query> [ORDER BY …] [LIMIT …]` " +
+        "with a consistent ALL across all top-level arms")
+
+  private def rewriteUnionByName(sql: String,
+      spark: Option[SparkSession]): Option[String] = {
+    val seps = unionByNameRe.findAllMatchIn(sql)
+      .filter(m => depthAt(sql, m.start).contains(0)).toSeq
+    if (seps.isEmpty) return None
+    val s = spark.getOrElse(return None) // lexical pass: leave verbatim
+    // a positional UNION mixed into the same chain would need per-operator
+    // alignment semantics — refuse loudly rather than misalign columns
+    if (keywordPositions(sql, "UNION").count(_._2 == 0) != seps.size)
+      unsupportedUnionByName("mix of BY NAME and positional UNION")
+    if (seps.map(_.group(1) != null).distinct.size > 1)
+      unsupportedUnionByName("mixed UNION ALL BY NAME and UNION BY NAME")
+    val all = seps.head.group(1) != null
+    val bounds = (Seq(0) ++ seps.flatMap(m => Seq(m.start, m.end)) :+ sql.length)
+    val arms = bounds.grouped(2).collect { case Seq(a, b) =>
+      sql.substring(a, b)
+    }.toSeq
+    // the probe executes nothing for a query, but WOULD execute DDL — so
+    // every arm must be a plain query (models/run-file statements are;
+    // materialize through a model instead of CTAS around a by-name union)
+    val headOk = """(?is)^\s*(SELECT|WITH|FROM|VALUES|PIVOT|\()""".r
+    arms.foreach(a => if (headOk.findFirstIn(a).isEmpty)
+      unsupportedUnionByName("arms must be plain queries"))
+    // a trailing top-level ORDER BY / LIMIT / OFFSET on the LAST arm
+    // scopes to the whole union
+    val lastArm = arms.last
+    val tailPos = Seq("ORDER", "LIMIT", "OFFSET")
+      .flatMap(k => keywordPositions(lastArm, k).collect { case (p, 0) => p })
+      .minOption
+    val coreArms =
+      arms.init :+ tailPos.map(lastArm.substring(0, _)).getOrElse(lastArm)
+    val tail = tailPos.map(p => " " + lastArm.substring(p).trim).getOrElse("")
+    // each arm re-enters the full shim (read_*, macros, FROM-first, …);
+    // the probe then analyzes without running a job
+    val rewritten = coreArms.map(a => rewriteImpl(a.trim, spark))
+    val schemas = rewritten.map(a => s.sql(a).schema.fieldNames.toSeq)
+    val unionCols = schemas.foldLeft(Vector.empty[String]) { (acc, cols) =>
+      acc ++ cols.filterNot(c => acc.exists(_.equalsIgnoreCase(c)))
+    }
+    val armSelects = rewritten.zip(schemas).zipWithIndex.map {
+      case ((arm, cols), i) =>
+        val items = unionCols.map { c =>
+          cols.find(_.equalsIgnoreCase(c)) match {
+            case Some(own) if own == c => s"`$own`"
+            case Some(own)             => s"`$own` AS `$c`"
+            case None                  => s"NULL AS `$c`"
+          }
+        }
+        s"SELECT ${items.mkString(", ")} FROM ( $arm ) __graft_bn$i"
+    }
+    Some(armSelects.mkString(if (all) " UNION ALL " else " UNION ") + tail)
+  }
+
+  // --- DuckDB COLUMNS() star expression ----------------------------------
+  // `COLUMNS('re')` expands to every source column whose name matches the
+  // (unanchored) regex; `COLUMNS(*)` to all of them, with an optional
+  // `* EXCLUDE (…)`. A wrapping call applies per column and — DuckDB
+  // behavior — the result KEEPS the source column name:
+  //   SELECT min(COLUMNS('_num$')) FROM t  →  SELECT min(k_num) AS k_num, …
+  // Supported where DuckDB pipelines use it: items of the MAIN select list
+  // of a plain query (optional WITH prefix), bare or wrapped in a single
+  // function call. The source columns come from an analysis-only probe of
+  // the statement with its select list replaced by `*`, so the rewrite is
+  // session-aware; other placements are left verbatim and fail at
+  // execution with the original text visible.
+
+  private val columnsCallRe = """(?i)\bCOLUMNS\s*\(""".r
+
+  private def unsupportedColumns(detail: String): Nothing =
+    throw new IllegalArgumentException(
+      "COLUMNS(): unsupported form (" + detail + "); supported: select-list " +
+        "items `COLUMNS('regex')`, `COLUMNS(*)`, `COLUMNS(* EXCLUDE (…))`, " +
+        "optionally wrapped in a single function call `fn(COLUMNS(…))`")
+
+  private def rewriteColumnsExpr(sql: String,
+      spark: Option[SparkSession]): String = {
+    if (columnsCallRe.findAllMatchIn(sql)
+        .forall(m => depthAt(sql, m.start).isEmpty)) return sql
+    val s = spark.getOrElse(return sql) // lexical pass: leave verbatim
+    val selectPos = topLevelKeyword(sql, "SELECT", 0)
+    if (selectPos < 0) return sql
+    // the probe must be a pure query: only an empty or WITH prefix before
+    // the main SELECT (never DDL — s.sql would execute it)
+    val prefix = sql.substring(0, selectPos)
+    if (prefix.trim.nonEmpty &&
+        """(?is)^\s*WITH\b""".r.findFirstIn(prefix).isEmpty) return sql
+    val fromPos = keywordPositions(sql, "FROM")
+      .collectFirst { case (p, 0) if p > selectPos => p }
+      .getOrElse(return sql)
+    val selList = sql.substring(selectPos + "SELECT".length, fromPos)
+    if (columnsCallRe.findAllMatchIn(selList)
+        .forall(m => depthAt(selList, m.start).isEmpty)) return sql
+    val tailEnd = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+      "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT")
+      .flatMap(k => keywordPositions(sql, k).collect {
+        case (p, 0) if p > fromPos => p
+      }).minOption.getOrElse(sql.length)
+    val probe = prefix + "SELECT * " + sql.substring(fromPos, tailEnd)
+    val allCols = s.sql(rewriteImpl(probe, spark)).schema.fieldNames.toSeq
+    val bareRe = """(?is)^\s*COLUMNS\s*\((.*)\)\s*$""".r
+    val wrappedRe =
+      """(?is)^\s*([A-Za-z_]\w*)\s*\(\s*COLUMNS\s*\((.*)\)\s*\)\s*$""".r
+    def expand(spec: String): Seq[String] = {
+      val matched = spec.trim match {
+        case "*" => allCols
+        case st if st.startsWith("*") =>
+          val exclParen = """(?is)^\*\s*EXCLUDE\s*\((.*)\)\s*$""".r
+          val exclBare = """(?is)^\*\s*EXCLUDE\s+([A-Za-z_]\w*)\s*$""".r
+          val names = st match {
+            case exclParen(list) => splitTopLevel(list).map(_.trim)
+            case exclBare(n)     => Seq(n)
+            case other => unsupportedColumns(s"argument `$other`")
+          }
+          val lower = names.map(_.toLowerCase).toSet
+          allCols.filterNot(c => lower(c.toLowerCase))
+        case lit if lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'") =>
+          val re = java.util.regex.Pattern.compile(lit.substring(1, lit.length - 1))
+          allCols.filter(c => re.matcher(c).find())
+        case other => unsupportedColumns(s"argument `$other`")
+      }
+      if (matched.isEmpty) unsupportedColumns("no columns matched")
+      matched
+    }
+    val newItems = splitTopLevel(selList).map { item =>
+      if (columnsCallRe.findFirstMatchIn(item)
+          .flatMap(m => depthAt(item, m.start)).isEmpty) item
+      else item match {
+        case bareRe(spec) => expand(spec).map(c => s"`$c`").mkString(", ")
+        case wrappedRe(fn, spec) =>
+          expand(spec).map(c => s"$fn(`$c`) AS `$c`").mkString(", ")
+        case other => unsupportedColumns(s"select item `${other.trim}`")
+      }
+    }
+    sql.substring(0, selectPos) + "SELECT " + newItems.mkString(", ") + " " +
+      sql.substring(fromPos)
+  }
+
+  /** Parse-only normalization for dependency extraction: forms the
+    * session-aware shim resolves with schema probes are flattened into
+    * Catalyst-parseable equivalents that preserve TABLE REFERENCES, not
+    * semantics — `UNION [ALL] BY NAME` → `UNION ALL`, `COLUMNS(…)` → `*`.
+    */
+  def parseNormalize(st: String): String = {
+    val noByName = unionByNameRe.replaceAllIn(st, "UNION ALL")
+    var cur = noByName
+    var guard = 0
+    var m = columnsCallRe.findFirstMatchIn(cur)
+    while (m.isDefined && guard < 20) {
+      val open = m.get.end - 1
+      cur = parseArgs(cur, open) match {
+        case Some((_, after)) =>
+          cur.substring(0, m.get.start) + "*" + cur.substring(after)
+        case None => return cur // unbalanced; let the parse fail as-is
+      }
+      guard += 1
+      m = columnsCallRe.findFirstMatchIn(cur)
+    }
+    cur
+  }
+
   /** Lexical-only rewrite (no session): count(), single-literal and
     * list-literal read_* forms.
     */
@@ -790,9 +979,17 @@ object DialectShim {
           topLevelKeyword(afterMacros, "SELECT", 0) < 0)
         "SELECT * " + afterMacros.trim
       else afterMacros
+    // UNION BY NAME next: each arm re-enters the full shim recursively, so
+    // the combined text only carries already-rewritten arms plus a plain
+    // ORDER/LIMIT tail through the remaining (keyword-anchored, no-op-on-
+    // rewritten-text) passes. COLUMNS() expansion follows — its probe
+    // strips the select list, so it cannot recurse into itself.
+    val afterUnionByName = rewriteUnionByName(afterFromFirst, spark)
+      .getOrElse(afterFromFirst)
+    val afterColumns = rewriteColumnsExpr(afterUnionByName, spark)
     // statement-level PIVOT/UNPIVOT first: the produced SELECT (and its
     // subquery source) then flows through every later rewrite
-    val afterPivot = rewritePivotStatement(afterFromFirst, spark)
+    val afterPivot = rewritePivotStatement(afterColumns, spark)
     val afterAsof = rewriteAsof(afterPivot)
     val afterQualify = rewriteQualify(afterAsof)
     val afterDistinctOn = rewriteDistinctOn(afterQualify)

@@ -542,6 +542,36 @@ object ExtensionQueries {
            |GROUP BY l_linestatus""".stripMargin
       s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
         .orderBy(col("l_linestatus"))
+    }),
+
+    // -- DuckDB UNION ALL BY NAME through the dialect shim -----------------
+    // Name-aligned union of two differently-shaped tables: the shim probes
+    // each arm's schema, orders columns left-arm-first (DuckDB order), and
+    // fills the arms' missing columns with NULL. DuckDB runs the SAME
+    // statement natively as the oracle.
+    "q77_union_by_name" -> ((s, dir) => {
+      val stmt =
+        s"""SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+           |FROM read_parquet('$dir/customer.parquet') WHERE c_acctbal > 9000
+           |UNION ALL BY NAME
+           |SELECT s_suppkey AS id, s_acctbal AS bal, s_name AS name,
+           |       s_nationkey AS nation
+           |FROM read_parquet('$dir/supplier.parquet') WHERE s_acctbal > 9000
+           |ORDER BY id, name""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+    }),
+
+    // -- DuckDB COLUMNS() star expression through the dialect shim ---------
+    // min/max over a regex-selected column family: the shim expands the
+    // COLUMNS set from the probed source schema and — DuckDB behavior —
+    // each wrapped result keeps its source column name. Sums stay off:
+    // min/max of doubles are exact in both engines.
+    "q78_columns_expr" -> ((s, dir) => {
+      val stmt =
+        s"""SELECT l_returnflag, min(COLUMNS('^l_(quantity|extendedprice|discount)$$'))
+           |FROM read_parquet('$dir/lineitem.parquet')
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
     })
   )
 
@@ -1081,6 +1111,20 @@ object ExtensionQueries {
       """SELECT * FROM (PIVOT lineitem ON l_returnflag
         |  USING sum(l_quantity) AS qty GROUP BY l_linestatus)
         |ORDER BY l_linestatus""".stripMargin,
+    // DuckDB runs UNION BY NAME / COLUMNS natively — the oracle IS the
+    // unshimmed statement the Spark side rewrites
+    "q77_union_by_name" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        |FROM customer WHERE c_acctbal > 9000
+        |UNION ALL BY NAME
+        |SELECT s_suppkey AS id, s_acctbal AS bal, s_name AS name,
+        |       s_nationkey AS nation
+        |FROM supplier WHERE s_acctbal > 9000
+        |ORDER BY id, name""".stripMargin,
+    "q78_columns_expr" ->
+      """SELECT l_returnflag, min(COLUMNS('^l_(quantity|extendedprice|discount)$'))
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks

@@ -661,6 +661,112 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(normal) == normal)
   }
 
+  test("arg_max family renames to max_by/min_by") {
+    assert(DialectShim.rewrite("SELECT arg_max(name, bal) FROM t") ==
+      "SELECT max_by(name, bal) FROM t")
+    assert(DialectShim.rewrite("SELECT ARGMAX(a, b), arg_min(a, b), argmin(a, b) FROM t") ==
+      "SELECT max_by(a, b), min_by(a, b), min_by(a, b) FROM t")
+    // inside a literal: untouched
+    val lit = "SELECT 'arg_max(a, b)' AS doc FROM t"
+    assert(DialectShim.rewrite(lit) == lit)
+  }
+
+  test("UNION ALL BY NAME aligns columns, fills NULL, keeps left order") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW bn_a AS SELECT 1 AS x, 2 AS y")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW bn_b AS SELECT 30 AS y, 40 AS z")
+    val df = spark.sql(DialectShim.rewrite(
+      "SELECT * FROM bn_a UNION ALL BY NAME SELECT * FROM bn_b", spark))
+    // DuckDB order: left arm's columns first, then the right arm's new ones
+    assert(df.columns.toSeq == Seq("x", "y", "z"))
+    val rows = df.orderBy("y").collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getInt(1) == 2 && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(0) && rows(1).getInt(1) == 30 && rows(1).getInt(2) == 40)
+    // non-ALL form dedups
+    val d = spark.sql(DialectShim.rewrite(
+      "SELECT 1 AS x, 2 AS y UNION BY NAME SELECT 2 AS y, 1 AS x", spark))
+    assert(d.count() == 1)
+    // trailing ORDER BY scopes to the whole union
+    val o = spark.sql(DialectShim.rewrite(
+      "SELECT 2 AS x UNION ALL BY NAME SELECT 1 AS x ORDER BY x", spark))
+    assert(o.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // composes with FROM-first arms
+    val f = spark.sql(DialectShim.rewrite(
+      "FROM bn_a UNION ALL BY NAME FROM bn_b", spark))
+    assert(f.columns.toSeq == Seq("x", "y", "z") && f.count() == 2)
+    // mixing positional UNION into the chain refuses loudly
+    val mixed = intercept[IllegalArgumentException](DialectShim.rewrite(
+      "SELECT 1 AS x UNION ALL SELECT 2 UNION ALL BY NAME SELECT 3 AS x", spark))
+    assert(mixed.getMessage.contains("UNION BY NAME"))
+    // lexical pass (no session): left verbatim
+    val v = "SELECT 1 AS x UNION ALL BY NAME SELECT 2 AS y"
+    assert(DialectShim.rewrite(v) == v)
+  }
+
+  test("COLUMNS() expands against the source schema") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW co_t AS " +
+      "SELECT 1 AS k_num, 2.5 AS v_num, 'a' AS name")
+    // bare regex form: unanchored match, schema order
+    val bare = spark.sql(DialectShim.rewrite(
+      "SELECT COLUMNS('num') FROM co_t", spark))
+    assert(bare.columns.toSeq == Seq("k_num", "v_num"))
+    // wrapped call applies per column and KEEPS the source column name
+    val wrapped = spark.sql(DialectShim.rewrite(
+      "SELECT min(COLUMNS(*)) FROM co_t", spark))
+    assert(wrapped.columns.toSeq == Seq("k_num", "v_num", "name"))
+    // * EXCLUDE inside COLUMNS
+    val excl = spark.sql(DialectShim.rewrite(
+      "SELECT COLUMNS(* EXCLUDE (name)) FROM co_t", spark))
+    assert(excl.columns.toSeq == Seq("k_num", "v_num"))
+    // mixed with plain items + GROUP BY
+    val grouped = spark.sql(DialectShim.rewrite(
+      "SELECT name, max(COLUMNS('num')) FROM co_t GROUP BY name", spark))
+    assert(grouped.columns.toSeq == Seq("name", "k_num", "v_num"))
+    // no match: named error
+    val none = intercept[IllegalArgumentException](DialectShim.rewrite(
+      "SELECT COLUMNS('zzz') FROM co_t", spark))
+    assert(none.getMessage.contains("COLUMNS"))
+    // lexical pass: left verbatim
+    val v = "SELECT COLUMNS('num') FROM co_t"
+    assert(DialectShim.rewrite(v) == v)
+  }
+
+  test("parseNormalize flattens session-aware forms for dep extraction") {
+    assert(DialectShim.parseNormalize(
+      "SELECT * FROM a UNION ALL BY NAME SELECT * FROM b")
+      == "SELECT * FROM a UNION ALL SELECT * FROM b")
+    assert(DialectShim.parseNormalize(
+      "SELECT min(COLUMNS('x|y')) FROM m1")
+      == "SELECT min(*) FROM m1")
+    // flattened text parses: DepExtractor sees both arms' refs
+    assert(DepExtractor.modelRefsInModel(
+      "SELECT COLUMNS('a') FROM m1 UNION ALL BY NAME SELECT * FROM m2",
+      Set("m1", "m2")) == Set("m1", "m2"))
+  }
+
+  test("DuckDB idioms Spark 4 accepts natively pass through verbatim") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW nat_t AS " +
+      "SELECT id AS k, id * 2 AS v, CAST(id AS STRING) AS s FROM range(10)")
+    // pin the pass-through contract: rewrite() must not touch these, and
+    // Spark must execute them — GROUP BY ALL / ORDER BY ALL / :: casts /
+    // ILIKE / try_cast / string_agg / listagg / VALUES
+    val natives = Seq(
+      "SELECT k % 2 AS g, sum(v) AS sv FROM nat_t GROUP BY ALL",
+      "SELECT k, v FROM nat_t ORDER BY ALL",
+      "SELECT '42'::INT + k AS c FROM nat_t",
+      "SELECT s FROM nat_t WHERE s ILIKE '%1%'",
+      "SELECT try_cast(s AS INT) AS i FROM nat_t",
+      "SELECT string_agg(s, ',') AS agg FROM nat_t",
+      "SELECT listagg(s, ',') AS agg FROM nat_t",
+      "VALUES (1, 2), (3, 4)")
+    natives.foreach { q =>
+      assert(DialectShim.rewrite(q) == q, s"shim must pass through: $q")
+      assert(spark.sql(q).collect().nonEmpty, s"Spark must execute: $q")
+    }
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"
