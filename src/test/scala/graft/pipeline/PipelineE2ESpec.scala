@@ -334,6 +334,17 @@ class PipelineE2ESpec extends AnyFunSuite {
     val exported = spark.read.option("header", "true")
       .csv("/tmp/graft-parity-export/status_counts.csv")
     assert(exported.count() == spark.table("status_report").count())
+    // UNION ALL BY NAME: left-arm column order, NULL fill per arm
+    val ledger = spark.table("status_ledger")
+    assert(ledger.columns.toSeq == Seq("bucket", "n", "top_entity", "max_len"))
+    assert(ledger.filter(col("top_entity").isNotNull && col("max_len").isNotNull)
+      .count() == 0)
+    assert(ledger.count() ==
+      spark.table("src_orders").select("o_orderstatus").distinct.count() +
+        spark.table("src_docs").select("source").distinct.count())
+    // COLUMNS('re'): expanded columns keep their source names
+    assert(spark.table("order_extremes").columns.toSeq ==
+      Seq("o_orderstatus", "o_custkey", "o_totalprice"))
 
     // PIVOT statement script via run-file against the session's views
     val st = graft.cli.Main.runFilesOn(spark,
