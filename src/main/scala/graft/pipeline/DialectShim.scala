@@ -75,6 +75,9 @@ object DialectShim {
     "list_value" -> "array",
     "list_append" -> "array_append",
     "array_length" -> "array_size",
+    // DuckDB list_sort defaults to ASC NULLS LAST — exactly Spark's
+    // array_sort (NOT sort_array, whose default puts nulls first)
+    "list_sort" -> "array_sort",
     // DuckDB's arg_max/arg_min (a.k.a. argmax/argmin) are Spark's
     // max_by/min_by: value at max/min key, NULL keys ignored, in both
     // engines. DuckDB's 3-arg top-n overload is NOT equivalent and fails
@@ -924,6 +927,204 @@ object DialectShim {
       sql.substring(fromPos)
   }
 
+  // --- DuckDB table functions in FROM position ---------------------------
+  // `FROM generate_series(a, b[, s])` / `FROM range(…)` produce a rowset;
+  // Spark's equivalent is `explode(sequence(…))` in a subquery. Inclusivity
+  // matches exactly for generate_series; range excludes its end, so the
+  // end adjusts by ∓1 per step sign. Guards keep silent divergence out:
+  // Spark's sequence(a, b) AUTO-DESCENDS when b < a where DuckDB errors,
+  // so the no-step forms map only for literal ascending bounds; explicit
+  // literal steps map for any bounds (both engines error on a mismatched
+  // direction — same contract, range's exactly-empty boundary errors here
+  // instead of returning 0 rows). Everything else is left verbatim: an
+  // unmapped `FROM range(n)` still runs on Spark's native range table
+  // function, with its column named `id` instead of `range`.
+  //
+  // `unnest` maps three ways:
+  //   - `<rel>, unnest(x) AS z(u)` (correlated lateral, the DuckDB token-
+  //     explosion idiom) → `<rel> LATERAL VIEW explode(x) z AS u`
+  //   - `FROM unnest([…]) AS z(u)` (uncorrelated) →
+  //     `FROM (SELECT explode(array(…)) AS u) AS z`
+  //   - select-list `unnest(x)` → `explode(x)`, aliased to DuckDB's
+  //     derived name `unnest(x)` when the user gave no alias
+  // Un-aliased FROM-position unnest keeps DuckDB's expression-derived
+  // column name (un-referenceable in practice) — left verbatim. A select
+  // list with SEVERAL unnests zips them in DuckDB but exceeds Spark's
+  // one-generator rule, so multiples are left verbatim to fail with the
+  // original name visible.
+
+  private val tableFnRe = """(?i)\b(generate_series|range|unnest)\s*\(""".r
+  private val intLitRe = """^-?\d+$""".r
+  private val fnClauseKeywords = Seq("WHERE", "GROUP", "HAVING", "QUALIFY",
+    "WINDOW", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+    "SELECT", "ON", "USING")
+
+  /** Is the match at `pos` inside a FROM clause (its innermost span has a
+    * same-depth FROM before it with no intervening clause keyword)?
+    */
+  private def inFromClause(sql: String, pos: Int): Boolean = {
+    val (lo, p) =
+      if (depthAt(sql, pos).contains(0)) (0, pos)
+      else { val (open, _) = innermostSpan(sql, pos); (open + 1, pos - open - 1) }
+    val span = sql.substring(lo)
+    val fromPos = keywordPositions(span, "FROM")
+      .collect { case (q, 0) if q < p => q }.maxOption.getOrElse(return false)
+    !fnClauseKeywords.exists(k => keywordPositions(span, k)
+      .exists { case (q, d) => d == 0 && q > fromPos && q < p })
+  }
+
+  /** A DuckDB bracket list literal becomes array(…); anything else passes
+    * through (comprehensions were already rewritten by this point).
+    */
+  private def bracketToArray(arg: String): String = {
+    val t = arg.trim
+    if (t.startsWith("[") && t.endsWith("]"))
+      "array(" + t.substring(1, t.length - 1) + ")"
+    else t
+  }
+
+  private val fnAliasRe =
+    """^\s*AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+
+  private def rewriteTableFns(sql: String): String = {
+    var cur = sql
+    var search = 0
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val mOpt = tableFnRe.findAllMatchIn(cur)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+      val m = mOpt.getOrElse(return cur)
+      val fn = m.group(1).toLowerCase
+      val open = m.end - 1
+      parseArgs(cur, open) match {
+        case None => search = m.end // unbalanced; leave for execution
+        case Some((args, after)) =>
+          val repl: Option[(Int, Int, String)] = // (start, end, text)
+            if (inFromClause(cur, m.start)) fn match {
+              case "generate_series" => args match {
+                case Seq(a, b) if intLitRe.findFirstIn(a.trim).isDefined &&
+                    intLitRe.findFirstIn(b.trim).isDefined &&
+                    a.trim.toLong <= b.trim.toLong =>
+                  Some((m.start, after,
+                    s"(SELECT explode(sequence(${a.trim}, ${b.trim})) AS generate_series)"))
+                case Seq(a, b, s) if intLitRe.findFirstIn(s.trim).isDefined &&
+                    s.trim.toLong != 0 =>
+                  Some((m.start, after,
+                    s"(SELECT explode(sequence($a, $b, ${s.trim})) AS generate_series)"))
+                case _ => None
+              }
+              case "range" => args match {
+                case Seq(n) if intLitRe.findFirstIn(n.trim).isDefined &&
+                    n.trim.toLong > 0 =>
+                  Some((m.start, after,
+                    s"(SELECT explode(sequence(0, ${n.trim.toLong - 1})) AS range)"))
+                case Seq(a, b) if intLitRe.findFirstIn(a.trim).isDefined &&
+                    intLitRe.findFirstIn(b.trim).isDefined &&
+                    a.trim.toLong < b.trim.toLong =>
+                  Some((m.start, after,
+                    s"(SELECT explode(sequence(${a.trim}, ${b.trim.toLong - 1})) AS range)"))
+                case Seq(a, b, s) if intLitRe.findFirstIn(s.trim).isDefined &&
+                    s.trim.toLong != 0 =>
+                  val endAdj = if (s.trim.toLong > 0) s"($b) - 1" else s"($b) + 1"
+                  Some((m.start, after,
+                    s"(SELECT explode(sequence($a, $endAdj, ${s.trim})) AS range)"))
+                case _ => None
+              }
+              case _ => // unnest: one argument, but a bracket list literal
+                // contains commas parseArgs would split on — take raw text
+                if (args.isEmpty) None
+                else {
+                  val raw = cur.substring(open + 1, after - 1)
+                  val aliasM = fnAliasRe.findFirstMatchIn(cur.substring(after))
+                  aliasM.flatMap { am =>
+                    val (z, u) = (am.group(1), am.group(2))
+                    val aliasEnd = after + am.end
+                    val arg = bracketToArray(raw)
+                    // comma before the call → correlated lateral; FROM
+                    // directly before → uncorrelated subquery
+                    var i = m.start - 1
+                    while (i >= 0 && cur.charAt(i).isWhitespace) i -= 1
+                    if (i >= 0 && cur.charAt(i) == ',')
+                      Some((i, aliasEnd, s" LATERAL VIEW explode($arg) $z AS $u"))
+                    else if (i >= 3 && cur.regionMatches(true, i - 3, "FROM", 0, 4) &&
+                        (i == 3 || !Character.isJavaIdentifierPart(cur.charAt(i - 4))))
+                      Some((m.start, aliasEnd,
+                        s"(SELECT explode($arg) AS $u) AS $z"))
+                    else None
+                  }
+                }
+            } else if (fn == "unnest") {
+              // select-list position: single unnest only (DuckDB zips
+              // multiples; Spark allows one generator — leave those)
+              val (lo, hi) =
+                if (depthAt(cur, m.start).contains(0)) (0, cur.length)
+                else { val (o, c) = innermostSpan(cur, m.start); (o + 1, c) }
+              val span = cur.substring(lo, hi)
+              val nUnnest = """(?i)\bunnest\s*\(""".r.findAllMatchIn(span)
+                .count(mm => !inFromClause(span, mm.start) &&
+                  depthAt(span, mm.start).isDefined)
+              if (nUnnest > 1 || args.isEmpty) None
+              else {
+                val raw = cur.substring(open + 1, after - 1)
+                val arg = bracketToArray(raw)
+                val rest = cur.substring(after)
+                // explicit AS / implicit identifier alias → keep the user's
+                // name; otherwise derive DuckDB's `unnest(<arg>)` name
+                val aliasFollows = """^\s*AS\b""".r.findFirstIn(rest).isDefined ||
+                  """^\s*([A-Za-z_]\w*)""".r.findFirstMatchIn(rest)
+                    .exists(am => !fnClauseKeywords.contains(am.group(1).toUpperCase) &&
+                      !Seq("FROM", "AS").contains(am.group(1).toUpperCase))
+                val aliased =
+                  if (aliasFollows) s"explode($arg)"
+                  else s"explode($arg) AS `unnest(${raw.trim})`"
+                Some((m.start, after, aliased))
+              }
+            } else None
+          repl match {
+            case Some((a, b, text)) =>
+              cur = cur.substring(0, a) + text + cur.substring(b)
+              search = a + text.length
+            case None => search = m.end
+          }
+      }
+    }
+    cur
+  }
+
+  // --- single-arg list-function templates --------------------------------
+  // Not pure renames (extra argument or a composed expression), verified
+  // against DuckDB semantics:
+  //   list_reverse_sort(x) → sort_array(x, false)   (DESC NULLS LAST both)
+  //   list_unique(x) → count of distinct non-NULL elements
+  // (list_distinct stays unmapped: DuckDB's result order is arbitrary
+  // where Spark's array_distinct preserves first occurrence.)
+  private def rewriteListFnTemplates(sql: String): String = {
+    def one(cur0: String, fnName: String, tmpl: String => String): String = {
+      val re = s"(?i)\\b$fnName\\s*\\(".r
+      var cur = cur0
+      var search = 0
+      var guard = 0
+      while (guard < 50) {
+        guard += 1
+        val m = re.findAllMatchIn(cur)
+          .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+          .getOrElse(return cur)
+        parseArgs(cur, m.end - 1) match {
+          case Some((Seq(arg), after)) =>
+            val text = tmpl(arg.trim)
+            cur = cur.substring(0, m.start) + text + cur.substring(after)
+            search = m.start + text.length
+          case _ => search = m.end
+        }
+      }
+      cur
+    }
+    val a = one(sql, "list_reverse_sort", x => s"sort_array($x, false)")
+    one(a, "list_unique",
+      x => s"size(array_distinct(filter($x, __g -> __g IS NOT NULL)))")
+  }
+
   /** Parse-only normalization for dependency extraction: forms the
     * session-aware shim resolves with schema probes are flattened into
     * Catalyst-parseable equivalents that preserve TABLE REFERENCES, not
@@ -996,7 +1197,12 @@ object DialectShim {
     val afterSample = rewriteUsingSample(afterDistinctOn)
     val afterStarReplace = rewriteStarReplace(afterSample)
     val afterComp = rewriteListComprehension(afterStarReplace)
-    val afterList = readFnList.replaceAllIn(afterComp, m => {
+    // table functions after comprehensions (their bracket-literal args are
+    // plain lists by now) and before read_* (no interaction, but keeps the
+    // FROM-clause scan on original text)
+    val afterTableFns = rewriteTableFns(afterComp)
+    val afterListFns = rewriteListFnTemplates(afterTableFns)
+    val afterList = readFnList.replaceAllIn(afterListFns, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       val rewritten =

@@ -561,6 +561,32 @@ object ExtensionQueries {
       s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
     }),
 
+    // -- DuckDB lateral unnest through the dialect shim --------------------
+    // The token-explosion idiom exactly as a DuckDB user writes it:
+    // comma-lateral `rel, unnest(x) AS z(tok)` → LATERAL VIEW explode.
+    // DuckDB runs the same statement natively as the oracle.
+    "q79_lateral_unnest" -> ((s, dir) => {
+      val stmt =
+        s"""SELECT z.tok AS tok, count() AS n
+           |FROM (SELECT lower(text) AS lt
+           |      FROM read_parquet('$dir/documents.parquet')
+           |      WHERE doc_id < 200) d, unnest(string_split(d.lt, ' ')) AS z(tok)
+           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+    }),
+
+    // -- DuckDB generate_series table function through the dialect shim ----
+    // Cross join against a generated rowset (threshold ladder): inclusive
+    // bounds map 1:1 onto explode(sequence(…)).
+    "q80_generate_series" -> ((s, dir) => {
+      val stmt =
+        s"""SELECT g.k AS k, count() AS n
+           |FROM read_parquet('$dir/orders.parquet') o, generate_series(1, 3) AS g(k)
+           |WHERE o.o_totalprice > k * 100000
+           |GROUP BY k ORDER BY k""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+    }),
+
     // -- DuckDB COLUMNS() star expression through the dialect shim ---------
     // min/max over a regex-selected column family: the shim expands the
     // COLUMNS set from the probed source schema and — DuckDB behavior —
@@ -1125,6 +1151,17 @@ object ExtensionQueries {
       """SELECT l_returnflag, min(COLUMNS('^l_(quantity|extendedprice|discount)$'))
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q79_lateral_unnest" ->
+      """SELECT z.tok AS tok, count(*) AS n
+        |FROM (SELECT lower(text) AS lt
+        |      FROM documents WHERE doc_id < 200) d, unnest(string_split(d.lt, ' ')) AS z(tok)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    // CAST k: DuckDB's generate_series emits BIGINT, Spark's sequence INT
+    "q80_generate_series" ->
+      """SELECT CAST(g.k AS INT) AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o, generate_series(1, 3) AS g(k)
+        |WHERE o.o_totalprice > k * 100000
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q28_simhash_neardup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks

@@ -83,9 +83,11 @@ class RunFileSpec extends AnyFunSuite {
     // while the script runs are v2 writes (the noop sink), no `collect`.
     val dir = Files.createTempDirectory("graft-runfile-big")
     val big = dir.resolve("big.sql")
+    // `range` is the DuckDB column name the shim now produces (previously
+    // this script leaned on Spark's native `id`)
     Files.writeString(big,
       """CREATE OR REPLACE TEMPORARY VIEW rf_big AS
-        |  SELECT id, id * 2 AS twice FROM range(1000000);
+        |  SELECT range AS id, range * 2 AS twice FROM range(1000000);
         |SELECT * FROM rf_big""".stripMargin)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {

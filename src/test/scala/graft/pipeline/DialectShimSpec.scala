@@ -767,6 +767,82 @@ class DialectShimSpec extends AnyFunSuite {
     }
   }
 
+  test("generate_series / range table functions map to explode(sequence)") {
+    val spark = graft.SparkTestSession.spark
+    // inclusive generate_series, literal bounds
+    assert(DialectShim.rewrite("SELECT * FROM generate_series(1, 5)") ==
+      "SELECT * FROM (SELECT explode(sequence(1, 5)) AS generate_series)")
+    assert(spark.sql(DialectShim.rewrite("SELECT * FROM generate_series(1, 5)"))
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    // explicit literal step maps for any bounds (negative steps descend)
+    assert(spark.sql(DialectShim.rewrite("SELECT * FROM generate_series(10, 0, -3)"))
+      .collect().map(_.getInt(0)).toSeq == Seq(10, 7, 4, 1))
+    // the oracle idiom: comma cross-join with a column-list alias
+    val g = spark.sql(DialectShim.rewrite(
+      "SELECT n * b AS v FROM (SELECT 2 AS n) t, generate_series(0, 2) AS g(b)"))
+    assert(g.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 2, 4))
+    // range excludes its end
+    assert(spark.sql(DialectShim.rewrite("SELECT * FROM range(3)"))
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(spark.sql(DialectShim.rewrite("SELECT * FROM range(1, 4)"))
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(spark.sql(DialectShim.rewrite("SELECT * FROM range(10, 0, -3)"))
+      .collect().map(_.getInt(0)).toSeq == Seq(10, 7, 4, 1))
+    // descending no-step bounds: DuckDB errors — left verbatim, never
+    // silently auto-descended (Spark's sequence would)
+    val desc = "SELECT * FROM generate_series(5, 1)"
+    assert(DialectShim.rewrite(desc) == desc)
+    // select-list generate_series is not FROM-context: left verbatim
+    val sel = "SELECT generate_series(1, 3) FROM t"
+    assert(DialectShim.rewrite(sel) == sel)
+  }
+
+  test("unnest maps to explode in lateral, FROM, and select-list position") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW un_t AS " +
+      "SELECT 1 AS a, array(10, 20) AS l")
+    // correlated comma-lateral with column alias (the token-explosion idiom)
+    val lat = spark.sql(DialectShim.rewrite(
+      "SELECT a, u FROM un_t t, unnest(t.l) AS z(u)"))
+    assert(lat.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 10), (1, 20)))
+    // uncorrelated FROM-position with alias; bracket list literal → array
+    val un = spark.sql(DialectShim.rewrite(
+      "SELECT u FROM unnest([7, 8]) AS z(u)"))
+    assert(un.collect().map(_.getInt(0)).toSeq == Seq(7, 8))
+    // select-list unnest: DuckDB's derived column name when unaliased
+    val selDf = spark.sql(DialectShim.rewrite("SELECT a, unnest(l) FROM un_t"))
+    assert(selDf.columns.toSeq == Seq("a", "unnest(l)"))
+    // user alias wins
+    assert(spark.sql(DialectShim.rewrite("SELECT unnest(l) AS x FROM un_t"))
+      .columns.toSeq == Seq("x"))
+    // two select-list unnests zip in DuckDB, exceed Spark's one-generator
+    // rule — left verbatim so the failure names unnest
+    val two = "SELECT unnest(a), unnest(b) FROM t"
+    assert(DialectShim.rewrite(two) == two)
+    // no alias in FROM position: left verbatim
+    val noAlias = "SELECT * FROM unnest([1, 2])"
+    assert(DialectShim.rewrite(noAlias) == noAlias)
+  }
+
+  test("list_sort family maps with DuckDB null ordering") {
+    val spark = graft.SparkTestSession.spark
+    assert(DialectShim.rewrite("SELECT list_sort(l) FROM t") ==
+      "SELECT array_sort(l) FROM t")
+    assert(DialectShim.rewrite("SELECT list_reverse_sort(l) FROM t") ==
+      "SELECT sort_array(l, false) FROM t")
+    // DuckDB: list_sort ASC NULLS LAST, list_reverse_sort DESC NULLS LAST
+    val r = spark.sql(DialectShim.rewrite(
+      "SELECT list_sort(array(3, NULL, 1)) AS s, " +
+        "list_reverse_sort(array(3, NULL, 1)) AS rs")).collect().head
+    assert(r.getSeq[Any](0) == Seq(1, 3, null))
+    assert(r.getSeq[Any](1) == Seq(3, 1, null))
+    // list_unique counts distinct non-NULL elements (DuckDB semantics)
+    val u = spark.sql(DialectShim.rewrite(
+      "SELECT list_unique(array(1, 2, 2, NULL)) AS n")).collect().head
+    assert(u.getInt(0) == 2)
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"

@@ -205,9 +205,11 @@ class QueryPlanSpec extends AnyFunSuite {
     // q26 is the documented all-pairs operator (emits zero-overlap pairs
     // too, so no equi-key exists) — callers bound its scope. q31's cell
     // pick is a map-side posexplode of the literal centroids, so IVF needs
-    // no BNLJ at all.
+    // no BNLJ at all. q80 cross-joins a 3-row generated threshold ladder
+    // (non-equi by construction) — another O(1) broadcast side.
     val intentional = Set("q30_ann_topk", "q47_scalar_subquery", "q55_tfidf",
-      "q26_ngram_jaccard", "q68_domain_mix", "q70_lm_score")
+      "q26_ngram_jaccard", "q68_domain_mix", "q70_lm_score",
+      "q80_generate_series")
     for ((name, _) <- SparkEntry.queries if !intentional(name)) {
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin"),
