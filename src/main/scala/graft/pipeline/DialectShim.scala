@@ -1121,8 +1121,85 @@ object DialectShim {
       cur
     }
     val a = one(sql, "list_reverse_sort", x => s"sort_array($x, false)")
-    one(a, "list_unique",
+    val b = one(a, "list_unique",
       x => s"size(array_distinct(filter($x, __g -> __g IS NOT NULL)))")
+    // DuckDB epoch(ts) is DOUBLE seconds WITH the fractional part — Spark's
+    // unix_timestamp truncates, so micros-exact arithmetic instead
+    one(b, "epoch", x => s"(unix_micros($x) / 1e6)")
+  }
+
+  // --- DuckDB struct constructors ----------------------------------------
+  // `struct_pack(a := 1, b := x)` and the literal form `{'a': 1, 'b': x}`
+  // are Spark's named_struct('a', 1, 'b', x). Field access (`s.a`) then
+  // matches across engines. Braces only survive to the shim when they are
+  // struct literals — jinja rendered before it, comprehensions use
+  // brackets. Innermost-first fixpoint handles nesting; a brace group that
+  // doesn't parse as `'key': value` pairs is left verbatim.
+
+  private val structPackRe = """(?i)\bstruct_pack\s*\(""".r
+  private val namedArgRe = """(?s)^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$""".r
+  private val structFieldRe = """(?s)^\s*'([^']*)'\s*:\s*(.+)$""".r
+
+  private def rewriteStructs(sql: String): String = {
+    // struct_pack(name := expr, …)
+    var cur = sql
+    var search = 0
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val mOpt = structPackRe.findAllMatchIn(cur)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+      mOpt match {
+        case None => guard = 50
+        case Some(m) =>
+          parseArgs(cur, m.end - 1) match {
+            case Some((args, after)) if args.nonEmpty &&
+                args.forall(namedArgRe.findFirstIn(_).isDefined) =>
+              val fields = args.map { a =>
+                val am = namedArgRe.findFirstMatchIn(a).get
+                s"'${am.group(1)}', ${am.group(2).trim}"
+              }
+              val text = s"named_struct(${fields.mkString(", ")})"
+              cur = cur.substring(0, m.start) + text + cur.substring(after)
+              search = m.start + text.length
+            case _ => search = m.end
+          }
+      }
+    }
+    // {'k': v, …} literals, innermost first
+    var changed = true
+    guard = 0
+    while (changed && guard < 20) {
+      guard += 1
+      changed = false
+      var i = 0
+      var found = -1
+      // innermost open brace: the last '{' before the first '}' (both
+      // outside string literals)
+      var close = -1
+      while (i < cur.length && close < 0) {
+        val c = cur.charAt(i)
+        if (c == '\'') { i += 1; while (i < cur.length && cur.charAt(i) != '\'') i += 1 }
+        else if (c == '{') found = i
+        else if (c == '}' && found >= 0) close = i
+        i += 1
+      }
+      if (close > 0) {
+        val inner = cur.substring(found + 1, close)
+        val parts = splitTopLevel(inner)
+        if (parts.nonEmpty &&
+            parts.forall(p => structFieldRe.findFirstIn(p).isDefined)) {
+          val fields = parts.map { p =>
+            val fm = structFieldRe.findFirstMatchIn(p).get
+            s"'${fm.group(1)}', ${fm.group(2).trim}"
+          }
+          cur = cur.substring(0, found) +
+            s"named_struct(${fields.mkString(", ")})" + cur.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    cur
   }
 
   /** Parse-only normalization for dependency extraction: forms the
@@ -1202,7 +1279,8 @@ object DialectShim {
     // FROM-clause scan on original text)
     val afterTableFns = rewriteTableFns(afterComp)
     val afterListFns = rewriteListFnTemplates(afterTableFns)
-    val afterList = readFnList.replaceAllIn(afterListFns, m => {
+    val afterStructs = rewriteStructs(afterListFns)
+    val afterList = readFnList.replaceAllIn(afterStructs, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       val rewritten =

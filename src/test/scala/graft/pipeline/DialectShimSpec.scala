@@ -843,6 +843,31 @@ class DialectShimSpec extends AnyFunSuite {
     assert(u.getInt(0) == 2)
   }
 
+  test("struct_pack and struct literals become named_struct; epoch is exact") {
+    val spark = graft.SparkTestSession.spark
+    assert(DialectShim.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s") ==
+      "SELECT named_struct('a', 1, 'b', 'x') AS s")
+    assert(DialectShim.rewrite("SELECT {'a': 1, 'b': 'x'} AS s") ==
+      "SELECT named_struct('a', 1, 'b', 'x') AS s")
+    // nested literal resolves innermost-first
+    assert(DialectShim.rewrite("SELECT {'o': {'i': 2}} AS s") ==
+      "SELECT named_struct('o', named_struct('i', 2)) AS s")
+    // field access then matches DuckDB
+    val r = spark.sql(DialectShim.rewrite(
+      "SELECT s.b FROM (SELECT struct_pack(a := 1, b := 42) AS s)"))
+    assert(r.collect().head.getInt(0) == 42)
+    // a brace group that isn't 'key': value pairs is left verbatim
+    val odd = "SELECT '{not a struct}' AS doc FROM t"
+    assert(DialectShim.rewrite(odd) == odd)
+    // epoch keeps DuckDB's fractional seconds (unix_timestamp truncates)
+    val e = spark.sql(DialectShim.rewrite(
+      "SELECT epoch(TIMESTAMP '2021-01-01 00:00:30.5') AS e")).collect().head
+    assert(math.abs(e.getDouble(0) - 1609459230.5) < 1e-9)
+    // epoch_ms keeps its own rename
+    assert(DialectShim.rewrite("SELECT epoch_ms(ts) FROM t") ==
+      "SELECT unix_millis(ts) FROM t")
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"
