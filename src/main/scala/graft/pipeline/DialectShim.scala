@@ -75,6 +75,8 @@ object DialectShim {
     "list_value" -> "array",
     "list_append" -> "array_append",
     "array_length" -> "array_size",
+    // both join a list with a separator, skipping NULL elements
+    "array_to_string" -> "array_join",
     // DuckDB list_sort defaults to ASC NULLS LAST — exactly Spark's
     // array_sort (NOT sort_array, whose default puts nulls first)
     "list_sort" -> "array_sort",
@@ -1202,6 +1204,131 @@ object DialectShim {
     cur
   }
 
+  // --- DuckDB bracket expressions ----------------------------------------
+  // Brackets mean three things in DuckDB model SQL, none of which Spark
+  // reads the same way:
+  //   - `l[i]` subscripts are 1-BASED (Spark's are 0-based — the same text
+  //     silently reads the WRONG element) → `try_element_at(l, i)`, which
+  //     is 1-based for arrays and key-based for maps exactly like DuckDB,
+  //     NULL out of bounds like DuckDB. (Corner: DuckDB's l[0] is NULL,
+  //     try_element_at(…, 0) errors — an error, never wrong data.)
+  //   - `l[a:b]` slices are 1-based inclusive-inclusive, clamping out of
+  //     range → `slice(l, a, b-a+1)` (clamps the same); open ends map to
+  //     1 / size(l).
+  //   - `[1, 2]` / `ARRAY[1, 2]` list literals → `array(1, 2)`.
+  // Classification is lexical: a bracket after a value (identifier, `)`,
+  // `]`, or a quoted identifier) subscripts it; after anything else —
+  // comma, operator, `(`, statement start, or a keyword like THEN/SELECT —
+  // it opens a literal. Runs AFTER the read_* rewrites (their list-path
+  // form owns its brackets) and after comprehensions (their `for`-bearing
+  // brackets are gone by now). Backtick-quoted identifiers containing `[`
+  // are not supported.
+
+  private val bracketKeywords = Set("SELECT", "WHERE", "AND", "OR", "NOT",
+    "WHEN", "THEN", "ELSE", "END", "IN", "IS", "BETWEEN", "LIKE", "ILIKE",
+    "FROM", "JOIN", "ON", "BY", "AS", "CASE", "DISTINCT", "ALL", "UNION",
+    "RETURN", "VALUES", "HAVING", "ARRAY")
+
+  private def rewriteBrackets(sql: String): String = {
+    var cur = sql
+    var i = 0
+    var guard = 0
+    while (i < cur.length && guard < 5000) {
+      guard += 1
+      val c = cur.charAt(i)
+      if (c == '\'') { i += 1; while (i < cur.length && cur.charAt(i) != '\'') i += 1; i += 1 }
+      else if (c != '[') i += 1
+      else {
+        // matching close bracket (literal-aware, nesting-aware)
+        var j = i + 1; var depth = 1
+        var colonPos = -1
+        var subDepth = 0 // parens+brackets inside
+        while (j < cur.length && depth > 0) {
+          val cj = cur.charAt(j)
+          if (cj == '\'') { j += 1; while (j < cur.length && cur.charAt(j) != '\'') j += 1 }
+          else if (cj == '[' || cj == '(') { depth += (if (cj == '[') 1 else 0); subDepth += 1 }
+          else if (cj == ']') { depth -= 1; if (depth > 0) subDepth -= 1 }
+          else if (cj == ')') subDepth -= 1
+          else if (cj == ':' && depth == 1 && subDepth == 0 && colonPos < 0) colonPos = j
+          j += 1
+        }
+        if (depth != 0) i += 1 // unbalanced; leave the rest alone
+        else {
+          val close = j - 1
+          val content = cur.substring(i + 1, close)
+          // classify by the preceding token
+          var p = i - 1
+          while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
+          val prevC = if (p >= 0) cur.charAt(p) else ' '
+          val isValueChar = prevC == ')' || prevC == ']' || prevC == '`' ||
+            Character.isJavaIdentifierPart(prevC)
+          // a bare identifier that is a keyword opens a literal, not a
+          // subscript; ARRAY additionally gets consumed
+          var primaryStart = -1
+          if (isValueChar) {
+            var s = p
+            if (prevC == ')' || prevC == ']') {
+              // balanced backward scan over the group (quote-aware)
+              val openCh = if (prevC == ')') '(' else '['
+              val closeCh = prevC
+              var d = 0
+              var k = p
+              var done = false
+              while (k >= 0 && !done) {
+                val ck = cur.charAt(k)
+                if (ck == '\'') { k -= 1; while (k >= 0 && cur.charAt(k) != '\'') k -= 1 }
+                else if (ck == closeCh) d += 1
+                else if (ck == openCh) { d -= 1; if (d == 0) done = true }
+                k -= 1
+              }
+              s = k
+              // function name / qualifier chain before the group
+              while (s >= 0 && (Character.isJavaIdentifierPart(cur.charAt(s)) ||
+                cur.charAt(s) == '.')) s -= 1
+              primaryStart = s + 1
+            } else {
+              while (s >= 0 && (Character.isJavaIdentifierPart(cur.charAt(s)) ||
+                cur.charAt(s) == '.' || cur.charAt(s) == '`')) s -= 1
+              primaryStart = s + 1
+            }
+            val primary = cur.substring(primaryStart, p + 1)
+            if (identRe.findFirstIn(primary).isDefined &&
+                bracketKeywords.contains(primary.toUpperCase))
+              primaryStart = -1 // keyword → literal
+          }
+          if (primaryStart >= 0) {
+            val primary = cur.substring(primaryStart, p + 1)
+            val text =
+              if (colonPos < 0)
+                s"try_element_at($primary, ${content.trim})"
+              else {
+                val a = cur.substring(i + 1, colonPos).trim
+                val b = cur.substring(colonPos + 1, close).trim
+                (a.nonEmpty, b.nonEmpty) match {
+                  case (true, true)  => s"slice($primary, $a, ($b) - ($a) + 1)"
+                  case (true, false) => s"slice($primary, $a, size($primary))"
+                  case (false, true) => s"slice($primary, 1, $b)"
+                  case _             => primary
+                }
+              }
+            cur = cur.substring(0, primaryStart) + text + cur.substring(close + 1)
+            i = primaryStart + text.length
+          } else {
+            // literal: consume a preceding ARRAY keyword if present
+            var litStart = i
+            if (p >= 4 && cur.regionMatches(true, p - 4, "ARRAY", 0, 5) &&
+                (p == 4 || !Character.isJavaIdentifierPart(cur.charAt(p - 5))))
+              litStart = p - 4
+            cur = cur.substring(0, litStart) + "array(" + content + ")" +
+              cur.substring(close + 1)
+            i = litStart + "array(".length // re-scan content for nesting
+          }
+        }
+      }
+    }
+    cur
+  }
+
   /** Parse-only normalization for dependency extraction: forms the
     * session-aware shim resolves with schema probes are flattened into
     * Catalyst-parseable equivalents that preserve TABLE REFERENCES, not
@@ -1301,9 +1428,12 @@ object DialectShim {
     val afterRead = readFn.replaceAllIn(afterKwargs, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${fmtOf(m.group(1))}.`${m.group(2)}`"))
+    // brackets AFTER read_* (the list-path form owns its brackets) and
+    // after comprehensions (their `for` brackets are gone)
+    val afterBrackets = rewriteBrackets(afterRead)
     // string_split/strftime carry their own quoted literal, so (like
     // read_*) they anchor on it and run against the full statement
-    val afterSplit = stringSplitFn.replaceAllIn(afterRead, m =>
+    val afterSplit = stringSplitFn.replaceAllIn(afterBrackets, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"split(${m.group(1)}, '${regexEscapeForSqlLiteral(m.group(2))}')"))
     val afterStrftime = strftimeFn.replaceAllIn(afterSplit, m =>

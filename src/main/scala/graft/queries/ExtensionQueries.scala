@@ -587,6 +587,21 @@ object ExtensionQueries {
       s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
     }),
 
+    // -- DuckDB bracket expressions through the dialect shim ---------------
+    // 1-based subscripts (a silent off-by-one through Spark's native
+    // 0-based subscript), inclusive slices, and a struct literal — the
+    // same statement runs natively in DuckDB as the oracle.
+    "q81_bracket_exprs" -> ((s, dir) => {
+      val stmt =
+        s"""SELECT doc_id, toks[1] AS first_tok,
+           |       array_to_string(toks[2:3], ' ') AS mid,
+           |       ({'n': n_chars}).n AS nc
+           |FROM (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
+           |      FROM read_parquet('$dir/documents.parquet') WHERE doc_id < 100)
+           |ORDER BY doc_id""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+    }),
+
     // -- DuckDB COLUMNS() star expression through the dialect shim ---------
     // min/max over a regex-selected column family: the shim expands the
     // COLUMNS set from the probed source schema and — DuckDB behavior —
@@ -1151,6 +1166,13 @@ object ExtensionQueries {
       """SELECT l_returnflag, min(COLUMNS('^l_(quantity|extendedprice|discount)$'))
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q81_bracket_exprs" ->
+      """SELECT doc_id, toks[1] AS first_tok,
+        |       array_to_string(toks[2:3], ' ') AS mid,
+        |       ({'n': n_chars}).n AS nc
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id""".stripMargin,
     "q79_lateral_unnest" ->
       """SELECT z.tok AS tok, count(*) AS n
         |FROM (SELECT lower(text) AS lt

@@ -628,9 +628,11 @@ class DialectShimSpec extends AnyFunSuite {
   }
 
   test("list-comprehension lookalikes are untouched") {
-    // subscripts
+    // subscripts are not comprehensions — they take the 1-based
+    // element_at path instead (see the bracket-expression test)
     val sub = "SELECT arr[1] AS first FROM t"
-    assert(DialectShim.rewrite(sub) == sub)
+    assert(DialectShim.rewrite(sub) ==
+      "SELECT try_element_at(arr, 1) AS first FROM t")
     // plain list args to read_* still take the UNION ALL path
     assert(DialectShim.rewrite("SELECT * FROM read_parquet(['a.parquet'])")
       .contains("parquet.`a.parquet`"))
@@ -820,9 +822,10 @@ class DialectShimSpec extends AnyFunSuite {
     // rule — left verbatim so the failure names unnest
     val two = "SELECT unnest(a), unnest(b) FROM t"
     assert(DialectShim.rewrite(two) == two)
-    // no alias in FROM position: left verbatim
-    val noAlias = "SELECT * FROM unnest([1, 2])"
-    assert(DialectShim.rewrite(noAlias) == noAlias)
+    // no alias in FROM position: unnest itself stays (fails at execution
+    // naming it); only the bracket literal inside converts
+    assert(DialectShim.rewrite("SELECT * FROM unnest([1, 2])") ==
+      "SELECT * FROM unnest(array(1, 2))")
   }
 
   test("list_sort family maps with DuckDB null ordering") {
@@ -866,6 +869,55 @@ class DialectShimSpec extends AnyFunSuite {
     // epoch_ms keeps its own rename
     assert(DialectShim.rewrite("SELECT epoch_ms(ts) FROM t") ==
       "SELECT unix_millis(ts) FROM t")
+  }
+
+  test("bracket expressions: 1-based subscripts, slices, list literals") {
+    val spark = graft.SparkTestSession.spark
+    // 1-based subscript — the same text reads the WRONG element through
+    // Spark's native 0-based subscript
+    assert(DialectShim.rewrite("SELECT arr[1] FROM t") ==
+      "SELECT try_element_at(arr, 1) FROM t")
+    val first = spark.sql(DialectShim.rewrite(
+      "SELECT ([10, 20, 30])[1] AS v")).collect().head
+    assert(first.getInt(0) == 10)
+    // negative and out-of-bounds match DuckDB (last / NULL)
+    val edge = spark.sql(DialectShim.rewrite(
+      "SELECT ([10, 20, 30])[-1] AS a, ([10, 20, 30])[9] AS b")).collect().head
+    assert(edge.getInt(0) == 30 && edge.isNullAt(1))
+    // map subscript keeps key semantics, NULL for a missing key
+    val mp = spark.sql(DialectShim.rewrite(
+      "SELECT m['a'] AS hit, m['zz'] AS miss FROM (SELECT map('a', 7) AS m)"))
+      .collect().head
+    assert(mp.getInt(0) == 7 && mp.isNullAt(1))
+    // chained subscripts resolve left to right
+    assert(DialectShim.rewrite("SELECT m['a']['b'] FROM t") ==
+      "SELECT try_element_at(try_element_at(m, 'a'), 'b') FROM t")
+    // subscript on a function result
+    assert(DialectShim.rewrite("SELECT split(s, ',')[1] FROM t") ==
+      "SELECT try_element_at(split(s, ','), 1) FROM t")
+    // slices: inclusive-inclusive 1-based, open ends, clamping
+    val sl = spark.sql(DialectShim.rewrite(
+      "SELECT ([1, 2, 3, 4])[2:3] AS m, ([1, 2, 3, 4])[3:] AS t, " +
+        "([1, 2, 3, 4])[:2] AS h, ([1, 2, 3])[2:9] AS c")).collect().head
+    assert(sl.getSeq[Int](0) == Seq(2, 3))
+    assert(sl.getSeq[Int](1) == Seq(3, 4))
+    assert(sl.getSeq[Int](2) == Seq(1, 2))
+    assert(sl.getSeq[Int](3) == Seq(2, 3))
+    // literals: bare, nested, ARRAY keyword form, after THEN
+    assert(DialectShim.rewrite("SELECT [1, 2] AS l") ==
+      "SELECT array(1, 2) AS l")
+    assert(DialectShim.rewrite("SELECT [[1, 2], [3, 4]] AS l") ==
+      "SELECT array(array(1, 2), array(3, 4)) AS l")
+    assert(DialectShim.rewrite("SELECT ARRAY[1, 2] AS l") ==
+      "SELECT array(1, 2) AS l")
+    assert(DialectShim.rewrite("SELECT CASE WHEN x THEN [1] ELSE [2] END FROM t") ==
+      "SELECT CASE WHEN x THEN array(1) ELSE array(2) END FROM t")
+    // brackets inside string literals are content
+    val lit = "SELECT 'a[1]' AS doc FROM t"
+    assert(DialectShim.rewrite(lit) == lit)
+    // read_* list-path form still owns its brackets
+    assert(DialectShim.rewrite("SELECT * FROM read_parquet(['a.parquet'])")
+      .contains("parquet.`a.parquet`"))
   }
 
   test("literal/multiplication guards: shims leave lookalikes alone") {
