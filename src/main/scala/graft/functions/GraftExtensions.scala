@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Int8QuantStats, Len, Shingles, TokenChunks, VectorNormalize}
+import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Int8QuantStats, Len, RegexpReplaceFirst, Shingles, TokenChunks, VectorNormalize}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions hook: registers graft's native expressions as SQL
@@ -67,7 +67,12 @@ object GraftExtensions {
       })),
     (FunctionIdentifier("int8_quant_stats"),
       info("int8_quant_stats", classOf[Int8QuantStats]),
-      (args: Seq[Expression]) => Int8QuantStats(args(0))))
+      (args: Seq[Expression]) => Int8QuantStats(args(0))),
+    // regexp_replace_first(s, re, r): DuckDB's 3-arg regexp_replace
+    // semantics (first match only) — the shim maps that form here
+    (FunctionIdentifier("regexp_replace_first"),
+      info("regexp_replace_first", classOf[RegexpReplaceFirst]),
+      (args: Seq[Expression]) => RegexpReplaceFirst(args(0), args(1), args(2))))
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -77,6 +77,11 @@ object DialectShim {
     "array_length" -> "array_size",
     // both join a list with a separator, skipping NULL elements
     "array_to_string" -> "array_join",
+    // C-style %-formatting in both (DuckDB's {}-style `format` is NOT
+    // mapped and fails with its name visible)
+    "printf" -> "format_string",
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith",
     // DuckDB list_sort defaults to ASC NULLS LAST — exactly Spark's
     // array_sort (NOT sort_array, whose default puts nulls first)
     "list_sort" -> "array_sort",
@@ -1127,7 +1132,76 @@ object DialectShim {
       x => s"size(array_distinct(filter($x, __g -> __g IS NOT NULL)))")
     // DuckDB epoch(ts) is DOUBLE seconds WITH the fractional part — Spark's
     // unix_timestamp truncates, so micros-exact arithmetic instead
-    one(b, "epoch", x => s"(unix_micros($x) / 1e6)")
+    val c = one(b, "epoch", x => s"(unix_micros($x) / 1e6)")
+    rewriteRegexpReplace(rewriteJsonExtract(c))
+  }
+
+  // strptime's %-codes reuse strftime's translation table; only fully
+  // translatable formats rewrite (same contract as strftime)
+  private val strptimeFn =
+    """(?i)\bstrptime\s*\(((?:[^,()']|'[^']*')+),\s*'([^']*)'\s*\)""".r
+
+  // json_extract_string with a '$'-rooted literal path is Spark's
+  // get_json_object; DuckDB's '/a/b' pointer and bare-key forms are NOT
+  // mapped (no Spark equivalent) and fail with the original name
+  private val jsonExtractStrRe = """(?i)\bjson_extract_string\s*\(""".r
+  private def rewriteJsonExtract(sql: String): String = {
+    var cur = sql
+    var search = 0
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val m = jsonExtractStrRe.findAllMatchIn(cur)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+        .getOrElse(return cur)
+      parseArgs(cur, m.end - 1) match {
+        case Some((Seq(j, p), after)) if p.trim.startsWith("'$") =>
+          val text = s"get_json_object(${j.trim}, ${p.trim})"
+          cur = cur.substring(0, m.start) + text + cur.substring(after)
+          search = m.start + text.length
+        case _ => search = m.end
+      }
+    }
+    cur
+  }
+
+  // DuckDB regexp_replace replaces the FIRST match unless the 'g' flag is
+  // given; Spark's builtin of the same name is always global — a silent
+  // name-collision divergence the shim resolves explicitly:
+  //   3-arg → regexp_replace_first (registered native expression)
+  //   4-arg with literal flags ⊆ {g, i, c} → global/first + (?i) prefix
+  // Other flag sets are left verbatim. Backreference syntax in the
+  // replacement follows Spark/Java ($1) either way.
+  private val regexpReplaceRe = """(?i)\bregexp_replace\s*\(""".r
+  private def rewriteRegexpReplace(sql: String): String = {
+    var cur = sql
+    var search = 0
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val m = regexpReplaceRe.findAllMatchIn(cur)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+        .getOrElse(return cur)
+      parseArgs(cur, m.end - 1) match {
+        case Some((Seq(s, re, r), after)) =>
+          val text = s"regexp_replace_first(${s.trim}, ${re.trim}, ${r.trim})"
+          cur = cur.substring(0, m.start) + text + cur.substring(after)
+          search = m.start + text.length
+        case Some((Seq(s, re, r, f), after))
+            if f.trim.length >= 2 && f.trim.startsWith("'") && f.trim.endsWith("'") &&
+              f.trim.substring(1, f.trim.length - 1).forall("gic".contains(_)) =>
+          val flags = f.trim.substring(1, f.trim.length - 1)
+          val pat =
+            if (flags.contains('i')) s"concat('(?i)', ${re.trim})" else re.trim
+          val text =
+            if (flags.contains('g')) s"regexp_replace(${s.trim}, $pat, ${r.trim})"
+            else s"regexp_replace_first(${s.trim}, $pat, ${r.trim})"
+          cur = cur.substring(0, m.start) + text + cur.substring(after)
+          search = m.start + text.length
+        case _ => search = m.end
+      }
+    }
+    cur
   }
 
   // --- DuckDB struct constructors ----------------------------------------
@@ -1441,7 +1515,14 @@ object DialectShim {
         translateStrftime(m.group(2))
           .map(p => s"date_format(${m.group(1)}, '$p')")
           .getOrElse(m.matched)))
-    replaceOutsideLiterals(afterStrftime)
+    // strptime is strftime's parse-direction twin: same %-code table,
+    // same only-fully-translatable contract
+    val afterStrptime = strptimeFn.replaceAllIn(afterStrftime, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        translateStrftime(m.group(2))
+          .map(p => s"to_timestamp(${m.group(1)}, '$p')")
+          .getOrElse(m.matched)))
+    replaceOutsideLiterals(afterStrptime)
   }
 
   // --- DuckDB QUALIFY ----------------------------------------------------

@@ -920,6 +920,42 @@ class DialectShimSpec extends AnyFunSuite {
       .contains("parquet.`a.parquet`"))
   }
 
+  test("string/json/time function long tail maps with exact semantics") {
+    val spark = graft.SparkTestSession.spark
+    graft.functions.GraftExtensions.register(spark)
+    // strptime reuses strftime's %-code table, parse direction
+    assert(DialectShim.rewrite("SELECT strptime(s, '%Y-%m-%d %H:%M') FROM t") ==
+      "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm') FROM t")
+    // untranslatable codes stay verbatim
+    val bad = "SELECT strptime(s, '%a %Y') FROM t"
+    assert(DialectShim.rewrite(bad) == bad)
+    // printf / starts_with / ends_with renames
+    assert(DialectShim.rewrite("SELECT printf('%d-%s', a, b) FROM t") ==
+      "SELECT format_string('%d-%s', a, b) FROM t")
+    assert(DialectShim.rewrite("SELECT starts_with(s, 'x'), ends_with(s, 'y') FROM t") ==
+      "SELECT startswith(s, 'x'), endswith(s, 'y') FROM t")
+    // json_extract_string with a $-rooted path
+    assert(DialectShim.rewrite("SELECT json_extract_string(j, '$.a.b') FROM t") ==
+      "SELECT get_json_object(j, '$.a.b') FROM t")
+    // pointer-syntax path: no Spark equivalent, left verbatim
+    val ptr = "SELECT json_extract_string(j, '/a/b') FROM t"
+    assert(DialectShim.rewrite(ptr) == ptr)
+    // regexp_replace: DuckDB 3-arg is FIRST match only — maps to the
+    // registered native expression, never Spark's silently-global builtin
+    assert(DialectShim.rewrite("SELECT regexp_replace(s, 'a', 'b') FROM t") ==
+      "SELECT regexp_replace_first(s, 'a', 'b') FROM t")
+    val rf = spark.sql(DialectShim.rewrite(
+      "SELECT regexp_replace('aaa', 'a', 'b') AS f, " +
+        "regexp_replace('aaa', 'a', 'b', 'g') AS g, " +
+        "regexp_replace('AaA', 'a', 'b', 'gi') AS gi")).collect().head
+    assert(rf.getString(0) == "baa") // first only, like DuckDB
+    assert(rf.getString(1) == "bbb") // 'g' flag = Spark's global default
+    assert(rf.getString(2) == "bbb") // 'i' becomes a (?i) prefix
+    // unknown flag sets stay verbatim
+    val odd = "SELECT regexp_replace(s, 'a', 'b', 'x') FROM t"
+    assert(DialectShim.rewrite(odd) == odd)
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"
