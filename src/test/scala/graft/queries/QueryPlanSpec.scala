@@ -196,6 +196,26 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"vocab join should broadcast:\n$p")
   }
 
+  test("q79: lateral unnest is a Generate + partial agg + top-N, no sort") {
+    val p = plan("q79_lateral_unnest")
+    // LATERAL VIEW explode compiles to Generate (formatted mode prints the
+    // bare operator name), the token count partial-aggregates before the
+    // shuffle, and ORDER BY + LIMIT fuse into TakeOrderedAndProject —
+    // never a global sort of the token space
+    assert(p.contains("Generate"), s"no Generate in:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N full-sorts:\n$p")
+  }
+
+  test("q81: bracket expressions stay map-side (single sort, no shuffle agg)") {
+    val p = plan("q81_bracket_exprs")
+    // subscript/slice/struct rewrites are row-local: the only exchange is
+    // the final ORDER BY's range partitioning
+    assert(!p.contains("hashpartitioning"), s"unexpected shuffle in:\n$p")
+    assert(p.contains("try_element_at") || p.contains("slice"),
+      s"bracket rewrite missing from:\n$p")
+  }
+
   test("no BroadcastNestedLoopJoin outside the intentional scalar/probe ones") {
     // q30 broadcasts 5 probe vectors; q47, q55, q68, and q70 a 1-row
     // scalar aggregate (avg price / corpus doc count / corpus token
