@@ -980,6 +980,13 @@ object DialectShim {
       .exists { case (q, d) => d == 0 && q > fromPos && q < p })
   }
 
+  /** Inside a backtick-quoted identifier? Rewrites must skip those — a
+    * derived alias like `unnest(l)` must not re-trigger the rewrite that
+    * produced it.
+    */
+  private def insideBackticks(s: String, pos: Int): Boolean =
+    s.substring(0, pos).count(_ == '`') % 2 == 1
+
   /** A DuckDB bracket list literal becomes array(…); anything else passes
     * through (comprehensions were already rewritten by this point).
     */
@@ -1000,7 +1007,8 @@ object DialectShim {
     while (guard < 50) {
       guard += 1
       val mOpt = tableFnRe.findAllMatchIn(cur)
-        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined &&
+          !insideBackticks(cur, mm.start))
       val m = mOpt.getOrElse(return cur)
       val fn = m.group(1).toLowerCase
       val open = m.end - 1
@@ -1115,7 +1123,8 @@ object DialectShim {
       while (guard < 50) {
         guard += 1
         val m = re.findAllMatchIn(cur)
-          .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+          .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined &&
+            !insideBackticks(cur, mm.start))
           .getOrElse(return cur)
         parseArgs(cur, m.end - 1) match {
           case Some((Seq(arg), after)) =>
@@ -1152,7 +1161,8 @@ object DialectShim {
     while (guard < 50) {
       guard += 1
       val m = jsonExtractStrRe.findAllMatchIn(cur)
-        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined &&
+          !insideBackticks(cur, mm.start))
         .getOrElse(return cur)
       parseArgs(cur, m.end - 1) match {
         case Some((Seq(j, p), after)) if p.trim.startsWith("'$") =>
@@ -1180,7 +1190,8 @@ object DialectShim {
     while (guard < 50) {
       guard += 1
       val m = regexpReplaceRe.findAllMatchIn(cur)
-        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined &&
+          !insideBackticks(cur, mm.start))
         .getOrElse(return cur)
       parseArgs(cur, m.end - 1) match {
         case Some((Seq(s, re, r), after)) =>
@@ -1193,8 +1204,11 @@ object DialectShim {
           val flags = f.trim.substring(1, f.trim.length - 1)
           val pat =
             if (flags.contains('i')) s"concat('(?i)', ${re.trim})" else re.trim
+          // the global form emits Spark's explicit 4-arg position-1 variant
+          // (same semantics): the 3-arg shape would re-match this very rule
+          // when a union arm's output flows through the outer pass chain
           val text =
-            if (flags.contains('g')) s"regexp_replace(${s.trim}, $pat, ${r.trim})"
+            if (flags.contains('g')) s"regexp_replace(${s.trim}, $pat, ${r.trim}, 1)"
             else s"regexp_replace_first(${s.trim}, $pat, ${r.trim})"
           cur = cur.substring(0, m.start) + text + cur.substring(after)
           search = m.start + text.length
@@ -1224,7 +1238,8 @@ object DialectShim {
     while (guard < 50) {
       guard += 1
       val mOpt = structPackRe.findAllMatchIn(cur)
-        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined &&
+          !insideBackticks(cur, mm.start))
       mOpt match {
         case None => guard = 50
         case Some(m) =>
@@ -1311,6 +1326,7 @@ object DialectShim {
       guard += 1
       val c = cur.charAt(i)
       if (c == '\'') { i += 1; while (i < cur.length && cur.charAt(i) != '\'') i += 1; i += 1 }
+      else if (c == '`') { i += 1; while (i < cur.length && cur.charAt(i) != '`') i += 1; i += 1 }
       else if (c != '[') i += 1
       else {
         // matching close bracket (literal-aware, nesting-aware)

@@ -956,6 +956,46 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(odd) == odd)
   }
 
+  test("rewrite is idempotent: a second pass over shimmed output is a no-op") {
+    // Guards against double-rewrite bugs anywhere in the pass chain: once
+    // the DuckDB-isms are gone, running the shim again must change nothing.
+    val corpus = Seq(
+      "SELECT product, count() AS n FROM t",
+      "SELECT * FROM read_parquet(['/d/a.parquet', '/d/b.parquet'])",
+      "FROM t WHERE x > 1",
+      "SELECT [x * 2 for x in xs if x != ''] AS d FROM t",
+      "SELECT arr[1], arr[2:3], [1, 2], ARRAY[7, 8] FROM t",
+      "SELECT {'a': 1, 'b': {'c': 2}} AS s, struct_pack(k := 9) AS p",
+      "SELECT regexp_replace(s, 'a', 'b'), regexp_replace(s, 'a', 'b', 'gi') FROM t",
+      "SELECT strptime(s, '%Y-%m-%d'), strftime(d, '%H:%M') FROM t",
+      "SELECT list_sort(l), list_reverse_sort(l), list_unique(l), epoch(ts) FROM t",
+      "SELECT arg_max(a, b), printf('%d', a), starts_with(s, 'x') FROM t",
+      "SELECT * FROM generate_series(1, 5)",
+      "SELECT a, u FROM t, unnest(t.l) AS z(u)",
+      "SELECT a, unnest(l) FROM t",
+      "SELECT a, unnest(l[1]) FROM t", // derived alias contains brackets
+      "SELECT string_split(s, '|'), json_extract_string(j, '$.a') FROM t",
+      "SELECT * EXCLUDE (a), x AS y FROM t USING SAMPLE 10")
+    corpus.foreach { q =>
+      val once = DialectShim.rewrite(q)
+      assert(DialectShim.rewrite(once) == once,
+        s"not idempotent for `$q`:\n 1st: $once\n 2nd: ${DialectShim.rewrite(once)}")
+    }
+    // session-aware forms too (probe-based): arms/expansions must not
+    // re-trigger on their own output
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW idem_t AS SELECT 1 AS x, 2 AS y")
+    val sessionCorpus = Seq(
+      "SELECT * FROM idem_t UNION ALL BY NAME SELECT 3 AS y, 4 AS z FROM idem_t",
+      "SELECT COLUMNS('x|y') FROM idem_t",
+      "SELECT min(COLUMNS(*)) FROM idem_t")
+    sessionCorpus.foreach { q =>
+      val once = DialectShim.rewrite(q, spark)
+      assert(DialectShim.rewrite(once, spark) == once,
+        s"not idempotent (session) for `$q`:\n 1st: $once")
+    }
+  }
+
   test("literal/multiplication guards: shims leave lookalikes alone") {
     // DISTINCT ON inside a string literal is content, not a clause
     val lit = "SELECT 'SELECT DISTINCT ON (k) x FROM t' AS doc FROM t"
