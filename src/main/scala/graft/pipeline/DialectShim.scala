@@ -1318,8 +1318,26 @@ object DialectShim {
     "FROM", "JOIN", "ON", "BY", "AS", "CASE", "DISTINCT", "ALL", "UNION",
     "RETURN", "VALUES", "HAVING", "ARRAY")
 
+  // DuckDB array-type syntax `INT[]` → Spark `ARRAY<INT>`; runs before the
+  // subscript classification so an empty `[]` never parses as a subscript.
+  // Nested `INT[][]` converges on the fixpoint.
+  private val arrayTypeRe =
+    ("""(?i)\b(INT|INTEGER|BIGINT|SMALLINT|TINYINT|HUGEINT|FLOAT|REAL|""" +
+      """DOUBLE|VARCHAR|TEXT|STRING|BOOLEAN|BOOL|DATE|TIMESTAMP|""" +
+      """DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)|ARRAY<[^\[\]]*>)\s*\[\s*\]""").r
+
   private def rewriteBrackets(sql: String): String = {
-    var cur = sql
+    var cur0 = sql
+    var tGuard = 0
+    var tChanged = true
+    while (tChanged && tGuard < 8) {
+      tGuard += 1
+      val next = arrayTypeRe.replaceAllIn(cur0,
+        m => java.util.regex.Matcher.quoteReplacement(s"ARRAY<${m.group(1)}>"))
+      tChanged = next != cur0
+      cur0 = next
+    }
+    var cur = cur0
     var i = 0
     var guard = 0
     while (i < cur.length && guard < 5000) {
@@ -1386,7 +1404,9 @@ object DialectShim {
                 bracketKeywords.contains(primary.toUpperCase))
               primaryStart = -1 // keyword → literal
           }
-          if (primaryStart >= 0) {
+          if (primaryStart >= 0 && content.trim.isEmpty && colonPos < 0) {
+            i = close + 1 // `x[]`: not a subscript (unmapped type syntax etc.)
+          } else if (primaryStart >= 0) {
             val primary = cur.substring(primaryStart, p + 1)
             val text =
               if (colonPos < 0)

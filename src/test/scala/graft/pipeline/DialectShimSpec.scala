@@ -915,6 +915,16 @@ class DialectShimSpec extends AnyFunSuite {
     // brackets inside string literals are content
     val lit = "SELECT 'a[1]' AS doc FROM t"
     assert(DialectShim.rewrite(lit) == lit)
+    // DuckDB array-type syntax is a type, never a subscript
+    assert(DialectShim.rewrite("SELECT CAST(x AS INT[]) FROM t") ==
+      "SELECT CAST(x AS ARRAY<INT>) FROM t")
+    assert(DialectShim.rewrite("SELECT x::VARCHAR[] FROM t") ==
+      "SELECT x::ARRAY<VARCHAR> FROM t")
+    assert(DialectShim.rewrite("SELECT CAST(x AS INT[][]) FROM t") ==
+      "SELECT CAST(x AS ARRAY<ARRAY<INT>>) FROM t")
+    val cast = graft.SparkTestSession.spark.sql(DialectShim.rewrite(
+      "SELECT CAST([1, 2] AS DOUBLE[]) AS d")).collect().head
+    assert(cast.getSeq[Double](0) == Seq(1.0, 2.0))
     // read_* list-path form still owns its brackets
     assert(DialectShim.rewrite("SELECT * FROM read_parquet(['a.parquet'])")
       .contains("parquet.`a.parquet`"))
