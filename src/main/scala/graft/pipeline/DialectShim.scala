@@ -249,6 +249,10 @@ object DialectShim {
         case '\''              => inLit = true; cur.append(c)
         case '('               => depth += 1; cur.append(c)
         case ')'               => depth -= 1; if (depth > 0) cur.append(c)
+        // bracket list literals ride inside a single argument — their
+        // commas must not split it
+        case '['               => depth += 1; cur.append(c)
+        case ']'               => depth -= 1; cur.append(c)
         case ',' if depth == 1 => args += cur.toString; cur.clear()
         case _                 => cur.append(c)
       }
@@ -1115,7 +1119,8 @@ object DialectShim {
   // (list_distinct stays unmapped: DuckDB's result order is arbitrary
   // where Spark's array_distinct preserves first occurrence.)
   private def rewriteListFnTemplates(sql: String): String = {
-    def one(cur0: String, fnName: String, tmpl: String => String): String = {
+    def nary(cur0: String, fnName: String, arity: Int,
+        tmpl: Seq[String] => String): String = {
       val re = s"(?i)\\b$fnName\\s*\\(".r
       var cur = cur0
       var search = 0
@@ -1127,8 +1132,8 @@ object DialectShim {
             !insideBackticks(cur, mm.start))
           .getOrElse(return cur)
         parseArgs(cur, m.end - 1) match {
-          case Some((Seq(arg), after)) =>
-            val text = tmpl(arg.trim)
+          case Some((args, after)) if args.size == arity =>
+            val text = tmpl(args.map(_.trim))
             cur = cur.substring(0, m.start) + text + cur.substring(after)
             search = m.start + text.length
           case _ => search = m.end
@@ -1136,13 +1141,23 @@ object DialectShim {
       }
       cur
     }
+    def one(cur0: String, fnName: String, tmpl: String => String): String =
+      nary(cur0, fnName, 1, args => tmpl(args.head))
     val a = one(sql, "list_reverse_sort", x => s"sort_array($x, false)")
     val b = one(a, "list_unique",
       x => s"size(array_distinct(filter($x, __g -> __g IS NOT NULL)))")
     // DuckDB epoch(ts) is DOUBLE seconds WITH the fractional part — Spark's
     // unix_timestamp truncates, so micros-exact arithmetic instead
     val c = one(b, "epoch", x => s"(unix_micros($x) / 1e6)")
-    rewriteRegexpReplace(rewriteJsonExtract(c))
+    // function spellings of the bracket forms — same 1-based / NULL-oob /
+    // inclusive-clamping semantics as the subscript and slice mappings
+    val d = Seq("list_element", "list_extract", "array_extract")
+      .foldLeft(c)((s, fn) => nary(s, fn, 2,
+        a => s"try_element_at(${a(0)}, ${a(1)})"))
+    val e = Seq("list_slice", "array_slice")
+      .foldLeft(d)((s, fn) => nary(s, fn, 3,
+        a => s"slice(${a(0)}, ${a(1)}, (${a(2)}) - (${a(1)}) + 1)"))
+    rewriteRegexpReplace(rewriteJsonExtract(e))
   }
 
   // strptime's %-codes reuse strftime's translation table; only fully

@@ -844,6 +844,15 @@ class DialectShimSpec extends AnyFunSuite {
     val u = spark.sql(DialectShim.rewrite(
       "SELECT list_unique(array(1, 2, 2, NULL)) AS n")).collect().head
     assert(u.getInt(0) == 2)
+    // function spellings of subscript/slice share the bracket semantics
+    assert(DialectShim.rewrite("SELECT list_element(l, 2), array_extract(l, -1) FROM t") ==
+      "SELECT try_element_at(l, 2), try_element_at(l, -1) FROM t")
+    assert(DialectShim.rewrite("SELECT list_slice(l, 2, 3) FROM t") ==
+      "SELECT slice(l, 2, (3) - (2) + 1) FROM t")
+    val fe = spark.sql(DialectShim.rewrite(
+      "SELECT list_element([1, 2, 3], 9) AS oob, " +
+        "list_slice([1, 2, 3, 4], 2, 3) AS sl")).collect().head
+    assert(fe.isNullAt(0) && fe.getSeq[Int](1) == Seq(2, 3))
   }
 
   test("struct_pack and struct literals become named_struct; epoch is exact") {
@@ -979,6 +988,7 @@ class DialectShimSpec extends AnyFunSuite {
       "SELECT regexp_replace(s, 'a', 'b'), regexp_replace(s, 'a', 'b', 'gi') FROM t",
       "SELECT strptime(s, '%Y-%m-%d'), strftime(d, '%H:%M') FROM t",
       "SELECT list_sort(l), list_reverse_sort(l), list_unique(l), epoch(ts) FROM t",
+      "SELECT list_element(l, 2), array_slice(l, 1, 3) FROM t",
       "SELECT arg_max(a, b), printf('%d', a), starts_with(s, 'x') FROM t",
       "SELECT * FROM generate_series(1, 5)",
       "SELECT a, u FROM t, unnest(t.l) AS z(u)",
