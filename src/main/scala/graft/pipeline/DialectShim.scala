@@ -33,8 +33,11 @@ object DialectShim {
     s"""(?i)\\b($fnNames)\\s*\\(\\s*'([^']*)'\\s*\\)""".r
   private val readFnList =
     s"""(?i)\\b($fnNames)\\s*\\(\\s*\\[([^\\]]*)\\]\\s*\\)""".r
+  // kwarg text may carry a names=[…] list or a columns={…} schema dict —
+  // brackets and braces are fine, nested parens are not (none of the
+  // supported kwargs take them)
   private val readFnKwargs =
-    s"""(?i)\\b(read_csv_auto|read_csv|read_json_auto|read_json)\\s*\\(\\s*'([^']*)'\\s*,\\s*([^()\\[\\]]*)\\)""".r
+    s"""(?i)\\b(read_csv_auto|read_csv|read_json_auto|read_json)\\s*\\(\\s*'([^']*)'\\s*,\\s*([^()]*)\\)""".r
   private val pathLit = """'([^']*)'""".r
   private val bareCount = """(?i)\bcount\s*\(\s*\)""".r
 
@@ -1531,8 +1534,7 @@ object DialectShim {
     // FROM-clause scan on original text)
     val afterTableFns = rewriteTableFns(afterComp)
     val afterListFns = rewriteListFnTemplates(afterTableFns)
-    val afterStructs = rewriteStructs(afterListFns)
-    val afterList = readFnList.replaceAllIn(afterStructs, m => {
+    val afterList = readFnList.replaceAllIn(afterListFns, m => {
       val fmt = fmtOf(m.group(1))
       val paths = pathLit.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
       val rewritten =
@@ -1553,9 +1555,11 @@ object DialectShim {
     val afterRead = readFn.replaceAllIn(afterKwargs, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${fmtOf(m.group(1))}.`${m.group(2)}`"))
-    // brackets AFTER read_* (the list-path form owns its brackets) and
-    // after comprehensions (their `for` brackets are gone)
-    val afterBrackets = rewriteBrackets(afterRead)
+    // structs AFTER read_* so a columns={…} schema dict reaches the kwarg
+    // rewriter intact; brackets after both (the read list-path form and
+    // names=[…] own their brackets, comprehension `for` brackets are gone)
+    val afterStructs = rewriteStructs(afterRead)
+    val afterBrackets = rewriteBrackets(afterStructs)
     // string_split/strftime carry their own quoted literal, so (like
     // read_*) they anchor on it and run against the full statement
     val afterSplit = stringSplitFn.replaceAllIn(afterBrackets, m =>
@@ -2132,45 +2136,83 @@ object DialectShim {
     * The view name is a hash of (fn, path, options), so repeated rewrites
     * of the same call reuse one registration and stay deterministic.
     */
+  // DuckDB column type spellings → Spark DDL; unknown types abort the
+  // rewrite (the call is left for execution to reject, name visible)
+  private val duckTypeMap = Map(
+    "VARCHAR" -> "STRING", "TEXT" -> "STRING", "STRING" -> "STRING",
+    "INT" -> "INT", "INTEGER" -> "INT", "BIGINT" -> "BIGINT",
+    "SMALLINT" -> "SMALLINT", "TINYINT" -> "TINYINT",
+    "DOUBLE" -> "DOUBLE", "FLOAT" -> "FLOAT", "REAL" -> "FLOAT",
+    "BOOLEAN" -> "BOOLEAN", "BOOL" -> "BOOLEAN",
+    "DATE" -> "DATE", "TIMESTAMP" -> "TIMESTAMP")
+
   private def rewriteKwargCall(spark: SparkSession, fn: String, path: String,
                                kwargText: String): Option[String] = {
     val kwarg = """(?i)\s*([a-z_]+)\s*=\s*(?:'([^']*)'|([^,\s]+))\s*""".r
-    // quote-aware comma split: delim=',' is the most common CSV kwarg and
-    // a naive split would cut inside its literal
+    val listKwarg = """(?is)^\s*([a-z_]+)\s*=\s*\[(.*)\]\s*$""".r
+    val dictKwarg = """(?is)^\s*([a-z_]+)\s*=\s*\{(.*)\}\s*$""".r
+    // quote/bracket/brace-aware comma split: delim=',' is the most common
+    // CSV kwarg, and names=[…]/columns={…} carry their own commas
     val pieces = {
       val out = Seq.newBuilder[String]; val cur = new StringBuilder
-      var inQ = false
+      var inQ = false; var depth = 0
       kwargText.foreach { c =>
         if (inQ) { cur.append(c); if (c == '\'') inQ = false }
         else if (c == '\'') { inQ = true; cur.append(c) }
-        else if (c == ',') { out += cur.toString; cur.clear() }
+        else if (c == '[' || c == '{') { depth += 1; cur.append(c) }
+        else if (c == ']' || c == '}') { depth -= 1; cur.append(c) }
+        else if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
         else cur.append(c)
       }
       out += cur.toString
       out.result()
     }
+    var names: Option[Seq[String]] = None
+    var schemaDdl: Option[String] = None
+    val quoted = """^\s*'([^']*)'\s*$""".r
     val parsed = pieces.map {
+      case listKwarg(k, inner) if k.equalsIgnoreCase("names") =>
+        val items = inner.split(",").toSeq.map(_.trim)
+        if (items.forall(quoted.findFirstIn(_).isDefined)) {
+          names = Some(items.map { case quoted(n) => n })
+          Some(None) // consumed, contributes no reader option
+        } else None
+      case dictKwarg(k, inner) if k.equalsIgnoreCase("columns") =>
+        // {'name': 'TYPE', …} → Spark DDL schema "name TYPE, …"
+        val pairRe = """^\s*'([^']*)'\s*:\s*'([^']*)'\s*$""".r
+        val cols = inner.split(",").toSeq.map {
+          case pairRe(n, t) =>
+            duckTypeMap.get(t.trim.toUpperCase).map(st => s"`$n` $st")
+          case _ => None
+        }
+        if (cols.exists(_.isEmpty)) None
+        else { schemaDdl = Some(cols.flatten.mkString(", ")); Some(None) }
       case kwarg(k, strV, rawV) =>
         kwargKeys.get(k.toLowerCase)
-          .map(_ -> Option(strV).getOrElse(rawV))
+          .map(o => Some(o -> Option(strV).getOrElse(rawV)))
       case _ => None
     }
     if (parsed.exists(_.isEmpty)) return None
-    val opts = parsed.flatten.toMap ++
-      // the *_auto variants infer types, like DuckDB's sniffer
-      (if (fn.toLowerCase.endsWith("_auto")) Map("inferSchema" -> "true")
+    val opts = parsed.flatten.flatten.toMap ++
+      // the *_auto variants infer types, like DuckDB's sniffer; an
+      // explicit columns= schema disables inference exactly like DuckDB
+      (if (fn.toLowerCase.endsWith("_auto") && schemaDdl.isEmpty)
+        Map("inferSchema" -> "true")
        else Map.empty)
     val fmt = fmtOf(fn)
     val name = "__graft_read_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$fmt|$path|${opts.toSeq.sorted}".getBytes("UTF-8"))
+      .digest(s"$fmt|$path|${opts.toSeq.sorted}|$names|$schemaDdl".getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     if (!spark.catalog.tableExists(name)) {
-      val r = spark.read.options(opts)
-      val df = fmt match {
+      val r0 = spark.read.options(opts)
+      val r = schemaDdl.fold(r0)(r0.schema)
+      val df0 = fmt match {
         case "csv"  => r.csv(path)
         case "json" => r.json(path)
         case _      => r.parquet(path)
       }
+      val df = names.fold(df0)(ns =>
+        if (ns.size == df0.columns.length) df0.toDF(ns: _*) else df0)
       df.createOrReplaceTempView(name)
     }
     Some(name)

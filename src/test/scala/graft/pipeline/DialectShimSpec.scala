@@ -86,6 +86,34 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(sql, spark) == sql)
   }
 
+  test("read_csv columns={…} and names=[…] kwargs shape the schema") {
+    val spark = graft.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-schema-csv")
+    val f = dir.resolve("s.csv")
+    java.nio.file.Files.writeString(f, "1|alpha\n2|beta\n")
+    // columns= fully specifies the schema (no header, no inference), like
+    // DuckDB; the dict must reach the kwarg rewriter before the struct pass
+    val cols = DialectShim.rewrite(
+      s"SELECT * FROM read_csv('$f', delim='|', " +
+        "columns={'id': 'BIGINT', 'name': 'VARCHAR'})", spark)
+    assert(!cols.contains("read_csv"), cols)
+    val df = spark.sql(cols)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.schema("id").dataType.typeName == "long")
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta"))
+    // names= renames positionally
+    val named = DialectShim.rewrite(
+      s"SELECT * FROM read_csv('$f', delim='|', names=['k', 'v'])", spark)
+    assert(!named.contains("read_csv"), named)
+    assert(spark.sql(named).columns.toSeq == Seq("k", "v"))
+    // an unknown type in columns= aborts the rewrite — the call fails at
+    // execution with read_csv visible (the struct pass may still have
+    // normalized the dict literal)
+    val unknown = s"SELECT * FROM read_csv('$f', columns={'a': 'UUID'})"
+    assert(DialectShim.rewrite(unknown, spark).contains("read_csv"))
+  }
+
   test("1:1 function renames apply outside string literals only") {
     assert(DialectShim.rewrite("SELECT list_contains(arr, 'x') FROM t") ==
       "SELECT array_contains(arr, 'x') FROM t")
