@@ -105,8 +105,14 @@ object MacroRenderer {
       cur = next
       depth += 1
     }
+    // Filtered slots at top level: default(…) may still produce a value;
+    // any other filter on an undefined name fails named (minijinja errors
+    // there too — never leak `{{ … }}` into the SQL)
+    val filtered = filteredVarPat.replaceAllIn(cur, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        applyFilters(m.group(1), m.group(2), Map.empty)))
     // Undefined bare variables → empty (empty render context, node.rs:100-106)
-    varPat.replaceAllIn(cur, _ => "").trim
+    varPat.replaceAllIn(filtered, _ => "").trim
   }
 
   private def expand(mac: MacroDef, argStr: String): String = {
@@ -388,11 +394,72 @@ object MacroRenderer {
       case JStr(s)   => s
       case JList(xs) => xs.mkString(", ")
     })}
-    val afterVars = varPat.replaceAllIn(text, m =>
+    val afterFiltered = filteredVarPat.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        applyFilters(m.group(1), m.group(2), env)))
+    val afterVars = varPat.replaceAllIn(afterFiltered, m =>
       java.util.regex.Matcher.quoteReplacement(strs.getOrElse(m.group(1), "")))
     callPat.replaceAllIn(afterVars, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"{{ ${m.group(1)}(${substParams(m.group(2), strs)}) }}"))
+  }
+
+  // --- jinja filters -------------------------------------------------------
+  // minijinja renders `{{ x | filter }}` anywhere (node.rs:100-106); the
+  // subset below covers the filters macro bodies actually use on string/
+  // list params. An unknown filter or a type mismatch FAILS named instead
+  // of leaking `{{ … }}` text into the SQL (the control-tag contract).
+  //   upper lower trim length join(sep) replace(a, b) default(v)
+
+  private[pipeline] val filteredVarPat =
+    """\{\{\s*([A-Za-z_]\w*|'[^']*'|"[^"]*")\s*((?:\|\s*[A-Za-z_]\w*(?:\([^()]*\))?\s*)+)\}\}""".r
+
+  private def applyFilters(baseText: String, filtersText: String,
+      env: Map[String, JVal]): String = {
+    var v: Option[JVal] =
+      if (baseText.head == '\'' || baseText.head == '"')
+        Some(JStr(unquote(baseText)))
+      else env.get(baseText)
+    val filterRe = """([A-Za-z_]\w*)(?:\(([^()]*)\))?""".r
+    filterRe.findAllMatchIn(filtersText).foreach { fm =>
+      val fn = fm.group(1).toLowerCase
+      val fargs = Option(fm.group(2)).map(splitArgs(_).map(a => unquote(a.trim)))
+        .getOrElse(Seq.empty)
+      def str: String = v match {
+        case Some(JStr(s)) => s
+        case Some(JList(_)) =>
+          unsupportedJinja(s"filter `$fn` expects a string, got a list")
+        case None => unsupportedJinja(
+          s"`$baseText` is undefined (only `default(…)` may apply)")
+      }
+      v = fn match {
+        case "default" =>
+          if (v.isEmpty || v.contains(JStr("")))
+            Some(JStr(fargs.headOption.getOrElse("")))
+          else v
+        case "upper"   => Some(JStr(str.toUpperCase))
+        case "lower"   => Some(JStr(str.toLowerCase))
+        case "trim"    => Some(JStr(str.trim))
+        case "replace" =>
+          if (fargs.size != 2) unsupportedJinja("replace(old, new) needs 2 args")
+          Some(JStr(str.replace(fargs(0), fargs(1))))
+        case "length" => v match {
+          case Some(JList(xs)) => Some(JStr(xs.length.toString))
+          case _               => Some(JStr(str.length.toString))
+        }
+        case "join" => v match {
+          case Some(JList(xs)) =>
+            Some(JStr(xs.mkString(fargs.headOption.getOrElse(""))))
+          case _ => unsupportedJinja("join(sep) expects a list")
+        }
+        case other => unsupportedJinja(s"unsupported filter `$other`")
+      }
+    }
+    v match {
+      case Some(JStr(s))   => s
+      case Some(JList(xs)) => xs.mkString(", ")
+      case None            => unsupportedJinja(s"`$baseText` is undefined")
+    }
   }
 
   /** Substitute bound params in a nested call's argument text: one

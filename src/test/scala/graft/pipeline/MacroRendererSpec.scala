@@ -126,4 +126,35 @@ class MacroRendererSpec extends AnyFunSuite {
       MacroRenderer.render("SELECT 1{% endfor %}", ""))
     assert(e4.getMessage.contains("unexpected"))
   }
+
+  test("jinja filters apply to macro params; unknown filters fail named") {
+    val macros =
+      """{% macro col(name) %}{{ name | upper }} AS {{ name | lower }}_u{% endmacro %}"""
+    assert(MacroRenderer.render("SELECT {{ col(Price) }} FROM t", macros) ==
+      "SELECT PRICE AS price_u FROM t")
+    // replace + trim + literal base
+    val m2 = """{% macro q(s) %}{{ s | trim | replace('-', '_') }}{% endmacro %}"""
+    assert(MacroRenderer.render("SELECT {{ q(' a-b ') }} FROM t", m2) ==
+      "SELECT a_b FROM t")
+    // join over a list param bound from a literal list via {% for %} env is
+    // out of scope here — join applies to list-typed bindings; string gets
+    // a named error
+    val bad = """{% macro j(s) %}{{ s | join(',') }}{% endmacro %}"""
+    val e = intercept[GenericError](
+      MacroRenderer.render("SELECT {{ j(x) }} FROM t", bad))
+    assert(e.getMessage.contains("join"))
+    // default() on an undefined top-level name produces the default; any
+    // other filter on undefined fails named instead of leaking
+    assert(MacroRenderer.render("SELECT {{ missing | default('0') }} AS d", "")
+      == "SELECT 0 AS d")
+    val e2 = intercept[GenericError](
+      MacroRenderer.render("SELECT {{ missing | upper }} FROM t", ""))
+    assert(e2.getMessage.contains("undefined"))
+    // unknown filter name
+    val e3 = intercept[GenericError](MacroRenderer.render(
+      "SELECT {{ x | frobnicate }} FROM t",
+      "{% macro id(x) %}{{ x | frobnicate }}{% endmacro %}"))
+    assert(e3.getMessage.contains("frobnicate") ||
+      e3.getMessage.contains("undefined"))
+  }
 }
