@@ -80,8 +80,22 @@ object DepExtractor {
       // Catalyst-parseable text that keeps their table references
       val normalized = DialectShim.parseNormalize(shimmed)
       DialectShim.statementRefHints(st) ++ copyQueryRefs(normalized) ++
-        tableRefs(normalized)
+        macroBodyRefs(st) ++ tableRefs(normalized)
     }.toSet.intersect(modelIds.map(_.toLowerCase))
+
+  /** A table macro's body is a SELECT over other models — the defining
+    * statement must contribute those edges even though CREATE MACRO itself
+    * never parses. (Scalar macro bodies are expressions; a table name can
+    * only appear inside a subquery, which `SELECT <body>` recovers.)
+    */
+  private def macroBodyRefs(st: String): Set[String] =
+    (try DialectShim.macroDefinitionAny(st) catch { case _: Exception => None }) match {
+      case Some((_, params, body, isTable)) =>
+        val sql = if (isTable) body else s"SELECT $body"
+        val shimmed = try DialectShim.rewrite(sql) catch { case _: Exception => sql }
+        tableRefs(DialectShim.parseNormalize(shimmed)) -- params.map(_.toLowerCase)
+      case None => Set.empty
+    }
 
   /** `COPY (<query>) TO …` and `PIVOT (<query>) ON …` can't be parsed by
     * Catalyst whole, but their inner queries can — a model exporting or

@@ -150,29 +150,43 @@ object DialectShim {
   // (name, params, body) in a per-session registry and executes as a
   // no-op; call sites in later statements inline the body with arguments
   // substituted (paren-wrapped, so precedence is preserved). Table macros
-  // (`AS TABLE …`) and parameter defaults (`a := 1`) stay verbatim and
-  // fail at execution with the original statement visible — the
-  // reference's error shape for anything DuckDB-only.
+  // (`AS TABLE <select>`) register the same way and inline at call sites
+  // as a parenthesized subquery — `FROM m(1)` becomes `FROM (SELECT … )`,
+  // valid in Spark with or without an alias. Parameter defaults
+  // (`a := 1`) stay verbatim and fail at execution with the original
+  // statement visible — the reference's error shape for anything
+  // DuckDB-only.
 
-  private final case class SqlMacro(name: String, params: Seq[String], body: String)
+  private final case class SqlMacro(name: String, params: Seq[String],
+      body: String, isTable: Boolean)
 
   private val macroDefRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+)\s*$""".r
   private val identRe = """^[A-Za-z_]\w*$""".r
 
+  private val tableBodyRe = """(?is)^TABLE\b\s*(.+)$""".r
+
+  /** Parse any CREATE MACRO definition: Some((name, params, body,
+    * isTable)); None for defaulted params / anything else. A table
+    * macro's body is the SELECT after the TABLE keyword.
+    */
+  def macroDefinitionAny(st: String): Option[(String, Seq[String], String, Boolean)] =
+    st match {
+      case macroDefRe(name, params, body) =>
+        val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (!ps.forall(p => identRe.findFirstIn(p).isDefined)) None
+        else body.trim match {
+          case tableBodyRe(rest) => Some((name.toLowerCase, ps, rest.trim, true))
+          case b                 => Some((name.toLowerCase, ps, b, false))
+        }
+      case _ => None
+    }
+
   /** Parse a scalar CREATE MACRO definition: Some((name, params, body)),
     * or None for the table form / defaulted params / anything else.
     */
   def macroDefinition(st: String): Option[(String, Seq[String], String)] =
-    st match {
-      case macroDefRe(name, params, body)
-          if !body.trim.toUpperCase.startsWith("TABLE") =>
-        val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (ps.forall(p => identRe.findFirstIn(p).isDefined))
-          Some((name.toLowerCase, ps, body.trim))
-        else None
-      case _ => None
-    }
+    macroDefinitionAny(st).collect { case (n, p, b, false) => (n, p, b) }
 
   // session-scoped, like DuckDB TEMP macros; weak keys so a stopped
   // session's registry is collectable (a long-lived driver may build many
@@ -186,13 +200,13 @@ object DialectShim {
         _ => scala.collection.concurrent.TrieMap.empty[String, SqlMacro])
     }
 
-  /** Register `st` if it is a scalar macro definition; true when handled
-    * (the caller should then skip executing the statement).
+  /** Register `st` if it is a scalar or table macro definition; true when
+    * handled (the caller should then skip executing the statement).
     */
   def registerMacroIfDef(spark: SparkSession, st: String): Boolean =
-    macroDefinition(st) match {
-      case Some((name, ps, body)) =>
-        registryOf(spark).put(name, SqlMacro(name, ps, body)); true
+    macroDefinitionAny(st) match {
+      case Some((name, ps, body, isTable)) =>
+        registryOf(spark).put(name, SqlMacro(name, ps, body, isTable)); true
       case None => false
     }
 
@@ -493,6 +507,10 @@ object DialectShim {
   private val pivotHead = """(?is)^\s*(UN)?PIVOT\s""".r
   private val fromFirstRe = """(?is)^\s*FROM\s""".r
 
+  // Cap on the dynamic-ON distinct probe (each value becomes a column;
+  // DuckDB itself errors past ~100k pivot columns).
+  private[pipeline] val maxPivotValues: Int = 10000
+
   private def unsupportedPivot(detail: String): Nothing =
     throw new IllegalArgumentException(
       "PIVOT/UNPIVOT statement: unsupported form (" + detail + "); " +
@@ -744,12 +762,21 @@ object DialectShim {
             case None => return st // lexical-only pass: hints carry the refs
             case Some(s) =>
               // the distinct probe re-enters the full shim so a read_* or
-              // macro-bearing source still resolves
-              s.sql(rewrite(
+              // macro-bearing source still resolves. LIMIT maxPivotValues+1
+              // bounds the driver collect: each distinct value becomes an
+              // output COLUMN, so beyond the cap the statement is almost
+              // certainly a mistake — fail named instead of OOMing the
+              // driver enumerating a high-cardinality ON column.
+              val collected = s.sql(rewrite(
                 s"SELECT DISTINCT ${p.onCol} AS __graft_v FROM " +
                   s"${pivotSrcSql(p.source)} WHERE ${p.onCol} IS NOT NULL " +
-                  "ORDER BY 1", s))
-                .collect().toSeq.map(r => sqlLit(r.get(0)))
+                  s"ORDER BY 1 LIMIT ${maxPivotValues + 1}", s))
+                .collect().toSeq
+              if (collected.size > maxPivotValues) unsupportedPivot(
+                s"ON column `${p.onCol}` has more than $maxPivotValues " +
+                  "distinct values; list them explicitly with IN (…) or " +
+                  "pre-aggregate the source")
+              collected.map(r => sqlLit(r.get(0)))
           }
         }
         if (vals.isEmpty) unsupportedPivot("no pivot values (empty IN / source)")

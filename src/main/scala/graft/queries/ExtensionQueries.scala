@@ -602,6 +602,24 @@ object ExtensionQueries {
       s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
     }),
 
+    // -- DuckDB table macro (CREATE MACRO … AS TABLE) through the shim -----
+    // The definition registers (a no-op statement, reference-style
+    // pass-through) and the call site inlines as a parenthesized subquery;
+    // DuckDB runs the SAME two statements natively as the oracle.
+    "q82_table_macro" -> ((s, dir) => {
+      graft.pipeline.SqlExec.run(s,
+        s"""CREATE OR REPLACE MACRO pricey_orders(lim) AS TABLE
+           |SELECT o_custkey, o_totalprice
+           |FROM read_parquet('$dir/orders.parquet')
+           |WHERE o_totalprice > lim""".stripMargin)
+      val stmt =
+        """SELECT o.o_custkey AS custkey, count() AS n,
+          |       round(sum(o.o_totalprice), 2) AS total
+          |FROM pricey_orders(400000) AS o
+          |GROUP BY o.o_custkey ORDER BY total DESC, custkey LIMIT 25""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+    }),
+
     // -- DuckDB COLUMNS() star expression through the dialect shim ---------
     // min/max over a regex-selected column family: the shim expands the
     // COLUMNS set from the probed source schema and — DuckDB behavior —
@@ -1162,6 +1180,15 @@ object ExtensionQueries {
         |       s_nationkey AS nation
         |FROM supplier WHERE s_acctbal > 9000
         |ORDER BY id, name""".stripMargin,
+    // the oracle IS the same definition + call pair run natively by DuckDB
+    // (its Python client executes multi-statement SQL, returning the last)
+    "q82_table_macro" ->
+      """CREATE OR REPLACE MACRO pricey_orders(lim) AS TABLE
+        |SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > lim;
+        |SELECT o.o_custkey AS custkey, count(*) AS n,
+        |       round(sum(o.o_totalprice), 2) AS total
+        |FROM pricey_orders(400000) AS o
+        |GROUP BY o.o_custkey ORDER BY total DESC, custkey LIMIT 25""".stripMargin,
     "q78_columns_expr" ->
       """SELECT l_returnflag, min(COLUMNS('^l_(quantity|extendedprice|discount)$'))
         |FROM lineitem

@@ -60,4 +60,21 @@ class DepExtractorSpec extends AnyFunSuite {
     // fully unparseable statements still contribute nothing
     assert(DepExtractor.modelRefsInModel("FROB knob1", ids) == Set.empty)
   }
+
+  test("table macro bodies contribute edges; parameters do not") {
+    val ids = Set("src_orders", "lim", "other")
+    val m =
+      """CREATE MACRO big_orders(lim) AS TABLE
+        |  SELECT * FROM src_orders WHERE o_totalprice > lim;
+        |SELECT o_orderstatus, count() AS n
+        |FROM big_orders(200000) GROUP BY o_orderstatus""".stripMargin
+    // the edge comes from the macro BODY (the call site is an unresolved
+    // TVF to Catalyst); a model unluckily named like the parameter must
+    // not become a dependency
+    assert(DepExtractor.modelRefsInModel(m, ids) == Set("src_orders"))
+    // a scalar macro whose body holds a subquery also yields its edge
+    assert(DepExtractor.modelRefsInModel(
+      "CREATE MACRO mx() AS (SELECT max(o_totalprice) FROM src_orders);\nSELECT 1 AS x",
+      ids) == Set("src_orders"))
+  }
 }

@@ -205,9 +205,12 @@ class DialectShimSpec extends AnyFunSuite {
       "CREATE MACRO add_one(x) AS x + 1") == Some(("add_one", Seq("x"), "x + 1")))
     assert(DialectShim.macroDefinition(
       "CREATE OR REPLACE TEMP MACRO f() AS 41 + 1") == Some(("f", Seq.empty, "41 + 1")))
-    // table macros stay verbatim (DuckDB-only; execution reports them)
+    // the scalar API rejects the table form (it parses via macroDefinitionAny)
     assert(DialectShim.macroDefinition(
       "CREATE MACRO t1() AS TABLE SELECT 1").isEmpty)
+    assert(DialectShim.macroDefinitionAny(
+      "CREATE MACRO t1(n) AS TABLE SELECT n AS x") ==
+      Some(("t1", Seq("n"), "SELECT n AS x", true)))
     // parameter defaults unsupported
     assert(DialectShim.macroDefinition(
       "CREATE MACRO g(x := 1) AS x").isEmpty)
@@ -263,6 +266,41 @@ class DialectShimSpec extends AnyFunSuite {
     SqlExec.run(spark, "CREATE MACRO sq(x) AS x * x") // must not throw
     assert(spark.sql(DialectShim.rewrite("SELECT sq(6) AS y", spark))
       .head.getInt(0) == 36)
+  }
+
+  test("table CREATE MACRO registers and inlines as a FROM subquery") {
+    val spark = graft.SparkTestSession.spark.newSession()
+    val defn = "CREATE MACRO top_ids(lim) AS TABLE " +
+      "SELECT id FROM tm_src WHERE id < lim"
+    // the definition passes through verbatim (SqlExec skips it)…
+    assert(DialectShim.rewrite(defn, spark) == defn)
+    // …and a FROM-position call becomes a parenthesized subquery with the
+    // argument substituted paren-wrapped
+    assert(DialectShim.rewrite("SELECT * FROM top_ids(3)", spark) ==
+      "SELECT * FROM (SELECT id FROM tm_src WHERE id < (3))")
+    // executes end-to-end, alias included
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW tm_src AS " +
+      "SELECT * FROM VALUES (1), (2), (5) AS t(id)")
+    SqlExec.run(spark, defn)
+    val rows = spark.sql(DialectShim.rewrite(
+      "SELECT t.id FROM top_ids(3) AS t ORDER BY t.id", spark))
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(1, 2))
+    // a DuckDB-ism in the body (count()) rewrites AFTER inlining, so table
+    // macro bodies may use the shimmed dialect too
+    SqlExec.run(spark,
+      "CREATE MACRO id_count() AS TABLE SELECT count() AS n FROM tm_src")
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT n FROM id_count()", spark)).head.getLong(0) == 3L)
+  }
+
+  test("dynamic PIVOT ON probe is bounded: >10k distinct values fail named") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pv_big AS " +
+      "SELECT CAST(id AS STRING) AS cat, id AS v FROM range(10001)")
+    val e = intercept[IllegalArgumentException](
+      DialectShim.rewrite("PIVOT pv_big ON cat USING sum(v)", spark))
+    assert(e.getMessage.contains("`cat`") && e.getMessage.contains("10000"))
   }
 
   test("SUMMARIZE <table> runs the native profiler at execution time") {

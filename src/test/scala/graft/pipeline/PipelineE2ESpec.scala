@@ -345,6 +345,13 @@ class PipelineE2ESpec extends AnyFunSuite {
     // COLUMNS('re'): expanded columns keep their source names
     assert(spark.table("order_extremes").columns.toSeq ==
       Seq("o_orderstatus", "o_custkey", "o_totalprice"))
+    // table macro: side-statement definition, FROM-position call; the
+    // src_orders dependency edge came from the macro BODY
+    val bigCounts = spark.table("big_order_counts")
+    assert(bigCounts.columns.toSeq == Seq("o_orderstatus", "n"))
+    assert(bigCounts.count() == spark.table("src_orders")
+      .filter(col("o_totalprice") > 200000)
+      .select("o_orderstatus").distinct.count())
 
     // PIVOT statement script via run-file against the session's views
     val st = graft.cli.Main.runFilesOn(spark,
