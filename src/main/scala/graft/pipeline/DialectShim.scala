@@ -988,11 +988,18 @@ object DialectShim {
   //     `FROM (SELECT explode(array(…)) AS u) AS z`
   //   - select-list `unnest(x)` → `explode(x)`, aliased to DuckDB's
   //     derived name `unnest(x)` when the user gave no alias
+  //   - SEVERAL select-list unnests → DuckDB zips them positionally,
+  //     NULL-padding the shorter lists. Spark's one-generator rule can't
+  //     take N explodes, so ONE generated index drives them all:
+  //       SELECT try_element_at(a, __graft_uzi + 1), … FROM t
+  //       LATERAL VIEW explode(<0 … max(size)-1, empty when all empty/NULL>)
+  //         __graft_uz AS __graft_uzi
+  //     try_element_at is 1-based and NULL out of range — exactly the
+  //     zip-and-NULL-pad semantics. Only top-level (depth-0) select items
+  //     rewrite; an unnest nested inside a function call leaves the whole
+  //     statement verbatim (fails with unnest named).
   // Un-aliased FROM-position unnest keeps DuckDB's expression-derived
-  // column name (un-referenceable in practice) — left verbatim. A select
-  // list with SEVERAL unnests zips them in DuckDB but exceeds Spark's
-  // one-generator rule, so multiples are left verbatim to fail with the
-  // original name visible.
+  // column name (un-referenceable in practice) — left verbatim.
 
   private val tableFnRe = """(?i)\b(generate_series|range|unnest)\s*\(""".r
   private val intLitRe = """^-?\d+$""".r
@@ -1104,16 +1111,23 @@ object DialectShim {
                   }
                 }
             } else if (fn == "unnest") {
-              // select-list position: single unnest only (DuckDB zips
-              // multiples; Spark allows one generator — leave those)
+              // select-list position: a single unnest explodes; several
+              // zip via one generated index (see the comment block above)
               val (lo, hi) =
                 if (depthAt(cur, m.start).contains(0)) (0, cur.length)
                 else { val (o, c) = innermostSpan(cur, m.start); (o + 1, c) }
               val span = cur.substring(lo, hi)
               val nUnnest = """(?i)\bunnest\s*\(""".r.findAllMatchIn(span)
                 .count(mm => !inFromClause(span, mm.start) &&
-                  depthAt(span, mm.start).isDefined)
-              if (nUnnest > 1 || args.isEmpty) None
+                  depthAt(span, mm.start).isDefined &&
+                  !insideBackticks(span, mm.start))
+              // the innermost span must BE a query block — when it's a
+              // function-call paren (`upper(unnest(x))`), leave the call
+              // verbatim so the failure names unnest, instead of planting
+              // an invalid nested explode
+              if (args.isEmpty || topLevelKeyword(span, "SELECT", 0) < 0) None
+              else if (nUnnest > 1)
+                rewriteZipUnnests(span).map(ns => (lo, hi, ns))
               else {
                 val raw = cur.substring(open + 1, after - 1)
                 val arg = bracketToArray(raw)
@@ -1133,12 +1147,84 @@ object DialectShim {
           repl match {
             case Some((a, b, text)) =>
               cur = cur.substring(0, a) + text + cur.substring(b)
-              search = a + text.length
+              // a zip rewrite (marked by its generated __graft_uz alias)
+              // resumes at the span start: a FROM-clause unnest inside the
+              // same span still needs its own rewrite (zip output cannot
+              // re-trigger — its derived aliases are backtick-quoted)
+              search = if (text.contains("__graft_uz")) a else a + text.length
             case None => search = m.end
           }
       }
     }
     cur
+  }
+
+  /** Zip N select-list unnests of one query block (`span` = the block's
+    * text). Every unnest site must sit at paren depth 0 of the block — a
+    * site inside a function call or any other nesting returns None and the
+    * statement stays verbatim (failing with unnest named, as before).
+    */
+  private def rewriteZipUnnests(span: String): Option[String] = {
+    if (topLevelKeyword(span, "SELECT", 0) < 0) return None
+    // (start, afterClose, rawArg) per site, in order
+    val sites = """(?i)\bunnest\s*\(""".r.findAllMatchIn(span).flatMap { mm =>
+      if (inFromClause(span, mm.start) || insideBackticks(span, mm.start))
+        None
+      else depthAt(span, mm.start) match {
+        case Some(0) => parseArgs(span, mm.end - 1) match {
+          case Some((as, after)) if as.nonEmpty =>
+            Some(Right((mm.start, after, span.substring(mm.end, after - 1))))
+          case _ => Some(Left(())) // malformed call: bail
+        }
+        case Some(_) => Some(Left(())) // nested (function arg / subquery)
+        case None    => None           // inside a string literal
+      }
+    }.toSeq
+    if (sites.exists(_.isLeft)) return None
+    val zip = sites.collect { case Right(s) => s }
+    if (zip.size < 2) return None
+    val args = zip.map { case (_, _, raw) => bracketToArray(raw) }
+    val sizes = args.distinct.map(a => s"size($a)")
+    val g = if (sizes.size == 1) sizes.head else s"greatest(${sizes.mkString(", ")})"
+    // 0 … max(size)-1; empty (row dropped, like DuckDB) when every list is
+    // empty or NULL. slice() avoids a CASE whose arms disagree on type.
+    val idx = s"slice(sequence(0, greatest(coalesce($g, 1), 1) - 1), " +
+      s"1, greatest(coalesce($g, 0), 0))"
+    val lateral = s" LATERAL VIEW explode($idx) __graft_uz AS __graft_uzi"
+    // replace call sites back-to-front so offsets stay valid
+    var out = span
+    zip.reverseIterator.foreach { case (start, after, raw) =>
+      val call = s"try_element_at(${bracketToArray(raw)}, __graft_uzi + 1)"
+      val rest = out.substring(after)
+      val aliasFollows = """^\s*AS\b""".r.findFirstIn(rest).isDefined ||
+        """^\s*([A-Za-z_]\w*)""".r.findFirstMatchIn(rest)
+          .exists(am => !fnClauseKeywords.contains(am.group(1).toUpperCase) &&
+            !Seq("FROM", "AS").contains(am.group(1).toUpperCase))
+      // derive DuckDB's `unnest(<arg>)` name only when the call IS the
+      // whole select item (next code is a comma, FROM, or the block end)
+      val bareItem = {
+        val t = rest.dropWhile(_.isWhitespace)
+        t.isEmpty || t.startsWith(",") ||
+          """(?i)^FROM\b""".r.findFirstIn(t).isDefined
+      }
+      val text =
+        if (aliasFollows || !bareItem) call
+        else s"$call AS `unnest(${raw.trim})`"
+      out = out.substring(0, start) + text + out.substring(after)
+    }
+    // attach the lateral view at the end of the FROM clause (before the
+    // first terminating clause keyword); no FROM at all (pure literals)
+    // gets a one-row scaffold
+    val terminators = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+      "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+    val fromPos = topLevelKeyword(out, "FROM", 0)
+    val searchFrom = if (fromPos >= 0) fromPos else 0
+    val cut = terminators
+      .map(k => topLevelKeyword(out, k, searchFrom)).filter(_ >= 0)
+      .minOption.getOrElse(out.length)
+    val scaffold = if (fromPos >= 0) "" else " FROM (SELECT 1 AS __graft_uzd)"
+    Some(out.substring(0, cut).stripTrailing() + scaffold + lateral +
+      (if (cut < out.length) " " + out.substring(cut) else ""))
   }
 
   // --- single-arg list-function templates --------------------------------

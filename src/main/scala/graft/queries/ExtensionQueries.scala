@@ -620,6 +620,21 @@ object ExtensionQueries {
       s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
     }),
 
+    // -- DuckDB multi-unnest zip through the dialect shim ------------------
+    // Two select-list unnests over different-length slices of the same
+    // token list: DuckDB zips them positionally and NULL-pads the shorter.
+    // The shim drives both from ONE generated index (try_element_at +
+    // LATERAL VIEW) — DuckDB runs the same statement natively as the
+    // oracle, so the padding semantics are cross-checked row for row.
+    "q83_unnest_zip" -> ((s, dir) => {
+      val stmt =
+        s"""SELECT doc_id, unnest(toks[1:6]) AS tok, unnest(toks[1:3]) AS tok3
+           |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+           |      FROM read_parquet('$dir/documents.parquet') WHERE doc_id < 50)
+           |ORDER BY doc_id, tok, tok3""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+    }),
+
     // -- DuckDB COLUMNS() star expression through the dialect shim ---------
     // min/max over a regex-selected column family: the shim expands the
     // COLUMNS set from the probed source schema and — DuckDB behavior —
@@ -1189,6 +1204,11 @@ object ExtensionQueries {
         |       round(sum(o.o_totalprice), 2) AS total
         |FROM pricey_orders(400000) AS o
         |GROUP BY o.o_custkey ORDER BY total DESC, custkey LIMIT 25""".stripMargin,
+    "q83_unnest_zip" ->
+      """SELECT doc_id, unnest(toks[1:6]) AS tok, unnest(toks[1:3]) AS tok3
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, tok, tok3""".stripMargin,
     "q78_columns_expr" ->
       """SELECT l_returnflag, min(COLUMNS('^l_(quantity|extendedprice|discount)$'))
         |FROM lineitem

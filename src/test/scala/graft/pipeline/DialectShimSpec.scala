@@ -884,14 +884,50 @@ class DialectShimSpec extends AnyFunSuite {
     // user alias wins
     assert(spark.sql(DialectShim.rewrite("SELECT unnest(l) AS x FROM un_t"))
       .columns.toSeq == Seq("x"))
-    // two select-list unnests zip in DuckDB, exceed Spark's one-generator
-    // rule — left verbatim so the failure names unnest
-    val two = "SELECT unnest(a), unnest(b) FROM t"
-    assert(DialectShim.rewrite(two) == two)
     // no alias in FROM position: unnest itself stays (fails at execution
     // naming it); only the bracket literal inside converts
     assert(DialectShim.rewrite("SELECT * FROM unnest([1, 2])") ==
       "SELECT * FROM unnest(array(1, 2))")
+  }
+
+  test("several select-list unnests zip with NULL padding like DuckDB") {
+    val spark = graft.SparkTestSession.spark
+    // one generated index drives all lists: no multi-generator failure
+    val rw = DialectShim.rewrite("SELECT unnest(a) AS x, unnest(b) AS y FROM t")
+    assert(rw.contains("try_element_at(a, __graft_uzi + 1) AS x"), rw)
+    assert(rw.contains("LATERAL VIEW explode("), rw)
+    // unequal lengths: the shorter list NULL-pads to the longer
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW uz_t AS SELECT * FROM VALUES " +
+      "(1, array(10, 20, 30), array('a')), (2, array(40), array('b', 'c'))" +
+      " AS t(k, xs, ys)")
+    val rows = spark.sql(DialectShim.rewrite(
+      "SELECT k, unnest(xs) AS x, unnest(ys) AS y FROM uz_t ORDER BY k, x"))
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(rows == Seq(
+      (1, Some(10), Some("a")), (1, Some(20), None), (1, Some(30), None),
+      (2, None, Some("c")), (2, Some(40), Some("b"))))
+    // empty + NULL lists drop the row entirely (DuckDB: zero zip rows)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW uz_e AS " +
+      "SELECT array() AS xs, CAST(NULL AS ARRAY<INT>) AS ys")
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT unnest(xs) AS x, unnest(ys) AS y FROM uz_e")).count() == 0)
+    // unaliased items take DuckDB's derived `unnest(<arg>)` column names
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT unnest(xs), unnest(ys) FROM uz_t"))
+      .columns.toSeq == Seq("unnest(xs)", "unnest(ys)"))
+    // bracket list literals, no FROM at all: a one-row scaffold is injected
+    val lit = spark.sql(DialectShim.rewrite(
+      "SELECT unnest([1, 2]) AS x, unnest(['p']) AS y"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(lit == Seq((Some(1), Some("p")), (Some(2), None)))
+    // WHERE survives after the injected LATERAL VIEW
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT k, unnest(xs) AS x, unnest(ys) AS y FROM uz_t WHERE k = 2"))
+      .count() == 2)
+    // an unnest nested inside a function call: whole statement verbatim
+    // (fails at execution with unnest named), zip would change semantics
+    val nested = "SELECT unnest(a), upper(unnest(b)) FROM t"
+    assert(DialectShim.rewrite(nested) == nested)
   }
 
   test("list_sort family maps with DuckDB null ordering") {
