@@ -178,22 +178,31 @@ object SimilarityOps {
     Array.fill(nBands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit band signatures against literal planes: array of
-    * (band_idx, band_val) structs for an already-unit embedding column.
-    * Bits are computed on the UNIT vector (sign(dot) is norm-invariant),
-    * which is a materialized array<double> column — an inline cast of the
-    * raw floats here would re-materialize the array once per bit.
+  /** Sign-bit band values against literal planes — the fused native
+    * [[org.apache.spark.sql.graft.BandSignatures]] kernel (array<int>,
+    * index = band). Bits are computed on the UNIT vector (sign(dot) is
+    * norm-invariant). The per-bit `when(dot > 0, …)` expression tree this
+    * replaces blew past the JVM's huge-method JIT limit at 8×8 banding,
+    * de-compiling the whole stage (measured in SCALING.md).
     */
   private def lshBandsOf(embD: Column, planes: Array[Array[Double]],
-                         nBands: Int, bitsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      val bits = (0 until bitsPerBand).map { i =>
-        when(VectorFunctions.dotProduct(embD,
-          typedLit(planes(b * bitsPerBand + i).toSeq)) > 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band_idx"), bits.as("band_val"))
-    }: _*)
+                         bitsPerBand: Int): Column =
+    VectorFunctions.bandSignatures(embD,
+      planes.map(_.toSeq).toSeq, bitsPerBand)
+
+  /** bitsPerBand that keeps the expected LSH bucket size near
+    * `targetBucket` as the corpus grows: 2^bits buckets per band →
+    * E[|bucket|] = n / 2^bits. This is THE scale knob for
+    * [[lshNearDupPairs]] / [[knnGraph]]: with bits fixed, each band's
+    * self-join does Σ(bucket²) ≈ n²/2^bits work — quadratic in n — while
+    * re-sizing bits to log2(n/target) holds bucket sizes (and so per-row
+    * join work) constant, keeping total work ~linear. The cost is per-band
+    * recall ((1−θ/π)^bits per band); hold recall by raising nBands when it
+    * matters. Measured empirically in SCALING.md (1× vs 10× corpus).
+    */
+  def bitsForScale(n: Long, targetBucket: Int = 125): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
 
   def hyperplaneLshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
                         nBands: Int = 8, bitsPerBand: Int = 4,
@@ -203,16 +212,15 @@ object SimilarityOps {
     // that, ship them as a broadcast literal table instead.
     val dim = inferDim(candidates, "embedding")
     val planes = lshPlanes(nBands, bitsPerBand, dim, seed)
-    def bandsOf(embD: Column): Column =
-      lshBandsOf(embD, planes, nBands, bitsPerBand)
+    def bandsOf(embD: Column): Column = lshBandsOf(embD, planes, bitsPerBand)
     val c = withUnitVec(candidates, "embedding", "cand_emb")
       .select(col("vec_id").as("cand_id"), col("cand_emb"),
-        explode(bandsOf(col("cand_emb"))).as("b"))
-      .select(col("b.band_idx"), col("b.band_val"), col("cand_id"), col("cand_emb"))
+        posexplode(bandsOf(col("cand_emb"))).as(Seq("band_idx", "band_val")))
+      .select(col("band_idx"), col("band_val"), col("cand_id"), col("cand_emb"))
     val p = withUnitVec(probes, "embedding", "probe_emb")
       .select(col("vec_id").as("probe_id"), col("probe_emb"),
-        explode(bandsOf(col("probe_emb"))).as("b"))
-      .select(col("b.band_idx"), col("b.band_val"), col("probe_id"), col("probe_emb"))
+        posexplode(bandsOf(col("probe_emb"))).as(Seq("band_idx", "band_val")))
+      .select(col("band_idx"), col("band_val"), col("probe_id"), col("probe_emb"))
     val scored = c.join(broadcast(p), Seq("band_idx", "band_val"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
@@ -248,8 +256,9 @@ object SimilarityOps {
     val planes = lshPlanes(nBands, bitsPerBand, d, seed)
     withUnitVec(vecs, "embedding", "u")
       .select(col("vec_id"), col("u"),
-        explode(lshBandsOf(col("u"), planes, nBands, bitsPerBand)).as("b"))
-      .select(col("b.band_idx"), col("b.band_val"), col("vec_id"), col("u"))
+        posexplode(lshBandsOf(col("u"), planes, bitsPerBand))
+          .as(Seq("band_idx", "band_val")))
+      .select(col("band_idx"), col("band_val"), col("vec_id"), col("u"))
   }
 
   def lshNearDupPairs(vecs: DataFrame, minSim: Double,

@@ -1,0 +1,207 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.graft.VectorFunctions
+
+/** Empirical 1×→N× scale curves for the heavy dedup/ANN pipelines — the
+  * measurement behind SCALING.md. [[ScaleGen]] builds deterministic 1× and
+  * N× corpora whose similarity structure replicates (clusters multiply,
+  * never deepen); this main then times each pipeline at both scales and
+  * reports the wall-time ratio. A structure-preserving N× corpus should
+  * cost ≈N× for a linear operator; a ratio ≫ N exposes a term that would
+  * dominate at 100 TB.
+  *
+  * The embedding-LSH pipelines run twice: `fixed` keeps the registered
+  * queries' banding (8×4 — 16 buckets/band regardless of corpus size, so
+  * Σ(bucket²) grows ~N²: the expected offender), `scaled` re-sizes
+  * bitsPerBand with [[SimilarityOps.bitsForScale]] — the documented 100 TB
+  * operating point that holds bucket sizes constant.
+  *
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.tools.ScaleCurve"
+  *
+  * Output: one JSON line per (query, scale) plus a final summary line,
+  * also written to `<workDir>/scale_curve.json`.
+  */
+object ScaleCurve {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet").drop("label")
+
+  private def minhashPairs(d: DataFrame): DataFrame =
+    DedupOps.minHashLshPairs(d, k = 3, numBands = 8, rowsPerBand = 2,
+      minJaccard = 0.8, portable = true)
+
+  /** q59's registered chain verbatim (quality gate → exact dedup →
+    * portable MinHash-LSH → cluster dedup → per-language sample).
+    */
+  private def cleanCorpus(d: DataFrame): DataFrame = {
+    val withQ = d.withColumn("quality", TextOps.qualityScore(col("text")))
+    val qual = withQ.filter(col("quality") >= 0.5)
+    val keepExact = qual
+      .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactKept = qual.join(keepExact, Seq("doc_id"))
+    val nearKept = DedupOps.clusterDedup(exactKept, "doc_id",
+      minhashPairs(exactKept))
+    DedupOps.stratifiedHashSample(nearKept, "doc_id", "lang",
+        sixteenths = Map("en" -> 8, "de" -> 16, "fr" -> 16),
+        defaultSixteenths = 4)
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  /** q75's registered chain, with the banding exposed so the `scaled`
+    * variant can hold bucket sizes constant.
+    */
+  private def embedCuration(e: DataFrame, bits: Int): DataFrame = {
+    val dim = SimilarityOps.inferDim(e, "embedding")
+    val dropIds = SimilarityOps.lshNearDupPairs(e, minSim = 0.45,
+        bitsPerBand = bits, dim = dim)
+      .select(col("id_b").as("vec_id")).distinct()
+    val survivors = e.join(dropIds, Seq("vec_id"), "left_anti")
+    val prs = SimilarityOps.lshNearDupPairs(survivors, minSim = 0.3,
+      bitsPerBand = bits, dim = dim)
+    val deg = prs.select(col("id_a").as("vec_id"))
+      .union(prs.select(col("id_b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("density"))
+    val st = VectorFunctions.int8QuantStats(col("embedding"))
+    survivors.select(col("vec_id"), st.as("st"))
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("density"), lit(0L)).as("density"),
+        round(col("st").getItem(0), 8).as("scale"),
+        round(col("st").getItem(2), 8).as("rmse"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val scales: Seq[Int] =
+      if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
+      else Seq(1, 10)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs: Map[Int, String] = scales.map { n =>
+      val d = s"$workDir/x$n"
+      ScaleGen.generate(spark, baseDir, d, n)
+      n -> d
+    }.toMap
+
+    // q53's scale-relevant stage is connectedComponents itself (its
+    // registered form feeds CC from a deliberately scope-bounded,
+    // quadratic-by-design ngram pair scan — an oracle convenience, not the
+    // 100 TB path). Isolate CC by pre-materializing the LSH pair set
+    // (untimed; its cost is measured as q27) and timing only the iteration.
+    val ccPairsPath: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/cc_pairs.parquet"
+      if (!new java.io.File(s"$p/_SUCCESS").exists())
+        minhashPairs(docs(spark, d)).write.mode("overwrite").parquet(p)
+      n -> p
+    }
+
+    val nVecs: Map[Int, Long] =
+      dirs.map { case (n, d) => n -> embs(spark, d).count() }
+
+    // (name, per-scale frame builder). Builders take the scale so the
+    // `scaled` variants can pick their banding from the corpus size.
+    val suite: Seq[(String, Int => DataFrame)] = Seq(
+      "q27_minhash_neardup" -> (n => minhashPairs(docs(spark, dirs(n)))),
+      "q53_connected_components" -> (n =>
+        DedupOps.connectedComponents(
+          docs(spark, dirs(n)).select(col("doc_id")), "doc_id",
+          spark.read.parquet(ccPairsPath(n)))),
+      "q56_neardup_dedup" -> { n =>
+        val d = docs(spark, dirs(n))
+        DedupOps.clusterDedup(d, "doc_id", minhashPairs(d))
+          .select(col("doc_id"), col("lang"))
+      },
+      "q59_clean_corpus" -> (n => cleanCorpus(docs(spark, dirs(n)))),
+      "q64_quality_sample" -> { n =>
+        val d = docs(spark, dirs(n))
+          .withColumn("quality", TextOps.qualityScore(col("text")))
+          .withColumn("band",
+            when(col("quality") >= 0.55, "high")
+              .when(col("quality") >= 0.45, "mid")
+              .otherwise("low"))
+        DedupOps.stratifiedHashSample(d, "doc_id", "band",
+            sixteenths = Map("high" -> 16, "mid" -> 8, "low" -> 2))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      "q60_lsh_neardup_fixed" -> (n =>
+        SimilarityOps.lshNearDupPairs(embs(spark, dirs(n)), minSim = 0.3)),
+      "q60_lsh_neardup_scaled" -> (n =>
+        SimilarityOps.lshNearDupPairs(embs(spark, dirs(n)), minSim = 0.3,
+          bitsPerBand = SimilarityOps.bitsForScale(nVecs(n)))),
+      "q74_knn_graph_fixed" -> (n =>
+        SimilarityOps.knnGraph(embs(spark, dirs(n)), k = 3)),
+      "q74_knn_graph_scaled" -> (n =>
+        SimilarityOps.knnGraph(embs(spark, dirs(n)), k = 3,
+          bitsPerBand = SimilarityOps.bitsForScale(nVecs(n)))),
+      "q75_embed_curation_fixed" -> (n =>
+        embedCuration(embs(spark, dirs(n)), bits = 4)),
+      "q75_embed_curation_scaled" -> (n =>
+        embedCuration(embs(spark, dirs(n)),
+          bits = SimilarityOps.bitsForScale(nVecs(n)))))
+
+    def jstr(s: String) = "\"" + s + "\""
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+
+    // Warmup (untimed): JIT + parquet footers at the smallest scale.
+    suite.foreach { case (_, fn) =>
+      try fn(scales.min).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
+    for ((name, fn) <- suite; n <- scales) {
+      def runOnce(): Double = {
+        val t0 = System.nanoTime()
+        fn(n).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = runOnce()
+      // min-of-reps for jitter, but a multi-minute superlinear run needs
+      // no second confirmation — noise is a rounding error at that size.
+      val best = (first +: (2 to reps).collect {
+        case _ if first < 60.0 => runOnce()
+      }).min
+      results.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap.empty) += n -> best
+      println(s"""{"query":${jstr(name)},"scale":$n,"sec":$best}""")
+    }
+
+    val lines = results.map { case (name, byScale) =>
+      val ts = byScale.map { case (n, t) => s""""x$n":$t""" }.mkString(",")
+      val ratio =
+        for (lo <- byScale.get(scales.min); hi <- byScale.get(scales.max))
+          yield hi / lo
+      jstr(name) + ":{" + ts +
+        ratio.fold("")(r => s""","ratio":${math.round(r * 100) / 100.0}""") + "}"
+    }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"scale_curve","scales":${scales.mkString("[", ",", "]")},""" +
+        s""""n_vecs":${scales.map(nVecs).mkString("[", ",", "]")},""" +
+        s""""queries":$lines}"""
+    println(summary)
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$workDir/scale_curve.json"), "UTF-8")
+    try w.println(summary) finally w.close()
+    spark.stop()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× corpus replicator for the SCALING.md measurements:
+  * every replica r of the sf0.1 `documents`/`embeddings` fixtures carries
+  * the SAME intra-replica similarity structure as the original while being
+  * (near-)orthogonal to every other replica — so a 10× corpus has 10× the
+  * near-dup clusters of the same size distribution, NOT clusters 10× as
+  * deep. That is the honest linear-scale corpus: replicating rows verbatim
+  * would multiply every LSH bucket by N and force Σ(bucket²) ≈ N² growth
+  * by construction, measuring the corpus, not the operator.
+  *
+  * - documents: replica r rotates the 15 letters that appear in NO
+  *   [[graft.ext.TextOps]] stopword ([[Movable]]) by r positions. The map
+  *   is a character bijection, so token/shingle sets map bijectively
+  *   (intra-replica Jaccard is EXACTLY the original's), while rotated
+  *   shingles hash independently of the original's (cross-replica Jaccard
+  *   ≈ the all-stopword-shingle fraction, ~1%). Stopwords, whitespace,
+  *   token counts and text length are untouched, so stopwordRatio /
+  *   punctRatio / qualityScore — every quality-gate input — is
+  *   bit-identical per replica, and q59's filter keeps exactly N× the
+  *   rows.
+  * - embeddings: replica r multiplies each dimension by a seeded ±1 sign
+  *   pattern — an orthogonal transform, so intra-replica dot products,
+  *   norms and cosines are EXACTLY the original's, while sign-bit LSH
+  *   signatures against the fixed planes redistribute like fresh data and
+  *   cross-replica cosines are pseudo-random (≈0, below every minSim
+  *   threshold used).
+  * - ids interleave (`id*n + r`): the first K·n ids of an n× corpus cover
+  *   n replicas of the first K originals, so id-bounded scopes scale
+  *   proportionally; replica 0 is the original row byte-for-byte.
+  */
+object ScaleGen {
+  /** The letters of a–z absent from every TextOps stopword
+    * ("the a of and to in is it for on" uses only {a,d,e,f,h,i,n,o,r,s,t}).
+    * Rotating within this set can neither create nor destroy a stopword.
+    */
+  val Movable = "bcgjklmpquvwxyz"
+
+  def rotation(r: Int): String = {
+    val k = r % Movable.length
+    Movable.substring(k) + Movable.substring(0, k)
+  }
+
+  /** ±1 sign pattern for replica r (r = 0 → identity). Seeded per replica,
+    * so regeneration is reproducible across runs and machines.
+    */
+  def signs(r: Int, dim: Int): Seq[Double] =
+    if (r == 0) Seq.fill(dim)(1.0)
+    else {
+      val rnd = new scala.util.Random(9000L + r)
+      Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  def replicateDocuments(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1 && n <= Movable.length,
+      s"n=$n: rotation repeats after ${Movable.length} replicas")
+    (0 until n).map { r =>
+      docs.select(
+        (col("doc_id") * n + r).as("doc_id"),
+        (if (r == 0) col("text")
+         else translate(col("text"), Movable, rotation(r))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+  }
+
+  def replicateEmbeddings(embs: DataFrame, n: Int, dim: Int): DataFrame =
+    (0 until n).map { r =>
+      embs.select(
+        (col("vec_id") * n + r).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else zip_with(col("embedding"), typedLit(signs(r, dim)),
+           (x, s) => (x.cast("double") * s).cast("float"))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+
+  /** Writes `outDir/documents.parquet` + `outDir/embeddings.parquet` (the
+    * only tables the scale suite reads). Idempotent: skips a table whose
+    * _SUCCESS marker already exists, so repeated ScaleCurve runs pay
+    * generation once.
+    */
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+               n: Int): Unit = {
+    def done(t: String) =
+      new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()
+    if (!done("documents"))
+      replicateDocuments(spark.read.parquet(s"$baseDir/documents.parquet"), n)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (!done("embeddings")) {
+      val e = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      replicateEmbeddings(e, n, dim)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+  }
+}

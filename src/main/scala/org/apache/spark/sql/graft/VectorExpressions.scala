@@ -457,6 +457,69 @@ case class Int8QuantStats(child: Expression)
 }
 
 /** Column-API entry points for the native expressions. */
+/** All sign-bit LSH band values of one vector in ONE compiled loop:
+  * band b's value has bit i set iff dot(u, planes[b*bitsPerBand+i]) > 0 —
+  * bit-identical to the equivalent tree of [[DotProduct]]-vs-literal
+  * expressions it replaces (same min-length guard, same left-to-right
+  * accumulation), which is what the q52/q60/q74 oracles encode.
+  *
+  * Why one expression instead of that tree: at 8 bands × 8 bits the tree
+  * is 64 unrolled dot products in a single generated consume path — past
+  * the JVM's huge-method JIT limit, so the whole stage runs INTERPRETED
+  * and the signature pass dominates the join it feeds (measured 5× slower
+  * at 10× corpus in the SCALING.md investigation, despite 13× fewer
+  * candidate pairs). Here the planes live in one referenced object and
+  * the loop is ~30 bytecodes, JIT-friendly at any nBands × bitsPerBand.
+  */
+case class BandSignatures(child: Expression, planes: Seq[Seq[Double]],
+    bitsPerBand: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  require(bitsPerBand >= 1 && bitsPerBand <= 31 &&
+    planes.nonEmpty && planes.length % bitsPerBand == 0,
+    s"BandSignatures: ${planes.length} planes not divisible by $bitsPerBand bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "band_signatures"
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  def compute(u: ArrayData): ArrayData = {
+    val nBands = planeArr.length / bitsPerBand
+    val out = new Array[Int](nBands)
+    var b = 0
+    while (b < nBands) {
+      var v = 0
+      var i = 0
+      while (i < bitsPerBand) {
+        val p = planeArr(b * bitsPerBand + i)
+        val n = math.min(u.numElements(), p.length)
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += u.getDouble(d) * p(d); d += 1 }
+        if (s > 0) v |= 1 << i
+        i += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandSigs", this,
+      classOf[BandSignatures].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandSignatures =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -480,4 +543,9 @@ object VectorFunctions {
 
   def tokenChunks(toks: Column, k: Int): Column =
     ExpressionUtils.column(TokenChunks(ExpressionUtils.expression(toks), k))
+
+  def bandSignatures(u: Column, planes: Seq[Seq[Double]],
+      bitsPerBand: Int): Column =
+    ExpressionUtils.column(BandSignatures(
+      ExpressionUtils.expression(u), planes, bitsPerBand))
 }
