@@ -14,6 +14,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same SQL function surface the CLI session gets (shim-based queries
+    // may reference any registered native fn, e.g. date_diff_boundary)
+    graft.functions.GraftExtensions.register(spark)
     // Untimed warmup: JIT the scheduler/parquet/codegen machinery and read
     // every table's footer once, so the first timed query doesn't absorb
     // ~5s of session start-up cost. sf0.01 (not the smallest SF) so AQE
@@ -80,7 +83,13 @@ object Bench {
     // record also goes to a file — the durable copy regression triage reads.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try {
-      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      // APPEND one JSON line per run: a second run in the same round (or a
+      // partial one) must not clobber the only durable copy of the previous
+      // per-query record. Consumers (tools/bench_diff.py) take the last
+      // parseable line.
+      val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(outPath, true), "UTF-8")))
       try w.println(fullLine) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }

@@ -19,6 +19,9 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same SQL function surface the CLI session gets (q84 needs
+    // date_diff_boundary; shim output may reference any registered fn)
+    graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

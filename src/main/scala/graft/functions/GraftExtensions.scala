@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DotProduct, Int8QuantStats, Len, RegexpReplaceFirst, Shingles, TokenChunks, VectorNormalize}
+import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DateDiffBoundary, DotProduct, Int8QuantStats, Len, RegexpReplaceFirst, Shingles, TokenChunks, VectorNormalize}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions hook: registers graft's native expressions as SQL
@@ -72,7 +72,12 @@ object GraftExtensions {
     // semantics (first match only) — the shim maps that form here
     (FunctionIdentifier("regexp_replace_first"),
       info("regexp_replace_first", classOf[RegexpReplaceFirst]),
-      (args: Seq[Expression]) => RegexpReplaceFirst(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => RegexpReplaceFirst(args(0), args(1), args(2))),
+    // date_diff_boundary('part', start, end): DuckDB's 3-arg date_diff
+    // (boundary crossings, not complete units) — the shim maps that form
+    (FunctionIdentifier("date_diff_boundary"),
+      info("date_diff_boundary", classOf[DateDiffBoundary]),
+      (args: Seq[Expression]) => DateDiffBoundary(args(0), args(1), args(2))))
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

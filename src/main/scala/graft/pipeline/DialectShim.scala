@@ -152,13 +152,18 @@ object DialectShim {
   // substituted (paren-wrapped, so precedence is preserved). Table macros
   // (`AS TABLE <select>`) register the same way and inline at call sites
   // as a parenthesized subquery — `FROM m(1)` becomes `FROM (SELECT … )`,
-  // valid in Spark with or without an alias. Parameter defaults
-  // (`a := 1`) stay verbatim and fail at execution with the original
-  // statement visible — the reference's error shape for anything
-  // DuckDB-only.
+  // valid in Spark with or without an alias. LITERAL parameter defaults
+  // (`b := 1`) follow DuckDB's binder: positional args must exactly fill
+  // the non-default params, defaulted params bind by name only (`b := 2`)
+  // or take their default. Non-literal defaults, and calls that don't
+  // bind (wrong positional count, unknown name), stay verbatim and fail
+  // at execution with the original text visible — the reference's error
+  // shape for anything DuckDB-only.
 
   private final case class SqlMacro(name: String, params: Seq[String],
-      body: String, isTable: Boolean)
+      defaults: Seq[(String, String)], body: String, isTable: Boolean) {
+    def allParams: Seq[String] = params ++ defaults.map(_._1)
+  }
 
   private val macroDefRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+)\s*$""".r
@@ -166,21 +171,43 @@ object DialectShim {
 
   private val tableBodyRe = """(?is)^TABLE\b\s*(.+)$""".r
 
-  /** Parse any CREATE MACRO definition: Some((name, params, body,
-    * isTable)); None for defaulted params / anything else. A table
-    * macro's body is the SELECT after the TABLE keyword.
+  private val defaultParamRe = """(?s)^([A-Za-z_]\w*)\s*:=\s*(.+)$""".r
+  // literal defaults only (number / string / boolean / NULL): an
+  // expression default would need binder-time evaluation order DuckDB
+  // itself doesn't promise textual substitution for
+  private val literalRe =
+    """(?i)^(?:-?\d+(?:\.\d+)?|'[^']*'|true|false|null)$""".r
+
+  /** Full macro parse: positional params, ordered literal defaults, body.
+    * None for non-literal defaults, a positional param after a defaulted
+    * one, or anything else malformed — the statement then stays verbatim.
+    */
+  private def macroDefinitionFull(st: String): Option[SqlMacro] = st match {
+    case macroDefRe(name, params, body) =>
+      val raw = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val parsed: Seq[Either[String, (String, String)]] = raw.map {
+        case p if identRe.findFirstIn(p).isDefined => Left(p)
+        case defaultParamRe(n, v) if literalRe.findFirstIn(v.trim).isDefined =>
+          Right(n.toLowerCase -> v.trim)
+        case _ => return None
+      }
+      if (parsed.dropWhile(_.isLeft).exists(_.isLeft)) return None
+      val pos = parsed.collect { case Left(p) => p }
+      val defs = parsed.collect { case Right(d) => d }
+      body.trim match {
+        case tableBodyRe(rest) =>
+          Some(SqlMacro(name.toLowerCase, pos, defs, rest.trim, true))
+        case b => Some(SqlMacro(name.toLowerCase, pos, defs, b, false))
+      }
+    case _ => None
+  }
+
+  /** Parse any CREATE MACRO definition: Some((name, allParamNames, body,
+    * isTable)); None for anything unhandled. A table macro's body is the
+    * SELECT after the TABLE keyword.
     */
   def macroDefinitionAny(st: String): Option[(String, Seq[String], String, Boolean)] =
-    st match {
-      case macroDefRe(name, params, body) =>
-        val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (!ps.forall(p => identRe.findFirstIn(p).isDefined)) None
-        else body.trim match {
-          case tableBodyRe(rest) => Some((name.toLowerCase, ps, rest.trim, true))
-          case b                 => Some((name.toLowerCase, ps, b, false))
-        }
-      case _ => None
-    }
+    macroDefinitionFull(st).map(m => (m.name, m.allParams, m.body, m.isTable))
 
   /** Parse a scalar CREATE MACRO definition: Some((name, params, body)),
     * or None for the table form / defaulted params / anything else.
@@ -204,10 +231,9 @@ object DialectShim {
     * handled (the caller should then skip executing the statement).
     */
   def registerMacroIfDef(spark: SparkSession, st: String): Boolean =
-    macroDefinitionAny(st) match {
-      case Some((name, ps, body, isTable)) =>
-        registryOf(spark).put(name, SqlMacro(name, ps, body, isTable)); true
-      case None => false
+    macroDefinitionFull(st) match {
+      case Some(m) => registryOf(spark).put(m.name, m); true
+      case None    => false
     }
 
   /** Inline registered macro calls (repeatedly, so macros may call macros;
@@ -239,10 +265,12 @@ object DialectShim {
           val qualified = sb.nonEmpty && sb.charAt(sb.length - 1) == '.'
           macros.get(word.toLowerCase) match {
             case Some(m) if !qualified && k < out.length && out.charAt(k) == '(' =>
-              parseArgs(out, k) match {
-                case Some((args, end)) if args.length == m.params.length =>
-                  sb.append(expandMacro(m, args)); i = end; changed = true
-                case _ => sb.append(word); i = j
+              parseArgs(out, k).flatMap { case (args, end) =>
+                bindMacroArgs(m, args).map(bound => (bound, end))
+              } match {
+                case Some((bound, end)) =>
+                  sb.append(expandMacro(m, bound)); i = end; changed = true
+                case None => sb.append(word); i = j
               }
             case _ => sb.append(word); i = j
           }
@@ -282,6 +310,28 @@ object DialectShim {
     }
   }
 
+  /** DuckDB's binder rules for a call's argument list: positional args
+    * must exactly fill the non-default params in order; defaulted params
+    * bind by `name := value` or fall back to their default. None (call
+    * left verbatim) on a positional-count mismatch, an unknown or
+    * duplicated name, or a name that isn't a defaulted param.
+    */
+  private def bindMacroArgs(m: SqlMacro,
+      args: Seq[String]): Option[Map[String, String]] = {
+    val defaultNames = m.defaults.map(_._1).toSet
+    val (named, positional) = args.partition(a =>
+      defaultParamRe.findFirstMatchIn(a)
+        .exists(mm => defaultNames.contains(mm.group(1).toLowerCase)))
+    if (positional.length != m.params.length) return None
+    val overrides = named.map { a =>
+      val mm = defaultParamRe.findFirstMatchIn(a).get
+      mm.group(1).toLowerCase -> mm.group(2).trim
+    }
+    if (overrides.map(_._1).distinct.length != overrides.length) return None
+    Some((m.params.map(_.toLowerCase).zip(positional) ++
+      m.defaults ++ overrides).toMap) // later overrides win over defaults
+  }
+
   /** Body expansion is a SINGLE literal-aware pass with all parameters
     * substituted simultaneously: sequential replaceAll would re-substitute
     * an argument whose text matches a later parameter name (classic
@@ -289,9 +339,7 @@ object DialectShim {
     * yield `(b) - (10)`, not `((10)) - (10)`), and a regex pass would also
     * rewrite parameter names inside the body's string literals.
     */
-  private def expandMacro(m: SqlMacro, args: Seq[String]): String = {
-    val byParam = m.params.zip(args)
-      .map { case (p, a) => p.toLowerCase -> a }.toMap
+  private def expandMacro(m: SqlMacro, byParam: Map[String, String]): String = {
     val b = m.body
     val sb = new StringBuilder("(")
     var i = 0
@@ -1183,6 +1231,15 @@ object DialectShim {
     if (sites.exists(_.isLeft)) return None
     val zip = sites.collect { case Right(s) => s }
     if (zip.size < 2) return None
+    // all zip sites must belong to ONE query block: with a top-level set
+    // operation before the last site, the sites span arms — the lateral
+    // view would attach only to the first arm and later arms would
+    // reference an undefined generated alias. Leave the statement verbatim
+    // so it fails with `unnest` named (the documented error shape).
+    val lastSite = zip.map(_._1).max
+    if (Seq("UNION", "INTERSECT", "EXCEPT").exists { k =>
+        val p = topLevelKeyword(span, k, 0); p >= 0 && p < lastSite })
+      return None
     val args = zip.map { case (_, _, raw) => bracketToArray(raw) }
     val sizes = args.distinct.map(a => s"size($a)")
     val g = if (sizes.size == 1) sizes.head else s"greatest(${sizes.mkString(", ")})"
@@ -1273,7 +1330,15 @@ object DialectShim {
     val e = Seq("list_slice", "array_slice")
       .foldLeft(d)((s, fn) => nary(s, fn, 3,
         a => s"slice(${a(0)}, ${a(1)}, (${a(2)}) - (${a(1)}) + 1)"))
-    rewriteRegexpReplace(rewriteJsonExtract(e))
+    // DuckDB's 3-arg date_diff counts boundary CROSSINGS — a semantics
+    // collision with both Spark's 2-arg date_diff (day difference) and
+    // timestampdiff (complete units), so the 3-arg form maps to the
+    // registered native DateDiffBoundary. 2-arg calls stay verbatim
+    // (already Spark's own function; DuckDB has no 2-arg form).
+    val f = Seq("date_diff", "datediff")
+      .foldLeft(e)((s, fn) => nary(s, fn, 3,
+        a => s"date_diff_boundary(${a(0)}, ${a(1)}, ${a(2)})"))
+    rewriteRegexpReplace(rewriteJsonExtract(f))
   }
 
   // strptime's %-codes reuse strftime's translation table; only fully

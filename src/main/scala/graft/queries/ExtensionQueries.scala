@@ -646,6 +646,28 @@ object ExtensionQueries {
            |FROM read_parquet('$dir/lineitem.parquet')
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
+    }),
+
+    // -- DuckDB 3-arg date_diff through the dialect shim -------------------
+    // Boundary-crossing semantics (NOT timestampdiff's complete units): the
+    // mid-day/mid-quarter anchor makes the two disagree on most rows, so a
+    // complete-units implementation cannot pass. DuckDB runs the same
+    // statement natively as the oracle; every unit family is covered and
+    // orders before the anchor exercise the negative direction.
+    "q84_date_diff" -> ((s, dir) => {
+      val stmt =
+        s"""SELECT o_orderkey,
+           |  date_diff('year',    TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dy,
+           |  date_diff('quarter', TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dq,
+           |  date_diff('month',   TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dmo,
+           |  date_diff('week',    TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dw,
+           |  date_diff('day',     TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dd,
+           |  date_diff('hour',    TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dh,
+           |  date_diff('minute',  TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dmi,
+           |  date_diff('second',  TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS ds
+           |FROM read_parquet('$dir/orders.parquet')
+           |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+      s.sql(graft.pipeline.DialectShim.rewrite(stmt, s))
     })
   )
 
@@ -1204,6 +1226,18 @@ object ExtensionQueries {
         |       round(sum(o.o_totalprice), 2) AS total
         |FROM pricey_orders(400000) AS o
         |GROUP BY o.o_custkey ORDER BY total DESC, custkey LIMIT 25""".stripMargin,
+    "q84_date_diff" ->
+      """SELECT o_orderkey,
+        |  date_diff('year',    TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dy,
+        |  date_diff('quarter', TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dq,
+        |  date_diff('month',   TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dmo,
+        |  date_diff('week',    TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dw,
+        |  date_diff('day',     TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dd,
+        |  date_diff('hour',    TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dh,
+        |  date_diff('minute',  TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS dmi,
+        |  date_diff('second',  TIMESTAMP '1997-03-15 13:30:00', o_orderdate) AS ds
+        |FROM orders
+        |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q83_unnest_zip" ->
       """SELECT doc_id, unnest(toks[1:6]) AS tok, unnest(toks[1:3]) AS tok3
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks

@@ -211,10 +211,43 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.macroDefinitionAny(
       "CREATE MACRO t1(n) AS TABLE SELECT n AS x") ==
       Some(("t1", Seq("n"), "SELECT n AS x", true)))
-    // parameter defaults unsupported
+    // literal parameter defaults parse (default names after positionals)
     assert(DialectShim.macroDefinition(
-      "CREATE MACRO g(x := 1) AS x").isEmpty)
+      "CREATE MACRO g(a, x := 1) AS a + x") ==
+      Some(("g", Seq("a", "x"), "a + x")))
+    // non-literal default / positional after defaulted: verbatim
+    assert(DialectShim.macroDefinition(
+      "CREATE MACRO h(a, x := f(1)) AS a + x").isEmpty)
+    assert(DialectShim.macroDefinition(
+      "CREATE MACRO k(x := 1, a) AS a + x").isEmpty)
     assert(DialectShim.macroDefinition("CREATE TABLE x AS SELECT 1").isEmpty)
+  }
+
+  test("macro parameter defaults bind like DuckDB's binder") {
+    val spark = graft.SparkTestSession.spark.newSession()
+    DialectShim.rewrite("CREATE MACRO addd(a, b := 5) AS a + b", spark)
+    // omitted default → literal substitutes
+    assert(spark.sql(DialectShim.rewrite("SELECT addd(1) AS v", spark))
+      .head.getInt(0) == 6)
+    // named override
+    assert(spark.sql(DialectShim.rewrite("SELECT addd(1, b := 3) AS v", spark))
+      .head.getInt(0) == 4)
+    // a defaulted param binds by NAME only: two positionals stay verbatim
+    // (DuckDB: "requires a single positional argument" — error, not 4)
+    assert(DialectShim.rewrite("SELECT addd(1, 3) AS v", spark) ==
+      "SELECT addd(1, 3) AS v")
+    // unknown named parameter stays verbatim (DuckDB binder error shape)
+    assert(DialectShim.rewrite("SELECT addd(1, c := 3) AS v", spark) ==
+      "SELECT addd(1, c := 3) AS v")
+    // table macro with a default in FROM position
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW md_src AS " +
+      "SELECT explode(sequence(1, 9)) AS id")
+    DialectShim.rewrite("CREATE MACRO firstn(lim := 3) AS TABLE " +
+      "SELECT id FROM md_src WHERE id <= lim", spark)
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT count(*) AS n FROM firstn()", spark)).head.getLong(0) == 3L)
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT count(*) AS n FROM firstn(lim := 7)", spark)).head.getLong(0) == 7L)
   }
 
   test("macro definition registers and call sites inline textually") {
@@ -928,6 +961,21 @@ class DialectShimSpec extends AnyFunSuite {
     // (fails at execution with unnest named), zip would change semantics
     val nested = "SELECT unnest(a), upper(unnest(b)) FROM t"
     assert(DialectShim.rewrite(nested) == nested)
+    // sites spanning set-operation arms: the lateral view could only
+    // attach to the first arm, stranding later arms on an undefined
+    // generated alias — whole statement stays verbatim (ADVICE r6)
+    val acrossArms = "SELECT unnest(a) AS x, unnest(b) AS y FROM t " +
+      "UNION ALL SELECT unnest(c) AS x, unnest(d) AS y FROM u"
+    assert(DialectShim.rewrite(acrossArms) == acrossArms)
+    val acrossExcept = "SELECT unnest(a) AS x, unnest(b) AS y FROM t " +
+      "EXCEPT SELECT unnest(c) AS x, unnest(d) AS y FROM u"
+    assert(DialectShim.rewrite(acrossExcept) == acrossExcept)
+    // ...but a union whose zip sites all sit in the FIRST arm still zips
+    // there, and the later plain arm is untouched
+    val firstArm = spark.sql(DialectShim.rewrite(
+      "SELECT unnest(xs) AS x, unnest(ys) AS y FROM uz_t WHERE k = 1 " +
+        "UNION ALL SELECT 99 AS x, 'z' AS y"))
+    assert(firstArm.count() == 4) // 3 zip rows + 1 literal row
   }
 
   test("list_sort family maps with DuckDB null ordering") {
@@ -1077,6 +1125,51 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(odd) == odd)
   }
 
+  test("3-arg date_diff maps to boundary-crossing native expression") {
+    val spark = graft.SparkTestSession.spark
+    graft.functions.GraftExtensions.register(spark)
+    assert(DialectShim.rewrite("SELECT date_diff('day', a, b) FROM t") ==
+      "SELECT date_diff_boundary('day', a, b) FROM t")
+    assert(DialectShim.rewrite("SELECT datediff('month', a, b) FROM t") ==
+      "SELECT date_diff_boundary('month', a, b) FROM t")
+    // Spark's own 2-arg form stays verbatim (DuckDB has no 2-arg form)
+    val two = "SELECT date_diff(a, b) FROM t"
+    assert(DialectShim.rewrite(two) == two)
+    // boundary semantics, each value verified against native DuckDB:
+    // one minute across midnight is a 'day'; complete-units would say 0
+    val r = spark.sql(DialectShim.rewrite(
+      "SELECT date_diff('day', TIMESTAMP '2024-01-01 23:59:00', " +
+        "TIMESTAMP '2024-01-02 00:01:00') AS dd, " +
+        "date_diff('year', TIMESTAMP '1999-12-31 23:59:59', " +
+        "TIMESTAMP '2000-01-01 00:00:00') AS dy, " +
+        // Monday-start weeks: Sun 1969-12-28 → Thu 1970-01-01 crosses one
+        "date_diff('week', TIMESTAMP '1969-12-28 12:00:00', " +
+        "TIMESTAMP '1970-01-01 00:00:00') AS dw, " +
+        "date_diff('month', TIMESTAMP '2020-02-01 01:00:00', " +
+        "TIMESTAMP '2020-01-31 23:00:00') AS dmo, " +
+        "date_diff('quarter', TIMESTAMP '1997-03-31 23:00:00', " +
+        "TIMESTAMP '1997-04-01 01:00:00') AS dq, " +
+        "date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', " +
+        "TIMESTAMP '2024-01-01 11:01:00') AS dh, " +
+        "date_diff('ms', TIMESTAMP '2024-01-01 10:59:59.9991', " +
+        "TIMESTAMP '2024-01-01 10:59:59.9999') AS dms, " +
+        "date_diff('us', TIMESTAMP '2024-01-01 10:59:59.9991', " +
+        "TIMESTAMP '2024-01-01 10:59:59.9999') AS dus")).collect().head
+    assert(Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      Seq(1L, 1L, 1L, -1L, 1L, 1L, 0L, 800L))
+    // DATE arguments arrive through the implicit DATE→TIMESTAMP cast
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT date_diff('week', DATE '2024-01-06', DATE '2024-01-08') AS w"))
+      .collect().head.getLong(0) == 1L)
+    // unknown part fails loudly, never returns a silent 0
+    val err = intercept[Exception](spark.sql(DialectShim.rewrite(
+      "SELECT date_diff('fortnight', TIMESTAMP '2024-01-01 00:00:00', " +
+        "TIMESTAMP '2024-01-02 00:00:00')")).collect())
+    assert(err.getMessage.contains("fortnight") ||
+      Option(err.getCause).exists(_.getMessage.contains("fortnight")))
+  }
+
   test("rewrite is idempotent: a second pass over shimmed output is a no-op") {
     // Guards against double-rewrite bugs anywhere in the pass chain: once
     // the DuckDB-isms are gone, running the shim again must change nothing.
@@ -1091,6 +1184,7 @@ class DialectShimSpec extends AnyFunSuite {
       "SELECT strptime(s, '%Y-%m-%d'), strftime(d, '%H:%M') FROM t",
       "SELECT list_sort(l), list_reverse_sort(l), list_unique(l), epoch(ts) FROM t",
       "SELECT list_element(l, 2), array_slice(l, 1, 3) FROM t",
+      "SELECT date_diff('day', a, b), datediff('hour', a, b) FROM t",
       "SELECT arg_max(a, b), printf('%d', a), starts_with(s, 'x') FROM t",
       "SELECT * FROM generate_series(1, 5)",
       "SELECT a, u FROM t, unnest(t.l) AS z(u)",
