@@ -148,6 +148,13 @@ object MacroRenderer {
   //     cond: atom | not cond | atom ==|!= atom | atom in list-or-string
   //     truthiness: undefined, '', 'false', '0', 'none' are false — the
   //     minijinja falsy values as they appear after untyped string binding
+  //   {% set name = expr %}
+  //     expr: atom (literal / list / in-scope name), optionally filtered
+  //     (`{% set x = y | upper %}`). Bindings persist for the REST of the
+  //     enclosing block and — like jinja, where `if` is not a scope — leak
+  //     out of {% if %} branches; a {% for %} body is a scope, so
+  //     assignments there stay per-iteration. The `{% set x %}…{% endset %}`
+  //     block form fails named.
   //   {%- … -%} trims whitespace toward the tag, minijinja-style.
 
   private sealed trait JVal
@@ -163,15 +170,22 @@ object MacroRenderer {
   private def unsupportedJinja(detail: String): Nothing =
     throw GenericError("jinja render: " + detail + "; supported: " +
       "{% for x in [..] %}…{% endfor %}, {% if %}/{% elif %}/{% else %}/" +
-      "{% endif %} with not/==/!=/in conditions")
+      "{% endif %} with not/==/!=/in conditions, {% set name = expr %}")
+
+  private def renderTags(text: String, env: Map[String, JVal]): String =
+    renderTagsEnv(text, env)._1
 
   /** Render all control tags in `text` with `env` in scope; text between
     * tags is substituted via [[subst]]. Tag-free text with an empty env
-    * passes through verbatim.
+    * passes through verbatim. Returns the rendered text AND the env after
+    * `{% set %}` bindings, so an enclosing `{% if %}` can propagate them
+    * (jinja: `if` is not a scope).
     */
-  private def renderTags(text: String, env: Map[String, JVal]): String = {
+  private def renderTagsEnv(text: String, env0: Map[String, JVal])
+      : (String, Map[String, JVal]) = {
+    var env = env0
     val toks = tagRe.findAllMatchIn(text).toList
-    if (toks.isEmpty) return subst(text, env)
+    if (toks.isEmpty) return (subst(text, env), env)
     val sb = new StringBuilder
     var from = 0
     var trimNext = false
@@ -199,19 +213,48 @@ object MacroRenderer {
           val (branches, endTok, after) = splitIf(text, m, rest.tail)
           branches.collectFirst {
             case (cond, body) if cond.forall(evalCond(_, env)) => body
-          }.foreach(b => sb.append(renderTags(b, env)))
+          }.foreach { b =>
+            val (rendered, envAfter) = renderTagsEnv(b, env)
+            sb.append(rendered)
+            env = envAfter // {% set %} inside a branch leaks out, like jinja
+          }
           trimNext = endTok.group(4) == "-"
           from = endTok.end
           rest = after
-        case k @ ("endfor" | "endif" | "elif" | "else") =>
+        case "set" =>
+          appendText(m.start, m.group(1) == "-")
+          env = env + parseSet(m.group(3), env)
+          trimNext = m.group(4) == "-"
+          from = m.end
+          rest = rest.tail
+        case k @ ("endfor" | "endif" | "elif" | "else" | "endset") =>
           unsupportedJinja(s"unexpected {% $k %}")
         case other =>
           unsupportedJinja(s"unsupported tag {% $other %}")
       }
     }
     appendText(text.length, trimRight = false)
-    sb.toString
+    (sb.toString, env)
   }
+
+  private val setExprRe = """(?s)^(\w+)\s*=\s*(.+)$""".r
+
+  /** `{% set name = expr %}`: expr is an atom, optionally piped through
+    * filters. The tag-without-`=` block form (`{% set x %}…{% endset %}`)
+    * fails named, never silently drops.
+    */
+  private def parseSet(arg: String, env: Map[String, JVal]): (String, JVal) =
+    arg.trim match {
+      case setExprRe(name, rhs) =>
+        val v = splitBinary(rhs.trim, "|") match {
+          case Some((l, fs)) => JStr(applyFilters(l.trim, fs, env))
+          case None => evalAtom(rhs.trim, env).getOrElse(
+            unsupportedJinja(s"set: `${rhs.trim}` is undefined"))
+        }
+        name -> v
+      case other => unsupportedJinja(
+        s"set supports only `{% set name = expr %}`, got `$other`")
+    }
 
   /** Matching close tag at the same nesting depth (tags pair by kind, so a
     * kind-specific counter is exact), and the tokens after it.
@@ -416,10 +459,9 @@ object MacroRenderer {
 
   private def applyFilters(baseText: String, filtersText: String,
       env: Map[String, JVal]): String = {
-    var v: Option[JVal] =
-      if (baseText.head == '\'' || baseText.head == '"')
-        Some(JStr(unquote(baseText)))
-      else env.get(baseText)
+    // evalAtom covers the filteredVarPat shapes (name / quoted literal) and
+    // additionally lets {% set %} pipe list literals ([..] | join('-'))
+    var v: Option[JVal] = evalAtom(baseText.trim, env)
     val filterRe = """([A-Za-z_]\w*)(?:\(([^()]*)\))?""".r
     filterRe.findAllMatchIn(filtersText).foreach { fm =>
       val fn = fm.group(1).toLowerCase

@@ -94,6 +94,40 @@ final class PipelineSession(
         .flatMap(byLower.get) - id
       id -> node.copy(renderedSrc = rendered, prevs = prevs)
     }
+    // A model calling a SQL macro (CREATE MACRO) DEFINED in another model
+    // must run after the definer: macros register in the session registry
+    // when the defining model EXECUTES, so under DAG scheduling —
+    // especially parallel waves — an unordered caller races the definition
+    // and fails with an unresolved function. Catalyst's relation walk
+    // can't see this (the call site is an unresolvable TVF/expression), so
+    // wire the edge lexically: macro name → defining model, then
+    // caller→definer wherever the name is called outside the definition.
+    val macroDefiner: Map[String, String] = nodeMap.toSeq.flatMap {
+      case (id, node) =>
+        SqlText.splitStatements(node.renderedSrc).flatMap(st =>
+          (try DialectShim.macroDefinitionAny(st)
+           catch { case _: Exception => None })
+            .map { case (name, _, _, _) => name.toLowerCase -> id })
+    }.toMap // duplicate definitions: last wins, like the session registry
+    if (macroDefiner.nonEmpty) {
+      def callsIn(src: String): Set[String] = {
+        // string literals can't call macros; drop them before matching
+        val noStrings = src.replaceAll("'[^']*'", "''")
+        SqlText.splitStatements(noStrings).flatMap { st =>
+          val definedHere = (try DialectShim.macroDefinitionAny(st)
+            catch { case _: Exception => None }).map(_._1.toLowerCase)
+          macroDefiner.keySet.filter(m =>
+            !definedHere.contains(m) &&
+              s"(?i)\\b${java.util.regex.Pattern.quote(m)}\\s*\\(".r
+                .findFirstIn(st).isDefined)
+        }.toSet
+      }
+      nodeMap = nodeMap.map { case (id, node) =>
+        val defs = callsIn(node.renderedSrc)
+          .map(macroDefiner).filter(_ != id)
+        id -> node.copy(prevs = node.prevs ++ defs)
+      }
+    }
     println(s"Found ${paths.size} model source${if (paths.size > 1) "s" else ""}, " +
       s"${macros.size} macro${if (macros.size > 1) "s" else ""}\n")
 

@@ -110,12 +110,53 @@ class MacroRendererSpec extends AnyFunSuite {
       "SELECT 1{% if undefined_flag %}, 2{% endif %}", "") == "SELECT 1")
   }
 
-  test("unsupported tags and malformed blocks fail with a named error") {
-    // {% set %} is minijinja, not the supported subset: named failure, not
-    // tags leaking through into SQL
+  test("{% set %} binds literals, names, filtered values; leaks from if") {
+    // literal assignment, used later in the same block
+    assert(MacroRenderer.render(
+      "{% set lim = 100 %}SELECT * FROM t WHERE x > {{ lim }}", "") ==
+      "SELECT * FROM t WHERE x > 100")
+    // string literal + filter pipe
+    assert(MacroRenderer.render(
+      "{% set s = 'ab-cd' | upper | replace('-', '_') %}SELECT '{{ s }}'", "") ==
+      "SELECT 'AB_CD'")
+    // list literal + join filter
+    assert(MacroRenderer.render(
+      "{% set cols = ['a', 'b', 'c'] | join(', ') %}SELECT {{ cols }} FROM t",
+      "") == "SELECT a, b, c FROM t")
+    // list binding drives a later {% for %}
+    assert(MacroRenderer.render(
+      "{% set cs = ['q', 'r'] %}SELECT {% for c in cs %}sum({{ c }})" +
+        "{% if not loop.last %}, {% endif %}{% endfor %} FROM t", "") ==
+      "SELECT sum(q), sum(r) FROM t")
+    // jinja scoping: if is NOT a scope — a set inside a branch leaks out
+    assert(MacroRenderer.render(
+      "{% if true %}{% set x = 'yes' %}{% else %}{% set x = 'no' %}{% endif %}" +
+        "SELECT '{{ x }}'", "") == "SELECT 'yes'")
+    // ...but a for body IS a scope: per-iteration bindings don't escape
+    assert(MacroRenderer.render(
+      "{% for i in [1, 2] %}{% set y = i %}{% endfor %}SELECT 1{{ y }}", "") ==
+      "SELECT 1")
+    // inside a macro body, over a bound param
+    val m = "{% macro f(c) %}{% set u = c | upper %}{{ u }}_{{ u }}{% endmacro %}"
+    assert(MacroRenderer.render("SELECT {{ f(ab) }}", m) == "SELECT AB_AB")
+    // rebinding takes the latest value
+    assert(MacroRenderer.render(
+      "{% set v = 1 %}{% set v = 2 %}SELECT {{ v }}", "") == "SELECT 2")
+    // undefined RHS and the block form fail named
     val e1 = intercept[GenericError](
-      MacroRenderer.render("{% set x = 1 %}SELECT {{ x }}", ""))
-    assert(e1.getMessage.contains("set"))
+      MacroRenderer.render("{% set x = undefined_name %}SELECT {{ x }}", ""))
+    assert(e1.getMessage.contains("undefined"))
+    val e2 = intercept[GenericError](
+      MacroRenderer.render("{% set x %}abc{% endset %}SELECT 1", ""))
+    assert(e2.getMessage.contains("set"))
+  }
+
+  test("unsupported tags and malformed blocks fail with a named error") {
+    // {% include %} is minijinja, not the supported subset: named failure,
+    // not tags leaking through into SQL
+    val e1 = intercept[GenericError](
+      MacroRenderer.render("{% include 'other.sql' %}SELECT 1", ""))
+    assert(e1.getMessage.contains("include"))
     val e2 = intercept[GenericError](
       MacroRenderer.render("SELECT 1{% if a %} oops", ""))
     assert(e2.getMessage.contains("endif"))

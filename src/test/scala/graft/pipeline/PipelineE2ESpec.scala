@@ -219,6 +219,33 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("top_bucket").head.getInt(0) == direct.map(_._1).max)
   }
 
+  test("model calling a macro defined in ANOTHER model orders after it") {
+    // macros register in the session registry when the defining model
+    // EXECUTES — without a caller→definer edge, DAG scheduling (especially
+    // parallel waves) can run the caller first and fail unresolved.
+    // Catalyst's relation walk never sees this (the call site is an
+    // unresolvable function), so the edge is wired lexically.
+    val (_, config) = fixture(models = Map(
+      // 'zz_' prefix: path-sorted discovery would otherwise put the
+      // definer first by accident and mask a missing edge
+      "zz_macro_defs" ->
+        s"""CREATE MACRO order_bucket(p) AS CAST(floor(p / 100000) AS INT);
+           |SELECT 1 AS ok""".stripMargin,
+      "bucket_counts" ->
+        s"""SELECT order_bucket(o_totalprice) AS bucket, count() AS n
+           |FROM read_parquet('$sfDir/orders.parquet')
+           |GROUP BY bucket""".stripMargin))
+    val session = new PipelineSession(spark, config)
+    val (order, nodeMap) = session.buildGraph()
+    assert(nodeMap("bucket_counts").prevs.contains("zz_macro_defs"))
+    assert(order.indexOf("zz_macro_defs") < order.indexOf("bucket_counts"))
+    // the defining model must NOT self-edge on its own definition+use
+    assert(!nodeMap("zz_macro_defs").prevs.contains("zz_macro_defs"))
+    val report = session.runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    assert(spark.table("bucket_counts").count() > 0)
+  }
+
   test("uppercase model ids keep their dependency edges") {
     // dep extraction lowercases (Spark resolution is case-insensitive);
     // edges must map back to the original-case ids or they vanish
@@ -352,6 +379,19 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(bigCounts.count() == spark.table("src_orders")
       .filter(col("o_totalprice") > 200000)
       .select("o_orderstatus").distinct.count())
+
+    // {% set %} bindings rendered (anchor, threshold, filtered label) and
+    // 3-arg date_diff mapped to the boundary-crossing native expression
+    val ages = spark.table("order_ages")
+    assert(ages.columns.toSeq ==
+      Seq("o_orderkey", "tag", "months_out", "days_out"))
+    assert(ages.filter(col("tag") =!= "AGED").count() == 0)
+    assert(ages.count() == spark.table("src_orders")
+      .filter(col("o_totalprice") > 150000).count())
+    // boundary semantics: month crossings never exceed day crossings and
+    // agree in sign (both measured from the same anchor)
+    assert(ages.filter(col("months_out") > 0 && col("days_out") <= 0).count() == 0)
+    assert(ages.filter(col("months_out") < 0 && col("days_out") >= 0).count() == 0)
 
     // PIVOT statement script via run-file against the session's views
     val st = graft.cli.Main.runFilesOn(spark,
