@@ -29,6 +29,39 @@ class ApproxSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q46 approx values sit within sketch error of q61's exact values") {
+    // the registered queries themselves cross-check: q61 is the fully
+    // DuckDB-oracled exact half, so chaining q46→q61 anchors the sketch
+    // output to an oracle-verified number (VERDICT r6 task #4)
+    val approx = SparkEntry.queries("q46_approx_sketch")(spark, dir)
+      .select("event_type", "approx_users", "p50_approx", "n").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val exact = SparkEntry.queries("q61_sketch_exact")(spark, dir)
+      .select("event_type", "n_users", "p50", "n").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    // exact percentile band around the median: percentile_approx at
+    // accuracy 1000 promises rank error <= n/1000, far inside +/-2 ranks
+    val band = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.48)").as("lo"),
+        expr("percentile(value, 0.52)").as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (nUsers, p50, n)) =>
+      val (aUsers, aP50, aN) = approx(k)
+      assert(aN == n, s"group $k: row counts disagree ($aN vs $n)")
+      assert(math.abs(aUsers - nUsers) <= math.max(1L, (nUsers * 0.05).toLong),
+        s"group $k: approx_users $aUsers vs exact $nUsers")
+      val (lo, hi) = band(k)
+      assert(p50 >= lo - 0.01 && p50 <= hi + 0.01,
+        s"group $k: q61 median $p50 outside its own band [$lo, $hi]")
+      assert(aP50 >= lo - 0.01 && aP50 <= hi + 0.01,
+        s"group $k: approx median $aP50 outside exact band [$lo, $hi]")
+    }
+  }
+
   test("q46: approximate median within 2 percentile ranks of exact") {
     val approx = SparkEntry.queries("q46_approx_sketch")(spark, dir)
       .select("event_type", "p50_approx").collect()
