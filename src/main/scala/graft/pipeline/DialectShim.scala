@@ -1338,7 +1338,94 @@ object DialectShim {
     val f = Seq("date_diff", "datediff")
       .foldLeft(e)((s, fn) => nary(s, fn, 3,
         a => s"date_diff_boundary(${a(0)}, ${a(1)}, ${a(2)})"))
-    rewriteRegexpReplace(rewriteJsonExtract(f))
+    rewriteFormat(rewriteRegexpReplace(rewriteJsonExtract(f)))
+  }
+
+  // --- DuckDB fmt-style format('{} and {}', a, b) --------------------------
+  // Maps the plain-placeholder subset onto null-propagating concat +
+  // CAST(arg AS STRING): `{}` auto-indexes, `{n}` indexes explicitly
+  // (repeats allowed), `{{`/`}}` escape braces. This reproduces DuckDB's
+  // NULL behavior exactly — format returns NULL when any REFERENCED
+  // argument is NULL, which format_string would render as the text
+  // "null". Templates with format specs (`{:.2f}`), named placeholders,
+  // auto/indexed mixing, or out-of-range indices stay verbatim and fail
+  // with `format` visible (Spark has no such function). Bounded
+  // divergence: extreme doubles render engine-style (1e+20 vs 1.0E20).
+  private val formatCallRe = """(?i)\bformat\s*\(""".r
+  private val litTemplateRe = """(?s)^\s*'([^']*(?:''[^']*)*)'\s*$""".r
+
+  /** Parse `tpl` into literal segments and argument indices; None when any
+    * construct outside the mapped subset appears.
+    */
+  private def parseFormatTemplate(tpl: String): Option[Seq[Either[String, Int]]] = {
+    val parts = Seq.newBuilder[Either[String, Int]]
+    val cur = new StringBuilder
+    var auto = 0
+    var sawAuto = false
+    var sawIndexed = false
+    var i = 0
+    def flush(): Unit = { if (cur.nonEmpty) parts += Left(cur.toString); cur.clear() }
+    while (i < tpl.length) tpl.charAt(i) match {
+      case '{' if i + 1 < tpl.length && tpl.charAt(i + 1) == '{' =>
+        cur.append('{'); i += 2
+      case '{' =>
+        val j = tpl.indexOf('}', i + 1)
+        if (j < 0) return None
+        val inner = tpl.substring(i + 1, j)
+        if (inner.isEmpty) {
+          flush(); parts += Right(auto); auto += 1; sawAuto = true
+        } else if (inner.forall(_.isDigit)) {
+          flush(); parts += Right(inner.toInt); sawIndexed = true
+        } else return None // format spec / named placeholder
+        i = j + 1
+      case '}' if i + 1 < tpl.length && tpl.charAt(i + 1) == '}' =>
+        cur.append('}'); i += 2
+      case '}' => return None // lone closer — fmt rejects it too
+      case c => cur.append(c); i += 1
+    }
+    if (sawAuto && sawIndexed) return None // fmt forbids mixing
+    flush()
+    Some(parts.result())
+  }
+
+  private def rewriteFormat(sql: String): String = {
+    var cur = sql
+    var search = 0
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val m = formatCallRe.findAllMatchIn(cur)
+        .find(mm => mm.start >= search && depthAt(cur, mm.start).isDefined &&
+          !insideBackticks(cur, mm.start))
+        .getOrElse(return cur)
+      parseArgs(cur, m.end - 1) match {
+        case Some((args, after)) if args.nonEmpty =>
+          val rewritten = for {
+            tplLit <- litTemplateRe.findFirstMatchIn(args.head)
+              .map(_.group(1).replace("''", "'"))
+            parts <- parseFormatTemplate(tplLit)
+            vals = args.tail
+            if parts.collect { case Right(ix) => ix }.forall(_ < vals.length)
+          } yield {
+            def lit(s: String) = "'" + s.replace("'", "''") + "'"
+            val pieces = parts.map {
+              case Left(s)   => lit(s)
+              case Right(ix) => s"CAST((${vals(ix)}) AS STRING)"
+            }
+            if (pieces.isEmpty) "''"
+            else if (pieces.size == 1) pieces.head
+            else pieces.mkString("concat(", ", ", ")")
+          }
+          rewritten match {
+            case Some(text) =>
+              cur = cur.substring(0, m.start) + text + cur.substring(after)
+              search = m.start + text.length
+            case None => search = m.end
+          }
+        case _ => search = m.end
+      }
+    }
+    cur
   }
 
   // strptime's %-codes reuse strftime's translation table; only fully

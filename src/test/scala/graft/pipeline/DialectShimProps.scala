@@ -135,8 +135,34 @@ object DialectShimProps extends Properties("DialectShimDiff") {
       EInt(exp))
   }
 
+  /** fmt-style format(): random literal segments (incl. brace escapes)
+    * interleaved with auto or explicit placeholders over int/str args.
+    */
+  private val formatExpr: Gen[GExpr] = for {
+    n        <- Gen.choose(1, 3)
+    args     <- Gen.listOfN(n, Gen.oneOf(intLit, strLit))
+    segs     <- Gen.listOfN(n + 1, Gen.oneOf("", " ", "x ", "{{", "}}", "100% "))
+    explicit <- Gen.oneOf(true, false)
+    order    <- if (explicit) Gen.listOfN(n, Gen.choose(0, n - 1))
+                else Gen.const((0 until n).toList)
+  } yield {
+    val holes = order.map(ix => (if (explicit) s"{$ix}" else "{}", ix))
+    val tpl = segs.head + holes.zip(segs.tail)
+      .map { case ((h, _), s) => h + s }.mkString
+    def strOf(e: GExpr) = e.ev match {
+      case EInt(v) => v.toString
+      case EStr(s) => s
+      case other   => other.toString
+    }
+    val expect = segs.head.replace("{{", "{").replace("}}", "}") +
+      holes.zip(segs.tail).map { case ((_, ix), s) =>
+        strOf(args(ix)) + s.replace("{{", "{").replace("}}", "}") }.mkString
+    GExpr(s"format('$tpl', ${args.map(_.sql).mkString(", ")})", EStr(expect))
+  }
+
   private val scalarExpr: Gen[GExpr] = Gen.oneOf(intLit, strLit, elementExpr,
-    lenExpr, uniqueExpr, structExpr, printfExpr, startsWithExpr, dateDiffExpr)
+    lenExpr, uniqueExpr, structExpr, printfExpr, startsWithExpr, dateDiffExpr,
+    formatExpr)
 
   private val selectItem: Gen[GExpr] = Gen.frequency(
     4 -> scalarExpr,

@@ -1125,6 +1125,36 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(odd) == odd)
   }
 
+  test("fmt-style format() maps to null-propagating concat") {
+    val spark = graft.SparkTestSession.spark
+    // auto-indexed placeholders + literal segments
+    assert(DialectShim.rewrite("SELECT format('{} and {}', a, b) FROM t") ==
+      "SELECT concat(CAST((a) AS STRING), ' and ', CAST((b) AS STRING)) FROM t")
+    val r = spark.sql(DialectShim.rewrite(
+      "SELECT format('{} and {}', 1, 'x') AS f, " +
+        "format('{0}-{1}-{0}', 'a', 'b') AS g, " +  // explicit, repeated
+        "format('{{literal}} {}', 5) AS h, " +       // brace escapes
+        "format('100%: {}', 5) AS p, " +             // % is plain text
+        "format('none') AS n")).collect().head
+    assert(r.getString(0) == "1 and x")
+    assert(r.getString(1) == "a-b-a")
+    assert(r.getString(2) == "{literal} 5")
+    assert(r.getString(3) == "100%: 5")
+    assert(r.getString(4) == "none")
+    // a NULL referenced argument nulls the whole result, like DuckDB
+    // (format_string would have rendered the text "null")
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT format('v={}', CAST(NULL AS INT)) AS f")).head.isNullAt(0))
+    // outside the subset: format specs, named placeholders, auto/indexed
+    // mixing, out-of-range index, non-literal template — all verbatim
+    Seq("SELECT format('{:.2f}', x) FROM t",
+        "SELECT format('{name}', x) FROM t",
+        "SELECT format('{} {0}', x) FROM t",
+        "SELECT format('{1}', x) FROM t",
+        "SELECT format(tpl, x) FROM t")
+      .foreach(s => assert(DialectShim.rewrite(s) == s, s))
+  }
+
   test("3-arg date_diff maps to boundary-crossing native expression") {
     val spark = graft.SparkTestSession.spark
     graft.functions.GraftExtensions.register(spark)
@@ -1185,6 +1215,7 @@ class DialectShimSpec extends AnyFunSuite {
       "SELECT list_sort(l), list_reverse_sort(l), list_unique(l), epoch(ts) FROM t",
       "SELECT list_element(l, 2), array_slice(l, 1, 3) FROM t",
       "SELECT date_diff('day', a, b), datediff('hour', a, b) FROM t",
+      "SELECT format('{} and {0}{{x}}', a), format('{:.2f}', x) FROM t",
       "SELECT arg_max(a, b), printf('%d', a), starts_with(s, 'x') FROM t",
       "SELECT * FROM generate_series(1, 5)",
       "SELECT a, u FROM t, unnest(t.l) AS z(u)",
