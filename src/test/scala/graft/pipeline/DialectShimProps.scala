@@ -32,6 +32,7 @@ object DialectShimProps extends Properties("DialectShimDiff") {
   private final case class EInt(v: Long) extends EV
   private final case class EStr(s: String) extends EV
   private final case class EBool(b: Boolean) extends EV
+  private final case class EDbl(v: Double) extends EV
   private final case class EArr(xs: Seq[EV]) extends EV
   private case object ENull extends EV
 
@@ -40,6 +41,7 @@ object DialectShimProps extends Properties("DialectShimDiff") {
     case b: Boolean                       => EBool(b)
     case n: Int                           => EInt(n)
     case n: Long                          => EInt(n)
+    case d: Double                        => EDbl(d)
     case s: String                        => EStr(s)
     case xs: scala.collection.Seq[_]      => EArr(xs.map(toEV).toSeq)
     case other                            => EStr(other.toString)
@@ -160,9 +162,54 @@ object DialectShimProps extends Properties("DialectShimDiff") {
     GExpr(s"format('$tpl', ${args.map(_.sql).mkString(", ")})", EStr(expect))
   }
 
+  /** DuckDB 3-arg regexp_replace replaces the FIRST match only; the 'g'
+    * flag makes it global (the Spark builtin of the same name is always
+    * global — the exact collision the shim resolves).
+    */
+  private val regexpReplaceExpr: Gen[GExpr] = for {
+    base   <- strLit
+    needle <- Gen.alphaLowerChar
+    repl   <- Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
+    global <- Gen.oneOf(true, false)
+  } yield {
+    val s = base.ev.asInstanceOf[EStr].s
+    val (call, exp) =
+      if (global) (s"regexp_replace(${base.sql}, '$needle', '$repl', 'g')",
+        s.replace(needle.toString, repl))
+      else (s"regexp_replace(${base.sql}, '$needle', '$repl')",
+        s.replaceFirst(needle.toString, repl))
+    GExpr(call, EStr(exp))
+  }
+
+  /** string_split with a literal separator (incl. regex metachars the shim
+    * must escape); len() composes over the split result.
+    */
+  private val splitExpr: Gen[GExpr] = for {
+    n     <- Gen.choose(1, 4)
+    parts <- Gen.listOfN(n,
+      Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString))
+    sep   <- Gen.oneOf("|", ",", ".", "-")
+    asLen <- Gen.oneOf(true, false)
+  } yield {
+    val joined = parts.mkString(sep)
+    val call = s"string_split('$joined', '$sep')"
+    if (asLen) GExpr(s"len($call)", EInt(parts.length))
+    else GExpr(call, EArr(parts.map(EStr.apply)))
+  }
+
+  /** epoch(ts) keeps DuckDB's fractional seconds as a double. */
+  private val epochExpr: Gen[GExpr] =
+    Gen.choose(0L, 2000000000L).map { sec =>
+      val ts = java.time.LocalDateTime
+        .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      GExpr(s"epoch(TIMESTAMP '$ts')", EDbl(sec.toDouble))
+    }
+
   private val scalarExpr: Gen[GExpr] = Gen.oneOf(intLit, strLit, elementExpr,
     lenExpr, uniqueExpr, structExpr, printfExpr, startsWithExpr, dateDiffExpr,
-    formatExpr)
+    formatExpr, regexpReplaceExpr, splitExpr, epochExpr)
 
   private val selectItem: Gen[GExpr] = Gen.frequency(
     4 -> scalarExpr,
@@ -213,9 +260,20 @@ object DialectShimProps extends Properties("DialectShimDiff") {
         xs2.lift(i).map(EInt.apply).getOrElse(ENull))))
   }
 
+  /** UNION ALL over integer-typed arms (types must align across arms):
+    * result is the bag union of the arms' rows.
+    */
+  private val unionSelect: Gen[GStmt] = for {
+    nArms <- Gen.choose(2, 3)
+    arms  <- Gen.listOfN(nArms,
+      Gen.oneOf(intLit, elementExpr, lenExpr, uniqueExpr, dateDiffExpr))
+  } yield GStmt(
+    arms.map(a => s"SELECT ${a.sql} AS c0").mkString(" UNION ALL "),
+    arms.map(a => Seq(a.ev)))
+
   private val stmtGen: Gen[GStmt] = Gen.frequency(
     5 -> plainSelect, 2 -> subscriptSelect,
-    1 -> seriesSelect, 2 -> unnestZipSelect)
+    1 -> seriesSelect, 2 -> unnestZipSelect, 2 -> unionSelect)
 
   // --- properties ----------------------------------------------------------
   private def render(rows: Seq[Seq[EV]]): Seq[String] =
