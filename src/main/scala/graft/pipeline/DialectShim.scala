@@ -172,11 +172,28 @@ object DialectShim {
   private val tableBodyRe = """(?is)^TABLE\b\s*(.+)$""".r
 
   private val defaultParamRe = """(?s)^([A-Za-z_]\w*)\s*:=\s*(.+)$""".r
-  // literal defaults only (number / string / boolean / NULL): an
-  // expression default would need binder-time evaluation order DuckDB
-  // itself doesn't promise textual substitution for
+  // literal defaults only (number / string incl. '' escapes / boolean /
+  // NULL): an expression default would need binder-time evaluation order
+  // DuckDB itself doesn't promise textual substitution for
   private val literalRe =
-    """(?i)^(?:-?\d+(?:\.\d+)?|'[^']*'|true|false|null)$""".r
+    """(?i)^(?:-?\d+(?:\.\d+)?|'[^']*(?:''[^']*)*'|true|false|null)$""".r
+
+  /** Comma split outside single quotes: a string-literal default may
+    * itself contain commas (`s := 'x,y'`), which String.split would cut.
+    */
+  private def splitParamList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach { c =>
+      if (inQ) { cur.append(c); if (c == '\'') inQ = false }
+      else if (c == '\'') { inQ = true; cur.append(c) }
+      else if (c == ',') { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Full macro parse: positional params, ordered literal defaults, body.
     * None for non-literal defaults, a positional param after a defaulted
@@ -184,7 +201,7 @@ object DialectShim {
     */
   private def macroDefinitionFull(st: String): Option[SqlMacro] = st match {
     case macroDefRe(name, params, body) =>
-      val raw = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val raw = splitParamList(params)
       val parsed: Seq[Either[String, (String, String)]] = raw.map {
         case p if identRe.findFirstIn(p).isDefined => Left(p)
         case defaultParamRe(n, v) if literalRe.findFirstIn(v.trim).isDefined =>
@@ -209,8 +226,9 @@ object DialectShim {
   def macroDefinitionAny(st: String): Option[(String, Seq[String], String, Boolean)] =
     macroDefinitionFull(st).map(m => (m.name, m.allParams, m.body, m.isTable))
 
-  /** Parse a scalar CREATE MACRO definition: Some((name, params, body)),
-    * or None for the table form / defaulted params / anything else.
+  /** Parse a scalar CREATE MACRO definition: Some((name, allParamNames,
+    * body)) — defaulted param names are included in the name list — or
+    * None for the table form / anything unhandled.
     */
   def macroDefinition(st: String): Option[(String, Seq[String], String)] =
     macroDefinitionAny(st).collect { case (n, p, b, false) => (n, p, b) }
@@ -319,9 +337,17 @@ object DialectShim {
   private def bindMacroArgs(m: SqlMacro,
       args: Seq[String]): Option[Map[String, String]] = {
     val defaultNames = m.defaults.map(_._1).toSet
-    val (named, positional) = args.partition(a =>
-      defaultParamRe.findFirstMatchIn(a)
-        .exists(mm => defaultNames.contains(mm.group(1).toLowerCase)))
+    def isNamed(a: String) = defaultParamRe.findFirstMatchIn(a)
+      .exists(mm => defaultNames.contains(mm.group(1).toLowerCase))
+    // DuckDB's binder requires every positional to PRECEDE every named
+    // argument — a named-first call errors there, so it must not quietly
+    // compute here (the parity contract: verbatim, fails with the name)
+    val firstNamed = args.indexWhere(isNamed)
+    if (firstNamed >= 0 && args.drop(firstNamed).exists(!isNamed(_)))
+      return None
+    val (positional, named) =
+      if (firstNamed < 0) (args, Seq.empty[String])
+      else args.splitAt(firstNamed)
     if (positional.length != m.params.length) return None
     val overrides = named.map { a =>
       val mm = defaultParamRe.findFirstMatchIn(a).get
@@ -1231,15 +1257,22 @@ object DialectShim {
     if (sites.exists(_.isLeft)) return None
     val zip = sites.collect { case Right(s) => s }
     if (zip.size < 2) return None
-    // all zip sites must belong to ONE query block: with a top-level set
-    // operation before the last site, the sites span arms — the lateral
-    // view would attach only to the first arm and later arms would
-    // reference an undefined generated alias. Leave the statement verbatim
-    // so it fails with `unnest` named (the documented error shape).
+    // all zip sites must belong to the FIRST query block, and the lateral
+    // view must attach inside it: with a top-level set operation (a) before
+    // the last site, the sites span arms; (b) before the first arm's FROM
+    // (or with a FROM-less first arm), the attach point would land in a
+    // LATER arm — either way some arm would reference an undefined
+    // generated alias. Leave such statements verbatim so they fail with
+    // `unnest` named (the documented error shape).
     val lastSite = zip.map(_._1).max
-    if (Seq("UNION", "INTERSECT", "EXCEPT").exists { k =>
-        val p = topLevelKeyword(span, k, 0); p >= 0 && p < lastSite })
-      return None
+    val setOpPos = Seq("UNION", "INTERSECT", "EXCEPT")
+      .map(k => topLevelKeyword(span, k, 0)).filter(_ >= 0)
+      .minOption.getOrElse(-1)
+    if (setOpPos >= 0) {
+      val fromPos = topLevelKeyword(span, "FROM", 0)
+      if (setOpPos < lastSite || fromPos < 0 || fromPos > setOpPos)
+        return None
+    }
     val args = zip.map { case (_, _, raw) => bracketToArray(raw) }
     val sizes = args.distinct.map(a => s"size($a)")
     val g = if (sizes.size == 1) sizes.head else s"greatest(${sizes.mkString(", ")})"
@@ -1419,7 +1452,11 @@ object DialectShim {
           rewritten match {
             case Some(text) =>
               cur = cur.substring(0, m.start) + text + cur.substring(after)
-              search = m.start + text.length
+              // re-scan FROM the replacement: the argument text rides into
+              // the CAST(...) pieces verbatim, so a nested format() call
+              // must get its own rewrite on the next iteration (the outer
+              // call is gone, so this cannot loop; guard bounds pathology)
+              search = m.start
             case None => search = m.end
           }
         case _ => search = m.end

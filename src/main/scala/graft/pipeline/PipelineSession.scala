@@ -102,13 +102,17 @@ final class PipelineSession(
     // can't see this (the call site is an unresolvable TVF/expression), so
     // wire the edge lexically: macro name → defining model, then
     // caller→definer wherever the name is called outside the definition.
-    val macroDefiner: Map[String, String] = nodeMap.toSeq.flatMap {
-      case (id, node) =>
+    // deterministic iteration: with duplicate definitions of one macro
+    // name, the lexicographically-last model id wins EVERY run (HashMap
+    // order would pick an arbitrary definer and wire different edges on
+    // different id sets)
+    val macroDefiner: Map[String, String] = nodeMap.toSeq.sortBy(_._1)
+      .flatMap { case (id, node) =>
         SqlText.splitStatements(node.renderedSrc).flatMap(st =>
           (try DialectShim.macroDefinitionAny(st)
            catch { case _: Exception => None })
             .map { case (name, _, _, _) => name.toLowerCase -> id })
-    }.toMap // duplicate definitions: last wins, like the session registry
+      }.toMap
     if (macroDefiner.nonEmpty) {
       def callsIn(src: String): Set[String] = {
         // string literals can't call macros; drop them before matching

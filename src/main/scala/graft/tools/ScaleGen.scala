@@ -58,10 +58,16 @@ object ScaleGen {
     require(n >= 1 && n <= Movable.length,
       s"n=$n: rotation repeats after ${Movable.length} replicas")
     (0 until n).map { r =>
+      // both cases rotate: the dedup pipeline lowercases before hashing,
+      // so an uppercase movable left untouched would make its document
+      // byte-identical (post-lower) across replicas — breaking the
+      // no-exact-dup-crosses-replicas invariant SCALING.md rests on
+      val rot = rotation(r)
       docs.select(
         (col("doc_id") * n + r).as("doc_id"),
         (if (r == 0) col("text")
-         else translate(col("text"), Movable, rotation(r))).as("text"),
+         else translate(col("text"),
+           Movable + Movable.toUpperCase, rot + rot.toUpperCase)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
   }

@@ -239,6 +239,15 @@ class DialectShimSpec extends AnyFunSuite {
     // unknown named parameter stays verbatim (DuckDB binder error shape)
     assert(DialectShim.rewrite("SELECT addd(1, c := 3) AS v", spark) ==
       "SELECT addd(1, c := 3) AS v")
+    // named BEFORE positional: DuckDB's binder errors, so no quiet result
+    // here either — verbatim (review r7)
+    assert(DialectShim.rewrite("SELECT addd(b := 3, 1) AS v", spark) ==
+      "SELECT addd(b := 3, 1) AS v")
+    // a string-literal default may contain commas and '' escapes
+    DialectShim.rewrite(
+      "CREATE MACRO lbl(a, s := 'x,''y') AS concat(a, s)", spark)
+    assert(spark.sql(DialectShim.rewrite("SELECT lbl('k') AS v", spark))
+      .head.getString(0) == "kx,'y")
     // table macro with a default in FROM position
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW md_src AS " +
       "SELECT explode(sequence(1, 9)) AS id")
@@ -976,6 +985,14 @@ class DialectShimSpec extends AnyFunSuite {
       "SELECT unnest(xs) AS x, unnest(ys) AS y FROM uz_t WHERE k = 1 " +
         "UNION ALL SELECT 99 AS x, 'z' AS y"))
     assert(firstArm.count() == 4) // 3 zip rows + 1 literal row
+    // FROM-less first arm + a later arm WITH a FROM: the attach point
+    // would land in the wrong arm — the zip pass must leave the unnests
+    // alone (other passes may still map list literals; the statement then
+    // fails at execution with unnest named, never a generated alias)
+    val fromlessArm = DialectShim.rewrite("SELECT unnest([1, 2]) AS x, " +
+      "unnest([3, 4]) AS y UNION ALL SELECT k, k FROM uz_t")
+    assert(fromlessArm.toLowerCase.contains("unnest("), fromlessArm)
+    assert(!fromlessArm.contains("__graft_uz"), fromlessArm)
   }
 
   test("list_sort family maps with DuckDB null ordering") {
@@ -1145,6 +1162,10 @@ class DialectShimSpec extends AnyFunSuite {
     // (format_string would have rendered the text "null")
     assert(spark.sql(DialectShim.rewrite(
       "SELECT format('v={}', CAST(NULL AS INT)) AS f")).head.isNullAt(0))
+    // a format() nested as another format()'s argument rewrites too
+    // (the scan resumes AT the replacement, not past it — review r7)
+    assert(spark.sql(DialectShim.rewrite(
+      "SELECT format('{}!', format('{}', 1)) AS f")).head.getString(0) == "1!")
     // outside the subset: format specs, named placeholders, auto/indexed
     // mixing, out-of-range index, non-literal template — all verbatim
     Seq("SELECT format('{:.2f}', x) FROM t",

@@ -51,11 +51,19 @@ def load_times(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, thr, i = [], 1.5, 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else args.pop())
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                i += 1  # flag value is the ADJACENT token, wherever the
+                thr = float(argv[i])  # flag sits relative to the paths
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = load_times(args[0]), load_times(args[1])
