@@ -1471,9 +1471,14 @@ object DialectShim {
     """(?i)\bstrptime\s*\(((?:[^,()']|'[^']*')+),\s*'([^']*)'\s*\)""".r
 
   // json_extract_string with a '$'-rooted literal path is Spark's
-  // get_json_object; DuckDB's '/a/b' pointer and bare-key forms are NOT
-  // mapped (no Spark equivalent) and fail with the original name
+  // get_json_object directly. DuckDB's BARE paths are single lookups, not
+  // dotted traversals — 'b.c' means the literal KEY "b.c" and a digit
+  // string is a 0-BASED array index — so they map to Spark's quoted
+  // subscript / index forms ($['b.c'], $[0]), which have the same
+  // one-step semantics. The '/a/b' JSONPointer form stays unmapped (no
+  // Spark equivalent) and fails with the original name.
   private val jsonExtractStrRe = """(?i)\bjson_extract_string\s*\(""".r
+  private val bareJsonKeyRe = """(?s)^'([A-Za-z_][\w.]*|\d+)'$""".r
   private def rewriteJsonExtract(sql: String): String = {
     var cur = sql
     var search = 0
@@ -1487,6 +1492,14 @@ object DialectShim {
       parseArgs(cur, m.end - 1) match {
         case Some((Seq(j, p), after)) if p.trim.startsWith("'$") =>
           val text = s"get_json_object(${j.trim}, ${p.trim})"
+          cur = cur.substring(0, m.start) + text + cur.substring(after)
+          search = m.start + text.length
+        case Some((Seq(j, p), after))
+            if bareJsonKeyRe.findFirstMatchIn(p.trim).isDefined =>
+          val key = bareJsonKeyRe.findFirstMatchIn(p.trim).get.group(1)
+          val path =
+            if (key.forall(_.isDigit)) s"'$$[$key]'" else s"'$$[''$key'']'"
+          val text = s"get_json_object(${j.trim}, $path)"
           cur = cur.substring(0, m.start) + text + cur.substring(after)
           search = m.start + text.length
         case _ => search = m.end

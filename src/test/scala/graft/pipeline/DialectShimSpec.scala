@@ -1126,6 +1126,21 @@ class DialectShimSpec extends AnyFunSuite {
     // pointer-syntax path: no Spark equivalent, left verbatim
     val ptr = "SELECT json_extract_string(j, '/a/b') FROM t"
     assert(DialectShim.rewrite(ptr) == ptr)
+    // bare paths are SINGLE lookups in DuckDB: 'b.c' is the literal key
+    // "b.c" (never a dotted traversal) and a digit string is a 0-based
+    // array index — each value verified against native DuckDB
+    val bare = spark.sql(DialectShim.rewrite(
+      """SELECT json_extract_string('{"a": 1}', 'a') AS k,
+        |  json_extract_string('{"a.x": 1}', 'a.x') AS dotkey,
+        |  json_extract_string('{"a": {"x": 2}}', 'a.x') AS nodot,
+        |  json_extract_string('[5, 6]', '0') AS idx,
+        |  json_extract_string('{"a": {"b": 5}}', 'a') AS obj""".stripMargin))
+      .collect().head
+    assert(bare.getString(0) == "1")
+    assert(bare.getString(1) == "1")
+    assert(bare.isNullAt(2)) // no key "a.x" — NOT a path to the nested 2
+    assert(bare.getString(3) == "5")
+    assert(bare.getString(4) == """{"b":5}""")
     // regexp_replace: DuckDB 3-arg is FIRST match only — maps to the
     // registered native expression, never Spark's silently-global builtin
     assert(DialectShim.rewrite("SELECT regexp_replace(s, 'a', 'b') FROM t") ==
