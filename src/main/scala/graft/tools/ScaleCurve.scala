@@ -157,19 +157,47 @@ object ScaleCurve {
         embedCuration(embs(spark, dirs(n)), bits = 4)),
       "q75_embed_curation_scaled" -> (n =>
         embedCuration(embs(spark, dirs(n)),
-          bits = SimilarityOps.bitsForScale(nVecs(n)))))
+          bits = SimilarityOps.bitsForScale(nVecs(n)))),
+      // SimHash band buckets come from the signature bits themselves
+      // (4×15-bit bands, portable) — no size knob to turn; the id bound
+      // scales with n because ScaleGen interleaves ids
+      "q28_simhash_neardup" -> { n =>
+        DedupOps.simHashNearDupPairs(
+          docs(spark, dirs(n)).filter(col("doc_id") < 2000L * n),
+          maxHamming = 6, portable = true)
+      },
+      "q67_chunk_dedup" -> (n =>
+        DedupOps.chunkDedup(docs(spark, dirs(n)), "doc_id", "text",
+          chunkTokens = 8)),
+      "q65_seq_packing" -> (n =>
+        graft.ext.PackOps.packSummary(docs(spark, dirs(n)), "doc_id",
+          size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)),
+      // the full IVF lifecycle at scale: REFIT the quantizer on the
+      // corpus (the committed-centroid form pins 1× fixture literals for
+      // its oracle), then the pruned query pass
+      "q31_ann_ivf_refit" -> { n =>
+        val e = embs(spark, dirs(n))
+        SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10L * n), e,
+          k = 5, nprobe = 3, nCells = 10)
+      })
+
+    // dev knob, mirrors Bench's SPARK_GRAFT_ONLY: subset the suite so an
+    // added pipeline can be measured without re-paying the deliberately
+    // quadratic fixed-banding rows
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val selected = suite.filter { case (n, _) => only.forall(_(n)) }
 
     def jstr(s: String) = "\"" + s + "\""
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
 
     // Warmup (untimed): JIT + parquet footers at the smallest scale.
-    suite.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(scales.min).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    for ((name, fn) <- suite; n <- scales) {
+    for ((name, fn) <- selected; n <- scales) {
       def runOnce(): Double = {
         val t0 = System.nanoTime()
         fn(n).write.format("noop").mode("overwrite").save()
@@ -199,8 +227,11 @@ object ScaleCurve {
         s""""n_vecs":${scales.map(nVecs).mkString("[", ",", "]")},""" +
         s""""queries":$lines}"""
     println(summary)
+    // a subset run must not clobber the canonical full record
+    val outName =
+      if (only.isDefined) "scale_curve_partial.json" else "scale_curve.json"
     val w = new java.io.PrintWriter(
-      new java.io.File(s"$workDir/scale_curve.json"), "UTF-8")
+      new java.io.File(s"$workDir/$outName"), "UTF-8")
     try w.println(summary) finally w.close()
     spark.stop()
   }
