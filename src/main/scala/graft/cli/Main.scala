@@ -19,10 +19,14 @@ import graft.viz.GraphViz
 object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "run" :: rest      => runPipeline(parseFlags(rest))
-    case "run-file" :: rest => runFiles(rest)
-    case "viz" :: rest if positionals(rest).nonEmpty =>
-      viz(positionals(rest).head, parseFlags(rest))
+    case "run" :: rest =>
+      runPipeline(parseArgs(rest)._1)
+    case "run-file" :: rest =>
+      val (flags, paths) = parseArgs(rest)
+      runFiles(flags, paths)
+    case "viz" :: rest if parseArgs(rest)._2.nonEmpty =>
+      val (flags, pos) = parseArgs(rest)
+      viz(pos.head, flags)
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
@@ -32,25 +36,24 @@ object Main {
       sys.exit(2)
   }
 
-  /** Arguments that are neither flags nor flag values. */
-  private def positionals(l: List[String]): List[String] = l match {
-    case k :: _ :: t if Set("--config", "--models-dir", "--db-path")(k) =>
-      positionals(t)
-    case "--parallel" :: t => positionals(t)
-    case a :: t            => a :: positionals(t)
-    case Nil               => Nil
-  }
-
-  private def parseFlags(rest: List[String]): Map[String, String] = {
-    def go(l: List[String], acc: Map[String, String]): Map[String, String] = l match {
-      case "--models-dir" :: v :: t => go(t, acc + ("models-dir" -> v))
-      case "--db-path" :: v :: t    => go(t, acc + ("db-path" -> v))
-      case "--config" :: v :: t     => go(t, acc + ("config" -> v))
-      case "--parallel" :: t        => go(t, acc + ("parallel" -> "true"))
-      case _ :: t                   => go(t, acc)
-      case Nil                      => acc
+  /** ONE flag grammar for every subcommand (three near-identical ad-hoc
+    * parsers previously disagreed on the accepted flag set): value flags
+    * --config/--models-dir/--db-path, boolean --parallel, returns
+    * (flags, positionals). An unknown `--flag` is an ERROR — treating it
+    * as a positional turned a typo into "Cannot open --flg, skipping".
+    */
+  private def parseArgs(rest: List[String]): (Map[String, String], List[String]) = {
+    def go(l: List[String], flags: Map[String, String],
+           pos: List[String]): (Map[String, String], List[String]) = l match {
+      case k :: v :: t if Set("--config", "--models-dir", "--db-path")(k) =>
+        go(t, flags + (k.drop(2) -> v), pos)
+      case "--parallel" :: t => go(t, flags + ("parallel" -> "true"), pos)
+      case a :: _ if a.startsWith("--") =>
+        System.err.println(s"Unknown flag: $a"); sys.exit(2)
+      case a :: t => go(t, flags, pos :+ a)
+      case Nil    => (flags, pos)
     }
-    go(rest, Map.empty)
+    go(rest, Map.empty, Nil)
   }
 
   private def loadConfig(flags: Map[String, String]): PipelineConfig = {
@@ -108,17 +111,8 @@ object Main {
     * configured database and therefore see previously persisted
     * views/tables.
     */
-  private def runFiles(rest: List[String]): Unit = {
-    // split flag tokens (--config C / --db-path P) from script paths
-    def split(l: List[String], flags: Map[String, String],
-              paths: List[String]): (Map[String, String], List[String]) =
-      l match {
-        case "--config" :: v :: t  => split(t, flags + ("config" -> v), paths)
-        case "--db-path" :: v :: t => split(t, flags + ("db-path" -> v), paths)
-        case p :: t                => split(t, flags, paths :+ p)
-        case Nil                   => (flags, paths)
-      }
-    val (flags, paths) = split(rest, Map.empty, Nil)
+  private def runFiles(flags: Map[String, String],
+                       paths: List[String]): Unit = {
     if (paths.isEmpty) { System.err.println("run-file: no scripts given"); sys.exit(2) }
     val config = loadConfig(flags)
     val spark = buildSpark(config)

@@ -92,9 +92,13 @@ object MultimodalOps {
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyN: Int): Dataset[Frame] = {
     import spark.implicits._
+    require(everyN >= 1, s"sampleFrames: everyN must be >= 1, got $everyN")
     media.as[MediaRecord].mapPartitions { iter =>
       iter.flatMap { r =>
-        val nFrames = (r.n_bytes / 100).toInt
+        // frame count comes from the PAYLOAD, the ground truth — trusting
+        // the n_bytes metadata would read past (or zero-pad) the buffer on
+        // any record whose metadata drifted from its bytes
+        val nFrames = r.payload.length / 100
         (0 until nFrames by everyN).iterator.map { f =>
           val start = f * 100
           Frame(r.media_id, f,

@@ -25,14 +25,17 @@ object SinkOps {
                               partitionCols: Seq[String],
                               sortCols: Seq[String] = Nil,
                               maxRecordsPerFile: Long = 5000000L): Unit = {
-    val clustered =
+    // repartition on the partition columns REGARDLESS of sorting, so each
+    // output directory is written by few tasks (few, large files) — without
+    // it every task holding a partition value writes its own file,
+    // #tasks × #values small files; the sort only adds row-group
+    // statistics locality on top
+    val clustered = {
+      val rp = df.repartition(partitionCols.map(col): _*)
       if (sortCols.nonEmpty)
-        // repartition on the partition columns first so each output
-        // directory is written by few tasks (few, large files), then sort
-        // within tasks for row-group statistics locality
-        df.repartition(partitionCols.map(col): _*)
-          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-      else df
+        rp.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else rp
+    }
     clustered.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -64,6 +67,11 @@ object SinkOps {
                          bucketCols: Seq[String], nBuckets: Int,
                          sortCols: Seq[String] = Nil,
                          dbPath: Option[String] = None): Unit = {
+    // a previous-session restore registers the table EXTERNAL, whose drop
+    // leaves data behind — clear it or the overwrite saveAsTable below
+    // fails with LOCATION_ALREADY_EXISTS (same guard the pipeline's table
+    // materialization uses)
+    graft.pipeline.ViewStore.dropTableClearingLocation(df.sparkSession, table)
     val writer = df.repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -49,7 +49,12 @@ object PipelineConfig {
     }
     loaded.copy(
       modelsDir = rebase(loaded.modelsDir),
-      macroPath = loaded.macroPath.map(rebase))
+      macroPath = loaded.macroPath.map(rebase),
+      // db_path too: a config-relative database must not silently land in
+      // a cwd-dependent location (a second session launched elsewhere
+      // would "lose" every persisted view). A CLI --db-path flag is
+      // applied after load and stays cwd-relative, as flags should.
+      dbPath = loaded.dbPath.map(rebase))
   }
 
   def fromYaml(text: String): PipelineConfig = {

@@ -280,21 +280,9 @@ final class PipelineSession(
           // view to table materialization) would otherwise SHADOW the new
           // table — temp views win single-part name resolution
           spark.catalog.dropTempView(node.id)
-          spark.sql(s"DROP TABLE IF EXISTS `${node.id}`")
-          // a table restored from a PREVIOUS session is registered external
-          // (the in-memory catalog cannot recreate managed-ness), so the
-          // DROP above leaves its data directory behind — clear it, exactly
-          // as dropping the original managed table would have, or
-          // saveAsTable fails with LOCATION_ALREADY_EXISTS on re-runs
-          val wh = spark.conf.get("spark.sql.warehouse.dir")
-          val loc = (if (wh.startsWith("file:"))
-            Paths.get(new java.net.URI(wh)) else Paths.get(wh)).resolve(node.id)
-          if (Files.exists(loc)) {
-            val s = Files.walk(loc)
-            try s.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.delete(p))
-            finally s.close()
-          }
+          // drop + clear the leftover warehouse dir (a restored table is
+          // external; see ViewStore.dropTableClearingLocation)
+          ViewStore.dropTableClearingLocation(spark, node.id)
           spark.sql(select).write.mode("overwrite").saveAsTable(node.id)
           ViewStore.saveTable(spark, config.dbPath, node.id)
           val n = spark.table(node.id).count() // row-count postlude (node.rs:179-189)

@@ -29,6 +29,35 @@ object ViewStore {
   private def manifest(dbPath: String): Path =
     storeDir(dbPath).resolve("manifest.tsv")
 
+  /** The managed-table data location for `id` under the session's
+    * warehouse dir (which may be a `file:` URI or a bare path) — the ONE
+    * place this resolution lives (restore and the drop-clear below share
+    * it).
+    */
+  def warehouseLocation(spark: SparkSession, id: String): Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    (if (wh.startsWith("file:")) Paths.get(new java.net.URI(wh))
+     else Paths.get(wh)).resolve(id)
+  }
+
+  /** DROP `table` and clear its leftover warehouse directory. A table
+    * restored from a PREVIOUS session is registered EXTERNAL (the
+    * in-memory catalog cannot recreate managed-ness), so a plain DROP
+    * leaves its data behind and the next overwrite saveAsTable fails
+    * with LOCATION_ALREADY_EXISTS — this makes the drop behave like
+    * dropping the original managed table would have.
+    */
+  def dropTableClearingLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = warehouseLocation(spark, table)
+    if (Files.exists(loc)) {
+      val s = Files.walk(loc)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally s.close()
+    }
+  }
+
   /** Persist a view definition. `select` is the session-ready (rewritten)
     * SQL; `raw` is the pre-shim text, stored alongside so a LATER session
     * can re-run the dialect shim when the rewritten form referenced
@@ -117,9 +146,7 @@ object ViewStore {
             if (!spark.catalog.tableExists(id)) {
               // managed-table data written by saveAsTable lives at
               // <warehouse>/<id>; re-register it as a parquet table
-              val wh = spark.conf.get("spark.sql.warehouse.dir")
-              val loc = (if (wh.startsWith("file:"))
-                Paths.get(new java.net.URI(wh)) else Paths.get(wh)).resolve(id)
+              val loc = warehouseLocation(spark, id)
               if (fields.length >= 4) {
                 // bucketed: re-register with the recorded CLUSTERED BY so
                 // the bucketed-scan distribution (zero-exchange joins)

@@ -24,8 +24,9 @@ object EventStreams {
   case class SessionOut(user_id: Long, sess_start: Timestamp,
                         sess_end: Timestamp, n_events: Int, total: Double)
 
-  // not private: the state-store encoder's generated code instantiates it
+  // not private: the state-store encoder's generated code instantiates them
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class SessionsState(sessions: List[SessionState])
 
   /** File-based event stream: the streaming read of the same parquet the
     * batch queries use. maxFilesPerTrigger bounds per-batch work — the knob
@@ -53,56 +54,69 @@ object EventStreams {
         col("n"), col("total"))
 
   /** Custom-state sessionization: flatMapGroupsWithState with event-time
-    * timeout. A session closes `gapMinutes` after its last event (tracked by
-    * the watermark), emitting one SessionOut row. This is the streaming
-    * twin of q33's batch session_window — identical session boundaries.
+    * timeout — the streaming twin of q33's batch session_window, with
+    * IDENTICAL session boundaries for every event the watermark admits.
     *
-    * State per user is O(1) (a 4-field struct); the state store shards by
-    * user_id across executors.
+    * That parity forces two design points a single-session state can't
+    * honor:
+    *   - state holds a LIST of open sessions: a late-but-within-watermark
+    *     event may open (or extend backwards) an EARLIER session that must
+    *     not merge with the current one;
+    *   - a session only closes once the WATERMARK passes last+gap (never
+    *     eagerly on an in-batch gap): an admissible late event with
+    *     t < last+gap could still extend it. Once the watermark passes
+    *     last+gap, no admissible event can touch the session (every new t ≥
+    *     watermark ≥ last+gap), so closing there is exact, not heuristic.
+    * Events merge into any session whose span they touch within the gap
+    * (strict <, like session_window), bridging sessions when one event
+    * connects two.
+    *
+    * State per user is O(open sessions within the watermark horizon) —
+    * bounded by watermark/gap, independent of stream length; the state
+    * store shards by user_id across executors. Totals round HALF_UP like
+    * the batch round() (math.rint would round ties half-even).
     */
   def sessionize(spark: SparkSession, events: DataFrame,
                  watermark: String, gapMinutes: Int): Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    def emit(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n,
+        BigDecimal(s.total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
 
     events.selectExpr("ts", "user_id", "event_type", "value").as[Event]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last+gap → close and emit the session
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, math.rint(s.total * 100) / 100))
-          } else {
-            // fold the micro-batch's events (they arrive unordered within
-            // the batch — sort; batches themselves respect the watermark)
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last < gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-                    total = s.total + e.value))
-                case Some(s) =>
-                  closed ::= SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, math.rint(s.total * 100) / 100)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val folded =
+            if (state.hasTimedOut) state.get.sessions
+            else {
+              // merge each event into every session it touches (bridging
+              // adjacent ones); order within the batch doesn't matter —
+              // the touch relation is symmetric
+              var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+              rows.foreach { e =>
+                val t = e.ts.getTime
+                val (touch, rest) = sessions.partition(s =>
+                  t > s.start - gapMs && t < s.last + gapMs)
+                sessions = touch.foldLeft(SessionState(t, t, 1, e.value)) {
+                  (acc, s) => SessionState(math.min(acc.start, s.start),
+                    math.max(acc.last, s.last), acc.n + s.n,
+                    acc.total + s.total)
+                } :: rest
               }
+              sessions
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.reverseIterator
-          }
+          val (closed, open) = folded.partition(_.last + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(SessionsState(open))
+            state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+          } else if (state.exists) state.remove()
+          closed.sortBy(_.start).map(emit(userId, _)).iterator
       }
   }
 

@@ -62,7 +62,7 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionize splits on in-batch gaps too") {
+  test("sessionize splits in-batch gaps, closing only at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
@@ -70,12 +70,52 @@ class EventStreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sess_split")
       .outputMode(OutputMode.Append).start()
     try {
-      // two bursts 90 minutes apart in ONE batch → first closes inline
+      // two bursts 90 minutes apart in ONE batch: the batch itself pushes
+      // the watermark to 90 (5-min delay), past the first burst's
+      // last+gap=35 but not the second's 125 — so exactly the first burst
+      // emits (in the watermark-confirmed follow-up batch, never eagerly
+      // within the data batch)
       mem.addData(ev(0, 1, 1.0), ev(5, 1, 1.0), ev(95, 1, 2.0))
       q.processAllAvailable()
-      val closedInline = spark.table("sess_split").collect()
-      assert(closedInline.length == 1)
-      assert(closedInline.head.getInt(3) == 2) // first burst had 2 events
+      val confirmed = spark.table("sess_split").collect()
+      assert(confirmed.length == 1)
+      assert(confirmed.head.getInt(3) == 2) // first burst: 2 events
+      // watermark past 95+30 → the second burst emits too, split kept
+      mem.addData(ev(600, 9, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_split").collect()
+        .map(r => (r.getInt(3), r.getDouble(4))).sortBy(_._1)
+      assert(rows.toSeq == Seq((1, 2.0), (2, 2.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize merges a late-but-admissible event into the session it " +
+      "touches (batch session_window parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    // 2h watermark: events up to 2h late are admissible and must land in
+    // the right session — including one that arrives after a LATER
+    // session has already opened
+    val q = EventStreams.sessionize(spark, mem.toDF(), "2 hours", gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(0, 1, 1.0), ev(5, 1, 1.0), ev(95, 1, 2.0))
+      q.processAllAvailable()
+      // late event at 20: within the gap of the FIRST burst (20-5 < 30),
+      // not the second (95-20 > 30) — a single-session state would have
+      // silently folded it into the 95 session or dropped the split
+      mem.addData(ev(20, 1, 4.0))
+      q.processAllAvailable()
+      mem.addData(ev(600, 9, 0.0)) // advance the watermark → close both
+      q.processAllAvailable()
+      val rows = spark.table("sess_late").collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getInt(3), r.getDouble(4)))
+        .sortBy(_._1.getTime)
+      assert(rows.length == 2)
+      assert(rows(0) == ((ts(0), ts(20), 3, 6.0)))  // 0,5 + late 20
+      assert(rows(1) == ((ts(95), ts(95), 1, 2.0)))
     } finally q.stop()
   }
 
