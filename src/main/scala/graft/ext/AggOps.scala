@@ -61,12 +61,16 @@ object AggOps {
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      probs: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
+    // quantile_cont IGNORES NULLs: an unfiltered NULL would count toward
+    // the group size AND rank first (nulls sort low), shifting every
+    // quantile. A group whose values are all NULL yields no output row.
+    val vals = df.filter(col(valueCol).isNotNull)
     val wSort = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
     // Group sizes via a separate partial aggregate + broadcast join back:
     // a `count() over (partition)` window would drag every row through a
     // second WindowExec buffer pass.
-    val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
-    val ranked = df.select(gcols :+ col(valueCol): _*)
+    val counts = vals.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
+    val ranked = vals.select(gcols :+ col(valueCol): _*)
       .withColumn("__rn", row_number().over(wSort))
       .join(broadcast(counts), groupCols)
     interpolate(ranked, gcols, valueCol, probs)
@@ -90,20 +94,24 @@ object AggOps {
     */
   def exactQuantilesBySelection(df: DataFrame, groupCols: Seq[String], valueCol: String,
                                 probs: Seq[(String, Double)], numBuckets: Int = 16): DataFrame = {
+    require(numBuckets >= 2,
+      s"exactQuantilesBySelection: numBuckets must be >= 2, got $numBuckets")
     val gcols = groupCols.map(col)
+    // quantile_cont semantics: NULL values are ignored (see exactQuantiles)
+    val vals = df.filter(col(valueCol).isNotNull)
     // Phase 1: split sketch + exact group sizes in one pass. Sketch
     // accuracy only shapes bucket SIZES (ranks stay exact), so the cheap
     // accuracy=1000 summary is plenty — with numBuckets=16 a 2× size skew
     // still leaves candidate buckets at ~12% of the group.
     val fracs = (1 until numBuckets).map(_.toDouble / numBuckets)
-    val splits = df.groupBy(gcols: _*).agg(
-      expr(s"percentile_approx($valueCol, array(${fracs.mkString(",")}), 1000)")
+    val splits = vals.groupBy(gcols: _*).agg(
+      expr(s"percentile_approx(`$valueCol`, array(${fracs.mkString(",")}), 1000)")
         .as("__splits"),
       count(lit(1)).as("__n"))
     val bucket = (1 until numBuckets).map(i =>
         when(col(valueCol) >= element_at(col("__splits"), i), 1).otherwise(0))
       .reduce(_ + _)
-    val withB = df.select(gcols :+ col(valueCol): _*)
+    val withB = vals.select(gcols :+ col(valueCol): _*)
       .join(broadcast(splits), groupCols)
       .withColumn("__bkt", bucket)
     // Phase 2: exact per-bucket counts → offsets; a bucket is a candidate

@@ -33,24 +33,31 @@ object JoinOps {
                ts: String, leftKeep: Seq[String], rightKeep: Seq[String],
                inner: Boolean = true): DataFrame = {
     val rightOut = rightKeep.map(_ + "_r") :+ (ts + "_r")
+    // the right payload rides as ONE struct so the fill is atomic: filling
+    // each column independently with last(ignoreNulls) would substitute a
+    // STALE row's value wherever the matched right row carries a NULL —
+    // and could stitch fields of different right rows into one output row
+    val payload = "__asof_r"
     val l = left.select(
       (keys.map(col) :+ col(ts) :+ lit(1).as("__side")) ++
-        leftKeep.map(col) ++
-        (rightKeep :+ ts).map(c => lit(null).cast(
-          right.schema(c).dataType).as(c + "_r")): _*)
+        leftKeep.map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          (rightKeep :+ ts).map(c => org.apache.spark.sql.types.StructField(
+            c + "_r", right.schema(c).dataType)))).as(payload): _*)
     val r = right.select(
       (keys.map(col) :+ col(ts) :+ lit(0).as("__side")) ++
-        leftKeep.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (rightKeep :+ ts).map(c => col(c).as(c + "_r")): _*)
+        leftKeep.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct((rightKeep :+ ts).map(c => col(c).as(c + "_r")): _*)
+          .as(payload): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightOut.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
     val leftRows = filled.filter(col("__side") === 1)
-    (if (inner) leftRows.filter(col(ts + "_r").isNotNull) else leftRows)
-      .drop("__side")
+      .select((keys.map(col) :+ col(ts)) ++ leftKeep.map(col) ++
+        rightOut.map(c => col(s"$payload.$c").as(c)): _*)
+    if (inner) leftRows.filter(col(ts + "_r").isNotNull) else leftRows
   }
 
   /** Skew-salted inner equi-join. For a fact⋈fact join where one key is

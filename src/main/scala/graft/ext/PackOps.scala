@@ -31,6 +31,15 @@ object PackOps {
     */
   def packBins(docs: DataFrame, idCol: String, nTokCol: Column,
                budget: Int, nShards: Int): DataFrame = {
+    require({
+        import org.apache.spark.sql.types._
+        Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(docs.schema(idCol).dataType)
+      },
+      s"packBins needs an integral id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString +
+        " (pmod on a non-numeric id would NULL every shard and funnel " +
+        "the whole corpus through one window partition)")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

@@ -12,7 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, lowercased. */
+  /** Whitespace tokens, lowercased.
+    *
+    * Deliberately the EXACT semantics of the DuckDB oracles'
+    * `regexp_split_to_array(lower(text), '\s+')`, including the empty
+    * token split() emits for leading whitespace — both engines agree
+    * token-for-token, which the differential harness depends on. Callers
+    * feeding untrimmed text should trim() first (the fixtures are
+    * pre-trimmed); "fixing" this on one side alone would silently break
+    * every token-derived oracle (counts, fingerprints, MinHash).
+    */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** BPE-ish subword segmentation: letter runs, digit runs, single
@@ -31,9 +40,13 @@ object TextOps {
   def shingles(toks: Column, k: Int): Column =
     org.apache.spark.sql.graft.VectorFunctions.shingles(toks, k)
 
-  /** Stable whole-document fingerprint: md5 of the whitespace-normalized,
-    * lowercased text. Cross-engine reproducible (md5 is md5 everywhere),
+  /** Stable whole-document fingerprint: md5 of the single-space-rejoined,
+    * lowercased tokens. Cross-engine reproducible (md5 is md5 everywhere),
     * unlike xxhash64/murmur whose implementations differ per engine.
+    * Inherits [[tokens]]' oracle-shared split semantics: internal
+    * whitespace RUNS normalize, but leading/trailing whitespace
+    * contributes an empty token and changes the fingerprint — trim first
+    * when surrounding whitespace must not distinguish documents.
     */
   def docFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
@@ -72,7 +85,10 @@ object TextOps {
     round(org.apache.spark.sql.graft.VectorFunctions
       .arrayCountIn(toks, Stopwords).cast("double") / size(toks), 4)
 
-  /** Punctuation-character ratio over the raw text. */
+  /** Punctuation-character ratio over the raw text. Empty text yields
+    * NULL (0/0), and therefore a NULL qualityScore — matching the DuckDB
+    * oracle's NULL division; gate predicates must treat NULL as reject.
+    */
   def punctRatio(text: Column): Column =
     round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
       length(text), 4)
@@ -255,9 +271,12 @@ object TextOps {
   def vocabCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, vocabSize: Int)
       : org.apache.spark.sql.DataFrame = {
+    // explode_outer: a NULL-text doc keeps one null-token row, so every
+    // input doc appears in the per-doc output (0 tokens, null oov_rate) —
+    // a plain explode would silently drop it from the metric table
     val tokStream = docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("__t"))
-    val vocab = tokStream.groupBy(col("__t"))
+      explode_outer(tokens(col(textCol))).as("__t"))
+    val vocab = tokStream.filter(col("__t").isNotNull).groupBy(col("__t"))
       .agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__t"))
       .limit(vocabSize)
@@ -265,8 +284,9 @@ object TextOps {
     tokStream
       .join(broadcast(vocab), Seq("__t"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(count(col("__t")).as("n_tokens"),
+        sum(when(col("__t").isNotNull && col("__in").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
@@ -290,14 +310,18 @@ object TextOps {
   def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
               textCol: String, minAvgLogp: Double)
       : org.apache.spark.sql.DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    // explode_outer + left freq join: NULL-text docs stay in the output
+    // (0 tokens, null score) instead of vanishing from the metric table
+    val tok = docs.select(col(idCol),
+      explode_outer(tokens(col(textCol))).as("__t"))
+    val freq = tok.filter(col("__t").isNotNull)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     val total = freq.agg(sum(col("__c")).cast("double").as("__total"))
-    tok.join(freq, Seq("__t"))
+    tok.join(freq, Seq("__t"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"),
-        round(sum(log(col("__c") / col("__total"))) / count(lit(1)), 4)
+      .agg(count(col("__t")).as("n_toks"),
+        round(sum(log(col("__c") / col("__total"))) / count(col("__t")), 4)
           .as("avg_logp"))
       .withColumn("lm_outlier", col("avg_logp") < minAvgLogp)
   }

@@ -45,6 +45,28 @@ class AggOpsSpec extends AnyFunSuite {
     assert(selected.toSeq == expected.toSeq)
   }
 
+  test("exact quantiles ignore NULL values like quantile_cont") {
+    import org.apache.spark.sql.functions._
+    // [NULL, 1, 2, 3]: quantile_cont p50 = 2; counting/ranking the NULL
+    // (nulls sort first) would interpolate 1.5 instead
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None)).toDF("k", "v")
+    val probs = Seq("p0" -> 0.0, "p50" -> 0.5)
+    Seq(AggOps.exactQuantiles(df, Seq("k"), "v", probs),
+        AggOps.exactQuantilesBySelection(df, Seq("k"), "v", probs,
+          numBuckets = 4))
+      .foreach { out =>
+        val r = out.collect().head
+        assert(r.getDouble(r.fieldIndex("p0")) == 1.0)  // min skips NULL
+        assert(r.getDouble(r.fieldIndex("p50")) == 2.0)
+      }
+    // invalid bucket count fails at the call, not deep in plan building
+    val e = intercept[IllegalArgumentException](
+      AggOps.exactQuantilesBySelection(df, Seq("k"), "v", probs,
+        numBuckets = 1))
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
   test("salted plan has two aggregation exchanges (salt then key)") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     val plan = AggOps.saltedSumCount(df, Seq("k"), "v", 4)

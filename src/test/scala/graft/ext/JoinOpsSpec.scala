@@ -27,6 +27,19 @@ class JoinOpsSpec extends AnyFunSuite {
       Seq((100L, 2.0), (101L, 1.0), (102L, 5.0)))
   }
 
+  test("asofJoin: a matched row's NULL payload stays NULL (no stale fill)") {
+    // the matched right row carries v=NULL; a per-column fill would
+    // substitute the OLDER row's 10.0 — DuckDB ASOF returns the matched
+    // row as-is, NULLs included
+    val left = Seq((1L, ts(30), 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(10), Some(10.0)), (1L, ts(20), None))
+      .toDF("user_id", "ts", "value")
+    val r = JoinOps.asofJoin(left, right, Seq("user_id"), "ts",
+        leftKeep = Seq("event_id"), rightKeep = Seq("value")).collect().head
+    assert(r.getAs[Timestamp]("ts_r") == ts(20)) // the ts(20) row matched
+    assert(r.isNullAt(r.fieldIndex("value_r"))) // with its own NULL value
+  }
+
   test("asofJoin drops left rows with no prior right row (inner as-of)") {
     val left = Seq((1L, ts(5), 100L)).toDF("user_id", "ts", "event_id")
     val right = Seq((1L, ts(10), 1.0)).toDF("user_id", "ts", "value")

@@ -71,6 +71,16 @@ class PackOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packBins rejects a non-integral id column loudly") {
+    // pmod on a string id would NULL every shard and funnel the corpus
+    // through one window partition — fail at the call instead
+    val docs = Seq(("a", "x y"), ("b", "z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      PackOps.packBins(docs, "doc_id",
+        org.apache.spark.sql.functions.lit(2), budget = 4, nShards = 2))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("plan: one exchange on shard, summary reuses it") {
     val plan = PackOps.packSummary(docs, "doc_id", col("n"), 512, 8)
       .queryExecution.executedPlan.toString

@@ -144,6 +144,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(1).getAs[Boolean]("lm_outlier"))
   }
 
+  test("vocabCoverage and lmScore keep NULL-text docs in the output") {
+    // a per-doc metric table must cover every input doc — a plain explode
+    // silently dropped NULL-text rows where repetitionMetrics kept them
+    val docs = Seq((1L, Some("a a b")), (2L, None))
+      .toDF("doc_id", "text")
+    val vc = TextOps.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(vc.length == 2)
+    assert(vc(1).getAs[Long]("n_tokens") == 0L)
+    assert(vc(1).isNullAt(vc(1).fieldIndex("oov_rate")))
+    val lm = TextOps.lmScore(docs, "doc_id", "text", minAvgLogp = -1.0)
+      .orderBy("doc_id").collect()
+    assert(lm.length == 2)
+    assert(lm(1).getAs[Long]("n_toks") == 0L)
+    assert(lm(1).isNullAt(lm(1).fieldIndex("avg_logp")))
+  }
+
   test("langId picks max-overlap profile with alphabetical tie-break") {
     val en = one("the cat is on a mat")
       .select(TextOps.langId(TextOps.tokens(col("text")))).head.getString(0)
