@@ -211,6 +211,10 @@ object DialectShim {
       if (parsed.dropWhile(_.isLeft).exists(_.isLeft)) return None
       val pos = parsed.collect { case Left(p) => p }
       val defs = parsed.collect { case Right(d) => d }
+      // a duplicated parameter name would let the default silently
+      // override the positional binding
+      val names = (pos ++ defs.map(_._1)).map(_.toLowerCase)
+      if (names.distinct.length != names.length) return None
       body.trim match {
         case tableBodyRe(rest) =>
           Some(SqlMacro(name.toLowerCase, pos, defs, rest.trim, true))
@@ -337,8 +341,14 @@ object DialectShim {
   private def bindMacroArgs(m: SqlMacro,
       args: Seq[String]): Option[Map[String, String]] = {
     val defaultNames = m.defaults.map(_._1).toSet
-    def isNamed(a: String) = defaultParamRe.findFirstMatchIn(a)
-      .exists(mm => defaultNames.contains(mm.group(1).toLowerCase))
+    // ANY `ident := v` shape is a named argument — one naming a
+    // non-default param must leave the call verbatim (DuckDB's binder
+    // errors there), NOT bind as positional text (expanding `(a := 5)`
+    // into the body would be garbled SQL the user never wrote)
+    def isNamed(a: String) = defaultParamRe.findFirstMatchIn(a).isDefined
+    if (args.exists(a => defaultParamRe.findFirstMatchIn(a)
+        .exists(mm => !defaultNames.contains(mm.group(1).toLowerCase))))
+      return None
     // DuckDB's binder requires every positional to PRECEDE every named
     // argument — a named-first call errors there, so it must not quietly
     // compute here (the parity contract: verbatim, fails with the name)
@@ -871,12 +881,16 @@ object DialectShim {
           case Some(cols) =>
             // Spark groups by every non-pivot column, so the explicit
             // GROUP BY becomes a projection of the pivot's input
-            val fnRe = """(?s)^\s*\w+\s*\((.*)\)\s*$""".r
+            // the arg must be a BARE column (or * / empty): an expression
+            // like sum(a+b) can't be projected under its own name for the
+            // outer PIVOT to resolve — fail named instead of emitting an
+            // unresolvable projection
+            val fnRe = """(?s)^\s*\w+\s*\(\s*([A-Za-z_][\w.]*|\*|)\s*\)\s*$""".r
             val argCols = p.usings.map(_._1).map {
               case fnRe(arg) => arg.trim
               case other => unsupportedPivot(
                 s"GROUP BY needs simple fn(col) aggregates, got `$other`")
-            }.filterNot(a => a == "*" || a.isEmpty).distinct
+            }.filterNot(a => a == "*" || a.isEmpty || a == p.onCol).distinct
             val proj = (Seq(cols, p.onCol) ++ argCols).mkString(", ")
             s"SELECT * FROM (SELECT $proj FROM ${pivotSrcSql(p.source)}) $pivotClause"
         }
@@ -998,7 +1012,7 @@ object DialectShim {
     if (columnsCallRe.findAllMatchIn(selList)
         .forall(m => depthAt(selList, m.start).isEmpty)) return sql
     val tailEnd = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
-      "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT")
+      "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
       .flatMap(k => keywordPositions(sql, k).collect {
         case (p, 0) if p > fromPos => p
       }).minOption.getOrElse(sql.length)
@@ -1341,7 +1355,10 @@ object DialectShim {
           case Some((args, after)) if args.size == arity =>
             val text = tmpl(args.map(_.trim))
             cur = cur.substring(0, m.start) + text + cur.substring(after)
-            search = m.start + text.length
+            // re-scan FROM the replacement so a nested same-function call
+            // inside the args rewrites too (no template emits its own
+            // matchable name, so this terminates)
+            search = m.start
           case _ => search = m.end
         }
       }
@@ -1493,7 +1510,7 @@ object DialectShim {
         case Some((Seq(j, p), after)) if p.trim.startsWith("'$") =>
           val text = s"get_json_object(${j.trim}, ${p.trim})"
           cur = cur.substring(0, m.start) + text + cur.substring(after)
-          search = m.start + text.length
+          search = m.start // re-scan: nested calls inside the args
         case Some((Seq(j, p), after))
             if bareJsonKeyRe.findFirstMatchIn(p.trim).isDefined =>
           val key = bareJsonKeyRe.findFirstMatchIn(p.trim).get.group(1)
@@ -1501,7 +1518,7 @@ object DialectShim {
             if (key.forall(_.isDigit)) s"'$$[$key]'" else s"'$$[''$key'']'"
           val text = s"get_json_object(${j.trim}, $path)"
           cur = cur.substring(0, m.start) + text + cur.substring(after)
-          search = m.start + text.length
+          search = m.start // re-scan: nested calls inside the args
         case _ => search = m.end
       }
     }
@@ -1530,7 +1547,10 @@ object DialectShim {
         case Some((Seq(s, re, r), after)) =>
           val text = s"regexp_replace_first(${s.trim}, ${re.trim}, ${r.trim})"
           cur = cur.substring(0, m.start) + text + cur.substring(after)
-          search = m.start + text.length
+          // re-scan FROM the replacement: a nested regexp_replace rides
+          // verbatim inside the args and must get its own first-match
+          // mapping (skipping past left it on Spark's global builtin)
+          search = m.start
         case Some((Seq(s, re, r, f), after))
             if f.trim.length >= 2 && f.trim.startsWith("'") && f.trim.endsWith("'") &&
               f.trim.substring(1, f.trim.length - 1).forall("gic".contains(_)) =>
@@ -1544,7 +1564,7 @@ object DialectShim {
             if (flags.contains('g')) s"regexp_replace(${s.trim}, $pat, ${r.trim}, 1)"
             else s"regexp_replace_first(${s.trim}, $pat, ${r.trim})"
           cur = cur.substring(0, m.start) + text + cur.substring(after)
-          search = m.start + text.length
+          search = m.start // re-scan: nested calls inside the args
         case _ => search = m.end
       }
     }
@@ -1585,7 +1605,7 @@ object DialectShim {
               }
               val text = s"named_struct(${fields.mkString(", ")})"
               cur = cur.substring(0, m.start) + text + cur.substring(after)
-              search = m.start + text.length
+              search = m.start // re-scan: nested struct_pack in the args
             case _ => search = m.end
           }
       }
@@ -1663,18 +1683,28 @@ object DialectShim {
     var cur0 = sql
     var tGuard = 0
     var tChanged = true
-    while (tChanged && tGuard < 8) {
+    while (tChanged && tGuard < 200) {
       tGuard += 1
-      val next = arrayTypeRe.replaceAllIn(cur0,
-        m => java.util.regex.Matcher.quoteReplacement(s"ARRAY<${m.group(1)}>"))
+      // literal-aware, one match per pass: a raw replaceAllIn would also
+      // rewrite type syntax INSIDE quoted strings/backticks — data
+      // corruption, not dialect mapping
+      val next = arrayTypeRe.findAllMatchIn(cur0)
+        .find(m => depthAt(cur0, m.start).isDefined &&
+          !insideBackticks(cur0, m.start))
+        .map(m => cur0.substring(0, m.start) + s"ARRAY<${m.group(1)}>" +
+          cur0.substring(m.end))
+        .getOrElse(cur0)
       tChanged = next != cur0
       cur0 = next
     }
     var cur = cur0
     var i = 0
+    // guard counts REWRITES (each consumes a bracket pair, so this only
+    // bounds pathology) — counting scanned CHARACTERS here once silently
+    // stopped rewriting past ~5000 chars, leaving 1-based subscripts to
+    // parse as Spark's 0-based ones in long macro-inlined statements
     var guard = 0
     while (i < cur.length && guard < 5000) {
-      guard += 1
       val c = cur.charAt(i)
       if (c == '\'') { i += 1; while (i < cur.length && cur.charAt(i) != '\'') i += 1; i += 1 }
       else if (c == '`') { i += 1; while (i < cur.length && cur.charAt(i) != '`') i += 1; i += 1 }
@@ -1756,6 +1786,7 @@ object DialectShim {
               }
             cur = cur.substring(0, primaryStart) + text + cur.substring(close + 1)
             i = primaryStart + text.length
+            guard += 1
           } else {
             // literal: consume a preceding ARRAY keyword if present
             var litStart = i
@@ -1765,6 +1796,7 @@ object DialectShim {
             cur = cur.substring(0, litStart) + "array(" + content + ")" +
               cur.substring(close + 1)
             i = litStart + "array(".length // re-scan content for nesting
+            guard += 1
           }
         }
       }
@@ -1925,6 +1957,12 @@ object DialectShim {
       if (c == '\'') {
         var j = i + 1
         while (j < n && sql.charAt(j) != '\'') j += 1
+        i = j + 1
+      } else if (c == '`') {
+        // a backtick-quoted identifier named after a keyword (`qualify`,
+        // `order`, …) is DATA, not clause structure
+        var j = i + 1
+        while (j < n && sql.charAt(j) != '`') j += 1
         i = j + 1
       } else {
         if (c == '(') depth += 1
@@ -2526,8 +2564,17 @@ object DialectShim {
         case "json" => r.json(path)
         case _      => r.parquet(path)
       }
-      val df = names.fold(df0)(ns =>
-        if (ns.size == df0.columns.length) df0.toDF(ns: _*) else df0)
+      // DuckDB names=[...] renames the FIRST N columns when the list is
+      // shorter than the file's width; silently dropping the list on a
+      // mismatch would leave SELECT new_name unresolved with no hint. A
+      // list LONGER than the file errors in DuckDB — fail named here too.
+      val df = names.fold(df0) { ns =>
+        if (ns.size > df0.columns.length)
+          throw new IllegalArgumentException(
+            s"read_$fmt names=[…]: ${ns.size} names for " +
+              s"${df0.columns.length} columns")
+        df0.toDF(ns ++ df0.columns.drop(ns.size): _*)
+      }
       df.createOrReplaceTempView(name)
     }
     Some(name)

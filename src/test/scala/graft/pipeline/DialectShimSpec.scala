@@ -112,6 +112,54 @@ class DialectShimSpec extends AnyFunSuite {
     // normalized the dict literal)
     val unknown = s"SELECT * FROM read_csv('$f', columns={'a': 'UUID'})"
     assert(DialectShim.rewrite(unknown, spark).contains("read_csv"))
+    // a SHORT names list renames the first N columns (DuckDB), instead of
+    // being silently discarded on the length mismatch
+    val short = DialectShim.rewrite(
+      s"SELECT * FROM read_csv('$f', delim='|', names=['k'])", spark)
+    assert(spark.sql(short).columns.head == "k")
+    // a names list LONGER than the file errors loudly, like DuckDB
+    val e = intercept[IllegalArgumentException](DialectShim.rewrite(
+      s"SELECT * FROM read_csv('$f', delim='|', names=['a', 'b', 'c'])",
+      spark))
+    assert(e.getMessage.contains("names"))
+  }
+
+  test("nested same-function calls rewrite all the way down") {
+    // the scan must resume AT each replacement: skipping past it left the
+    // inner call on the colliding Spark builtin (regexp_replace: silent
+    // GLOBAL replace) or on an unregistered name (list_element etc.)
+    assert(DialectShim.rewrite(
+      "SELECT regexp_replace(regexp_replace(s, 'a', 'x'), 'b', 'y') FROM t") ==
+      "SELECT regexp_replace_first(regexp_replace_first(s, 'a', 'x'), 'b', 'y') FROM t")
+    assert(DialectShim.rewrite(
+      "SELECT list_element(list_element(m, 1), 2) FROM t") ==
+      "SELECT try_element_at(try_element_at(m, 1), 2) FROM t")
+    assert(DialectShim.rewrite(
+      "SELECT json_extract_string(json_extract_string(j, '$.a'), '$.b') FROM t") ==
+      "SELECT get_json_object(get_json_object(j, '$.a'), '$.b') FROM t")
+    assert(DialectShim.rewrite(
+      "SELECT struct_pack(a := struct_pack(b := 1)) AS s") ==
+      "SELECT named_struct('a', named_struct('b', 1)) AS s")
+  }
+
+  test("long statements still rewrite brackets past 5000 characters") {
+    // the guard must bound REWRITES, not scanned characters — a
+    // char-count guard silently stopped rewriting mid-statement, letting
+    // a 1-based DuckDB subscript parse as Spark's 0-based one
+    val pad = Seq.fill(2000)("1").mkString(", ") // > 5000 chars of filler
+    val rw = DialectShim.rewrite(
+      s"SELECT $pad, arr[1] AS x, [7, 8] AS lst FROM t")
+    assert(rw.contains("try_element_at(arr, 1)"), rw.takeRight(120))
+    assert(rw.contains("array(7, 8)"), rw.takeRight(120))
+  }
+
+  test("type syntax and keywords inside literals / backticks are data") {
+    // INT[] inside a string literal must never become ARRAY<INT>
+    val lit = "SELECT 'cast to INT[] first' AS hint FROM t"
+    assert(DialectShim.rewrite(lit) == lit)
+    // a backtick-quoted identifier named `qualify` is not a QUALIFY clause
+    val bq = "SELECT a AS `qualify` FROM t"
+    assert(DialectShim.rewrite(bq) == bq)
   }
 
   test("1:1 function renames apply outside string literals only") {
@@ -243,6 +291,15 @@ class DialectShimSpec extends AnyFunSuite {
     // here either — verbatim (review r7)
     assert(DialectShim.rewrite("SELECT addd(b := 3, 1) AS v", spark) ==
       "SELECT addd(b := 3, 1) AS v")
+    // a named argument for a NON-default param is a binder error in
+    // DuckDB — verbatim, never expanded as garbled positional text
+    DialectShim.rewrite("CREATE MACRO incr(a) AS a + 1", spark)
+    assert(DialectShim.rewrite("SELECT incr(a := 5) AS v", spark) ==
+      "SELECT incr(a := 5) AS v")
+    // duplicated parameter names don't register (default would silently
+    // override the positional binding)
+    assert(DialectShim.macroDefinition(
+      "CREATE MACRO dup(a, a := 1) AS a").isEmpty)
     // a string-literal default may contain commas and '' escapes
     DialectShim.rewrite(
       "CREATE MACRO lbl(a, s := 'x,''y') AS concat(a, s)", spark)
