@@ -27,7 +27,10 @@ object MacroRenderer {
     """(?s)\{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%\}""".r
   private val macroEnd = """\{%-?\s*endmacro\s*-?%\}""".r
 
-  /** Parse every `{% macro %}…{% endmacro %}` block in `src`. */
+  /** Parse every `{% macro %}…{% endmacro %}` block in `src`. A header
+    * with no matching `{% endmacro %}` fails NAMED — silently treating
+    * the rest of the file as macro body deleted every later statement.
+    */
   def parseMacros(src: String): Map[String, MacroDef] = {
     val defs = mutable.Map[String, MacroDef]()
     var rest = src
@@ -37,8 +40,9 @@ object MacroRenderer {
       val name = mm.group(1)
       val paramList = mm.group(2).trim
       val afterHeader = rest.substring(mm.end)
-      val endM = macroEnd.findFirstMatchIn(afterHeader)
-      val body = endM.map(e => afterHeader.substring(0, e.start)).getOrElse("")
+      val endM = macroEnd.findFirstMatchIn(afterHeader).getOrElse(
+        unsupportedJinja(s"missing {% endmacro %} for macro `$name`"))
+      val body = afterHeader.substring(0, endM.start)
       val params = Seq.newBuilder[String]
       val defaults = mutable.Map[String, String]()
       if (paramList.nonEmpty) paramList.split(",").foreach { p =>
@@ -48,7 +52,7 @@ object MacroRenderer {
         }
       }
       defs(name) = MacroDef(name, params.result(), defaults.toMap, body.trim)
-      rest = endM.map(e => afterHeader.substring(e.end)).getOrElse("")
+      rest = afterHeader.substring(endM.end)
       m = macroStart.findFirstMatchIn(rest)
     }
     defs.toMap
@@ -63,8 +67,9 @@ object MacroRenderer {
       val mm = m.get
       sb.append(rest.substring(0, mm.start))
       val afterHeader = rest.substring(mm.end)
-      val endM = macroEnd.findFirstMatchIn(afterHeader)
-      rest = endM.map(e => afterHeader.substring(e.end)).getOrElse("")
+      val endM = macroEnd.findFirstMatchIn(afterHeader).getOrElse(
+        unsupportedJinja(s"missing {% endmacro %} for macro `${mm.group(1)}`"))
+      rest = afterHeader.substring(endM.end)
       m = macroStart.findFirstMatchIn(rest)
     }
     sb.append(rest)
@@ -77,32 +82,73 @@ object MacroRenderer {
       s.substring(1, s.length - 1)
     else s
 
-  private val callPat = """\{\{-?\s*(\w+)\s*\(([^)]*)\)\s*-?\}\}""".r
+  // header of a call; the ARGS are scanned with a balanced-paren walk —
+  // a regex `([^)]*)` body could never span a nested call like
+  // `{{ money(sum(x)) }}`, leaving raw jinja to leak into the SQL
+  private val callOpenPat = """\{\{-?\s*(\w+)\s*\(""".r
+  private val callClosePat = """^\s*-?\}\}""".r
   // dotted names cover the loop.* variables bound inside {% for %} bodies
   private val varPat = """\{\{-?\s*([A-Za-z_][\w.]*)\s*-?\}\}""".r
+
+  /** The next `{{ name(args) }}` call at or after `from`, with
+    * balanced-paren quote-aware args: (start, end, name, argStr).
+    */
+  private def findCall(text: String, from: Int)
+      : Option[(Int, Int, String, String)] = {
+    callOpenPat.findAllMatchIn(text).filter(_.start >= from).foreach { m =>
+      var i = m.end; var depth = 1; var inQ = false; var q = ' '
+      while (i < text.length && depth > 0) {
+        val c = text.charAt(i)
+        if (inQ) { if (c == q) inQ = false }
+        else if (c == '\'' || c == '"') { inQ = true; q = c }
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        i += 1
+      }
+      if (depth == 0)
+        callClosePat.findFirstMatchIn(text.substring(i)).foreach { cm =>
+          return Some((m.start, i + cm.end, m.group(1),
+            text.substring(m.end, i - 1)))
+        }
+    }
+    None
+  }
 
   /** Render `src` with macros from `macroSrc` ++ those defined inline.
     * Macro-call expansion runs to a fixpoint (bounded) so macros may call
     * macros; remaining bare `{{ name }}` of unknown names become "".
     */
-  def render(src: String, macroSrc: String): String = {
-    val macros = parseMacros(macroSrc) ++ parseMacros(src)
+  def render(src: String, macroSrc: String): String =
+    render(src, parseMacros(macroSrc))
+
+  /** [[render]] over PRE-PARSED macros: buildGraph parses the shared
+    * macro files once instead of re-scanning them per model.
+    */
+  def render(src: String, fileMacros: Map[String, MacroDef]): String = {
+    val macros = fileMacros ++ parseMacros(src)
     // control tags FIRST: a top-level {% for %} must multiply the macro
     // calls inside its body before the call-expansion fixpoint sees them
     var cur = renderTags(stripMacroDefs(src), Map.empty)
     var depth = 0
     var changed = true
     while (changed && depth < 16) {
-      val next = callPat.replaceAllIn(cur, m => {
-        val name = m.group(1)
+      changed = false
+      val sb = new StringBuilder
+      var pos = 0
+      var found = findCall(cur, pos)
+      while (found.isDefined) {
+        val (s, e, name, argStr) = found.get
+        sb.append(cur.substring(pos, s))
         macros.get(name) match {
-          case Some(mac) =>
-            java.util.regex.Matcher.quoteReplacement(expand(mac, m.group(2)))
-          case None => "" // undefined call → empty, jinja non-strict
+          case Some(mac) => sb.append(expand(mac, argStr))
+          case None      => () // undefined call → empty, jinja non-strict
         }
-      })
-      changed = next != cur
-      cur = next
+        changed = true
+        pos = e
+        found = findCall(cur, pos)
+      }
+      sb.append(cur.substring(pos))
+      cur = sb.toString
       depth += 1
     }
     // Filtered slots at top level: default(…) may still produce a value;
@@ -442,9 +488,20 @@ object MacroRenderer {
         applyFilters(m.group(1), m.group(2), env)))
     val afterVars = varPat.replaceAllIn(afterFiltered, m =>
       java.util.regex.Matcher.quoteReplacement(strs.getOrElse(m.group(1), "")))
-    callPat.replaceAllIn(afterVars, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"{{ ${m.group(1)}(${substParams(m.group(2), strs)}) }}"))
+    // nested macro-call arguments substitute via the balanced-paren call
+    // scan (regex args could not span a nested call)
+    val sb = new StringBuilder
+    var pos = 0
+    var found = findCall(afterVars, pos)
+    while (found.isDefined) {
+      val (s, e, name, argStr) = found.get
+      sb.append(afterVars.substring(pos, s))
+      sb.append(s"{{ $name(${substParams(argStr, strs)}) }}")
+      pos = e
+      found = findCall(afterVars, pos)
+    }
+    sb.append(afterVars.substring(pos))
+    sb.toString
   }
 
   // --- jinja filters -------------------------------------------------------
@@ -454,8 +511,10 @@ object MacroRenderer {
   // of leaking `{{ … }}` text into the SQL (the control-tag contract).
   //   upper lower trim length join(sep) replace(a, b) default(v)
 
+  // `-?` markers accepted like varPat/callPat: `{{- x | upper -}}` must
+  // render, not leak raw jinja into the SQL
   private[pipeline] val filteredVarPat =
-    """\{\{\s*([A-Za-z_]\w*|'[^']*'|"[^"]*")\s*((?:\|\s*[A-Za-z_]\w*(?:\([^()]*\))?\s*)+)\}\}""".r
+    """\{\{-?\s*([A-Za-z_]\w*|'[^']*'|"[^"]*")\s*((?:\|\s*[A-Za-z_]\w*(?:\([^()]*\))?\s*)+)-?\}\}""".r
 
   private def applyFilters(baseText: String, filtersText: String,
       env: Map[String, JVal]): String = {
@@ -522,26 +581,39 @@ object MacroRenderer {
         val end = if (j < 0) text.length else j + 1
         sb.append(text.substring(i, end)); i = end
       } else if (Character.isJavaIdentifierStart(c)) {
+        // scan a DOTTED name so `loop.index` resolves as the whole bound
+        // key (the env binds dotted names); a plain-word scan tokenized it
+        // as `loop` + `index`, neither bound, and leaked the literal text
         var j = i
-        while (j < text.length && Character.isJavaIdentifierPart(text.charAt(j))) j += 1
+        while (j < text.length && (Character.isJavaIdentifierPart(text.charAt(j)) ||
+          text.charAt(j) == '.')) j += 1
+        while (j > i && text.charAt(j - 1) == '.') j -= 1 // trailing dots
         val w = text.substring(i, j)
-        sb.append(bound.getOrElse(w, w))
+        sb.append(bound.get(w).getOrElse(
+          // not bound as a whole: substitute each dotted segment (a bound
+          // alias prefix like t.col still rewrites its `t`)
+          w.split('.').map(seg => bound.getOrElse(seg, seg)).mkString(".")))
         i = j
       } else { sb.append(c); i += 1 }
     }
     sb.toString
   }
 
-  /** Split a call's argument list on commas outside quotes. */
+  /** Split a call's argument list on top-level commas — outside quotes
+    * AND outside parens/brackets, so one argument may be a nested call
+    * (`outer(concat(a, b))`) or a list literal without splintering.
+    */
   private def splitArgs(s: String): Seq[String] = {
     if (s.trim.isEmpty) return Seq.empty
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQ = false; var q = ' '
+    var inQ = false; var q = ' '; var depth = 0
     s.foreach { c =>
       if (inQ) { cur.append(c); if (c == q) inQ = false }
       else if (c == '\'' || c == '"') { inQ = true; q = c; cur.append(c) }
-      else if (c == ',') { out += cur.toString; cur.clear() }
+      else if (c == '(' || c == '[') { depth += 1; cur.append(c) }
+      else if (c == ')' || c == ']') { depth -= 1; cur.append(c) }
+      else if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
       else cur.append(c)
     }
     out += cur.toString

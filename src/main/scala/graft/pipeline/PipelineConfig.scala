@@ -59,24 +59,38 @@ object PipelineConfig {
 
   def fromYaml(text: String): PipelineConfig = {
     val yaml = new org.yaml.snakeyaml.Yaml()
-    val root = Option(yaml.load[java.util.Map[String, Object]](text))
-      .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
+    // a non-mapping document (stray scalar, top-level list) must name the
+    // problem, not surface as a bare ClassCastException downstream
+    val root = Option(yaml.load[Object](text)) match {
+      case None => Map.empty[String, Object]
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) => String.valueOf(k) -> v }.toMap
+      case Some(other) => throw GenericError(
+        s"config.yaml: expected a key: value mapping at the top level, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
 
-    def str(k: String): Option[String] = root.get(k).map(_.toString)
+    // a key left blank while editing (`db_path:`) parses as null — treat
+    // it as absent instead of NPE-ing on toString
+    def str(k: String): Option[String] =
+      root.get(k).flatMap(Option(_)).map(_.toString)
     val settings = root.get("duckdb_settings").orElse(root.get("spark_settings"))
+      .flatMap(Option(_))
       .collect { case m: java.util.Map[_, _] =>
-        m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap }
-      .getOrElse(Map.empty)
-    val models = root.get("models")
+        m.asScala.collect { case (k, v) if v != null =>
+          String.valueOf(k) -> v.toString }.toMap }
+      .getOrElse(Map.empty[String, String])
+    val models = root.get("models").flatMap(Option(_))
       .collect { case m: java.util.Map[_, _] =>
         m.asScala.map { case (k, v) =>
           val mat = v match {
             case vm: java.util.Map[_, _] =>
               vm.asScala.collectFirst {
-                case (mk, mv) if mk.toString == "materialize" => mv.toString }
+                case (mk, mv) if String.valueOf(mk) == "materialize" &&
+                  mv != null => mv.toString }
             case _ => None
           }
-          k.toString -> ModelConfig(mat)
+          String.valueOf(k) -> ModelConfig(mat)
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 

@@ -68,7 +68,9 @@ final class PipelineSession(
   def buildGraph(): (Seq[String], Map[String, ModelNode]) = {
     val paths = discoverModelPaths()
     val macros = loadMacros()
-    val macroSrc = macros.values.mkString("\n")
+    // parse the shared macro files ONCE; render() re-scanned the full
+    // macro source per model (O(models × macro-bytes) of regex work)
+    val fileMacros = MacroRenderer.parseMacros(macros.values.mkString("\n"))
 
     var nodeMap = paths.map { p =>
       val id = {
@@ -89,7 +91,7 @@ final class PipelineSession(
     // render: strip comments → expand macros → extract refs (src/node.rs:62-107)
     nodeMap = nodeMap.map { case (id, node) =>
       val stripped = SqlText.stripComments(node.rawSrc)
-      val rendered = MacroRenderer.render(stripped, macroSrc)
+      val rendered = MacroRenderer.render(stripped, fileMacros)
       val prevs = DepExtractor.modelRefsInModel(rendered, modelIds)
         .flatMap(byLower.get) - id
       id -> node.copy(renderedSrc = rendered, prevs = prevs)

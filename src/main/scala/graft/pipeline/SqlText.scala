@@ -16,15 +16,18 @@ object SqlText {
     val out = new StringBuilder(sql.length)
     var i = 0
     val n = sql.length
-    var inSingle = false
+    // quote tracking covers single quotes (SQL strings), DOUBLE quotes
+    // (DuckDB identifiers / Spark string literals — `"a--b"` is data, not
+    // a comment), and backticks (Spark identifiers)
+    var quote: Char = 0
     while (i < n) {
       val c = sql.charAt(i)
-      if (inSingle) {
+      if (quote != 0) {
         out.append(c)
-        if (c == '\'') inSingle = false
+        if (c == quote) quote = 0
         i += 1
-      } else if (c == '\'') {
-        inSingle = true; out.append(c); i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         while (i < n && sql.charAt(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
@@ -38,16 +41,17 @@ object SqlText {
     out.toString
   }
 
-  /** Split on `;` (outside string literals), trim, drop empties
-    * (src/node.rs:125-131 splits naively; we are string-literal-safe).
+  /** Split on `;` outside quoted regions (single/double/backtick), trim,
+    * drop empties (src/node.rs:125-131 splits naively; we are quote-safe).
     */
   def splitStatements(sql: String): Seq[String] = {
     val stmts = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inSingle = false
+    var quote: Char = 0
     sql.foreach { c =>
-      if (c == '\'') { inSingle = !inSingle; cur.append(c) }
-      else if (c == ';' && !inSingle) { stmts += cur.toString; cur.clear() }
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; cur.append(c) }
+      else if (c == ';') { stmts += cur.toString; cur.clear() }
       else cur.append(c)
     }
     stmts += cur.toString

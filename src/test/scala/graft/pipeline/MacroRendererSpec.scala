@@ -110,6 +110,33 @@ class MacroRendererSpec extends AnyFunSuite {
       "SELECT 1{% if undefined_flag %}, 2{% endif %}", "") == "SELECT 1")
   }
 
+  test("macro-call arguments may contain nested parens and calls") {
+    // `([^)]*)`-style arg matching could never span sum(x) — the call
+    // then leaked raw {{ … }} into the SQL
+    val m = "{% macro money(e) %}round({{ e }}, 2){% endmacro %}"
+    assert(MacroRenderer.render("SELECT {{ money(sum(amount)) }} FROM t", m)
+      == "SELECT round(sum(amount), 2) FROM t")
+    // a nested-call argument with a comma inside ITS parens stays one arg
+    assert(MacroRenderer.render(
+      "SELECT {{ money(coalesce(a, b)) }} FROM t", m) ==
+      "SELECT round(coalesce(a, b), 2) FROM t")
+    // dotted loop variables substitute inside nested-call arguments
+    val fm = "{% macro fmt(i) %}c{{ i }}{% endmacro %}" +
+      "{% macro cols() %}{% for x in ['p', 'q'] %}{{ fmt(loop.index) }}" +
+      "{% if not loop.last %}, {% endif %}{% endfor %}{% endmacro %}"
+    assert(MacroRenderer.render("SELECT {{ cols() }} FROM t", fm) ==
+      "SELECT c1, c2 FROM t")
+    // filtered slots accept whitespace-trim markers instead of leaking
+    val tm = "{% macro tag(s) %}{{- s | upper -}}{% endmacro %}"
+    assert(MacroRenderer.render("SELECT '{{ tag(ab) }}'", tm) ==
+      "SELECT 'AB'")
+    // an unterminated macro block fails NAMED (it used to silently delete
+    // the rest of the file)
+    val e = intercept[GenericError](MacroRenderer.render(
+      "{% macro broken(x) %}{{ x }}{% end_macro %}SELECT 1", ""))
+    assert(e.getMessage.contains("endmacro"))
+  }
+
   test("{% set %} binds literals, names, filtered values; leaks from if") {
     // literal assignment, used later in the same block
     assert(MacroRenderer.render(

@@ -46,6 +46,21 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.dbPath.isEmpty) // in-memory mode
   }
 
+  test("blank values and non-mapping documents fail soft or named") {
+    // a key left blank mid-edit parses as YAML null → treated as absent
+    val c = PipelineConfig.fromYaml(
+      "models_dir: m\ndb_path:\nmacro_path:\nduckdb_settings:\n")
+    assert(c.modelsDir == "m" && c.dbPath.isEmpty && c.macroPath.isEmpty)
+    val c2 = PipelineConfig.fromYaml(
+      "models:\n  a:\n    materialize:\n")
+    assert(c2.models("a").materialize.isEmpty)
+    // a non-mapping document names the problem instead of a bare
+    // ClassCastException from deep inside the parser
+    val e = intercept[GenericError](
+      PipelineConfig.fromYaml("- just\n- a\n- list\n"))
+    assert(e.getMessage.contains("mapping"))
+  }
+
   test("empty yaml yields defaults") {
     assert(PipelineConfig.fromYaml("") == PipelineConfig())
   }

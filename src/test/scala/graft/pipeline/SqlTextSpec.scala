@@ -26,6 +26,15 @@ class SqlTextSpec extends AnyFunSuite {
     assert(stmts == Seq("SET a=1", "SELECT 'x;y' FROM t"))
   }
 
+  test("double-quoted and backticked tokens are quote regions too") {
+    // a DuckDB double-quoted identifier (or Spark double-quoted string)
+    // containing -- or ; is data, not a comment / statement boundary
+    val ident = """SELECT "a--b", `c;d` FROM t"""
+    assert(SqlText.stripComments(ident) == ident)
+    assert(SqlText.splitStatements("""SELECT "x;y" FROM t; SET a=1""") ==
+      Seq("""SELECT "x;y" FROM t""", "SET a=1"))
+  }
+
   test("record-producing detection matches reference semantics") {
     assert(SqlText.producesRecords("SELECT 1"))
     assert(SqlText.producesRecords("  with x as (select 1) select * from x"))
