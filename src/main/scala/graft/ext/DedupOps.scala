@@ -35,6 +35,10 @@ object DedupOps {
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(col("toks"), k)).as("sh"))
+      // a doc with < k tokens has an empty shingle set: Jaccard with an
+      // empty set is 0/0 — drop it (minHashLshPairs filters the same way)
+      // instead of emitting phantom null-similarity pairs
+      .filter(size(col("sh")) > 0)
     val a = withShingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -236,10 +240,14 @@ object DedupOps {
   }
 
   /** SimHash near-dup pairs via banding: split the 64-bit signature into
-    * four 16-bit bands; candidate pairs must agree on at least one band
-    * (standard LSH banding — two docs within Hamming distance 3 of each
-    * other agree on some band with certainty by pigeonhole when the 4
-    * differing bits... more precisely, hamming<=3 guarantees >=1 clean band).
+    * four 16-bit bands; candidate pairs must agree on at least one band.
+    * RECALL CONTRACT (standard LSH banding): pigeonhole guarantees every
+    * pair within Hamming distance 3 surfaces (4 differing bits can clear
+    * no band only at distance ≥ 4); pairs at distance 4..maxHamming
+    * surface only when their differing bits happen to spare one band —
+    * candidate-generation recall, exactly like MinHash-LSH band recall,
+    * and exactly what the q28 differential oracle models. Callers needing
+    * guaranteed recall at larger distances need more/narrower bands.
     * The band join shuffles on (band_idx, band_value) — uniform keys — and
     * only candidate pairs pay the 64-bit Hamming check (bit_count(xor)).
     */
@@ -371,14 +379,17 @@ object DedupOps {
     * Output: (idCol, n_chunks, n_kept, clean_text) — clean_text is null
     * when every chunk of the document appeared earlier somewhere else.
     *
-    * At 100 TB: the corpus is scanned and tokenized ONCE (n_chunks comes
-    * from the same exploded pass that feeds the dedup, not a second scan);
-    * the only shuffles carry (32-byte fp, 8-byte key) pairs or chunk rows
-    * keyed by fp/doc — all uniform. The first-occurrence pick encodes
-    * (doc, pos) as doc*1e6+pos so the argmin is a plain min over one long
-    * (portable to the SQL oracle bitwise); that caps chunks per document
-    * at 1e6 — fine for any document that fits in a task — and requires an
-    * integral id (enforced: a string id would cast to null and silently
+    * At 100 TB: the chunk pass is ONE lineage consumed by three plans
+    * (count, first-occurrence, rebuild) — Spark re-executes it per
+    * consumer unless the caller persists the input, but each pass stays a
+    * scan + map, and the only shuffles carry (32-byte fp, 8-byte key)
+    * pairs or chunk rows keyed by fp/doc — all uniform. The
+    * first-occurrence argmin is min over a (doc, pos) STRUCT —
+    * lexicographic, so the decision is identical to the SQL oracle's
+    * doc*1e6+pos encoding for in-range ids but cannot overflow for
+    * hash-derived 64-bit ids (the encoded long wrapped negative above
+    * ~9.2e12 and silently picked an arbitrary "first"). The id must be
+    * integral (enforced: a string id would cast to null and silently
     * mark the whole corpus duplicate).
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
@@ -400,7 +411,7 @@ object DedupOps {
       .select(col(idCol),
         posexplode_outer(chunksOf(col(textCol))).as(Seq("pos", "chunk")))
       .withColumn("fp", md5(col("chunk")))
-      .withColumn("__key", col(idCol) * lit(1000000L) + col("pos"))
+      .withColumn("__key", struct(col(idCol), col("pos")))
     val nChunks = chunks.groupBy(col(idCol))
       .agg(count(col("chunk")).as("n_chunks"))
     val firsts = chunks.filter(col("fp").isNotNull).groupBy(col("fp"))

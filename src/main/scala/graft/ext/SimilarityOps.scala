@@ -86,8 +86,12 @@ object SimilarityOps {
     * unrolled over the dimension at plan time, so it must be known before
     * the plan is built).
     */
-  def inferDim(df: DataFrame, embCol: String): Int =
-    df.select(size(col(embCol))).head().getInt(0)
+  def inferDim(df: DataFrame, embCol: String): Int = {
+    val row = df.select(size(col(embCol))).limit(1).collect()
+    require(row.nonEmpty && !row.head.isNullAt(0),
+      s"inferDim: no non-null '$embCol' vector to read the dimension from")
+    row.head.getInt(0)
+  }
 
   /** Spherical k-means (Lloyd's) coarse quantizer, expressed as repeated
     * DataFrame passes — the index-build step of [[ivfTopK]], usable on any
@@ -110,7 +114,11 @@ object SimilarityOps {
     */
   def fitCentroids(vecs: DataFrame, embCol: String, nCells: Int,
                    maxIters: Int = 3, sampleOneIn: Int = 1): Array[Array[Double]] = {
+    // null / zero-norm embeddings normalize to null — drop them before
+    // clustering (a null v would otherwise produce a null cell group that
+    // NPEs the driver-side collect)
     val unitAll = vecs.select(VectorFunctions.normalize(col(embCol)).as("v"))
+      .filter(col("v").isNotNull)
     val unit = (if (sampleOneIn > 1)
         unitAll.filter(pmod(xxhash64(col("v")), lit(sampleOneIn)) === 0)
       else unitAll).cache()
@@ -147,7 +155,9 @@ object SimilarityOps {
   def cellOf(embUnit: Column, centroids: Array[Array[Double]]): Column = {
     val sims = centroids.map(c =>
       VectorFunctions.dotProduct(embUnit, typedLit(c.toSeq))).toSeq
-    if (sims.size == 1) lit(0)
+    // a null unit vector gets a null cell in BOTH arms (the multi-centroid
+    // coalesce-of-whens is null for null sims already)
+    if (sims.size == 1) when(sims.head.isNotNull, lit(0))
     else {
       val best = greatest(sims: _*)
       coalesce(sims.zipWithIndex.map { case (s, i) =>

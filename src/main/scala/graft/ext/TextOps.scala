@@ -288,7 +288,10 @@ object TextOps {
         sum(when(col("__t").isNotNull && col("__in").isNull, 1L)
           .otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
-        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        // explicit guard: a 0-token (null-text) doc gets a null rate —
+        // 0.0/0 would raise under ANSI mode rather than yield null
+        when(col("n_tokens") > 0,
+          round(col("n_oov").cast("double") / col("n_tokens"), 4)))
   }
 
   /** Unigram language-model quality score — the KenLM-style perplexity

@@ -35,6 +35,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -43,7 +44,12 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      // a null ELEMENT nulls the result, like the zip_with/aggregate
+      // formulation this replaces (getDouble would silently read 0.0)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
@@ -56,9 +62,10 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) ${ev.value} = $s;
        """.stripMargin
     })
 
@@ -90,6 +97,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null element
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -112,11 +120,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = (double) $a.getFloat($i);
          |  double $yv = (double) $b.getFloat($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |if (${ev.isNull}) {
+         |} else if ($na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -150,7 +160,10 @@ case class VectorNormalize(child: Expression)
     val n = x.numElements()
     var ss = 0.0
     var i = 0
-    while (i < n) { val v = x.getFloat(i).toDouble; ss += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null // null element, like transform+aggregate
+      val v = x.getFloat(i).toDouble; ss += v * v; i += 1
+    }
     if (ss == 0.0) null
     else {
       val nrm = math.sqrt(ss)
@@ -173,10 +186,12 @@ case class VectorNormalize(child: Expression)
          |int $n = $a.numElements();
          |double $ss = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.getFloat($i);
          |  $ss += $v * $v;
          |}
-         |if ($ss == 0.0) {
+         |if (${ev.isNull}) {
+         |} else if ($ss == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $nrm = java.lang.Math.sqrt($ss);
@@ -203,6 +218,8 @@ case class VectorNormalize(child: Expression)
   */
 case class Shingles(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0, s"shingles: k must be positive, got $k")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
