@@ -402,6 +402,7 @@ case class Int8QuantStats(child: Expression)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "int8_quant_stats"
 
   override protected def nullSafeEval(a: Any): Any = {
@@ -410,6 +411,9 @@ case class Int8QuantStats(child: Expression)
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      // null ELEMENT nulls the stats, like the sibling kernels — the SQL
+      // registration makes arbitrary user arrays reachable here
+      if (x.isNullAt(i)) return null
       val v = math.abs(x.getFloat(i).toDouble)
       if (v > maxAbs) maxAbs = v
       i += 1
@@ -446,11 +450,13 @@ case class Int8QuantStats(child: Expression)
          |int $n = $a.numElements();
          |double $maxAbs = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
          |  if ($v > $maxAbs) $maxAbs = $v;
          |}
          |double $scale = $maxAbs / 127.0;
-         |if ($n == 0 || $scale == 0.0) {
+         |if (${ev.isNull}) {
+         |} else if ($n == 0 || $scale == 0.0) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |    new double[]{0.0, 0.0, 0.0});
          |} else {
@@ -514,8 +520,14 @@ case class BandSignatures(child: Expression, planes: Seq[Seq[Double]],
         val n = math.min(u.numElements(), p.length)
         var s = 0.0
         var d = 0
-        while (d < n) { s += u.getDouble(d) * p(d); d += 1 }
-        if (s > 0) v |= 1 << i
+        var nullDot = false
+        while (d < n) {
+          // null ELEMENT nulls this dot, so `when(null > 0)` in the tree
+          // this replaces leaves the bit unset — keep bit-identity
+          if (u.isNullAt(d)) { nullDot = true; d = n }
+          else { s += u.getDouble(d) * p(d); d += 1 }
+        }
+        if (!nullDot && s > 0) v |= 1 << i
         i += 1
       }
       out(b) = v

@@ -131,4 +131,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("null ELEMENTS: scalar kernels null the result, bands leave bits unset") {
+    // array(1.0, NULL): the HOF formulations these kernels replaced
+    // propagate an element null to the whole result — so must the kernels,
+    // under BOTH eval paths
+    val df = spark.sql(
+      """SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS d,
+        |  array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS f,
+        |  array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS d2
+        |""".stripMargin)
+    def run() = df.select(
+        VectorFunctions.dotProduct(col("d"), col("d2")).as("dot"),
+        VectorFunctions.cosineSim(col("f"), col("f")).as("cos"),
+        VectorFunctions.normalize(col("f")).as("nrm"),
+        VectorFunctions.int8QuantStats(col("f")).as("qs"),
+        // null dot -> when(null > 0) unset in the tree this replaces
+        VectorFunctions.bandSignatures(col("d"),
+          Seq(Seq(1.0, 1.0), Seq(-1.0, 1.0)), 2).as("bands"))
+      .collect().head
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val r = run()
+        assert((0 to 3).forall(r.isNullAt), s"mode=$mode")
+        assert(r.getSeq[Int](4) == Seq(0), s"mode=$mode")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("shingles rejects non-positive k at construction") {
+    val e = intercept[IllegalArgumentException](
+      VectorFunctions.shingles(col("a"), 0))
+    assert(e.getMessage.contains("positive"))
+  }
 }
