@@ -21,12 +21,6 @@ object Bench {
     // every table's footer once, so the first timed query doesn't absorb
     // ~5s of session start-up cost. sf0.01 (not the smallest SF) so AQE
     // picks the same plan shapes the timed pass will compile.
-    val warmDir = "/root/testdata/sf0.01"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
     // Dev-only knobs (driver sets neither): ONLY=comma-list to subset,
     // REPS=n to repeat each query and keep the fastest run. Default is
     // min-of-3: single-run times on this workload swing up to 3.5× between
@@ -35,6 +29,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val warmDir = "/root/testdata/sf0.01"
+    if (new java.io.File(warmDir).isDirectory)
+      // warm only the SELECTED queries: with SPARK_GRAFT_ONLY set, warming
+      // the full suite costs minutes per dev iteration for nothing
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     // A failed query must NOT bench as a fast one: record the error instead
     // of a time and keep it out of the total, so a regression that breaks a
     // query can only make the bench look worse, never better.
@@ -66,7 +68,9 @@ object Bench {
         name -> (if (oks.nonEmpty) Right(oks.min)
                  else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Verify's escaper handles control chars too — a tab/CR inside an
+    // error message must not corrupt the round's only durable bench record
+    def jstr(s: String) = Verify.jsonStr(s)
     val qs = results.map {
       case (k, Right(t)) => jstr(k) + ":" + t
       case (k, Left(m))  => jstr(k) + ":" + jstr("err: " + m)

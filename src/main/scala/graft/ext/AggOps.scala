@@ -39,6 +39,22 @@ object AggOps {
         finals.tail.map { case (n, f) => f(n).as(n) }: _*)
   }
 
+  /** Broadcast join back on group keys with NULL-SAFE equality: GROUP BY
+    * treats NULL as a real group, but a plain using-join (NULL == NULL is
+    * NULL) would silently drop that group's rows on the way back —
+    * diverging from the quantile_cont oracle. Empty `cols` = cross join
+    * (the ungrouped / global-quantile shape), as with the using-join.
+    */
+  private def joinBackNullSafe(l: DataFrame, r: DataFrame,
+                               cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) l.crossJoin(broadcast(r))
+    else {
+      val rr = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, "__jb_" + c))
+      val cond = cols.map(c => col(c) <=> col("__jb_" + c)).reduce(_ && _)
+      cols.foldLeft(l.join(broadcast(rr), cond))((d, c) => d.drop("__jb_" + c))
+    }
+  }
+
   /** Exact linear-interpolated quantiles (SQL `quantile_cont` semantics)
     * computed with a distributed sort instead of Spark's built-in
     * `percentile`, whose value→count hash map degenerates on
@@ -72,7 +88,7 @@ object AggOps {
     val counts = vals.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
     val ranked = vals.select(gcols :+ col(valueCol): _*)
       .withColumn("__rn", row_number().over(wSort))
-      .join(broadcast(counts), groupCols)
+      .transform(joinBackNullSafe(_, counts, groupCols))
     interpolate(ranked, gcols, valueCol, probs)
   }
 
@@ -112,7 +128,7 @@ object AggOps {
         when(col(valueCol) >= element_at(col("__splits"), i), 1).otherwise(0))
       .reduce(_ + _)
     val withB = vals.select(gcols :+ col(valueCol): _*)
-      .join(broadcast(splits), groupCols)
+      .transform(joinBackNullSafe(_, splits, groupCols))
       .withColumn("__bkt", bucket)
     // Phase 2: exact per-bucket counts → offsets; a bucket is a candidate
     // iff some needed rank falls inside (offset, offset + cnt].
@@ -131,7 +147,7 @@ object AggOps {
     // Rank only candidate-bucket rows; global rank = offset + local rank.
     val wLoc = Window.partitionBy(gcols :+ col("__bkt"): _*).orderBy(col(valueCol))
     val ranked = withB.drop("__n", "__splits")
-      .join(broadcast(candBuckets), groupCols :+ "__bkt")
+      .transform(joinBackNullSafe(_, candBuckets, groupCols :+ "__bkt"))
       .withColumn("__rn", col("__off") + row_number().over(wLoc))
     interpolate(ranked, gcols, valueCol, probs)
   }

@@ -44,13 +44,21 @@ object JoinOps {
         lit(null).cast(org.apache.spark.sql.types.StructType(
           (rightKeep :+ ts).map(c => org.apache.spark.sql.types.StructField(
             c + "_r", right.schema(c).dataType)))).as(payload): _*)
-    val r = right.select(
+    val r = right
+      // equi-join semantics: a NULL key (or NULL ts) right row matches
+      // nothing — without this filter the window's NULL partition would
+      // pair it with NULL-key left rows, which DuckDB ASOF never does
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(ts).isNotNull)
+      .select(
       (keys.map(col) :+ col(ts) :+ lit(0).as("__side")) ++
         leftKeep.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct((rightKeep :+ ts).map(c => col(c).as(c + "_r")): _*)
           .as(payload): _*)
+    // payload as the final sort key: right rows tied on (keys, ts) would
+    // otherwise resolve by partition order — run-dependent; the struct's
+    // lexicographic order makes the pick deterministic (retry-safe)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc, col("__side").asc, col(payload).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))

@@ -40,6 +40,9 @@ object PackOps {
         docs.schema(idCol).dataType.simpleString +
         " (pmod on a non-numeric id would NULL every shard and funnel " +
         "the whole corpus through one window partition)")
+    // pmod(id, 0) is NULL too — the same single-partition funnel, silently
+    require(nShards > 0, s"packBins: nShards must be positive, got $nShards")
+    require(budget > 0, s"packBins: budget must be positive, got $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

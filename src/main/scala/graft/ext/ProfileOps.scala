@@ -61,7 +61,10 @@ object ProfileOps {
 
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(count(lit(1)).as(s"${c}__rows"),
-        sum(when(q(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
+        // coalesce: sum over ZERO rows is NULL, but an empty input has 0
+        // nulls, not unknown — keep n_null numeric like n_distinct below
+        coalesce(sum(when(q(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nulls")) ++
       (kinds(c) match {
         case "numeric" => Seq(
           min(d(c)).as(s"${c}__minn"), max(d(c)).as(s"${c}__maxn"),

@@ -33,10 +33,24 @@ object EventStreams {
     * that keeps backfill from flooding the cluster.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/events.parquet")
+    // the driver-generated tables are single FILES named *.parquet; the
+    // file streaming source only accepts directories, so stream the parent
+    // dir with a glob pinned to this table (a directory layout — the
+    // append-friendly production shape — streams as-is)
+    val raw =
+      if (new java.io.File(path).isFile)
+        reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+      else reader.parquet(path)
+    // the real events.parquet stores ts as TIMESTAMP(NANOS), read as Long
+    // under nanosAsLong — normalize to micros exactly like Tables.load, or
+    // every withWatermark("ts", …) downstream fails on the actual data
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Watermarked tumbling-window counts. Late events beyond the watermark
@@ -85,7 +99,13 @@ object EventStreams {
         BigDecimal(s.total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .toDouble)
 
-    events.selectExpr("ts", "user_id", "event_type", "value").as[Event]
+    events.selectExpr("ts", "user_id", "event_type", "value")
+      // batch session_window drops null-ts rows (its plan plants an
+      // isnotnull filter); do the same here — a null ts would otherwise
+      // pass the watermark (NULL < wm is NULL, not true) and NPE at
+      // e.ts.getTime inside the state function, killing the whole query
+      .filter(col("ts").isNotNull)
+      .as[Event]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionsState, SessionOut](

@@ -67,6 +67,26 @@ class AggOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numBuckets"))
   }
 
+  test("exact quantiles keep the NULL group like SQL GROUP BY") {
+    // GROUP BY treats NULL as a real group; the join back on group keys
+    // must be null-safe or the NULL group's rows silently vanish
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0)).toDF("k", "v")
+    val probs = Seq("p50" -> 0.5)
+    Seq(AggOps.exactQuantiles(df, Seq("k"), "v", probs),
+        AggOps.exactQuantilesBySelection(df, Seq("k"), "v", probs,
+          numBuckets = 4))
+      .foreach { out =>
+        val rows = out.collect()
+        assert(rows.length == 2, s"NULL group dropped: ${rows.toSeq}")
+        val byKey = rows.map(r =>
+          (if (r.isNullAt(0)) null else r.getString(0)) ->
+            r.getDouble(r.fieldIndex("p50"))).toMap
+        assert(byKey("a") == 2.0)
+        assert(byKey(null) == 15.0)
+      }
+  }
+
   test("salted plan has two aggregation exchanges (salt then key)") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     val plan = AggOps.saltedSumCount(df, Seq("k"), "v", 4)

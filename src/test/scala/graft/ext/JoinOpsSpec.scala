@@ -62,6 +62,40 @@ class JoinOpsSpec extends AnyFunSuite {
       r(1).getDouble(r(1).fieldIndex("value_r")) == 1.0)
   }
 
+  test("asofJoin never matches across NULL keys (equi-join semantics)") {
+    // DuckDB ASOF joins on key EQUALITY: NULL = NULL is not a match, so a
+    // NULL-key left row stays unmatched even with a NULL-key right row
+    // earlier in time
+    val left = Seq((Some(1L), ts(30), 100L), (None, ts(30), 101L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((Some(1L), ts(10), 1.0), (None, ts(10), 9.0))
+      .toDF("user_id", "ts", "value")
+    val inner = JoinOps.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("event_id"), Seq("value")).collect()
+    assert(inner.map(_.getLong(2)).toSeq == Seq(100L)) // null-key left dropped
+    val outer = JoinOps.asofJoin(left, right, Seq("user_id"), "ts",
+        Seq("event_id"), Seq("value"), inner = false)
+      .orderBy("event_id").collect()
+    assert(outer.length == 2)
+    assert(outer(1).getLong(outer(1).fieldIndex("event_id")) == 101L &&
+      outer(1).isNullAt(outer(1).fieldIndex("value_r"))) // unmatched, not 9.0
+  }
+
+  test("asofJoin breaks right-side ts ties deterministically") {
+    val left = Seq((1L, ts(30), 100L)).toDF("user_id", "ts", "event_id")
+    // two right rows tied on (key, ts): without an explicit tiebreaker the
+    // pick would follow partition order and flip between runs/retries
+    val right = Seq((1L, ts(10), 1.0), (1L, ts(10), 2.0))
+      .toDF("user_id", "ts", "value")
+    val picks = (1 to 5).map { _ =>
+      JoinOps.asofJoin(left.repartition(7), right.repartition(3),
+          Seq("user_id"), "ts", Seq("event_id"), Seq("value"))
+        .collect().head.getAs[Double]("value_r")
+    }
+    assert(picks.distinct.size == 1)
+    assert(picks.head == 2.0) // max payload struct among the tied rows
+  }
+
   test("rangeJoin matches rows in [ts, ts+window) incl. bucket-crossing") {
     val left = Seq((1L, ts(50), 100L)).toDF("user_id", "ts", "signup_id")
     // window [00:50, 01:50): 00:55 in same hour-bucket, 01:20 in the next,

@@ -81,6 +81,19 @@ class PackOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("packBins rejects non-positive nShards and budget loudly") {
+    // pmod(id, 0) is NULL — the same silent single-partition funnel the
+    // id-type require guards against
+    val docs = Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text")
+    val lit2 = org.apache.spark.sql.functions.lit(2)
+    assert(intercept[IllegalArgumentException](
+      PackOps.packBins(docs, "doc_id", lit2, budget = 4, nShards = 0))
+      .getMessage.contains("nShards"))
+    assert(intercept[IllegalArgumentException](
+      PackOps.packBins(docs, "doc_id", lit2, budget = 0, nShards = 2))
+      .getMessage.contains("budget"))
+  }
+
   test("plan: one exchange on shard, summary reuses it") {
     val plan = PackOps.packSummary(docs, "doc_id", col("n"), 512, 8)
       .queryExecution.executedPlan.toString

@@ -39,6 +39,20 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(p("allnull").getAs[Long]("n_distinct") == 0)
   }
 
+  test("empty input profiles with numeric zeros, not NULL counts") {
+    import spark.implicits._
+    // sum over zero rows is NULL; the profile must report 0 nulls like it
+    // already reports 0 distinct
+    val df = Seq((1, "a")).toDF("id", "s").filter("id < 0")
+    val p = ProfileOps.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "s")) {
+      assert(p(c).getAs[Long]("n_rows") == 0L)
+      assert(p(c).getAs[Long]("n_null") == 0L)
+      assert(p(c).getAs[Long]("n_distinct") == 0L)
+    }
+  }
+
   test("boolean columns profile as numeric 0/1") {
     import spark.implicits._
     val df = Seq(true, false, true).toDF("b")

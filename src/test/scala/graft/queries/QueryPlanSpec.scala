@@ -107,6 +107,10 @@ class QueryPlanSpec extends AnyFunSuite {
       assert(w.contains("__bkt"),
         s"rank window not bucket-local (whole-group sort): $w")
     }
+    // the splits/candidate join-backs are tiny per-group aggregates: they
+    // must stay broadcast (null-safe equality keys are still BHJ-able) —
+    // a sort-merge fallout would shuffle the corpus twice more
+    assert(!p.contains("SortMergeJoin"), s"join back stopped broadcasting\n$p")
   }
 
   test("q34: as-of join is union+window — no join operator, one shuffle") {

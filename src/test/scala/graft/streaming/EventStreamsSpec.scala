@@ -155,6 +155,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows(1) == ((Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 9.0)))
   }
 
+  test("readEventStream normalizes the real parquet's nanos ts like " +
+      "Tables.load") {
+    // the driver-generated events.parquet stores ts as TIMESTAMP(NANOS),
+    // which arrives as LongType under nanosAsLong — without normalization
+    // every withWatermark("ts", ...) downstream throws AnalysisException
+    val stream = EventStreams.readEventStream(spark, "/root/testdata/sf0.001")
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = EventStreams.windowedCounts(stream, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("real_win_out")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() // would fail here on a Long ts
+    finally q.stop()
+  }
+
+  test("sessionize drops NULL-ts events like batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(spark, mem.toDF(), "5 minutes",
+      gapMinutes = 30)
+      .writeStream.format("memory").queryName("nullts_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the NULL-ts event passes the watermark filter (NULL < wm is NULL,
+      // not true) — unfiltered it would NPE in the state function and kill
+      // the query; batch session_window drops such rows
+      mem.addData(ev(10, 1, 1.0), EventStreams.Event(null, 1L, "click", 9.0))
+      q.processAllAvailable()
+      mem.addData(ev(300, 1, 2.0)) // close user 1's first session
+      q.processAllAvailable()
+      val rows = spark.table("nullts_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Int]("n_events") == 1) // NULL-ts event absent
+      assert(rows.head.getAs[Double]("total") == 1.0)
+    } finally q.stop()
+  }
+
   test("followWithinJoin pairs events within the window, not outside it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
