@@ -379,11 +379,13 @@ object DedupOps {
     * Output: (idCol, n_chunks, n_kept, clean_text) — clean_text is null
     * when every chunk of the document appeared earlier somewhere else.
     *
-    * At 100 TB: the chunk pass is ONE lineage consumed by three plans
-    * (count, first-occurrence, rebuild) — Spark re-executes it per
-    * consumer unless the caller persists the input, but each pass stays a
-    * scan + map, and the only shuffles carry (32-byte fp, 8-byte key)
-    * pairs or chunk rows keyed by fp/doc — all uniform. The
+    * At 100 TB: the corpus is scanned and tokenized ONCE and moved
+    * through exactly TWO shuffles. A window-min over fp partitions marks
+    * each chunk kept/dropped in place (no separate firsts aggregate, no
+    * join back, no second scan), then one doc-keyed pass computes
+    * n_chunks, n_kept, and the rebuilt text together. Both shuffle keys
+    * are uniform: fingerprints by construction; doc ids by assumption
+    * (empty-doc rows are diverted off the NULL fp key below). The
     * first-occurrence argmin is min over a (doc, pos) STRUCT —
     * lexicographic, so the decision is identical to the SQL oracle's
     * doc*1e6+pos encoding for in-range ids but cannot overflow for
@@ -412,29 +414,31 @@ object DedupOps {
         posexplode_outer(chunksOf(col(textCol))).as(Seq("pos", "chunk")))
       .withColumn("fp", md5(col("chunk")))
       .withColumn("__key", struct(col(idCol), col("pos")))
-    val nChunks = chunks.groupBy(col(idCol))
-      .agg(count(col("chunk")).as("n_chunks"))
-    val firsts = chunks.filter(col("fp").isNotNull).groupBy(col("fp"))
-      .agg(min(col("__key")).as("__first"))
-    // window-ordered collect_list builds the chunk array in pos order; the
-    // max(struct(pos, arr)) then picks the complete array — no interpreted
-    // higher-order function anywhere in the rebuild
+    // Null-fp rows (empty docs) get a per-doc partition key: putting them
+    // all under the literal NULL fp would funnel every empty doc in the
+    // corpus through ONE window partition. A leading space cannot collide
+    // with an md5 hex fp.
+    val wFp = Window.partitionBy(
+      coalesce(col("fp"), concat(lit(" "), col(idCol).cast("string"))))
+    val flagged = chunks.withColumn("__kept",
+      col("fp").isNotNull && col("__key") === min(col("__key")).over(wFp))
+    // One doc-keyed pass for counts AND rebuild: the pos-ordered running
+    // collect_list skips the when()'s nulls (dropped chunks), so the
+    // max-pos row carries exactly the kept chunks in order — no
+    // interpreted higher-order function anywhere in the rebuild, and the
+    // groupBy rides the window's id partitioning (exchange reuse).
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rebuilt = chunks
-      .join(firsts, Seq("fp"))
-      .filter(col("__key") === col("__first"))
-      .withColumn("__arr", collect_list(col("chunk")).over(w))
+    flagged
+      .withColumn("__arr",
+        collect_list(when(col("__kept"), col("chunk"))).over(w))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(col("chunk")).as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
         max(struct(col("pos"), col("__arr"))).as("__last"))
-      .select(col(idCol), col("n_kept"),
-        concat_ws(" ", col("__last").getField("__arr")).as("clean_text"))
-    nChunks
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        col("clean_text"))
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        when(col("n_kept") > 0,
+          concat_ws(" ", col("__last").getField("__arr"))).as("clean_text"))
   }
 
   /** Connected components over an undirected pair list — the cluster-

@@ -162,6 +162,18 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q67: chunk dedup scans the corpus once, two shuffles, no join") {
+    val p = plan("q67_chunk_dedup")
+    // the old three-lineage shape re-scanned and re-tokenized the corpus
+    // for the count, first-occurrence, and rebuild passes; the window-min
+    // formulation is one scan moved through fp- then id-keyed exchanges
+    // (the third exchange is the query's own orderBy range partitioning)
+    assert("Location:".r.findAllIn(p).size == 1, s"corpus re-scanned:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 3,
+      s"extra shuffles:\n$p")
+    assert(!p.contains("Join"), s"q67 gained a join:\n$p")
+  }
+
   test("q62: top-token counting is two partial aggregations, no expand") {
     val p = plan("q62_repetition")
     // explode → (doc, tok) agg → (doc) agg: both must combine map-side,
