@@ -55,12 +55,23 @@ object SimilarityOps {
       .select(col("vec_id").as("cand_id"), col("cand_emb"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(dot(col("probe_emb"), col("cand_emb")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+    topKPerGroup(scored, "probe_id", "cand_id", k)
   }
+
+  /** Per-group top-k tail shared by every ANN variant: rank by similarity
+    * descending with the neighbor id as the deterministic tiebreaker,
+    * keep k. ONE definition so rank/tie semantics cannot drift between
+    * variants (they are compared against each other for recall); Spark
+    * pushes k into the sort as WindowGroupLimit (plan-asserted in
+    * QueryPlanSpec).
+    */
+  private def topKPerGroup(scored: DataFrame, groupCol: String,
+                           idCol: String, k: Int): DataFrame =
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("rk"), col(idCol), col("sim"))
 
   /** Exact near-duplicate pairs *within blocks*: candidate pairs only form
     * inside a blocking key (here the label; in production a coarse quantizer
@@ -236,11 +247,7 @@ object SimilarityOps {
       .select(col("probe_id"), col("cand_id"),
         round(dot(col("probe_emb"), col("cand_emb")), 6).as("sim"))
       .distinct() // a pair may collide on several bands
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id"))
-          .orderBy(col("sim").desc, col("cand_id"))))
-      .filter(col("rk") <= k)
-      .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+    topKPerGroup(scored, "probe_id", "cand_id", k)
   }
 
   /** Label-free embedding near-dup pairs: LSH band buckets replace
@@ -319,10 +326,7 @@ object SimilarityOps {
       .select(col("src"), col("dst"),
         round(VectorFunctions.dotProduct(col("u_s"), col("u_d")), 6).as("sim"))
       .distinct()
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
-      .filter(col("rk") <= k)
-      .select(col("src"), col("rk"), col("dst"), col("sim"))
+      .transform(topKPerGroup(_, "src", "dst", k))
   }
 
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int,
@@ -374,9 +378,6 @@ object SimilarityOps {
     val scored = cands.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))))
-      .filter(col("rk") <= k)
-      .select(col("probe_id"), col("rk"), col("cand_id"), col("sim"))
+    topKPerGroup(scored, "probe_id", "cand_id", k)
   }
 }
