@@ -34,36 +34,55 @@ object Dag {
     }
     val terminals = g.prevs.keys.filter(id => g.nexts.getOrElse(id, Set.empty).isEmpty)
     val seen = mutable.LinkedHashSet[String]()
-    def visit(id: String): Unit = {
+    // explicit stack, not recursion: a linear chain of N models would
+    // otherwise recurse N deep and StackOverflowError — the exact failure
+    // the header claims to fix relative to the reference
+    val stack = mutable.ArrayBuffer[(String, Boolean)]()
+    terminals.toSeq.sorted.reverseIterator.foreach(t => stack += ((t, false)))
+    while (stack.nonEmpty) {
+      val (id, expanded) = stack.remove(stack.length - 1)
       if (!seen.contains(id)) {
-        g.prevs.getOrElse(id, Set.empty).toSeq.sorted.foreach(visit)
-        seen += id
+        if (expanded) seen += id
+        else {
+          stack += ((id, true)) // post-order: append after the prevs
+          g.prevs.getOrElse(id, Set.empty).toSeq.sorted.reverseIterator
+            .foreach(p => stack += ((p, false)))
+        }
       }
     }
-    terminals.toSeq.sorted.foreach(visit)
     seen.toSeq
   }
 
-  /** First cycle found, if any (DFS three-color). */
+  /** First cycle found, if any (three-color DFS on an explicit stack —
+    * iterative for the same deep-chain reason as [[topoSort]]).
+    */
   def detectCycle(g: Graph): Option[Seq[String]] = {
     val color = mutable.Map[String, Int]().withDefaultValue(0) // 0 white 1 grey 2 black
-    val stack = mutable.ArrayBuffer[String]()
-    var found: Option[Seq[String]] = None
-    def dfs(id: String): Unit = {
-      if (found.isDefined) return
-      color(id) match {
-        case 1 =>
-          val i = stack.indexOf(id)
-          found = Some(stack.drop(i).toSeq :+ id)
-        case 2 => ()
-        case _ =>
-          color(id) = 1; stack += id
-          g.prevs.getOrElse(id, Set.empty).toSeq.sorted.foreach(dfs)
-          if (found.isEmpty) { color(id) = 2; stack.remove(stack.length - 1) }
+    val path = mutable.ArrayBuffer[String]()
+    // frames: (id, entering). entering=true colors grey and pushes prevs;
+    // entering=false is the post-visit that blackens and pops the path.
+    val stack = mutable.ArrayBuffer[(String, Boolean)]()
+    for (root <- g.prevs.keys.toSeq.sorted) {
+      if (color(root) == 0) {
+        stack += ((root, true))
+        while (stack.nonEmpty) {
+          val (id, entering) = stack.remove(stack.length - 1)
+          if (!entering) { color(id) = 2; path.remove(path.length - 1) }
+          else color(id) match {
+            case 1 =>
+              val i = path.indexOf(id)
+              return Some(path.drop(i).toSeq :+ id)
+            case 2 => ()
+            case _ =>
+              color(id) = 1; path += id
+              stack += ((id, false))
+              g.prevs.getOrElse(id, Set.empty).toSeq.sorted.reverseIterator
+                .foreach(p => stack += ((p, true)))
+          }
+        }
       }
     }
-    g.prevs.keys.toSeq.sorted.foreach(id => if (color(id) == 0) dfs(id))
-    found
+    None
   }
 
   /** Independent "waves": nodes whose deps are satisfied by prior waves.

@@ -36,8 +36,12 @@ object ViewStore {
     */
   def warehouseLocation(spark: SparkSession, id: String): Path = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // saveAsTable lowercases table names (SessionCatalog.formatTableName,
+    // case-insensitive resolution), so the data dir for a mixed-case model
+    // id is the lowercased one — resolving the original case would point
+    // restore/drop-clear at a directory that doesn't exist
     (if (wh.startsWith("file:")) Paths.get(new java.net.URI(wh))
-     else Paths.get(wh)).resolve(id)
+     else Paths.get(wh)).resolve(id.toLowerCase(java.util.Locale.ROOT))
   }
 
   /** DROP `table` and clear its leftover warehouse directory. A table
@@ -69,8 +73,14 @@ object ViewStore {
     dbPath.foreach { db =>
       Files.createDirectories(storeDir(db))
       Files.writeString(storeDir(db).resolve(s"$id.sql"), select)
-      raw.foreach(r =>
-        Files.writeString(storeDir(db).resolve(s"$id.raw.sql"), r))
+      raw match {
+        case Some(r) =>
+          Files.writeString(storeDir(db).resolve(s"$id.raw.sql"), r)
+        case None =>
+          // a stale raw file from an earlier save would let the restore
+          // fallback silently re-shim an OUTDATED definition
+          Files.deleteIfExists(storeDir(db).resolve(s"$id.raw.sql"))
+      }
       appendEntry(db, "view", id)
     }
 
@@ -95,8 +105,11 @@ object ViewStore {
       appendEntry(db, "table", id, extra)
     }
 
-  // re-registering a model keeps its original (topo) position so replay
-  // order stays dependency-safe; a changed definition just overwrites.
+  // A re-saved model MOVES to the end: models persist in execution order,
+  // and a run executes the whole DAG topologically, so "last saved last"
+  // keeps replay dependency-safe even when a later run adds a NEW
+  // dependency in front of an existing model (keeping the old position
+  // would restore the dependent before its new dependency and lose it).
   // Synchronized: --parallel waves persist concurrently, and an
   // unsynchronized read-modify-write would drop a sibling's entry.
   private def appendEntry(dbPath: String, kind: String, id: String,
@@ -104,11 +117,9 @@ object ViewStore {
     val m = manifest(dbPath)
     val cur =
       if (Files.exists(m)) Files.readAllLines(m).asScala.toSeq else Seq.empty
-    val line = s"$kind\t$id$extra"
     def sameId(l: String): Boolean =
       l.split("\t", -1).lift(1).contains(id)
-    val next = if (cur.exists(sameId)) cur.map(l => if (sameId(l)) line else l)
-    else cur :+ line
+    val next = cur.filterNot(sameId) :+ s"$kind\t$id$extra"
     Files.write(m, next.asJava)
   }
 
@@ -165,8 +176,8 @@ object ViewStore {
                   s"LOCATION '${loc.toString}'")
               } else
                 spark.catalog.createTable(id, loc.toString, "parquet")
+              n += 1 // count only tables this call actually registered
             }
-            n += 1
           } catch { case e: Exception =>
             println(s"WARNING: could not restore table `$id`: ${e.getMessage}")
           }

@@ -203,15 +203,23 @@ object ScaleCurve {
         fn(n).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val first = runOnce()
-      // min-of-reps for jitter, but a multi-minute superlinear run needs
-      // no second confirmation — noise is a rounding error at that size.
-      val best = (first +: (2 to reps).collect {
-        case _ if first < 60.0 => runOnce()
-      }).min
-      results.getOrElseUpdate(name,
-        scala.collection.mutable.LinkedHashMap.empty) += n -> best
-      println(s"""{"query":${jstr(name)},"scale":$n,"sec":$best}""")
+      // one failing (query, scale) pair must not abort the multi-hour run
+      // and lose every already-measured point from the durable record
+      try {
+        val first = runOnce()
+        // min-of-reps for jitter, but a multi-minute superlinear run needs
+        // no second confirmation — noise is a rounding error at that size.
+        val best = (first +: (2 to reps).collect {
+          case _ if first < 60.0 => runOnce()
+        }).min
+        results.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty) += n -> best
+        println(s"""{"query":${jstr(name)},"scale":$n,"sec":$best}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name@${n}x failed: " +
+          e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+      }
     }
 
     val lines = results.map { case (name, byScale) =>

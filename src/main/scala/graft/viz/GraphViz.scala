@@ -14,8 +14,10 @@ object GraphViz {
     */
   def renderDot(nodeNames: Seq[String], nodeMap: Map[String, ModelNode]): String = {
     // ids are quoted: a model file named daily-orders.sql is a legal model
-    // but `daily-orders` is not a bare DOT identifier
-    def q(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    // but `daily-orders` is not a bare DOT identifier. Backslash first —
+    // an id ending in \ would otherwise escape the closing quote
+    def q(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val nodes = nodeNames.map(s => s"\t${q(s)};").mkString("\n")
     val edges = nodeNames.flatMap { name =>
       nodeMap.get(name).toSeq

@@ -34,6 +34,23 @@ class DagSpec extends AnyFunSuite {
     assert(ws(1) == Seq("c"))
   }
 
+  test("a 50k-deep linear chain sorts without stack overflow") {
+    // the header claims to fix the reference's recursion blowup — the
+    // iterative topoSort/detectCycle must actually survive deep chains
+    val n = 50000
+    val g = Dag.Graph(
+      (1 until n).map(i => s"m$i" -> Set(s"m${i - 1}")).toMap +
+        ("m0" -> Set.empty[String]))
+    val order = Dag.topoSort(g)
+    assert(order.length == n)
+    assert(order.head == "m0" && order.last == s"m${n - 1}")
+    // a cycle at the bottom of the same deep chain is still found
+    val cyc = Dag.Graph(
+      (1 until n).map(i => s"m$i" -> Set(s"m${i - 1}")).toMap +
+        ("m0" -> Set(s"m${n - 1}")))
+    intercept[GenericError](Dag.topoSort(cyc))
+  }
+
   test("property: 200 random DAGs — topo order respects all edges") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>

@@ -190,6 +190,20 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(ViewStore.restore(s3, db.toString) == 2)
   }
 
+  test("a dependency added in a later run restores before its dependent") {
+    val db = Files.createTempDirectory("graft-dbpath-reorder")
+    // run 1: only vb exists
+    ViewStore.saveView(Some(db.toString), "vb", "SELECT 1 AS x")
+    // run 2: a NEW model va runs first (topo order), vb now reads from it.
+    // The manifest must follow the latest execution order — keeping vb at
+    // its old position would restore it before va and warn-skip it.
+    ViewStore.saveView(Some(db.toString), "va", "SELECT 5 AS y")
+    ViewStore.saveView(Some(db.toString), "vb", "SELECT y * 2 AS x FROM va")
+    val s2 = spark.newSession()
+    assert(ViewStore.restore(s2, db.toString) == 2)
+    assert(s2.table("vb").collect().head.getInt(0) == 10)
+  }
+
   test("model defines a DuckDB CREATE MACRO side statement and uses it") {
     // reference parity: any non-SELECT statement passes through
     // (/root/reference/src/node.rs:151-205), so a DuckDB user's model may

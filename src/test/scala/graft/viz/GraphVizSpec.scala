@@ -56,4 +56,12 @@ class GraphVizSpec extends AnyFunSuite {
     assert(svg.contains("a&lt;b&gt;&amp;")) // XML-escaped label
     assert(!svg.contains(">a<b>")) // raw angle brackets never leak
   }
+
+  test("a trailing backslash in a model id cannot escape the DOT quote") {
+    import graft.pipeline.ModelNode
+    val id = "daily\\"
+    val nm = Map(id -> ModelNode(id, "p", "s"))
+    val dot = GraphViz.renderDot(Seq(id), nm)
+    assert(dot.contains("\"daily\\\\\"")) // \ doubled, quote still closes
+  }
 }

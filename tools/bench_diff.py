@@ -36,13 +36,15 @@ def load_times(path):
             obj = json.loads(line)
         except ValueError:
             continue
+        if not isinstance(obj, dict):  # a bare 'null'/number line
+            continue
         qs = obj.get("queries")
         if isinstance(qs, dict):
             return {k: v for k, v in qs.items() if isinstance(v, (int, float))}
     # driver format: whole file is one JSON object with a "tail" capture
     try:
         obj = json.loads(text)
-        blob = obj.get("tail", "")
+        blob = obj.get("tail", "") if isinstance(obj, dict) else text
     except ValueError:
         blob = text
     for name, sec in TIME_RE.findall(blob):
@@ -60,7 +62,9 @@ def main():
                 thr = float(a.split("=", 1)[1])
             else:
                 i += 1  # flag value is the ADJACENT token, wherever the
-                thr = float(argv[i])  # flag sits relative to the paths
+                if i >= len(argv):  # flag sits relative to the paths
+                    sys.exit("--threshold needs a value\n" + __doc__)
+                thr = float(argv[i])
         else:
             args.append(a)
         i += 1

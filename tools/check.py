@@ -35,7 +35,12 @@ def main(sf_dir, out_dir):
             ddf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        s, d = norm(sdf), norm(ddf)
+        try:
+            # norm() sorts rows: an unorderable column (e.g. an array
+            # column) raises here and must fail THIS query, not the run
+            s, d = norm(sdf), norm(ddf)
+        except Exception as e:
+            print(f"FAIL {name}: unorderable output: {e}"); n_fail += 1; continue
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
             n_fail += 1; continue
