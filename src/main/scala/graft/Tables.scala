@@ -17,12 +17,17 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as LongType
     // under spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench).
-    // Normalize to a microsecond TimestampType here; integer division keeps
-    // full precision (a double roundtrip would not: ns epochs exceed 2^53).
+    // Normalize to a microsecond TimestampType here, FLOORING like
+    // DuckDB's TIMESTAMP_NS cast does: `ts div 1000` truncates toward
+    // zero, which disagrees by 1µs for pre-1970 sub-µs timestamps.
+    // (ts - pmod(ts, 1000)) is an exact multiple of 1000, so the division
+    // is precision-free — a double floor() would not be: ns epochs
+    // exceed 2^53.
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        org.apache.spark.sql.functions
+          .expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     else df
   }
 

@@ -49,7 +49,16 @@ object TextOps {
     * when surrounding whitespace must not distinguish documents.
     */
   def docFingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokens(text)))
+    docFingerprintFromToks(tokens(text))
+
+  /** [[docFingerprint]] over pre-materialized tokens — same definition,
+    * for callers that already carry a `toks` column (q24/q71). The exact
+    * md5(space-joined-tokens) form is the corpus-wide dedup key; keep it
+    * defined HERE only, or keep decisions silently diverge between
+    * queries.
+    */
+  def docFingerprintFromToks(toks: Column): Column =
+    md5(concat_ws(" ", toks))
 
   /** Min-shingle fingerprint (1-permutation MinHash): the lexicographic
     * minimum of md5(shingle). Two documents sharing any low-hashing shingle

@@ -24,6 +24,17 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** THE portable near-dup parameterization, used by every MinHash query
+    * (q27, q56, q59, q72). The oracle side ([[minHashPairCtes]]) hard-codes
+    * the matching literals — 16 md5-derived coefficients, 8 bands × 2 rows,
+    * 3-gram shingles, 0.8 threshold — so a retune must change both HERE and
+    * there, never one call site.
+    */
+  private def portableMinHashPairs(docs: DataFrame): DataFrame =
+    DedupOps.minHashLshPairs(docs,
+      k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
+      portable = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Text analysis -------------------------------------------------
     "q21_token_stats" -> ((s, dir) => {
@@ -63,7 +74,7 @@ object ExtensionQueries {
       val d = t(s, dir, "documents")
         .withColumn("toks", TextOps.tokens(col("text")))
       val fp = d.select(col("doc_id"),
-        md5(concat_ws(" ", col("toks"))).as("fp"))
+        TextOps.docFingerprintFromToks(col("toks")).as("fp"))
       fp.join(
           TextOps.minShingleFingerprints(d, "doc_id", col("toks"), 5),
           Seq("doc_id"))
@@ -131,10 +142,7 @@ object ExtensionQueries {
     // DuckDB SQL, so this graduates from rows-only to a full hash-match
     // oracle (the oracle below is generated from the same coefficients).
     "q27_minhash_neardup" -> ((s, dir) =>
-      DedupOps.minHashLshPairs(
-          t(s, dir, "documents"),
-          k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
-          portable = true)
+      portableMinHashPairs(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))),
 
     // portable=true (60-bit md5-derived token hashes) → full DuckDB oracle,
@@ -146,9 +154,7 @@ object ExtensionQueries {
     // DuckDB recursive closure + anti-join reproduce the decision exactly.
     "q56_neardup_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = DedupOps.minHashLshPairs(docs,
-        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
-        portable = true)
+      val pairs = portableMinHashPairs(docs)
       DedupOps.clusterDedup(docs, "doc_id", pairs)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
@@ -213,9 +219,7 @@ object ExtensionQueries {
     // ever straddles the split --------------------------------------------
     "q72_leakage_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = DedupOps.minHashLshPairs(docs,
-        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
-        portable = true)
+      val pairs = portableMinHashPairs(docs)
       DedupOps.leakageSafeSplit(docs, "doc_id", pairs, trainSixteenths = 13)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
@@ -232,7 +236,7 @@ object ExtensionQueries {
       val msf = TextOps.minShingleFingerprints(d, "doc_id", col("toks"), 5)
       val keyed = d.join(msf, Seq("doc_id"))
         .withColumn("key", coalesce(col("min_shingle_fp"),
-          md5(concat_ws(" ", col("toks")))))
+          TextOps.docFingerprintFromToks(col("toks"))))
       DedupOps.priorityMerge(keyed, "doc_id", "source", col("key"))
         .orderBy(col("keep_id"))
     }),
@@ -462,9 +466,7 @@ object ExtensionQueries {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val exactKept = qual.join(keepExact, Seq("doc_id"))
-      val pairs = DedupOps.minHashLshPairs(exactKept,
-        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
-        portable = true)
+      val pairs = portableMinHashPairs(exactKept)
       val nearKept = DedupOps.clusterDedup(exactKept, "doc_id", pairs)
       DedupOps.stratifiedHashSample(nearKept, "doc_id", "lang",
           sixteenths = Map("en" -> 8, "de" -> 16, "fr" -> 16),
@@ -497,7 +499,11 @@ object ExtensionQueries {
     // oracle-side; the Spark operator itself is the 100 TB path.
     "q53_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-      val pairs = DedupOps.ngramJaccardPairs(docs, k = 2)
+      // k = 3 like q26/q27 — and like this query's oracle, whose
+      // toks[i:i+2] slices are 3-token shingles (DuckDB slices are
+      // 1-based INCLUSIVE); k = 2 computed Jaccard over different
+      // shingle sets and only agreed on the fixture by luck
+      val pairs = DedupOps.ngramJaccardPairs(docs, k = 3)
         .filter(col("jaccard") >= 0.5)
       DedupOps.connectedComponents(
           docs.select(col("doc_id")), "doc_id", pairs)
@@ -1011,7 +1017,8 @@ object ExtensionQueries {
         |  FROM documents WHERE doc_id < 40),
         |s AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i:i+2], ' ')
-        |    for i in generate_series(1, len(toks) - 2)]) AS sh FROM d)
+        |    for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM d WHERE len(toks) >= 3)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
