@@ -50,7 +50,13 @@ object AggOps {
     if (cols.isEmpty) l.crossJoin(broadcast(r))
     else {
       val rr = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, "__jb_" + c))
-      val cond = cols.map(c => col(c) <=> col("__jb_" + c)).reduce(_ && _)
+      // <=> only where a null key is POSSIBLE: Spark rewrites null-safe
+      // equi-join keys as (coalesce, isnull) pairs — double-width probe
+      // keys for nothing on non-nullable columns (e.g. the computed __bkt)
+      val cond = cols.map { c =>
+        if (l.schema(c).nullable) col(c) <=> col("__jb_" + c)
+        else col(c) === col("__jb_" + c)
+      }.reduce(_ && _)
       cols.foldLeft(l.join(broadcast(rr), cond))((d, c) => d.drop("__jb_" + c))
     }
   }
