@@ -72,6 +72,23 @@ final class PipelineSession(
     // macro source per model (O(models × macro-bytes) of regex work)
     val fileMacros = MacroRenderer.parseMacros(macros.values.mkString("\n"))
 
+    // duplicate filename stems would silently collapse to one node via
+    // .toMap (last path wins — the reference shares this flaw with its
+    // HashMap insert, session.rs:120); one model's SQL would never run
+    // while the pipeline still reports success. Fail named instead.
+    locally {
+      val dup = paths.groupBy { p =>
+        val fn = p.getFileName.toString
+        fn.substring(0, fn.lastIndexOf('.'))
+      }.filter(_._2.size > 1)
+      if (dup.nonEmpty) {
+        val msg = dup.toSeq.sortBy(_._1).map { case (id, ps) =>
+          s"`$id` (${ps.mkString(", ")})" }.mkString("; ")
+        throw GenericError(
+          s"Duplicate model id from multiple files — model ids are filename stems and must be unique: $msg")
+      }
+    }
+
     var nodeMap = paths.map { p =>
       val id = {
         val fn = p.getFileName.toString
@@ -176,7 +193,8 @@ final class PipelineSession(
         Dag.waves(graph).flatMap { wave =>
           val valid = wave.filter(idx.contains)
           valid.par.map(id =>
-            executeReported(nodeMap(id), idx(id) + 1, order.size)).toList
+            executeReported(nodeMap(id), idx(id) + 1, order.size,
+              buffered = true)).toList
             .sortBy(r => idx(r.id))
         }
       }
@@ -216,11 +234,17 @@ final class PipelineSession(
     }
   }
 
-  private def executeReported(node: ModelNode, nth: Int, total: Int): NodeResult = {
+  private def executeReported(node: ModelNode, nth: Int, total: Int,
+                              buffered: Boolean = false): NodeResult = {
     val ts = LocalDateTime.now.format(DateTimeFormatter.ofPattern("HH:mm:ss"))
     val mat = node.materialize.getOrElse("view").toLowerCase
     val info = s"$ts  $nth of $total: creating ${node.id} $mat model"
-    print(info + "." * math.max(0, 80 - info.length))
+    val header = info + "." * math.max(0, 80 - info.length)
+    // buffered: parallel waves run this from pool threads; a split
+    // print(header)/println(status) pair interleaves across threads and
+    // pairs statuses with the wrong model's header. Emit one atomic line
+    // per node instead (println of a single String is synchronized).
+    if (!buffered) print(header)
     val t0 = System.nanoTime()
     val (status, err) =
       try { val st = executeNode(node); (st, None) }
@@ -230,13 +254,18 @@ final class PipelineSession(
           ("ERROR", Some(StatementExecutionError(e.getMessage, node.renderedSrc, node.path)))
       }
     val ms = (System.nanoTime() - t0) / 1000000
-    println(s"[$status in ${formatElapsed(ms)}]")
+    val tail = s"[$status in ${formatElapsed(ms)}]"
+    if (buffered) println(header + tail) else println(tail)
     NodeResult(node.id, status, ms, err)
   }
 
   /** Execute one node: split statements, validate exactly one
-    * record-producing statement, run side statements in order, materialize
-    * the SELECT (src/node.rs:125-207). Returns the status string.
+    * record-producing statement, run ALL statements strictly in file
+    * order — the SELECT materializes at its own file position
+    * (src/node.rs:151: the reference iterates the split statements in
+    * order; a statement written after the SELECT, e.g. `DROP TABLE
+    * staging`, must not run before the materialization). Returns the
+    * status string.
     */
   def executeNode(node: ModelNode): String = {
     // classify on the RAW statements (the reference applies its prefix
@@ -246,26 +275,51 @@ final class PipelineSession(
     // ViewStore.saveView)
     val pairs = SqlText.splitStatements(node.renderedSrc)
       .map(st => (st, DialectShim.rewrite(st, spark)))
-    val (producingPairs, sidePairs) =
-      pairs.partition { case (raw, _) => SqlText.producesRecords(raw) }
-    val producing = producingPairs.map(_._2)
-    val side = sidePairs.map(_._2)
-    if (producing.size != 1)
+    val nProducing = pairs.count { case (raw, _) => SqlText.producesRecords(raw) }
+    if (nProducing != 1)
       throw StatementExecutionError(
-        s"Model must contain exactly one record-producing (SELECT/WITH) statement, found ${producing.size}",
+        s"Model must contain exactly one record-producing (SELECT/WITH) statement, found $nProducing",
         node.renderedSrc, node.path)
 
-    // side statements run as-is, in file order relative to one another;
-    // non-record-producing by construction, but SqlExec still guards
-    // against any row-returning statement materializing on the driver
-    side.foreach { st =>
+    val producingIdx = pairs.indexWhere { case (raw, _) => SqlText.producesRecords(raw) }
+    val (beforePairs, rest) = pairs.splitAt(producingIdx)
+    val afterPairs = rest.tail
+
+    // side statements run as-is; non-record-producing by construction,
+    // but SqlExec still guards against any row-returning statement
+    // materializing on the driver
+    def runSide(st: String): Unit =
       try SqlExec.run(spark, st)
       catch { case e: Exception =>
         throw StatementExecutionError(e.getMessage, st, node.path) }
-    }
+    beforePairs.foreach { case (_, st) => runSide(st) }
 
-    val select = producing.head
-    val rawSelect = producingPairs.head._1
+    val select = rest.head._2
+    val rawSelect = rest.head._1
+    val status = materializeSelect(node, select, rawSelect)
+    afterPairs.foreach { case (_, st) => runSide(st) }
+    status match {
+      // the reference recounts the model table after EVERY successful
+      // statement (node.rs:179-189), so its reported count reflects any
+      // post-SELECT statement too — counting after the tail statements
+      // reproduces the final value without the intermediate recounts
+      case "SELECT" =>
+        try s"SELECT ${spark.table(node.id).count()}"
+        catch {
+          case e: GraftError => throw e
+          case e: Exception =>
+            throw StatementExecutionError(e.getMessage, select, node.path)
+        }
+      case other => other
+    }
+  }
+
+  /** Materialize the producing SELECT per the node's materialization
+    * mode; returns the status string ("SELECT" defers the row-count
+    * postlude to the caller so post-SELECT side statements run first).
+    */
+  private def materializeSelect(node: ModelNode, select: String,
+                                rawSelect: String): String = {
     node.materialize.map(_.toLowerCase) match {
       case None | Some("view") =>
         try {
@@ -287,8 +341,7 @@ final class PipelineSession(
           ViewStore.dropTableClearingLocation(spark, node.id)
           spark.sql(select).write.mode("overwrite").saveAsTable(node.id)
           ViewStore.saveTable(spark, config.dbPath, node.id)
-          val n = spark.table(node.id).count() // row-count postlude (node.rs:179-189)
-          s"SELECT $n"
+          "SELECT" // row-count postlude runs after the tail statements
         } catch {
           case e: GraftError => throw e
           case e: Exception =>

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AggOps, DedupOps, JoinOps, MinHashDedup, MultimodalOps, PackOps, ProfileOps, SimilarityOps, TextOps}
+import graft.ext.{AggOps, DedupOps, JoinOps, MultimodalOps, PackOps, ProfileOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.graft.VectorFunctions
 
 /** Layer-C extension queries (SURVEY.md §2.C): training-data-pipeline
@@ -1461,23 +1461,32 @@ object ExtensionQueries {
         |  CAST(floor(height * least(320.0 / greatest(width, 1),
         |    240.0 / greatest(height, 1), 1.0)) AS INTEGER) AS out_h
         |FROM f ORDER BY media_id""".stripMargin,
+    // the CTEs CAST ts to TIMESTAMP (µs) BEFORE the join predicates so the
+    // oracle compares at the same granularity as the Spark side (Tables.load
+    // floors TIMESTAMP_NS→µs at scan); p pre-dedupes tied (user_id, ts)
+    // purchases to max(value), matching asofJoin's deterministic
+    // largest-(value, ts)-payload tiebreak — DuckDB ASOF's own pick among
+    // tied rows is unspecified
     "q34_asof_join" ->
-      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
-        |  CAST(p.ts AS TIMESTAMP) AS purch_ts,
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             max(value) AS value
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT c.event_id, c.user_id, c.ts, p.ts AS purch_ts,
         |  round(p.value, 2) AS purch_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click') c
-        |ASOF JOIN (SELECT user_id, ts, value FROM events
-        |           WHERE event_type = 'purchase') p
+        |FROM c ASOF JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
     "q35_range_join" ->
-      """SELECT s.event_id AS signup_id, count(*) AS n_clicks,
+      """WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup'),
+        |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT s.event_id AS signup_id, count(*) AS n_clicks,
         |  round(sum(c.value), 2) AS click_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'signup') s
-        |JOIN (SELECT user_id, ts, value FROM events
-        |      WHERE event_type = 'click') c
+        |FROM s JOIN c
         |  ON s.user_id = c.user_id
         |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
         |GROUP BY s.event_id

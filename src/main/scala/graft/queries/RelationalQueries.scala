@@ -396,8 +396,13 @@ object RelationalQueries {
       val med = graft.ext.AggOps.exactQuantilesBySelection(
           e.select(col("event_type"), col("value")),
           Seq("event_type"), "value", Seq("p50" -> 0.5))
-        .select(col("event_type"), round(col("p50"), 2).as("p50"))
-      base.join(med, Seq("event_type"))
+        .select(col("event_type").as("__et"), round(col("p50"), 2).as("p50"))
+      // LEFT join, null-safe on the group key: a group whose values are
+      // all NULL gets no quantile row (quantile_cont semantics), but the
+      // oracle's single GROUP BY still emits it with p50 NULL — an inner
+      // join would silently drop the whole group; <=> keeps a NULL
+      // event_type group matched with its own quantile row
+      base.join(broadcast(med), col("event_type") <=> col("__et"), "left")
         .select(col("event_type"), col("n_users"), col("p50"), col("n"))
         .orderBy(col("event_type"))
     }),

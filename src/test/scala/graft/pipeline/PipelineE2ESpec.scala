@@ -151,6 +151,51 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("with_set").collect().head.getInt(0) == 1)
   }
 
+  test("statements run strictly in file order: post-SELECT statements " +
+      "execute after materialization (reference node.rs parity)") {
+    // the reference iterates split statements in order (node.rs:151): a
+    // DROP written AFTER the producing SELECT must not run before the
+    // materialization reads the staging table
+    val (_, config) = fixture(
+      models = Map(
+        "staged_model" ->
+          """CREATE TABLE staging_ordering AS SELECT 7 AS v;
+            |SELECT v * 2 AS v2 FROM staging_ordering;
+            |DROP TABLE staging_ordering""".stripMargin),
+      configExtra =
+        """models:
+          |  staged_model:
+          |    materialize: table""".stripMargin)
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    assert(spark.table("staged_model").head.getInt(0) == 14)
+    // the row-count postlude still reflects the final state
+    assert(report.results.head.status == "SELECT 1")
+    // the tail statement DID run: staging table is gone
+    assert(!spark.catalog.tableExists("staging_ordering"))
+  }
+
+  test("duplicate model ids from different directories fail named") {
+    // models/<a>/users.sql and models/<b>/users.sql share the stem `users`;
+    // last-wins Map insertion would silently drop one model's SQL (the
+    // reference shares the flaw, session.rs HashMap insert) — fail instead
+    val dir = Files.createTempDirectory("graft-dup-id")
+    val modelsDir = dir.resolve("models")
+    Files.createDirectories(modelsDir.resolve("staging"))
+    Files.createDirectories(modelsDir.resolve("marts"))
+    Files.writeString(modelsDir.resolve("staging").resolve("users.sql"),
+      "SELECT 1 AS x")
+    Files.writeString(modelsDir.resolve("marts").resolve("users.sql"),
+      "SELECT 2 AS x")
+    Files.writeString(dir.resolve("config.yaml"), s"models_dir: $modelsDir")
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    val e = intercept[GenericError](
+      new PipelineSession(spark, config).buildGraph())
+    assert(e.msg.contains("Duplicate model id"))
+    assert(e.msg.contains("`users`"))
+    assert(e.msg.contains("staging") && e.msg.contains("marts"))
+  }
+
   test("parallel wave execution produces the same results") {
     val (_, config) = fixture(models = Map(
       "s1" -> s"SELECT * FROM read_parquet('$sfDir/region.parquet')",
