@@ -299,9 +299,21 @@ object DedupOps {
   private def md5Nibble(c: Column): Column =
     conv(md5Hex1(c), 16, 10).cast("int")
 
+  /** Keep rows whose md5(id) hex digest starts with one of
+    * `keepHexPrefixes` — each 1-char prefix keeps ≈1/16, 2-char ≈1/256.
+    * Prefixes must be lowercase hex (md5 renders lowercase; an uppercase
+    * or non-hex prefix would silently select zero rows, so fail named).
+    * Single-char prefixes match the generated oracles'
+    * `substring(md5(CAST(x AS VARCHAR)), 1, 1) IN (…)` exactly.
+    */
   def hashSample(df: DataFrame, idCol: String,
-                 keepHexPrefixes: Seq[String]): DataFrame =
-    df.filter(md5Hex1(col(idCol)).isInCollection(keepHexPrefixes))
+                 keepHexPrefixes: Seq[String]): DataFrame = {
+    require(keepHexPrefixes.nonEmpty, "hashSample: no keep prefixes")
+    keepHexPrefixes.foreach(p => require(p.matches("[0-9a-f]+"),
+      s"hashSample: keep prefix must be non-empty lowercase hex, got '$p'"))
+    val digest = md5(col(idCol).cast("string").cast("binary"))
+    df.filter(keepHexPrefixes.map(p => digest.startsWith(p)).reduce(_ || _))
+  }
 
   /** Stratified deterministic sampling — the dataset-mixing primitive:
     * per-stratum keep rates in sixteenths (4 → keep ids whose md5 nibble

@@ -26,7 +26,14 @@ object SimilarityOps {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL when either vector has zero norm (cosine is undefined there;
+    * a bare divide would raise DIVIDE_BY_ZERO under ANSI mode), matching
+    * the native [[VectorFunctions.cosineSim]] kernel's zero-norm→null.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Unit-normalize once per VECTOR so pairwise cosine becomes a bare dot
     * product: O(pairs·dim) instead of O(pairs·3·dim) — the norms are paid
@@ -98,8 +105,13 @@ object SimilarityOps {
     * the plan is built).
     */
   def inferDim(df: DataFrame, embCol: String): Int = {
-    val row = df.select(size(col(embCol))).limit(1).collect()
-    require(row.nonEmpty && !row.head.isNullAt(0),
+    // filter nulls BEFORE the limit: a null vector in the first-scanned
+    // file would otherwise fail the probe even when every other row holds
+    // a valid embedding (null embeddings are expected input — fitCentroids
+    // drops them, withUnitVec nulls them through)
+    val row = df.filter(col(embCol).isNotNull)
+      .select(size(col(embCol))).limit(1).collect()
+    require(row.nonEmpty,
       s"inferDim: no non-null '$embCol' vector to read the dimension from")
     row.head.getInt(0)
   }

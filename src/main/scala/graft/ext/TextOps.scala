@@ -95,12 +95,15 @@ object TextOps {
       .arrayCountIn(toks, Stopwords).cast("double") / size(toks), 4)
 
   /** Punctuation-character ratio over the raw text. Empty text yields
-    * NULL (0/0), and therefore a NULL qualityScore — matching the DuckDB
-    * oracle's NULL division; gate predicates must treat NULL as reject.
+    * NULL, and therefore a NULL qualityScore — matching the DuckDB
+    * oracle's NULL division-by-zero; gate predicates must treat NULL as
+    * reject. The explicit guard is required: a bare 0.0/0 raises under
+    * ANSI mode (Spark 4 default) rather than yielding null.
     */
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-      length(text), 4)
+    when(length(text) > 0,
+      round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(text), 4))
 
   /** Mean token length (chars per token, whitespace removed). */
   def avgTokenLen(text: Column, toks: Column): Column =

@@ -1,7 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
 import org.apache.spark.sql.execution.SparkSqlParser
 
 /** SQL dependency extraction via the Catalyst parser.
@@ -31,30 +32,44 @@ object DepExtractor {
     val plan: LogicalPlan =
       try parser.parsePlan(sql)
       catch { case _: Exception => return Set.empty }
-    val refs = collectRefs(plan)
-    // Exclude names bound by CTEs in this statement: `WITH x AS (…) SELECT
-    // … FROM x` must not depend on a *model* named x that it shadows.
-    val cteNames = collectCteNames(plan)
-    refs -- cteNames
+    refsScoped(plan, Set.empty)
   }
 
-  // CTE definitions hang off UnresolvedWith.cteRelations, which are
-  // innerChildren, not children — plan.collect does NOT traverse them, so
-  // recurse explicitly.
-  private def collectRefs(plan: LogicalPlan): Set[String] =
-    plan.collectWithSubqueries {
+  /** Collect relation names, excluding names bound by an in-scope CTE:
+    * `WITH x AS (…) SELECT … FROM x` must not depend on a *model* named x
+    * that it shadows. Scoping matters — the exclusion applies only within
+    * the WITH's own subtree (threaded via `bound`), so a CTE `x` inside a
+    * nested subquery does NOT swallow a genuine outer reference to model
+    * `x` elsewhere in the statement (a statement-global `refs -- cteNames`
+    * did, silently dropping the edge and letting --parallel waves run the
+    * referencer before the model). Multipart names (`db.x`) are never
+    * CTE-shadowed. CTE definitions hang off UnresolvedWith.cteRelations,
+    * which are innerChildren, not children — and subqueries hang off
+    * expressions — so both are recursed explicitly.
+    */
+  private def refsScoped(plan: LogicalPlan, bound: Set[String]): Set[String] = {
+    def exprRefs(p: LogicalPlan, b: Set[String]): Set[String] =
+      p.expressions.flatMap(_.collect {
+        case sq: SubqueryExpression => refsScoped(sq.plan, b)
+      }).flatten.toSet
+    plan match {
       case r: UnresolvedRelation =>
-        Set(r.multipartIdentifier.last.toLowerCase)
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.flatMap(c => collectRefs(c._2)).toSet
-    }.flatten.toSet
-
-  private def collectCteNames(plan: LogicalPlan): Set[String] =
-    plan.collectWithSubqueries {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase).toSet ++
-          w.cteRelations.flatMap(c => collectCteNames(c._2))
-    }.flatten.toSet
+        val name = r.multipartIdentifier.last.toLowerCase
+        if (r.multipartIdentifier.size == 1 && bound(name)) Set.empty
+        else Set(name)
+      case w: UnresolvedWith =>
+        // all names in one WITH list are bound for every definition in it
+        // (covers recursive self-reference and later-def references; the
+        // slight over-exclusion for earlier defs matches SQL shadowing
+        // close enough for dependency purposes)
+        val inner = bound ++ w.cteRelations.map(_._1.toLowerCase)
+        w.cteRelations.map(c => refsScoped(c._2, inner))
+          .foldLeft(refsScoped(w.child, inner) ++ exprRefs(w, inner))(_ ++ _)
+      case other =>
+        other.children.map(refsScoped(_, bound))
+          .foldLeft(exprRefs(other, bound))(_ ++ _)
+    }
+  }
 
   /** References restricted to known model ids (the reference's
     * false-positive filter, src/node.rs:94-98).

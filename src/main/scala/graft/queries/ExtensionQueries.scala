@@ -30,10 +30,49 @@ object ExtensionQueries {
     * 3-gram shingles, 0.8 threshold — so a retune must change both HERE and
     * there, never one call site.
     */
-  private def portableMinHashPairs(docs: DataFrame): DataFrame =
+  private[graft] def portableMinHashPairs(docs: DataFrame): DataFrame =
     DedupOps.minHashLshPairs(docs,
       k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
       portable = true)
+
+  /** q59's full decision chain (quality gate → exact dedup → MinHash-LSH
+    * cluster dedup → per-language stratified sample), unordered. Defined
+    * HERE only — the registered query appends its orderBy and
+    * [[graft.tools.ScaleCurve]] times this same chain, so a retune of any
+    * stage changes both the oracle-checked query and the SCALING.md
+    * measurement together (a hand-copied chain in the tool silently kept
+    * measuring the old pipeline).
+    */
+  private[graft] def cleanCorpusChain(docs0: DataFrame): DataFrame = {
+    val docs = docs0.withColumn("quality", TextOps.qualityScore(col("text")))
+    val qual = docs.filter(col("quality") >= 0.5)
+    val keepExact = qual
+      .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactKept = qual.join(keepExact, Seq("doc_id"))
+    val pairs = portableMinHashPairs(exactKept)
+    val nearKept = DedupOps.clusterDedup(exactKept, "doc_id", pairs)
+    DedupOps.stratifiedHashSample(nearKept, "doc_id", "lang",
+        sixteenths = Map("en" -> 8, "de" -> 16, "fr" -> 16),
+        defaultSixteenths = 4)
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  /** q64's quality-banded deterministic sample (band thresholds + keep
+    * rates), pre-aggregation — shared with [[graft.tools.ScaleCurve]] for
+    * the same single-definition reason as [[cleanCorpusChain]].
+    */
+  private[graft] def qualityBandedSample(docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("band",
+        when(col("quality") >= 0.55, "high")
+          .when(col("quality") >= 0.45, "mid")
+          .otherwise("low"))
+    DedupOps.stratifiedHashSample(docs, "doc_id", "band",
+      sixteenths = Map("high" -> 16, "mid" -> 8, "low" -> 2))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Text analysis -------------------------------------------------
@@ -104,14 +143,7 @@ object ExtensionQueries {
     // quality at 16/16, mid at 8/16, low at 2/16 — the q57 deterministic
     // coin keyed on a DERIVED stratum instead of a stored column ----------
     "q64_quality_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("quality", TextOps.qualityScore(col("text")))
-        .withColumn("band",
-          when(col("quality") >= 0.55, "high")
-            .when(col("quality") >= 0.45, "mid")
-            .otherwise("low"))
-      DedupOps.stratifiedHashSample(docs, "doc_id", "band",
-          sixteenths = Map("high" -> 16, "mid" -> 8, "low" -> 2))
+      qualityBandedSample(t(s, dir, "documents"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_kept"),
           min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
@@ -457,23 +489,8 @@ object ExtensionQueries {
     // oracle-checked end to end. At 100 TB each stage is shuffle-bounded
     // exactly as its standalone operator: nothing about composition adds
     // a driver sync or an extra pass over dropped rows.
-    "q59_clean_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("quality", TextOps.qualityScore(col("text")))
-      val qual = docs.filter(col("quality") >= 0.5)
-      val keepExact = qual
-        .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val exactKept = qual.join(keepExact, Seq("doc_id"))
-      val pairs = portableMinHashPairs(exactKept)
-      val nearKept = DedupOps.clusterDedup(exactKept, "doc_id", pairs)
-      DedupOps.stratifiedHashSample(nearKept, "doc_id", "lang",
-          sixteenths = Map("en" -> 8, "de" -> 16, "fr" -> 16),
-          defaultSixteenths = 4)
-        .select(col("doc_id"), col("lang"), col("quality"))
-        .orderBy(col("doc_id"))
-    }),
+    "q59_clean_corpus" -> ((s, dir) =>
+      cleanCorpusChain(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
     // -- Column profiling (the reference idiom is DuckDB SUMMARIZE) ------
     // Mixed-type: numeric, string, and timestamp columns in one profile,

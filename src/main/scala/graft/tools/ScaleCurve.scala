@@ -32,28 +32,11 @@ object ScaleCurve {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet").drop("label")
 
+  // the q27/q56/q59/q64 chains are the REGISTERED ones from
+  // ExtensionQueries — defined there once so a retune changes both the
+  // oracle-checked query and this measurement together
   private def minhashPairs(d: DataFrame): DataFrame =
-    DedupOps.minHashLshPairs(d, k = 3, numBands = 8, rowsPerBand = 2,
-      minJaccard = 0.8, portable = true)
-
-  /** q59's registered chain verbatim (quality gate → exact dedup →
-    * portable MinHash-LSH → cluster dedup → per-language sample).
-    */
-  private def cleanCorpus(d: DataFrame): DataFrame = {
-    val withQ = d.withColumn("quality", TextOps.qualityScore(col("text")))
-    val qual = withQ.filter(col("quality") >= 0.5)
-    val keepExact = qual
-      .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exactKept = qual.join(keepExact, Seq("doc_id"))
-    val nearKept = DedupOps.clusterDedup(exactKept, "doc_id",
-      minhashPairs(exactKept))
-    DedupOps.stratifiedHashSample(nearKept, "doc_id", "lang",
-        sixteenths = Map("en" -> 8, "de" -> 16, "fr" -> 16),
-        defaultSixteenths = 4)
-      .select(col("doc_id"), col("lang"), col("quality"))
-  }
+    graft.queries.ExtensionQueries.portableMinHashPairs(d)
 
   /** q75's registered chain, with the banding exposed so the `scaled`
     * variant can hold bucket sizes constant.
@@ -130,19 +113,12 @@ object ScaleCurve {
         DedupOps.clusterDedup(d, "doc_id", minhashPairs(d))
           .select(col("doc_id"), col("lang"))
       },
-      "q59_clean_corpus" -> (n => cleanCorpus(docs(spark, dirs(n)))),
-      "q64_quality_sample" -> { n =>
-        val d = docs(spark, dirs(n))
-          .withColumn("quality", TextOps.qualityScore(col("text")))
-          .withColumn("band",
-            when(col("quality") >= 0.55, "high")
-              .when(col("quality") >= 0.45, "mid")
-              .otherwise("low"))
-        DedupOps.stratifiedHashSample(d, "doc_id", "band",
-            sixteenths = Map("high" -> 16, "mid" -> 8, "low" -> 2))
+      "q59_clean_corpus" -> (n =>
+        graft.queries.ExtensionQueries.cleanCorpusChain(docs(spark, dirs(n)))),
+      "q64_quality_sample" -> (n =>
+        graft.queries.ExtensionQueries.qualityBandedSample(docs(spark, dirs(n)))
           .groupBy(col("band"))
-          .agg(count(lit(1)).as("n_kept"))
-      },
+          .agg(count(lit(1)).as("n_kept"))),
       "q60_lsh_neardup_fixed" -> (n =>
         SimilarityOps.lshNearDupPairs(embs(spark, dirs(n)), minSim = 0.3)),
       "q60_lsh_neardup_scaled" -> (n =>

@@ -96,7 +96,9 @@ object ScaleGen {
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     if (!done("embeddings")) {
       val e = spark.read.parquet(s"$baseDir/embeddings.parquet")
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      // null-filtered LIMIT-1 probe with a named error on an empty table
+      // (a bare head().getInt(0) would NPE on a null first row)
+      val dim = graft.ext.SimilarityOps.inferDim(e, "embedding")
       replicateEmbeddings(e, n, dim)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }

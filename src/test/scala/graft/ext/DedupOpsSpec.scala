@@ -259,4 +259,30 @@ class DedupOpsSpec extends AnyFunSuite {
       "doc_id", "text", 4).head
     assert(again.getString(3) == row.getString(3))
   }
+
+  test("hashSample honors multi-char prefixes and rejects non-hex ones") {
+    val df = spark.range(1, 400).toDF("id")
+    val withHash = df.withColumn("h",
+      md5(col("id").cast("string").cast("binary")))
+    // a 2-char prefix keeps exactly the rows whose digest starts with it
+    // (the old single-char equality silently kept ZERO rows for these)
+    val expect = withHash.filter(col("h").startsWith("0"))
+      .filter(substring(col("h"), 2, 1).isin("0", "1", "2", "3", "4", "5",
+        "6", "7"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val prefixes = (0 to 7).map(d => s"0$d")
+    val got = DedupOps.hashSample(df, "id", prefixes)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+    // single-char behavior unchanged: union of all 16 nibbles = everything
+    val all = DedupOps.hashSample(df, "id", "0123456789abcdef".map(_.toString))
+    assert(all.count() == 399)
+    // uppercase/non-hex prefixes can never match lowercase md5 — fail named
+    val e = intercept[IllegalArgumentException](
+      DedupOps.hashSample(df, "id", Seq("AB")))
+    assert(e.getMessage.contains("lowercase hex"))
+    val e2 = intercept[IllegalArgumentException](
+      DedupOps.hashSample(df, "id", Seq("")))
+    assert(e2.getMessage.contains("lowercase hex"))
+  }
 }

@@ -134,4 +134,24 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .toSet
     assert(graph == topk)
   }
+
+  test("cosine: zero-norm vector yields NULL, not an ANSI DIVIDE_BY_ZERO") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 0f)), (Seq(0f, 0f), Seq(0f, 0f)))
+      .toDF("a", "b")
+    val r = df.select(SimilarityOps.cosine(col("a"), col("b"))).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("inferDim skips null embeddings; fails named when none exist") {
+    val mixed = Seq(
+      (1L, Option.empty[Seq[Float]], 0),
+      (2L, Some(Seq(1f, 2f, 3f)), 0)).toDF("vec_id", "embedding", "label")
+    // the null row scans first — the probe must not fail or mis-infer
+    assert(SimilarityOps.inferDim(mixed, "embedding") == 3)
+    val allNull = Seq((1L, Option.empty[Seq[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.inferDim(allNull, "embedding"))
+    assert(e.getMessage.contains("no non-null"))
+  }
 }

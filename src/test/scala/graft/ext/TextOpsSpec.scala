@@ -173,4 +173,19 @@ class TextOpsSpec extends AnyFunSuite {
       .select(TextOps.langId(TextOps.tokens(col("text")))).head.getString(0)
     assert(tie == "de")
   }
+
+  test("punctRatio and qualityScore: empty text yields NULL, " +
+      "not an ANSI DIVIDE_BY_ZERO") {
+    // DuckDB's 0/0 is NULL; a bare Spark divide raises under ANSI mode —
+    // the guard must produce the oracle's NULL (gates treat NULL as reject)
+    val r = one("")
+      .select(TextOps.punctRatio(col("text")).as("pr"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // and NULL text still propagates NULL
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextOps.punctRatio(col("text"))).head
+    assert(n.isNullAt(0))
+  }
 }

@@ -77,4 +77,27 @@ class DepExtractorSpec extends AnyFunSuite {
       "CREATE MACRO mx() AS (SELECT max(o_totalprice) FROM src_orders);\nSELECT 1 AS x",
       ids) == Set("src_orders"))
   }
+
+  test("a CTE inside a nested subquery does not swallow a genuine outer " +
+      "reference to the same name") {
+    // statement-global exclusion dropped the outer edge on model x here,
+    // letting --parallel waves run this model before x materialized
+    val sql =
+      """SELECT * FROM x JOIN
+        |  (WITH x AS (SELECT 1 AS i) SELECT * FROM x) t ON t.i = x.id""".stripMargin
+    assert(DepExtractor.tableRefs(sql) == Set("x"))
+  }
+
+  test("an outer CTE is shadowed everywhere in its scope, including " +
+      "nested subqueries") {
+    val sql =
+      """WITH c AS (SELECT 1 AS i)
+        |SELECT * FROM t WHERE EXISTS (SELECT 1 FROM c WHERE c.i = t.id)""".stripMargin
+    assert(DepExtractor.tableRefs(sql) == Set("t"))
+  }
+
+  test("multipart references are never CTE-shadowed") {
+    val sql = "WITH x AS (SELECT 1 AS i) SELECT * FROM db.x JOIN x ON 1=1"
+    assert(DepExtractor.tableRefs(sql) == Set("x")) // db.x survives; bare x shadowed
+  }
 }
