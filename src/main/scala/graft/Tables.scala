@@ -15,11 +15,15 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as LongType
-    // under spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench).
-    // Normalize to a microsecond TimestampType here, FLOORING like
-    // DuckDB's TIMESTAMP_NS cast does: `ts div 1000` truncates toward
-    // zero, which disagrees by 1µs for pre-1970 sub-µs timestamps.
+    // ts contract (DIALECT.md "Timestamps"): the driver fixtures store
+    // events.ts as parquet timestamp[us] with isAdjustedToUTC=false, which
+    // Spark reads as TimestampNTZType (≙ DuckDB's naive TIMESTAMP) — that
+    // passes through unchanged. The branch below is DEFENSIVE, for a
+    // TIMESTAMP(NANOS) fixture: Spark reads that as LongType under
+    // spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench), and we
+    // normalize to a microsecond TimestampType, FLOORING like DuckDB's
+    // TIMESTAMP_NS cast does: `ts div 1000` alone truncates toward zero,
+    // which disagrees by 1µs for pre-1970 sub-µs timestamps.
     // (ts - pmod(ts, 1000)) is an exact multiple of 1000, so the division
     // is precision-free — a double floor() would not be: ns epochs
     // exceed 2^53.

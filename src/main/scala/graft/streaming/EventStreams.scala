@@ -45,12 +45,25 @@ object EventStreams {
       if (new java.io.File(path).isFile)
         reader.option("pathGlobFilter", "events.parquet").parquet(dir)
       else reader.parquet(path)
-    // the real events.parquet stores ts as TIMESTAMP(NANOS), read as Long
-    // under nanosAsLong — normalize to micros exactly like Tables.load, or
-    // every withWatermark("ts", …) downstream fails on the actual data
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    // ts contract (DIALECT.md "Timestamps"): the driver fixtures store ts
+    // as parquet timestamp[us] with isAdjustedToUTC=false, which Spark
+    // reads as TimestampNTZType (≙ DuckDB's naive TIMESTAMP) and batch
+    // passes through unchanged. Watermarks however REQUIRE TimestampType
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the streaming read
+    // normalizes: under the library's pinned UTC session timezone the
+    // NTZ→TIMESTAMP cast preserves the wall clock and the epoch micros,
+    // so every streaming aggregate lands in the same window as its batch
+    // twin. A TIMESTAMP(NANOS) fixture would instead arrive as LongType
+    // under nanosAsLong; normalize with the same flooring expression
+    // Tables.load uses.
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window counts. Late events beyond the watermark

@@ -155,14 +155,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows(1) == ((Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 9.0)))
   }
 
-  test("readEventStream normalizes the real parquet's nanos ts like " +
-      "Tables.load") {
-    // the driver-generated events.parquet stores ts as TIMESTAMP(NANOS),
-    // which arrives as LongType under nanosAsLong — without normalization
-    // every withWatermark("ts", ...) downstream throws AnalysisException
-    val stream = EventStreams.readEventStream(spark, "/root/testdata/sf0.001")
+  test("readEventStream normalizes the real parquet's ts to a watermarkable " +
+      "TimestampType with the batch wall clock") {
+    // The ts CONTRACT (DIALECT.md "Timestamps"): the fixtures store ts as
+    // parquet timestamp[us] with isAdjustedToUTC=false → batch reads
+    // TimestampNTZType (≙ DuckDB naive TIMESTAMP); watermarks REQUIRE
+    // TimestampType, so the streaming read casts NTZ→TIMESTAMP (wall-clock
+    // preserving under the pinned UTC session). A nanos fixture would
+    // arrive as LongType under nanosAsLong and be normalized the same way.
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStreams.readEventStream(spark, dir)
     assert(stream.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
+    // wall-clock parity with the batch read on the same fixture: min/max
+    // of the cast streaming column must equal the batch column's, cast the
+    // same way (a no-op if batch were already TIMESTAMP)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val batch = graft.Tables.load(spark, dir, "events")
+      .select(col("ts").cast("timestamp").as("ts"))
+    val Array(bLo, bHi) =
+      batch.agg(min("ts"), max("ts")).collect().head.toSeq.toArray
+    val staticStream = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val Array(sLo, sHi) =
+      staticStream.agg(min("ts"), max("ts")).collect().head.toSeq.toArray
+    assert(bLo == sLo && bHi == sHi)
     val q = EventStreams.windowedCounts(stream, "10 minutes", "1 hour")
       .writeStream.format("memory").queryName("real_win_out")
       .outputMode(OutputMode.Append).start()
