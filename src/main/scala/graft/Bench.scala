@@ -37,6 +37,26 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // Calibration: a fixed, parquet-free, data-independent CPU workload
+    // (codegen'd xxhash64 over an in-memory range) timed alongside the real
+    // queries. Same-code bench totals have swung ~1.9× round-to-round on
+    // machine drift alone (r6 vs r7 adjudication); recording this pinned
+    // workload in the durable JSON lets tools/bench_diff.py divide drift
+    // out and label "machine drift" instead of burning a triage cycle on
+    // it. Sized ~1-2 s on 32 threads: long enough to dominate scheduler
+    // jitter, short enough to not stretch the bench.
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing the hashes overflows long under ANSI.
+      // DO NOT change the workload or the row count: a drift ratio is only
+      // meaningful between records that ran the IDENTICAL calibration.
+      spark.range(0L, 8000000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) as h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calOnce() // untimed JIT warm, like the query warmup
+    val calibration = (1 to 3).map(_ => calOnce()).min
     // A failed query must NOT bench as a fast one: record the error instead
     // of a time and keep it out of the total, so a regression that breaks a
     // query can only make the bench look worse, never better.
@@ -80,7 +100,7 @@ object Bench {
     val errField =
       if (errs.isEmpty) "" else s""","errors":${errs.map(jstr).mkString("[", ",", "]")}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs$errField,"sf":"$sfDir"}"""
     println(fullLine)
     // Stdout capture has truncated the long per-query record two rounds in a
     // row (r4 lost the total, r5 lost 21/81 per-query times), so the complete

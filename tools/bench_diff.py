@@ -12,6 +12,15 @@ Accepts either bench format:
     truncated) stdout capture: per-query times are recovered with a regex,
     so a record that lost its head still contributes every surviving time.
 
+Machine-drift normalization: Bench.scala also times a pinned, parquet-free
+calibration workload and records it as "calibration". When BOTH records
+carry it, the drift ratio (cal_new/cal_old) is divided out of every mover
+and of the shared-query total, and movers whose drift-adjusted ratio falls
+back inside the threshold are labeled "explained by machine drift" — the
+r6→r7 adjudication showed same-code totals swing ~1.9x on environment
+alone, so a raw ratio without this control is not evidence of a code
+regression.
+
 Movers are queries whose new/old ratio is >= threshold or <= 1/threshold.
 Sub-second queries swing up to 3.5x between identical-code runs on this
 workload (see Bench.scala), so the report marks movers whose BOTH times
@@ -24,12 +33,13 @@ import re
 import sys
 
 TIME_RE = re.compile(r'"(q\w+)":([0-9][0-9.eE+-]*)')
+CAL_RE = re.compile(r'"calibration":([0-9][0-9.eE+-]*)')
 
 
-def load_times(path):
+def load_record(path):
+    """Return (times: dict, calibration: float|None)."""
     with open(path) as f:
         text = f.read()
-    times = {}
     # durable format: last parseable JSON line with a "queries" map
     for line in reversed(text.strip().splitlines()):
         try:
@@ -40,16 +50,19 @@ def load_times(path):
             continue
         qs = obj.get("queries")
         if isinstance(qs, dict):
-            return {k: v for k, v in qs.items() if isinstance(v, (int, float))}
+            cal = obj.get("calibration")
+            return ({k: v for k, v in qs.items()
+                     if isinstance(v, (int, float))},
+                    cal if isinstance(cal, (int, float)) else None)
     # driver format: whole file is one JSON object with a "tail" capture
     try:
         obj = json.loads(text)
         blob = obj.get("tail", "") if isinstance(obj, dict) else text
     except ValueError:
         blob = text
-    for name, sec in TIME_RE.findall(blob):
-        times[name] = float(sec)
-    return times
+    times = {name: float(sec) for name, sec in TIME_RE.findall(blob)}
+    m = CAL_RE.search(blob)
+    return times, (float(m.group(1)) if m else None)
 
 
 def main():
@@ -70,18 +83,30 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    old, new = load_times(args[0]), load_times(args[1])
+    (old, cal_old), (new, cal_new) = load_record(args[0]), load_record(args[1])
     shared = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
+
+    drift = None
+    if cal_old and cal_new and cal_old > 0:
+        drift = cal_new / cal_old
 
     movers = []
     for q in shared:
         ratio = new[q] / old[q] if old[q] > 0 else float("inf")
         if ratio >= thr or ratio <= 1 / thr:
-            noise = " (sub-second both sides: noise band)" \
-                if old[q] < 1.0 and new[q] < 1.0 else ""
-            movers.append((ratio, q, noise))
+            notes = []
+            if old[q] < 1.0 and new[q] < 1.0:
+                notes.append("sub-second both sides: noise band")
+            if drift:
+                adj = ratio / drift
+                if 1 / thr < adj < thr:
+                    notes.append(f"drift-adjusted {adj:.2f}x: "
+                                 "explained by machine drift")
+                else:
+                    notes.append(f"drift-adjusted {adj:.2f}x: real mover")
+            movers.append((ratio, q, "; ".join(notes)))
     movers.sort(reverse=True)
 
     t_old = sum(old[q] for q in shared)
@@ -90,13 +115,25 @@ def main():
           f"(old-only: {len(only_old)}, new-only: {len(only_new)})")
     print(f"shared-query total: {t_old:.2f}s -> {t_new:.2f}s "
           f"({t_new / t_old:.3f}x)" if t_old else "no shared queries")
+    if drift:
+        print(f"calibration: {cal_old:.3f}s -> {cal_new:.3f}s "
+              f"(machine drift {drift:.2f}x)")
+        if t_old:
+            print(f"drift-normalized total: {t_old:.2f}s -> "
+                  f"{t_new / drift:.2f}s ({t_new / t_old / drift:.3f}x)")
+    else:
+        missing = [p for p, c in ((args[0], cal_old), (args[1], cal_new))
+                   if not c]
+        print(f"calibration: absent in {', '.join(missing)} — raw ratios "
+              "include any machine drift")
     if only_new:
         print(f"new queries: {', '.join(only_new)}")
     if only_old:
         print(f"dropped queries: {', '.join(only_old)}")
     print(f"\nmovers (ratio >= {thr}x either way): {len(movers)}")
-    for ratio, q, noise in movers:
-        print(f"  {q}: {old[q]:.3f}s -> {new[q]:.3f}s  {ratio:.2f}x{noise}")
+    for ratio, q, notes in movers:
+        suffix = f"  ({notes})" if notes else ""
+        print(f"  {q}: {old[q]:.3f}s -> {new[q]:.3f}s  {ratio:.2f}x{suffix}")
 
 
 if __name__ == "__main__":
