@@ -192,6 +192,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The scale-safe cluster-resolution composition (VERDICT r7 #4): LSH
+    // band buckets bound pair generation at Σ(bucket²) — no quadratic
+    // all-pairs stage anywhere — then hash-min connected components label
+    // every document (singletons included). This is the form SCALING.md
+    // measures at 1×→10×; q53 keeps the deliberately scope-bounded ngram
+    // variant as the closure-cheap oracle of the SAME CC operator.
+    "q85_lsh_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", portableMinHashPairs(docs))
+        .select(col("id"), col("comp"))
+        .orderBy(col("id"))
+    }),
+
     "q28_simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashNearDupPairs(
           t(s, dir, "documents").filter(col("doc_id") < 2000),
@@ -513,7 +527,9 @@ object ExtensionQueries {
     // -- Near-dup cluster resolution: pairs → connected components --------
     // Oracle: DuckDB recursive transitive closure (min reachable id ==
     // hash-min fixpoint). Bounded scope (200 docs) keeps the closure cheap
-    // oracle-side; the Spark operator itself is the 100 TB path.
+    // oracle-side; the quadratic ngram pair scan here is an oracle
+    // convenience only — the scale-safe composition (LSH-bounded pairs →
+    // the same CC operator, full table) is registered as q85_lsh_cc.
     "q53_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
       // k = 3 like q26/q27 — and like this query's oracle, whose
@@ -749,6 +765,23 @@ object ExtensionQueries {
        |LEFT JOIN dropids ON doc.doc_id = dropids.id
        |WHERE dropids.id IS NULL
        |ORDER BY doc.doc_id""".stripMargin
+
+  /** q85: the pair CTEs + self-edges for every document + the recursive
+    * transitive closure — min reachable id ≡ the hash-min fixpoint label,
+    * so DuckDB checks the LSH-fed components exactly (cheap oracle-side:
+    * the edge set is the Σ(bucket²)-bounded LSH pairs, not all pairs).
+    */
+  private lazy val lshCcOracleSql: String =
+    s"""WITH RECURSIVE ${minHashPairCtes()},
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |  UNION SELECT doc_id, doc_id FROM documents),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a)
+       |SELECT a AS id, min(b) AS comp FROM rr GROUP BY a ORDER BY id""".stripMargin
 
   /** q52's oracle: the hyperplanes are seed-derived constants, so the SAME
     * planes embed as SQL literals (Double.toString round-trips exactly
@@ -1106,6 +1139,7 @@ object ExtensionQueries {
         |GROUP BY band ORDER BY band""".stripMargin,
     "q27_minhash_neardup" -> minHashOracleSql,
     "q56_neardup_dedup" -> nearDupDedupOracleSql,
+    "q85_lsh_cc" -> lshCcOracleSql,
     "q65_seq_packing" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
