@@ -522,6 +522,31 @@ object DedupOps {
     labels
   }
 
+  /** Pay LSH once: materialize a candidate-pair set to parquet and hand
+    * back a plain scan of it — the pair-set analog of the committed IVF
+    * centroids ([[IvfCentroids]], fit once by a tool, consumed by every
+    * query). q56/q59/q72-style chains each recompute
+    * MinHash-LSH from the corpus because each must stand alone for its
+    * oracle; a production pipeline instead computes the pair set in ONE
+    * job and feeds every downstream decision (cluster dedup, leakage
+    * split, priority merge) from this materialization. At 100 TB the pair
+    * set is tiny next to the corpus (ids + a score), so the re-read is
+    * O(pairs) while the avoided recompute is O(corpus) shuffles.
+    *
+    * `compute` is by-name: when the materialization already exists
+    * (`_SUCCESS` present), the LSH pipeline is never even constructed —
+    * the returned plan is a bare FileScan of `path` with zero Generate/
+    * Aggregate nodes (asserted by PersistedPairsSpec). Callers version
+    * the path with the LSH parameters so a retune can never read a stale
+    * pair set.
+    */
+  def materializedPairs(spark: org.apache.spark.sql.SparkSession,
+                        path: String)(compute: => DataFrame): DataFrame = {
+    if (!new java.io.File(path, "_SUCCESS").isFile)
+      compute.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Cluster-level dedup: drop every document whose component canonical
     * (min id) is another document. Singletons survive untouched.
     */

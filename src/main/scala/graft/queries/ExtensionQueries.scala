@@ -35,6 +35,22 @@ object ExtensionQueries {
       k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
       portable = true)
 
+  /** The pay-LSH-once entry point (VERDICT r7 #5): q27's pair set,
+    * materialized to parquet per (sf dir, LSH params) and read back — the
+    * first caller in a JVM computes it, every later caller (q86, specs,
+    * any production chain) gets a bare FileScan. The path is versioned
+    * with the parameter literals so retuning [[portableMinHashPairs]]
+    * invalidates the cache by construction; results are byte-identical to
+    * recomputing because the pair set is deterministic.
+    */
+  private[graft] def persistedMinHashPairs(s: SparkSession,
+                                           dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_pairs_${key}_k3_b8_r2_j080"
+    DedupOps.materializedPairs(s, path)(
+      portableMinHashPairs(t(s, dir, "documents")))
+  }
+
   /** q59's full decision chain (quality gate → exact dedup → MinHash-LSH
     * cluster dedup → per-language stratified sample), unordered. Defined
     * HERE only — the registered query appends its orderBy and
@@ -204,6 +220,21 @@ object ExtensionQueries {
           docs.select(col("doc_id")), "doc_id", portableMinHashPairs(docs))
         .select(col("id"), col("comp"))
         .orderBy(col("id"))
+    }),
+
+    // Consumes the MATERIALIZED pair set (pay LSH once — see
+    // persistedMinHashPairs): cluster-size histogram of the near-dup
+    // graph, the curation dashboard number that tells you whether dedup
+    // is removing twins (size 2) or mass-produced boilerplate (size 50).
+    // The oracle recomputes the pairs from raw tables, so correctness
+    // also proves the cache is faithful to recomputation.
+    "q86_cached_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", persistedMinHashPairs(s, dir))
+        .groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+        .groupBy(col("comp_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("comp_size"))
     }),
 
     "q28_simhash_neardup" -> ((s, dir) =>
@@ -783,6 +814,22 @@ object ExtensionQueries {
        |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a)
        |SELECT a AS id, min(b) AS comp FROM rr GROUP BY a ORDER BY id""".stripMargin
 
+  /** q86: same closure as q85, then the cluster-size histogram. */
+  private lazy val cachedPairsOracleSql: String =
+    s"""WITH RECURSIVE ${minHashPairCtes()},
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |  UNION SELECT doc_id, doc_id FROM documents),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       |comp AS (SELECT a AS id, min(b) AS comp FROM rr GROUP BY a),
+       |sz AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)
+       |SELECT comp_size, count(*) AS n_clusters FROM sz
+       |GROUP BY comp_size ORDER BY comp_size""".stripMargin
+
   /** q52's oracle: the hyperplanes are seed-derived constants, so the SAME
     * planes embed as SQL literals (Double.toString round-trips exactly
     * through DuckDB's parser), and DuckDB's list_dot_product matches the
@@ -1140,6 +1187,7 @@ object ExtensionQueries {
     "q27_minhash_neardup" -> minHashOracleSql,
     "q56_neardup_dedup" -> nearDupDedupOracleSql,
     "q85_lsh_cc" -> lshCcOracleSql,
+    "q86_cached_pairs" -> cachedPairsOracleSql,
     "q65_seq_packing" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
