@@ -341,10 +341,20 @@ object SimilarityOps {
       .transform(topKPerGroup(_, "src", "dst", k))
   }
 
+  /** Fit-then-query in one call. `sampleOneIn` is the 100 TB fit knob: the
+    * Lloyd iterations run on a 1-in-N hash-sample (centroid quality needs
+    * ~1000 points per cell, not the corpus), while the assignment +
+    * pruned-scan query phase still sees every candidate. Callers scale N
+    * with corpus size (e.g. nVecs / (1000 × nCells)) so the fit cost stays
+    * constant as the data grows — measured in SCALING.md
+    * (`q31_ann_ivf_refit_sampled`).
+    */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int, nprobe: Int,
-              nCells: Int = 16, maxIters: Int = 3): DataFrame =
+              nCells: Int = 16, maxIters: Int = 3,
+              sampleOneIn: Int = 1): DataFrame =
     ivfTopKWithCentroids(probes, candidates,
-      fitCentroids(candidates, "embedding", nCells, maxIters), k, nprobe)
+      fitCentroids(candidates, "embedding", nCells, maxIters, sampleOneIn),
+      k, nprobe)
 
   /** Centroid persistence — the index lifecycle: [[fitCentroids]] once
     * (an index BUILD, typically on a sample), save, then every query run

@@ -155,6 +155,38 @@ object ScaleCurve {
         val e = embs(spark, dirs(n))
         SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10L * n), e,
           k = 5, nprobe = 3, nCells = 10)
+      },
+      // the documented 100 TB fit: Lloyd on a hash-sample held CONSTANT at
+      // the 1× corpus size (sampleOneIn grows with the corpus), so the fit
+      // term stops scaling with data; the chain's residual growth is the
+      // probe workload (10× probes × 10× candidates through the
+      // nprobe/nCells-pruned scoring join), which the fit knob cannot and
+      // should not hide
+      "q31_ann_ivf_refit_sampled" -> { n =>
+        val e = embs(spark, dirs(n))
+        val oneIn = math.max(1L, nVecs(n) / nVecs(scales.min)).toInt
+        SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10L * n), e,
+          k = 5, nprobe = 3, nCells = 10, sampleOneIn = oneIn)
+      },
+      // fit ISOLATED (no query phase): what sampleOneIn is for. The fit is
+      // driver-synchronized Lloyd iterations, so the timed unit is the
+      // whole fitCentroids call; the centroids come back as a literal
+      // DataFrame only so the harness has something to sink.
+      "q31_ivf_fit_full" -> { n =>
+        val cents = SimilarityOps.fitCentroids(
+          embs(spark, dirs(n)), "embedding", nCells = 10)
+        import spark.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("cell", "centroid")
+      },
+      "q31_ivf_fit_sampled" -> { n =>
+        val oneIn = math.max(1L, nVecs(n) / nVecs(scales.min)).toInt
+        val cents = SimilarityOps.fitCentroids(
+          embs(spark, dirs(n)), "embedding", nCells = 10,
+          sampleOneIn = oneIn)
+        import spark.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("cell", "centroid")
       })
 
     // dev knob, mirrors Bench's SPARK_GRAFT_ONLY: subset the suite so an
