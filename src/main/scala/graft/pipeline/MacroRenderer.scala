@@ -199,8 +199,14 @@ object MacroRenderer {
   //     (`{% set x = y | upper %}`). Bindings persist for the REST of the
   //     enclosing block and — like jinja, where `if` is not a scope — leak
   //     out of {% if %} branches; a {% for %} body is a scope, so
-  //     assignments there stay per-iteration. The `{% set x %}…{% endset %}`
-  //     block form fails named.
+  //     assignments there stay per-iteration.
+  //   {% set name %} … {% endset %}
+  //     block form: binds `name` to the RENDERED body (tags and slots
+  //     inside render with the current scope; the body is its own scope,
+  //     so inner {% set %}s do not leak out).
+  //   {% for x in range(n) %} / range(a, b) / range(a, b, step)
+  //     minijinja's integer ranges (end-exclusive, step may be negative);
+  //     bounds are literals or in-scope numeric strings.
   //   {%- … -%} trims whitespace toward the tag, minijinja-style.
 
   private sealed trait JVal
@@ -264,6 +270,35 @@ object MacroRenderer {
             sb.append(rendered)
             env = envAfter // {% set %} inside a branch leaks out, like jinja
           }
+          trimNext = endTok.group(4) == "-"
+          from = endTok.end
+          rest = after
+        case "set" if m.group(3).trim.matches("""\w+""") =>
+          // block form: bind the name to the RENDERED body. Depth counts
+          // only other BLOCK-form sets — an inline {% set x = … %} inside
+          // the body has no {% endset %} and must not shift the pairing.
+          appendText(m.start, m.group(1) == "-")
+          val (endTok, after) = {
+            var depth = 0
+            var r = rest.tail
+            var found: Option[(Tok, List[Tok])] = None
+            while (r.nonEmpty && found.isEmpty) {
+              val t = r.head
+              t.group(2) match {
+                case "set" if t.group(3).trim.matches("""\w+""") => depth += 1
+                case "endset" if depth > 0 => depth -= 1
+                case "endset" => found = Some((t, r.tail))
+                case _ => ()
+              }
+              r = r.tail
+            }
+            found.getOrElse(unsupportedJinja("missing {% endset %}"))
+          }
+          val body = trimBody(text.substring(m.end, endTok.start),
+            m.group(4) == "-", endTok.group(1) == "-")
+          // the body is its own scope (inner sets don't leak), rendered
+          // with the CURRENT env in view
+          env = env + (m.group(3).trim -> JStr(renderTags(body, env)))
           trimNext = endTok.group(4) == "-"
           from = endTok.end
           rest = after
@@ -362,14 +397,45 @@ object MacroRenderer {
   }
 
   private val forExprRe = """(?s)^(\w+)\s+in\s+(.+)$""".r
+  private val rangeRe = """^range\s*\((.*)\)$""".r
+
+  /** minijinja integer range: range(n) = 0..n-1, range(a, b) end-exclusive,
+    * range(a, b, step) with negative steps allowed. Bounds are numeric
+    * literals or in-scope names holding numeric strings; anything else —
+    * including a step of 0 or a runaway cardinality — fails named.
+    */
+  private def evalRange(argsText: String, env: Map[String, JVal]): Seq[String] = {
+    def num(a: String): Long = evalAtom(a.trim, env) match {
+      case Some(JStr(s)) if numRe.findFirstIn(s).isDefined && !s.contains('.') =>
+        s.toLong
+      case Some(JStr(s)) => unsupportedJinja(s"range bound `$s` is not an integer")
+      case Some(JList(_)) => unsupportedJinja("range bound is a list")
+      case None => unsupportedJinja(s"range bound `${a.trim}` is undefined")
+    }
+    val args = splitArgs(argsText).map(num)
+    val (lo, hi, step) = args match {
+      case Seq(n)        => (0L, n, 1L)
+      case Seq(a, b)     => (a, b, 1L)
+      case Seq(a, b, s)  => (a, b, s)
+      case _ => unsupportedJinja("range takes 1-3 integer arguments")
+    }
+    if (step == 0) unsupportedJinja("range step must not be 0")
+    val count = math.max(0L, (hi - lo + step + (if (step > 0) -1 else 1)) / step)
+    if (count > 100000)
+      unsupportedJinja(s"range of $count items — template runaway?")
+    Iterator.iterate(lo)(_ + step).take(count.toInt).map(_.toString).toSeq
+  }
 
   private def renderFor(expr: String, body: String,
       env: Map[String, JVal]): String = expr.trim match {
     case forExprRe(v, iterExpr) =>
-      val items = evalAtom(iterExpr.trim, env) match {
-        case Some(JList(xs)) => xs
-        case Some(JStr(s))   => unsupportedJinja(s"for over non-list value `$s`")
-        case None            => unsupportedJinja(s"for over undefined `${iterExpr.trim}`")
+      val items = iterExpr.trim match {
+        case rangeRe(argsText) => evalRange(argsText, env)
+        case it => evalAtom(it, env) match {
+          case Some(JList(xs)) => xs
+          case Some(JStr(s))   => unsupportedJinja(s"for over non-list value `$s`")
+          case None            => unsupportedJinja(s"for over undefined `$it`")
+        }
       }
       val n = items.size
       items.zipWithIndex.map { case (item, i) =>

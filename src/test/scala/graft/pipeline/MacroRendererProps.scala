@@ -48,6 +48,9 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
       filters: Filters) extends Frag
   private final case class FSet(n: String, lit: String,
       filters: Filters) extends Frag
+  private final case class FSetBlock(n: String, body: List[Frag]) extends Frag
+  private final case class FForRange(v: String, lo: Long, hi: Long,
+      step: Long, body: List[Frag]) extends Frag
   private final case class FFor(v: String, items: Seq[Atom],
       body: List[Frag]) extends Frag
   private final case class FIf(
@@ -92,6 +95,13 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
     case FSet(n, lit, fs) =>
       if (fs.isEmpty) s"{% set $n = '$lit' %}"
       else s"{% set $n = '$lit' ${filtText(fs)} %}"
+    case FSetBlock(n, body) =>
+      s"{% set $n %}${textOf(body)}{% endset %}"
+    case FForRange(v, lo, hi, step, body) =>
+      val args = if (step == 1 && lo == 0) s"$hi"
+                 else if (step == 1) s"$lo, $hi"
+                 else s"$lo, $hi, $step"
+      s"{% for $v in range($args) %}${textOf(body)}{% endfor %}"
     case FFor(v, items, body) =>
       s"{% for $v in [${items.map(atomText).mkString(", ")}] %}" +
         s"${textOf(body)}{% endfor %}"
@@ -176,6 +186,30 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
         sb.append(filtApply(base.fold(l => Some(l), n => env.get(n)), fs))
       case FSet(n, lit, fs) =>
         env += n -> filtApply(Some(lit), fs)
+      case FSetBlock(n, body) =>
+        // the block body is its own scope: render with the current env,
+        // discard its set bindings, bind the rendered text
+        env += n -> eval(body, env, macros)._1
+      case FForRange(v, lo, hi, step, body) =>
+        // independent model of minijinja's range: end-exclusive, signed step
+        val vals = {
+          val b = Seq.newBuilder[String]
+          var i = lo
+          while ((step > 0 && i < hi) || (step < 0 && i > hi)) {
+            b += i.toString; i += step
+          }
+          b.result()
+        }
+        val n = vals.size
+        vals.zipWithIndex.foreach { case (item, i) =>
+          sb.append(eval(body, env ++ Map(
+            v -> item,
+            "loop.index" -> (i + 1).toString,
+            "loop.index0" -> i.toString,
+            "loop.first" -> (if (i == 0) "true" else "false"),
+            "loop.last" -> (if (i == n - 1) "true" else "false"),
+            "loop.length" -> n.toString), macros)._1)
+        }
       case FFor(v, items, body) =>
         val vals = items.map(a => atomVal(a, env).getOrElse(""))
         val n = vals.size
@@ -334,6 +368,32 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
         (if (hasElse) Seq(Option.empty[Cond] -> bElse) else Nil))
   }
 
+  private def setBlockFrag(ctx: Ctx): Gen[Frag] = for {
+    nm   <- Gen.oneOf(setVars)
+    nb   <- Gen.choose(1, 2)
+    w    <- word
+    // call-free body: a call bound into the block value expands later and
+    // equivalently, but keeping blocks call-free keeps the model 1:1.
+    // The leading word keeps the bound value nonempty — an empty string
+    // later passed as a call arg would vanish in splitArgs and shift the
+    // positional binding (a set-var value can reach arg position via the
+    // shared name pool).
+    body <- fragsGen(nb, ctx.copy(depth = ctx.depth - 1), allowCalls = false)
+  } yield FSetBlock(nm, FText(w) :: body)
+
+  private def forRangeFrag(ctx: Ctx, allowCalls: Boolean): Gen[Frag] = for {
+    v    <- Gen.oneOf(loopVars)
+    lo   <- Gen.choose(-3L, 3L)
+    hi   <- Gen.choose(-3L, 6L)
+    step <- Gen.oneOf(-2L, -1L, 1L, 2L)
+    nb   <- Gen.choose(1, 2)
+    body <- fragsGen(nb, ctx.copy(
+      scopeF = ctx.scopeF + v,
+      scopeV = ctx.scopeV + v + "loop.index" + "loop.index0" +
+        "loop.first" + "loop.last" + "loop.length",
+      depth = ctx.depth - 1), allowCalls)
+  } yield FForRange(v, lo, hi, step, body)
+
   private def fragGen(ctx: Ctx, allowCalls: Boolean): Gen[Frag] = {
     val base = Seq(
       4 -> textFrag,
@@ -344,7 +404,8 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
       if (allowCalls && ctx.macros.nonEmpty) Seq(2 -> callFrag(ctx)) else Nil
     val rec =
       if (ctx.depth > 0)
-        Seq(2 -> forFrag(ctx, allowCalls), 2 -> ifFrag(ctx, allowCalls))
+        Seq(2 -> forFrag(ctx, allowCalls), 2 -> ifFrag(ctx, allowCalls),
+          1 -> setBlockFrag(ctx), 1 -> forRangeFrag(ctx, allowCalls))
       else Nil
     Gen.frequency((base ++ calls ++ rec): _*)
   }
@@ -354,6 +415,8 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
     else fragGen(ctx, allowCalls).flatMap { f =>
       val ctx2 = f match {
         case FSet(nm, _, _) =>
+          ctx.copy(scopeF = ctx.scopeF + nm, scopeV = ctx.scopeV + nm)
+        case FSetBlock(nm, _) =>
           ctx.copy(scopeF = ctx.scopeF + nm, scopeV = ctx.scopeV + nm)
         case _ => ctx
       }

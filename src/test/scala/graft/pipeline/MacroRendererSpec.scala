@@ -169,13 +169,14 @@ class MacroRendererSpec extends AnyFunSuite {
     // rebinding takes the latest value
     assert(MacroRenderer.render(
       "{% set v = 1 %}{% set v = 2 %}SELECT {{ v }}", "") == "SELECT 2")
-    // undefined RHS and the block form fail named
+    // undefined RHS fails named
     val e1 = intercept[GenericError](
       MacroRenderer.render("{% set x = undefined_name %}SELECT {{ x }}", ""))
     assert(e1.getMessage.contains("undefined"))
-    val e2 = intercept[GenericError](
-      MacroRenderer.render("{% set x %}abc{% endset %}SELECT 1", ""))
-    assert(e2.getMessage.contains("set"))
+    // the block form binds the rendered body (full coverage in the
+    // dedicated endset test below)
+    assert(MacroRenderer.render(
+      "{% set x %}abc{% endset %}SELECT '{{ x }}'", "") == "SELECT 'abc'")
   }
 
   test("unsupported tags and malformed blocks fail with a named error") {
@@ -224,5 +225,47 @@ class MacroRendererSpec extends AnyFunSuite {
       "{% macro id(x) %}{{ x | frobnicate }}{% endmacro %}"))
     assert(e3.getMessage.contains("frobnicate") ||
       e3.getMessage.contains("undefined"))
+  }
+
+  test("{% set x %}…{% endset %} block form binds the rendered body") {
+    // body renders with the current scope; inner tags run; the binding is
+    // usable downstream like any other set var
+    assert(MacroRenderer.render(
+      """{% set cols %}a{% for i in [1, 2] %}, c{{ i }}{% endfor %}{% endset %}
+        |SELECT {{ cols }} FROM t""".stripMargin, "") ==
+      "SELECT a, c1, c2 FROM t")
+    // block body is its own scope: an inline set inside does NOT leak out,
+    // and does not disturb the block/endset pairing
+    assert(MacroRenderer.render(
+      """{% set s %}{% set inner = 'x' %}[{{ inner }}]{% endset %}
+        |{{ s }}-{{ inner }}""".stripMargin, "") == "[x]-")
+    // nested block sets pair by depth
+    assert(MacroRenderer.render(
+      """{% set outer %}{% set innerb %}deep{% endset %}({{ innerb }}){% endset %}
+        |{{ outer }}""".stripMargin, "") == "(deep)")
+    val e = intercept[GenericError](
+      MacroRenderer.render("{% set x %}never closed", ""))
+    assert(e.getMessage.contains("endset"))
+  }
+
+  test("{% for %} over range(): 1/2/3-arg, negative step, named errors") {
+    assert(MacroRenderer.render(
+      "{% for i in range(3) %}{{ i }};{% endfor %}", "") == "0;1;2;")
+    assert(MacroRenderer.render(
+      "{% for i in range(1, 4) %}{{ i }}{% endfor %}", "") == "123")
+    assert(MacroRenderer.render(
+      "{% for i in range(5, 0, -2) %}{{ i }},{% endfor %}", "") == "5,3,1,")
+    assert(MacroRenderer.render( // empty range renders nothing
+      "{% for i in range(0) %}x{% endfor %}ok", "") == "ok")
+    // bounds may come from in-scope names (macro params, set vars)
+    assert(MacroRenderer.render(
+      """{% set n = '2' %}{% for i in range(n) %}p{{ i }} {% endfor %}""",
+      "") == "p0 p1")
+    val e = intercept[GenericError](MacroRenderer.render(
+      "{% for i in range(1, 2, 0) %}x{% endfor %}", ""))
+    assert(e.getMessage.contains("step"))
+    val e2 = intercept[GenericError](MacroRenderer.render(
+      "{% for i in range(zz) %}x{% endfor %}", ""))
+    assert(e2.getMessage.contains("undefined"))
   }
 }
