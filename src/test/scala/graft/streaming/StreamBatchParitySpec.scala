@@ -111,4 +111,72 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(!s.exists(_._1 == -1L), "sentinel session must never emit")
     assert(s.toSeq == b.toSeq)
   }
+
+  test("followWithinJoin equals the batch time-range equi-join on the " +
+      "real fixture") {
+    // The streaming state-store join must admit exactly the pairs the
+    // declarative batch join admits. Both sides watermark far past the
+    // fixture's 30-day span so nothing is dropped as late; Append emits a
+    // joined row as soon as both inputs have it, so after
+    // processAllAvailable the sink holds the complete join.
+    val ev = batchEvents.limit(300) // bound the pair count, not the logic
+    val root = java.nio.file.Files.createTempDirectory("graft-parity-join")
+    val evDir = root.resolve("events.parquet").toString
+    ev.write.mode("overwrite").parquet(evDir)
+    val stream = EventStreams.readEventStream(spark, root.toString)
+    val q = EventStreams.followWithinJoin(stream, stream, "user_id",
+        leftWatermark = "40 days", rightWatermark = "40 days",
+        within = "2 hours")
+      .writeStream.format("memory").queryName("parity_follow")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("parity_follow").collect() }
+      finally q.stop()
+
+    val l = ev.select(col("user_id"), col("ts").as("l_ts"),
+      col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = ev.select(col("user_id").as("__rk"), col("ts").as("r_ts"),
+      col("event_type").as("r_type"), col("value").as("r_value"))
+    val batch = l.join(r,
+        col("user_id") === col("__rk") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 2 hours"))
+      .drop("__rk").collect()
+
+    def key(rw: org.apache.spark.sql.Row) =
+      (rw.getAs[Long]("user_id"), rw.getAs[Timestamp]("l_ts").getTime,
+        rw.getAs[Timestamp]("r_ts").getTime, rw.getAs[String]("l_type"),
+        rw.getAs[String]("r_type"), rw.getAs[Double]("l_value"),
+        rw.getAs[Double]("r_value"))
+    val s = streamed.map(key).sorted.toSeq
+    val b = batch.map(key).sorted.toSeq
+    assert(s.nonEmpty)
+    assert(s == b)
+  }
+
+  test("dedupWithinWatermark equals batch dropDuplicates when every " +
+      "duplicate is inside the horizon") {
+    // With a watermark spanning the whole fixture no state is evicted, so
+    // the streaming dedup keeps exactly one row per key — the same SET of
+    // keys batch dropDuplicates keeps. (Which physical row survives may
+    // differ: batch keeps an arbitrary first, streaming keeps the first
+    // seen; compare on the key set.)
+    val q = EventStreams.dedupWithinWatermark(
+        EventStreams.readEventStream(spark, dir), "40 days",
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("parity_dedup")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("parity_dedup").collect() }
+      finally q.stop()
+    val batch = batchEvents.dropDuplicates(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type")).collect()
+    def key(rw: org.apache.spark.sql.Row) =
+      (rw.getAs[Long]("user_id"), rw.getAs[String]("event_type"))
+    val s = streamed.map(key).toSet
+    val b = batch.map(key).toSet
+    assert(streamed.length == s.size, "streaming emitted a duplicate key")
+    assert(s.nonEmpty)
+    assert(s == b)
+  }
 }
