@@ -189,7 +189,8 @@ object MacroRenderer {
   // GenericError instead of leaking `{% … %}` text into the SQL:
   //   {% for x in [a, 'b', 1] %} … {% endfor %}
   //     list items: quoted/numeric literals or in-scope names; the body sees
-  //     loop.index / loop.index0 / loop.first / loop.last / loop.length
+  //     loop.index / loop.index0 / loop.revindex / loop.revindex0 /
+  //     loop.first / loop.last / loop.length
   //   {% if cond %} … {% elif cond %} … {% else %} … {% endif %}
   //     cond: atom | not cond | atom ==|!= atom | atom in list-or-string
   //     truthiness: undefined, '', 'false', '0', 'none' are false — the
@@ -443,6 +444,8 @@ object MacroRenderer {
           v -> JStr(item),
           "loop.index" -> JStr((i + 1).toString),
           "loop.index0" -> JStr(i.toString),
+          "loop.revindex" -> JStr((n - i).toString),
+          "loop.revindex0" -> JStr((n - i - 1).toString),
           "loop.first" -> JStr(if (i == 0) "true" else "false"),
           "loop.last" -> JStr(if (i == n - 1) "true" else "false"),
           "loop.length" -> JStr(n.toString)))

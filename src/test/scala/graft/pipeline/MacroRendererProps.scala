@@ -206,6 +206,8 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
             v -> item,
             "loop.index" -> (i + 1).toString,
             "loop.index0" -> i.toString,
+            "loop.revindex" -> (n - i).toString,
+            "loop.revindex0" -> (n - i - 1).toString,
             "loop.first" -> (if (i == 0) "true" else "false"),
             "loop.last" -> (if (i == n - 1) "true" else "false"),
             "loop.length" -> n.toString), macros)._1)
@@ -218,6 +220,8 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
             v -> item,
             "loop.index" -> (i + 1).toString,
             "loop.index0" -> i.toString,
+            "loop.revindex" -> (n - i).toString,
+            "loop.revindex0" -> (n - i - 1).toString,
             "loop.first" -> (if (i == 0) "true" else "false"),
             "loop.last" -> (if (i == n - 1) "true" else "false"),
             "loop.length" -> n.toString), macros)._1)
@@ -347,6 +351,7 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
     body  <- fragsGen(nb, ctx.copy(
       scopeF = ctx.scopeF + v,
       scopeV = ctx.scopeV + v + "loop.index" + "loop.index0" +
+        "loop.revindex" + "loop.revindex0" +
         "loop.first" + "loop.last" + "loop.length",
       depth = ctx.depth - 1), allowCalls)
   } yield FFor(v, items, body)
@@ -390,6 +395,7 @@ object MacroRendererProps extends Properties("MacroRendererDiff") {
     body <- fragsGen(nb, ctx.copy(
       scopeF = ctx.scopeF + v,
       scopeV = ctx.scopeV + v + "loop.index" + "loop.index0" +
+        "loop.revindex" + "loop.revindex0" +
         "loop.first" + "loop.last" + "loop.length",
       depth = ctx.depth - 1), allowCalls)
   } yield FForRange(v, lo, hi, step, body)

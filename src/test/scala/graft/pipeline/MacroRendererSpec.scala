@@ -65,7 +65,7 @@ class MacroRendererSpec extends AnyFunSuite {
       "SELECT sum(a) AS a_tot, sum(b) AS b_tot, sum(c) AS c_tot FROM t")
   }
 
-  test("{% for %} binds loop.index/index0/first/last/length") {
+  test("{% for %} binds loop.index/index0/revindex/revindex0/first/last/length") {
     val macros =
       """{% macro idx() %}{% for x in [10, 20] -%}
         |[{{ loop.index }}:{{ loop.index0 }}:{{ loop.first }}:{{ loop.last }}:{{ loop.length }}:{{ x }}]
@@ -73,6 +73,9 @@ class MacroRendererSpec extends AnyFunSuite {
         .stripMargin
     assert(MacroRenderer.render("{{ idx() }}", "" + macros) ==
       "[1:0:true:false:2:10][2:1:false:true:2:20]")
+    assert(MacroRenderer.render(
+      "{% for x in [7, 8, 9] %}{{ loop.revindex }}/{{ loop.revindex0 }};{% endfor %}",
+      "") == "3/2;2/1;1/0;")
   }
 
   test("{% if %} truthiness and comparisons over bound params") {
