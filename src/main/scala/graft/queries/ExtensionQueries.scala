@@ -237,6 +237,22 @@ object ExtensionQueries {
         .orderBy(col("comp_size"))
     }),
 
+    // The unified-model demonstration: the STREAMING operator
+    // (EventStreams.windowedCounts — the exact code runWindowedPipeline
+    // deploys behind a watermark) run over the batch table and oracled by
+    // DuckDB. Adapters at the edges only: ts casts NTZ→TIMESTAMP going in
+    // (the streaming watermark contract, DIALECT.md "Timestamps") and
+    // w_start casts back to NTZ coming out (the oracle contract) — both
+    // wall-clock-preserving under the pinned UTC session. Batch here +
+    // StreamBatchParitySpec's stream≡batch equality = the streaming path
+    // is transitively DuckDB-checked.
+    "q87_unified_windows" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedCounts(
+          t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp")),
+          watermark = "1 hour", windowLen = "1 day")
+        .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
+        .orderBy(col("w_start"), col("event_type"))),
+
     "q28_simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashNearDupPairs(
           t(s, dir, "documents").filter(col("doc_id") < 2000),
@@ -1188,6 +1204,12 @@ object ExtensionQueries {
     "q56_neardup_dedup" -> nearDupDedupOracleSql,
     "q85_lsh_cc" -> lshCcOracleSql,
     "q86_cached_pairs" -> cachedPairsOracleSql,
+    "q87_unified_windows" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
     "q65_seq_packing" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
