@@ -40,6 +40,15 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
   }
 
+  test("q87: the streaming operator's batch plan is a partial agg with " +
+      "one shuffle (unified model, no streaming overhead in batch)") {
+    val p = plan("q87_unified_windows")
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+    // exactly one hash exchange: the groupBy; the watermark is a no-op in
+    // batch and must not plant extra operators before the aggregate
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q6: rank filter pushes k into the sort (WindowGroupLimit)") {
     assert(plan("q6_window_topk").contains("WindowGroupLimit"))
   }
