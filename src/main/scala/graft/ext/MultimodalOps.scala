@@ -7,14 +7,23 @@ import org.apache.spark.sql.functions._
   * columns travelling next to typed metadata, with decode / feature-extract
   * as partition-local batch functions.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment): [[decodeStub]] derives deterministic fake features from the
-  * raw bytes. Everything around it — the schema contract, the typed
-  * `Dataset[MediaRecord]` boundary, the mapPartitions batching (one codec
-  * init per partition, not per row), and the feature schema — is the real
-  * production shape: swap `decodeStub` for a JNI/codec call and nothing else
-  * changes. On a real cluster the binary column stays columnar-compressed in
-  * parquet and is only materialized per-partition, never on the driver.
+  * Decode is REAL for the two formats a JVM can parse with plain byte
+  * arithmetic — PPM P6 ([[decodePpm]]) and uncompressed 24-bit BMP
+  * ([[decodeBmp]]), both from their public specs, dispatched by MIME —
+  * and STUBBED for codec-dependent formats (JPEG/audio/video need native
+  * libs this environment doesn't ship): [[decodeStub]] derives
+  * deterministic fake features from the raw bytes. Everything else — the
+  * schema contract, the typed `Dataset[MediaRecord]` boundary, the
+  * mapPartitions batching (one codec init per partition, not per row),
+  * and the feature schema — is the real production shape: swap the stub
+  * for a JNI/codec call and nothing else changes. On a real cluster the
+  * binary column stays columnar-compressed in parquet and is only
+  * materialized per-partition, never on the driver.
+  *
+  * A malformed payload of a claimed-image MIME decodes to a QUARANTINE
+  * row (width = height = −1, n_frames = 0, checksum of the raw bytes) —
+  * at 100 TB one corrupt blob must mark itself for triage, not kill the
+  * job.
   */
 object MultimodalOps {
 
@@ -54,6 +63,107 @@ object MultimodalOps {
       checksum = cs)
   }
 
+  // --- real decoders (pure byte arithmetic, no codec libraries) ----------
+
+  /** Pixel-checksum accumulator shared by both image decoders: row-major,
+    * top-down, R then G then B per pixel — so the SAME image stored as PPM
+    * and as BMP (bottom-up, BGR, padded rows) checksums identically, which
+    * is the cross-format differential property MultimodalOpsSpec pins.
+    */
+  private def pixelChecksum(rgbTopDown: Iterator[Int]): Long = {
+    var cs = 1125899906842597L
+    while (rgbTopDown.hasNext) cs = cs * 31 + (rgbTopDown.next() & 0xFF)
+    cs
+  }
+
+  private def quarantine(r: MediaRecord): MediaFeatures = {
+    var cs = 1125899906842597L
+    var i = 0
+    while (i < r.payload.length) { cs = cs * 31 + (r.payload(i) & 0xFF); i += 1 }
+    MediaFeatures(r.media_id, r.mime, r.n_bytes,
+      width = -1, height = -1, n_frames = 0, checksum = cs)
+  }
+
+  /** PPM P6 (netpbm spec): ASCII header `P6 <w> <h> <maxval>` with
+    * `#`-comments, one whitespace byte, then w×h binary RGB triples
+    * (maxval ≤ 255 → 1 byte/channel).
+    */
+  def decodePpm(r: MediaRecord): MediaFeatures = {
+    val p = r.payload
+    var i = 2 // past "P6"
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < p.length) {
+        val c = p(i).toChar
+        if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def int(): Long = {
+      skipWs()
+      var v = -1L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = math.max(0L, v) * 10 + (p(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    i += 1 // exactly one whitespace byte before the raster
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6' ||
+        w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+        w > (1 << 20) || h > (1 << 20) ||
+        p.length - i < w * h * 3) return quarantine(r)
+    val start = i
+    MediaFeatures(r.media_id, r.mime, r.n_bytes,
+      width = w.toInt, height = h.toInt, n_frames = 1,
+      checksum = pixelChecksum(
+        Iterator.range(0, (w * h * 3).toInt).map(k => p(start + k).toInt)))
+  }
+
+  /** Uncompressed 24-bit BMP (Windows BITMAPINFOHEADER): `BM`, pixel-array
+    * offset at byte 10, width/height (signed — negative height = top-down)
+    * at 18/22, bpp at 28, compression 0 at 30; rows are BGR, padded to 4
+    * bytes, stored bottom-up unless top-down. Normalized to the same
+    * top-down RGB checksum stream as [[decodePpm]].
+    */
+  def decodeBmp(r: MediaRecord): MediaFeatures = {
+    val p = r.payload
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def i32(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+      ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return quarantine(r)
+    val off = i32(10); val w = i32(18); val hRaw = i32(22)
+    val bpp = u16(28); val comp = i32(30)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw.toLong)
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+        bpp != 24 || comp != 0 || off < 54 ||
+        off.toLong + stride * h > p.length) return quarantine(r)
+    val rgb = for {
+      y <- Iterator.range(0, h.toInt)
+      row = if (topDown) y else h.toInt - 1 - y
+      x <- Iterator.range(0, w)
+      c <- Iterator(2, 1, 0) // stored BGR → emit RGB
+    } yield p(off + row * stride.toInt + x * 3 + c).toInt
+    MediaFeatures(r.media_id, r.mime, r.n_bytes,
+      width = w, height = h.toInt, n_frames = 1,
+      checksum = pixelChecksum(rgb))
+  }
+
+  /** MIME-dispatched decode. Dispatch is on the DECLARED type, never on
+    * magic-byte sniffing: a text document that happens to start with "P6"
+    * must keep its stub features (the q32/q51 oracles depend on it), and a
+    * mislabeled payload surfaces as a quarantine row rather than being
+    * silently decoded as the wrong thing.
+    */
+  def decode(r: MediaRecord): MediaFeatures = r.mime match {
+    case "image/x-portable-pixmap" => decodePpm(r)
+    case "image/bmp"               => decodeBmp(r)
+    case _                         => decodeStub(r)
+  }
+
   /** The batch feature-extraction pass: partition-local, codec initialized
     * once per partition (the `iter => ...` closure is where a real pipeline
     * opens its decoder), rows streamed — constant memory per partition.
@@ -61,8 +171,9 @@ object MultimodalOps {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { iter =>
-      // real pipeline: val codec = Codec.open() — once per partition
-      iter.map(decodeStub)
+      // real pipeline for codec formats: val codec = Codec.open() — once
+      // per partition; PPM/BMP need no init
+      iter.map(decode)
     }
   }
 

@@ -67,4 +67,90 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(2, "text/plain", 3, Array[Byte](1, 2, 4)))
     assert(r1.checksum != r2.checksum)
   }
+
+  // --- real image decode: cross-format differential -----------------------
+
+  /** Deterministic synthetic RGB image, row-major top-down. */
+  private def pixel(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 7 + y * 13) % 256, (x * 3 + y * 5 + 17) % 256, (x + y * 29 + 91) % 256)
+
+  private def ppmBytes(w: Int, h: Int): Array[Byte] = {
+    val hdr = s"P6\n# synthetic fixture\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixel(x, y)
+      val o = (y * w + x) * 3
+      px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+    }
+    hdr ++ px
+  }
+
+  /** 24-bit uncompressed BMP; bottomUp = the standard positive-height
+    * layout with 4-byte row padding, else the top-down negative-height
+    * variant.
+    */
+  private def bmpBytes(w: Int, h: Int, bottomUp: Boolean): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(if (bottomUp) h else -h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val y = if (bottomUp) h - 1 - row else row // stored-row → visual-row
+      for (x <- 0 until w) {
+        val (r, g, bl) = pixel(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+      }
+      for (_ <- w * 3 until stride) b.put(0.toByte)
+    }
+    b.array()
+  }
+
+  test("PPM and BMP decoders agree bit-for-bit on the same image, through " +
+      "the distributed extractFeatures pass") {
+    val (w, h) = (13, 7) // odd width → nonzero BMP row padding
+    val rows = Seq(
+      MultimodalOps.MediaRecord(1L, "image/x-portable-pixmap",
+        ppmBytes(w, h).length.toLong, ppmBytes(w, h)),
+      MultimodalOps.MediaRecord(2L, "image/bmp",
+        bmpBytes(w, h, bottomUp = true).length.toLong, bmpBytes(w, h, bottomUp = true)),
+      MultimodalOps.MediaRecord(3L, "image/bmp",
+        bmpBytes(w, h, bottomUp = false).length.toLong, bmpBytes(w, h, bottomUp = false)))
+    val out = MultimodalOps
+      .extractFeatures(spark, rows.toDF().repartition(3))
+      .collect().sortBy(_.media_id)
+    assert(out.forall(f => f.width == w && f.height == h && f.n_frames == 1))
+    // same pixels → same checksum, regardless of container format or row
+    // order (BMP bottom-up AND top-down must both normalize)
+    assert(out(0).checksum == out(1).checksum)
+    assert(out(0).checksum == out(2).checksum)
+  }
+
+  test("malformed image payloads quarantine instead of killing the job") {
+    val bad = Seq(
+      // truncated raster: header claims more pixels than the payload holds
+      MultimodalOps.MediaRecord(1L, "image/x-portable-pixmap", 20L,
+        "P6\n100 100\n255\nxx".getBytes("US-ASCII")),
+      // not a BMP at all
+      MultimodalOps.MediaRecord(2L, "image/bmp", 4L, Array[Byte](1, 2, 3, 4)),
+      // BMP with an unsupported bpp (8-bit) — header valid otherwise
+      MultimodalOps.MediaRecord(3L, "image/bmp", 60L, {
+        val a = bmpBytes(2, 2, bottomUp = true)
+        a(28) = 8; a
+      }))
+    val out = MultimodalOps.extractFeatures(spark, bad.toDF())
+      .collect().sortBy(_.media_id)
+    assert(out.forall(f => f.width == -1 && f.height == -1 && f.n_frames == 0))
+  }
+
+  test("MIME dispatch, not magic sniffing: text that starts with P6 keeps " +
+      "its stub features") {
+    val textPayload = "P6 is a pixmap magic number".getBytes("UTF-8")
+    val r = MultimodalOps.MediaRecord(1L, "text/plain",
+      textPayload.length.toLong, textPayload)
+    assert(MultimodalOps.decode(r) == MultimodalOps.decodeStub(r))
+  }
 }
