@@ -297,9 +297,22 @@ object MacroRenderer {
           }
           val body = trimBody(text.substring(m.end, endTok.start),
             m.group(4) == "-", endTok.group(1) == "-")
-          // the body is its own scope (inner sets don't leak), rendered
-          // with the CURRENT env in view
-          env = env + (m.group(3).trim -> JStr(renderTags(body, env)))
+          // The body is its own scope (inner sets don't leak), rendered
+          // with the CURRENT env in view — and FINISHED eagerly: with an
+          // empty env, renderTags' subst shortcut defers {{ 'lit'|f }} and
+          // bare-{{ name }} slots to render()'s final cleanup, but a
+          // BINDING must capture the rendered text NOW (a filter applied
+          // to the variable later would otherwise transform raw jinja
+          // text — caught by MacroRendererProps). With a nonempty env the
+          // two passes below are no-ops (subst already substituted).
+          // Macro CALLS inside a block body stay deferred to the
+          // expansion fixpoint, like every other call site.
+          val rendered = varPat.replaceAllIn(
+            filteredVarPat.replaceAllIn(renderTags(body, env), fm =>
+              java.util.regex.Matcher.quoteReplacement(
+                applyFilters(fm.group(1), fm.group(2), env))),
+            _ => "")
+          env = env + (m.group(3).trim -> JStr(rendered))
           trimNext = endTok.group(4) == "-"
           from = endTok.end
           rest = after

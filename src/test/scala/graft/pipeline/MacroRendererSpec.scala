@@ -249,6 +249,13 @@ class MacroRendererSpec extends AnyFunSuite {
     val e = intercept[GenericError](
       MacroRenderer.render("{% set x %}never closed", ""))
     assert(e.getMessage.contains("endset"))
+    // regression (found by MacroRendererProps): a block bound under an
+    // EMPTY env must capture the RENDERED body — a later filter on the
+    // variable operates on the value, never on raw jinja text
+    assert(MacroRenderer.render(
+      """{% set s %}xm{{ 'vqhs' | upper }}{% endset %}
+        |{% for x in [s] %}{{ x | replace('m', 'Z') }}{% endfor %}""".stripMargin,
+      "") == "xZVQHS")
   }
 
   test("{% for %} over range(): 1/2/3-arg, negative step, named errors") {
