@@ -152,6 +152,53 @@ object MultimodalOps {
       checksum = pixelChecksum(rgb))
   }
 
+  /** PCM WAV (RIFF spec): `RIFF….WAVE`, then even-aligned chunks; `fmt `
+    * must declare audioFormat 1 (PCM), `data` carries the samples. The
+    * image-shaped feature schema is reused with a documented mapping:
+    * width = channels, height = bits per sample, n_frames = sample frames
+    * (data bytes / block align), checksum over the PCM bytes.
+    */
+  def decodeWav(r: MediaRecord): MediaFeatures = {
+    val p = r.payload
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return quarantine(r)
+    var o = 12
+    var channels, bits, blockAlign = 0
+    var pcm = false
+    var dataLen = -1L
+    while (o + 8 <= p.length && (dataLen < 0 || !pcm)) {
+      val id = tag(o); val size = u32(o + 4)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= p.length) {
+        pcm = u16(o + 8) == 1
+        channels = u16(o + 10)
+        blockAlign = u16(o + 20)
+        bits = u16(o + 22)
+      } else if (id == "data") {
+        dataLen = math.min(size, (p.length - o - 8).toLong)
+      }
+      if (size > Int.MaxValue - 16) return quarantine(r)
+      o += 8 + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+    }
+    if (!pcm || channels <= 0 || bits <= 0 || blockAlign <= 0 || dataLen < 0)
+      return quarantine(r)
+    // checksum over the data chunk's PCM bytes (re-walk to find its start)
+    var dOff = 12
+    while (tag(dOff) != "data") {
+      val size = u32(dOff + 4)
+      dOff += 8 + size.toInt + (size.toInt & 1)
+    }
+    val start = dOff + 8
+    MediaFeatures(r.media_id, r.mime, r.n_bytes,
+      width = channels, height = bits,
+      n_frames = (dataLen / blockAlign).toInt,
+      checksum = pixelChecksum(
+        Iterator.range(0, dataLen.toInt).map(k => p(start + k).toInt)))
+  }
+
   /** MIME-dispatched decode. Dispatch is on the DECLARED type, never on
     * magic-byte sniffing: a text document that happens to start with "P6"
     * must keep its stub features (the q32/q51 oracles depend on it), and a
@@ -159,9 +206,57 @@ object MultimodalOps {
     * silently decoded as the wrong thing.
     */
   def decode(r: MediaRecord): MediaFeatures = r.mime match {
-    case "image/x-portable-pixmap" => decodePpm(r)
-    case "image/bmp"               => decodeBmp(r)
-    case _                         => decodeStub(r)
+    case "image/x-portable-pixmap"      => decodePpm(r)
+    case "image/bmp"                    => decodeBmp(r)
+    case "audio/wav" | "audio/x-wav"    => decodeWav(r)
+    case _                              => decodeStub(r)
+  }
+
+  /** Gzip ingest: inflate `<inner>+gzip` payloads partition-locally (JDK
+    * Inflater via GZIPInputStream — no external codec), pass every other
+    * record through untouched. The MIME convention carries the inner type
+    * (`text/plain+gzip` → `text/plain`; bare `application/gzip` →
+    * `application/octet-stream`). A corrupt stream quarantines as
+    * `application/x-corrupt-gzip` with the ORIGINAL payload kept for
+    * triage, and inflation is capped (default 1 GiB) so a zip bomb marks
+    * itself instead of OOMing the executor. This is the WARC/web-corpus
+    * ingest shape: decompress once, keep the corpus columnar after.
+    */
+  def decompressPayloads(spark: SparkSession, media: DataFrame,
+                         maxBytes: Long = 1L << 30): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.map { r =>
+        val isGz = r.mime == "application/gzip" || r.mime.endsWith("+gzip")
+        if (!isGz) r
+        else try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val out = new java.io.ByteArrayOutputStream(
+            math.min(r.payload.length.toLong * 4, 1L << 20).toInt)
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          var total = 0L
+          while (n >= 0 && total <= maxBytes) {
+            out.write(buf, 0, n); total += n; n = in.read(buf)
+          }
+          if (total > maxBytes)
+            MediaRecord(r.media_id, "application/x-corrupt-gzip",
+              r.n_bytes, r.payload)
+          else {
+            val inner =
+              if (r.mime == "application/gzip") "application/octet-stream"
+              else r.mime.stripSuffix("+gzip")
+            val bytes = out.toByteArray
+            MediaRecord(r.media_id, inner, bytes.length.toLong, bytes)
+          }
+        } catch {
+          case _: java.io.IOException =>
+            MediaRecord(r.media_id, "application/x-corrupt-gzip",
+              r.n_bytes, r.payload)
+        }
+      }
+    }
   }
 
   /** The batch feature-extraction pass: partition-local, codec initialized

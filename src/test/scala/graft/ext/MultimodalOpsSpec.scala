@@ -153,4 +153,74 @@ class MultimodalOpsSpec extends AnyFunSuite {
       textPayload.length.toLong, textPayload)
     assert(MultimodalOps.decode(r) == MultimodalOps.decodeStub(r))
   }
+
+  /** Minimal PCM WAV: RIFF/WAVE + fmt (PCM) + an extra LIST chunk with an
+    * ODD size (exercises the even-padding rule) + data.
+    */
+  private def wavBytes(channels: Int, bits: Int, nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val data = Array.tabulate(nFrames * blockAlign)(i => ((i * 37) % 251).toByte)
+    val odd = Array[Byte]('x', 'y', 'z') // 3-byte chunk → 1 pad byte
+    val size = 4 + (8 + 16) + (8 + odd.length + 1) + (8 + data.length)
+    val b = java.nio.ByteBuffer.allocate(8 + size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(size)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(8000).putInt(8000 * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    b.put("LIST".getBytes("US-ASCII")).putInt(odd.length).put(odd)
+      .put(0.toByte) // RIFF even padding
+    b.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    b.array()
+  }
+
+  test("decodeWav parses PCM WAV with odd-sized chunks; non-PCM quarantines") {
+    val p = wavBytes(channels = 2, bits = 16, nFrames = 50)
+    val f = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(1L, "audio/wav", p.length.toLong, p))
+    assert(f.width == 2)      // channels
+    assert(f.height == 16)    // bits per sample
+    assert(f.n_frames == 50)  // sample frames
+    // same samples, different container junk ahead → same checksum path
+    val f2 = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(2L, "audio/x-wav", p.length.toLong, p))
+    assert(f.checksum == f2.checksum)
+    // audioFormat != 1 (e.g. float PCM) is not parseable here → quarantine
+    val nonPcm = p.clone(); nonPcm(20) = 3
+    val q = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(3L, "audio/wav", nonPcm.length.toLong, nonPcm))
+    assert(q.width == -1 && q.n_frames == 0)
+  }
+
+  test("decompressPayloads inflates +gzip records, passes others through, " +
+      "quarantines corrupt streams") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bo.toByteArray
+    }
+    val text = "the quick brown fox " * 50
+    val gzBytes = gz(text)
+    val corrupt = gzBytes.take(gzBytes.length - 4) ++ Array[Byte](0, 0, 0, 0)
+    val plain = "already plain".getBytes("UTF-8")
+    val rows = Seq(
+      MultimodalOps.MediaRecord(1L, "text/plain+gzip", gzBytes.length.toLong, gzBytes),
+      MultimodalOps.MediaRecord(2L, "application/gzip", gzBytes.length.toLong, gzBytes),
+      MultimodalOps.MediaRecord(3L, "text/plain", plain.length.toLong, plain),
+      MultimodalOps.MediaRecord(4L, "text/plain+gzip", corrupt.length.toLong, corrupt))
+    val out = MultimodalOps.decompressPayloads(spark, rows.toDF())
+      .collect().sortBy(_.media_id)
+    assert(out(0).mime == "text/plain" &&
+      new String(out(0).payload, "UTF-8") == text &&
+      out(0).n_bytes == text.getBytes("UTF-8").length)
+    assert(out(1).mime == "application/octet-stream" &&
+      new String(out(1).payload, "UTF-8") == text)
+    assert(out(2).mime == "text/plain" && (out(2).payload sameElements plain))
+    // corrupt: marked, original payload kept for triage
+    assert(out(3).mime == "application/x-corrupt-gzip" &&
+      (out(3).payload sameElements corrupt))
+  }
 }
