@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns travelling next to typed metadata, with decode / feature-extract
   * as partition-local batch functions.
   *
-  * Decode is REAL for the two formats a JVM can parse with plain byte
-  * arithmetic — PPM P6 ([[decodePpm]]) and uncompressed 24-bit BMP
-  * ([[decodeBmp]]), both from their public specs, dispatched by MIME —
-  * and STUBBED for codec-dependent formats (JPEG/audio/video need native
-  * libs this environment doesn't ship): [[decodeStub]] derives
-  * deterministic fake features from the raw bytes. Everything else — the
+  * Decode is REAL for the formats a bare JVM can handle: PPM P6
+  * ([[decodePpm]]), uncompressed 24-bit BMP ([[decodeBmp]]) and PCM WAV
+  * ([[decodeWav]]) parsed from their public specs with plain byte
+  * arithmetic, and JPEG/PNG/GIF through the JDK's own `javax.imageio`
+  * readers ([[decodeImageIo]]) — all dispatched by MIME. Formats beyond
+  * that (video, compressed audio) need native libs this environment
+  * doesn't ship and are STUBBED: [[decodeStub]] derives deterministic
+  * fake features from the raw bytes. Everything else — the
   * schema contract, the typed `Dataset[MediaRecord]` boundary, the
   * mapPartitions batching (one codec init per partition, not per row),
   * and the feature schema — is the real production shape: swap the stub
@@ -166,37 +168,79 @@ object MultimodalOps {
       new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
       return quarantine(r)
-    var o = 12
+    // chunk offsets walk in Long: a declared size near 2^31 would wrap an
+    // Int offset negative and crash the index instead of quarantining
+    var o = 12L
     var channels, bits, blockAlign = 0
     var pcm = false
     var dataLen = -1L
+    var dataOff = -1L // recorded on FIRST sighting — a second `data`
+                      // chunk must not mix its size with this one's bytes
     while (o + 8 <= p.length && (dataLen < 0 || !pcm)) {
-      val id = tag(o); val size = u32(o + 4)
-      if (id == "fmt " && size >= 16 && o + 8 + 16 <= p.length) {
-        pcm = u16(o + 8) == 1
-        channels = u16(o + 10)
-        blockAlign = u16(o + 20)
-        bits = u16(o + 22)
-      } else if (id == "data") {
-        dataLen = math.min(size, (p.length - o - 8).toLong)
+      val oi = o.toInt // safe: o + 8 <= p.length <= Int.MaxValue
+      val id = tag(oi); val size = u32(oi + 4)
+      if (id == "fmt " && size >= 16 && o + 24 <= p.length) {
+        pcm = u16(oi + 8) == 1
+        channels = u16(oi + 10)
+        blockAlign = u16(oi + 20)
+        bits = u16(oi + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = o + 8
+        dataLen = math.min(size, p.length - o - 8)
       }
-      if (size > Int.MaxValue - 16) return quarantine(r)
-      o += 8 + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+      o += 8 + size + (size & 1) // RIFF chunks pad to even
     }
-    if (!pcm || channels <= 0 || bits <= 0 || blockAlign <= 0 || dataLen < 0)
+    if (!pcm || channels <= 0 || bits <= 0 || blockAlign <= 0 ||
+        dataLen < 0 || dataOff < 0)
       return quarantine(r)
-    // checksum over the data chunk's PCM bytes (re-walk to find its start)
-    var dOff = 12
-    while (tag(dOff) != "data") {
-      val size = u32(dOff + 4)
-      dOff += 8 + size.toInt + (size.toInt & 1)
-    }
-    val start = dOff + 8
+    val start = dataOff.toInt // dataOff + dataLen <= p.length by the min
     MediaFeatures(r.media_id, r.mime, r.n_bytes,
       width = channels, height = bits,
       n_frames = (dataLen / blockAlign).toInt,
       checksum = pixelChecksum(
         Iterator.range(0, dataLen.toInt).map(k => p(start + k).toInt)))
+  }
+
+  /** JPEG/PNG/GIF via `javax.imageio` — the JDK's built-in readers, zero
+    * external deps (VERDICT r8 #2). Emits the same feature mapping as the
+    * hand-written image decoders: width/height from the decoded raster,
+    * `n_frames` from the container's image count (animated GIF > 1), and
+    * the checksum over the SAME top-down row-major RGB stream as
+    * [[decodePpm]]/[[decodeBmp]] — so a lossless round-trip of one image
+    * through PNG and BMP checksums identically across the two decode
+    * paths (the differential property MultimodalOpsSpec pins). Any
+    * malformed/truncated payload, or one no reader claims, quarantines.
+    */
+  def decodeImageIo(r: MediaRecord): MediaFeatures = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return quarantine(r)
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n = try math.max(reader.getNumImages(true), 1)
+                catch { case _: java.io.IOException => 1 }
+        val img = reader.read(0)
+        if (img == null) return quarantine(r)
+        val w = img.getWidth; val h = img.getHeight
+        val rgb = for {
+          y <- Iterator.range(0, h)
+          x <- Iterator.range(0, w)
+          argb = img.getRGB(x, y)
+          c <- Iterator((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+        } yield c
+        MediaFeatures(r.media_id, r.mime, r.n_bytes,
+          width = w, height = h, n_frames = n,
+          checksum = pixelChecksum(rgb))
+      } finally reader.dispose()
+    } catch {
+      // ImageIO surfaces corrupt input as IOException or unchecked
+      // (IllegalArgument/ArrayIndex/NegativeArraySize on hostile headers)
+      case _: java.io.IOException  => quarantine(r)
+      case _: RuntimeException     => quarantine(r)
+    } finally if (iis != null) iis.close()
   }
 
   /** MIME-dispatched decode. Dispatch is on the DECLARED type, never on
@@ -208,6 +252,7 @@ object MultimodalOps {
   def decode(r: MediaRecord): MediaFeatures = r.mime match {
     case "image/x-portable-pixmap"      => decodePpm(r)
     case "image/bmp"                    => decodeBmp(r)
+    case "image/jpeg" | "image/png" | "image/gif" => decodeImageIo(r)
     case "audio/wav" | "audio/x-wav"    => decodeWav(r)
     case _                              => decodeStub(r)
   }

@@ -194,6 +194,127 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(q.width == -1 && q.n_frames == 0)
   }
 
+  // --- ImageIO formats (JPEG/PNG/GIF) --------------------------------------
+
+  private def syntheticImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixel(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage,
+                     fmt: String): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bo), s"no $fmt writer")
+    bo.toByteArray
+  }
+
+  test("PNG (ImageIO) and BMP (hand parser) decode the same image to the " +
+      "same checksum — the cross-decoder differential") {
+    val (w, h) = (13, 7)
+    val png = encode(syntheticImage(w, h), "png") // PNG is lossless
+    val fp = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(1L, "image/png", png.length.toLong, png))
+    val bmp = bmpBytes(w, h, bottomUp = true)
+    val fb = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(2L, "image/bmp", bmp.length.toLong, bmp))
+    assert(fp.width == w && fp.height == h && fp.n_frames == 1)
+    assert(fp.checksum == fb.checksum,
+      "ImageIO path must emit the same top-down RGB checksum stream")
+  }
+
+  test("GIF decodes losslessly for a palette image and agrees with PNG") {
+    // two-color palette → the GIF writer cannot quantize lossily
+    val (w, h) = (9, 5)
+    val cmap = Array(0xFF000000, 0xFFFFFFFF)
+    val icm = new java.awt.image.IndexColorModel(
+      1, 2, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val gifImg = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    val rgbImg = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val on = (x + y) % 2 == 0
+      gifImg.setRGB(x, y, if (on) 0xFFFFFF else 0x000000)
+      rgbImg.setRGB(x, y, if (on) 0xFFFFFF else 0x000000)
+    }
+    val gif = encode(gifImg, "gif")
+    val png = encode(rgbImg, "png")
+    val fg = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(1L, "image/gif", gif.length.toLong, gif))
+    val fp = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(2L, "image/png", png.length.toLong, png))
+    assert(fg.width == w && fg.height == h && fg.n_frames == 1)
+    assert(fg.checksum == fp.checksum)
+  }
+
+  test("JPEG decodes real dimensions; truncated payloads quarantine") {
+    val (w, h) = (32, 24)
+    val jpg = encode(syntheticImage(w, h), "jpg")
+    val f = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(1L, "image/jpeg", jpg.length.toLong, jpg))
+    assert(f.width == w && f.height == h && f.n_frames == 1)
+    // lossy, so no cross-format pixel equality — but decode is
+    // deterministic for fixed bytes
+    val f2 = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(9L, "image/jpeg", jpg.length.toLong, jpg))
+    assert(f.checksum == f2.checksum)
+    for ((mime, bytes) <- Seq(
+        "image/jpeg" -> jpg.take(jpg.length / 2),       // truncated stream
+        "image/png"  -> "not a png at all".getBytes("UTF-8"),
+        "image/gif"  -> Array[Byte](1, 2, 3))) {
+      val q = MultimodalOps.decode(
+        MultimodalOps.MediaRecord(3L, mime, bytes.length.toLong, bytes))
+      assert(q.width == -1 && q.height == -1 && q.n_frames == 0,
+        s"$mime with malformed bytes must quarantine")
+    }
+  }
+
+  test("WAV chunk walk survives a near-2^31 declared chunk size " +
+      "(quarantines, no index crash)") {
+    // RIFF/WAVE then one chunk declaring ~Int.MaxValue bytes: an Int
+    // offset walk wraps negative and crashes; the Long walk must exit
+    // and quarantine (fmt/data never found)
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("JUNK".getBytes("US-ASCII")).putInt(0x7FFFFFF8)
+    val p = b.array()
+    val q = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(1L, "audio/wav", p.length.toLong, p))
+    assert(q.width == -1 && q.n_frames == 0)
+  }
+
+  test("WAV with two data chunks and a late fmt uses the FIRST data chunk " +
+      "for both size and bytes") {
+    val d1 = Array.tabulate(40)(i => (i % 100).toByte)         // 10 frames
+    val d2 = Array.tabulate(80)(i => ((i * 3) % 100).toByte)   // different
+    val size = 4 + (8 + d1.length) + (8 + 16) + (8 + d2.length)
+    val b = java.nio.ByteBuffer.allocate(8 + size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(size)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("data".getBytes("US-ASCII")).putInt(d1.length).put(d1)
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4)
+      .putShort(4).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(d2.length).put(d2)
+    val p = b.array()
+    val f = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(1L, "audio/wav", p.length.toLong, p))
+    assert(f.width == 2 && f.height == 16)
+    assert(f.n_frames == 10, "frame count must come from the FIRST data chunk")
+    // checksum over d1's bytes exactly: rebuild the expected stream
+    var cs = 1125899906842597L
+    d1.foreach(x => cs = cs * 31 + (x & 0xFF))
+    assert(f.checksum == cs)
+  }
+
   test("decompressPayloads inflates +gzip records, passes others through, " +
       "quarantines corrupt streams") {
     def gz(s: String): Array[Byte] = {
