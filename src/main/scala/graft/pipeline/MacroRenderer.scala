@@ -421,7 +421,11 @@ object MacroRenderer {
   private def evalRange(argsText: String, env: Map[String, JVal]): Seq[String] = {
     def num(a: String): Long = evalAtom(a.trim, env) match {
       case Some(JStr(s)) if numRe.findFirstIn(s).isDefined && !s.contains('.') =>
-        s.toLong
+        // beyond-Long integers (e.g. range(99999999999999999999)) must
+        // fail as the named error, not a raw NumberFormatException
+        try s.toLong
+        catch { case _: NumberFormatException =>
+          unsupportedJinja(s"range bound `$s` exceeds integer range") }
       case Some(JStr(s)) => unsupportedJinja(s"range bound `$s` is not an integer")
       case Some(JList(_)) => unsupportedJinja("range bound is a list")
       case None => unsupportedJinja(s"range bound `${a.trim}` is undefined")
@@ -434,7 +438,14 @@ object MacroRenderer {
       case _ => unsupportedJinja("range takes 1-3 integer arguments")
     }
     if (step == 0) unsupportedJinja("range step must not be 0")
-    val count = math.max(0L, (hi - lo + step + (if (step > 0) -1 else 1)) / step)
+    // exact arithmetic: extreme bounds (e.g. range(-2^62, 2^62)) overflow
+    // the count formula and would yield a WRONG (possibly empty) range
+    // instead of the named runaway error
+    val count = try math.max(0L, Math.addExact(
+        Math.addExact(Math.subtractExact(hi, lo), step),
+        if (step > 0) -1L else 1L) / step)
+      catch { case _: ArithmeticException =>
+        unsupportedJinja("range bounds overflow — template runaway?") }
     if (count > 100000)
       unsupportedJinja(s"range of $count items — template runaway?")
     Iterator.iterate(lo)(_ + step).take(count.toInt).map(_.toString).toSeq

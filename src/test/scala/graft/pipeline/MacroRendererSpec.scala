@@ -278,4 +278,22 @@ class MacroRendererSpec extends AnyFunSuite {
       "{% for i in range(zz) %}x{% endfor %}", ""))
     assert(e2.getMessage.contains("undefined"))
   }
+
+  test("range() extreme bounds fail as the NAMED error, never a raw " +
+      "NumberFormatException or a silently-wrong range") {
+    // integer beyond Long range: named error, not NumberFormatException
+    val e1 = intercept[GenericError](MacroRenderer.render(
+      "{% for i in range(99999999999999999999) %}x{% endfor %}", ""))
+    assert(e1.getMessage.contains("integer range"))
+    // hi - lo overflows Long: the count formula must not wrap into a
+    // small (or empty) range — named runaway error instead
+    val e2 = intercept[GenericError](MacroRenderer.render(
+      s"{% for i in range(${Long.MinValue / 2}, ${Long.MaxValue / 2 + 10}) %}x{% endfor %}",
+      ""))
+    assert(e2.getMessage.contains("runaway"))
+    // still-huge but non-overflowing count keeps the existing named error
+    val e3 = intercept[GenericError](MacroRenderer.render(
+      "{% for i in range(10000000) %}x{% endfor %}", ""))
+    assert(e3.getMessage.contains("runaway"))
+  }
 }
