@@ -463,7 +463,9 @@ object DedupOps {
     * O(component diameter) rounds — near-dup clusters are shallow, so
     * this is 2-3 rounds in practice. Each round is one shuffle join on
     * vertex id plus a partial-min aggregate; labels are (id, comp) pairs
-    * only, never payloads. The driver loop checks a single scalar
+    * only, never payloads, and only last round's CHANGED vertices (the
+    * frontier) push messages — after round 1 the join's label side is the
+    * still-active residue, not the whole graph. The driver loop checks a single scalar
     * (#changed) per round — no data collects. Lineage is truncated every
     * round (GraphFrames does the same): by default with an eager
     * localCheckpoint (executor-memory, zero I/O); `durable = true` swaps
@@ -499,11 +501,20 @@ object DedupOps {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = cut(vertices.select(col(idCol).as("id"))
       .distinct().withColumn("comp", col("id")))
+    // Frontier delta (VERDICT r8 #4): only vertices whose label CHANGED
+    // last round push to their neighbors. A vertex whose label held has
+    // already delivered it (labels only decrease, least() is idempotent,
+    // so re-delivery is a no-op) — per-round labels are bit-identical to
+    // the re-join-everything form, but the edges-side join shrinks with
+    // the frontier instead of staying O(E) while the long tail of
+    // already-converged components idles. Round 1 seeds the frontier
+    // with every vertex (each initial label must be announced once).
+    var frontier = labels
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxIter) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(frontier.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
       val next = cut(labels.join(neighborMin, Seq("id"), "left")
@@ -511,6 +522,7 @@ object DedupOps {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp") < col("comp")).as("ch")))
       changed = next.filter(col("ch")).count()
+      frontier = next.filter(col("ch")).select(col("id"), col("comp"))
       labels = next.select(col("id"), col("comp"))
       round += 1
     }

@@ -108,6 +108,13 @@ object ScaleCurve {
         DedupOps.connectedComponents(
           docs(spark, dirs(n)).select(col("doc_id")), "doc_id",
           spark.read.parquet(ccPairsPath(n)))),
+      // q85's registered chain end-to-end: Σ(bucket²)-bounded LSH pair
+      // generation feeding frontier-delta CC over the FULL doc table
+      "q85_lsh_cc" -> { n =>
+        val d = docs(spark, dirs(n))
+        DedupOps.connectedComponents(
+          d.select(col("doc_id")), "doc_id", minhashPairs(d))
+      },
       "q56_neardup_dedup" -> { n =>
         val d = docs(spark, dirs(n))
         DedupOps.clusterDedup(d, "doc_id", minhashPairs(d))

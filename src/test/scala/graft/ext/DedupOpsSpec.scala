@@ -126,6 +126,38 @@ class DedupOpsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents frontier delta matches union-find on a " +
+      "multi-round graph (long chain + random components)") {
+    import spark.implicits._
+    // a 12-chain forces ~11 frontier rounds (min label walks one hop per
+    // round), so converged components idle while the chain is active —
+    // exactly the case the frontier optimization changes; labels must not
+    val rnd = new scala.util.Random(42)
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val randomEdges = Seq.fill(60)(
+      (rnd.nextInt(40) + 20L, rnd.nextInt(40) + 20L)).filter(e => e._1 != e._2)
+    val edges = chain ++ randomEdges
+    val n = 60L
+    val vertices = (1L to n).toDF("doc_id")
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: driver-side union-find with min-id canonical labels
+    val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (1L to n).map(i => i -> find(i)).toMap
+    assert(got == want)
+  }
+
   test("connectedComponents durable mode checkpoints to reliable storage") {
     import spark.implicits._
     val vertices = (1L to 5L).toDF("doc_id")
