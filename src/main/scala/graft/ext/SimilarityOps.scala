@@ -171,22 +171,17 @@ object SimilarityOps {
     } finally unit.unpersist()
   }
 
-  /** Nearest-centroid id (argmax of native dot products against literal
-    * centroids) as a single codegen'd column — ties break to the lowest
-    * cell id via coalesce order.
+  /** Nearest-centroid id (argmax of dot products, ties to the lowest cell
+    * id; null vector/element → null cell) — the fused
+    * [[org.apache.spark.sql.graft.NearestCell]] kernel. The
+    * greatest+coalesce(when(dot===greatest)) tree it replaces re-inlined
+    * every dot loop per branch (no CSE across when conditions), blowing
+    * the generated method past the JIT limit as soon as the expression
+    * landed in a join stage — the scoring join ran INTERPRETED, 29× slower
+    * (measured: 11.6 s → 0.4 s on the 10× IVF scoring join).
     */
-  def cellOf(embUnit: Column, centroids: Array[Array[Double]]): Column = {
-    val sims = centroids.map(c =>
-      VectorFunctions.dotProduct(embUnit, typedLit(c.toSeq))).toSeq
-    // a null unit vector gets a null cell in BOTH arms (the multi-centroid
-    // coalesce-of-whens is null for null sims already)
-    if (sims.size == 1) when(sims.head.isNotNull, lit(0))
-    else {
-      val best = greatest(sims: _*)
-      coalesce(sims.zipWithIndex.map { case (s, i) =>
-        when(s === best, lit(i)) }: _*)
-    }
-  }
+  def cellOf(embUnit: Column, centroids: Array[Array[Double]]): Column =
+    VectorFunctions.nearestCell(embUnit, centroids.map(_.toSeq).toSeq)
 
   /** Random-hyperplane LSH ANN (the bucketed alternative to [[ivfTopK]]):
     * signature bit i = sign(dot(v, plane_i)) over nBands×bitsPerBand fixed
@@ -375,15 +370,13 @@ object SimilarityOps {
     spark.read.parquet(path).orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
 
-  /** [[ivfTopK]] with a prebuilt quantizer (from [[fitCentroids]] or
-    * [[loadCentroids]]) — the steady-state query path: zero fit jobs.
+  /** The shared IVF front half: each probe's nprobe nearest centroids by
+    * ranked dot product, carrying the probe's unit vector.
     */
-  def ivfTopKWithCentroids(probes: DataFrame, candidates: DataFrame,
-                           cents: Array[Array[Double]], k: Int,
+  private def probeCellsOf(probes: DataFrame, cents: Array[Array[Double]],
                            nprobe: Int): DataFrame = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
-
-    val probeCells = withUnitVec(probes, "embedding", "probe_unit")
+    withUnitVec(probes, "embedding", "probe_unit")
       .select(col("vec_id").as("probe_id"), col("probe_unit"))
       .select(col("probe_id"), col("probe_unit"),
         posexplode(centLit).as(Seq("cell", "centroid")))
@@ -393,7 +386,22 @@ object SimilarityOps {
           .orderBy(col("csim").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
       .select(col("probe_id"), col("probe_unit"), col("cell"))
+  }
 
+  /** [[ivfTopK]] with a prebuilt quantizer (from [[fitCentroids]] or
+    * [[loadCentroids]]) — the steady-state query path: zero fit jobs,
+    * single-stage exact scoring. The r9 controlled A/B (tools/IvfAb;
+    * SCALING.md "r9: the scoring join was running interpreted") kept this
+    * form as the default over the two-stage int8 variant below: once the
+    * cell-assignment kernel was fused ([[cellOf]]), the exact scoring
+    * join compiles and the measured bottleneck vanished (13.9 s → 0.35 s
+    * on the 10× corpus); the int8 coarse pass saved less than its extra
+    * window + second scan cost at every probe volume measured.
+    */
+  def ivfTopKWithCentroids(probes: DataFrame, candidates: DataFrame,
+                           cents: Array[Array[Double]], k: Int,
+                           nprobe: Int): DataFrame = {
+    val probeCells = probeCellsOf(probes, cents, nprobe)
     val cands = withUnitVec(candidates, "embedding", "cand_emb")
       .select(cellOf(col("cand_emb"), cents).as("cell"),
         col("vec_id").as("cand_id"), col("cand_emb"))
@@ -401,5 +409,74 @@ object SimilarityOps {
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
     topKPerGroup(scored, "probe_id", "cand_id", k)
+  }
+
+  /** TWO-STAGE int8 scoring variant of [[ivfTopKWithCentroids]] — same
+    * output, PROVABLY, on any input:
+    *
+    *  1. Every cell-collision pair scores on int8-quantized unit vectors
+    *     (fixed scale 127, [[VectorFunctions.int8UnitQuantize]]): integer
+    *     multiply-adds over 1/8th the bytes.
+    *  2. Only SURVIVORS re-score exactly (double dot) in a map-only
+    *     second candidate pass (both join sides broadcast), then rank.
+    *
+    * Survivors are not a fixed top-k′: the int8 dot error is bounded —
+    * |q_a·q_b − 127²·(a·b)| ≤ 127·(‖a‖₁+‖b‖₁)/2 + n/4 ≤ 127·√n + n/4
+    * for unit vectors — and every pair within TWICE that bound of the
+    * per-probe k-th coarse score is kept: any true top-k member x has
+    * coarse(x) ≥ kth_coarse − 2E (its exact score ≥ some coarse-top-k
+    * member's; each conversion costs ≤ E), so it survives and the exact
+    * stage reproduces the single-stage result bit-identically, boundary
+    * ties included. Clustered scores degrade gracefully toward scoring
+    * everything exactly, never toward a different answer.
+    *
+    * When to use it: the coarse pass trades an extra window pass and a
+    * second (map-only) candidate scan for 8× less pairwise memory
+    * traffic. At dim 64 on the local A/B it LOSES (0.35 s vs 0.76 s at
+    * 600k pairs; 2.2 s vs 3.6 s at 12M — tools/IvfAb), so the default
+    * path stays single-stage; it pays where the scoring join is genuinely
+    * bandwidth-bound — high dim (≥ 512), pairs ≫ corpus — which is a
+    * deployment-time measurement, not a guess this library should bake in.
+    */
+  def ivfTopKWithCentroidsInt8(probes: DataFrame, candidates: DataFrame,
+                               cents: Array[Array[Double]], k: Int,
+                               nprobe: Int): DataFrame = {
+    val dim = cents.head.length
+    // 2E with +1 slack for the fp evaluation of the bound itself
+    val margin = 2L * (127.0 * math.sqrt(dim) + dim / 4.0 + 1.0).ceil.toLong
+
+    val probeCells = probeCellsOf(probes, cents, nprobe)
+      .select(col("probe_id"),
+        VectorFunctions.int8UnitQuantize(col("probe_unit")).as("probe_q"),
+        col("cell"))
+    val cands = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(cellOf(col("cand_emb"), cents).as("cell"),
+        col("vec_id").as("cand_id"),
+        VectorFunctions.int8UnitQuantize(col("cand_emb")).as("cand_q"))
+    val coarse = cands.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        VectorFunctions.int8Dot(col("probe_q"), col("cand_q")).as("isim"))
+    val wSorted = Window.partitionBy(col("probe_id"))
+      .orderBy(col("isim").desc, col("cand_id"))
+    val wAll = Window.partitionBy(col("probe_id"))
+    val survivors = coarse
+      .withColumn("rk", row_number().over(wSorted))
+      .withColumn("kth", max(when(col("rk") === k, col("isim"))).over(wAll))
+      // kth null ⇒ fewer than k candidates ⇒ keep all
+      .filter(col("kth").isNull || col("isim") >= col("kth") - lit(margin))
+      .select(col("probe_id"), col("cand_id"))
+
+    // exact re-rank: survivors and probe vectors are |probes|·O(k)-sized,
+    // so both joins broadcast — a map-only second pass over the
+    // candidate table, no shuffle of the big side
+    val candVecs = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"))
+    val probeVecs = withUnitVec(probes, "embedding", "probe_unit")
+      .select(col("vec_id").as("probe_id"), col("probe_unit"))
+    val exact = candVecs.join(broadcast(survivors), Seq("cand_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
+    topKPerGroup(exact, "probe_id", "cand_id", k)
   }
 }

@@ -623,6 +623,179 @@ case class BandSignatures(child: Expression, planes: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment fused into one kernel: argmax over
+  * `cents` of dot(v, cent_i), ties to the LOWEST cell id — bit-identical
+  * to the greatest+coalesce(when) expression tree it replaces, which
+  * could not survive codegen at realistic cell counts: without common
+  * subexpression elimination each `when(dot_i = greatest(dot_1..dot_n))`
+  * branch re-inlined every dot loop (~n² unrolled loops), blowing the
+  * generated join-stage method past the JVM's JIT limit and de-compiling
+  * the whole stage — measured 11.6 s vs 0.4 s on the 10× IVF scoring
+  * join (the BandSignatures lesson, second instance). The centroids live
+  * in ONE referenced object; the compiled loop is ~n·dim multiply-adds.
+  * Min-length semantics per cell like [[DotProduct]]; a null input or
+  * null element yields a null cell.
+  */
+case class NearestCell(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cell"
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  @transient private lazy val checkNulls =
+    KernelNulls.mayHoldNullElements(child)
+
+  def compute(a: ArrayData): Any = {
+    var best = 0.0
+    var bestCell = -1
+    var c = 0
+    while (c < centArr.length) {
+      val p = centArr(c)
+      val n = math.min(a.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (checkNulls && a.isNullAt(i)) return null
+        s += a.getDouble(i) * p(i); i += 1
+      }
+      if (bestCell < 0 || s > best) { best = s; bestCell = c }
+      c += 1
+    }
+    if (bestCell < 0) null else bestCell
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCell", this,
+      classOf[NearestCell].getName)
+    val tmp = ctx.freshName("tmp")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |Object $tmp = $ref.compute($a);
+       |if ($tmp == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ((java.lang.Integer) $tmp).intValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+/** Int8 quantization of a UNIT vector (components in [−1, 1]) at the
+  * fixed scale 127: q_i = floor(x_i·127 + 0.5), clamped to ±127 — the
+  * same explicit half-up rounding as [[Int8QuantStats]]. The fixed scale
+  * is what makes the two-stage ANN rescoring cheap: no per-vector scale
+  * column travels with the bytes, and the coarse similarity of two unit
+  * vectors is just int8_dot/(127·127). 8× smaller join payload than the
+  * double array it stands in for.
+  */
+case class Int8UnitQuantize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_unit_quantize"
+
+  @transient private lazy val checkNulls =
+    KernelNulls.mayHoldNullElements(child)
+
+  def compute(a: ArrayData): Any = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (checkNulls && a.isNullAt(i)) return null
+      val v = math.floor(a.getDouble(i) * 127.0 + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, v)).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("i8quant", this,
+      classOf[Int8UnitQuantize].getName)
+    val tmp = ctx.freshName("tmp")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |Object $tmp = $ref.compute($a);
+       |if ($tmp == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8UnitQuantize =
+    copy(child = newChild)
+}
+
+/** Integer dot product over two array<tinyint> quantized vectors — the
+  * coarse-scoring kernel of the two-stage ANN path. Accumulates in long
+  * (no overflow at any realistic dimension), min-length semantics like
+  * [[DotProduct]]. The loop is pure int multiply-add over unboxed bytes:
+  * no FP pipeline, 1/8th the memory traffic of the double kernel.
+  */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_dot"
+
+  @transient private lazy val checkNulls =
+    KernelNulls.mayHoldNullElements(left, right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    if (checkNulls) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getByte(i) * y.getByte(i); i += 1
+      }
+    } else
+      while (i < n) { s += x.getByte(i) * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val guard =
+        if (checkNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
+         |  $s += $a.getByte($i) * $b.getByte($i);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -651,4 +824,14 @@ object VectorFunctions {
       bitsPerBand: Int): Column =
     ExpressionUtils.column(BandSignatures(
       ExpressionUtils.expression(u), planes, bitsPerBand))
+
+  def nearestCell(u: Column, cents: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(NearestCell(ExpressionUtils.expression(u), cents))
+
+  def int8UnitQuantize(u: Column): Column =
+    ExpressionUtils.column(Int8UnitQuantize(ExpressionUtils.expression(u)))
+
+  def int8Dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(Int8Dot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -135,6 +135,61 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(graph == topk)
   }
 
+  test("two-stage int8 IVF scoring is bit-identical to exact scoring of " +
+      "the same probed cells (driver-side oracle, coarse filter pruning)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val n = 400
+    val raw = (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = raw.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") < 5)
+    val k = 5; val nprobe = 2
+    val cents = SimilarityOps.fitCentroids(df, "embedding", nCells = 4)
+    def run(f: => org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = run(SimilarityOps
+      .ivfTopKWithCentroids(probes, df, cents, k, nprobe))
+    val gotInt8 = run(SimilarityOps
+      .ivfTopKWithCentroidsInt8(probes, df, cents, k, nprobe))
+
+    // independent driver-side reference of the SINGLE-stage semantics
+    def unit(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      val nm = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / nm)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val units = raw.map { case (id, v) => id -> unit(v) }.toMap
+    // candidate cell = argmax centroid dot, ties to the lowest cell id
+    val cellOfId = units.map { case (id, u) =>
+      val sims = cents.map(c => dot(u, c))
+      id -> sims.indexOf(sims.max)
+    }
+    val want = (0L until 5L).flatMap { pid =>
+      val pu = units(pid)
+      val probedCells = cents.indices
+        .map(c => (c, dot(pu, cents(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1).toSet
+      raw.map(_._1)
+        .filter(cid => cid != pid && probedCells(cellOfId(cid)))
+        .map(cid => (cid, round6(dot(pu, units(cid)))))
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(k).zipWithIndex
+        .map { case ((cid, s), i) => (pid, i + 1, cid, s) }
+    }.toSet
+    assert(got == want)
+    assert(gotInt8 == want,
+      "two-stage int8 variant must be bit-identical to the exact path")
+    // sanity: the coarse filter had something to prune (cells ≫ k')
+    val cellSizes = cellOfId.values.groupBy(identity).map(_._2.size)
+    assert(cellSizes.max > 10 * k)
+  }
+
   test("cosine: zero-norm vector yields NULL, not an ANSI DIVIDE_BY_ZERO") {
     val df = Seq((Seq(0f, 0f), Seq(1f, 0f)), (Seq(0f, 0f), Seq(0f, 0f)))
       .toDF("a", "b")

@@ -49,6 +49,40 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r(1) == Seq(0.0, 0.0, 0.0)) // zero vector quantizes exactly
   }
 
+  test("int8UnitQuantize: half-up at scale 127, clamped, null element nulls") {
+    val df = Seq(Seq(1.0, -1.0, 0.5, -0.5, 0.0037, 0.0)).toDF("a")
+    val q = df.select(VectorFunctions.int8UnitQuantize(col("a")))
+      .head.getSeq[Byte](0)
+    // 0.5·127 = 63.5 → half-up 64; −0.5·127 = −63.5 → floor(−63) = −63
+    // (floor(x+0.5) half-up, matching Int8QuantStats); 0.0037·127 → 0
+    assert(q == Seq[Byte](127, -127, 64, -63, 0, 0))
+    // slightly-out-of-unit components (fp normalization residue) clamp
+    val c = Seq(Seq(1.0000001, -1.0000001)).toDF("a")
+      .select(VectorFunctions.int8UnitQuantize(col("a")))
+      .head.getSeq[Byte](0)
+    assert(c == Seq[Byte](127, -127))
+    val withNull = Seq(Seq[java.lang.Double](0.5, null)).toDF("a")
+      .select(VectorFunctions.int8UnitQuantize(col("a"))).head
+    assert(withNull.isNullAt(0))
+  }
+
+  test("int8Dot: exact integer dot, min-length, codegen == interpreted") {
+    val df = Seq((Seq(1.0, -1.0, 0.5), Seq(1.0, 1.0, 1.0, 9.0))).toDF("a", "b")
+    def run(): Long = df.select(VectorFunctions.int8Dot(
+      VectorFunctions.int8UnitQuantize(col("a")),
+      VectorFunctions.int8UnitQuantize(col("b")))).head.getLong(0)
+    // q_a = [127,-127,64], q_b = [127,127,127,127]; min-length 3
+    val expect = 127L * 127 - 127L * 127 + 64L * 127
+    assert(run() == expect)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run()
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val gen = try run()
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(interp == gen && interp == expect)
+  }
+
   test("tokenChunks: non-overlapping cover including the trailing partial") {
     val df = Seq(Seq("a", "b", "c", "d", "e"), Seq.empty[String]).toDF("t")
     val r = df.select(VectorFunctions.tokenChunks(col("t"), 2)).collect()
