@@ -279,6 +279,16 @@ object ExtensionQueries {
         .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
         .orderBy(col("w_start"), col("event_type"))),
 
+    // The sessionizer's q87 treatment (VERDICT r8 #6): q88 registers the
+    // batch twin the streaming sessionize is parity-proven against
+    // (StreamBatchParitySpec shares THIS definition), in sessionize's
+    // exact emit shape — so the custom flatMapGroupsWithState operator is
+    // transitively DuckDB-checked: DuckDB ⊨ q88, parity ⊨ sessionize ≡ q88.
+    "q88_sessionize_batch" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(
+          t(s, dir, "events"), gapMinutes = 30)
+        .orderBy(col("user_id"), col("sess_start"))),
+
     "q28_simhash_neardup" -> ((s, dir) =>
       DedupOps.simHashNearDupPairs(
           t(s, dir, "documents").filter(col("doc_id") < 2000),
@@ -1658,6 +1668,24 @@ object ExtensionQueries {
         |  FROM m)
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
         |  round(sum(value), 2) AS total
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+    // q33's gap-sessionization shape, extended with sess_end = max(ts) —
+    // the sessionize emit contract q88 pins
+    "q88_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM m)
+        |SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total
         |FROM g GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_start""".stripMargin
   )

@@ -153,6 +153,25 @@ object EventStreams {
       }
   }
 
+  /** The BATCH twin of [[sessionize]], in sessionize's exact emit shape:
+    * `session_window` gap semantics (same-session iff gap-strict-less),
+    * `sess_end = sw.end − gap = last event ts`, same HALF_UP rounding.
+    * ONE definition serves both consumers — the registered q88 (DuckDB
+    * oracle) and StreamBatchParitySpec's stream≡batch equality — so the
+    * streaming sessionizer is transitively DuckDB-checked the way q87
+    * checks [[windowedCounts]]: DuckDB ⊨ q88 = this, and the parity spec
+    * proves sessionize ≡ this on the same fixture.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        (col("sw.end") - expr(s"INTERVAL $gapMinutes MINUTES")).as("sess_end"),
+        col("n_events"), col("total"))
+
   /** Streaming exact dedup — the streaming twin of q25's batch dedup (the
     * ingest-side first line of a training-data pipeline). State holds one
     * entry per key and is evicted once the watermark passes the event's

@@ -88,16 +88,10 @@ class StreamBatchParitySpec extends AnyFunSuite {
       try { q.processAllAvailable(); spark.table("parity_sess").collect() }
       finally q.stop()
 
-    // batch twin: session_window's window.end is last_event + gap, so
-    // sess_end ≡ sw.end - gap; same rounding as sessionize's emit
-    val batch = real
-      .groupBy(col("user_id"),
-        session_window(col("ts"), s"$gapMin minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
-      .select(col("user_id"), col("sw.start").as("sess_start"),
-        (col("sw.end") - expr(s"INTERVAL $gapMin MINUTES")).as("sess_end"),
-        col("n_events"), col("total"))
-      .collect()
+    // batch twin: THE shared definition q88 registers against DuckDB
+    // (EventStreams.sessionizeBatch) — this equality plus q88's oracle is
+    // what transitively DuckDB-checks the streaming sessionizer
+    val batch = EventStreams.sessionizeBatch(real, gapMin).collect()
 
     val s = streamed.map(r => (r.getAs[Long]("user_id"),
       r.getAs[Timestamp]("sess_start").getTime,
