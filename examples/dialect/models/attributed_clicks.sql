@@ -6,7 +6,7 @@ SUMMARIZE purchases;
 SELECT c.event_id, c.user_id, c.ts,
        p.amount AS purch_amount,
        len(c.props) AS props_len
-FROM (SELECT event_id, user_id, timestamp_micros(ts div 1000) AS ts, props
+FROM (SELECT event_id, user_id, ts, props
       FROM read_parquet('/root/testdata/sf0.001/events.parquet')
       WHERE event_type = 'click') c
 ASOF JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts

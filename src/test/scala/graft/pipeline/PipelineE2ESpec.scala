@@ -413,6 +413,42 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("examples/dialect: ASOF JOIN + DISTINCT ON + macro pipeline runs " +
+      "end-to-end on the committed project") {
+    // this example rotted once already (r9: models still converted ts as
+    // if the fixture were TIMESTAMP(NANOS)-as-long; the contract is µs
+    // NTZ, DIALECT.md "Timestamps") — running the committed directory in
+    // the suite is what keeps it honest
+    graft.functions.GraftExtensions.register(spark) // len(), as the CLI does
+    val base = PipelineConfig.load(
+      java.nio.file.Paths.get("examples/dialect/config.yaml"))
+    val config = base.copy(dbPath =
+      Some(Files.createTempDirectory("graft-dialect-db").toString))
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    import org.apache.spark.sql.functions.col
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // purchases: ts passes through naive (no conversion), usd() macro
+    assert(spark.table("purchases").count() ==
+      events.filter(col("event_type") === "purchase").count())
+    // DISTINCT ON: exactly one (the latest) purchase per user
+    val latest = spark.table("latest_purchase")
+    assert(latest.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val direct = spark.table("purchases")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("ts").as("ts"))
+    assert(latest.select("user_id", "ts").exceptAll(direct).count() == 0)
+    // ASOF JOIN: every click with a prior same-user purchase, exactly once
+    val clicks = events.filter(col("event_type") === "click")
+    val attributed = spark.table("attributed_clicks")
+    assert(attributed.count() > 0 && attributed.count() <= clicks.count())
+    assert(attributed.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // the day-grain rollup preserves the attributed click count
+    val daily = spark.table("daily_attribution")
+    assert(daily.agg(org.apache.spark.sql.functions.sum("n_clicks"))
+      .head.getLong(0) == attributed.count())
+  }
+
   test("examples/parity: the full dialect-shim surface in one pipeline") {
     graft.functions.GraftExtensions.register(spark) // len() etc., as the CLI does
     val base = PipelineConfig.load(
