@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DateDiffBoundary, DotProduct, Int8QuantStats, Len, RegexpReplaceFirst, Shingles, TokenChunks, VectorNormalize}
+import org.apache.spark.sql.graft.{ArrayCountIn, CosineSimilarity, DateDiffBoundary, DotProduct, Int8Dot, Int8QuantStats, Int8UnitQuantize, Len, RegexpReplaceFirst, Shingles, TokenChunks, VectorNormalize}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions hook: registers graft's native expressions as SQL
@@ -68,6 +68,16 @@ object GraftExtensions {
     (FunctionIdentifier("int8_quant_stats"),
       info("int8_quant_stats", classOf[Int8QuantStats]),
       (args: Seq[Expression]) => Int8QuantStats(args(0))),
+    // int8_unit_quantize(u) / int8_dot(qa, qb): the fixed-scale-127
+    // storage + coarse-scoring pair for unit vectors (see
+    // SimilarityOps.ivfTopKWithCentroidsInt8) — int8_dot(qa, qb)/(127²)
+    // approximates the cosine of the unit vectors they quantized
+    (FunctionIdentifier("int8_unit_quantize"),
+      info("int8_unit_quantize", classOf[Int8UnitQuantize]),
+      (args: Seq[Expression]) => Int8UnitQuantize(args(0))),
+    (FunctionIdentifier("int8_dot"),
+      info("int8_dot", classOf[Int8Dot]),
+      (args: Seq[Expression]) => Int8Dot(args(0), args(1))),
     // regexp_replace_first(s, re, r): DuckDB's 3-arg regexp_replace
     // semantics (first match only) — the shim maps that form here
     (FunctionIdentifier("regexp_replace_first"),

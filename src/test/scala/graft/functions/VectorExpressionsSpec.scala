@@ -158,6 +158,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(st(0) - 1.0 / 127) < 1e-15)
   }
 
+  test("SQL registration: int8_unit_quantize, int8_dot") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT int8_dot(int8_unit_quantize(ARRAY(1.0D, -0.5D)),
+        |                int8_unit_quantize(ARRAY(1.0D, 1.0D))) AS d
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 127L * 127 - 63L * 127)
+  }
+
   test("mismatched lengths use the common prefix (min length)") {
     val r = Seq((Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
       .toDF("a", "b")
