@@ -252,6 +252,28 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(fg.checksum == fp.checksum)
   }
 
+  test("animated GIF reports its frame count in n_frames") {
+    val (w, h) = (6, 4)
+    val bo = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x + y + f) % 2 == 0) 0xFFFFFF else 0x000000)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bo.toByteArray
+    val feat = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(1L, "image/gif", gif.length.toLong, gif))
+    assert(feat.width == w && feat.height == h)
+    assert(feat.n_frames == 3)
+  }
+
   test("JPEG decodes real dimensions; truncated payloads quarantine") {
     val (w, h) = (32, 24)
     val jpg = encode(syntheticImage(w, h), "jpg")
