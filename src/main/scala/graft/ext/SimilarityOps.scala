@@ -65,6 +65,28 @@ object SimilarityOps {
     topKPerGroup(scored, "probe_id", "cand_id", k)
   }
 
+  /** Brute-force top-k over int8-quantized unit vectors — the quantized
+    * counterpart of [[bruteForceTopK]], ranking by the integer dot
+    * (`sim` is the raw int8 dot; divide by 127² for the cosine
+    * estimate). This is the 4× storage-reduction retrieval shape (int8
+    * corpus on disk, no float vectors in the join), and its quantization
+    * is engine-reproducible: fixed scale 127, half-up rounding — the q89
+    * DuckDB oracle rebuilds the quantized vectors from raw floats and
+    * must match the ranking bitwise.
+    */
+  def int8BruteForceTopK(probes: DataFrame, candidates: DataFrame,
+                         k: Int): DataFrame = {
+    val qc = withUnitVec(candidates, "embedding", "u")
+      .select(col("vec_id").as("cand_id"),
+        VectorFunctions.int8UnitQuantize(col("u")).as("cand_q"))
+    val qp = withUnitVec(probes, "embedding", "u")
+      .select(col("vec_id").as("probe_id"),
+        VectorFunctions.int8UnitQuantize(col("u")).as("probe_q"))
+    val scored = qc.join(broadcast(qp), col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", VectorFunctions.int8Dot(col("probe_q"), col("cand_q")))
+    topKPerGroup(scored, "probe_id", "cand_id", k)
+  }
+
   /** Per-group top-k tail shared by every ANN variant: rank by similarity
     * descending with the neighbor id as the deterministic tiebreaker,
     * keep k. ONE definition so rank/tie semantics cannot drift between

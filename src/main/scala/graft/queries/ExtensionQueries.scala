@@ -307,6 +307,17 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Int8-quantized retrieval (q89): the 4×-smaller-corpus counterpart
+    // of q30 — fixed-scale-127 quantization is engine-reproducible, so
+    // the oracle rebuilds the quantized vectors from raw floats in SQL
+    // and the integer ranking must match bitwise (the Int8UnitQuantize +
+    // Int8Dot kernels' full-oracle check, not just their specs).
+    "q89_int8_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.int8BruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Steady-state IVF: the quantizer is PREFIT and committed
     // (graft.ext.IvfCentroids, built once by graft.tools.FitIvfCentroids) —
     // the query pays only the map-only cell assignment + pruned scan, zero
@@ -1468,6 +1479,29 @@ object ExtensionQueries {
         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
         |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
         |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, rk, cand_id, sim FROM (
+        |  SELECT probe_id, cand_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk
+        |  FROM sc) t
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // unit-normalize (ascending-order list_dot_product reproduces the
+    // kernel's norm bitwise — the q52/Int8QuantStats property), then
+    // fixed-scale half-up quantization, then exact integer ranking
+    "q89_int8_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(emb,
+        |      x -> x / sqrt(list_dot_product(emb, emb))) AS uv
+        |  FROM e),
+        |q AS (SELECT vec_id,
+        |    list_transform(uv, x -> CAST(GREATEST(-127.0,
+        |      LEAST(127.0, FLOOR(x * 127 + 0.5))) AS BIGINT)) AS qv
+        |  FROM u),
+        |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    CAST(list_dot_product(p.qv, c.qv) AS BIGINT) AS sim
+        |  FROM q p JOIN q c ON p.vec_id < 10 AND p.vec_id <> c.vec_id)
         |SELECT probe_id, rk, cand_id, sim FROM (
         |  SELECT probe_id, cand_id, sim,
         |    CAST(row_number() OVER (PARTITION BY probe_id
