@@ -2306,14 +2306,33 @@ object DialectShim {
     val tail = text.substring(predEnd)
     if (pred.isEmpty) unsupportedQualify("empty predicate")
     val hasWindow = keywordPositions(pred, "OVER").nonEmpty
+    // DuckDB lets the QUALIFY window reference select-list ALIASES
+    // (`SELECT x AS s … QUALIFY row_number() OVER (ORDER BY s) <= k`);
+    // Spark rejects a lateral alias inside a window, so when the
+    // predicate names one, project the select list in an INNER subquery
+    // first — the aliases become real columns the window can see. Kept
+    // conditional: the one-level shape stays for predicates over raw
+    // columns, which may reference mid-scope columns (table-qualified or
+    // unprojected) the inner projection would hide.
+    val aliasNames = splitTopLevel(selList).flatMap(item =>
+      qualifySelAliasRe.findFirstMatchIn(item).map(_.group(1)))
+    val predUsesAlias =
+      aliasNames.exists(a => keywordPositions(pred, a).nonEmpty)
     val rewritten =
-      if (hasWindow)
+      if (hasWindow && predUsesAlias)
+        s"SELECT * EXCEPT (__qualify) FROM (SELECT *, ($pred) AS " +
+          s"__qualify FROM (SELECT $selList FROM $mid) __graft_i) " +
+          s"__graft_q WHERE __qualify"
+      else if (hasWindow)
         s"SELECT * EXCEPT (__qualify) FROM (SELECT $selList, ($pred) AS " +
           s"__qualify FROM $mid) __graft_q WHERE __qualify"
       else
         s"SELECT * FROM (SELECT $selList FROM $mid) __graft_q WHERE $pred"
     s"$prefix$rewritten $tail"
   }
+
+  private val qualifySelAliasRe =
+    """(?i)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
 
   // --- DuckDB ASOF JOIN --------------------------------------------------
   // `L ASOF [LEFT] JOIN R [alias] ON eq-conds AND <one ts inequality>`

@@ -527,6 +527,19 @@ class DialectShimSpec extends AnyFunSuite {
     assert(DialectShim.rewrite(lit) == lit)
   }
 
+  test("QUALIFY window referencing computed select aliases executes " +
+      "(DuckDB scoping; Spark rejects lateral aliases in windows)") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW qual_u AS
+      SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, 7) AS t(k, v)""")
+    val out = spark.sql(DialectShim.rewrite(
+      """SELECT k AS grp, v * 2 AS dbl FROM qual_u
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY dbl DESC) = 1
+        |ORDER BY grp""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(out == Seq((1, 40), (2, 14)))
+  }
+
   test("QUALIFY executes correctly through spark.sql") {
     val spark = graft.SparkTestSession.spark
     spark.sql("""CREATE OR REPLACE TEMPORARY VIEW qual_t AS

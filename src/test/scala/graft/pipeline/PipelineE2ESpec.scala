@@ -411,6 +411,13 @@ class PipelineE2ESpec extends AnyFunSuite {
       .filter(col("scale") <= 0 || col("max_abs_err") > expr("scale / 2 + 1e-12"))
       .count()
     assert(bad == 0)
+    // int8 retrieval model: exactly 5 ranked candidates per probe, integer
+    // sims within the +/-127^2 cosine range
+    val topk = spark.table("int8_topk")
+    assert(topk.groupBy("probe_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+    assert(topk.filter(org.apache.spark.sql.functions.abs(col("sim")) >
+      127L * 127 + 1200).count() == 0) // |cos| <= 1 + quantization slack
   }
 
   test("examples/dialect: ASOF JOIN + DISTINCT ON + macro pipeline runs " +
