@@ -40,9 +40,14 @@ object EventStreams {
     // the driver-generated tables are single FILES named *.parquet; the
     // file streaming source only accepts directories, so stream the parent
     // dir with a glob pinned to this table (a directory layout — the
-    // append-friendly production shape — streams as-is)
+    // append-friendly production shape — streams as-is). Probed through
+    // the Hadoop FileSystem, not java.io.File: on HDFS/S3 a local File
+    // always answers "not a file", which happens to pick the right branch
+    // for cluster layouts but only by accident.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val raw =
-      if (new java.io.File(path).isFile)
+      if (hfs.exists(hPath) && hfs.getFileStatus(hPath).isFile)
         reader.option("pathGlobFilter", "events.parquet").parquet(dir)
       else reader.parquet(path)
     // ts contract (DIALECT.md "Timestamps"): the driver fixtures store ts
