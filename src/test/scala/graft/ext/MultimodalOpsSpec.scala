@@ -112,21 +112,35 @@ class MultimodalOpsSpec extends AnyFunSuite {
   test("PPM and BMP decoders agree bit-for-bit on the same image, through " +
       "the distributed extractFeatures pass") {
     val (w, h) = (13, 7) // odd width → nonzero BMP row padding
+    val png = { // same pixels through the ImageIO decode path, in-executor
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bo)
+      bo.toByteArray
+    }
     val rows = Seq(
       MultimodalOps.MediaRecord(1L, "image/x-portable-pixmap",
         ppmBytes(w, h).length.toLong, ppmBytes(w, h)),
       MultimodalOps.MediaRecord(2L, "image/bmp",
         bmpBytes(w, h, bottomUp = true).length.toLong, bmpBytes(w, h, bottomUp = true)),
       MultimodalOps.MediaRecord(3L, "image/bmp",
-        bmpBytes(w, h, bottomUp = false).length.toLong, bmpBytes(w, h, bottomUp = false)))
+        bmpBytes(w, h, bottomUp = false).length.toLong, bmpBytes(w, h, bottomUp = false)),
+      MultimodalOps.MediaRecord(4L, "image/png", png.length.toLong, png))
     val out = MultimodalOps
-      .extractFeatures(spark, rows.toDF().repartition(3))
+      .extractFeatures(spark, rows.toDF().repartition(4))
       .collect().sortBy(_.media_id)
     assert(out.forall(f => f.width == w && f.height == h && f.n_frames == 1))
-    // same pixels → same checksum, regardless of container format or row
-    // order (BMP bottom-up AND top-down must both normalize)
+    // same pixels → same checksum, regardless of container format, row
+    // order (BMP bottom-up AND top-down), or decode path (hand parser vs
+    // ImageIO inside executor threads)
     assert(out(0).checksum == out(1).checksum)
     assert(out(0).checksum == out(2).checksum)
+    assert(out(0).checksum == out(3).checksum)
   }
 
   test("malformed image payloads quarantine instead of killing the job") {
