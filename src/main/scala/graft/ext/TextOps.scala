@@ -351,4 +351,111 @@ object TextOps {
       when(acc.isNotNull, acc).when(s === best, lit(lang)).otherwise(acc)
     }
   }
+
+  // -- PII redaction ---------------------------------------------------
+
+  /** The three redaction patterns, shared verbatim with the DuckDB
+    * oracle (q91 embeds the same strings). Deliberately restricted to
+    * syntax Java regex and RE2 interpret identically: no backreferences,
+    * no lookaround, ASCII `\b` word boundaries, explicit `[0-9]` classes.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern: String = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII redaction — the scrub every released training corpus runs
+    * (C4 and The Pile both strip emails/IPs). Emails → `<EMAIL>`,
+    * IPv4 addresses → `<IP>`, simple international phone shapes
+    * (`+1-555-0199`, `212 555 0123`) → `<PHONE>`. Order matters and is
+    * fixed: emails first (an address can embed digit runs a later pass
+    * would half-eat), then IPs (four octets — disjoint from the 1-3-4
+    * phone shape, so the two never race), then phones. Pure
+    * `regexp_replace` composition: map-only, whole-stage codegen, zero
+    * shuffles at any scale. False-negative-leaning by design — a scrub
+    * must never corrupt non-PII text; recall comes from corpus audits
+    * ([[piiCounts]] is the audit side).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-document PII hit counts (emails, ipv4s, phones) — the audit
+    * metric: run BEFORE redaction to size the problem, AFTER to prove
+    * the scrub converged to zero. Same shared patterns as [[redactPii]];
+    * counts overlap-free left-to-right matches like the replacement
+    * does, so n_emails + n_ips + n_phones is exactly the number of
+    * `<...>` markers redaction would emit. NULL text counts NULL
+    * (the gate-must-see-null contract [[punctRatio]] documents).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    // size(NULL) is -1 or NULL depending on the session's ANSI flag — the
+    // explicit guard pins NULL-in → NULL-out independent of session config
+    def n(c: Column) = when(text.isNotNull, size(c))
+    Seq(
+      "n_emails" -> n(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+      "n_ips" -> n(regexp_extract_all(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(Ipv4Pattern), lit(0))),
+      "n_phones" -> n(regexp_extract_all(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        lit(PhonePattern), lit(0))))
+  }
+
+  // -- Corpus-level boilerplate ---------------------------------------
+
+  /** Corpus-level boilerplate metrics — RefinedWeb/CCNet's
+    * "duplicated-line fraction" adapted to shingles: for each document,
+    * the fraction of its DISTINCT token k-gram shingles whose corpus
+    * document frequency exceeds `maxDf` (shared navigation chrome,
+    * licence blurbs, templated headers — text that is common *across*
+    * documents, which the within-document [[repetitionMetrics]] cannot
+    * see). Documents whose common fraction exceeds `maxCommonFrac` are
+    * flagged. Newline-delimited corpora can pass lines where this uses
+    * shingles; the df/fraction machinery is identical.
+    *
+    * Output: (idCol, n_shingles, n_common, common_frac, boilerplate).
+    * Documents with fewer than k tokens have no shingles: n_shingles=0,
+    * common_frac NULL, boilerplate false (nothing to judge).
+    *
+    * Plan shape at 100 TB: one exploded (doc, shingle) stream,
+    * de-duplicated per doc (shuffle 1, uniform key), re-aggregated to
+    * corpus df (shuffle 2, with map-side combine). The common set —
+    * df > maxDf, which real corpora keep tiny because commonness is the
+    * exception — comes back as a BROADCAST left-semi mark, so the
+    * per-doc rollup (shuffle 3, doc-id key) never carries the shingle
+    * strings of clean documents twice. No driver-side collection
+    * anywhere; the broadcast is built by Spark from the df aggregate.
+    */
+  def boilerplateMetrics(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, k: Int = 3, maxDf: Long = 10,
+                         maxCommonFrac: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    val docShingles = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), k)).as("__s"))
+      .distinct()
+    val common = docShingles
+      .groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__s"))
+    val perDoc = docShingles
+      .join(broadcast(common).withColumn("__hit", lit(1)), Seq("__s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_common"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("common_frac",
+        when(col("n_shingles") > 0,
+          round(col("n_common").cast("double") / col("n_shingles"), 4)))
+      .withColumn("boilerplate",
+        coalesce(col("common_frac") > maxCommonFrac, lit(false)))
+  }
 }

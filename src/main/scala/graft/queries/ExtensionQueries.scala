@@ -181,6 +181,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Corpus-level boilerplate (RefinedWeb's duplicated-line fraction
+    // over shingles): per-doc fraction of distinct 3-grams whose corpus df
+    // exceeds 3 — thresholds sit where the fixture corpus actually splits
+    // (mean common_frac ~0.10, a handful of docs over 0.5) ----------------
+    "q90_boilerplate" -> ((s, dir) =>
+      TextOps.boilerplateMetrics(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, maxDf = 3, maxCommonFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // -- PII scrub + audit: the fixtures carry no PII, so the query plants
+    // one email, one phone, and one IPv4 per doc (derived deterministically
+    // from fixture columns), then emits the scrubbed text next to the
+    // pre-scrub counts — redaction and audit must agree marker-for-marker.
+    // Map-only end-to-end (the orderBy serves the oracle compare only).
+    "q91_pii_redaction" -> ((s, dir) => {
+      val raw = concat_ws(" ", col("text"),
+        lit("contact"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".example.com")),
+        lit("or"),
+        concat(lit("+1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+        lit("from"),
+        concat(lit("10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+      val counts = TextOps.piiCounts(raw)
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id"), TextOps.redactPii(raw).as("redacted")) ++
+          counts.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Quality-weighted sampling: band by quality score, keep high
     // quality at 16/16, mid at 8/16, low at 2/16 — the q57 deterministic
     // coin keyed on a DERIVED stratum instead of a stored column ----------
@@ -1721,6 +1753,65 @@ object ExtensionQueries {
         |SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
         |  count(*) AS n_events, round(sum(value), 2) AS total
         |FROM g GROUP BY user_id, sess_id
-        |ORDER BY user_id, sess_start""".stripMargin
+        |ORDER BY user_id, sess_start""".stripMargin,
+    // same distinct-shingle → df → common-set → per-doc rollup as the
+    // Spark plan; n_common is count(matched) so both engines emit BIGINT
+    "q90_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |      for i in generate_series(1, len(toks) - 2)]) AS s FROM d)),
+        |common AS (SELECT s FROM (
+        |    SELECT s, count(*) AS df FROM g GROUP BY s) WHERE df > 3),
+        |per AS (SELECT g.doc_id, count(*) AS n_shingles,
+        |    count(c.s) AS n_common
+        |  FROM g LEFT JOIN common c ON g.s = c.s GROUP BY g.doc_id)
+        |SELECT d0.doc_id,
+        |  coalesce(per.n_shingles, 0) AS n_shingles,
+        |  coalesce(per.n_common, 0) AS n_common,
+        |  CASE WHEN per.n_shingles > 0 THEN
+        |    round(CAST(per.n_common AS DOUBLE) / per.n_shingles, 4)
+        |  END AS common_frac,
+        |  coalesce(round(CAST(per.n_common AS DOUBLE) / per.n_shingles, 4)
+        |    > 0.5, false) AS boilerplate
+        |FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
+    // the regex strings are TextOps.{Email,Ipv4,Phone}Pattern verbatim
+    // (RE2 and java.util.regex agree on this subset); counts audit each
+    // stage the same way piiCounts does — ips counted after the email
+    // pass, phones after both
+    "q91_pii_redaction" ->
+      """WITH p AS (SELECT doc_id, concat_ws(' ', text,
+        |    'contact', 'user' || CAST(doc_id AS VARCHAR) || '@' || source
+        |      || '.example.com',
+        |    'or', '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    'from', '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |      || CAST(doc_id % 100 AS VARCHAR)) AS raw
+        |  FROM documents),
+        |s AS (SELECT doc_id, raw,
+        |    regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS after_email
+        |  FROM p),
+        |s2 AS (SELECT doc_id, raw, after_email,
+        |    regexp_replace(after_email,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g') AS after_ip
+        |  FROM s)
+        |SELECT doc_id,
+        |  regexp_replace(after_ip,
+        |    '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+        |    '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(after_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(after_ip,
+        |    '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INTEGER)
+        |    AS n_phones
+        |FROM s2 ORDER BY doc_id""".stripMargin
   )
 }

@@ -188,4 +188,95 @@ class TextOpsSpec extends AnyFunSuite {
       .select(TextOps.punctRatio(col("text"))).head
     assert(n.isNullAt(0))
   }
+
+  test("redactPii: email, ip, and phone each redact; counts agree with " +
+      "the markers emitted") {
+    val txt = "mail a.b+c@ex-1.co now, ping 192.168.0.1 or call +44-555-0199"
+    val row = one(txt).select(
+      Seq(TextOps.redactPii(col("text")).as("r")) ++
+        TextOps.piiCounts(col("text")).map { case (nm, c) => c.as(nm) }: _*)
+      .head
+    assert(row.getString(0) ==
+      "mail <EMAIL> now, ping <IP> or call <PHONE>")
+    assert((row.getInt(1), row.getInt(2), row.getInt(3)) == ((1, 1, 1)))
+  }
+
+  test("redactPii leaves near-misses untouched (scrub must not corrupt " +
+      "non-PII text)") {
+    val cases = Seq(
+      "version 1.2.3 released",        // 3 dotted groups, not an ipv4
+      "not@anemail",                   // no TLD
+      "meet at 12-345 main st",        // digit runs too short for a phone
+      "pi is 3.14159 and e is 2.71828" // decimals
+    )
+    cases.foreach { c =>
+      val out = one(c).select(TextOps.redactPii(col("text"))).head.getString(0)
+      assert(out == c, s"corrupted: '$c' -> '$out'")
+    }
+    // NULL text propagates NULL, and counts stay NULL (not 0): a gate
+    // must SEE the null, same contract as punctRatio
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(Seq(TextOps.redactPii(col("text")).as("r")) ++
+        TextOps.piiCounts(col("text")).map { case (nm, c) => c.as(nm) }: _*)
+      .head
+    (0 to 3).foreach(i => assert(n.isNullAt(i)))
+  }
+
+  test("piiCounts stage order: an ip inside an already-redacted email is " +
+      "not double-counted") {
+    // the mailbox text embeds an ipv4-shaped host; the email pass consumes
+    // it, so n_ips must be 0 — counting on the raw text would say 1
+    val txt = "root@10.0.0.1.example.com"
+    val row = one(txt).select(
+      TextOps.piiCounts(col("text")).map { case (nm, c) => c.as(nm) }: _*)
+      .head
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((1, 0, 0)))
+  }
+
+  test("boilerplateMetrics: shared template flagged, unique docs pass, " +
+      "short docs survive with null frac") {
+    val template = "all rights reserved contact legal department now"
+    val docs = Seq(
+      (1L, template), (2L, template), (3L, template),
+      (4L, template + " plus unique suffix content here"),
+      (5L, "a wholly original document with distinct phrasing throughout"),
+      (6L, "too short"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val m = TextOps.boilerplateMetrics(docs, "doc_id", "text",
+        k = 3, maxDf = 2, maxCommonFrac = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(m.length == 7) // no input row dropped
+    val byId = m.map(r => r.getLong(0) -> r).toMap
+    // docs 1-3: every shingle shared by 4 docs > maxDf=2 → frac 1.0, flagged
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(byId(id).getDouble(3) == 1.0 && byId(id).getBoolean(4))
+    }
+    // doc 4: the template's 5 interior shingles are common (df=4), the
+    // suffix and bridging shingles are df=1 → 5 of 10 = 0.5, NOT flagged
+    // (strict >)
+    assert(byId(4L).getDouble(3) == 0.5 && !byId(4L).getBoolean(4))
+    // doc 5: nothing shared
+    assert(byId(5L).getDouble(3) == 0.0 && !byId(5L).getBoolean(4))
+    // docs 6-7: no shingles → 0 counts, null frac, unflagged
+    Seq(6L, 7L).foreach { id =>
+      val r = byId(id)
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+      assert(r.isNullAt(3) && !r.getBoolean(4))
+    }
+  }
+
+  test("boilerplateMetrics counts a repeated within-doc shingle once " +
+      "(df is document frequency, not occurrence count)") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"), // one distinct shingle, df=1
+      (2L, "fresh words only in here")
+    ).toDF("doc_id", "text")
+    val m = TextOps.boilerplateMetrics(docs, "doc_id", "text",
+        k = 3, maxDf = 1, maxCommonFrac = 0.5)
+      .orderBy(col("doc_id")).collect()
+    // doc 1's "spam spam spam" appears 3x within the doc but in only ONE
+    // doc: df=1, not > maxDf=1 → not common
+    assert(m(0).getLong(1) == 1L && m(0).getLong(2) == 0L)
+  }
 }

@@ -263,4 +263,24 @@ class QueryPlanSpec extends AnyFunSuite {
         s"$name contains BroadcastNestedLoopJoin")
     }
   }
+
+  test("q91: PII scrub is map-only (the only exchange is the oracle sort)") {
+    val p = plan("q91_pii_redaction")
+    assert(!p.contains("hashpartitioning"),
+      s"pii redaction must not shuffle:\n$p")
+  }
+
+  test("q90: the common-shingle set broadcasts back to the corpus stream") {
+    val p = plan("q90_boilerplate")
+    // the df>N set joins the (doc, shingle) stream as a broadcast — a
+    // shuffled join here would re-shuffle every clean document's shingle
+    // strings a second time, the anti-pattern the operator avoids
+    assert(p.contains("BroadcastHashJoin"),
+      s"common set should broadcast:\n$p")
+    // shingle-keyed exchanges: one for the per-doc distinct, one for the
+    // df aggregate (both unavoidable); more means the broadcast was lost
+    val shingleShuffles = "hashpartitioning\\(__s".r.findAllIn(p).size
+    assert(shingleShuffles <= 2,
+      s"expected <=2 shingle-keyed exchanges, got $shingleShuffles:\n$p")
+  }
 }
