@@ -323,6 +323,67 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** Score-once formulation of the banded self-join: the band collision
+    * join carries ONLY ids (the exchange sheds the 8·dim-byte unit
+    * vectors — with the default 8 bands that is nBands·dim·8 ≈ 4 KB of
+    * shuffle per vector per side in the score-per-collision form above),
+    * pairs de-duplicate BEFORE scoring (a pair colliding in b bands is
+    * dotted once, not b times, and the distinct's shuffle rows are two
+    * longs, not two longs + a double scored b times), and the unit
+    * vectors join back once per side afterwards. The trade is two extra
+    * narrow joins — and for THIS operator the trade loses (tools/KnnAb:
+    * 0.45× at 10×): lshNearDupPairs filters `sim >= minSim` before its
+    * distinct, so the per-collision form only shuffles the few surviving
+    * pairs, while score-once drags EVERY candidate pair through distinct
+    * and two joins before the filter can run. Kept as the measured
+    * counter-example (and A/B baseline); [[knnGraph]], which has no
+    * pre-distinct filter, defaults to score-once for the mirrored
+    * reason. Emits exactly [[lshNearDupPairs]]'s rows.
+    */
+  private[graft] def lshNearDupPairsScoreOnce(
+      vecs: DataFrame, minSim: Double, nBands: Int = 8, bitsPerBand: Int = 4,
+      seed: Long = 42L, dim: Int = -1): DataFrame =
+    scoreOncePairs(vecs, nBands, bitsPerBand, seed, dim)
+      .filter(col("sim") >= minSim)
+
+  /** [[knnGraph]] in the score-once formulation: undirected distinct
+    * pairs (half the distinct shuffle and half the dots of the directed
+    * form), scored once, then both orientations restored for the
+    * per-source top-k. Emits exactly [[knnGraph]]'s rows.
+    */
+  private[graft] def knnGraphScoreOnce(vecs: DataFrame, k: Int,
+      nBands: Int = 8, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val p = scoreOncePairs(vecs, nBands, bitsPerBand, seed, dim = -1)
+    val both = p.select(col("id_a").as("src"), col("id_b").as("dst"), col("sim"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst"), col("sim")))
+    topKPerGroup(both, "src", "dst", k)
+  }
+
+  /** Shared back half of the score-once variants: id-only band collision
+    * join → distinct (id_a < id_b) pairs → unit vectors joined back once
+    * per side → one dot per pair.
+    */
+  private def scoreOncePairs(vecs: DataFrame, nBands: Int, bitsPerBand: Int,
+                             seed: Long, dim: Int): DataFrame = {
+    val ids = bandedVectors(vecs, nBands, bitsPerBand, seed, dim)
+      .select(col("band_idx"), col("band_val"), col("vec_id"))
+    val pairs = ids
+      .join(ids.select(col("band_idx"), col("band_val"),
+        col("vec_id").as("id_b")), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"))
+      .distinct()
+    val unit = withUnitVec(vecs, "embedding", "u")
+      .select(col("vec_id"), col("u"))
+    pairs
+      .join(unit.select(col("vec_id").as("id_a"), col("u").as("u_a")),
+        Seq("id_a"))
+      .join(unit.select(col("vec_id").as("id_b"), col("u").as("u_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dotProduct(col("u_a"), col("u_b")), 6).as("sim"))
+  }
+
   /** IVF ANN over an UNLABELED corpus: (1) [[fitCentroids]] learns nCells
     * spherical-k-means centroids (the coarse quantizer FAISS IVF trains);
     * (2) each probe picks its `nprobe` nearest centroids — a map-side
@@ -342,9 +403,29 @@ object SimilarityOps {
     * similarity, so the ranking is engine-reproducible. At 100 TB the
     * work is Σ(bucket²) like every bucketed self-join here, and the
     * per-source top-k is a WindowGroupLimit, not a global sort.
+    *
+    * Default form is SCORE-ONCE (tools/KnnAb, measured interleaved in one
+    * JVM: 2.45× at 1×, 1.51× at 10× over the per-collision form kept as
+    * [[knnGraphPerCollision]]): the band join shuffles ids only, the
+    * UNDIRECTED pair set de-duplicates before any dot is computed, unit
+    * vectors join back once per side, then both orientations are restored
+    * for the top-k. knnGraph has no pre-distinct filter to exploit —
+    * every bucket-mate's sim is ranking input — so paying the two narrow
+    * join shuffles beats scoring per collision and shuffling scored
+    * duplicates into distinct. [[lshNearDupPairs]] keeps the opposite
+    * default for the mirrored reason: its `sim >= minSim` filter runs
+    * BEFORE its distinct, collapsing the shuffle to the few survivors
+    * (score-once measured 0.45× THERE — slower — at 10×).
     */
   def knnGraph(vecs: DataFrame, k: Int, nBands: Int = 8,
-               bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+               bitsPerBand: Int = 4, seed: Long = 42L): DataFrame =
+    knnGraphScoreOnce(vecs, k, nBands, bitsPerBand, seed)
+
+  /** The score-per-collision [[knnGraph]] formulation — kept as the
+    * tools/KnnAb baseline; emits exactly the same rows as the default.
+    */
+  private[graft] def knnGraphPerCollision(vecs: DataFrame, k: Int,
+      nBands: Int = 8, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val banded = bandedVectors(vecs, nBands, bitsPerBand, seed, dim = -1)
     val src = banded.select(col("band_idx"), col("band_val"),
       col("vec_id").as("src"), col("u").as("u_s"))

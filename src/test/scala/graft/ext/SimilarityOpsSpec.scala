@@ -135,6 +135,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(graph == topk)
   }
 
+  test("score-once and per-collision banded forms emit identical rows " +
+      "(knnGraph default swap is result-invisible)") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .drop("label")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString(",")).sorted.toSeq
+    // tools/KnnAb asserts this on the ScaleGen corpora before timing;
+    // pinning it here keeps the equivalence under CI when either form
+    // is refactored
+    assert(canon(SimilarityOps.knnGraphScoreOnce(e, k = 3)) ==
+      canon(SimilarityOps.knnGraphPerCollision(e, k = 3)))
+    assert(canon(SimilarityOps.lshNearDupPairsScoreOnce(e, minSim = 0.3)) ==
+      canon(SimilarityOps.lshNearDupPairs(e, minSim = 0.3)))
+  }
+
   test("two-stage int8 IVF scoring is bit-identical to exact scoring of " +
       "the same probed cells (driver-side oracle, coarse filter pruning)") {
     val rnd = new scala.util.Random(7)
