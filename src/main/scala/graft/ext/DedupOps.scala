@@ -558,9 +558,16 @@ object DedupOps {
     * degrade to recompute-every-call. Publication is atomic: the pair set
     * is written to a hidden sibling and `rename`d into place, so a crash
     * mid-write leaves no half-populated path that a `_SUCCESS`-less probe
-    * would then have to distrust, and two concurrent writers resolve to
-    * one published set (the loser discards its attempt and reads the
-    * winner's).
+    * would then have to distrust. Concurrent writers resolve to one
+    * published set: `_SUCCESS` is re-probed AFTER the compute, so a racer
+    * that published while we were computing wins and our attempt is
+    * discarded; a `_SUCCESS`-less dst at publish time is a crashed
+    * partial and is cleared. The crashed-partial delete is adjacent to
+    * its probe (not separated by the whole compute), so the residual
+    * probe→delete window is statement-width — the same accepted window
+    * Hadoop's own rename-based commit protocols carry on stores without
+    * atomic directory swap — and the post-publish verify turns a lost
+    * race into a loud error instead of a silent gap.
     */
   def materializedPairs(spark: org.apache.spark.sql.SparkSession,
                         path: String)(compute: => DataFrame): DataFrame = {
@@ -569,25 +576,31 @@ object DedupOps {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dst, "_SUCCESS")
     if (!fs.exists(success)) {
-      // a _SUCCESS-less dst is a crashed partial write — clear it so the
-      // rename below lands AT dst instead of nesting inside it
-      if (fs.exists(dst)) fs.delete(dst, true)
       val tmp = new Path(dst.getParent,
         s".${dst.getName}.inprogress-${java.util.UUID.randomUUID()}")
       try {
         compute.write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(tmp, dst)) {
-          // concurrent writer published first (rename-to-existing fails
-          // on HDFS): drop our attempt, theirs must be complete
+        if (fs.exists(success)) {
+          // a concurrent writer published while we computed: theirs is
+          // complete, ours is redundant — never touch dst
           fs.delete(tmp, true)
+        } else {
+          // a _SUCCESS-less dst at this point is a crashed partial write —
+          // clear it so the rename lands AT dst instead of nesting inside
+          if (fs.exists(dst)) fs.delete(dst, true)
+          if (!fs.rename(tmp, dst)) {
+            // rename-to-existing fails on HDFS: a racer re-published
+            // between the probe and the rename — drop our attempt
+            fs.delete(tmp, true)
+          }
+          // local-FS rename CAN move INTO an existing dst (posix
+          // semantics) when a racer re-created it between our delete and
+          // rename — sweep the stray nested dir if so
+          val nested = new Path(dst, tmp.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
           if (!fs.exists(success)) throw new IllegalStateException(
             s"failed to publish materialized pair set at $path")
         }
-        // local-FS rename CAN move INTO an existing dst (posix semantics)
-        // when a racer re-created it between our delete and rename —
-        // sweep the stray nested dir if so
-        val nested = new Path(dst, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
       } finally if (fs.exists(tmp)) fs.delete(tmp, true)
     }
     spark.read.parquet(path)

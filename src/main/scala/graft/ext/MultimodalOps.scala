@@ -212,7 +212,12 @@ object MultimodalOps {
     * malformed/truncated payload, or one no reader claims, quarantines.
     */
   def decodeImageIo(r: MediaRecord): MediaFeatures = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // memory-backed stream, NOT ImageIO.createImageInputStream: the
+    // payload is already a byte array, and the factory's default
+    // (useCache=true) FileCacheImageInputStream would create, write, and
+    // delete a temp file on executor-local disk for EVERY media row of
+    // the corpus scan
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(r.payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -225,10 +230,15 @@ object MultimodalOps {
         val img = reader.read(0)
         if (img == null) return quarantine(r)
         val w = img.getWidth; val h = img.getHeight
+        // fetch pixels a ROW at a time: per-pixel getRGB(x, y) pays a
+        // ColorModel conversion + bounds check per call (w·h calls; ~8M
+        // for a 4K frame) on the corpus hot path
+        val rowBuf = new Array[Int](w)
         val rgb = for {
           y <- Iterator.range(0, h)
+          _ = img.getRGB(0, y, w, 1, rowBuf, 0, w)
           x <- Iterator.range(0, w)
-          argb = img.getRGB(x, y)
+          argb = rowBuf(x)
           c <- Iterator((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
         } yield c
         MediaFeatures(r.media_id, r.mime, r.n_bytes,

@@ -2316,8 +2316,21 @@ object DialectShim {
     // unprojected) the inner projection would hide.
     val aliasNames = splitTopLevel(selList).flatMap(item =>
       qualifySelAliasRe.findFirstMatchIn(item).map(_.group(1)))
-    val predUsesAlias =
-      aliasNames.exists(a => keywordPositions(pred, a).nonEmpty)
+    // a bare occurrence of the alias name only: `t.b` is a QUALIFIED
+    // column of mid scope (the '.' boundary would otherwise match alias
+    // b and hide the real column behind the inner projection), `b.x` is
+    // a table qualifier, and `b(...)` is a function call — none of them
+    // reference the select alias
+    def bareRef(a: String): Boolean =
+      keywordPositions(pred, a).exists { case (p, _) =>
+        val before = p > 0 && pred.charAt(p - 1) == '.'
+        var j = p + a.length
+        while (j < pred.length && Character.isWhitespace(pred.charAt(j))) j += 1
+        val after = j < pred.length &&
+          (pred.charAt(j) == '.' || pred.charAt(j) == '(')
+        !before && !after
+      }
+    val predUsesAlias = aliasNames.exists(bareRef)
     val rewritten =
       if (hasWindow && predUsesAlias)
         s"SELECT * EXCEPT (__qualify) FROM (SELECT *, ($pred) AS " +

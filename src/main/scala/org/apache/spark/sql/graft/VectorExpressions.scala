@@ -663,6 +663,13 @@ case class NearestCell(child: Expression, cents: Seq[Seq[Double]])
         if (checkNulls && a.isNullAt(i)) return null
         s += a.getDouble(i) * p(i); i += 1
       }
+      // a NaN dot (NaN/±Inf component in the vector) makes the argmax
+      // meaningless: return null so the cell join QUARANTINES the row
+      // instead of silently assigning it (Java's `s > best` is false for
+      // NaN, which would otherwise dump every such vector into cell 0,
+      // poisoning that centroid in fitCentroids and — since Spark sorts
+      // NaN sims as largest — rank-1 of every cell-0 probe)
+      if (java.lang.Double.isNaN(s)) return null
       if (bestCell < 0 || s > best) { best = s; bestCell = c }
       c += 1
     }

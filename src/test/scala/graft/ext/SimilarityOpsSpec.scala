@@ -105,6 +105,26 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(assigned.subsetOf((0 until 4).toSet) && assigned.size >= 2)
   }
 
+  test("cellOf quarantines non-finite vectors (null cell), never " +
+      "assigns them to cell 0") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows = Seq(
+      Seq(Double.NaN, 0.5),              // NaN component → every dot NaN
+      Seq(Double.PositiveInfinity, 0.0), // Inf·0 = NaN against centroid 1
+      Seq(0.6, 0.8)                      // finite control
+    ).toDF("u")
+      .select(SimilarityOps.cellOf(col("u"), cents).as("cell"))
+      .collect()
+    // a NaN dot makes the argmax meaningless; Java's `>` is false for NaN
+    // so an unguarded loop would silently dump such vectors into cell 0 —
+    // poisoning that centroid in fitCentroids and (NaN sorts largest in
+    // Spark) rank-1 of every cell-0 probe
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getInt(0) == 1)
+  }
+
   test("hyperplaneLshTopK recall vs exact top-k on the real fixture") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val probes = e.filter(col("vec_id") < 10)

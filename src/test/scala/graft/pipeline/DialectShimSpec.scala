@@ -540,6 +540,30 @@ class DialectShimSpec extends AnyFunSuite {
     assert(out == Seq((1, 40), (2, 14)))
   }
 
+  test("QUALIFY predicate naming a QUALIFIED column that shadows a select " +
+      "alias keeps the one-level rewrite (the inner projection would hide " +
+      "the real column)") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW qual_s AS
+      SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, 7) AS t(a, b)""")
+    // select list aliases a AS b; the window orders by qual_s.b — the REAL
+    // column b of the scanned table, not the alias. Routing this into the
+    // inner-projection shape would lose the qualifier's target and fail
+    // analysis; bare-ref detection must not fire on `qual_s.b`.
+    val out = spark.sql(DialectShim.rewrite(
+      """SELECT a AS b FROM qual_s
+        |QUALIFY row_number() OVER (PARTITION BY a ORDER BY qual_s.b DESC) = 1
+        |ORDER BY b""".stripMargin))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 2))
+    // and a function call spelled like an alias is not an alias ref either
+    val fn = spark.sql(DialectShim.rewrite(
+      """SELECT a, max(b) AS max FROM qual_s GROUP BY a
+        |QUALIFY row_number() OVER (ORDER BY max (b) DESC) = 1""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(fn == Seq((1, 20)))
+  }
+
   test("QUALIFY executes correctly through spark.sql") {
     val spark = graft.SparkTestSession.spark
     spark.sql("""CREATE OR REPLACE TEMPORARY VIEW qual_t AS
