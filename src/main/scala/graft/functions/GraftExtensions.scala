@@ -87,7 +87,25 @@ object GraftExtensions {
     // (boundary crossings, not complete units) — the shim maps that form
     (FunctionIdentifier("date_diff_boundary"),
       info("date_diff_boundary", classOf[DateDiffBoundary]),
-      (args: Seq[Expression]) => DateDiffBoundary(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => DateDiffBoundary(args(0), args(1), args(2))),
+    // redact_pii(text): the TextOps email/IP/phone scrub, callable from
+    // pipeline model SQL. Same RegExpReplace chain in the same stage
+    // order over the SHARED TextOps pattern constants, so the SQL
+    // surface cannot drift from the DataFrame operator the q91 oracle
+    // checks (a spec pins builder ≡ TextOps.redactPii output)
+    (FunctionIdentifier("redact_pii"),
+      info("redact_pii",
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace]),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+        import graft.ext.TextOps
+        RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(args(0),
+              Literal(TextOps.EmailPattern), Literal("<EMAIL>")),
+            Literal(TextOps.Ipv4Pattern), Literal("<IP>")),
+          Literal(TextOps.PhonePattern), Literal("<PHONE>"))
+      }))
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -152,6 +152,13 @@ object ScaleCurve {
       "q67_chunk_dedup" -> (n =>
         DedupOps.chunkDedup(docs(spark, dirs(n)), "doc_id", "text",
           chunkTokens = 8)),
+      // corpus-level boilerplate: df threshold scales with the corpus
+      // (ScaleGen replicas are near-disjoint in shingle space, so a FIXED
+      // df would stop flagging at 10× — commonness is relative to corpus
+      // size, the same reasoning as bitsForScale)
+      "q90_boilerplate" -> (n =>
+        TextOps.boilerplateMetrics(docs(spark, dirs(n)), "doc_id", "text",
+          k = 3, maxDf = 3L * n, maxCommonFrac = 0.5)),
       "q65_seq_packing" -> (n =>
         graft.ext.PackOps.packSummary(docs(spark, dirs(n)), "doc_id",
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)),

@@ -167,6 +167,18 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 127L * 127 - 63L * 127)
   }
 
+  test("SQL registration: redact_pii matches the TextOps Column operator") {
+    GraftExtensions.register(spark)
+    val txt = "mail a@b.co from 10.0.0.1 call +1-555-0199, keep v1.2.3"
+    val sql = spark.sql(s"SELECT redact_pii('$txt') AS s")
+      .collect().head.getString(0)
+    assert(sql == "mail <EMAIL> from <IP> call <PHONE>, keep v1.2.3")
+    // the SQL surface and the DataFrame operator must agree byte-for-byte
+    val colApi = Seq(txt).toDF("t")
+      .select(graft.ext.TextOps.redactPii(col("t"))).head.getString(0)
+    assert(sql == colApi)
+  }
+
   test("mismatched lengths use the common prefix (min length)") {
     val r = Seq((Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
       .toDF("a", "b")
