@@ -265,6 +265,66 @@ object TextOps {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** [[contaminationFlags]] with a Bloom prefilter — the formulation for
+    * banned sets too large to broadcast-hash-join. Identical output by
+    * construction (the Bloom pass has no false negatives, and an exact
+    * confirm join kills its false positives), verified by the q92 oracle
+    * — the SAME DuckDB SQL as q63.
+    *
+    * Why this exists: [[contaminationFlags]] broadcasts the banned-gram
+    * set, which is the right plan while that set fits an exact hash
+    * relation (~8 GB ceiling). A 100 TB-era benchmark suite can carry
+    * 10⁹+ distinct n-grams — beyond broadcast, at which point the
+    * broadcast form degrades to shuffling the ENTIRE exploded corpus
+    * gram stream against the banned set. Here the corpus side instead
+    * probes a fixed-size Bloom filter inside one fused map-side kernel
+    * ([[org.apache.spark.sql.graft.BloomRetain]]): clean documents (the
+    * overwhelming majority) produce zero candidate rows and never
+    * explode, never shuffle. Only Bloom survivors (true hits + fpp
+    * false positives) reach the exact confirm join, whose stream side
+    * is now tiny — so that join is cheap under ANY strategy and the
+    * banned set never needs to fit in executor memory. Filter size is
+    * set by the banned cardinality alone (~1.2 GB per 10⁹ grams at 1%
+    * fpp), shipped once per executor as a broadcast variable.
+    *
+    * The eval side is scanned three times (cardinality count, filter
+    * build, confirm join) — it is the small side by definition, and
+    * sizing the filter from the exact count keeps fpp honest.
+    */
+  def contaminationFlagsBloom(train: org.apache.spark.sql.DataFrame,
+                              evalDocs: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String, k: Int,
+                              fpp: Double = 0.01)
+      : org.apache.spark.sql.DataFrame = {
+    val banned = evalDocs
+      .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
+      .distinct()
+    val nBanned = math.max(1L, banned.count())
+    val bloom = org.apache.spark.sql.graft.BloomFunctions.serialize(
+      banned.stat.bloomFilter("__g", nBanned, fpp))
+    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+    val hits = train
+      .select(col(idCol),
+        org.apache.spark.sql.graft.BloomFunctions
+          .bloomRetain(shingles(tokens(col(textCol)), k), bloomB)
+          .as("__cand"))
+      .filter(size(col("__cand")) > 0) // clean docs stop here, map-side
+      // distinct map-side: the confirm join and hit count only need each
+      // surviving gram once per doc
+      .select(col(idCol), explode(array_distinct(col("__cand"))).as("__g"))
+      // deliberately UNHINTED: candidates are few, so AQE broadcasts the
+      // small side at test scale and sort-merges at banned-set scales
+      // where no side fits memory — both correct
+      .join(banned, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hits"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
   /** Tokenizer-vocabulary coverage audit: derive the top-`vocabSize`
     * corpus vocabulary (by frequency, ties broken alphabetically — a
     * strict total order, so the cutoff is deterministic) and report each

@@ -181,6 +181,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Same decontamination contract, Bloom-prefilter formulation: the
+    // scale path for banned sets beyond the broadcast ceiling. Same
+    // DuckDB oracle as q63 — identical output is the operator's claim
+    // (no false negatives + exact confirm join), so the oracle proves it.
+    "q92_bloom_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.contaminationFlagsBloom(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Corpus-level boilerplate (RefinedWeb's duplicated-line fraction
     // over shingles): per-doc fraction of distinct 3-grams whose corpus df
     // exceeds 3 — thresholds sit where the fixture corpus actually splits
@@ -1116,6 +1129,26 @@ object ExtensionQueries {
        |    ELSE 4 END
        |ORDER BY b.doc_id""".stripMargin
 
+  /** q63 AND q92 verbatim: both decontamination formulations (exact
+    * broadcast join; Bloom prefilter + exact confirm) claim the same
+    * output, so sharing one oracle text IS the identity proof the
+    * driver checks.
+    */
+  private lazy val decontamOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+      |    for i in generate_series(1, len(toks) - 2)]) AS g FROM d),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+      |tg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+      |h AS (SELECT doc_id, count(*) AS nh FROM tg JOIN ev USING (g)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_grams,
+      |  coalesce(nh, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM d WHERE doc_id % 50 <> 0) t
+      |LEFT JOIN h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q72: the minhash pair CTEs + recursive closure give each doc its
     * min-reachable component label (the hash-min fixpoint, as in q53/q56);
     * the split coin is the q57 md5-nibble applied to that label.
@@ -1241,20 +1274,10 @@ object ExtensionQueries {
         |  (top_tok_frac > 0.14 OR dup_2gram_frac > 0.07
         |    OR dup_3gram_frac > 0.02) AS repetitive
         |FROM m ORDER BY doc_id""".stripMargin,
-    "q63_decontam" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
-        |    for i in generate_series(1, len(toks) - 2)]) AS g FROM d),
-        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
-        |tg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 <> 0),
-        |h AS (SELECT doc_id, count(*) AS nh FROM tg JOIN ev USING (g)
-        |  GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_grams,
-        |  coalesce(nh, 0) > 0 AS contaminated
-        |FROM (SELECT doc_id FROM d WHERE doc_id % 50 <> 0) t
-        |LEFT JOIN h USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q63_decontam" -> decontamOracleSql,
+    // q92 claims OUTPUT-identity with q63 (Bloom prefilter + exact
+    // confirm ≡ exact join), so it shares the oracle verbatim
+    "q92_bloom_decontam" -> decontamOracleSql,
     "q64_quality_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),

@@ -159,6 +159,21 @@ object ScaleCurve {
       "q90_boilerplate" -> (n =>
         TextOps.boilerplateMetrics(docs(spark, dirs(n)), "doc_id", "text",
           k = 3, maxDf = 3L * n, maxCommonFrac = 0.5)),
+      // both decontamination formulations, same split (doc_id % 50):
+      // the exact broadcast join vs the Bloom-prefilter path — identical
+      // output, different cost shape as the corpus grows
+      "q63_decontam" -> { n =>
+        val d = docs(spark, dirs(n))
+        TextOps.contaminationFlags(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 3)
+      },
+      "q92_bloom_decontam" -> { n =>
+        val d = docs(spark, dirs(n))
+        TextOps.contaminationFlagsBloom(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 3)
+      },
       "q65_seq_packing" -> (n =>
         graft.ext.PackOps.packSummary(docs(spark, dirs(n)), "doc_id",
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)),

@@ -1,0 +1,88 @@
+// Hosted under org.apache.spark.sql for the same private[sql] access
+// reasons as VectorExpressions.scala.
+package org.apache.spark.sql.graft
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Retain the elements of an `array<string>` that MIGHT belong to a
+  * pre-built Bloom filter: no false negatives ever, false positives at
+  * the filter's configured fpp. One fused loop per row (the
+  * BandSignatures pattern — the generated code stays a single helper
+  * call no matter the array length), one filter deserialization per
+  * executor (broadcast bytes + transient lazy).
+  *
+  * Why a Broadcast and not a Literal child: the filter's size is set by
+  * the banned-set cardinality, not the corpus — at 100 TB an eval-suite
+  * n-gram filter runs 100 MB+. A Literal rides the task binary and is
+  * re-shipped per STAGE; a Broadcast ships once per executor and is
+  * cached. The expression compares by broadcast identity, which is
+  * exactly right: two logically distinct filters must not canonicalize
+  * together.
+  *
+  * Membership bytes are the element's UTF-8 encoding, matching what
+  * `DataFrameStatFunctions.bloomFilter` puts for a string column, so a
+  * filter built by `df.stat.bloomFilter` probes correctly here.
+  *
+  * Null elements are retained as non-members (a null gram is in no
+  * banned set); a null array yields null.
+  */
+case class BloomRetain(child: Expression, bloom: Broadcast[Array[Byte]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bloom_retain"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloom.value))
+
+  // Called from generated code via addReferenceObj — must be public.
+  def retain(x: ArrayData): GenericArrayData = {
+    val n = x.numElements()
+    val out = new java.util.ArrayList[AnyRef](4)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val s = x.getUTF8String(i)
+        // clone: the UTF8String may point into a reused unsafe buffer;
+        // the retained copy must own its bytes
+        if (filter.mightContainBinary(s.getBytes)) out.add(s.clone())
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    retain(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref =
+      ctx.addReferenceObj("bloomRetain", this, classOf[BloomRetain].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.retain($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomRetain =
+    copy(child = newChild)
+}
+
+object BloomFunctions {
+  def bloomRetain(arr: Column, bloom: Broadcast[Array[Byte]]): Column =
+    ExpressionUtils.column(BloomRetain(ExpressionUtils.expression(arr), bloom))
+
+  /** Serialize a sketch BloomFilter to broadcastable bytes. */
+  def serialize(f: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    bos.toByteArray
+  }
+}
