@@ -107,9 +107,15 @@ object GraftExtensions {
           Literal(TextOps.PhonePattern), Literal("<PHONE>"))
       }))
 
-  /** Register on an already-built session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (tests, REPL). Every graft
+    * session construction path funnels through here, so this is also
+    * where the http(s) read-only filesystems are installed — the full
+    * "graft surface" for a session is functions + sources.
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    graft.sources.HttpFileSystem.install(spark)
+  }
 }

@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.io.{EOFException, FileNotFoundException, IOException, InputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{BufferedFSInputStream, FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Read-only Hadoop filesystem over HTTP, so `spark.read.parquet` (and
+  * the dialect shim's `read_parquet('https://…')` — the reference's own
+  * example form, /root/reference/examples/basic/source_orders.sql:2)
+  * works on a plain web URL with no extra infrastructure. Spark ships
+  * s3a/abfs/gs connectors but nothing for bare http(s); this closes that
+  * gap for the read path.
+  *
+  * Random access (parquet footers seek) maps to HTTP Range requests: a
+  * seek drops the current connection and the next read issues
+  * `Range: bytes=pos-`. Servers that ignore Range (rare) degrade to a
+  * full GET + skip-forward — correct, just not cheap. Length probing
+  * also rides Range (a 1-byte GET parsing `Content-Range: bytes 0-0/N`)
+  * because JDK test servers and some CDNs mishandle HEAD; a 200 answer
+  * falls back to `Content-Length`.
+  *
+  * Scale posture: each split opens its own connection (executor-side,
+  * no driver involvement, no shared state), so a 1000-executor read
+  * parallelizes like any other FileSystem; but a web server is not a
+  * data lake — this is for pulling reference/seed tables, not the 100 TB
+  * corpus. Globs and directory listings are not expressible over plain
+  * HTTP: one URL = one file. All mutation entry points throw.
+  */
+class HttpFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var workDir: Path = new Path("/")
+
+  override def getScheme: String = "http"
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"$getScheme://${name.getAuthority}")
+  }
+
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(p: Path): Unit = workDir = p
+
+  private def urlOf(f: Path): URL = {
+    val u = f.toUri
+    val auth = Option(u.getAuthority).getOrElse(fsUri.getAuthority)
+    new URL(s"$getScheme://$auth${u.getPath}")
+  }
+
+  /** Length via 1-byte Range GET; 200 (Range ignored) → Content-Length. */
+  private def contentLength(u: URL): Long = {
+    val c = u.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestProperty("Range", "bytes=0-0")
+    try {
+      val code = c.getResponseCode
+      if (code == HttpURLConnection.HTTP_NOT_FOUND)
+        throw new FileNotFoundException(u.toString)
+      if (code == HttpURLConnection.HTTP_PARTIAL) {
+        val cr = c.getHeaderField("Content-Range") // "bytes 0-0/N"
+        val slash = if (cr == null) -1 else cr.lastIndexOf('/')
+        if (slash < 0) throw new IOException(
+          s"206 without a parseable Content-Range for $u: $cr")
+        cr.substring(slash + 1).trim.toLong
+      } else if (code == HttpURLConnection.HTTP_OK) {
+        val len = c.getContentLengthLong
+        if (len < 0) throw new IOException(
+          s"server reports no Content-Length for $u")
+        len
+      } else throw new IOException(s"HTTP $code probing $u")
+    } finally c.disconnect()
+  }
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val len = contentLength(urlOf(f))
+    // mtime 0: HTTP offers no reliable, required Last-Modified; Spark's
+    // file index only uses it for cache invalidation, inapplicable here
+    new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+      makeQualified(f))
+  }
+
+  // One URL = one file: no directory protocol exists over plain HTTP
+  override def listStatus(f: Path): Array[FileStatus] =
+    Array(getFileStatus(f))
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val u = urlOf(f)
+    new FSDataInputStream(new BufferedFSInputStream(
+      new HttpFileSystem.HttpStream(u, contentLength(u)),
+      math.max(bufferSize, 64 * 1024)))
+  }
+
+  private def readOnly(): Nothing =
+    throw new IOException(s"$getScheme filesystem is read-only")
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = readOnly()
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = readOnly()
+  override def rename(src: Path, dst: Path): Boolean = readOnly()
+  override def delete(f: Path, recursive: Boolean): Boolean = readOnly()
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = readOnly()
+}
+
+/** Same transport; the scheme string is the only difference (TLS is
+  * JDK-side, inside HttpsURLConnection).
+  */
+class HttpsFileSystem extends HttpFileSystem {
+  override def getScheme: String = "https"
+}
+
+object HttpFileSystem {
+
+  /** Seekable stream: seek drops the connection; the next read reopens
+    * at `pos` via a Range request. FSInputStream's synchronized
+    * seek/read default supplies PositionedReadable on top.
+    */
+  private final class HttpStream(u: URL, len: Long) extends FSInputStream {
+    private var pos = 0L
+    private var conn: HttpURLConnection = null
+    private var in: InputStream = null
+
+    private def ensureOpen(): Unit = if (in == null) {
+      val c = u.openConnection().asInstanceOf[HttpURLConnection]
+      if (pos > 0) c.setRequestProperty("Range", s"bytes=$pos-")
+      val code = c.getResponseCode
+      if (code == HttpURLConnection.HTTP_NOT_FOUND)
+        throw new FileNotFoundException(u.toString)
+      if (code != HttpURLConnection.HTTP_OK &&
+          code != HttpURLConnection.HTTP_PARTIAL)
+        throw new IOException(s"HTTP $code reading $u")
+      conn = c
+      in = c.getInputStream
+      if (pos > 0 && code == HttpURLConnection.HTTP_OK) {
+        // Range ignored: the body restarts at 0 — skip forward to pos
+        var left = pos
+        while (left > 0) {
+          val skipped = in.skip(left)
+          if (skipped <= 0) throw new IOException(
+            s"cannot skip to $pos in range-less response for $u")
+          left -= skipped
+        }
+      }
+    }
+
+    private def dropConn(): Unit = {
+      if (in != null) { try in.close() catch { case _: IOException => }; in = null }
+      // disconnect, don't drain: a seek from a footer read would
+      // otherwise pull the rest of the body over the wire
+      if (conn != null) { conn.disconnect(); conn = null }
+    }
+
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > len) throw new EOFException(s"seek($p) outside [0,$len]")
+      if (p != pos) { dropConn(); pos = p }
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    override def read(): Int = {
+      if (pos >= len) return -1
+      ensureOpen()
+      val b = in.read()
+      if (b >= 0) pos += 1
+      b
+    }
+
+    override def read(b: Array[Byte], off: Int, length: Int): Int = {
+      if (pos >= len) return -1
+      ensureOpen()
+      val n = in.read(b, off, length)
+      if (n > 0) pos += n
+      n
+    }
+
+    override def close(): Unit = { dropConn(); super.close() }
+  }
+
+  /** Make http:// and https:// paths readable in this session (idempotent;
+    * explicit user settings win).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setIfUnset("fs.http.impl", classOf[HttpFileSystem].getName)
+    hc.setIfUnset("fs.https.impl", classOf[HttpsFileSystem].getName)
+    // one FileSystem object per (scheme, authority) from the cache is
+    // correct here; no per-user state exists
+  }
+}
