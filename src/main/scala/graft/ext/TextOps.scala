@@ -291,6 +291,43 @@ object TextOps {
     * build, confirm join) — it is the small side by definition, and
     * sizing the filter from the exact count keeps fpp honest.
     */
+  /** Build the banned-gram Bloom filter from an eval corpus, sized from
+    * the exact distinct-gram count. The broadcast handle feeds
+    * [[contaminationFlagsBloom]] and [[contaminationGate]]; build once,
+    * gate many inputs (batch shards or a stream).
+    */
+  def bannedGramBloom(evalDocs: org.apache.spark.sql.DataFrame,
+                      textCol: String, k: Int, fpp: Double = 0.01)
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
+    val banned = evalDocs
+      .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
+      .distinct()
+    val nBanned = math.max(1L, banned.count())
+    evalDocs.sparkSession.sparkContext.broadcast(
+      org.apache.spark.sql.graft.BloomFunctions.serialize(
+        banned.stat.bloomFilter("__g", nBanned, fpp)))
+  }
+
+  /** Map-only contamination gate: appends `n_candidate_grams` (Bloom
+    * survivors among the doc's k-grams) and `flagged`. No aggregate, no
+    * join, no state — the SAME Column expressions run unchanged on a
+    * batch OR STREAMING DataFrame (`StreamBatchParitySpec` pins the
+    * equivalence), which is the realistic streaming-ingest shape at
+    * 100 TB: every truly contaminated document is flagged (the filter
+    * has no false negatives), the fpp-rate of clean docs over-flagged
+    * is the price of exactness deferred to the batch confirm
+    * ([[contaminationFlagsBloom]]'s join) over the flagged slice only.
+    */
+  def contaminationGate(docs: org.apache.spark.sql.DataFrame,
+                        textCol: String, k: Int,
+                        bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("n_candidate_grams",
+        size(org.apache.spark.sql.graft.BloomFunctions
+          .bloomRetain(shingles(tokens(col(textCol)), k), bloom)))
+      .withColumn("flagged", col("n_candidate_grams") > 0)
+
   def contaminationFlagsBloom(train: org.apache.spark.sql.DataFrame,
                               evalDocs: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String, k: Int,
@@ -299,10 +336,7 @@ object TextOps {
     val banned = evalDocs
       .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
       .distinct()
-    val nBanned = math.max(1L, banned.count())
-    val bloom = org.apache.spark.sql.graft.BloomFunctions.serialize(
-      banned.stat.bloomFilter("__g", nBanned, fpp))
-    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+    val bloomB = bannedGramBloom(evalDocs, textCol, k, fpp)
     val hits = train
       .select(col(idCol),
         org.apache.spark.sql.graft.BloomFunctions

@@ -173,4 +173,52 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(s.nonEmpty)
     assert(s == b)
   }
+
+  test("contaminationGate on a document stream equals the batch gate, " +
+      "and flags every truly contaminated document") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.TextOps
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bloom = TextOps.bannedGramBloom(evalDocs, "text", k = 3)
+
+    val batchGate = TextOps.contaminationGate(train, "text", 3, bloom)
+      .select(col("doc_id"), col("n_candidate_grams"), col("flagged"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(train.collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = TextOps.contaminationGate(
+        mem.toDF().toDF("doc_id", "text"), "text", 3, bloom)
+      .writeStream.format("memory").queryName("parity_gate")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("parity_gate").collect() }
+      finally q.stop()
+    val s = streamed
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_candidate_grams"), r.getAs[Boolean]("flagged"))).toMap
+
+    assert(s.nonEmpty)
+    assert(s == batchGate) // the same map-only expressions, both modes
+
+    // no false negatives: everything the EXACT operator calls
+    // contaminated must be flagged by the gate (the converse — a few
+    // over-flagged clean docs at the fpp rate — is the design)
+    val trulyContaminated = TextOps.contaminationFlags(
+        train, evalDocs, "doc_id", "text", 3)
+      .filter(col("contaminated")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(trulyContaminated.nonEmpty, "fixture should carry contamination")
+    assert(trulyContaminated.forall(id => s(id)._2),
+      "gate missed a truly contaminated document")
+  }
 }
