@@ -296,12 +296,21 @@ object TextOps {
     * [[contaminationFlagsBloom]] and [[contaminationGate]]; build once,
     * gate many inputs (batch shards or a stream).
     */
+  /** THE banned-gram set: single definition shared by the filter build
+    * and the confirm join — any divergence between the two would break
+    * the no-false-negative invariant the Bloom formulation rests on.
+    */
+  private def bannedGrams(evalDocs: org.apache.spark.sql.DataFrame,
+                          textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    evalDocs
+      .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
+      .distinct()
+
   def bannedGramBloom(evalDocs: org.apache.spark.sql.DataFrame,
                       textCol: String, k: Int, fpp: Double = 0.01)
       : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
-    val banned = evalDocs
-      .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
-      .distinct()
+    val banned = bannedGrams(evalDocs, textCol, k)
     val nBanned = math.max(1L, banned.count())
     evalDocs.sparkSession.sparkContext.broadcast(
       org.apache.spark.sql.graft.BloomFunctions.serialize(
@@ -333,9 +342,7 @@ object TextOps {
                               idCol: String, textCol: String, k: Int,
                               fpp: Double = 0.01)
       : org.apache.spark.sql.DataFrame = {
-    val banned = evalDocs
-      .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
-      .distinct()
+    val banned = bannedGrams(evalDocs, textCol, k)
     val bloomB = bannedGramBloom(evalDocs, textCol, k, fpp)
     val hits = train
       .select(col(idCol),

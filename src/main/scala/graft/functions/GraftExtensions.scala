@@ -18,8 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SparkSessionExtensions has no session-construction hook, but check
+    // rules are built per-session WITH the session — install the http(s)
+    // filesystems there (idempotent, runs before any query resolves a
+    // path) so this activation path yields the same surface register()
+    // does. The rule itself checks nothing.
+    ext.injectCheckRule { session =>
+      graft.sources.HttpFileSystem.install(session)
+      (_: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) => ()
+    }
+  }
 }
 
 object GraftExtensions {

@@ -62,11 +62,15 @@ class HttpFileSystem extends FileSystem {
       if (code == HttpURLConnection.HTTP_NOT_FOUND)
         throw new FileNotFoundException(u.toString)
       if (code == HttpURLConnection.HTTP_PARTIAL) {
-        val cr = c.getHeaderField("Content-Range") // "bytes 0-0/N"
+        // "bytes 0-0/N" — but "/*" (total unknown, RFC 9110 §14.4) and
+        // malformed totals must surface as IOException, not a raw
+        // NumberFormatException out of the planner
+        val cr = c.getHeaderField("Content-Range")
         val slash = if (cr == null) -1 else cr.lastIndexOf('/')
-        if (slash < 0) throw new IOException(
-          s"206 without a parseable Content-Range for $u: $cr")
-        cr.substring(slash + 1).trim.toLong
+        val total = if (slash < 0) None
+          else cr.substring(slash + 1).trim.toLongOption
+        total.getOrElse(throw new IOException(
+          s"206 without a parseable Content-Range total for $u: $cr"))
       } else if (code == HttpURLConnection.HTTP_OK) {
         val len = c.getContentLengthLong
         if (len < 0) throw new IOException(
@@ -138,13 +142,17 @@ object HttpFileSystem {
       conn = c
       in = c.getInputStream
       if (pos > 0 && code == HttpURLConnection.HTTP_OK) {
-        // Range ignored: the body restarts at 0 — skip forward to pos
+        // Range ignored: the body restarts at 0 — skip forward to pos.
+        // skip() may legally return 0 before EOF (momentarily-empty
+        // buffer), so a 0 falls back to a 1-byte read: -1 is the real
+        // EOF, anything else is progress.
         var left = pos
         while (left > 0) {
           val skipped = in.skip(left)
-          if (skipped <= 0) throw new IOException(
-            s"cannot skip to $pos in range-less response for $u")
-          left -= skipped
+          if (skipped > 0) left -= skipped
+          else if (in.read() >= 0) left -= 1
+          else throw new EOFException(
+            s"body ended before offset $pos in range-less response for $u")
         }
       }
     }

@@ -18,7 +18,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * the filter's configured fpp. One fused loop per row (the
   * BandSignatures pattern — the generated code stays a single helper
   * call no matter the array length), one filter deserialization per
-  * executor (broadcast bytes + transient lazy).
+  * JVM (broadcast bytes + a soft-reference cache keyed by broadcast id
+  * — the expression itself rides the task binary, so per-instance state
+  * would deserialize per task).
   *
   * Why a Broadcast and not a Literal child: the filter's size is set by
   * the banned-set cardinality, not the corpus — at 100 TB an eval-suite
@@ -42,8 +44,15 @@ case class BloomRetain(child: Expression, bloom: Broadcast[Array[Byte]])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bloom_retain"
 
+  // Resolved through the JVM-wide cache, NOT deserialized per expression
+  // instance: the expression rides the task binary, so a per-instance
+  // lazy val would rebuild the bit array once per TASK and hold one copy
+  // per concurrent task slot — at the ~GB filter sizes this operator
+  // exists for, that is an executor OOM. The cache keys on broadcast id
+  // (one filter per broadcast per JVM) and holds softly, so the filter
+  // is reclaimable under memory pressure and rebuilt on demand.
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloom.value))
+    BloomRetain.filterFor(bloom)
 
   // Called from generated code via addReferenceObj — must be public.
   def retain(x: ArrayData): GenericArrayData = {
@@ -73,6 +82,32 @@ case class BloomRetain(child: Expression, bloom: Broadcast[Array[Byte]])
 
   override protected def withNewChildInternal(newChild: Expression): BloomRetain =
     copy(child = newChild)
+}
+
+object BloomRetain {
+  // broadcast id → softly-held deserialized filter. SoftReference (not
+  // strong) so a finished job's filter doesn't pin heap forever; the
+  // double-check inside computeIfAbsent-style synchronization keeps it
+  // one-deserialization-per-JVM in the steady state.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, java.lang.ref.SoftReference[BloomFilter]]()
+
+  def filterFor(bloom: Broadcast[Array[Byte]]): BloomFilter = {
+    val ref = cache.get(bloom.id)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else cache.synchronized {
+      val ref2 = cache.get(bloom.id)
+      val hit2 = if (ref2 == null) null else ref2.get()
+      if (hit2 != null) hit2
+      else {
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(bloom.value))
+        cache.put(bloom.id, new java.lang.ref.SoftReference(f))
+        f
+      }
+    }
+  }
 }
 
 object BloomFunctions {

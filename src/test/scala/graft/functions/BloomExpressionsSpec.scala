@@ -72,6 +72,17 @@ class BloomExpressionsSpec extends AnyFunSuite {
     assert(r == Seq("alpha beta", "süß grüß", "日本 語"))
   }
 
+  test("the deserialized filter is cached per broadcast, not per expression") {
+    // the expression rides the task binary — without the JVM-wide cache
+    // a ~GB filter would be rebuilt per task and held per task slot
+    val b = bloomOf(Seq("x y"))
+    val f1 = org.apache.spark.sql.graft.BloomRetain.filterFor(b)
+    val f2 = org.apache.spark.sql.graft.BloomRetain.filterFor(b)
+    assert(f1 eq f2)
+    val other = bloomOf(Seq("p q"))
+    assert(!(org.apache.spark.sql.graft.BloomRetain.filterFor(other) eq f1))
+  }
+
   test("contaminationFlagsBloom ≡ contaminationFlags on a mixed corpus") {
     val evalSet = Seq(
       (100L, "alpha beta gamma delta"),

@@ -24,6 +24,7 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var port: Int = _
   private var docRoot: JPath = _
   @volatile private var honorRange = true
+  @volatile private var starTotal = false
 
   private def serve(ex: HttpExchange): Unit = {
     val rel = ex.getRequestURI.getPath.stripPrefix("/")
@@ -47,7 +48,7 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       case Some((a, b)) if a < bytes.length =>
         val n = (b - a + 1).toInt
         ex.getResponseHeaders.set("Content-Range",
-          s"bytes $a-$b/${bytes.length}")
+          s"bytes $a-$b/${if (starTotal) "*" else bytes.length.toString}")
         ex.sendResponseHeaders(206, n.toLong)
         ex.getResponseBody.write(bytes, a.toInt, n)
       case _ =>
@@ -119,6 +120,22 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .csv(s"http://127.0.0.1:$port/t.csv")
     assert(df.count() == 10)
     assert(df.filter(col("id") === "7").head.getAs[String]("name") == "row_7")
+  }
+
+  test("Content-Range with unknown total (RFC 'bytes 0-0/*') surfaces as " +
+      "IOException, not NumberFormatException") {
+    starTotal = true
+    try {
+      val fs = new HttpFileSystem()
+      fs.initialize(new java.net.URI(s"http://127.0.0.1:$port/"),
+        spark.sparkContext.hadoopConfiguration)
+      val e = intercept[java.io.IOException] {
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"http://127.0.0.1:$port/t.csv"))
+      }
+      assert(!e.isInstanceOf[java.io.FileNotFoundException])
+      assert(e.getMessage.contains("Content-Range"))
+    } finally starTotal = false
   }
 
   test("missing URL fails with a file-not-found analysis error") {
