@@ -122,25 +122,36 @@ object DedupOps {
     * Exact mode re-joins the (unbounded-size) shingle sets by id instead:
     * THAT payload through a ×numBands explode would dominate the shuffle.
     */
-  def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
-                      rowsPerBand: Int, minJaccard: Double,
-                      exact: Boolean = false,
-                      portable: Boolean = false): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    val sh = docs
-      .withColumn("toks", TextOps.tokens(col("text"))) // see ngramJaccardPairs
-      .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("toks"), k)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // Signature via explode + per-hash min aggregates rather than
-    // [[minHashSignature]]'s nested transform/array_min: higher-order
-    // functions are CodegenFallback (interpreted lambda per element ×
-    // numHashes passes), while explode + min(hash) is whole-stage
-    // codegen end-to-end with map-side partial mins — the shuffle carries
-    // one numHashes-wide row per doc per partition, not the shingles.
-    // Default: sig[i] = min over distinct shingles of xxhash64(i, s)
-    // (fastest). portable=true: the md5-derived [[minHashCoeffs]] family —
-    // same plan shape, DuckDB-reproducible signatures.
+  /** Distinct token-k-gram shingle sets: (doc_id, sh); shingle-less docs
+    * drop (they cannot near-dup anything by construction).
+    */
+  private def shingleSets(docs: DataFrame, k: Int): DataFrame = docs
+    .withColumn("toks", TextOps.tokens(col("text"))) // see ngramJaccardPairs
+    .select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("toks"), k)).as("sh"))
+    .filter(size(col("sh")) > 0)
+
+  /** MinHash signatures as a DataFrame: (doc_id, sig ARRAY<BIGINT>).
+    *
+    * Signature via explode + per-hash min aggregates rather than
+    * [[minHashSignature]]'s nested transform/array_min: higher-order
+    * functions are CodegenFallback (interpreted lambda per element ×
+    * numHashes passes), while explode + min(hash) is whole-stage
+    * codegen end-to-end with map-side partial mins — the shuffle carries
+    * one numHashes-wide row per doc per partition, not the shingles.
+    * Default: sig[i] = min over distinct shingles of xxhash64(i, s)
+    * (fastest). portable=true: the md5-derived [[minHashCoeffs]] family —
+    * same plan shape, DuckDB-reproducible signatures, stable across
+    * engines AND runs — the property that makes signatures STORABLE
+    * ([[signatureStore]]): a signature computed today joins correctly
+    * against one computed last month.
+    */
+  def minHashSignaturesDf(docs: DataFrame, k: Int, numHashes: Int,
+                          portable: Boolean): DataFrame =
+    sigsFromShingles(shingleSets(docs, k), numHashes, portable)
+
+  private def sigsFromShingles(sh: DataFrame, numHashes: Int,
+                               portable: Boolean): DataFrame = {
     val sigCols =
       if (portable) minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
         min((lit(a) * col("x") + lit(b)) % lit(MinHashPrime)).as(s"__h$i")
@@ -152,24 +163,44 @@ object DedupOps {
       if (portable) exploded.withColumn("x",
         conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % lit(MinHashPrime))
       else exploded
-    val sigs = hashed
+    hashed
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
-    // Band key: in portable mode the raw signature slice (a rowsPerBand-long
-    // array — exact equality, nothing engine-specific); otherwise its
-    // xxhash64 (narrower shuffle key, same collision semantics to ~2^-64).
+  }
+
+  /** Band rows for LSH blocking: one (doc_id, sig, band_idx, band_hash)
+    * row per band per doc. Band key: in portable mode the raw signature
+    * slice (a rowsPerBand-long array — exact equality, nothing
+    * engine-specific); otherwise its xxhash64 (narrower shuffle key,
+    * same collision semantics to ~2^-64).
+    */
+  def bandedSignatures(sigs: DataFrame, numBands: Int, rowsPerBand: Int,
+                       portable: Boolean): DataFrame = {
     def bandKey(b: Column): Column = {
       val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       if (portable) sl else xxhash64(sl)
     }
-    def bandsOf(extra: Column*): DataFrame = sigs.select(
-        (Seq(col("doc_id")) ++ extra :+
-          explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-            struct(b.as("band_idx"), bandKey(b).as("band_hash")))).as("b")): _*)
+    sigs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          struct(b.as("band_idx"), bandKey(b).as("band_hash")))).as("b"))
       .withColumns(Map("band_idx" -> col("b.band_idx"),
         "band_hash" -> col("b.band_hash"))).drop("b")
+  }
+
+  def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
+                      rowsPerBand: Int, minJaccard: Double,
+                      exact: Boolean = false,
+                      portable: Boolean = false): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sh = shingleSets(docs, k)
+    val sigs = sigsFromShingles(sh, numHashes, portable)
+    // unused columns (sig in the exact branch) prune away at planning
+    def bandsOf(extra: Column*): DataFrame =
+      bandedSignatures(sigs, numBands, rowsPerBand, portable)
+        .select((Seq(col("doc_id")) ++ extra :+ col("band_idx") :+
+          col("band_hash")): _*)
     if (exact) {
       val bands = bandsOf()
       val cands = bands.as("a")
@@ -604,6 +635,76 @@ object DedupOps {
       } finally if (fs.exists(tmp)) fs.delete(tmp, true)
     }
     spark.read.parquet(path)
+  }
+
+  /** Persisted corpus MinHash-signature store — the state that makes
+    * ingest-time dedup INCREMENTAL. Same atomic-publish/first-writer-wins
+    * contract as [[materializedPairs]] (it IS that materializer);
+    * signatures are always `portable` (run-stable md5-derived hashes —
+    * xxhash signatures would also work across runs of the same Spark
+    * version, but portable ones are additionally engine-stable, which is
+    * what lets DuckDB oracle the whole incremental path). Callers version
+    * `path` with (k, numBands, rowsPerBand) — a retune must never join
+    * new signatures against a store built under different parameters.
+    *
+    * At 100 TB the store is docs × numHashes longs — ~2 % of the text it
+    * summarizes at the default 16 hashes — and an ingest reads THIS, not
+    * the corpus: re-tokenizing/re-shingling/re-hashing the corpus per
+    * batch is the O(corpus) cost this operator exists to avoid.
+    */
+  def signatureStore(spark: org.apache.spark.sql.SparkSession,
+                     docs: DataFrame, path: String, k: Int,
+                     numBands: Int, rowsPerBand: Int): DataFrame =
+    materializedPairs(spark, path)(
+      minHashSignaturesDf(docs, k, numBands * rowsPerBand, portable = true))
+
+  /** Flag which documents of an incoming batch near-duplicate the
+    * EXISTING corpus, joining the batch's fresh signatures against a
+    * [[signatureStore]] — the continuous-crawl ingest shape. Output: one
+    * row per batch doc — (doc_id, n_dups, dup).
+    *
+    * Cost per ingest: O(batch) to sign the new docs + a band-key join
+    * whose corpus side re-derives band rows map-only from the stored
+    * signatures (numBands narrow rows per doc — no tokenize, no shingle,
+    * no min-agg over the corpus). Pairs are scored ONCE per distinct
+    * (batch, corpus) pair (the q74 score-once form): band collisions
+    * dedup to id pairs first, signatures join back after. Batch-internal
+    * duplicates are deliberately out of scope — that is
+    * [[minHashLshPairs]] over the batch, a different (and
+    * batch-size-bounded) question; composing both is the caller's
+    * pipeline. A doc too short to shingle never collides, so it flags
+    * clean — same contract as the batch operators.
+    */
+  def incrementalNearDupFlags(newDocs: DataFrame, corpusSigs: DataFrame,
+                              k: Int, numBands: Int, rowsPerBand: Int,
+                              minJaccard: Double): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val newSigs = minHashSignaturesDf(newDocs, k, numHashes, portable = true)
+    def bandsOf(sigs: DataFrame) =
+      bandedSignatures(sigs, numBands, rowsPerBand, portable = true)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val pairs = bandsOf(newSigs)
+      .join(bandsOf(corpusSigs).withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct()
+    val agree = (0 until numHashes).map(i =>
+        when(element_at(col("sig_a"), i + 1) ===
+          element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double")
+    val scored = pairs
+      .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"),
+        col("sig").as("sig_b")), "corpus_id")
+      .select(col("doc_id"),
+        round(agree / numHashes, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val flags = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    newDocs.select(col("doc_id"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("dup", col("n_dups") > 0)
   }
 
   /** Cluster-level dedup: drop every document whose component canonical

@@ -52,15 +52,20 @@ object ExtensionQueries {
     * warehouse is shared storage every executor and every later job can
     * reach, while tmpdir is one machine's local disk.
     */
-  private[graft] def persistedMinHashPairs(s: SparkSession,
-                                           dir: String): DataFrame = {
+  /** Warehouse-rooted materialization path for fixture-derived state,
+    * versioned by a content fingerprint of the fixture's file listing
+    * (name:length:mtime — regenerated fixtures under the same dir can
+    * never serve stale state) and by the caller's parameter suffix.
+    */
+  private def fixturePath(s: SparkSession, dir: String, table: String,
+                          leafPrefix: String, params: String): String = {
     import org.apache.hadoop.fs.Path
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val conf = s.sparkContext.hadoopConfiguration
-    val docs = new Path(dir, "documents.parquet")
-    val dfs = docs.getFileSystem(conf)
+    val src = new Path(dir, s"$table.parquet")
+    val dfs = src.getFileSystem(conf)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = dfs.listFiles(docs, true)
+    val it = dfs.listFiles(src, true)
     while (it.hasNext) {
       val st = it.next()
       entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
@@ -71,11 +76,14 @@ object ExtensionQueries {
     val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
     // leaf must not start with `_` or `.` — Spark's file index treats
     // such names as hidden (the sanitized key starts with `_root_...`)
-    val path = new Path(wh,
-      s"_graft_pairs/pairs_${key}_${fp}_k3_b8_r2_j080").toString
-    DedupOps.materializedPairs(s, path)(
-      portableMinHashPairs(t(s, dir, "documents")))
+    new Path(wh, s"_graft_pairs/${leafPrefix}_${key}_${fp}_$params").toString
   }
+
+  private[graft] def persistedMinHashPairs(s: SparkSession,
+                                           dir: String): DataFrame =
+    DedupOps.materializedPairs(s,
+      fixturePath(s, dir, "documents", "pairs", "k3_b8_r2_j080"))(
+      portableMinHashPairs(t(s, dir, "documents")))
 
   /** q59's full decision chain (quality gate → exact dedup → MinHash-LSH
     * cluster dedup → per-language stratified sample), unordered. Defined
@@ -191,6 +199,23 @@ object ExtensionQueries {
           d.filter(col("doc_id") % 50 =!= 0),
           d.filter(col("doc_id") % 50 === 0),
           "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Incremental ingest dedup: a new batch (doc_id % 3 == 0) flags
+    // its near-dups against the EXISTING corpus via a persisted signature
+    // store — no corpus re-tokenize/re-shingle/re-sign per ingest. The
+    // oracle recomputes both sides from raw text, so a stale or unfaithful
+    // store fails the diff (the q86 proof pattern) -----------------------
+    "q93_incremental_ingest" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val store = DedupOps.signatureStore(s,
+        d.filter(col("doc_id") % 3 =!= 0),
+        fixturePath(s, dir, "documents", "sigs", "corpusMod3_k3_b8_r2"),
+        k = 3, numBands = 8, rowsPerBand = 2)
+      DedupOps.incrementalNearDupFlags(
+          d.filter(col("doc_id") % 3 === 0), store,
+          k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8)
         .orderBy(col("doc_id"))
     }),
 
@@ -1274,6 +1299,27 @@ object ExtensionQueries {
         |  (top_tok_frac > 0.14 OR dup_2gram_frac > 0.07
         |    OR dup_3gram_frac > 0.02) AS repetitive
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q93: the shared signature CTEs (d…bands — DuckDB ignores the
+    // unreferenced all-pairs cand/scored), then batch×corpus collisions
+    // only; recomputed from raw on BOTH sides, so the persisted store's
+    // faithfulness is what the diff proves
+    "q93_incremental_ingest" ->
+      s"""WITH ${minHashPairCtes()},
+         |icand AS (SELECT DISTINCT a.doc_id AS doc_id,
+         |    b.doc_id AS corpus_id, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+         |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+         |iscored AS (SELECT doc_id, corpus_id,
+         |    round(len([i for i in generate_series(1, 16)
+         |      if sig_a[i] = sig_b[i]]) / 16.0, 4) AS jaccard
+         |  FROM icand),
+         |ih AS (SELECT doc_id, count(*) AS n_dups FROM iscored
+         |  WHERE jaccard >= 0.8 GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+         |  coalesce(n_dups, 0) > 0 AS dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) t
+         |LEFT JOIN ih USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q63_decontam" -> decontamOracleSql,
     // q92 claims OUTPUT-identity with q63 (Bloom prefilter + exact
     // confirm ≡ exact join), so it shares the oracle verbatim

@@ -97,6 +97,18 @@ object ScaleCurve {
       n -> p
     }
 
+    // q93's scale claim is "per-ingest cost reads the signature STORE,
+    // not the corpus" — pre-build the store per scale (untimed: paying it
+    // is a one-time event, amortized over every later ingest) and time
+    // only the ingest of a FIXED batch (the 1× batch slice) against it.
+    val sigStorePath: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/sig_store.parquet"
+      DedupOps.signatureStore(spark,
+        docs(spark, d).filter(col("doc_id") % 3 =!= 0), p,
+        k = 3, numBands = 8, rowsPerBand = 2)
+      n -> p
+    }
+
     val nVecs: Map[Int, Long] =
       dirs.map { case (n, d) => n -> embs(spark, d).count() }
 
@@ -159,6 +171,13 @@ object ScaleCurve {
       "q90_boilerplate" -> (n =>
         TextOps.boilerplateMetrics(docs(spark, dirs(n)), "doc_id", "text",
           k = 3, maxDf = 3L * n, maxCommonFrac = 0.5)),
+      // fixed 1× batch vs a corpus-scaled signature store: the ingest
+      // plan signs ONLY the batch and band-joins the store scan
+      "q93_incremental_ingest" -> (n =>
+        DedupOps.incrementalNearDupFlags(
+          docs(spark, dirs(1)).filter(col("doc_id") % 3 === 0),
+          spark.read.parquet(sigStorePath(n)),
+          k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8)),
       // both decontamination formulations, same split (doc_id % 50):
       // the exact broadcast join vs the Bloom-prefilter path — identical
       // output, different cost shape as the corpus grows

@@ -317,4 +317,53 @@ class DedupOpsSpec extends AnyFunSuite {
       DedupOps.hashSample(df, "id", Seq("")))
     assert(e2.getMessage.contains("lowercase hex"))
   }
+
+  test("incrementalNearDupFlags: clone of a corpus doc flags, unique and " +
+      "unshingleable docs stay clean, every batch doc reports") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, base),
+      (11L, "completely unrelated corpus material about spark internals"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                     // exact clone → dup
+      (2L, "nothing like anything stored in the corpus at all"),
+      (3L, "a b")                                     // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val sigs = DedupOps.minHashSignaturesDf(corpus, k = 3, numHashes = 16,
+      portable = true)
+    val r = DedupOps.incrementalNearDupFlags(batch, sigs, k = 3,
+        numBands = 8, rowsPerBand = 2, minJaccard = 0.8)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0).getAs[Boolean]("dup") && r(0).getAs[Long]("n_dups") == 1L)
+    assert(!r(1).getAs[Boolean]("dup") && r(1).getAs[Long]("n_dups") == 0L)
+    assert(!r(2).getAs[Boolean]("dup"))
+  }
+
+  test("signatureStore: ingest against the persisted store equals ingest " +
+      "against freshly computed signatures; second call hits the cache") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sigs-spec").resolve("sigs").toString
+    val store = DedupOps.signatureStore(spark, corpus, path,
+      k = 3, numBands = 8, rowsPerBand = 2)
+    val fresh = DedupOps.minHashSignaturesDf(corpus, 3, 16, portable = true)
+    val viaStore = DedupOps.incrementalNearDupFlags(batch, store,
+        3, 8, 2, 0.8).collect().map(_.toSeq).toSet
+    val viaFresh = DedupOps.incrementalNearDupFlags(batch, fresh,
+        3, 8, 2, 0.8).collect().map(_.toSeq).toSet
+    assert(viaStore == viaFresh && viaStore.nonEmpty)
+    // cache hit: the store side of a second call plans as a bare
+    // FileScan — no shingle Generate, no signature HashAggregate
+    val again = DedupOps.signatureStore(spark, corpus, path, 3, 8, 2)
+    val plan = again.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Scan parquet"))
+    assert(!plan.contains("Generate") && !plan.contains("HashAggregate"))
+  }
 }
