@@ -658,6 +658,23 @@ object DedupOps {
     materializedPairs(spark, path)(
       minHashSignaturesDf(docs, k, numBands * rowsPerBand, portable = true))
 
+  /** Close the ingest loop: sign `acceptedDocs` (the batch rows that
+    * survived [[incrementalNearDupFlags]] + whatever other gates) and
+    * append their signatures to the store, so the NEXT batch dedups
+    * against them too. Parquet append — atomic per file, but the
+    * store's writer contract is single-ingest-at-a-time (the natural
+    * crawl-pipeline shape); concurrent ingests should serialize on the
+    * store, not race it. Returns the appended signature frame's count.
+    */
+  def appendToSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                             acceptedDocs: DataFrame, path: String, k: Int,
+                             numBands: Int, rowsPerBand: Int): Long = {
+    val sigs = minHashSignaturesDf(acceptedDocs, k,
+      numBands * rowsPerBand, portable = true)
+    sigs.write.mode("append").parquet(path)
+    spark.read.parquet(path).count() // post-append size, for the caller's log
+  }
+
   /** Flag which documents of an incoming batch near-duplicate the
     * EXISTING corpus, joining the batch's fresh signatures against a
     * [[signatureStore]] — the continuous-crawl ingest shape. Output: one

@@ -342,6 +342,29 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!r(2).getAs[Boolean]("dup"))
   }
 
+  test("appendToSignatureStore closes the loop: batch 2 flags against " +
+      "batch 1's accepted docs") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sigs-append").resolve("sigs").toString
+    val corpus = Seq((10L, "totally original corpus words nothing else " +
+      "shares these tokens")).toDF("doc_id", "text")
+    DedupOps.signatureStore(spark, corpus, path, 3, 8, 2)
+    val batch1 = Seq((20L, "the quick brown fox jumps over the lazy dog " +
+      "again and again")).toDF("doc_id", "text")
+    val f1 = DedupOps.incrementalNearDupFlags(batch1,
+      spark.read.parquet(path), 3, 8, 2, 0.8).collect()
+    assert(!f1.head.getAs[Boolean]("dup")) // new vs corpus: clean
+    val n = DedupOps.appendToSignatureStore(spark, batch1, path, 3, 8, 2)
+    assert(n == 2L) // corpus doc + accepted batch doc
+    // batch 2 clones batch 1's doc — only detectable through the append
+    val batch2 = Seq((30L, "the quick brown fox jumps over the lazy dog " +
+      "again and again")).toDF("doc_id", "text")
+    val f2 = DedupOps.incrementalNearDupFlags(batch2,
+      spark.read.parquet(path), 3, 8, 2, 0.8).collect()
+    assert(f2.head.getAs[Boolean]("dup") && f2.head.getAs[Long]("n_dups") == 1L)
+  }
+
   test("signatureStore: ingest against the persisted store equals ingest " +
       "against freshly computed signatures; second call hits the cache") {
     import spark.implicits._
