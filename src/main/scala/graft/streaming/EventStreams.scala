@@ -216,6 +216,52 @@ object EventStreams {
       .drop("__rk")
   }
 
+  /** Streaming ingest dedup: each micro-batch of documents flags against
+    * the persisted signature store ([[graft.ext.DedupOps.signatureStore]]
+    * semantics), writes its decisions to `outPath`, and appends the
+    * ACCEPTED docs' signatures — so a later micro-batch dedups against
+    * an earlier one. `foreachBatch` is the right tool, not a stateful
+    * operator: the dedup state is the whole corpus-to-date, which
+    * belongs in storage (bounded executor memory, survives restarts,
+    * shared with batch ingests), not in the state store — a
+    * flatMapGroupsWithState formulation would grow state without bound
+    * and rebuild it from the changelog on every recovery. Micro-batches
+    * execute serially per query, which is exactly the store's
+    * single-ingest writer contract; exactly-once note: foreachBatch is
+    * at-least-once on retry, and a retried batch re-flags against a
+    * store that may already hold its docs — flags stay CORRECT (a doc
+    * colliding with its own identical signature scores jaccard 1.0 only
+    * if re-signed identically, and re-appends are de-duplicated by the
+    * next reader only if the caller keys doc ids); callers needing
+    * exactly-once should make `accept` idempotent on doc_id.
+    */
+  def runIngestDedup(docStream: DataFrame, storePath: String,
+                     outPath: String, checkpoint: String,
+                     k: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
+                     minJaccard: Double = 0.8) = {
+    import graft.ext.DedupOps
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist() // one materialization feeds flag + append
+        try {
+          val flags = DedupOps.incrementalNearDupFlags(b,
+            spark.read.parquet(storePath), k, numBands, rowsPerBand,
+            minJaccard)
+          flags.write.mode("append").parquet(outPath)
+          val accepted = b.join(
+            flags.filter(!col("dup")).select("doc_id"), "doc_id")
+          DedupOps.appendToSignatureStore(spark, accepted, storePath,
+            k, numBands, rowsPerBand)
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** End-to-end streaming pipeline wiring: file source → windowed agg →
     * sink. Returns the started query; callers own its lifecycle.
     */

@@ -264,4 +264,45 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.contains((2L, ts(10), 1.0)))
     } finally q.stop()
   }
+
+  test("runIngestDedup: micro-batches flag against the store AND against " +
+      "earlier accepted micro-batches; decisions land in the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.DedupOps
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("decisions").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val corpusText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet"
+    DedupOps.signatureStore(spark,
+      Seq((1L, corpusText)).toDF("doc_id", "text"), store, 3, 8, 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.runIngestDedup(
+      mem.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    try {
+      // batch 1: one corpus clone, one genuinely new doc
+      mem.addData((10L, corpusText),
+        (11L, "the quick brown fox jumps over the lazy dog tonight"))
+      q.processAllAvailable()
+      // batch 2: clones the doc batch 1 ACCEPTED — only the append can
+      // catch it
+      mem.addData(
+        (20L, "the quick brown fox jumps over the lazy dog tonight"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val decisions = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup")).toMap
+    assert(decisions == Map(10L -> true, 11L -> false, 20L -> true))
+    // the store grew by exactly the accepted doc
+    val storeIds = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(storeIds == Set(1L, 11L))
+  }
 }
