@@ -283,4 +283,35 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(shingleShuffles <= 2,
       s"expected <=2 shingle-keyed exchanges, got $shingleShuffles:\n$p")
   }
+
+  test("q92: the Bloom gate is in the plan, and candidate grams shuffle " +
+      "at most once (clean docs die map-side)") {
+    val p = plan("q92_bloom_decontam")
+    // the fused kernel gates BEFORE any explode/join — its presence in
+    // the plan is the map-side cut
+    assert(p.contains("bloom_retain"), s"Bloom kernel missing:\n$p")
+    // gram-keyed exchanges: the banned-side distinct only; the candidate
+    // stream must meet it via broadcast or as the already-filtered
+    // survivors — a second gram shuffle means the full corpus gram
+    // stream leaked past the gate
+    val gramShuffles = "hashpartitioning\\(__g".r.findAllIn(p).size
+    assert(gramShuffles <= 2,
+      s"expected <=2 gram-keyed exchanges, got $gramShuffles:\n$p")
+  }
+
+  test("q93: ingest signs only the batch — the corpus text is never " +
+      "rescanned; signatures come from the store's FileScan") {
+    val p = plan("q93_incremental_ingest")
+    // the registered query reads documents.parquet for the BATCH side
+    // only: its signature subplan appears twice pre-AQE (bands + sig
+    // fetch — at runtime AQE reuses the one exchange, observed as
+    // ReusedExchange) plus the final per-doc report join = 3. The corpus
+    // side must be the persisted signature store; re-signing the corpus
+    // text would push this to >= 4 and is the regression this pins.
+    val docScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans <= 3,
+      s"corpus text appears to be rescanned ($docScans doc scans):\n$p")
+    assert(p.contains("_graft_pairs"),
+      s"signature-store FileScan missing:\n$p")
+  }
 }
