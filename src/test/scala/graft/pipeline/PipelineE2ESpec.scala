@@ -418,6 +418,13 @@ class PipelineE2ESpec extends AnyFunSuite {
       .filter(col("count") =!= 5).count() == 0)
     assert(topk.filter(org.apache.spark.sql.functions.abs(col("sim")) >
       127L * 127 + 1200).count() == 0) // |cos| <= 1 + quantization slack
+    // pii_scrub model: every planted contact line is fully redacted
+    val scrub = spark.table("pii_scrub")
+    assert(scrub.count() > 0)
+    assert(scrub.filter(!col("clean_text").contains("<EMAIL>") ||
+      !col("clean_text").contains("<PHONE>")).count() == 0)
+    assert(scrub.filter(col("clean_text").contains(".example.com"))
+      .count() == 0)
   }
 
   test("examples/dialect: ASOF JOIN + DISTINCT ON + macro pipeline runs " +
