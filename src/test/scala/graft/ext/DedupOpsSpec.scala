@@ -356,7 +356,7 @@ class DedupOpsSpec extends AnyFunSuite {
       spark.read.parquet(path), 3, 8, 2, 0.8).collect()
     assert(!f1.head.getAs[Boolean]("dup")) // new vs corpus: clean
     val n = DedupOps.appendToSignatureStore(spark, batch1, path, 3, 8, 2)
-    assert(n == 2L) // corpus doc + accepted batch doc
+    assert(n == 1L) // the appended batch signature, never the store total
     // batch 2 clones batch 1's doc — only detectable through the append
     val batch2 = Seq((30L, "the quick brown fox jumps over the lazy dog " +
       "again and again")).toDF("doc_id", "text")

@@ -304,5 +304,46 @@ class EventStreamsSpec extends AnyFunSuite {
     val storeIds = spark.read.parquet(store).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(storeIds == Set(1L, 11L))
+
+    // replay: a fresh checkpoint re-delivers batch 0, but its marker
+    // exists — the batch is skipped wholesale, so decisions don't
+    // duplicate and the store doesn't grow
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.runIngestDedup(
+      mem2.toDF().toDF("doc_id", "text"), store, out,
+      tmp.resolve("ckpt2").toString)
+    try {
+      mem2.addData((10L, corpusText),
+        (11L, "the quick brown fox jumps over the lazy dog tonight"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(out).count() == 3)
+    assert(spark.read.parquet(store).count() == 2)
+  }
+
+  test("runIngestDedup bootstraps from an ABSENT store: a fresh crawl " +
+      "needs no out-of-band setup, and in-batch order still dedups " +
+      "across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-boot")
+    val store = tmp.resolve("store").toString // never created beforehand
+    val out = tmp.resolve("decisions").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.runIngestDedup(
+      mem.toDF().toDF("doc_id", "text"), store, out,
+      tmp.resolve("ckpt").toString)
+    try {
+      mem.addData((1L, "november oscar papa quebec romeo sierra tango"))
+      q.processAllAvailable() // batch 0 against an empty world
+      mem.addData((2L, "november oscar papa quebec romeo sierra tango"))
+      q.processAllAvailable() // batch 1 clones batch 0's accepted doc
+    } finally q.stop()
+    val decisions = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup")).toMap
+    assert(decisions == Map(1L -> false, 2L -> true))
   }
 }
