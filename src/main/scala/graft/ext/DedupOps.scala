@@ -385,6 +385,53 @@ object DedupOps {
     * Returns per-doc (idCol, comp, split); `trainSixteenths`/16 of the
     * CLUSTERS go to "train", the rest to "val".
     */
+  /** Deterministic target-mix sampling — the domain-reweighting step of
+    * a training recipe: given per-source target SHARES of a token
+    * budget, sample each source at rate
+    * min(1, share·budget / availableTokens(source)) with the same
+    * md5-uniform coin the other samplers use, so the kept set is
+    * engine-/retry-/partitioning-independent. Sources absent from
+    * `targetShares` are excluded (rate 0); a source whose target exceeds
+    * its supply clamps to keep-everything (the caller sees the shortfall
+    * in the output's per-source token sums).
+    *
+    * The caller pre-multiplies nothing: shares are fractions of
+    * `budgetTokens`. share·budget is computed HERE in driver Scala and
+    * pushed down as one literal per source, so an oracle re-deriving the
+    * rate performs the identical IEEE division literal/avail — bitwise
+    * rate equality, no cross-engine float-ordering hazard.
+    *
+    * Plan shape: one partial-agg pass for per-source token supply (tiny
+    * result, broadcast back), then a map-only keep decision — no shuffle
+    * of the corpus itself.
+    */
+  def targetMixSample(docs: DataFrame, idCol: String, sourceCol: String,
+                      nTokCol: Column, targetShares: Map[String, Double],
+                      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0,
+      s"targetMixSample: budgetTokens must be positive, got $budgetTokens")
+    require(targetShares.values.forall(s => s > 0 && s <= 1.0),
+      "targetMixSample: every share must be in (0, 1]")
+    val want: Map[String, Double] =
+      targetShares.map { case (s, t) => s -> t * budgetTokens }
+    val avail = docs.groupBy(col(sourceCol))
+      .agg(sum(nTokCol).cast("double").as("__avail"))
+      .withColumn("__want", element_at(typedLit(want), col(sourceCol)))
+      // null-filter BEFORE least: Spark's least SKIPS nulls, so an
+      // unlisted source would otherwise clamp to rate 1.0 (keep-all)
+      // instead of dropping out
+      .filter(col("__want").isNotNull)
+      .withColumn("__rate", least(lit(1.0), col("__want") / col("__avail")))
+    val coin = conv(substring(md5(concat_ws(":", lit("mix"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / 4294967296.0
+    docs
+      .withColumn("n_tok", nTokCol.cast("long"))
+      .join(broadcast(avail), Seq(sourceCol))
+      .filter(coin < col("__rate"))
+      .select(col(idCol), col(sourceCol), col("n_tok"))
+  }
+
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        trainSixteenths: Int): DataFrame = {
     val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)

@@ -55,6 +55,37 @@ object PackOps {
       .drop("__cum")
   }
 
+  /** Deterministic epoch reshuffle: assign each document a shard and a
+    * within-shard position from an md5 coin over (seed, id) — the step
+    * that re-orders a finished corpus differently per training epoch.
+    * Changing `seed` permutes everything; the same seed reproduces the
+    * same order on any engine, any cluster size, any retry — which is
+    * what makes a training run resumable mid-epoch.
+    *
+    * Plan shape at 100 TB: ONE shuffle (hash partition by shard) + a
+    * sort within each shard — the window's partitioning IS the physical
+    * layout a shard-file writer needs, so
+    * [[SinkOps.writePartitionedParquet]] on (shard) with
+    * sortWithinPartitions(ord) adds no further exchange. nShards is the
+    * parallelism knob: ~(corpus / target shard file size). Hash-coin
+    * sharding is skew-free regardless of id distribution or doc length.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, s"epochShuffle: nShards must be positive, got $nShards")
+    val coin = md5(concat_ws(":", lit(seed), col(idCol)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__coin"), col(idCol)) // id tie-break: total order even
+                                          // on md5-prefix collisions
+    docs
+      .withColumn("__coin", coin)
+      .withColumn("shard",
+        pmod(conv(substring(col("__coin"), 1, 8), 16, 10).cast("long"),
+          lit(nShards)).cast("int"))
+      .withColumn("ord", row_number().over(w))
+      .drop("__coin")
+  }
+
   /** Per-bin packing summary: document count, filled tokens, id range.
     * The groupBy rides the same (shard) partitioning the window produced —
     * Catalyst reuses the exchange, so the summary adds no extra shuffle

@@ -214,6 +214,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Epoch reshuffle: deterministic per-epoch ordering (seed 7, 8
+    // shards). The oracle recomputes the md5 coin + row_number in DuckDB,
+    // so shard assignment AND within-shard order are both engine-pinned --
+    "q94_epoch_shuffle" -> ((s, dir) =>
+      graft.ext.PackOps.epochShuffle(t(s, dir, "documents")
+          .select(col("doc_id")), "doc_id", seed = 7L, nShards = 8)
+        .orderBy(col("doc_id"))),
+
+    // -- Target domain mix: per-source sampling rates derived from target
+    // shares of a token budget; rates and coins both md5-deterministic,
+    // so the kept set is exactly reproducible in DuckDB -----------------
+    "q95_target_mix" -> ((s, dir) =>
+      DedupOps.targetMixSample(t(s, dir, "documents"), "doc_id", "source",
+          size(TextOps.tokens(col("text"))), MixTargets, MixBudget)
+        .orderBy(col("doc_id"))),
+
     // -- Corpus-level boilerplate (RefinedWeb's duplicated-line fraction
     // over shingles): per-doc fraction of distinct 3-grams whose corpus df
     // exceeds 3 — thresholds sit where the fixture corpus actually splits
@@ -1149,6 +1165,35 @@ object ExtensionQueries {
        |    ELSE 4 END
        |ORDER BY b.doc_id""".stripMargin
 
+  /** q95's recipe, shared by the Spark query and the oracle generator so
+    * the two can't drift: share·budget is multiplied ONCE here in driver
+    * Scala and interpolated into both sides as a literal — the engines
+    * then perform the identical IEEE division literal/avail, giving
+    * bitwise-equal rates (cross-engine float-op ORDERING is the hazard,
+    * not float math itself).
+    */
+  private val MixTargets: Map[String, Double] =
+    Map("src0" -> 0.25, "src1" -> 0.15, "src2" -> 0.10, "src3" -> 0.50)
+  private val MixBudget: Long = 3000L
+
+  private lazy val targetMixOracleSql: String = {
+    val values = MixTargets.toSeq.sorted
+      .map { case (s, t) => s"('$s', ${t * MixBudget})" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS n_tok
+       |  FROM documents),
+       |tw(source, want) AS (VALUES $values),
+       |av AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS avail
+       |  FROM tok GROUP BY source),
+       |r AS (SELECT tw.source, least(1.0, want / avail) AS rate
+       |  FROM tw JOIN av ON tw.source = av.source)
+       |SELECT doc_id, t.source, CAST(n_tok AS BIGINT) AS n_tok
+       |FROM tok t JOIN r ON t.source = r.source
+       |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS STRING)),
+       |    1, 8)) AS BIGINT) / 4294967296.0 < rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q63 AND q92 verbatim: both decontamination formulations (exact
     * broadcast join; Bloom prefilter + exact confirm) claim the same
     * output, so sharing one oracle text IS the identity proof the
@@ -1315,6 +1360,17 @@ object ExtensionQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) t
          |LEFT JOIN ih USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q94_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5('7:' || CAST(doc_id AS STRING)) AS c FROM documents),
+        |s AS (SELECT doc_id, c,
+        |    CAST(CAST(('0x' || substr(c, 1, 8)) AS BIGINT) % 8 AS INT)
+        |      AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY c, doc_id)
+        |    AS INT) AS ord
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q95_target_mix" -> targetMixOracleSql,
     "q63_decontam" -> decontamOracleSql,
     // q92 claims OUTPUT-identity with q63 (Bloom prefilter + exact
     // confirm ≡ exact join), so it shares the oracle verbatim

@@ -318,6 +318,37 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("lowercase hex"))
   }
 
+  test("targetMixSample: unlisted sources drop, oversubscribed sources " +
+      "keep everything, rates scale with share") {
+    import spark.implicits._
+    // three sources, 10 docs x 100 tokens each (supply 1000 tokens/source)
+    val docs = (for {
+      (src, base) <- Seq(("a", 0L), ("b", 100L), ("c", 200L))
+      i <- 0L until 10L
+    } yield (base + i, src, Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val nTok = size(split(col("text"), "\\s+"))
+    // a: share 0.9 of 2000 = 1800 wanted > 1000 supplied → rate clamps 1
+    // b: share 0.1 of 2000 = 200 wanted / 1000 → rate 0.2
+    // c: unlisted → excluded entirely
+    val r = DedupOps.targetMixSample(docs, "doc_id", "source", nTok,
+      Map("a" -> 0.9, "b" -> 0.1), budgetTokens = 2000L)
+    val bySrc = r.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySrc.getOrElse("a", 0L) == 10L) // clamped: keep-all
+    assert(bySrc.getOrElse("b", 0L) < 10L)  // genuinely sampled
+    assert(!bySrc.contains("c"))            // unlisted: rate 0, not 1
+    // deterministic: the exact same kept set on a rerun
+    val again = DedupOps.targetMixSample(docs, "doc_id", "source", nTok,
+      Map("a" -> 0.9, "b" -> 0.1), budgetTokens = 2000L)
+    assert(r.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+    val e = intercept[IllegalArgumentException](
+      DedupOps.targetMixSample(docs, "doc_id", "source", nTok,
+        Map("a" -> 1.5), 100L))
+    assert(e.getMessage.contains("share"))
+  }
+
   test("incrementalNearDupFlags: clone of a corpus doc flags, unique and " +
       "unshingleable docs stay clean, every batch doc reports") {
     import spark.implicits._

@@ -100,4 +100,29 @@ class PackOpsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected single shard exchange:\n$plan")
   }
+
+  test("epochShuffle: reproducible per seed, permuted across seeds, " +
+      "(shard, ord) is a dense total order") {
+    import spark.implicits._
+    val d = (1L to 200L).toDF("doc_id")
+    def run(seed: Long) = PackOps.epochShuffle(d, "doc_id", seed, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val a1 = run(7L); val a2 = run(7L); val b = run(8L)
+    assert(a1.toSeq == a2.toSeq) // same seed → identical epoch order
+    assert(a1.toSeq != b.toSeq)  // new seed → a different permutation
+    assert(a1.length == 200)
+    // within each shard, ord is exactly 1..count (dense, no gaps/dups)
+    a1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // md5-coin sharding spreads uniformly-ish (no empty shard at n=200)
+    assert(a1.map(_._2).distinct.length == 4)
+  }
+
+  test("epochShuffle rejects a non-positive shard count") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException](
+      PackOps.epochShuffle((1L to 3L).toDF("doc_id"), "doc_id", 1L, 0))
+    assert(e.getMessage.contains("nShards"))
+  }
 }
