@@ -299,6 +299,26 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected <=2 gram-keyed exchanges, got $gramShuffles:\n$p")
   }
 
+  test("q94: epoch reshuffle is ONE corpus shuffle (the shard exchange) " +
+      "plus the oracle sort") {
+    val p = plan("q94_epoch_shuffle")
+    // shard hash exchange + the orderBy(doc_id) range exchange for the
+    // oracle compare; anything more means the window lost its
+    // partitioning
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q95: mix rates broadcast back — the corpus itself never " +
+      "hash-shuffles") {
+    val p = plan("q95_target_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rates should broadcast:\n$p")
+    // the only hash exchange is the per-source supply aggregate (tiny);
+    // the keep decision is map-only on the scan side
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("q93: ingest signs only the batch — the corpus text is never " +
       "rescanned; signatures come from the store's FileScan") {
     val p = plan("q93_incremental_ingest")
