@@ -140,6 +140,31 @@ object ProfileOps {
         col("min_str"), col("max_str"))
   }
 
+  /** Join-key skew diagnostic — the measurement that decides whether a
+    * key needs salting ([[JoinOps.saltedEquiJoin]], q36/q73) BEFORE the
+    * join stalls a stage on one reducer. Reports the topN heaviest keys
+    * with the corpus totals beside them; consumers derive ratios
+    * (n/total_rows = the key's share; n·n_keys/total_rows = its skew
+    * factor vs uniform) from the exact integers — deliberately no
+    * pre-rounded floats in the output, so the result is
+    * engine-hash-stable (the q14 sums-not-averages rule).
+    *
+    * Plan shape: one partial-agg pass per-key, a TakeOrderedAndProject
+    * for the top slice (never a full sort), and the two scalar totals
+    * broadcast back — nothing about the corpus shuffles beyond the
+    * per-key count's map-side-combined exchange.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"keySkew: topN must be positive, got $topN")
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = df.agg(count(lit(1)).as("total_rows"),
+      count_distinct(col(keyCol)).as("n_keys"))
+    perKey
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+      .crossJoin(broadcast(totals))
+  }
+
   /** Numeric-only profile, kept for callers that want the narrow schema.
     * Coerces every column to double first (the original contract: a
     * numeric-string column profiles as its parsed values).

@@ -214,6 +214,13 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Join-key skew report over the skewed events.user_id: the
+    // decide-to-salt measurement (integer outputs only — ratios are the
+    // consumer's division) ----------------------------------------------
+    "q96_key_skew" -> ((s, dir) =>
+      graft.ext.ProfileOps.keySkew(t(s, dir, "events"), "user_id", topN = 10)
+        .orderBy(col("n").desc, col("user_id"))),
+
     // -- Epoch reshuffle: deterministic per-epoch ordering (seed 7, 8
     // shards). The oracle recomputes the md5 coin + row_number in DuckDB,
     // so shard assignment AND within-shard order are both engine-pinned --
@@ -1360,6 +1367,15 @@ object ExtensionQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) t
          |LEFT JOIN ih USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q96_key_skew" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n FROM events
+        |  GROUP BY user_id),
+        |t AS (SELECT count(*) AS total_rows,
+        |    count(DISTINCT user_id) AS n_keys FROM events)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(total_rows AS BIGINT) AS total_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys
+        |FROM pk, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "q94_epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |    md5('7:' || CAST(doc_id AS STRING)) AS c FROM documents),

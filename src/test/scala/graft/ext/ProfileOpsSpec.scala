@@ -98,4 +98,19 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(p("price.usd").getAs[Long]("n_distinct") == 2)
     assert(p("tag").getAs[String]("max_str") == "y")
   }
+
+  test("keySkew: heaviest keys first with exact totals; top slice is a " +
+      "TakeOrderedAndProject, never a full sort") {
+    import spark.implicits._
+    // key 1 → 6 rows, key 2 → 3, keys 3..6 → 1 each: 13 rows, 6 keys
+    val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ (3 to 6)).toDF("k")
+    val r = ProfileOps.keySkew(df, "k", topN = 3).collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1))).toSeq ==
+      Seq((1, 6L), (2, 3L), (3, 1L))) // count desc, key asc tie-break
+    assert(r.forall(x => x.getAs[Long]("total_rows") == 13L &&
+      x.getAs[Long]("n_keys") == 6L))
+    val plan = ProfileOps.keySkew(df, "k", 3).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
