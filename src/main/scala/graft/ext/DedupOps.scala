@@ -104,24 +104,6 @@ object DedupOps {
        r.nextInt(MinHashPrime.toInt).toLong))
   }
 
-  /** MinHash-LSH near-dup pairs, banding scheme (numBands × rowsPerBand =
-    * numHashes). Stages, each one shuffle on a uniform key:
-    *   1. map: shingle set → 16-long signature → 4 band hashes
-    *   2. candidate generation: self-join on (band_idx, band_hash)
-    *   3. verification: threshold filter on the Jaccard similarity —
-    *      `exact=false` (default, the 100 TB path) estimates it as the
-    *      fraction of agreeing signature positions, joining only the
-    *      16-long signatures back to candidates; `exact=true` re-joins the
-    *      full shingle sets and computes true Jaccard (what the big web
-    *      corpora pipelines skip, because the candidate payload is then the
-    *      documents themselves, not fixed-width signatures).
-    * In estimate mode the fixed-width signature (numHashes longs, ~128 B)
-    * rides through the band explode, so candidate verification needs no
-    * further join — numBands × 128 B of extra shuffle per doc is far
-    * cheaper than re-scanning and re-hashing the corpus for a join-back.
-    * Exact mode re-joins the (unbounded-size) shingle sets by id instead:
-    * THAT payload through a ×numBands explode would dominate the shuffle.
-    */
   /** Distinct token-k-gram shingle sets: (doc_id, sh); shingle-less docs
     * drop (they cannot near-dup anything by construction).
     */
@@ -203,6 +185,24 @@ object DedupOps {
         "band_hash" -> col("b.band_hash"))).drop("b")
   }
 
+  /** MinHash-LSH near-dup pairs, banding scheme (numBands × rowsPerBand =
+    * numHashes). Stages, each one shuffle on a uniform key:
+    *   1. map: shingle set → 16-long signature → 4 band hashes
+    *   2. candidate generation: self-join on (band_idx, band_hash)
+    *   3. verification: threshold filter on the Jaccard similarity —
+    *      `exact=false` (default, the 100 TB path) estimates it as the
+    *      fraction of agreeing signature positions, joining only the
+    *      16-long signatures back to candidates; `exact=true` re-joins the
+    *      full shingle sets and computes true Jaccard (what the big web
+    *      corpora pipelines skip, because the candidate payload is then the
+    *      documents themselves, not fixed-width signatures).
+    * In estimate mode the fixed-width signature (numHashes longs, ~128 B)
+    * rides through the band explode, so candidate verification needs no
+    * further join — numBands × 128 B of extra shuffle per doc is far
+    * cheaper than re-scanning and re-hashing the corpus for a join-back.
+    * Exact mode re-joins the (unbounded-size) shingle sets by id instead:
+    * THAT payload through a ×numBands explode would dominate the shuffle.
+    */
   def minHashLshPairs(docs: DataFrame, k: Int, numBands: Int,
                       rowsPerBand: Int, minJaccard: Double,
                       exact: Boolean = false,
@@ -376,15 +376,6 @@ object DedupOps {
     df.filter(nibble < rate)
   }
 
-  /** Leakage-safe train/validation split: documents are assigned to
-    * splits by their NEAR-DUP CLUSTER label, not their own id, so two
-    * near-duplicates can never land on opposite sides of the split — the
-    * eval-set leakage a doc-keyed split silently permits. Composition:
-    * near-dup pairs → [[connectedComponents]] → the [[stratifiedHashSample]]
-    * md5-nibble coin applied to the component label.
-    * Returns per-doc (idCol, comp, split); `trainSixteenths`/16 of the
-    * CLUSTERS go to "train", the rest to "val".
-    */
   /** Deterministic target-mix sampling — the domain-reweighting step of
     * a training recipe: given per-source target SHARES of a token
     * budget, sample each source at rate
@@ -414,24 +405,42 @@ object DedupOps {
       "targetMixSample: every share must be in (0, 1]")
     val want: Map[String, Double] =
       targetShares.map { case (s, t) => s -> t * budgetTokens }
+    // null token counts participate as 0 supply (sum would silently skip
+    // them, and an ALL-null source would leave __avail NULL — which
+    // least() then SKIPS, turning a 1% target into keep-all)
+    val nTok = coalesce(nTokCol.cast("long"), lit(0L))
     val avail = docs.groupBy(col(sourceCol))
-      .agg(sum(nTokCol).cast("double").as("__avail"))
+      .agg(sum(nTok).cast("double").as("__avail"))
       .withColumn("__want", element_at(typedLit(want), col(sourceCol)))
       // null-filter BEFORE least: Spark's least SKIPS nulls, so an
       // unlisted source would otherwise clamp to rate 1.0 (keep-all)
       // instead of dropping out
       .filter(col("__want").isNotNull)
+      // a listed source with zero supply divides to +Infinity → clamps
+      // to keep-all, the oversubscribed contract
       .withColumn("__rate", least(lit(1.0), col("__want") / col("__avail")))
-    val coin = conv(substring(md5(concat_ws(":", lit("mix"),
+    // concat, not concat_ws: a NULL id must NULL-propagate into the coin
+    // (dropping the row) exactly as the oracle's '||' does — concat_ws
+    // would silently give every null-id row the SAME coin
+    val coin = conv(substring(md5(concat(lit("mix:"),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
       .cast("double") / 4294967296.0
     docs
-      .withColumn("n_tok", nTokCol.cast("long"))
+      .withColumn("n_tok", nTok)
       .join(broadcast(avail), Seq(sourceCol))
       .filter(coin < col("__rate"))
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** Leakage-safe train/validation split: documents are assigned to
+    * splits by their NEAR-DUP CLUSTER label, not their own id, so two
+    * near-duplicates can never land on opposite sides of the split — the
+    * eval-set leakage a doc-keyed split silently permits. Composition:
+    * near-dup pairs → [[connectedComponents]] → the [[stratifiedHashSample]]
+    * md5-nibble coin applied to the component label.
+    * Returns per-doc (idCol, comp, split); `trainSixteenths`/16 of the
+    * CLUSTERS go to "train", the rest to "val".
+    */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        trainSixteenths: Int): DataFrame = {
     val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)

@@ -149,16 +149,17 @@ object ProfileOps {
     * pre-rounded floats in the output, so the result is
     * engine-hash-stable (the q14 sums-not-averages rule).
     *
-    * Plan shape: one partial-agg pass per-key, a TakeOrderedAndProject
-    * for the top slice (never a full sort), and the two scalar totals
-    * broadcast back — nothing about the corpus shuffles beyond the
-    * per-key count's map-side-combined exchange.
+    * Plan shape: ONE corpus scan. The per-key partial agg feeds both the
+    * TakeOrderedAndProject top slice (never a full sort) and the totals
+    * (total_rows = sum of the per-key counts, n_keys = the number of
+    * per-key rows — no second scan, no count-DISTINCT Expand), which
+    * broadcast back as one row.
     */
   def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, s"keySkew: topN must be positive, got $topN")
     val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    val totals = df.agg(count(lit(1)).as("total_rows"),
-      count_distinct(col(keyCol)).as("n_keys"))
+    val totals = perKey.agg(sum(col("n")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
     perKey
       .orderBy(col("n").desc, col(keyCol))
       .limit(topN)

@@ -226,7 +226,7 @@ object ExtensionQueries {
     // so shard assignment AND within-shard order are both engine-pinned --
     "q94_epoch_shuffle" -> ((s, dir) =>
       graft.ext.PackOps.epochShuffle(t(s, dir, "documents")
-          .select(col("doc_id")), "doc_id", seed = 7L, nShards = 8)
+          .select(col("doc_id")), "doc_id", EpochSeed, EpochShards)
         .orderBy(col("doc_id"))),
 
     // -- Target domain mix: per-source sampling rates derived from target
@@ -1179,9 +1179,15 @@ object ExtensionQueries {
     * bitwise-equal rates (cross-engine float-op ORDERING is the hazard,
     * not float math itself).
     */
-  private val MixTargets: Map[String, Double] =
+  private[graft] val MixTargets: Map[String, Double] =
     Map("src0" -> 0.25, "src1" -> 0.15, "src2" -> 0.10, "src3" -> 0.50)
-  private val MixBudget: Long = 3000L
+  private[graft] val MixBudget: Long = 3000L
+
+  // q94's epoch parameters — shared with ScaleCurve (the registered-chain
+  // rule: a retune changes the oracle-checked query and the measurement
+  // together)
+  private[graft] val EpochSeed: Long = 7L
+  private[graft] val EpochShards: Int = 8
 
   private lazy val targetMixOracleSql: String = {
     val values = MixTargets.toSeq.sorted

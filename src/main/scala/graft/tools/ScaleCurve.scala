@@ -182,20 +182,21 @@ object ScaleCurve {
       "q90_boilerplate" -> (n =>
         TextOps.boilerplateMetrics(docs(spark, dirs(n)), "doc_id", "text",
           k = 3, maxDf = 3L * n, maxCommonFrac = 0.5)),
-      // one shuffle + shard-local sort: should track data size linearly
+      // one shuffle + shard-local sort: should track data size linearly.
+      // Params are the REGISTERED q94's (shared constants)
       "q94_epoch_shuffle" -> (n =>
         graft.ext.PackOps.epochShuffle(
           docs(spark, dirs(n)).select(col("doc_id")), "doc_id",
-          seed = 7L, nShards = 8)),
-      // agg pass + broadcast rates + map-only keep: scan-bound
+          graft.queries.ExtensionQueries.EpochSeed,
+          graft.queries.ExtensionQueries.EpochShards)),
+      // agg pass + broadcast rates + map-only keep: scan-bound. Targets
+      // are the REGISTERED q95's; budget scales with the corpus — a mix
+      // target is relative, like bitsForScale / q90's maxDf
       "q95_target_mix" -> (n =>
         DedupOps.targetMixSample(docs(spark, dirs(n)), "doc_id", "source",
           size(TextOps.tokens(col("text"))),
-          Map("src0" -> 0.25, "src1" -> 0.15, "src2" -> 0.10,
-            "src3" -> 0.50),
-          budgetTokens = 3000L * n)), // budget scales with the corpus —
-                                      // a mix target is relative, like
-                                      // bitsForScale / q90's maxDf
+          graft.queries.ExtensionQueries.MixTargets,
+          budgetTokens = graft.queries.ExtensionQueries.MixBudget * n)),
       // fixed 1× batch vs a corpus-scaled signature store: the ingest
       // plan signs ONLY the batch and band-joins the store scan
       "q93_incremental_ingest" -> (n =>

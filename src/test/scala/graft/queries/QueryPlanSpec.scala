@@ -252,8 +252,9 @@ class QueryPlanSpec extends AnyFunSuite {
     // pick is a map-side posexplode of the literal centroids, so IVF needs
     // no BNLJ at all. q80 cross-joins a 3-row generated threshold ladder
     // (non-equi by construction) — another O(1) broadcast side.
-    // q89 is q30's int8 twin: same 5-probe broadcast, non-equi by design
-    val intentional = Set("q30_ann_topk", "q89_int8_ann",
+    // q89 is q30's int8 twin: same 5-probe broadcast, non-equi by design.
+    // q96 cross-joins its 1-row totals aggregate back to the top slice.
+    val intentional = Set("q30_ann_topk", "q89_int8_ann", "q96_key_skew",
       "q47_scalar_subquery", "q55_tfidf",
       "q26_ngram_jaccard", "q68_domain_mix", "q70_lm_score",
       "q80_generate_series")
