@@ -376,6 +376,29 @@ object DedupOps {
     df.filter(nibble < rate)
   }
 
+  /** Exactly-k uniform sample: the k documents with the smallest
+    * md5(seed:id) coins — [[hashSample]]'s exact-COUNT counterpart for
+    * "give me exactly 100k docs" requests where a rate can only hit the
+    * size in expectation. Deterministic in (seed, k): stable across
+    * engines, retries, and partitioning, and MONOTONE in k (the top-k
+    * set is a prefix of the top-(k+1) set — growing a sample never
+    * replaces already-selected documents, so downstream work on the
+    * smaller sample is never wasted).
+    *
+    * Plans as TakeOrderedAndProject (per-partition top-k heaps + one
+    * k-row driver merge), never a full sort — the same top-k machinery
+    * q13 pins.
+    */
+  def exactSample(df: DataFrame, idCol: String, k: Int,
+                  seed: Long = 0L): DataFrame = {
+    require(k > 0, s"exactSample: k must be positive, got $k")
+    df.withColumn("__coin",
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .orderBy(col("__coin"), col(idCol))
+      .limit(k)
+      .drop("__coin")
+  }
+
   /** Deterministic target-mix sampling — the domain-reweighting step of
     * a training recipe: given per-source target SHARES of a token
     * budget, sample each source at rate

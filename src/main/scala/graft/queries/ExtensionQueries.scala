@@ -214,6 +214,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Exactly-k uniform sample (k=40, seed 3): smallest md5 coins win;
+    // plans as TakeOrderedAndProject, and the selected ID SET is what the
+    // oracle pins ---------------------------------------------------------
+    "q97_exact_sample" -> ((s, dir) =>
+      DedupOps.exactSample(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")), "doc_id", k = 40, seed = 3L)
+        .orderBy(col("doc_id"))),
+
     // -- Join-key skew report over the skewed events.user_id: the
     // decide-to-salt measurement (integer outputs only — ratios are the
     // consumer's division) ----------------------------------------------
@@ -1373,6 +1381,12 @@ object ExtensionQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) t
          |LEFT JOIN ih USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q97_exact_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    md5('3:' || CAST(doc_id AS STRING)) AS c
+        |  FROM documents ORDER BY c, doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin,
     "q96_key_skew" ->
       """WITH pk AS (SELECT user_id, count(*) AS n FROM events
         |  GROUP BY user_id),

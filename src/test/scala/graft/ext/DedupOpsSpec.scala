@@ -318,6 +318,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("lowercase hex"))
   }
 
+  test("exactSample: exact size, monotone in k, TakeOrderedAndProject plan") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("id")
+    val s40 = DedupOps.exactSample(df, "id", 40, seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    val s50 = DedupOps.exactSample(df, "id", 50, seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s40.size == 40 && s50.size == 50)
+    assert(s40.subsetOf(s50)) // growing k only ADDS documents
+    val other = DedupOps.exactSample(df, "id", 40, seed = 6L)
+      .collect().map(_.getLong(0)).toSet
+    assert(other != s40) // a new seed draws a different sample
+    val plan = DedupOps.exactSample(df, "id", 40).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("targetMixSample: unlisted sources drop, oversubscribed sources " +
       "keep everything, rates scale with share") {
     import spark.implicits._
