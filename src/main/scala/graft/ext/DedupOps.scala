@@ -337,6 +337,17 @@ object DedupOps {
   private def md5Hex1(c: Column): Column =
     substring(md5(c.cast("string").cast("binary")), 1, 1)
 
+  /** The SEEDED variant of the shared coin: md5("<prefix>:" ++ id), used
+    * by [[exactSample]], [[targetMixSample]], and
+    * [[PackOps.epochShuffle]] — one expression, so the three samplers
+    * (and their hand-written DuckDB oracles, which all spell it
+    * `md5('<prefix>:' || CAST(id AS STRING))`) can never drift apart.
+    * NULL ids NULL-propagate through concat (DuckDB `||` semantics):
+    * callers treat a null coin as "drops out", each documenting how.
+    */
+  private[ext] def seededCoin(prefix: String, id: Column): Column =
+    md5(concat(lit(s"$prefix:"), id.cast("string")))
+
   /** [[md5Hex1]] as an integer nibble in [0, 16) for rate comparisons. */
   private def md5Nibble(c: Column): Column =
     conv(md5Hex1(c), 16, 10).cast("int")
@@ -388,13 +399,22 @@ object DedupOps {
     * Plans as TakeOrderedAndProject (per-partition top-k heaps + one
     * k-row driver merge), never a full sort — the same top-k machinery
     * q13 pins.
+    *
+    * Preconditions: `idCol` values must be UNIQUE — duplicate ids tie on
+    * the full sort key, and a tie group straddling the k boundary is cut
+    * arbitrarily by the top-k heap (run [[exactDedup]] first on dirty
+    * ingests). NULL ids sort last (both engines' NULLS LAST), so they
+    * only enter the sample once every real id is in — effectively
+    * dropped, the family's null contract.
     */
   def exactSample(df: DataFrame, idCol: String, k: Int,
                   seed: Long = 0L): DataFrame = {
     require(k > 0, s"exactSample: k must be positive, got $k")
-    df.withColumn("__coin",
-        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
-      .orderBy(col("__coin"), col(idCol))
+    df.withColumn("__coin", seededCoin(seed.toString, col(idCol)))
+      // nulls LAST explicitly: Spark's asc default is NULLS FIRST, which
+      // would let null-id rows fill the sample ahead of every real doc —
+      // and diverge from the DuckDB oracle's default
+      .orderBy(col("__coin").asc_nulls_last, col(idCol).asc_nulls_last)
       .limit(k)
       .drop("__coin")
   }
@@ -442,12 +462,10 @@ object DedupOps {
       // a listed source with zero supply divides to +Infinity → clamps
       // to keep-all, the oversubscribed contract
       .withColumn("__rate", least(lit(1.0), col("__want") / col("__avail")))
-    // concat, not concat_ws: a NULL id must NULL-propagate into the coin
-    // (dropping the row) exactly as the oracle's '||' does — concat_ws
-    // would silently give every null-id row the SAME coin
-    val coin = conv(substring(md5(concat(lit("mix:"),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-      .cast("double") / 4294967296.0
+    // a NULL id NULL-propagates into the coin (seededCoin contract),
+    // dropping the row exactly as the oracle's '||' does
+    val coin = conv(substring(seededCoin("mix", col(idCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
     docs
       .withColumn("n_tok", nTok)
       .join(broadcast(avail), Seq(sourceCol))

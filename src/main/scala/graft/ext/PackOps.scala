@@ -73,10 +73,9 @@ object PackOps {
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
                    nShards: Int): DataFrame = {
     require(nShards > 0, s"epochShuffle: nShards must be positive, got $nShards")
-    // concat, not concat_ws: a NULL id must NULL-propagate (null coin →
-    // null shard, same rows the oracle's '||' produces) instead of every
-    // null-id row silently sharing the coin md5("<seed>")
-    val coin = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    // a NULL id NULL-propagates (null coin → null shard, same rows the
+    // oracle's '||' produces) — the shared seededCoin contract
+    val coin = DedupOps.seededCoin(seed.toString, col(idCol))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__coin"), col(idCol)) // id tie-break: total order even
                                           // on md5-prefix collisions

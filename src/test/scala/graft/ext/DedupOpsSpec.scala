@@ -333,6 +333,13 @@ class DedupOpsSpec extends AnyFunSuite {
     val plan = DedupOps.exactSample(df, "id", 40).queryExecution
       .executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // null ids sort LAST (explicit — Spark's asc default is nulls first):
+    // they never displace a real doc from the sample
+    val withNulls = (Seq[java.lang.Long](null, null) ++
+      (1L to 10L).map(java.lang.Long.valueOf)).toDF("id")
+    val picked = DedupOps.exactSample(withNulls, "id", 10, seed = 5L)
+      .collect().map(r => Option(r.get(0)))
+    assert(picked.forall(_.isDefined))
   }
 
   test("targetMixSample: unlisted sources drop, oversubscribed sources " +
