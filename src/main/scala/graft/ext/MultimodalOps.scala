@@ -51,7 +51,12 @@ object MultimodalOps {
       encode(col("text"), "utf-8").as("payload"))
 
   /** Deterministic fake decode: features from byte length + a rolling
-    * checksum over the payload. ??? -> replace with the real codec.
+    * checksum over the payload. Kept as the clearly-marked (???) stub
+    * seam the design called for — [[decode]] now dispatches REAL codecs
+    * (PPM/BMP/WAV byte parsers, JPEG/PNG/GIF via javax.imageio) for the
+    * formats this container can exercise; this stub remains the
+    * deterministic fallback for mimes without a bundled codec and for
+    * specs that need format-independent features.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     var cs = 1125899906842597L

@@ -182,6 +182,14 @@ object ScaleCurve {
       "q90_boilerplate" -> (n =>
         TextOps.boilerplateMetrics(docs(spark, dirs(n)), "doc_id", "text",
           k = 3, maxDf = 3L * n, maxCommonFrac = 0.5)),
+      // TakeOrderedAndProject + per-key partial agg: both classically flat
+      "q96_key_skew" -> (n =>
+        graft.ext.ProfileOps.keySkew(
+          docs(spark, dirs(n)).select(col("source")), "source", topN = 10)),
+      "q97_exact_sample" -> (n =>
+        DedupOps.exactSample(docs(spark, dirs(n)).select(col("doc_id")),
+          "doc_id", k = 40 * n, seed = 3L)), // sample size scales with
+                                             // corpus (a sample is relative)
       // one shuffle + shard-local sort: should track data size linearly.
       // Params are the REGISTERED q94's (shared constants)
       "q94_epoch_shuffle" -> (n =>
