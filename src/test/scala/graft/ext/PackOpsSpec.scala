@@ -119,6 +119,19 @@ class PackOpsSpec extends AnyFunSuite {
     assert(a1.map(_._2).distinct.length == 4)
   }
 
+  test("epochShuffle → shard writer layout adds NO further exchange " +
+      "(the window's partitioning IS the write layout)") {
+    import spark.implicits._
+    val shuffled = PackOps.epochShuffle((1L to 500L).toDF("doc_id"),
+      "doc_id", 7L, 8)
+    val writer = shuffled.repartition(col("shard"))
+      .sortWithinPartitions("ord")
+    val p = writer.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected the window exchange only, got $exchanges:\n$p")
+  }
+
   test("epochShuffle rejects a non-positive shard count") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException](
