@@ -39,7 +39,14 @@ object Verify {
     // date_diff_boundary; shim output may reference any registered fn)
     graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob, mirrors Bench's: comma-separated substrings to subset the
+    // dump (iterating on one query shouldn't re-run 96). The driver never
+    // sets it, so the contract surface is unchanged; oracle_sql.json is
+    // still written in full so tools/check.py simply skips absent dumps.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String) = only.forall(_.exists(name.contains))
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -27,6 +27,9 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            # never dumped (SPARK_GRAFT_ONLY subset run) — not a failure
+            print(f"SKIP {name}: not dumped"); continue
         files = glob.glob(os.path.join(spark_path, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
