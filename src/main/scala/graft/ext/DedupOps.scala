@@ -775,10 +775,25 @@ object DedupOps {
     * store, not race it. Returns the number of signatures appended —
     * counted on the (small) batch side; never a scan of the store, whose
     * size grows without bound.
+    *
+    * REFUSES a path with no published store: appending to a fresh path
+    * would implicitly create one (the committer writes `_SUCCESS`), and
+    * a later [[signatureStore]] call on that path would then skip
+    * signing the corpus entirely — every subsequent ingest silently
+    * dedup-ing against a "corpus" that is just earlier batches. Create
+    * the store explicitly first (over the corpus, or over zero docs for
+    * a fresh crawl, as [[graft.streaming.EventStreams.runIngestDedup]]
+    * does).
     */
   def appendToSignatureStore(spark: org.apache.spark.sql.SparkSession,
                              acceptedDocs: DataFrame, path: String, k: Int,
                              numBands: Int, rowsPerBand: Int): Long = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS")),
+      s"appendToSignatureStore: no published signature store at $path — " +
+        "build it with signatureStore first (an implicit create here " +
+        "would later masquerade as a signed corpus)")
     val sigs = minHashSignaturesDf(acceptedDocs, k,
       numBands * rowsPerBand, portable = true).persist()
     try {
@@ -796,7 +811,14 @@ object DedupOps {
     * Cost per ingest: O(batch) to sign the new docs + a band-key join
     * whose corpus side re-derives band rows map-only from the stored
     * signatures (numBands narrow rows per doc — no tokenize, no shingle,
-    * no min-agg over the corpus). Pairs are scored ONCE per distinct
+    * no min-agg over the corpus). The store is scanned twice per action
+    * (band derivation; sig fetch for scoring) — deliberate: carrying
+    * the numHashes-wide signatures through the band join and pair
+    * distinct would widen exactly the rows score-once keeps narrow, and
+    * a second columnar scan of the id+sig store is the cheaper side of
+    * that trade; the batch-side signature subplan also appears twice
+    * pre-AQE, and AQE reuses its exchange at runtime (observed as
+    * ReusedExchange). Pairs are scored ONCE per distinct
     * (batch, corpus) pair (the q74 score-once form): band collisions
     * dedup to id pairs first, signatures join back after. Batch-internal
     * duplicates are deliberately out of scope — that is

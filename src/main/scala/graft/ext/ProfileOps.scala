@@ -149,6 +149,13 @@ object ProfileOps {
     * pre-rounded floats in the output, so the result is
     * engine-hash-stable (the q14 sums-not-averages rule).
     *
+    * A NULL key IS a key here (one group, counted in n_keys and
+    * eligible for the top slice): null join keys are a classic skew
+    * bucket, and a diagnostic that dropped them would hide exactly the
+    * hotspot it exists to find. The q96 oracle derives n_keys the same
+    * way (from the grouped rows, not count(DISTINCT), which drops
+    * NULLs).
+    *
     * Plan shape: ONE corpus scan. The per-key partial agg feeds both the
     * TakeOrderedAndProject top slice (never a full sort) and the totals
     * (total_rows = sum of the per-key counts, n_keys = the number of

@@ -20,11 +20,22 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // SparkSessionExtensions has no session-construction hook, but check
-    // rules are built per-session WITH the session — install the http(s)
-    // filesystems there (idempotent, runs before any query resolves a
-    // path) so this activation path yields the same surface register()
-    // does. The rule itself checks nothing.
+    // SparkSessionExtensions has no session-construction hook. Primary
+    // path: extensions are applied during SparkSession construction,
+    // AFTER the SparkContext exists — install the http(s) filesystems on
+    // the active context's hadoopConfiguration right now, so even the
+    // session's very first spark.read (whose file LISTING happens before
+    // any analyzer rule runs) can resolve an http path.
+    org.apache.spark.sql.graft.SparkAccess.activeContext.foreach { sc =>
+      val hc = sc.hadoopConfiguration
+      hc.setIfUnset("fs.http.impl",
+        classOf[graft.sources.HttpFileSystem].getName)
+      hc.setIfUnset("fs.https.impl",
+        classOf[graft.sources.HttpsFileSystem].getName)
+    }
+    // Belt-and-braces for exotic orderings where no context was active
+    // at extension time: check rules are built per-session WITH the
+    // session. The rule itself checks nothing.
     ext.injectCheckRule { session =>
       graft.sources.HttpFileSystem.install(session)
       (_: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) => ()

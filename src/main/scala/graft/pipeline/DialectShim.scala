@@ -2321,6 +2321,50 @@ object DialectShim {
     // b and hide the real column behind the inner projection), `b.x` is
     // a table qualifier, and `b(...)` is a function call — none of them
     // reference the select alias
+    // ...and an alias SPELLED like window syntax (desc, asc, nulls,
+    // first, last, rows, range, …) must not count when the match is the
+    // KEYWORD (e.g. `ORDER BY t.amount DESC` with an alias named `desc`
+    // — wrapping there hides t.amount from the window and breaks a
+    // query the one-level rewrite ran fine). Keyword-vs-reference is
+    // decided from the neighboring tokens: a direction word after an
+    // expression is the keyword; after `BY`/`,`/`(`/an operator it is a
+    // column reference.
+    def isIdentChar(c: Char): Boolean = c == '_' || Character.isLetterOrDigit(c)
+    def tokenBefore(p: Int): String = {
+      var i = p - 1
+      while (i >= 0 && Character.isWhitespace(pred.charAt(i))) i -= 1
+      if (i < 0) ""
+      else if (isIdentChar(pred.charAt(i))) {
+        val e = i
+        while (i >= 0 && isIdentChar(pred.charAt(i))) i -= 1
+        pred.substring(i + 1, e + 1)
+      } else pred.charAt(i).toString
+    }
+    def tokenAfter(j0: Int): String = {
+      var j = j0
+      while (j < pred.length && Character.isWhitespace(pred.charAt(j))) j += 1
+      if (j >= pred.length) ""
+      else if (isIdentChar(pred.charAt(j))) {
+        val s = j
+        while (j < pred.length && isIdentChar(pred.charAt(j))) j += 1
+        pred.substring(s, j)
+      } else pred.charAt(j).toString
+    }
+    val refPredecessors = Set("(", ",", "by", "where", "and", "or", "not",
+      "when", "then", "else", "on", "in", "=", "<", ">", "+", "-", "*",
+      "/", "%", "|")
+    def isKeywordUse(a: String, p: Int, j: Int): Boolean =
+      a.toLowerCase match {
+        case "asc" | "desc" =>
+          !refPredecessors(tokenBefore(p).toLowerCase)
+        case "first" | "last" =>
+          Set("nulls", "ignore", "respect")(tokenBefore(p).toLowerCase)
+        case "nulls" =>
+          Set("first", "last")(tokenAfter(j).toLowerCase)
+        case "rows" | "range" | "groups" =>
+          Set("between", "unbounded", "current")(tokenAfter(j).toLowerCase)
+        case _ => false
+      }
     def bareRef(a: String): Boolean =
       keywordPositions(pred, a).exists { case (p, _) =>
         val before = p > 0 && pred.charAt(p - 1) == '.'
@@ -2328,7 +2372,7 @@ object DialectShim {
         while (j < pred.length && Character.isWhitespace(pred.charAt(j))) j += 1
         val after = j < pred.length &&
           (pred.charAt(j) == '.' || pred.charAt(j) == '(')
-        !before && !after
+        !before && !after && !isKeywordUse(a, p, j)
       }
     val predUsesAlias = aliasNames.exists(bareRef)
     val rewritten =

@@ -1387,11 +1387,14 @@ object ExtensionQueries {
         |    md5('3:' || CAST(doc_id AS STRING)) AS c
         |  FROM documents ORDER BY c, doc_id LIMIT 40)
         |ORDER BY doc_id""".stripMargin,
+    // n_keys counts the grouped rows (NULL is a key — a null join key is
+    // a classic skew bucket and must show up in the diagnostic), so the
+    // oracle derives it from pk, NOT count(DISTINCT) which drops NULLs
     "q96_key_skew" ->
       """WITH pk AS (SELECT user_id, count(*) AS n FROM events
         |  GROUP BY user_id),
-        |t AS (SELECT count(*) AS total_rows,
-        |    count(DISTINCT user_id) AS n_keys FROM events)
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+        |    count(*) AS n_keys FROM pk)
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  CAST(total_rows AS BIGINT) AS total_rows,
         |  CAST(n_keys AS BIGINT) AS n_keys

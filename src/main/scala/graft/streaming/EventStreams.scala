@@ -227,9 +227,11 @@ object EventStreams {
     * store — a flatMapGroupsWithState formulation would grow state
     * without bound and rebuild it from the changelog on every recovery.
     * Micro-batches execute serially per query, matching the store's
-    * single-ingest writer contract. An empty/absent store bootstraps to
-    * an empty signature frame — a fresh crawl needs no out-of-band
-    * setup.
+    * single-ingest writer contract. An absent store bootstraps by
+    * PUBLISHING an explicit empty store (atomic, `_SUCCESS`-marked) —
+    * a fresh crawl needs no out-of-band setup, and the store's
+    * existence is always a deliberate publish, never an accidental
+    * side effect of the first append.
     *
     * Retry contract (foreachBatch is at-least-once): replays are made
     * harmless by construction. A processed batch leaves a marker
@@ -264,18 +266,18 @@ object EventStreams {
           val b = batch.persist() // one materialization: flags + accept join
           try {
             val storeDir = new Path(storePath)
-            val store =
-              if (storeDir.getFileSystem(hconf).exists(storeDir))
-                spark.read.parquet(storePath)
-              else // fresh crawl: nothing stored yet
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("doc_id",
-                      org.apache.spark.sql.types.LongType),
-                    org.apache.spark.sql.types.StructField("sig",
-                      org.apache.spark.sql.types.ArrayType(
-                        org.apache.spark.sql.types.LongType)))))
+            if (!storeDir.getFileSystem(hconf).exists(storeDir)) {
+              // fresh crawl: publish an explicit EMPTY store (atomic,
+              // _SUCCESS-marked) rather than letting the first append
+              // implicitly create one — the appendToSignatureStore
+              // contract, so a later signatureStore(corpus) on this
+              // path is a visible first-writer-wins event, not a
+              // silent skip over an accidental store
+              graft.ext.DedupOps.signatureStore(spark, b.limit(0),
+                storePath, k, numBands, rowsPerBand)
+              ()
+            }
+            val store = spark.read.parquet(storePath)
             val corpus = store.join(b.select("doc_id"), Seq("doc_id"),
               "left_anti") // replay self-exclusion
             val dir = s"$outPath/batch_id=$batchId"

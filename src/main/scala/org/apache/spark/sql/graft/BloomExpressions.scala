@@ -85,29 +85,49 @@ case class BloomRetain(child: Expression, bloom: Broadcast[Array[Byte]])
 }
 
 object BloomRetain {
-  // broadcast id → softly-held deserialized filter. SoftReference (not
-  // strong) so a finished job's filter doesn't pin heap forever; the
-  // double-check inside computeIfAbsent-style synchronization keeps it
-  // one-deserialization-per-JVM in the steady state.
+  // (application id, broadcast id) → softly-held deserialized filter.
+  // Broadcast ids are a PER-SparkContext counter, so a bare-id key
+  // would serve a stale filter to a new context in the same JVM
+  // (sequential sessions/test suites) — a silent no-false-negatives
+  // break; the app id disambiguates. NOT keyed by Broadcast object
+  // identity: executors deserialize a fresh wrapper per task, which
+  // would defeat the cache entirely. SoftReference (not strong) so a
+  // finished job's filter doesn't pin heap forever; the double-check
+  // keeps it one-deserialization-per-JVM in the steady state.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[
-      Long, java.lang.ref.SoftReference[BloomFilter]]()
+      (String, Long), java.lang.ref.SoftReference[BloomFilter]]()
+
+  private def keyOf(bloom: Broadcast[Array[Byte]]): (String, Long) = {
+    val env = org.apache.spark.SparkEnv.get
+    val app = if (env == null) "" else env.conf.get("spark.app.id", "")
+    (app, bloom.id)
+  }
 
   def filterFor(bloom: Broadcast[Array[Byte]]): BloomFilter = {
-    val ref = cache.get(bloom.id)
+    val key = keyOf(bloom)
+    val ref = cache.get(key)
     val hit = if (ref == null) null else ref.get()
     if (hit != null) hit
     else cache.synchronized {
-      val ref2 = cache.get(bloom.id)
+      val ref2 = cache.get(key)
       val hit2 = if (ref2 == null) null else ref2.get()
       if (hit2 != null) hit2
       else {
         val f = BloomFilter.readFrom(new ByteArrayInputStream(bloom.value))
-        cache.put(bloom.id, new java.lang.ref.SoftReference(f))
+        cache.put(key, new java.lang.ref.SoftReference(f))
         f
       }
     }
   }
+}
+
+/** Bridge to `private[spark]` context state, hosted in this package for
+  * the same access reasons as the expressions above.
+  */
+object SparkAccess {
+  def activeContext: Option[org.apache.spark.SparkContext] =
+    org.apache.spark.SparkContext.getActive
 }
 
 object BloomFunctions {

@@ -412,6 +412,13 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!f1.head.getAs[Boolean]("dup")) // new vs corpus: clean
     val n = DedupOps.appendToSignatureStore(spark, batch1, path, 3, 8, 2)
     assert(n == 1L) // the appended batch signature, never the store total
+    // appending to a path with NO published store refuses loudly — an
+    // implicit create would later masquerade as a signed corpus
+    val e = intercept[IllegalArgumentException](
+      DedupOps.appendToSignatureStore(spark, batch1,
+        java.nio.file.Files.createTempDirectory("graft-fresh")
+          .resolve("nostore").toString, 3, 8, 2))
+    assert(e.getMessage.contains("no published signature store"))
     // batch 2 clones batch 1's doc — only detectable through the append
     val batch2 = Seq((30L, "the quick brown fox jumps over the lazy dog " +
       "again and again")).toDF("doc_id", "text")

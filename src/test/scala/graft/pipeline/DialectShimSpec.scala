@@ -540,6 +540,30 @@ class DialectShimSpec extends AnyFunSuite {
     assert(out == Seq((1, 40), (2, 14)))
   }
 
+  test("QUALIFY alias SPELLED like window syntax: keyword positions don't " +
+      "count as alias usage, reference positions do") {
+    val spark = graft.SparkTestSession.spark
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW qual_kw AS
+      SELECT * FROM VALUES (1, 10), (1, 20), (2, 5), (2, 7) AS t(region, amount)""")
+    // alias `desc` exists, but DESC in the predicate is the sort-direction
+    // KEYWORD after qual_kw.amount — the one-level rewrite must survive
+    // (the inner-projection shape would hide qual_kw.amount/region)
+    val kw = spark.sql(DialectShim.rewrite(
+      """SELECT region AS r, amount AS desc FROM qual_kw
+        |QUALIFY row_number() OVER (PARTITION BY qual_kw.region
+        |  ORDER BY qual_kw.amount DESC) = 1
+        |ORDER BY r""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(kw == Seq((1, 20), (2, 7)))
+    // same alias genuinely REFERENCED (after BY) — the wrap must fire
+    val ref = spark.sql(DialectShim.rewrite(
+      """SELECT region AS r, amount AS desc FROM qual_kw
+        |QUALIFY row_number() OVER (PARTITION BY r ORDER BY desc) = 1
+        |ORDER BY r""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(ref == Seq((1, 10), (2, 5)))
+  }
+
   test("QUALIFY predicate naming a QUALIFIED column that shadows a select " +
       "alias keeps the one-level rewrite (the inner projection would hide " +
       "the real column)") {

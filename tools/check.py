@@ -27,8 +27,10 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
-        if not os.path.isdir(spark_path):
-            # never dumped (SPARK_GRAFT_ONLY subset run) — not a failure
+        if not os.path.isdir(spark_path) and os.environ.get("SPARK_GRAFT_ONLY"):
+            # deliberately not dumped (subset run) — not a failure. Without
+            # the knob set, a missing dir IS a failure (Verify crashed on
+            # that query before writing anything).
             print(f"SKIP {name}: not dumped"); continue
         files = glob.glob(os.path.join(spark_path, "*.parquet"))
         if not files:
