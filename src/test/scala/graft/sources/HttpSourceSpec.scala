@@ -157,6 +157,42 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       chain(e).exists(t => Option(t.getMessage).exists(_.contains("read-only"))))
   }
 
+  test("random seek/read sequences match the local file byte-for-byte — " +
+      "with AND without server Range support") {
+    val local = Files.readAllBytes(docRoot.resolve("t.parquet"))
+    val rnd = new scala.util.Random(42)
+    for (ranges <- Seq(true, false)) {
+      honorRange = ranges
+      try {
+        val fs = new HttpFileSystem()
+        fs.initialize(new java.net.URI(s"http://127.0.0.1:$port/"),
+          spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          s"http://127.0.0.1:$port/t.parquet"), 8 * 1024)
+        try {
+          for (_ <- 1 to 40) {
+            val pos = rnd.nextInt(local.length)
+            val n = math.min(1 + rnd.nextInt(4096), local.length - pos)
+            val buf = new Array[Byte](n)
+            in.seek(pos.toLong)
+            in.readFully(buf, 0, n)
+            assert(java.util.Arrays.equals(buf,
+              java.util.Arrays.copyOfRange(local, pos, pos + n)),
+              s"mismatch at pos=$pos n=$n ranges=$ranges")
+            assert(in.getPos == pos + n)
+          }
+          // positioned read (PositionedReadable) leaves getPos untouched
+          val buf2 = new Array[Byte](64)
+          in.seek(10)
+          in.readFully(1000L, buf2, 0, 64)
+          assert(java.util.Arrays.equals(buf2,
+            java.util.Arrays.copyOfRange(local, 1000, 1064)))
+          assert(in.getPos == 10)
+        } finally in.close()
+      } finally honorRange = true
+    }
+  }
+
   test("read_parquet('http://…') through the dialect shim (reference " +
       "examples/basic form)") {
     honorRange = true
