@@ -157,6 +157,25 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       chain(e).exists(t => Option(t.getMessage).exists(_.contains("read-only"))))
   }
 
+  test("a pipeline MODEL reading read_parquet('http://…') runs end-to-end " +
+      "through discovery → shim → materialization") {
+    honorRange = true
+    graft.functions.GraftExtensions.register(spark)
+    val proj = Files.createTempDirectory("graft-http-proj")
+    val models = proj.resolve("models"); Files.createDirectories(models)
+    Files.writeString(models.resolve("remote_src.sql"),
+      s"SELECT * FROM read_parquet('http://127.0.0.1:$port/t.parquet')")
+    Files.writeString(models.resolve("remote_agg.sql"),
+      "SELECT count() AS n, sum(id) AS s FROM remote_src")
+    Files.writeString(proj.resolve("config.yaml"), "models_dir: models\n")
+    val config = graft.pipeline.PipelineConfig.load(proj.resolve("config.yaml"))
+    val report = new graft.pipeline.PipelineSession(spark, config).runNodes()
+    assert(report.errors.isEmpty, report.errors.map(_.render))
+    val r = spark.table("remote_agg").head
+    assert(r.getAs[Long]("n") == 500L)
+    assert(r.getAs[Long]("s") == 500L * 501 / 2)
+  }
+
   test("random seek/read sequences match the local file byte-for-byte — " +
       "with AND without server Range support") {
     val local = Files.readAllBytes(docRoot.resolve("t.parquet"))
