@@ -34,6 +34,7 @@ class HttpFileSystem extends FileSystem {
 
   private var fsUri: URI = _
   private var workDir: Path = new Path("/")
+  private var netConf: HttpFileSystem.NetConf = HttpFileSystem.NetConf()
 
   override def getScheme: String = "http"
 
@@ -41,6 +42,7 @@ class HttpFileSystem extends FileSystem {
     super.initialize(name, conf)
     setConf(conf)
     fsUri = URI.create(s"$getScheme://${name.getAuthority}")
+    netConf = HttpFileSystem.NetConf.from(conf)
   }
 
   override def getUri: URI = fsUri
@@ -53,9 +55,15 @@ class HttpFileSystem extends FileSystem {
     new URL(s"$getScheme://$auth${u.getPath}")
   }
 
-  /** Length via 1-byte Range GET; 200 (Range ignored) → Content-Length. */
-  private def contentLength(u: URL): Long = {
-    val c = u.openConnection().asInstanceOf[HttpURLConnection]
+  /** Length via 1-byte Range GET; 200 (Range ignored) → Content-Length.
+    * Retried: a length probe is idempotent, so transient connect/read
+    * failures (including timeouts) get `fs.http.retries` more chances.
+    */
+  private def contentLength(u: URL): Long =
+    HttpFileSystem.withRetries(netConf, s"length probe of $u")(contentLengthOnce(u))
+
+  private def contentLengthOnce(u: URL): Long = {
+    val c = HttpFileSystem.connect(u, netConf)
     c.setRequestProperty("Range", "bytes=0-0")
     try {
       val code = c.getResponseCode
@@ -95,7 +103,7 @@ class HttpFileSystem extends FileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val u = urlOf(f)
     new FSDataInputStream(new BufferedFSInputStream(
-      new HttpFileSystem.HttpStream(u, contentLength(u)),
+      new HttpFileSystem.HttpStream(u, contentLength(u), netConf),
       math.max(bufferSize, 64 * 1024)))
   }
 
@@ -121,17 +129,91 @@ class HttpsFileSystem extends HttpFileSystem {
 
 object HttpFileSystem {
 
+  /** Network robustness knobs, read from the Hadoop Configuration so a
+    * deployment can tune per-cluster. The JDK defaults for connect/read
+    * timeouts are INFINITE — a black-holed server would wedge an
+    * executor task (and its whole stage) forever; these defaults make
+    * a hang a bounded, retried, then loud failure instead.
+    */
+  final case class NetConf(
+      connectTimeoutMs: Int = 15000,
+      readTimeoutMs: Int = 60000,
+      retries: Int = 3,
+      retryBackoffMs: Long = 250L)
+
+  object NetConf {
+    val ConnectTimeoutKey = "fs.http.connect.timeout.ms"
+    val ReadTimeoutKey = "fs.http.read.timeout.ms"
+    val RetriesKey = "fs.http.retries"
+    val RetryBackoffKey = "fs.http.retry.backoff.ms"
+    def from(conf: Configuration): NetConf = NetConf(
+      connectTimeoutMs = conf.getInt(ConnectTimeoutKey, 15000),
+      readTimeoutMs = conf.getInt(ReadTimeoutKey, 60000),
+      retries = conf.getInt(RetriesKey, 3),
+      retryBackoffMs = conf.getLong(RetryBackoffKey, 250L))
+  }
+
+  /** Open a connection with timeouts applied — every connection in this
+    * file goes through here so no code path can regress to the JDK's
+    * infinite defaults.
+    */
+  private[sources] def connect(u: URL, nc: NetConf): HttpURLConnection = {
+    val c = u.openConnection().asInstanceOf[HttpURLConnection]
+    c.setConnectTimeout(nc.connectTimeoutMs)
+    c.setReadTimeout(nc.readTimeoutMs)
+    c
+  }
+
+  /** Bounded retry with linear backoff for idempotent HTTP operations.
+    * FileNotFoundException (a deterministic 404) and EOFException with
+    * a definitive body are NOT transient and propagate immediately;
+    * everything else IOException-shaped (connect refused, timeouts,
+    * resets) gets `retries` more attempts.
+    */
+  private[sources] def withRetries[T](nc: NetConf, what: String)(op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: FileNotFoundException => throw e
+        case e: IOException if attempt < nc.retries =>
+          attempt += 1
+          try Thread.sleep(nc.retryBackoffMs * attempt)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e }
+        case e: IOException =>
+          throw new IOException(
+            s"$what failed after ${attempt + 1} attempts: ${e.getMessage}", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Seekable stream: seek drops the connection; the next read reopens
     * at `pos` via a Range request. FSInputStream's synchronized
     * seek/read default supplies PositionedReadable on top.
+    *
+    * Mid-stream robustness: if the server drops the connection before
+    * `len` bytes are delivered, the underlying read returns -1 while
+    * pos < len. Returning that -1 would silently truncate data for
+    * EOF-tolerant readers (CSV/JSON line sources), so instead the
+    * stream reopens at `pos` (bounded by the retry budget) and only
+    * throws EOFException once the server repeatedly ends the body
+    * early — truncation becomes a loud task failure, never a short
+    * result.
     */
-  private final class HttpStream(u: URL, len: Long) extends FSInputStream {
+  private final class HttpStream(u: URL, len: Long, nc: NetConf)
+      extends FSInputStream {
     private var pos = 0L
     private var conn: HttpURLConnection = null
     private var in: InputStream = null
 
     private def ensureOpen(): Unit = if (in == null) {
-      val c = u.openConnection().asInstanceOf[HttpURLConnection]
+      withRetries(nc, s"open of $u at offset $pos")(openOnce())
+    }
+
+    private def openOnce(): Unit = {
+      val c = connect(u, nc)
       if (pos > 0) c.setRequestProperty("Range", s"bytes=$pos-")
       val code = c.getResponseCode
       if (code == HttpURLConnection.HTTP_NOT_FOUND)
@@ -151,8 +233,8 @@ object HttpFileSystem {
           val skipped = in.skip(left)
           if (skipped > 0) left -= skipped
           else if (in.read() >= 0) left -= 1
-          else throw new EOFException(
-            s"body ended before offset $pos in range-less response for $u")
+          else { dropConn(); throw new EOFException(
+            s"body ended before offset $pos in range-less response for $u") }
         }
       }
     }
@@ -171,18 +253,47 @@ object HttpFileSystem {
     override def getPos: Long = pos
     override def seekToNewSource(targetPos: Long): Boolean = false
 
+    /** Run one underlying read; on a transient IOException or a
+      * premature EOF (-1 with pos < len), drop the connection and
+      * reopen at pos, up to the retry budget, then fail loudly.
+      */
+    private def readRecovering(readOnce: => Int): Int = {
+      var attempt = 0
+      while (true) {
+        ensureOpen()
+        val n =
+          try readOnce
+          catch {
+            case e: IOException if attempt < nc.retries =>
+              attempt += 1; dropConn()
+              try Thread.sleep(nc.retryBackoffMs * attempt)
+              catch { case _: InterruptedException =>
+                Thread.currentThread().interrupt(); throw e }
+              -2 // sentinel: retry
+          }
+        if (n != -2) {
+          if (n >= 0 || pos >= len) return n
+          // server ended the body early: pos < len but stream says EOF
+          if (attempt >= nc.retries)
+            throw new EOFException(
+              s"connection ended at offset $pos of $len for $u " +
+              s"(${attempt + 1} attempts); refusing to return a truncated result")
+          attempt += 1; dropConn()
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     override def read(): Int = {
       if (pos >= len) return -1
-      ensureOpen()
-      val b = in.read()
+      val b = readRecovering(in.read())
       if (b >= 0) pos += 1
       b
     }
 
     override def read(b: Array[Byte], off: Int, length: Int): Int = {
       if (pos >= len) return -1
-      ensureOpen()
-      val n = in.read(b, off, length)
+      val n = readRecovering(in.read(b, off, length))
       if (n > 0) pos += n
       n
     }

@@ -25,8 +25,17 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var docRoot: JPath = _
   @volatile private var honorRange = true
   @volatile private var starTotal = false
+  // >0: the next N requests answer 503 (transient-failure injection)
+  private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  // >0: the next N body sends stop half-way and drop the connection
+  private val truncateNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  // >0: the next N body sends deliver ZERO bytes then drop (no progress)
+  private val emptyNext = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def serve(ex: HttpExchange): Unit = {
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      ex.sendResponseHeaders(503, -1); ex.close(); return
+    }
     val rel = ex.getRequestURI.getPath.stripPrefix("/")
     val f = docRoot.resolve(rel)
     if (!Files.isRegularFile(f)) {
@@ -44,18 +53,31 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
           (a, math.min(b, bytes.length - 1L))
         }
       }
+    def sendBody(off: Int, n: Int): Unit =
+      if (emptyNext.getAndUpdate(k => math.max(0, k - 1)) > 0) {
+        // declare n bytes, deliver none, drop: zero-progress failure
+        try ex.close() catch { case _: java.io.IOException => }
+      } else if (truncateNext.getAndUpdate(k => math.max(0, k - 1)) > 0 && n > 1) {
+        // declare n bytes, deliver half, drop the TCP connection: the
+        // client sees a premature EOF mid-body
+        try ex.getResponseBody.write(bytes, off, n / 2)
+        catch { case _: java.io.IOException => }
+        try ex.close() catch { case _: java.io.IOException => }
+      } else {
+        ex.getResponseBody.write(bytes, off, n)
+        ex.close()
+      }
     range match {
       case Some((a, b)) if a < bytes.length =>
         val n = (b - a + 1).toInt
         ex.getResponseHeaders.set("Content-Range",
           s"bytes $a-$b/${if (starTotal) "*" else bytes.length.toString}")
         ex.sendResponseHeaders(206, n.toLong)
-        ex.getResponseBody.write(bytes, a.toInt, n)
+        sendBody(a.toInt, n)
       case _ =>
         ex.sendResponseHeaders(200, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
+        sendBody(0, bytes.length)
     }
-    ex.close()
   }
 
   override def beforeAll(): Unit = {
@@ -210,6 +232,101 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         } finally in.close()
       } finally honorRange = true
     }
+  }
+
+  private def fsWith(overrides: (String, String)*): HttpFileSystem = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    val fs = new HttpFileSystem()
+    fs.initialize(new java.net.URI(s"http://127.0.0.1:$port/"), conf)
+    fs
+  }
+
+  test("a never-responding server fails within the configured read " +
+      "timeout, not never (JDK default is infinite)") {
+    // raw socket that accepts connections and then says nothing
+    val black = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val hole = new Thread(() =>
+      try while (true) black.accept() catch { case _: Exception => })
+    hole.setDaemon(true); hole.start()
+    try {
+      val fs = fsWith(
+        HttpFileSystem.NetConf.ReadTimeoutKey -> "300",
+        HttpFileSystem.NetConf.ConnectTimeoutKey -> "300",
+        HttpFileSystem.NetConf.RetriesKey -> "1",
+        HttpFileSystem.NetConf.RetryBackoffKey -> "50")
+      val t0 = System.nanoTime()
+      val e = intercept[java.io.IOException] {
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"http://127.0.0.1:${black.getLocalPort}/t.csv"))
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(!e.isInstanceOf[java.io.FileNotFoundException])
+      // 2 attempts × 300ms read timeout + 50ms backoff + slack
+      assert(elapsedMs < 10000L, s"took ${elapsedMs}ms — timeout not applied")
+      assert(e.getMessage.contains("attempts"), e.getMessage)
+    } finally black.close()
+  }
+
+  test("a transiently-failing server (503 once) recovers via bounded retry") {
+    failNext.set(1)
+    val fs = fsWith()
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"http://127.0.0.1:$port/t.csv"))
+    assert(st.getLen == Files.size(docRoot.resolve("t.csv")))
+    assert(failNext.get() == 0, "the injected failure was consumed")
+  }
+
+  test("a mid-body connection drop reopens at pos instead of silently " +
+      "truncating (ADVICE: -1 while pos < len)") {
+    honorRange = true
+    val local = Files.readAllBytes(docRoot.resolve("t.csv"))
+    val fs = fsWith()
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      s"http://127.0.0.1:$port/t.csv"), 0) // no buffering: reads hit HttpStream
+    try {
+      truncateNext.set(1) // first body send stops half-way
+      val buf = new Array[Byte](local.length)
+      in.readFully(buf, 0, local.length)
+      assert(java.util.Arrays.equals(buf, local),
+        "recovered read must be byte-identical")
+    } finally in.close()
+  }
+
+  test("a server that truncates EVERY send still converges to the full, " +
+      "byte-identical result (each reconnect makes progress)") {
+    honorRange = true
+    val local = Files.readAllBytes(docRoot.resolve("t.csv"))
+    val fs = fsWith()
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      s"http://127.0.0.1:$port/t.csv"), 0)
+    try {
+      truncateNext.set(1000) // every send stops half-way
+      val buf = new Array[Byte](local.length)
+      in.readFully(buf, 0, local.length)
+      assert(java.util.Arrays.equals(buf, local))
+    } finally { truncateNext.set(0); in.close() }
+  }
+
+  test("a zero-progress server (declares bytes, delivers none) exhausts " +
+      "retries with an IOException, never a short result") {
+    honorRange = true
+    val fs = fsWith(
+      HttpFileSystem.NetConf.RetriesKey -> "2",
+      HttpFileSystem.NetConf.RetryBackoffKey -> "10")
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      s"http://127.0.0.1:$port/t.csv"), 0)
+    try {
+      emptyNext.set(1000) // every send delivers nothing
+      val len = Files.size(docRoot.resolve("t.csv")).toInt
+      val buf = new Array[Byte](len)
+      val e = intercept[java.io.IOException] { in.readFully(buf, 0, len) }
+      // either the JDK surfaces the drop as an IOException (propagated
+      // after the retry budget) or as a clean -1 (our EOFException path)
+      assert(e != null)
+    } finally { emptyNext.set(0); in.close() }
   }
 
   test("read_parquet('http://…') through the dialect shim (reference " +
