@@ -296,20 +296,36 @@ object DedupOps {
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int,
                           portable: Boolean = false): DataFrame = {
     val bandBits = if (portable) 15 else 16 // 4 bands either way
-    val mask = (1L << bandBits) - 1
     val sigs = simHashSignatures(docs, "doc_id", TextOps.tokens(col("text")),
       portable)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    bandedHammingPairs(sigs, "doc_id", "sig", maxHamming, bandBits)
+  }
+
+  /** Hamming-banded candidate pairing over ANY 64-bit-signature column —
+    * the SimHash banding machinery factored out so other fingerprints
+    * (e.g. [[MultimodalOps]]' perceptual image dHash) reuse it verbatim.
+    * Splits the signature into 4 `bandBits`-wide bands; candidates must
+    * agree on at least one band (the standard LSH recall contract
+    * documented on [[simHashNearDupPairs]]). The band join shuffles on
+    * (band_idx, band_val) — uniform keys — and only candidate pairs pay
+    * the 64-bit Hamming check (bit_count(xor)). Arithmetic shiftright +
+    * mask keeps the top band correct for signatures with bit 63 set.
+    */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int, bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val banded = sigs.select(col(idCol).as("__bid"), col(sigCol).as("__bsig"))
+      .select(col("__bid"), col("__bsig"),
         explode(transform(sequence(lit(0), lit(3)), i =>
           struct(i.as("band_idx"),
-            shiftright_col(col("sig"), i * bandBits)
+            shiftright_col(col("__bsig"), i * bandBits)
               .bitwiseAND(lit(mask)).as("band_val")))).as("band"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("__bid"), col("__bsig"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
     val a = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      col("__bid").as("id_a"), col("__bsig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      col("__bid").as("id_b"), col("__bsig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -801,6 +817,63 @@ object DedupOps {
       if (n > 0) sigs.write.mode("append").parquet(path)
       n
     } finally { sigs.unpersist(); () }
+  }
+
+  /** Rewrite the signature store as few large files (VERDICT r9 #3).
+    * [[appendToSignatureStore]] adds one parquet file set per ingest
+    * batch — a continuous crawl at ~100 batches/day accumulates tens of
+    * thousands of small files in months, and file listing + task
+    * planning on the store then degrade linearly, eroding exactly the
+    * O(batch) ingest cost the store exists to provide. Periodic
+    * compaction rewrites the store at `targetFileMB`-sized files using
+    * the same atomic temp+rename publish contract as
+    * [[materializedPairs]]; signatures are preserved bit-identically,
+    * EXCEPT that exact-duplicate rows (same doc_id AND same signature)
+    * collapse to one — those are replay artifacts (a crash between a
+    * streaming ingest's store append and its replay marker re-appends
+    * the same batch, [[graft.streaming.EventStreams.runIngestDedup]]),
+    * and collapsing them also heals the inflated `n_dups` a duplicated
+    * store row would feed [[incrementalNearDupFlags]]. Distinct
+    * signatures are never merged: two different docs, or one doc
+    * legitimately re-signed under different text, keep their rows.
+    *
+    * Same single-writer contract as append: compaction must serialize
+    * with ingests on the store (the natural crawl-pipeline shape), not
+    * race them. Returns (files before, files after).
+    */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, targetFileMB: Int = 256): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileMB > 0, s"compactSignatureStore: targetFileMB must be > 0")
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new Path(dst, "_SUCCESS")
+    require(fs.exists(success),
+      s"compactSignatureStore: no published signature store at $path")
+    def parquetFiles() = fs.listStatus(dst)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val targetFiles = math.max(1, math.ceil(
+      before.map(_.getLen).sum.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.compact-${java.util.UUID.randomUUID()}")
+    try {
+      // the write is an action: tmp is fully materialized (and _SUCCESS
+      // committed) before the old store is touched
+      spark.read.parquet(path).dropDuplicates()
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+        s"compactSignatureStore: failed to swap compacted store into $path")
+      // posix rename CAN land INSIDE a racing re-created dst — same sweep
+      // as materializedPairs (single-writer contract makes this vestigial)
+      val nested = new Path(dst, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (!fs.exists(success)) throw new IllegalStateException(
+        s"compactSignatureStore: compacted store at $path has no _SUCCESS")
+      (before.length, parquetFiles().length)
+    } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
   }
 
   /** Flag which documents of an incoming batch near-duplicate the

@@ -93,10 +93,10 @@ object MultimodalOps {
 
   /** PPM P6 (netpbm spec): ASCII header `P6 <w> <h> <maxval>` with
     * `#`-comments, one whitespace byte, then w×h binary RGB triples
-    * (maxval ≤ 255 → 1 byte/channel).
+    * (maxval ≤ 255 → 1 byte/channel). Returns the top-down row-major RGB
+    * channel stream, or None on any malformed header/raster.
     */
-  def decodePpm(r: MediaRecord): MediaFeatures = {
-    val p = r.payload
+  private[ext] def ppmRgb(p: Array[Byte]): Option[(Int, Int, Iterator[Int])] = {
     var i = 2 // past "P6"
     def skipWs(): Unit = {
       var done = false
@@ -120,12 +120,17 @@ object MultimodalOps {
     if (p.length < 2 || p(0) != 'P' || p(1) != '6' ||
         w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
         w > (1 << 20) || h > (1 << 20) ||
-        p.length - i < w * h * 3) return quarantine(r)
+        p.length - i < w * h * 3) return None
     val start = i
-    MediaFeatures(r.media_id, r.mime, r.n_bytes,
-      width = w.toInt, height = h.toInt, n_frames = 1,
-      checksum = pixelChecksum(
-        Iterator.range(0, (w * h * 3).toInt).map(k => p(start + k).toInt)))
+    Some((w.toInt, h.toInt,
+      Iterator.range(0, (w * h * 3).toInt).map(k => p(start + k).toInt)))
+  }
+
+  def decodePpm(r: MediaRecord): MediaFeatures = ppmRgb(r.payload) match {
+    case Some((w, h, rgb)) =>
+      MediaFeatures(r.media_id, r.mime, r.n_bytes,
+        width = w, height = h, n_frames = 1, checksum = pixelChecksum(rgb))
+    case None => quarantine(r)
   }
 
   /** Uncompressed 24-bit BMP (Windows BITMAPINFOHEADER): `BM`, pixel-array
@@ -134,12 +139,11 @@ object MultimodalOps {
     * bytes, stored bottom-up unless top-down. Normalized to the same
     * top-down RGB checksum stream as [[decodePpm]].
     */
-  def decodeBmp(r: MediaRecord): MediaFeatures = {
-    val p = r.payload
+  private[ext] def bmpRgb(p: Array[Byte]): Option[(Int, Int, Iterator[Int])] = {
     def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
     def i32(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
       ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
-    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return quarantine(r)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
     val off = i32(10); val w = i32(18); val hRaw = i32(22)
     val bpp = u16(28); val comp = i32(30)
     val topDown = hRaw < 0
@@ -147,16 +151,21 @@ object MultimodalOps {
     val stride = ((w.toLong * 3 + 3) / 4) * 4
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
         bpp != 24 || comp != 0 || off < 54 ||
-        off.toLong + stride * h > p.length) return quarantine(r)
+        off.toLong + stride * h > p.length) return None
     val rgb = for {
       y <- Iterator.range(0, h.toInt)
       row = if (topDown) y else h.toInt - 1 - y
       x <- Iterator.range(0, w)
       c <- Iterator(2, 1, 0) // stored BGR → emit RGB
     } yield p(off + row * stride.toInt + x * 3 + c).toInt
-    MediaFeatures(r.media_id, r.mime, r.n_bytes,
-      width = w, height = h.toInt, n_frames = 1,
-      checksum = pixelChecksum(rgb))
+    Some((w, h.toInt, rgb))
+  }
+
+  def decodeBmp(r: MediaRecord): MediaFeatures = bmpRgb(r.payload) match {
+    case Some((w, h, rgb)) =>
+      MediaFeatures(r.media_id, r.mime, r.n_bytes,
+        width = w, height = h, n_frames = 1, checksum = pixelChecksum(rgb))
+    case None => quarantine(r)
   }
 
   /** PCM WAV (RIFF spec): `RIFF….WAVE`, then even-aligned chunks; `fmt `
@@ -216,24 +225,30 @@ object MultimodalOps {
     * paths (the differential property MultimodalOpsSpec pins). Any
     * malformed/truncated payload, or one no reader claims, quarantines.
     */
-  def decodeImageIo(r: MediaRecord): MediaFeatures = {
+  /** ImageIO decode to the shared top-down RGB stream, plus the
+    * container's image count. The returned iterator reads from the
+    * fully-decoded in-memory BufferedImage, so it stays valid after the
+    * reader/stream are disposed; malformed input throws (IOException or
+    * unchecked on hostile headers) — callers map that to quarantine.
+    */
+  private[ext] def imageIoRgb(p: Array[Byte]): Option[(Int, Int, Int, Iterator[Int])] = {
     // memory-backed stream, NOT ImageIO.createImageInputStream: the
     // payload is already a byte array, and the factory's default
     // (useCache=true) FileCacheImageInputStream would create, write, and
     // delete a temp file on executor-local disk for EVERY media row of
     // the corpus scan
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(r.payload))
+      new java.io.ByteArrayInputStream(p))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return quarantine(r)
+      if (!readers.hasNext) return None
       val reader = readers.next()
       try {
         reader.setInput(iis, false, true)
         val n = try math.max(reader.getNumImages(true), 1)
                 catch { case _: java.io.IOException => 1 }
         val img = reader.read(0)
-        if (img == null) return quarantine(r)
+        if (img == null) return None
         val w = img.getWidth; val h = img.getHeight
         // fetch pixels a ROW at a time: per-pixel getRGB(x, y) pays a
         // ColorModel conversion + bounds check per call (w·h calls; ~8M
@@ -246,16 +261,26 @@ object MultimodalOps {
           argb = rowBuf(x)
           c <- Iterator((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
         } yield c
-        MediaFeatures(r.media_id, r.mime, r.n_bytes,
-          width = w, height = h, n_frames = n,
-          checksum = pixelChecksum(rgb))
+        Some((w, h, n, rgb))
       } finally reader.dispose()
+    } finally if (iis != null) iis.close()
+  }
+
+  def decodeImageIo(r: MediaRecord): MediaFeatures = {
+    try {
+      imageIoRgb(r.payload) match {
+        case Some((w, h, n, rgb)) =>
+          MediaFeatures(r.media_id, r.mime, r.n_bytes,
+            width = w, height = h, n_frames = n,
+            checksum = pixelChecksum(rgb))
+        case None => quarantine(r)
+      }
     } catch {
       // ImageIO surfaces corrupt input as IOException or unchecked
       // (IllegalArgument/ArrayIndex/NegativeArraySize on hostile headers)
       case _: java.io.IOException  => quarantine(r)
       case _: RuntimeException     => quarantine(r)
-    } finally if (iis != null) iis.close()
+    }
   }
 
   /** MIME-dispatched decode. Dispatch is on the DECLARED type, never on
@@ -270,6 +295,183 @@ object MultimodalOps {
     case "image/jpeg" | "image/png" | "image/gif" => decodeImageIo(r)
     case "audio/wav" | "audio/x-wav"    => decodeWav(r)
     case _                              => decodeStub(r)
+  }
+
+  // --- perceptual image hashing (near-dup dedup over image columns) ------
+
+  /** Decoded RGB stream for the image mimes, None for non-image mimes or
+    * undecodable payloads. The dHash path shares the EXACT decoders the
+    * checksum path uses — same dispatch-on-declared-MIME rule as
+    * [[decode]].
+    */
+  private[ext] def rgbOf(r: MediaRecord): Option[(Int, Int, Iterator[Int])] =
+    r.mime match {
+      case "image/x-portable-pixmap" => ppmRgb(r.payload)
+      case "image/bmp"               => bmpRgb(r.payload)
+      case "image/jpeg" | "image/png" | "image/gif" =>
+        try imageIoRgb(r.payload).map { case (w, h, _, it) => (w, h, it) }
+        catch {
+          case _: java.io.IOException => None
+          case _: RuntimeException    => None
+        }
+      case _ => None
+    }
+
+  /** 64-bit difference hash (dHash) of an image: box-average the luma
+    * into a 9-wide × 8-tall grid, then bit (gy·8+gx) = 1 iff
+    * grid(gy,gx) > grid(gy,gx+1) — 8 horizontal gradient signs per row.
+    * Gradient SIGNS survive re-encoding and (aspect-preserving) resizing,
+    * which byte checksums don't: a JPEG→PNG round-trip or a 2× downscale
+    * keeps nearly every bit, so near-dup copies land within a small
+    * Hamming distance and [[DedupOps.bandedHammingPairs]] surfaces them.
+    *
+    * Streaming: one pass over the channel stream, O(72) state — no
+    * pixel buffer, so a 4K frame hashes in constant memory. Luma is
+    * integer ITU-R 601 ((299r+587g+114b)/1000): grayscale inputs
+    * (r=g=b=v) hash on exactly v, which is what lets the q99 oracle
+    * re-derive the hash in SQL. Box edges use gx = x·9/w (integer
+    * division), so any w,h that are exact multiples of 9 and 8 average
+    * equal-size blocks — and a k× nearest-neighbor upscale of such an
+    * image hashes IDENTICALLY (each block's mean is unchanged).
+    * Images narrower/shorter than the grid fill empty cells from the
+    * nearest populated cell in the same row (left, then right).
+    */
+  def dhash64(w: Int, h: Int, rgbTopDown: Iterator[Int]): Long = {
+    val GW = 9; val GH = 8
+    val sums = new Array[Long](GW * GH)
+    val counts = new Array[Long](GW * GH)
+    var x = 0; var y = 0
+    while (y < h && rgbTopDown.hasNext) {
+      // & 0xFF: the byte-parser decoders emit sign-extended byte values
+      // (their checksum consumer masks internally); ImageIO emits 0..255
+      val r = rgbTopDown.next() & 0xFF
+      val g = (if (rgbTopDown.hasNext) rgbTopDown.next() else r) & 0xFF
+      val b = (if (rgbTopDown.hasNext) rgbTopDown.next() else g) & 0xFF
+      val luma = (299 * r + 587 * g + 114 * b) / 1000
+      val cell = (y.toLong * GH / h).toInt * GW + (x.toLong * GW / w).toInt
+      sums(cell) += luma; counts(cell) += 1
+      x += 1; if (x == w) { x = 0; y += 1 }
+    }
+    val grid = new Array[Double](GW * GH)
+    var gy = 0
+    while (gy < GH) {
+      var gx = 0
+      while (gx < GW) {
+        val c = gy * GW + gx
+        if (counts(c) > 0) grid(c) = sums(c).toDouble / counts(c)
+        else { // tiny image: borrow nearest populated cell in-row
+          var d = 1; var v = 0.0; var found = false
+          while (!found && d < GW) {
+            if (gx - d >= 0 && counts(gy * GW + gx - d) > 0) {
+              v = sums(gy * GW + gx - d).toDouble / counts(gy * GW + gx - d)
+              found = true
+            } else if (gx + d < GW && counts(gy * GW + gx + d) > 0) {
+              v = sums(gy * GW + gx + d).toDouble / counts(gy * GW + gx + d)
+              found = true
+            } else d += 1
+          }
+          grid(c) = v
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < GH) {
+      var gx = 0
+      while (gx < 8) {
+        if (grid(gy * GW + gx) > grid(gy * GW + gx + 1))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hash row; width = height = −1 marks an
+    * undecodable/non-image record (the quarantine convention), with
+    * dhash 0 — callers filter `width > 0` before pairing.
+    */
+  case class MediaHash(media_id: Long, mime: String, width: Int,
+                       height: Int, dhash: Long)
+
+  /** Map-only dHash extraction: decode + hash fused in one partition-local
+    * pass, streaming — the corpus-scale posture is identical to
+    * [[extractFeatures]] (binary column stays columnar until the executor
+    * task touches it; nothing ever collects to the driver).
+    */
+  def imageDHashes(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.map { r =>
+        rgbOf(r) match {
+          case Some((w, h, rgb)) =>
+            try MediaHash(r.media_id, r.mime, w, h, dhash64(w, h, rgb))
+            catch { // a raster that lies about its size mid-stream
+              case _: RuntimeException => MediaHash(r.media_id, r.mime, -1, -1, 0L)
+            }
+          case None => MediaHash(r.media_id, r.mime, -1, -1, 0L)
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup candidate pairs over an image corpus: dHash each
+    * decodable image (map-only), then Hamming-band the 64-bit hashes with
+    * the SAME LSH banding machinery text SimHash uses
+    * ([[DedupOps.bandedHammingPairs]]) — re-encoded/resized copies
+    * surface as pairs within `maxHamming`. Emits (id_a, id_b, hamming);
+    * undecodable records are excluded (they can't be perceptually
+    * compared — exact dedup via [[decode]]'s checksum still covers them).
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int): DataFrame =
+    DedupOps.bandedHammingPairs(
+      imageDHashes(spark, media).filter(col("width") > 0).toDF(),
+      "media_id", "dhash", maxHamming)
+
+  /** Deterministic synthetic image corpus for exercising the perceptual
+    * path end-to-end: one 18×16 grayscale PPM per input id, where ids
+    * sharing `id % groups` render the same base pattern and each id adds
+    * a sparse per-id brightness bump — so same-group images are near-dups
+    * (small Hamming distance) and cross-group images are far. The pixel
+    * formula is pure integer arithmetic on (id, x, y), which is what lets
+    * the q99 oracle rebuild the exact grid, hash, and banding in SQL —
+    * the whole decode→hash→band→pair chain gets a full DuckDB oracle
+    * even though DuckDB cannot decode images.
+    */
+  def syntheticPpmImages(spark: SparkSession, ids: DataFrame,
+                         groups: Int = 50): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val w = 18; val h = 16
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { iter =>
+      iter.map { id =>
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val body = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = syntheticPixel(id, x, y, groups)
+            val o = (y * w + x) * 3
+            body(o) = v.toByte; body(o + 1) = v.toByte; body(o + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        MediaRecord(id, "image/x-portable-pixmap",
+          (header.length + body.length).toLong, header ++ body)
+      }
+    }
+  }
+
+  /** The q99 pixel formula — mirrored verbatim by the oracle SQL. */
+  private[ext] def syntheticPixel(id: Long, x: Int, y: Int, groups: Int): Int = {
+    val base = (((id % groups) * 37 + x * 11 + y * 23) * 17 % 256).toInt
+    val bump = if ((id * 131 + x * 7 + y * 3) % 997 < 30) 40 else 0
+    math.min(255, base + bump)
   }
 
   /** Gzip ingest: inflate `<inner>+gzip` payloads partition-locally (JDK

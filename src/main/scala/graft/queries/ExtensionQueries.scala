@@ -229,6 +229,20 @@ object ExtensionQueries {
       graft.ext.ProfileOps.keySkew(t(s, dir, "events"), "user_id", topN = 10)
         .orderBy(col("n").desc, col("user_id"))),
 
+    // -- Perceptual image near-dup: deterministic synthetic PPM corpus →
+    // dHash through the REAL decode path → the shared Hamming banding
+    // (DedupOps.bandedHammingPairs). The pixel formula is pure integer
+    // arithmetic on (doc_id, x, y), so the oracle rebuilds the ENTIRE
+    // chain — luma grid, 64-bit hash, bands, pairs — in SQL even though
+    // DuckDB cannot decode images; ImageDHashSpec pins the decode leg
+    // (PNG re-encode + 2x resize collide) the oracle can't see ----------
+    "q99_image_neardup" -> ((s, dir) =>
+      MultimodalOps.imageNearDupPairs(s,
+          MultimodalOps.syntheticPpmImages(s,
+            t(s, dir, "documents").filter(col("doc_id") < 300)).toDF(),
+          maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // -- Epoch reshuffle: deterministic per-epoch ordering (seed 7, 8
     // shards). The oracle recomputes the md5 coin + row_number in DuckDB,
     // so shard assignment AND within-shard order are both engine-pinned --
@@ -1399,6 +1413,45 @@ object ExtensionQueries {
         |  CAST(total_rows AS BIGINT) AS total_rows,
         |  CAST(n_keys AS BIGINT) AS n_keys
         |FROM pk, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    // mirrors syntheticPixel + dhash64 + bandedHammingPairs exactly:
+    // 18×16 grayscale (luma = v), 2×2 box averages into the 9×8 grid,
+    // bit (gy·8+gx) = grid(gx) > grid(gx+1); bit 63 lands as BIGINT min
+    // (two's complement — DuckDB refuses 1<<63), bands are arithmetic
+    // shiftright + mask in BOTH engines
+    "q99_image_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+        |pix AS (
+        |  SELECT id, sx.x AS x, sy.y AS y,
+        |    LEAST(255, ((id % 50) * 37 + sx.x * 11 + sy.y * 23) * 17 % 256 +
+        |      CASE WHEN (id * 131 + sx.x * 7 + sy.y * 3) % 997 < 30
+        |        THEN 40 ELSE 0 END) AS v
+        |  FROM ids, generate_series(0, 17) sx(x), generate_series(0, 15) sy(y)),
+        |grid AS (
+        |  SELECT id, x // 2 AS gx, y // 2 AS gy, avg(v) AS gv
+        |  FROM pix GROUP BY id, x // 2, y // 2),
+        |bits AS (
+        |  SELECT l.id, l.gy * 8 + l.gx AS bit,
+        |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS b
+        |  FROM grid l JOIN grid r
+        |    ON l.id = r.id AND l.gy = r.gy AND r.gx = l.gx + 1
+        |  WHERE l.gx < 8),
+        |sig AS (SELECT id, CAST(sum(
+        |    CASE WHEN b = 1 AND bit = 63
+        |           THEN CAST(-9223372036854775808 AS HUGEINT)
+        |         WHEN b = 1 THEN CAST((CAST(1 AS BIGINT)
+        |           << CAST(bit AS INTEGER)) AS HUGEINT)
+        |         ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY id),
+        |bands AS (SELECT id, sig, gi.i AS i,
+        |    (sig >> CAST(gi.i * 16 AS INTEGER)) & 65535 AS bv
+        |  FROM sig, generate_series(0, 3) gi(i)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.i = b.i AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     "q94_epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |    md5('7:' || CAST(doc_id AS STRING)) AS c FROM documents),
