@@ -427,6 +427,53 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(f2.head.getAs[Boolean]("dup") && f2.head.getAs[Long]("n_dups") == 1L)
   }
 
+  test("compactSignatureStore: per-ingest small files collapse to few, " +
+      "signatures survive bit-identically, replay duplicates heal") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sigs-compact").resolve("sigs").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    DedupOps.signatureStore(spark, corpus, path, 3, 8, 2)
+    val mk = (id: Long) => Seq((id, s"unique words for document number $id " +
+      s"plus filler token$id stuffing$id")).toDF("doc_id", "text")
+    (10L to 14L).foreach(id =>
+      DedupOps.appendToSignatureStore(spark, mk(id), path, 3, 8, 2))
+    // replay artifact: the same batch appended twice (crash between the
+    // store append and the replay marker)
+    DedupOps.appendToSignatureStore(spark, mk(12L), path, 3, 8, 2)
+
+    def files() = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def rows() = spark.read.parquet(path)
+      .select($"doc_id", $"sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val filesBefore = files()
+    val distinctBefore = rows().distinct.sorted(
+      Ordering.by((t: (Long, Seq[Long])) => t._1))
+    assert(filesBefore >= 7, s"appends should accumulate files, saw $filesBefore")
+    assert(rows().size == distinctBefore.size + 1, "replay row present")
+
+    val (before, after) = DedupOps.compactSignatureStore(spark, path,
+      targetFileMB = 256)
+    assert(before == filesBefore && after == files())
+    assert(after < before, s"compaction must reduce files: $before -> $after")
+    // bit-identical distinct signatures; the replayed exact-dup row healed
+    val got = rows().sorted(Ordering.by((t: (Long, Seq[Long])) => t._1))
+    assert(got == distinctBefore)
+    // the store still serves ingest dedup: a clone of doc 12 flags once
+    // (the replayed row would have inflated this to 2 pre-compaction)
+    val f = DedupOps.incrementalNearDupFlags(
+      mk(12L).select(lit(99L).as("doc_id"), $"text"),
+      spark.read.parquet(path), 3, 8, 2, 0.8).collect()
+    assert(f.head.getAs[Boolean]("dup") && f.head.getAs[Long]("n_dups") == 1L)
+    // an unpublished path refuses, same as append
+    val e = intercept[IllegalArgumentException](
+      DedupOps.compactSignatureStore(spark, java.nio.file.Files
+        .createTempDirectory("graft-nostore").resolve("x").toString))
+    assert(e.getMessage.contains("no published signature store"))
+  }
+
   test("signatureStore: ingest against the persisted store equals ingest " +
       "against freshly computed signatures; second call hits the cache") {
     import spark.implicits._
