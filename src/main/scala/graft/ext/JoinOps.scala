@@ -92,6 +92,56 @@ object JoinOps {
     p.join(b, keys :+ "__salt").drop("__salt")
   }
 
+  /** Skew-AWARE inner equi-join: close the decide-to-salt loop that
+    * [[ProfileOps.keySkew]] (q96) exists to feed. Measures the PROBE
+    * side's key distribution with one bounded job — per-key counts
+    * partial-aggregate map-side, the shuffle carries only distinct keys,
+    * and the driver receives exactly ONE row (max, total, n_keys) — then
+    * salts via [[saltedEquiJoin]] only when max-over-mean crosses
+    * `skewThreshold`. A uniform input pays zero salt cost (the plan is
+    * the plain join: no salt column, no build-side explode — asserted by
+    * JoinOpsSpec); a hot-keyed input spreads its heavy key over
+    * `saltFactor` reducers. Result is EXACTLY the plain inner join either
+    * way, which is what the q100 oracle pins.
+    *
+    * The probe side is measured because it is the side [[saltedEquiJoin]]
+    * salts (its hot key is what overflows one reducer; the build side is
+    * the replicated small side). NULL-keyed probe rows are excluded from
+    * the measurement — an inner equi-join drops them, so a NULL-heavy
+    * probe must not trigger pointless salting (contrast q96, where the
+    * NULL bucket is deliberately reported: a diagnostic answers "what's
+    * hot", this operator answers "what will this join shuffle").
+    *
+    * At 100 TB the measurement is one scan (map-side-combined) — cheap
+    * next to a fact⋈fact shuffle, and the alternative (always salt)
+    * multiplies build-side shuffle volume by saltFactor on every join,
+    * skewed or not. AQE's skew-split handles the moderate cases at
+    * runtime; this handles the single-key-overwhelms-one-reducer case
+    * AQE can only split on one side.
+    */
+  def skewAwareJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                    skewThreshold: Double = 4.0,
+                    saltFactor: Int = 8): DataFrame = {
+    require(skewThreshold > 1.0,
+      s"skewAwareJoin: threshold must exceed 1.0 (uniform), got $skewThreshold")
+    require(saltFactor > 1, s"skewAwareJoin: saltFactor must be > 1")
+    val joinable = probe.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val stats = joinable
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("max_n"), sum(col("__n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      .head()
+    val skewed = !stats.isNullAt(0) && {
+      val maxN = stats.getLong(0)
+      val total = stats.getLong(1)
+      val nKeys = stats.getLong(2)
+      // max/mean >= threshold, kept in integer-product form (no division)
+      maxN.toDouble * nKeys >= skewThreshold * total
+    }
+    if (skewed) saltedEquiJoin(probe, build, keys, saltFactor)
+    else probe.join(build, keys)
+  }
+
   /** Range join: pair each left row with right rows whose timestamp falls
     * in [left.ts, left.ts + windowSeconds), with equal keys.
     *

@@ -168,7 +168,13 @@ object ProfileOps {
     val totals = perKey.agg(sum(col("n")).as("total_rows"),
       count(lit(1)).as("n_keys"))
     perKey
-      .orderBy(col("n").desc, col(keyCol))
+      // asc_nulls_last pins the cross-engine tie order at the topN
+      // boundary: Spark's bare asc is NULLS FIRST, DuckDB's is NULLS
+      // LAST — and the NULL key is deliberately IN the report (the
+      // classic skew bucket), so a null tying on n at the cut would
+      // otherwise pick a different slice per engine (the exactSample
+      // coin-sort fix, applied here)
+      .orderBy(col("n").desc, col(keyCol).asc_nulls_last)
       .limit(topN)
       .crossJoin(broadcast(totals))
   }

@@ -227,7 +227,27 @@ object ExtensionQueries {
     // consumer's division) ----------------------------------------------
     "q96_key_skew" -> ((s, dir) =>
       graft.ext.ProfileOps.keySkew(t(s, dir, "events"), "user_id", topN = 10)
-        .orderBy(col("n").desc, col("user_id"))),
+        .orderBy(col("n").desc, col("user_id").asc_nulls_last)),
+
+    // -- Skew-aware auto-salted join: the q96 measurement feeding the
+    // q73 mechanism. A deterministic hot key (every user_id < 100 folds
+    // to 0 — a single key carrying a large fraction of events at any SF)
+    // trips the measured max/mean threshold, so the salted path runs;
+    // the oracle is the PLAIN join (the q73 pattern: salting must be
+    // invisible in the result). JoinOpsSpec asserts the plan side: no
+    // salt exchange on uniform keys, salt present on skewed ones ------
+    "q100_skew_aware_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("user_id") < 100, 0L).otherwise(col("user_id")).as("uid"),
+          col("value"))
+      val dim = ev.select(col("uid")).distinct()
+        .withColumn("cohort", pmod(col("uid"), lit(7)))
+      JoinOps.skewAwareJoin(ev, dim, Seq("uid"))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("cohort"))
+    }),
 
     // -- Perceptual image near-dup: deterministic synthetic PPM corpus →
     // dHash through the REAL decode path → the shared Hamming banding
@@ -1404,6 +1424,8 @@ object ExtensionQueries {
     // n_keys counts the grouped rows (NULL is a key — a null join key is
     // a classic skew bucket and must show up in the diagnostic), so the
     // oracle derives it from pk, NOT count(DISTINCT) which drops NULLs
+    // NULLS LAST spelled out (DuckDB's asc default, Spark's is FIRST —
+    // the topN cut must slice identically when a NULL key ties on n)
     "q96_key_skew" ->
       """WITH pk AS (SELECT user_id, count(*) AS n FROM events
         |  GROUP BY user_id),
@@ -1412,7 +1434,17 @@ object ExtensionQueries {
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  CAST(total_rows AS BIGINT) AS total_rows,
         |  CAST(n_keys AS BIGINT) AS n_keys
-        |FROM pk, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+        |FROM pk, t ORDER BY n DESC, user_id NULLS LAST LIMIT 10""".stripMargin,
+    // the plain join IS the oracle: a correct salt is result-invisible
+    "q100_skew_aware_join" ->
+      """WITH ev AS (SELECT event_id,
+        |    CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS uid, value
+        |  FROM events),
+        |dim AS (SELECT DISTINCT uid, uid % 7 AS cohort FROM ev)
+        |SELECT d.cohort, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM ev e JOIN dim d ON e.uid = d.uid
+        |GROUP BY d.cohort ORDER BY d.cohort""".stripMargin,
     // mirrors syntheticPixel + dhash64 + bandedHammingPairs exactly:
     // 18×16 grayscale (luma = v), 2×2 box averages into the 9×8 grid,
     // bit (gy·8+gx) = grid(gx) > grid(gx+1); bit 63 lands as BIGINT min

@@ -154,4 +154,74 @@ class JoinOpsSpec extends AnyFunSuite {
         assert(p.contains("__salt"), s"shuffle on bare keys (salt lost): $p\n$plan"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("skewAwareJoin: uniform keys take the PLAIN path (no salt column " +
+      "anywhere in the plan), hot keys take the salted path") {
+    import spark.implicits._
+    val uniformProbe = (1L to 2000L).map(i => (i, i % 100, i * 1.0))
+      .toDF("id", "k", "v")
+    val hotProbe = (1L to 2000L)
+      .map(i => (i, if (i <= 1800) 0L else i % 100, i * 1.0))
+      .toDF("id", "k", "v")
+    val dim = (0L until 100L).map(k => (k, s"g${k % 5}")).toDF("k", "grp")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plainPlan = JoinOps.skewAwareJoin(uniformProbe, dim, Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(!plainPlan.contains("__salt"),
+        s"uniform input must not pay the salt cost:\n$plainPlan")
+      val saltedPlan = JoinOps.skewAwareJoin(hotProbe, dim, Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(saltedPlan.contains("__salt"),
+        s"hot key must trip the salted path:\n$saltedPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("skewAwareJoin result equals the plain join on BOTH paths") {
+    import spark.implicits._
+    val hotProbe = (1L to 500L)
+      .map(i => (i, if (i <= 400) 0L else i % 50, i * 1.0))
+      .toDF("id", "k", "v")
+    val uniformProbe = (1L to 500L).map(i => (i, i % 50, i * 1.0))
+      .toDF("id", "k", "v")
+    val dim = (0L until 50L).map(k => (k, s"g${k % 5}")).toDF("k", "grp")
+    for (probe <- Seq(hotProbe, uniformProbe)) {
+      val plain = probe.join(dim, Seq("k")).select("id", "grp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val aware = JoinOps.skewAwareJoin(probe, dim, Seq("k"))
+        .select("id", "grp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(aware == plain)
+    }
+  }
+
+  test("skewAwareJoin: NULL-keyed probe rows neither join nor trigger " +
+      "salting (inner-join semantics drive the measurement)") {
+    import spark.implicits._
+    // 90% NULL keys, non-null keys uniform: a measurement that counted
+    // NULLs would see one giant bucket and salt pointlessly
+    val probe = (1L to 1000L)
+      .map(i => (i, if (i <= 900) None else Some(i % 10), i * 1.0))
+      .toDF("id", "k", "v")
+    val dim = (0L until 10L).map(k => (k, s"g$k")).toDF("k", "grp")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = JoinOps.skewAwareJoin(probe, dim, Seq("k"))
+      assert(!df.queryExecution.executedPlan.toString.contains("__salt"))
+      assert(df.count() == 100L) // the non-null rows, each matched once
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("skewAwareJoin: an all-NULL or empty probe takes the plain path " +
+      "without dividing by zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Option[Long], Double)].toDF("id", "k", "v")
+    val dim = (0L until 5L).map(k => (k, s"g$k")).toDF("k", "grp")
+    assert(JoinOps.skewAwareJoin(empty, dim, Seq("k")).count() == 0L)
+    val allNull = (1L to 50L).map(i => (i, None: Option[Long], 1.0))
+      .toDF("id", "k", "v")
+    assert(JoinOps.skewAwareJoin(allNull, dim, Seq("k")).count() == 0L)
+  }
 }
