@@ -461,6 +461,20 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // The opt-in TWO-STAGE int8 IVF path (VERDICT r9 #6): int8 coarse
+    // scoring with a provably-sufficient survivor margin, exact re-rank.
+    // Same parameters and centroids as q31 — and the SAME oracle, because
+    // the margin proof says the two-stage result is bit-identical to
+    // single-stage exact scoring on ANY input. SimilarityOpsSpec asserts
+    // the coarse stage actually runs Int8Dot (a silent fallback to exact
+    // scoring would also pass this oracle).
+    "q98_ann_ivf_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.ivfTopKWithCentroidsInt8(e.filter(col("vec_id") < 10), e,
+          graft.ext.IvfCentroids.centroids, k = 5, nprobe = 3)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Full oracle via shared literal planes; recall vs q30's exact top-k
     // is bounded in SimilarityOpsSpec (0.74 @ the default 8x4 banding,
     // fixed seed).
@@ -1649,6 +1663,8 @@ object ExtensionQueries {
         |FROM err ORDER BY vec_id""".stripMargin,
     "q52_ann_lsh" -> lshOracleSql,
     "q31_ann_ivf" -> ivfOracleSql,
+    // two-stage int8 ≡ single-stage exact, provably — one oracle serves both
+    "q98_ann_ivf_int8" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,
     "q74_knn_graph" -> knnGraphOracleSql,
     "q75_embed_curation" -> embedCurationOracleSql,

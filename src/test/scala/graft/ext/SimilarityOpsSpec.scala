@@ -225,6 +225,19 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(cellSizes.max > 10 * k)
   }
 
+  test("q98's coarse stage actually runs the int8 kernels (plan-asserted: " +
+      "the identical-to-q31 oracle alone can't see a silent exact fallback)") {
+    val df = graft.queries.ExtensionQueries.queries("q98_ann_ivf_int8")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("int8_dot"),
+      s"coarse scoring must use Int8Dot:\n${plan.take(4000)}")
+    assert(plan.contains("int8_unit_quantize"),
+      s"both join sides must quantize:\n${plan.take(4000)}")
+    assert(plan.contains("nearest_cell"),
+      s"cell assignment must stay the fused kernel:\n${plan.take(4000)}")
+  }
+
   test("cosine: zero-norm vector yields NULL, not an ANSI DIVIDE_BY_ZERO") {
     val df = Seq((Seq(0f, 0f), Seq(1f, 0f)), (Seq(0f, 0f), Seq(0f, 0f)))
       .toDF("a", "b")
