@@ -60,8 +60,14 @@ object Bench {
     // A failed query must NOT bench as a fast one: record the error instead
     // of a time and keep it out of the total, so a regression that breaks a
     // query can only make the bench look worse, never better.
+    // CC round instrumentation (VERDICT r9 #5): iterative-operator variance
+    // is indistinguishable from a frontier regression without the round
+    // structure in the durable record.
+    val ccStats = scala.collection.mutable.LinkedHashMap
+      .empty[String, graft.ext.DedupOps.CcRunStats]
     val results: Seq[(String, Either[String, Double])] = selected.toSeq.map {
       case (name, fn) =>
+        graft.ext.DedupOps.resetCcStats()
         def runOnce(): Either[String, Double] = {
           val t0 = System.nanoTime()
           // noop sink materializes every output column (count() would let
@@ -85,6 +91,10 @@ object Bench {
             (reps until 5).map(_ => runOnce())
           else Seq.empty
         val oks = (runs ++ extra).collect { case Right(t) => t }
+        // Bench is single-threaded, so a thread-local CC record present
+        // here belongs to THIS query's last rep; clear-before/read-after
+        // attributes it safely even so.
+        graft.ext.DedupOps.lastCcStats.foreach(s => ccStats(name) = s)
         name -> (if (oks.nonEmpty) Right(oks.min)
                  else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
@@ -99,8 +109,14 @@ object Bench {
     val total = results.collect { case (_, Right(t)) => t }.sum
     val errField =
       if (errs.isEmpty) "" else s""","errors":${errs.map(jstr).mkString("[", ",", "]")}"""
+    val ccField =
+      if (ccStats.isEmpty) ""
+      else ccStats.map { case (q, s) =>
+        jstr(q) + s""":{"rounds":${s.rounds},"changed":${
+          s.changedPerRound.mkString("[", ",", "]")}}"""
+      }.mkString(""","cc":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs$errField$ccField,"sf":"$sfDir"}"""
     println(fullLine)
     // Stdout capture has truncated the long per-query record two rounds in a
     // row (r4 lost the total, r5 lost 21/81 per-query times), so the complete

@@ -427,6 +427,38 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(f2.head.getAs[Boolean]("dup") && f2.head.getAs[Long]("n_dups") == 1L)
   }
 
+  test("connectedComponents records per-round frontier sizes; the q53/q85 " +
+      "fixture round structure is pinned (a frontier regression cannot " +
+      "hide in bench noise)") {
+    // the operator's own record, on a hand-built graph: a 4-chain takes
+    // 2 label rounds + the fixpoint probe
+    import spark.implicits._
+    val verts = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    DedupOps.resetCcStats()
+    assert(DedupOps.lastCcStats.isEmpty)
+    DedupOps.connectedComponents(verts, "id", pairs).count()
+    val s = DedupOps.lastCcStats.get
+    assert(s.rounds == s.changedPerRound.size)
+    assert(s.changedPerRound.last == 0L, "final round is the fixpoint probe")
+    assert(s.changedPerRound.init.forall(_ > 0L))
+    // the registered CC queries on the sf0.001 fixture: 1 propagation
+    // round + the fixpoint probe, with THESE frontier sizes (near-dup
+    // clusters are shallow — that's the operator's whole cost model)
+    DedupOps.resetCcStats()
+    graft.queries.ExtensionQueries.queries("q53_dedup_clusters")(
+      spark, "/root/testdata/sf0.001").write.format("noop")
+      .mode("overwrite").save()
+    assert(DedupOps.lastCcStats.get == DedupOps.CcRunStats(2, Seq(9L, 0L)),
+      s"q53 round structure drifted: ${DedupOps.lastCcStats}")
+    DedupOps.resetCcStats()
+    graft.queries.ExtensionQueries.queries("q85_lsh_cc")(
+      spark, "/root/testdata/sf0.001").write.format("noop")
+      .mode("overwrite").save()
+    assert(DedupOps.lastCcStats.get == DedupOps.CcRunStats(2, Seq(24L, 0L)),
+      s"q85 round structure drifted: ${DedupOps.lastCcStats}")
+  }
+
   test("compactSignatureStore: per-ingest small files collapse to few, " +
       "signatures survive bit-identically, replay duplicates heal") {
     import spark.implicits._
