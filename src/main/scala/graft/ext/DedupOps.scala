@@ -761,27 +761,45 @@ object DedupOps {
         s".${dst.getName}.inprogress-${java.util.UUID.randomUUID()}")
       try {
         compute.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(success)) {
-          // a concurrent writer published while we computed: theirs is
-          // complete, ours is redundant — never touch dst
-          fs.delete(tmp, true)
-        } else {
-          // a _SUCCESS-less dst at this point is a crashed partial write —
-          // clear it so the rename lands AT dst instead of nesting inside
-          if (fs.exists(dst)) fs.delete(dst, true)
-          if (!fs.rename(tmp, dst)) {
-            // rename-to-existing fails on HDFS: a racer re-published
-            // between the probe and the rename — drop our attempt
-            fs.delete(tmp, true)
+        // Publish loop (ADVICE r9): every attempt RE-probes _SUCCESS so a
+        // racer's completed publication wins immediately, and a rename
+        // failure (HDFS rename-to-existing) retries through a fresh probe
+        // instead of assuming. The pre-delete targets only a _SUCCESS-less
+        // crashed partial, probed adjacent to the delete each attempt —
+        // the residual statement-width hazard is documented below.
+        var done = false
+        var attempt = 0
+        while (!done) {
+          if (fs.exists(success)) {
+            // a concurrent writer published (during our compute or a
+            // prior attempt): theirs is complete, ours is redundant —
+            // never touch dst
+            fs.delete(tmp, true); done = true
+          } else {
+            // a _SUCCESS-less dst here is a crashed partial write — clear
+            // it so the rename lands AT dst instead of nesting inside.
+            // RESIDUAL HAZARD (accepted, statement-width): a racer
+            // completing publication between this probe and the delete
+            // loses its dst and is immediately re-published by us with
+            // bit-identical content; a concurrent READER of the path can
+            // transiently miss _SUCCESS during that swap. Content never
+            // diverges, and the post-publish verify turns a genuinely
+            // lost state into a loud error.
+            if (fs.exists(dst)) fs.delete(dst, true)
+            if (fs.rename(tmp, dst)) done = true
+            else {
+              attempt += 1
+              if (attempt >= 3) { fs.delete(tmp, true); done = true }
+            }
           }
-          // local-FS rename CAN move INTO an existing dst (posix
-          // semantics) when a racer re-created it between our delete and
-          // rename — sweep the stray nested dir if so
-          val nested = new Path(dst, tmp.getName)
-          if (fs.exists(nested)) fs.delete(nested, true)
-          if (!fs.exists(success)) throw new IllegalStateException(
-            s"failed to publish materialized pair set at $path")
         }
+        // local-FS rename CAN move INTO an existing dst (posix
+        // semantics) when a racer re-created it between our delete and
+        // rename — sweep the stray nested dir if so
+        val nested = new Path(dst, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+        if (!fs.exists(success)) throw new IllegalStateException(
+          s"failed to publish materialized pair set at $path")
       } finally if (fs.exists(tmp)) fs.delete(tmp, true)
     }
     spark.read.parquet(path)

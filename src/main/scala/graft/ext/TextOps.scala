@@ -526,11 +526,15 @@ object TextOps {
     * Plan shape at 100 TB: one exploded (doc, shingle) stream,
     * de-duplicated per doc (shuffle 1, uniform key), re-aggregated to
     * corpus df (shuffle 2, with map-side combine). The common set —
-    * df > maxDf, which real corpora keep tiny because commonness is the
-    * exception — comes back as a BROADCAST left-semi mark, so the
-    * per-doc rollup (shuffle 3, doc-id key) never carries the shingle
-    * strings of clean documents twice. No driver-side collection
-    * anywhere; the broadcast is built by Spark from the df aggregate.
+    * df > maxDf — usually stays tiny (commonness is the exception), and
+    * when it is, AQE promotes the mark join to a runtime broadcast, so
+    * the per-doc rollup (shuffle 3, doc-id key) never carries the
+    * shingle strings of clean documents twice. The hint is deliberately
+    * NOT forced: the set is unbounded (a stopword-flooded corpus can
+    * push most frequent n-grams over maxDf), and AQE cannot demote a
+    * forced broadcast — unhinted, an oversized common set degrades to a
+    * shuffle join instead of an executor OOM. No driver-side collection
+    * anywhere.
     */
   def boilerplateMetrics(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String, k: Int = 3, maxDf: Long = 10,
@@ -544,7 +548,16 @@ object TextOps {
       .filter(col("__df") > maxDf)
       .select(col("__s"))
     val perDoc = docShingles
-      .join(broadcast(common).withColumn("__hit", lit(1)), Seq("__s"), "left")
+      // NO forced broadcast hint (ADVICE r9): the df>maxDf set is
+      // unbounded — a stopword-flooded natural-language corpus can push
+      // most frequent n-grams over maxDf, and AQE cannot demote a forced
+      // broadcast, so the hint would turn "common set grew" into an
+      // executor OOM. Unhinted, AQE promotes the join to broadcast at
+      // runtime when the set is actually small (the normal case — the
+      // q90 plan spec asserts the FINAL adaptive plan broadcasts at test
+      // scale) and falls back to a shuffle join when it isn't: slower,
+      // never dead.
+      .join(common.withColumn("__hit", lit(1)), Seq("__s"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("__hit")).as("n_common"))
