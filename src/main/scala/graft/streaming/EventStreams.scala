@@ -245,7 +245,11 @@ object EventStreams {
     * window — crash after the append, before the marker — can duplicate
     * signature ROWS in the store on replay; that inflates a future
     * collision's `n_dups` count but can never flip a `dup` boolean,
-    * which is the decision consumers act on.
+    * which is the decision consumers act on. The duplicates do not
+    * accumulate forever: [[graft.ext.DedupOps.compactSignatureStore]]
+    * collapses exact-duplicate rows (same doc_id AND signature) as part
+    * of the store's periodic small-file maintenance, healing both the
+    * inflated counts and the file growth in one serialized pass.
     */
   def runIngestDedup(docStream: DataFrame, storePath: String,
                      outPath: String, checkpoint: String,

@@ -175,6 +175,29 @@ object ScaleCurve {
       "q67_chunk_dedup" -> (n =>
         DedupOps.chunkDedup(docs(spark, dirs(n)), "doc_id", "text",
           chunkTokens = 8)),
+      // perceptual image near-dup: decode+dhash is map-only; GROUPS scale
+      // with the corpus (clusters multiply, never deepen — the ScaleGen
+      // rule applied to the synthetic image corpus), so near-dup cluster
+      // sizes hold constant and candidate pairs grow ~linearly
+      "q99_image_neardup" -> { n =>
+        val ids = docs(spark, dirs(n)).filter(col("doc_id") < 300L * n)
+        graft.ext.MultimodalOps.imageNearDupPairs(spark,
+          graft.ext.MultimodalOps.syntheticPpmImages(spark, ids,
+            groups = 50 * n).toDF(), maxHamming = 10)
+      },
+      // skew-aware join: the decide measurement is one partial-agg scan
+      // (flat per row); the salted join spreads a planted hot key
+      // carrying ~70% of all rows — the case AQE's one-sided skew split
+      // cannot fully fix
+      "q100_skew_aware_join" -> { n =>
+        val d = docs(spark, dirs(n)).select(col("doc_id"),
+          when(col("doc_id") % 1000 < 700, 0L)
+            .otherwise(col("doc_id") % 1000).as("k"))
+        val dim = d.select(col("k")).distinct()
+          .withColumn("cohort", pmod(col("k"), lit(7)))
+        graft.ext.JoinOps.skewAwareJoin(d, dim, Seq("k"))
+          .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      },
       // corpus-level boilerplate: df threshold scales with the corpus
       // (ScaleGen replicas are near-disjoint in shingle space, so a FIXED
       // df would stop flagging at 10× — commonness is relative to corpus

@@ -68,6 +68,30 @@ class ImageDHashSpec extends AnyFunSuite {
     assert(dhashOf(png) == dhashOf(base))
   }
 
+  test("a LOSSY JPEG re-encode stays within a small Hamming distance " +
+      "while the exact checksum diverges — the gap dHash exists to close") {
+    val id = 3L
+    val img = new java.awt.image.BufferedImage(
+      W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until H; x <- 0 until W) {
+      val v = MultimodalOps.syntheticPixel(id, x, y, 50)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bo), "no jpg writer")
+    val jpg = MultimodalOps.MediaRecord(77L, "image/jpeg",
+      bo.size().toLong, bo.toByteArray)
+    val base = ppmOf(id)
+    val ham = java.lang.Long.bitCount(dhashOf(jpg) ^ dhashOf(base))
+    assert(ham <= 10, s"lossy re-encode drifted to hamming $ham — " +
+      "gradient signs should survive JPEG quantization")
+    // the checksum path (exact dedup) CANNOT see this pair: lossy bytes
+    val csJpg = MultimodalOps.decode(jpg).checksum
+    val csPpm = MultimodalOps.decode(base).checksum
+    assert(csJpg != csPpm, "JPEG is lossy; identical checksums would mean " +
+      "the fixture stopped exercising the near-dup (vs exact) distinction")
+  }
+
   test("perturbed copies land near, different images land far") {
     val base = ppmOf(0L)
     // brighten a single 2x2 grid block: at most a couple of gradient
