@@ -175,13 +175,37 @@ object MultimodalOps {
     * (data bytes / block align), checksum over the PCM bytes.
     */
   def decodeWav(r: MediaRecord): MediaFeatures = {
-    val p = r.payload
+    wavPcm(r.payload) match {
+      case Some(w) =>
+        MediaFeatures(r.media_id, r.mime, r.n_bytes,
+          width = w.channels, height = w.bits,
+          n_frames = (w.dataLen / w.blockAlign).toInt,
+          checksum = pixelChecksum(
+            Iterator.range(0, w.dataLen.toInt)
+              .map(k => r.payload(w.dataOff + k).toInt)))
+      case None => quarantine(r)
+    }
+  }
+
+  /** Parsed PCM WAV layout: the `fmt ` declaration plus the first `data`
+    * chunk's byte window into the payload.
+    */
+  private[ext] final case class WavPcm(channels: Int, bits: Int,
+                                       blockAlign: Int, dataOff: Int,
+                                       dataLen: Long)
+
+  /** The RIFF chunk walk shared by [[decodeWav]] and the audio-hash path;
+    * None on anything that isn't well-formed PCM (the quarantine cases
+    * MultimodalOpsSpec pins: non-PCM format codes, missing chunks,
+    * truncated headers).
+    */
+  private[ext] def wavPcm(p: Array[Byte]): Option[WavPcm] = {
     def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
     def tag(o: Int): String =
       new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
-      return quarantine(r)
+      return None
     // chunk offsets walk in Long: a declared size near 2^31 would wrap an
     // Int offset negative and crash the index instead of quarantining
     var o = 12L
@@ -205,14 +229,9 @@ object MultimodalOps {
       o += 8 + size + (size & 1) // RIFF chunks pad to even
     }
     if (!pcm || channels <= 0 || bits <= 0 || blockAlign <= 0 ||
-        dataLen < 0 || dataOff < 0)
-      return quarantine(r)
-    val start = dataOff.toInt // dataOff + dataLen <= p.length by the min
-    MediaFeatures(r.media_id, r.mime, r.n_bytes,
-      width = channels, height = bits,
-      n_frames = (dataLen / blockAlign).toInt,
-      checksum = pixelChecksum(
-        Iterator.range(0, dataLen.toInt).map(k => p(start + k).toInt)))
+        dataLen < 0 || dataOff < 0) None
+    else Some(WavPcm(channels, bits, blockAlign, dataOff.toInt, dataLen))
+    // dataOff + dataLen <= p.length by the min above
   }
 
   /** JPEG/PNG/GIF via `javax.imageio` — the JDK's built-in readers, zero
@@ -472,6 +491,150 @@ object MultimodalOps {
     val base = (((id % groups) * 37 + x * 11 + y * 23) * 17 % 256).toInt
     val bump = if ((id * 131 + x * 7 + y * 3) % 997 < 30) 40 else 0
     math.min(255, base + bump)
+  }
+
+  // --- perceptual audio hashing (near-dup dedup over audio columns) ------
+
+  /** 64-bit energy-envelope difference hash for PCM audio — the audio
+    * sibling of [[dhash64]]: box-average the per-frame amplitude
+    * (|channel-0 sample|) into a 65-slot envelope, bit i = 1 iff
+    * env(i) > env(i+1). Comparing envelope SLOPES makes the hash
+    * invariant to uniform volume scaling (every window scales by the
+    * same factor) and robust to re-sampling (box means, the dhash
+    * resize argument) — the two transforms audio copies actually
+    * undergo — while byte checksums see every re-encode as a new file.
+    * Streaming over the payload: O(65) state, one pass, no sample
+    * buffer. 16-bit little-endian and 8-bit (unsigned, centered at 128)
+    * PCM supported; anything else → None (quarantine).
+    */
+  private[ext] def audioEnvHash64(p: Array[Byte], w: WavPcm): Option[Long] = {
+    val EW = 65
+    val nFrames = (w.dataLen / w.blockAlign).toInt
+    if (nFrames < 1 || (w.bits != 16 && w.bits != 8)) return None
+    val sums = new Array[Long](EW)
+    val counts = new Array[Long](EW)
+    var f = 0
+    while (f < nFrames) {
+      val off = w.dataOff + f * w.blockAlign
+      val amp =
+        if (w.bits == 16)
+          math.abs((((p(off + 1).toInt << 8) | (p(off) & 0xFF)).toShort).toInt)
+        else math.abs((p(off) & 0xFF) - 128)
+      val wi = (f.toLong * EW / nFrames).toInt
+      sums(wi) += amp; counts(wi) += 1
+      f += 1
+    }
+    val env = new Array[Double](EW)
+    var i = 0
+    while (i < EW) {
+      if (counts(i) > 0) env(i) = sums(i).toDouble / counts(i)
+      else { // clip shorter than 65 frames: borrow nearest populated slot
+        var d = 1; var v = 0.0; var found = false
+        while (!found && d < EW) {
+          if (i - d >= 0 && counts(i - d) > 0) {
+            v = sums(i - d).toDouble / counts(i - d); found = true
+          } else if (i + d < EW && counts(i + d) > 0) {
+            v = sums(i + d).toDouble / counts(i + d); found = true
+          } else d += 1
+        }
+        env(i) = v
+      }
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) { if (env(i) > env(i + 1)) h |= 1L << i; i += 1 }
+    Some(h)
+  }
+
+  /** Per-clip hash row; n_frames = −1 marks undecodable/unsupported
+    * records (quarantine convention) — callers filter `n_frames > 0`.
+    */
+  case class AudioHash(media_id: Long, mime: String, n_frames: Int,
+                       ahash: Long)
+
+  /** Map-only audio-envelope hashing: RIFF walk + hash fused in one
+    * partition-local streaming pass, same posture as [[imageDHashes]].
+    */
+  def audioEnvHashes(spark: SparkSession, media: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.map { r =>
+        val hashed = r.mime match {
+          case "audio/wav" | "audio/x-wav" =>
+            wavPcm(r.payload).flatMap(w => audioEnvHash64(r.payload, w)
+              .map(h => ((w.dataLen / w.blockAlign).toInt, h)))
+          case _ => None
+        }
+        hashed match {
+          case Some((n, h)) => AudioHash(r.media_id, r.mime, n, h)
+          case None         => AudioHash(r.media_id, r.mime, -1, 0L)
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup candidate pairs over an audio corpus — the
+    * [[imageNearDupPairs]] shape with the envelope hash; pairing is the
+    * SAME [[DedupOps.bandedHammingPairs]] banding. Volume-scaled and
+    * re-encoded copies surface within `maxHamming`; undecodable records
+    * are excluded (exact dedup via [[decodeWav]]'s checksum covers them).
+    */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int): DataFrame =
+    DedupOps.bandedHammingPairs(
+      audioEnvHashes(spark, media).filter(col("n_frames") > 0).toDF(),
+      "media_id", "ahash", maxHamming)
+
+  /** Deterministic synthetic audio corpus: one mono 16-bit PCM WAV
+    * (65×32 = 2080 frames) per id. Ids sharing `id % groups` play the
+    * same group-keyed amplitude-modulated pattern; `1 + (id/groups) % 3`
+    * scales the VOLUME — so a group's members are volume-scaled copies
+    * (identical envelope hash, the invariance [[audioEnvHash64]]
+    * promises) plus a sparse additive bump. Pure integer arithmetic on
+    * (id, t): the q101 oracle rebuilds sample, envelope, hash, bands,
+    * and pairs in SQL — DuckDB cannot parse WAV, but it never has to.
+    */
+  def syntheticWavs(spark: SparkSession, ids: DataFrame,
+                    groups: Int = 50): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val nFrames = 65 * 32
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { iter =>
+      iter.map { id =>
+        val dataLen = nFrames * 2
+        val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(8000).putInt(16000) // sample rate, byte rate
+          .putShort(2).putShort(16) // block align, bits
+        b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var t = 0
+        while (t < nFrames) {
+          b.putShort(syntheticSample(id, t, groups).toShort)
+          t += 1
+        }
+        val bytes = b.array()
+        MediaRecord(id, "audio/wav", bytes.length.toLong, bytes)
+      }
+    }
+  }
+
+  /** The q101 sample formula — mirrored verbatim by the oracle SQL.
+    * osc: period-3 carrier; amp: group-keyed per-window modulation with a
+    * group-dependent slope (decorrelates groups); scale: the volume
+    * class; bump: sparse additive noise. |sample| ≤ 29,700 < 2^15.
+    */
+  private[ext] def syntheticSample(id: Long, t: Int, groups: Int): Int = {
+    val g = (id % groups).toInt
+    val w = t / 32
+    val osc = (t * 7 % 21) - 10
+    val amp = 100 + ((g * 37 + w * (11 + g % 13)) * 17 % 900)
+    val scale = (1 + (id / groups) % 3).toInt
+    val bump = if ((id * 131 + t * 17) % 997 < 20) 500 else 0
+    osc * amp * scale + bump
   }
 
   /** Gzip ingest: inflate `<inner>+gzip` payloads partition-locally (JDK

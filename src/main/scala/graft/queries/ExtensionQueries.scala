@@ -249,6 +249,19 @@ object ExtensionQueries {
         .orderBy(col("cohort"))
     }),
 
+    // -- Perceptual audio near-dup: the q99 pattern for the audio
+    // modality. Synthetic mono 16-bit WAVs from a pure integer sample
+    // formula → real RIFF/PCM decode → energy-envelope difference hash
+    // (volume-scale + upsample invariant, AudioHashSpec) → the shared
+    // Hamming banding. The oracle rebuilds sample → envelope → hash →
+    // bands → pairs in SQL; DuckDB never parses a WAV ------------------
+    "q101_audio_neardup" -> ((s, dir) =>
+      MultimodalOps.audioNearDupPairs(s,
+          MultimodalOps.syntheticWavs(s,
+            t(s, dir, "documents").filter(col("doc_id") < 300)).toDF(),
+          maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // -- Perceptual image near-dup: deterministic synthetic PPM corpus →
     // dHash through the REAL decode path → the shared Hamming banding
     // (DedupOps.bandedHammingPairs). The pixel formula is pure integer
@@ -1459,6 +1472,45 @@ object ExtensionQueries {
         |  round(sum(e.value), 2) AS sum_value
         |FROM ev e JOIN dim d ON e.uid = d.uid
         |GROUP BY d.cohort ORDER BY d.cohort""".stripMargin,
+    // mirrors syntheticSample + audioEnvHash64 + bandedHammingPairs:
+    // period-3 carrier × group-keyed per-window amplitude × volume
+    // class + sparse bump; 32-frame windows (t // 32) are exactly the
+    // hash's 65 box slots on the 2080-frame clip; same bit-63 / band
+    // treatment as q99
+    "q101_audio_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+        |smp AS (
+        |  SELECT id, st.t AS t,
+        |    ((st.t * 7 % 21) - 10) *
+        |      (100 + (((id % 50) * 37 + (st.t // 32) * (11 + (id % 50) % 13))
+        |        * 17 % 900)) *
+        |      (1 + (id // 50) % 3) +
+        |    CASE WHEN (id * 131 + st.t * 17) % 997 < 20
+        |      THEN 500 ELSE 0 END AS s
+        |  FROM ids, generate_series(0, 2079) st(t)),
+        |env AS (SELECT id, t // 32 AS w, avg(abs(s)) AS e
+        |  FROM smp GROUP BY id, t // 32),
+        |bits AS (SELECT l.id, l.w AS bit,
+        |    CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS b
+        |  FROM env l JOIN env r ON l.id = r.id AND r.w = l.w + 1
+        |  WHERE l.w < 64),
+        |sig AS (SELECT id, CAST(sum(
+        |    CASE WHEN b = 1 AND bit = 63
+        |           THEN CAST(-9223372036854775808 AS HUGEINT)
+        |         WHEN b = 1 THEN CAST((CAST(1 AS BIGINT)
+        |           << CAST(bit AS INTEGER)) AS HUGEINT)
+        |         ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY id),
+        |bands AS (SELECT id, sig, gi.i AS i,
+        |    (sig >> CAST(gi.i * 16 AS INTEGER)) & 65535 AS bv
+        |  FROM sig, generate_series(0, 3) gi(i)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.i = b.i AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     // mirrors syntheticPixel + dhash64 + bandedHammingPairs exactly:
     // 18×16 grayscale (luma = v), 2×2 box averages into the 9×8 grid,
     // bit (gy·8+gx) = grid(gx) > grid(gx+1); bit 63 lands as BIGINT min

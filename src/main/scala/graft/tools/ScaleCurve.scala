@@ -185,6 +185,14 @@ object ScaleCurve {
           graft.ext.MultimodalOps.syntheticPpmImages(spark, ids,
             groups = 50 * n).toDF(), maxHamming = 10)
       },
+      // perceptual audio near-dup: same posture as q99 (decode+hash
+      // map-only, groups scale with the corpus)
+      "q101_audio_neardup" -> { n =>
+        val ids = docs(spark, dirs(n)).filter(col("doc_id") < 300L * n)
+        graft.ext.MultimodalOps.audioNearDupPairs(spark,
+          graft.ext.MultimodalOps.syntheticWavs(spark, ids,
+            groups = 50 * n).toDF(), maxHamming = 10)
+      },
       // skew-aware join: the decide measurement is one partial-agg scan
       // (flat per row); the salted join spreads a planted hot key
       // carrying ~70% of all rows — the case AQE's one-sided skew split
