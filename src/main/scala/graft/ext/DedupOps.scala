@@ -133,6 +133,15 @@ object DedupOps {
     sigsFromShingles(shingleSets(docs, k), numHashes, portable)
 
   private def sigsFromShingles(sh: DataFrame, numHashes: Int,
+                               portable: Boolean): DataFrame =
+    sigsFromElements(sh.select(col("doc_id"), explode(col("sh")).as("s")),
+      numHashes, portable)
+
+  /** [[sigsFromShingles]] for PRE-exploded (doc_id, s) element rows —
+    * lets set-valued operators ([[setNearDupPairs]]) skip a pointless
+    * collect-then-re-explode round trip.
+    */
+  private def sigsFromElements(el: DataFrame, numHashes: Int,
                                portable: Boolean): DataFrame = {
     val sigCols =
       if (portable) minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
@@ -140,16 +149,48 @@ object DedupOps {
       }
       else (0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hashed =
-      if (portable) exploded.withColumn("x",
+      if (portable) el.withColumn("x",
         conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % lit(MinHashPrime))
-      else exploded
+      else el
     hashed
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup pairs over ARBITRARY element sets — the
+    * [[minHashLshPairs]] chain minus the tokenize/shingle front end, for
+    * callers whose rows already carry set elements (e.g. video frame
+    * fingerprints, [[MultimodalOps.videoFrameNearDupPairs]]). Input is
+    * PRE-exploded (id, element) rows; duplicates are collapsed first
+    * (set semantics). Portable signatures only — elements md5-hash into
+    * the same engine-reproducible family the text path uses, so the
+    * chain stays oracle-able and store-stable. Plan shape is identical:
+    * per-id distinct (shuffle 1, uniform key) → numHashes partial mins →
+    * band self-join (shuffle on band key) → score-once estimate.
+    */
+  def setNearDupPairs(elems: DataFrame, idCol: String, elemCol: String,
+                      numBands: Int, rowsPerBand: Int,
+                      minJaccard: Double): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val el = elems
+      .select(col(idCol).as("doc_id"), col(elemCol).cast("string").as("s"))
+      .distinct()
+    val sigs = sigsFromElements(el, numHashes, portable = true)
+    val bands = bandedSignatures(sigs, numBands, rowsPerBand, portable = true)
+    val agree = sigAgreement("sig_a", "sig_b", numHashes)
+    bands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      .join(bands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(agree / numHashes, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .distinct()
   }
 
   /** Signature-agreement count as an unrolled codegen expression — THE

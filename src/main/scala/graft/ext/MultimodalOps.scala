@@ -637,6 +637,66 @@ object MultimodalOps {
     osc * amp * scale + bump
   }
 
+  // --- perceptual video near-dup (frame-fingerprint set similarity) ------
+
+  /** Video near-dup as frame-SET similarity — the shape production video
+    * dedup takes at scale: fingerprint each sampled frame, then compare
+    * videos by the Jaccard similarity of their fingerprint sets (re-cut /
+    * re-muxed copies share most frames; ordering and container bytes
+    * don't matter). Frames come from [[sampleFrames]] (the codec seam —
+    * with a real decoder the fingerprint would be [[dhash64]] of the
+    * decoded frame; here it is the md5 of the frame bytes, which is the
+    * correct fingerprint for the byte-slice stub and keeps the whole
+    * chain DuckDB-oracle-able). Pairing is
+    * [[DedupOps.setNearDupPairs]] — the text MinHash-LSH machinery minus
+    * its tokenizer, one code path for document shingles, video frames,
+    * or any other element set.
+    *
+    * Scale shape: sampling+fingerprint is partition-local map work; the
+    * MinHash chain shuffles one (id, fp) stream (uniform keys), then
+    * fixed-width signatures — never the frame bytes.
+    */
+  def videoFrameNearDupPairs(spark: SparkSession, media: DataFrame,
+                             everyN: Int, numBands: Int = 8,
+                             rowsPerBand: Int = 2,
+                             minJaccard: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val frames = sampleFrames(spark, media, everyN).toDF()
+    DedupOps.setNearDupPairs(
+      frames.select(col("media_id"), md5(col("frame_bytes")).as("fp")),
+      "media_id", "fp", numBands, rowsPerBand, minJaccard)
+  }
+
+  /** Deterministic synthetic video corpus: one 24-frame clip per id,
+    * each frame exactly 100 bytes — an ASCII key right-padded with 'x'.
+    * Ids sharing `id % groups` share their GROUP-keyed frames; every
+    * `(id·31 + f) % 8 == 0` frame is id-UNIQUE — so same-group videos
+    * share ~3/4 of their frames (near-dups under set Jaccard) and
+    * cross-group videos share none. Frame content is a pure string
+    * formula on (id, f): the q102 oracle rebuilds frame → md5 → MinHash
+    * → bands → pairs in SQL without ever touching a byte payload.
+    */
+  def syntheticVideos(spark: SparkSession, ids: DataFrame,
+                      groups: Int = 40): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val nFrames = 24
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { iter =>
+      iter.map { id =>
+        val sb = new StringBuilder(nFrames * 100)
+        var f = 0
+        while (f < nFrames) {
+          val key =
+            if ((id * 31 + f) % 8 == 0) s"id$id-f$f"
+            else s"g${id % groups}-f$f"
+          sb.append(key).append("x" * (100 - key.length))
+          f += 1
+        }
+        val bytes = sb.toString.getBytes("US-ASCII")
+        MediaRecord(id, "video/x-synthetic", bytes.length.toLong, bytes)
+      }
+    }
+  }
+
   /** Gzip ingest: inflate `<inner>+gzip` payloads partition-locally (JDK
     * Inflater via GZIPInputStream — no external codec), pass every other
     * record through untouched. The MIME convention carries the inner type

@@ -249,6 +249,21 @@ object ExtensionQueries {
         .orderBy(col("cohort"))
     }),
 
+    // -- Video near-dup via frame-fingerprint SET similarity: synthetic
+    // 24-frame clips (pure string formula per frame) → sampleFrames
+    // (every 2nd frame) → md5 fingerprint per frame →
+    // DedupOps.setNearDupPairs (the text MinHash-LSH chain minus its
+    // tokenizer — one code path for shingles, frames, any element set).
+    // The oracle rebuilds frame strings → md5 → portable MinHash →
+    // bands → score-once in SQL; frame strings are pure ASCII so byte
+    // md5 (Spark, over the payload slice) ≡ string md5 (DuckDB) -------
+    "q102_video_neardup" -> ((s, dir) =>
+      MultimodalOps.videoFrameNearDupPairs(s,
+          MultimodalOps.syntheticVideos(s,
+            t(s, dir, "documents").filter(col("doc_id") < 200)).toDF(),
+          everyN = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // -- Perceptual audio near-dup: the q99 pattern for the audio
     // modality. Synthetic mono 16-bit WAVs from a pure integer sample
     // formula → real RIFF/PCM decode → energy-envelope difference hash
@@ -993,6 +1008,44 @@ object ExtensionQueries {
        |  FROM cand)""".stripMargin
   }
 
+  /** q102: frame strings → md5 fingerprints → the SAME portable MinHash
+    * family/banding the text oracles use, over per-element rows (list()
+    * aggregation instead of a shingle comprehension). Frame sampling
+    * (every 2nd of 24) is the generate_series step; minJaccard 0.4.
+    */
+  private lazy val videoNearDupOracleSql: String = {
+    val p = DedupOps.MinHashPrime
+    val coeffs = DedupOps.minHashCoeffs(16)
+      .map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+       |fr AS (SELECT id, gs.f AS f,
+       |    md5(rpad(CASE WHEN (id * 31 + gs.f) % 8 = 0
+       |      THEN 'id' || CAST(id AS VARCHAR) || '-f' || CAST(gs.f AS VARCHAR)
+       |      ELSE 'g' || CAST(id % 40 AS VARCHAR) || '-f' || CAST(gs.f AS VARCHAR)
+       |      END, 100, 'x')) AS s
+       |  FROM ids, generate_series(0, 22, 2) gs(f)),
+       |el AS (SELECT DISTINCT id AS doc_id, s FROM fr),
+       |xs AS (SELECT doc_id,
+       |    list(CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % $p) AS xs
+       |  FROM el GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |    [list_aggregate([(c[1] * x + c[2]) % $p for x in xs], 'min')
+       |      for c in $coeffs] AS sig
+       |  FROM xs),
+       |bands AS (SELECT doc_id, sig, t.b AS b, sig[t.b*2+1 : t.b*2+2] AS key
+       |  FROM sig, generate_series(0, 7) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |scored AS (SELECT id_a, id_b,
+       |    round(len([i for i in generate_series(1, 16)
+       |      if sig_a[i] = sig_b[i]]) / 16.0, 4) AS jaccard
+       |  FROM cand)
+       |SELECT id_a, id_b, jaccard FROM scored
+       |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
   private lazy val minHashOracleSql: String =
     s"""WITH ${minHashPairCtes()}
        |SELECT id_a, id_b, jaccard FROM scored
@@ -1472,6 +1525,7 @@ object ExtensionQueries {
         |  round(sum(e.value), 2) AS sum_value
         |FROM ev e JOIN dim d ON e.uid = d.uid
         |GROUP BY d.cohort ORDER BY d.cohort""".stripMargin,
+    "q102_video_neardup" -> videoNearDupOracleSql,
     // mirrors syntheticSample + audioEnvHash64 + bandedHammingPairs:
     // period-3 carrier × group-keyed per-window amplitude × volume
     // class + sparse bump; 32-frame windows (t // 32) are exactly the

@@ -193,6 +193,14 @@ object ScaleCurve {
           graft.ext.MultimodalOps.syntheticWavs(spark, ids,
             groups = 50 * n).toDF(), maxHamming = 10)
       },
+      // video frame-set near-dup: q99/q101 posture (map-only fingerprint,
+      // groups scale with the corpus → constant cluster sizes)
+      "q102_video_neardup" -> { n =>
+        val ids = docs(spark, dirs(n)).filter(col("doc_id") < 200L * n)
+        graft.ext.MultimodalOps.videoFrameNearDupPairs(spark,
+          graft.ext.MultimodalOps.syntheticVideos(spark, ids,
+            groups = 40 * n).toDF(), everyN = 2)
+      },
       // skew-aware join: the decide measurement is one partial-agg scan
       // (flat per row); the salted join spreads a planted hot key
       // carrying ~70% of all rows — the case AQE's one-sided skew split
