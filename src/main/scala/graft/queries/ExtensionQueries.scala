@@ -249,6 +249,34 @@ object ExtensionQueries {
         .orderBy(col("cohort"))
     }),
 
+    // -- Multimodal unified dedup flagship: a mixed-media corpus where
+    // every id owns an image, an audio clip, AND a video; near-dup
+    // evidence from all three modalities (dHash Hamming, envelope
+    // Hamming, frame-set MinHash) unions into ONE edge set, and
+    // connected-components cluster dedup keeps one canonical doc per
+    // cross-modal cluster — the decision a real training-data pipeline
+    // makes ("these records duplicate each other in ANY modality").
+    // Image/audio groups (id % 50) and video groups (id % 40) overlap,
+    // so components genuinely merge ACROSS modalities. Oracle: the three
+    // pair pipelines rebuilt in SQL (the parameterized q99/q101/q102
+    // builders at the shared id bound) + recursive transitive closure
+    // (the q56 CC-oracle pattern) ---------------------------------------
+    "q103_multimodal_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val img = MultimodalOps.imageNearDupPairs(s,
+        MultimodalOps.syntheticPpmImages(s, ids).toDF(), maxHamming = 4)
+      val aud = MultimodalOps.audioNearDupPairs(s,
+        MultimodalOps.syntheticWavs(s, ids).toDF(), maxHamming = 4)
+      val vid = MultimodalOps.videoFrameNearDupPairs(s,
+        MultimodalOps.syntheticVideos(s, ids).toDF(), everyN = 2)
+      val pairs = img.select(col("id_a"), col("id_b"))
+        .union(aud.select(col("id_a"), col("id_b")))
+        .union(vid.select(col("id_a"), col("id_b")))
+      DedupOps.clusterDedup(
+          ids.select(col("doc_id"), col("source")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Video near-dup via frame-fingerprint SET similarity: synthetic
     // 24-frame clips (pure string formula per frame) → sampleFrames
     // (every 2nd frame) → md5 fingerprint per frame →
@@ -1008,16 +1036,102 @@ object ExtensionQueries {
        |  FROM cand)""".stripMargin
   }
 
+  /** q99's oracle, parameterized by the id bound so q103's multimodal
+    * composition can reuse the exact pipeline over its own corpus slice.
+    * Mirrors syntheticPixel + dhash64 + bandedHammingPairs exactly:
+    * 18×16 grayscale (luma = v), 2×2 box averages into the 9×8 grid,
+    * bit (gy·8+gx) = grid(gx) > grid(gx+1); bit 63 lands as BIGINT min
+    * (two's complement — DuckDB refuses 1<<63), bands are arithmetic
+    * shiftright + mask in BOTH engines.
+    */
+  private def imagePairSql(idBound: Int, maxHamming: Int = 10): String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < $idBound),
+       |pix AS (
+       |  SELECT id, sx.x AS x, sy.y AS y,
+       |    LEAST(255, ((id % 50) * 37 + sx.x * 11 + sy.y * 23) * 17 % 256 +
+       |      CASE WHEN (id * 131 + sx.x * 7 + sy.y * 3) % 997 < 30
+       |        THEN 40 ELSE 0 END) AS v
+       |  FROM ids, generate_series(0, 17) sx(x), generate_series(0, 15) sy(y)),
+       |grid AS (
+       |  SELECT id, x // 2 AS gx, y // 2 AS gy, avg(v) AS gv
+       |  FROM pix GROUP BY id, x // 2, y // 2),
+       |bits AS (
+       |  SELECT l.id, l.gy * 8 + l.gx AS bit,
+       |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS b
+       |  FROM grid l JOIN grid r
+       |    ON l.id = r.id AND l.gy = r.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |$hammingBandCtes
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q101's oracle, parameterized like [[imagePairSql]]. Mirrors
+    * syntheticSample + audioEnvHash64 + bandedHammingPairs: period-3
+    * carrier × group-keyed per-window amplitude × volume class + sparse
+    * bump; 32-frame windows (t // 32) are exactly the hash's 65 box
+    * slots on the 2080-frame clip; same bit-63 / band treatment.
+    */
+  private def audioPairSql(idBound: Int, maxHamming: Int = 10): String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < $idBound),
+       |smp AS (
+       |  SELECT id, st.t AS t,
+       |    ((st.t * 7 % 21) - 10) *
+       |      (100 + (((id % 50) * 37 + (st.t // 32) * (11 + (id % 50) % 13))
+       |        * 17 % 900)) *
+       |      (1 + (id // 50) % 3) +
+       |    CASE WHEN (id * 131 + st.t * 17) % 997 < 20
+       |      THEN 500 ELSE 0 END AS s
+       |  FROM ids, generate_series(0, 2079) st(t)),
+       |env AS (SELECT id, t // 32 AS w, avg(abs(s)) AS e
+       |  FROM smp GROUP BY id, t // 32),
+       |bits AS (SELECT l.id, l.w AS bit,
+       |    CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS b
+       |  FROM env l JOIN env r ON l.id = r.id AND r.w = l.w + 1
+       |  WHERE l.w < 64),
+       |$hammingBandCtes
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Re-indent a full WITH…SELECT statement for embedding as a
+    * parenthesized subquery inside another statement's margin.
+    */
+  private def indent(sql: String): String =
+    sql.linesIterator.mkString("\n    ")
+
+  /** The shared tail of both Hamming oracles: 64-bit signature assembly
+    * from (id, bit, b) rows (bit 63 as BIGINT min — two's complement),
+    * 4×16-bit arithmetic-shift bands, candidate self-join.
+    */
+  private val hammingBandCtes: String =
+    """sig AS (SELECT id, CAST(sum(
+      |    CASE WHEN b = 1 AND bit = 63
+      |           THEN CAST(-9223372036854775808 AS HUGEINT)
+      |         WHEN b = 1 THEN CAST((CAST(1 AS BIGINT)
+      |           << CAST(bit AS INTEGER)) AS HUGEINT)
+      |         ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY id),
+      |bands AS (SELECT id, sig, gi.i AS i,
+      |    (sig >> CAST(gi.i * 16 AS INTEGER)) & 65535 AS bv
+      |  FROM sig, generate_series(0, 3) gi(i)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    a.sig AS sa, b.sig AS sb
+      |  FROM bands a JOIN bands b
+      |    ON a.i = b.i AND a.bv = b.bv AND a.id < b.id)""".stripMargin
+
   /** q102: frame strings → md5 fingerprints → the SAME portable MinHash
     * family/banding the text oracles use, over per-element rows (list()
     * aggregation instead of a shingle comprehension). Frame sampling
     * (every 2nd of 24) is the generate_series step; minJaccard 0.4.
     */
-  private lazy val videoNearDupOracleSql: String = {
+  private lazy val videoNearDupOracleSql: String = videoPairSql(200)
+
+  private def videoPairSql(idBound: Int): String = {
     val p = DedupOps.MinHashPrime
     val coeffs = DedupOps.minHashCoeffs(16)
       .map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
-    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < $idBound),
        |fr AS (SELECT id, gs.f AS f,
        |    md5(rpad(CASE WHEN (id * 31 + gs.f) % 8 = 0
        |      THEN 'id' || CAST(id AS VARCHAR) || '-f' || CAST(gs.f AS VARCHAR)
@@ -1526,84 +1640,37 @@ object ExtensionQueries {
         |FROM ev e JOIN dim d ON e.uid = d.uid
         |GROUP BY d.cohort ORDER BY d.cohort""".stripMargin,
     "q102_video_neardup" -> videoNearDupOracleSql,
+    // three modality pair pipelines at one id bound, unioned into edges,
+    // closed transitively (the q56 oracle pattern), min-reachable drop
+    "q103_multimodal_dedup" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT id_a, id_b FROM (${indent(imagePairSql(200, maxHamming = 4))})
+         |  UNION SELECT id_a, id_b FROM (${indent(audioPairSql(200, maxHamming = 4))})
+         |  UNION SELECT id_a, id_b FROM (${indent(videoPairSql(200))})
+         |),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |rr(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+         |dropids AS (SELECT a AS id FROM rr GROUP BY a HAVING min(b) < a)
+         |SELECT d.doc_id, d.source FROM documents d
+         |LEFT JOIN dropids ON d.doc_id = dropids.id
+         |WHERE dropids.id IS NULL AND d.doc_id < 200
+         |ORDER BY d.doc_id""".stripMargin,
     // mirrors syntheticSample + audioEnvHash64 + bandedHammingPairs:
     // period-3 carrier × group-keyed per-window amplitude × volume
     // class + sparse bump; 32-frame windows (t // 32) are exactly the
     // hash's 65 box slots on the 2080-frame clip; same bit-63 / band
     // treatment as q99
-    "q101_audio_neardup" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
-        |smp AS (
-        |  SELECT id, st.t AS t,
-        |    ((st.t * 7 % 21) - 10) *
-        |      (100 + (((id % 50) * 37 + (st.t // 32) * (11 + (id % 50) % 13))
-        |        * 17 % 900)) *
-        |      (1 + (id // 50) % 3) +
-        |    CASE WHEN (id * 131 + st.t * 17) % 997 < 20
-        |      THEN 500 ELSE 0 END AS s
-        |  FROM ids, generate_series(0, 2079) st(t)),
-        |env AS (SELECT id, t // 32 AS w, avg(abs(s)) AS e
-        |  FROM smp GROUP BY id, t // 32),
-        |bits AS (SELECT l.id, l.w AS bit,
-        |    CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS b
-        |  FROM env l JOIN env r ON l.id = r.id AND r.w = l.w + 1
-        |  WHERE l.w < 64),
-        |sig AS (SELECT id, CAST(sum(
-        |    CASE WHEN b = 1 AND bit = 63
-        |           THEN CAST(-9223372036854775808 AS HUGEINT)
-        |         WHEN b = 1 THEN CAST((CAST(1 AS BIGINT)
-        |           << CAST(bit AS INTEGER)) AS HUGEINT)
-        |         ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sig
-        |  FROM bits GROUP BY id),
-        |bands AS (SELECT id, sig, gi.i AS i,
-        |    (sig >> CAST(gi.i * 16 AS INTEGER)) & 65535 AS bv
-        |  FROM sig, generate_series(0, 3) gi(i)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-        |    a.sig AS sa, b.sig AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.i = b.i AND a.bv = b.bv AND a.id < b.id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 10
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q101_audio_neardup" -> audioPairSql(300),
     // mirrors syntheticPixel + dhash64 + bandedHammingPairs exactly:
     // 18×16 grayscale (luma = v), 2×2 box averages into the 9×8 grid,
     // bit (gy·8+gx) = grid(gx) > grid(gx+1); bit 63 lands as BIGINT min
     // (two's complement — DuckDB refuses 1<<63), bands are arithmetic
     // shiftright + mask in BOTH engines
-    "q99_image_neardup" ->
-      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
-        |pix AS (
-        |  SELECT id, sx.x AS x, sy.y AS y,
-        |    LEAST(255, ((id % 50) * 37 + sx.x * 11 + sy.y * 23) * 17 % 256 +
-        |      CASE WHEN (id * 131 + sx.x * 7 + sy.y * 3) % 997 < 30
-        |        THEN 40 ELSE 0 END) AS v
-        |  FROM ids, generate_series(0, 17) sx(x), generate_series(0, 15) sy(y)),
-        |grid AS (
-        |  SELECT id, x // 2 AS gx, y // 2 AS gy, avg(v) AS gv
-        |  FROM pix GROUP BY id, x // 2, y // 2),
-        |bits AS (
-        |  SELECT l.id, l.gy * 8 + l.gx AS bit,
-        |    CASE WHEN l.gv > r.gv THEN 1 ELSE 0 END AS b
-        |  FROM grid l JOIN grid r
-        |    ON l.id = r.id AND l.gy = r.gy AND r.gx = l.gx + 1
-        |  WHERE l.gx < 8),
-        |sig AS (SELECT id, CAST(sum(
-        |    CASE WHEN b = 1 AND bit = 63
-        |           THEN CAST(-9223372036854775808 AS HUGEINT)
-        |         WHEN b = 1 THEN CAST((CAST(1 AS BIGINT)
-        |           << CAST(bit AS INTEGER)) AS HUGEINT)
-        |         ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sig
-        |  FROM bits GROUP BY id),
-        |bands AS (SELECT id, sig, gi.i AS i,
-        |    (sig >> CAST(gi.i * 16 AS INTEGER)) & 65535 AS bv
-        |  FROM sig, generate_series(0, 3) gi(i)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-        |    a.sig AS sa, b.sig AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.i = b.i AND a.bv = b.bv AND a.id < b.id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 10
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q99_image_neardup" -> imagePairSql(300),
     "q94_epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |    md5('7:' || CAST(doc_id AS STRING)) AS c FROM documents),
