@@ -201,6 +201,26 @@ object ScaleCurve {
           graft.ext.MultimodalOps.syntheticVideos(spark, ids,
             groups = 40 * n).toDF(), everyN = 2)
       },
+      // the multimodal flagship end-to-end: three modality pair scans +
+      // union + frontier-delta CC; every modality's groups scale with
+      // the corpus so cluster sizes hold
+      "q103_multimodal_dedup" -> { n =>
+        val ids = docs(spark, dirs(n)).filter(col("doc_id") < 200L * n)
+        val img = graft.ext.MultimodalOps.imageNearDupPairs(spark,
+          graft.ext.MultimodalOps.syntheticPpmImages(spark, ids,
+            groups = 50 * n).toDF(), maxHamming = 4)
+        val aud = graft.ext.MultimodalOps.audioNearDupPairs(spark,
+          graft.ext.MultimodalOps.syntheticWavs(spark, ids,
+            groups = 50 * n).toDF(), maxHamming = 4)
+        val vid = graft.ext.MultimodalOps.videoFrameNearDupPairs(spark,
+          graft.ext.MultimodalOps.syntheticVideos(spark, ids,
+            groups = 40 * n).toDF(), everyN = 2)
+        val pairs = img.select(col("id_a"), col("id_b"))
+          .union(aud.select(col("id_a"), col("id_b")))
+          .union(vid.select(col("id_a"), col("id_b")))
+        DedupOps.clusterDedup(ids.select(col("doc_id"), col("source")),
+          "doc_id", pairs)
+      },
       // skew-aware join: the decide measurement is one partial-agg scan
       // (flat per row); the salted join spreads a planted hot key
       // carrying ~70% of all rows — the case AQE's one-sided skew split
