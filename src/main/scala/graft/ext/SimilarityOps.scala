@@ -582,4 +582,58 @@ object SimilarityOps {
       .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
     topKPerGroup(exact, "probe_id", "cand_id", k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via a coarse quantizer. Each vector is assigned to its
+    * nearest centroid cell (the fused [[cellOf]] kernel — map-only against
+    * literal centroids, zero fit jobs at query time, same lifecycle as
+    * [[IvfCentroids]]); only WITHIN-cell pairs are cosine-scored, pairs at
+    * `>= minSim` become dup edges, and connected components over those
+    * edges pick ONE representative per semantic cluster. Per the paper,
+    * the kept member is the one LEAST similar to its centroid (keep the
+    * atypical example, drop the redundant core), ties by lowest id.
+    *
+    * Returns one row per vector: `(vec_id, cell, csim, comp, keep)` —
+    * `csim` is the (rounded) similarity to the OWN-cell centroid, `comp`
+    * the hash-min component label, `keep` the SemDeDup decision. Callers
+    * wanting the deduplicated corpus filter `keep`.
+    *
+    * Scale shape (the 100 TB story): the only shuffles are (1) the pair
+    * self-join keyed on `cell` and (2) the CC rounds over the dup edges.
+    * Within-cell scoring is Σ(cell²) work, so `nCells` is THE scale knob —
+    * size it ~ n / targetCellSize exactly like [[bitsForScale]] sizes LSH
+    * buckets, and refit on a sample ([[fitCentroids]]' `sampleOneIn`).
+    * Edges are id-pairs only (vectors never ride through the CC), and the
+    * CC is the frontier-delta loop ([[DedupOps.connectedComponents]]).
+    * Unlike LSH near-dup ([[lshNearDupPairs]]), recall within a cell is
+    * exact — the miss mode is only a near-dup pair straddling a cell
+    * boundary, the paper's own approximation.
+    */
+  def semanticDedup(vecs: DataFrame, cents: Array[Array[Double]],
+                    minSim: Double, maxIter: Int = 20): DataFrame = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = withUnitVec(vecs, "embedding", "u")
+      .select(col("vec_id"), col("u"), cellOf(col("u"), cents).as("cell"))
+      .withColumn("csim", round(VectorFunctions.dotProduct(
+        col("u"), element_at(centLit, col("cell") + 1)), 6))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("u").as("ua"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("u").as("ub"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.dotProduct(col("ua"), col("ub")), 6)
+        >= minSim)
+      .select(col("id_a"), col("id_b"))
+    val comps = DedupOps.connectedComponents(
+      assigned.select(col("vec_id")), "vec_id", pairs, maxIter)
+    val rep = Window.partitionBy(col("comp"))
+      .orderBy(col("csim").asc, col("vec_id").asc)
+    comps.withColumnRenamed("id", "vec_id")
+      .join(assigned.select(col("vec_id"), col("cell"), col("csim")),
+        Seq("vec_id"))
+      .withColumn("keep", row_number().over(rep) === 1)
+      .select(col("vec_id"), col("cell"), col("csim"), col("comp"),
+        col("keep"))
+  }
 }

@@ -572,4 +572,66 @@ object TextOps {
       .withColumn("boilerplate",
         coalesce(col("common_frac") > maxCommonFrac, lit(false)))
   }
+
+  // -- Cross-document duplicated-span coverage --------------------------
+
+  /** Exact-substring duplication coverage (the signal behind Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — their suffix-array pass, re-expressed as a
+    * position-fingerprint sweep Spark can shuffle): every overlapping
+    * token `n`-gram POSITION is fingerprinted, grams occurring in at
+    * least `minDocs` DISTINCT documents are shared, and each document
+    * reports the fraction of its positions covered by shared grams.
+    *
+    * Distinct from its two neighbors: [[repetitionMetrics]] sees only
+    * WITHIN-document repeats, and [[boilerplateMetrics]] counts a
+    * document's DISTINCT shingles that are corpus-common (df > maxDf ≫ 2)
+    * — chrome, not duplication. This one is position-weighted (a document
+    * that is 90% one shared paragraph scores 0.9 even though that's a
+    * single distinct shingle) and triggers at `minDocs` = 2, which is the
+    * dedup decision boundary, not the boilerplate one. Flagged documents
+    * are the span-level dedup candidates exact/MinHash doc-level dedup
+    * misses: mostly-copied documents with enough novel framing to dodge a
+    * whole-document key.
+    *
+    * Output: (idCol, n_grams, n_shared, shared_frac, flagged). Documents
+    * with fewer than `n` tokens have no grams: n_grams = 0, shared_frac
+    * NULL, flagged false.
+    *
+    * Plan shape at 100 TB: the corpus is tokenized ONCE into a
+    * (doc, md5-fingerprint) stream — positions travel as 16-byte hashes,
+    * never as text. Shuffle 1 dedups (fp, doc) pairs (uniform key);
+    * shuffle 2 aggregates distinct-doc counts per fp with map-side
+    * combine; the mark join back to the position stream is unhinted —
+    * the shared set is unbounded (a templated corpus can share most
+    * grams), so AQE picks broadcast only when it actually fits — and
+    * shuffle 3 rolls up per doc. No driver-side collection.
+    */
+  def crossDocSpanStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, n: Int, minDocs: Long = 2L,
+                        maxFrac: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    // explode_outer: a doc with no grams keeps one null row, so it still
+    // appears in the rollup (0 grams) without a second pass over `docs`
+    val grams = docs
+      .select(col(idCol),
+        explode_outer(shingles(tokens(col(textCol)), n)).as("__g"))
+      .withColumn("__fp", md5(col("__g")))
+      .select(col(idCol), col("__fp"))
+    val shared = grams.filter(col("__fp").isNotNull)
+      .distinct()
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__fp"))
+    grams
+      .join(shared.withColumn("__hit", lit(1)), Seq("__fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__fp")).as("n_grams"),
+        count(col("__hit")).as("n_shared"))
+      .withColumn("shared_frac",
+        when(col("n_grams") > 0,
+          round(col("n_shared").cast("double") / col("n_grams"), 4)))
+      .withColumn("flagged",
+        coalesce(col("shared_frac") > maxFrac, lit(false)))
+  }
 }

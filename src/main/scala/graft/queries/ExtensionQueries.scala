@@ -344,6 +344,16 @@ object ExtensionQueries {
           k = 3, maxDf = 3, maxCommonFrac = 0.5)
         .orderBy(col("doc_id"))),
 
+    // -- Cross-document duplicated-span coverage (Lee et al. 2022's
+    // exact-substring signal, position-weighted): fraction of each doc's
+    // 5-gram positions whose gram occurs in >= 2 distinct docs. The
+    // fixture splits hard at 0.5 (429 docs at 0.0, the near-dup block at
+    // 0.88-1.0), so the flag is the span-level dedup candidate list -------
+    "q105_dup_span_coverage" -> ((s, dir) =>
+      TextOps.crossDocSpanStats(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2L, maxFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
     // -- PII scrub + audit: the fixtures carry no PII, so the query plants
     // one email, one phone, and one IPv4 per doc (derived deterministically
     // from fixture columns), then emits the scrubbed text next to the
@@ -530,6 +540,18 @@ object ExtensionQueries {
           graft.ext.IvfCentroids.centroids, k = 5, nprobe = 3)
         .orderBy(col("probe_id"), col("rk"))
     }),
+
+    // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
+    // SAME committed centroids as q31 (map-only NearestCell kernel), exact
+    // cosine over within-cell pairs only, frontier-delta CC over the dup
+    // edges, keep = the member LEAST similar to its centroid (the paper's
+    // keep-the-atypical rule, ties by id). The oracle rebuilds assignment,
+    // pair scoring, and a recursive transitive closure from the same
+    // centroid literals, so the full decision chain hash-matches ---------
+    "q104_semantic_dedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(t(s, dir, "embeddings").drop("label"),
+          graft.ext.IvfCentroids.centroids, minSim = 0.3)
+        .orderBy(col("vec_id"))),
 
     // Full oracle via shared literal planes; recall vs q30's exact top-k
     // is bounded in SimilarityOpsSpec (0.74 @ the default 8x4 banding,
@@ -1294,6 +1316,47 @@ object ExtensionQueries {
        |ORDER BY probe_id, rk""".stripMargin
   }
 
+  /** q104: the committed centroid literals again — nearest-cell argmax
+    * (ties to the lowest cell, like q31's `rn = 1`), rounded own-centroid
+    * sim, within-cell pair scoring, recursive transitive closure (the q85
+    * hash-min twin), then the SemDeDup keep rule: per component,
+    * row_number over (csim ASC, vec_id ASC) = 1. All ordering inputs are
+    * rounded to 6 digits on BOTH sides before they feed a rank.
+    */
+  private lazy val semanticDedupOracleSql: String = {
+    val centRows = graft.ext.IvfCentroids.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u FROM e),
+       |cents(cell, c) AS (VALUES $centRows),
+       |asg AS (SELECT vec_id, u, cell, csim FROM (
+       |  SELECT n.vec_id, n.u, cents.cell,
+       |      round(list_dot_product(n.u, cents.c), 6) AS csim,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell) AS rn
+       |    FROM n, cents) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.u, b.u), 6) >= 0.3),
+       |ed AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |  UNION SELECT vec_id, vec_id FROM asg),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM ed
+       |  UNION
+       |  SELECT rr.a, ed.b FROM rr JOIN ed ON rr.b = ed.a),
+       |cmp AS (SELECT a AS vec_id, min(b) AS comp FROM rr GROUP BY a),
+       |ranked AS (SELECT cmp.vec_id, asg.cell, asg.csim, cmp.comp,
+       |    row_number() OVER (PARTITION BY cmp.comp
+       |      ORDER BY asg.csim ASC, cmp.vec_id ASC) AS rk
+       |  FROM cmp JOIN asg USING (vec_id))
+       |SELECT vec_id, cell, csim, comp, rk = 1 AS keep FROM ranked
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q74: same literal planes, directed bucket self-join + per-source
     * top-k rank (ties on the rounded sim break by dst in both engines).
     */
@@ -1836,6 +1899,7 @@ object ExtensionQueries {
         |FROM err ORDER BY vec_id""".stripMargin,
     "q52_ann_lsh" -> lshOracleSql,
     "q31_ann_ivf" -> ivfOracleSql,
+    "q104_semantic_dedup" -> semanticDedupOracleSql,
     // two-stage int8 ≡ single-stage exact, provably — one oracle serves both
     "q98_ann_ivf_int8" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,
@@ -2208,6 +2272,31 @@ object ExtensionQueries {
         |  END AS common_frac,
         |  coalesce(round(CAST(per.n_common AS DOUBLE) / per.n_shingles, 4)
         |    > 0.5, false) AS boilerplate
+        |FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
+    // q105: positions fingerprinted with md5 in BOTH engines (the gram
+    // string itself never rides a shuffle on either side); shared = fp in
+    // >= 2 distinct docs; per-doc rollup counts POSITIONS (multiplicity
+    // kept — no DISTINCT on g, unlike q90)
+    "q105_dup_span_coverage" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS fp
+        |  FROM d, unnest(generate_series(1, len(toks) - 4)) AS t(i)),
+        |sh AS (SELECT fp FROM (
+        |    SELECT fp, count(DISTINCT doc_id) AS nd FROM g GROUP BY fp)
+        |  WHERE nd >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |    count(sh.fp) AS n_shared
+        |  FROM g LEFT JOIN sh USING (fp) GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |  coalesce(per.n_grams, 0) AS n_grams,
+        |  coalesce(per.n_shared, 0) AS n_shared,
+        |  CASE WHEN per.n_grams > 0 THEN
+        |    round(CAST(per.n_shared AS DOUBLE) / per.n_grams, 4)
+        |  END AS shared_frac,
+        |  coalesce(round(CAST(per.n_shared AS DOUBLE) / per.n_grams, 4)
+        |    > 0.5, false) AS flagged
         |FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
     // the regex strings are TextOps.{Email,Ipv4,Phone}Pattern verbatim

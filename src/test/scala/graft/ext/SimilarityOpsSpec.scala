@@ -238,6 +238,46 @@ class SimilarityOpsSpec extends AnyFunSuite {
       s"cell assignment must stay the fused kernel:\n${plan.take(4000)}")
   }
 
+  test("semanticDedup: within-cell clusters merge, the LEAST-centroid-like " +
+      "member is kept, cross-cell near pairs never edge") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val data = vecs(
+      (0L, Seq(1f, 0f), 0),      // cell 0, csim 1.0
+      (1L, Seq(0.9f, 0.1f), 0),  // cell 0, csim ~0.994
+      (2L, Seq(0.8f, 0.2f), 0),  // cell 0, csim ~0.970 — the atypical one
+      (3L, Seq(0f, 1f), 0),      // cell 1 singleton
+      // a cross-cell near pair (cos ~0.999): straddles the boundary, so
+      // SemDeDup — by the paper's own approximation — keeps BOTH
+      (4L, Seq(0.72f, 0.69f), 0), // cell 0
+      (5L, Seq(0.69f, 0.72f), 0)  // cell 1
+    ).drop("label")
+    val r = SimilarityOps.semanticDedup(data, cents, minSim = 0.97)
+      .orderBy("vec_id").collect()
+    val byId = r.map(x => x.getLong(0) ->
+      ((x.getInt(1), x.getLong(3), x.getBoolean(4)))).toMap
+    // {0,1,2} one component labeled 0; keep = 2 (lowest csim)
+    assert(byId(0L) == ((0, 0L, false)))
+    assert(byId(1L) == ((0, 0L, false)))
+    assert(byId(2L) == ((0, 0L, true)))
+    // singleton keeps itself
+    assert(byId(3L) == ((1, 3L, true)))
+    // cross-cell pair: different cells, both singletons, both kept
+    assert(byId(4L)._1 == 0 && byId(5L)._1 == 1)
+    assert(byId(4L)._3 && byId(5L)._3)
+    // csim is the rounded own-centroid dot
+    val c2 = r.find(_.getLong(0) == 2L).get.getDouble(2)
+    assert(math.abs(c2 - 0.8 / math.sqrt(0.8 * 0.8 + 0.2 * 0.2)) < 2e-6)
+  }
+
+  test("semanticDedup: cell assignment stays the fused NearestCell kernel " +
+      "(plan-asserted)") {
+    val df = graft.queries.ExtensionQueries.queries("q104_semantic_dedup")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_cell"),
+      s"cell assignment must stay the fused kernel:\n${plan.take(4000)}")
+  }
+
   test("cosine: zero-norm vector yields NULL, not an ANSI DIVIDE_BY_ZERO") {
     val df = Seq((Seq(0f, 0f), Seq(1f, 0f)), (Seq(0f, 0f), Seq(0f, 0f)))
       .toDF("a", "b")

@@ -266,6 +266,52 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossDocSpanStats: position-weighted coverage, cross-doc only, " +
+      "short and null docs survive") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // grams: abcde (shared), bcdef
+      (2L, "a b c d e x"),          // grams: abcde (shared), bcdex
+      (3L, "p q r s t u v"),        // 3 unique grams
+      (4L, "a b"),                  // too short: 0 grams
+      (5L, "z z z z z z z z z z"),  // 6 positions of ONE within-doc gram
+      (6L, "a b c d e"),            // 1 gram, shared → frac 1.0, flagged
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val m = TextOps.crossDocSpanStats(docs, "doc_id", "text",
+        n = 5, minDocs = 2L, maxFrac = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(m.length == 7)
+    val byId = m.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4)))).toMap
+    // docs 1-2: one of two positions covered → 0.5, NOT flagged (strict >)
+    assert(byId(1L) == ((2L, 1L, Some(0.5), false)))
+    assert(byId(2L) == ((2L, 1L, Some(0.5), false)))
+    assert(byId(3L) == ((3L, 0L, Some(0.0), false)))
+    assert(byId(4L) == ((0L, 0L, None, false)))
+    // doc 5: the gram repeats 6x WITHIN one doc but exists in only one
+    // distinct doc — not shared (that's repetitionMetrics' signal)
+    assert(byId(5L) == ((6L, 0L, Some(0.0), false)))
+    assert(byId(6L) == ((1L, 1L, Some(1.0), true)))
+    assert(byId(7L) == ((0L, 0L, None, false)))
+  }
+
+  test("crossDocSpanStats counts every covered POSITION, not distinct " +
+      "grams (the coverage semantics boilerplateMetrics lacks)") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z"),  // 5 positions; xyzxy at 1 and 4, yzxyz
+                                  // at 2 and 5, zxyzx at 3
+      (2L, "x y z x y")           // the single gram xyzxy — shared with doc 1
+    ).toDF("doc_id", "text")
+    val m = TextOps.crossDocSpanStats(docs, "doc_id", "text",
+        n = 5, minDocs = 2L, maxFrac = 0.5)
+      .orderBy(col("doc_id")).collect()
+    // doc 1: BOTH xyzxy positions count as shared → 2 of 5
+    assert(m(0).getLong(1) == 5L && m(0).getLong(2) == 2L)
+    assert(m(0).getDouble(3) == 0.4)
+    assert(m(1).getLong(1) == 1L && m(1).getLong(2) == 1L)
+    assert(m(1).getBoolean(4))
+  }
+
   test("boilerplateMetrics counts a repeated within-doc shingle once " +
       "(df is document frequency, not occurrence count)") {
     val docs = Seq(
