@@ -792,7 +792,8 @@ object DedupOps {
     * race into a loud error instead of a silent gap.
     */
   def materializedPairs(spark: org.apache.spark.sql.SparkSession,
-                        path: String)(compute: => DataFrame): DataFrame = {
+                        path: String, partitionBy: Seq[String] = Nil)
+                       (compute: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -801,7 +802,14 @@ object DedupOps {
       val tmp = new Path(dst.getParent,
         s".${dst.getName}.inprogress-${java.util.UUID.randomUUID()}")
       try {
-        compute.write.mode("overwrite").parquet(tmp.toString)
+        // partitionBy (q106's embedding store keys on `cell`): directory
+        // layout is part of the published contract — downstream joins on
+        // the partition column get dynamic partition pruning, so an
+        // ingest batch touching 3 cells reads 3 directories, not the
+        // store. _SUCCESS lands at the ROOT either way; the atomic
+        // publish contract below is unchanged.
+        compute.write.mode("overwrite")
+          .partitionBy(partitionBy: _*).parquet(tmp.toString)
         // Publish loop (ADVICE r9): every attempt RE-probes _SUCCESS so a
         // racer's completed publication wins immediately, and a rename
         // failure (HDFS rename-to-existing) retries through a fresh probe

@@ -612,8 +612,7 @@ object SimilarityOps {
   def semanticDedup(vecs: DataFrame, cents: Array[Array[Double]],
                     minSim: Double, maxIter: Int = 20): DataFrame = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
-    val assigned = withUnitVec(vecs, "embedding", "u")
-      .select(col("vec_id"), col("u"), cellOf(col("u"), cents).as("cell"))
+    val assigned = assignedUnitVecs(vecs, cents)
       .withColumn("csim", round(VectorFunctions.dotProduct(
         col("u"), element_at(centLit, col("cell") + 1)), 6))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
@@ -635,5 +634,86 @@ object SimilarityOps {
       .withColumn("keep", row_number().over(rep) === 1)
       .select(col("vec_id"), col("cell"), col("csim"), col("comp"),
         col("keep"))
+  }
+
+  /** (vec_id, cell, u): unit vector + nearest-cell assignment — the shared
+    * front of [[semanticDedup]] and the embedding-store ingest path.
+    */
+  private def assignedUnitVecs(vecs: DataFrame,
+                               cents: Array[Array[Double]]): DataFrame =
+    withUnitVec(vecs, "embedding", "u")
+      .select(col("vec_id"), col("u"), cellOf(col("u"), cents).as("cell"))
+
+  /** The accepted-corpus embedding store for incremental SemDeDup — q93's
+    * signature store, embedding flavor. Rows are (vec_id, u, cell=…)
+    * PARTITIONED BY cell on disk, published atomically (same contract and
+    * code path as [[DedupOps.materializedPairs]]): an ingest batch
+    * touching 3 cells dynamically prunes to 3 directories
+    * ([[incrementalSemanticDupFlags]] plan-asserts the pruning expression)
+    * instead of scanning the store. Unit vectors are stored, not raw
+    * embeddings — normalization is paid once at store-build, never per
+    * ingest.
+    */
+  def embeddingStore(spark: org.apache.spark.sql.SparkSession,
+                     vecs: DataFrame, path: String,
+                     cents: Array[Array[Double]]): DataFrame =
+    DedupOps.materializedPairs(spark, path, partitionBy = Seq("cell"))(
+      assignedUnitVecs(vecs, cents))
+
+  /** Flag each batch vector that is semantically redundant against the
+    * accepted-corpus [[embeddingStore]]: assign the batch to cells
+    * (map-only, the same committed centroids the store was built with —
+    * callers MUST version the store path with the centroid fit, exactly
+    * like the LSH-parameter versioning on [[DedupOps.signatureStore]]),
+    * then score batch×store pairs WITHIN matching cells only and count
+    * store neighbors at `>= minSim`. Returns (vec_id, n_dups, dup) for
+    * every batch row.
+    *
+    * Per-ingest cost is batch-bound, not corpus-bound: the batch side
+    * broadcasts (it is an ingest batch, small by definition), and because
+    * the store is cell-partitioned the broadcast feeds dynamic partition
+    * pruning — store directories for cells the batch never touched are
+    * not read at all. No shuffle of the store ever happens.
+    */
+  def incrementalSemanticDupFlags(batch: DataFrame, store: DataFrame,
+                                  cents: Array[Array[Double]],
+                                  minSim: Double): DataFrame = {
+    val b = assignedUnitVecs(batch, cents)
+    val s = store.select(col("vec_id").as("corpus_id"), col("cell"),
+      col("u").as("cu"))
+    val flags = s.join(broadcast(b), Seq("cell"))
+      .filter(round(VectorFunctions.dotProduct(col("u"), col("cu")), 6)
+        >= minSim)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    batch.select(col("vec_id"))
+      .join(flags, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("dup", col("n_dups") > 0)
+  }
+
+  /** Close the ingest loop: assign + unit-normalize the accepted batch
+    * rows and append them to the store's cell directories. Same contract
+    * as [[DedupOps.appendToSignatureStore]]: refuses an unpublished path
+    * (an implicit create would masquerade as a built store), returns the
+    * appended count from the batch side, and the store's writer contract
+    * is single-ingest-at-a-time. Small-file growth is the signature
+    * store's known maintenance burden — compact with the same
+    * read-then-republish pattern as [[DedupOps.compactSignatureStore]].
+    */
+  def appendToEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+                             acceptedVecs: DataFrame, path: String,
+                             cents: Array[Array[Double]]): Long = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS")),
+      s"appendToEmbeddingStore: no published embedding store at $path — " +
+        "build it with embeddingStore first")
+    val rows = assignedUnitVecs(acceptedVecs, cents).persist()
+    try {
+      val n = rows.count()
+      if (n > 0) rows.write.mode("append").partitionBy("cell").parquet(path)
+      n
+    } finally { rows.unpersist(); () }
   }
 }

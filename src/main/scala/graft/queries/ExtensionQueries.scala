@@ -214,6 +214,26 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Incremental SemDeDup at ingest (q93's embedding flavor): the
+    // accepted corpus (vec_id % 3 != 0) persists as a cell-PARTITIONED
+    // unit-vector store (atomic publish, committed centroids); the batch
+    // (vec_id % 3 == 0) broadcasts into it, scoring only within matching
+    // cells — the broadcast feeds dynamic partition pruning, so untouched
+    // cell directories are never read (plan-asserted). The oracle
+    // recomputes BOTH sides from raw embeddings, so the persisted store's
+    // faithfulness is what the diff proves -------------------------------
+    "q106_incremental_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val store = SimilarityOps.embeddingStore(s,
+        e.filter(col("vec_id") % 3 =!= 0),
+        fixturePath(s, dir, "embeddings", "embstore", "corpusMod3_cells10"),
+        graft.ext.IvfCentroids.centroids)
+      SimilarityOps.incrementalSemanticDupFlags(
+          e.filter(col("vec_id") % 3 === 0), store,
+          graft.ext.IvfCentroids.centroids, minSim = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // -- Exactly-k uniform sample (k=40, seed 3): smallest md5 coins win;
     // plans as TakeOrderedAndProject, and the selected ID SET is what the
     // oracle pins ---------------------------------------------------------
@@ -1357,6 +1377,37 @@ object ExtensionQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q106: assignment from the same centroid literals on BOTH the batch
+    * and corpus sides (recomputed from raw — the persisted cell-partitioned
+    * store's faithfulness is exactly what the diff proves), cell equi-join,
+    * rounded cosine gate, per-batch-row neighbor count.
+    */
+  private lazy val incrementalSemanticOracleSql: String = {
+    val centRows = graft.ext.IvfCentroids.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u FROM e),
+       |cents(cell, c) AS (VALUES $centRows),
+       |asg AS (SELECT vec_id, u, cell FROM (
+       |  SELECT n.vec_id, n.u, cents.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell) AS rn
+       |    FROM n, cents) WHERE rn = 1),
+       |b AS (SELECT * FROM asg WHERE vec_id % 3 = 0),
+       |s AS (SELECT * FROM asg WHERE vec_id % 3 <> 0),
+       |sc AS (SELECT b.vec_id, count(*) AS n_dups
+       |  FROM b JOIN s ON b.cell = s.cell
+       |  WHERE round(list_dot_product(b.u, s.u), 6) >= 0.3
+       |  GROUP BY b.vec_id)
+       |SELECT b.vec_id, coalesce(sc.n_dups, 0) AS n_dups,
+       |  coalesce(sc.n_dups, 0) > 0 AS dup
+       |FROM b LEFT JOIN sc USING (vec_id)
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
   /** q74: same literal planes, directed bucket self-join + per-source
     * top-k rank (ties on the rounded sim break by dst in both engines).
     */
@@ -1900,6 +1951,7 @@ object ExtensionQueries {
     "q52_ann_lsh" -> lshOracleSql,
     "q31_ann_ivf" -> ivfOracleSql,
     "q104_semantic_dedup" -> semanticDedupOracleSql,
+    "q106_incremental_semantic" -> incrementalSemanticOracleSql,
     // two-stage int8 ≡ single-stage exact, provably — one oracle serves both
     "q98_ann_ivf_int8" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,

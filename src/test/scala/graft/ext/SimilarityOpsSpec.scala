@@ -278,6 +278,48 @@ class SimilarityOpsSpec extends AnyFunSuite {
       s"cell assignment must stay the fused kernel:\n${plan.take(4000)}")
   }
 
+  test("embedding ingest loop: store + incremental flags + append " +
+      "(second batch dedups against the first's accepted rows)") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-embstore").resolve("emb").toString
+    val corpus = vecs((10L, Seq(1f, 0f), 0)).drop("label")
+    SimilarityOps.embeddingStore(spark, corpus, path, cents)
+    // near-dup of the corpus row flags; the cell-1 row is clean even
+    // though it is a near-dup of NOTHING in its own cell
+    val batch1 = vecs((20L, Seq(0.99f, 0.01f), 0), (21L, Seq(0f, 1f), 0))
+      .drop("label")
+    val f1 = SimilarityOps.incrementalSemanticDupFlags(batch1,
+        spark.read.parquet(path), cents, minSim = 0.97)
+      .orderBy("vec_id").collect()
+    assert(f1(0).getAs[Boolean]("dup") && f1(0).getAs[Long]("n_dups") == 1L)
+    assert(!f1(1).getAs[Boolean]("dup"))
+    // accept only the clean row, append, and batch 2's clone of it flags
+    val n = SimilarityOps.appendToEmbeddingStore(spark,
+      batch1.filter(col("vec_id") === 21L), path, cents)
+    assert(n == 1L)
+    val batch2 = vecs((30L, Seq(0f, 1f), 0)).drop("label")
+    val f2 = SimilarityOps.incrementalSemanticDupFlags(batch2,
+        spark.read.parquet(path), cents, minSim = 0.97).collect()
+    assert(f2.head.getAs[Boolean]("dup") && f2.head.getAs[Long]("n_dups") == 1L)
+    // append to an unpublished path refuses loudly
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.appendToEmbeddingStore(spark, batch2,
+        java.nio.file.Files.createTempDirectory("graft-noemb")
+          .resolve("x").toString, cents))
+    assert(e.getMessage.contains("no published embedding store"))
+  }
+
+  test("q106's store scan is dynamically partition-pruned by the batch " +
+      "(untouched cell directories are never read)") {
+    val df = graft.queries.ExtensionQueries.queries(
+      "q106_incremental_semantic")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"store scan must carry a dynamic pruning filter on cell:\n" +
+        plan.take(4000))
+  }
+
   test("cosine: zero-norm vector yields NULL, not an ANSI DIVIDE_BY_ZERO") {
     val df = Seq((Seq(0f, 0f), Seq(1f, 0f)), (Seq(0f, 0f), Seq(0f, 0f)))
       .toDF("a", "b")
