@@ -573,6 +573,75 @@ object TextOps {
         coalesce(col("common_frac") > maxCommonFrac, lit(false)))
   }
 
+  /** Bigram stupid-backoff LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the smoothing CCNet-style
+    * perplexity filters actually use, because at corpus scale backoff
+    * beats fancier smoothing that needs held-out tuning): train counts on
+    * `trainDocs`, score `scoreDocs` per token as
+    *
+    *   - first token (no predecessor):  (c1(w)+1) / (T+V)   (add-one)
+    *   - seen bigram (w_prev w):        c2(w_prev,w) / c1(w_prev)
+    *   - unseen bigram:                 α · (c1(w)+1) / (T+V)
+    *
+    * where T = train token count, V = train vocab size; add-one keeps
+    * unseen WORDS finite (ln 0 otherwise), and α = 0.4 is the paper's
+    * constant. Train ≠ score is the point — [[lmScore]] (q70) trains on
+    * the corpus it scores, so every n-gram is "seen" and only frequency
+    * matters; held-out scoring is what makes unseen continuations (the
+    * gibberish signal) actually score low.
+    *
+    * Output: (idCol, n_toks, avg_logp, lm_outlier). Null/empty-token docs
+    * keep a row (0 tokens, null score, null flag — q70's contract).
+    *
+    * Plan shape at 100 TB: train-side counts are two map-side-combined
+    * aggregations (words, bigram shingles); the 1-row (T, V) broadcast
+    * crosses in. The score side pays ONE shuffle on the doc id — the lag
+    * window that pairs each token with its predecessor — which the final
+    * per-doc rollup then reuses (same key, no second exchange). The
+    * unigram/bigram count joins are unhinted: vocabularies are unbounded,
+    * AQE broadcasts them only when they actually fit.
+    */
+  def lmScoreBackoff(scoreDocs: org.apache.spark.sql.DataFrame,
+                     trainDocs: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String, minAvgLogp: Double,
+                     alpha: Double = 0.4)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trainToks = trainDocs
+      .select(explode(tokens(col(textCol))).as("__t"))
+    val uni = trainToks.groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
+    val stats = uni.agg(sum(col("__c1")).cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__vocab"))
+    val big = trainDocs
+      .select(explode(shingles(tokens(col(textCol)), 2)).as("__bg"))
+      .groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    val toks = scoreDocs.select(col(idCol),
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val paired = toks
+      .withColumn("__p", lag(col("__w"), 1).over(wDoc))
+      .withColumn("__bg",
+        when(col("__p").isNotNull, concat_ws(" ", col("__p"), col("__w"))))
+    val joined = paired
+      .join(uni.select(col("__t").as("__w"), col("__c1").as("__cw")),
+        Seq("__w"), "left")
+      .join(uni.select(col("__t").as("__p"), col("__c1").as("__cp")),
+        Seq("__p"), "left")
+      .join(big, Seq("__bg"), "left")
+      .crossJoin(broadcast(stats))
+    val laplace = (coalesce(col("__cw"), lit(0L)) + 1) /
+      (col("__total") + col("__vocab"))
+    val score = when(col("__p").isNull, laplace)
+      .when(col("__c2").isNotNull, col("__c2") / col("__cp"))
+      .otherwise(lit(alpha) * laplace)
+    joined
+      .groupBy(col(idCol))
+      .agg(count(col("__w")).as("n_toks"),
+        round(sum(when(col("__w").isNotNull, log(score))) /
+          count(col("__w")), 4).as("avg_logp"))
+      .withColumn("lm_outlier", col("avg_logp") < minAvgLogp)
+  }
+
   // -- Cross-document duplicated-span coverage --------------------------
 
   /** Exact-substring duplication coverage (the signal behind Lee et al.

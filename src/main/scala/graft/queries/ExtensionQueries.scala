@@ -629,6 +629,20 @@ object ExtensionQueries {
           minAvgLogp = -3.43)
         .orderBy(col("doc_id"))),
 
+    // -- Bigram stupid-backoff LM (Brants et al. 2007), HELD-OUT scoring:
+    // trained on doc_id % 3 != 0, scoring the % 3 == 0 split, so unseen
+    // continuations actually back off (q70 trains on what it scores —
+    // nothing is ever unseen there). Threshold -3.5 sits where the score
+    // split breaks (12 outliers / 155 clean) ------------------------------
+    "q107_lm_backoff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.lmScoreBackoff(
+          d.filter(col("doc_id") % 3 === 0),
+          d.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", minAvgLogp = -3.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Tokenizer-vocab coverage: top-25 corpus vocab → per-doc OOV ----
     "q69_vocab_coverage" -> ((s, dir) =>
       TextOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
@@ -1871,6 +1885,42 @@ object ExtensionQueries {
         |  GROUP BY kf.fp, b.src, b.n_copies)
         |SELECT keep_id, source, CAST(n_copies AS BIGINT) AS n_copies, fp
         |FROM k ORDER BY keep_id""".stripMargin,
+    // q107: train counts from the %3!=0 split, held-out scoring of %3==0;
+    // score arithmetic is written with IDENTICAL operation order on both
+    // sides ((c+1)/(T+V), c2/c1, 0.4*(…)) so the doubles agree before the
+    // single 4-digit rounding
+    "q107_lm_backoff" ->
+      """WITH tr AS (SELECT regexp_split_to_array(lower(text), '\s+') AS toks
+        |    FROM documents WHERE doc_id % 3 <> 0),
+        |trt AS (SELECT unnest(toks) AS t FROM tr),
+        |uni AS (SELECT t, count(*) AS c1 FROM trt GROUP BY t),
+        |st AS (SELECT CAST(sum(c1) AS DOUBLE) AS total,
+        |    CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+        |bg AS (SELECT b, count(*) AS c2 FROM (
+        |    SELECT array_to_string(toks[i:i+1], ' ') AS b
+        |    FROM tr, unnest(generate_series(1, len(toks) - 1)) AS s(i))
+        |  GROUP BY b),
+        |sd AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |    FROM documents WHERE doc_id % 3 = 0),
+        |tok AS (SELECT doc_id, toks[i] AS w,
+        |    CASE WHEN i > 1 THEN toks[i-1] END AS p
+        |  FROM sd, unnest(generate_series(1, len(toks))) AS s(i)),
+        |j AS (SELECT tok.doc_id, tok.w, tok.p, u1.c1 AS cw, u2.c1 AS cp,
+        |    bg.c2 AS c2, st.total, st.vocab
+        |  FROM tok LEFT JOIN uni u1 ON tok.w = u1.t
+        |    LEFT JOIN uni u2 ON tok.p = u2.t
+        |    LEFT JOIN bg ON tok.p || ' ' || tok.w = bg.b
+        |    CROSS JOIN st),
+        |sc AS (SELECT doc_id, CASE
+        |    WHEN p IS NULL THEN (coalesce(cw, 0) + 1) / (total + vocab)
+        |    WHEN c2 IS NOT NULL THEN c2 / cp
+        |    ELSE 0.4 * ((coalesce(cw, 0) + 1) / (total + vocab)) END AS s
+        |  FROM j),
+        |per AS (SELECT doc_id, count(*) AS n_toks,
+        |    round(sum(ln(s)) / count(*), 4) AS avg_logp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_toks, avg_logp, avg_logp < -3.5 AS lm_outlier
+        |FROM per ORDER BY doc_id""".stripMargin,
     "q70_lm_score" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t

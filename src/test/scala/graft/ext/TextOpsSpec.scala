@@ -266,6 +266,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lmScoreBackoff: seen bigrams score c2/c1, unseen back off to " +
+      "alpha-scaled add-one unigrams, held-out words stay finite") {
+    val train = Seq((100L, "the cat sat"), (101L, "the cat ran"))
+      .toDF("doc_id", "text") // T=6 tokens, V=4 vocab
+    val score = Seq(
+      (1L, "the cat sat"), // (2+1)/10, c2(the cat)/c1(the)=2/2, c2/c1=1/2
+      (2L, "dog cat"),     // unseen word (0+1)/10; unseen bigram 0.4*3/10
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextOps.lmScoreBackoff(score, train, "doc_id", "text",
+        minAvgLogp = -1.0)
+      .orderBy(col("doc_id")).collect()
+    assert(r(0).getLong(1) == 3L)
+    val exp1 = BigDecimal((math.log(0.3) + math.log(1.0) + math.log(0.5)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getDouble(2) == exp1 && !r(0).getBoolean(3))
+    assert(r(1).getLong(1) == 2L)
+    val exp2 = BigDecimal((math.log(0.1) + math.log(0.4 * 0.3)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1).getDouble(2) == exp2 && r(1).getBoolean(3))
+    // null-text doc keeps its row: 0 tokens, null score, null flag
+    assert(r(2).getLong(1) == 0L && r(2).isNullAt(2) && r(2).isNullAt(3))
+  }
+
   test("crossDocSpanStats: position-weighted coverage, cross-doc only, " +
       "short and null docs survive") {
     val docs = Seq(
