@@ -80,4 +80,65 @@ object SinkOps {
     // no-op when dbPath is None (saveTable's own contract)
     graft.pipeline.ViewStore.saveTable(df.sparkSession, dbPath, table)
   }
+
+  // -- File-stats sidecar: zone maps above the footer level -------------
+
+  /** Write `data` range-clustered on `statsCols` and publish a per-FILE
+    * min/max sidecar next to it — the zone-map/data-skipping layer Delta
+    * and Iceberg keep in their manifests, for plain parquet directories.
+    * Parquet footers already carry row-group min/max, but a reader still
+    * OPENS every footer to use them: at 100 TB that is one metadata round
+    * trip per file (100k+ object-store reads) before the first data byte.
+    * The sidecar collapses that to ONE small parquet read; footer stats
+    * then prune row groups WITHIN the files that survive.
+    *
+    * `repartitionByRange` makes the per-file ranges tight and disjoint, so
+    * a range predicate maps to few files. An unclustered layout would
+    * still be CORRECT (zones overlap, pruning just degrades toward
+    * read-everything) — clustering is what makes the sidecar worth
+    * consulting. Both the data and the sidecar publish atomically through
+    * [[DedupOps.materializedPairs]] (`_SUCCESS`-gated, write-once), so a
+    * crashed writer never leaves a sidecar that disagrees with the data.
+    */
+  def writeWithFileStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String, statsCols: Seq[String], nFiles: Int)
+                        (data: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val written = DedupOps.materializedPairs(spark, path)(
+      data.repartitionByRange(nFiles, statsCols.map(col): _*))
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    DedupOps.materializedPairs(spark, s"$path.stats")(
+      written.withColumn("file", input_file_name())
+        .groupBy(col("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1))
+    written
+  }
+
+  /** Range scan through the [[writeWithFileStats]] sidecar: only files
+    * whose [min, max] zone intersects [lo, hi] enter the scan's file
+    * index — pruned files are never listed, opened, or footer-read. The
+    * residual in-file filter is applied on top, so the result is
+    * bit-identical to a full scan with the same predicate (q108's oracle
+    * is exactly that plain filter).
+    *
+    * The sidecar collect is metadata-scale — the file LIST, which any
+    * reader materializes on the driver anyway — never data. NULL keys:
+    * min/max ignore nulls, an all-null zone has null bounds and fails the
+    * intersection test, and a range predicate excludes null rows by SQL
+    * semantics — so dropping such files is exact, not approximate.
+    */
+  def readPrunedRange(spark: org.apache.spark.sql.SparkSession,
+                      path: String, c: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(s"$path.stats")
+    val files = stats
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AggOps, DedupOps, JoinOps, MultimodalOps, PackOps, ProfileOps, SimilarityOps, TextOps}
+import graft.ext.{AggOps, DedupOps, JoinOps, MultimodalOps, PackOps, ProfileOps, SimilarityOps, SinkOps, TextOps}
 import org.apache.spark.sql.graft.VectorFunctions
 
 /** Layer-C extension queries (SURVEY.md §2.C): training-data-pipeline
@@ -232,6 +232,23 @@ object ExtensionQueries {
           e.filter(col("vec_id") % 3 === 0), store,
           graft.ext.IvfCentroids.centroids, minSim = 0.3)
         .orderBy(col("vec_id"))
+    }),
+
+    // -- Zone-map pruned scan: orders range-clustered on o_orderkey into 8
+    // files + a per-file min/max sidecar (one small read replaces opening
+    // every footer); a key-range scan prunes at the FILE-LIST level, then
+    // filters in-file. The oracle is the plain full-scan filter — pruning
+    // must be result-invisible (the q100 pattern); SinkOpsSpec asserts the
+    // pruned scan actually reads fewer files --------------------------------
+    "q108_pruned_scan" -> ((s, dir) => {
+      val path = fixturePath(s, dir, "orders", "zonemap", "bykey_f8")
+      SinkOps.writeWithFileStats(s, path, Seq("o_orderkey"), nFiles = 8)(
+        t(s, dir, "orders"))
+      SinkOps.readPrunedRange(s, path, "o_orderkey", 3000L, 6000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // -- Exactly-k uniform sample (k=40, seed 3): smallest md5 coins win;
@@ -2002,6 +2019,13 @@ object ExtensionQueries {
     "q31_ann_ivf" -> ivfOracleSql,
     "q104_semantic_dedup" -> semanticDedupOracleSql,
     "q106_incremental_semantic" -> incrementalSemanticOracleSql,
+    // q108: the plain filter over the SOURCE table — the written layout,
+    // sidecar, and file pruning must all be invisible in the result
+    "q108_pruned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 3000 AND 6000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // two-stage int8 ≡ single-stage exact, provably — one oracle serves both
     "q98_ann_ivf_int8" -> ivfOracleSql,
     "q60_lsh_neardup" -> lshNearDupOracleSql,

@@ -8,6 +8,39 @@ import org.scalatest.funsuite.AnyFunSuite
 class SinkOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("writeWithFileStats + readPrunedRange: zone pruning reads fewer " +
+      "files, result identical to a full-scan filter, nulls exact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-zonemap").resolve("t").toString
+    val df = ((1L to 400L).map(k => (Option(k), s"v$k")) ++
+      Seq((Option.empty[Long], "vnull"))).toDF("k", "v")
+    SinkOps.writeWithFileStats(spark, out, Seq("k"), nFiles = 4)(df)
+    val total = spark.read.parquet(out).inputFiles.length
+    assert(total >= 3, s"expected multiple files, got $total")
+
+    // a narrow range maps to a strict subset of files
+    val pruned = SinkOps.readPrunedRange(spark, out, "k", 10L, 20L)
+    assert(pruned.inputFiles.length < total)
+    val want = df.filter(col("k") >= 10L && col("k") <= 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == want)
+
+    // the null row is excluded by range semantics on BOTH paths
+    val full = SinkOps.readPrunedRange(spark, out, "k", 1L, 400L)
+    assert(full.count() == 400L)
+
+    // an out-of-range scan selects zero files and yields zero rows with
+    // the schema intact
+    val none = SinkOps.readPrunedRange(spark, out, "k", 1000L, 2000L)
+    assert(none.count() == 0L)
+    assert(none.columns.toSeq == Seq("k", "v"))
+
+    // write-once: a second call must not recompute or rewrite (the
+    // _SUCCESS-gated publish contract) — the sidecar is read back as-is
+    SinkOps.writeWithFileStats(spark, out, Seq("k"), nFiles = 4)(
+      sys.error("must not recompute a published layout"))
+  }
+
   test("writePartitionedParquet: hive layout, pruning-ready, lossless") {
     val out = Files.createTempDirectory("graft-sink").toString
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
