@@ -698,9 +698,57 @@ object SimilarityOps {
     * (an implicit create would masquerade as a built store), returns the
     * appended count from the batch side, and the store's writer contract
     * is single-ingest-at-a-time. Small-file growth is the signature
-    * store's known maintenance burden — compact with the same
-    * read-then-republish pattern as [[DedupOps.compactSignatureStore]].
+    * store's known maintenance burden — [[compactEmbeddingStore]] is the
+    * partition-aware compactor.
     */
+  /** Bound the embedding store's small-file growth — the sibling of
+    * [[DedupOps.compactSignatureStore]], partition-aware: each append
+    * adds one file set per touched cell directory, so a continuous crawl
+    * accumulates files exactly like the signature store does. Rewrites
+    * the store to ONE file per cell (a cell is this store's natural
+    * compaction unit — its volume is bounded by the nCells scale knob),
+    * collapsing exact-duplicate rows (crash-replay residue between an
+    * append and its marker) in the same pass. Serialized with ingests by
+    * the store's single-writer contract; the swap is write-new →
+    * delete-old → rename, so a crash leaves either the old store or the
+    * new one, never a mix. Returns (files before, files after).
+    */
+  def compactEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new Path(dst, "_SUCCESS")
+    require(fs.exists(success),
+      s"compactEmbeddingStore: no published embedding store at $path")
+    def parquetFiles(): Int = {
+      val it = fs.listFiles(dst, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = parquetFiles()
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.compact-${java.util.UUID.randomUUID()}")
+    try {
+      // repartition ON cell: every cell's rows land in one task, so
+      // partitionBy writes exactly one file per cell directory
+      spark.read.parquet(path).dropDuplicates()
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+        s"compactEmbeddingStore: failed to swap compacted store into $path")
+      val nested = new Path(dst, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (!fs.exists(success)) throw new IllegalStateException(
+        s"compactEmbeddingStore: compacted store at $path has no _SUCCESS")
+      (before, parquetFiles())
+    } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
+  }
+
   def appendToEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
                              acceptedVecs: DataFrame, path: String,
                              cents: Array[Array[Double]]): Long = {

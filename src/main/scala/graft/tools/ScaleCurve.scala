@@ -123,6 +123,51 @@ object ScaleCurve {
     val nVecs: Map[Int, Long] =
       dirs.map { case (n, d) => n -> embs(spark, d).count() }
 
+    // SemDeDup / semantic-ingest scale knob: nCells must grow with the
+    // corpus (constant cell sizes), exactly like bitsForScale holds LSH
+    // buckets. The scaled centroids refit on a constant-size hash sample
+    // (the fit cost is measured separately as q31_ivf_fit_sampled).
+    lazy val scaledCents: Map[Int, Array[Array[Double]]] =
+      dirs.map { case (n, d) =>
+        val oneIn = math.max(1L, nVecs(n) / nVecs(scales.min)).toInt
+        n -> SimilarityOps.fitCentroids(embs(spark, d), "embedding",
+          nCells = 10 * n, sampleOneIn = oneIn)
+      }
+
+    // q106: per-ingest cost vs a corpus-scaled embedding store — prebuild
+    // the store per scale (untimed, one-time), time only a FIXED 1× batch
+    // against it. `fixed` keeps the committed 10 cells (per-cell store
+    // size grows with the corpus — the expected linear term); `scaled`
+    // holds cell sizes constant with refit nCells = 10n.
+    lazy val embStoreFixed: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/emb_store_fixed.parquet"
+      SimilarityOps.embeddingStore(spark,
+        embs(spark, d).filter(col("vec_id") % 3 =!= 0), p,
+        graft.ext.IvfCentroids.centroids)
+      n -> p
+    }
+    lazy val embStoreScaled: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/emb_store_scaled.parquet"
+      SimilarityOps.embeddingStore(spark,
+        embs(spark, d).filter(col("vec_id") % 3 =!= 0), p, scaledCents(n))
+      n -> p
+    }
+    if (wanted("q106_incremental_semantic_fixed")) embStoreFixed
+    if (wanted("q106_incremental_semantic_scaled")) embStoreScaled
+
+    // q108: layout + sidecar prebuilt per scale (untimed — write-once by
+    // contract); files scale with the corpus so file SIZE holds constant.
+    // The timed read scans a FIXED key range: the zone-map claim is that
+    // its cost tracks the slice, not the corpus.
+    lazy val zonePath: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/zonemap.parquet"
+      graft.ext.SinkOps.writeWithFileStats(spark, p, Seq("doc_id"),
+        nFiles = 8 * n)(
+        docs(spark, d).select(col("doc_id"), col("source"), col("n_chars")))
+      n -> p
+    }
+    if (wanted("q108_pruned_scan")) zonePath
+
     // (name, per-scale frame builder). Builders take the scale so the
     // `scaled` variants can pick their banding from the corpus size.
     val suite: Seq[(String, Int => DataFrame)] = Seq(
@@ -289,6 +334,50 @@ object ScaleCurve {
       "q65_seq_packing" -> (n =>
         graft.ext.PackOps.packSummary(docs(spark, dirs(n)), "doc_id",
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)),
+      // SemDeDup: within-cell pairing is Sigma(cell^2) — `fixed` keeps the
+      // committed 10 cells (cell sizes grow with the corpus: the expected
+      // quadratic), `scaled` refits nCells = 10n so cell sizes hold.
+      // ScaleGen replicas are cross-orthogonal (cos ~ 0 < minSim), so dup
+      // structure multiplies without deepening and CC rounds stay put.
+      "q104_semantic_dedup_fixed" -> (n =>
+        SimilarityOps.semanticDedup(embs(spark, dirs(n)),
+          graft.ext.IvfCentroids.centroids, minSim = 0.3)),
+      "q104_semantic_dedup_scaled" -> (n =>
+        SimilarityOps.semanticDedup(embs(spark, dirs(n)),
+          scaledCents(n), minSim = 0.3)),
+      // cross-doc span coverage: explode → two uniform-key aggs → mark
+      // join → doc rollup, all linear terms; minDocs stays 2 (duplication
+      // is absolute — unlike q90's maxDf, which is relative commonness)
+      "q105_dup_span_coverage" -> (n =>
+        TextOps.crossDocSpanStats(docs(spark, dirs(n)), "doc_id", "text",
+          5, 2L, 0.5)),
+      // fixed 1× batch vs the corpus-scaled embedding store
+      "q106_incremental_semantic_fixed" -> (n =>
+        SimilarityOps.incrementalSemanticDupFlags(
+          embs(spark, dirs(scales.min)).filter(col("vec_id") % 3 === 0),
+          spark.read.parquet(embStoreFixed(n)),
+          graft.ext.IvfCentroids.centroids, minSim = 0.3)),
+      "q106_incremental_semantic_scaled" -> (n =>
+        SimilarityOps.incrementalSemanticDupFlags(
+          embs(spark, dirs(scales.min)).filter(col("vec_id") % 3 === 0),
+          spark.read.parquet(embStoreScaled(n)),
+          scaledCents(n), minSim = 0.3)),
+      // train counts + one doc-keyed score shuffle: both sides scale with
+      // the corpus, every term linear
+      "q107_lm_backoff" -> { n =>
+        val d = docs(spark, dirs(n))
+        TextOps.lmScoreBackoff(
+          d.filter(col("doc_id") % 3 === 0),
+          d.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", minAvgLogp = -3.5)
+      },
+      // zone-map read of a FIXED key slice over a corpus-scaled layout:
+      // the sidecar admits a constant file subset, so the read should be
+      // flat while the corpus (and its file count) grows 10×
+      "q108_pruned_scan" -> (n =>
+        graft.ext.SinkOps.readPrunedRange(spark, zonePath(n), "doc_id",
+            3000L, 6000L)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))),
       // the full IVF lifecycle at scale: REFIT the quantizer on the
       // corpus (the committed-centroid form pins 1× fixture literals for
       // its oracle), then the pruned query pass

@@ -310,6 +310,41 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no published embedding store"))
   }
 
+  test("compactEmbeddingStore: fewer files, bit-identical contents, " +
+      "replay-duplicate rows healed, flags unchanged") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-embcompact").resolve("emb").toString
+    SimilarityOps.embeddingStore(spark,
+      vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0)).drop("label"),
+      path, cents)
+    // 6 appends across both cells — small files pile up per cell dir
+    (10L to 15L).foreach { i =>
+      SimilarityOps.appendToEmbeddingStore(spark,
+        vecs((i, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f), 0))
+          .drop("label"), path, cents)
+    }
+    // a crash-replay duplicate row (same vec_id appended twice)
+    SimilarityOps.appendToEmbeddingStore(spark,
+      vecs((15L, Seq(0f, 1f), 0)).drop("label"), path, cents)
+    def snapshot() = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell"), col("u")).distinct()
+      .orderBy(col("vec_id")).collect().toSeq
+    val beforeRows = snapshot()
+    val (nBefore, nAfter) = SimilarityOps.compactEmbeddingStore(spark, path)
+    assert(nAfter < nBefore, s"expected compaction: $nBefore -> $nAfter")
+    assert(nAfter == 2) // one file per cell
+    assert(snapshot() == beforeRows)
+    // the replay duplicate collapsed to one physical row
+    assert(spark.read.parquet(path).filter(col("vec_id") === 15L)
+      .count() == 1L)
+    // and the store still answers ingest queries identically
+    val f = SimilarityOps.incrementalSemanticDupFlags(
+      vecs((99L, Seq(1f, 0f), 0)).drop("label"),
+      spark.read.parquet(path), cents, minSim = 0.97).collect()
+    assert(f.head.getAs[Boolean]("dup"))
+  }
+
   test("q106's store scan is dynamically partition-pruned by the batch " +
       "(untouched cell directories are never read)") {
     val df = graft.queries.ExtensionQueries.queries(
