@@ -241,27 +241,42 @@ class QueryPlanSpec extends AnyFunSuite {
       s"bracket rewrite missing from:\n$p")
   }
 
-  test("no BroadcastNestedLoopJoin outside the intentional scalar/probe ones") {
-    // q30 broadcasts 5 probe vectors; q47, q55, q68, and q70 a 1-row
-    // scalar aggregate (avg price / corpus doc count / corpus token
-    // totals) — all O(1) broadcast sides. Anywhere
-    // else a BNLJ means a join lost its equi-condition and would
-    // cross-product at scale.
-    // q26 is the documented all-pairs operator (emits zero-overlap pairs
-    // too, so no equi-key exists) — callers bound its scope. q31's cell
-    // pick is a map-side posexplode of the literal centroids, so IVF needs
-    // no BNLJ at all. q80 cross-joins a 3-row generated threshold ladder
-    // (non-equi by construction) — another O(1) broadcast side.
-    // q89 is q30's int8 twin: same 5-probe broadcast, non-equi by design.
-    // q96 cross-joins its 1-row totals aggregate back to the top slice.
-    val intentional = Set("q30_ann_topk", "q89_int8_ann", "q96_key_skew",
-      "q47_scalar_subquery", "q55_tfidf",
-      "q26_ngram_jaccard", "q68_domain_mix", "q70_lm_score",
-      "q80_generate_series")
-    for ((name, _) <- SparkEntry.queries if !intentional(name)) {
-      val p = plan(name)
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$name contains BroadcastNestedLoopJoin")
+  test("every BroadcastNestedLoopJoin broadcasts a scalar aggregate " +
+      "(or is an explicitly documented probe/all-pairs op)") {
+    // A BNLJ is fine at 100 TB exactly when its broadcast side is O(1)
+    // rows. Rather than allowlist each scalar-broadcast query (the list
+    // rotted when q107 landed — round-10 verdict item 1), INSPECT the
+    // plan: the build side of every BNLJ must contain a grouping-free
+    // aggregate (<=1 row by construction). Queries whose O(1) side is
+    // NOT an aggregate stay on a short explicit list:
+    //   q30/q89 broadcast 5 probe vectors (LIMITed scan, non-equi by
+    //   design); q26 is the documented all-pairs operator (emits
+    //   zero-overlap pairs, no equi-key exists) — callers bound its
+    //   scope; q80 cross-joins a 3-row generated threshold ladder.
+    // Anywhere else a non-scalar BNLJ means a join lost its
+    // equi-condition and would cross-product at scale.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val nonScalarIntentional = Set("q30_ann_topk", "q89_int8_ann",
+      "q26_ngram_jaccard", "q80_generate_series")
+    def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    }.isDefined
+    for ((name, _) <- SparkEntry.queries if !nonScalarIntentional(name)) {
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.sparkPlan
+      val bnljs = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+      bnljs.foreach { j =>
+        val build = j.buildSide match {
+          case BuildLeft  => j.left
+          case BuildRight => j.right
+        }
+        assert(scalarSide(build),
+          s"$name has a BroadcastNestedLoopJoin whose broadcast side is " +
+            s"not a 1-row (grouping-free) aggregate:\n$build")
+      }
     }
   }
 
