@@ -918,9 +918,11 @@ object DedupOps {
     * thousands of small files in months, and file listing + task
     * planning on the store then degrade linearly, eroding exactly the
     * O(batch) ingest cost the store exists to provide. Periodic
-    * compaction rewrites the store at `targetFileMB`-sized files using
-    * the same atomic temp+rename publish contract as
-    * [[materializedPairs]]; signatures are preserved bit-identically,
+    * compaction rewrites the store at `targetFileMB`-sized files and
+    * swaps it in via [[StoreSwap]] (rename-old-aside → rename-new-in →
+    * delete-aside: every crash point leaves an intact store directory,
+    * and the next compaction call auto-recovers a parked one — no
+    * destroy-first window); signatures are preserved bit-identically,
     * EXCEPT that exact-duplicate rows (same doc_id AND same signature)
     * collapse to one — those are replay artifacts (a crash between a
     * streaming ingest's store append and its replay marker re-appends
@@ -941,6 +943,9 @@ object DedupOps {
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dst, "_SUCCESS")
+    // heal a swap interrupted by a crashed earlier compaction first: the
+    // old store may be parked under a .{name}.old-* aside (StoreSwap)
+    StoreSwap.recoverIfInterrupted(fs, dst)
     require(fs.exists(success),
       s"compactSignatureStore: no published signature store at $path")
     def parquetFiles() = fs.listStatus(dst)
@@ -956,13 +961,7 @@ object DedupOps {
       spark.read.parquet(path).dropDuplicates()
         .repartition(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (!fs.rename(tmp, dst)) throw new IllegalStateException(
-        s"compactSignatureStore: failed to swap compacted store into $path")
-      // posix rename CAN land INSIDE a racing re-created dst — same sweep
-      // as materializedPairs (single-writer contract makes this vestigial)
-      val nested = new Path(dst, tmp.getName)
-      if (fs.exists(nested)) fs.delete(nested, true)
+      StoreSwap.swapIn(fs, dst, tmp, "compactSignatureStore")
       if (!fs.exists(success)) throw new IllegalStateException(
         s"compactSignatureStore: compacted store at $path has no _SUCCESS")
       (before.length, parquetFiles().length)

@@ -709,9 +709,11 @@ object SimilarityOps {
     * compaction unit — its volume is bounded by the nCells scale knob),
     * collapsing exact-duplicate rows (crash-replay residue between an
     * append and its marker) in the same pass. Serialized with ingests by
-    * the store's single-writer contract; the swap is write-new →
-    * delete-old → rename, so a crash leaves either the old store or the
-    * new one, never a mix. Returns (files before, files after).
+    * the store's single-writer contract; the swap goes through
+    * [[StoreSwap]] (rename-old-aside → rename-new-in → delete-aside), so
+    * every crash point leaves an intact store directory — either
+    * published at `path` or parked under a `.{name}.old-*` aside that the
+    * next compaction call renames back. Returns (files before, after).
     */
   def compactEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
                             path: String): (Int, Int) = {
@@ -719,6 +721,7 @@ object SimilarityOps {
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dst, "_SUCCESS")
+    StoreSwap.recoverIfInterrupted(fs, dst)
     require(fs.exists(success),
       s"compactEmbeddingStore: no published embedding store at $path")
     def parquetFiles(): Int = {
@@ -738,11 +741,7 @@ object SimilarityOps {
       spark.read.parquet(path).dropDuplicates()
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (!fs.rename(tmp, dst)) throw new IllegalStateException(
-        s"compactEmbeddingStore: failed to swap compacted store into $path")
-      val nested = new Path(dst, tmp.getName)
-      if (fs.exists(nested)) fs.delete(nested, true)
+      StoreSwap.swapIn(fs, dst, tmp, "compactEmbeddingStore")
       if (!fs.exists(success)) throw new IllegalStateException(
         s"compactEmbeddingStore: compacted store at $path has no _SUCCESS")
       (before, parquetFiles())

@@ -506,6 +506,44 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no published signature store"))
   }
 
+  test("compactSignatureStore: a swap interrupted between the two renames " +
+      "leaves the store recoverable, and the next call heals it") {
+    import spark.implicits._
+    val parent = java.nio.file.Files.createTempDirectory("graft-sigs-crash")
+    val path = parent.resolve("sigs").toString
+    val corpus = (1L to 4L).map(i =>
+      (i, s"document $i with its own words here$i and there$i"))
+      .toDF("doc_id", "text")
+    DedupOps.signatureStore(spark, corpus, path, 3, 8, 2)
+    def rows() = spark.read.parquet(path)
+      .select($"doc_id", $"sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      .sorted(Ordering.by((t: (Long, Seq[Long])) => t._1))
+    val beforeRows = rows()
+
+    // crash point 1: old store renamed aside, new store not yet swapped in
+    // (the state a kill between StoreSwap's two renames leaves behind)
+    val aside = parent.resolve(".sigs.old-deadbeef")
+    java.nio.file.Files.move(parent.resolve("sigs"), aside)
+    assert(!new java.io.File(path).exists())
+    // the store data survived the crash, parked under the aside...
+    val (b, a) = DedupOps.compactSignatureStore(spark, path)
+    // ...and the next maintenance call restored AND compacted it
+    assert(a <= b)
+    assert(rows() == beforeRows)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    assert(!aside.toFile.exists(), "aside must be consumed by recovery")
+
+    // crash point 2: swap-in completed but the replaced store's aside was
+    // never deleted — the sweep must remove it WITHOUT merging its rows
+    val stale = parent.resolve(".sigs.old-cafebabe")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(path), stale.toFile)
+    DedupOps.compactSignatureStore(spark, path)
+    assert(!stale.toFile.exists(), "stale aside must be swept")
+    assert(rows() == beforeRows, "stale aside rows must not merge in")
+  }
+
   test("signatureStore: ingest against the persisted store equals ingest " +
       "against freshly computed signatures; second call hits the cache") {
     import spark.implicits._

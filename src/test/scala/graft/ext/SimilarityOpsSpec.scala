@@ -345,6 +345,29 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(f.head.getAs[Boolean]("dup"))
   }
 
+  test("compactEmbeddingStore: a swap interrupted mid-rename parks the " +
+      "store recoverably; the next call restores and compacts it") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val parent = java.nio.file.Files.createTempDirectory("graft-emb-crash")
+    val path = parent.resolve("emb").toString
+    SimilarityOps.embeddingStore(spark,
+      vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0)).drop("label"),
+      path, cents)
+    def snapshot() = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell"), col("u"))
+      .orderBy(col("vec_id")).collect().toSeq
+    val beforeRows = snapshot()
+    // the state a kill between StoreSwap's two renames leaves behind:
+    // dst gone, the published old store parked under a .old aside
+    java.nio.file.Files.move(parent.resolve("emb"),
+      parent.resolve(".emb.old-deadbeef"))
+    assert(!new java.io.File(path).exists())
+    SimilarityOps.compactEmbeddingStore(spark, path)
+    assert(snapshot() == beforeRows)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    assert(!parent.resolve(".emb.old-deadbeef").toFile.exists())
+  }
+
   test("q106's store scan is dynamically partition-pruned by the batch " +
       "(untouched cell directories are never read)") {
     val df = graft.queries.ExtensionQueries.queries(
