@@ -668,7 +668,8 @@ object TextOps {
     * NULL, flagged false.
     *
     * Plan shape at 100 TB: the corpus is tokenized ONCE into a
-    * (doc, md5-fingerprint) stream — positions travel as 16-byte hashes,
+    * (doc, md5-fingerprint) stream — positions travel as unhex'd
+    * 16-byte binary hashes (not 32-char hex strings),
     * never as text. Shuffle 1 dedups (fp, doc) pairs (uniform key);
     * shuffle 2 aggregates distinct-doc counts per fp with map-side
     * combine; the mark join back to the position stream is unhinted —
@@ -685,7 +686,7 @@ object TextOps {
     val grams = docs
       .select(col(idCol),
         explode_outer(shingles(tokens(col(textCol)), n)).as("__g"))
-      .withColumn("__fp", md5(col("__g")))
+      .withColumn("__fp", unhex(md5(col("__g"))))
       .select(col(idCol), col("__fp"))
     val shared = grams.filter(col("__fp").isNotNull)
       .distinct()
@@ -702,5 +703,94 @@ object TextOps {
           round(col("n_shared").cast("double") / col("n_grams"), 4)))
       .withColumn("flagged",
         coalesce(col("shared_frac") > maxFrac, lit(false)))
+  }
+
+  /** EXECUTE the span-level dedup [[crossDocSpanStats]] only recommends:
+    * cut each document's cross-document duplicated spans and reassemble
+    * the novel remainder — Lee et al. 2022's ExactSubstr transform
+    * (arXiv:2107.06499 §4.2: remove the duplicated substring, keep ONE
+    * occurrence corpus-wide), re-expressed as token-gram coverage so the
+    * whole thing is windows + one mark join instead of a suffix array.
+    *
+    * Rules: a token `n`-gram is SHARED when it occurs in >= `minDocs`
+    * distinct documents; its KEEPER occurrence is the corpus-wide first
+    * (lexicographic min (id, pos) — also first-within-doc for a doc that
+    * repeats its own span). A token survives unless it is covered ONLY by
+    * non-keeper shared gram occurrences — so the first copy of a
+    * duplicated paragraph stays intact (its tokens sit under keeper
+    * grams), later copies are cut wholesale, and novel framing around a
+    * copied span survives in place (its boundary grams mix novel tokens,
+    * so they are not corpus-shared).
+    *
+    * Output: (idCol, n_toks, n_kept, clean_text); clean_text is the
+    * kept tokens space-joined (lowercased, whitespace-normalized — the
+    * [[DedupOps.chunkDedup]] contract), null when nothing survives.
+    *
+    * Plan shape at 100 TB: the corpus is tokenized ONCE; grams are built
+    * on the token stream itself by `lead()` windows (no second explode,
+    * no gram strings — only their md5 fingerprints exist). The token
+    * stream pays exactly ONE hash exchange (doc-keyed) end-to-end: the
+    * lead window, both coverage windows, and the final rollup all ride
+    * it, and even the (fp, doc) aggregate runs shuffle-free because doc
+    * partitioning already co-locates every (fp, doc) group — only its
+    * (tiny, partial-aggregated) fp rollup exchanges, on a uniform
+    * 128-bit key. The keeper-table mark join is unhinted: a templated
+    * corpus can share most grams, so AQE broadcasts only when the table
+    * actually fits. Pinned in QueryPlanSpec.
+    */
+  def cutSharedSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, n: Int, minDocs: Long = 2L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"cutSharedSpans: n must be >= 2, got $n")
+    // posexplode_outer: a null-text doc keeps one (null, null) row, so it
+    // still reports (0 toks, 0 kept, null text) without a second scan
+    val toks = docs.select(col(idCol),
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val leads = (1 until n).map(j => lead(col("__tok"), j).over(wDoc))
+    val withFp = toks.withColumn("__fp",
+      when(leads.map(_.isNotNull).reduce(_ && _),
+        unhex(md5(concat_ws(" ", (col("__tok") +: leads): _*)))))
+    // shared-first table: distinct-doc count and corpus-wide first
+    // occurrence per fingerprint, via two stacked uniform-key aggregates
+    // ((fp, doc) → fp) — no Expand, no distinct-agg rewrite
+    val firsts = withFp.filter(col("__fp").isNotNull)
+      .groupBy(col("__fp"), col(idCol)).agg(min(col("__pos")).as("__mp"))
+      .groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__nd"),
+        min(struct(col(idCol), col("__mp"))).as("__first"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__fp"), col("__first").getField(idCol).as("__fdoc"),
+        col("__first").getField("__mp").as("__fpos"))
+    val marked = withFp.join(firsts, Seq("__fp"), "left")
+      .withColumn("__gsh", when(col("__fdoc").isNotNull, 1).otherwise(0))
+      .withColumn("__gkp",
+        when(col("__fdoc") === col(idCol) && col("__fpos") === col("__pos"),
+          1).otherwise(0))
+    // a token at pos is covered by the grams STARTING at pos-n+1 .. pos —
+    // exactly the trailing row frame, because every position has a row
+    // (non-gram positions carry zero flags)
+    val wCov = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val cov = marked
+      .withColumn("__keep", col("__tok").isNotNull &&
+        !(max(col("__gsh")).over(wCov) === 1 &&
+          max(col("__gkp")).over(wCov) === 0))
+    // rebuild exactly as chunkDedup: pos-ordered running collect_list
+    // skips the when()'s nulls, so the max-pos row carries the kept
+    // tokens in order; the groupBy rides the window's id partitioning
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cov
+      .withColumn("__arr",
+        collect_list(when(col("__keep"), col("__tok"))).over(wRun))
+      .groupBy(col(idCol))
+      .agg(count(col("__tok")).as("n_toks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(struct(col("__pos"), col("__arr"))).as("__last"))
+      .select(col(idCol), col("n_toks"), col("n_kept"),
+        when(col("n_kept") > 0,
+          concat_ws(" ", col("__last").getField("__arr"))).as("clean_text"))
   }
 }

@@ -391,6 +391,14 @@ object ExtensionQueries {
           n = 5, minDocs = 2L, maxFrac = 0.5)
         .orderBy(col("doc_id"))),
 
+    // -- Span-level dedup EXECUTION (Lee et al. 2022 ExactSubstr): cut the
+    // cross-doc duplicated spans q105 flags, keep the corpus-wide first
+    // occurrence intact, reassemble the novel remainder per document -----
+    "q109_span_dedup" -> ((s, dir) =>
+      TextOps.cutSharedSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2L)
+        .orderBy(col("doc_id"))),
+
     // -- PII scrub + audit: the fixtures carry no PII, so the query plants
     // one email, one phone, and one IPv4 per doc (derived deterministically
     // from fixture columns), then emits the scrubbed text next to the
@@ -2423,6 +2431,50 @@ object ExtensionQueries {
         |  END AS shared_frac,
         |  coalesce(round(CAST(per.n_shared AS DOUBLE) / per.n_grams, 4)
         |    > 0.5, false) AS flagged
+        |FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
+    // q109: the whole transform rebuilt in SQL — same md5 position
+    // fingerprints as q105, first occurrence = min (doc_id, pos)
+    // lexicographic (the window's ORDER BY doc_id, mp mirrors Spark's
+    // min-over-struct), token coverage via the same 4-PRECEDING window,
+    // keep rule: cut only tokens covered SOLELY by non-keeper shared grams
+    "q109_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
+        |g AS (SELECT doc_id, i AS gpos,
+        |    md5(array_to_string(toks[i:i+4], ' ')) AS fp
+        |  FROM d, unnest(generate_series(1, len(toks) - 4)) AS t(i)),
+        |byDoc AS (SELECT fp, doc_id, min(gpos) AS mp
+        |  FROM g GROUP BY fp, doc_id),
+        |firsts AS (SELECT fp, doc_id AS fdoc, mp AS fpos FROM (
+        |    SELECT fp, doc_id, mp,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, mp) AS rn,
+        |      count(*) OVER (PARTITION BY fp) AS nd
+        |    FROM byDoc) WHERE rn = 1 AND nd >= 2),
+        |gm AS (SELECT g.doc_id, g.gpos,
+        |    CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END AS gsh,
+        |    CASE WHEN f.fp IS NOT NULL AND g.doc_id = f.fdoc
+        |      AND g.gpos = f.fpos THEN 1 ELSE 0 END AS gkp
+        |  FROM g LEFT JOIN firsts f ON g.fp = f.fp),
+        |cov AS (SELECT t.doc_id, t.pos, t.tok,
+        |    max(coalesce(gm.gsh, 0)) OVER wnd AS csh,
+        |    max(coalesce(gm.gkp, 0)) OVER wnd AS ckp
+        |  FROM tok t LEFT JOIN gm
+        |    ON t.doc_id = gm.doc_id AND t.pos = gm.gpos
+        |  WINDOW wnd AS (PARTITION BY t.doc_id ORDER BY t.pos
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |per AS (SELECT doc_id, count(*) AS n_toks,
+        |    CAST(sum(CASE WHEN csh = 1 AND ckp = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_kept,
+        |    string_agg(CASE WHEN NOT (csh = 1 AND ckp = 0) THEN tok END,
+        |      ' ' ORDER BY pos) AS clean_text
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |  coalesce(per.n_toks, 0) AS n_toks,
+        |  coalesce(per.n_kept, 0) AS n_kept,
+        |  CASE WHEN per.n_kept > 0 THEN per.clean_text END AS clean_text
         |FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
     // the regex strings are TextOps.{Email,Ipv4,Phone}Pattern verbatim

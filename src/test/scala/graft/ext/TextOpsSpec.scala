@@ -336,6 +336,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(1).getBoolean(4))
   }
 
+  test("cutSharedSpans: a doc that is 90% one shared paragraph keeps its " +
+      "novel 10%; the corpus-wide first occurrence stays intact") {
+    // paragraph P = 18 tokens; doc 1 = P + 2 novel tokens (the first
+    // occurrence), doc 2 = 2 novel tokens + P (90% copied), doc 3 novel
+    val p = (1 to 18).map(i => s"para$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p coda1 coda2"),
+      (2L, s"intro1 intro2 $p"),
+      (3L, "entirely novel words with no overlap at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextOps.cutSharedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy(col("doc_id")).collect()
+    // doc 1 holds every keeper gram: fully intact
+    assert(r(0).getLong(1) == 20L && r(0).getLong(2) == 20L)
+    assert(r(0).getString(3) == s"$p coda1 coda2")
+    // doc 2: the copied 18 tokens cut, the novel 10% survives in place
+    assert(r(1).getLong(1) == 20L && r(1).getLong(2) == 2L)
+    assert(r(1).getString(3) == "intro1 intro2")
+    // novel doc untouched; null-text doc keeps its row
+    assert(r(2).getLong(2) == 8L &&
+      r(2).getString(3) == "entirely novel words with no overlap at all")
+    assert(r(3).getLong(1) == 0L && r(3).getLong(2) == 0L && r(3).isNullAt(3))
+  }
+
+  test("cutSharedSpans: a doc repeating its own span keeps only the first " +
+      "copy; a span shared by three docs survives exactly once corpus-wide") {
+    val p = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (5L, s"$p mid1 mid2 $p"),   // within-doc repeat: second copy cut
+      (6L, s"lead1 lead2 $p"),    // third holder of P: cut
+      (7L, s"$p tail1")           // doc 5 is lexicographically first
+    ).toDF("doc_id", "text")
+    val r = TextOps.cutSharedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy(col("doc_id")).collect()
+    assert(r(0).getLong(1) == 22L && r(0).getLong(2) == 12L)
+    assert(r(0).getString(3) == s"$p mid1 mid2")
+    assert(r(1).getString(3) == "lead1 lead2")
+    assert(r(2).getString(3) == "tail1")
+    // exactly ONE copy of the paragraph survives across the corpus
+    val kept = r.map(_.getString(3)).mkString(" ")
+    assert("w1 w2 w3".r.findAllIn(kept).size == 1)
+  }
+
   test("boilerplateMetrics counts a repeated within-doc shingle once " +
       "(df is document frequency, not occurrence count)") {
     val docs = Seq(

@@ -280,6 +280,26 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q109: the token stream shuffles ONCE (doc key) — windows, the " +
+      "(fp,doc) aggregate, and the rollup all ride it; only the fp rollup " +
+      "adds a hash exchange") {
+    val p = plan("q109_span_dedup")
+    // doc-keyed exchange appears twice pre-AQE (the firsts branch is the
+    // same subplan — runtime reuses it) + ONE fp exchange = 3; anything
+    // more means a window or aggregate lost the shared partitioning
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$p")
+    // the (fp, doc) grouping must NOT plant its own exchange: doc
+    // partitioning co-locates it (the only fp-keyed shuffle is the tiny
+    // partial-aggregated rollup)
+    assert("hashpartitioning\\(__fp[^,)]*, doc_id".r.findAllIn(p).isEmpty
+      && "hashpartitioning\\(doc_id[^,)]*, __fp".r.findAllIn(p).isEmpty,
+      s"(fp,doc) aggregate gained its own exchange:\n$p")
+    // no sort-merge of the token stream at fixture scale, and gram
+    // STRINGS never reach a shuffle — only md5 fingerprints travel
+    assert(!p.contains("SortMergeJoin"), s"mark join stopped broadcasting:\n$p")
+  }
+
   test("q91: PII scrub is map-only (the only exchange is the oracle sort)") {
     val p = plan("q91_pii_redaction")
     assert(!p.contains("hashpartitioning"),
