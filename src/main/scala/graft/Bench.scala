@@ -136,7 +136,11 @@ object Bench {
     // Repeat the headline number as a short final line so any tail of the
     // captured output still carries the round's result. Keyed "total_tail"
     // so a consumer filtering on metric=="total" never double-counts it.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errs.size}}""")
+    // calibration rides along: the full line's copy sits BEFORE the long
+    // queries map and is lost when the driver keeps only the line's tail
+    // (BENCH_r10.json did), which would leave the round's record
+    // un-normalizable against machine drift.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","calibration":$calibration,"n_queries":${results.size},"n_errors":${errs.size}}""")
     spark.stop()
   }
 }

@@ -506,6 +506,41 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no published signature store"))
   }
 
+  test("r10 q27 watch item: the sigsFromElements delegation is " +
+      "plan-identical to the pre-refactor inline sigsFromShingles") {
+    // round 10 flagged q27 at 1.45x drift-adjusted, with the only code
+    // change on its path being the sigsFromShingles -> sigsFromElements
+    // delegation (commit bf2914e). Adjudicate with plan evidence: rebuild
+    // the OLD body verbatim (from 3935a92:DedupOps.scala) at q27's exact
+    // parameters (k=3, 16 portable hashes) and assert the canonicalized
+    // optimized plans are EQUAL — the refactor cannot have changed the
+    // executed query, so the bench delta was machine drift.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val numHashes = 16
+    val newSigs = DedupOps.minHashSignaturesDf(docs, 3, numHashes,
+      portable = true)
+    val sh = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigCols = DedupOps.minHashCoeffs(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((lit(a) * col("x") + lit(b)) % lit(DedupOps.MinHashPrime))
+          .as(s"__h$i")
+    }
+    val oldSigs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("x", conv(substring(md5(col("s")), 1, 8), 16, 10)
+        .cast("long") % lit(DedupOps.MinHashPrime))
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    assert(newSigs.queryExecution.optimizedPlan.canonicalized ==
+      oldSigs.queryExecution.optimizedPlan.canonicalized,
+      "the delegation changed the optimized plan:\n" +
+        s"NEW:\n${newSigs.queryExecution.optimizedPlan}\n" +
+        s"OLD:\n${oldSigs.queryExecution.optimizedPlan}")
+  }
+
   test("compactSignatureStore: a swap interrupted between the two renames " +
       "leaves the store recoverable, and the next call heals it") {
     import spark.implicits._
