@@ -792,7 +792,8 @@ object DedupOps {
     * race into a loud error instead of a silent gap.
     */
   def materializedPairs(spark: org.apache.spark.sql.SparkSession,
-                        path: String, partitionBy: Seq[String] = Nil)
+                        path: String, partitionBy: Seq[String] = Nil,
+                        readSchema: Option[String] = None)
                        (compute: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
@@ -851,7 +852,10 @@ object DedupOps {
           s"failed to publish materialized pair set at $path")
       } finally if (fs.exists(tmp)) fs.delete(tmp, true)
     }
-    spark.read.parquet(path)
+    // a stated schema lets an EMPTY partitioned publication (e.g. the
+    // streaming bootstrap's zero-row embedding store, which has no data
+    // files to infer from) read back as zero rows instead of failing
+    readSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(path)
   }
 
   /** Persisted corpus MinHash-signature store — the state that makes

@@ -657,8 +657,22 @@ object SimilarityOps {
   def embeddingStore(spark: org.apache.spark.sql.SparkSession,
                      vecs: DataFrame, path: String,
                      cents: Array[Array[Double]]): DataFrame =
-    DedupOps.materializedPairs(spark, path, partitionBy = Seq("cell"))(
-      assignedUnitVecs(vecs, cents))
+    DedupOps.materializedPairs(spark, path, partitionBy = Seq("cell"),
+      readSchema = Some(StoreSchema))(assignedUnitVecs(vecs, cents))
+
+  private val StoreSchema = "vec_id BIGINT, u ARRAY<DOUBLE>, cell INT"
+
+  /** Read a published [[embeddingStore]] with its schema stated, not
+    * inferred. The distinction matters exactly once: an EMPTY store (the
+    * streaming bootstrap publishes one, _SUCCESS-marked) has no data
+    * files in any cell directory, and schema inference on a fully-empty
+    * partitioned layout fails — stating the (fixed, dim-independent)
+    * schema makes empty read as zero rows, which is what an empty corpus
+    * means.
+    */
+  def readEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.schema(StoreSchema).parquet(path)
 
   /** Flag each batch vector that is semantically redundant against the
     * accepted-corpus [[embeddingStore]]: assign the batch to cells

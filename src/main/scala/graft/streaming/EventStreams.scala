@@ -304,6 +304,75 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming SEMANTIC ingest dedup — [[runIngestDedup]]'s embedding
+    * flavor (round-10 verdict item: the batch trio
+    * [[graft.ext.SimilarityOps.embeddingStore]] /
+    * `incrementalSemanticDupFlags` / `appendToEmbeddingStore` existed
+    * with no foreachBatch loop). Each micro-batch of (vec_id, embedding)
+    * rows flags against the cell-partitioned store (batch broadcasts,
+    * dynamic partition pruning keeps untouched cell dirs unread), writes
+    * decisions to `outPath/batch_id=N`, and appends the accepted rows'
+    * unit vectors — so a later micro-batch dedups against an earlier
+    * one. Same retry contract as the text flavor, for the same reasons:
+    * marker-skipped replays, overwrite-own-partition decisions, store
+    * anti-joined on the batch's own vec_ids so a half-finished earlier
+    * attempt can't self-collide; the one surviving crash window
+    * (append done, marker not) duplicates store ROWS, which inflates
+    * `n_dups` but never flips `dup`, and
+    * [[graft.ext.SimilarityOps.compactEmbeddingStore]] heals it.
+    * `cents` must be the committed centroid fit the store path is
+    * versioned by — the [[graft.ext.SimilarityOps.embeddingStore]]
+    * contract.
+    */
+  def runSemanticIngestDedup(vecStream: DataFrame, storePath: String,
+                             outPath: String, checkpoint: String,
+                             cents: Array[Array[Double]],
+                             minSim: Double) = {
+    import graft.ext.SimilarityOps
+    import org.apache.hadoop.fs.Path
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new Path(s"$storePath.appended", s"batch-$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        if (!mfs.exists(marker)) {
+          val b = batch.persist()
+          try {
+            val storeDir = new Path(storePath)
+            if (!storeDir.getFileSystem(hconf).exists(storeDir)) {
+              // fresh crawl: publish an explicit EMPTY store (atomic,
+              // _SUCCESS-marked) — the appendToEmbeddingStore contract
+              SimilarityOps.embeddingStore(spark, b.limit(0), storePath,
+                cents)
+              ()
+            }
+            // schema-stated read: the bootstrap's empty store has no
+            // data files, so inference would fail on batch 0
+            val store = SimilarityOps.readEmbeddingStore(spark, storePath)
+            val corpus = store.join(b.select("vec_id"), Seq("vec_id"),
+              "left_anti") // replay self-exclusion
+            val dir = s"$outPath/batch_id=$batchId"
+            SimilarityOps.incrementalSemanticDupFlags(b, corpus, cents,
+                minSim)
+              .write.mode("overwrite").parquet(dir) // idempotent partition
+            val decisions = spark.read.parquet(dir)
+            val accepted = b.join(
+              decisions.filter(!col("dup")).select("vec_id"), "vec_id")
+            SimilarityOps.appendToEmbeddingStore(spark, accepted,
+              storePath, cents)
+            mfs.mkdirs(marker.getParent)
+            mfs.create(marker, true).close()
+            ()
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** End-to-end streaming pipeline wiring: file source → windowed agg →
     * sink. Returns the started query; callers own its lifecycle.
     */

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -319,6 +320,109 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
     assert(spark.read.parquet(out).count() == 3)
     assert(spark.read.parquet(store).count() == 2)
+  }
+
+  test("runSemanticIngestDedup: stream ≡ batch on the embeddings fixture; " +
+      "a later micro-batch dedups against an earlier one's accepted rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.SimilarityOps
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .drop("label")
+    val cents = graft.ext.IvfCentroids.centroids
+    val minSim = 0.3
+    val corpus = e.filter(col("vec_id") % 3 =!= 0)
+    val ingest = e.filter(col("vec_id") % 3 === 0)
+    // two micro-batches, split down the middle of the id space
+    val cut = 250L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semingest")
+
+    // -- batch reference: the q106 trio applied sequentially ------------
+    val storeB = tmp.resolve("storeB").toString
+    SimilarityOps.embeddingStore(spark, corpus, storeB, cents)
+    def batchStep(b: org.apache.spark.sql.DataFrame) = {
+      // decisions MUST materialize before the append: the append's
+      // refreshByPath drops any cached plan over the store path, so a
+      // lazy (even persisted) flags would silently recompute against the
+      // post-append store and self-match every accepted row — the exact
+      // hazard the foreachBatch loop avoids by sinking decisions to
+      // parquet before appending
+      val out = SimilarityOps.incrementalSemanticDupFlags(b,
+          spark.read.parquet(storeB), cents, minSim).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("n_dups"), r.getAs[Boolean]("dup")))).toMap
+      val acceptedIds = out.collect { case (id, (_, false)) => id }.toSeq
+      val accepted = b.filter(col("vec_id").isin(acceptedIds: _*))
+      SimilarityOps.appendToEmbeddingStore(spark, accepted, storeB, cents)
+      out
+    }
+    val refDecisions = batchStep(ingest.filter(col("vec_id") < cut)) ++
+      batchStep(ingest.filter(col("vec_id") >= cut))
+
+    // -- stream side -----------------------------------------------------
+    val storeS = tmp.resolve("storeS").toString
+    SimilarityOps.embeddingStore(spark, corpus, storeS, cents)
+    val out = tmp.resolve("decisions").toString
+    val rows = ingest.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.runSemanticIngestDedup(
+      mem.toDF().toDF("vec_id", "embedding"), storeS, out,
+      tmp.resolve("ckpt").toString, cents, minSim)
+    try {
+      mem.addData(rows.filter(_._1 < cut).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= cut).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_dups"), r.getAs[Boolean]("dup")))).toMap
+    assert(got == refDecisions, "stream decisions diverge from batch")
+    // both stores hold corpus + the same accepted set
+    def ids(p: String) = spark.read.parquet(p).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(storeS) == ids(storeB))
+
+    // replay with a fresh checkpoint: markers skip both batches wholesale
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreams.runSemanticIngestDedup(
+      mem2.toDF().toDF("vec_id", "embedding"), storeS, out,
+      tmp.resolve("ckpt2").toString, cents, minSim)
+    try {
+      mem2.addData(rows.filter(_._1 < cut).toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids(storeS) == ids(storeB), "replay must not grow the store")
+  }
+
+  test("runSemanticIngestDedup bootstraps from an ABSENT store: the first " +
+      "batch publishes an explicit empty store, then seeds it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semboot")
+    val store = tmp.resolve("store").toString // never created beforehand
+    val out = tmp.resolve("decisions").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.runSemanticIngestDedup(
+      mem.toDF().toDF("vec_id", "embedding"), store, out,
+      tmp.resolve("ckpt").toString, cents, minSim = 0.97)
+    try {
+      mem.addData((1L, Seq(1f, 0f)))
+      q.processAllAvailable() // batch 0 against an empty world
+      mem.addData((2L, Seq(1f, 0f))) // clones batch 0's accepted vector
+      q.processAllAvailable()
+    } finally q.stop()
+    val decisions = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dup")).toMap
+    assert(decisions == Map(1L -> false, 2L -> true))
   }
 
   test("runIngestDedup bootstraps from an ABSENT store: a fresh crawl " +
