@@ -96,49 +96,149 @@ object SinkOps {
     * a range predicate maps to few files. An unclustered layout would
     * still be CORRECT (zones overlap, pruning just degrades toward
     * read-everything) — clustering is what makes the sidecar worth
-    * consulting. Both the data and the sidecar publish atomically through
-    * [[DedupOps.materializedPairs]] (`_SUCCESS`-gated, write-once), so a
-    * crashed writer never leaves a sidecar that disagrees with the data.
+    * consulting. The data and the sidecar publish as TWO atomic steps
+    * (each `_SUCCESS`-gated via [[DedupOps.materializedPairs]],
+    * write-once): a crashed writer can leave published data with no
+    * sidecar yet — [[readPruned]] detects the absent sidecar and falls
+    * back to a plain full-scan filter, result-identical by contract —
+    * but never a sidecar that disagrees with the data.
     */
   def writeWithFileStats(spark: org.apache.spark.sql.SparkSession,
                          path: String, statsCols: Seq[String], nFiles: Int)
                         (data: => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
     val written = DedupOps.materializedPairs(spark, path)(
       data.repartitionByRange(nFiles, statsCols.map(col): _*))
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     DedupOps.materializedPairs(spark, s"$path.stats")(
-      written.withColumn("file", input_file_name())
-        .groupBy(col("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .coalesce(1))
+      fileStatsOf(written, statsCols))
     written
   }
 
-  /** Range scan through the [[writeWithFileStats]] sidecar: only files
-    * whose [min, max] zone intersects [lo, hi] enter the scan's file
-    * index — pruned files are never listed, opened, or footer-read. The
-    * residual in-file filter is applied on top, so the result is
-    * bit-identical to a full scan with the same predicate (q108's oracle
-    * is exactly that plain filter).
-    *
-    * The sidecar collect is metadata-scale — the file LIST, which any
-    * reader materializes on the driver anyway — never data. NULL keys:
-    * min/max ignore nulls, an all-null zone has null bounds and fails the
-    * intersection test, and a range predicate excludes null rows by SQL
-    * semantics — so dropping such files is exact, not approximate.
+  /** Per-file min/max rows for the sidecar. The `file` key is the bare
+    * FILE NAME, not `input_file_name()`'s absolute percent-encoded URI:
+    * [[writeWithFileStats]]' layout is flat (no partition dirs), so the
+    * basename is unique, needs no URI decoding (Spark-generated part
+    * names are URL-safe; an absolute URI would double-decode a dataset
+    * path containing spaces/%/#), and the sidecar survives the dataset
+    * directory being moved or copied.
     */
-  def readPrunedRange(spark: org.apache.spark.sql.SparkSession,
-                      path: String, c: String, lo: Any, hi: Any): DataFrame = {
+  private def fileStatsOf(data: DataFrame, statsCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val stats = spark.read.parquet(s"$path.stats")
-    val files = stats
-      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
-      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    data.withColumn("file", substring_index(input_file_name(), "/", -1))
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+  }
+
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Set[String] =
+    fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+
+  /** Append `data` to a published [[writeWithFileStats]] layout and merge
+    * the new files' min/max rows into the sidecar — the lifecycle step a
+    * write-once zone map lacks (a continuously-landing table would
+    * otherwise need a full rewrite per batch). The appended batch is
+    * range-clustered WITHIN ITSELF; its file zones may overlap the base
+    * files' ranges, which degrades pruning tightness, never correctness
+    * (zones are per-file facts either way) — periodic re-clustering via
+    * [[writeWithFileStats]] to a fresh path restores tightness.
+    *
+    * Publish order is data-append THEN sidecar-swap (via [[StoreSwap]],
+    * no destroy-first window), and the crash window between the two is
+    * SAFE by the reader's contract: [[readPruned]] always scans data
+    * files the sidecar does not know (their zones are unknown), so a
+    * crashed append degrades to reading the new files, never to missing
+    * them. Single-writer contract like every store here. Returns the
+    * number of files appended.
+    */
+  def appendWithFileStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String, statsCols: Seq[String], nFiles: Int)
+                         (data: => DataFrame): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val dst = new Path(path)
+    val statsDst = new Path(s"$path.stats")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreSwap.recoverIfInterrupted(fs, statsDst)
+    require(fs.exists(new Path(dst, "_SUCCESS")) &&
+        fs.exists(new Path(statsDst, "_SUCCESS")),
+      s"appendWithFileStats: no published zone-mapped layout at $path — " +
+        "build it with writeWithFileStats first")
+    val before = dataFileNames(fs, dst)
+    data.repartitionByRange(nFiles, statsCols.map(col): _*)
+      .write.mode("append").parquet(path)
+    val fresh = (dataFileNames(fs, dst) -- before).toIndexedSeq.sorted
+    if (fresh.nonEmpty) {
+      val newStats = fileStatsOf(
+        spark.read.parquet(fresh.map(n => new Path(dst, n).toString): _*),
+        statsCols)
+      val merged = spark.read.parquet(statsDst.toString)
+        .unionByName(newStats).coalesce(1)
+      val tmp = new Path(statsDst.getParent,
+        s".${statsDst.getName}.merge-${java.util.UUID.randomUUID()}")
+      try {
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        StoreSwap.swapIn(fs, statsDst, tmp, "appendWithFileStats")
+      } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
+    }
+    fresh.size
+  }
+
+  /** Multi-column zone scan through the [[writeWithFileStats]] sidecar:
+    * a file enters the scan's file index only if EVERY requested range
+    * intersects that file's per-column zone — predicates prune the
+    * intersection, so each added column can only shrink the file list.
+    * Pruned files are never listed, opened, or footer-read; the residual
+    * in-file filter is applied on top, so the result is bit-identical to
+    * a full scan with the same conjunction (q108's oracle is exactly that
+    * plain filter).
+    *
+    * Reader-side safety contract, exact in every degraded state:
+    *   - no published sidecar (never written, or a compaction crash left
+    *     it parked aside) → plain full-scan filter, result-identical;
+    *   - data files the sidecar does not know (the [[appendWithFileStats]]
+    *     crash window) → always scanned, their zones are unknown;
+    *   - all-null zones: min/max ignore nulls, null bounds fail the
+    *     intersection test, and a range predicate excludes null rows by
+    *     SQL semantics — dropping such files is exact.
+    *
+    * The sidecar collect and the directory listing are metadata-scale —
+    * the file LIST, which any reader materializes on the driver anyway —
+    * never data.
+    */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+                 ranges: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    require(ranges.nonEmpty, "readPruned: at least one (col, lo, hi) range")
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    val dst = new Path(path)
+    val statsDst = new Path(s"$path.stats")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(statsDst, "_SUCCESS")))
+      return spark.read.parquet(path).filter(residual)
+    val stats = spark.read.parquet(statsDst.toString)
+    val zoneHit = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi) }
+      .reduce(_ && _)
+    val known = stats
+      .select(col("file"), coalesce(zoneHit, lit(false)).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val files = dataFileNames(fs, dst).toIndexedSeq.sorted
+      .filter(n => known.getOrElse(n, true)) // unknown → must scan
+      .map(n => new Path(dst, n).toString)
     val base =
       if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(files: _*)
-    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    base.filter(residual)
   }
+
+  /** Single-range [[readPruned]] — q108's registered shape. */
+  def readPrunedRange(spark: org.apache.spark.sql.SparkSession,
+                      path: String, c: String, lo: Any, hi: Any): DataFrame =
+    readPruned(spark, path, Seq((c, lo, hi)))
 }

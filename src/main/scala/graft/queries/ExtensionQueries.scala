@@ -241,7 +241,8 @@ object ExtensionQueries {
     // must be result-invisible (the q100 pattern); SinkOpsSpec asserts the
     // pruned scan actually reads fewer files --------------------------------
     "q108_pruned_scan" -> ((s, dir) => {
-      val path = fixturePath(s, dir, "orders", "zonemap", "bykey_f8")
+      // _v2: r11 changed the sidecar's file key (absolute URI → basename)
+      val path = fixturePath(s, dir, "orders", "zonemap", "bykey_f8_v2")
       SinkOps.writeWithFileStats(s, path, Seq("o_orderkey"), nFiles = 8)(
         t(s, dir, "orders"))
       SinkOps.readPrunedRange(s, path, "o_orderkey", 3000L, 6000L)

@@ -160,7 +160,10 @@ object ScaleCurve {
     // The timed read scans a FIXED key range: the zone-map claim is that
     // its cost tracks the slice, not the corpus.
     lazy val zonePath: Map[Int, String] = dirs.map { case (n, d) =>
-      val p = s"$d/zonemap.parquet"
+      // v2: the sidecar's file key changed from absolute URI to basename
+      // (r11) — a fresh leaf keeps a stale-format cache from silently
+      // degrading the measured pruning to a full scan
+      val p = s"$d/zonemap_v2.parquet"
       graft.ext.SinkOps.writeWithFileStats(spark, p, Seq("doc_id"),
         nFiles = 8 * n)(
         docs(spark, d).select(col("doc_id"), col("source"), col("n_chars")))

@@ -41,6 +41,77 @@ class SinkOpsSpec extends AnyFunSuite {
       sys.error("must not recompute a published layout"))
   }
 
+  test("appendWithFileStats: appended files are pruned correctly; the " +
+      "crash window (data landed, sidecar not) degrades to reading the " +
+      "new files, never to missing them") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-zoneapp").resolve("t").toString
+    SinkOps.writeWithFileStats(spark, out, Seq("k"), nFiles = 4)(
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val baseFiles = spark.read.parquet(out).inputFiles.length
+    // append a later key range: zones must merge into the sidecar
+    val n = SinkOps.appendWithFileStats(spark, out, Seq("k"), nFiles = 2)(
+      (401L to 600L).map(k => (k, s"v$k")).toDF("k", "v"))
+    assert(n == 2, s"expected 2 appended files, got $n")
+    // a range inside the APPENDED keys prunes away all base files
+    val highOnly = SinkOps.readPrunedRange(spark, out, "k", 450L, 460L)
+    assert(highOnly.inputFiles.length <= 2,
+      s"appended-range scan read ${highOnly.inputFiles.length} files")
+    assert(highOnly.collect().map(_.getLong(0)).sorted.toSeq ==
+      (450L to 460L))
+    // a base-range scan prunes away the appended files
+    val lowOnly = SinkOps.readPrunedRange(spark, out, "k", 10L, 20L)
+    assert(lowOnly.inputFiles.length < baseFiles)
+    assert(lowOnly.count() == 11L)
+    // full range sees everything across base + append
+    assert(SinkOps.readPrunedRange(spark, out, "k", 1L, 600L).count() == 600L)
+
+    // the crash window: data file present, sidecar not yet swapped — a
+    // sidecar-unknown file must ALWAYS be scanned
+    val stray = (9999L to 9999L).map(k => (k, s"v$k")).toDF("k", "v")
+    stray.coalesce(1).write.mode("append").parquet(out)
+    val afterCrash = SinkOps.readPrunedRange(spark, out, "k", 9999L, 9999L)
+    assert(afterCrash.count() == 1L,
+      "a sidecar-unknown data file was pruned away")
+    // and the next append merges it is NOT claimed — it simply stays
+    // unknown (always-scanned) until a rewrite; correctness holds
+    assert(SinkOps.readPrunedRange(spark, out, "k", 1L, 10000L)
+      .count() == 601L)
+
+    // appending to an unpublished layout refuses loudly
+    val e = intercept[IllegalArgumentException](
+      SinkOps.appendWithFileStats(spark,
+        Files.createTempDirectory("graft-nozone").resolve("x").toString,
+        Seq("k"), 1)(stray))
+    assert(e.getMessage.contains("no published zone-mapped layout"))
+  }
+
+  test("readPruned: multi-column predicates prune the zone intersection; " +
+      "a missing sidecar falls back to a plain full-scan filter") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-zonemc").resolve("t").toString
+    // k ranges 1..400; g = k/100 → g-zones align with k-zones under the
+    // k-range clustering, so a (k, g) conjunction prunes tighter than
+    // either column alone would admit
+    val df = (1L to 400L).map(k => (k, k / 100L, s"v$k")).toDF("k", "g", "v")
+    SinkOps.writeWithFileStats(spark, out, Seq("k", "g"), nFiles = 4)(df)
+    val total = spark.read.parquet(out).inputFiles.length
+    val both = SinkOps.readPruned(spark, out,
+      Seq(("k", 10L, 380L), ("g", 3L, 3L)))
+    // the k-range alone admits every file; the g-range cuts to the last
+    assert(both.inputFiles.length < total,
+      s"intersection did not prune: ${both.inputFiles.length} of $total")
+    val want = df.filter(col("k").between(10L, 380L) && col("g") === 3L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(both.collect().map(_.getLong(0)).sorted.toSeq == want)
+
+    // no sidecar at all → full-scan fallback, result-identical
+    val bare = Files.createTempDirectory("graft-zonebare").resolve("t").toString
+    df.coalesce(2).write.parquet(bare)
+    val fb = SinkOps.readPruned(spark, bare, Seq(("k", 10L, 20L)))
+    assert(fb.collect().map(_.getLong(0)).sorted.toSeq == (10L to 20L))
+  }
+
   test("writePartitionedParquet: hive layout, pruning-ready, lossless") {
     val out = Files.createTempDirectory("graft-sink").toString
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
