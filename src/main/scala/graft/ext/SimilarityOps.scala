@@ -615,15 +615,7 @@ object SimilarityOps {
     val assigned = assignedUnitVecs(vecs, cents)
       .withColumn("csim", round(VectorFunctions.dotProduct(
         col("u"), element_at(centLit, col("cell") + 1)), 6))
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-      col("u").as("ua"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-      col("u").as("ub"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(VectorFunctions.dotProduct(col("ua"), col("ub")), 6)
-        >= minSim)
-      .select(col("id_a"), col("id_b"))
+    val pairs = withinCellPairs(assigned, minSim)
     val comps = DedupOps.connectedComponents(
       assigned.select(col("vec_id")), "vec_id", pairs, maxIter)
     val rep = Window.partitionBy(col("comp"))
@@ -635,6 +627,33 @@ object SimilarityOps {
       .select(col("vec_id"), col("cell"), col("csim"), col("comp"),
         col("keep"))
   }
+
+  /** The within-cell dup-edge stage of [[semanticDedup]], exposed so the
+    * boundary-miss rate can be measured directly (SemDeDupRecallSpec /
+    * SCALING.md): SemDeDup's only approximation is that a `>= minSim` pair
+    * whose members fall in DIFFERENT cells is never scored. Input is
+    * [[assignedUnitVecs]]-shaped (`vec_id`, `u`, `cell`); output is the
+    * `(id_a, id_b)` edge set, id_a < id_b, exactly what the CC consumes.
+    */
+  private[graft] def withinCellPairs(assigned: DataFrame,
+                                     minSim: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("u").as("ua"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("u").as("ub"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.dotProduct(col("ua"), col("ub")), 6)
+        >= minSim)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** [[semanticDedup]]'s dup-edge set for a GIVEN quantizer — the
+    * measurement surface for the recall-vs-nCells curve.
+    */
+  private[graft] def semanticDupPairs(vecs: DataFrame,
+      cents: Array[Array[Double]], minSim: Double): DataFrame =
+    withinCellPairs(assignedUnitVecs(vecs, cents), minSim)
 
   /** (vec_id, cell, u): unit vector + nearest-cell assignment — the shared
     * front of [[semanticDedup]] and the embedding-store ingest path.
