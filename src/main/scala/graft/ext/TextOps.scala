@@ -642,6 +642,63 @@ object TextOps {
       .withColumn("lm_outlier", col("avg_logp") < minAvgLogp)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): every document is scored against a
+    * reference LM trained on a TRUSTED slice (CCNet trains KenLM on
+    * Wikipedia; here the [[lmScoreBackoff]] bigram stupid-backoff model
+    * on the `trainPred` rows), then the corpus splits into equal-mass
+    * `head` / `middle` / `tail` thirds by model score — head = the third
+    * the reference model likes best (highest avg log-prob = lowest
+    * perplexity), the slice CCNet keeps for LM pretraining.
+    *
+    * Bucket boundaries are DISCRETE quantiles computed from a value
+    * histogram, not a global sort: `avg_logp` is rounded to 4 digits, so
+    * `groupBy(avg_logp).count` is a map-side-combined aggregate whose
+    * output is bounded by the score RANGE (a few thousand distinct
+    * values), independent of corpus row count — the cumulative-sum window
+    * over it is a single tiny partition by construction, the same
+    * histogram trick CCNet itself uses for its percentile cut-offs. The
+    * thresholds then broadcast back as a 1-row cross join (the same
+    * scalar-broadcast shape as q107's (T, V) stats), so the whole bucket
+    * assignment is map-side: no global sort, no ntile over one partition,
+    * no driver collect. Ties at a boundary share a bucket (disc
+    * quantiles compare against actual data values), which keeps the
+    * decision deterministic on both engines with no order-dependence.
+    *
+    * Returns one row per input document: (idCol, n_toks, avg_logp,
+    * bucket).
+    */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame,
+                        trainPred: Column, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScoreBackoff(docs, docs.filter(trainPred), idCol,
+        textCol, minAvgLogp = 0.0)
+      .drop("lm_outlier")
+    val hist = scored.groupBy(col("avg_logp")).agg(count(lit(1)).as("__c"))
+    // distinct rounded scores only — a tiny single-partition window, like
+    // fitCentroids' nCells-row collect, not a corpus-sized sort
+    val wCum = Window.orderBy(col("avg_logp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+    val n = scored.agg(count(lit(1)).as("__n"))
+    // disc quantile: smallest score value whose cumulative count reaches
+    // ceil(q*n); ceil(n/3) = floor((n+2)/3) in integer arithmetic, written
+    // as floor(double-div) because both engines divide integers to double
+    val thr = cum.crossJoin(broadcast(n)).agg(
+      min(when(col("__cum") >= floor((col("__n") + 2) / 3),
+        col("avg_logp"))).as("__t1"),
+      min(when(col("__cum") >= floor((col("__n") * 2 + 2) / 3),
+        col("avg_logp"))).as("__t2"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("avg_logp") <= col("__t1"), lit("tail"))
+          .when(col("avg_logp") <= col("__t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .select(col(idCol), col("n_toks"), col("avg_logp"), col("bucket"))
+  }
+
   // -- Cross-document duplicated-span coverage --------------------------
 
   /** Exact-substring duplication coverage (the signal behind Lee et al.

@@ -669,6 +669,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- CCNet perplexity bucketing: reference LM from the %3!=0 slice
+    // scores EVERYTHING (train slice included, like CCNet), corpus splits
+    // into head/middle/tail thirds by disc-quantile thresholds from the
+    // avg_logp value histogram — no global sort, no ntile ----------------
+    "q110_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(t(s, dir, "documents"),
+          col("doc_id") % 3 =!= 0, "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // -- Tokenizer-vocab coverage: top-25 corpus vocab → per-doc OOV ----
     "q69_vocab_coverage" -> ((s, dir) =>
       TextOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
@@ -1947,6 +1956,55 @@ object ExtensionQueries {
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_toks, avg_logp, avg_logp < -3.5 AS lm_outlier
         |FROM per ORDER BY doc_id""".stripMargin,
+    // q110: q107's LM chain with train = %3!=0 and score = ALL docs, then
+    // disc-quantile thirds from the avg_logp histogram. The cum window
+    // runs over DISTINCT avg_logp values (GROUP BY), so rows-vs-range
+    // frame semantics can't diverge; floor((n+2)/3) is ceil(n/3) and both
+    // engines divide integers to double before the floor
+    "q110_ppl_buckets" ->
+      """WITH tr AS (SELECT regexp_split_to_array(lower(text), '\s+') AS toks
+        |    FROM documents WHERE doc_id % 3 <> 0),
+        |trt AS (SELECT unnest(toks) AS t FROM tr),
+        |uni AS (SELECT t, count(*) AS c1 FROM trt GROUP BY t),
+        |st AS (SELECT CAST(sum(c1) AS DOUBLE) AS total,
+        |    CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+        |bg AS (SELECT b, count(*) AS c2 FROM (
+        |    SELECT array_to_string(toks[i:i+1], ' ') AS b
+        |    FROM tr, unnest(generate_series(1, len(toks) - 1)) AS s(i))
+        |  GROUP BY b),
+        |sd AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |    FROM documents),
+        |tok AS (SELECT doc_id, toks[i] AS w,
+        |    CASE WHEN i > 1 THEN toks[i-1] END AS p
+        |  FROM sd, unnest(generate_series(1, len(toks))) AS s(i)),
+        |j AS (SELECT tok.doc_id, tok.w, tok.p, u1.c1 AS cw, u2.c1 AS cp,
+        |    bg.c2 AS c2, st.total, st.vocab
+        |  FROM tok LEFT JOIN uni u1 ON tok.w = u1.t
+        |    LEFT JOIN uni u2 ON tok.p = u2.t
+        |    LEFT JOIN bg ON tok.p || ' ' || tok.w = bg.b
+        |    CROSS JOIN st),
+        |sc AS (SELECT doc_id, CASE
+        |    WHEN p IS NULL THEN (coalesce(cw, 0) + 1) / (total + vocab)
+        |    WHEN c2 IS NOT NULL THEN c2 / cp
+        |    ELSE 0.4 * ((coalesce(cw, 0) + 1) / (total + vocab)) END AS s
+        |  FROM j),
+        |per AS (SELECT doc_id, count(*) AS n_toks,
+        |    round(sum(ln(s)) / count(*), 4) AS avg_logp
+        |  FROM sc GROUP BY doc_id),
+        |hist AS (SELECT avg_logp, count(*) AS c FROM per GROUP BY avg_logp),
+        |cum AS (SELECT avg_logp, sum(c) OVER (ORDER BY avg_logp) AS cm
+        |  FROM hist),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |thr AS (SELECT
+        |    min(CASE WHEN cm >= floor((n + 2) / 3) THEN avg_logp END) AS t1,
+        |    min(CASE WHEN cm >= floor((n * 2 + 2) / 3) THEN avg_logp END)
+        |      AS t2
+        |  FROM cum CROSS JOIN nn)
+        |SELECT doc_id, n_toks, avg_logp,
+        |  CASE WHEN avg_logp <= t1 THEN 'tail'
+        |       WHEN avg_logp <= t2 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM per CROSS JOIN thr ORDER BY doc_id""".stripMargin,
     "q70_lm_score" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t

@@ -393,4 +393,33 @@ class TextOpsSpec extends AnyFunSuite {
     // doc: df=1, not > maxDf=1 → not common
     assert(m(0).getLong(1) == 1L && m(0).getLong(2) == 0L)
   }
+
+  test("perplexityBuckets: equal-mass thirds by model score, head = the " +
+      "docs the reference LM likes best, boundary ties share a bucket") {
+    // train slice = docs 100/101 ("the cat …"); scored corpus (train rows
+    // included, like CCNet) = 9 docs at three clearly separated score
+    // levels of 3 docs each, so the disc thirds land exactly on the levels
+    val docs = Seq(
+      (100L, "the cat sat"), (101L, "the cat ran"),
+      (1L, "the cat sat"),                               // in-domain: high
+      (3L, "the dog sat"), (4L, "the dog sat"),
+      (7L, "the dog sat"),                               // mixed: middle
+      (5L, "zz yy xx ww"), (6L, "zz yy xx ww"),
+      (8L, "zz yy xx ww")                                // unseen: low
+    ).toDF("doc_id", "text")
+    val r = TextOps.perplexityBuckets(docs, col("doc_id") >= 100L,
+        "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(r.length == 9)
+    val byId = r.map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(Seq(5L, 6L, 8L).forall(byId(_) == "tail"), s"tail: $byId")
+    assert(Seq(3L, 4L, 7L).forall(byId(_) == "middle"), s"middle: $byId")
+    // ties share a bucket: doc 1 scores identically to its train twin 100,
+    // and "the cat ran" backs into the same avg as "the cat sat"
+    assert(Seq(1L, 100L, 101L).forall(byId(_) == "head"), s"head: $byId")
+    // head scores dominate tail scores
+    val s = r.map(x => x.getString(3) -> x.getDouble(2))
+    assert(s.filter(_._1 == "head").map(_._2).min >
+      s.filter(_._1 == "tail").map(_._2).max)
+  }
 }
