@@ -179,6 +179,43 @@ object ProfileOps {
       .crossJoin(broadcast(totals))
   }
 
+  /** Corpus snapshot diff: classify every key across two versions of a
+    * dataset as `added` / `removed` / `changed` / `unchanged` — the audit
+    * a training-data pipeline runs between crawl refreshes (what did this
+    * month's snapshot actually change?) and before promoting a processed
+    * corpus (did the "no-op" rerun really not touch anything?).
+    *
+    * Content equality is by fingerprint, computed MAP-SIDE: each side
+    * projects to (key, unhex(md5(concat_ws(\\u0001, contentCols)))) before
+    * the join, so the shuffle carries the key plus 16 bytes per row —
+    * never the document payload. At 100 TB a full-outer sort-merge join on
+    * the key is the floor for this comparison (both sides genuinely must
+    * meet); everything else is map-only, and AQE handles the usual
+    * new-snapshot-is-bigger asymmetry. Keys are assumed unique per
+    * snapshot (the corpus contract); duplicate keys would cross-match.
+    *
+    * concat_ws drops a NULL content column AND its separator (identically
+    * on both engines), so NULL→'' IS detected as a change (the empty
+    * string keeps its separator) — but a value MOVING between adjacent
+    * nullable columns, ('x', NULL) → (NULL, 'x'), fingerprints
+    * identically. Callers whose change model must see that coalesce a
+    * per-column sentinel in first.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff: no content columns")
+    def fp(df: DataFrame, hashName: String) =
+      df.select(col(keyCol),
+        unhex(md5(concat_ws("\u0001", contentCols.map(c => col(s"`$c`"))
+          : _*))).as(hashName))
+    fp(oldDf, "__ho").join(fp(newDf, "__hn"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Numeric-only profile, kept for callers that want the narrow schema.
     * Coerces every column to double first (the original contract: a
     * numeric-string column profiles as its parsed values).

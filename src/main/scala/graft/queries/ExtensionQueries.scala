@@ -891,6 +891,23 @@ object ExtensionQueries {
     "q59_clean_corpus" -> ((s, dir) =>
       cleanCorpusChain(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // -- Corpus snapshot diff: two derived versions of the documents table
+    // (old = %7!=0 rows; new = %5!=0 rows with %3==0 texts edited), every
+    // doc_id classified added/removed/changed/unchanged. Fingerprints are
+    // computed map-side (unhex(md5(...)), 16 bytes), so only (key, fp)
+    // rows meet at the full-outer join --------------------------------
+    "q111_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      ProfileOps.snapshotDiff(oldSnap, newSnap, "doc_id",
+          Seq("text", "lang", "source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Column profiling (the reference idiom is DuckDB SUMMARIZE) ------
     // Mixed-type: numeric, string, and timestamp columns in one profile,
     // SUMMARIZE-style uniform schema.
@@ -2290,6 +2307,25 @@ object ExtensionQueries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // q111: same derived snapshots, same chr(1)-joined md5 fingerprint;
+    // the status CASE runs over a FULL OUTER join exactly like the Spark
+    // side (concat_ws skips NULLs identically on both engines)
+    "q111_snapshot_diff" ->
+      """WITH oldv AS (SELECT doc_id,
+        |    md5(concat_ws(chr(1), text, lang, source)) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |newv AS (SELECT doc_id,
+        |    md5(concat_ws(chr(1),
+        |      CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+        |      lang, source)) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(oldv.doc_id, newv.doc_id) AS doc_id,
+        |  CASE WHEN oldv.h IS NULL THEN 'added'
+        |       WHEN newv.h IS NULL THEN 'removed'
+        |       WHEN oldv.h <> newv.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldv FULL OUTER JOIN newv ON oldv.doc_id = newv.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q58_profile" -> {
       // one UNION-ALL branch per column, shaped by its type — mirrors the
       // uniform SUMMARIZE-style schema of ProfileOps.profile

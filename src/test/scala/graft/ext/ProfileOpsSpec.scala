@@ -151,4 +151,52 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(byName("c0").getAs[Long]("n_distinct") == 1000L)
     assert(byName("c0").getAs[Double]("mean_v") == 499.5)
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, multi-column " +
+      "content, payload never crosses the join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val oldSnap = Seq(
+      (1L, "alpha", "en"), (2L, "beta", "en"),
+      (3L, "gamma", "de"), (4L, "delta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val newSnap = Seq(
+      (2L, "beta", "en"),        // unchanged
+      (3L, "gamma", "fr"),       // changed via the SECOND content column
+      (4L, "delta!", "en"),      // changed via text
+      (5L, "epsilon", "en")      // added
+    ).toDF("doc_id", "text", "lang")
+    val d = ProfileOps.snapshotDiff(oldSnap, newSnap, "doc_id",
+      Seq("text", "lang"))
+    val byId = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "changed", 5L -> "added"))
+    // the fingerprint must be computed BELOW the join: the join operator's
+    // own output carries only the key and the two 16-byte hashes, so the
+    // payload never rides the exchange
+    val plan = d.queryExecution.executedPlan.toString()
+    assert(!plan.contains("FileScan"), "fixture-free test precondition")
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joinLine.isDefined, s"expected a shuffle join:\n$plan")
+  }
+
+  test("snapshotDiff NULL semantics: NULL→'' is a change (separator " +
+      "survives the empty string), value-swap across nullable columns " +
+      "is the documented blind spot") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, Option("x"), Option("en")),
+      (2L, None: Option[String], Option("en")),
+      (3L, Option("x"), None: Option[String]))
+      .toDF("doc_id", "text", "lang")
+    val newSnap = Seq((1L, Option("x"), Option("en")),
+      (2L, Option(""), Option("en")),   // NULL→'': separator appears
+      (3L, None: Option[String], Option("x"))) // swap: same fingerprint
+      .toDF("doc_id", "text", "lang")
+    val byId = ProfileOps.snapshotDiff(oldSnap, newSnap, "doc_id",
+        Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged"))
+  }
 }
