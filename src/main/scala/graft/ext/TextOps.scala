@@ -642,6 +642,47 @@ object TextOps {
       .withColumn("lm_outlier", col("avg_logp") < minAvgLogp)
   }
 
+  /** Consecutive-duplicate-token collapse — the EXECUTION counterpart of
+    * [[repetitionMetrics]] (q62 measures stutter; this removes it): every
+    * run of identical adjacent tokens collapses to its first occurrence
+    * ("batch batch batch" → "batch"), the classic cleanup for scraped
+    * pagination chrome and generation loops. Periodicity beyond 1 is out
+    * of scope by design — higher-period cuts depend on earlier cuts and so
+    * serialize; for block-level repeats use [[DedupOps.chunkDedup]], whose
+    * first-occurrence rule is position-independent.
+    *
+    * One doc-keyed shuffle total: the lag window flags each token against
+    * its predecessor, the running pos-ordered collect_list rebuilds the
+    * survivors (the [[DedupOps.chunkDedup]] idiom — the when() drops cut
+    * tokens as nulls, the max-pos row carries the full kept array), and
+    * the per-doc rollup rides the window's partitioning (exchange reuse).
+    * Map-only before that; nothing global.
+    *
+    * Returns (idCol, n_tokens, n_kept, clean_text); a null-text doc keeps
+    * its row with 0/0/null.
+    */
+  def collapseTokenRuns(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("__keep", col("__w").isNotNull &&
+        coalesce(col("__w") =!= lag(col("__w"), 1).over(wDoc), lit(true)))
+      .withColumn("__arr",
+        collect_list(when(col("__keep"), col("__w"))).over(wRun))
+      .groupBy(col(idCol))
+      .agg(count(col("__w")).as("n_tokens"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(struct(col("__pos"), col("__arr"))).as("__last"))
+      .select(col(idCol), col("n_tokens"), col("n_kept"),
+        when(col("n_kept") > 0,
+          concat_ws(" ", col("__last").getField("__arr"))).as("clean_text"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359, "CCNet: Extracting High Quality Monolingual
     * Datasets from Web Crawl Data"): every document is scored against a

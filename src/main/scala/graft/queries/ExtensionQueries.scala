@@ -173,6 +173,13 @@ object ExtensionQueries {
       TextOps.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // -- Run collapse: q62's execution counterpart — adjacent identical
+    // tokens collapse to the first occurrence; the fixture's "batch batch
+    // batch" stutter actually shrinks -----------------------------------
+    "q112_run_collapse" -> ((s, dir) =>
+      TextOps.collapseTokenRuns(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // -- Benchmark decontamination: train docs sharing any 3-gram with the
     // eval subset (doc_id % 50 == 0 stands in for a benchmark suite) ------
     "q63_decontam" -> ((s, dir) => {
@@ -1744,6 +1751,23 @@ object ExtensionQueries {
         |    AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    // q112: keep rule = first token of every run (prev IS NULL OR w <>
+    // prev, with prev read straight from the token array — no window);
+    // string_agg's ORDER BY i skips the CASE's NULLs like the Spark
+    // side's collect_list does
+    "q112_run_collapse" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, toks[i] AS w, i,
+        |    CASE WHEN i > 1 THEN toks[i-1] END AS prev
+        |  FROM d, unnest(generate_series(1, len(toks))) AS s(i))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN prev IS NULL OR w <> prev THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  string_agg(CASE WHEN prev IS NULL OR w <> prev THEN w END, ' '
+        |    ORDER BY i) AS clean_text
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q62_repetition" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),

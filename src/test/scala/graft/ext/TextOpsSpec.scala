@@ -394,6 +394,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(0).getLong(1) == 1L && m(0).getLong(2) == 0L)
   }
 
+  test("collapseTokenRuns: runs collapse to first occurrence, " +
+      "non-adjacent repeats survive, null doc keeps its row") {
+    val docs = Seq(
+      (1L, "batch batch batch stream batch"), // run of 3 + a LATER repeat
+      (2L, "a a a a a"),                      // whole doc is one run
+      (3L, "x y x y"),                        // period-2: out of scope, kept
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextOps.collapseTokenRuns(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(r(0).getString(3) == "batch stream batch")
+    assert(r(0).getLong(1) == 5L && r(0).getLong(2) == 3L)
+    assert(r(1).getString(3) == "a" && r(1).getLong(2) == 1L)
+    assert(r(2).getString(3) == "x y x y")
+    assert(r(3).getLong(1) == 0L && r(3).getLong(2) == 0L &&
+      r(3).isNullAt(3))
+  }
+
   test("perplexityBuckets: equal-mass thirds by model score, head = the " +
       "docs the reference LM likes best, boundary ties share a bucket") {
     // train slice = docs 100/101 ("the cat …"); scored corpus (train rows
