@@ -642,6 +642,59 @@ object TextOps {
       .withColumn("lm_outlier", col("avg_logp") < minAvgLogp)
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much it looks like a TARGET distribution
+    * (the trusted slice `targetPred` selects — Wikipedia-like pages, a
+    * vetted domain, a language), under hashed bag-of-n-grams language
+    * models. Features are unigrams ∪ bigrams hashed into `nBuckets`
+    * buckets (the paper's hashed n-gram trick — the model size is FIXED at
+    * nBuckets regardless of corpus vocabulary); per-doc weight is
+    * log w(x) = Σ_g [ log p̂(bucket(g)) − log q̂(bucket(g)) ], with
+    * add-one smoothing over the bucket space on both distributions.
+    * Selection is then resampling ∝ w — compose with the existing
+    * samplers ([[DedupOps.exactSample]] / topKPerGroup) downstream;
+    * this operator owns the statistic, not the coin.
+    *
+    * Scale shape: both bucket histograms are map-side-combined aggregates
+    * whose outputs are ≤ nBuckets rows BY CONSTRUCTION (the paper's
+    * design point, and why this beats a vocabulary join at 100 TB); the
+    * log-ratio table broadcasts (explicitly — it cannot exceed nBuckets
+    * rows), so the per-doc scoring pass is map-side except the final
+    * doc-keyed rollup. Bucket totals ride 1-row scalar cross joins, the
+    * q107 (T, V) shape.
+    *
+    * Returns (idCol, n_feats, log_w); null-text docs keep their row with
+    * (0, null). Cross-engine: the bucket hash is the portable
+    * md5-hex-prefix family every dedup oracle uses.
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, targetPred: Column,
+                  idCol: String, textCol: String, nBuckets: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, s"dsirWeights: nBuckets must be positive")
+    val b = lit(nBuckets)
+    val grams = docs.select(col(idCol), targetPred.as("__tgt"),
+        explode_outer(concat(tokens(col(textCol)),
+          shingles(tokens(col(textCol)), 2))).as("__g"))
+      .withColumn("__b", pmod(
+        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"), b))
+    val tgt = grams.filter(col("__tgt") && col("__g").isNotNull)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val raw = grams.filter(col("__g").isNotNull)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tTot = tgt.agg(sum(col("__ct")).cast("double").as("__tt"))
+    val rTot = raw.agg(sum(col("__cr")).cast("double").as("__rt"))
+    val ratios = raw.join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1) / (col("__tt") + b)) -
+          log((col("__cr") + 1) / (col("__rt") + b))).as("__lr"))
+    grams.join(broadcast(ratios), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__g")).as("n_feats"),
+        round(sum(col("__lr")), 4).as("log_w"))
+  }
+
   /** Consecutive-duplicate-token collapse — the EXECUTION counterpart of
     * [[repetitionMetrics]] (q62 measures stutter; this removes it): every
     * run of identical adjacent tokens collapses to its first occurrence

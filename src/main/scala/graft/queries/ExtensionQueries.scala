@@ -173,6 +173,15 @@ object ExtensionQueries {
       TextOps.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // -- DSIR importance weights: target = the 'en' slice, features =
+    // hashed unigrams∪bigrams (256 buckets), weight = Σ log(p̂/q̂) with
+    // add-one smoothing. Histograms are ≤256 rows by construction; the
+    // log-ratio table broadcasts -----------------------------------------
+    "q113_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"), col("lang") === "en",
+          "doc_id", "text", nBuckets = 256)
+        .orderBy(col("doc_id"))),
+
     // -- Run collapse: q62's execution counterpart — adjacent identical
     // tokens collapse to the first occurrence; the fixture's "batch batch
     // batch" stutter actually shrinks -----------------------------------
@@ -1751,6 +1760,33 @@ object ExtensionQueries {
         |    AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    // q113: same feature family (unigrams ∪ bigrams), same md5-hex-prefix
+    // bucket hash (% 256 == pmod: the 8-hex-char value is nonnegative),
+    // IDENTICAL smoothing arithmetic order: ln((ct+1)/(tt+256)) -
+    // ln((cr+1)/(rt+256)), summed per doc, rounded once at 4
+    "q113_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(toks ||
+        |    [array_to_string(toks[i:i+1], ' ')
+        |     for i in generate_series(1, len(toks) - 1)]) AS g
+        |  FROM d),
+        |bk AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM g),
+        |tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en'
+        |  GROUP BY b),
+        |raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+        |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM tgt),
+        |rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS rt FROM raw),
+        |lr AS (SELECT raw.b,
+        |    ln((coalesce(ct, 0) + 1) / (tt + 256)) -
+        |    ln((cr + 1) / (rt + 256)) AS lr
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tt CROSS JOIN rt)
+        |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS log_w
+        |FROM bk JOIN lr USING (b) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark

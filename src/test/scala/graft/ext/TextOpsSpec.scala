@@ -394,6 +394,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(0).getLong(1) == 1L && m(0).getLong(2) == 0L)
   }
 
+  test("dsirWeights: target-like docs outweigh off-distribution docs, " +
+      "n_feats counts unigrams+bigrams, null doc keeps its row") {
+    val docs = Seq(
+      (1L, "the cat sat", true),   // target slice
+      (2L, "the cat ran", true),   // target slice
+      (3L, "the cat sat", false),  // raw doc that matches the target
+      (4L, "zz yy xx", false),     // raw doc off-distribution
+      (5L, null.asInstanceOf[String], false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val r = TextOps.dsirWeights(docs, col("is_tgt"), "doc_id", "text",
+        nBuckets = 64)
+      .orderBy(col("doc_id")).collect()
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
+    // 3 tokens + 2 bigrams
+    assert(byId(1L)._1 == 5L && byId(3L)._1 == 5L && byId(4L)._1 == 5L)
+    // in-distribution beats off-distribution, decisively
+    assert(byId(3L)._2 > byId(4L)._2,
+      s"target-like doc should outweigh: $byId")
+    assert(byId(4L)._2 < 0, "off-distribution weight should be negative")
+    assert(byId(5L)._1 == 0L && byId(5L)._2.isNaN)
+  }
+
   test("collapseTokenRuns: runs collapse to first occurrence, " +
       "non-adjacent repeats survive, null doc keeps its row") {
     val docs = Seq(
