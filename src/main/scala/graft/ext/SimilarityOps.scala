@@ -583,6 +583,137 @@ object SimilarityOps {
     topKPerGroup(exact, "probe_id", "cand_id", k)
   }
 
+  // -- Product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 33(1)) --------------------
+
+  /** Append the L2 bias coordinate to each centroid:
+    * dot(s ++ [1], c ++ [-‖c‖²/2]) = dot(s, c) − ‖c‖²/2, whose argmax
+    * over c is argmin ‖s − c‖² — so the existing fused
+    * [[org.apache.spark.sql.graft.NearestCell]] argmax-dot kernel computes
+    * L2 code assignment with no new expression. The oracle embeds these
+    * SAME extended literals, so both engines run the identical operation
+    * sequence (the q31 bitwise-agreement contract).
+    */
+  private[graft] def extendForL2(cb: Array[Array[Double]]): Array[Array[Double]] =
+    cb.map(c => c :+ (-c.map(x => x * x).sum / 2))
+
+  private def subVec(u: Column, mi: Int, dsub: Int): Column =
+    slice(u, mi * dsub + 1, dsub)
+
+  /** Subspace `mi`'s PQ code for unit vector `u`: argmin-L2 over the
+    * codebook, ties → lowest code (kernel contract, mirrored by the
+    * oracle's `ORDER BY …, j`).
+    */
+  def pqCodeOf(u: Column, mi: Int, codebook: Array[Array[Double]]): Column = {
+    val dsub = codebook.head.length
+    VectorFunctions.nearestCell(
+      concat(subVec(u, mi, dsub), array(lit(1.0d))),
+      extendForL2(codebook).map(_.toSeq).toSeq)
+  }
+
+  /** Train PQ codebooks: the unit-vector space splits into `m` contiguous
+    * subspaces of dim/m coordinates; each gets an independent `k`-centroid
+    * L2 k-means (assignment via the [[pqCodeOf]] kernel trick, means via
+    * the same per-dimension sum aggregate [[fitCentroids]] uses — but NOT
+    * re-normalized: subvectors are not unit vectors). Deterministic init:
+    * the k distinct subvectors with the smallest xxhash64. Like
+    * [[fitCentroids]], each iteration collects only k × dsub doubles —
+    * corpus-size-independent — and the fit runs ONCE at index build
+    * (typically on a sample), never at query time.
+    */
+  def fitPqCodebooks(vecs: DataFrame, embCol: String, m: Int = 4,
+                     k: Int = 16, maxIters: Int = 3)
+      : Array[Array[Array[Double]]] = {
+    val dim = inferDim(vecs, embCol)
+    require(m > 0 && dim % m == 0,
+      s"fitPqCodebooks: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val unit = withUnitVec(vecs, embCol, "u")
+      .select(col("u")).filter(col("u").isNotNull).cache()
+    try {
+      (0 until m).toArray.map { mi =>
+        val sub = unit.select(subVec(col("u"), mi, dsub).as("s"))
+        var cb = sub.dropDuplicates("s")
+          .withColumn("h", xxhash64(col("s")))
+          .orderBy(col("h")).limit(k) // TakeOrderedAndProject, no full sort
+          .collect().map(_.getSeq[Double](0).toArray)
+        require(cb.nonEmpty, s"fitPqCodebooks: no input subvectors (m=$mi)")
+        for (_ <- 0 until maxIters) {
+          val sums = sub.groupBy(
+              VectorFunctions.nearestCell(
+                concat(col("s"), array(lit(1.0d))),
+                extendForL2(cb).map(_.toSeq).toSeq).as("c"))
+            .agg(count(lit(1)).as("n"),
+              array((0 until dsub).map(i =>
+                sum(element_at(col("s"), i + 1))): _*).as("sums"))
+            .collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2)))
+            .toMap
+          cb = cb.zipWithIndex.map { case (old, j) =>
+            sums.get(j).fold(old) { case (n, s) => s.map(_ / n).toArray }
+          }
+        }
+        cb
+      }
+    } finally { unit.unpersist(); () }
+  }
+
+  /** PQ ANN: asymmetric-distance top-k against an 8-bit-per-subspace
+    * compressed corpus, with exact re-rank of a bounded shortlist.
+    *
+    *  1. ENCODE (map-only, m fused argmax kernels per row): each corpus
+    *     vector compresses to m byte-sized codes — at m=4 that is 4 bytes
+    *     of index payload per vector vs 8·dim for raw doubles (128× at
+    *     dim 64), which is the operator's whole point: the scan stage of
+    *     a 100 TB ANN touches the CODES, not the vectors.
+    *  2. ADC scoring: sim̂(p, v) = Σ_m dot(sub_m(p), cb_m[code_m(v)]) —
+    *     the probe side is exact, the corpus side is its centroid
+    *     approximation (Jégou's asymmetric variant, tighter than
+    *     code-vs-code). Probes broadcast; scoring is map-side over the
+    *     encoded scan.
+    *  3. Exact re-rank: the per-probe top k·refineFactor shortlist (ids
+    *     only) broadcasts back onto the corpus scan — the int8 two-stage
+    *     idiom — and true dot products decide the final k.
+    *
+    * Unlike the int8 path's bounded-error margin, PQ's approximation is
+    * unbounded (quantization error depends on the fit), so refineFactor
+    * is a recall knob, not a proof: the PqAnnSpec measures recall@k
+    * against [[bruteForceTopK]] on the fixture. Compose with
+    * [[ivfTopKWithCentroids]] cells for the scan-pruned variant (IVF-PQ);
+    * here the un-pruned form keeps the approximation measurable on its
+    * own.
+    */
+  def pqTopKWithCodebooks(probes: DataFrame, candidates: DataFrame,
+                          cbs: Array[Array[Array[Double]]], k: Int,
+                          refineFactor: Int = 4): DataFrame = {
+    require(cbs.nonEmpty && k > 0 && refineFactor >= 1)
+    val m = cbs.length
+    val dsub = cbs(0).head.length
+    val cands = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"),
+        array((0 until m).map(mi =>
+          pqCodeOf(col("cand_emb"), mi, cbs(mi))): _*).as("codes"))
+    val probeVecs = withUnitVec(probes, "embedding", "probe_unit")
+      .select(col("vec_id").as("probe_id"), col("probe_unit"))
+    val cbLits = cbs.map(cb => typedLit(cb.map(_.toSeq).toSeq))
+    val adc = (0 until m).map { mi =>
+      VectorFunctions.dotProduct(subVec(col("probe_unit"), mi, dsub),
+        element_at(cbLits(mi), element_at(col("codes"), mi + 1) + 1))
+    }.reduce(_ + _)
+    val coarse = cands.drop("cand_emb").crossJoin(broadcast(probeVecs))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(adc, 6))
+    val shortlist = topKPerGroup(coarse, "probe_id", "cand_id",
+        k * refineFactor)
+      .select(col("probe_id"), col("cand_id"))
+    val exact = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
+    topKPerGroup(exact, "probe_id", "cand_id", k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication via a coarse quantizer. Each vector is assigned to its
     * nearest centroid cell (the fused [[cellOf]] kernel — map-only against

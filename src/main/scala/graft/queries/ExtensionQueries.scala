@@ -603,6 +603,21 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // -- Product-quantization ANN (Jégou et al. 2011): corpus encoded to
+    // m=16 byte codes (32× smaller than the raw doubles) against the
+    // committed PqCodebooks literals (L2 argmin via the NearestCell
+    // appended-coordinate trick), asymmetric-distance scoring, exact
+    // re-rank of the per-probe top-40 shortlist. The oracle rebuilds
+    // codes + ADC + both ranks from the same literals; PqAnnSpec owns the
+    // recall measurement (the random fixture is PQ's worst case —
+    // SCALING.md has the m sweep)
+    "q114_pq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.pqTopKWithCodebooks(e.filter(col("vec_id") < 10), e,
+          graft.ext.PqCodebooks.codebooks, k = 5, refineFactor = 8)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
     // SAME committed centroids as q31 (map-only NearestCell kernel), exact
     // cosine over within-cell pairs only, frontier-delta CC over the dup
@@ -1418,6 +1433,73 @@ object ExtensionQueries {
        |ORDER BY probe_id, rk""".stripMargin
   }
 
+  /** q114: the committed PQ codebooks as VALUES literals, twice per
+    * subspace — EXTENDED (bias coordinate appended) for code assignment,
+    * so the oracle's `list_dot_product(sub || [1.0], c_ext)` is the
+    * identical operation sequence to the Spark kernel's argmax-dot, and
+    * PLAIN for the ADC lookup. Shortlist and final rank both order by
+    * (rounded sim DESC, cand_id), mirroring topKPerGroup.
+    */
+  private lazy val pqAnnOracleSql: String = {
+    val cbs = graft.ext.PqCodebooks.codebooks
+    val m = cbs.length
+    val dsub = cbs(0).head.length
+    def values(cb: Array[Array[Double]]): String = cb.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    val cbCtes = (0 until m).map { mi =>
+      s"""cbe$mi(j, c) AS (VALUES ${values(
+           graft.ext.SimilarityOps.extendForL2(cbs(mi)))}),
+         |cb$mi(j, c) AS (VALUES ${values(cbs(mi))})""".stripMargin
+    }.mkString(",\n")
+    val assignCtes = (0 until m).map { mi =>
+      val lo = mi * dsub + 1; val hi = (mi + 1) * dsub
+      s"""a$mi AS (SELECT n.vec_id, j, row_number() OVER (
+         |    PARTITION BY n.vec_id ORDER BY
+         |      list_dot_product(n.u[$lo:$hi] || [CAST(1.0 AS DOUBLE)],
+         |        cbe.c) DESC, j) AS rn
+         |  FROM n, cbe$mi cbe),
+         |c$mi AS (SELECT vec_id, j AS code$mi FROM a$mi WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val encJoin = (0 until m).map(mi => s"JOIN c$mi USING (vec_id)")
+      .mkString(" ")
+    val codeCols = (0 until m).map(mi => s"code$mi").mkString(", ")
+    val adcSum = (0 until m).map { mi =>
+      val lo = mi * dsub + 1; val hi = (mi + 1) * dsub
+      s"list_dot_product(p.pu[$lo:$hi], cb$mi.c)"
+    }.mkString(" +\n      ")
+    val adcJoins = (0 until m)
+      .map(mi => s"JOIN cb$mi ON cb$mi.j = e.code$mi").mkString("\n    ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u
+       |  FROM e0),
+       |$cbCtes,
+       |$assignCtes,
+       |enc AS (SELECT n.vec_id, n.u, $codeCols FROM n $encJoin),
+       |p AS (SELECT vec_id AS probe_id, u AS pu FROM n WHERE vec_id < 10),
+       |sc AS (SELECT p.probe_id, e.vec_id AS cand_id,
+       |    round($adcSum, 6) AS sim
+       |  FROM enc e CROSS JOIN p
+       |    $adcJoins
+       |  WHERE p.probe_id <> e.vec_id),
+       |sl AS (SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+       |    FROM sc) WHERE rn <= 40),
+       |ex AS (SELECT sl.probe_id, sl.cand_id,
+       |    round(list_dot_product(p.pu, cn.u), 6) AS sim
+       |  FROM sl JOIN p USING (probe_id)
+       |    JOIN n cn ON cn.vec_id = sl.cand_id),
+       |rk AS (SELECT probe_id, cand_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM ex)
+       |SELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
   /** q104: the committed centroid literals again — nearest-cell argmax
     * (ties to the lowest cell, like q31's `rn = 1`), rounded own-centroid
     * sim, within-cell pair scoring, recursive transitive closure (the q85
@@ -2162,6 +2244,7 @@ object ExtensionQueries {
     "q52_ann_lsh" -> lshOracleSql,
     "q31_ann_ivf" -> ivfOracleSql,
     "q104_semantic_dedup" -> semanticDedupOracleSql,
+    "q114_pq_ann" -> pqAnnOracleSql,
     "q106_incremental_semantic" -> incrementalSemanticOracleSql,
     // q108: the plain filter over the SOURCE table — the written layout,
     // sidecar, and file pruning must all be invisible in the result

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization ANN (q114): encode correctness, the
+  * appended-coordinate L2 trick, ADC recall against the exact baseline,
+  * and the plan contract (codes scan map-side on the fused kernel; the
+  * coarse stage never carries the raw vectors).
+  */
+class PqAnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .drop("label")
+
+  test("extendForL2 turns argmax-dot into argmin-L2: the assigned code is " +
+      "the nearest centroid in Euclidean distance, NOT the largest dot") {
+    // centroid 0 has a big dot with s but is far; centroid 1 is closest
+    val cb = Array(Array(10.0, 0.0), Array(1.0, 1.0))
+    val s = Seq((1L, Seq(1.0, 1.0))).toDF("vec_id", "s")
+    val code = s.select(
+      org.apache.spark.sql.graft.VectorFunctions.nearestCell(
+        concat(col("s"), array(lit(1.0d))),
+        SimilarityOps.extendForL2(cb).map(_.toSeq).toSeq).as("c"))
+      .head().getInt(0)
+    // plain argmax-dot would pick 0 (dot 10 vs 2); L2 picks 1 (dist 0 vs 81)
+    assert(code == 1)
+  }
+
+  test("fitPqCodebooks: m subspaces of dim/m, k centroids each, " +
+      "deterministic across runs") {
+    val cbs = SimilarityOps.fitPqCodebooks(emb, "embedding", m = 4, k = 8,
+      maxIters = 2)
+    assert(cbs.length == 4)
+    assert(cbs.forall(_.length == 8))
+    assert(cbs.forall(_.forall(_.length == 16)))
+    val again = SimilarityOps.fitPqCodebooks(emb, "embedding", m = 4, k = 8,
+      maxIters = 2)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.map(_.map(_.toSeq).toSeq).toSeq, "hash init must be deterministic")
+  }
+
+  test("pqTopK recall@5 vs bruteForceTopK on the fixture stays above the " +
+      "measured floor, and refine beats no-refine") {
+    val probes = emb.filter(col("vec_id") < 20)
+    def recallAt(refine: Int): Double = {
+      val pq = SimilarityOps.pqTopKWithCodebooks(probes, emb,
+          graft.ext.PqCodebooks.codebooks, k = 5, refineFactor = refine)
+        .select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ex = SimilarityOps.bruteForceTopK(probes, emb, k = 5)
+        .select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pq & ex).size.toDouble / ex.size
+    }
+    val r8 = recallAt(8)
+    val r1 = recallAt(1)
+    info(f"recall@5: refine=1 $r1%.3f, refine=8 $r8%.3f")
+    // measured 2026-08 on the committed m=16 codebooks over the random
+    // fixture (PQ's worst case — no cluster structure; SCALING.md has the
+    // m sweep): refine=8 -> ~0.88, refine=1 -> ~0.37. Floors sit well
+    // under to absorb fixture noise.
+    assert(r8 >= 0.75, s"refined recall collapsed: $r8")
+    assert(r8 >= r1, "exact re-rank of a wider shortlist cannot hurt")
+  }
+
+  test("q114 plan: encode + ADC run on the fused kernels, and the coarse " +
+      "scoring operator sees codes, not the candidate vectors") {
+    val df = graft.queries.ExtensionQueries.queries("q114_pq_ann")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_cell"),
+      s"encode must be the fused kernel:\n${plan.take(4000)}")
+    assert(plan.contains("dot_product"),
+      s"ADC must be the fused kernel:\n${plan.take(4000)}")
+    // the BNLJ's streamed side must NOT carry cand_emb — the whole point
+    // is that coarse scoring touches 4 codes/row, not 64 doubles
+    val bnlj = plan.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.isDefined, s"expected the probe broadcast:\n${plan.take(2000)}")
+    assert(!bnlj.get.contains("cand_emb"),
+      s"coarse join output drags the raw vectors:\n${bnlj.get}")
+  }
+}

@@ -250,9 +250,11 @@ class QueryPlanSpec extends AnyFunSuite {
     // aggregate (<=1 row by construction). Queries whose O(1) side is
     // NOT an aggregate stay on a short explicit list:
     //   q30/q89 broadcast 5 probe vectors (LIMITed scan, non-equi by
-    //   design); q26 is the documented all-pairs operator (emits
-    //   zero-overlap pairs, no equi-key exists) — callers bound its
-    //   scope; q80 cross-joins a 3-row generated threshold ladder.
+    //   design); q114's PQ ADC scan broadcasts its 10 probe vectors the
+    //   same way (the corpus side never shuffles — scoring is map-side
+    //   over the encoded scan); q26 is the documented all-pairs operator
+    //   (emits zero-overlap pairs, no equi-key exists) — callers bound
+    //   its scope; q80 cross-joins a 3-row generated threshold ladder.
     // Anywhere else a non-scalar BNLJ means a join lost its
     // equi-condition and would cross-product at scale.
     import org.apache.spark.sql.execution.SparkPlan
@@ -260,7 +262,7 @@ class QueryPlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     val nonScalarIntentional = Set("q30_ann_topk", "q89_int8_ann",
-      "q26_ngram_jaccard", "q80_generate_series")
+      "q26_ngram_jaccard", "q80_generate_series", "q114_pq_ann")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
