@@ -656,16 +656,23 @@ object TextOps {
     * samplers ([[DedupOps.exactSample]] / topKPerGroup) downstream;
     * this operator owns the statistic, not the coin.
     *
-    * Scale shape: both bucket histograms are map-side-combined aggregates
-    * whose outputs are ≤ nBuckets rows BY CONSTRUCTION (the paper's
-    * design point, and why this beats a vocabulary join at 100 TB); the
-    * log-ratio table broadcasts (explicitly — it cannot exceed nBuckets
-    * rows), so the per-doc scoring pass is map-side except the final
-    * doc-keyed rollup. Bucket totals ride 1-row scalar cross joins, the
-    * q107 (T, V) shape.
+    * Scale shape: the gram stream is tokenized ONCE and collapsed
+    * immediately into per-(doc, bucket) occurrence counts — a map-side-
+    * combined aggregate bounded by docs × min(nBuckets, doc grams), the
+    * only pass that ever sees raw text. Both bucket histograms then come
+    * from ONE aggregate over that collapsed stream (the raw count and the
+    * target count share a groupBy via a conditional count), whose output
+    * is ≤ nBuckets rows BY CONSTRUCTION (the paper's design point, and
+    * why this beats a vocabulary join at 100 TB); the log-ratio table
+    * broadcasts (explicitly — it cannot exceed nBuckets rows), so scoring
+    * is a broadcast join over the collapsed counts, not the gram stream.
+    * Bucket totals ride a 1-row scalar cross join, the q107 (T, V) shape.
     *
     * Returns (idCol, n_feats, log_w); null-text docs keep their row with
-    * (0, null). Cross-engine: the bucket hash is the portable
+    * (0, null). An EMPTY target slice (a misconfigured targetPred) is
+    * handled explicitly: the target total coalesces to 0, so add-one
+    * smoothing still yields finite log-ratios instead of silently
+    * nulling every weight. Cross-engine: the bucket hash is the portable
     * md5-hex-prefix family every dedup oracle uses.
     */
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, targetPred: Column,
@@ -673,26 +680,50 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     require(nBuckets > 0, s"dsirWeights: nBuckets must be positive")
     val b = lit(nBuckets)
-    val grams = docs.select(col(idCol), targetPred.as("__tgt"),
+    // one tokenize pass, collapsed to (doc, tgt?, bucket) → occurrences;
+    // __tgt rides the group key (functionally dependent on the doc id).
+    // A null-text doc keeps one 0-count row via explode_outer + count(__g),
+    // parked in sentinel bucket -1 (outside [0, nBuckets)): a NULLABLE
+    // bucket key would make Catalyst infer an isnotnull filter on the
+    // ratio side of the scoring join, push it below the shared aggregate,
+    // and break the subtree identity that lets exchange reuse run this
+    // tokenize pass ONCE for all three consumers (pinned in QueryPlanSpec)
+    val docBuckets = docs.select(col(idCol), targetPred.as("__tgt"),
         explode_outer(concat(tokens(col(textCol)),
           shingles(tokens(col(textCol)), 2))).as("__g"))
-      .withColumn("__b", pmod(
-        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"), b))
-    val tgt = grams.filter(col("__tgt") && col("__g").isNotNull)
-      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val raw = grams.filter(col("__g").isNotNull)
-      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
-    val tTot = tgt.agg(sum(col("__ct")).cast("double").as("__tt"))
-    val rTot = raw.agg(sum(col("__cr")).cast("double").as("__rt"))
-    val ratios = raw.join(tgt, Seq("__b"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("__b", coalesce(pmod(
+        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"), b),
+        lit(-1L)))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(col("__g")).as("__n"))
+    // one histogram aggregate over the collapsed counts: raw total and
+    // target slice per bucket (targetPred null ⇒ not in the target, like
+    // the predicate filter it replaces). Deliberately NOT filtered to
+    // real buckets: the sentinel group carries __n = 0 so it perturbs no
+    // count or total, and a filter on the grouping key would push below
+    // the shared aggregate and break the exchange-reuse subtree identity
+    val cnt = docBuckets
+      .groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__cr"),
+        sum(when(col("__tgt"), col("__n")).otherwise(0L)).as("__ct"))
+    // empty-target guard: sum over zero target rows is 0 here (the
+    // conditional count yields 0-valued rows), and an entirely empty
+    // corpus coalesces to 0.0 — either way the ratios stay finite
+    val tots = cnt.agg(
+      coalesce(sum(col("__cr")).cast("double"), lit(0.0)).as("__rt"),
+      coalesce(sum(col("__ct")).cast("double"), lit(0.0)).as("__tt"))
+    val ratios = cnt.crossJoin(broadcast(tots))
       .select(col("__b"),
-        (log((coalesce(col("__ct"), lit(0L)) + 1) / (col("__tt") + b)) -
+        (log((col("__ct") + 1) / (col("__tt") + b)) -
           log((col("__cr") + 1) / (col("__rt") + b))).as("__lr"))
-    grams.join(broadcast(ratios), Seq("__b"), "left")
+    // a null-text doc's sentinel row DOES join the (0, 0)-count sentinel
+    // ratio, so its weight is nulled explicitly: 0 features ⇒ null log_w,
+    // the documented contract
+    docBuckets.join(broadcast(ratios), Seq("__b"), "left")
       .groupBy(col(idCol))
-      .agg(count(col("__g")).as("n_feats"),
-        round(sum(col("__lr")), 4).as("log_w"))
+      .agg(sum(col("__n")).as("n_feats"),
+        when(sum(col("__n")) > 0,
+          round(sum(col("__n") * col("__lr")), 4)).as("log_w"))
   }
 
   /** Consecutive-duplicate-token collapse — the EXECUTION counterpart of
@@ -760,6 +791,15 @@ object TextOps {
     * quantiles compare against actual data values), which keeps the
     * decision deterministic on both engines with no order-dependence.
     *
+    * Null-score docs (null text / zero tokens, which [[lmScoreBackoff]]'s
+    * contract deliberately preserves with a null avg_logp) get an
+    * explicit `"null"` bucket and are EXCLUDED from the histogram and the
+    * total the thresholds divide: without that they would fall through
+    * the `<=` comparisons into `head` — the slice CCNet KEEPS — putting
+    * unscoreable garbage in the kept corpus, and their histogram group
+    * would sort NULLS FIRST here but NULLS LAST in DuckDB, shifting the
+    * disc-quantile thresholds cross-engine.
+    *
     * Returns one row per input document: (idCol, n_toks, avg_logp,
     * bucket).
     */
@@ -770,13 +810,14 @@ object TextOps {
     val scored = lmScoreBackoff(docs, docs.filter(trainPred), idCol,
         textCol, minAvgLogp = 0.0)
       .drop("lm_outlier")
-    val hist = scored.groupBy(col("avg_logp")).agg(count(lit(1)).as("__c"))
+    val hist = scored.filter(col("avg_logp").isNotNull)
+      .groupBy(col("avg_logp")).agg(count(lit(1)).as("__c"))
     // distinct rounded scores only — a tiny single-partition window, like
     // fitCentroids' nCells-row collect, not a corpus-sized sort
     val wCum = Window.orderBy(col("avg_logp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
-    val n = scored.agg(count(lit(1)).as("__n"))
+    val n = scored.agg(count(col("avg_logp")).as("__n"))
     // disc quantile: smallest score value whose cumulative count reaches
     // ceil(q*n); ceil(n/3) = floor((n+2)/3) in integer arithmetic, written
     // as floor(double-div) because both engines divide integers to double
@@ -787,7 +828,8 @@ object TextOps {
         col("avg_logp"))).as("__t2"))
     scored.crossJoin(broadcast(thr))
       .withColumn("bucket",
-        when(col("avg_logp") <= col("__t1"), lit("tail"))
+        when(col("avg_logp").isNull, lit("null"))
+          .when(col("avg_logp") <= col("__t1"), lit("tail"))
           .when(col("avg_logp") <= col("__t2"), lit("middle"))
           .otherwise(lit("head")))
       .select(col(idCol), col("n_toks"), col("avg_logp"), col("bucket"))

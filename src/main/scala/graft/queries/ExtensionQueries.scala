@@ -1845,7 +1845,13 @@ object ExtensionQueries {
     // q113: same feature family (unigrams ∪ bigrams), same md5-hex-prefix
     // bucket hash (% 256 == pmod: the 8-hex-char value is nonnegative),
     // IDENTICAL smoothing arithmetic order: ln((ct+1)/(tt+256)) -
-    // ln((cr+1)/(rt+256)), summed per doc, rounded once at 4
+    // ln((cr+1)/(rt+256)). Mirrors the operator's collapsed-count shape:
+    // per-(doc, bucket) occurrence counts feed one shared histogram
+    // (conditional target count) and the per-doc weight is sum(n·lr) —
+    // the identical multiply, not an occurrence-wise re-sum. Anchored on
+    // documents with LEFT JOINs throughout so null-text docs keep their
+    // (0, NULL) row exactly like the Spark operator; tt coalesces to 0
+    // so an empty target slice stays finite on both engines.
     "q113_dsir_weights" ->
       """WITH d AS (SELECT doc_id, lang,
         |    regexp_split_to_array(lower(text), '\s+') AS toks
@@ -1854,38 +1860,48 @@ object ExtensionQueries {
         |    [array_to_string(toks[i:i+1], ' ')
         |     for i in generate_series(1, len(toks) - 1)]) AS g
         |  FROM d),
-        |bk AS (SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
-        |  FROM g),
-        |tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en'
-        |  GROUP BY b),
-        |raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
-        |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM tgt),
-        |rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS rt FROM raw),
-        |lr AS (SELECT raw.b,
-        |    ln((coalesce(ct, 0) + 1) / (tt + 256)) -
-        |    ln((cr + 1) / (rt + 256)) AS lr
-        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tt CROSS JOIN rt)
-        |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS log_w
-        |FROM bk JOIN lr USING (b) GROUP BY doc_id
+        |db AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2, 3),
+        |cnt AS (SELECT b, sum(n) AS cr,
+        |    sum(CASE WHEN tgt THEN n ELSE 0 END) AS ct
+        |  FROM db GROUP BY b),
+        |tots AS (SELECT coalesce(CAST(sum(cr) AS DOUBLE), 0.0) AS rt,
+        |    coalesce(CAST(sum(ct) AS DOUBLE), 0.0) AS tt FROM cnt),
+        |lr AS (SELECT b,
+        |    ln((ct + 1) / (tt + 256)) - ln((cr + 1) / (rt + 256)) AS lr
+        |  FROM cnt CROSS JOIN tots),
+        |agg AS (SELECT doc_id, sum(n) AS n_feats,
+        |    round(sum(n * lr), 4) AS log_w
+        |  FROM db LEFT JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT dd.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+        |  log_w
+        |FROM documents dd LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark
-    // side's collect_list does
+    // side's collect_list does. Anchored on documents with a LEFT JOIN:
+    // a null-text doc has no token rows (unnest over a NULL array) but
+    // the Spark posexplode_outer keeps its row as (0, 0, NULL).
     "q112_run_collapse" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks
         |  FROM documents),
         |tok AS (SELECT doc_id, toks[i] AS w, i,
         |    CASE WHEN i > 1 THEN toks[i-1] END AS prev
-        |  FROM d, unnest(generate_series(1, len(toks))) AS s(i))
-        |SELECT doc_id, count(*) AS n_tokens,
+        |  FROM d, unnest(generate_series(1, len(toks))) AS s(i)),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN prev IS NULL OR w <> prev THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_kept,
         |  string_agg(CASE WHEN prev IS NULL OR w <> prev THEN w END, ' '
         |    ORDER BY i) AS clean_text
-        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM tok GROUP BY doc_id)
+        |SELECT dd.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_kept, 0) AS n_kept, clean_text
+        |FROM documents dd LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q62_repetition" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
@@ -2119,7 +2135,11 @@ object ExtensionQueries {
     // disc-quantile thirds from the avg_logp histogram. The cum window
     // runs over DISTINCT avg_logp values (GROUP BY), so rows-vs-range
     // frame semantics can't diverge; floor((n+2)/3) is ceil(n/3) and both
-    // engines divide integers to double before the floor
+    // engines divide integers to double before the floor. Null-score docs
+    // are excluded from the histogram and the count (NULLS FIRST here vs
+    // NULLS LAST in Spark's window would otherwise shift the thresholds),
+    // get an explicit 'null' bucket, and the final select anchors on
+    // documents so they keep their row like the Spark operator.
     "q110_ppl_buckets" ->
       """WITH tr AS (SELECT regexp_split_to_array(lower(text), '\s+') AS toks
         |    FROM documents WHERE doc_id % 3 <> 0),
@@ -2150,20 +2170,23 @@ object ExtensionQueries {
         |per AS (SELECT doc_id, count(*) AS n_toks,
         |    round(sum(ln(s)) / count(*), 4) AS avg_logp
         |  FROM sc GROUP BY doc_id),
-        |hist AS (SELECT avg_logp, count(*) AS c FROM per GROUP BY avg_logp),
+        |hist AS (SELECT avg_logp, count(*) AS c FROM per
+        |  WHERE avg_logp IS NOT NULL GROUP BY avg_logp),
         |cum AS (SELECT avg_logp, sum(c) OVER (ORDER BY avg_logp) AS cm
         |  FROM hist),
-        |nn AS (SELECT count(*) AS n FROM per),
+        |nn AS (SELECT count(avg_logp) AS n FROM per),
         |thr AS (SELECT
         |    min(CASE WHEN cm >= floor((n + 2) / 3) THEN avg_logp END) AS t1,
         |    min(CASE WHEN cm >= floor((n * 2 + 2) / 3) THEN avg_logp END)
         |      AS t2
         |  FROM cum CROSS JOIN nn)
-        |SELECT doc_id, n_toks, avg_logp,
-        |  CASE WHEN avg_logp <= t1 THEN 'tail'
+        |SELECT dd.doc_id, coalesce(n_toks, 0) AS n_toks, avg_logp,
+        |  CASE WHEN avg_logp IS NULL THEN 'null'
+        |       WHEN avg_logp <= t1 THEN 'tail'
         |       WHEN avg_logp <= t2 THEN 'middle'
         |       ELSE 'head' END AS bucket
-        |FROM per CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+        |FROM documents dd LEFT JOIN per USING (doc_id) CROSS JOIN thr
+        |ORDER BY doc_id""".stripMargin,
     "q70_lm_score" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t

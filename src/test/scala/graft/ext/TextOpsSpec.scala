@@ -463,4 +463,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(s.filter(_._1 == "head").map(_._2).min >
       s.filter(_._1 == "tail").map(_._2).max)
   }
+
+  test("perplexityBuckets: null-text docs get the explicit 'null' bucket " +
+      "and do not shift the thresholds for scoreable docs") {
+    val base = Seq(
+      (100L, "the cat sat"), (101L, "the cat ran"),
+      (1L, "the cat sat"),
+      (3L, "the dog sat"), (4L, "the dog sat"), (7L, "the dog sat"),
+      (5L, "zz yy xx ww"), (6L, "zz yy xx ww"), (8L, "zz yy xx ww"))
+    val withNulls = base ++ Seq((50L, null.asInstanceOf[String]),
+      (51L, null.asInstanceOf[String]), (52L, null.asInstanceOf[String]))
+    def buckets(rows: Seq[(Long, String)]): Map[Long, String] =
+      TextOps.perplexityBuckets(rows.toDF("doc_id", "text"),
+          col("doc_id") >= 100L, "doc_id", "text")
+        .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    val clean = buckets(base)
+    val dirty = buckets(withNulls)
+    // the three unscoreable docs land in 'null' — NOT in head, the slice
+    // CCNet keeps — and every scoreable doc's bucket is unchanged: the
+    // nulls were excluded from the histogram and the threshold count
+    assert(Seq(50L, 51L, 52L).forall(dirty(_) == "null"), s"$dirty")
+    assert(base.forall { case (id, _) => dirty(id) == clean(id) },
+      s"thresholds shifted: clean=$clean dirty=$dirty")
+  }
+
+  test("dsirWeights: an empty target slice yields finite (all-negative-" +
+      "or-zero) weights via the coalesced total, not silent nulls") {
+    val docs = Seq(
+      (1L, "the cat sat", false),
+      (2L, "zz yy xx", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val r = TextOps.dsirWeights(docs, col("is_tgt"), "doc_id", "text",
+        nBuckets = 64)
+      .orderBy(col("doc_id")).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(!row.isNullAt(2), s"log_w must be finite, got $row")
+      assert(!row.getDouble(2).isNaN && !row.getDouble(2).isInfinite)
+    }
+  }
 }

@@ -302,6 +302,36 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"mark join stopped broadcasting:\n$p")
   }
 
+  test("q113: the corpus is tokenized ONCE — the collapsed-count exchange " +
+      "is computed once and REUSED by the histogram, the totals, and the " +
+      "scoring pass") {
+    // the three consumers of the collapsed (doc, tgt, bucket) counts are
+    // canonically identical subtrees; at runtime exchange reuse must
+    // collapse them so exactly ONE executed subtree explodes the text.
+    // (The pre-AQE string plan prints the subtree per consumer, so this
+    // asserts on the executed adaptive plan.)
+    val df = SparkEntry.queries("q113_dsir_weights")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    def generates(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          generates(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          generates(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          1 + g.children.map(generates).sum
+        case other => other.children.map(generates).sum
+      })
+    val n = generates(exec)
+    assert(n == 1,
+      s"expected the tokenize pass to run exactly once (got $n):\n$exec")
+    // the ratio table broadcasts back onto the collapsed counts
+    assert(exec.toString.contains("BroadcastHashJoin"),
+      s"ratio join must broadcast:\n$exec")
+  }
+
   test("q91: PII scrub is map-only (the only exchange is the oracle sort)") {
     val p = plan("q91_pii_redaction")
     assert(!p.contains("hashpartitioning"),
