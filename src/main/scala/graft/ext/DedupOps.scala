@@ -630,23 +630,11 @@ object DedupOps {
       coalesce(col("fp"), concat(lit(" "), col(idCol).cast("string"))))
     val flagged = chunks.withColumn("__kept",
       col("fp").isNotNull && col("__key") === min(col("__key")).over(wFp))
-    // One doc-keyed pass for counts AND rebuild: the pos-ordered running
-    // collect_list skips the when()'s nulls (dropped chunks), so the
-    // max-pos row carries exactly the kept chunks in order — no
-    // interpreted higher-order function anywhere in the rebuild, and the
-    // groupBy rides the window's id partitioning (exchange reuse).
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged
-      .withColumn("__arr",
-        collect_list(when(col("__kept"), col("chunk"))).over(w))
-      .groupBy(col(idCol))
-      .agg(count(col("chunk")).as("n_chunks"),
-        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
-        max(struct(col("pos"), col("__arr"))).as("__last"))
-      .select(col(idCol), col("n_chunks"), col("n_kept"),
-        when(col("n_kept") > 0,
-          concat_ws(" ", col("__last").getField("__arr"))).as("clean_text"))
+    // One doc-keyed aggregate for counts AND rebuild ([[Reassemble]]):
+    // collect the kept (pos, chunk) structs, sort_array restores order —
+    // no running-prefix arrays, no per-doc sort pass.
+    Reassemble.reassembleKept(flagged, idCol, "pos", "chunk", "__kept",
+      "n_chunks")
   }
 
   /** Connected components over an undirected pair list — the cluster-

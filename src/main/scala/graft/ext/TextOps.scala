@@ -736,11 +736,10 @@ object TextOps {
     * first-occurrence rule is position-independent.
     *
     * One doc-keyed shuffle total: the lag window flags each token against
-    * its predecessor, the running pos-ordered collect_list rebuilds the
-    * survivors (the [[DedupOps.chunkDedup]] idiom — the when() drops cut
-    * tokens as nulls, the max-pos row carries the full kept array), and
-    * the per-doc rollup rides the window's partitioning (exchange reuse).
-    * Map-only before that; nothing global.
+    * its predecessor, and the shared [[Reassemble.reassembleKept]]
+    * aggregate rebuilds the survivors (sorted kept-struct collect — no
+    * running-prefix arrays); the rollup rides the window's partitioning
+    * (exchange reuse). Map-only before that; nothing global.
     *
     * Returns (idCol, n_tokens, n_kept, clean_text); a null-text doc keeps
     * its row with 0/0/null.
@@ -752,19 +751,11 @@ object TextOps {
     val toks = docs.select(col(idCol),
       posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__w")))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
+    val flagged = toks
       .withColumn("__keep", col("__w").isNotNull &&
         coalesce(col("__w") =!= lag(col("__w"), 1).over(wDoc), lit(true)))
-      .withColumn("__arr",
-        collect_list(when(col("__keep"), col("__w"))).over(wRun))
-      .groupBy(col(idCol))
-      .agg(count(col("__w")).as("n_tokens"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        max(struct(col("__pos"), col("__arr"))).as("__last"))
-      .select(col(idCol), col("n_tokens"), col("n_kept"),
-        when(col("n_kept") > 0,
-          concat_ws(" ", col("__last").getField("__arr"))).as("clean_text"))
+    Reassemble.reassembleKept(flagged, idCol, "__pos", "__w", "__keep",
+      "n_tokens")
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
@@ -970,20 +961,10 @@ object TextOps {
       .withColumn("__keep", col("__tok").isNotNull &&
         !(max(col("__gsh")).over(wCov) === 1 &&
           max(col("__gkp")).over(wCov) === 0))
-    // rebuild exactly as chunkDedup: pos-ordered running collect_list
-    // skips the when()'s nulls, so the max-pos row carries the kept
-    // tokens in order; the groupBy rides the window's id partitioning
-    val wRun = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cov
-      .withColumn("__arr",
-        collect_list(when(col("__keep"), col("__tok"))).over(wRun))
-      .groupBy(col(idCol))
-      .agg(count(col("__tok")).as("n_toks"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        max(struct(col("__pos"), col("__arr"))).as("__last"))
-      .select(col(idCol), col("n_toks"), col("n_kept"),
-        when(col("n_kept") > 0,
-          concat_ws(" ", col("__last").getField("__arr"))).as("clean_text"))
+    // rebuild via the shared [[Reassemble.reassembleKept]] aggregate
+    // (sorted kept-struct collect), riding the coverage window's id
+    // partitioning — no running-prefix arrays
+    Reassemble.reassembleKept(cov, idCol, "__pos", "__tok", "__keep",
+      "n_toks")
   }
 }

@@ -603,4 +603,41 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(plan.contains("Scan parquet"))
     assert(!plan.contains("Generate") && !plan.contains("HashAggregate"))
   }
+
+  test("reassembly stress: a 50k-token document runs all three span " +
+      "editors within a wall-time bound (no quadratic prefix arrays)") {
+    // The pre-r12 rebuild idiom (running collect_list over an unbounded-
+    // preceding frame) materialized a length-p prefix array at every
+    // position — O(T²) state, ~1.25G array cells for ONE 50k-token book.
+    // The shared Reassemble aggregate is linear; this pins that a book-
+    // length document stays seconds, not minutes. Text shape exercises
+    // every operator's edit path: adjacent runs (collapseTokenRuns), a
+    // repeated 8-token block (chunkDedup + cutSharedSpans via doc 2).
+    val n = 50000
+    val toks = (0 until n).map { i =>
+      if (i % 97 < 2) "dup dup".split(" ")(i % 2) // adjacent run every 97
+      else if (i % 640 < 8) s"block${i % 8}"      // recurring 8-token block
+      else s"w${i % 3163}"
+    }
+    val big = toks.mkString(" ")
+    val docs = Seq((1L, big), (2L, big.take(4000))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val runs = TextOps.collapseTokenRuns(docs, "doc_id", "text").collect()
+    val chunks = DedupOps.chunkDedup(docs, "doc_id", "text",
+      chunkTokens = 8).collect()
+    val spans = TextOps.cutSharedSpans(docs, "doc_id", "text", n = 8)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0,
+      f"span editors took $secs%.1f s on a 50k-token doc — quadratic " +
+        "rebuild suspected")
+    // sanity: every operator saw all tokens and actually edited
+    val r1 = runs.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == n && r1.getLong(2) < n)
+    assert(r1.getString(3).split(" ").length == r1.getLong(2))
+    val c1 = chunks.find(_.getLong(0) == 1L).get
+    assert(c1.getLong(1) == (n + 7) / 8 && c1.getLong(2) < c1.getLong(1))
+    val s1 = spans.find(_.getLong(0) == 1L).get
+    assert(s1.getLong(1) == n && s1.getLong(2) <= n)
+  }
 }

@@ -181,6 +181,21 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 3,
       s"extra shuffles:\n$p")
     assert(!p.contains("Join"), s"q67 gained a join:\n$p")
+    // rebuild is the shared Reassemble AGGREGATE, not a second window:
+    // the only window is the fp-keyed first-occurrence flag
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"expected exactly 1 window (the keep flag):\n$p")
+  }
+
+  test("q112: run collapse is one lag window + the Reassemble aggregate " +
+      "— no running-prefix rebuild window") {
+    val p = plan("q112_run_collapse")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"expected exactly 1 window (the lag flag):\n$p")
+    // the rollup rides the lag window's doc partitioning: one doc-keyed
+    // hash exchange total
+    assert("hashpartitioning".r.findAllIn(p).size <= 1,
+      s"reassembly gained its own shuffle:\n$p")
   }
 
   test("q62: top-token counting is two partial aggregations, no expand") {
@@ -300,6 +315,12 @@ class QueryPlanSpec extends AnyFunSuite {
     // no sort-merge of the token stream at fixture scale, and gram
     // STRINGS never reach a shuffle — only md5 fingerprints travel
     assert(!p.contains("SortMergeJoin"), s"mark join stopped broadcasting:\n$p")
+    // two distinct windows — the lead-gram fingerprint (printed twice
+    // pre-AQE: the firsts branch shares the subtree, reused at runtime)
+    // and the coverage max. The rebuild is the shared Reassemble
+    // aggregate; the old running-prefix window would make this 4.
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 3,
+      s"expected 3 window nodes (2 distinct + 1 shared reprint):\n$p")
   }
 
   test("q113: the corpus is tokenized ONCE — the collapsed-count exchange " +
