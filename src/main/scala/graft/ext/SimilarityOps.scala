@@ -678,10 +678,9 @@ object SimilarityOps {
     * Unlike the int8 path's bounded-error margin, PQ's approximation is
     * unbounded (quantization error depends on the fit), so refineFactor
     * is a recall knob, not a proof: the PqAnnSpec measures recall@k
-    * against [[bruteForceTopK]] on the fixture. Compose with
-    * [[ivfTopKWithCentroids]] cells for the scan-pruned variant (IVF-PQ);
-    * here the un-pruned form keeps the approximation measurable on its
-    * own.
+    * against [[bruteForceTopK]] on the fixture. The scan-pruned
+    * composition with IVF cells is [[ivfPqTopK]]; here the un-pruned
+    * form keeps the PQ approximation measurable on its own.
     */
   def pqTopKWithCodebooks(probes: DataFrame, candidates: DataFrame,
                           cbs: Array[Array[Array[Double]]], k: Int,
@@ -706,6 +705,71 @@ object SimilarityOps {
     val shortlist = topKPerGroup(coarse, "probe_id", "cand_id",
         k * refineFactor)
       .select(col("probe_id"), col("cand_id"))
+    val exact = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
+    topKPerGroup(exact, "probe_id", "cand_id", k)
+  }
+
+  /** IVF-PQ (Jégou et al. 2011 §V, the "IVFADC" variant): the composed,
+    * scan-pruned, compressed ANN index — [[ivfTopKWithCentroids]]'s coarse
+    * cell pruning fused with [[pqTopKWithCodebooks]]'s asymmetric-distance
+    * scoring. This is the operator a 100 TB vector corpus actually
+    * deploys: the ADC pass touches only the m-byte codes of vectors in
+    * the `nprobe` probed cells — neither the raw vectors NOR the whole
+    * code table.
+    *
+    *  1. BUILD (map-only, one pass over the corpus): each vector gets its
+    *     coarse cell ([[cellOf]], the fused argmax-dot kernel against the
+    *     centroid literals) AND its m PQ codes ([[pqCodeOf]]) — the
+    *     persisted index is (cell, id, codes), bytes per vector.
+    *  2. PROBE: each probe ranks the centroid table and keeps its
+    *     `nprobe` nearest cells (tiny: |probes|·nprobe rows, broadcast).
+    *  3. ADC within probed cells: the cell equi-join replaces q114's
+    *     full-corpus cross join, so the scored pair count drops by
+    *     ~nprobe/nCells; scoring stays map-side over the encoded scan.
+    *  4. Exact re-rank: the per-probe top k·refineFactor id shortlist
+    *     broadcasts back onto the candidate scan, true dot products
+    *     decide the final k.
+    *
+    * Recall composes both approximations: the IVF boundary miss (a true
+    * neighbor whose cell is not probed — measured per nprobe in
+    * SimilarityOpsSpec) and the PQ quantization miss inside probed cells
+    * (bounded by refineFactor — measured in PqAnnSpec, operating-point
+    * table in SCALING.md). At the committed fixture point (nprobe 3 of
+    * 16 cells, m=16, rf=4) the composed recall@5 is pinned in PqAnnSpec.
+    */
+  def ivfPqTopK(probes: DataFrame, candidates: DataFrame,
+                cents: Array[Array[Double]],
+                cbs: Array[Array[Array[Double]]], k: Int, nprobe: Int,
+                refineFactor: Int = 4): DataFrame = {
+    require(cbs.nonEmpty && k > 0 && nprobe > 0 && refineFactor >= 1)
+    val m = cbs.length
+    val dsub = cbs(0).head.length
+    // the index scan: cell + codes, never the embedding
+    val cands = withUnitVec(candidates, "embedding", "cand_emb")
+      .select(cellOf(col("cand_emb"), cents).as("cell"),
+        col("vec_id").as("cand_id"),
+        array((0 until m).map(mi =>
+          pqCodeOf(col("cand_emb"), mi, cbs(mi))): _*).as("codes"))
+    val probeCells = probeCellsOf(probes, cents, nprobe)
+    val cbLits = cbs.map(cb => typedLit(cb.map(_.toSeq).toSeq))
+    val adc = (0 until m).map { mi =>
+      VectorFunctions.dotProduct(subVec(col("probe_unit"), mi, dsub),
+        element_at(cbLits(mi), element_at(col("codes"), mi + 1) + 1))
+    }.reduce(_ + _)
+    // cell equi-join (broadcast: |probes|·nprobe rows) — a candidate
+    // meets a probe through exactly ONE cell, so no pair dedup is needed
+    val coarse = cands.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(adc, 6))
+    val shortlist = topKPerGroup(coarse, "probe_id", "cand_id",
+        k * refineFactor)
+      .select(col("probe_id"), col("cand_id"))
+    val probeVecs = withUnitVec(probes, "embedding", "probe_unit")
+      .select(col("vec_id").as("probe_id"), col("probe_unit"))
     val exact = withUnitVec(candidates, "embedding", "cand_emb")
       .select(col("vec_id").as("cand_id"), col("cand_emb"))
       .join(broadcast(shortlist), Seq("cand_id"))

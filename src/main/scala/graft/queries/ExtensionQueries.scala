@@ -618,6 +618,19 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // IVF-PQ (q115): the composed, scan-pruned index — q31's committed
+    // centroids prune the scan to nprobe cells, q114's committed codebooks
+    // score the within-cell codes via ADC, exact re-rank decides. The
+    // oracle rebuilds the full chain from the SAME literals, so every
+    // stage hash-matches (the q98 shared-literal pattern) ---------------
+    "q115_ivf_pq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+          graft.ext.IvfCentroids.centroids, graft.ext.PqCodebooks.codebooks,
+          k = 5, nprobe = 3, refineFactor = 8)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
     // SAME committed centroids as q31 (map-only NearestCell kernel), exact
     // cosine over within-cell pairs only, frontier-delta CC over the dup
@@ -1500,6 +1513,90 @@ object ExtensionQueries {
        |ORDER BY probe_id, rk""".stripMargin
   }
 
+  /** q115: IVF-PQ — the q31 centroid literals AND the q114 codebook
+    * literals in one chain. Candidate cell assignment and probe cell
+    * ranking mirror q31 (argmax dot, ties → lowest cell); code assignment,
+    * ADC lookup, shortlist, and exact re-rank mirror q114 — except the
+    * ADC scan joins the probed-cell set (`USING (cell)`) instead of
+    * cross-joining the full corpus. A candidate holds exactly one cell,
+    * so the equi-join can't duplicate a (probe, cand) pair.
+    */
+  private lazy val ivfPqOracleSql: String = {
+    val cbs = graft.ext.PqCodebooks.codebooks
+    val m = cbs.length
+    val dsub = cbs(0).head.length
+    val centRows = graft.ext.IvfCentroids.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    def values(cb: Array[Array[Double]]): String = cb.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    val cbCtes = (0 until m).map { mi =>
+      s"""cbe$mi(j, c) AS (VALUES ${values(
+           graft.ext.SimilarityOps.extendForL2(cbs(mi)))}),
+         |cb$mi(j, c) AS (VALUES ${values(cbs(mi))})""".stripMargin
+    }.mkString(",\n")
+    val assignCtes = (0 until m).map { mi =>
+      val lo = mi * dsub + 1; val hi = (mi + 1) * dsub
+      s"""a$mi AS (SELECT n.vec_id, j, row_number() OVER (
+         |    PARTITION BY n.vec_id ORDER BY
+         |      list_dot_product(n.u[$lo:$hi] || [CAST(1.0 AS DOUBLE)],
+         |        cbe.c) DESC, j) AS rn
+         |  FROM n, cbe$mi cbe),
+         |c$mi AS (SELECT vec_id, j AS code$mi FROM a$mi WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val encJoin = (0 until m).map(mi => s"JOIN c$mi USING (vec_id)")
+      .mkString(" ")
+    val codeCols = (0 until m).map(mi => s"code$mi").mkString(", ")
+    val adcSum = (0 until m).map { mi =>
+      val lo = mi * dsub + 1; val hi = (mi + 1) * dsub
+      s"list_dot_product(p.pu[$lo:$hi], cb$mi.c)"
+    }.mkString(" +\n      ")
+    val adcJoins = (0 until m)
+      .map(mi => s"JOIN cb$mi ON cb$mi.j = e.code$mi").mkString("\n    ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u
+       |  FROM e0),
+       |cents(cell, c) AS (VALUES $centRows),
+       |$cbCtes,
+       |$assignCtes,
+       |ccell AS (SELECT n.vec_id, cents.cell, row_number() OVER (
+       |    PARTITION BY n.vec_id
+       |    ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell) AS rn
+       |  FROM n, cents),
+       |cc AS (SELECT vec_id, cell FROM ccell WHERE rn = 1),
+       |enc AS (SELECT n.vec_id, cc.cell, $codeCols
+       |  FROM n JOIN cc USING (vec_id) $encJoin),
+       |pcand AS (SELECT n.vec_id AS probe_id, n.u AS pu, cents.cell,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell)
+       |      AS crk
+       |  FROM n, cents WHERE n.vec_id < 10),
+       |p AS (SELECT probe_id, pu, cell FROM pcand WHERE crk <= 3),
+       |pv AS (SELECT vec_id AS probe_id, u AS pu FROM n WHERE vec_id < 10),
+       |sc AS (SELECT p.probe_id, e.vec_id AS cand_id,
+       |    round($adcSum, 6) AS sim
+       |  FROM enc e JOIN p USING (cell)
+       |    $adcJoins
+       |  WHERE p.probe_id <> e.vec_id),
+       |sl AS (SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+       |    FROM sc) WHERE rn <= 40),
+       |ex AS (SELECT sl.probe_id, sl.cand_id,
+       |    round(list_dot_product(pv.pu, cn.u), 6) AS sim
+       |  FROM sl JOIN pv USING (probe_id)
+       |    JOIN n cn ON cn.vec_id = sl.cand_id),
+       |rk AS (SELECT probe_id, cand_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM ex)
+       |SELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
   /** q104: the committed centroid literals again — nearest-cell argmax
     * (ties to the lowest cell, like q31's `rn = 1`), rounded own-centroid
     * sim, within-cell pair scoring, recursive transitive closure (the q85
@@ -2268,6 +2365,7 @@ object ExtensionQueries {
     "q31_ann_ivf" -> ivfOracleSql,
     "q104_semantic_dedup" -> semanticDedupOracleSql,
     "q114_pq_ann" -> pqAnnOracleSql,
+    "q115_ivf_pq_ann" -> ivfPqOracleSql,
     "q106_incremental_semantic" -> incrementalSemanticOracleSql,
     // q108: the plain filter over the SOURCE table — the written layout,
     // sidecar, and file pruning must all be invisible in the result

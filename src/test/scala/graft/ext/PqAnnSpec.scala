@@ -68,6 +68,79 @@ class PqAnnSpec extends AnyFunSuite {
     assert(r8 >= r1, "exact re-rank of a wider shortlist cannot hurt")
   }
 
+  test("ivfPqTopK with nprobe = nCells degenerates to exactly " +
+      "pqTopKWithCodebooks: cell pruning is the ONLY approximation added") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val full = SimilarityOps.ivfPqTopK(probes, emb,
+        graft.ext.IvfCentroids.centroids, graft.ext.PqCodebooks.codebooks,
+        k = 5, nprobe = graft.ext.IvfCentroids.centroids.length,
+        refineFactor = 8)
+      .select("probe_id", "rk", "cand_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val pq = SimilarityOps.pqTopKWithCodebooks(probes, emb,
+        graft.ext.PqCodebooks.codebooks, k = 5, refineFactor = 8)
+      .select("probe_id", "rk", "cand_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(full == pq,
+      "probing every cell must reproduce the un-pruned PQ result")
+  }
+
+  test("ivfPqTopK composed recall@5: bounded at the committed operating " +
+      "point, and monotone in nprobe") {
+    val probes = emb.filter(col("vec_id") < 20)
+    val ex = SimilarityOps.bruteForceTopK(probes, emb, k = 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = SimilarityOps.ivfPqTopK(probes, emb,
+          graft.ext.IvfCentroids.centroids, graft.ext.PqCodebooks.codebooks,
+          k = 5, nprobe = nprobe, refineFactor = 8)
+        .select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & ex).size.toDouble / ex.size
+    }
+    val r3 = recallAt(3)
+    val r8 = recallAt(8)
+    info(f"composed recall@5: nprobe=3 $r3%.3f, nprobe=8 $r8%.3f")
+    // Measured 2026-08 on the committed literals: nprobe=3 -> 0.36,
+    // nprobe=8 -> 0.75 (un-pruned PQ: 0.78). The random fixture is IVF's
+    // WORST case — with no cluster structure, true neighbors scatter
+    // uniformly across cells, so pruning 13/16 cells loses ~half the
+    // neighbor mass (the q105 SemDeDup recall curve quantifies the same
+    // boundary effect). Real embedding corpora cluster, which is the
+    // operator's entire premise; the floors pin the measured worst case
+    // so a code regression (not fixture noise) fails. SCALING.md carries
+    // the nprobe sweep and the tuning rule.
+    assert(r3 >= 0.25, s"composed recall collapsed at nprobe=3: $r3")
+    assert(r8 >= 0.6, s"composed recall collapsed at nprobe=8: $r8")
+    assert(r8 >= r3,
+      s"probing more cells must not lose recall: $r8 < $r3")
+  }
+
+  test("q115 plan: the coarse ADC stage joins probed cells by equi-key " +
+      "(no cross join anywhere), streams codes not vectors, and assigns " +
+      "cells on the fused kernel") {
+    val df = graft.queries.ExtensionQueries.queries("q115_ivf_pq_ann")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_cell"),
+      s"cell assignment must be the fused kernel:\n${plan.take(4000)}")
+    // q114's full-corpus ADC is a BNLJ; the pruned composition must have
+    // NO non-equi join at all — the scan meets the probe set on `cell`
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"full-corpus ADC crept back in:\n${plan.take(4000)}")
+    val cellJoin = plan.linesIterator
+      .find(l => l.contains("BroadcastHashJoin") && l.contains("cell"))
+    assert(cellJoin.isDefined,
+      s"expected the probed-cell equi-join:\n${plan.take(4000)}")
+    // the coarse join's streamed side carries the m codes, never cand_emb
+    assert(!cellJoin.get.contains("cand_emb"),
+      s"coarse join drags the raw vectors:\n${cellJoin.get}")
+  }
+
   test("q114 plan: encode + ADC run on the fused kernels, and the coarse " +
       "scoring operator sees codes, not the candidate vectors") {
     val df = graft.queries.ExtensionQueries.queries("q114_pq_ann")(
