@@ -65,22 +65,24 @@ object Bench {
     // structure in the durable record.
     val ccStats = scala.collection.mutable.LinkedHashMap
       .empty[String, graft.ext.DedupOps.CcRunStats]
+    def timeQuery(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      // noop sink materializes every output column (count() would let
+      // Catalyst prune the projections and under-measure scalar-heavy
+      // queries) without paying parquet-encode or local-disk cost.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
+      }
+    }
     val results: Seq[(String, Either[String, Double])] = selected.toSeq.map {
       case (name, fn) =>
         graft.ext.DedupOps.resetCcStats()
-        def runOnce(): Either[String, Double] = {
-          val t0 = System.nanoTime()
-          // noop sink materializes every output column (count() would let
-          // Catalyst prune the projections and under-measure scalar-heavy
-          // queries) without paying parquet-encode or local-disk cost.
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable => Left(e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
-          }
-        }
+        def runOnce(): Either[String, Double] = timeQuery(fn)
         val runs = (1 to reps).map(_ => runOnce())
         // Sub-second queries are dominated by scheduler jitter: a contended
         // min-of-3 measured q24 at 2.95s where a quiet run gives 0.53s. Two
@@ -98,6 +100,74 @@ object Bench {
         name -> (if (oks.nonEmpty) Right(oks.min)
                  else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
+    // Self-adjudication (three rounds running, the record carried a
+    // phantom regression that cost the verdict a manual re-run: r9→r10
+    // contention, r10 q27, r11 q55): any query whose min-of-reps time
+    // exceeds 3× its entry in the PREVIOUS round's record — drift-
+    // normalized by the calibration ratio — is re-timed ONCE at the
+    // quiet end of the run, and BOTH numbers go into the durable record
+    // so a transient scheduler lottery is adjudicable without re-running
+    // the bench. Previous record: first arg, else SPARK_GRAFT_PREV_BENCH,
+    // else the newest BENCH_r*.json in the working directory.
+    val prevPath: Option[String] = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_PREV_BENCH"))
+      .orElse {
+        val fs = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        if (fs.isEmpty) None
+        else Some(fs.maxBy(_.getName.replaceAll("\\D", "").toInt).getPath)
+      }
+    def parsePrev(text: String): (Map[String, Double], Option[Double]) = {
+      // brace-match the LAST "queries" object (a captured-stdout record
+      // can hold several lines; err-string values and the cc field make
+      // naive regex-over-the-file wrong)
+      val qIdx = text.lastIndexOf("\"queries\":{")
+      val times = if (qIdx < 0) Map.empty[String, Double] else {
+        val start = qIdx + "\"queries\":".length
+        var i = start; var depth = 0; var inStr = false; var esc = false
+        var end = -1
+        while (i < text.length && end < 0) {
+          val c = text(i)
+          if (esc) esc = false
+          else if (inStr) { if (c == '\\') esc = true
+            else if (c == '"') inStr = false }
+          else c match {
+            case '"' => inStr = true
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (end < 0) Map.empty[String, Double]
+        else "\"((?:[^\"\\\\]|\\\\.)+)\":([0-9][0-9.eE+-]*)".r
+          .findAllMatchIn(text.substring(start, end + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      val cal = "\"calibration\":([0-9][0-9.eE+-]*)".r
+        .findAllMatchIn(text).toSeq.lastOption.map(_.group(1).toDouble)
+      (times, cal)
+    }
+    val (prevTimes, prevCal) = prevPath.flatMap { p =>
+      try Some(parsePrev(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p))))
+      catch { case _: Throwable => None }
+    }.getOrElse((Map.empty[String, Double], None))
+    // drift ratio: how much slower THIS machine/run is on the pinned
+    // calibration workload than the previous record's — an outlier
+    // threshold that ignored it would flag the whole suite on a slow box
+    val drift = prevCal.filter(_ > 0).map(calibration / _).getOrElse(1.0)
+    val retimes: Seq[(String, (Double, Double, Double))] =
+      results.flatMap {
+        case (name, Right(t)) => prevTimes.get(name).collect {
+          case p if t > 3.0 * p * drift =>
+            val r = selected.get(name)
+              .flatMap(fn => timeQuery(fn).toOption).getOrElse(t)
+            name -> (p, t, r)
+        }
+        case _ => None
+      }
     // Verify's escaper handles control chars too — a tab/CR inside an
     // error message must not corrupt the round's only durable bench record
     def jstr(s: String) = Verify.jsonStr(s)
@@ -115,8 +185,15 @@ object Bench {
         jstr(q) + s""":{"rounds":${s.rounds},"changed":${
           s.changedPerRound.mkString("[", ",", "]")}}"""
       }.mkString(""","cc":{""", ",", "}")
+    // retimes AFTER queries: a truncated stdout capture keeps the line's
+    // tail (BENCH_r10 did), and the adjudication data must survive that
+    val retimeField =
+      if (retimes.isEmpty) ""
+      else retimes.map { case (q, (p, t, r)) =>
+        jstr(q) + s""":{"prev":$p,"time":$t,"retime":$r}"""
+      }.mkString(s""","drift":$drift,"retimes":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs$errField$ccField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs$errField$ccField$retimeField,"sf":"$sfDir"}"""
     println(fullLine)
     // Stdout capture has truncated the long per-query record two rounds in a
     // row (r4 lost the total, r5 lost 21/81 per-query times), so the complete
@@ -140,7 +217,7 @@ object Bench {
     // queries map and is lost when the driver keeps only the line's tail
     // (BENCH_r10.json did), which would leave the round's record
     // un-normalizable against machine drift.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","calibration":$calibration,"n_queries":${results.size},"n_errors":${errs.size}}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","calibration":$calibration,"n_queries":${results.size},"n_errors":${errs.size},"n_retimed":${retimes.size}}""")
     spark.stop()
   }
 }
