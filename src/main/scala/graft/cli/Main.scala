@@ -9,6 +9,7 @@ import graft.viz.GraphViz
   * (/root/reference/src/main.rs:24-84):
   *
   *   run       [--config C] [--models-dir D] [--db-path P] [--parallel]
+  *             [--changed-only]
   *   run-file  <script.sql> [more.sql …]
   *   viz       <out.svg>
   *
@@ -30,7 +31,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] <out.svg>""".stripMargin)
       sys.exit(2)
@@ -48,6 +49,8 @@ object Main {
       case k :: v :: t if Set("--config", "--models-dir", "--db-path")(k) =>
         go(t, flags + (k.drop(2) -> v), pos)
       case "--parallel" :: t => go(t, flags + ("parallel" -> "true"), pos)
+      case "--changed-only" :: t =>
+        go(t, flags + ("changed-only" -> "true"), pos)
       case a :: _ if a.startsWith("--") =>
         System.err.println(s"Unknown flag: $a"); sys.exit(2)
       case a :: t => go(t, flags, pos :+ a)
@@ -96,7 +99,8 @@ object Main {
       // this session before anything executes (reference .duckdb parity)
       config.dbPath.foreach(ViewStore.restore(spark, _))
       val session = new PipelineSession(spark, config,
-        parallel = flags.contains("parallel"))
+        parallel = flags.contains("parallel"),
+        changedOnly = flags.contains("changed-only"))
       val report = session.runNodes()
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {

@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
 final class PipelineSession(
     spark0: => SparkSession,
     val config: PipelineConfig,
-    parallel: Boolean = false) {
+    parallel: Boolean = false,
+    changedOnly: Boolean = false) {
 
   // by-name + lazy: graph building and viz never touch Spark, so `viz`
   // can construct a session-free PipelineSession and skip Spark startup
@@ -181,10 +182,46 @@ final class PipelineSession(
     println(s"Start pipeline execution on " +
       LocalDateTime.now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd")))
 
+    // upstream-closure fingerprints: own rendered SQL + materialization,
+    // folded with every ancestor's closure fp in topo order — so a change
+    // ANYWHERE upstream changes every descendant's fingerprint and only
+    // the truly-untouched subgraph can skip
+    val closureFps: Map[String, String] = {
+      val memo = mutable.Map[String, String]()
+      order.foreach { id =>
+        val n = nodeMap(id)
+        val own = PipelineSession.md5hex(
+          n.renderedSrc + " " + n.materialize.getOrElse("view"))
+        val anc = n.prevs.filter(nodeMap.contains).toSeq.sorted
+          .map(p => memo.getOrElse(p, "?"))
+        memo(id) = PipelineSession.md5hex((own +: anc).mkString(""))
+      }
+      memo.toMap
+    }
+    val skip: Set[String] =
+      if (!changedOnly) Set.empty
+      else {
+        val stored = config.dbPath.map(ViewStore.loadFingerprints)
+          .getOrElse(Map.empty)
+        order.filter { id =>
+          val n = nodeMap(id)
+          stored.get(id).contains(closureFps(id)) &&
+            // side statements (SET/COPY/CREATE MACRO) may have effects a
+            // skip would lose — only pure single-SELECT models skip
+            SqlText.splitStatements(n.renderedSrc).size == 1 &&
+            // a skipped table must already be materialized (same session,
+            // or restored from db_path); otherwise execute
+            (n.materialize.map(_.toLowerCase).forall(_ == "view") ||
+              (try spark.catalog.tableExists(id)
+               catch { case _: Exception => false }))
+        }.toSet
+      }
+
     val t0 = System.nanoTime()
     val results =
       if (!parallel) order.zipWithIndex.map { case (id, i) =>
-        executeReported(nodeMap(id), i + 1, order.size)
+        executeReported(nodeMap(id), i + 1, order.size,
+          skip = skip(id))
       }
       else {
         val graph = Dag.Graph(nodeMap.map { case (id, n) =>
@@ -194,11 +231,17 @@ final class PipelineSession(
           val valid = wave.filter(idx.contains)
           valid.par.map(id =>
             executeReported(nodeMap(id), idx(id) + 1, order.size,
-              buffered = true)).toList
+              buffered = true, skip = skip(id))).toList
             .sortBy(r => idx(r.id))
         }
       }
     val report = RunReport(results, (System.nanoTime() - t0) / 1000000)
+    // record the base for the next --changed-only run: models that ran
+    // (or verified-skipped) successfully THIS run; failed models drop out
+    // so they re-execute next time
+    ViewStore.saveFingerprints(config.dbPath,
+      closureFps.view.filterKeys(id =>
+        results.exists(r => r.id == id && r.error.isEmpty)).toMap)
 
     if (report.errors.nonEmpty) {
       println("\nErrors:")
@@ -235,7 +278,8 @@ final class PipelineSession(
   }
 
   private def executeReported(node: ModelNode, nth: Int, total: Int,
-                              buffered: Boolean = false): NodeResult = {
+                              buffered: Boolean = false,
+                              skip: Boolean = false): NodeResult = {
     val ts = LocalDateTime.now.format(DateTimeFormatter.ofPattern("HH:mm:ss"))
     val mat = node.materialize.getOrElse("view").toLowerCase
     val info = s"$ts  $nth of $total: creating ${node.id} $mat model"
@@ -247,7 +291,10 @@ final class PipelineSession(
     if (!buffered) print(header)
     val t0 = System.nanoTime()
     val (status, err) =
-      try { val st = executeNode(node); (st, None) }
+      try {
+        val st = if (skip) skipNode(node) else executeNode(node)
+        (st, None)
+      }
       catch {
         case e: GraftError => ("ERROR", Some(e))
         case e: Exception =>
@@ -257,6 +304,25 @@ final class PipelineSession(
     val tail = s"[$status in ${formatElapsed(ms)}]"
     if (buffered) println(header + tail) else println(tail)
     NodeResult(node.id, status, ms, err)
+  }
+
+  /** `--changed-only` fast path for a fingerprint-unchanged model. A VIEW
+    * is re-registered from its (identical) rendered SELECT — pure
+    * analysis, no job, and it keeps the db_path store current; a TABLE is
+    * verified present in the catalog by the skip decision and left as the
+    * previous run materialized it. The status string is the UX contract.
+    */
+  private def skipNode(node: ModelNode): String = {
+    if (node.materialize.map(_.toLowerCase).forall(_ == "view")) {
+      val raw = SqlText.splitStatements(node.renderedSrc).head
+      val select = DialectShim.rewrite(raw, spark)
+      try {
+        spark.sql(select).createOrReplaceTempView(node.id)
+        ViewStore.saveView(config.dbPath, node.id, select, Some(raw))
+      } catch { case e: Exception =>
+        throw StatementExecutionError(e.getMessage, select, node.path) }
+    }
+    "SKIP unchanged"
   }
 
   /** Execute one node: split statements, validate exactly one
@@ -374,6 +440,11 @@ final class PipelineSession(
 }
 
 object PipelineSession {
+  private[pipeline] def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   // shared across sessions (a long-lived driver may build many): daemon
   // threads, so JVM exit is never held up
   private lazy val wavePool = java.util.concurrent.Executors.newFixedThreadPool(

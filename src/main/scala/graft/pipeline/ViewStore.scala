@@ -123,6 +123,36 @@ object ViewStore {
     Files.write(m, next.asJava)
   }
 
+  // --- run fingerprints (selective re-execution, `run --changed-only`) ---
+
+  private def fingerprintFile(dbPath: String): Path =
+    storeDir(dbPath).resolve("fingerprints.tsv")
+
+  /** Persist the upstream-closure fingerprints of a SUCCESSFUL run —
+    * the comparison base the next `--changed-only` run skips against.
+    * Written whole (not merged): a model dropped from the DAG must drop
+    * its entry, or re-adding it later could skip its first execution.
+    */
+  def saveFingerprints(dbPath: Option[String],
+                       fps: Map[String, String]): Unit =
+    dbPath.foreach { db =>
+      Files.createDirectories(storeDir(db))
+      Files.write(fingerprintFile(db),
+        fps.toSeq.sorted.map { case (id, fp) => s"$id\t$fp" }.asJava)
+      ()
+    }
+
+  def loadFingerprints(dbPath: String): Map[String, String] = {
+    val f = fingerprintFile(dbPath)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.flatMap { l =>
+      l.split("\t", -1) match {
+        case Array(id, fp) => Some(id -> fp)
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Replay persisted models into `spark` (typically a fresh session over
     * an existing db_path). Returns the number restored.
     */

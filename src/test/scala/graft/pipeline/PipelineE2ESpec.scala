@@ -271,6 +271,72 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(ViewStore.restore(s3, db.toString) == 2)
   }
 
+  test("run --changed-only: editing one mid-DAG model re-executes only " +
+      "its descendants; untouched models report [SKIP unchanged] and " +
+      "results equal a full run") {
+    val db = Files.createTempDirectory("graft-changed-only")
+    val dir = Files.createTempDirectory("graft-changed-models")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def write(id: String, sql: String): Unit = {
+      Files.writeString(modelsDir.resolve(s"$id.sql"), sql); ()
+    }
+    // DAG: co_src (table) → co_mid (view) → co_leaf (view); co_side
+    // hangs off co_src independently of the edited branch
+    write("co_src",
+      s"SELECT * FROM read_parquet('$sfDir/orders.parquet')")
+    write("co_mid",
+      "SELECT o_orderstatus, count() AS n FROM co_src GROUP BY o_orderstatus")
+    write("co_leaf", "SELECT sum(n) AS total FROM co_mid")
+    write("co_side", "SELECT max(o_orderkey) AS mx FROM co_src")
+    val yaml =
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  co_src:
+         |    materialize: table""".stripMargin
+    Files.writeString(dir.resolve("config.yaml"), yaml)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    // run 1: full — establishes materializations + fingerprints
+    val r1 = new PipelineSession(spark, config).runNodes()
+    assert(r1.errors.isEmpty)
+
+    // run 2: nothing changed — EVERY model skips
+    val r2 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r2.errors.isEmpty)
+    assert(r2.results.forall(_.status == "SKIP unchanged"),
+      s"unchanged re-run must skip everything: ${r2.results}")
+    // the skipped views are still resolvable (re-registered, not lost)
+    assert(spark.table("co_leaf").collect().nonEmpty)
+
+    // run 3: edit the MID model — it and its descendant re-execute, the
+    // untouched source table and the sibling branch skip
+    write("co_mid",
+      """SELECT o_orderstatus, count() AS n FROM co_src
+        |WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus""".stripMargin)
+    val r3 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r3.errors.isEmpty)
+    val st3 = r3.results.map(r => r.id -> r.status).toMap
+    assert(st3("co_src") == "SKIP unchanged", s"$st3")
+    assert(st3("co_side") == "SKIP unchanged", s"$st3")
+    assert(st3("co_mid") == "CREATE VIEW", s"$st3")
+    assert(st3("co_leaf") == "CREATE VIEW", s"$st3")
+    val midChanged = spark.table("co_mid").orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val leafChanged = spark.table("co_leaf").collect().head.getLong(0)
+
+    // the changed-only results must equal a FULL run of the same sources
+    val r4 = new PipelineSession(spark, config).runNodes()
+    assert(r4.errors.isEmpty)
+    assert(r4.results.forall(_.status != "SKIP unchanged"))
+    val midFull = spark.table("co_mid").orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(midChanged == midFull, "changed-only diverged from a full run")
+    assert(spark.table("co_leaf").collect().head.getLong(0) == leafChanged)
+  }
+
   test("a dependency added in a later run restores before its dependent") {
     val db = Files.createTempDirectory("graft-dbpath-reorder")
     // run 1: only vb exists
