@@ -587,6 +587,12 @@ object DedupOps {
     * Output: (idCol, n_chunks, n_kept, clean_text) — clean_text is null
     * when every chunk of the document appeared earlier somewhere else.
     *
+    * Composition note: for period-p repeats with adjacent stutter
+    * (pagination chrome), run [[TextOps.collapseTokenRuns]] FIRST —
+    * stutter misaligns the fixed chunk grid so raw repeats don't collide;
+    * the worked example is TextOpsSpec's "period-p repeats via
+    * composition" case.
+    *
     * At 100 TB: the corpus is scanned and tokenized ONCE and moved
     * through exactly TWO shuffles. A window-min over fp partitions marks
     * each chunk kept/dropped in place (no separate firsts aggregate, no

@@ -732,8 +732,12 @@ object TextOps {
     * ("batch batch batch" → "batch"), the classic cleanup for scraped
     * pagination chrome and generation loops. Periodicity beyond 1 is out
     * of scope by design — higher-period cuts depend on earlier cuts and so
-    * serialize; for block-level repeats use [[DedupOps.chunkDedup]], whose
-    * first-occurrence rule is position-independent.
+    * serialize; for block-level (period-p) repeats COMPOSE with
+    * [[DedupOps.chunkDedup]], whose first-occurrence rule is
+    * position-independent: collapse first (stutter would misalign the
+    * chunk grid), then chunk-dedup at the block size. The worked
+    * pagination-chrome example is pinned in TextOpsSpec ("period-p
+    * repeats via composition").
     *
     * One doc-keyed shuffle total: the lag window flags each token against
     * its predecessor, and the shared [[Reassemble.reassembleKept]]

@@ -487,6 +487,43 @@ class TextOpsSpec extends AnyFunSuite {
       s"thresholds shifted: clean=$clean dirty=$dirty")
   }
 
+  test("period-p repeats via composition: collapseTokenRuns then " +
+      "chunkDedup removes pagination chrome that neither handles alone") {
+    // collapseTokenRuns documents period > 1 as out of scope; THIS is the
+    // documented composition for it. The fixture is scraped pagination
+    // chrome: a stuttered 4-token nav block repeated between unique
+    // paragraphs. Run collapse removes the stutter (making the chrome a
+    // clean aligned block), then chunk dedup at the block size removes
+    // the period-4 repeats corpus-wide.
+    val chrome = "nav nav nav home about contact" // stutter + 4-token block
+    val docs = Seq(
+      (1L, s"$chrome alpha beta gamma delta $chrome epsilon zeta eta theta"),
+      (2L, s"$chrome iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val collapsed = TextOps.collapseTokenRuns(docs, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val r = DedupOps.chunkDedup(collapsed, "doc_id", "text",
+        chunkTokens = 4)
+      .orderBy("doc_id").collect()
+    // doc 1: [chrome, p1, chrome, p2] → the second chrome block is a
+    // corpus-wide repeat and is cut; doc 2's chrome is also a repeat of
+    // doc 1's first occurrence
+    assert(r(0).getString(3) ==
+      "nav home about contact alpha beta gamma delta epsilon zeta eta theta")
+    assert(r(1).getString(3) == "iota kappa lambda mu")
+    // neither operator alone removes the period-4 repeat: run collapse
+    // keeps both chrome blocks (non-adjacent), and chunk dedup WITHOUT
+    // the collapse sees misaligned stuttered blocks that don't collide
+    val runsOnly = TextOps.collapseTokenRuns(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1L).head().getString(3)
+    assert(runsOnly.split(" ").count(_ == "home") == 2)
+    val chunksOnly = DedupOps.chunkDedup(docs, "doc_id", "text",
+        chunkTokens = 4)
+      .filter(col("doc_id") === 1L).head().getString(3)
+    assert(chunksOnly.split(" ").count(_ == "nav") > 2,
+      s"stutter should misalign the raw chunks: $chunksOnly")
+  }
+
   test("dsirWeights: an empty target slice yields finite (all-negative-" +
       "or-zero) weights via the coalesced total, not silent nulls") {
     val docs = Seq(
