@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AggOps, DedupOps, JoinOps, MultimodalOps, PackOps, ProfileOps, SimilarityOps, SinkOps, TextOps}
+import graft.ext.{AggOps, DedupOps, JoinOps, MultimodalOps, PackOps, ProfileOps, RetrievalOps, SimilarityOps, SinkOps, TextOps}
 import org.apache.spark.sql.graft.VectorFunctions
 
 /** Layer-C extension queries (SURVEY.md §2.C): training-data-pipeline
@@ -630,6 +630,16 @@ object ExtensionQueries {
           k = 5, nprobe = 3, refineFactor = 8)
         .orderBy(col("probe_id"), col("rk"))
     }),
+
+    // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
+    // term query — one collapsed-count aggregate over the token stream,
+    // window doc-length, broadcast idf/scalars, global top-k. The query
+    // deliberately includes a term absent from the corpus (contributes
+    // nothing on both engines) -----------------------------------------
+    "q116_bm25" -> ((s, dir) =>
+      RetrievalOps.bm25TopK(t(s, dir, "documents"),
+        Seq("join", "merge", "scan", "zzzabsent"), "doc_id", "text",
+        k = 15)),
 
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
     // SAME committed centroids as q31 (map-only NearestCell kernel), exact
@@ -2366,6 +2376,37 @@ object ExtensionQueries {
     "q104_semantic_dedup" -> semanticDedupOracleSql,
     "q114_pq_ann" -> pqAnnOracleSql,
     "q115_ivf_pq_ann" -> ivfPqOracleSql,
+    // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
+    // before the +1 so both engines add in binary (DuckDB decimal
+    // literals would sum exactly); 0.25/0.75 are exact in binary. The
+    // collapsed null-bucket count row mirrors the Spark aggregate; the
+    // absent query term simply produces no df row on either engine.
+    "q116_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id,
+        |    CASE WHEN t IN ('join', 'merge', 'scan', 'zzzabsent')
+        |      THEN t END AS qt,
+        |    count(*) AS n
+        |  FROM tok GROUP BY 1, 2),
+        |wd AS (SELECT doc_id, qt, n, sum(n) OVER (PARTITION BY doc_id)
+        |    AS dl FROM cnt),
+        |tf AS (SELECT * FROM wd WHERE qt IS NOT NULL),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |sca AS (SELECT nd, CAST(tl AS DOUBLE) / nd AS avgdl
+        |  FROM (SELECT sum(n) AS tl FROM cnt) CROSS JOIN nd),
+        |idf AS (SELECT qt, ln((nd - df + 0.5) / (df + 0.5) + 1) AS idf
+        |  FROM (SELECT qt, count(*) AS df FROM tf GROUP BY qt)
+        |  CROSS JOIN nd),
+        |s AS (SELECT doc_id, round(sum(
+        |    idf * (n * (CAST(1.2 AS DOUBLE) + 1)) /
+        |    (n + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS score
+        |  FROM tf JOIN idf USING (qt) CROSS JOIN sca GROUP BY doc_id)
+        |SELECT doc_id, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q106_incremental_semantic" -> incrementalSemanticOracleSql,
     // q108: the plain filter over the SOURCE table — the written layout,
     // sidecar, and file pruning must all be invisible in the result

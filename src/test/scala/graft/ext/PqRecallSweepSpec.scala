@@ -18,9 +18,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class PqRecallSweepSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  // NOT cached: the shared session's cache manager substitutes cached
+  // fragments into every later query with the same subplan — a cache here
+  // would inject InMemoryTableScan into QueryPlanSpec's q31 plan
+  // assertions (this suite sorts before it; SemDeDupRecallSpec's cache is
+  // harmless only because it runs after). The fixture is 500 rows.
   private lazy val emb: DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .drop("label").cache()
+      .drop("label")
 
   private lazy val probes = emb.filter(col("vec_id") < 20)
 

@@ -334,23 +334,44 @@ class QueryPlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q113_dsir_weights")(spark, dir)
     df.collect()
     val exec = df.queryExecution.executedPlan
-    def generates(p: org.apache.spark.sql.execution.SparkPlan): Int =
-      (p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          generates(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          generates(q.plan)
-        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
-        case g: org.apache.spark.sql.execution.GenerateExec =>
-          1 + g.children.map(generates).sum
-        case other => other.children.map(generates).sum
-      })
-    val n = generates(exec)
+    val n = executedGenerates(exec)
     assert(n == 1,
       s"expected the tokenize pass to run exactly once (got $n):\n$exec")
     // the ratio table broadcasts back onto the collapsed counts
     assert(exec.toString.contains("BroadcastHashJoin"),
       s"ratio join must broadcast:\n$exec")
+  }
+
+  /** Count Generate (explode) operators the executed adaptive plan will
+    * actually RUN: reused exchanges are stubs, not re-executions.
+    */
+  private def executedGenerates(
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        executedGenerates(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        executedGenerates(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        1 + g.children.map(executedGenerates).sum
+      case other => other.children.map(executedGenerates).sum
+    }
+
+  test("q116: BM25 tokenizes ONCE (tf, doc length, idf, and the token " +
+      "total all ride one reused collapsed-count exchange) and ranks via " +
+      "a global top-k, not a full sort") {
+    val df = SparkEntry.queries("q116_bm25")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val n = executedGenerates(exec)
+    assert(n == 1,
+      s"expected the tokenize pass to run exactly once (got $n):\n$exec")
+    val s = exec.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must not be a full sort:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"idf must broadcast back onto the counts:\n$s")
   }
 
   test("q91: PII scrub is map-only (the only exchange is the oracle sort)") {
