@@ -744,16 +744,25 @@ object SimilarityOps {
   def ivfPqTopK(probes: DataFrame, candidates: DataFrame,
                 cents: Array[Array[Double]],
                 cbs: Array[Array[Array[Double]]], k: Int, nprobe: Int,
-                refineFactor: Int = 4): DataFrame = {
+                refineFactor: Int = 4): DataFrame =
+    ivfPqFromIndex(encodeForAnnIndex(candidates, cents, cbs), probes,
+      candidates, cents, cbs, k, nprobe, refineFactor)
+
+  /** The shared IVF-PQ query tail: ADC over an already-encoded
+    * (cand_id, codes, cell) index — be it the inline build
+    * ([[ivfPqTopK]]) or the persisted [[annIndexStore]]
+    * ([[ivfPqTopKFromStore]]) — then exact re-rank against the raw
+    * vectors. ONE definition so "query the store" and "query the inline
+    * encode" cannot drift: store faithfulness IS result identity.
+    */
+  private def ivfPqFromIndex(index: DataFrame, probes: DataFrame,
+                             candidates: DataFrame,
+                             cents: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]], k: Int,
+                             nprobe: Int, refineFactor: Int): DataFrame = {
     require(cbs.nonEmpty && k > 0 && nprobe > 0 && refineFactor >= 1)
     val m = cbs.length
     val dsub = cbs(0).head.length
-    // the index scan: cell + codes, never the embedding
-    val cands = withUnitVec(candidates, "embedding", "cand_emb")
-      .select(cellOf(col("cand_emb"), cents).as("cell"),
-        col("vec_id").as("cand_id"),
-        array((0 until m).map(mi =>
-          pqCodeOf(col("cand_emb"), mi, cbs(mi))): _*).as("codes"))
     val probeCells = probeCellsOf(probes, cents, nprobe)
     val cbLits = cbs.map(cb => typedLit(cb.map(_.toSeq).toSeq))
     val adc = (0 until m).map { mi =>
@@ -761,8 +770,10 @@ object SimilarityOps {
         element_at(cbLits(mi), element_at(col("codes"), mi + 1) + 1))
     }.reduce(_ + _)
     // cell equi-join (broadcast: |probes|·nprobe rows) — a candidate
-    // meets a probe through exactly ONE cell, so no pair dedup is needed
-    val coarse = cands.join(broadcast(probeCells), Seq("cell"))
+    // meets a probe through exactly ONE cell, so no pair dedup is needed;
+    // against the persisted store the broadcast also feeds dynamic
+    // partition pruning, so unprobed cell directories are never read
+    val coarse = index.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(adc, 6))
     val shortlist = topKPerGroup(coarse, "probe_id", "cand_id",
@@ -777,6 +788,93 @@ object SimilarityOps {
       .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
     topKPerGroup(exact, "probe_id", "cand_id", k)
   }
+
+  /** The index scan's build pass (map-only, one corpus pass): coarse cell
+    * + m PQ codes per vector, never the embedding downstream. Shared by
+    * the inline [[ivfPqTopK]] and the [[annIndexStore]] build/append so
+    * the persisted bytes are definitionally what the inline form computes.
+    */
+  private def encodeForAnnIndex(vecs: DataFrame,
+                                cents: Array[Array[Double]],
+                                cbs: Array[Array[Array[Double]]])
+      : DataFrame = {
+    val m = cbs.length
+    withUnitVec(vecs, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"),
+        array((0 until m).map(mi =>
+          pqCodeOf(col("cand_emb"), mi, cbs(mi))): _*).as("codes"),
+        cellOf(col("cand_emb"), cents).as("cell"))
+  }
+
+  private val AnnIndexSchema = "cand_id BIGINT, codes ARRAY<INT>, cell INT"
+
+  /** The persisted IVF-PQ index — [[embeddingStore]]'s lifecycle (atomic
+    * publish via [[DedupOps.materializedPairs]], cell-partitioned layout,
+    * single-writer appends, [[compactAnnIndex]] maintenance) holding
+    * [[ivfPqTopK]]'s BUILD output: (cand_id, codes, cell), m bytes of
+    * code payload per vector. A 100 TB corpus builds this ONCE and
+    * appends per ingest batch; queries scan only the probed cells' code
+    * directories ([[ivfPqTopKFromStore]]) instead of re-encoding the
+    * corpus per call — the build pass was the dominant cost of the
+    * inline form. Callers MUST version the path with the centroid AND
+    * codebook fit (the [[embeddingStore]] centroid-versioning contract,
+    * doubled): an index read back under different model literals is
+    * silently wrong.
+    */
+  def annIndexStore(spark: org.apache.spark.sql.SparkSession,
+                    vecs: DataFrame, path: String,
+                    cents: Array[Array[Double]],
+                    cbs: Array[Array[Array[Double]]]): DataFrame =
+    DedupOps.materializedPairs(spark, path, partitionBy = Seq("cell"),
+      readSchema = Some(AnnIndexSchema))(encodeForAnnIndex(vecs, cents, cbs))
+
+  /** Read a published [[annIndexStore]] schema-stated, not inferred —
+    * same empty-store rationale as [[readEmbeddingStore]].
+    */
+  def readAnnIndexStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.schema(AnnIndexSchema).parquet(path)
+
+  /** Encode ONLY the new batch and append it to the index's cell
+    * directories — per-ingest cost is batch-bound, the store is never
+    * rewritten. Same contract as [[appendToEmbeddingStore]]: refuses an
+    * unpublished path, returns the appended count, single-ingest-at-a-
+    * time writer.
+    */
+  def appendToAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                       newVecs: DataFrame, path: String,
+                       cents: Array[Array[Double]],
+                       cbs: Array[Array[Array[Double]]]): Long = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS")),
+      s"appendToAnnIndex: no published ANN index at $path — " +
+        "build it with annIndexStore first")
+    val rows = encodeForAnnIndex(newVecs, cents, cbs).persist()
+    try {
+      val n = rows.count()
+      if (n > 0) rows.write.mode("append").partitionBy("cell").parquet(path)
+      n
+    } finally { rows.unpersist(); () }
+  }
+
+  /** IVF-PQ top-k against the PERSISTED index: the ADC stage scans the
+    * store's (code, cell) rows — with the probe-cell broadcast feeding
+    * dynamic partition pruning, so cell directories no probe ranked are
+    * never read (plan-asserted in SimilarityOpsSpec) — and only the
+    * exact re-rank (a broadcast-shortlist join, k·refineFactor·|probes|
+    * rows) touches the raw vectors. `rawVecs` must be the corpus the
+    * index was built over (plus appends); the shared
+    * [[ivfPqFromIndex]] tail guarantees result identity with
+    * [[ivfPqTopK]] under that contract (pinned by q117 sharing q115's
+    * oracle).
+    */
+  def ivfPqTopKFromStore(probes: DataFrame, index: DataFrame,
+                         rawVecs: DataFrame, cents: Array[Array[Double]],
+                         cbs: Array[Array[Array[Double]]], k: Int,
+                         nprobe: Int, refineFactor: Int = 4): DataFrame =
+    ivfPqFromIndex(index, probes, rawVecs, cents, cbs, k, nprobe,
+      refineFactor)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication via a coarse quantizer. Each vector is assigned to its
@@ -944,14 +1042,26 @@ object SimilarityOps {
     * next compaction call renames back. Returns (files before, after).
     */
   def compactEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
-                            path: String): (Int, Int) = {
+                            path: String): (Int, Int) =
+    compactCellStore(spark, path, "compactEmbeddingStore")
+
+  /** [[compactEmbeddingStore]] for the [[annIndexStore]] — identical
+    * cell-partitioned layout, identical one-file-per-cell rewrite and
+    * crash-safe [[StoreSwap]] contract.
+    */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Int, Int) =
+    compactCellStore(spark, path, "compactAnnIndex")
+
+  private def compactCellStore(spark: org.apache.spark.sql.SparkSession,
+                               path: String, what: String): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dst, "_SUCCESS")
     StoreSwap.recoverIfInterrupted(fs, dst)
     require(fs.exists(success),
-      s"compactEmbeddingStore: no published embedding store at $path")
+      s"$what: no published cell-partitioned store at $path")
     def parquetFiles(): Int = {
       val it = fs.listFiles(dst, true)
       var n = 0
@@ -969,9 +1079,9 @@ object SimilarityOps {
       spark.read.parquet(path).dropDuplicates()
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-      StoreSwap.swapIn(fs, dst, tmp, "compactEmbeddingStore")
+      StoreSwap.swapIn(fs, dst, tmp, what)
       if (!fs.exists(success)) throw new IllegalStateException(
-        s"compactEmbeddingStore: compacted store at $path has no _SUCCESS")
+        s"$what: compacted store at $path has no _SUCCESS")
       (before, parquetFiles())
     } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
   }

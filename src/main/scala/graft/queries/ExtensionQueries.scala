@@ -12,9 +12,9 @@ import org.apache.spark.sql.graft.VectorFunctions
   * force + IVF), text analysis (tokens, quality, language-ID, fingerprints),
   * multimodal plumbing, and sessionization.
   *
-  * Every query carries a DuckDB oracle except q46 (engine-specific
-  * sketches — rows-only check plus ApproxSketchSpec error bounds; its
-  * exact aggregates are split into the fully-oracled q61). q27/q28 use
+  * EVERY query carries a DuckDB oracle — including q46, whose registered
+  * result is the engine-independent sketch-vs-exact decision layer (raw
+  * estimates bounded in ApproxSketchSpec; exact twins in q61). q27/q28 use
   * the portable md5-derived hash families; q52/q60 share their literal
   * hyperplanes with the generated oracle, and q31 shares its committed
   * prefit centroids (graft.ext.IvfCentroids) the same way.
@@ -631,6 +631,25 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Persisted ANN index (q117): q115's BUILD pass materialized once as
+    // the cell-partitioned (cand_id, codes, cell) store — the shape a
+    // 100 TB corpus actually deploys (build once, append per ingest,
+    // query scans only probed cell directories via dynamic partition
+    // pruning; plan-asserted in SimilarityOpsSpec). The oracle IS q115's:
+    // the store must answer exactly what the inline encode answers —
+    // store faithfulness is result identity -----------------------------
+    "q117_ann_index_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      SimilarityOps.ivfPqTopKFromStore(e.filter(col("vec_id") < 10), index,
+          e, cents, cbs, k = 5, nprobe = 3, refineFactor = 8)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
     // term query — one collapsed-count aggregate over the token stream,
     // window doc-length, broadcast idf/scalars, global top-k. The query
@@ -640,6 +659,23 @@ object ExtensionQueries {
       RetrievalOps.bm25TopK(t(s, dir, "documents"),
         Seq("join", "merge", "scan", "zzzabsent"), "doc_id", "text",
         k = 15)),
+
+    // BM25 per-query (q118): the probe-TABLE retrieval surface — one
+    // ranked top-k per (query_id, terms) row set, the decontamination/
+    // seed-expansion loop's ranked cousin. One tokenize pass serves ALL
+    // queries (the union of probe terms drives q116's collapsed-count
+    // aggregate; plan-asserted tokenize-once); idf is query-independent,
+    // computed once. Query 3's terms are entirely absent from the corpus
+    // — it returns no rows on both engines; queries 1 and 2 share a term
+    // so the idf sharing is exercised, not just allowed ------------------
+    "q118_bm25_per_query" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
+          "query_id", "term", "doc_id", "text", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
     // SAME committed centroids as q31 (map-only NearestCell kernel), exact
@@ -2376,6 +2412,9 @@ object ExtensionQueries {
     "q104_semantic_dedup" -> semanticDedupOracleSql,
     "q114_pq_ann" -> pqAnnOracleSql,
     "q115_ivf_pq_ann" -> ivfPqOracleSql,
+    // q117 persisted-index ≡ q115 inline encode, provably (shared query
+    // tail) — one oracle serves both, the q98 pattern
+    "q117_ann_index_store" -> ivfPqOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The
@@ -2408,6 +2447,43 @@ object ExtensionQueries {
         |SELECT doc_id, score FROM s
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q106_incremental_semantic" -> incrementalSemanticOracleSql,
+    // q118: q116's Okapi arithmetic with the probe table inlined as a
+    // VALUES CTE; the collapsed bucket keys on the UNION of probe terms,
+    // scores fan out per query through the probe join. Query 3's terms
+    // are corpus-absent → no rows for it, on both engines.
+    "q118_bm25_per_query" ->
+      """WITH probe(query_id, term) AS (VALUES
+        |    (1, 'join'), (1, 'merge'), (2, 'scan'), (2, 'join'),
+        |    (3, 'zzzabsent'), (3, 'qqqmissing')),
+        |tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id,
+        |    CASE WHEN t IN (SELECT term FROM probe) THEN t END AS qt,
+        |    count(*) AS n
+        |  FROM tok GROUP BY 1, 2),
+        |wd AS (SELECT doc_id, qt, n, sum(n) OVER (PARTITION BY doc_id)
+        |    AS dl FROM cnt),
+        |tf AS (SELECT * FROM wd WHERE qt IS NOT NULL),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |sca AS (SELECT nd, CAST(tl AS DOUBLE) / nd AS avgdl
+        |  FROM (SELECT sum(n) AS tl FROM cnt) CROSS JOIN nd),
+        |idf AS (SELECT qt, ln((nd - df + 0.5) / (df + 0.5) + 1) AS idf
+        |  FROM (SELECT qt, count(*) AS df FROM tf GROUP BY qt)
+        |  CROSS JOIN nd),
+        |contrib AS (SELECT doc_id, qt,
+        |    idf * (n * (CAST(1.2 AS DOUBLE) + 1)) /
+        |    (n + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) * dl / avgdl)) AS c
+        |  FROM tf JOIN idf USING (qt) CROSS JOIN sca),
+        |s AS (SELECT p.query_id, c.doc_id, round(sum(c.c), 6) AS score
+        |  FROM contrib c JOIN probe p ON c.qt = p.term GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS "rank" FROM s)
+        |SELECT query_id, doc_id, score, "rank" FROM r
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // q108: the plain filter over the SOURCE table — the written layout,
     // sidecar, and file pruning must all be invisible in the result
     "q108_pruned_scan" ->

@@ -368,6 +368,75 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(!parent.resolve(".emb.old-deadbeef").toFile.exists())
   }
 
+  // 2D fixture quantizer for the ANN index lifecycle specs: 2 cells on
+  // the axes, m=2 single-coordinate subspaces with a 2-entry codebook each
+  private val annCents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+  private val annCbs: Array[Array[Array[Double]]] =
+    Array(Array(Array(0.0), Array(1.0)), Array(Array(0.0), Array(1.0)))
+
+  test("ANN index ingest loop: build + append + query from the store " +
+      "equals the inline ivfPqTopK on the same corpus") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annidx").resolve("idx").toString
+    val corpus = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.7f, 0.7f), 0)).drop("label")
+    val probes = corpus.filter(col("vec_id") <= 2L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rk").collect().toSeq
+    // build on the first 3 rows, append the rest — the store must answer
+    // exactly what the inline encode over the FULL corpus answers
+    val index = SimilarityOps.annIndexStore(spark,
+      corpus.filter(col("vec_id") <= 3L), path, annCents, annCbs)
+    val n = SimilarityOps.appendToAnnIndex(spark,
+      corpus.filter(col("vec_id") > 3L), path, annCents, annCbs)
+    assert(n == 2L)
+    val fromStore = run(SimilarityOps.ivfPqTopKFromStore(probes,
+      spark.read.parquet(path), corpus, annCents, annCbs,
+      k = 3, nprobe = 2, refineFactor = 2))
+    val inline = run(SimilarityOps.ivfPqTopK(probes, corpus, annCents,
+      annCbs, k = 3, nprobe = 2, refineFactor = 2))
+    assert(fromStore == inline)
+    assert(fromStore.nonEmpty)
+    // append to an unpublished path refuses loudly
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.appendToAnnIndex(spark, corpus,
+        java.nio.file.Files.createTempDirectory("graft-noidx")
+          .resolve("x").toString, annCents, annCbs))
+    assert(e.getMessage.contains("no published ANN index"))
+  }
+
+  test("compactAnnIndex: fewer files, one per cell, query results " +
+      "unchanged") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annidxcompact").resolve("idx").toString
+    SimilarityOps.annIndexStore(spark,
+      vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0)).drop("label"),
+      path, annCents, annCbs)
+    (10L to 15L).foreach { i =>
+      SimilarityOps.appendToAnnIndex(spark,
+        vecs((i, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f), 0))
+          .drop("label"), path, annCents, annCbs)
+    }
+    def snapshot() = SimilarityOps.readAnnIndexStore(spark, path)
+      .distinct().orderBy(col("cand_id")).collect().toSeq
+    val before = snapshot()
+    val (nBefore, nAfter) = SimilarityOps.compactAnnIndex(spark, path)
+    assert(nAfter < nBefore, s"expected compaction: $nBefore -> $nAfter")
+    assert(nAfter == 2) // one file per cell
+    assert(snapshot() == before)
+  }
+
+  test("q117's index scan is dynamically partition-pruned by the probe " +
+      "cells (unprobed cell directories are never read)") {
+    val df = graft.queries.ExtensionQueries.queries(
+      "q117_ann_index_store")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"index scan must carry a dynamic pruning filter on cell:\n" +
+        plan.take(4000))
+  }
+
   test("q106's store scan is dynamically partition-pruned by the batch " +
       "(untouched cell directories are never read)") {
     val df = graft.queries.ExtensionQueries.queries(

@@ -374,6 +374,19 @@ class QueryPlanSpec extends AnyFunSuite {
       s"idf must broadcast back onto the counts:\n$s")
   }
 
+  test("q118: per-query BM25 tokenizes ONCE for ALL probe queries (the " +
+      "union of probe terms drives one shared collapsed-count exchange) " +
+      "and both idf and the probe table broadcast") {
+    val df = SparkEntry.queries("q118_bm25_per_query")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val n = executedGenerates(exec)
+    assert(n == 1,
+      s"expected the tokenize pass to run exactly once (got $n):\n$exec")
+    assert(exec.toString.contains("BroadcastHashJoin"),
+      s"idf/probe joins must broadcast back onto the counts:\n$exec")
+  }
+
   test("q91: PII scrub is map-only (the only exchange is the oracle sort)") {
     val p = plan("q91_pii_redaction")
     assert(!p.contains("hashpartitioning"),
