@@ -33,7 +33,7 @@ object Main {
         s"""Unknown command: ${other.mkString(" ")}
            |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only]
            |       graft run-file [--config C] <script.sql> […]
-           |       graft viz [--config C] <out.svg>""".stripMargin)
+           |       graft viz [--config C] [--db-path P] [--changed-only] <out.svg>""".stripMargin)
       sys.exit(2)
   }
 
@@ -162,11 +162,19 @@ object Main {
       val session = new PipelineSession(
         throw new IllegalStateException("viz does not execute SQL"), config)
       val (order, nodeMap) = session.buildGraph()
+      // --changed-only preview: paint would-skip nodes green, would-run
+      // red, against the stored fingerprints — still entirely Spark-free
+      val preview =
+        if (flags.contains("changed-only"))
+          Some(session.previewSkips(order, nodeMap))
+        else None
       val target = if (out.endsWith(".svg")) out else out + ".svg"
       Files.writeString(Paths.get(target),
-        GraphViz.renderSvg(order, nodeMap))
+        GraphViz.renderSvg(order, nodeMap, preview))
       Files.writeString(Paths.get(target.stripSuffix(".svg") + ".dot"),
-        GraphViz.renderDot(order, nodeMap))
+        GraphViz.renderDot(order, nodeMap, preview))
+      preview.foreach(p => println(
+        s"Preview: ${p.size} of ${order.size} models would skip unchanged"))
       println(s"Visualization saved to $target")
     } catch {
       case e: GraftError => System.err.println(e.render); sys.exit(1)

@@ -176,46 +176,119 @@ final class PipelineSession(
 
   // --- execution (src/session.rs:189-279, src/node.rs:125-207) -------------
 
+  /** Upstream-closure fingerprints: own rendered SQL + materialization +
+    * source-data metadata, folded with every ancestor's closure fp in
+    * topo order — so a change ANYWHERE upstream (including a rewritten
+    * `read_*` source FILE, not just source SQL) changes every
+    * descendant's fingerprint and only the truly-untouched subgraph can
+    * skip under `--changed-only`.
+    */
+  private[pipeline] def closureFingerprints(order: Seq[String],
+      nodeMap: Map[String, ModelNode]): Map[String, String] = {
+    val memo = mutable.Map[String, String]()
+    order.foreach { id =>
+      val n = nodeMap(id)
+      val own = PipelineSession.md5hex(
+        n.renderedSrc + " " + n.materialize.getOrElse("view") +
+          " " + sourceDataFp(n.renderedSrc))
+      val anc = n.prevs.filter(nodeMap.contains).toSeq.sorted
+        .map(p => memo.getOrElse(p, "?"))
+      memo(id) = PipelineSession.md5hex((own +: anc).mkString(""))
+    }
+    memo.toMap
+  }
+
+  /** File-level metadata (name:size:mtime per matched file) of every
+    * local `read_*('…')` target in the rendered SQL — the dbt
+    * `state:modified` blind spot closed: a source model whose SQL is
+    * unchanged but whose backing file was overwritten between runs must
+    * NOT skip. Globs and directories enumerate their files; a missing
+    * target fingerprints as such (so its later appearance re-executes);
+    * http(s) sources are skipped (no cheap stat — remote reads are
+    * re-fetched every run anyway, and their models change fingerprint
+    * whenever their SQL does). Stat-only: metadata-scale cost per run.
+    */
+  private def sourceDataFp(renderedSql: String): String = {
+    val rx = """(?i)read_\w+\s*\(\s*['"]([^'"]+)['"]""".r
+    val targets = rx.findAllMatchIn(renderedSql).map(_.group(1))
+      .toSeq.distinct.sorted
+      .filterNot(p => p.startsWith("http://") || p.startsWith("https://"))
+    if (targets.isEmpty) ""
+    else targets.map { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        // a plain Configuration, NOT spark.sparkContext.hadoopConfiguration:
+        // fingerprints must be computable Spark-free (the viz --changed-only
+        // preview runs without a session), and a stat needs no spark.hadoop.*
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val matched = Option(fs.globStatus(hp))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        if (matched.isEmpty) s"$p:missing"
+        else matched.flatMap { st =>
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).filterNot(_.isDirectory)
+          else Array(st)
+        }.sortBy(_.getPath.toString)
+          .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+          .mkString(",")
+      } catch { case _: Exception => s"$p:unstat" }
+    }.mkString("\n")
+  }
+
+  /** Spark-free `--changed-only` PREVIEW: which nodes WOULD skip if run
+    * now — `viz --changed-only` paints these green without starting a
+    * session (the dbt `state:modified` look-before-you-run). Differs
+    * from the live [[skipSet]] in exactly one place: table existence is
+    * read from the db_path manifest instead of the live catalog (no
+    * session to ask), so a table dropped behind the manifest's back
+    * previews as skippable but still correctly EXECUTES in the real run.
+    */
+  def previewSkips(order: Seq[String],
+                   nodeMap: Map[String, ModelNode]): Set[String] = {
+    val closureFps = closureFingerprints(order, nodeMap)
+    val stored = config.dbPath.map(ViewStore.loadFingerprints)
+      .getOrElse(Map.empty)
+    val tables = config.dbPath.map(ViewStore.manifestTables)
+      .getOrElse(Set.empty[String])
+    order.filter { id =>
+      val n = nodeMap(id)
+      stored.get(id).contains(closureFps(id)) &&
+        SqlText.splitStatements(n.renderedSrc).size == 1 &&
+        (n.materialize.map(_.toLowerCase).forall(_ == "view") || tables(id))
+    }.toSet
+  }
+
+  /** The `--changed-only` skip decision per node, against the stored
+    * fingerprint base.
+    */
+  private def skipSet(order: Seq[String], nodeMap: Map[String, ModelNode],
+                      closureFps: Map[String, String]): Set[String] = {
+    val stored = config.dbPath.map(ViewStore.loadFingerprints)
+      .getOrElse(Map.empty)
+    order.filter { id =>
+      val n = nodeMap(id)
+      stored.get(id).contains(closureFps(id)) &&
+        // side statements (SET/COPY/CREATE MACRO) may have effects a
+        // skip would lose — only pure single-SELECT models skip
+        SqlText.splitStatements(n.renderedSrc).size == 1 &&
+        // a skipped table must already be materialized (same session,
+        // or restored from db_path); otherwise execute
+        (n.materialize.map(_.toLowerCase).forall(_ == "view") ||
+          (try spark.catalog.tableExists(id)
+           catch { case _: Exception => false }))
+    }.toSet
+  }
+
   def runNodes(): RunReport = {
     applySettings()
     val (order, nodeMap) = buildGraph()
     println(s"Start pipeline execution on " +
       LocalDateTime.now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd")))
 
-    // upstream-closure fingerprints: own rendered SQL + materialization,
-    // folded with every ancestor's closure fp in topo order — so a change
-    // ANYWHERE upstream changes every descendant's fingerprint and only
-    // the truly-untouched subgraph can skip
-    val closureFps: Map[String, String] = {
-      val memo = mutable.Map[String, String]()
-      order.foreach { id =>
-        val n = nodeMap(id)
-        val own = PipelineSession.md5hex(
-          n.renderedSrc + " " + n.materialize.getOrElse("view"))
-        val anc = n.prevs.filter(nodeMap.contains).toSeq.sorted
-          .map(p => memo.getOrElse(p, "?"))
-        memo(id) = PipelineSession.md5hex((own +: anc).mkString(""))
-      }
-      memo.toMap
-    }
+    val closureFps = closureFingerprints(order, nodeMap)
     val skip: Set[String] =
       if (!changedOnly) Set.empty
-      else {
-        val stored = config.dbPath.map(ViewStore.loadFingerprints)
-          .getOrElse(Map.empty)
-        order.filter { id =>
-          val n = nodeMap(id)
-          stored.get(id).contains(closureFps(id)) &&
-            // side statements (SET/COPY/CREATE MACRO) may have effects a
-            // skip would lose — only pure single-SELECT models skip
-            SqlText.splitStatements(n.renderedSrc).size == 1 &&
-            // a skipped table must already be materialized (same session,
-            // or restored from db_path); otherwise execute
-            (n.materialize.map(_.toLowerCase).forall(_ == "view") ||
-              (try spark.catalog.tableExists(id)
-               catch { case _: Exception => false }))
-        }.toSet
-      }
+      else skipSet(order, nodeMap, closureFps)
 
     val t0 = System.nanoTime()
     val results =
@@ -237,11 +310,26 @@ final class PipelineSession(
       }
     val report = RunReport(results, (System.nanoTime() - t0) / 1000000)
     // record the base for the next --changed-only run: models that ran
-    // (or verified-skipped) successfully THIS run; failed models drop out
-    // so they re-execute next time
+    // (or verified-skipped) successfully THIS run AND whose every
+    // transitive ancestor did too — failed models and their descendants
+    // drop out so they re-execute next time. A descendant can "succeed"
+    // against a stale upstream registration restored from db_path; saving
+    // its fingerprint would freeze that staleness into every later
+    // --changed-only run (the next run re-executes the fixed upstream but
+    // skips the descendant), so failure propagates DOWN the DAG here.
+    val failedClosure: Set[String] = {
+      val acc = mutable.Set[String]()
+      order.foreach { id =>
+        val ownFailed = results.exists(r => r.id == id && r.error.nonEmpty)
+        if (ownFailed ||
+            nodeMap(id).prevs.exists(acc.contains)) { acc += id; () }
+      }
+      acc.toSet
+    }
     ViewStore.saveFingerprints(config.dbPath,
       closureFps.view.filterKeys(id =>
-        results.exists(r => r.id == id && r.error.isEmpty)).toMap)
+        results.exists(r => r.id == id && r.error.isEmpty) &&
+          !failedClosure.contains(id)).toMap)
 
     if (report.errors.nonEmpty) {
       println("\nErrors:")

@@ -142,6 +142,22 @@ object ViewStore {
       ()
     }
 
+  /** Ids persisted as TABLE models in the manifest — the Spark-free
+    * approximation of `spark.catalog.tableExists` the `viz`
+    * `--changed-only` preview uses (the preview must not start a
+    * session; the RUN decision still asks the live catalog).
+    */
+  def manifestTables(dbPath: String): Set[String] = {
+    val m = manifest(dbPath)
+    if (!Files.exists(m)) Set.empty
+    else Files.readAllLines(m).asScala.flatMap { l =>
+      l.split("\t", -1) match {
+        case arr if arr.length >= 2 && arr(0) == "table" => Some(arr(1))
+        case _ => None
+      }
+    }.toSet
+  }
+
   def loadFingerprints(dbPath: String): Map[String, String] = {
     val f = fingerprintFile(dbPath)
     if (!Files.exists(f)) Map.empty

@@ -10,15 +10,31 @@ import graft.pipeline.{Dag, ModelNode}
 object GraphViz {
 
   /** DOT source, same shape as the reference (`digraph LR`, one line per
-    * node, `a -> b;` per edge).
+    * node, `a -> b;` per edge). With `preview` set (`viz --changed-only`),
+    * each node carries a would-skip (green, `[skip]`) or would-execute
+    * (red, `[run]`) annotation against the stored fingerprints — the
+    * look-before-you-run a daily user wants ahead of an expensive run.
     */
-  def renderDot(nodeNames: Seq[String], nodeMap: Map[String, ModelNode]): String = {
+  def renderDot(nodeNames: Seq[String], nodeMap: Map[String, ModelNode],
+                preview: Option[Set[String]] = None): String = {
     // ids are quoted: a model file named daily-orders.sql is a legal model
     // but `daily-orders` is not a bare DOT identifier. Backslash first —
     // an id ending in \ would otherwise escape the closing quote
     def q(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val nodes = nodeNames.map(s => s"\t${q(s)};").mkString("\n")
+    // the \n in the label is DOT's own line-break escape — appended AFTER
+    // id escaping so q() cannot double-escape it
+    def tagged(s: String, tag: String) =
+      q(s).dropRight(1) + "\\n[" + tag + "]\""
+    val nodes = nodeNames.map { s =>
+      preview match {
+        case None => s"\t${q(s)};"
+        case Some(skips) if skips(s) =>
+          s"\t${q(s)} [color=green, label=${tagged(s, "skip")}];"
+        case Some(_) =>
+          s"\t${q(s)} [color=red, label=${tagged(s, "run")}];"
+      }
+    }.mkString("\n")
     val edges = nodeNames.flatMap { name =>
       nodeMap.get(name).toSeq
         .flatMap(_.nexts.toSeq.sorted.map(n => s"\t${q(name)} -> ${q(n)};"))
@@ -27,9 +43,11 @@ object GraphViz {
   }
 
   /** Layered SVG: levels = longest path from sources; nodes are rounded
-    * rects on a grid; edges are lines with arrowheads.
+    * rects on a grid; edges are lines with arrowheads. `preview` mirrors
+    * [[renderDot]]'s would-skip (green) / would-execute (red) split.
     */
-  def renderSvg(nodeNames: Seq[String], nodeMap: Map[String, ModelNode]): String = {
+  def renderSvg(nodeNames: Seq[String], nodeMap: Map[String, ModelNode],
+                preview: Option[Set[String]] = None): String = {
     val graph = Dag.Graph(nodeNames.map { id =>
       id -> nodeMap.get(id).map(_.prevs.filter(nodeMap.contains)).getOrElse(Set.empty)
     }.toMap)
@@ -50,7 +68,12 @@ object GraphViz {
     def esc(s: String) = s.replace("&", "&amp;")
       .replace("<", "&lt;").replace(">", "&gt;")
     val rects = pos.toSeq.sortBy(_._1).map { case (id, (x, y)) =>
-      s"""<rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6" fill="#eef2f7" stroke="#4a5568"/>
+      val fill = preview match {
+        case None => "#eef2f7"
+        case Some(skips) if skips(id) => "#e2f5e2" // would skip
+        case Some(_) => "#fbe4e4"                  // would execute
+      }
+      s"""<rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6" fill="$fill" stroke="#4a5568"/>
          |<text x="${x + boxW / 2}" y="${y + boxH / 2 + 5}" text-anchor="middle" font-family="monospace" font-size="13">${esc(id)}</text>""".stripMargin
     }.mkString("\n")
 

@@ -337,6 +337,102 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("co_leaf").collect().head.getLong(0) == leafChanged)
   }
 
+  test("run --changed-only: overwriting a read_parquet source FILE " +
+      "re-executes the source model and its descendants (SQL unchanged); " +
+      "unrelated branches still skip") {
+    val db = Files.createTempDirectory("graft-srcdata-db")
+    val dir = Files.createTempDirectory("graft-srcdata")
+    val dataDir = Files.createTempDirectory("graft-srcdata-files")
+    val parq = dataDir.resolve("input.parquet").toString
+    spark.range(5).selectExpr("id AS k").write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def write(id: String, sql: String): Unit = {
+      Files.writeString(modelsDir.resolve(s"$id.sql"), sql); ()
+    }
+    write("sd_src", s"SELECT * FROM read_parquet('$parq')")
+    write("sd_agg", "SELECT count() AS n FROM sd_src")
+    write("sd_other", "SELECT 1 AS one")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  sd_src:
+         |    materialize: table""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    val r1 = new PipelineSession(spark, config).runNodes()
+    assert(r1.errors.isEmpty)
+    // nothing changed (file untouched): everything skips — the data
+    // fingerprint is stat-stable across runs
+    val r2 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r2.errors.isEmpty)
+    assert(r2.results.forall(_.status == "SKIP unchanged"), s"${r2.results}")
+
+    // overwrite the source parquet — the SQL text is identical, but the
+    // table-materialized source must NOT serve the stale 5 rows
+    spark.range(9).selectExpr("id AS k").write.mode("overwrite").parquet(parq)
+    // the Spark-free viz preview predicts exactly the skip/run split the
+    // real run then delivers
+    val previewSession = new PipelineSession(
+      throw new IllegalStateException("preview must stay Spark-free"),
+      config)
+    val (pOrder, pMap) = previewSession.buildGraph()
+    assert(previewSession.previewSkips(pOrder, pMap) == Set("sd_other"))
+    val r3 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r3.errors.isEmpty)
+    val st3 = r3.results.map(r => r.id -> r.status).toMap
+    assert(st3("sd_src") != "SKIP unchanged", s"$st3")
+    assert(st3("sd_agg") != "SKIP unchanged", s"$st3")
+    assert(st3("sd_other") == "SKIP unchanged", s"$st3")
+    assert(spark.table("sd_agg").collect().head.getLong(0) == 9L,
+      "source model served stale data after its file was rewritten")
+  }
+
+  test("run --changed-only: a descendant that succeeded under a FAILED " +
+      "upstream is not frozen into the fingerprint base — it re-executes " +
+      "next run instead of skipping against stale data") {
+    val db = Files.createTempDirectory("graft-ancfail-db")
+    val dir = Files.createTempDirectory("graft-ancfail")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def write(id: String, sql: String): Unit = {
+      Files.writeString(modelsDir.resolve(s"$id.sql"), sql); ()
+    }
+    write("af_src", "SELECT 1 AS x")
+    write("af_tab", "SELECT x + 1 AS y FROM af_src")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  af_tab:
+         |    materialize: table""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    val r1 = new PipelineSession(spark, config).runNodes()
+    assert(r1.errors.isEmpty)
+
+    // break the upstream: its OWN run fails, but the descendant still
+    // succeeds against af_src's stale registration from run 1
+    write("af_src", "SELECT broken_col FROM graft_no_such_table")
+    val r2 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    val st2 = r2.results.map(r => r.id -> r.status).toMap
+    assert(st2("af_src") == "ERROR", s"$st2")
+    assert(st2("af_tab") != "ERROR" && st2("af_tab") != "SKIP unchanged",
+      s"$st2")
+
+    // nothing changed since: the upstream re-fails, and the descendant
+    // must RE-EXECUTE (its run-2 fingerprint was earned under a failed
+    // ancestor and must not have been persisted), not skip forever
+    val r3 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    val st3 = r3.results.map(r => r.id -> r.status).toMap
+    assert(st3("af_src") == "ERROR", s"$st3")
+    assert(st3("af_tab") != "SKIP unchanged",
+      s"descendant froze against a failing upstream: $st3")
+  }
+
   test("a dependency added in a later run restores before its dependent") {
     val db = Files.createTempDirectory("graft-dbpath-reorder")
     // run 1: only vb exists

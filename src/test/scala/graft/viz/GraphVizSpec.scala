@@ -44,6 +44,25 @@ class GraphVizSpec extends AnyFunSuite {
     } assert(yOf(id) < yOf(next), s"$id -> $next not layered downward")
   }
 
+  test("--changed-only preview: DOT tags would-skip nodes green/[skip] " +
+      "and would-execute nodes red/[run]; SVG fill splits the same way") {
+    val skips = Set(order.head)
+    val dot = GraphViz.renderDot(order, nodeMap, Some(skips))
+    assert(dot.contains(
+      "\"" + order.head + "\" [color=green, label=\"" + order.head +
+        "\\n[skip]\"];"), dot)
+    order.tail.foreach { id =>
+      assert(dot.contains(
+        "\"" + id + "\" [color=red, label=\"" + id + "\\n[run]\"];"), dot)
+    }
+    val svg = GraphViz.renderSvg(order, nodeMap, Some(skips))
+    assert("#e2f5e2".r.findAllIn(svg).size == 1)      // one green skip
+    assert("#fbe4e4".r.findAllIn(svg).size == order.size - 1)
+    // no preview → no status colors anywhere (the plain rendering)
+    val plain = GraphViz.renderSvg(order, nodeMap)
+    assert(!plain.contains("#e2f5e2") && !plain.contains("#fbe4e4"))
+  }
+
   test("special characters in model ids stay well-formed in both formats") {
     import graft.pipeline.ModelNode
     val weird = "a<b>&\"q\""
