@@ -26,9 +26,10 @@ class SparkEntrySpec extends AnyFunSuite {
     val rq = graft.queries.RelationalQueries.queries.keySet
     val eq = graft.queries.ExtensionQueries.queries.keySet
     assert((rq & eq).isEmpty, s"duplicate query names: ${rq & eq}")
-    // every query is oracled except the documented rows-only sketch
+    // EVERY query is oracled — q46's registered result is its
+    // engine-independent decision layer, oracled like any other row
     val unoracled = q -- o
-    assert(unoracled == Set("q46_approx_sketch"),
+    assert(unoracled.isEmpty,
       s"unexpected oracle-less queries: $unoracled")
   }
 }

@@ -4,17 +4,19 @@ import graft.{SparkEntry, SparkTestSession, Tables}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q46 has no DuckDB oracle (sketch algorithms are engine-specific), so its
-  * correctness bar lives here: the HLL cardinality and KLL-style quantile
-  * must land within their published error bounds of the exact values
-  * computed on the same data.
+/** q46's raw sketch estimates are engine-specific (no cross-engine value
+  * oracle is possible), so their correctness bar lives here: the HLL
+  * cardinality and KLL-style quantile must land within their published
+  * error bounds of the exact values computed on the same data. The
+  * REGISTERED q46 carries these comparisons as in-plan decision columns
+  * and is fully DuckDB-oracled (every verdict must be true).
   */
 class ApproxSketchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.01"
 
   test("q46: approx_count_distinct within 5% of exact per group") {
-    val approx = SparkEntry.queries("q46_approx_sketch")(spark, dir)
+    val approx = RelationalQueries.approxSketchEstimates(spark, dir)
       .select("event_type", "approx_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.load(spark, dir, "events")
@@ -33,7 +35,7 @@ class ApproxSketchSpec extends AnyFunSuite {
     // the registered queries themselves cross-check: q61 is the fully
     // DuckDB-oracled exact half, so chaining q46→q61 anchors the sketch
     // output to an oracle-verified number (VERDICT r6 task #4)
-    val approx = SparkEntry.queries("q46_approx_sketch")(spark, dir)
+    val approx = RelationalQueries.approxSketchEstimates(spark, dir)
       .select("event_type", "approx_users", "p50_approx", "n").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toMap
@@ -63,7 +65,7 @@ class ApproxSketchSpec extends AnyFunSuite {
   }
 
   test("q46: approximate median within 2 percentile ranks of exact") {
-    val approx = SparkEntry.queries("q46_approx_sketch")(spark, dir)
+    val approx = RelationalQueries.approxSketchEstimates(spark, dir)
       .select("event_type", "p50_approx").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bounds = Tables.load(spark, dir, "events")
@@ -75,6 +77,16 @@ class ApproxSketchSpec extends AnyFunSuite {
       val a = approx(k)
       assert(a >= lo - 0.01 && a <= hi + 0.01,
         s"group $k: approx median $a outside exact [$lo, $hi]")
+    }
+  }
+
+  test("q46 registered decisions: every group's verdict columns are true " +
+      "(what the DuckDB oracle now pins)") {
+    val rows = SparkEntry.queries("q46_approx_sketch")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("users_within_5pct"), r.toString)
+      assert(r.getAs[Boolean]("p50_within_5pct"), r.toString)
     }
   }
 }
