@@ -189,6 +189,24 @@ object ExtensionQueries {
       TextOps.collapseTokenRuns(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // -- Span-editor composition (q119): the three span editors chained
+    // the way a real curation pipeline runs them — collapse stutter runs
+    // FIRST (stutter would misalign everything downstream), then cut
+    // corpus-shared spans, then chunk-dedup the remainder. Each stage's
+    // clean_text feeds the next tokenizer, proving the shared Reassemble
+    // contract survives chaining; each stage pays its own doc-keyed
+    // exchange and no more (plan-asserted) -------------------------------
+    "q119_span_pipeline" -> ((s, dir) => {
+      val s1 = TextOps.collapseTokenRuns(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val s2 = TextOps.cutSharedSpans(s1, "doc_id", "text",
+          n = 5, minDocs = 2L)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      DedupOps.chunkDedup(s2, "doc_id", "text", chunkTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Benchmark decontamination: train docs sharing any 3-gram with the
     // eval subset (doc_id % 50 == 0 stands in for a benchmark suite) ------
     "q63_decontam" -> ((s, dir) => {
@@ -2914,6 +2932,75 @@ object ExtensionQueries {
     // lexicographic (the window's ORDER BY doc_id, mp mirrors Spark's
     // min-over-struct), token coverage via the same 4-PRECEDING window,
     // keep rule: cut only tokens covered SOLELY by non-keeper shared grams
+    // q119: the q112 → q109 → q67 oracle chains composed verbatim, each
+    // stage's string_agg output re-split by the next stage's tokenizer
+    // (exactly what the Spark chain does). Docs dropped at a stage
+    // boundary (nothing survived) re-join at the end with (0, 0, null).
+    "q119_span_pipeline" ->
+      """WITH d1 AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, toks[i] AS w, i,
+        |    CASE WHEN i > 1 THEN toks[i-1] END AS prev
+        |  FROM d1, unnest(generate_series(1, len(toks))) AS s(i)),
+        |s1 AS (SELECT doc_id,
+        |    string_agg(CASE WHEN prev IS NULL OR w <> prev THEN w END, ' '
+        |      ORDER BY i) AS ct
+        |  FROM t1 GROUP BY doc_id),
+        |d2 AS (SELECT doc_id, regexp_split_to_array(lower(ct), '\s+')
+        |    AS toks FROM s1 WHERE ct IS NOT NULL),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM d2, unnest(generate_series(1, len(toks))) AS t(i)),
+        |g AS (SELECT doc_id, i AS gpos,
+        |    md5(array_to_string(toks[i:i+4], ' ')) AS fp
+        |  FROM d2, unnest(generate_series(1, len(toks) - 4)) AS t(i)),
+        |byDoc AS (SELECT fp, doc_id, min(gpos) AS mp
+        |  FROM g GROUP BY fp, doc_id),
+        |firsts AS (SELECT fp, doc_id AS fdoc, mp AS fpos FROM (
+        |    SELECT fp, doc_id, mp,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, mp) AS rn,
+        |      count(*) OVER (PARTITION BY fp) AS nd
+        |    FROM byDoc) WHERE rn = 1 AND nd >= 2),
+        |gm AS (SELECT g.doc_id, g.gpos,
+        |    CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END AS gsh,
+        |    CASE WHEN f.fp IS NOT NULL AND g.doc_id = f.fdoc
+        |      AND g.gpos = f.fpos THEN 1 ELSE 0 END AS gkp
+        |  FROM g LEFT JOIN firsts f ON g.fp = f.fp),
+        |cov AS (SELECT t.doc_id, t.pos, t.tok,
+        |    max(coalesce(gm.gsh, 0)) OVER wnd AS csh,
+        |    max(coalesce(gm.gkp, 0)) OVER wnd AS ckp
+        |  FROM tok t LEFT JOIN gm
+        |    ON t.doc_id = gm.doc_id AND t.pos = gm.gpos
+        |  WINDOW wnd AS (PARTITION BY t.doc_id ORDER BY t.pos
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT doc_id,
+        |    string_agg(CASE WHEN NOT (csh = 1 AND ckp = 0) THEN tok END,
+        |      ' ' ORDER BY pos) AS ct
+        |  FROM cov GROUP BY doc_id),
+        |d3 AS (SELECT doc_id, regexp_split_to_array(lower(ct), '\s+')
+        |    AS toks FROM s2 WHERE ct IS NOT NULL),
+        |ch0 AS (SELECT doc_id, unnest([{'pos': j - 1,
+        |      'chunk': array_to_string(toks[(j-1)*8+1 : least(j*8, len(toks))],
+        |        ' ')}
+        |    for j in generate_series(1,
+        |      CAST(ceil(len(toks) / 8.0) AS INTEGER))]) AS c
+        |  FROM d3),
+        |ch AS (SELECT doc_id, c.pos AS pos, c.chunk AS chunk,
+        |    md5(c.chunk) AS fp FROM ch0),
+        |f3 AS (SELECT fp, min(doc_id*1000000 + pos) AS fk
+        |  FROM ch GROUP BY fp),
+        |kept AS (SELECT ch.doc_id, ch.pos, ch.chunk FROM ch JOIN f3
+        |  ON ch.fp = f3.fp AND ch.doc_id*1000000 + ch.pos = f3.fk),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |nc AS (SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS BIGINT)
+        |    AS n_chunks FROM d3)
+        |SELECT d0.doc_id, coalesce(nc.n_chunks, 0) AS n_chunks,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept, agg.clean_text
+        |FROM documents d0 LEFT JOIN nc USING (doc_id)
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY d0.doc_id""".stripMargin,
     "q109_span_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),

@@ -187,6 +187,43 @@ class QueryPlanSpec extends AnyFunSuite {
       s"expected exactly 1 window (the keep flag):\n$p")
   }
 
+  test("q119: the composed span pipeline scans the corpus ONCE at " +
+      "runtime and pays one doc-keyed exchange per stage, no more") {
+    val df = SparkEntry.queries("q119_span_pipeline")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    def count(p: org.apache.spark.sql.execution.SparkPlan)
+             (pred: org.apache.spark.sql.execution.SparkPlan => Boolean)
+        : Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        count(a.executedPlan)(pred)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        count(q.plan)(pred)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+      case other =>
+        (if (pred(other)) 1 else 0) + other.children.map(count(_)(pred)).sum
+    }
+    val scans = count(exec) {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    val shuffles = count(exec) {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec |
+           _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        true
+      case _ => false
+    }
+    assert(scans == 1, s"corpus re-scanned ($scans executed scans):\n$exec")
+    // 5 = stage-1 doc window exchange (stage 2's three doc windows and
+    // the (fp,doc) aggregate all RIDE it) + stage-2 fp rollup + stage-3
+    // fp first-occurrence window + stage-3 doc-keyed reassemble + the
+    // query's own orderBy range partitioning. One more means a stage's
+    // window or rebuild lost the shared doc partitioning.
+    assert(shuffles == 5, s"expected 5 executed shuffles, got $shuffles:\n$exec")
+    assert(!exec.toString.contains("SortMergeJoin"),
+      s"the keeper mark join stopped broadcasting:\n$exec")
+  }
+
   test("q112: run collapse is one lag window + the Reassemble aggregate " +
       "— no running-prefix rebuild window") {
     val p = plan("q112_run_collapse")
