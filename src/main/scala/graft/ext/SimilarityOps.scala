@@ -759,7 +759,25 @@ object SimilarityOps {
                              candidates: DataFrame,
                              cents: Array[Array[Double]],
                              cbs: Array[Array[Array[Double]]], k: Int,
-                             nprobe: Int, refineFactor: Int): DataFrame = {
+                             nprobe: Int, refineFactor: Int): DataFrame =
+    ivfPqCore(index, probes,
+      withUnitVec(candidates, "embedding", "cand_emb")
+        .select(col("vec_id").as("cand_id"), col("cand_emb")),
+      None, cents, cbs, k, nprobe, refineFactor)
+
+  /** The one IVF-PQ tail every variant shares: ADC over the encoded
+    * index within probed cells, bounded shortlist, exact re-rank against
+    * `rerank` (cand_id, cand_emb[, bucket]). `bucketOf` set means the
+    * re-rank side is the id-bucketed [[vectorStore]]: the shortlist gains
+    * the bucket key so the broadcast feeds dynamic partition pruning on
+    * the vector store's layout — the re-rank FETCHES its k·rf·|probes|
+    * rows instead of scanning the corpus.
+    */
+  private def ivfPqCore(index: DataFrame, probes: DataFrame,
+                        rerank: DataFrame, bucketOf: Option[Column => Column],
+                        cents: Array[Array[Double]],
+                        cbs: Array[Array[Array[Double]]], k: Int,
+                        nprobe: Int, refineFactor: Int): DataFrame = {
     require(cbs.nonEmpty && k > 0 && nprobe > 0 && refineFactor >= 1)
     val m = cbs.length
     val dsub = cbs(0).head.length
@@ -776,14 +794,19 @@ object SimilarityOps {
     val coarse = index.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(adc, 6))
-    val shortlist = topKPerGroup(coarse, "probe_id", "cand_id",
+    val shortlist0 = topKPerGroup(coarse, "probe_id", "cand_id",
         k * refineFactor)
       .select(col("probe_id"), col("cand_id"))
+    val (shortlist, joinKeys) = bucketOf match {
+      case Some(f) =>
+        (shortlist0.withColumn("bucket", f(col("cand_id"))),
+          Seq("bucket", "cand_id"))
+      case None => (shortlist0, Seq("cand_id"))
+    }
     val probeVecs = withUnitVec(probes, "embedding", "probe_unit")
       .select(col("vec_id").as("probe_id"), col("probe_unit"))
-    val exact = withUnitVec(candidates, "embedding", "cand_emb")
-      .select(col("vec_id").as("cand_id"), col("cand_emb"))
-      .join(broadcast(shortlist), Seq("cand_id"))
+    val exact = rerank
+      .join(broadcast(shortlist), joinKeys)
       .join(broadcast(probeVecs), Seq("probe_id"))
       .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
     topKPerGroup(exact, "probe_id", "cand_id", k)
@@ -875,6 +898,98 @@ object SimilarityOps {
                          nprobe: Int, refineFactor: Int = 4): DataFrame =
     ivfPqFromIndex(index, probes, rawVecs, cents, cbs, k, nprobe,
       refineFactor)
+
+  /** The id-bucket of a vector id in a [[vectorStore]] of `nBuckets`
+    * partitions — ONE definition shared by the store build, the append,
+    * and the query-side shortlist so the layouts cannot drift.
+    */
+  private def vecBucket(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
+
+  private val VecStoreSchema = "cand_id BIGINT, cand_emb ARRAY<DOUBLE>, bucket INT"
+
+  /** The raw-vector FETCH store: unit vectors partitioned by an id-hash
+    * bucket, published atomically — the re-rank counterpart of
+    * [[annIndexStore]]. [[ivfPqTopKFromStores]]'s shortlist broadcast
+    * carries the bucket key, so dynamic partition pruning reads only the
+    * ≤ k·refineFactor·|probes| buckets the shortlist ids hash into —
+    * at 100 TB the exact re-rank becomes a point FETCH, not a
+    * scan-and-filter of the whole raw corpus (the residual
+    * `graft.tools.AnnStoreAb` measured growing with corpus size).
+    * `nBuckets` must match between build, append, and query — version it
+    * into the path like the centroid/codebook fits.
+    *
+    * SIZING (measured, SCALING.md r13): directory partitions charge O(1)
+    * listing/footer/task cost each, so pruning only pays when every
+    * bucket carries file-granularity payload — size
+    * nBuckets ≈ corpus_bytes / 1 GB, and use this form only when that
+    * still leaves nBuckets ≫ k·refineFactor·|probes| (multi-TB raw
+    * tables). Below that scale [[ivfPqTopKFromStore]]'s flat re-rank
+    * scan wins and stays the default.
+    */
+  def vectorStore(spark: org.apache.spark.sql.SparkSession,
+                  vecs: DataFrame, path: String,
+                  nBuckets: Int = 64): DataFrame =
+    DedupOps.materializedPairs(spark, path, partitionBy = Seq("bucket"),
+      readSchema = Some(VecStoreSchema))(
+      withUnitVec(vecs, "embedding", "cand_emb")
+        .select(col("vec_id").as("cand_id"), col("cand_emb"),
+          vecBucket(col("vec_id"), nBuckets).as("bucket")))
+
+  /** Read a published [[vectorStore]] schema-stated (empty-store
+    * rationale as [[readEmbeddingStore]]).
+    */
+  def readVectorStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.schema(VecStoreSchema).parquet(path)
+
+  /** Append a new batch to the [[vectorStore]]'s bucket directories —
+    * batch-bound, same contract as [[appendToAnnIndex]].
+    */
+  def appendToVectorStore(spark: org.apache.spark.sql.SparkSession,
+                          newVecs: DataFrame, path: String,
+                          nBuckets: Int = 64): Long = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS")),
+      s"appendToVectorStore: no published vector store at $path — " +
+        "build it with vectorStore first")
+    val rows = withUnitVec(newVecs, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"),
+        vecBucket(col("vec_id"), nBuckets).as("bucket"))
+      .persist()
+    try {
+      val n = rows.count()
+      if (n > 0)
+        rows.write.mode("append").partitionBy("bucket").parquet(path)
+      n
+    } finally { rows.unpersist(); () }
+  }
+
+  /** [[compactEmbeddingStore]] for the [[vectorStore]] — one file per
+    * bucket, crash-safe swap.
+    */
+  def compactVectorStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Int, Int) =
+    compactCellStore(spark, path, "compactVectorStore")
+
+  /** Fully store-backed IVF-PQ top-k: the ADC stage scans only the
+    * probed cells of the [[annIndexStore]] AND the exact re-rank fetches
+    * only the shortlist ids' buckets of the [[vectorStore]] — both scans
+    * dynamically partition-pruned by broadcasts (plan-asserted in
+    * SimilarityOpsSpec). No stage touches the un-probed corpus; this is
+    * the 100 TB query shape. `nBuckets` must be the store's. Result ≡
+    * [[ivfPqTopK]] by the shared [[ivfPqCore]] tail (q120 carries q115's
+    * oracle).
+    */
+  def ivfPqTopKFromStores(probes: DataFrame, index: DataFrame,
+                          vecStore: DataFrame, nBuckets: Int,
+                          cents: Array[Array[Double]],
+                          cbs: Array[Array[Array[Double]]], k: Int,
+                          nprobe: Int, refineFactor: Int = 4): DataFrame =
+    ivfPqCore(index, probes,
+      vecStore.select(col("cand_id"), col("cand_emb"), col("bucket")),
+      Some(vecBucket(_, nBuckets)), cents, cbs, k, nprobe, refineFactor)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication via a coarse quantizer. Each vector is assigned to its

@@ -668,6 +668,25 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Fully store-backed ANN (q120): q117's cell-pruned code scan PLUS an
+    // id-bucketed raw-vector store for the exact re-rank — the shortlist
+    // broadcast prunes BOTH scans (dynamic partition pruning,
+    // plan-asserted), so no stage touches the un-probed corpus. Same
+    // oracle again: three implementations, one answer ------------------
+    "q120_ann_store_fetch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      val vecs = SimilarityOps.vectorStore(s, e,
+        fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
+      SimilarityOps.ivfPqTopKFromStores(e.filter(col("vec_id") < 10),
+          index, vecs, 64, cents, cbs, k = 5, nprobe = 3, refineFactor = 8)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
     // term query — one collapsed-count aggregate over the token stream,
     // window doc-length, broadcast idf/scalars, global top-k. The query
@@ -2430,9 +2449,11 @@ object ExtensionQueries {
     "q104_semantic_dedup" -> semanticDedupOracleSql,
     "q114_pq_ann" -> pqAnnOracleSql,
     "q115_ivf_pq_ann" -> ivfPqOracleSql,
-    // q117 persisted-index ≡ q115 inline encode, provably (shared query
-    // tail) — one oracle serves both, the q98 pattern
+    // q117 persisted-index ≡ q115 inline encode ≡ q120 fully-store-backed,
+    // provably (shared query tail) — one oracle serves all three, the q98
+    // pattern
     "q117_ann_index_store" -> ivfPqOracleSql,
+    "q120_ann_store_fetch" -> ivfPqOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

@@ -68,15 +68,34 @@ object AnnStoreAb {
       SimilarityOps.appendToAnnIndex(spark,
         batch, path, cents, cbs); ()
     }
+    // third path: the id-bucketed raw-vector FETCH store retires the
+    // re-rank's corpus scan too (q120's shape)
+    val vecPath = java.nio.file.Files.createTempDirectory("graft-annab-v")
+      .resolve("vecs").toString
+    // --buckets <n>: the fetch store's pruning granularity. Prunes only
+    // when nBuckets >> shortlist size (k·rf·|probes| ids hash into at
+    // most that many buckets), so the default matches the q120 fixture
+    // and the pruning regime is measured with an explicit larger value.
+    val bi = args.indexOf("--buckets")
+    val nBuckets =
+      if (bi >= 0 && bi + 1 < args.length) args(bi + 1).toInt else 64
+    val tVecBuild = time {
+      SimilarityOps.vectorStore(spark, e, vecPath, nBuckets); ()
+    }
     def inline = SimilarityOps.ivfPqTopK(probes, e, cents, cbs,
       k = 5, nprobe = 3, refineFactor = 8)
     def stored = SimilarityOps.ivfPqTopKFromStore(probes,
       SimilarityOps.readAnnIndexStore(spark, path), e, cents, cbs,
       k = 5, nprobe = 3, refineFactor = 8)
-    sink(inline); sink(stored) // warmup
+    def fetched = SimilarityOps.ivfPqTopKFromStores(probes,
+      SimilarityOps.readAnnIndexStore(spark, path),
+      SimilarityOps.readVectorStore(spark, vecPath), nBuckets, cents, cbs,
+      k = 5, nprobe = 3, refineFactor = 8)
+    sink(inline); sink(stored); sink(fetched) // warmup
     val as = (1 to reps).map(_ => time(sink(inline)))
     val bs = (1 to reps).map(_ => time(sink(stored)))
-    println(f"""{"n_probes":$nProbes,"build":$tBuild%.3f,"append_1pct":$tAppend%.3f,"inline_min":${as.min}%.3f,"stored_min":${bs.min}%.3f,"stored_speedup":${as.min / bs.min}%.2f}""")
+    val cs = (1 to reps).map(_ => time(sink(fetched)))
+    println(f"""{"n_probes":$nProbes,"build":$tBuild%.3f,"vec_build":$tVecBuild%.3f,"append_1pct":$tAppend%.3f,"inline_min":${as.min}%.3f,"stored_min":${bs.min}%.3f,"fetched_min":${cs.min}%.3f,"stored_speedup":${as.min / bs.min}%.2f,"fetched_speedup":${as.min / cs.min}%.2f}""")
     spark.stop()
   }
 }

@@ -427,6 +427,50 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(snapshot() == before)
   }
 
+  test("vector store ingest loop: build + append + fully-store-backed " +
+      "query equals the inline ivfPqTopK") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vecstore")
+    val idxPath = base.resolve("idx").toString
+    val vecPath = base.resolve("vecs").toString
+    val corpus = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.7f, 0.7f), 0)).drop("label")
+    val probes = corpus.filter(col("vec_id") <= 2L)
+    SimilarityOps.annIndexStore(spark, corpus, idxPath, annCents, annCbs)
+    SimilarityOps.vectorStore(spark,
+      corpus.filter(col("vec_id") <= 3L), vecPath, nBuckets = 4)
+    val n = SimilarityOps.appendToVectorStore(spark,
+      corpus.filter(col("vec_id") > 3L), vecPath, nBuckets = 4)
+    assert(n == 2L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rk").collect().toSeq
+    val stored = run(SimilarityOps.ivfPqTopKFromStores(probes,
+      SimilarityOps.readAnnIndexStore(spark, idxPath),
+      SimilarityOps.readVectorStore(spark, vecPath), 4, annCents, annCbs,
+      k = 3, nprobe = 2, refineFactor = 2))
+    val inline = run(SimilarityOps.ivfPqTopK(probes, corpus, annCents,
+      annCbs, k = 3, nprobe = 2, refineFactor = 2))
+    assert(stored == inline)
+    assert(stored.nonEmpty)
+    // append to an unpublished path refuses loudly
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.appendToVectorStore(spark, corpus,
+        base.resolve("nope").toString, nBuckets = 4))
+    assert(e.getMessage.contains("no published vector store"))
+  }
+
+  test("q120: BOTH store scans are dynamically partition-pruned — the " +
+      "probe cells prune the code index, the shortlist ids prune the " +
+      "vector store's buckets") {
+    val df = graft.queries.ExtensionQueries.queries(
+      "q120_ann_store_fetch")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "dynamicpruning".r.findAllIn(plan).size
+    assert(n >= 2,
+      s"expected dynamic pruning on index AND vector store, got $n:\n" +
+        plan.take(4000))
+  }
+
   test("q117's index scan is dynamically partition-pruned by the probe " +
       "cells (unprobed cell directories are never read)") {
     val df = graft.queries.ExtensionQueries.queries(
