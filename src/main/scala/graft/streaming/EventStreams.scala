@@ -373,6 +373,57 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming ANN-INDEX ingest — keep the
+    * [[graft.ext.SimilarityOps.annIndexStore]] current while a crawl
+    * runs: each micro-batch of (vec_id, embedding) rows is encoded
+    * (cell + PQ codes, map-only) and appended to the index's cell
+    * directories, so the corpus is queryable via
+    * [[graft.ext.SimilarityOps.ivfPqTopKFromStore]] the moment a batch
+    * lands — no rebuild job between crawl and query. Composes with
+    * [[runSemanticIngestDedup]] the way a curation pipeline runs them:
+    * gate the batch there first, feed the ACCEPTED rows here. Retry
+    * contract mirrors the store ingests: a marker under
+    * `indexPath.appended/batch-N` makes replays whole-batch no-ops, an
+    * absent index bootstraps as an explicit empty published store, and
+    * the one surviving crash window (append done, marker not) duplicates
+    * index ROWS — which cannot change any top-k answer beyond duplicate
+    * candidates that [[graft.ext.SimilarityOps.compactAnnIndex]]'s
+    * dedup pass heals. `cents`/`cbs` must be the committed fits the
+    * index path is versioned by.
+    */
+  def runAnnIndexIngest(vecStream: DataFrame, indexPath: String,
+                        checkpoint: String, cents: Array[Array[Double]],
+                        cbs: Array[Array[Array[Double]]]) = {
+    import graft.ext.SimilarityOps
+    import org.apache.hadoop.fs.Path
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new Path(s"$indexPath.appended", s"batch-$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        if (!mfs.exists(marker)) {
+          val b = batch.persist()
+          try {
+            val dir = new Path(indexPath)
+            if (!dir.getFileSystem(hconf).exists(dir)) {
+              SimilarityOps.annIndexStore(spark, b.limit(0), indexPath,
+                cents, cbs)
+              ()
+            }
+            SimilarityOps.appendToAnnIndex(spark, b, indexPath, cents, cbs)
+            mfs.mkdirs(marker.getParent)
+            mfs.create(marker, true).close()
+            ()
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** End-to-end streaming pipeline wiring: file source → windowed agg →
     * sink. Returns the started query; callers own its lifecycle.
     */

@@ -400,6 +400,63 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids(storeS) == ids(storeB), "replay must not grow the store")
   }
 
+  test("runAnnIndexIngest: the streamed index answers queries exactly " +
+      "like a batch-built one; replay with a fresh checkpoint is a " +
+      "marker-skipped no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.SimilarityOps
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .drop("label")
+    val cents = graft.ext.IvfCentroids.centroids
+    val cbs = graft.ext.PqCodebooks.codebooks
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstream")
+    val corpus = e.filter(col("vec_id") < 300)
+    val probes = e.filter(col("vec_id") < 5)
+
+    // batch reference: build the whole index in one shot
+    val idxB = tmp.resolve("idxB").toString
+    SimilarityOps.annIndexStore(spark, corpus, idxB, cents, cbs)
+
+    // stream side: index bootstraps ABSENT, fills over two micro-batches
+    val idxS = tmp.resolve("idxS").toString
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.runAnnIndexIngest(
+      mem.toDF().toDF("vec_id", "embedding"), idxS,
+      tmp.resolve("ckpt").toString, cents, cbs)
+    try {
+      mem.addData(rows.filter(_._1 < 150).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= 150).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def answer(p: String) = SimilarityOps.ivfPqTopKFromStore(probes,
+        SimilarityOps.readAnnIndexStore(spark, p), corpus, cents, cbs,
+        k = 5, nprobe = 3, refineFactor = 4)
+      .orderBy("probe_id", "rk").collect().toSeq
+    assert(answer(idxS) == answer(idxB))
+    assert(answer(idxS).nonEmpty)
+
+    // replay with a fresh checkpoint: both batches marker-skip wholesale
+    val before = spark.read.parquet(idxS).count()
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreams.runAnnIndexIngest(
+      mem2.toDF().toDF("vec_id", "embedding"), idxS,
+      tmp.resolve("ckpt2").toString, cents, cbs)
+    try {
+      mem2.addData(rows.filter(_._1 < 150).toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(idxS).count() == before,
+      "replay must not grow the index")
+  }
+
   test("runSemanticIngestDedup bootstraps from an ABSENT store: the first " +
       "batch publishes an explicit empty store, then seeds it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
