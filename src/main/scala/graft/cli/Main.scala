@@ -21,7 +21,8 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: rest =>
-      runPipeline(parseArgs(rest)._1)
+      val flags = parseArgs(rest)._1
+      if (flags.contains("dry-run")) dryRun(flags) else runPipeline(flags)
     case "run-file" :: rest =>
       val (flags, paths) = parseArgs(rest)
       runFiles(flags, paths)
@@ -31,7 +32,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] <out.svg>""".stripMargin)
       sys.exit(2)
@@ -51,6 +52,7 @@ object Main {
       case "--parallel" :: t => go(t, flags + ("parallel" -> "true"), pos)
       case "--changed-only" :: t =>
         go(t, flags + ("changed-only" -> "true"), pos)
+      case "--dry-run" :: t => go(t, flags + ("dry-run" -> "true"), pos)
       case a :: _ if a.startsWith("--") =>
         System.err.println(s"Unknown flag: $a"); sys.exit(2)
       case a :: t => go(t, flags, pos :+ a)
@@ -149,6 +151,36 @@ object Main {
         }
       }
     }
+
+  /** `run --dry-run`: print the would-run / would-skip split in execution
+    * order WITHOUT starting Spark or executing any SQL — the
+    * look-before-you-run twin of `viz --changed-only` on the terminal
+    * surface. With `--changed-only` the split comes from the stored
+    * closure fingerprints ([[PipelineSession.previewSkips]], manifest-based
+    * table existence); without it every model reports `would RUN`. Exits 0
+    * always (nothing executed, nothing can fail but graph building).
+    */
+  private[cli] def dryRun(flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
+    try {
+      val session = new PipelineSession(
+        throw new IllegalStateException("dry-run does not execute SQL"), config)
+      val (order, nodeMap) = session.buildGraph()
+      val skips =
+        if (flags.contains("changed-only")) session.previewSkips(order, nodeMap)
+        else Set.empty[String]
+      order.zipWithIndex.foreach { case (id, i) =>
+        val mat = nodeMap(id).materialize.getOrElse("view").toLowerCase
+        val info = s"${i + 1} of ${order.size}: $id $mat model"
+        val tail = if (skips(id)) "[would SKIP unchanged]" else "[would RUN]"
+        println(info + "." * math.max(0, 80 - info.length) + tail)
+      }
+      println(s"\nDry run: ${order.size - skips.size} would run, " +
+        s"${skips.size} would skip; no SQL executed")
+    } catch {
+      case e: GraftError => System.err.println(e.render); sys.exit(1)
+    }
+  }
 
   /** Build the graph (no SQL execution) and write DOT-derived SVG; `.svg`
     * suffix auto-appended (src/main.rs:63-84).
