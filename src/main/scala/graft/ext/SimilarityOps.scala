@@ -87,6 +87,32 @@ object SimilarityOps {
     topKPerGroup(scored, "probe_id", "cand_id", k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/ANCE data-prep
+    * loop — Karpukhin et al. 2020 §3.2; Xiong et al. 2021): per anchor,
+    * the top-k most-similar corpus vectors INSIDE the band
+    * `[simLo, simHi)`. The floor keeps the negative informative (an easy
+    * random negative teaches nothing); the CEILING excludes probable
+    * positives and near-duplicates — mining those as "negatives" poisons
+    * the contrastive loss with false negatives. Anchors are a bounded
+    * training batch and broadcast, so the plan is one map-side scan of
+    * the corpus per mining round (the published regime: re-mine between
+    * epochs). Returns (anchor_id, rk, neg_id, sim), rk 1..k by sim DESC
+    * with neg_id as the deterministic tiebreaker ([[topKPerGroup]]).
+    * For unbounded anchor counts, use [[hardNegativesFromStore]].
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    simLo: Double, simHi: Double): DataFrame = {
+    require(simLo < simHi, s"empty band [$simLo, $simHi)")
+    val p = withUnitVec(anchors, "embedding", "anchor_emb")
+      .select(col("vec_id").as("anchor_id"), col("anchor_emb"))
+    val c = withUnitVec(corpus, "embedding", "cand_emb")
+      .select(col("vec_id").as("neg_id"), col("cand_emb"))
+    val scored = c.join(broadcast(p), col("anchor_id") =!= col("neg_id"))
+      .withColumn("sim", round(dot(col("anchor_emb"), col("cand_emb")), 6))
+      .filter(col("sim") >= simLo && col("sim") < simHi)
+    topKPerGroup(scored, "anchor_id", "neg_id", k)
+  }
+
   /** Per-group top-k tail shared by every ANN variant: rank by similarity
     * descending with the neighbor id as the deterministic tiebreaker,
     * keep k. ONE definition so rank/tie semantics cannot drift between
@@ -898,6 +924,36 @@ object SimilarityOps {
                          nprobe: Int, refineFactor: Int = 4): DataFrame =
     ivfPqFromIndex(index, probes, rawVecs, cents, cbs, k, nprobe,
       refineFactor)
+
+  /** [[hardNegatives]] against the persisted IVF-PQ index — the shape
+    * that mines negatives for MILLIONS of anchors without a full corpus
+    * scan per anchor batch: over-fetch the top-`kFetch` neighbors from
+    * the store ([[ivfPqTopKFromStore]] — cell-pruned ADC, exact re-rank,
+    * so the returned sims are exact), drop everything outside
+    * `[simLo, simHi)`, re-rank, keep k. Two explicit approximation knobs,
+    * both inherited or visible: IVF recall (nprobe) and the over-fetch
+    * margin — `kFetch` must exceed k by at least the expected number of
+    * above-band neighbors (positives/near-dups) per anchor, else hard
+    * negatives fall off the fetched window. Same output schema as
+    * [[hardNegatives]].
+    */
+  def hardNegativesFromStore(anchors: DataFrame, index: DataFrame,
+                             rawVecs: DataFrame,
+                             cents: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]], k: Int,
+                             kFetch: Int, simLo: Double, simHi: Double,
+                             nprobe: Int, refineFactor: Int = 4)
+      : DataFrame = {
+    require(simLo < simHi, s"empty band [$simLo, $simHi)")
+    require(kFetch >= k, s"kFetch=$kFetch must be >= k=$k")
+    val fetched = ivfPqTopKFromStore(anchors, index, rawVecs, cents, cbs,
+        kFetch, nprobe, refineFactor)
+      .drop("rk")
+      .filter(col("sim") >= simLo && col("sim") < simHi)
+      .withColumnRenamed("probe_id", "anchor_id")
+      .withColumnRenamed("cand_id", "neg_id")
+    topKPerGroup(fetched, "anchor_id", "neg_id", k)
+  }
 
   /** The id-bucket of a vector id in a [[vectorStore]] of `nBuckets`
     * partitions — ONE definition shared by the store build, the append,

@@ -687,6 +687,38 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Hard-negative mining (q121): the contrastive-training data-prep
+    // loop — per anchor, top-k corpus vectors inside the similarity band
+    // [0.15, 0.6): above the floor so the negative is informative, below
+    // the ceiling so probable positives/near-dups are excluded as false
+    // negatives. Exact broadcast-anchor form: one map-side corpus scan
+    // per mining round ----------------------------------------------
+    "q121_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.hardNegatives(e.filter(col("vec_id") < 10), e,
+          k = 5, simLo = 0.15, simHi = 0.6)
+        .orderBy(col("anchor_id"), col("rk"))
+    }),
+
+    // Store-backed hard negatives (q122): the same band semantics mined
+    // from the persisted IVF-PQ index — over-fetch top-40 (cell-pruned
+    // ADC + exact re-rank, so sims are exact), band-filter, keep 5. The
+    // shape that mines negatives for millions of anchors without a
+    // per-batch corpus scan; the oracle rebuilds the identical chain
+    // (q115's literals) plus the band CTEs ---------------------------
+    "q122_hard_negatives_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      SimilarityOps.hardNegativesFromStore(e.filter(col("vec_id") < 10),
+          index, e, cents, cbs, k = 5, kFetch = 40,
+          simLo = 0.15, simHi = 0.6, nprobe = 3, refineFactor = 4)
+        .orderBy(col("anchor_id"), col("rk"))
+    }),
+
     // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
     // term query — one collapsed-count aggregate over the token stream,
     // window doc-length, broadcast idf/scalars, global top-k. The query
@@ -1603,8 +1635,12 @@ object ExtensionQueries {
     * ADC scan joins the probed-cell set (`USING (cell)`) instead of
     * cross-joining the full corpus. A candidate holds exactly one cell,
     * so the equi-join can't duplicate a (probe, cand) pair.
+    *
+    * Parameterized as a CTE CHAIN ending at the exact-rank `rk` so q122
+    * can reuse the identical machinery with its own (k, refineFactor)
+    * and append band-filter CTEs — callers supply the final SELECT.
     */
-  private lazy val ivfPqOracleSql: String = {
+  private def ivfPqChainSql(k: Int, refineFactor: Int): String = {
     val cbs = graft.ext.PqCodebooks.codebooks
     val m = cbs.length
     val dsub = cbs(0).head.length
@@ -1668,17 +1704,37 @@ object ExtensionQueries {
        |sl AS (SELECT probe_id, cand_id FROM (
        |    SELECT probe_id, cand_id, row_number() OVER (
        |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-       |    FROM sc) WHERE rn <= 40),
+       |    FROM sc) WHERE rn <= ${k * refineFactor}),
        |ex AS (SELECT sl.probe_id, sl.cand_id,
        |    round(list_dot_product(pv.pu, cn.u), 6) AS sim
        |  FROM sl JOIN pv USING (probe_id)
        |    JOIN n cn ON cn.vec_id = sl.cand_id),
        |rk AS (SELECT probe_id, cand_id, sim,
        |    CAST(row_number() OVER (PARTITION BY probe_id
-       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM ex)
-       |SELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5
-       |ORDER BY probe_id, rk""".stripMargin
+       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM ex)""".stripMargin
   }
+
+  private lazy val ivfPqOracleSql: String =
+    ivfPqChainSql(k = 5, refineFactor = 8) +
+      "\nSELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5" +
+      "\nORDER BY probe_id, rk"
+
+  /** q122: the q121 band semantics over the ivfPqChainSql fetch — the
+    * chain runs at (kFetch=40, rf=4), then the band filter and the final
+    * re-rank mirror [[graft.ext.SimilarityOps.hardNegativesFromStore]]
+    * exactly (filter on the rounded exact sim, rank by sim DESC with
+    * neg_id tiebreak).
+    */
+  private lazy val hardNegAnnOracleSql: String =
+    ivfPqChainSql(k = 40, refineFactor = 4) +
+      s""",
+         |band AS (SELECT probe_id AS anchor_id, cand_id AS neg_id, sim
+         |  FROM rk WHERE rk <= 40 AND sim >= 0.15 AND sim < 0.6),
+         |hr AS (SELECT anchor_id, neg_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY sim DESC, neg_id) AS INTEGER) AS rk FROM band)
+         |SELECT anchor_id, rk, neg_id, sim FROM hr WHERE rk <= 5
+         |ORDER BY anchor_id, rk""".stripMargin
 
   /** q104: the committed centroid literals again — nearest-cell argmax
     * (ties to the lowest cell, like q31's `rn = 1`), rounded own-centroid
@@ -2454,6 +2510,27 @@ object ExtensionQueries {
     // pattern
     "q117_ann_index_store" -> ivfPqOracleSql,
     "q120_ann_store_fetch" -> ivfPqOracleSql,
+    // q121: exact hard negatives — brute pairwise cosine restricted to
+    // the band, rank by (sim DESC, neg_id). The band filter applies to
+    // the ROUNDED sim on both engines (the rank's input), so boundary
+    // vectors cannot diverge on the 6th decimal.
+    "q121_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u
+        |  FROM e),
+        |sc AS (SELECT p.vec_id AS anchor_id, c.vec_id AS neg_id,
+        |    round(list_dot_product(p.u, c.u), 6) AS sim
+        |  FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |b AS (SELECT * FROM sc WHERE sim >= 0.15 AND sim < 0.6)
+        |SELECT anchor_id, rk, neg_id, sim FROM (
+        |  SELECT anchor_id, neg_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY sim DESC, neg_id) AS INTEGER) AS rk
+        |  FROM b) t
+        |WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
+    "q122_hard_negatives_ann" -> hardNegAnnOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

@@ -313,8 +313,11 @@ class QueryPlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    //   q121 broadcasts its 10-anchor mining batch over the corpus scan
+    //   (the exact hard-negative form — bounded batch by contract).
     val nonScalarIntentional = Set("q30_ann_topk", "q89_int8_ann",
-      "q26_ngram_jaccard", "q80_generate_series", "q114_pq_ann")
+      "q26_ngram_jaccard", "q80_generate_series", "q114_pq_ann",
+      "q121_hard_negatives")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
