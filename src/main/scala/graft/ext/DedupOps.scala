@@ -292,6 +292,55 @@ object DedupOps {
     }
   }
 
+  /** FUZZY decontamination: flag training documents that are
+    * near-duplicates of any eval document — the hygiene pass exact
+    * k-gram decontamination ([[graft.ext.TextOps.contaminationFlags]])
+    * misses: a lightly paraphrased or truncated eval answer shares few
+    * exact 13-grams with its source but keeps high shingle-set Jaccard.
+    * Both sides get portable MinHash signatures; the EVAL side's banded
+    * signatures BROADCAST (benchmark suites are tiny next to a training
+    * corpus), so the corpus side bands map-side, probes the broadcast,
+    * and only banded collisions score — the corpus never shuffles for
+    * candidate generation, exactly the q63 broadcast discipline applied
+    * to fuzzy matching. Collisions verify in place via the shared
+    * signature-agreement estimate ([[sigAgreement]]); a train doc is
+    * flagged when its estimated Jaccard vs ANY eval doc ≥ `minJaccard`.
+    * Output per train doc: (doc_id, n_eval_matches, max_jaccard NULL
+    * when clean, fuzzy_contaminated).
+    */
+  def fuzzyContaminationFlags(train: DataFrame, evalDocs: DataFrame,
+                              k: Int, numBands: Int, rowsPerBand: Int,
+                              minJaccard: Double): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    def bandsOf(docs: DataFrame): DataFrame =
+      bandedSignatures(
+        minHashSignaturesDf(docs, k, numHashes, portable = true),
+        numBands, rowsPerBand, portable = true)
+    val agree = sigAgreement("sig", "eval_sig", numHashes)
+    val matches = bandsOf(train)
+      .join(broadcast(bandsOf(evalDocs)
+          .select(col("band_idx"), col("band_hash"),
+            col("doc_id").as("eval_id"), col("sig").as("eval_sig"))),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("eval_id"),
+        round(agree / numHashes, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .distinct() // a (train, eval) pair can collide in several bands
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+    // flags left-join back so clean documents keep n_eval_matches = 0;
+    // the matched set is near-empty for a clean corpus, so AQE
+    // broadcasts it and the corpus never shuffles here either
+    train.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        col("max_jaccard"),
+        (coalesce(col("n_eval_matches"), lit(0L)) > 0)
+          .as("fuzzy_contaminated"))
+  }
+
   /** [[simHash]] as a whole-stage-codegen DataFrame op: explode distinct
     * tokens, hash once, then 64 `sum(bit ? +1 : -1)` partial aggregates and
     * a sign→bit reassembly. Map-side combine collapses the shuffle to one

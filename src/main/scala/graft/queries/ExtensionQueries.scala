@@ -687,6 +687,20 @@ object ExtensionQueries {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
+    // Fuzzy decontamination (q123): train docs that are NEAR-duplicates
+    // of any eval doc (here the %5 id split) — the contamination exact
+    // k-grams miss. Eval banded signatures broadcast, corpus bands
+    // map-side; q27's portable MinHash knobs so the estimate is
+    // engine-reproducible --------------------------------------------
+    "q123_fuzzy_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.fuzzyContaminationFlags(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0),
+          k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Hard-negative mining (q121): the contrastive-training data-prep
     // loop — per anchor, top-k corpus vectors inside the similarity band
     // [0.15, 0.6): above the floor so the negative is informative, below
@@ -1275,24 +1289,32 @@ object ExtensionQueries {
     * Spark operator uses ([[graft.ext.DedupOps.minHashCoeffs]]) — the two
     * sides can only agree because the permutation constants are shared.
     */
-  private def minHashPairCtes(source: String = "documents"): String = {
+  /** The signature half of [[minHashPairCtes]], CTE names prefixed so two
+    * instances (train/eval) can coexist in one WITH — ends at
+    * `${pfx}bands`.
+    */
+  private def minHashSigCtes(pfx: String, source: String): String = {
     val p = DedupOps.MinHashPrime
     val coeffs = DedupOps.minHashCoeffs(16)
       .map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
-    s"""d AS (SELECT doc_id,
+    s"""${pfx}d AS (SELECT doc_id,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM $source),
-       |shg AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |${pfx}shg AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
        |    for i in generate_series(1, len(toks) - 2)]) AS sh
-       |  FROM d WHERE len(toks) >= 3),
-       |xs AS (SELECT doc_id,
+       |  FROM ${pfx}d WHERE len(toks) >= 3),
+       |${pfx}xs AS (SELECT doc_id,
        |    [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % $p for s in sh] AS xs
-       |  FROM shg),
-       |sig AS (SELECT doc_id,
+       |  FROM ${pfx}shg),
+       |${pfx}sig AS (SELECT doc_id,
        |    [list_aggregate([(c[1] * x + c[2]) % $p for x in xs], 'min')
        |      for c in $coeffs] AS sig
-       |  FROM xs),
-       |bands AS (SELECT doc_id, sig, t.b AS b, sig[t.b*2+1 : t.b*2+2] AS key
-       |  FROM sig, generate_series(0, 7) AS t(b)),
+       |  FROM ${pfx}xs),
+       |${pfx}bands AS (SELECT doc_id, sig, t.b AS b, sig[t.b*2+1 : t.b*2+2] AS key
+       |  FROM ${pfx}sig, generate_series(0, 7) AS t(b))""".stripMargin
+  }
+
+  private def minHashPairCtes(source: String = "documents"): String =
+    minHashSigCtes("", source) + s""",
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sig AS sig_a, b.sig AS sig_b
        |  FROM bands a JOIN bands b
@@ -1301,7 +1323,35 @@ object ExtensionQueries {
        |    round(len([i for i in generate_series(1, 16)
        |      if sig_a[i] = sig_b[i]]) / 16.0, 4) AS jaccard
        |  FROM cand)""".stripMargin
-  }
+
+  /** q123: the q27 signature machinery instantiated TWICE (train/eval
+    * sides of the %5 split), cross-banded candidates (no `<` — the sides
+    * are disjoint by construction), the same 16-position agreement
+    * estimate, then per-train-doc match aggregation with a left join so
+    * clean docs keep n_eval_matches = 0 — mirroring
+    * [[graft.ext.DedupOps.fuzzyContaminationFlags]] stage for stage.
+    */
+  private lazy val fuzzyDecontamOracleSql: String =
+    s"""WITH ${minHashSigCtes("t",
+          "(SELECT * FROM documents WHERE doc_id % 5 <> 0) s")},
+       |${minHashSigCtes("e",
+          "(SELECT * FROM documents WHERE doc_id % 5 = 0) s")},
+       |cand AS (SELECT DISTINCT a.doc_id AS tid, b.doc_id AS eid,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM tbands a JOIN ebands b ON a.b = b.b AND a.key = b.key),
+       |sc AS (SELECT tid, eid,
+       |    round(len([i for i in generate_series(1, 16)
+       |      if sig_a[i] = sig_b[i]]) / 16.0, 4) AS jaccard
+       |  FROM cand),
+       |m AS (SELECT tid, count(DISTINCT eid) AS n_eval_matches,
+       |    max(jaccard) AS max_jaccard
+       |  FROM sc WHERE jaccard >= 0.8 GROUP BY tid)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(m.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       |  m.max_jaccard,
+       |  (coalesce(m.n_eval_matches, 0) > 0) AS fuzzy_contaminated
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.tid
+       |WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""".stripMargin
 
   /** q99's oracle, parameterized by the id bound so q103's multimodal
     * composition can reuse the exact pipeline over its own corpus slice.
@@ -2514,6 +2564,7 @@ object ExtensionQueries {
     // the band, rank by (sim DESC, neg_id). The band filter applies to
     // the ROUNDED sim on both engines (the rank's input), so boundary
     // vectors cannot diverge on the 6th decimal.
+    "q123_fuzzy_decontam" -> fuzzyDecontamOracleSql,
     "q121_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

@@ -604,6 +604,59 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Generate") && !plan.contains("HashAggregate"))
   }
 
+  test("fuzzyContaminationFlags: a train doc near-duplicating an eval doc " +
+      "flags; clean docs keep n_eval_matches=0 with NULL max_jaccard; " +
+      "flags agree with the symmetric LSH pair view") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different training content about spark shuffles and joins"),
+      (3L, "short doc"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      // near-copy of train doc 1 (one trailing token changed)
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (101L, "unrelated evaluation benchmark question nothing shared at all"))
+      .toDF("doc_id", "text")
+    val flags = DedupOps.fuzzyContaminationFlags(train, eval_,
+        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(flags.keySet == Set(1L, 2L, 3L), "one row per train doc")
+    assert(flags(1L)._3, "near-copy of an eval doc must flag")
+    assert(flags(1L)._1 == 1L && flags(1L)._2.isDefined)
+    assert(!flags(2L)._3 && flags(2L)._1 == 0L && flags(2L)._2.isEmpty,
+      "clean doc must stay (0, NULL, false)")
+    assert(!flags(3L)._3)
+
+    // differential: the flagged set equals the cross-(train, eval)
+    // restriction of the symmetric q27 pair view over the union corpus
+    // (ids are disjoint, so pairs straddling the split identify flags)
+    val crossFlagged = DedupOps.minHashLshPairs(train.unionByName(eval_),
+        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.5,
+        portable = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100L && b >= 100L }
+      .map(_._1).toSet
+    assert(crossFlagged ==
+      flags.filter(_._2._3).keySet,
+      "fuzzy flags diverged from the symmetric pair view")
+  }
+
+  test("fuzzyContaminationFlags plan: the band join broadcasts the eval " +
+      "side (no sort-merge of the corpus against the eval set)") {
+    val train = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval_ = train.filter($"doc_id" % 5 === 0)
+    val p = DedupOps.fuzzyContaminationFlags(
+        train.filter($"doc_id" % 5 =!= 0), eval_,
+        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval bands must broadcast to the corpus band stream")
+  }
+
   test("reassembly stress: a 50k-token document runs all three span " +
       "editors within a wall-time bound (no quadratic prefix arrays)") {
     // The pre-r12 rebuild idiom (running collect_list over an unbounded-
