@@ -113,6 +113,58 @@ object SimilarityOps {
     topKPerGroup(scored, "anchor_id", "neg_id", k)
   }
 
+  /** Contrastive training triples (anchor, positive, negatives) in ONE
+    * corpus scan — the full data-prep composition [[hardNegatives]]
+    * feeds: per anchor, the positive is the global top-1 neighbor when
+    * its sim ≥ `posMin` (anchors without one emit no triples), and the
+    * negatives are the top-`nNeg` inside `[negLo, negHi)`. `negHi ≤
+    * posMin` is required so a positive can never double as a negative.
+    *
+    * Plan shape: anchors broadcast over one corpus scan; the map-side
+    * `sim ≥ negLo` cut drops the easy-negative mass BEFORE the shuffle
+    * (legal because every output row — positive or negative — scores
+    * above negLo by definition), then ONE anchor-keyed exchange carries
+    * both rankings as two Window ops over the same partitioning. The
+    * naive compose (bruteForceTopK + hardNegatives) scans the corpus
+    * twice; this runs it once.
+    * Output: (anchor_id, pos_id, pos_sim, rk, neg_id, neg_sim).
+    */
+  def contrastiveTriples(anchors: DataFrame, corpus: DataFrame,
+                         posMin: Double, negLo: Double, negHi: Double,
+                         nNeg: Int): DataFrame = {
+    require(negLo < negHi, s"empty negative band [$negLo, $negHi)")
+    require(negHi <= posMin,
+      s"negHi=$negHi must be <= posMin=$posMin or a positive could be " +
+        "mined as a negative")
+    val p = withUnitVec(anchors, "embedding", "anchor_emb")
+      .select(col("vec_id").as("anchor_id"), col("anchor_emb"))
+    val c = withUnitVec(corpus, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"))
+    val surv = c.join(broadcast(p), col("anchor_id") =!= col("cand_id"))
+      .withColumn("sim", round(dot(col("anchor_emb"), col("cand_emb")), 6))
+      .filter(col("sim") >= negLo)
+      .select(col("anchor_id"), col("cand_id"), col("sim"))
+    val inBand = col("sim") < negHi // all survivors are already >= negLo
+    val w = Window.partitionBy(col("anchor_id"))
+    val wAll = w.orderBy(col("sim").desc, col("cand_id"))
+    // the positive rides every row as a window value (first of the
+    // sim-desc prefix = the global top-1) instead of a separate
+    // pos-branch + join: a split lineage would prune the unused window
+    // from each branch, break subtree identity, and re-scan the corpus —
+    // the q113/q116 exchange-reuse lesson. Single lineage: one scan, one
+    // anchor-keyed exchange, two Window ops over it.
+    val ranked = surv
+      .withColumn("band_rk", row_number().over(
+        w.orderBy(inBand.desc, col("sim").desc, col("cand_id"))))
+      .withColumn("pos_id", first(col("cand_id")).over(wAll))
+      .withColumn("pos_sim", first(col("sim")).over(wAll))
+    ranked
+      .filter(inBand && col("band_rk") <= nNeg && col("pos_sim") >= posMin)
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim"),
+        col("band_rk").as("rk"), col("cand_id").as("neg_id"),
+        col("sim").as("neg_sim"))
+  }
+
   /** Per-group top-k tail shared by every ANN variant: rank by similarity
     * descending with the neighbor id as the deterministic tiebreaker,
     * keep k. ONE definition so rank/tie semantics cannot drift between

@@ -733,6 +733,18 @@ object ExtensionQueries {
         .orderBy(col("anchor_id"), col("rk"))
     }),
 
+    // Contrastive triples flagship (q124): the composition a retriever-
+    // training pipeline runs — per anchor, the global top-1 as positive
+    // (when ≥ posMin) and the q121 band top-3 as negatives, in ONE
+    // corpus scan + ONE anchor-keyed exchange (the positive rides as a
+    // window value; plan-asserted in QueryPlanSpec) ------------------
+    "q124_contrastive_triples" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.contrastiveTriples(e.filter(col("vec_id") < 10), e,
+          posMin = 0.35, negLo = 0.15, negHi = 0.3, nNeg = 3)
+        .orderBy(col("anchor_id"), col("rk"))
+    }),
+
     // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
     // term query — one collapsed-count aggregate over the token stream,
     // window doc-length, broadcast idf/scalars, global top-k. The query
@@ -2565,6 +2577,33 @@ object ExtensionQueries {
     // the ROUNDED sim on both engines (the rank's input), so boundary
     // vectors cannot diverge on the 6th decimal.
     "q123_fuzzy_decontam" -> fuzzyDecontamOracleSql,
+    // q124: survivors (sim >= negLo) feed BOTH the per-anchor top-1
+    // positive and the band-ranked negatives, mirroring the single-pass
+    // operator; an anchor whose top-1 misses posMin emits nothing.
+    "q124_contrastive_triples" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u
+        |  FROM e),
+        |sc AS (SELECT p.vec_id AS anchor_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(p.u, c.u), 6) AS sim
+        |  FROM n p JOIN n c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |surv AS (SELECT * FROM sc WHERE sim >= 0.15),
+        |pos AS (SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim
+        |  FROM (SELECT anchor_id, cand_id, sim,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY sim DESC, cand_id) AS rn FROM surv) t
+        |  WHERE rn = 1 AND sim >= 0.35),
+        |neg AS (SELECT anchor_id, rk, cand_id AS neg_id, sim AS neg_sim
+        |  FROM (SELECT anchor_id, cand_id, sim,
+        |      CAST(row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY sim DESC, cand_id) AS INTEGER) AS rk
+        |    FROM surv WHERE sim < 0.3) t
+        |  WHERE rk <= 3)
+        |SELECT p.anchor_id, p.pos_id, p.pos_sim, g.rk, g.neg_id, g.neg_sim
+        |FROM pos p JOIN neg g USING (anchor_id)
+        |ORDER BY p.anchor_id, g.rk""".stripMargin,
     "q121_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

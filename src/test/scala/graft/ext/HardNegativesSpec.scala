@@ -108,6 +108,40 @@ class HardNegativesSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("contrastiveTriples: planted near-copy becomes the positive, " +
+      "negatives stay in band, anchors without a positive emit nothing") {
+    val anchors = emb.filter(col("vec_id") < 10)
+    // plant a near-copy of anchor 0 → its positive; anchors whose top-1
+    // misses posMin drop out entirely
+    val dupe = emb.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0f + 1e-4f))
+          .as("embedding"))
+    val corpus = emb.unionByName(dupe)
+    val rows = SimilarityOps.contrastiveTriples(anchors, corpus,
+        posMin = 0.9, negLo = 0.15, negHi = 0.3, nNeg = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    // posMin=0.9: only anchor 0 (planted dup sim≈1.0) can have a positive
+    assert(rows.map(_.getLong(0)).toSet == Set(0L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 900000L, "positive must be the planted copy")
+      assert(r.getDouble(2) >= 0.9)
+      val negSim = r.getDouble(5)
+      assert(negSim >= 0.15 && negSim < 0.3, s"negative sim $negSim out of band")
+      assert(r.getLong(4) != r.getLong(1), "negative equals the positive")
+    }
+    assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length),
+      "negative ranks must be dense from 1")
+  }
+
+  test("contrastiveTriples rejects an overlapping positive/negative band") {
+    intercept[IllegalArgumentException] {
+      SimilarityOps.contrastiveTriples(emb.limit(1), emb,
+        posMin = 0.25, negLo = 0.15, negHi = 0.3, nNeg = 3)
+    }
+  }
+
   test("plan: exact mining broadcasts the anchors (corpus scan stays " +
       "map-side) and k pushes into the per-anchor sort") {
     val p = SimilarityOps.hardNegatives(emb.filter(col("vec_id") < 10),

@@ -224,6 +224,44 @@ class QueryPlanSpec extends AnyFunSuite {
       s"the keeper mark join stopped broadcasting:\n$exec")
   }
 
+  test("q124: contrastive triples run in ONE corpus pass — single " +
+      "anchor-keyed exchange, both rankings ride it, no join") {
+    val df = SparkEntry.queries("q124_contrastive_triples")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    def count(p: org.apache.spark.sql.execution.SparkPlan)
+             (pred: org.apache.spark.sql.execution.SparkPlan => Boolean)
+        : Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        count(a.executedPlan)(pred)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        count(q.plan)(pred)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+      case other =>
+        (if (pred(other)) 1 else 0) + other.children.map(count(_)(pred)).sum
+    }
+    val scans = count(exec) {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    val hashShuffles = count(exec) {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        s.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }
+    // 2 scans by construction: the broadcast anchor slice + the corpus
+    // stream (same parquet, different subtrees). A third means the
+    // positive branch split lineage and re-scanned.
+    assert(scans == 2, s"expected 2 scans (anchors + corpus), got $scans:\n$exec")
+    assert(hashShuffles == 1,
+      s"both rankings must ride ONE anchor-keyed exchange, got " +
+        s"$hashShuffles:\n$exec")
+    assert(!exec.toString.contains("SortMergeJoin") &&
+      !exec.toString.contains("BroadcastHashJoin"),
+      s"single-lineage form must not join pos to neg:\n$exec")
+  }
+
   test("q112: run collapse is one lag window + the Reassemble aggregate " +
       "— no running-prefix rebuild window") {
     val p = plan("q112_run_collapse")
@@ -313,11 +351,12 @@ class QueryPlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    //   q121 broadcasts its 10-anchor mining batch over the corpus scan
-    //   (the exact hard-negative form — bounded batch by contract).
+    //   q121/q124 broadcast their 10-anchor mining batch over the corpus
+    //   scan (the exact hard-negative/triple forms — bounded batch by
+    //   contract).
     val nonScalarIntentional = Set("q30_ann_topk", "q89_int8_ann",
       "q26_ngram_jaccard", "q80_generate_series", "q114_pq_ann",
-      "q121_hard_negatives")
+      "q121_hard_negatives", "q124_contrastive_triples")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
