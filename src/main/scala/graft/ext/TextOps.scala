@@ -234,6 +234,40 @@ object TextOps {
           col("dup_3gram_frac") > maxDup3Frac)
   }
 
+  /** Sliding-window chunking with overlap — the retrieval/embedding prep
+    * step (RAG corpora, long-doc embedding): each document becomes
+    * chunks of `chunkTokens` tokens starting every `strideTokens`
+    * (overlap = chunkTokens − strideTokens), the final chunk truncating
+    * at the tail. Chunk starts are 0, stride, …, the largest multiple of
+    * stride < nTokens, so every token lands in ≥1 chunk and a short doc
+    * emits exactly one. Map-only: tokenize + one bounded explode per
+    * doc, no shuffle, no state — at 100 TB this is a pure scan transform
+    * whose output feeds [[graft.ext.DedupOps.chunkDedup]] or the
+    * embedding encoder downstream.
+    * Output: (idCol, chunk_idx, start_tok, n_tokens, chunk_text).
+    */
+  def slidingChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, chunkTokens: Int, strideTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      s"chunkTokens=$chunkTokens and strideTokens=$strideTokens must be positive")
+    require(strideTokens <= chunkTokens,
+      s"strideTokens=$strideTokens > chunkTokens=$chunkTokens would drop tokens")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          floor((size(col("__toks")) - 1) / lit(strideTokens)).cast("int")))
+          .as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * lit(strideTokens))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("start_tok") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any token
     * k-gram with an evaluation set — the standard pre-training hygiene
     * pass. Eval k-grams are distinct-collected and BROADCAST (benchmark

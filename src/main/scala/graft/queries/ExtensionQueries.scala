@@ -875,6 +875,13 @@ object ExtensionQueries {
           chunkTokens = 8)
         .orderBy(col("doc_id"))),
 
+    // -- Sliding-window chunking (q125): the RAG/embedding-prep splitter —
+    // 32-token chunks every 24 (8-token overlap), map-only explode ----
+    "q125_sliding_chunks" -> ((s, dir) =>
+      TextOps.slidingChunks(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // -- Domain-mixture report: exact token counts → temperature-flattened
     // (α=0.5) sampling boost relative to the largest domain. All the
     // cross-domain math is over exact BIGINT sums, so the doubles appear
@@ -2576,6 +2583,22 @@ object ExtensionQueries {
     // the band, rank by (sim DESC, neg_id). The band filter applies to
     // the ROUNDED sim on both engines (the rank's input), so boundary
     // vectors cannot diverge on the 6th decimal.
+    // q125: chunk starts are the stride multiples below len(toks); both
+    // engines slice inclusively-truncating, so the tail chunk agrees
+    "q125_sliding_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(s.i AS INTEGER) AS chunk_idx,
+        |    CAST(s.i * 24 AS INTEGER) AS start_tok,
+        |    toks[s.i*24+1 : s.i*24+32] AS chunk
+        |  FROM d, unnest(generate_series(0,
+        |    CAST(floor((len(toks) - 1.0) / 24) AS BIGINT))) AS s(i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  CAST(len(chunk) AS INTEGER) AS n_tokens,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q123_fuzzy_decontam" -> fuzzyDecontamOracleSql,
     // q124: survivors (sim >= negLo) feed BOTH the per-anchor top-1
     // positive and the band-ranked negatives, mirroring the single-pass

@@ -27,6 +27,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("slidingChunks: stride starts, overlap, truncated tail, full " +
+      "coverage; short doc emits one chunk; map-only plan") {
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"))                                     // short: 1 chunk
+      .toDF("doc_id", "text")
+    val rows = TextOps.slidingChunks(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    // starts: 0,3,6,9 (9 < 10, the last stride multiple below nTokens)
+    assert(d1.map(_.getInt(2)).toSeq == Seq(0, 3, 6, 9))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(4, 4, 4, 1), "tail truncates")
+    assert(d1.head.getString(4) == "t0 t1 t2 t3")
+    assert(d1(1).getString(4) == "t3 t4 t5 t6", "overlap = chunk - stride")
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_.getString(4).split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(4) == "a b c")
+    // a stride wider than the chunk would drop tokens — refused
+    intercept[IllegalArgumentException] {
+      TextOps.slidingChunks(docs, "doc_id", "text", 4, 5)
+    }
+    // map-only: no exchange anywhere in the chunker itself
+    val p = TextOps.slidingChunks(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunker must not shuffle:\n$p")
+  }
+
   test("bpe tokens split letter runs, digit runs, punctuation marks") {
     val r = one("ab12, cd!").select(TextOps.bpeTokens(col("text")))
       .head.getSeq[String](0)
