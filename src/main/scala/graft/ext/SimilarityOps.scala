@@ -140,19 +140,31 @@ object SimilarityOps {
       .select(col("vec_id").as("anchor_id"), col("anchor_emb"))
     val c = withUnitVec(corpus, "embedding", "cand_emb")
       .select(col("vec_id").as("cand_id"), col("cand_emb"))
-    val surv = c.join(broadcast(p), col("anchor_id") =!= col("cand_id"))
+    val scored = c.join(broadcast(p), col("anchor_id") =!= col("cand_id"))
       .withColumn("sim", round(dot(col("anchor_emb"), col("cand_emb")), 6))
-      .filter(col("sim") >= negLo)
+    triplesFromScored(scored, posMin, negLo, negHi, nNeg)
+  }
+
+  /** The triple-derivation tail shared by [[contrastiveTriples]] (exact
+    * full-scan scoring) and [[contrastiveTriplesFromStore]] (IVF-PQ
+    * over-fetch): from (anchor_id, cand_id, sim) rows, the per-anchor
+    * positive and band negatives in ONE anchor-keyed exchange. The
+    * `sim ≥ negLo` cut lives here and Catalyst pushes it below the
+    * window to the map side of whichever scoring plan feeds it; the
+    * positive rides every row as a window value (first of the sim-desc
+    * prefix = the top-1) instead of a separate pos-branch + join: a
+    * split lineage would prune the unused window from each branch,
+    * break subtree identity, and re-scan the input — the q113/q116
+    * exchange-reuse lesson. Single lineage: one scoring pass, one
+    * anchor-keyed exchange, two Window ops over it.
+    */
+  private def triplesFromScored(scored: DataFrame, posMin: Double,
+      negLo: Double, negHi: Double, nNeg: Int): DataFrame = {
+    val surv = scored.filter(col("sim") >= negLo)
       .select(col("anchor_id"), col("cand_id"), col("sim"))
     val inBand = col("sim") < negHi // all survivors are already >= negLo
     val w = Window.partitionBy(col("anchor_id"))
     val wAll = w.orderBy(col("sim").desc, col("cand_id"))
-    // the positive rides every row as a window value (first of the
-    // sim-desc prefix = the global top-1) instead of a separate
-    // pos-branch + join: a split lineage would prune the unused window
-    // from each branch, break subtree identity, and re-scan the corpus —
-    // the q113/q116 exchange-reuse lesson. Single lineage: one scan, one
-    // anchor-keyed exchange, two Window ops over it.
     val ranked = surv
       .withColumn("band_rk", row_number().over(
         w.orderBy(inBand.desc, col("sim").desc, col("cand_id"))))
@@ -765,21 +777,22 @@ object SimilarityOps {
                           refineFactor: Int = 4): DataFrame = {
     require(cbs.nonEmpty && k > 0 && refineFactor >= 1)
     val m = cbs.length
-    val dsub = cbs(0).head.length
+    val ksub = cbs(0).length
     val cands = withUnitVec(candidates, "embedding", "cand_emb")
       .select(col("vec_id").as("cand_id"), col("cand_emb"),
         array((0 until m).map(mi =>
           pqCodeOf(col("cand_emb"), mi, cbs(mi))): _*).as("codes"))
     val probeVecs = withUnitVec(probes, "embedding", "probe_unit")
       .select(col("vec_id").as("probe_id"), col("probe_unit"))
-    val cbLits = cbs.map(cb => typedLit(cb.map(_.toSeq).toSeq))
-    val adc = (0 until m).map { mi =>
-      VectorFunctions.dotProduct(subVec(col("probe_unit"), mi, dsub),
-        element_at(cbLits(mi), element_at(col("codes"), mi + 1) + 1))
-    }.reduce(_ + _)
-    val coarse = cands.drop("cand_emb").crossJoin(broadcast(probeVecs))
+    // per-probe ADC tables, not per-pair slice+dot trees — see ivfPqCore
+    val probeTabs = probeVecs.withColumn("adc_tab",
+        VectorFunctions.adcTable(col("probe_unit"),
+          cbs.map(_.map(_.toSeq).toSeq).toSeq))
+      .select(col("probe_id"), col("adc_tab"))
+    val coarse = cands.drop("cand_emb").crossJoin(broadcast(probeTabs))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", round(adc, 6))
+      .withColumn("sim",
+        round(VectorFunctions.adcScore(col("adc_tab"), col("codes"), ksub), 6))
     val shortlist = topKPerGroup(coarse, "probe_id", "cand_id",
         k * refineFactor)
       .select(col("probe_id"), col("cand_id"))
@@ -857,21 +870,27 @@ object SimilarityOps {
                         cbs: Array[Array[Array[Double]]], k: Int,
                         nprobe: Int, refineFactor: Int): DataFrame = {
     require(cbs.nonEmpty && k > 0 && nprobe > 0 && refineFactor >= 1)
-    val m = cbs.length
-    val dsub = cbs(0).head.length
+    val ksub = cbs(0).length
+    // ADC lookup tables hoisted to the probe side (AdcTable — Jégou's
+    // precomputed-distances trick): each broadcast row carries m·ksub
+    // doubles (32 KB at m=16/ksub=256, amortized over the probed cell's
+    // candidates), and the per-pair hot loop is AdcScore's m array
+    // reads — instead of m slice+dot+literal-indexing subtrees per pair,
+    // which de-JITted the join stage at m=16 (SCALING.md r13). Probe
+    // batches are bounded by the broadcast either way; this multiplies
+    // its width by m·ksub/dim, so chunk mining batches accordingly.
     val probeCells = probeCellsOf(probes, cents, nprobe)
-    val cbLits = cbs.map(cb => typedLit(cb.map(_.toSeq).toSeq))
-    val adc = (0 until m).map { mi =>
-      VectorFunctions.dotProduct(subVec(col("probe_unit"), mi, dsub),
-        element_at(cbLits(mi), element_at(col("codes"), mi + 1) + 1))
-    }.reduce(_ + _)
+      .withColumn("adc_tab", VectorFunctions.adcTable(col("probe_unit"),
+        cbs.map(_.map(_.toSeq).toSeq).toSeq))
+      .select(col("probe_id"), col("cell"), col("adc_tab"))
     // cell equi-join (broadcast: |probes|·nprobe rows) — a candidate
     // meets a probe through exactly ONE cell, so no pair dedup is needed;
     // against the persisted store the broadcast also feeds dynamic
     // partition pruning, so unprobed cell directories are never read
     val coarse = index.join(broadcast(probeCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", round(adc, 6))
+      .withColumn("sim",
+        round(VectorFunctions.adcScore(col("adc_tab"), col("codes"), ksub), 6))
     val shortlist0 = topKPerGroup(coarse, "probe_id", "cand_id",
         k * refineFactor)
       .select(col("probe_id"), col("cand_id"))
@@ -1005,6 +1024,44 @@ object SimilarityOps {
       .withColumnRenamed("probe_id", "anchor_id")
       .withColumnRenamed("cand_id", "neg_id")
     topKPerGroup(fetched, "anchor_id", "neg_id", k)
+  }
+
+  /** [[contrastiveTriples]] against the persisted IVF-PQ index — the
+    * composition that mines (positive, negatives) for MILLIONS of
+    * anchors without a full-corpus scan per batch, the way
+    * [[hardNegativesFromStore]] relates to [[hardNegatives]]: over-fetch
+    * the top-`kFetch` neighbors from the store (cell-pruned ADC, exact
+    * re-rank — sims are exact, the SET is approximate), then run the
+    * same [[triplesFromScored]] tail. The fetched rank-1 IS the
+    * candidate positive, so the positive inherits the index's rank-1
+    * recall (measured per nprobe in SimilarityOpsSpec); negatives
+    * inherit the hardNegativesFromStore over-fetch contract — `kFetch`
+    * must exceed nNeg by at least the expected above-band (positive/
+    * near-dup) neighbors per anchor, else band negatives fall off the
+    * fetched window. Exhaustive fetch (nprobe = nCells, kFetch ≥
+    * corpus) degenerates to [[contrastiveTriples]] exactly
+    * (spec-pinned). Same output schema as [[contrastiveTriples]].
+    */
+  def contrastiveTriplesFromStore(anchors: DataFrame, index: DataFrame,
+                                  rawVecs: DataFrame,
+                                  cents: Array[Array[Double]],
+                                  cbs: Array[Array[Array[Double]]],
+                                  posMin: Double, negLo: Double,
+                                  negHi: Double, nNeg: Int, kFetch: Int,
+                                  nprobe: Int, refineFactor: Int = 4)
+      : DataFrame = {
+    require(negLo < negHi, s"empty negative band [$negLo, $negHi)")
+    require(negHi <= posMin,
+      s"negHi=$negHi must be <= posMin=$posMin or a positive could be " +
+        "mined as a negative")
+    require(kFetch > nNeg,
+      s"kFetch=$kFetch must exceed nNeg=$nNeg: the fetch carries the " +
+        "positive AND the band negatives")
+    val fetched = ivfPqTopKFromStore(anchors, index, rawVecs, cents, cbs,
+        kFetch, nprobe, refineFactor)
+      .drop("rk")
+      .withColumnRenamed("probe_id", "anchor_id")
+    triplesFromScored(fetched, posMin, negLo, negHi, nNeg)
   }
 
   /** The id-bucket of a vector id in a [[vectorStore]] of `nBuckets`

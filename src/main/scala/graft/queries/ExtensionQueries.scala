@@ -745,6 +745,27 @@ object ExtensionQueries {
         .orderBy(col("anchor_id"), col("rk"))
     }),
 
+    // Store-backed contrastive triples (q126): q124's composition mined
+    // from the persisted IVF-PQ index — over-fetch top-40 per anchor
+    // (cell-pruned ADC + exact re-rank), then the same shared triple
+    // tail: fetched rank-1 is the positive candidate, band top-3 the
+    // negatives. The shape that prepares retriever training data for
+    // millions of anchors without a per-batch corpus scan; the oracle
+    // reuses the q115/q122 chain plus q124's pos/neg CTEs over the
+    // fetched set --------------------------------------------------
+    "q126_contrastive_triples_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      SimilarityOps.contrastiveTriplesFromStore(e.filter(col("vec_id") < 10),
+          index, e, cents, cbs, posMin = 0.35, negLo = 0.15, negHi = 0.3,
+          nNeg = 3, kFetch = 40, nprobe = 3, refineFactor = 4)
+        .orderBy(col("anchor_id"), col("rk"))
+    }),
+
     // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
     // term query — one collapsed-count aggregate over the token stream,
     // window doc-length, broadcast idf/scalars, global top-k. The query
@@ -1805,6 +1826,32 @@ object ExtensionQueries {
          |SELECT anchor_id, rk, neg_id, sim FROM hr WHERE rk <= 5
          |ORDER BY anchor_id, rk""".stripMargin
 
+  /** q126: the q124 triple derivation over the ivfPqChainSql fetch —
+    * the chain runs at (kFetch=40, rf=4) exactly like q122, then the
+    * pos/neg CTEs mirror q124's, restricted to the fetched top-40 set
+    * (survivors of the negLo floor): positive = rn 1 of the fetched
+    * survivors when ≥ posMin, negatives = band top-3.
+    */
+  private lazy val contrastiveTriplesAnnOracleSql: String =
+    ivfPqChainSql(k = 40, refineFactor = 4) +
+      s""",
+         |surv AS (SELECT probe_id AS anchor_id, cand_id, sim
+         |  FROM rk WHERE rk <= 40 AND sim >= 0.15),
+         |pos AS (SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim
+         |  FROM (SELECT anchor_id, cand_id, sim,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY sim DESC, cand_id) AS rn FROM surv) t
+         |  WHERE rn = 1 AND sim >= 0.35),
+         |neg AS (SELECT anchor_id, rk, cand_id AS neg_id, sim AS neg_sim
+         |  FROM (SELECT anchor_id, cand_id, sim,
+         |      CAST(row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY sim DESC, cand_id) AS INTEGER) AS rk
+         |    FROM surv WHERE sim < 0.3) t
+         |  WHERE rk <= 3)
+         |SELECT p.anchor_id, p.pos_id, p.pos_sim, g.rk, g.neg_id, g.neg_sim
+         |FROM pos p JOIN neg g USING (anchor_id)
+         |ORDER BY p.anchor_id, g.rk""".stripMargin
+
   /** q104: the committed centroid literals again — nearest-cell argmax
     * (ties to the lowest cell, like q31's `rn = 1`), rounded own-centroid
     * sim, within-cell pair scoring, recursive transitive closure (the q85
@@ -2644,6 +2691,7 @@ object ExtensionQueries {
         |  FROM b) t
         |WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
     "q122_hard_negatives_ann" -> hardNegAnnOracleSql,
+    "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

@@ -744,6 +744,172 @@ case class Int8UnitQuantize(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-probe ADC lookup table (Jégou et al. 2011 §V-A: the asymmetric
+  * distances to every codebook centroid are computed ONCE per query,
+  * then each database vector costs m table reads): `tab[mi·ksub + c] =
+  * dot(sub_mi(probe), cb_mi[c])` for every subspace `mi` and code `c` —
+  * m·ksub partial dots per PROBE instead of m sub-vector dots per
+  * (probe, candidate) PAIR. Computed probe-side before the broadcast,
+  * so the pair-scoring hot loop collapses to [[AdcScore]]'s m array
+  * reads.
+  *
+  * The per-pair tree this hoists (m inlined slice loops, each indexing
+  * a ksub-row nested-array literal) blew the generated consume method
+  * past the JIT limit at m=16 and de-compiled the ADC join stage — the
+  * [[NearestCell]] de-JIT lesson, third instance (20.6 s → sub-second
+  * on the 30× corpus, SCALING.md r13). Bit-identical FP sequence to
+  * that tree: each entry accumulates ascending-j with [[DotProduct]]'s
+  * min-length semantics over `slice(u, mi·dsub+1, dsub)`, and a null
+  * probe element in any read position nulls the whole table exactly
+  * where it nulled the pair sum.
+  */
+case class AdcTable(child: Expression, cbs: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(cbs.nonEmpty && cbs.head.nonEmpty &&
+    cbs.forall(_.length == cbs.head.length),
+    "AdcTable: codebooks must be non-empty with equal code counts")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_table"
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cbs.map(_.map(_.toArray).toArray).toArray
+
+  private val ksub = cbs.head.length
+  private val dsub = cbs.head.head.length
+
+  @transient private lazy val checkNulls =
+    KernelNulls.mayHoldNullElements(child)
+
+  def compute(u: ArrayData): Any = {
+    val m = cbArr.length
+    val uLen = u.numElements()
+    val doCheck = checkNulls
+    val out = new Array[Double](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * dsub
+      // slice(u, off+1, dsub) length, then DotProduct's min with the row
+      val sliceLen = math.max(0, math.min(dsub, uLen - off))
+      val cb = cbArr(mi)
+      var c = 0
+      while (c < ksub) {
+        val row = cb(c)
+        val n = math.min(sliceLen, row.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          if (doCheck && u.isNullAt(off + j)) return null
+          s += u.getDouble(off + j) * row(j); j += 1
+        }
+        out(mi * ksub + c) = s
+        c += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTable", this, classOf[AdcTable].getName)
+    val tmp = ctx.freshName("tmp")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |Object $tmp = $ref.compute($a);
+       |if ($tmp == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcTable =
+    copy(child = newChild)
+}
+
+/** The pair-side half of [[AdcTable]]: sim̂ = Σ_mi tab[mi·ksub +
+  * codes[mi]] — m indexed reads and adds per (probe, candidate) pair,
+  * accumulated in ascending-mi order starting FROM the first entry
+  * (the exact left fold of the `reduce(_ + _)` Add tree it replaces,
+  * so the FP result is bitwise identical — no spurious leading
+  * `0.0 +`). A null code element nulls the score (the old
+  * `element_at` → null → null-sum path); an out-of-range code —
+  * impossible by construction, codes come from the same codebooks —
+  * also nulls rather than reading a wrong entry. The loop is branch-
+  * light primitive reads, inlined into the join stage's generated
+  * consume: the whole ADC hot path stays inside whole-stage codegen
+  * no matter how large m·ksub is, because the table is DATA (one
+  * broadcast column), not expression-tree literals.
+  */
+case class AdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(ksub > 0, s"AdcScore: ksub=$ksub must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  @transient private lazy val checkTabNulls =
+    KernelNulls.mayHoldNullElements(left)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val tab = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val nt = tab.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val idx = i * ksub + codes.getInt(i)
+      if (idx < 0 || idx >= nt) return null
+      if (checkTabNulls && tab.isNullAt(idx)) return null
+      val d = tab.getDouble(idx)
+      s = if (i == 0) d else s + d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tab, codes) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val nt = ctx.freshName("nt")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      val d = ctx.freshName("d")
+      val tabGuard =
+        if (checkTabNulls)
+          s"if ($tab.isNullAt($idx)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $m = $codes.numElements();
+         |int $nt = $tab.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($codes.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  int $idx = $i * $ksub + $codes.getInt($i);
+         |  if ($idx < 0 || $idx >= $nt) { ${ev.isNull} = true; break; }
+         |  $tabGuard
+         |  double $d = $tab.getDouble($idx);
+         |  $s = ($i == 0) ? $d : $s + $d;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Integer dot product over two array<tinyint> quantized vectors — the
   * coarse-scoring kernel of the two-stage ANN path. Accumulates in long
   * (no overflow at any realistic dimension), min-length semantics like
@@ -841,4 +1007,11 @@ object VectorFunctions {
   def int8Dot(a: Column, b: Column): Column =
     ExpressionUtils.column(Int8Dot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def adcTable(u: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(AdcTable(ExpressionUtils.expression(u), cbs))
+
+  def adcScore(tab: Column, codes: Column, ksub: Int): Column =
+    ExpressionUtils.column(AdcScore(
+      ExpressionUtils.expression(tab), ExpressionUtils.expression(codes), ksub))
 }

@@ -135,6 +135,40 @@ class HardNegativesSpec extends AnyFunSuite {
       "negative ranks must be dense from 1")
   }
 
+  test("contrastiveTriplesFromStore with nprobe = nCells and an " +
+      "exhaustive over-fetch degenerates to exactly contrastiveTriples") {
+    val cents = graft.ext.IvfCentroids.centroids
+    val cbs = graft.ext.PqCodebooks.codebooks
+    val anchors = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-triples-idx").toString
+    val index = SimilarityOps.annIndexStore(spark, emb, dir, cents, cbs)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5))
+    val store = SimilarityOps.contrastiveTriplesFromStore(anchors, index,
+        emb, cents, cbs, posMin = 0.35, negLo = 0.15, negHi = 0.3,
+        nNeg = 3, kFetch = n, nprobe = cents.length, refineFactor = 1)
+      .collect().map(key).toSet
+    val exact = SimilarityOps.contrastiveTriples(anchors, emb,
+        posMin = 0.35, negLo = 0.15, negHi = 0.3, nNeg = 3)
+      .collect().map(key).toSet
+    assert(store.nonEmpty)
+    assert(store == exact,
+      "exhaustive store-backed triples must reproduce the exact form")
+  }
+
+  test("contrastiveTriplesFromStore rejects kFetch <= nNeg: the fetch " +
+      "must carry the positive and the negatives") {
+    intercept[IllegalArgumentException] {
+      SimilarityOps.contrastiveTriplesFromStore(emb.limit(1), emb, emb,
+        graft.ext.IvfCentroids.centroids, graft.ext.PqCodebooks.codebooks,
+        posMin = 0.35, negLo = 0.15, negHi = 0.3, nNeg = 3, kFetch = 3,
+        nprobe = 3)
+    }
+  }
+
   test("contrastiveTriples rejects an overlapping positive/negative band") {
     intercept[IllegalArgumentException] {
       SimilarityOps.contrastiveTriples(emb.limit(1), emb,

@@ -220,4 +220,56 @@ class VectorExpressionsSpec extends AnyFunSuite {
       VectorFunctions.shingles(col("a"), 0))
     assert(e.getMessage.contains("positive"))
   }
+
+  test("adcTable + adcScore are bitwise-identical to the per-pair " +
+      "slice+dot+literal tree they hoist, in both execution modes") {
+    // deterministic pseudo-random fixture: 8-dim vectors, m=4 subspaces
+    // of dsub=2, ksub=3 codes per codebook
+    val rnd = new scala.util.Random(42)
+    val m = 4; val dsub = 2; val ksub = 3; val dim = m * dsub
+    val cbs: Seq[Seq[Seq[Double]]] = Seq.fill(m)(
+      Seq.fill(ksub)(Seq.fill(dsub)(rnd.nextDouble() * 2 - 1)))
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(m)(rnd.nextInt(ksub))))
+    val df = vecs.toDF("id", "u", "codes")
+      .select(col("id"), col("u").cast("array<double>").as("u"),
+        col("codes").cast("array<int>").as("codes"))
+    val cbLits = cbs.map(cb => typedLit(cb))
+    val oldTree = (0 until m).map { mi =>
+      VectorFunctions.dotProduct(slice(col("u"), mi * dsub + 1, dsub),
+        element_at(cbLits(mi), element_at(col("codes"), mi + 1) + 1))
+    }.reduce(_ + _)
+    val fused = VectorFunctions.adcScore(
+      VectorFunctions.adcTable(col("u"), cbs), col("codes"), ksub)
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val r = df.select(oldTree.as("old"), fused.as("new")).collect()
+        r.foreach { row =>
+          // bitwise, not approximate: same dots in the same fold order
+          assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+            java.lang.Double.doubleToLongBits(row.getDouble(1)), s"mode=$mode")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null code element nulls the score like the element_at tree did;
+    // short probe vector zero-fills the truncated subspace identically
+    val edge = spark.sql(
+      s"""SELECT array(0.5D, -0.25D, 0.125D) AS shortU,
+         |  array(1, CAST(NULL AS INT), 0, 2) AS nullCodes,
+         |  array(0, 1, 2, 0) AS okCodes""".stripMargin)
+    val er = edge.select(
+      VectorFunctions.adcScore(
+        VectorFunctions.adcTable(col("shortU"), cbs), col("nullCodes"), ksub),
+      VectorFunctions.adcScore(
+        VectorFunctions.adcTable(col("shortU"), cbs), col("okCodes"), ksub),
+      (0 until m).map { mi =>
+        VectorFunctions.dotProduct(slice(col("shortU"), mi * dsub + 1, dsub),
+          element_at(cbLits(mi), element_at(col("okCodes"), mi + 1) + 1))
+      }.reduce(_ + _)).collect().head
+    assert(er.isNullAt(0))
+    assert(java.lang.Double.doubleToLongBits(er.getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(er.getDouble(2)))
+  }
 }
