@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data curation (SURVEY.md §2.C):
@@ -577,6 +578,85 @@ object DedupOps {
       .join(broadcast(avail), Seq(sourceCol))
       .filter(coin < col("__rate"))
       .select(col(idCol), col(sourceCol), col("n_tok"))
+  }
+
+  /** Exact token-budget selection — "the best documents until the budget
+    * is spent": keep precisely the rows whose running token total, in
+    * (score DESC, id ASC) order, stays within `budgetTokens` — the greedy
+    * prefix a training recipe means by "give me the top 1T tokens by
+    * quality". Token counts are non-negative, so the running total is
+    * monotone and the kept set is a PREFIX of the global quality order —
+    * a pure function of (data, budget), monotone in the budget (growing
+    * it only ADDS documents).
+    *
+    * The SPEC is one window over the global order; the PLAN never builds
+    * that order (a global-order window is one task holding the corpus —
+    * the q107/q110 histogram lesson). Instead: a B-bucket score histogram
+    * over the (id, score, tokens) manifest — ONE partial-agg pass, tiny
+    * rows, the text never moves — is cumulated best-first on the driver
+    * (≤ `nBuckets` rows, a bounded probe like the IVF centroid fit).
+    * Buckets that fit entirely inside the budget are kept by a map-side
+    * literal comparison, buckets past the threshold are dropped the same
+    * way, and the exact windowed cumsum runs over the BOUNDARY BUCKET
+    * ONLY (≈1/B of the manifest, one bucket-keyed exchange of ~24-byte
+    * rows). Correctness never depends on the bucketing: scores outside
+    * [scoreLo, scoreHi) clamp into the edge buckets and ANY
+    * score-monotone assignment (even one bucket) yields the same kept
+    * set — coarser buckets just widen the slice the exact window must
+    * resolve, which is the sizing knob: pick nBuckets so corpus/B fits
+    * one task comfortably (the boundary slice can also be re-run through
+    * this same function with tighter bounds if a pathological score
+    * distribution concentrates mass in one bucket).
+    *
+    * Rows with a NULL id, NULL/NaN score, or NULL/negative token count
+    * never qualify (the prefix spec cannot place them). Returns the
+    * selection manifest (idCol, score, n_tokens) — semi-join it back to
+    * the corpus; at 100 TB the manifest is the only thing that shuffles.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: Column,
+                        nTokCol: Column, budgetTokens: Long,
+                        scoreLo: Double = 0.0, scoreHi: Double = 1.0,
+                        nBuckets: Int = 4096): DataFrame = {
+    require(budgetTokens > 0,
+      s"tokenBudgetSelect: budgetTokens must be positive, got $budgetTokens")
+    require(nBuckets > 0, s"tokenBudgetSelect: nBuckets must be positive")
+    require(scoreHi > scoreLo,
+      s"tokenBudgetSelect: score range [$scoreLo, $scoreHi) is empty")
+    val width = scoreHi - scoreLo
+    val m = docs
+      .select(col(idCol).as("__id"), scoreCol.cast("double").as("__s"),
+        nTokCol.cast("long").as("__t"))
+      .filter(col("__id").isNotNull && col("__s").isNotNull &&
+        !isnan(col("__s")) && col("__t").isNotNull && col("__t") >= 0L)
+      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col("__s") - scoreLo) / width * nBuckets).cast("int"))))
+    // pass 1: per-bucket token mass (map-side partial agg; ≤ nBuckets
+    // rows reach the driver — a bounded probe)
+    val hist = m.groupBy(col("__b")).agg(sum(col("__t")).as("__bt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(-_._1)
+    var remaining = budgetTokens
+    var boundary = -1 // bucket the exact window must resolve; -1 = all fit
+    hist.foreach { case (b, bt) =>
+      if (boundary < 0) {
+        if (bt <= remaining) remaining -= bt else boundary = b
+      }
+    }
+    val kept =
+      if (boundary < 0) m // whole corpus fits — map-only, zero shuffles
+      else {
+        val full = m.filter(col("__b") > boundary)
+        val w = Window.partitionBy(col("__b"))
+          .orderBy(col("__s").desc, col("__id").asc)
+        // global cum = (mass of the fully-kept buckets) + in-bucket cum,
+        // so `cum ≤ budget` reduces to `in-bucket cum ≤ remaining`
+        val edge = m.filter(col("__b") === boundary)
+          .withColumn("__cum", sum(col("__t")).over(w))
+          .filter(col("__cum") <= remaining)
+          .drop("__cum")
+        full.unionByName(edge)
+      }
+    kept.select(col("__id").as(idCol), col("__s").as("score"),
+      col("__t").as("n_tokens"))
   }
 
   /** Leakage-safe train/validation split: documents are assigned to

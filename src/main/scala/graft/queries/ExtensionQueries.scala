@@ -766,6 +766,24 @@ object ExtensionQueries {
         .orderBy(col("anchor_id"), col("rk"))
     }),
 
+    // Token-budget selection (q127): "the best documents until the budget
+    // is spent" — the greedy prefix of the (quality DESC, doc_id) order
+    // whose running token total stays within the budget. The plan never
+    // builds that global order: a bucket histogram thresholds map-side
+    // and the exact window touches only the boundary bucket (the
+    // q107/q110 histogram discipline applied to selection); the oracle IS
+    // the naive global-order window, so the green row is a differential
+    // proof of the scale-shaped algorithm -------------------------------
+    "q127_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      DedupOps.tokenBudgetSelect(scored, "doc_id", col("quality"),
+          col("n_tok"), budgetTokens = TokenBudget)
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
     // term query — one collapsed-count aggregate over the token stream,
     // window doc-length, broadcast idf/scalars, global top-k. The query
@@ -2045,6 +2063,12 @@ object ExtensionQueries {
     * bitwise-equal rates (cross-engine float-op ORDERING is the hazard,
     * not float math itself).
     */
+  /** q127's budget — a LITERAL (not a fraction of the corpus), so the
+    * selection is the same spec at any SF: ≈44% of sf0.01's tokens, ≈4%
+    * of sf0.1's, exercising a mid-corpus boundary bucket either way.
+    */
+  private[graft] val TokenBudget: Long = 12000L
+
   private[graft] val MixTargets: Map[String, Double] =
     Map("src0" -> 0.25, "src1" -> 0.15, "src2" -> 0.10, "src3" -> 0.50)
   private[graft] val MixBudget: Long = 3000L
@@ -2054,6 +2078,33 @@ object ExtensionQueries {
   // together)
   private[graft] val EpochSeed: Long = 7L
   private[graft] val EpochShards: Int = 8
+
+  /** q127's oracle is deliberately the NAIVE spec — one window over the
+    * global (score DESC, doc_id) order — while the Spark side runs the
+    * bucket-histogram threshold + boundary-only window: a green row is a
+    * differential proof the scale-shaped plan computes the same prefix.
+    * Quality/token CTEs are q59's verbatim.
+    */
+  private lazy val tokenBudgetOracleSql: String =
+    s"""WITH q0 AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |q1 AS (SELECT doc_id, toks,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+       |    / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |    AS DOUBLE) / length(text), 4) AS punct_ratio
+       |  FROM q0),
+       |q2 AS (SELECT doc_id,
+       |  round(stop_ratio * 0.4 + least(CAST(len(toks) AS DOUBLE) / 100.0,
+       |    1.0) * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS score,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM q1),
+       |c AS (SELECT doc_id, score, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM q2)
+       |SELECT doc_id, score, n_tokens FROM c WHERE cum <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
 
   private lazy val targetMixOracleSql: String = {
     val values = MixTargets.toSeq.sorted
@@ -2692,6 +2743,7 @@ object ExtensionQueries {
         |WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
     "q122_hard_negatives_ann" -> hardNegAnnOracleSql,
     "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
+    "q127_token_budget" -> tokenBudgetOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

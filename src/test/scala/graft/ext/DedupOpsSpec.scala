@@ -693,4 +693,68 @@ class DedupOpsSpec extends AnyFunSuite {
     val s1 = spans.find(_.getLong(0) == 1L).get
     assert(s1.getLong(1) == n && s1.getLong(2) <= n)
   }
+
+  test("tokenBudgetSelect: the histogram-threshold plan equals the naive " +
+      "global-prefix spec across budgets, monotone, with clamped/zero/" +
+      "dirty rows") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map { i =>
+      val s = rnd.nextInt(8) match {
+        case 0 => -0.5 + rnd.nextDouble() // below scoreLo: clamps, still exact
+        case 1 => 1.0 + rnd.nextDouble()  // at/above scoreHi: clamps
+        case _ => rnd.nextInt(20) / 20.0  // heavy score ties
+      }
+      val t = if (i % 17 == 0) 0L else rnd.nextInt(100).toLong
+      (i, s, t)
+    }
+    val df = rows.toDF("id", "score", "n")
+      .unionByName(spark.sql(
+        """SELECT CAST(9999 AS BIGINT) id, CAST('NaN' AS DOUBLE) score,
+          |  CAST(5 AS BIGINT) n
+          |UNION ALL SELECT 9998, 0.5, -3
+          |UNION ALL SELECT NULL, 0.5, 10
+          |UNION ALL SELECT 9996, NULL, 10
+          |UNION ALL SELECT 9995, 0.5, NULL""".stripMargin))
+    // naive spec: sort by (score desc, id), keep while the running total
+    // stays within budget; dirty rows (NaN/negative/NULL) never qualify
+    val ordered = rows.sortBy(r => (-r._2, r._1))
+    def naive(budget: Long): Set[Long] = {
+      var cum = 0L
+      ordered.iterator.map { r => cum += r._3; (r._1, cum) }
+        .filter(_._2 <= budget).map(_._1).toSet
+    }
+    var prev = Set.empty[Long]
+    for (budget <- Seq(1L, 500L, 3000L, 8000L, 1000000L)) {
+      // nBuckets = 4 forces a FAT boundary bucket (the correctness-never-
+      // depends-on-bucketing contract under the worst pruning)
+      val got = DedupOps.tokenBudgetSelect(df, "id", col("score"), col("n"),
+          budget, nBuckets = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == naive(budget), s"budget=$budget")
+      assert(prev.subsetOf(got), s"kept set must grow with the budget")
+      prev = got
+    }
+    // budget >= total keeps every valid row
+    assert(prev == rows.map(_._1).toSet)
+  }
+
+  test("tokenBudgetSelect plan: the exact window runs over the boundary " +
+      "bucket only; a budget the whole corpus fits under is map-only") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = (1L to 200L).map(i => (i, (i % 10) / 10.0, 10L))
+      .toDF("id", "s", "n")
+    // 750 tokens of 2000: buckets 8,9 fit (400), bucket 7 is the boundary
+    val edge = DedupOps.tokenBudgetSelect(df, "id", col("s"), col("n"),
+      750L, nBuckets = 10)
+    val p = edge.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"exactly ONE window (the boundary bucket), got:\n$p")
+    assert(p.contains("__b#") || p.contains("= 7"),
+      s"the window branch must sit above a boundary-bucket filter:\n$p")
+    val all = DedupOps.tokenBudgetSelect(df, "id", col("s"), col("n"),
+      1000000L, nBuckets = 10)
+    val pa = all.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!pa.contains("Window") && !pa.contains("Exchange"),
+      s"whole-corpus-fits must be map-only (no window, no shuffle):\n$pa")
+  }
 }
