@@ -295,6 +295,56 @@ object SimilarityOps {
   def cellOf(embUnit: Column, centroids: Array[Array[Double]]): Column =
     VectorFunctions.nearestCell(embUnit, centroids.map(_.toSeq).toSeq)
 
+  /** Embedding-distribution drift between two corpus snapshots — the
+    * monitoring companion to [[graft.ext.ProfileOps.snapshotDiff]]
+    * (content-level) for the embedding side of a streaming/ingest
+    * pipeline: "did the new batch shift where the corpus lives in
+    * embedding space?" Each side is assigned its IVF cell with the fused
+    * [[cellOf]] kernel (map-only) and collapsed to per-cell
+    * (count, Σ cos-to-centroid) — a partial aggregate whose output is
+    * nCells rows, so the report costs one scan per side plus a
+    * metadata-scale full-outer join, no matter the corpus size. Per cell:
+    * counts and corpus shares on both sides, the share delta, and the
+    * per-side cohesion SUM with its count (sums+counts, not an avg — the
+    * DIALECT.md engine-parity discipline; the caller divides). A cell
+    * NULL on one side was born or died between the snapshots — the
+    * headline drift signal; share deltas treat it as share 0. Cohesion
+    * rounds at 4 (the log-prob-sum precedent): cross-partition double
+    * sums carry ~1e-12 fold-order jitter, far inside the 5e-5 boundary.
+    */
+  def embeddingDriftReport(before: DataFrame, after: DataFrame,
+                           embCol: String,
+                           cents: Array[Array[Double]]): DataFrame = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    def side(df: DataFrame, tag: String): DataFrame =
+      withUnitVec(df, embCol, "__u")
+        .withColumn("cell", cellOf(col("__u"), cents))
+        .filter(col("cell").isNotNull) // null/empty vectors have no cell
+        .withColumn("__d", VectorFunctions.dotProduct(col("__u"),
+          element_at(centsLit, col("cell") + 1)))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          round(sum(col("__d")), 4).as(s"coh_$tag"))
+    val joined = side(before, "before")
+      .join(side(after, "after"), Seq("cell"), "full_outer")
+    // totals via a window over the nCells-row join result (metadata-scale
+    // by construction; an unpartitioned window over ≤ nCells rows, never
+    // over the corpus). Shares divide by the side total in ONE IEEE op so
+    // any engine re-deriving them lands on the identical double.
+    val w = Window.partitionBy(lit(1))
+    val totB = sum(col("n_before")).over(w)
+    val totA = sum(col("n_after")).over(w)
+    joined
+      .withColumn("share_before", round(col("n_before") / totB, 6))
+      .withColumn("share_after", round(col("n_after") / totA, 6))
+      .withColumn("share_delta", round(
+        coalesce(col("n_after") / totA, lit(0.0)) -
+          coalesce(col("n_before") / totB, lit(0.0)), 6))
+      .select(col("cell"), col("n_before"), col("n_after"),
+        col("share_before"), col("share_after"), col("share_delta"),
+        col("coh_before"), col("coh_after"))
+  }
+
   /** Random-hyperplane LSH ANN (the bucketed alternative to [[ivfTopK]]):
     * signature bit i = sign(dot(v, plane_i)) over nBands×bitsPerBand fixed
     * Gaussian hyperplanes (deterministic seed — signatures are

@@ -784,6 +784,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Embedding-distribution drift (q128): the embedding-side companion
+    // of q111's content snapshotDiff — per-IVF-cell counts, corpus
+    // shares, share deltas, and cohesion sums for a before/after
+    // snapshot pair (the %8 id split models an ingest batch landing).
+    // One fused map-only cell assign + nCells-row partial agg per side;
+    // the corpus never shuffles ----------------------------------------
+    "q128_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.embeddingDriftReport(
+          e.filter(col("vec_id") % 8 =!= 0), e, "embedding",
+          graft.ext.IvfCentroids.centroids)
+        .orderBy(col("cell"))
+    }),
+
     // BM25 retrieval (q116): Okapi scoring of the corpus against a fixed
     // term query — one collapsed-count aggregate over the token stream,
     // window doc-length, broadcast idf/scalars, global top-k. The query
@@ -2106,6 +2120,48 @@ object ExtensionQueries {
        |SELECT doc_id, score, n_tokens FROM c WHERE cum <= $TokenBudget
        |ORDER BY doc_id""".stripMargin
 
+  /** q128: cell assignment mirrors the q31/q115 centroid-literal chain
+    * (argmax dot, ties → lowest cell; rn=1 keeps the max dot itself as
+    * the cohesion contribution); per-side group-by + full-outer on cell.
+    * Shares divide by the side total in one IEEE op on both engines;
+    * cohesion sums round at 4 (fold-order jitter ~1e-12 « 5e-5).
+    */
+  private lazy val embeddingDriftOracleSql: String = {
+    val centRows = graft.ext.IvfCentroids.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u
+       |  FROM e0),
+       |cents(cell, c) AS (VALUES $centRows),
+       |asg AS (SELECT n.vec_id, cents.cell,
+       |    list_dot_product(n.u, cents.c) AS d,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell)
+       |      AS rn
+       |  FROM n, cents),
+       |cc AS (SELECT vec_id, cell, d FROM asg WHERE rn = 1),
+       |b AS (SELECT cell, count(*) AS n_before,
+       |    round(sum(d), 4) AS coh_before
+       |  FROM cc WHERE vec_id % 8 != 0 GROUP BY cell),
+       |a AS (SELECT cell, count(*) AS n_after,
+       |    round(sum(d), 4) AS coh_after
+       |  FROM cc GROUP BY cell),
+       |tb AS (SELECT sum(n_before) AS t FROM b),
+       |ta AS (SELECT sum(n_after) AS t FROM a)
+       |SELECT cell, n_before, n_after,
+       |  round(CAST(n_before AS DOUBLE) / tb.t, 6) AS share_before,
+       |  round(CAST(n_after AS DOUBLE) / ta.t, 6) AS share_after,
+       |  round(COALESCE(CAST(n_after AS DOUBLE) / ta.t, 0) -
+       |        COALESCE(CAST(n_before AS DOUBLE) / tb.t, 0), 6)
+       |    AS share_delta,
+       |  coh_before, coh_after
+       |FROM b FULL OUTER JOIN a USING (cell), tb, ta
+       |ORDER BY cell""".stripMargin
+  }
+
   private lazy val targetMixOracleSql: String = {
     val values = MixTargets.toSeq.sorted
       .map { case (s, t) => s"('$s', ${t * MixBudget})" }.mkString(", ")
@@ -2744,6 +2800,7 @@ object ExtensionQueries {
     "q122_hard_negatives_ann" -> hardNegAnnOracleSql,
     "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
     "q127_token_budget" -> tokenBudgetOracleSql,
+    "q128_embedding_drift" -> embeddingDriftOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

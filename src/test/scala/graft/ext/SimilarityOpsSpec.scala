@@ -510,4 +510,29 @@ class SimilarityOpsSpec extends AnyFunSuite {
       SimilarityOps.inferDim(allNull, "embedding"))
     assert(e.getMessage.contains("no non-null"))
   }
+
+  test("embeddingDriftReport: a born cell reports NULL before-side, " +
+      "share deltas mirror the ingest, cohesion is the cos-to-centroid sum") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // before: two docs in cell 0; after: + two docs landing in cell 1
+    val before = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.8f, 0.6f), 0))
+    val after = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.8f, 0.6f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.6f, 0.8f), 0))
+    val r = SimilarityOps.embeddingDriftReport(before, after,
+        "embedding", cents)
+      .orderBy("cell").collect()
+    assert(r.length == 2)
+    val c0 = r(0); val c1 = r(1)
+    assert(c0.getInt(0) == 0 && c0.getLong(1) == 2 && c0.getLong(2) == 2)
+    assert(c0.getDouble(3) == 1.0)     // before: all mass in cell 0
+    assert(c0.getDouble(4) == 0.5 && c0.getDouble(5) == -0.5)
+    assert(c1.isNullAt(1) && c1.isNullAt(3) && c1.isNullAt(6)) // born cell
+    assert(c1.getLong(2) == 2 && c1.getDouble(5) == 0.5)
+    // cohesion: cell 0 after = dot((1,0)) + dot((0.8,0.6)) = 1 + 0.8
+    assert(math.abs(c0.getDouble(7) - 1.8) < 1e-6)
+    assert(math.abs(c1.getDouble(7) - 1.8) < 1e-6) // (0,1)→1, (.6,.8)→.8
+    // share deltas over all cells cancel (both sides sum to 1)
+    val deltaSum = r.map(_.getDouble(5)).sum
+    assert(math.abs(deltaSum) < 1e-9)
+  }
 }
