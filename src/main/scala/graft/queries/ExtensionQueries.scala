@@ -104,6 +104,38 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** q129's full pretraining recipe (quality gate → exact dedup →
+    * MinHash-LSH cluster dedup → benchmark decontamination → token-budget
+    * selection), unordered — [[cleanCorpusChain]] extended with the two
+    * stages a real recipe ends on: drop anything sharing a 3-gram with
+    * the eval suite, then keep the best documents until the token budget
+    * is spent. Single definition for the registered query (the
+    * oracle-checked artifact); every stage is individually oracled
+    * (q59/q63/q127), so the composed oracle is their CTEs chained.
+    * Decontamination sees the RAW eval set (hygiene is unconditional —
+    * an eval doc that fails the quality gate still bans its grams).
+    */
+  private[graft] val RecipeBudget: Long = 5000L
+  private[graft] def pretrainRecipeChain(docs0: DataFrame,
+                                         evalDocs: DataFrame): DataFrame = {
+    val docs = docs0.withColumn("quality", TextOps.qualityScore(col("text")))
+    val qual = docs.filter(col("quality") >= 0.5)
+    val keepExact = qual
+      .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactKept = qual.join(keepExact, Seq("doc_id"))
+    val nearKept = DedupOps.clusterDedup(exactKept, "doc_id",
+      portableMinHashPairs(exactKept))
+    val clean = nearKept.join(
+      TextOps.contaminationFlags(nearKept, evalDocs, "doc_id", "text", k = 3)
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"))
+    DedupOps.tokenBudgetSelect(
+      clean.withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long")),
+      "doc_id", col("quality"), col("__nt"), RecipeBudget)
+  }
+
   /** q64's quality-banded deterministic sample (band thresholds + keep
     * rates), pre-aggregation — shared with [[graft.tools.ScaleCurve]] for
     * the same single-definition reason as [[cleanCorpusChain]].
@@ -781,6 +813,19 @@ object ExtensionQueries {
         .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
       DedupOps.tokenBudgetSelect(scored, "doc_id", col("quality"),
           col("n_tok"), budgetTokens = TokenBudget)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pretraining recipe flagship (q129): the complete data-prep chain a
+    // training run actually consumes — quality gate → exact dedup →
+    // MinHash-LSH cluster dedup → benchmark decontamination (raw %50
+    // eval split) → token-budget selection. Every stage individually
+    // oracled (q59/q63/q127); the composed oracle chains their CTEs ----
+    "q129_pretrain_recipe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      pretrainRecipeChain(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0))
         .orderBy(col("doc_id"))
     }),
 
@@ -2162,6 +2207,62 @@ object ExtensionQueries {
        |ORDER BY cell""".stripMargin
   }
 
+  /** q129: q59's quality/exact-dedup/near-dup CTEs (verbatim, restricted
+    * to the %50≠0 train split) + q63's gram CTEs (eval grams from the RAW
+    * %50 split) + q127's naive budget window — each stage's oracle
+    * machinery chained exactly as the Spark chain composes the operators.
+    */
+  private lazy val pretrainRecipeOracleSql: String =
+    s"""WITH RECURSIVE
+       |q0 AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+       |  WHERE doc_id % 50 <> 0),
+       |q1 AS (SELECT doc_id, text, toks,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+       |    / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |    AS DOUBLE) / length(text), 4) AS punct_ratio
+       |  FROM q0),
+       |q2 AS (SELECT doc_id, text, toks,
+       |  round(stop_ratio * 0.4 + least(CAST(len(toks) AS DOUBLE) / 100.0,
+       |    1.0) * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS quality
+       |  FROM q1),
+       |qual AS (SELECT * FROM q2 WHERE quality >= 0.5),
+       |keepx AS (SELECT min(doc_id) AS doc_id FROM qual
+       |  GROUP BY md5(array_to_string(toks, ' '))),
+       |base AS (SELECT q.* FROM qual q JOIN keepx USING (doc_id)),
+       |${minHashPairCtes(source = "base")},
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       |dropids AS (SELECT a AS id FROM rr GROUP BY a HAVING min(b) < a),
+       |nk AS (SELECT b.* FROM base b
+       |  LEFT JOIN dropids ON b.doc_id = dropids.id
+       |  WHERE dropids.id IS NULL),
+       |evd AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+       |  WHERE doc_id % 50 = 0),
+       |evg AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+2], ' ')
+       |    for i in generate_series(1, len(toks) - 2)]) AS g FROM evd),
+       |ng AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+       |    for i in generate_series(1, len(toks) - 2)]) AS g FROM nk),
+       |hit AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)),
+       |surv AS (SELECT nk.doc_id, nk.quality,
+       |    CAST(len(nk.toks) AS BIGINT) AS n_tokens
+       |  FROM nk LEFT JOIN hit ON nk.doc_id = hit.doc_id
+       |  WHERE hit.doc_id IS NULL),
+       |c AS (SELECT doc_id, quality, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM surv)
+       |SELECT doc_id, quality AS score, n_tokens FROM c
+       |WHERE cum <= $RecipeBudget
+       |ORDER BY doc_id""".stripMargin
+
   private lazy val targetMixOracleSql: String = {
     val values = MixTargets.toSeq.sorted
       .map { case (s, t) => s"('$s', ${t * MixBudget})" }.mkString(", ")
@@ -2801,6 +2902,7 @@ object ExtensionQueries {
     "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
     "q127_token_budget" -> tokenBudgetOracleSql,
     "q128_embedding_drift" -> embeddingDriftOracleSql,
+    "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

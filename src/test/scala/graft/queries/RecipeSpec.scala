@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants of the q129 pretraining-recipe chain on planted
+  * fixtures (the DuckDB oracle proves exact semantics on the real
+  * corpus; this guards each stage's contribution with named plants).
+  */
+class RecipeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // stopword-rich filler that clears the 0.5 quality gate; suffix token
+  // keeps every doc's content distinct
+  private def good(i: Int): String =
+    s"the quick brown fox and the lazy dog of the hill is it for on " +
+      s"a fine day to run in the sun unique$i"
+
+  test("q129 chain: the gate, both dedups, decontamination, and the " +
+      "budget each drop their planted doc; the kept set is a maximal " +
+      "in-budget prefix") {
+    val evalText = "alpha beta gamma delta epsilon shared secret phrase"
+    val docs = Seq(
+      (1L, good(1)),
+      (2L, good(1)),                       // exact dup of 1 → dropped
+      (3L, good(3)),
+      (4L, good(3) + " extra"),            // near-dup of 3 → clustered out
+      (5L, "$$$ %%% ^^^ &&& *** !!!"),     // punctuation soup → gate drop
+      (6L, good(6) + " shared secret phrase"), // eval 3-gram → decontam
+      (7L, good(7)), (8L, good(8)), (9L, good(9))
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    // every good() doc is 20 tokens; budget 3 docs' worth + slack
+    val kept = ExtensionQueries.pretrainRecipeChain(docs, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ids = kept.map(_._1).toSet
+    assert(!ids.contains(2L), "exact dup must not survive")
+    assert(!(ids.contains(3L) && ids.contains(4L)), "near-dup cluster " +
+      "must keep at most one member")
+    assert(!ids.contains(5L), "gate-failed doc must not survive")
+    assert(!ids.contains(6L), "contaminated doc must not survive")
+    assert(ids.nonEmpty && kept.map(_._2).sum <= ExtensionQueries.RecipeBudget)
+  }
+}
