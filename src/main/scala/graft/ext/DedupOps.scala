@@ -623,6 +623,15 @@ object DedupOps {
     require(scoreHi > scoreLo,
       s"tokenBudgetSelect: score range [$scoreLo, $scoreHi) is empty")
     val width = scoreHi - scoreLo
+    // the manifest is PERSISTED (the fitCentroids discipline): score and
+    // token expressions may carry an arbitrarily expensive lineage (q127
+    // tokenizes+scores; q129 hangs the whole recipe above), and the
+    // operator reads the manifest once for the histogram and once for the
+    // selection — without the cache each read re-runs that lineage
+    // (measured 3× the quality pass before this, BENCH_LOCAL_r13). Only
+    // the 3-column manifest is cached (MEMORY_AND_DISK — ~24 B/row at any
+    // corpus size), the documents themselves never; Spark's context
+    // cleaner reclaims it once the returned frame is released.
     val m = docs
       .select(col(idCol).as("__id"), scoreCol.cast("double").as("__s"),
         nTokCol.cast("long").as("__t"))
@@ -630,8 +639,10 @@ object DedupOps {
         !isnan(col("__s")) && col("__t").isNotNull && col("__t") >= 0L)
       .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
         floor((col("__s") - scoreLo) / width * nBuckets).cast("int"))))
+      .persist()
     // pass 1: per-bucket token mass (map-side partial agg; ≤ nBuckets
-    // rows reach the driver — a bounded probe)
+    // rows reach the driver — a bounded probe that also materializes the
+    // cached manifest for the selection pass)
     val hist = m.groupBy(col("__b")).agg(sum(col("__t")).as("__bt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(-_._1)
     var remaining = budgetTokens
