@@ -580,6 +580,60 @@ object DedupOps {
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/domain
+    * UPSAMPLING step of a training recipe (the p^α reweighting of
+    * Conneau & Lample's XLM): the kept token share of source i follows
+    * w_i ∝ supply_i^α, so α=1 reproduces natural proportions, α→0
+    * equalizes sources, and α∈(0,1) boosts low-resource sources without
+    * flattening the mix — the knob [[targetMixSample]] lacks (explicit
+    * per-source targets) expressed as one scalar. Per-source keep rate:
+    * rate_i = min(1, w_i·budget / supply_i), applied with the family's
+    * md5 coin — deterministic, engine-portable, map-only.
+    *
+    * The per-source supply aggregate collects (nSources rows — a bounded
+    * probe) and ALL rate arithmetic runs once in driver Scala, in sorted
+    * source order, then pushes down as a when-chain of literals: the
+    * corpus itself never shuffles. Engine parity: at the committed
+    * α = 0.5 the weight is `sqrt` — correctly rounded on every IEEE
+    * engine — and the normalizer is a left fold in sorted-source order,
+    * so an oracle re-deriving the rates with an ORDER BY source
+    * aggregate lands on bitwise-identical doubles. Other α use pow(),
+    * which carries a 1-ULP cross-engine slack: harmless for sampling
+    * (it moves a keep decision only if a coin lands exactly on the
+    * boundary), but not oracle-pinned — the registered query stays at
+    * 0.5. NULL sources drop; NULL token counts count as 0 supply; a
+    * zero-supply source keeps nothing (rate 0, never 0/0).
+    */
+  def temperatureMixSample(docs: DataFrame, idCol: String,
+                           sourceCol: String, nTokCol: Column,
+                           alpha: Double, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0,
+      s"temperatureMixSample: budgetTokens must be positive, got $budgetTokens")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureMixSample: alpha=$alpha must be in [0, 1]")
+    def w(a: Double): Double =
+      if (alpha == 0.5) math.sqrt(a) else math.pow(a, alpha)
+    val nTok = coalesce(nTokCol.cast("long"), lit(0L))
+    val avail = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(nTok).as("__a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(avail.nonEmpty, "temperatureMixSample: no non-null sources")
+    val den = avail.map { case (_, a) => w(a.toDouble) }.sum
+    val rates = avail.map { case (s2, a) =>
+      s2 -> (if (a == 0L) 0.0
+             else math.min(1.0, w(a.toDouble) / den * budgetTokens / a))
+    }
+    val rateCol = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (s2, r)) => when(col(sourceCol) === s2, lit(r)).otherwise(acc)
+    }
+    val coin = conv(substring(seededCoin("tmix", col(idCol)), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    docs
+      .withColumn("n_tok", nTok)
+      .filter(coin < rateCol)
+      .select(col(idCol), col(sourceCol), col("n_tok"))
+  }
+
   /** Exact token-budget selection — "the best documents until the budget
     * is spent": keep precisely the rows whose running token total, in
     * (score DESC, id ASC) order, stays within `budgetTokens` — the greedy

@@ -816,6 +816,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature mixture sampling (q130): the p^α upsampling knob — at
+    // α=0.5 low-supply sources keep a larger share of the budget than
+    // their natural proportion. Rates are driver-computed in sorted
+    // source order from the supply aggregate (bounded probe) and pushed
+    // as literals; the corpus never shuffles --------------------------
+    "q130_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.temperatureMixSample(
+          d.withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long")),
+          "doc_id", "source", col("n_tok"), alpha = 0.5,
+          budgetTokens = TempMixBudget)
+        .orderBy(col("doc_id"))
+    }),
+
     // Pretraining recipe flagship (q129): the complete data-prep chain a
     // training run actually consumes — quality gate → exact dedup →
     // MinHash-LSH cluster dedup → benchmark decontamination (raw %50
@@ -2128,6 +2142,12 @@ object ExtensionQueries {
     */
   private[graft] val TokenBudget: Long = 12000L
 
+  /** q130's token budget — interior at sf0.01 (27k total tokens) so the
+    * big sources are genuinely rate-limited while the α=0.5 boost can
+    * push a small source toward (or into) the keep-all clamp.
+    */
+  private[graft] val TempMixBudget: Long = 6000L
+
   private[graft] val MixTargets: Map[String, Double] =
     Map("src0" -> 0.25, "src1" -> 0.15, "src2" -> 0.10, "src3" -> 0.50)
   private[graft] val MixBudget: Long = 3000L
@@ -2280,6 +2300,29 @@ object ExtensionQueries {
        |    1, 8)) AS BIGINT) / 4294967296.0 < rate
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q130: the oracle re-derives the temperature rates IN SQL — sqrt is
+    * correctly rounded on both engines and the normalizer uses an
+    * ORDER BY source aggregate, matching the operator's sorted-source
+    * left fold bitwise; the rate expression mirrors the Scala op order
+    * (((sqrt/den)·budget)/avail) left-associatively.
+    */
+  private lazy val temperatureMixOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS n_tok
+       |  FROM documents),
+       |av AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS avail
+       |  FROM tok GROUP BY source),
+       |den AS (SELECT sum(sqrt(avail) ORDER BY source) AS d FROM av),
+       |r AS (SELECT source, CASE WHEN avail = 0 THEN 0.0
+       |    ELSE least(1.0,
+       |      sqrt(avail) / d * ${TempMixBudget.toDouble} / avail) END AS rate
+       |  FROM av, den)
+       |SELECT doc_id, t.source, CAST(n_tok AS BIGINT) AS n_tok
+       |FROM tok t JOIN r USING (source)
+       |WHERE CAST(('0x' || substr(md5('tmix:' || CAST(doc_id AS STRING)),
+       |    1, 8)) AS BIGINT) / 4294967296.0 < rate
+       |ORDER BY doc_id""".stripMargin
 
   /** q63 AND q92 verbatim: both decontamination formulations (exact
     * broadcast join; Bloom prefilter + exact confirm) claim the same
@@ -2903,6 +2946,7 @@ object ExtensionQueries {
     "q127_token_budget" -> tokenBudgetOracleSql,
     "q128_embedding_drift" -> embeddingDriftOracleSql,
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
+    "q130_temperature_mix" -> temperatureMixOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

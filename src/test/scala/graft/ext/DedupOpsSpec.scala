@@ -694,6 +694,35 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(s1.getLong(1) == n && s1.getLong(2) <= n)
   }
 
+  test("temperatureMixSample: α=1 is the natural mix (one uniform rate), " +
+      "α<1 upsamples the low-resource source, dirty rows drop") {
+    val rnd = new scala.util.Random(11)
+    val rows =
+      (1L to 400L).map(i => (i, "big", 40L + rnd.nextInt(20))) ++
+      (401L to 440L).map(i => (i, "small", 40L + rnd.nextInt(20))) ++
+      Seq((900L, null.asInstanceOf[String], 50L), (901L, "empty", 0L))
+    val df = rows.toDF("id", "source", "n")
+    def keptFrac(alpha: Double, src: String): Double = {
+      val kept = DedupOps.temperatureMixSample(df, "id", "source",
+        col("n"), alpha, budgetTokens = 8000L).collect()
+      assert(!kept.exists(_.isNullAt(1)), "null source must drop")
+      assert(!kept.exists(_.getString(1) == "empty"),
+        "zero-supply source must keep nothing")
+      val all = rows.filter(_._2 == src).map(_._3).sum.toDouble
+      kept.filter(_.getString(1) == src).map(_.getLong(2)).sum / all
+    }
+    // α=1: rate = budget/total for every source → kept fractions match
+    // up to coin noise on the small source
+    val n1big = keptFrac(1.0, "big"); val n1small = keptFrac(1.0, "small")
+    assert(math.abs(n1big - n1small) < 0.25,
+      s"natural mix should sample sources at one rate: $n1big vs $n1small")
+    // α=0.5: the small source's kept fraction must strictly exceed its
+    // α=1 fraction, and exceed the big source's α=0.5 fraction
+    val hBig = keptFrac(0.5, "big"); val hSmall = keptFrac(0.5, "small")
+    assert(hSmall > n1small && hSmall > hBig,
+      s"α=0.5 must upsample the small source: $hSmall vs $n1small/$hBig")
+  }
+
   test("tokenBudgetSelect: the histogram-threshold plan equals the naive " +
       "global-prefix spec across budgets, monotone, with clamped/zero/" +
       "dirty rows") {
