@@ -1222,4 +1222,30 @@ object DedupOps {
       .select(col("id").as(idCol))
     docs.join(nonCanonical, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware canonical selection: [[clusterDedup]] keeps the LOWEST
+    * id per near-dup cluster; real curation keeps the BEST copy (the
+    * curated dump's clean text over the crawl's boilerplate-wrapped twin).
+    * Per connected component of `pairs`, keep the member with the highest
+    * `scoreCol` (ties → lowest id) and annotate it with the component
+    * label and member count. Same two-phase argmax as [[priorityMerge]] —
+    * max per component, then min id among the null-safe winners — so each
+    * phase is a plain partial-agg shuffle on the uniform component key
+    * and the decision reproduces in any engine; an all-null-score cluster
+    * still keeps one member (the `<=>` below — a plain === would drop the
+    * whole cluster). Output: the kept docs' rows + (comp, n_members).
+    */
+  def clusterDedupBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       scoreCol: Column): DataFrame = {
+    val comp = connectedComponents(docs.select(col(idCol)), idCol, pairs)
+      .select(col("id").as(idCol), col("comp"))
+    val withComp = docs.join(comp, Seq(idCol))
+    val best = withComp.groupBy(col("comp"))
+      .agg(max(scoreCol).as("__best"), count(lit(1)).as("n_members"))
+    val keep = withComp.join(best, Seq("comp"))
+      .filter(scoreCol <=> col("__best"))
+      .groupBy(col("comp"), col("n_members"))
+      .agg(min(col(idCol)).as(idCol))
+    docs.join(keep, Seq(idCol))
+  }
 }

@@ -816,6 +816,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Best-of-cluster canonical selection (q131): clusterDedup keeps the
+    // min id; curation keeps the BEST copy — per near-dup component, the
+    // highest-quality member (ties → lowest id), annotated with the
+    // component label and size -----------------------------------------
+    "q131_best_of_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+      DedupOps.clusterDedupBest(d, "doc_id", portableMinHashPairs(d),
+          col("quality"))
+        .select(col("doc_id"), col("quality"), col("comp"),
+          col("n_members"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature mixture sampling (q130): the p^α upsampling knob — at
     // α=0.5 low-supply sources keep a larger share of the budget than
     // their natural proportion. Rates are driver-computed in sorted
@@ -2324,6 +2338,47 @@ object ExtensionQueries {
        |    1, 8)) AS BIGINT) / 4294967296.0 < rate
        |ORDER BY doc_id""".stripMargin
 
+  /** q131: the q27 signature machinery over the full corpus + the q53/q59
+    * recursive closure (self-edges give singletons their own label) + the
+    * priorityMerge-style two-phase argmax in SQL. Quality equality joins
+    * compare 4-dp-rounded doubles — exact on both engines (q59-proven).
+    */
+  private lazy val bestOfClusterOracleSql: String =
+    s"""WITH RECURSIVE
+       |t0 AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |t1 AS (SELECT doc_id, toks,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+       |    / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |    AS DOUBLE) / length(text), 4) AS punct_ratio
+       |  FROM t0),
+       |qx AS (SELECT doc_id,
+       |  round(stop_ratio * 0.4 + least(CAST(len(toks) AS DOUBLE) / 100.0,
+       |    1.0) * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS quality
+       |  FROM t1),
+       |${minHashPairCtes()},
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |  UNION SELECT doc_id, doc_id FROM d),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       |cmp AS (SELECT a AS doc_id, min(b) AS comp FROM rr GROUP BY a),
+       |m AS (SELECT c.comp, q.doc_id, q.quality FROM cmp c
+       |  JOIN qx q USING (doc_id)),
+       |b AS (SELECT comp, max(quality) AS best, count(*) AS n_members
+       |  FROM m GROUP BY comp),
+       |k AS (SELECT m.comp, b.n_members, min(m.doc_id) AS doc_id
+       |  FROM m JOIN b ON m.comp = b.comp AND m.quality = b.best
+       |  GROUP BY m.comp, b.n_members)
+       |SELECT k.doc_id, q.quality, k.comp, k.n_members
+       |FROM k JOIN qx q USING (doc_id)
+       |ORDER BY k.doc_id""".stripMargin
+
   /** q63 AND q92 verbatim: both decontamination formulations (exact
     * broadcast join; Bloom prefilter + exact confirm) claim the same
     * output, so sharing one oracle text IS the identity proof the
@@ -2947,6 +3002,7 @@ object ExtensionQueries {
     "q128_embedding_drift" -> embeddingDriftOracleSql,
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,
+    "q131_best_of_cluster" -> bestOfClusterOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

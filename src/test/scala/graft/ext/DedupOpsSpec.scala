@@ -694,6 +694,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(s1.getLong(1) == n && s1.getLong(2) <= n)
   }
 
+  test("clusterDedupBest keeps the highest-score member per cluster " +
+      "(NOT the min id), ties to the lowest id, all-null clusters keep one") {
+    val docs = Seq(
+      (1L, Some(0.2)), (2L, Some(0.9)), (3L, Some(0.9)), // best tie → 2
+      (4L, Some(0.5)),                                   // singleton
+      (5L, None), (6L, None)                             // all-null → 5
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = DedupOps.clusterDedupBest(docs, "id", pairs, col("score"))
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L))
+    val c = r.find(_.getLong(0) == 2L).get
+    assert(c.getLong(3) == 3L, "cluster size must ride along")
+    // contrast with min-id semantics: clusterDedup would have kept 1
+    assert(DedupOps.clusterDedup(docs, "id", pairs)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+  }
+
   test("temperatureMixSample: α=1 is the natural mix (one uniform rate), " +
       "α<1 upsamples the low-resource source, dirty rows drop") {
     val rnd = new scala.util.Random(11)
