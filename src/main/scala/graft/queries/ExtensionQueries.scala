@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{AggOps, DedupOps, JoinOps, MultimodalOps, PackOps, ProfileOps, RetrievalOps, SimilarityOps, SinkOps, TextOps}
@@ -134,6 +134,62 @@ object ExtensionQueries {
     DedupOps.tokenBudgetSelect(
       clean.withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long")),
       "doc_id", col("quality"), col("__nt"), RecipeBudget)
+  }
+
+  /** q132: the q129 recipe's survivorship funnel as ONE wide aggregate —
+    * the per-stage doc/token counts a data engineer actually monitors
+    * ("where did my corpus go?"). Rather than re-running each stage
+    * prefix per count (stages × chain cost), every per-doc stage flag is
+    * derived in a single annotated pass: the exact-dedup canonical via
+    * one fp-window (min qual doc_id per fingerprint — provably the
+    * recipe's groupBy+join decision), contamination as the q63 left-join
+    * flag computed once on the exact-kept superset (per-doc, population-
+    * independent, so flagging early changes nothing), CC drops and the
+    * budget manifest as id-joins from their own (inherently iterative /
+    * two-pass) lineages. One corpus-wide aggregate emits all 12 counters;
+    * integer-only output, so the oracle comparison has zero FP surface.
+    */
+  private[graft] def recipeFunnelReport(docs0: DataFrame,
+                                        evalDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs0
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("__fp", TextOps.docFingerprint(col("text")))
+    val flags = base
+      .withColumn("__gate", col("quality") >= 0.5)
+      .withColumn("__minq", min(when(col("__gate"), col("doc_id")))
+        .over(Window.partitionBy(col("__fp"))))
+      .withColumn("__exact", col("__gate") && col("doc_id") === col("__minq"))
+    val exactKept = flags.filter(col("__exact"))
+    val ccDrop = DedupOps.connectedComponents(
+        exactKept.select(col("doc_id")), "doc_id",
+        portableMinHashPairs(exactKept))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"), lit(true).as("__ccdrop"))
+    val contam = TextOps.contaminationFlags(exactKept, evalDocs,
+        "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("contaminated"))
+    val ann = flags
+      .join(ccDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("__near", col("__exact") && col("__ccdrop").isNull)
+      .withColumn("__clean",
+        col("__near") && !coalesce(col("contaminated"), lit(false)))
+    val kept = DedupOps.tokenBudgetSelect(ann.filter(col("__clean")),
+        "doc_id", col("quality"), col("__nt"), RecipeBudget)
+      .select(col("doc_id"), lit(true).as("__kept"))
+    def n(c: Column) = count(when(c, 1))
+    def tk(c: Column) = coalesce(sum(when(c, col("__nt"))), lit(0L))
+    ann.join(kept, Seq("doc_id"), "left")
+      .agg(
+        n(lit(true)).as("n_input"), tk(lit(true)).as("t_input"),
+        n(col("__gate")).as("n_gate"), tk(col("__gate")).as("t_gate"),
+        n(col("__exact")).as("n_exact"), tk(col("__exact")).as("t_exact"),
+        n(col("__near")).as("n_near"), tk(col("__near")).as("t_near"),
+        n(col("__clean")).as("n_clean"), tk(col("__clean")).as("t_clean"),
+        n(col("__kept") === true).as("n_budget"),
+        tk(col("__kept") === true).as("t_budget"))
   }
 
   /** q64's quality-banded deterministic sample (band thresholds + keep
@@ -814,6 +870,16 @@ object ExtensionQueries {
       DedupOps.tokenBudgetSelect(scored, "doc_id", col("quality"),
           col("n_tok"), budgetTokens = TokenBudget)
         .orderBy(col("doc_id"))
+    }),
+
+    // Recipe survivorship funnel (q132): q129's per-stage doc/token
+    // counters as one wide integer row — the "where did my corpus go"
+    // monitoring surface; flags derived in a single annotated pass -----
+    "q132_recipe_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      recipeFunnelReport(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0))
     }),
 
     // Best-of-cluster canonical selection (q131): clusterDedup keeps the
@@ -2247,6 +2313,15 @@ object ExtensionQueries {
     * machinery chained exactly as the Spark chain composes the operators.
     */
   private lazy val pretrainRecipeOracleSql: String =
+    s"""$recipeCtes
+       |SELECT doc_id, quality AS score, n_tokens FROM c
+       |WHERE cum <= $RecipeBudget
+       |ORDER BY doc_id""".stripMargin
+
+  /** The q129 CTE chain through the budget window, shared with q132's
+    * funnel SELECT so the two oracles can never drift.
+    */
+  private lazy val recipeCtes: String =
     s"""WITH RECURSIVE
        |q0 AS (SELECT doc_id, text,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
@@ -2292,10 +2367,32 @@ object ExtensionQueries {
        |  WHERE hit.doc_id IS NULL),
        |c AS (SELECT doc_id, quality, n_tokens,
        |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
-       |    ROWS UNBOUNDED PRECEDING) AS cum FROM surv)
-       |SELECT doc_id, quality AS score, n_tokens FROM c
-       |WHERE cum <= $RecipeBudget
-       |ORDER BY doc_id""".stripMargin
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM surv)""".stripMargin
+
+  /** q132: the same CTE chain, aggregated — 12 integer scalars, zero FP
+    * comparison surface.
+    */
+  private lazy val recipeFunnelOracleSql: String =
+    s"""$recipeCtes
+       |SELECT
+       |  (SELECT count(*) FROM q0) AS n_input,
+       |  (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM q0)
+       |    AS t_input,
+       |  (SELECT count(*) FROM qual) AS n_gate,
+       |  (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM qual)
+       |    AS t_gate,
+       |  (SELECT count(*) FROM base) AS n_exact,
+       |  (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM base)
+       |    AS t_exact,
+       |  (SELECT count(*) FROM nk) AS n_near,
+       |  (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM nk)
+       |    AS t_near,
+       |  (SELECT count(*) FROM surv) AS n_clean,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv)
+       |    AS t_clean,
+       |  (SELECT count(*) FROM c WHERE cum <= $RecipeBudget) AS n_budget,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM c
+       |    WHERE cum <= $RecipeBudget) AS t_budget""".stripMargin
 
   private lazy val targetMixOracleSql: String = {
     val values = MixTargets.toSeq.sorted
@@ -3003,6 +3100,7 @@ object ExtensionQueries {
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,
     "q131_best_of_cluster" -> bestOfClusterOracleSql,
+    "q132_recipe_funnel" -> recipeFunnelOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

@@ -43,4 +43,25 @@ class RecipeSpec extends AnyFunSuite {
     assert(!ids.contains(6L), "contaminated doc must not survive")
     assert(ids.nonEmpty && kept.map(_._2).sum <= ExtensionQueries.RecipeBudget)
   }
+
+  test("q132 funnel agrees with the chain it audits: counters are " +
+      "monotone non-increasing and the budget stage equals q129's output") {
+    val docs = Seq(
+      (1L, good(1)), (2L, good(1)), (3L, good(3)),
+      (4L, good(3) + " extra"), (5L, "$$$ %%% ^^^ &&& *** !!!"),
+      (6L, good(6) + " shared secret phrase"),
+      (7L, good(7)), (8L, good(8)), (9L, good(9))
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon shared secret " +
+      "phrase")).toDF("doc_id", "text")
+    val f = ExtensionQueries.recipeFunnelReport(docs, eval).collect().head
+    val n = (0 until 12 by 2).map(f.getLong) // n_input..n_budget
+    val t = (1 until 12 by 2).map(f.getLong) // t_input..t_budget
+    assert(n == n.sorted.reverse && t == t.sorted.reverse,
+      s"funnel must shrink stage over stage: $n / $t")
+    val chain = ExtensionQueries.pretrainRecipeChain(docs, eval).collect()
+    assert(n.last == chain.length &&
+      t.last == chain.map(_.getLong(2)).sum,
+      "the funnel's budget stage must equal the recipe's actual output")
+  }
 }
