@@ -424,6 +424,116 @@ object EventStreams {
       .start()
   }
 
+  case class DriftRow(batch_id: Long, cell: Int, n_before: Option[Long],
+                      n_after: Long, share_before: Option[Double],
+                      share_after: Double, share_delta: Double,
+                      coh_before: Option[Double], coh_after: Double)
+  case class DriftState(cell: Int, n: Long, coh: Double, batch_id: Long)
+
+  /** Streaming embedding-distribution drift monitor —
+    * [[graft.ext.SimilarityOps.embeddingDriftReport]]'s per-cell rows
+    * (+ batch_id) emitted per micro-batch against the corpus streamed SO
+    * FAR, with CONSTANT state: instead of re-scanning the accumulated
+    * corpus per batch (the batch operator's shape), each batch collapses
+    * to its per-cell (count, cohesion-sum) partial aggregate — an
+    * nCells-row bounded probe — and folds into an nCells-row state store.
+    * Per-batch cost ∝ batch + nCells; state never grows.
+    *
+    * Replay contract (foreachBatch is at-least-once): the state store
+    * publishes via [[graft.ext.StoreSwap]] (write-new + atomic swap) and
+    * records the batch id it last folded, which makes the fold
+    * IDEMPOTENT: a replay that finds the state already at this batch id
+    * (crash between state-swap and drift-append) re-derives the
+    * pre-batch state by subtraction instead of double-folding. The one
+    * surviving crash window (drift appended, marker not) duplicates
+    * drift ROWS — monitoring output, dedupable by (batch_id, cell),
+    * with at most last-ULP cohesion differences from the subtraction
+    * path — and can never corrupt the state. Marker is created LAST.
+    */
+  def runDriftMonitor(vecStream: DataFrame, embCol: String,
+                      cents: Array[Array[Double]], statePath: String,
+                      outPath: String, checkpoint: String) = {
+    import graft.ext.{SimilarityOps, StoreSwap}
+    import org.apache.hadoop.fs.Path
+    import scala.math.BigDecimal.RoundingMode
+    def r(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, RoundingMode.HALF_UP).toDouble
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new Path(s"$outPath.appended", s"batch-$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        if (!mfs.exists(marker)) {
+          val bAgg: Map[Int, (Long, Double)] = SimilarityOps
+            .withUnitVec(batch.toDF(), embCol, "__u")
+            .withColumn("cell", SimilarityOps.cellOf(col("__u"), cents))
+            .filter(col("cell").isNotNull)
+            .withColumn("__d", org.apache.spark.sql.graft.VectorFunctions
+              .dotProduct(col("__u"), element_at(
+                typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1)))
+            .groupBy(col("cell"))
+            .agg(count(lit(1)).as("n"), sum(col("__d")).as("coh"))
+            .collect()
+            .map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2))).toMap
+          val sPath = new Path(statePath)
+          val sfs = sPath.getFileSystem(hconf)
+          StoreSwap.recoverIfInterrupted(sfs, sPath)
+          val (stateBid, state0) =
+            if (sfs.exists(sPath)) {
+              val rows = spark.read.parquet(statePath).as[DriftState]
+                .collect()
+              (rows.headOption.fold(-1L)(_.batch_id),
+                rows.map(s => s.cell -> (s.n, s.coh)).toMap)
+            } else (-1L, Map.empty[Int, (Long, Double)])
+          val alreadyFolded = stateBid >= batchId
+          val pre: Map[Int, (Long, Double)] =
+            if (!alreadyFolded) state0
+            else state0.flatMap { case (c, (n0, d0)) =>
+              val (nb, db) = bAgg.getOrElse(c, (0L, 0.0))
+              val n = n0 - nb
+              if (n > 0) Some(c -> (n, d0 - db)) else None
+            }
+          val after: Map[Int, (Long, Double)] =
+            (pre.keySet ++ bAgg.keySet).map { c =>
+              val (n0, d0) = pre.getOrElse(c, (0L, 0.0))
+              val (nb, db) = bAgg.getOrElse(c, (0L, 0.0))
+              c -> (n0 + nb, d0 + db)
+            }.toMap
+          val totB = pre.values.map(_._1).sum
+          val totA = after.values.map(_._1).sum
+          val drift = after.keys.toSeq.sorted.map { c =>
+            val b = pre.get(c)
+            val (na, da) = after(c)
+            val qB = b.map(_._1.toDouble / totB)
+            val qA = na.toDouble / totA
+            DriftRow(batchId, c, b.map(_._1), na, qB.map(r(_, 6)),
+              r(qA, 6), r(qA - qB.getOrElse(0.0), 6),
+              b.map(x => r(x._2, 4)), r(da, 4))
+          }
+          if (!alreadyFolded) {
+            val tmp = new Path(sPath.getParent,
+              s".${sPath.getName}.tmp-${java.util.UUID.randomUUID()}")
+            after.toSeq.sortBy(_._1)
+              .map { case (c, (n, d)) => DriftState(c, n, d, batchId) }
+              .toDF().coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            StoreSwap.swapIn(sfs, sPath, tmp, "runDriftMonitor state")
+          }
+          if (drift.nonEmpty)
+            drift.toDF().coalesce(1).write.mode("append").parquet(outPath)
+          mfs.mkdirs(marker.getParent)
+          mfs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+  }
+
   /** End-to-end streaming pipeline wiring: file source → windowed agg →
     * sink. Returns the started query; callers own its lifecycle.
     */

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -506,5 +506,69 @@ class EventStreamsSpec extends AnyFunSuite {
     val decisions = spark.read.parquet(out).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup")).toMap
     assert(decisions == Map(1L -> false, 2L -> true))
+  }
+
+  test("runDriftMonitor: per-batch drift rows equal the batch operator " +
+      "on the same prefix split; replay with a fresh checkpoint is a " +
+      "marker-skipped no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.SimilarityOps
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .drop("label").filter(col("vec_id") < 150)
+    val cents = graft.ext.IvfCentroids.centroids
+    val tmp = java.nio.file.Files.createTempDirectory("graft-driftmon")
+    val out = tmp.resolve("drift").toString
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cuts = Seq(0L, 50L, 100L, 150L)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.runDriftMonitor(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", cents,
+      tmp.resolve("state").toString, out, tmp.resolve("ckpt").toString)
+    try {
+      for (Seq(lo, hi) <- cuts.sliding(2)) {
+        mem.addData(rows.filter(r => r._1 >= lo && r._1 < hi).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val drift = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[Long]("batch_id"))
+    assert(drift.keySet == Set(0L, 1L, 2L))
+    // batch k's rows must equal the BATCH operator on (prefix, prefix+k)
+    for ((bid, cut) <- Seq((0L, 50L), (1L, 100L), (2L, 150L))) {
+      val before = e.filter(col("vec_id") < lit(cut - 50))
+      val after = e.filter(col("vec_id") < lit(cut))
+      val ref = SimilarityOps.embeddingDriftReport(before, after,
+          "embedding", cents).collect()
+        .map(r => r.getInt(0) -> r).toMap
+      val got = drift(bid).map(r => r.getAs[Int]("cell") -> r).toMap
+      assert(got.keySet == ref.keySet, s"batch $bid cells")
+      for ((c, g) <- got; rr = ref(c)) {
+        assert(Option(g.get(2)) == Option(rr.get(1)), s"n_before b$bid c$c")
+        assert(g.getAs[Long]("n_after") == rr.getAs[Long]("n_after"))
+        for ((gc, rc) <- Seq(4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6, 8 -> 7)) {
+          val gv = Option(g.get(gc)).map(_.asInstanceOf[Double])
+          val rv = Option(rr.get(rc)).map(_.asInstanceOf[Double])
+          assert(gv.isDefined == rv.isDefined, s"null split b$bid c$c i$gc")
+          for (a <- gv; b <- rv)
+            assert(math.abs(a - b) < 1e-6, s"b$bid c$c col$gc: $a vs $b")
+        }
+      }
+    }
+    // replay with a fresh checkpoint: all three batches marker-skip
+    val n0 = spark.read.parquet(out).count()
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreams.runDriftMonitor(
+      mem2.toDF().toDF("vec_id", "embedding"), "embedding", cents,
+      tmp.resolve("state").toString, out, tmp.resolve("ckpt2").toString)
+    try {
+      mem2.addData(rows.filter(_._1 < 50).toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(out).count() == n0,
+      "replay must not re-emit drift rows")
   }
 }
