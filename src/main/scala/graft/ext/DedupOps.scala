@@ -634,6 +634,110 @@ object DedupOps {
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** Repetition schedule for data-constrained training (the
+    * repeat-epochs recipe: when a source's supply is smaller than its
+    * target token share, repeat it): for each targeted source, every doc
+    * repeats base_s = target_s ÷ supply_s times (exact integer
+    * arithmetic), and a deterministic coin-ordered prefix of the source's
+    * docs — just enough to cover the remainder target_s mod-ish
+    * (target_s − base_s·supply_s) — repeats once more. Output:
+    * (idCol, sourceCol, n_tok, n_repeats) for every doc of a targeted
+    * source (n_repeats = 0 means "unused this run"); Σ n_repeats·n_tok
+    * lands within one document of target_s per source. Deterministic in
+    * the data alone: same engine-portable md5 coin family as the
+    * samplers, so the schedule reproduces across engines, retries, and
+    * partitioning, and is STABLE under target growth (a larger target
+    * only extends the remainder prefix — already-scheduled repeats never
+    * reshuffle).
+    *
+    * Scale shape mirrors [[tokenBudgetSelect]], with a twist that
+    * removes even its pathological case: the remainder prefix is ordered
+    * by the COIN, which is uniform BY CONSTRUCTION, so the 256
+    * first-byte coin buckets are always balanced — per (source, bucket)
+    * histogram (≤ 256·|sources| rows to the driver), full buckets decide
+    * map-side, and the exact window runs over each source's single
+    * boundary bucket (≈1/256 of that source's manifest, guaranteed).
+    * The manifest persists like tokenBudgetSelect's (narrow columns
+    * only). Supply is integer-exact on both engines, so an oracle
+    * re-deriving base/remainder has zero float surface.
+    */
+  def repetitionSchedule(docs: DataFrame, idCol: String, sourceCol: String,
+                         nTokCol: Column,
+                         targetTokens: Map[String, Long]): DataFrame = {
+    require(targetTokens.nonEmpty && targetTokens.values.forall(_ >= 0),
+      "repetitionSchedule: targets must be non-negative and non-empty")
+    val nTok = coalesce(nTokCol.cast("long"), lit(0L))
+    val m = docs
+      .filter(col(idCol).isNotNull && col(sourceCol).isNotNull &&
+        col(sourceCol).isin(targetTokens.keys.toSeq.map(lit): _*))
+      .select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+        nTok.as("__t"),
+        seededCoin("rep", col(idCol)).as("__coin"))
+      .withColumn("__b", conv(substring(col("__coin"), 1, 2), 16, 10)
+        .cast("int"))
+      .persist()
+    val hist = m.groupBy(col("__src"), col("__b"))
+      .agg(sum(col("__t")).as("__bt"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val supply: Map[String, Long] = hist.groupMapReduce(_._1._1)(_._2)(_ + _)
+    // exact integer split per source: base repeats + remainder tokens
+    val split: Map[String, (Long, Long)] = supply.map { case (s2, a) =>
+      val t2 = targetTokens(s2)
+      val base = if (a == 0) 0L else t2 / a
+      s2 -> (base, t2 - base * a)
+    }
+    // walk each source's coin buckets ascending: buckets fully inside the
+    // remainder select map-side, the crossing bucket resolves exactly
+    val boundary: Map[String, (Int, Long)] = split.flatMap {
+      case (s2, (_, rem0)) =>
+        var rem = rem0
+        var b = -1
+        var r2 = 0L
+        (0 until 256).foreach { bk =>
+          val mass = hist.getOrElse((s2, bk), 0L)
+          if (b < 0) {
+            if (mass <= rem) rem -= mass else { b = bk; r2 = rem }
+          }
+        }
+        if (b < 0) None else Some(s2 -> (b, r2))
+    }
+    def perSource[T](f: ((String, (Int, Long))) => Column): Column =
+      boundary.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+        case (acc, kv) => when(col("__src") === kv._1, f(kv)).otherwise(acc)
+      }
+    val belowBoundary = perSource { case (_, (b, _)) => col("__b") < b }
+    val atBoundary = perSource { case (_, (b, _)) => col("__b") === b }
+    val remOf = boundary.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (s2, (_, r2))) =>
+        when(col("__src") === s2, lit(r2)).otherwise(acc)
+    }
+    // a source with NO boundary bucket selected its whole remainder… only
+    // possible when every bucket fit, i.e. rem ≥ source mass — then every
+    // doc gets the extra repeat
+    val noBoundarySrcs = split.keySet -- boundary.keySet
+    val allExtra = noBoundarySrcs.toSeq.sorted.foldLeft(lit(false)) {
+      case (acc, s2) => when(col("__src") === s2, lit(true)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("__coin").asc, col("__id").asc)
+    val full = m.filter(allExtra || belowBoundary)
+      .withColumn("__extra", lit(1))
+    val edge = m.filter(atBoundary)
+      .withColumn("__extra",
+        when(sum(col("__t")).over(w) <= remOf, 1).otherwise(0))
+    val baseCol = split.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s2, (b2, _))) =>
+        when(col("__src") === s2, lit(b2)).otherwise(acc)
+    }
+    val rest = m.filter(!(allExtra || belowBoundary || atBoundary))
+      .withColumn("__extra", lit(0))
+    full.unionByName(edge).unionByName(rest)
+      .select(col("__id").as(idCol), col("__src").as(sourceCol),
+        col("__t").as("n_tok"),
+        (baseCol + col("__extra")).cast("long").as("n_repeats"))
+  }
+
   /** Exact token-budget selection — "the best documents until the budget
     * is spent": keep precisely the rows whose running token total, in
     * (score DESC, id ASC) order, stays within `budgetTokens` — the greedy

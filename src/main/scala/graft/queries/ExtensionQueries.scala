@@ -882,6 +882,19 @@ object ExtensionQueries {
         d.filter(col("doc_id") % 50 === 0))
     }),
 
+    // Repetition schedule (q133): data-constrained repeat-epochs — src0
+    // needs multiple full passes + a remainder prefix at sf0.01 (target
+    // 3500 over ~1.4k supply), src1/src3 partial prefixes, src2 target 0
+    // schedules nothing; untargeted sources are absent -----------------
+    "q133_repetition_schedule" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.repetitionSchedule(
+          d.withColumn("n_tok",
+            size(TextOps.tokens(col("text"))).cast("long")),
+          "doc_id", "source", col("n_tok"), RepTargets)
+        .orderBy(col("doc_id"))
+    }),
+
     // Best-of-cluster canonical selection (q131): clusterDedup keeps the
     // min id; curation keeps the BEST copy — per near-dup component, the
     // highest-quality member (ties → lowest id), annotated with the
@@ -2222,6 +2235,14 @@ object ExtensionQueries {
     */
   private[graft] val TokenBudget: Long = 12000L
 
+  /** q133's per-source token targets: src0 = several full epochs + a
+    * remainder prefix at sf0.01, src1/src3 = sub-epoch prefixes, src2 = 0
+    * (scheduled but unused). Literals, so the regimes shift with SF —
+    * at sf0.1 src0 becomes a sub-epoch prefix too, all still exact.
+    */
+  private[graft] val RepTargets: Map[String, Long] =
+    Map("src0" -> 3500L, "src1" -> 800L, "src2" -> 0L, "src3" -> 1400L)
+
   /** q130's token budget — interior at sf0.01 (27k total tokens) so the
     * big sources are genuinely rate-limited while the α=0.5 boost can
     * push a small source toward (or into) the keep-all clamp.
@@ -2475,6 +2496,42 @@ object ExtensionQueries {
        |SELECT k.doc_id, q.quality, k.comp, k.n_members
        |FROM k JOIN qx q USING (doc_id)
        |ORDER BY k.doc_id""".stripMargin
+
+  /** q133/q134 shared schedule CTEs: base/remainder split in exact
+    * integer arithmetic (`//`), the remainder prefix via the naive
+    * per-source window over (coin, id) order — the operator's coin-bucket
+    * histogram path must land on the identical schedule (bucket = coin
+    * prefix, so bucket-then-coin order IS coin order). Zero float surface.
+    */
+  private lazy val repScheduleCtes: String = {
+    val values = RepTargets.toSeq.sorted
+      .map { case (s2, t2) => s"('$s2', $t2)" }.mkString(", ")
+    s"""tok AS (SELECT doc_id, source,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS n_tok,
+       |    md5('rep:' || CAST(doc_id AS STRING)) AS coin
+       |  FROM documents),
+       |tv(source, target) AS (VALUES $values),
+       |av AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS supply
+       |  FROM tok GROUP BY source),
+       |sp AS (SELECT tv.source, target, supply,
+       |    CASE WHEN supply = 0 THEN 0 ELSE target // supply END AS base
+       |  FROM tv JOIN av USING (source)),
+       |sp2 AS (SELECT source, base, target - base * supply AS rem FROM sp),
+       |c AS (SELECT t.doc_id, t.source, t.n_tok,
+       |    sum(t.n_tok) OVER (PARTITION BY t.source
+       |      ORDER BY t.coin, t.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tok t JOIN tv USING (source)),
+       |sched AS (SELECT c.doc_id, c.source, c.n_tok,
+       |    sp2.base + CASE WHEN c.cum <= sp2.rem THEN 1 ELSE 0 END
+       |      AS n_repeats
+       |  FROM c JOIN sp2 USING (source))""".stripMargin
+  }
+
+  private lazy val repetitionOracleSql: String =
+    s"""WITH $repScheduleCtes
+       |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       |  CAST(n_repeats AS BIGINT) AS n_repeats
+       |FROM sched ORDER BY doc_id""".stripMargin
 
   /** q63 AND q92 verbatim: both decontamination formulations (exact
     * broadcast join; Bloom prefilter + exact confirm) claim the same
@@ -3101,6 +3158,7 @@ object ExtensionQueries {
     "q130_temperature_mix" -> temperatureMixOracleSql,
     "q131_best_of_cluster" -> bestOfClusterOracleSql,
     "q132_recipe_funnel" -> recipeFunnelOracleSql,
+    "q133_repetition_schedule" -> repetitionOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

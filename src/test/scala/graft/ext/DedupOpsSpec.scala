@@ -804,4 +804,90 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pa.contains("Window") && !pa.contains("Exchange"),
       s"whole-corpus-fits must be map-only (no window, no shuffle):\n$pa")
   }
+
+  private def repMd5(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rep:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Naive repeat-epochs spec: per targeted source, order docs by
+    * (md5 coin, id), base = target / supply (integer), and the shortest
+    * prefix whose running token total stays within target mod supply gets
+    * one extra repeat. */
+  private def naiveSchedule(rows: Seq[(Long, String, Long)],
+                            targets: Map[String, Long]): Map[Long, Long] =
+    targets.keys.flatMap { s =>
+      val docs = rows.filter(_._2 == s).sortBy(r => (repMd5(r._1), r._1))
+      val supply = docs.map(_._3).sum
+      val base = if (supply == 0) 0L else targets(s) / supply
+      var rem = targets(s) - base * supply
+      docs.map { case (id, _, t) =>
+        rem -= t
+        id -> (base + (if (rem >= 0) 1L else 0L))
+      }
+    }.toMap
+
+  test("repetitionSchedule equals the naive repeat-epochs spec across " +
+      "multi-epoch/partial/zero/exact regimes; budget lands within one " +
+      "doc; schedule is stable under target growth") {
+    val rnd = new scala.util.Random(13)
+    val rows: Seq[(Long, String, Long)] =
+      (1L to 60L).map(i => (i, "a", rnd.nextInt(20).toLong + 1)) ++
+      (101L to 150L).map(i => (i, "b",
+        if (i % 13 == 0) 0L else rnd.nextInt(20).toLong + 1)) ++
+      (201L to 220L).map(i => (i, "c", rnd.nextInt(20).toLong + 1)) ++
+      (301L to 330L).map(i => (i, "d", 10L)) ++
+      (401L to 420L).map(i => (i, "e", rnd.nextInt(20).toLong + 1))
+    val supplyA = rows.filter(_._2 == "a").map(_._3).sum
+    val targets = Map(
+      "a" -> (3 * supplyA + supplyA / 3), // multi-epoch + remainder prefix
+      "b" -> 250L,                        // sub-epoch partial prefix
+      "c" -> 0L,                          // targeted but unused
+      "d" -> 600L)                        // exact 2 epochs, remainder 0
+    val df = rows.toDF("id", "src", "n").unionByName(spark.sql(
+      """SELECT CAST(NULL AS BIGINT) id, 'a' src, CAST(5 AS BIGINT) n
+        |UNION ALL SELECT 9999, CAST(NULL AS STRING), 5""".stripMargin))
+    val got = DedupOps.repetitionSchedule(df, "id", "src", col("n"), targets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // untargeted source absent; dirty rows absent; every targeted doc present
+    assert(!got.exists(_._2 == "e") && !got.exists(_._1 == 9999L))
+    assert(got.length == rows.count(r => targets.contains(r._2)))
+    val naive = naiveSchedule(rows, targets)
+    got.foreach { case (id, _, _, rep) =>
+      assert(rep == naive(id), s"doc $id: got $rep, naive ${naive(id)}")
+    }
+    // per-source budget bound: Σ rep·tok ≤ target, short by less than the
+    // largest doc of that source
+    for ((s, t) <- targets) {
+      val scheduled = got.filter(_._2 == s).map(r => r._4 * r._3).sum
+      val maxTok = rows.filter(_._2 == s).map(_._3).max
+      assert(scheduled <= t && t - scheduled <= maxTok,
+        s"source $s: scheduled $scheduled of target $t (maxTok $maxTok)")
+    }
+    // exact-multiple source: every doc repeats exactly base times
+    assert(got.filter(_._2 == "d").forall(_._4 == 2L))
+    // growth stability: raising one target only ever raises per-doc repeats
+    var prev = Map.empty[Long, Long]
+    for (tb <- Seq(100L, 250L, 500L, 2000L)) {
+      val g = DedupOps.repetitionSchedule(df, "id", "src", col("n"),
+          targets + ("b" -> tb))
+        .filter(col("src") === "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      prev.foreach { case (id, r0) =>
+        assert(g(id) >= r0, s"doc $id regressed $r0 -> ${g(id)} at target $tb")
+      }
+      prev = g
+    }
+  }
+
+  test("repetitionSchedule plan: ONE shared window over the boundary " +
+      "coin-buckets; full and rest branches are window-free") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = (1L to 200L).map(i => (i, s"s${i % 3}", 10L)).toDF("id", "src", "n")
+    val out = DedupOps.repetitionSchedule(df, "id", "src", col("n"),
+      Map("s0" -> 500L, "s1" -> 123L, "s2" -> 1L))
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"exactly ONE window (the shared boundary-bucket branch), got:\n$p")
+  }
 }
