@@ -88,6 +88,54 @@ object PackOps {
       .drop("__coin")
   }
 
+  /** Data-constrained epoch builder: [[DedupOps.repetitionSchedule]]'s
+    * repeat counts expanded into concrete training-order instances and
+    * packed into fixed-budget bins — the composition that turns "source s
+    * repeats 3.4×" into the (shard, bin) layout a trainer reads.
+    *
+    * Expansion is MANIFEST-ONLY: `explode(sequence(1, n_repeats))`
+    * multiplies the narrow (id, source, n_tok, n_repeats) schedule, never
+    * the document bytes — a 100 TB corpus repeated 4× expands a few GB of
+    * manifest, and the trainer joins text back per shard file. Each
+    * (doc, rep) instance draws its own md5 coin over (seed, id, rep), so
+    * the copies of a repeated document SCATTER across shards and bins
+    * instead of training back-to-back (the adjacent-duplicate batch
+    * pathology a naive `array_repeat` concat produces); a new seed
+    * re-permutes every epoch boundary at once. Packing is then
+    * [[packBins]]'s running-window scheme in (coin, id, rep) order:
+    * ONE shuffle of the manifest (hash by shard) + a per-shard sort.
+    * Deterministic in (data, targets, seed, budget, nShards) alone.
+    *
+    * Returns (idCol, sourceCol, rep_idx, n_tok, shard, bin).
+    */
+  def epochPack(docs: DataFrame, idCol: String, sourceCol: String,
+                nTokCol: Column, targetTokens: Map[String, Long],
+                seed: Long, budget: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, s"epochPack: nShards must be positive, got $nShards")
+    require(budget > 0, s"epochPack: budget must be positive, got $budget")
+    val inst = DedupOps.repetitionSchedule(docs, idCol, sourceCol, nTokCol,
+        targetTokens)
+      .filter(col("n_repeats") > 0L)
+      .withColumn("rep_idx",
+        explode(sequence(lit(1L), col("n_repeats"))))
+      .withColumn("__coin",
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"), lit(":"),
+          col("rep_idx").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("__coin"), 1, 8), 16, 10).cast("long"),
+          lit(nShards)).cast("int"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__coin"), col(idCol), col("rep_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inst
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col("n_tok")).cast("double") / budget)
+          .cast("int"))
+      .select(col(idCol), col(sourceCol), col("rep_idx"), col("n_tok"),
+        col("shard"), col("bin"))
+  }
+
   /** Per-bin packing summary: document count, filled tokens, id range.
     * The groupBy rides the same (shard) partitioning the window produced —
     * Catalyst reuses the exchange, so the summary adds no extra shuffle

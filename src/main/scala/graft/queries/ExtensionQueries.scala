@@ -895,6 +895,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Epoch-expanded packing (q134): q133's schedule expanded into
+    // per-repeat instances (manifest-only — the text never explodes) and
+    // packed into 512-token bins across 8 shards; each (doc, rep) draws
+    // its own coin so repeated copies scatter instead of training
+    // back-to-back -----------------------------------------------------
+    "q134_epoch_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      PackOps.epochPack(
+          d.withColumn("n_tok",
+            size(TextOps.tokens(col("text"))).cast("long")),
+          "doc_id", "source", col("n_tok"), RepTargets,
+          seed = 12L, budget = 512, nShards = 8)
+        .orderBy(col("doc_id"), col("rep_idx"))
+    }),
+
     // Best-of-cluster canonical selection (q131): clusterDedup keeps the
     // min id; curation keeps the BEST copy — per near-dup component, the
     // highest-quality member (ties → lowest id), annotated with the
@@ -2533,6 +2548,34 @@ object ExtensionQueries {
        |  CAST(n_repeats AS BIGINT) AS n_repeats
        |FROM sched ORDER BY doc_id""".stripMargin
 
+  /** q134: the schedule expanded instance-per-repeat (generate_series),
+    * per-instance epoch coin, q94's hex-prefix shard, q65's running-window
+    * bin — every stage the naive global-window way; the operator's
+    * manifest-only expansion must land on the identical layout.
+    */
+  private lazy val epochPackOracleSql: String =
+    s"""WITH $repScheduleCtes,
+       |inst AS (SELECT doc_id, source, n_tok,
+       |    unnest(generate_series(1, CAST(n_repeats AS BIGINT)))
+       |      AS rep_idx
+       |  FROM sched WHERE n_repeats > 0),
+       |ic AS (SELECT doc_id, source, n_tok, rep_idx,
+       |    md5('12:' || CAST(doc_id AS STRING) || ':' ||
+       |      CAST(rep_idx AS STRING)) AS ec
+       |  FROM inst),
+       |sh AS (SELECT doc_id, source, n_tok, rep_idx, ec,
+       |    CAST(CAST(('0x' || substr(ec, 1, 8)) AS BIGINT) % 8 AS INT)
+       |      AS shard
+       |  FROM ic),
+       |p AS (SELECT doc_id, source, n_tok, rep_idx, shard,
+       |    sum(n_tok) OVER (PARTITION BY shard
+       |      ORDER BY ec, doc_id, rep_idx ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sh)
+       |SELECT doc_id, source, CAST(rep_idx AS BIGINT) AS rep_idx,
+       |  CAST(n_tok AS BIGINT) AS n_tok, shard,
+       |  CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS INTEGER) AS bin
+       |FROM p ORDER BY doc_id, rep_idx""".stripMargin
+
   /** q63 AND q92 verbatim: both decontamination formulations (exact
     * broadcast join; Bloom prefilter + exact confirm) claim the same
     * output, so sharing one oracle text IS the identity proof the
@@ -3159,6 +3202,7 @@ object ExtensionQueries {
     "q131_best_of_cluster" -> bestOfClusterOracleSql,
     "q132_recipe_funnel" -> recipeFunnelOracleSql,
     "q133_repetition_schedule" -> repetitionOracleSql,
+    "q134_epoch_pack" -> epochPackOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

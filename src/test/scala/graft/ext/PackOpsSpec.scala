@@ -138,4 +138,59 @@ class PackOpsSpec extends AnyFunSuite {
       PackOps.epochShuffle((1L to 3L).toDF("doc_id"), "doc_id", 1L, 0))
     assert(e.getMessage.contains("nShards"))
   }
+
+  private def epochDocs = {
+    val rnd = new scala.util.Random(21)
+    ((1L to 40L).map(i => (i, "a", rnd.nextInt(30).toLong + 5)) ++
+      (101L to 140L).map(i => (i, "b", rnd.nextInt(30).toLong + 5)))
+      .toDF("doc_id", "src", "n")
+  }
+
+  test("epochPack: instances per doc equal the schedule's n_repeats; " +
+      "scheduled tokens conserve; repeated copies scatter across shards") {
+    val supplyA = epochDocs.filter(col("src") === "a")
+      .agg(sum("n")).head.getLong(0)
+    val targets = Map("a" -> (3 * supplyA + supplyA / 2), "b" -> 200L)
+    val sched = DedupOps.repetitionSchedule(epochDocs, "doc_id", "src",
+        col("n"), targets)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val inst = PackOps.epochPack(epochDocs, "doc_id", "src", col("n"),
+        targets, seed = 5L, budget = 256, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    // exactly n_repeats instances per doc, rep_idx dense 1..n_repeats
+    inst.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length.toLong == sched(id), s"doc $id")
+      assert(rows.map(_._2).sorted.toSeq == (1L to sched(id)).toSeq)
+    }
+    assert(sched.filter(_._2 > 0).keySet == inst.map(_._1).toSet)
+    // token conservation: Σ instance tokens == Σ n_repeats·n_tok
+    val schedTok = epochDocs.collect()
+      .map(r => sched(r.getLong(0)) * r.getLong(2)).sum
+    assert(inst.map(_._3).sum == schedTok)
+    // the anti-adjacency property: docs repeating ≥3 times spread over
+    // >1 shard in the (deterministic) committed seed — a naive
+    // array_repeat concat would put every copy in ONE bin back-to-back
+    val multi = inst.groupBy(_._1).filter(_._2.length >= 3)
+    assert(multi.nonEmpty)
+    val spread = multi.count(_._2.map(_._4).distinct.length > 1)
+    assert(spread * 2 > multi.size,
+      s"most repeated docs must scatter: $spread of ${multi.size}")
+    // bins are dense from 0 within each shard
+    inst.groupBy(_._4).foreach { case (sh, rows) =>
+      val bins = rows.map(_._5).distinct.sorted
+      assert(bins.toSeq == (0 to bins.max).toSeq, s"shard $sh bins: $bins")
+    }
+  }
+
+  test("epochPack: reproducible per seed, re-permuted across seeds") {
+    val targets = Map("a" -> 2000L, "b" -> 500L)
+    def run(seed: Long) = PackOps.epochPack(epochDocs, "doc_id", "src",
+        col("n"), targets, seed, budget = 256, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4),
+        r.getInt(5))).sorted.toSeq
+    assert(run(5L) == run(5L))
+    assert(run(5L) != run(6L)) // same instances, different layout
+    assert(run(5L).map(r => (r._1, r._2)) == run(6L).map(r => (r._1, r._2)))
+  }
 }
