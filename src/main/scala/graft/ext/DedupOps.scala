@@ -634,6 +634,53 @@ object DedupOps {
       .select(col(idCol), col(sourceCol), col("n_tok"))
   }
 
+  /** Near-dup threshold sweep: for each candidate similarity threshold,
+    * how many pairs survive and how many distinct documents they touch —
+    * the one-pass diagnostic that answers "what does moving the dedup
+    * threshold from 0.8 to 0.7 actually cost" BEFORE committing to a full
+    * dedup run. Takes any (id_a, id_b, simCol) pair frame (MinHash,
+    * SimHash, embedding cosine — every pair generator here produces the
+    * shape), so one sweep implementation serves every family; feed it
+    * pairs generated at `thresholds.min` so every swept point sees its
+    * full candidate set. Estimate-mode MinHash pairs answer the tuning
+    * question for the COMMITTED banding config (what that config would
+    * flag at each t); re-tuning the banding itself is the recall-curve
+    * tool's job (SCALING.md).
+    *
+    * Scale shape: the pair frame is the bounded Σ(bucket²) candidate set,
+    * never the corpus; its (possibly expensive) lineage is persisted
+    * narrow (24 B/row) because both the pair count and the distinct-doc
+    * count read it — the [[tokenBudgetSelect]] manifest discipline. The
+    * per-threshold explode multiplies only that bounded set by
+    * |thresholds|; output is |thresholds| rows. Every threshold requested
+    * is present in the output even when nothing survives it.
+    */
+  def neardupThresholdSweep(pairs: DataFrame, simCol: String,
+                            thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct == thresholds,
+      "neardupThresholdSweep: thresholds must be non-empty and distinct")
+    val ss = pairs.sparkSession
+    import ss.implicits._
+    val p3 = pairs.select(col("id_a"), col("id_b"),
+      col(simCol).cast("double").as("__j")).persist()
+    val f = p3
+      .select(explode(array(thresholds.map(lit(_)): _*)).as("threshold"),
+        col("id_a"), col("id_b"), col("__j"))
+      .filter(col("__j") >= col("threshold"))
+    val pc = f.groupBy(col("threshold")).agg(count(lit(1)).as("__np"))
+    val dc = f
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("__nd"))
+    thresholds.toDF("threshold")
+      .join(pc, Seq("threshold"), "left")
+      .join(dc, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("__np"), lit(0L)).as("n_pairs"),
+        coalesce(col("__nd"), lit(0L)).as("n_docs"))
+  }
+
   /** Repetition schedule for data-constrained training (the
     * repeat-epochs recipe: when a source's supply is smaller than its
     * target token share, repeat it): for each targeted source, every doc

@@ -895,6 +895,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup threshold sweep (q135): per candidate threshold, surviving
+    // pairs + distinct docs touched — the "what does moving the dedup
+    // threshold cost" diagnostic, swept over the committed LSH config's
+    // candidates generated once at the lowest point --------------------
+    "q135_threshold_sweep" -> ((s, dir) => {
+      val pairs = DedupOps.minHashLshPairs(t(s, dir, "documents"),
+        k = 3, numBands = 8, rowsPerBand = 2, minJaccard = 0.5,
+        portable = true)
+      DedupOps.neardupThresholdSweep(pairs, "jaccard", SweepThresholds)
+        .orderBy(col("threshold"))
+    }),
+
     // Epoch-expanded packing (q134): q133's schedule expanded into
     // per-repeat instances (manifest-only — the text never explodes) and
     // packed into 512-token bins across 8 shards; each (doc, rep) draws
@@ -2548,6 +2560,39 @@ object ExtensionQueries {
        |  CAST(n_repeats AS BIGINT) AS n_repeats
        |FROM sched ORDER BY doc_id""".stripMargin
 
+  /** q135's swept thresholds — 0.5 is the candidate floor (pairs are
+    * generated once there), 1.0 exercises the exact-agreement tail, and
+    * any point nothing survives must still emit a zero row.
+    */
+  private[graft] val SweepThresholds: Seq[Double] =
+    Seq(0.5, 0.7, 0.8, 0.9, 1.0)
+
+  /** q135: the q27 pair CTEs (NO floor — `scored` carries every banded
+    * candidate), a VALUES threshold axis, and the naive per-threshold
+    * join — pair counts and UNION-distinct doc counts; left joins keep
+    * empty thresholds at 0.
+    */
+  private lazy val thresholdSweepOracleSql: String = {
+    val values = SweepThresholds
+      .map(t2 => s"(CAST($t2 AS DOUBLE))").mkString(", ")
+    s"""WITH ${minHashPairCtes()},
+       |th(threshold) AS (VALUES $values),
+       |f AS (SELECT th.threshold, s.id_a, s.id_b FROM th
+       |  JOIN scored s ON s.jaccard >= th.threshold),
+       |pc AS (SELECT threshold, count(*) AS n_pairs FROM f
+       |  GROUP BY threshold),
+       |u AS (SELECT threshold, id_a AS id FROM f
+       |  UNION SELECT threshold, id_b FROM f),
+       |dc AS (SELECT threshold, count(*) AS n_docs FROM u
+       |  GROUP BY threshold)
+       |SELECT th.threshold,
+       |  CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(dc.n_docs, 0) AS BIGINT) AS n_docs
+       |FROM th LEFT JOIN pc USING (threshold)
+       |LEFT JOIN dc USING (threshold)
+       |ORDER BY th.threshold""".stripMargin
+  }
+
   /** q134: the schedule expanded instance-per-repeat (generate_series),
     * per-instance epoch coin, q94's hex-prefix shard, q65's running-window
     * bin — every stage the naive global-window way; the operator's
@@ -3203,6 +3248,7 @@ object ExtensionQueries {
     "q132_recipe_funnel" -> recipeFunnelOracleSql,
     "q133_repetition_schedule" -> repetitionOracleSql,
     "q134_epoch_pack" -> epochPackOracleSql,
+    "q135_threshold_sweep" -> thresholdSweepOracleSql,
     // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
     // before the +1 so both engines add in binary (DuckDB decimal
     // literals would sum exactly); 0.25/0.75 are exact in binary. The

@@ -805,6 +805,31 @@ class DedupOpsSpec extends AnyFunSuite {
       s"whole-corpus-fits must be map-only (no window, no shuffle):\n$pa")
   }
 
+  test("neardupThresholdSweep equals the naive per-threshold counts, " +
+      "keeps empty thresholds at zero, and rejects duplicate thresholds") {
+    val rnd = new scala.util.Random(31)
+    val pairs = (1 to 120).map { _ =>
+      val a = rnd.nextInt(40).toLong
+      (a, a + 1 + rnd.nextInt(40).toLong, rnd.nextInt(21) / 20.0)
+    }.distinct
+    val df = pairs.toDF("id_a", "id_b", "jaccard")
+    val ths = Seq(0.0, 0.35, 0.7, 0.95, 2.0) // 2.0: nothing survives
+    val got = DedupOps.neardupThresholdSweep(df, "jaccard", ths)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == ths.toSet)
+    ths.foreach { t =>
+      val surv = pairs.filter(_._3 >= t)
+      val docs = surv.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(got(t) == ((surv.length.toLong, docs.length.toLong)),
+        s"threshold $t")
+    }
+    assert(got(2.0) == ((0L, 0L)))
+    val e = intercept[IllegalArgumentException](
+      DedupOps.neardupThresholdSweep(df, "jaccard", Seq(0.5, 0.5)))
+    assert(e.getMessage.contains("distinct"))
+  }
+
   private def repMd5(id: Long): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"rep:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
