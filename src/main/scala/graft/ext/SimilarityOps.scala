@@ -1046,6 +1046,37 @@ object SimilarityOps {
     ivfPqFromIndex(index, probes, rawVecs, cents, cbs, k, nprobe,
       refineFactor)
 
+  /** ANN recall monitor: per probe, recall@k of the persisted index's
+    * [[ivfPqTopKFromStore]] answer against the exact brute-force top-k
+    * over the same corpus — the health check a deployed index runs on a
+    * SAMPLED probe set after every ingest/compaction, because centroid
+    * drift, a stale store, or a mis-sized nprobe all surface here before
+    * users notice. Cost model: the exact baseline is one corpus scan with
+    * the sampled probes broadcast ([[bruteForceTopK]]) — priced by the
+    * sample, not by production traffic — and the approximate side is the
+    * store's own cell-pruned path, so the monitor measures exactly the
+    * serving plan. The comparison join touches |probes|·k rows. Both
+    * rankings share the (sim DESC, cand_id) tie-break on 6-digit-rounded
+    * sims, so recall is deterministic. Output: (probe_id, n_hit,
+    * recall_at_k), one row per probe.
+    */
+  def annRecallReport(probes: DataFrame, index: DataFrame,
+                      rawVecs: DataFrame, cents: Array[Array[Double]],
+                      cbs: Array[Array[Array[Double]]], k: Int,
+                      nprobe: Int, refineFactor: Int = 4): DataFrame = {
+    require(k > 0)
+    val approx = ivfPqFromIndex(index, probes, rawVecs, cents, cbs, k,
+        nprobe, refineFactor)
+      .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+    val exact = bruteForceTopK(probes, rawVecs, k)
+      .select(col("probe_id"), col("cand_id"))
+    exact.join(approx, Seq("probe_id", "cand_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(coalesce(sum(col("hit")), lit(0)).cast("int").as("n_hit"),
+        round(coalesce(sum(col("hit")), lit(0)) / k.toDouble, 6)
+          .as("recall_at_k"))
+  }
+
   /** [[hardNegatives]] against the persisted IVF-PQ index — the shape
     * that mines negatives for MILLIONS of anchors without a full corpus
     * scan per anchor batch: over-fetch the top-`kFetch` neighbors from

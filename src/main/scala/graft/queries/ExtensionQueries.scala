@@ -907,6 +907,23 @@ object ExtensionQueries {
         .orderBy(col("threshold"))
     }),
 
+    // ANN recall monitor (q136): per sampled probe, recall@5 of the
+    // persisted IVF-PQ index's answer vs the exact brute-force top-5 —
+    // the post-ingest health check of the q117 store at its committed
+    // serving config. The oracle rebuilds BOTH sides (the q115 chain and
+    // an exact-rank CTE) from the same literals ------------------------
+    "q136_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      SimilarityOps.annRecallReport(e.filter(col("vec_id") < 10), index,
+          e, cents, cbs, k = 5, nprobe = 3, refineFactor = 8)
+        .orderBy(col("probe_id"))
+    }),
+
     // Epoch-expanded packing (q134): q133's schedule expanded into
     // per-repeat instances (manifest-only — the text never explodes) and
     // packed into 512-token bins across 8 shards; each (doc, rep) draws
@@ -2019,6 +2036,31 @@ object ExtensionQueries {
     ivfPqChainSql(k = 5, refineFactor = 8) +
       "\nSELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5" +
       "\nORDER BY probe_id, rk"
+
+  /** q136: recall@5 of the q115/q117 approximate answer against the
+    * exact brute-force top-5 — the chain's `rk` CTE is the approximate
+    * side, `bfr` ranks every (probe, candidate) pair exactly with the
+    * same rounded-sim/(sim DESC, cand_id) discipline, and the left join
+    * counts overlaps. Both rankings are deterministic, so the per-probe
+    * hit counts hash-match.
+    */
+  private lazy val annRecallOracleSql: String =
+    ivfPqChainSql(k = 5, refineFactor = 8) +
+      s""",
+         |bf AS (SELECT pv.probe_id, cn.vec_id AS cand_id,
+         |    round(list_dot_product(pv.pu, cn.u), 6) AS sim
+         |  FROM pv, n cn WHERE cn.vec_id <> pv.probe_id),
+         |bfr AS (SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+         |    FROM bf) t WHERE rn <= 5),
+         |ap AS (SELECT probe_id, cand_id FROM rk WHERE rk <= 5)
+         |SELECT b.probe_id, CAST(count(a.cand_id) AS INTEGER) AS n_hit,
+         |  round(count(a.cand_id) / 5.0, 6) AS recall_at_k
+         |FROM bfr b LEFT JOIN ap a
+         |  ON a.probe_id = b.probe_id AND a.cand_id = b.cand_id
+         |GROUP BY b.probe_id
+         |ORDER BY b.probe_id""".stripMargin
 
   /** q122: the q121 band semantics over the ivfPqChainSql fetch — the
     * chain runs at (kFetch=40, rf=4), then the band filter and the final
@@ -3174,6 +3216,7 @@ object ExtensionQueries {
     // pattern
     "q117_ann_index_store" -> ivfPqOracleSql,
     "q120_ann_store_fetch" -> ivfPqOracleSql,
+    "q136_ann_recall" -> annRecallOracleSql,
     // q121: exact hard negatives — brute pairwise cosine restricted to
     // the band, rank by (sim DESC, neg_id). The band filter applies to
     // the ROUNDED sim on both engines (the rank's input), so boundary

@@ -406,6 +406,35 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no published ANN index"))
   }
 
+  test("annRecallReport: full probing + wide shortlist is recall 1.0; " +
+      "nprobe=1 loses the cross-cell neighbor and the report says so") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annrecall").resolve("idx").toString
+    // probe 1 lives in cell 0; vec 5 sits between the cells, so its
+    // exact-top-2 membership for probe 1 survives only if cell 1 is
+    // probed too (5's own-cell is decided by the tie-break on the axes)
+    val corpus = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.6f, 0.8f), 0)).drop("label")
+    val index = SimilarityOps.annIndexStore(spark, corpus, path,
+      annCents, annCbs)
+    def report(nprobe: Int) = SimilarityOps.annRecallReport(
+        corpus.filter(col("vec_id") <= 2L), index, corpus, annCents,
+        annCbs, k = 2, nprobe = nprobe, refineFactor = 4)
+      .orderBy("probe_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // degeneracy: probing every cell with a shortlist covering the whole
+    // corpus makes the approximate side exact — recall 1.0 for all probes
+    assert(report(nprobe = 2) ==
+      Seq((1L, 2, 1.0), (2L, 2, 1.0)))
+    // nprobe=1: vec 5 encodes into cell 1 (unit 0.6,0.8 → y-axis wins),
+    // so probe 1's exact neighbor set {2, 5} is only partially reachable
+    val narrow = report(nprobe = 1)
+    assert(narrow.map(_._1) == Seq(1L, 2L))
+    assert(narrow.exists(_._3 < 1.0))
+    assert(narrow.forall { case (_, h, r) => r == h / 2.0 && h >= 0 })
+  }
+
   test("compactAnnIndex: fewer files, one per cell, query results " +
       "unchanged") {
     val path = java.nio.file.Files
