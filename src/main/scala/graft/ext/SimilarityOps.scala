@@ -617,7 +617,17 @@ object SimilarityOps {
     * ranked dot product, carrying the probe's unit vector.
     */
   private def probeCellsOf(probes: DataFrame, cents: Array[Array[Double]],
-                           nprobe: Int): DataFrame = {
+                           nprobe: Int): DataFrame =
+    probeCellsRanked(probes, cents, nprobe)
+      .select(col("probe_id"), col("probe_unit"), col("cell"))
+
+  /** [[probeCellsOf]] keeping the cell rank `crk` — the sweep variants
+    * score ONCE at the widest nprobe and re-slice by rank per sweep
+    * point instead of re-ranking cells per point.
+    */
+  private def probeCellsRanked(probes: DataFrame,
+                               cents: Array[Array[Double]],
+                               nprobe: Int): DataFrame = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
     withUnitVec(probes, "embedding", "probe_unit")
       .select(col("vec_id").as("probe_id"), col("probe_unit"))
@@ -628,7 +638,7 @@ object SimilarityOps {
         Window.partitionBy(col("probe_id"))
           .orderBy(col("csim").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
-      .select(col("probe_id"), col("probe_unit"), col("cell"))
+      .select(col("probe_id"), col("probe_unit"), col("cell"), col("crk"))
   }
 
   /** [[ivfTopK]] with a prebuilt quantizer (from [[fitCentroids]] or
@@ -1072,6 +1082,69 @@ object SimilarityOps {
       .select(col("probe_id"), col("cand_id"))
     exact.join(approx, Seq("probe_id", "cand_id"), "left")
       .groupBy(col("probe_id"))
+      .agg(coalesce(sum(col("hit")), lit(0)).cast("int").as("n_hit"),
+        round(coalesce(sum(col("hit")), lit(0)) / k.toDouble, 6)
+          .as("recall_at_k"))
+  }
+
+  /** nprobe operating-point sweep: [[annRecallReport]] evaluated at
+    * SEVERAL nprobe values in one pass — the tuning surface that answers
+    * "what nprobe buys recall ≥ 0.95" before committing a serving
+    * config. Scored ONCE, not once per point: cells are ranked at the
+    * widest nprobe, the ADC join runs once over that union (its cost IS
+    * one query at max(nprobes)), and each sweep point re-slices the
+    * scored rows by cell rank (`crk <= np`) — a bounded-set explode, the
+    * q135 sweep discipline, never a re-scan of the index. The exact
+    * baseline is computed once (it does not depend on nprobe). Output:
+    * (nprobe, probe_id, n_hit, recall_at_k), |nprobes|·|probes| rows.
+    */
+  def annRecallSweep(probes: DataFrame, index: DataFrame,
+                     rawVecs: DataFrame, cents: Array[Array[Double]],
+                     cbs: Array[Array[Array[Double]]], k: Int,
+                     nprobes: Seq[Int], refineFactor: Int = 4): DataFrame = {
+    require(k > 0 && nprobes.nonEmpty && nprobes.forall(_ > 0) &&
+      nprobes.distinct.size == nprobes.size,
+      "nprobes must be non-empty, positive, distinct")
+    val ksub = cbs(0).length
+    val swLit = typedLit(nprobes.sorted)
+    val probeCells = probeCellsRanked(probes, cents, nprobes.max)
+      .withColumn("adc_tab", VectorFunctions.adcTable(col("probe_unit"),
+        cbs.map(_.map(_.toSeq).toSeq).toSeq))
+      .select(col("probe_id"), col("cell"), col("crk"), col("adc_tab"))
+    val scored = index.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim",
+        round(VectorFunctions.adcScore(col("adc_tab"), col("codes"), ksub),
+          6))
+      .select(col("probe_id"), col("cand_id"), col("crk"), col("sim"))
+    val swScored = scored
+      .select(col("probe_id"), col("cand_id"), col("crk"), col("sim"),
+        explode(swLit).as("nprobe"))
+      .filter(col("crk") <= col("nprobe"))
+    val shortlist = swScored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("nprobe"), col("probe_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rn") <= k * refineFactor)
+      .select(col("nprobe"), col("probe_id"), col("cand_id"))
+    val probeVecs = withUnitVec(probes, "embedding", "probe_unit")
+      .select(col("vec_id").as("probe_id"), col("probe_unit"))
+    val rerank = withUnitVec(rawVecs, "embedding", "cand_emb")
+      .select(col("vec_id").as("cand_id"), col("cand_emb"))
+    val exactScored = rerank
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
+    val approx = exactScored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("probe_id"))
+          .orderBy(col("sim").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+      .select(col("nprobe"), col("probe_id"), col("cand_id"),
+        lit(1).as("hit"))
+    val exact = bruteForceTopK(probes, rawVecs, k)
+      .select(col("probe_id"), col("cand_id"),
+        explode(swLit).as("nprobe"))
+    exact.join(approx, Seq("nprobe", "probe_id", "cand_id"), "left")
+      .groupBy(col("nprobe"), col("probe_id"))
       .agg(coalesce(sum(col("hit")), lit(0)).cast("int").as("n_hit"),
         round(coalesce(sum(col("hit")), lit(0)) / k.toDouble, 6)
           .as("recall_at_k"))

@@ -924,6 +924,23 @@ object ExtensionQueries {
         .orderBy(col("probe_id"))
     }),
 
+    // nprobe operating-point sweep (q137): q136's recall measured at
+    // several nprobe values in ONE index pass — cells ranked once at the
+    // widest point, ADC join runs once, each point re-slices by cell
+    // rank (the q135 sweep discipline); the tuning surface that picks
+    // nprobe for a target recall before committing a serving config ----
+    "q137_ann_recall_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      SimilarityOps.annRecallSweep(e.filter(col("vec_id") < 10), index,
+          e, cents, cbs, k = 5, nprobes = Seq(1, 3, 10), refineFactor = 8)
+        .orderBy(col("nprobe"), col("probe_id"))
+    }),
+
     // Epoch-expanded packing (q134): q133's schedule expanded into
     // per-repeat instances (manifest-only — the text never explodes) and
     // packed into 512-token bins across 8 shards; each (doc, rep) draws
@@ -1958,7 +1975,16 @@ object ExtensionQueries {
     * can reuse the identical machinery with its own (k, refineFactor)
     * and append band-filter CTEs — callers supply the final SELECT.
     */
-  private def ivfPqChainSql(k: Int, refineFactor: Int): String = {
+  private def ivfPqChainSql(k: Int, refineFactor: Int): String =
+    ivfPqChainParts(k, refineFactor)._1
+
+  /** The chain plus its ADC building blocks (`adcSum` scoring expression
+    * over `p`/`e` aliases, `adcJoins` codebook joins) so the q137 sweep
+    * oracle can rebuild the scoring CTE with an extra sweep dimension
+    * without forking the 60-line chain body.
+    */
+  private def ivfPqChainParts(k: Int,
+                              refineFactor: Int): (String, String, String) = {
     val cbs = graft.ext.PqCodebooks.codebooks
     val m = cbs.length
     val dsub = cbs(0).head.length
@@ -1992,7 +2018,7 @@ object ExtensionQueries {
     }.mkString(" +\n      ")
     val adcJoins = (0 until m)
       .map(mi => s"JOIN cb$mi ON cb$mi.j = e.code$mi").mkString("\n    ")
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    val chain = s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
        |n AS (SELECT vec_id,
        |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u
@@ -2030,6 +2056,7 @@ object ExtensionQueries {
        |rk AS (SELECT probe_id, cand_id, sim,
        |    CAST(row_number() OVER (PARTITION BY probe_id
        |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk FROM ex)""".stripMargin
+    (chain, adcSum, adcJoins)
   }
 
   private lazy val ivfPqOracleSql: String =
@@ -2061,6 +2088,53 @@ object ExtensionQueries {
          |  ON a.probe_id = b.probe_id AND a.cand_id = b.cand_id
          |GROUP BY b.probe_id
          |ORDER BY b.probe_id""".stripMargin
+
+  /** q137: the q136 recall comparison swept over nprobe — the chain's
+    * `pcand` CTE already ranks EVERY cell per probe, so the sweep
+    * re-scores with the sweep axis joined on `crk <= np` (the scoring
+    * CTE is rebuilt from the exposed adcSum/adcJoins parts with the
+    * extra dimension), shortlists and re-ranks per (np, probe), and
+    * counts overlaps against the single exact baseline.
+    */
+  private lazy val annRecallSweepOracleSql: String = {
+    val (chain, adcSum, adcJoins) = ivfPqChainParts(k = 5, refineFactor = 8)
+    chain +
+      s""",
+         |sw(np) AS (VALUES (1), (3), (10)),
+         |ssc AS (SELECT sw.np, p.probe_id, e.vec_id AS cand_id,
+         |    round($adcSum, 6) AS sim
+         |  FROM enc e JOIN pcand p USING (cell)
+         |    JOIN sw ON p.crk <= sw.np
+         |    $adcJoins
+         |  WHERE p.probe_id <> e.vec_id),
+         |ssl AS (SELECT np, probe_id, cand_id FROM (
+         |    SELECT np, probe_id, cand_id, row_number() OVER (
+         |      PARTITION BY np, probe_id ORDER BY sim DESC, cand_id) AS rn
+         |    FROM ssc) t WHERE rn <= 40),
+         |sex AS (SELECT ssl.np, ssl.probe_id, ssl.cand_id,
+         |    round(list_dot_product(pv.pu, cn.u), 6) AS sim
+         |  FROM ssl JOIN pv USING (probe_id)
+         |    JOIN n cn ON cn.vec_id = ssl.cand_id),
+         |srk AS (SELECT np, probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY np, probe_id ORDER BY sim DESC, cand_id) AS rk
+         |  FROM sex),
+         |bf AS (SELECT pv.probe_id, cn.vec_id AS cand_id,
+         |    round(list_dot_product(pv.pu, cn.u), 6) AS sim
+         |  FROM pv, n cn WHERE cn.vec_id <> pv.probe_id),
+         |bfr AS (SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+         |    FROM bf) t WHERE rn <= 5),
+         |ap AS (SELECT np, probe_id, cand_id FROM srk WHERE rk <= 5)
+         |SELECT CAST(sw.np AS INTEGER) AS nprobe, b.probe_id,
+         |  CAST(count(a.cand_id) AS INTEGER) AS n_hit,
+         |  round(count(a.cand_id) / 5.0, 6) AS recall_at_k
+         |FROM sw CROSS JOIN bfr b LEFT JOIN ap a
+         |  ON a.np = sw.np AND a.probe_id = b.probe_id
+         |    AND a.cand_id = b.cand_id
+         |GROUP BY sw.np, b.probe_id
+         |ORDER BY nprobe, b.probe_id""".stripMargin
+  }
 
   /** q122: the q121 band semantics over the ivfPqChainSql fetch — the
     * chain runs at (kFetch=40, rf=4), then the band filter and the final
@@ -3217,6 +3291,7 @@ object ExtensionQueries {
     "q117_ann_index_store" -> ivfPqOracleSql,
     "q120_ann_store_fetch" -> ivfPqOracleSql,
     "q136_ann_recall" -> annRecallOracleSql,
+    "q137_ann_recall_sweep" -> annRecallSweepOracleSql,
     // q121: exact hard negatives — brute pairwise cosine restricted to
     // the band, rank by (sim DESC, neg_id). The band filter applies to
     // the ROUNDED sim on both engines (the rank's input), so boundary

@@ -435,6 +435,40 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(narrow.forall { case (_, h, r) => r == h / 2.0 && h >= 0 })
   }
 
+  test("annRecallSweep: each sweep point equals the per-point " +
+      "annRecallReport, and the index scans ONCE for the whole sweep") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annsweep").resolve("idx").toString
+    val corpus = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.6f, 0.8f), 0), (6L, Seq(0.8f, 0.6f), 0)).drop("label")
+    val probes = corpus.filter(col("vec_id") <= 2L)
+    val index = SimilarityOps.annIndexStore(spark, corpus, path,
+      annCents, annCbs)
+    val sweep = SimilarityOps.annRecallSweep(probes, index, corpus,
+      annCents, annCbs, k = 2, nprobes = Seq(1, 2), refineFactor = 4)
+    val got = sweep.orderBy("nprobe", "probe_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq
+    val want = Seq(1, 2).flatMap { np =>
+      SimilarityOps.annRecallReport(probes, index, corpus, annCents,
+          annCbs, k = 2, nprobe = np, refineFactor = 4)
+        .orderBy("probe_id").collect()
+        .map(r => (np, r.getLong(0), r.getInt(1), r.getDouble(2)))
+    }
+    assert(got == want)
+    assert(got.size == 4)
+    // one pass over the persisted index: the sweep axis is an explode
+    // over already-scored rows, not a per-point re-scan
+    val plan = sweep.queryExecution.executedPlan.toString
+    val idxScans = "graft-annsweep".r.findAllIn(plan).size
+    assert(idxScans <= 1, s"index scanned $idxScans times:\n$plan")
+    // invalid sweeps refuse loudly
+    intercept[IllegalArgumentException](
+      SimilarityOps.annRecallSweep(probes, index, corpus, annCents,
+        annCbs, k = 2, nprobes = Seq(2, 2)))
+  }
+
   test("compactAnnIndex: fewer files, one per cell, query results " +
       "unchanged") {
     val path = java.nio.file.Files

@@ -353,10 +353,13 @@ class QueryPlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     //   q121/q124 broadcast their 10-anchor mining batch over the corpus
     //   scan (the exact hard-negative/triple forms — bounded batch by
-    //   contract).
+    //   contract). q136/q137's recall monitors broadcast the SAMPLED
+    //   probe set for the exact brute-force baseline (the monitor's
+    //   documented cost model: one exact scan priced by the sample).
     val nonScalarIntentional = Set("q30_ann_topk", "q89_int8_ann",
       "q26_ngram_jaccard", "q80_generate_series", "q114_pq_ann",
-      "q121_hard_negatives", "q124_contrastive_triples")
+      "q121_hard_negatives", "q124_contrastive_triples",
+      "q136_ann_recall", "q137_ann_recall_sweep")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
