@@ -1087,6 +1087,45 @@ object SimilarityOps {
           .as("recall_at_k"))
   }
 
+  /** ANN index staleness report: reconcile the persisted index against
+    * the CURRENT corpus — the store-health companion to
+    * [[annRecallReport]] (recall says "quality dropped"; this says
+    * "because 12% of the corpus isn't indexed"). Per cell: `n_indexed`
+    * (in both), `n_missing` (corpus rows the index lacks — appends
+    * pending; counted under their EXPECTED cell so the report names the
+    * exact cell directories the next [[appendToAnnIndex]] touches),
+    * `n_orphaned` (index rows whose id left the corpus — deletes the
+    * next compaction should drop), `n_cell_mismatch` (in both but the
+    * CURRENT quantizer disagrees with the indexed cell — nonzero means
+    * the centroids were re-fit since the build and the index needs a
+    * re-encode, the failure mode recall alone can't attribute). Cost:
+    * one map-only [[cellOf]] assignment over the narrow (id, embedding)
+    * corpus projection, the index's (id, cell) columns, ONE id-keyed
+    * full-outer exchange of those two narrow sides, nCells output rows;
+    * embeddings never shuffle.
+    */
+  def annIndexStaleness(corpus: DataFrame, index: DataFrame,
+                        cents: Array[Array[Double]]): DataFrame = {
+    val expected = withUnitVec(corpus, "embedding", "u")
+      .select(col("vec_id"), cellOf(col("u"), cents).as("expected_cell"))
+    val idx = index.select(col("cand_id").as("vec_id"),
+      col("cell").as("indexed_cell"))
+    val both = col("indexed_cell").isNotNull &&
+      col("expected_cell").isNotNull
+    expected.join(idx, Seq("vec_id"), "full_outer")
+      .withColumn("cell",
+        coalesce(col("indexed_cell"), col("expected_cell")))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(both, 1L).otherwise(0L)).as("n_indexed"),
+        sum(when(col("indexed_cell").isNull, 1L).otherwise(0L))
+          .as("n_missing"),
+        sum(when(col("expected_cell").isNull, 1L).otherwise(0L))
+          .as("n_orphaned"),
+        sum(when(both && col("indexed_cell") =!= col("expected_cell"), 1L)
+          .otherwise(0L)).as("n_cell_mismatch"))
+  }
+
   /** nprobe operating-point sweep: [[annRecallReport]] evaluated at
     * SEVERAL nprobe values in one pass — the tuning surface that answers
     * "what nprobe buys recall ≥ 0.95" before committing a serving

@@ -941,6 +941,25 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // ANN index staleness (q138): reconcile a STALE index (built over
+    // the %5≠3 slice) against the CURRENT corpus view (%7≠0) — missing
+    // = never-appended %5==3 rows counted under their expected cell,
+    // orphaned = indexed %7==0 rows whose id left the corpus; the
+    // per-cell report names the directories the next append/compaction
+    // touches; cell_mismatch stays 0 while the quantizer is unchanged --
+    "q138_ann_index_staleness" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s,
+        e.filter(col("vec_id") % 5 =!= 3),
+        fixturePath(s, dir, "embeddings", "annidxstale",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      SimilarityOps.annIndexStaleness(e.filter(col("vec_id") % 7 =!= 0),
+          index, cents)
+        .orderBy(col("cell"))
+    }),
+
     // Epoch-expanded packing (q134): q133's schedule expanded into
     // per-repeat instances (manifest-only — the text never explodes) and
     // packed into 512-token bins across 8 shards; each (doc, rep) draws
@@ -2136,6 +2155,49 @@ object ExtensionQueries {
          |ORDER BY nprobe, b.probe_id""".stripMargin
   }
 
+  /** q138: one centroid-literal assignment (the q104 argmax CTE, ties →
+    * lowest cell) serves BOTH sides — the index slice (%5≠3) carries its
+    * build-time cell, the current corpus view (%7≠0) its expected cell —
+    * then the full-outer reconciliation counts per cell exactly like the
+    * operator.
+    */
+  private lazy val annStalenessOracleSql: String = {
+    val centRows = graft.ext.IvfCentroids.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id,
+       |    [x / sqrt(list_dot_product(emb, emb)) for x in emb] AS u FROM e),
+       |cents(cell, c) AS (VALUES $centRows),
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, cents.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell)
+       |        AS rn
+       |    FROM n, cents) t WHERE rn = 1),
+       |idx AS (SELECT vec_id, cell AS indexed_cell FROM asg
+       |  WHERE vec_id % 5 <> 3),
+       |cur AS (SELECT vec_id, cell AS expected_cell FROM asg
+       |  WHERE vec_id % 7 <> 0),
+       |j AS (SELECT coalesce(i.indexed_cell, c.expected_cell) AS cell,
+       |    i.indexed_cell, c.expected_cell
+       |  FROM cur c FULL OUTER JOIN idx i USING (vec_id))
+       |SELECT cell,
+       |  CAST(sum(CASE WHEN indexed_cell IS NOT NULL
+       |      AND expected_cell IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_indexed,
+       |  CAST(sum(CASE WHEN indexed_cell IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_missing,
+       |  CAST(sum(CASE WHEN expected_cell IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_orphaned,
+       |  CAST(sum(CASE WHEN indexed_cell IS NOT NULL
+       |      AND expected_cell IS NOT NULL
+       |      AND indexed_cell <> expected_cell THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_cell_mismatch
+       |FROM j GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** q122: the q121 band semantics over the ivfPqChainSql fetch — the
     * chain runs at (kFetch=40, rf=4), then the band filter and the final
     * re-rank mirror [[graft.ext.SimilarityOps.hardNegativesFromStore]]
@@ -3292,6 +3354,7 @@ object ExtensionQueries {
     "q120_ann_store_fetch" -> ivfPqOracleSql,
     "q136_ann_recall" -> annRecallOracleSql,
     "q137_ann_recall_sweep" -> annRecallSweepOracleSql,
+    "q138_ann_index_staleness" -> annStalenessOracleSql,
     // q121: exact hard negatives — brute pairwise cosine restricted to
     // the band, rank by (sim DESC, neg_id). The band filter applies to
     // the ROUNDED sim on both engines (the rank's input), so boundary

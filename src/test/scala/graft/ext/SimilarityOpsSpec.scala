@@ -469,6 +469,34 @@ class SimilarityOpsSpec extends AnyFunSuite {
         annCbs, k = 2, nprobes = Seq(2, 2)))
   }
 
+  test("annIndexStaleness: missing under expected cell, orphans under " +
+      "indexed cell, and a quantizer re-fit shows up as cell_mismatch") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annstale").resolve("idx").toString
+    // cells on the axes: 1,2,6 -> cell 0; 3,4,5 -> cell 1
+    val all = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.6f, 0.8f), 0), (6L, Seq(0.8f, 0.6f), 0)).drop("label")
+    val index = SimilarityOps.annIndexStore(spark,
+      all.filter(col("vec_id") <= 4L), path, annCents, annCbs)
+    // current corpus dropped id 1 and gained ids 5, 6
+    val current = all.filter(col("vec_id") >= 2L)
+    val got = SimilarityOps.annIndexStaleness(current, index, annCents)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0, 1L, 1L, 1L, 0L),   // indexed: 2; missing: 6; orphaned: 1
+      (1, 2L, 1L, 0L, 0L)))  // indexed: 3,4; missing: 5
+    // a re-fit quantizer (cells swapped) disagrees with every stored
+    // cell — the report attributes it to mismatch, not to churn
+    val refit = Array(Array(0.0, 1.0), Array(1.0, 0.0))
+    val mism = SimilarityOps.annIndexStaleness(current, index, refit)
+      .agg(org.apache.spark.sql.functions.sum("n_cell_mismatch")).head
+      .getLong(0)
+    assert(mism == 3L)
+  }
+
   test("compactAnnIndex: fewer files, one per cell, query results " +
       "unchanged") {
     val path = java.nio.file.Files
