@@ -1140,12 +1140,40 @@ object SimilarityOps {
   def annRecallSweep(probes: DataFrame, index: DataFrame,
                      rawVecs: DataFrame, cents: Array[Array[Double]],
                      cbs: Array[Array[Array[Double]]], k: Int,
-                     nprobes: Seq[Int], refineFactor: Int = 4): DataFrame = {
+                     nprobes: Seq[Int], refineFactor: Int = 4): DataFrame =
+    annRecallGrid(probes, index, rawVecs, cents, cbs, k, nprobes,
+        Seq(refineFactor))
+      .select(col("nprobe"), col("probe_id"), col("n_hit"),
+        col("recall_at_k"))
+
+  /** The full (nprobe × refineFactor) recall tuning grid — both serving
+    * knobs in ONE index pass. nprobe moves which cells feed the ADC
+    * stage; refineFactor only moves the SHORTLIST CUTOFF over
+    * already-scored rows, so the rf axis is near-free: the ADC join and
+    * the per-nprobe shortlist ranking run once at max(refineFactors),
+    * exact re-rank sims are computed once per (nprobe, probe, cand)
+    * shortlist row, and each grid point re-slices by the carried ranks
+    * (the q135 bounded-explode discipline on BOTH axes). The sf0.1
+    * q137 measurement is why the grid exists: a flat nprobe curve means
+    * the shortlist is the binding constraint, and the rf axis is the
+    * knob that moves it — one grid run answers which. Output: (nprobe,
+    * refine_factor, probe_id, n_hit, recall_at_k).
+    */
+  def annRecallGrid(probes: DataFrame, index: DataFrame,
+                    rawVecs: DataFrame, cents: Array[Array[Double]],
+                    cbs: Array[Array[Array[Double]]], k: Int,
+                    nprobes: Seq[Int],
+                    refineFactors: Seq[Int]): DataFrame = {
     require(k > 0 && nprobes.nonEmpty && nprobes.forall(_ > 0) &&
       nprobes.distinct.size == nprobes.size,
       "nprobes must be non-empty, positive, distinct")
+    require(refineFactors.nonEmpty && refineFactors.forall(_ >= 1) &&
+      refineFactors.distinct.size == refineFactors.size,
+      "refineFactors must be non-empty, >= 1, distinct")
     val ksub = cbs(0).length
-    val swLit = typedLit(nprobes.sorted)
+    val npLit = typedLit(nprobes.sorted)
+    val rfLit = typedLit(refineFactors.sorted)
+    val rfMax = refineFactors.max
     val probeCells = probeCellsRanked(probes, cents, nprobes.max)
       .withColumn("adc_tab", VectorFunctions.adcTable(col("probe_unit"),
         cbs.map(_.map(_.toSeq).toSeq).toSeq))
@@ -1158,32 +1186,41 @@ object SimilarityOps {
       .select(col("probe_id"), col("cand_id"), col("crk"), col("sim"))
     val swScored = scored
       .select(col("probe_id"), col("cand_id"), col("crk"), col("sim"),
-        explode(swLit).as("nprobe"))
+        explode(npLit).as("nprobe"))
       .filter(col("crk") <= col("nprobe"))
-    val shortlist = swScored.withColumn("rn", row_number().over(
+    // one shortlist ranking per nprobe at the WIDEST refineFactor; the
+    // carried rank `rn` is what each rf grid point slices on
+    val shortMax = swScored.withColumn("rn", row_number().over(
         Window.partitionBy(col("nprobe"), col("probe_id"))
           .orderBy(col("sim").desc, col("cand_id"))))
-      .filter(col("rn") <= k * refineFactor)
-      .select(col("nprobe"), col("probe_id"), col("cand_id"))
+      .filter(col("rn") <= k * rfMax)
+      .select(col("nprobe"), col("probe_id"), col("cand_id"), col("rn"))
     val probeVecs = withUnitVec(probes, "embedding", "probe_unit")
       .select(col("vec_id").as("probe_id"), col("probe_unit"))
     val rerank = withUnitVec(rawVecs, "embedding", "cand_emb")
       .select(col("vec_id").as("cand_id"), col("cand_emb"))
     val exactScored = rerank
-      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(shortMax), Seq("cand_id"))
       .join(broadcast(probeVecs), Seq("probe_id"))
       .withColumn("sim", round(dot(col("probe_unit"), col("cand_emb")), 6))
-    val approx = exactScored.withColumn("rk", row_number().over(
-        Window.partitionBy(col("nprobe"), col("probe_id"))
+      .select(col("nprobe"), col("probe_id"), col("cand_id"), col("rn"),
+        col("sim"))
+    val approx = exactScored
+      .withColumn("refine_factor", explode(rfLit))
+      .filter(col("rn") <= col("refine_factor") * k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("refine_factor"),
+            col("probe_id"))
           .orderBy(col("sim").desc, col("cand_id"))))
       .filter(col("rk") <= k)
-      .select(col("nprobe"), col("probe_id"), col("cand_id"),
-        lit(1).as("hit"))
+      .select(col("nprobe"), col("refine_factor"), col("probe_id"),
+        col("cand_id"), lit(1).as("hit"))
     val exact = bruteForceTopK(probes, rawVecs, k)
-      .select(col("probe_id"), col("cand_id"),
-        explode(swLit).as("nprobe"))
-    exact.join(approx, Seq("nprobe", "probe_id", "cand_id"), "left")
-      .groupBy(col("nprobe"), col("probe_id"))
+      .select(col("probe_id"), col("cand_id"), explode(npLit).as("nprobe"))
+      .withColumn("refine_factor", explode(rfLit))
+    exact.join(approx,
+        Seq("nprobe", "refine_factor", "probe_id", "cand_id"), "left")
+      .groupBy(col("nprobe"), col("refine_factor"), col("probe_id"))
       .agg(coalesce(sum(col("hit")), lit(0)).cast("int").as("n_hit"),
         round(coalesce(sum(col("hit")), lit(0)) / k.toDouble, 6)
           .as("recall_at_k"))

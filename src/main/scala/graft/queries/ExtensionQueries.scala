@@ -941,6 +941,25 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // Recall tuning grid (q139): BOTH serving knobs — nprobe ×
+    // refineFactor — measured in one index pass; rf only moves the
+    // shortlist cutoff over already-scored rows, so its axis is
+    // near-free (ranked once at max rf, re-sliced per point). The sf0.1
+    // q137 curve (flat at nprobe=10) showed the shortlist binds at this
+    // scale; the grid is the surface that says which knob to turn ------
+    "q139_ann_recall_grid" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      SimilarityOps.annRecallGrid(e.filter(col("vec_id") < 10), index,
+          e, cents, cbs, k = 5, nprobes = Seq(3, 10),
+          refineFactors = Seq(2, 8, 32))
+        .orderBy(col("nprobe"), col("refine_factor"), col("probe_id"))
+    }),
+
     // ANN index staleness (q138): reconcile a STALE index (built over
     // the %5≠3 slice) against the CURRENT corpus view (%7≠0) — missing
     // = never-appended %5==3 rows counted under their expected cell,
@@ -2155,6 +2174,54 @@ object ExtensionQueries {
          |ORDER BY nprobe, b.probe_id""".stripMargin
   }
 
+  /** q139: the q137 sweep machinery with the refine-factor axis — the
+    * shortlist CTE ranks once at max rf carrying `rn`, each rf point
+    * slices `rn <= 5·rf` before the per-(np, rf, probe) exact re-rank;
+    * the exact baseline crosses both axes.
+    */
+  private lazy val annRecallGridOracleSql: String = {
+    val (chain, adcSum, adcJoins) = ivfPqChainParts(k = 5, refineFactor = 8)
+    chain +
+      s""",
+         |sw(np) AS (VALUES (3), (10)),
+         |rfs(rf) AS (VALUES (2), (8), (32)),
+         |ssc AS (SELECT sw.np, p.probe_id, e.vec_id AS cand_id,
+         |    round($adcSum, 6) AS sim
+         |  FROM enc e JOIN pcand p USING (cell)
+         |    JOIN sw ON p.crk <= sw.np
+         |    $adcJoins
+         |  WHERE p.probe_id <> e.vec_id),
+         |ssl AS (SELECT np, probe_id, cand_id, rn FROM (
+         |    SELECT np, probe_id, cand_id, row_number() OVER (
+         |      PARTITION BY np, probe_id ORDER BY sim DESC, cand_id) AS rn
+         |    FROM ssc) t WHERE rn <= ${5 * 32}),
+         |sex AS (SELECT ssl.np, ssl.probe_id, ssl.cand_id, ssl.rn,
+         |    round(list_dot_product(pv.pu, cn.u), 6) AS sim
+         |  FROM ssl JOIN pv USING (probe_id)
+         |    JOIN n cn ON cn.vec_id = ssl.cand_id),
+         |srk AS (SELECT np, rf, probe_id, cand_id, row_number() OVER (
+         |    PARTITION BY np, rf, probe_id ORDER BY sim DESC, cand_id)
+         |      AS rk
+         |  FROM sex JOIN rfs ON sex.rn <= rfs.rf * 5),
+         |bf AS (SELECT pv.probe_id, cn.vec_id AS cand_id,
+         |    round(list_dot_product(pv.pu, cn.u), 6) AS sim
+         |  FROM pv, n cn WHERE cn.vec_id <> pv.probe_id),
+         |bfr AS (SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+         |    FROM bf) t WHERE rn <= 5),
+         |ap AS (SELECT np, rf, probe_id, cand_id FROM srk WHERE rk <= 5)
+         |SELECT CAST(sw.np AS INTEGER) AS nprobe,
+         |  CAST(rfs.rf AS INTEGER) AS refine_factor, b.probe_id,
+         |  CAST(count(a.cand_id) AS INTEGER) AS n_hit,
+         |  round(count(a.cand_id) / 5.0, 6) AS recall_at_k
+         |FROM sw CROSS JOIN rfs CROSS JOIN bfr b LEFT JOIN ap a
+         |  ON a.np = sw.np AND a.rf = rfs.rf AND a.probe_id = b.probe_id
+         |    AND a.cand_id = b.cand_id
+         |GROUP BY sw.np, rfs.rf, b.probe_id
+         |ORDER BY nprobe, refine_factor, b.probe_id""".stripMargin
+  }
+
   /** q138: one centroid-literal assignment (the q104 argmax CTE, ties →
     * lowest cell) serves BOTH sides — the index slice (%5≠3) carries its
     * build-time cell, the current corpus view (%7≠0) its expected cell —
@@ -3355,6 +3422,7 @@ object ExtensionQueries {
     "q136_ann_recall" -> annRecallOracleSql,
     "q137_ann_recall_sweep" -> annRecallSweepOracleSql,
     "q138_ann_index_staleness" -> annStalenessOracleSql,
+    "q139_ann_recall_grid" -> annRecallGridOracleSql,
     // q121: exact hard negatives — brute pairwise cosine restricted to
     // the band, rank by (sim DESC, neg_id). The band filter applies to
     // the ROUNDED sim on both engines (the rank's input), so boundary

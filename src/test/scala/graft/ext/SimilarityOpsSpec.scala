@@ -469,6 +469,42 @@ class SimilarityOpsSpec extends AnyFunSuite {
         annCbs, k = 2, nprobes = Seq(2, 2)))
   }
 
+  test("annRecallGrid: every (nprobe, refineFactor) point equals the " +
+      "per-point annRecallReport") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-anngrid").resolve("idx").toString
+    val corpus = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.6f, 0.8f), 0), (6L, Seq(0.8f, 0.6f), 0),
+      (7L, Seq(0.95f, 0.05f), 0)).drop("label")
+    val probes = corpus.filter(col("vec_id") <= 2L)
+    val index = SimilarityOps.annIndexStore(spark, corpus, path,
+      annCents, annCbs)
+    val got = SimilarityOps.annRecallGrid(probes, index, corpus,
+        annCents, annCbs, k = 2, nprobes = Seq(1, 2),
+        refineFactors = Seq(1, 3))
+      .orderBy("nprobe", "refine_factor", "probe_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    val want = for (np <- Seq(1, 2); rf <- Seq(1, 3);
+        row <- SimilarityOps.annRecallReport(probes, index, corpus,
+            annCents, annCbs, k = 2, nprobe = np, refineFactor = rf)
+          .orderBy("probe_id").collect())
+      yield (np, rf, row.getLong(0), row.getInt(1), row.getDouble(2))
+    assert(got == want)
+    assert(got.size == 8)
+    // a wider shortlist can only help: recall monotone in rf per (np,
+    // probe) — rf slices a PREFIX of the same ADC ranking
+    val byPoint = got.groupBy(t => (t._1, t._3)).values
+    assert(byPoint.forall { rows =>
+      val sorted = rows.sortBy(_._2).map(_._5)
+      sorted == sorted.sorted
+    })
+    intercept[IllegalArgumentException](
+      SimilarityOps.annRecallGrid(probes, index, corpus, annCents,
+        annCbs, k = 2, nprobes = Seq(1), refineFactors = Seq.empty))
+  }
+
   test("annIndexStaleness: missing under expected cell, orphans under " +
       "indexed cell, and a quantizer re-fit shows up as cell_mismatch") {
     val path = java.nio.file.Files

@@ -359,7 +359,7 @@ class QueryPlanSpec extends AnyFunSuite {
     val nonScalarIntentional = Set("q30_ann_topk", "q89_int8_ann",
       "q26_ngram_jaccard", "q80_generate_series", "q114_pq_ann",
       "q121_hard_negatives", "q124_contrastive_triples",
-      "q136_ann_recall", "q137_ann_recall_sweep")
+      "q136_ann_recall", "q137_ann_recall_sweep", "q139_ann_recall_grid")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
