@@ -455,6 +455,23 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
     assert(spark.read.parquet(idxS).count() == before,
       "replay must not grow the index")
+
+    // glue with the q138 monitor: a store the stream kept current
+    // reports ZERO staleness against the corpus it ingested — and the
+    // same monitor run against a corpus that moved on (50 rows the
+    // stream never saw) attributes exactly those as missing
+    val clean = SimilarityOps.annIndexStaleness(corpus,
+        SimilarityOps.readAnnIndexStore(spark, idxS), cents)
+      .agg(org.apache.spark.sql.functions.sum("n_missing"),
+        org.apache.spark.sql.functions.sum("n_orphaned"),
+        org.apache.spark.sql.functions.sum("n_cell_mismatch")).head
+    assert((clean.getLong(0), clean.getLong(1), clean.getLong(2)) ==
+      ((0L, 0L, 0L)))
+    val grown = e.filter(col("vec_id") < 350)
+    val lag = SimilarityOps.annIndexStaleness(grown,
+        SimilarityOps.readAnnIndexStore(spark, idxS), cents)
+      .agg(org.apache.spark.sql.functions.sum("n_missing")).head.getLong(0)
+    assert(lag == 50L)
   }
 
   test("runSemanticIngestDedup bootstraps from an ABSENT store: the first " +
