@@ -1218,6 +1218,39 @@ object DedupOps {
     materializedPairs(spark, path)(
       minHashSignaturesDf(docs, k, numBands * rowsPerBand, portable = true))
 
+  /** Signature-store staleness: reconcile the persisted MinHash store
+    * against the CURRENT corpus — the q138-style health check for the
+    * incremental near-dup loop ([[incrementalNearDupFlags]] +
+    * [[appendToSignatureStore]]). Per `groupCol` value (source, crawl,
+    * shard — the dimension on which ingest lags): `n_signed` (docs the
+    * store covers), `n_missing` (docs never signed — exactly the rows
+    * the loop's gates dropped or a skipped ingest never delivered; a
+    * nonzero count here means the NEXT batch dedups against an
+    * incomplete corpus), `n_orphaned` (signed ids no longer in the
+    * corpus — [[compactSignatureStore]]'s delete candidates), grouped
+    * under the `goneLabel` bucket since a departed doc carries no
+    * current group. Cost: the store contributes ONLY its id column
+    * (signatures never move), one id-keyed full-outer of two narrow
+    * sides, |groups|+1 output rows.
+    */
+  def signatureStaleness(docs: DataFrame, store: DataFrame,
+                         groupCol: String,
+                         goneLabel: String = "[gone]"): DataFrame = {
+    val cur = docs.select(col("doc_id"), col(groupCol))
+      .withColumn("__present", lit(true))
+    val signed = store.select(col("doc_id"), lit(true).as("__signed"))
+    cur.join(signed, Seq("doc_id"), "full_outer")
+      .withColumn(groupCol, coalesce(col(groupCol), lit(goneLabel)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("__present").isNotNull && col("__signed").isNotNull,
+          1L).otherwise(0L)).as("n_signed"),
+        sum(when(col("__signed").isNull, 1L).otherwise(0L))
+          .as("n_missing"),
+        sum(when(col("__present").isNull, 1L).otherwise(0L))
+          .as("n_orphaned"))
+  }
+
   /** Close the ingest loop: sign `acceptedDocs` (the batch rows that
     * survived [[incrementalNearDupFlags]] + whatever other gates) and
     * append their signatures to the store, so the NEXT batch dedups

@@ -941,6 +941,22 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // Signature-store staleness (q140): the q138 reconcile for the
+    // MinHash ingest loop — store signed over the %5≠3 slice, current
+    // corpus is the %7≠0 view; per SOURCE, how many docs the store
+    // covers / never signed / signed-but-departed (orphans under the
+    // '[gone]' bucket — a departed doc carries no current source) ------
+    "q140_signature_staleness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val store = DedupOps.signatureStore(s,
+        d.filter(col("doc_id") % 5 =!= 3),
+        fixturePath(s, dir, "documents", "sigstale", "mod5ne3_k3_b8_r2"),
+        k = 3, numBands = 8, rowsPerBand = 2)
+      DedupOps.signatureStaleness(d.filter(col("doc_id") % 7 =!= 0),
+          store, groupCol = "source")
+        .orderBy(col("source"))
+    }),
+
     // Recall tuning grid (q139): BOTH serving knobs — nprobe ×
     // refineFactor — measured in one index pass; rf only moves the
     // shortlist cutoff over already-scored rows, so its axis is
@@ -3423,6 +3439,24 @@ object ExtensionQueries {
     "q137_ann_recall_sweep" -> annRecallSweepOracleSql,
     "q138_ann_index_staleness" -> annStalenessOracleSql,
     "q139_ann_recall_grid" -> annRecallGridOracleSql,
+    // q140: membership-only reconcile — the signatures themselves never
+    // matter, so the oracle re-derives store membership from the build
+    // predicate (%5≠3) and the corpus view (%7≠0) and counts per source
+    // with orphans under '[gone]'
+    "q140_signature_staleness" ->
+      """WITH idx AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 3),
+        |cur AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (SELECT coalesce(c.source, '[gone]') AS source,
+        |    c.doc_id AS cur_id, i.doc_id AS idx_id
+        |  FROM cur c FULL OUTER JOIN idx i USING (doc_id))
+        |SELECT source,
+        |  CAST(sum(CASE WHEN cur_id IS NOT NULL AND idx_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_signed,
+        |  CAST(sum(CASE WHEN idx_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(sum(CASE WHEN cur_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphaned
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // q121: exact hard negatives — brute pairwise cosine restricted to
     // the band, rank by (sim DESC, neg_id). The band filter applies to
     // the ROUNDED sim on both engines (the rank's input), so boundary

@@ -397,6 +397,38 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!r(2).getAs[Boolean]("dup"))
   }
 
+  test("signatureStaleness: per-source signed/missing counts, orphans " +
+      "under the gone bucket, and a fully-ingested store reads clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four", "web"),
+      (2L, "five six seven eight", "web"),
+      (3L, "nine ten eleven twelve", "books"),
+      (4L, "alpha beta gamma delta", "books"))
+      .toDF("doc_id", "text", "source")
+    // store signed docs 1-3 plus a doc 9 that has since left the corpus
+    val sigs = DedupOps.minHashSignaturesDf(
+      docs.filter(col("doc_id") <= 3L)
+        .union(Seq((9L, "gone doc text here", "web"))
+          .toDF("doc_id", "text", "source")),
+      k = 3, numHashes = 16, portable = true)
+    val got = DedupOps.signatureStaleness(docs, sigs, "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("[gone]", 0L, 0L, 1L),   // doc 9
+      ("books", 1L, 1L, 0L),    // signed: 3; missing: 4
+      ("web", 2L, 0L, 0L)))     // signed: 1, 2
+    // a store that covers the corpus exactly reports all-clean
+    val full = DedupOps.minHashSignaturesDf(docs, k = 3, numHashes = 16,
+      portable = true)
+    val clean = DedupOps.signatureStaleness(docs, full, "source")
+      .agg(org.apache.spark.sql.functions.sum("n_missing"),
+        org.apache.spark.sql.functions.sum("n_orphaned")).head
+    assert((clean.getLong(0), clean.getLong(1)) == ((0L, 0L)))
+  }
+
   test("appendToSignatureStore closes the loop: batch 2 flags against " +
       "batch 1's accepted docs") {
     import spark.implicits._
