@@ -526,6 +526,38 @@ object DedupOps {
       .drop("__coin")
   }
 
+  /** Exactly-k WEIGHTED sample without replacement
+    * (Efraimidis–Spirakis exponential keys): keep the k rows with the
+    * largest `ln(u)/w`, where u is the deterministic md5 coin mapped
+    * into (0, 1] — each row's selection probability is proportional to
+    * its weight, and "sample 100k docs ∝ quality²" becomes one top-k.
+    * [[exactSample]] is the w≡1 special case; like it, the result is a
+    * pure function of (seed, id, weight), MONOTONE in k (the top-k set
+    * is a prefix of the top-(k+1) set), and plans as
+    * TakeOrderedAndProject — per-partition heaps, never a global sort.
+    * The coin's first 12 hex chars map to u = (n+1)/16¹² (48 bits —
+    * exact in a double; +1 keeps u > 0 so ln is finite); the key rounds
+    * at 6 before ranking with the id tiebreak, the house discipline
+    * that keeps the k-boundary engine-stable. Rows with NULL ids or
+    * non-positive/NULL weights are dropped (can never be sampled) —
+    * the family's null contract, made explicit here because a weight
+    * of 0 would otherwise produce -inf keys that still beat nothing.
+    */
+  def weightedExactSample(df: DataFrame, idCol: String, weightCol: String,
+                          k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"weightedExactSample: k must be positive, got $k")
+    val coin = seededCoin(s"wes:$seed", col(idCol))
+    val n = conv(substring(coin, 1, 12), 16, 10).cast("double")
+    val u = (n + lit(1.0)) / lit(math.pow(16.0, 12))
+    val key = round(log(u) / col(weightCol).cast("double"), 6)
+    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Deterministic target-mix sampling — the domain-reweighting step of
     * a training recipe: given per-source target SHARES of a token
     * budget, sample each source at rate

@@ -941,6 +941,17 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // Weighted exactly-k sample (q141): Efraimidis–Spirakis exponential
+    // keys over the deterministic coin — selection ∝ n_chars, exactly
+    // 50 rows, top-k plan (never a global sort), monotone in k ---------
+    "q141_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.weightedExactSample(d, "doc_id", "n_chars", k = 50,
+          seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Signature-store staleness (q140): the q138 reconcile for the
     // MinHash ingest loop — store signed over the %5≠3 slice, current
     // corpus is the %7≠0 view; per SOURCE, how many docs the store
@@ -3439,6 +3450,20 @@ object ExtensionQueries {
     "q137_ann_recall_sweep" -> annRecallSweepOracleSql,
     "q138_ann_index_staleness" -> annStalenessOracleSql,
     "q139_ann_recall_grid" -> annRecallGridOracleSql,
+    // q141: the A-ES key rebuilt verbatim — first 12 coin hex chars to
+    // u = (n+1)/16^12 (exact in a double), key = round(ln(u)/w, 6),
+    // rank (key DESC, doc_id) — 16^12 = 281474976710656
+    "q141_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, source, n_chars,
+        |    (CAST(('0x' || substr(md5('wes:7:' || CAST(doc_id AS STRING)),
+        |      1, 12)) AS BIGINT) + 1) / 281474976710656.0 AS u
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+        |kye AS (SELECT doc_id, source, n_chars,
+        |    round(ln(u) / CAST(n_chars AS DOUBLE), 6) AS key FROM w),
+        |r AS (SELECT doc_id, source, n_chars, row_number() OVER (
+        |    ORDER BY key DESC, doc_id) AS rn FROM kye)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 50
+        |ORDER BY doc_id""".stripMargin,
     // q140: membership-only reconcile — the signatures themselves never
     // matter, so the oracle re-derives store membership from the build
     // predicate (%5≠3) and the corpus view (%7≠0) and counts per source

@@ -397,6 +397,46 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!r(2).getAs[Boolean]("dup"))
   }
 
+  test("weightedExactSample: matches an independent A-ES model exactly, " +
+      "is prefix-monotone in k, drops bad weights, and plans as top-k") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble))
+    val df = rows.toDF("doc_id", "wt")
+    // independent model: same coin, same key arithmetic, plain Scala
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def key(id: Long, w: Double): BigDecimal = {
+      val n = java.lang.Long.parseLong(md5hex(s"wes:7:$id").take(12), 16)
+      BigDecimal(math.log((n + 1.0) / math.pow(16.0, 12)) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = rows.sortBy { case (id, w) => (-key(id, w), id) }
+      .take(25).map(_._1)
+    val sample = DedupOps.weightedExactSample(df, "doc_id", "wt", k = 25,
+      seed = 7L)
+    assert(sample.collect().map(_.getLong(0)).sorted.toSeq == want.sorted)
+    // prefix-monotone: the top-25 set is inside the top-40 set
+    val bigger = DedupOps.weightedExactSample(df, "doc_id", "wt", k = 40,
+      seed = 7L).collect().map(_.getLong(0)).toSet
+    assert(want.forall(bigger))
+    // null/zero/negative weights can never be sampled
+    val dirty = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0))
+      .toDF("doc_id", "wt")
+      .union(Seq((4L, null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "wt"))
+    val kept = DedupOps.weightedExactSample(dirty, "doc_id", "wt", k = 10,
+      seed = 7L).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+    // an overwhelming weight is selected first
+    val skew = Seq((1L, 1e-6), (2L, 1e6), (3L, 1e-6)).toDF("doc_id", "wt")
+    assert(DedupOps.weightedExactSample(skew, "doc_id", "wt", k = 1,
+      seed = 7L).head.getLong(0) == 2L)
+    // top-k plan, never a global sort
+    val plan = DedupOps.weightedExactSample(df, "doc_id", "wt", k = 25,
+      seed = 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("signatureStaleness: per-source signed/missing counts, orphans " +
       "under the gone bucket, and a fully-ingested store reads clean") {
     import spark.implicits._
