@@ -53,6 +53,33 @@ object CoinSamplerModelProps extends Properties("CoinSamplerDiff") {
       (got == want) :| s"got=$got want=$want seed=$seed shards=$nShards"
     }
 
+  // --- weightedExactSample model (q141: A-ES exponential keys) --------------
+
+  private def modelWeighted(rows: Seq[(Long, Double)], seed: Long,
+                            k: Int): Seq[Long] = {
+    def key(id: Long, w: Double): BigDecimal = {
+      val n = java.lang.Long.parseLong(md5Hex(s"wes:$seed:$id").take(12), 16)
+      BigDecimal(math.log((n + 1.0) / math.pow(16.0, 12)) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    rows.filter(_._2 > 0).sortBy { case (id, w) => (-key(id, w), id) }
+      .take(k).map(_._1).sorted
+  }
+
+  property("weightedExactSample matches the Spark-free A-ES model") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 100000L),
+        Gen.choose(1e-3, 1e3))).map(_.distinctBy(_._1)),
+      Gen.choose(0L, 99L),
+      Gen.choose(1, 30)) { (rows, seed, k) =>
+      import spark.implicits._
+      val got = DedupOps.weightedExactSample(rows.toDF("doc_id", "wt"),
+          "doc_id", "wt", k, seed)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = modelWeighted(rows, seed, k)
+      (got == want) :| s"got=$got want=$want seed=$seed k=$k"
+    }
+
   // --- targetMixSample model ------------------------------------------------
 
   private def modelMix(docs: Seq[(Long, String, Long)],
