@@ -546,16 +546,55 @@ object DedupOps {
   def weightedExactSample(df: DataFrame, idCol: String, weightCol: String,
                           k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, s"weightedExactSample: k must be positive, got $k")
-    val coin = seededCoin(s"wes:$seed", col(idCol))
-    val n = conv(substring(coin, 1, 12), 16, 10).cast("double")
-    val u = (n + lit(1.0)) / lit(math.pow(16.0, 12))
-    val key = round(log(u) / col(weightCol).cast("double"), 6)
-    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol) > 0)
-      .withColumn("__wkey", key)
+    aesEligible(df, idCol, weightCol, seed)
       .orderBy(col("__wkey").desc, col(idCol).asc)
       .limit(k)
       .drop("__wkey")
+  }
+
+  /** The shared A-ES machinery: eligibility filter + the `__wkey`
+    * column. ONE expression for both samplers (and their oracles'
+    * spelled-out arithmetic), so the global and stratified forms can
+    * never drift — which is also what makes their degeneracy provable
+    * (one stratum ⇒ identical kept set, spec-pinned).
+    */
+  private def aesEligible(df: DataFrame, idCol: String,
+                          weightCol: String, seed: Long): DataFrame = {
+    val coin = seededCoin(s"wes:$seed", col(idCol))
+    val n = conv(substring(coin, 1, 12), 16, 10).cast("double")
+    val u = (n + lit(1.0)) / lit(math.pow(16.0, 12))
+    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .withColumn("__wkey",
+        round(log(u) / col(weightCol).cast("double"), 6))
+  }
+
+  /** [[weightedExactSample]] PER STRATUM — "per language, the best 10k
+    * docs sampled ∝ quality": exactly `kPerStratum` rows from every
+    * stratum (fewer only when a stratum has fewer eligible rows),
+    * selection ∝ weight within each. Same coin, same key, same seed
+    * namespace as the global form, so a single-stratum frame degenerates
+    * to [[weightedExactSample]] exactly. Cost: ONE hash exchange on the
+    * stratum key + a per-group top-k window — the per-group exact-k
+    * can't be map-only (that's [[stratifiedHashSample]]'s rate-based
+    * trade); strata are the natural partition key and per-group state is
+    * the k-row heap. A NULL stratum samples as its own group (both
+    * engines group nulls together) — callers who want them gone filter
+    * first.
+    */
+  def weightedStratifiedSample(df: DataFrame, idCol: String,
+                               strataCol: String, weightCol: String,
+                               kPerStratum: Int,
+                               seed: Long = 0L): DataFrame = {
+    require(kPerStratum > 0,
+      s"weightedStratifiedSample: kPerStratum must be positive, got " +
+        s"$kPerStratum")
+    aesEligible(df, idCol, weightCol, seed)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("__wkey").desc, col(idCol).asc)))
+      .filter(col("__rk") <= kPerStratum)
+      .drop("__wkey", "__rk")
   }
 
   /** Deterministic target-mix sampling — the domain-reweighting step of

@@ -941,6 +941,17 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // Stratified weighted exactly-k (q142): q141 PER SOURCE — exactly 3
+    // docs from every source, selection ∝ n_chars within each; one
+    // stratum exchange + per-group top-k window ------------------------
+    "q142_weighted_stratified" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.weightedStratifiedSample(d, "doc_id", "source", "n_chars",
+          kPerStratum = 3, seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted exactly-k sample (q141): Efraimidis–Spirakis exponential
     // keys over the deterministic coin — selection ∝ n_chars, exactly
     // 50 rows, top-k plan (never a global sort), monotone in k ---------
@@ -3463,6 +3474,18 @@ object ExtensionQueries {
         |r AS (SELECT doc_id, source, n_chars, row_number() OVER (
         |    ORDER BY key DESC, doc_id) AS rn FROM kye)
         |SELECT doc_id, source, n_chars FROM r WHERE rn <= 50
+        |ORDER BY doc_id""".stripMargin,
+    // q142: q141's key arithmetic with the rank partitioned by source
+    "q142_weighted_stratified" ->
+      """WITH w AS (SELECT doc_id, source, n_chars,
+        |    (CAST(('0x' || substr(md5('wes:7:' || CAST(doc_id AS STRING)),
+        |      1, 12)) AS BIGINT) + 1) / 281474976710656.0 AS u
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+        |kye AS (SELECT doc_id, source, n_chars,
+        |    round(ln(u) / CAST(n_chars AS DOUBLE), 6) AS key FROM w),
+        |r AS (SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY key DESC, doc_id) AS rn FROM kye)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 3
         |ORDER BY doc_id""".stripMargin,
     // q140: membership-only reconcile — the signatures themselves never
     // matter, so the oracle re-derives store membership from the build

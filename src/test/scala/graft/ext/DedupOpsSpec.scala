@@ -437,6 +437,37 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("weightedStratifiedSample: exactly k per stratum, single-stratum " +
+      "degeneracy equals the global sampler, one stratum shuffle") {
+    import spark.implicits._
+    val rows = (1L to 120L).map(i => (i, s"s${i % 4}", (i % 9 + 1).toDouble))
+    val df = rows.toDF("doc_id", "src", "wt")
+    val got = DedupOps.weightedStratifiedSample(df, "doc_id", "src", "wt",
+      kPerStratum = 5, seed = 7L)
+    val bySrc = got.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc == Map("s0" -> 5, "s1" -> 5, "s2" -> 5, "s3" -> 5))
+    // a stratum with fewer eligible rows than k returns all of them
+    val small = Seq((1L, "a", 2.0), (2L, "a", 3.0), (3L, "b", 1.0))
+      .toDF("doc_id", "src", "wt")
+    assert(DedupOps.weightedStratifiedSample(small, "doc_id", "src", "wt",
+      kPerStratum = 5, seed = 7L).count() == 3L)
+    // single stratum ⇒ identical kept set to the global sampler (same
+    // coin namespace, same key — the shared-expression contract)
+    val one = df.filter(col("src") === "s1")
+    val strat = DedupOps.weightedStratifiedSample(one, "doc_id", "src",
+      "wt", kPerStratum = 7, seed = 7L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val glob = DedupOps.weightedExactSample(one, "doc_id", "wt", k = 7,
+      seed = 7L).collect().map(_.getLong(0)).sorted.toSeq
+    assert(strat == glob)
+    // one hash exchange (the stratum key), no global sort
+    val plan = DedupOps.weightedStratifiedSample(df, "doc_id", "src", "wt",
+      kPerStratum = 5, seed = 7L).queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx == 1, s"expected 1 stratum exchange, got $nEx:\n$plan")
+  }
+
   test("signatureStaleness: per-source signed/missing counts, orphans " +
       "under the gone bucket, and a fully-ingested store reads clean") {
     import spark.implicits._
