@@ -9,7 +9,7 @@ import graft.viz.GraphViz
   * (/root/reference/src/main.rs:24-84):
   *
   *   run       [--config C] [--models-dir D] [--db-path P] [--parallel]
-  *             [--changed-only]
+  *             [--changed-only] [--dry-run] [--select m1[+],+m2,…]
   *   run-file  <script.sql> [more.sql …]
   *   viz       <out.svg>
   *
@@ -32,7 +32,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,...]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] <out.svg>""".stripMargin)
       sys.exit(2)
@@ -47,7 +47,8 @@ object Main {
   private def parseArgs(rest: List[String]): (Map[String, String], List[String]) = {
     def go(l: List[String], flags: Map[String, String],
            pos: List[String]): (Map[String, String], List[String]) = l match {
-      case k :: v :: t if Set("--config", "--models-dir", "--db-path")(k) =>
+      case k :: v :: t
+          if Set("--config", "--models-dir", "--db-path", "--select")(k) =>
         go(t, flags + (k.drop(2) -> v), pos)
       case "--parallel" :: t => go(t, flags + ("parallel" -> "true"), pos)
       case "--changed-only" :: t =>
@@ -102,7 +103,8 @@ object Main {
       config.dbPath.foreach(ViewStore.restore(spark, _))
       val session = new PipelineSession(spark, config,
         parallel = flags.contains("parallel"),
-        changedOnly = flags.contains("changed-only"))
+        changedOnly = flags.contains("changed-only"),
+        selectors = selectorsOf(flags))
       val report = session.runNodes()
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {
@@ -160,23 +162,31 @@ object Main {
     * table existence); without it every model reports `would RUN`. Exits 0
     * always (nothing executed, nothing can fail but graph building).
     */
+  private def selectorsOf(flags: Map[String, String]): Seq[String] =
+    flags.get("select").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+
   private[cli] def dryRun(flags: Map[String, String]): Unit = {
     val config = loadConfig(flags)
     try {
       val session = new PipelineSession(
-        throw new IllegalStateException("dry-run does not execute SQL"), config)
+        throw new IllegalStateException("dry-run does not execute SQL"),
+        config, selectors = selectorsOf(flags))
       val (order, nodeMap) = session.buildGraph()
+      val runOrder = session.selectionSet(order, nodeMap)
+        .fold(order)(s => order.filter(s))
       val skips =
         if (flags.contains("changed-only")) session.previewSkips(order, nodeMap)
         else Set.empty[String]
-      order.zipWithIndex.foreach { case (id, i) =>
+      runOrder.zipWithIndex.foreach { case (id, i) =>
         val mat = nodeMap(id).materialize.getOrElse("view").toLowerCase
-        val info = s"${i + 1} of ${order.size}: $id $mat model"
+        val info = s"${i + 1} of ${runOrder.size}: $id $mat model"
         val tail = if (skips(id)) "[would SKIP unchanged]" else "[would RUN]"
         println(info + "." * math.max(0, 80 - info.length) + tail)
       }
-      println(s"\nDry run: ${order.size - skips.size} would run, " +
-        s"${skips.size} would skip; no SQL executed")
+      val nSkip = runOrder.count(skips)
+      println(s"\nDry run: ${runOrder.size - nSkip} would run, " +
+        s"$nSkip would skip; no SQL executed")
     } catch {
       case e: GraftError => System.err.println(e.render); sys.exit(1)
     }

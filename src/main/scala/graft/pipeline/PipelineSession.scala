@@ -26,7 +26,8 @@ final class PipelineSession(
     spark0: => SparkSession,
     val config: PipelineConfig,
     parallel: Boolean = false,
-    changedOnly: Boolean = false) {
+    changedOnly: Boolean = false,
+    selectors: Seq[String] = Nil) {
 
   // by-name + lazy: graph building and viz never touch Spark, so `viz`
   // can construct a session-free PipelineSession and skip Spark startup
@@ -258,6 +259,41 @@ final class PipelineSession(
     }.toSet
   }
 
+  /** dbt-style `--select` resolution against the built graph: each
+    * selector is `name` (just that model), `name+` (plus transitive
+    * descendants), `+name` (plus transitive ancestors), or `+name+`;
+    * comma-separated selectors union. None = no selection (run all).
+    * Unselected upstreams are NOT executed — a selected mid-DAG model
+    * reads its inputs from the db_path-restored registrations of a
+    * previous run (the dbt state workflow); with no persisted state it
+    * fails loudly on the missing ref, which is the honest outcome.
+    * An unknown selector name is an error, not an empty run.
+    */
+  def selectionSet(order: Seq[String],
+                   nodeMap: Map[String, ModelNode]): Option[Set[String]] =
+    if (selectors.isEmpty) None
+    else Some(selectors.flatMap { raw =>
+      val incAnc = raw.startsWith("+")
+      val incDesc = raw.endsWith("+")
+      val name = raw.stripPrefix("+").stripSuffix("+")
+      if (!nodeMap.contains(name))
+        throw GenericError(s"--select: unknown model '$name' " +
+          s"(known models: ${order.mkString(", ")})")
+      def walk(next: String => Set[String]): Set[String] = {
+        val seen = mutable.Set(name)
+        var frontier = next(name).filter(nodeMap.contains)
+        while (frontier.nonEmpty) {
+          val fresh = frontier.diff(seen)
+          seen ++= fresh
+          frontier = fresh.flatMap(id => next(id).filter(nodeMap.contains))
+        }
+        seen.toSet
+      }
+      Set(name) ++
+        (if (incDesc) walk(id => nodeMap(id).nexts) else Set.empty) ++
+        (if (incAnc) walk(id => nodeMap(id).prevs) else Set.empty)
+    }.toSet)
+
   /** The `--changed-only` skip decision per node, against the stored
     * fingerprint base.
     */
@@ -290,20 +326,31 @@ final class PipelineSession(
       if (!changedOnly) Set.empty
       else skipSet(order, nodeMap, closureFps)
 
+    // --select: reduce the run to the selected subgraph (topo order
+    // preserved); closure fingerprints stay computed over the FULL
+    // graph, so a selected node's saved base is exactly what a full run
+    // would save
+    val selected = selectionSet(order, nodeMap)
+    val runOrder = selected.fold(order)(s => order.filter(s))
+    selected.foreach(_ => println(s"Selected ${runOrder.size} of " +
+      s"${order.size} models (--select ${selectors.mkString(",")})"))
+
     val t0 = System.nanoTime()
     val results =
-      if (!parallel) order.zipWithIndex.map { case (id, i) =>
-        executeReported(nodeMap(id), i + 1, order.size,
+      if (!parallel) runOrder.zipWithIndex.map { case (id, i) =>
+        executeReported(nodeMap(id), i + 1, runOrder.size,
           skip = skip(id))
       }
       else {
-        val graph = Dag.Graph(nodeMap.map { case (id, n) =>
-          id -> n.prevs.filter(nodeMap.contains) })
-        val idx = order.zipWithIndex.toMap
+        val inRun = runOrder.toSet
+        val graph = Dag.Graph(nodeMap.collect {
+          case (id, n) if inRun(id) =>
+            id -> n.prevs.filter(p => inRun(p) && nodeMap.contains(p)) })
+        val idx = runOrder.zipWithIndex.toMap
         Dag.waves(graph).flatMap { wave =>
           val valid = wave.filter(idx.contains)
           valid.par.map(id =>
-            executeReported(nodeMap(id), idx(id) + 1, order.size,
+            executeReported(nodeMap(id), idx(id) + 1, runOrder.size,
               buffered = true, skip = skip(id))).toList
             .sortBy(r => idx(r.id))
         }

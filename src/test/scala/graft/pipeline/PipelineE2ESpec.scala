@@ -516,6 +516,46 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(session.runNodes().errors.isEmpty)
   }
 
+  test("run --select: name+ runs the model and its descendants only, " +
+      "+name pulls ancestors, unknown selector errors loudly") {
+    // diamond: src -> (left, right) -> top, plus an unrelated island
+    val models = Map(
+      "src" -> s"SELECT * FROM read_parquet('$sfDir/region.parquet')",
+      "left_arm" -> "SELECT r_regionkey, r_name FROM src",
+      "right_arm" -> "SELECT r_regionkey FROM src WHERE r_regionkey > 1",
+      "top" ->
+        """SELECT l.r_name FROM left_arm l
+          |JOIN right_arm r ON l.r_regionkey = r.r_regionkey""".stripMargin,
+      "island" -> s"SELECT * FROM read_parquet('$sfDir/nation.parquet')")
+    def ran(selectors: Seq[String]): Seq[String] = {
+      val (_, config) = fixture(models)
+      val r = new PipelineSession(spark, config, selectors = selectors)
+        .runNodes()
+      assert(r.errors.isEmpty, r.errors)
+      r.results.map(_.id)
+    }
+    // left_arm+ = left_arm and its descendants; src/right_arm/island
+    // never execute (right_arm's view survives from the previous full
+    // run in this shared session — the dbt state workflow)
+    assert(ran(Seq("left_arm", "right_arm", "src", "top", "island"))
+      .toSet == models.keySet)            // full warm-up run (explicit all)
+    assert(ran(Seq("left_arm+")) == Seq("left_arm", "top"))
+    // +top = top and every ancestor, never the island
+    assert(ran(Seq("+top")).toSet ==
+      Set("src", "left_arm", "right_arm", "top"))
+    // bare name = exactly that model; union of selectors unions
+    assert(ran(Seq("island")) == Seq("island"))
+    assert(ran(Seq("island", "left_arm")).toSet ==
+      Set("island", "left_arm"))
+    // unknown selector: loud error, nothing executes
+    val (_, config) = fixture(models)
+    val e = intercept[GenericError] {
+      new PipelineSession(spark, config, selectors = Seq("nope+"))
+        .runNodes()
+    }
+    assert(e.render.contains("unknown model 'nope'"))
+  }
+
   test("switching a model from view to table drops the shadowing view") {
     // run 1 materializes m as a view (restored runs recreate the temp
     // view); run 2 switches to table — the temp view must not shadow it
