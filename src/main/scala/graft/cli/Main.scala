@@ -34,7 +34,7 @@ object Main {
         s"""Unknown command: ${other.mkString(" ")}
            |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,...]
            |       graft run-file [--config C] <script.sql> […]
-           |       graft viz [--config C] [--db-path P] [--changed-only] <out.svg>""".stripMargin)
+           |       graft viz [--config C] [--db-path P] [--changed-only] [--select m1[+],+m2,...] <out.svg>""".stripMargin)
       sys.exit(2)
   }
 
@@ -202,7 +202,8 @@ object Main {
       // parameter is by-name/lazy and never touched, so viz skips the
       // multi-second Spark startup entirely
       val session = new PipelineSession(
-        throw new IllegalStateException("viz does not execute SQL"), config)
+        throw new IllegalStateException("viz does not execute SQL"), config,
+        selectors = selectorsOf(flags))
       val (order, nodeMap) = session.buildGraph()
       // --changed-only preview: paint would-skip nodes green, would-run
       // red, against the stored fingerprints — still entirely Spark-free
@@ -210,13 +211,18 @@ object Main {
         if (flags.contains("changed-only"))
           Some(session.previewSkips(order, nodeMap))
         else None
+      // --select: render only the selected subgraph (edges to unselected
+      // nodes dropped — no dangling DOT nodes), mirroring what `run
+      // --select` would execute
+      val (vOrder, vMap) = session.restrictToSelection(order, nodeMap)
       val target = if (out.endsWith(".svg")) out else out + ".svg"
       Files.writeString(Paths.get(target),
-        GraphViz.renderSvg(order, nodeMap, preview))
+        GraphViz.renderSvg(vOrder, vMap, preview))
       Files.writeString(Paths.get(target.stripSuffix(".svg") + ".dot"),
-        GraphViz.renderDot(order, nodeMap, preview))
+        GraphViz.renderDot(vOrder, vMap, preview))
       preview.foreach(p => println(
-        s"Preview: ${p.size} of ${order.size} models would skip unchanged"))
+        s"Preview: ${vOrder.count(p)} of ${vOrder.size} models would " +
+          "skip unchanged"))
       println(s"Visualization saved to $target")
     } catch {
       case e: GraftError => System.err.println(e.render); sys.exit(1)

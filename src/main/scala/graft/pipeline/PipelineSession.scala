@@ -294,6 +294,22 @@ final class PipelineSession(
         (if (incAnc) walk(id => nodeMap(id).prevs) else Set.empty)
     }.toSet)
 
+  /** The selected subgraph for display surfaces (`viz --select`,
+    * `run --dry-run --select`): order filtered to the selection with
+    * prevs/nexts intersected, so no rendered edge dangles into an
+    * unselected node. Identity when no selectors are set.
+    */
+  def restrictToSelection(order: Seq[String],
+                          nodeMap: Map[String, ModelNode])
+      : (Seq[String], Map[String, ModelNode]) =
+    selectionSet(order, nodeMap) match {
+      case None => (order, nodeMap)
+      case Some(s) =>
+        (order.filter(s), nodeMap.collect { case (id, n) if s(id) =>
+          id -> n.copy(prevs = n.prevs.intersect(s),
+            nexts = n.nexts.intersect(s)) })
+    }
+
   /** The `--changed-only` skip decision per node, against the stored
     * fingerprint base.
     */

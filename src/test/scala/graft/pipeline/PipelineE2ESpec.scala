@@ -554,6 +554,18 @@ class PipelineE2ESpec extends AnyFunSuite {
         .runNodes()
     }
     assert(e.render.contains("unknown model 'nope'"))
+
+    // viz/dry-run subgraph: order filtered, edges intersected — the DOT
+    // of a selection never mentions (or dangles into) unselected nodes
+    val vs = new PipelineSession(spark, config, selectors = Seq("+top"))
+    val (order, nodeMap) = vs.buildGraph()
+    val (vOrder, vMap) = vs.restrictToSelection(order, nodeMap)
+    assert(vOrder.toSet == Set("src", "left_arm", "right_arm", "top"))
+    assert(vMap.values.forall(n =>
+      (n.prevs ++ n.nexts).subsetOf(vOrder.toSet)))
+    val dot = graft.viz.GraphViz.renderDot(vOrder, vMap)
+    assert(!dot.contains("island"))
+    assert(dot.contains("\"left_arm\" -> \"top\""))
   }
 
   test("switching a model from view to table drops the shadowing view") {
