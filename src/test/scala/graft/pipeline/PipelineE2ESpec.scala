@@ -555,6 +555,20 @@ class PipelineE2ESpec extends AnyFunSuite {
     }
     assert(e.render.contains("unknown model 'nope'"))
 
+    // --parallel composes: waves are built over the RESTRICTED graph
+    // (an edge from an unselected upstream must not deadlock or reorder
+    // the selected subgraph)
+    val (_, pconfig) = fixture(models)
+    val pr = new PipelineSession(spark, pconfig, parallel = true,
+      selectors = Seq("+top")).runNodes()
+    assert(pr.errors.isEmpty, pr.errors)
+    assert(pr.results.map(_.id).toSet ==
+      Set("src", "left_arm", "right_arm", "top"))
+    // topo safety: top executes after both arms in the reported order
+    val ids = pr.results.map(_.id)
+    assert(ids.indexOf("top") > ids.indexOf("left_arm") &&
+      ids.indexOf("top") > ids.indexOf("right_arm"))
+
     // viz/dry-run subgraph: order filtered, edges intersected — the DOT
     // of a selection never mentions (or dangles into) unselected nodes
     val vs = new PipelineSession(spark, config, selectors = Seq("+top"))
