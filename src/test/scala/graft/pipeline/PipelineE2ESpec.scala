@@ -337,6 +337,44 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("co_leaf").collect().head.getLong(0) == leafChanged)
   }
 
+  test("run --select --changed-only: the skip decision applies WITHIN " +
+      "the selection — unchanged selected models skip, edited ones run, " +
+      "unselected models never appear") {
+    val db = Files.createTempDirectory("graft-sel-changed")
+    val dir = Files.createTempDirectory("graft-sel-models")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def write(id: String, sql: String): Unit = {
+      Files.writeString(modelsDir.resolve(s"$id.sql"), sql); ()
+    }
+    write("sc_src",
+      s"SELECT * FROM read_parquet('$sfDir/region.parquet')")
+    write("sc_mid", "SELECT r_regionkey, r_name FROM sc_src")
+    write("sc_leaf", "SELECT count() AS n FROM sc_mid")
+    write("sc_other", "SELECT max(r_regionkey) AS mx FROM sc_src")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"models_dir: $modelsDir\ndb_path: $db")
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+
+    // nothing changed: the selected subgraph skips wholesale; sc_other
+    // is outside the selection and never reports
+    val r = new PipelineSession(spark, config, changedOnly = true,
+      selectors = Seq("sc_mid+")).runNodes()
+    assert(r.errors.isEmpty)
+    assert(r.results.map(_.id) == Seq("sc_mid", "sc_leaf"))
+    assert(r.results.forall(_.status == "SKIP unchanged"), r.results)
+
+    // edit the selected mid: it and its selected descendant run
+    write("sc_mid",
+      "SELECT r_regionkey, r_name FROM sc_src WHERE r_regionkey > 0")
+    val r2 = new PipelineSession(spark, config, changedOnly = true,
+      selectors = Seq("sc_mid+")).runNodes()
+    assert(r2.errors.isEmpty)
+    assert(r2.results.map(r => r.id -> r.status).toMap ==
+      Map("sc_mid" -> "CREATE VIEW", "sc_leaf" -> "CREATE VIEW"))
+  }
+
   test("run --changed-only: overwriting a read_parquet source FILE " +
       "re-executes the source model and its descendants (SQL unchanged); " +
       "unrelated branches still skip") {
