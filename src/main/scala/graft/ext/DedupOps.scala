@@ -719,9 +719,10 @@ object DedupOps {
     * tool's job (SCALING.md).
     *
     * Scale shape: the pair frame is the bounded Σ(bucket²) candidate set,
-    * never the corpus; its (possibly expensive) lineage is persisted
-    * narrow (24 B/row) because both the pair count and the distinct-doc
-    * count read it — the [[tokenBudgetSelect]] manifest discipline. The
+    * never the corpus; its (possibly expensive) lineage is spilled narrow
+    * (24 B/row, [[scratchManifest]]) because both the pair count and the
+    * distinct-doc count read it — the [[tokenBudgetSelect]] manifest
+    * discipline. The
     * per-threshold explode multiplies only that bounded set by
     * |thresholds|; output is |thresholds| rows. Every threshold requested
     * is present in the output even when nothing survives it.
@@ -732,8 +733,8 @@ object DedupOps {
       "neardupThresholdSweep: thresholds must be non-empty and distinct")
     val ss = pairs.sparkSession
     import ss.implicits._
-    val p3 = pairs.select(col("id_a"), col("id_b"),
-      col(simCol).cast("double").as("__j")).persist()
+    val p3 = scratchManifest(pairs.select(col("id_a"), col("id_b"),
+      col(simCol).cast("double").as("__j")), "ndsweep")
     val f = p3
       .select(explode(array(thresholds.map(lit(_)): _*)).as("threshold"),
         col("id_a"), col("id_b"), col("__j"))
@@ -775,9 +776,9 @@ object DedupOps {
     * histogram (≤ 256·|sources| rows to the driver), full buckets decide
     * map-side, and the exact window runs over each source's single
     * boundary bucket (≈1/256 of that source's manifest, guaranteed).
-    * The manifest persists like tokenBudgetSelect's (narrow columns
-    * only). Supply is integer-exact on both engines, so an oracle
-    * re-deriving base/remainder has zero float surface.
+    * The manifest spills narrow like tokenBudgetSelect's
+    * ([[scratchManifest]]). Supply is integer-exact on both engines, so an
+    * oracle re-deriving base/remainder has zero float surface.
     */
   def repetitionSchedule(docs: DataFrame, idCol: String, sourceCol: String,
                          nTokCol: Column,
@@ -785,15 +786,14 @@ object DedupOps {
     require(targetTokens.nonEmpty && targetTokens.values.forall(_ >= 0),
       "repetitionSchedule: targets must be non-negative and non-empty")
     val nTok = coalesce(nTokCol.cast("long"), lit(0L))
-    val m = docs
+    val m = scratchManifest(docs
       .filter(col(idCol).isNotNull && col(sourceCol).isNotNull &&
         col(sourceCol).isin(targetTokens.keys.toSeq.map(lit): _*))
       .select(col(idCol).as("__id"), col(sourceCol).as("__src"),
         nTok.as("__t"),
         seededCoin("rep", col(idCol)).as("__coin"))
       .withColumn("__b", conv(substring(col("__coin"), 1, 2), 16, 10)
-        .cast("int"))
-      .persist()
+        .cast("int")), "repsched")
     val hist = m.groupBy(col("__src"), col("__b"))
       .agg(sum(col("__t")).as("__bt"))
       .collect()
@@ -899,23 +899,22 @@ object DedupOps {
     require(scoreHi > scoreLo,
       s"tokenBudgetSelect: score range [$scoreLo, $scoreHi) is empty")
     val width = scoreHi - scoreLo
-    // the manifest is PERSISTED (the fitCentroids discipline): score and
-    // token expressions may carry an arbitrarily expensive lineage (q127
-    // tokenizes+scores; q129 hangs the whole recipe above), and the
-    // operator reads the manifest once for the histogram and once for the
-    // selection — without the cache each read re-runs that lineage
-    // (measured 3× the quality pass before this, BENCH_LOCAL_r13). Only
-    // the 3-column manifest is cached (MEMORY_AND_DISK — ~24 B/row at any
-    // corpus size), the documents themselves never; Spark's context
-    // cleaner reclaims it once the returned frame is released.
-    val m = docs
+    // the manifest is eagerly MATERIALIZED to warehouse scratch (the
+    // [[scratchManifest]] contract): score and token expressions may carry
+    // an arbitrarily expensive lineage (q127 tokenizes+scores; q129 hangs
+    // the whole recipe above), and the operator reads the manifest once
+    // for the histogram and once for the selection — without the spill
+    // each read re-runs that lineage (measured 3× the quality pass before
+    // this, BENCH_LOCAL_r13). Only the 4-column manifest is written
+    // (~24 B/row at any corpus size), the documents themselves never.
+    val m = scratchManifest(docs
       .select(col(idCol).as("__id"), scoreCol.cast("double").as("__s"),
         nTokCol.cast("long").as("__t"))
       .filter(col("__id").isNotNull && col("__s").isNotNull &&
         !isnan(col("__s")) && col("__t").isNotNull && col("__t") >= 0L)
       .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
-        floor((col("__s") - scoreLo) / width * nBuckets).cast("int"))))
-      .persist()
+        floor((col("__s") - scoreLo) / width * nBuckets).cast("int")))),
+      "token-budget")
     // pass 1: per-bucket token mass (map-side partial agg; ≤ nBuckets
     // rows reach the driver — a bounded probe that also materializes the
     // cached manifest for the selection pass)
@@ -1201,6 +1200,56 @@ object DedupOps {
     * atomic directory swap — and the post-publish verify turns a lost
     * race into a loud error instead of a silent gap.
     */
+  /** Eagerly spill a narrow per-call manifest to warehouse scratch and
+    * hand back a plain scan of it — the lifetime-bounded sibling of
+    * [[materializedPairs]] for manifests that are re-read WITHIN one
+    * operator call ([[tokenBudgetSelect]], [[repetitionSchedule]],
+    * [[neardupThresholdSweep]]) but have no meaning across calls.
+    *
+    * Why not `.persist()`: the returned lazy frame still references the
+    * manifest when the operator returns, so the operator cannot unpersist
+    * before returning and the MEMORY_AND_DISK blocks live until the
+    * ContextCleaner GCs the frame — a long-lived pipeline session calling
+    * these operators repeatedly accumulates cache blocks without bound
+    * (VERDICT r13 defect 1). A parquet spill has an explicit lifetime
+    * instead: bytes land under `{warehouse}/graft_scratch/` (shared
+    * storage on a cluster — every executor and every retry can reach it,
+    * the [[materializedPairs]] rationale), cost ~24 B/row at any corpus
+    * size, and the whole scratch root is deleted by a JVM shutdown hook.
+    * Executor memory is never charged; a session that dies mid-operator
+    * leaves only files the next hook run (or warehouse cleanup) removes.
+    * The read back is schema-stated so an empty manifest (zero qualifying
+    * rows) scans as zero rows instead of failing inference.
+    */
+  private[ext] def scratchManifest(df: DataFrame, what: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val p = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_scratch"), s"$what-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(p.toString)
+    registerScratchCleanup(spark.sparkContext.hadoopConfiguration, p)
+    spark.read.schema(df.schema).parquet(p.toString)
+  }
+
+  private val scratchPaths = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[(org.apache.hadoop.conf.Configuration,
+      org.apache.hadoop.fs.Path)]())
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchPaths.forEach { case (conf, p) =>
+        try { p.getFileSystem(conf).delete(p, true); () }
+        catch { case _: Throwable => () }
+      }
+    }, "graft-scratch-cleanup"))
+    true
+  }
+  private def registerScratchCleanup(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    scratchHookInstalled
+    scratchPaths.add((conf, p)); ()
+  }
+
   def materializedPairs(spark: org.apache.spark.sql.SparkSession,
                         path: String, partitionBy: Seq[String] = Nil,
                         readSchema: Option[String] = None)

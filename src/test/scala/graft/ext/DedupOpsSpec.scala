@@ -1018,4 +1018,30 @@ class DedupOpsSpec extends AnyFunSuite {
     assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
       s"exactly ONE window (the shared boundary-bucket branch), got:\n$p")
   }
+
+  test("manifest lifetime: tokenBudgetSelect / repetitionSchedule / " +
+      "neardupThresholdSweep leave NO cached blocks after consumption " +
+      "(scratch-spill, not persist — VERDICT r13 defect 1)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (1L to 300L).map(i => (i, (i % 97).toDouble / 97.0, 10L))
+      .toDF("id", "score", "n")
+    DedupOps.tokenBudgetSelect(docs, "id", col("score"), col("n"),
+      budgetTokens = 500L).collect()
+    val src = (1L to 200L).map(i => (i, s"s${i % 2}", 5L)).toDF("id", "src", "n")
+    DedupOps.repetitionSchedule(src, "id", "src", col("n"),
+      Map("s0" -> 700L, "s1" -> 123L)).collect()
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.5), (2L, 3L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+    DedupOps.neardupThresholdSweep(pairs, "jaccard", Seq(0.6, 0.8)).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty,
+      s"operators leaked persistent RDDs: ${after.diff(before)}")
+    // the returned frames scan the spilled manifest, not the lineage: the
+    // plan over scratch is a bare FileScan (no re-tokenize on re-read)
+    val sel = DedupOps.tokenBudgetSelect(docs, "id", col("score"), col("n"),
+      budgetTokens = 500L)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_scratch"),
+      s"expected a scratch FileScan in:\n$plan")
+  }
 }
