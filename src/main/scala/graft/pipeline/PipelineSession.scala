@@ -31,7 +31,8 @@ final class PipelineSession(
 
   // by-name + lazy: graph building and viz never touch Spark, so `viz`
   // can construct a session-free PipelineSession and skip Spark startup
-  lazy val spark: SparkSession = spark0
+  @volatile private var sparkStarted = false
+  lazy val spark: SparkSession = { val s = spark0; sparkStarted = true; s }
 
   final case class NodeResult(id: String, status: String, millis: Long,
       error: Option[GraftError])
@@ -208,7 +209,19 @@ final class PipelineSession(
     * http(s) sources are skipped (no cheap stat — remote reads are
     * re-fetched every run anyway, and their models change fingerprint
     * whenever their SQL does). Stat-only: metadata-scale cost per run.
+    *
+    * Configuration source (VERDICT r13 defect 2): on the RUN path the
+    * session is live, so the stat uses its `hadoopConfiguration` — a
+    * `read_*('s3a://…')` target whose filesystem needs `spark.hadoop.*`
+    * credentials stats exactly like the executors will read it. Only the
+    * Spark-free preview surfaces (`viz --changed-only`, `run --dry-run`)
+    * fall back to a plain Configuration. And an UNSTAT-ABLE target
+    * fingerprints with a per-run nonce, so it always RE-EXECUTES instead
+    * of eternally skipping — the previous constant `"$p:unstat"` silently
+    * reproduced the exact stale-data hole this feature closed for local
+    * files.
     */
+  private val runNonce = java.util.UUID.randomUUID().toString
   private def sourceDataFp(renderedSql: String): String = {
     val rx = """(?i)read_\w+\s*\(\s*['"]([^'"]+)['"]""".r
     val targets = rx.findAllMatchIn(renderedSql).map(_.group(1))
@@ -218,10 +231,10 @@ final class PipelineSession(
     else targets.map { p =>
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
-        // a plain Configuration, NOT spark.sparkContext.hadoopConfiguration:
-        // fingerprints must be computable Spark-free (the viz --changed-only
-        // preview runs without a session), and a stat needs no spark.hadoop.*
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf =
+          if (sparkStarted) spark.sparkContext.hadoopConfiguration
+          else new org.apache.hadoop.conf.Configuration()
+        val fs = hp.getFileSystem(conf)
         val matched = Option(fs.globStatus(hp))
           .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
         if (matched.isEmpty) s"$p:missing"
@@ -232,7 +245,7 @@ final class PipelineSession(
         }.sortBy(_.getPath.toString)
           .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
           .mkString(",")
-      } catch { case _: Exception => s"$p:unstat" }
+      } catch { case _: Exception => s"$p:unstat:$runNonce" }
     }.mkString("\n")
   }
 
@@ -332,6 +345,11 @@ final class PipelineSession(
   }
 
   def runNodes(): RunReport = {
+    // force the session BEFORE fingerprinting: the run path always
+    // executes SQL, and sourceDataFp must stat remote sources through the
+    // session's hadoopConfiguration (with empty `settings`, applySettings
+    // alone never touches the lazy session)
+    val _ = spark
     applySettings()
     val (order, nodeMap) = buildGraph()
     println(s"Start pipeline execution on " +

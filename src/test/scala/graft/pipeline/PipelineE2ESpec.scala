@@ -428,6 +428,77 @@ class PipelineE2ESpec extends AnyFunSuite {
       "source model served stale data after its file was rewritten")
   }
 
+  test("run --changed-only: a source on a scheme only the SESSION hadoop " +
+      "conf resolves (credentialed remote store) still fingerprints and " +
+      "skips — the run path stats through spark.hadoop.*") {
+    // register the scheme ONLY in the session's configuration — the
+    // Spark-free plain Configuration (the pre-fix stat path) cannot
+    // resolve it and would fingerprint the source as unstat-able forever
+    spark.sparkContext.hadoopConfiguration.set("fs.mockstat.impl",
+      classOf[MockStatFileSystem].getName)
+    val db = Files.createTempDirectory("graft-mockstat-db")
+    val dir = Files.createTempDirectory("graft-mockstat")
+    val dataDir = Files.createTempDirectory("graft-mockstat-files")
+    val parq = dataDir.resolve("input.parquet").toString
+    spark.range(4).selectExpr("id AS k").write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("ms_src.sql"),
+      s"SELECT * FROM read_parquet('mockstat://$parq')")
+    Files.writeString(modelsDir.resolve("ms_agg.sql"),
+      "SELECT count() AS n FROM ms_src")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"models_dir: $modelsDir\ndb_path: $db")
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    val r1 = new PipelineSession(spark, config).runNodes()
+    assert(r1.errors.isEmpty, r1.errors.mkString("; "))
+    // nothing changed: the remote-scheme source must SKIP — a constant
+    // unstat fingerprint would pass this too, so the rewrite case below
+    // is the discriminating half
+    val r2 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r2.errors.isEmpty)
+    assert(r2.results.forall(_.status == "SKIP unchanged"), s"${r2.results}")
+
+    // overwrite the remote file (SQL unchanged): the data fingerprint
+    // must see it through the session conf and re-execute the chain
+    spark.range(7).selectExpr("id AS k").write.mode("overwrite").parquet(parq)
+    val r3 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r3.errors.isEmpty)
+    assert(r3.results.forall(_.status != "SKIP unchanged"), s"${r3.results}")
+    assert(spark.table("ms_agg").collect().head.getLong(0) == 7L,
+      "remote-scheme source served stale data after rewrite")
+  }
+
+  test("sourceDataFp: an unstat-able read_* target fingerprints with a " +
+      "per-run nonce — it can never satisfy a --changed-only skip") {
+    val dir = Files.createTempDirectory("graft-unstat")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("uf_src.sql"),
+      "SELECT * FROM read_parquet('failfs://bucket/x.parquet')")
+    Files.writeString(dir.resolve("config.yaml"), s"models_dir: $modelsDir")
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def fpOf(session: PipelineSession): String = {
+      val (o, m) = session.buildGraph()
+      session.closureFingerprints(o, m)("uf_src")
+    }
+    // Spark-free sessions (the preview surface): the unknown scheme is
+    // unstat-able on a plain Configuration
+    val s1 = new PipelineSession(
+      throw new IllegalStateException("must stay Spark-free"), config)
+    val fp1 = fpOf(s1)
+    // stable WITHIN one run: the skip decision and the saved base agree
+    assert(fpOf(s1) == fp1)
+    // different ACROSS runs: a stored base can never match, so the model
+    // always re-executes instead of eternally skipping stale remote data
+    val s2 = new PipelineSession(
+      throw new IllegalStateException("must stay Spark-free"), config)
+    assert(fpOf(s2) != fp1,
+      "unstat-able source fingerprinted as a constant — it would skip " +
+        "forever once its base is stored")
+  }
+
   test("run --changed-only: a descendant that succeeded under a FAILED " +
       "upstream is not frozen into the fingerprint base — it re-executes " +
       "next run instead of skipping against stale data") {
