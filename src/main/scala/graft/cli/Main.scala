@@ -9,7 +9,8 @@ import graft.viz.GraphViz
   * (/root/reference/src/main.rs:24-84):
   *
   *   run       [--config C] [--models-dir D] [--db-path P] [--parallel]
-  *             [--changed-only] [--dry-run] [--select m1[+],+m2,…]
+  *             [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,…]
+  *             [--exclude m3[+],path:glob,…]
   *   run-file  <script.sql> [more.sql …]
   *   viz       <out.svg>
   *
@@ -32,9 +33,9 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,...]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,...] [--exclude m3[+],path:glob,...]
            |       graft run-file [--config C] <script.sql> […]
-           |       graft viz [--config C] [--db-path P] [--changed-only] [--select m1[+],+m2,...] <out.svg>""".stripMargin)
+           |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>""".stripMargin)
       sys.exit(2)
   }
 
@@ -48,7 +49,8 @@ object Main {
     def go(l: List[String], flags: Map[String, String],
            pos: List[String]): (Map[String, String], List[String]) = l match {
       case k :: v :: t
-          if Set("--config", "--models-dir", "--db-path", "--select")(k) =>
+          if Set("--config", "--models-dir", "--db-path", "--select",
+            "--exclude")(k) =>
         go(t, flags + (k.drop(2) -> v), pos)
       case "--parallel" :: t => go(t, flags + ("parallel" -> "true"), pos)
       case "--changed-only" :: t =>
@@ -104,7 +106,8 @@ object Main {
       val session = new PipelineSession(spark, config,
         parallel = flags.contains("parallel"),
         changedOnly = flags.contains("changed-only"),
-        selectors = selectorsOf(flags))
+        selectors = selectorsOf(flags),
+        excludes = excludesOf(flags))
       val report = session.runNodes()
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {
@@ -163,7 +166,13 @@ object Main {
     * always (nothing executed, nothing can fail but graph building).
     */
   private def selectorsOf(flags: Map[String, String]): Seq[String] =
-    flags.get("select").toSeq
+    listFlag(flags, "select")
+
+  private def excludesOf(flags: Map[String, String]): Seq[String] =
+    listFlag(flags, "exclude")
+
+  private def listFlag(flags: Map[String, String], key: String): Seq[String] =
+    flags.get(key).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
   private[cli] def dryRun(flags: Map[String, String]): Unit = {
@@ -171,7 +180,8 @@ object Main {
     try {
       val session = new PipelineSession(
         throw new IllegalStateException("dry-run does not execute SQL"),
-        config, selectors = selectorsOf(flags))
+        config, selectors = selectorsOf(flags),
+        excludes = excludesOf(flags))
       val (order, nodeMap) = session.buildGraph()
       val runOrder = session.selectionSet(order, nodeMap)
         .fold(order)(s => order.filter(s))
@@ -203,7 +213,7 @@ object Main {
       // multi-second Spark startup entirely
       val session = new PipelineSession(
         throw new IllegalStateException("viz does not execute SQL"), config,
-        selectors = selectorsOf(flags))
+        selectors = selectorsOf(flags), excludes = excludesOf(flags))
       val (order, nodeMap) = session.buildGraph()
       // --changed-only preview: paint would-skip nodes green, would-run
       // red, against the stored fingerprints — still entirely Spark-free

@@ -27,7 +27,8 @@ final class PipelineSession(
     val config: PipelineConfig,
     parallel: Boolean = false,
     changedOnly: Boolean = false,
-    selectors: Seq[String] = Nil) {
+    selectors: Seq[String] = Nil,
+    excludes: Seq[String] = Nil) {
 
   // by-name + lazy: graph building and viz never touch Spark, so `viz`
   // can construct a session-free PipelineSession and skip Spark startup
@@ -272,29 +273,52 @@ final class PipelineSession(
     }.toSet
   }
 
-  /** dbt-style `--select` resolution against the built graph: each
-    * selector is `name` (just that model), `name+` (plus transitive
-    * descendants), `+name` (plus transitive ancestors), or `+name+`;
-    * comma-separated selectors union. None = no selection (run all).
+  /** dbt-style `--select`/`--exclude` resolution against the built graph:
+    * each selector is `name` (just that model), `name+` (plus transitive
+    * descendants), `+name` (plus transitive ancestors), `+name+`, or
+    * `path:<glob>` (every model whose SOURCE FILE path matches — a bare
+    * directory pattern selects everything under it; `*` does not cross
+    * `/`, `**` does; `+` affixes compose, e.g. `+path:models/marts`);
+    * comma-separated selectors union. The final selection is the selected
+    * set minus the excluded set (dbt precedence: exclude wins), where an
+    * empty `--select` with a non-empty `--exclude` means "all but the
+    * excluded". None = no selection at all (run all).
     * Unselected upstreams are NOT executed — a selected mid-DAG model
     * reads its inputs from the db_path-restored registrations of a
     * previous run (the dbt state workflow); with no persisted state it
     * fails loudly on the missing ref, which is the honest outcome.
-    * An unknown selector name is an error, not an empty run.
+    * An unknown selector name — or a path pattern matching no model file
+    * — is an error on BOTH flags, not an empty run (a typo in --exclude
+    * silently excluding nothing would run models the user asked to hold
+    * back).
     */
   def selectionSet(order: Seq[String],
-                   nodeMap: Map[String, ModelNode]): Option[Set[String]] =
-    if (selectors.isEmpty) None
-    else Some(selectors.flatMap { raw =>
+                   nodeMap: Map[String, ModelNode]): Option[Set[String]] = {
+    def resolve(raw: String, flag: String): Set[String] = {
       val incAnc = raw.startsWith("+")
       val incDesc = raw.endsWith("+")
-      val name = raw.stripPrefix("+").stripSuffix("+")
-      if (!nodeMap.contains(name))
-        throw GenericError(s"--select: unknown model '$name' " +
-          s"(known models: ${order.mkString(", ")})")
+      val core = raw.stripPrefix("+").stripSuffix("+")
+      val base: Set[String] =
+        if (core.startsWith("path:")) {
+          val pat = core.stripPrefix("path:")
+          val matched = nodeMap.collect {
+            case (id, n) if PipelineSession.pathSelectorMatches(pat, n.path)
+              => id
+          }.toSet
+          if (matched.isEmpty)
+            throw GenericError(s"$flag: path selector '$core' matches no " +
+              s"model file (model files: " +
+              s"${order.map(nodeMap(_).path).mkString(", ")})")
+          matched
+        } else {
+          if (!nodeMap.contains(core))
+            throw GenericError(s"$flag: unknown model '$core' " +
+              s"(known models: ${order.mkString(", ")})")
+          Set(core)
+        }
       def walk(next: String => Set[String]): Set[String] = {
-        val seen = mutable.Set(name)
-        var frontier = next(name).filter(nodeMap.contains)
+        val seen = mutable.Set.empty[String] ++ base
+        var frontier = base.flatMap(id => next(id).filter(nodeMap.contains))
         while (frontier.nonEmpty) {
           val fresh = frontier.diff(seen)
           seen ++= fresh
@@ -302,10 +326,19 @@ final class PipelineSession(
         }
         seen.toSet
       }
-      Set(name) ++
+      base ++
         (if (incDesc) walk(id => nodeMap(id).nexts) else Set.empty) ++
         (if (incAnc) walk(id => nodeMap(id).prevs) else Set.empty)
-    }.toSet)
+    }
+    if (selectors.isEmpty && excludes.isEmpty) None
+    else {
+      val selected =
+        if (selectors.isEmpty) order.toSet
+        else selectors.flatMap(resolve(_, "--select")).toSet
+      val excluded = excludes.flatMap(resolve(_, "--exclude")).toSet
+      Some(selected -- excluded)
+    }
+  }
 
   /** The selected subgraph for display surfaces (`viz --select`,
     * `run --dry-run --select`): order filtered to the selection with
@@ -366,8 +399,15 @@ final class PipelineSession(
     // would save
     val selected = selectionSet(order, nodeMap)
     val runOrder = selected.fold(order)(s => order.filter(s))
-    selected.foreach(_ => println(s"Selected ${runOrder.size} of " +
-      s"${order.size} models (--select ${selectors.mkString(",")})"))
+    selected.foreach { _ =>
+      val flagsUsed = Seq(
+        if (selectors.nonEmpty) Some(s"--select ${selectors.mkString(",")}")
+        else None,
+        if (excludes.nonEmpty) Some(s"--exclude ${excludes.mkString(",")}")
+        else None).flatten.mkString(" ")
+      println(s"Selected ${runOrder.size} of ${order.size} models " +
+        s"($flagsUsed)")
+    }
 
     val t0 = System.nanoTime()
     val results =
@@ -609,6 +649,33 @@ final class PipelineSession(
 }
 
 object PipelineSession {
+  /** `path:` selector matching: glob-translate the pattern (`*` within a
+    * segment, `**` across segments, `?` one char) and match it against
+    * any whole run of `/`-separated segments of the model's source path —
+    * so `path:models/staging` selects every model under that directory
+    * and `path:stg_*.sql` selects by filename, without the user spelling
+    * the absolute discovery root.
+    */
+  private[pipeline] def pathSelectorMatches(pattern: String,
+                                            path: String): Boolean = {
+    val norm = path.replace('\\', '/')
+    val pat = pattern.replace('\\', '/').stripSuffix("/")
+    if (pat.isEmpty) return false
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '*' if i + 1 < pat.length && pat.charAt(i + 1) == '*' =>
+          sb.append(".*"); i += 2
+        case '*' => sb.append("[^/]*"); i += 1
+        case '?' => sb.append("[^/]"); i += 1
+        case c =>
+          sb.append(java.util.regex.Pattern.quote(c.toString)); i += 1
+      }
+    }
+    ("(^|.*/)" + sb + "(/.*|$)").r.matches(norm)
+  }
+
   private[pipeline] def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

@@ -428,6 +428,91 @@ class PipelineE2ESpec extends AnyFunSuite {
       "source model served stale data after its file was rewritten")
   }
 
+  test("run --exclude: subtracts from the selection (exclude wins over " +
+      "select), excludes-only means all-but, unknown exclude is a loud " +
+      "error") {
+    val dir = Files.createTempDirectory("graft-exclude")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def write(id: String, sql: String): Unit = {
+      Files.writeString(modelsDir.resolve(s"$id.sql"), sql); ()
+    }
+    // ex_src → ex_mid → ex_leaf; ex_side off ex_src
+    write("ex_src", s"SELECT * FROM read_parquet('$sfDir/region.parquet')")
+    write("ex_mid", "SELECT r_regionkey FROM ex_src")
+    write("ex_leaf", "SELECT count() AS n FROM ex_mid")
+    write("ex_side", "SELECT max(r_regionkey) AS mx FROM ex_src")
+    Files.writeString(dir.resolve("config.yaml"), s"models_dir: $modelsDir")
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    def sel(selects: Seq[String], excl: Seq[String]): Set[String] = {
+      val s = new PipelineSession(
+        throw new IllegalStateException("selection is Spark-free"), config,
+        selectors = selects, excludes = excl)
+      val (o, m) = s.buildGraph()
+      s.selectionSet(o, m).get
+    }
+    // exclude ∩ select: the excluded descendant drops out of name+
+    assert(sel(Seq("ex_src+"), Seq("ex_leaf")) ==
+      Set("ex_src", "ex_mid", "ex_side"))
+    // exclude with affix: ex_mid+ removes the mid AND its descendants
+    assert(sel(Seq("ex_src+"), Seq("ex_mid+")) == Set("ex_src", "ex_side"))
+    // excludes-only = all models minus the excluded subgraph
+    assert(sel(Nil, Seq("ex_mid+")) == Set("ex_src", "ex_side"))
+    // exclude wins even when the same model is explicitly selected
+    assert(sel(Seq("ex_leaf"), Seq("ex_leaf")) == Set.empty[String])
+    // unknown exclude name: loud error, not a silent no-op
+    val e = intercept[GenericError] { sel(Nil, Seq("nope")) }
+    assert(e.getMessage.contains("--exclude") &&
+      e.getMessage.contains("nope"))
+    // the run surface honors it end-to-end
+    val r = new PipelineSession(spark, config,
+      selectors = Seq("ex_src+"), excludes = Seq("ex_leaf")).runNodes()
+    assert(r.errors.isEmpty)
+    assert(r.results.map(_.id).toSet == Set("ex_src", "ex_mid", "ex_side"))
+  }
+
+  test("path: selectors pick models by source file (directory prefix and " +
+      "glob), compose with + affixes and --exclude; a no-match pattern " +
+      "errors loudly") {
+    val dir = Files.createTempDirectory("graft-pathsel")
+    val modelsDir = dir.resolve("models")
+    val staging = modelsDir.resolve("staging")
+    val marts = modelsDir.resolve("marts")
+    Files.createDirectories(staging); Files.createDirectories(marts)
+    Files.writeString(staging.resolve("stg_orders.sql"),
+      s"SELECT * FROM read_parquet('$sfDir/orders.parquet')")
+    Files.writeString(staging.resolve("stg_region.sql"),
+      s"SELECT * FROM read_parquet('$sfDir/region.parquet')")
+    Files.writeString(marts.resolve("mart_counts.sql"),
+      "SELECT count() AS n FROM stg_orders")
+    Files.writeString(dir.resolve("config.yaml"), s"models_dir: $modelsDir")
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    def sel(selects: Seq[String], excl: Seq[String] = Nil): Set[String] = {
+      val s = new PipelineSession(
+        throw new IllegalStateException("selection is Spark-free"), config,
+        selectors = selects, excludes = excl)
+      val (o, m) = s.buildGraph()
+      s.selectionSet(o, m).get
+    }
+    // directory selector: everything under staging/
+    assert(sel(Seq("path:staging")) == Set("stg_orders", "stg_region"))
+    // glob selector: * stays within a segment
+    assert(sel(Seq("path:staging/stg_*.sql")) ==
+      Set("stg_orders", "stg_region"))
+    // file selector + descendants affix
+    assert(sel(Seq("path:staging/stg_orders.sql+")) ==
+      Set("stg_orders", "mart_counts"))
+    // ancestors affix on a path selector
+    assert(sel(Seq("+path:marts")) == Set("mart_counts", "stg_orders"))
+    // path exclude composes
+    assert(sel(Seq("path:staging"), Seq("path:**/stg_region.sql")) ==
+      Set("stg_orders"))
+    // a pattern matching no file is an error, not an empty run
+    val e = intercept[GenericError] { sel(Seq("path:nonexistent_dir")) }
+    assert(e.getMessage.contains("matches no model file"))
+  }
+
   test("run --changed-only: a source on a scheme only the SESSION hadoop " +
       "conf resolves (credentialed remote store) still fingerprints and " +
       "skips — the run path stats through spark.hadoop.*") {
