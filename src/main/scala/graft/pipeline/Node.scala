@@ -10,7 +10,12 @@ package graft.pipeline
   * @param renderedSrc  after comment-strip + macro render + dialect shim
   * @param prevs        model ids this node reads FROM
   * @param nexts        model ids that read this node
-  * @param materialize  None/"view" → temp view; "table" → saved table
+  * @param materialize  None/"view" → temp view; "table" → saved table;
+  *                      "incremental" → saved table merged by uniqueKey
+  *                      on later runs
+  * @param uniqueKey    merge key for `materialize: incremental` — fresh
+  *                      rows replace existing rows with the same key;
+  *                      absent = append-only
   */
 final case class ModelNode(
     id: String,
@@ -19,4 +24,5 @@ final case class ModelNode(
     renderedSrc: String = "",
     prevs: Set[String] = Set.empty,
     nexts: Set[String] = Set.empty,
-    materialize: Option[String] = None)
+    materialize: Option[String] = None,
+    uniqueKey: Option[String] = None)

@@ -22,7 +22,8 @@ final case class PipelineConfig(
     settings: Map[String, String] = Map.empty,
     models: Map[String, ModelConfig] = Map.empty)
 
-final case class ModelConfig(materialize: Option[String] = None)
+final case class ModelConfig(materialize: Option[String] = None,
+                             uniqueKey: Option[String] = None)
 
 object PipelineConfig {
 
@@ -83,14 +84,15 @@ object PipelineConfig {
     val models = root.get("models").flatMap(Option(_))
       .collect { case m: java.util.Map[_, _] =>
         m.asScala.map { case (k, v) =>
-          val mat = v match {
+          def field(name: String): Option[String] = v match {
             case vm: java.util.Map[_, _] =>
               vm.asScala.collectFirst {
-                case (mk, mv) if String.valueOf(mk) == "materialize" &&
+                case (mk, mv) if String.valueOf(mk) == name &&
                   mv != null => mv.toString }
             case _ => None
           }
-          String.valueOf(k) -> ModelConfig(mat)
+          String.valueOf(k) ->
+            ModelConfig(field("materialize"), field("unique_key"))
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 

@@ -101,7 +101,8 @@ final class PipelineSession(
       println(s"Found model source: $p")
       val raw = Files.readString(p)
       id -> ModelNode(id, p.toString, raw,
-        materialize = config.models.get(id).flatMap(_.materialize))
+        materialize = config.models.get(id).flatMap(_.materialize),
+        uniqueKey = config.models.get(id).flatMap(_.uniqueKey))
     }.toMap
 
     val modelIds = nodeMap.keySet
@@ -109,10 +110,14 @@ final class PipelineSession(
     // map them to the original-case model ids or an uppercase model would
     // silently lose every inbound edge
     val byLower = modelIds.map(i => i.toLowerCase -> i).toMap
-    // render: strip comments → expand macros → extract refs (src/node.rs:62-107)
+    // render: strip comments → incremental context ({{ this }} /
+    // is_incremental()) → expand macros → extract refs (src/node.rs:62-107)
     nodeMap = nodeMap.map { case (id, node) =>
       val stripped = SqlText.stripComments(node.rawSrc)
-      val rendered = MacroRenderer.render(stripped, fileMacros)
+      val withCtx = PipelineSession.renderIncrementalContext(stripped, id,
+        incremental = node.materialize.map(_.toLowerCase)
+          .contains("incremental") && targetTableExists(id))
+      val rendered = MacroRenderer.render(withCtx, fileMacros)
       val prevs = DepExtractor.modelRefsInModel(rendered, modelIds)
         .flatMap(byLower.get) - id
       id -> node.copy(renderedSrc = rendered, prevs = prevs)
@@ -176,6 +181,18 @@ final class PipelineSession(
     val order = Dag.topoSort(graph).filterNot(invalid.contains)
     (order, nodeMap)
   }
+
+  /** Does the materialization target already exist? Drives the
+    * `is_incremental()` render decision: the live catalog when the
+    * session is up (run path), the db_path manifest on the Spark-free
+    * preview surfaces — the [[previewSkips]] split, same rationale.
+    */
+  private def targetTableExists(id: String): Boolean =
+    if (sparkStarted)
+      try spark.catalog.tableExists(id)
+      catch { case _: Exception => false }
+    else config.dbPath.map(ViewStore.manifestTables)
+      .getOrElse(Set.empty[String])(id)
 
   // --- execution (src/session.rs:189-279, src/node.rs:125-207) -------------
 
@@ -622,6 +639,50 @@ final class PipelineSession(
           case e: Exception =>
             throw StatementExecutionError(e.getMessage, select, node.path)
         }
+      case Some("incremental") =>
+        try {
+          spark.catalog.dropTempView(node.id)
+          val exists =
+            try spark.catalog.tableExists(node.id)
+            catch { case _: Exception => false }
+          if (!exists) {
+            // bootstrap run: identical to a table build — is_incremental()
+            // rendered false, so the SELECT covers the full history
+            ViewStore.dropTableClearingLocation(spark, node.id)
+            spark.sql(select).write.mode("overwrite").saveAsTable(node.id)
+          } else {
+            // merge run: is_incremental() rendered true, so the SELECT is
+            // the user-restricted fresh slice (typically `WHERE ts >
+            // (SELECT max(ts) FROM {{ this }})`) — the full-history scan
+            // never happens again. Delete+insert by unique_key: existing
+            // rows whose key reappears are replaced; no key = append-only
+            // (the dbt default). The merged snapshot is written to a
+            // staging table first (Spark cannot overwrite a table it is
+            // reading), then swapped in by rename — both sides of the
+            // swap are warehouse-managed tables, so the rename is a
+            // directory move, not a rewrite.
+            val fresh = spark.sql(select)
+            val existing = spark.table(node.id)
+            val merged = node.uniqueKey match {
+              case Some(k) =>
+                existing.join(fresh.select(fresh.col(k)).distinct(),
+                    Seq(k), "left_anti")
+                  .unionByName(fresh)
+              case None => existing.unionByName(fresh)
+            }
+            val tmp = node.id + "__graft_incr"
+            ViewStore.dropTableClearingLocation(spark, tmp)
+            merged.write.mode("overwrite").saveAsTable(tmp)
+            ViewStore.dropTableClearingLocation(spark, node.id)
+            spark.sql(s"ALTER TABLE `$tmp` RENAME TO `${node.id}`")
+          }
+          ViewStore.saveTable(spark, config.dbPath, node.id)
+          "SELECT" // row-count postlude runs after the tail statements
+        } catch {
+          case e: GraftError => throw e
+          case e: Exception =>
+            throw StatementExecutionError(e.getMessage, select, node.path)
+        }
       case Some(other) =>
         throw GenericError(s"Unknown materialization type: $other")
     }
@@ -675,6 +736,25 @@ object PipelineSession {
     }
     ("(^|.*/)" + sb + "(/.*|$)").r.matches(norm)
   }
+
+  /** Pre-render substitution of the dbt incremental context, applied
+    * BEFORE macro expansion so the jinja subset sees plain booleans:
+    * `is_incremental()` → `true`/`false` (true only when the model is
+    * `materialize: incremental` AND its target table already exists, so
+    * `{% if is_incremental() %}` guards the fresh-slice predicate exactly
+    * like dbt), and `{{ this }}` → the model's own id (the target
+    * relation, usable inside that guard as `SELECT max(ts) FROM
+    * {{ this }}`). The rendered text differs between bootstrap and
+    * incremental runs BY DESIGN: the closure fingerprint then
+    * re-executes the model after a bootstrap and skips it only once an
+    * incremental render has itself run clean.
+    */
+  private[pipeline] def renderIncrementalContext(sql: String, id: String,
+      incremental: Boolean): String =
+    """(?i)\bis_incremental\s*\(\s*\)""".r
+      .replaceAllIn(sql, incremental.toString)
+      .replaceAll("""\{\{\s*this\s*\}\}""",
+        java.util.regex.Matcher.quoteReplacement(id))
 
   private[pipeline] def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

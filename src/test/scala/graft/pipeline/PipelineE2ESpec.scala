@@ -428,6 +428,125 @@ class PipelineE2ESpec extends AnyFunSuite {
       "source model served stale data after its file was rewritten")
   }
 
+  test("materialize: incremental — bootstrap builds the table, later runs " +
+      "merge only the fresh slice by unique_key, result ≡ full rebuild") {
+    val db = Files.createTempDirectory("graft-incr-db")
+    val dir = Files.createTempDirectory("graft-incr")
+    val dataDir = Files.createTempDirectory("graft-incr-data")
+    val parq = dataDir.resolve("events.parquet").toString
+    spark.range(1, 6).selectExpr("id", "id * 10 AS v")
+      .write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def writeModel(guard: String): Unit = {
+      Files.writeString(modelsDir.resolve("inc_tgt.sql"),
+        s"""SELECT id, v FROM read_parquet('$parq')
+           |{% if is_incremental() %} WHERE id $guard
+           |  (SELECT max(id) FROM {{ this }}) {% endif %}""".stripMargin)
+      ()
+    }
+    writeModel(">")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  inc_tgt:
+         |    materialize: incremental
+         |    unique_key: id""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def tableRows(): Map[Long, Long] = spark.table("inc_tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // run 1 (bootstrap): is_incremental() renders false — the guard is
+    // dropped and the full history builds the table
+    locally {
+      val probe = new PipelineSession(spark, config)
+      val (_, m1) = probe.buildGraph()
+      assert(!m1("inc_tgt").renderedSrc.toLowerCase.contains("where"),
+        s"bootstrap render must drop the guard: ${m1("inc_tgt").renderedSrc}")
+    }
+    val r1 = new PipelineSession(spark, config).runNodes()
+    assert(r1.errors.isEmpty, r1.errors.mkString("; "))
+    assert(tableRows() == (1L to 5L).map(i => i -> i * 10).toMap)
+
+    // new source rows appear; run 2 renders is_incremental() TRUE and the
+    // executed SELECT scans ONLY the fresh slice (3 rows, not 8)
+    spark.range(6, 9).selectExpr("id", "id * 10 AS v")
+      .write.mode("append").parquet(parq)
+    locally {
+      val probe = new PipelineSession(spark, config)
+      val (_, m2) = probe.buildGraph()
+      val rendered2 = m2("inc_tgt").renderedSrc
+      assert(rendered2.toLowerCase.contains("where id >") &&
+        rendered2.contains("FROM inc_tgt"),
+        s"incremental render must keep the guard over {{ this }}: $rendered2")
+      assert(spark.sql(DialectShim.rewrite(
+          SqlText.splitStatements(rendered2).head, spark)).count() == 3L,
+        "the fresh slice must scan only the new rows")
+    }
+    val r2 = new PipelineSession(spark, config).runNodes()
+    assert(r2.errors.isEmpty, r2.errors.mkString("; "))
+    // merged result ≡ a full rebuild of the same source, bit for bit
+    assert(tableRows() == (1L to 8L).map(i => i -> i * 10).toMap)
+
+    // unique_key semantics: a fresh slice that RE-SELECTS an existing key
+    // replaces that row instead of duplicating it — rewrite the source so
+    // id 8 carries a corrected value (one row per key, as a model's
+    // output contract requires)
+    spark.range(1, 9).selectExpr("id",
+        "CASE WHEN id = 8 THEN 999 ELSE id * 10 END AS v")
+      .write.mode("overwrite").parquet(parq)
+    writeModel(">=") // fresh slice now includes the existing max key
+    val r3 = new PipelineSession(spark, config).runNodes()
+    assert(r3.errors.isEmpty, r3.errors.mkString("; "))
+    val rows3 = spark.table("inc_tgt").collect()
+    assert(rows3.length == 8, s"key 8 must be replaced, not duplicated: " +
+      s"${rows3.mkString(", ")}")
+    assert(tableRows()(8L) == 999L)
+
+    // composes with --changed-only: nothing changed since run 3 → SKIP,
+    // table untouched
+    val r4 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r4.errors.isEmpty)
+    assert(r4.results.map(_.status) == Seq("SKIP unchanged"), r4.results)
+    assert(tableRows()(8L) == 999L)
+    // and with --select: the incremental model is addressable by name
+    spark.createDataFrame(Seq((9L, 90L))).toDF("id", "v")
+      .write.mode("append").parquet(parq)
+    val r5 = new PipelineSession(spark, config, changedOnly = true,
+      selectors = Seq("inc_tgt")).runNodes()
+    assert(r5.errors.isEmpty)
+    assert(r5.results.map(_.status).head.startsWith("SELECT"), r5.results)
+    assert(tableRows() ==
+      (1L to 7L).map(i => i -> i * 10).toMap + (8L -> 999L) + (9L -> 90L))
+  }
+
+  test("materialize: incremental without unique_key appends the fresh " +
+      "slice (the dbt append default)") {
+    val db = Files.createTempDirectory("graft-incr-app-db")
+    val dir = Files.createTempDirectory("graft-incr-app")
+    val dataDir = Files.createTempDirectory("graft-incr-app-data")
+    val parq = dataDir.resolve("rows.parquet").toString
+    spark.range(1, 4).selectExpr("id").write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("inc_app.sql"),
+      s"""SELECT id FROM read_parquet('$parq')
+         |{% if is_incremental() %} WHERE id >
+         |  (SELECT max(id) FROM {{ this }}) {% endif %}""".stripMargin)
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  inc_app:
+         |    materialize: incremental""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    spark.range(4, 7).selectExpr("id").write.mode("append").parquet(parq)
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(spark.table("inc_app").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 6L).toSeq)
+  }
+
   test("run --exclude: subtracts from the selection (exclude wins over " +
       "select), excludes-only means all-but, unknown exclude is a loud " +
       "error") {
