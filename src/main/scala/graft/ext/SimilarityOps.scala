@@ -1038,6 +1038,98 @@ object SimilarityOps {
     } finally { rows.unpersist(); () }
   }
 
+  /** Close the monitor→remediate loop: re-encode the persisted
+    * [[annIndexStore]] under RE-FIT model literals and atomically swap
+    * the result in. [[annIndexStaleness]] (q138) DETECTS the "centroids
+    * were re-fit, the store disagrees with the current quantizer"
+    * failure (`n_cell_mismatch`), and [[annRecallReport]]/[[annRecallGrid]]
+    * (q136/q139) tell you WHEN a re-fit is warranted — this operator
+    * executes the migration those monitors call for. The corpus is
+    * re-encoded by the same map-only pass the build uses
+    * ([[encodeForAnnIndex]]), so the migrated bytes are definitionally
+    * what a fresh build under the new literals would write; the layout is
+    * rewritten one file per cell (the [[compactAnnIndex]] discipline, so
+    * a migration is also a compaction); publication goes through
+    * [[StoreSwap]], so every crash point leaves an intact store and
+    * [[appendToAnnIndex]] keeps working against the swapped-in result —
+    * callers re-version the store path's model suffix to match the new
+    * fit. Returns the migrated row count (a metadata-scale count of the
+    * published store, not a second encode pass). Centroid-only re-fits
+    * have a cheaper path: [[reencodeAnnIndexCells]].
+    */
+  def reencodeAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                       rawVecs: DataFrame, path: String,
+                       cents: Array[Array[Double]],
+                       cbs: Array[Array[Array[Double]]]): Long =
+    publishReencodedIndex(spark, path,
+      encodeForAnnIndex(rawVecs, cents, cbs), "reencodeAnnIndex")
+
+  /** The centroid-only migration fast path: when ONLY the coarse
+    * centroids were re-fit and the codebooks are the ones the store was
+    * encoded with (PASSING RE-FIT CODEBOOKS HERE SILENTLY CORRUPTS THE
+    * STORE — a code cannot be validated against its fit after the fact;
+    * use [[reencodeAnnIndex]] when the codebooks moved), the stored PQ
+    * codes are still valid — a code is a function of the vector and the
+    * codebooks alone, never of the cell — so the migration is an
+    * id-keyed RECONCILE, not a re-encode: rows present in both sides
+    * keep their stored codes under the NEW expected cell (whether it
+    * moved or not), corpus rows the index lacks encode fresh (the only
+    * PQ work in the pass), and index rows whose id left the corpus drop
+    * — the staleness report's `n_missing`/`n_orphaned` remediated in the
+    * same swap. Cost: one map-only [[cellOf]] pass over the corpus, one
+    * id-keyed exchange of narrow (id, codes)/(id, cell) rows, PQ encode
+    * of the missing batch only — vs the full path's m NearestCell codes
+    * per corpus row (A/B measured in SCALING.md). Result is bitwise the
+    * full re-encode under the same (cents, original cbs) — spec-pinned.
+    */
+  def reencodeAnnIndexCells(spark: org.apache.spark.sql.SparkSession,
+                            rawVecs: DataFrame, path: String,
+                            cents: Array[Array[Double]],
+                            cbs: Array[Array[Array[Double]]]): Long = {
+    val index = readAnnIndexStore(spark, path)
+    // dropDuplicates: crash-replay residue between an append and its
+    // marker duplicates full rows (the compactAnnIndex collapse); codes
+    // are deterministic under one codebook fit, so exact dedup is exact
+    val storedCodes = index.select(col("cand_id"), col("codes"))
+      .dropDuplicates()
+    val expected = withUnitVec(rawVecs, "embedding", "u")
+      .select(col("vec_id").as("cand_id"), cellOf(col("u"), cents).as("cell"))
+    val kept = expected.join(storedCodes, Seq("cand_id"))
+      .select(col("cand_id"), col("codes"), col("cell"))
+    val missing = rawVecs.join(
+      index.select(col("cand_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    publishReencodedIndex(spark, path,
+      kept.unionByName(encodeForAnnIndex(missing, cents, cbs)),
+      "reencodeAnnIndexCells")
+  }
+
+  /** Shared publish tail of the two migration paths: write the re-encoded
+    * rows one file per cell to a hidden sibling, [[StoreSwap]] them in,
+    * count from the published store (narrow scan, never a second encode).
+    */
+  private def publishReencodedIndex(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, rows: DataFrame,
+                                    what: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreSwap.recoverIfInterrupted(fs, dst)
+    val success = new Path(dst, "_SUCCESS")
+    require(fs.exists(success),
+      s"$what: no published ANN index at $path — build it with " +
+        "annIndexStore first")
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.reenc-${java.util.UUID.randomUUID()}")
+    try {
+      rows.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      StoreSwap.swapIn(fs, dst, tmp, what)
+      if (!fs.exists(success)) throw new IllegalStateException(
+        s"$what: migrated store at $path has no _SUCCESS")
+      readAnnIndexStore(spark, path).count()
+    } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
+  }
+
   /** IVF-PQ top-k against the PERSISTED index: the ADC stage scans the
     * store's (code, cell) rows — with the probe-cell broadcast feeding
     * dynamic partition pruning, so cell directories no probe ranked are

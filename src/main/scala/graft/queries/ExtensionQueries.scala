@@ -941,6 +941,31 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // ANN index migration (q143): the monitor→remediate loop closed —
+    // the store is built under a deliberately DIFFERENT prior fit
+    // (negated centroids re-shuffle every cell, reversed codebooks re-map
+    // every code; q138 would report 100% cell mismatch), then
+    // reencodeAnnIndex migrates it to the committed literals via
+    // StoreSwap. The oracle IS q115's inline chain under the committed
+    // literals: a correct migration is indistinguishable from a fresh
+    // build, so result identity pins the whole re-encode + swap.
+    // Post-migration staleness-clean is spec-pinned in SimilarityOpsSpec.
+    "q143_ann_reencode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val oldCents = cents.map(_.map(-_))
+      val oldCbs = cbs.map(_.reverse)
+      val path = fixturePath(s, dir, "embeddings", "annreenc",
+        s"cells${cents.length}_m${cbs.length}")
+      SimilarityOps.annIndexStore(s, e, path, oldCents, oldCbs)
+      SimilarityOps.reencodeAnnIndex(s, e, path, cents, cbs)
+      SimilarityOps.ivfPqTopKFromStore(e.filter(col("vec_id") < 10),
+          SimilarityOps.readAnnIndexStore(s, path), e, cents, cbs,
+          k = 5, nprobe = 3, refineFactor = 8)
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
     // Stratified weighted exactly-k (q142): q141 PER SOURCE — exactly 3
     // docs from every source, selection ∝ n_chars within each; one
     // stratum exchange + per-group top-k window ------------------------
@@ -3456,6 +3481,9 @@ object ExtensionQueries {
     // provably (shared query tail) — one oracle serves all three, the q98
     // pattern
     "q117_ann_index_store" -> ivfPqOracleSql,
+    // q143: a correct migration is indistinguishable from a fresh build
+    // under the new literals — q115's oracle pins the re-encode + swap
+    "q143_ann_reencode" -> ivfPqOracleSql,
     "q120_ann_store_fetch" -> ivfPqOracleSql,
     "q136_ann_recall" -> annRecallOracleSql,
     "q137_ann_recall_sweep" -> annRecallSweepOracleSql,

@@ -554,6 +554,96 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(snapshot() == before)
   }
 
+  test("reencodeAnnIndex: migrating a store built under a prior fit to " +
+      "new literals leaves staleness clean and answers exactly the " +
+      "inline chain under the NEW literals") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annreenc").resolve("idx").toString
+    val corpus = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.6f, 0.8f), 0)).drop("label")
+    // prior fit: swapped centroids, reversed codebooks — every cell and
+    // every code disagrees with the committed fixture fit
+    val oldCents = annCents.reverse
+    val oldCbs = annCbs.map(_.reverse)
+    SimilarityOps.annIndexStore(spark,
+      corpus.filter(col("vec_id") <= 3L), path, oldCents, oldCbs)
+    assert(SimilarityOps.appendToAnnIndex(spark,
+      corpus.filter(col("vec_id") > 3L), path, oldCents, oldCbs) == 2L)
+    // the monitors would fire: every row's cell mismatches the new fit
+    val preMism = SimilarityOps.annIndexStaleness(corpus,
+        SimilarityOps.readAnnIndexStore(spark, path), annCents)
+      .agg(sum("n_cell_mismatch")).head.getLong(0)
+    assert(preMism > 0L, "fixture must actually drift")
+
+    val n = SimilarityOps.reencodeAnnIndex(spark, corpus, path,
+      annCents, annCbs)
+    assert(n == 5L)
+    // post-migration staleness: ZERO missing / orphaned / mismatched
+    val post = SimilarityOps.annIndexStaleness(corpus,
+        SimilarityOps.readAnnIndexStore(spark, path), annCents)
+      .agg(sum("n_missing"), sum("n_orphaned"), sum("n_cell_mismatch"))
+      .head
+    assert((post.getLong(0), post.getLong(1), post.getLong(2)) ==
+      ((0L, 0L, 0L)), s"staleness not clean after migration: $post")
+    // the migrated store answers exactly the inline chain under the NEW
+    // literals (the q143 identity), and appends keep working against it
+    val probes = corpus.filter(col("vec_id") <= 2L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rk").collect().toSeq
+    assert(run(SimilarityOps.ivfPqTopKFromStore(probes,
+        SimilarityOps.readAnnIndexStore(spark, path), corpus, annCents,
+        annCbs, k = 3, nprobe = 2, refineFactor = 2)) ==
+      run(SimilarityOps.ivfPqTopK(probes, corpus, annCents, annCbs,
+        k = 3, nprobe = 2, refineFactor = 2)))
+    assert(SimilarityOps.appendToAnnIndex(spark,
+      vecs((9L, Seq(0.5f, 0.5f), 0)).drop("label"), path,
+      annCents, annCbs) == 1L)
+    // an unpublished path refuses loudly
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.reencodeAnnIndex(spark, corpus,
+        java.nio.file.Files.createTempDirectory("graft-noreenc")
+          .resolve("x").toString, annCents, annCbs))
+    assert(e.getMessage.contains("no published ANN index"))
+  }
+
+  test("reencodeAnnIndexCells: a centroid-only re-fit migrates by " +
+      "reconcile — bitwise the full re-encode, with corpus churn " +
+      "(missing + orphaned) remediated in the same swap") {
+    val base = java.nio.file.Files.createTempDirectory("graft-reenccells")
+    val pathA = base.resolve("cells_only").toString
+    val pathB = base.resolve("full").toString
+    val all = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.6f, 0.8f), 0), (6L, Seq(0.8f, 0.6f), 0)).drop("label")
+    // both stores built under SWAPPED centroids but the CURRENT codebooks
+    // (the centroid-only drift case), over yesterday's corpus (no id 6)
+    val oldCents = annCents.reverse
+    SimilarityOps.annIndexStore(spark,
+      all.filter(col("vec_id") <= 5L), pathA, oldCents, annCbs)
+    SimilarityOps.annIndexStore(spark,
+      all.filter(col("vec_id") <= 5L), pathB, oldCents, annCbs)
+    // today's corpus: id 1 left (orphan), id 6 arrived (missing)
+    val current = all.filter(col("vec_id") >= 2L)
+    val nA = SimilarityOps.reencodeAnnIndexCells(spark, current, pathA,
+      annCents, annCbs)
+    val nB = SimilarityOps.reencodeAnnIndex(spark, current, pathB,
+      annCents, annCbs)
+    assert(nA == 5L && nB == 5L)
+    def rows(p: String) = SimilarityOps.readAnnIndexStore(spark, p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(rows(pathA) == rows(pathB),
+      "reconcile path diverged from the full re-encode")
+    // staleness clean on the reconcile path too
+    val post = SimilarityOps.annIndexStaleness(current,
+        SimilarityOps.readAnnIndexStore(spark, pathA), annCents)
+      .agg(sum("n_missing"), sum("n_orphaned"), sum("n_cell_mismatch"))
+      .head
+    assert((post.getLong(0), post.getLong(1), post.getLong(2)) ==
+      ((0L, 0L, 0L)))
+  }
+
   test("vector store ingest loop: build + append + fully-store-backed " +
       "query equals the inline ivfPqTopK") {
     val base = java.nio.file.Files.createTempDirectory("graft-vecstore")
