@@ -1655,8 +1655,9 @@ object SimilarityOps {
                       path: String): (Int, Int) =
     compactCellStore(spark, path, "compactAnnIndex")
 
-  private def compactCellStore(spark: org.apache.spark.sql.SparkSession,
-                               path: String, what: String): (Int, Int) = {
+  private[ext] def compactCellStore(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, what: String,
+                                    partCol: String = "cell"): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1676,11 +1677,11 @@ object SimilarityOps {
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.compact-${java.util.UUID.randomUUID()}")
     try {
-      // repartition ON cell: every cell's rows land in one task, so
-      // partitionBy writes exactly one file per cell directory
+      // repartition ON the partition column: every partition's rows land
+      // in one task, so partitionBy writes exactly one file per directory
       spark.read.parquet(path).dropDuplicates()
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+        .repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
       StoreSwap.swapIn(fs, dst, tmp, what)
       if (!fs.exists(success)) throw new IllegalStateException(
         s"$what: compacted store at $path has no _SUCCESS")

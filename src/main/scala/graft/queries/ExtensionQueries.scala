@@ -941,6 +941,23 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // BM25 from the persisted lexical-stats store (q144): q118's probe
+    // served WITHOUT a tokenize pass — the store pays the corpus scan
+    // once (the q117 move for lexical retrieval); serving reads only the
+    // probe terms' tb buckets (DPP, plan-asserted zero Generate) plus
+    // the narrow docs side for N/avgdl. Oracle IS q118's: store ≡ inline
+    "q144_bm25_from_store" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
+        fixturePath(s, dir, "documents", "lexstats", "ws_b64"),
+        "doc_id", "text", nBuckets = 64)
+      RetrievalOps.bm25PerQueryFromStore(stats, probe, "query_id", "term",
+          "doc_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN index migration (q143): the monitor→remediate loop closed —
     // the store is built under a deliberately DIFFERENT prior fit
     // (negated centroids re-shuffle every cell, reversed codebooks re-map
@@ -2164,6 +2181,45 @@ object ExtensionQueries {
     ivfPqChainSql(k = 5, refineFactor = 8) +
       "\nSELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5" +
       "\nORDER BY probe_id, rk"
+
+  /** q118's Okapi arithmetic with the probe table inlined as a VALUES
+    * CTE; shared verbatim by q144 (the persisted-stats serving path must
+    * answer exactly what the per-call tokenize answers). Query 3's terms
+    * are corpus-absent → no rows for it, on both engines.
+    */
+  private lazy val bm25PerQueryOracleSql: String =
+    """WITH probe(query_id, term) AS (VALUES
+      |    (1, 'join'), (1, 'merge'), (2, 'scan'), (2, 'join'),
+      |    (3, 'zzzabsent'), (3, 'qqqmissing')),
+      |tok AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT doc_id,
+      |    CASE WHEN t IN (SELECT term FROM probe) THEN t END AS qt,
+      |    count(*) AS n
+      |  FROM tok GROUP BY 1, 2),
+      |wd AS (SELECT doc_id, qt, n, sum(n) OVER (PARTITION BY doc_id)
+      |    AS dl FROM cnt),
+      |tf AS (SELECT * FROM wd WHERE qt IS NOT NULL),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |sca AS (SELECT nd, CAST(tl AS DOUBLE) / nd AS avgdl
+      |  FROM (SELECT sum(n) AS tl FROM cnt) CROSS JOIN nd),
+      |idf AS (SELECT qt, ln((nd - df + 0.5) / (df + 0.5) + 1) AS idf
+      |  FROM (SELECT qt, count(*) AS df FROM tf GROUP BY qt)
+      |  CROSS JOIN nd),
+      |contrib AS (SELECT doc_id, qt,
+      |    idf * (n * (CAST(1.2 AS DOUBLE) + 1)) /
+      |    (n + CAST(1.2 AS DOUBLE) *
+      |      (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) * dl / avgdl)) AS c
+      |  FROM tf JOIN idf USING (qt) CROSS JOIN sca),
+      |s AS (SELECT p.query_id, c.doc_id, round(sum(c.c), 6) AS score
+      |  FROM contrib c JOIN probe p ON c.qt = p.term GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS INT) AS "rank" FROM s)
+      |SELECT query_id, doc_id, score, "rank" FROM r
+      |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   /** q136: recall@5 of the q115/q117 approximate answer against the
     * exact brute-force top-5 — the chain's `rk` CTE is the approximate
@@ -3644,39 +3700,10 @@ object ExtensionQueries {
     // VALUES CTE; the collapsed bucket keys on the UNION of probe terms,
     // scores fan out per query through the probe join. Query 3's terms
     // are corpus-absent → no rows for it, on both engines.
-    "q118_bm25_per_query" ->
-      """WITH probe(query_id, term) AS (VALUES
-        |    (1, 'join'), (1, 'merge'), (2, 'scan'), (2, 'join'),
-        |    (3, 'zzzabsent'), (3, 'qqqmissing')),
-        |tok AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
-        |  FROM documents),
-        |cnt AS (SELECT doc_id,
-        |    CASE WHEN t IN (SELECT term FROM probe) THEN t END AS qt,
-        |    count(*) AS n
-        |  FROM tok GROUP BY 1, 2),
-        |wd AS (SELECT doc_id, qt, n, sum(n) OVER (PARTITION BY doc_id)
-        |    AS dl FROM cnt),
-        |tf AS (SELECT * FROM wd WHERE qt IS NOT NULL),
-        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
-        |sca AS (SELECT nd, CAST(tl AS DOUBLE) / nd AS avgdl
-        |  FROM (SELECT sum(n) AS tl FROM cnt) CROSS JOIN nd),
-        |idf AS (SELECT qt, ln((nd - df + 0.5) / (df + 0.5) + 1) AS idf
-        |  FROM (SELECT qt, count(*) AS df FROM tf GROUP BY qt)
-        |  CROSS JOIN nd),
-        |contrib AS (SELECT doc_id, qt,
-        |    idf * (n * (CAST(1.2 AS DOUBLE) + 1)) /
-        |    (n + CAST(1.2 AS DOUBLE) *
-        |      (CAST(0.25 AS DOUBLE) +
-        |        CAST(0.75 AS DOUBLE) * dl / avgdl)) AS c
-        |  FROM tf JOIN idf USING (qt) CROSS JOIN sca),
-        |s AS (SELECT p.query_id, c.doc_id, round(sum(c.c), 6) AS score
-        |  FROM contrib c JOIN probe p ON c.qt = p.term GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS INT) AS "rank" FROM s)
-        |SELECT query_id, doc_id, score, "rank" FROM r
-        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q118_bm25_per_query" -> bm25PerQueryOracleSql,
+    // q144: the store must answer exactly what the per-call tokenize
+    // answers — q118's oracle pins the whole build + serving path
+    "q144_bm25_from_store" -> bm25PerQueryOracleSql,
     // q108: the plain filter over the SOURCE table — the written layout,
     // sidecar, and file pruning must all be invisible in the result
     "q108_pruned_scan" ->

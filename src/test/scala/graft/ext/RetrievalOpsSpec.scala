@@ -59,4 +59,83 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "text", k = 1).collect()
     assert(r.length == 1 && r.head.getLong(0) == 3L)
   }
+
+  private def probeDf = Seq((1, "join"), (1, "merge"), (2, "scan"),
+    (2, "join"), (3, "zzzabsent")).toDF("query_id", "term")
+
+  private def perQueryRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+
+  test("lexical stats store: build + serve equals the inline " +
+      "bm25PerQuery; append ≡ rebuild over the grown corpus; staleness " +
+      "reconciles; compact preserves answers") {
+    val base = java.nio.file.Files.createTempDirectory("graft-lexstats")
+    val path = base.resolve("stats").toString
+    val early = docs.filter($"doc_id" <= 2L)
+    val stats0 = RetrievalOps.lexicalStatsStore(spark, early, path,
+      "doc_id", "text", nBuckets = 8)
+    // append the rest of the corpus — serving must equal the inline form
+    // over the FULL corpus (dl/df/avgdl all absorb the appended docs)
+    val n = RetrievalOps.appendToLexicalStats(spark,
+      docs.filter($"doc_id" > 2L), path, "doc_id", "text", nBuckets = 8)
+    assert(n == 2L)
+    val stats = RetrievalOps.readLexicalStats(spark, path)
+    val fromStore = perQueryRows(RetrievalOps.bm25PerQueryFromStore(
+      stats, probeDf, "query_id", "term", "doc_id", k = 5, nBuckets = 8))
+    val inline = perQueryRows(RetrievalOps.bm25PerQuery(
+      docs, probeDf, "query_id", "term", "doc_id", "text", k = 5))
+    assert(fromStore == inline)
+    assert(fromStore.nonEmpty)
+    // staleness: one doc leaves (orphan), one new arrives (missing)
+    val current = docs.filter($"doc_id" =!= 2L)
+      .unionByName(Seq((9L, "fresh join doc")).toDF("doc_id", "text"))
+    val st = RetrievalOps.lexicalStatsStaleness(current, stats, "doc_id")
+      .head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((3L, 1L, 1L)),
+      s"expected (indexed=3, missing=1, orphaned=1): $st")
+    // compact: fewer term files, one per bucket, answers unchanged
+    val (nBefore, nAfter) = RetrievalOps.compactLexicalStats(spark, path)
+    assert(nAfter <= nBefore)
+    val afterCompact = perQueryRows(RetrievalOps.bm25PerQueryFromStore(
+      RetrievalOps.readLexicalStats(spark, path), probeDf,
+      "query_id", "term", "doc_id", k = 5, nBuckets = 8))
+    assert(afterCompact == inline)
+    // append to an unpublished path refuses loudly
+    val e = intercept[IllegalArgumentException](
+      RetrievalOps.appendToLexicalStats(spark, docs,
+        base.resolve("nope").toString, "doc_id", "text"))
+    assert(e.getMessage.contains("no published lexical stats"))
+  }
+
+  test("bm25PerQueryFromStore plan: NO tokenize anywhere (zero Generate " +
+      "nodes) and the term scan is statically pruned to the probe " +
+      "terms' buckets") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lexplan")
+      .resolve("stats").toString
+    val stats = RetrievalOps.lexicalStatsStore(spark, docs, path,
+      "doc_id", "text", nBuckets = 8)
+    val df = RetrievalOps.bm25PerQueryFromStore(stats, probeDf,
+      "query_id", "term", "doc_id", k = 5, nBuckets = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"serving must never tokenize — found a Generate:\n${plan.take(4000)}")
+    // the terms scan carries the probe buckets as an IN-list PARTITION
+    // filter — unprobed bucket directories are never even listed
+    assert("""(?i)partitionfilters: \[[^\]]*tb#\d+ in """.r
+        .findFirstIn(plan).isDefined,
+      s"term scan must carry a static IN partition filter on tb:\n" +
+        plan.take(4000))
+  }
+
+  test("q144 composes: the registered query's serving plan is " +
+      "tokenize-free while the result matches q118's registered query") {
+    val q144 = graft.queries.ExtensionQueries.queries(
+      "q144_bm25_from_store")(spark, "/root/testdata/sf0.001")
+    val q118 = graft.queries.ExtensionQueries.queries(
+      "q118_bm25_per_query")(spark, "/root/testdata/sf0.001")
+    assert(q144.collect().toSeq == q118.collect().toSeq)
+    assert(!q144.queryExecution.executedPlan.toString.contains("Generate"))
+  }
 }
