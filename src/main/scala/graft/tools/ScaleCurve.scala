@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DedupOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, RetrievalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.graft.VectorFunctions
 
 /** Empirical 1×→N× scale curves for the heavy dedup/ANN pipelines — the
@@ -171,9 +171,86 @@ object ScaleCurve {
     }
     if (wanted("q108_pruned_scan")) zonePath
 
+    // ANN migration A/B (r14): one store per variant per scale, built
+    // under a PRIOR fit (negated centroids; the cells-only variant keeps
+    // the committed codebooks — its validity precondition). Builds are
+    // untimed (the drift event is one-time); the timed unit is the whole
+    // migration incl. its StoreSwap publish. Reps re-migrate an
+    // already-clean store — same work both times for the full path, and
+    // the reconcile path's cost is drift-insensitive by construction
+    // (codes are never re-encoded either way), so rep stability holds.
+    val annCents = graft.ext.IvfCentroids.centroids
+    val annCbs = graft.ext.PqCodebooks.codebooks
+    val oldAnnCents = annCents.map(_.map(-_))
+    lazy val reencFullPath: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/reenc_full.parquet"
+      SimilarityOps.annIndexStore(spark, embs(spark, d), p,
+        oldAnnCents, annCbs.map(_.reverse))
+      n -> p
+    }
+    lazy val reencCellsPath: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/reenc_cells.parquet"
+      SimilarityOps.annIndexStore(spark, embs(spark, d), p,
+        oldAnnCents, annCbs)
+      n -> p
+    }
+    if (wanted("q143_reencode_full")) reencFullPath
+    if (wanted("q143_reencode_cells")) reencCellsPath
+
+    // Lexical-stats A/B (r14): the store build is untimed (paid once per
+    // corpus, amortized over every retrieval call); the timed A/B is the
+    // q118 probe served from the store vs the per-call tokenize.
+    lazy val lexStatsPath: Map[Int, String] = dirs.map { case (n, d) =>
+      val p = s"$d/lex_stats"
+      RetrievalOps.lexicalStatsStore(spark, docs(spark, d), p,
+        "doc_id", "text", nBuckets = 64)
+      n -> p
+    }
+    if (wanted("q144_bm25_from_store")) lexStatsPath
+    def bm25Probe: DataFrame = {
+      import spark.implicits._
+      Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+    }
+
     // (name, per-scale frame builder). Builders take the scale so the
     // `scaled` variants can pick their banding from the corpus size.
     val suite: Seq[(String, Int => DataFrame)] = Seq(
+      // the composed q129/q132 recipe chains VERBATIM (single-definition
+      // rule: these are the registered queries' own builders) — each
+      // stage has its own scale row already; this measures whether the
+      // COMPOSITION introduces a superlinear term the stages hide
+      "q129_pretrain_recipe" -> { n =>
+        val d = docs(spark, dirs(n))
+        graft.queries.ExtensionQueries.pretrainRecipeChain(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0))
+      },
+      "q132_recipe_funnel" -> { n =>
+        val d = docs(spark, dirs(n))
+        graft.queries.ExtensionQueries.recipeFunnelReport(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0))
+      },
+      "q143_reencode_full" -> { n =>
+        val c = SimilarityOps.reencodeAnnIndex(spark, embs(spark, dirs(n)),
+          reencFullPath(n), annCents, annCbs)
+        import spark.implicits._
+        Seq(c).toDF("n")
+      },
+      "q143_reencode_cells" -> { n =>
+        val c = SimilarityOps.reencodeAnnIndexCells(spark,
+          embs(spark, dirs(n)), reencCellsPath(n), annCents, annCbs)
+        import spark.implicits._
+        Seq(c).toDF("n")
+      },
+      "q144_bm25_from_store" -> (n =>
+        RetrievalOps.bm25PerQueryFromStore(
+          RetrievalOps.readLexicalStats(spark, lexStatsPath(n)),
+          bm25Probe, "query_id", "term", "doc_id", k = 5)),
+      "q118_bm25_per_query" -> (n =>
+        RetrievalOps.bm25PerQuery(docs(spark, dirs(n)), bm25Probe,
+          "query_id", "term", "doc_id", "text", k = 5)),
       "q27_minhash_neardup" -> (n => minhashPairs(docs(spark, dirs(n)))),
       "q53_connected_components" -> (n =>
         DedupOps.connectedComponents(
