@@ -1079,8 +1079,14 @@ object SimilarityOps {
     * same swap. Cost: one map-only [[cellOf]] pass over the corpus, one
     * id-keyed exchange of narrow (id, codes)/(id, cell) rows, PQ encode
     * of the missing batch only — vs the full path's m NearestCell codes
-    * per corpus row (A/B measured in SCALING.md). Result is bitwise the
-    * full re-encode under the same (cents, original cbs) — spec-pinned.
+    * per corpus row. MEASURED (SCALING.md r14, `ReencodeAb` 1×→30×):
+    * at the committed fixture geometry (m·ksub·dsub = 1,024 multiplies
+    * per vector) this path LOSES to [[reencodeAnnIndex]] — the skipped
+    * encode is cheaper than the reconcile join it buys. Use it when the
+    * encode term is production-shaped (m·ksub·dsub ≳ 1e5, e.g. 768-dim
+    * m=96 ksub=256); below that, full re-encode is simpler AND faster.
+    * Result is bitwise the full re-encode under the same (cents,
+    * original cbs) — spec-pinned.
     */
   def reencodeAnnIndexCells(spark: org.apache.spark.sql.SparkSession,
                             rawVecs: DataFrame, path: String,
