@@ -1109,21 +1109,22 @@ object SimilarityOps {
       "reencodeAnnIndexCells")
   }
 
-  /** Shared publish tail of the two migration paths: write the re-encoded
-    * rows one file per cell to a hidden sibling, [[StoreSwap]] them in,
-    * count from the published store (narrow scan, never a second encode).
+  /** Shared publish tail of the migration paths: write the migrated rows
+    * one file per cell to a hidden sibling, [[StoreSwap]] them in, count
+    * from the published store (narrow scan, never a second encode).
     */
   private def publishReencodedIndex(spark: org.apache.spark.sql.SparkSession,
-                                    path: String, rows: DataFrame,
-                                    what: String): Long = {
+                                    path: String, rows: => DataFrame,
+                                    what: String,
+                                    readSchema: String = AnnIndexSchema)
+      : Long = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     StoreSwap.recoverIfInterrupted(fs, dst)
     val success = new Path(dst, "_SUCCESS")
     require(fs.exists(success),
-      s"$what: no published ANN index at $path — build it with " +
-        "annIndexStore first")
+      s"$what: no published store at $path — build it first")
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.reenc-${java.util.UUID.randomUUID()}")
     try {
@@ -1132,9 +1133,28 @@ object SimilarityOps {
       StoreSwap.swapIn(fs, dst, tmp, what)
       if (!fs.exists(success)) throw new IllegalStateException(
         s"$what: migrated store at $path has no _SUCCESS")
-      readAnnIndexStore(spark, path).count()
+      spark.read.schema(readSchema).parquet(path).count()
     } finally { if (fs.exists(tmp)) fs.delete(tmp, true); () }
   }
+
+  /** The [[embeddingStore]]'s migration for a re-fit coarse quantizer —
+    * the cheapest of the three remediation shapes, because the store
+    * holds the UNIT VECTORS themselves: re-assignment is one map-only
+    * [[cellOf]] pass over the store (no corpus scan, no join, no
+    * re-normalization — `u` is centroid-independent), rewritten one file
+    * per cell and [[StoreSwap]]-published, so the next
+    * [[incrementalSemanticDupFlags]] ingest prunes against the NEW
+    * cells. Missing/orphaned rows are the ingest loop's concern (the
+    * store IS the accepted corpus); this rewrites assignments only.
+    * Callers re-version the store path with the new centroid fit.
+    */
+  def reassignEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             cents: Array[Array[Double]]): Long =
+    publishReencodedIndex(spark, path,
+      readEmbeddingStore(spark, path)
+        .select(col("vec_id"), col("u"), cellOf(col("u"), cents).as("cell")),
+      "reassignEmbeddingStore", readSchema = StoreSchema)
 
   /** IVF-PQ top-k against the PERSISTED index: the ADC stage scans the
     * store's (code, cell) rows — with the probe-cell broadcast feeding

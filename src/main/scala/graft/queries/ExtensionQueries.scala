@@ -941,6 +941,37 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // BM25 top-k from the store (q145): q116's fixed-term query on the
+    // same tokenize-free serving core — global top-k stays
+    // TakeOrderedAndProject. Oracle IS q116's: store ≡ inline ---------
+    "q145_bm25_topk_store" -> ((s, dir) => {
+      val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
+        fixturePath(s, dir, "documents", "lexstats", "ws_b64"),
+        "doc_id", "text", nBuckets = 64)
+      RetrievalOps.bm25TopKFromStore(stats,
+        Seq("join", "merge", "scan", "zzzabsent"), "doc_id", k = 15)
+    }),
+
+    // Embedding-store reassignment (q146): the q143 monitor→remediate
+    // loop for the SEMANTIC store — built under a deliberately different
+    // prior fit, reassigned map-only to the committed centroids (the
+    // store holds unit vectors, so no corpus scan and no re-encode),
+    // then q106's ingest runs against it. Oracle IS q106's: a correct
+    // reassignment is indistinguishable from a fresh build ------------
+    "q146_embstore_reassign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val path = fixturePath(s, dir, "embeddings", "embreassign",
+        "corpusMod3_cells10")
+      SimilarityOps.embeddingStore(s, e.filter(col("vec_id") % 3 =!= 0),
+        path, cents.map(_.map(-_)))
+      SimilarityOps.reassignEmbeddingStore(s, path, cents)
+      SimilarityOps.incrementalSemanticDupFlags(
+          e.filter(col("vec_id") % 3 === 0),
+          SimilarityOps.readEmbeddingStore(s, path), cents, minSim = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // BM25 from the persisted lexical-stats store (q144): q118's probe
     // served WITHOUT a tokenize pass — the store pays the corpus scan
     // once (the q117 move for lexical retrieval); serving reads only the
@@ -2181,6 +2212,39 @@ object ExtensionQueries {
     ivfPqChainSql(k = 5, refineFactor = 8) +
       "\nSELECT probe_id, rk, cand_id, sim FROM rk WHERE rk <= 5" +
       "\nORDER BY probe_id, rk"
+
+  /** q116's Okapi arithmetic — the 1.2 literal casts to DOUBLE before
+    * the +1 so both engines add in binary; 0.25/0.75 are exact in
+    * binary. The collapsed null-bucket count row mirrors the Spark
+    * aggregate; the absent query term simply produces no df row on
+    * either engine. Shared verbatim by q145 (store ≡ inline).
+    */
+  private lazy val bm25TopKOracleSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT doc_id,
+      |    CASE WHEN t IN ('join', 'merge', 'scan', 'zzzabsent')
+      |      THEN t END AS qt,
+      |    count(*) AS n
+      |  FROM tok GROUP BY 1, 2),
+      |wd AS (SELECT doc_id, qt, n, sum(n) OVER (PARTITION BY doc_id)
+      |    AS dl FROM cnt),
+      |tf AS (SELECT * FROM wd WHERE qt IS NOT NULL),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |sca AS (SELECT nd, CAST(tl AS DOUBLE) / nd AS avgdl
+      |  FROM (SELECT sum(n) AS tl FROM cnt) CROSS JOIN nd),
+      |idf AS (SELECT qt, ln((nd - df + 0.5) / (df + 0.5) + 1) AS idf
+      |  FROM (SELECT qt, count(*) AS df FROM tf GROUP BY qt)
+      |  CROSS JOIN nd),
+      |s AS (SELECT doc_id, round(sum(
+      |    idf * (n * (CAST(1.2 AS DOUBLE) + 1)) /
+      |    (n + CAST(1.2 AS DOUBLE) *
+      |      (CAST(0.25 AS DOUBLE) +
+      |        CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS score
+      |  FROM tf JOIN idf USING (qt) CROSS JOIN sca GROUP BY doc_id)
+      |SELECT doc_id, score FROM s
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
   /** q118's Okapi arithmetic with the probe table inlined as a VALUES
     * CTE; shared verbatim by q144 (the persisted-stats serving path must
@@ -3664,37 +3728,13 @@ object ExtensionQueries {
     "q133_repetition_schedule" -> repetitionOracleSql,
     "q134_epoch_pack" -> epochPackOracleSql,
     "q135_threshold_sweep" -> thresholdSweepOracleSql,
-    // q116: identical Okapi arithmetic — the 1.2 literal casts to DOUBLE
-    // before the +1 so both engines add in binary (DuckDB decimal
-    // literals would sum exactly); 0.25/0.75 are exact in binary. The
-    // collapsed null-bucket count row mirrors the Spark aggregate; the
-    // absent query term simply produces no df row on either engine.
-    "q116_bm25" ->
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
-        |  FROM documents),
-        |cnt AS (SELECT doc_id,
-        |    CASE WHEN t IN ('join', 'merge', 'scan', 'zzzabsent')
-        |      THEN t END AS qt,
-        |    count(*) AS n
-        |  FROM tok GROUP BY 1, 2),
-        |wd AS (SELECT doc_id, qt, n, sum(n) OVER (PARTITION BY doc_id)
-        |    AS dl FROM cnt),
-        |tf AS (SELECT * FROM wd WHERE qt IS NOT NULL),
-        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
-        |sca AS (SELECT nd, CAST(tl AS DOUBLE) / nd AS avgdl
-        |  FROM (SELECT sum(n) AS tl FROM cnt) CROSS JOIN nd),
-        |idf AS (SELECT qt, ln((nd - df + 0.5) / (df + 0.5) + 1) AS idf
-        |  FROM (SELECT qt, count(*) AS df FROM tf GROUP BY qt)
-        |  CROSS JOIN nd),
-        |s AS (SELECT doc_id, round(sum(
-        |    idf * (n * (CAST(1.2 AS DOUBLE) + 1)) /
-        |    (n + CAST(1.2 AS DOUBLE) *
-        |      (CAST(0.25 AS DOUBLE) +
-        |        CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS score
-        |  FROM tf JOIN idf USING (qt) CROSS JOIN sca GROUP BY doc_id)
-        |SELECT doc_id, score FROM s
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q116_bm25" -> bm25TopKOracleSql,
+    // q145: the store must answer exactly what the per-call tokenize
+    // answers on the single-query surface too
+    "q145_bm25_topk_store" -> bm25TopKOracleSql,
+    // q146: a correct reassignment is indistinguishable from a fresh
+    // store build under the committed centroids — q106's oracle pins it
+    "q146_embstore_reassign" -> incrementalSemanticOracleSql,
     "q106_incremental_semantic" -> incrementalSemanticOracleSql,
     // q118: q116's Okapi arithmetic with the probe table inlined as a
     // VALUES CTE; the collapsed bucket keys on the UNION of probe terms,

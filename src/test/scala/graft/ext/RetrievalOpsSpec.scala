@@ -129,6 +129,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
         plan.take(4000))
   }
 
+  test("bm25TopKFromStore equals the inline bm25TopK (absent terms, " +
+      "case folding, k bound) with a tokenize-free plan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lextopk")
+      .resolve("stats").toString
+    val stats = RetrievalOps.lexicalStatsStore(spark, docs, path,
+      "doc_id", "text", nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromStore = RetrievalOps.bm25TopKFromStore(stats,
+      Seq("JOIN", "scan", "zzznope"), "doc_id", k = 10, nBuckets = 8)
+    assert(rows(fromStore) == rows(RetrievalOps.bm25TopK(docs,
+      Seq("JOIN", "scan", "zzznope"), "doc_id", "text", k = 10)))
+    assert(!fromStore.queryExecution.executedPlan.toString
+      .contains("Generate"))
+    // k bounds; all-absent query yields zero rows on the store path too
+    assert(RetrievalOps.bm25TopKFromStore(stats, Seq("join"), "doc_id",
+      k = 1, nBuckets = 8).collect().length == 1)
+    assert(RetrievalOps.bm25TopKFromStore(stats, Seq("zzznope"), "doc_id",
+      k = 5, nBuckets = 8).collect().isEmpty)
+  }
+
   test("q144 composes: the registered query's serving plan is " +
       "tokenize-free while the result matches q118's registered query") {
     val q144 = graft.queries.ExtensionQueries.queries(

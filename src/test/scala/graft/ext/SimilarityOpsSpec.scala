@@ -604,7 +604,7 @@ class SimilarityOpsSpec extends AnyFunSuite {
       SimilarityOps.reencodeAnnIndex(spark, corpus,
         java.nio.file.Files.createTempDirectory("graft-noreenc")
           .resolve("x").toString, annCents, annCbs))
-    assert(e.getMessage.contains("no published ANN index"))
+    assert(e.getMessage.contains("no published store"))
   }
 
   test("reencodeAnnIndexCells: a centroid-only re-fit migrates by " +
@@ -642,6 +642,38 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .head
     assert((post.getLong(0), post.getLong(1), post.getLong(2)) ==
       ((0L, 0L, 0L)))
+  }
+
+  test("reassignEmbeddingStore: a centroid-only re-fit of the semantic " +
+      "store is a map-only reassignment — bitwise a fresh build, ingest " +
+      "flags unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft-embreassign")
+    val pathA = base.resolve("reassigned").toString
+    val pathB = base.resolve("fresh").toString
+    val all = vecs((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.1f, 0.9f), 0),
+      (5L, Seq(0.6f, 0.8f), 0)).drop("label")
+    val corpus = all.filter(col("vec_id") <= 4L)
+    val batch = all.filter(col("vec_id") === 5L)
+    SimilarityOps.embeddingStore(spark, corpus, pathA, annCents.reverse)
+    val n = SimilarityOps.reassignEmbeddingStore(spark, pathA, annCents)
+    assert(n == 4L)
+    SimilarityOps.embeddingStore(spark, corpus, pathB, annCents)
+    def rows(p: String) = SimilarityOps.readEmbeddingStore(spark, p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(rows(pathA) == rows(pathB),
+      "reassigned store diverged from a fresh build")
+    def flags(p: String) = SimilarityOps.incrementalSemanticDupFlags(
+        batch, SimilarityOps.readEmbeddingStore(spark, p), annCents,
+        minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    assert(flags(pathA) == flags(pathB))
+    // unpublished path refuses loudly
+    intercept[IllegalArgumentException](
+      SimilarityOps.reassignEmbeddingStore(spark,
+        base.resolve("nope").toString, annCents))
   }
 
   test("vector store ingest loop: build + append + fully-store-backed " +
