@@ -719,10 +719,10 @@ object DedupOps {
     * tool's job (SCALING.md).
     *
     * Scale shape: the pair frame is the bounded Σ(bucket²) candidate set,
-    * never the corpus; its (possibly expensive) lineage is spilled narrow
-    * (24 B/row, [[scratchManifest]]) because both the pair count and the
-    * distinct-doc count read it — the [[tokenBudgetSelect]] manifest
-    * discipline. The
+    * never the corpus; its (possibly expensive) lineage is cached narrow
+    * (24 B/row, [[cachedManifest]] — bounded lifetime) because both the
+    * pair count and the distinct-doc count read it — the
+    * [[tokenBudgetSelect]] manifest discipline. The
     * per-threshold explode multiplies only that bounded set by
     * |thresholds|; output is |thresholds| rows. Every threshold requested
     * is present in the output even when nothing survives it.
@@ -733,8 +733,8 @@ object DedupOps {
       "neardupThresholdSweep: thresholds must be non-empty and distinct")
     val ss = pairs.sparkSession
     import ss.implicits._
-    val p3 = scratchManifest(pairs.select(col("id_a"), col("id_b"),
-      col(simCol).cast("double").as("__j")), "ndsweep")
+    val p3 = cachedManifest(pairs.select(col("id_a"), col("id_b"),
+      col(simCol).cast("double").as("__j")))
     val f = p3
       .select(explode(array(thresholds.map(lit(_)): _*)).as("threshold"),
         col("id_a"), col("id_b"), col("__j"))
@@ -776,9 +776,10 @@ object DedupOps {
     * histogram (≤ 256·|sources| rows to the driver), full buckets decide
     * map-side, and the exact window runs over each source's single
     * boundary bucket (≈1/256 of that source's manifest, guaranteed).
-    * The manifest spills narrow like tokenBudgetSelect's
-    * ([[scratchManifest]]). Supply is integer-exact on both engines, so an
-    * oracle re-deriving base/remainder has zero float surface.
+    * The manifest caches narrow like tokenBudgetSelect's
+    * ([[cachedManifest]] — bounded lifetime). Supply is integer-exact on
+    * both engines, so an oracle re-deriving base/remainder has zero
+    * float surface.
     */
   def repetitionSchedule(docs: DataFrame, idCol: String, sourceCol: String,
                          nTokCol: Column,
@@ -786,14 +787,14 @@ object DedupOps {
     require(targetTokens.nonEmpty && targetTokens.values.forall(_ >= 0),
       "repetitionSchedule: targets must be non-negative and non-empty")
     val nTok = coalesce(nTokCol.cast("long"), lit(0L))
-    val m = scratchManifest(docs
+    val m = cachedManifest(docs
       .filter(col(idCol).isNotNull && col(sourceCol).isNotNull &&
         col(sourceCol).isin(targetTokens.keys.toSeq.map(lit): _*))
       .select(col(idCol).as("__id"), col(sourceCol).as("__src"),
         nTok.as("__t"),
         seededCoin("rep", col(idCol)).as("__coin"))
       .withColumn("__b", conv(substring(col("__coin"), 1, 2), 16, 10)
-        .cast("int")), "repsched")
+        .cast("int")))
     val hist = m.groupBy(col("__src"), col("__b"))
       .agg(sum(col("__t")).as("__bt"))
       .collect()
@@ -899,22 +900,21 @@ object DedupOps {
     require(scoreHi > scoreLo,
       s"tokenBudgetSelect: score range [$scoreLo, $scoreHi) is empty")
     val width = scoreHi - scoreLo
-    // the manifest is eagerly MATERIALIZED to warehouse scratch (the
-    // [[scratchManifest]] contract): score and token expressions may carry
-    // an arbitrarily expensive lineage (q127 tokenizes+scores; q129 hangs
+    // the manifest is cached under the bounded-lifetime contract
+    // ([[cachedManifest]]): score and token expressions may carry an
+    // arbitrarily expensive lineage (q127 tokenizes+scores; q129 hangs
     // the whole recipe above), and the operator reads the manifest once
-    // for the histogram and once for the selection — without the spill
+    // for the histogram and once for the selection — without the cache
     // each read re-runs that lineage (measured 3× the quality pass before
-    // this, BENCH_LOCAL_r13). Only the 4-column manifest is written
+    // this, BENCH_LOCAL_r13). Only the 4-column manifest is cached
     // (~24 B/row at any corpus size), the documents themselves never.
-    val m = scratchManifest(docs
+    val m = cachedManifest(docs
       .select(col(idCol).as("__id"), scoreCol.cast("double").as("__s"),
         nTokCol.cast("long").as("__t"))
       .filter(col("__id").isNotNull && col("__s").isNotNull &&
         !isnan(col("__s")) && col("__t").isNotNull && col("__t") >= 0L)
       .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
-        floor((col("__s") - scoreLo) / width * nBuckets).cast("int")))),
-      "token-budget")
+        floor((col("__s") - scoreLo) / width * nBuckets).cast("int")))))
     // pass 1: per-bucket token mass (map-side partial agg; ≤ nBuckets
     // rows reach the driver — a bounded probe that also materializes the
     // cached manifest for the selection pass)
@@ -1200,54 +1200,58 @@ object DedupOps {
     * atomic directory swap — and the post-publish verify turns a lost
     * race into a loud error instead of a silent gap.
     */
-  /** Eagerly spill a narrow per-call manifest to warehouse scratch and
-    * hand back a plain scan of it — the lifetime-bounded sibling of
-    * [[materializedPairs]] for manifests that are re-read WITHIN one
-    * operator call ([[tokenBudgetSelect]], [[repetitionSchedule]],
-    * [[neardupThresholdSweep]]) but have no meaning across calls.
+  /** Cache a narrow per-call manifest with a BOUNDED lifetime — the
+    * contract [[tokenBudgetSelect]], [[repetitionSchedule]], and
+    * [[neardupThresholdSweep]] hold their internal persists to. The
+    * manifest must be cached (its lineage may be arbitrarily expensive —
+    * q127 tokenizes+scores — and each operator reads it twice: once for
+    * the driver-side histogram, once in the returned plan), and the
+    * returned lazy frame still references it, so the operator cannot
+    * unpersist before returning. A bare `.persist()` therefore leaked:
+    * a long-lived pipeline session calling these operators repeatedly
+    * accumulated MEMORY_AND_DISK blocks until the ContextCleaner
+    * happened to GC the frames (VERDICT r13 defect 1). (An eager parquet
+    * spill was tried first and REJECTED by the bench: the extra write
+    * job + commit + re-read cost ~1 s per call at sf0.1 — q127
+    * 0.23→1.31 s — against manifests that are kilobytes.)
     *
-    * Why not `.persist()`: the returned lazy frame still references the
-    * manifest when the operator returns, so the operator cannot unpersist
-    * before returning and the MEMORY_AND_DISK blocks live until the
-    * ContextCleaner GCs the frame — a long-lived pipeline session calling
-    * these operators repeatedly accumulates cache blocks without bound
-    * (VERDICT r13 defect 1). A parquet spill has an explicit lifetime
-    * instead: bytes land under `{warehouse}/graft_scratch/` (shared
-    * storage on a cluster — every executor and every retry can reach it,
-    * the [[materializedPairs]] rationale), cost ~24 B/row at any corpus
-    * size, and the whole scratch root is deleted by a JVM shutdown hook.
-    * Executor memory is never charged; a session that dies mid-operator
-    * leaves only files the next hook run (or warehouse cleanup) removes.
-    * The read back is schema-stated so an empty manifest (zero qualifying
-    * rows) scans as zero rows instead of failing inference.
+    * The contract instead: every live manifest registers here; the
+    * registry holds at most [[ManifestCacheCap]] of them and unpersists
+    * the OLDEST beyond that (eviction is safe — the lineage stays valid,
+    * an evicted manifest consumed later just recomputes), and
+    * [[releaseManifests]] drops them all — the explicit cleanup handle a
+    * long-lived session calls between pipeline runs. Blocks from these
+    * operators are therefore bounded by cap × manifest size at all
+    * times, and zero after release (spec-asserted).
     */
-  private[ext] def scratchManifest(df: DataFrame, what: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val spark = df.sparkSession
-    val p = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir"),
-      "graft_scratch"), s"$what-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(p.toString)
-    registerScratchCleanup(spark.sparkContext.hadoopConfiguration, p)
-    spark.read.schema(df.schema).parquet(p.toString)
+  private[ext] def cachedManifest(df: DataFrame): DataFrame = {
+    val m = df.persist()
+    liveManifests.synchronized {
+      liveManifests.addLast(m)
+      while (liveManifests.size > ManifestCacheCap) {
+        liveManifests.removeFirst().unpersist(false); ()
+      }
+    }
+    m
   }
 
-  private val scratchPaths = java.util.Collections.synchronizedList(
-    new java.util.ArrayList[(org.apache.hadoop.conf.Configuration,
-      org.apache.hadoop.fs.Path)]())
-  private lazy val scratchHookInstalled: Boolean = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      scratchPaths.forEach { case (conf, p) =>
-        try { p.getFileSystem(conf).delete(p, true); () }
-        catch { case _: Throwable => () }
-      }
-    }, "graft-scratch-cleanup"))
-    true
-  }
-  private def registerScratchCleanup(
-      conf: org.apache.hadoop.conf.Configuration,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    scratchHookInstalled
-    scratchPaths.add((conf, p)); ()
+  /** The most manifests [[cachedManifest]] keeps cached at once. 8 covers
+    * every composed chain in the repo (q129 holds one at a time) with
+    * room for interleaved callers; beyond it the oldest recomputes on a
+    * later read instead of holding blocks forever.
+    */
+  private val ManifestCacheCap = 8
+  private val liveManifests = new java.util.ArrayDeque[DataFrame]()
+
+  /** Drop every manifest cache [[cachedManifest]] is holding — the
+    * explicit lifetime handle for long-lived sessions (call between
+    * pipeline runs; results already consumed are unaffected, results not
+    * yet consumed recompute their lineage).
+    */
+  def releaseManifests(): Unit = liveManifests.synchronized {
+    while (!liveManifests.isEmpty) {
+      liveManifests.removeFirst().unpersist(false); ()
+    }
   }
 
   def materializedPairs(spark: org.apache.spark.sql.SparkSession,
