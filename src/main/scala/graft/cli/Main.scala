@@ -9,7 +9,7 @@ import graft.viz.GraphViz
   * (/root/reference/src/main.rs:24-84):
   *
   *   run       [--config C] [--models-dir D] [--db-path P] [--parallel]
-  *             [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,…]
+  *             [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,…]
   *             [--exclude m3[+],path:glob,…]
   *   run-file  <script.sql> [more.sql …]
   *   viz       <out.svg>
@@ -33,7 +33,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,...] [--exclude m3[+],path:glob,...]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>""".stripMargin)
       sys.exit(2)

@@ -292,10 +292,12 @@ final class PipelineSession(
 
   /** dbt-style `--select`/`--exclude` resolution against the built graph:
     * each selector is `name` (just that model), `name+` (plus transitive
-    * descendants), `+name` (plus transitive ancestors), `+name+`, or
+    * descendants), `+name` (plus transitive ancestors), `+name+`,
     * `path:<glob>` (every model whose SOURCE FILE path matches — a bare
     * directory pattern selects everything under it; `*` does not cross
-    * `/`, `**` does; `+` affixes compose, e.g. `+path:models/marts`);
+    * `/`, `**` does; `+` affixes compose, e.g. `+path:models/marts`), or
+    * `state:modified` (every model whose closure fingerprint differs
+    * from the stored base — the dbt CI pattern; may resolve empty);
     * comma-separated selectors union. The final selection is the selected
     * set minus the excluded set (dbt precedence: exclude wins), where an
     * empty `--select` with a non-empty `--exclude` means "all but the
@@ -311,12 +313,26 @@ final class PipelineSession(
     */
   def selectionSet(order: Seq[String],
                    nodeMap: Map[String, ModelNode]): Option[Set[String]] = {
+    // dbt's state:modified — models whose upstream-closure fingerprint
+    // differs from the stored base (never ran, edited, source data
+    // changed, or any ancestor did: the closure fold already propagates
+    // modification down the DAG, so `state:modified` alone selects the
+    // whole affected subgraph — the CI "build only what changed"
+    // pattern). An EMPTY result is legitimate (nothing changed → run
+    // nothing), unlike a no-match name/path which is an error.
+    lazy val modified: Set[String] = {
+      val fps = closureFingerprints(order, nodeMap)
+      val stored = config.dbPath.map(ViewStore.loadFingerprints)
+        .getOrElse(Map.empty[String, String])
+      order.filterNot(id => stored.get(id).contains(fps(id))).toSet
+    }
     def resolve(raw: String, flag: String): Set[String] = {
       val incAnc = raw.startsWith("+")
       val incDesc = raw.endsWith("+")
       val core = raw.stripPrefix("+").stripSuffix("+")
       val base: Set[String] =
-        if (core.startsWith("path:")) {
+        if (core == "state:modified") modified
+        else if (core.startsWith("path:")) {
           val pat = core.stripPrefix("path:")
           val matched = nodeMap.collect {
             case (id, n) if PipelineSession.pathSelectorMatches(pat, n.path)
@@ -464,10 +480,23 @@ final class PipelineSession(
       }
       acc.toSet
     }
+    // MERGE into the stored base, never replace it: a --select /
+    // state:modified run reports results for the selected subgraph only,
+    // and overwriting the store with just those ids would WIPE the
+    // unselected models' fingerprints — every later --changed-only run
+    // would spuriously re-execute them. Failed closures DROP from the
+    // base (whether they ran or not — an unrun descendant of a failed
+    // model must not keep skipping against its stale upstream), and
+    // successful runs update theirs.
+    val storedBase = config.dbPath.map(ViewStore.loadFingerprints)
+      .getOrElse(Map.empty[String, String])
     ViewStore.saveFingerprints(config.dbPath,
-      closureFps.view.filterKeys(id =>
-        results.exists(r => r.id == id && r.error.isEmpty) &&
-          !failedClosure.contains(id)).toMap)
+      // prune ids no longer in the graph (deleted model files), then
+      // drop failures, then fold in this run's successes
+      (storedBase.view.filterKeys(nodeMap.contains).toMap -- failedClosure)
+        ++ closureFps.view.filterKeys(id =>
+          results.exists(r => r.id == id && r.error.isEmpty) &&
+            !failedClosure.contains(id)).toMap)
 
     if (report.errors.nonEmpty) {
       println("\nErrors:")

@@ -590,6 +590,65 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r.results.map(_.id).toSet == Set("ex_src", "ex_mid", "ex_side"))
   }
 
+  test("state:modified selects exactly the fingerprint-changed subgraph " +
+      "(empty when nothing changed), and a selective run MERGES into the " +
+      "fingerprint base instead of wiping unselected models") {
+    val db = Files.createTempDirectory("graft-statemod-db")
+    val dir = Files.createTempDirectory("graft-statemod")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def write(id: String, sql: String): Unit = {
+      Files.writeString(modelsDir.resolve(s"$id.sql"), sql); ()
+    }
+    write("sm_src", s"SELECT * FROM read_parquet('$sfDir/region.parquet')")
+    write("sm_mid", "SELECT r_regionkey FROM sm_src")
+    write("sm_leaf", "SELECT count() AS n FROM sm_mid")
+    write("sm_side", "SELECT max(r_regionkey) AS mx FROM sm_src")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"models_dir: $modelsDir\ndb_path: $db")
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    // before any run: EVERYTHING is modified (no stored base)
+    locally {
+      val s = new PipelineSession(spark, config,
+        selectors = Seq("state:modified"))
+      val (o, m) = s.buildGraph()
+      assert(s.selectionSet(o, m).get ==
+        Set("sm_src", "sm_mid", "sm_leaf", "sm_side"))
+    }
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+
+    // nothing changed: state:modified resolves EMPTY and runs nothing
+    val r0 = new PipelineSession(spark, config,
+      selectors = Seq("state:modified")).runNodes()
+    assert(r0.results.isEmpty, s"expected an empty run: ${r0.results}")
+
+    // edit the mid model: the closure fold marks mid AND its descendant
+    // modified — state:modified runs exactly that subgraph
+    write("sm_mid", "SELECT r_regionkey FROM sm_src WHERE r_regionkey > 0")
+    val r1 = new PipelineSession(spark, config,
+      selectors = Seq("state:modified")).runNodes()
+    assert(r1.errors.isEmpty)
+    assert(r1.results.map(_.id).toSet == Set("sm_mid", "sm_leaf"),
+      s"${r1.results}")
+
+    // the selective run MERGED its fingerprints: a full --changed-only
+    // run now skips EVERYTHING (before the merge fix, sm_src/sm_side's
+    // bases were wiped and they would spuriously re-execute)
+    val r2 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r2.errors.isEmpty)
+    assert(r2.results.forall(_.status == "SKIP unchanged"), s"${r2.results}")
+
+    // composes with --exclude
+    write("sm_mid",
+      "SELECT r_regionkey FROM sm_src WHERE r_regionkey >= 0")
+    val r3 = new PipelineSession(spark, config,
+      selectors = Seq("state:modified"), excludes = Seq("sm_leaf"))
+      .runNodes()
+    assert(r3.errors.isEmpty)
+    assert(r3.results.map(_.id) == Seq("sm_mid"), s"${r3.results}")
+  }
+
   test("path: selectors pick models by source file (directory prefix and " +
       "glob), compose with + affixes and --exclude; a no-match pattern " +
       "errors loudly") {
