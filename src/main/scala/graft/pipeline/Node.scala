@@ -16,6 +16,8 @@ package graft.pipeline
   * @param uniqueKey    merge key for `materialize: incremental` — fresh
   *                      rows replace existing rows with the same key;
   *                      absent = append-only
+  * @param tests        data tests run against the materialized result
+  *                      right after the model executes
   */
 final case class ModelNode(
     id: String,
@@ -25,4 +27,5 @@ final case class ModelNode(
     prevs: Set[String] = Set.empty,
     nexts: Set[String] = Set.empty,
     materialize: Option[String] = None,
-    uniqueKey: Option[String] = None)
+    uniqueKey: Option[String] = None,
+    tests: Seq[ModelTest] = Nil)

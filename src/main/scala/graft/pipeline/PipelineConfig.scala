@@ -23,7 +23,26 @@ final case class PipelineConfig(
     models: Map[String, ModelConfig] = Map.empty)
 
 final case class ModelConfig(materialize: Option[String] = None,
-                             uniqueKey: Option[String] = None)
+                             uniqueKey: Option[String] = None,
+                             tests: Seq[ModelTest] = Nil)
+
+/** A dbt-style data test declared on a model (`models.<id>.tests:`) and
+  * run against the materialized result right after the model executes —
+  * a violating row count > 0 fails the model like any SQL error would.
+  */
+sealed trait ModelTest { def describe: String }
+object ModelTest {
+  final case class NotNull(column: String) extends ModelTest {
+    def describe = s"not_null($column)"
+  }
+  final case class Unique(column: String) extends ModelTest {
+    def describe = s"unique($column)"
+  }
+  final case class AcceptedValues(column: String, values: Seq[String])
+      extends ModelTest {
+    def describe = s"accepted_values($column in ${values.mkString("[", ", ", "]")})"
+  }
+}
 
 object PipelineConfig {
 
@@ -84,6 +103,7 @@ object PipelineConfig {
     val models = root.get("models").flatMap(Option(_))
       .collect { case m: java.util.Map[_, _] =>
         m.asScala.map { case (k, v) =>
+          val id = String.valueOf(k)
           def field(name: String): Option[String] = v match {
             case vm: java.util.Map[_, _] =>
               vm.asScala.collectFirst {
@@ -91,8 +111,17 @@ object PipelineConfig {
                   mv != null => mv.toString }
             case _ => None
           }
-          String.valueOf(k) ->
-            ModelConfig(field("materialize"), field("unique_key"))
+          val tests: Seq[ModelTest] = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, mv: java.util.List[_])
+                    if String.valueOf(mk) == "tests" =>
+                  mv.asScala.toSeq.map(parseTest(id, _))
+              }.getOrElse(Nil)
+            case _ => Nil
+          }
+          id -> ModelConfig(field("materialize"), field("unique_key"),
+            tests)
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 
@@ -102,6 +131,43 @@ object PipelineConfig {
       macroPath = str("macro_path"),
       settings = settings,
       models = models)
+  }
+
+  /** One `tests:` list element. Accepted shapes (dbt's common forms):
+    *   - not_null: col
+    *   - unique: col
+    *   - accepted_values: { column: col, values: [a, b, …] }
+    * An unknown test name fails NAMED at config load — a typo'd test
+    * silently testing nothing would defeat the point of declaring it.
+    */
+  private def parseTest(modelId: String, raw: Any): ModelTest = raw match {
+    case m: java.util.Map[_, _] if m.size == 1 =>
+      val (k, v) = m.asScala.head
+      (String.valueOf(k), v) match {
+        case ("not_null", c) if c != null =>
+          ModelTest.NotNull(c.toString)
+        case ("unique", c) if c != null =>
+          ModelTest.Unique(c.toString)
+        case ("accepted_values", av: java.util.Map[_, _]) =>
+          val fields = av.asScala.map { case (ak, avv) =>
+            String.valueOf(ak) -> avv }.toMap
+          val colName = fields.get("column").flatMap(Option(_)).map(_.toString)
+            .getOrElse(throw GenericError(
+              s"models.$modelId.tests: accepted_values needs a `column`"))
+          val values = fields.get("values").flatMap(Option(_)) match {
+            case Some(l: java.util.List[_]) =>
+              l.asScala.toSeq.map(String.valueOf(_))
+            case _ => throw GenericError(
+              s"models.$modelId.tests: accepted_values needs a `values` list")
+          }
+          ModelTest.AcceptedValues(colName, values)
+        case (other, _) => throw GenericError(
+          s"models.$modelId.tests: unknown test `$other` " +
+            "(supported: not_null, unique, accepted_values)")
+      }
+    case other => throw GenericError(
+      s"models.$modelId.tests: each entry must be a single-key mapping, " +
+        s"got ${String.valueOf(other)}")
   }
 
   def loadFromDir(dir: String): PipelineConfig =

@@ -102,7 +102,8 @@ final class PipelineSession(
       val raw = Files.readString(p)
       id -> ModelNode(id, p.toString, raw,
         materialize = config.models.get(id).flatMap(_.materialize),
-        uniqueKey = config.models.get(id).flatMap(_.uniqueKey))
+        uniqueKey = config.models.get(id).flatMap(_.uniqueKey),
+        tests = config.models.get(id).map(_.tests).getOrElse(Nil))
     }.toMap
 
     val modelIds = nodeMap.keySet
@@ -210,6 +211,9 @@ final class PipelineSession(
       val n = nodeMap(id)
       val own = PipelineSession.md5hex(
         n.renderedSrc + " " + n.materialize.getOrElse("view") +
+          // tests fold in: adding/editing a test must re-execute the
+          // model under --changed-only (a skipped model never re-tests)
+          " " + n.tests.map(_.describe).mkString(",") +
           " " + sourceDataFp(n.renderedSrc))
       val anc = n.prevs.filter(nodeMap.contains).toSeq.sorted
         .map(p => memo.getOrElse(p, "?"))
@@ -619,6 +623,12 @@ final class PipelineSession(
     val rawSelect = rest.head._1
     val status = materializeSelect(node, select, rawSelect)
     afterPairs.foreach { case (_, st) => runSide(st) }
+    // data tests run against the FINAL materialized result — after the
+    // tail side statements, which may mutate it. A violation fails the
+    // node like a SQL error: the report names the test and its count,
+    // and the fingerprint base drops the node + descendants so the next
+    // --changed-only re-executes them.
+    runModelTests(node)
     status match {
       // the reference recounts the model table after EVERY successful
       // statement (node.rs:179-189), so its reported count reflects any
@@ -634,6 +644,39 @@ final class PipelineSession(
       case other => other
     }
   }
+
+  /** Run the node's declared data tests against its materialized result
+    * (view or table — both resolve through the session catalog). Each
+    * test is one aggregate job counting VIOLATING rows; 0 passes. The
+    * semantics mirror dbt's: `not_null` counts null rows, `unique`
+    * counts values occurring more than once, `accepted_values` counts
+    * non-null rows outside the list (a null is not a value violation —
+    * declare `not_null` alongside when it should be).
+    */
+  private def runModelTests(node: ModelNode): Unit =
+    node.tests.foreach { t =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val df =
+        try spark.table(node.id)
+        catch { case e: Exception =>
+          throw StatementExecutionError(
+            s"test ${t.describe}: cannot read model output: ${e.getMessage}",
+            node.renderedSrc, node.path) }
+      val bad: Long = t match {
+        case ModelTest.NotNull(c) => df.filter(col(c).isNull).count()
+        case ModelTest.Unique(c) =>
+          df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).count()
+        case ModelTest.AcceptedValues(c, vs) =>
+          df.filter(col(c).isNotNull && !col(c).isin(vs: _*)).count()
+      }
+      if (bad > 0)
+        throw StatementExecutionError(
+          s"data test ${t.describe} failed: $bad violating " +
+            (t match { case _: ModelTest.Unique => "duplicated values"
+                       case _ => "rows" }),
+          node.renderedSrc, node.path)
+    }
 
   /** Materialize the producing SELECT per the node's materialization
     * mode; returns the status string ("SELECT" defers the row-count

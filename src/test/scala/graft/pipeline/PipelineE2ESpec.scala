@@ -590,6 +590,77 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r.results.map(_.id).toSet == Set("ex_src", "ex_mid", "ex_side"))
   }
 
+  test("model data tests: not_null / unique / accepted_values run after " +
+      "materialization — passing tests leave the run green, a violation " +
+      "fails the node with the test named") {
+    val db = Files.createTempDirectory("graft-tests-db")
+    val dir = Files.createTempDirectory("graft-tests")
+    val dataDir = Files.createTempDirectory("graft-tests-data")
+    val parq = dataDir.resolve("rows.parquet").toString
+    spark.createDataFrame(Seq(
+        (1L, "a"), (2L, "b"), (3L, "a")))
+      .toDF("id", "grp").write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("tested.sql"),
+      s"SELECT id, grp FROM read_parquet('$parq')")
+    def writeConfig(tests: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |db_path: $db
+           |models:
+           |  tested:
+           |    materialize: table
+           |    tests:
+           |$tests""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // all three pass
+    val ok = writeConfig(
+      """      - not_null: id
+        |      - unique: id
+        |      - accepted_values:
+        |          column: grp
+        |          values: [a, b]""".stripMargin)
+    assert(ok.models("tested").tests.size == 3)
+    val r1 = new PipelineSession(spark, ok).runNodes()
+    assert(r1.errors.isEmpty, r1.errors.mkString("; "))
+
+    // a unique violation on grp fails the node and names the test
+    val bad = writeConfig("      - unique: grp")
+    val r2 = new PipelineSession(spark, bad).runNodes()
+    assert(r2.errors.nonEmpty)
+    assert(r2.errors.head.render.contains("unique(grp)"),
+      r2.errors.head.render)
+
+    // a failed test drops the fingerprint base: fixing the TESTS alone
+    // re-executes the model under --changed-only (tests fold into the fp)
+    val fixed = writeConfig("      - unique: id")
+    val r3 = new PipelineSession(spark, fixed, changedOnly = true)
+      .runNodes()
+    assert(r3.errors.isEmpty)
+    assert(r3.results.head.status != "SKIP unchanged")
+    // and once green + unchanged, it skips (tests do not re-run)
+    val r4 = new PipelineSession(spark, fixed, changedOnly = true)
+      .runNodes()
+    assert(r4.results.head.status == "SKIP unchanged", r4.results)
+
+    // accepted_values counts non-null out-of-list rows
+    spark.createDataFrame(Seq((1L, "a"), (2L, "zz")))
+      .toDF("id", "grp").write.mode("overwrite").parquet(parq)
+    val av = writeConfig(
+      """      - accepted_values:
+        |          column: grp
+        |          values: [a, b]""".stripMargin)
+    val r5 = new PipelineSession(spark, av).runNodes()
+    assert(r5.errors.nonEmpty &&
+      r5.errors.head.render.contains("accepted_values(grp"),
+      r5.errors.map(_.render).mkString("; "))
+
+    // unknown test name: loud at config load
+    val e = intercept[GenericError] { writeConfig("      - not_nul: id") }
+    assert(e.getMessage.contains("unknown test `not_nul`"))
+  }
+
   test("state:modified selects exactly the fingerprint-changed subgraph " +
       "(empty when nothing changed), and a selective run MERGES into the " +
       "fingerprint base instead of wiping unselected models") {
