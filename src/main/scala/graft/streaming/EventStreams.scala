@@ -424,6 +424,53 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming lexical-stats ingest — keeps a
+    * [[graft.ext.RetrievalOps.lexicalStatsStore]] current as documents
+    * stream in, so retrieval (q144/q145) serves from live statistics
+    * without ever re-tokenizing the accumulated corpus: each micro-batch
+    * tokenizes ONLY itself and appends its (doc, term, tf, dl) rows and
+    * docs rows ([[graft.ext.RetrievalOps.appendToLexicalStats]] — per-
+    * batch cost is batch-bound). Same replay contract as
+    * [[runAnnIndexIngest]]: a batch-id marker created AFTER the append
+    * makes redelivered batches no-ops, and an absent store bootstraps
+    * from an empty publish so the stream can start before any batch
+    * corpus exists. Streamed ≡ batch-built store (spec-pinned).
+    */
+  def runLexicalStatsIngest(docStream: DataFrame, statsPath: String,
+                            checkpoint: String, idCol: String,
+                            textCol: String, nBuckets: Int = 64) = {
+    import graft.ext.RetrievalOps
+    import org.apache.hadoop.fs.Path
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new Path(s"$statsPath.appended", s"batch-$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        if (!mfs.exists(marker)) {
+          val b = batch.persist()
+          try {
+            val terms = new Path(s"$statsPath/terms")
+            if (!terms.getFileSystem(hconf)
+                .exists(new Path(terms, "_SUCCESS"))) {
+              RetrievalOps.lexicalStatsStore(spark, b.limit(0), statsPath,
+                idCol, textCol, nBuckets)
+              ()
+            }
+            RetrievalOps.appendToLexicalStats(spark, b, statsPath, idCol,
+              textCol, nBuckets)
+            mfs.mkdirs(marker.getParent)
+            mfs.create(marker, true).close()
+            ()
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   case class DriftRow(batch_id: Long, cell: Int, n_before: Option[Long],
                       n_after: Long, share_before: Option[Double],
                       share_after: Double, share_delta: Double,

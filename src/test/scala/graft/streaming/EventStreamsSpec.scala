@@ -400,6 +400,67 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids(storeS) == ids(storeB), "replay must not grow the store")
   }
 
+  test("runLexicalStatsIngest: the streamed stats store answers BM25 " +
+      "exactly like a batch-built one; replay is a marker-skipped no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.RetrievalOps
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lexstream")
+
+    // batch reference
+    val statsB = tmp.resolve("statsB").toString
+    RetrievalOps.lexicalStatsStore(spark, d, statsB, "doc_id", "text",
+      nBuckets = 16)
+
+    // stream side: store bootstraps ABSENT, fills over two micro-batches
+    val statsS = tmp.resolve("statsS").toString
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.runLexicalStatsIngest(
+      mem.toDF().toDF("doc_id", "text"), statsS,
+      tmp.resolve("ckpt").toString, "doc_id", "text", nBuckets = 16)
+    try {
+      mem.addData(rows.filter(_._1 < 60).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= 60).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val probe = Seq((1, "join"), (1, "merge"), (2, "scan"))
+      .toDF("query_id", "term")
+    def answer(p: String) = RetrievalOps.bm25PerQueryFromStore(
+        RetrievalOps.readLexicalStats(spark, p), probe,
+        "query_id", "term", "doc_id", k = 5, nBuckets = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(answer(statsS) == answer(statsB))
+    assert(answer(statsS).nonEmpty)
+    // the stores are row-identical, not just answer-identical
+    def termRows(p: String) = RetrievalOps.readLexicalStats(spark, p)
+      .terms.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(termRows(statsS) == termRows(statsB))
+
+    // replay with a fresh checkpoint: marker-skipped, store unchanged
+    val before = spark.read.parquet(s"$statsS/docs").count()
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.runLexicalStatsIngest(
+      mem2.toDF().toDF("doc_id", "text"), statsS,
+      tmp.resolve("ckpt2").toString, "doc_id", "text", nBuckets = 16)
+    try {
+      mem2.addData(rows.filter(_._1 < 60).toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$statsS/docs").count() == before,
+      "replay must not grow the store")
+  }
+
   test("runAnnIndexIngest: the streamed index answers queries exactly " +
       "like a batch-built one; replay with a fresh checkpoint is a " +
       "marker-skipped no-op") {
