@@ -941,12 +941,31 @@ object ExtensionQueries {
         .orderBy(col("nprobe"), col("probe_id"))
     }),
 
+    // Retrieval-based decontamination (q147): the ranked third leg of
+    // the decontamination family — q63 flags exact k-gram overlap, q123
+    // fuzzy MinHash overlap; this ranks corpus docs by BM25 proximity to
+    // the eval queries (survives paraphrase past shared shingles, gives
+    // the audit a review queue). Serves tokenize-free from the q144
+    // store; oracle = q118's CTEs + the per-doc candidate rollup -------
+    "q147_bm25_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val evalProbe = Seq((1, "join"), (1, "merge"), (2, "scan"),
+        (2, "join"), (3, "zzzabsent"), (3, "qqqmissing"))
+        .toDF("query_id", "term")
+      val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
+        fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
+        "doc_id", "text", nBuckets = 64)
+      RetrievalOps.bm25ContaminationCandidates(stats, evalProbe,
+          "query_id", "term", "doc_id", k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 top-k from the store (q145): q116's fixed-term query on the
     // same tokenize-free serving core — global top-k stays
     // TakeOrderedAndProject. Oracle IS q116's: store ≡ inline ---------
     "q145_bm25_topk_store" -> ((s, dir) => {
       val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
-        fixturePath(s, dir, "documents", "lexstats", "ws_b64"),
+        fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
         "doc_id", "text", nBuckets = 64)
       RetrievalOps.bm25TopKFromStore(stats,
         Seq("join", "merge", "scan", "zzzabsent"), "doc_id", k = 15)
@@ -982,7 +1001,7 @@ object ExtensionQueries {
       val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
         (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
       val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
-        fixturePath(s, dir, "documents", "lexstats", "ws_b64"),
+        fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
         "doc_id", "text", nBuckets = 64)
       RetrievalOps.bm25PerQueryFromStore(stats, probe, "query_id", "term",
           "doc_id", k = 5)
@@ -3744,6 +3763,15 @@ object ExtensionQueries {
     // q144: the store must answer exactly what the per-call tokenize
     // answers — q118's oracle pins the whole build + serving path
     "q144_bm25_from_store" -> bm25PerQueryOracleSql,
+    // q147: q118's ranked retrieval rolled up per candidate doc — the
+    // oracle wraps the shared CTE chain in the same rollup
+    "q147_bm25_decontam" -> (
+      "WITH base AS (" +
+        bm25PerQueryOracleSql.replace("ORDER BY query_id, \"rank\"", "") +
+        """)
+          |SELECT doc_id, CAST(count(*) AS INT) AS n_queries,
+          |  min("rank") AS best_rank, max(score) AS best_score
+          |FROM base GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // q108: the plain filter over the SOURCE table — the written layout,
     // sidecar, and file pruning must all be invisible in the result
     "q108_pruned_scan" ->

@@ -201,7 +201,7 @@ object ScaleCurve {
     // corpus, amortized over every retrieval call); the timed A/B is the
     // q118 probe served from the store vs the per-call tokenize.
     lazy val lexStatsPath: Map[Int, String] = dirs.map { case (n, d) =>
-      val p = s"$d/lex_stats"
+      val p = s"$d/lex_stats_v2"
       RetrievalOps.lexicalStatsStore(spark, docs(spark, d), p,
         "doc_id", "text", nBuckets = 64)
       n -> p

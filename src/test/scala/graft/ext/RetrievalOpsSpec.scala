@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.{lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** BM25 retrieval (q116): hand-computed scores on a tiny corpus, the
@@ -91,10 +92,19 @@ class RetrievalOpsSpec extends AnyFunSuite {
     // staleness: one doc leaves (orphan), one new arrives (missing)
     val current = docs.filter($"doc_id" =!= 2L)
       .unionByName(Seq((9L, "fresh join doc")).toDF("doc_id", "text"))
-    val st = RetrievalOps.lexicalStatsStaleness(current, stats, "doc_id")
-      .head
-    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((3L, 1L, 1L)),
-      s"expected (indexed=3, missing=1, orphaned=1): $st")
+    val st = RetrievalOps.lexicalStatsStaleness(current, stats, "doc_id",
+      "text").head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)) ==
+      ((3L, 1L, 1L, 0L)),
+      s"expected (indexed=3, missing=1, orphaned=1, changed=0): $st")
+    // a doc whose TEXT changed under the same id: n_changed names it —
+    // the blind spot an id-only reconcile cannot see
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 1L, lit("join the rewritten club"))
+        .otherwise($"text"))
+    val st2 = RetrievalOps.lexicalStatsStaleness(mutated, stats, "doc_id",
+      "text").head
+    assert(st2.getLong(3) == 1L, s"expected n_changed=1: $st2")
     // compact: fewer term files, one per bucket, answers unchanged
     val (nBefore, nAfter) = RetrievalOps.compactLexicalStats(spark, path)
     assert(nAfter <= nBefore)
@@ -148,6 +158,29 @@ class RetrievalOpsSpec extends AnyFunSuite {
       k = 1, nBuckets = 8).collect().length == 1)
     assert(RetrievalOps.bm25TopKFromStore(stats, Seq("zzznope"), "doc_id",
       k = 5, nBuckets = 8).collect().isEmpty)
+  }
+
+  test("bm25ContaminationCandidates equals the per-doc rollup of the " +
+      "inline per-query retrieval") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lexdecon")
+      .resolve("stats").toString
+    val stats = RetrievalOps.lexicalStatsStore(spark, docs, path,
+      "doc_id", "text", nBuckets = 8)
+    val got = RetrievalOps.bm25ContaminationCandidates(stats, probeDf,
+        "query_id", "term", "doc_id", k = 5, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val want = RetrievalOps.bm25PerQuery(docs, probeDf, "query_id",
+        "term", "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).map { case (id, rows) =>
+        (id, rows.size, rows.map(_._3).min, rows.map(_._2).max)
+      }.toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // doc 1 carries both probe terms of query 1 and 'join' of query 2:
+    // retrieved by two queries
+    assert(got.find(_._1 == 1L).exists(_._2 == 2))
   }
 
   test("q144 composes: the registered query's serving plan is " +
