@@ -12,13 +12,18 @@ import scala.jdk.CollectionConverters._
   *                      for `table` materializations; absent → in-memory
   *                      (temp views only), mirroring DuckDB's in-memory mode
   *   macro_path       — directory of macro files
+  *   seeds_dir        — directory of *.csv seed files (dbt seeds): each
+  *                      becomes a TABLE node named by its filename stem,
+  *                      participating in the DAG/selection/changed-only
+  *                      machinery like any model
   *   duckdb_settings / spark_settings — engine key/value pass-through
-  *   models.<id>.materialize — "view" (default) | "table"
+  *   models.<id>.materialize — "view" (default) | "table" | "incremental"
   */
 final case class PipelineConfig(
     modelsDir: String = ".",
     dbPath: Option[String] = None,
     macroPath: Option[String] = None,
+    seedsDir: Option[String] = None,
     settings: Map[String, String] = Map.empty,
     models: Map[String, ModelConfig] = Map.empty)
 
@@ -70,6 +75,7 @@ object PipelineConfig {
     loaded.copy(
       modelsDir = rebase(loaded.modelsDir),
       macroPath = loaded.macroPath.map(rebase),
+      seedsDir = loaded.seedsDir.map(rebase),
       // db_path too: a config-relative database must not silently land in
       // a cwd-dependent location (a second session launched elsewhere
       // would "lose" every persisted view). A CLI --db-path flag is
@@ -129,6 +135,7 @@ object PipelineConfig {
       modelsDir = str("models_dir").getOrElse("."),
       dbPath = str("db_path"),
       macroPath = str("macro_path"),
+      seedsDir = str("seeds_dir"),
       settings = settings,
       models = models)
   }

@@ -54,6 +54,29 @@ final class PipelineSession(
     finally s.close()
   }
 
+  /** Seed CSVs (dbt seeds): each file under seeds_dir becomes a TABLE
+    * node whose "SQL" is a synthetic `read_csv_auto` SELECT — which is
+    * exactly what makes every existing mechanism apply for free: models
+    * referencing the seed's stem get DAG edges from the ordinary
+    * dependency extraction, `--changed-only` re-loads an edited CSV via
+    * the source-data fingerprint (the stat covers `read_*` targets),
+    * and seeds are selectable/excludable/viz-able like any node.
+    */
+  def discoverSeedPaths(): Seq[Path] = config.seedsDir match {
+    case None => Seq.empty
+    case Some(dir) =>
+      val root = Paths.get(dir)
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val s = Files.walk(root)
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.toString.toLowerCase.endsWith(".csv"))
+          .toSeq.sortBy(_.toString)
+        finally s.close()
+      }
+  }
+
   def loadMacros(): Map[String, String] = config.macroPath match {
     case None => Map.empty
     case Some(dir) =>
@@ -71,6 +94,7 @@ final class PipelineSession(
   /** Discover, render, wire edges; returns execution order + node map. */
   def buildGraph(): (Seq[String], Map[String, ModelNode]) = {
     val paths = discoverModelPaths()
+    val seedPaths = discoverSeedPaths()
     val macros = loadMacros()
     // parse the shared macro files ONCE; render() re-scanned the full
     // macro source per model (O(models × macro-bytes) of regex work)
@@ -81,7 +105,9 @@ final class PipelineSession(
     // HashMap insert, session.rs:120); one model's SQL would never run
     // while the pipeline still reports success. Fail named instead.
     locally {
-      val dup = paths.groupBy { p =>
+      // seeds share the model namespace: a seed colliding with a model
+      // (or two seeds colliding) is the same silent-collapse hazard
+      val dup = (paths ++ seedPaths).groupBy { p =>
         val fn = p.getFileName.toString
         fn.substring(0, fn.lastIndexOf('.'))
       }.filter(_._2.size > 1)
@@ -103,6 +129,16 @@ final class PipelineSession(
       id -> ModelNode(id, p.toString, raw,
         materialize = config.models.get(id).flatMap(_.materialize),
         uniqueKey = config.models.get(id).flatMap(_.uniqueKey),
+        tests = config.models.get(id).map(_.tests).getOrElse(Nil))
+    }.toMap ++ seedPaths.map { p =>
+      val fn = p.getFileName.toString
+      val id = fn.substring(0, fn.lastIndexOf('.'))
+      println(s"Found seed source: $p")
+      // seeds are tables (dbt semantics); their "SQL" is the synthetic
+      // read — header detected like DuckDB's sniffer, types inferred
+      id -> ModelNode(id, p.toString,
+        s"SELECT * FROM read_csv_auto('$p', header=true)",
+        materialize = Some("table"),
         tests = config.models.get(id).map(_.tests).getOrElse(Nil))
     }.toMap
 
@@ -162,6 +198,8 @@ final class PipelineSession(
       }
     }
     println(s"Found ${paths.size} model source${if (paths.size > 1) "s" else ""}, " +
+      (if (seedPaths.nonEmpty) s"${seedPaths.size} seed" +
+        s"${if (seedPaths.size > 1) "s" else ""}, " else "") +
       s"${macros.size} macro${if (macros.size > 1) "s" else ""}\n")
 
     // invert edges; warn + quarantine unknown refs (src/session.rs:135-155)

@@ -590,6 +590,61 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r.results.map(_.id).toSet == Set("ex_src", "ex_mid", "ex_side"))
   }
 
+  test("seeds: CSVs under seeds_dir load as TABLE nodes, wire DAG edges " +
+      "to referencing models, re-load under --changed-only when the CSV " +
+      "is edited, and collide loudly with model ids") {
+    val db = Files.createTempDirectory("graft-seeds-db")
+    val dir = Files.createTempDirectory("graft-seeds")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    val seedsDir = dir.resolve("seeds"); Files.createDirectories(seedsDir)
+    Files.writeString(seedsDir.resolve("country_codes.csv"),
+      "code,name\nus,United States\nde,Germany\n")
+    Files.writeString(modelsDir.resolve("by_code.sql"),
+      "SELECT count() AS n FROM country_codes")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |seeds_dir: $seedsDir
+         |db_path: $db""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+
+    val s1 = new PipelineSession(spark, config)
+    val (order, nodeMap) = s1.buildGraph()
+    // the seed precedes its consumer in topo order, edge wired by the
+    // ordinary dependency extraction
+    assert(order == Seq("country_codes", "by_code"))
+    assert(nodeMap("by_code").prevs == Set("country_codes"))
+    assert(nodeMap("country_codes").materialize.contains("table"))
+    val r1 = s1.runNodes()
+    assert(r1.errors.isEmpty, r1.errors.mkString("; "))
+    assert(spark.table("country_codes").count() == 2)
+    assert(spark.table("by_code").collect().head.getLong(0) == 2L)
+    // header row became COLUMN NAMES, types inferred
+    assert(spark.table("country_codes").columns.toSeq ==
+      Seq("code", "name"))
+
+    // unchanged: both skip
+    val r2 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r2.results.forall(_.status == "SKIP unchanged"), s"${r2.results}")
+
+    // edit the CSV (SQL-less change): the seed AND its consumer re-run
+    Files.writeString(seedsDir.resolve("country_codes.csv"),
+      "code,name\nus,United States\nde,Germany\nfr,France\n")
+    val r3 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r3.errors.isEmpty)
+    assert(r3.results.forall(_.status != "SKIP unchanged"), s"${r3.results}")
+    assert(spark.table("by_code").collect().head.getLong(0) == 3L)
+
+    // a seed colliding with a model id errors loudly
+    Files.writeString(modelsDir.resolve("country_codes.sql"),
+      "SELECT 1 AS one")
+    val e = intercept[GenericError] {
+      new PipelineSession(spark, config).buildGraph()
+    }
+    assert(e.getMessage.contains("country_codes"))
+  }
+
   test("model data tests: not_null / unique / accepted_values run after " +
       "materialization — passing tests leave the run green, a violation " +
       "fails the node with the test named") {
