@@ -945,6 +945,98 @@ object DedupOps {
       col("__t").as("n_tokens"))
   }
 
+  /** Per-source exact token budgets — [[tokenBudgetSelect]] stratified:
+    * for every source in `budgets`, keep precisely the rows whose running
+    * token total WITHIN THAT SOURCE, in (score DESC, id ASC) order, stays
+    * within the source's budget — "the best 10B tokens of web, 2B of
+    * code": the mixture recipe's exact SELECTION primitive
+    * ([[temperatureMixSample]]/[[targetMixSample]] choose sampling RATES;
+    * this selects best-first prefixes exactly). Untargeted sources select
+    * nothing; a budget covering the whole source keeps it wholesale
+    * (map-only for that source); a budgeted source absent from the data
+    * contributes nothing.
+    *
+    * Plan: [[tokenBudgetSelect]]'s histogram discipline with
+    * [[repetitionSchedule]]'s per-source resolution — ONE
+    * (source, bucket) token histogram (≤ |sources|·nBuckets rows to the
+    * driver, a bounded probe), per-source thresholds decided driver-side
+    * and pushed as literal when-chains (map-side keep/drop for every
+    * non-boundary bucket), and ONE exact window over all sources'
+    * boundary buckets together (partitioned by (source, bucket) —
+    * ≈1/nBuckets of each source's manifest, no skew). The manifest
+    * caches under the [[cachedManifest]] bounded-lifetime contract.
+    * Returns (idCol, sourceCol, score, n_tokens).
+    */
+  def tokenBudgetSelectBySource(docs: DataFrame, idCol: String,
+                                sourceCol: String, scoreCol: Column,
+                                nTokCol: Column, budgets: Map[String, Long],
+                                scoreLo: Double = 0.0,
+                                scoreHi: Double = 1.0,
+                                nBuckets: Int = 4096): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      "tokenBudgetSelectBySource: budgets must be positive and non-empty")
+    require(nBuckets > 0,
+      "tokenBudgetSelectBySource: nBuckets must be positive")
+    require(scoreHi > scoreLo,
+      s"tokenBudgetSelectBySource: score range [$scoreLo, $scoreHi) is empty")
+    val width = scoreHi - scoreLo
+    val m = cachedManifest(docs
+      .filter(col(idCol).isNotNull && col(sourceCol).isNotNull &&
+        col(sourceCol).isin(budgets.keys.toSeq.map(lit): _*))
+      .select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+        scoreCol.cast("double").as("__s"), nTokCol.cast("long").as("__t"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__t").isNotNull && col("__t") >= 0L)
+      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col("__s") - scoreLo) / width * nBuckets).cast("int")))))
+    val hist = m.groupBy(col("__src"), col("__b"))
+      .agg(sum(col("__t")).as("__bt"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // per source, walk buckets best-first (descending score bucket):
+    // buckets that fit wholesale decide map-side; the crossing bucket is
+    // this source's boundary with its remaining token allowance
+    val boundary: Map[String, (Int, Long)] =
+      budgets.keys.toSeq.sorted.flatMap { s2 =>
+        var rem = budgets(s2)
+        var bb = -1
+        var r2 = 0L
+        ((nBuckets - 1) to 0 by -1).foreach { bk =>
+          val mass = hist.getOrElse((s2, bk), 0L)
+          if (bb < 0) {
+            if (mass <= rem) rem -= mass else { bb = bk; r2 = rem }
+          }
+        }
+        if (bb < 0) None else Some(s2 -> (bb, r2))
+      }.toMap
+    def perSource(f: ((String, (Int, Long))) => Column): Column =
+      boundary.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+        case (acc, kv) => when(col("__src") === kv._1, f(kv)).otherwise(acc)
+      }
+    // a source with NO boundary fit entirely inside its budget — its
+    // whole manifest keeps, map-only
+    val allFit = (budgets.keySet -- boundary.keySet).toSeq.sorted
+      .foldLeft(lit(false)) { case (acc, s2) =>
+        when(col("__src") === s2, lit(true)).otherwise(acc)
+      }
+    val aboveBoundary = perSource { case (_, (bb, _)) => col("__b") > bb }
+    val atBoundary = perSource { case (_, (bb, _)) => col("__b") === bb }
+    val remOf = boundary.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (s2, (_, r2))) =>
+        when(col("__src") === s2, lit(r2)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("__s").desc, col("__id").asc)
+    val full = m.filter(allFit || aboveBoundary)
+    val edge = m.filter(atBoundary)
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .filter(col("__cum") <= remOf)
+      .drop("__cum")
+    full.unionByName(edge)
+      .select(col("__id").as(idCol), col("__src").as(sourceCol),
+        col("__s").as("score"), col("__t").as("n_tokens"))
+  }
+
   /** Leakage-safe train/validation split: documents are assigned to
     * splits by their NEAR-DUP CLUSTER label, not their own id, so two
     * near-duplicates can never land on opposite sides of the split — the

@@ -862,6 +862,22 @@ object ExtensionQueries {
     // q107/q110 histogram discipline applied to selection); the oracle IS
     // the naive global-order window, so the green row is a differential
     // proof of the scale-shaped algorithm -------------------------------
+    // Per-source token budgets (q148): the mixture recipe's exact
+    // selection — best-first prefix per source within its own budget
+    // (src0 partial, src1 all-fits, src2 partial, srcX absent); one
+    // (source, bucket) histogram probe + one boundary-bucket window.
+    // Oracle = the NAIVE per-source global window — the q127
+    // differential proof of the scale shape, stratified ---------------
+    "q148_budget_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      DedupOps.tokenBudgetSelectBySource(scored, "doc_id", "source",
+          col("quality"), col("n_tok"), SourceBudgets)
+        .orderBy(col("doc_id"))
+    }),
+
     "q127_token_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val scored = d
@@ -2739,6 +2755,41 @@ object ExtensionQueries {
     * differential proof the scale-shaped plan computes the same prefix.
     * Quality/token CTEs are q59's verbatim.
     */
+  /** q148's per-source budgets: src0/src2 partial prefixes, src1 fits
+    * entirely, srcX absent from the data — every branch of the operator
+    * exercised. Shared by the query and the oracle CASE.
+    */
+  private[graft] val SourceBudgets: Map[String, Long] =
+    Map("src0" -> 800L, "src1" -> 500000L, "src2" -> 300L, "srcX" -> 10L)
+
+  private lazy val budgetBySourceOracleSql: String = {
+    val inList = SourceBudgets.keys.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    val caseArms = SourceBudgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    s"""WITH q0 AS (SELECT doc_id, source, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE source IN ($inList)),
+       |q1 AS (SELECT doc_id, source, toks,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+       |    / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |    AS DOUBLE) / length(text), 4) AS punct_ratio
+       |  FROM q0),
+       |q2 AS (SELECT doc_id, source,
+       |  round(stop_ratio * 0.4 + least(CAST(len(toks) AS DOUBLE) / 100.0,
+       |    1.0) * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS score,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM q1),
+       |c AS (SELECT doc_id, source, score, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM q2)
+       |SELECT doc_id, source, score, n_tokens FROM c
+       |WHERE cum <= CASE source $caseArms END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val tokenBudgetOracleSql: String =
     s"""WITH q0 AS (SELECT doc_id, text,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
@@ -3739,6 +3790,7 @@ object ExtensionQueries {
     "q122_hard_negatives_ann" -> hardNegAnnOracleSql,
     "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
     "q127_token_budget" -> tokenBudgetOracleSql,
+    "q148_budget_by_source" -> budgetBySourceOracleSql,
     "q128_embedding_drift" -> embeddingDriftOracleSql,
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,

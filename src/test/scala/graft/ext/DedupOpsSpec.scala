@@ -1019,6 +1019,42 @@ class DedupOpsSpec extends AnyFunSuite {
       s"exactly ONE window (the shared boundary-bucket branch), got:\n$p")
   }
 
+  test("tokenBudgetSelectBySource equals the naive per-source window " +
+      "across regimes (partial, all-fits, absent, untargeted)") {
+    val docs = (1L to 400L).map { i =>
+      (i, s"s${i % 5}", (i % 89).toDouble / 89.0, 5L + i % 7)
+    }.toDF("id", "src", "score", "n")
+    // s0 partial, s1 tiny budget, s2 covers everything, sX absent;
+    // s3/s4 untargeted — must never appear
+    val budgets = Map("s0" -> 200L, "s1" -> 25L, "s2" -> 100000L,
+      "sX" -> 50L)
+    val got = DedupOps.tokenBudgetSelectBySource(docs, "id", "src",
+        col("score"), col("n"), budgets, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // naive spec: per-source global (score DESC, id) prefix within budget
+    val naive = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .filter(t => budgets.contains(t._2))
+      .groupBy(_._2).toSeq.flatMap { case (s2, rows) =>
+        var cum = 0L
+        rows.sortBy(t => (-t._3, t._1)).takeWhile { t =>
+          cum += t._4; cum <= budgets(s2)
+        }.map(t => (t._1, t._2))
+      }.sortBy(_._1)
+    assert(got == naive)
+    assert(got.nonEmpty)
+    assert(got.map(_._2).toSet.subsetOf(Set("s0", "s1", "s2")))
+    // the all-fits source kept wholesale
+    assert(got.count(_._2 == "s2") == 80)
+    // one window only (all boundary buckets share it), like q127's plan
+    import org.apache.spark.sql.execution.ExplainMode
+    val plan = DedupOps.tokenBudgetSelectBySource(docs, "id", "src",
+        col("score"), col("n"), budgets, nBuckets = 16)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Window""".r.findAllIn(plan).size == 1,
+      s"exactly ONE shared boundary window, got:\n$plan")
+  }
+
   test("manifest lifetime: the three internal persists are BOUNDED by " +
       "the LRU cap and releaseManifests() drops them all — no unbounded " +
       "cache-block accumulation (VERDICT r13 defect 1)") {
