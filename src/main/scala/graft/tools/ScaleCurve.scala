@@ -248,6 +248,18 @@ object ScaleCurve {
         RetrievalOps.bm25PerQueryFromStore(
           RetrievalOps.readLexicalStats(spark, lexStatsPath(n)),
           bm25Probe, "query_id", "term", "doc_id", k = 5)),
+      // per-source budgets scale with the corpus (a budget is relative,
+      // the q95 MixBudget reasoning); histogram probe stays ≤
+      // |sources|·nBuckets rows regardless of corpus size
+      "q148_budget_by_source" -> { n =>
+        val d = docs(spark, dirs(n))
+        DedupOps.tokenBudgetSelectBySource(
+          d.withColumn("q", TextOps.qualityScore(col("text"))),
+          "doc_id", "source", col("q"),
+          size(TextOps.tokens(col("text"))).cast("long"),
+          graft.queries.ExtensionQueries.SourceBudgets
+            .map { case (s2, b) => s2 -> b * n })
+      },
       "q118_bm25_per_query" -> (n =>
         RetrievalOps.bm25PerQuery(docs(spark, dirs(n)), bm25Probe,
           "query_id", "term", "doc_id", "text", k = 5)),
