@@ -683,6 +683,64 @@ final class PipelineSession(
     }
   }
 
+  /** Replace table `id` with `df`, which may READ `id` (Spark cannot
+    * overwrite a table it is reading): materialize to a staging table,
+    * drop the original, rename the staging in — both sides are
+    * warehouse-managed, so the rename is a directory move, not a
+    * rewrite. Shared by the incremental merge and the snapshot update.
+    */
+  private def overwriteViaStaging(id: String,
+                                  df: org.apache.spark.sql.DataFrame)
+      : Unit = {
+    val tmp = id + "__graft_stage"
+    ViewStore.dropTableClearingLocation(spark, tmp)
+    df.write.mode("overwrite").saveAsTable(tmp)
+    ViewStore.dropTableClearingLocation(spark, id)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$id`")
+    ()
+  }
+
+  /** One SCD2 update under the dbt `check` strategy: versions whose
+    * CONTENT changed (any non-audit column, null-safe) close with
+    * `valid_to = ts` and a fresh current version opens; brand-new keys
+    * open; keys absent from the fresh SELECT stay open (dbt's default —
+    * a missing source row is not evidence of deletion); historical rows
+    * never move. Content comparison is per-column null-safe equality —
+    * no hash collisions, and column-pruned to the data columns. Scale
+    * shape: one key-keyed join between the CURRENT slice and the fresh
+    * rows (both narrow relative to the full history), history carried by
+    * the staging rewrite only.
+    */
+  private def snapshotMerge(id: String,
+                            fresh: org.apache.spark.sql.DataFrame,
+                            key: String, ts: java.sql.Timestamp)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = spark.table(id)
+    val dataCols = snap.columns.filterNot(c =>
+      c == "valid_from" || c == "valid_to").toSeq
+    val history = snap.filter(col("valid_to").isNotNull)
+    val current = snap.filter(col("valid_to").isNull)
+    val f = fresh.select(dataCols.map(c => fresh(c)): _*)
+    // keys whose current content differs from the fresh content
+    val changedKeys = current.alias("c")
+      .join(f.alias("f"), col(s"c.$key") === col(s"f.$key"))
+      .filter(dataCols.filterNot(_ == key)
+        .map(c => !(col(s"c.$c") <=> col(s"f.$c")))
+        .foldLeft(lit(false))(_ || _))
+      .select(col(s"c.$key").as(key))
+    val newKeys = f.join(current, Seq(key), "left_anti").select(col(key))
+    val opening = f.join(changedKeys.unionByName(newKeys).distinct(),
+        Seq(key), "left_semi")
+      .withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val closing = current.join(changedKeys, Seq(key), "left_semi")
+      .withColumn("valid_to", lit(ts))
+    val keeping = current.join(changedKeys, Seq(key), "left_anti")
+    history.unionByName(keeping).unionByName(closing)
+      .unionByName(opening)
+  }
+
   /** Run the node's declared data tests against its materialized result
     * (view or table — both resolve through the session catalog). Each
     * test is one aggregate job counting VIOLATING rows; 0 passes. The
@@ -780,11 +838,40 @@ final class PipelineSession(
                   .unionByName(fresh)
               case None => existing.unionByName(fresh)
             }
-            val tmp = node.id + "__graft_incr"
-            ViewStore.dropTableClearingLocation(spark, tmp)
-            merged.write.mode("overwrite").saveAsTable(tmp)
+            overwriteViaStaging(node.id, merged)
+          }
+          ViewStore.saveTable(spark, config.dbPath, node.id)
+          "SELECT" // row-count postlude runs after the tail statements
+        } catch {
+          case e: GraftError => throw e
+          case e: Exception =>
+            throw StatementExecutionError(e.getMessage, select, node.path)
+        }
+      case Some("snapshot") =>
+        try {
+          spark.catalog.dropTempView(node.id)
+          val key = node.uniqueKey.getOrElse(throw GenericError(
+            s"materialize: snapshot for `${node.id}` requires " +
+              s"models.${node.id}.unique_key"))
+          val fresh = spark.sql(select)
+          require(fresh.columns.contains(key),
+            s"snapshot `${node.id}`: unique_key `$key` is not a column " +
+              s"of the SELECT (${fresh.columns.mkString(", ")})")
+          val ts = java.sql.Timestamp.from(java.time.Instant.now())
+          val exists =
+            try spark.catalog.tableExists(node.id)
+            catch { case _: Exception => false }
+          if (!exists) {
             ViewStore.dropTableClearingLocation(spark, node.id)
-            spark.sql(s"ALTER TABLE `$tmp` RENAME TO `${node.id}`")
+            fresh
+              .withColumn("valid_from",
+                org.apache.spark.sql.functions.lit(ts))
+              .withColumn("valid_to", org.apache.spark.sql.functions
+                .lit(null).cast("timestamp"))
+              .write.mode("overwrite").saveAsTable(node.id)
+          } else {
+            overwriteViaStaging(node.id, snapshotMerge(node.id, fresh,
+              key, ts))
           }
           ViewStore.saveTable(spark, config.dbPath, node.id)
           "SELECT" // row-count postlude runs after the tail statements

@@ -590,6 +590,77 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r.results.map(_.id).toSet == Set("ex_src", "ex_mid", "ex_side"))
   }
 
+  test("materialize: snapshot — SCD2 check strategy: changed content " +
+      "closes the old version and opens a new one, new keys open, " +
+      "missing keys stay open, history never moves") {
+    val db = Files.createTempDirectory("graft-snap-db")
+    val dir = Files.createTempDirectory("graft-snap")
+    val dataDir = Files.createTempDirectory("graft-snap-data")
+    val parq = dataDir.resolve("dim.parquet").toString
+    def writeSource(rows: Seq[(Long, String)]): Unit = {
+      spark.createDataFrame(rows).toDF("id", "status")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    writeSource(Seq((1L, "active"), (2L, "active"), (3L, "trial")))
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("dim_snap.sql"),
+      s"SELECT id, status FROM read_parquet('$parq')")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  dim_snap:
+         |    materialize: snapshot
+         |    unique_key: id""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def rows(): Seq[(Long, String, Boolean)] = spark.table("dim_snap")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.isNullAt(3))) // (id, status, isCurrent)
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // bootstrap: every row current
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows() == Seq((1L, "active", true), (2L, "active", true),
+      (3L, "trial", true)))
+
+    // id 2 changes, id 4 appears, id 3 vanishes from the source
+    writeSource(Seq((1L, "active"), (2L, "churned"), (4L, "trial")))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows() == Seq(
+      (1L, "active", true),    // untouched: one open version
+      (2L, "active", false),   // closed old version
+      (2L, "churned", true),   // opened new version
+      (3L, "trial", true),     // missing ≠ deleted: stays open
+      (4L, "trial", true)))    // new key opens
+    // audit columns are real timestamps: closed row's valid_to equals
+    // the new version's valid_from (one run timestamp)
+    val v2 = spark.table("dim_snap").filter("id = 2").collect()
+    val closed = v2.find(!_.isNullAt(3)).get
+    val opened = v2.find(_.isNullAt(3)).get
+    assert(closed.getTimestamp(3) == opened.getTimestamp(2))
+
+    // no source change: the snapshot is a no-op (row count stable) —
+    // and under --changed-only it SKIPs without running at all
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows().size == 5)
+    val r4 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(r4.results.map(_.status) == Seq("SKIP unchanged"), r4.results)
+
+    // snapshot without unique_key: loud error
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: ${Files.createTempDirectory("graft-snap-db2")}
+         |models:
+         |  dim_snap:
+         |    materialize: snapshot""".stripMargin)
+    val bad = PipelineConfig.load(dir.resolve("config.yaml"))
+    val rBad = new PipelineSession(spark, bad).runNodes()
+    assert(rBad.errors.nonEmpty &&
+      rBad.errors.head.render.contains("unique_key"),
+      rBad.errors.map(_.render).mkString("; "))
+  }
+
   test("seeds: CSVs under seeds_dir load as TABLE nodes, wire DAG edges " +
       "to referencing models, re-load under --changed-only when the CSV " +
       "is edited, and collide loudly with model ids") {
