@@ -28,4 +28,7 @@ final case class ModelNode(
     nexts: Set[String] = Set.empty,
     materialize: Option[String] = None,
     uniqueKey: Option[String] = None,
-    tests: Seq[ModelTest] = Nil)
+    tests: Seq[ModelTest] = Nil,
+    tags: Seq[String] = Nil,
+    incrementalStrategy: Option[String] = None,
+    partitionBy: Option[String] = None)

@@ -29,7 +29,10 @@ final case class PipelineConfig(
 
 final case class ModelConfig(materialize: Option[String] = None,
                              uniqueKey: Option[String] = None,
-                             tests: Seq[ModelTest] = Nil)
+                             tests: Seq[ModelTest] = Nil,
+                             tags: Seq[String] = Nil,
+                             incrementalStrategy: Option[String] = None,
+                             partitionBy: Option[String] = None)
 
 /** A dbt-style data test declared on a model (`models.<id>.tests:`) and
   * run against the materialized result right after the model executes —
@@ -117,6 +120,15 @@ object PipelineConfig {
                   mv != null => mv.toString }
             case _ => None
           }
+          def list(name: String): Seq[String] = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, mv: java.util.List[_])
+                    if String.valueOf(mk) == name =>
+                  mv.asScala.toSeq.map(String.valueOf(_))
+              }.getOrElse(Nil)
+            case _ => Nil
+          }
           val tests: Seq[ModelTest] = v match {
             case vm: java.util.Map[_, _] =>
               vm.asScala.collectFirst {
@@ -127,7 +139,9 @@ object PipelineConfig {
             case _ => Nil
           }
           id -> ModelConfig(field("materialize"), field("unique_key"),
-            tests)
+            tests, tags = list("tags"),
+            incrementalStrategy = field("incremental_strategy"),
+            partitionBy = field("partition_by"))
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 

@@ -129,7 +129,11 @@ final class PipelineSession(
       id -> ModelNode(id, p.toString, raw,
         materialize = config.models.get(id).flatMap(_.materialize),
         uniqueKey = config.models.get(id).flatMap(_.uniqueKey),
-        tests = config.models.get(id).map(_.tests).getOrElse(Nil))
+        tests = config.models.get(id).map(_.tests).getOrElse(Nil),
+        tags = config.models.get(id).map(_.tags).getOrElse(Nil),
+        incrementalStrategy =
+          config.models.get(id).flatMap(_.incrementalStrategy),
+        partitionBy = config.models.get(id).flatMap(_.partitionBy))
     }.toMap ++ seedPaths.map { p =>
       val fn = p.getFileName.toString
       val id = fn.substring(0, fn.lastIndexOf('.'))
@@ -139,7 +143,8 @@ final class PipelineSession(
       id -> ModelNode(id, p.toString,
         s"SELECT * FROM read_csv_auto('$p', header=true)",
         materialize = Some("table"),
-        tests = config.models.get(id).map(_.tests).getOrElse(Nil))
+        tests = config.models.get(id).map(_.tests).getOrElse(Nil),
+        tags = config.models.get(id).map(_.tags).getOrElse(Nil))
     }.toMap
 
     val modelIds = nodeMap.keySet
@@ -374,6 +379,16 @@ final class PipelineSession(
       val core = raw.stripPrefix("+").stripSuffix("+")
       val base: Set[String] =
         if (core == "state:modified") modified
+        else if (core.startsWith("tag:")) {
+          val tag = core.stripPrefix("tag:")
+          val matched = nodeMap.collect {
+            case (id, n) if n.tags.contains(tag) => id
+          }.toSet
+          if (matched.isEmpty)
+            throw GenericError(s"$flag: tag selector '$core' matches no " +
+              s"model (declare tags under models.<id>.tags)")
+          matched
+        }
         else if (core.startsWith("path:")) {
           val pat = core.stripPrefix("path:")
           val matched = nodeMap.collect {
@@ -815,30 +830,66 @@ final class PipelineSession(
             catch { case _: Exception => false }
           if (!exists) {
             // bootstrap run: identical to a table build — is_incremental()
-            // rendered false, so the SELECT covers the full history
+            // rendered false, so the SELECT covers the full history;
+            // partition_by lays the table out for the insert_overwrite
+            // strategy (and for partition-pruned consumers either way)
             ViewStore.dropTableClearingLocation(spark, node.id)
-            spark.sql(select).write.mode("overwrite").saveAsTable(node.id)
-          } else {
-            // merge run: is_incremental() rendered true, so the SELECT is
-            // the user-restricted fresh slice (typically `WHERE ts >
-            // (SELECT max(ts) FROM {{ this }})`) — the full-history scan
-            // never happens again. Delete+insert by unique_key: existing
-            // rows whose key reappears are replaced; no key = append-only
-            // (the dbt default). The merged snapshot is written to a
-            // staging table first (Spark cannot overwrite a table it is
-            // reading), then swapped in by rename — both sides of the
-            // swap are warehouse-managed tables, so the rename is a
-            // directory move, not a rewrite.
-            val fresh = spark.sql(select)
-            val existing = spark.table(node.id)
-            val merged = node.uniqueKey match {
-              case Some(k) =>
-                existing.join(fresh.select(fresh.col(k)).distinct(),
-                    Seq(k), "left_anti")
-                  .unionByName(fresh)
-              case None => existing.unionByName(fresh)
-            }
-            overwriteViaStaging(node.id, merged)
+            val w = spark.sql(select).write.mode("overwrite")
+            node.partitionBy.fold(w)(c => w.partitionBy(c))
+              .saveAsTable(node.id)
+          } else node.incrementalStrategy.map(_.toLowerCase) match {
+            case Some("insert_overwrite") =>
+              // Spark's native big-data incremental: DYNAMIC partition
+              // overwrite — partitions present in the fresh slice are
+              // replaced wholesale, untouched partitions never move, no
+              // key join and no history rewrite at all. The right
+              // strategy when the model is late-arriving-data-by-
+              // partition (recompute the last N days) rather than
+              // row-keyed.
+              val partCol = node.partitionBy.getOrElse(throw GenericError(
+                s"incremental_strategy: insert_overwrite for " +
+                  s"`${node.id}` requires models.${node.id}.partition_by"))
+              require(spark.table(node.id).columns.contains(partCol),
+                s"partition_by `$partCol` is not a column of `${node.id}`")
+              val fresh = spark.sql(select)
+              val target = spark.table(node.id)
+              val key = "spark.sql.sources.partitionOverwriteMode"
+              val prev = spark.conf.getOption(key)
+              try {
+                spark.conf.set(key, "dynamic")
+                // insertInto is POSITION-based: align the fresh slice to
+                // the table's column order (partition columns last)
+                fresh.select(target.columns
+                    .map(c => fresh(c)).toIndexedSeq: _*)
+                  .write.mode("overwrite").insertInto(node.id)
+              } finally {
+                prev match {
+                  case Some(v) => spark.conf.set(key, v)
+                  case None    => spark.conf.unset(key)
+                }
+              }
+            case None | Some("merge") | Some("delete+insert") =>
+              // merge run: is_incremental() rendered true, so the SELECT
+              // is the user-restricted fresh slice (typically `WHERE ts >
+              // (SELECT max(ts) FROM {{ this }})`) — the full-history
+              // scan never happens again. Delete+insert by unique_key:
+              // existing rows whose key reappears are replaced; no key =
+              // append-only (the dbt default). The merged snapshot is
+              // written to a staging table first (Spark cannot overwrite
+              // a table it is reading), then swapped in by rename.
+              val fresh = spark.sql(select)
+              val existing = spark.table(node.id)
+              val merged = node.uniqueKey match {
+                case Some(k) =>
+                  existing.join(fresh.select(fresh.col(k)).distinct(),
+                      Seq(k), "left_anti")
+                    .unionByName(fresh)
+                case None => existing.unionByName(fresh)
+              }
+              overwriteViaStaging(node.id, merged)
+            case Some(other) =>
+              throw GenericError(s"Unknown incremental_strategy for " +
+                s"`${node.id}`: $other (supported: merge, insert_overwrite)")
           }
           ViewStore.saveTable(spark, config.dbPath, node.id)
           "SELECT" // row-count postlude runs after the tail statements

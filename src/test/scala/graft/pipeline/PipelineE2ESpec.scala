@@ -590,6 +590,102 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r.results.map(_.id).toSet == Set("ex_src", "ex_mid", "ex_side"))
   }
 
+  test("tag: selectors pick models by declared tags, compose with " +
+      "affixes/exclude; an unmatched tag errors loudly") {
+    val dir = Files.createTempDirectory("graft-tags")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    def write(id: String, sql: String): Unit = {
+      Files.writeString(modelsDir.resolve(s"$id.sql"), sql); ()
+    }
+    write("tg_src", s"SELECT * FROM read_parquet('$sfDir/region.parquet')")
+    write("tg_mid", "SELECT r_regionkey FROM tg_src")
+    write("tg_leaf", "SELECT count() AS n FROM tg_mid")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |models:
+         |  tg_mid:
+         |    tags: [nightly, core]
+         |  tg_leaf:
+         |    tags: [nightly]""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def sel(selects: Seq[String], excl: Seq[String] = Nil): Set[String] = {
+      val s = new PipelineSession(
+        throw new IllegalStateException("selection is Spark-free"), config,
+        selectors = selects, excludes = excl)
+      val (o, m) = s.buildGraph()
+      s.selectionSet(o, m).get
+    }
+    assert(sel(Seq("tag:nightly")) == Set("tg_mid", "tg_leaf"))
+    assert(sel(Seq("tag:core")) == Set("tg_mid"))
+    // ancestors affix pulls the untagged upstream in
+    assert(sel(Seq("+tag:core")) == Set("tg_src", "tg_mid"))
+    // exclude composes
+    assert(sel(Seq("tag:nightly"), Seq("tg_leaf")) == Set("tg_mid"))
+    val e = intercept[GenericError] { sel(Seq("tag:nope")) }
+    assert(e.getMessage.contains("tag:nope"))
+  }
+
+  test("incremental_strategy: insert_overwrite replaces exactly the " +
+      "partitions present in the fresh slice — untouched partitions " +
+      "never move, no key join") {
+    val db = Files.createTempDirectory("graft-iow-db")
+    val dir = Files.createTempDirectory("graft-iow")
+    val dataDir = Files.createTempDirectory("graft-iow-data")
+    val parq = dataDir.resolve("events.parquet").toString
+    def writeSource(rows: Seq[(String, Long)]): Unit = {
+      spark.createDataFrame(rows).toDF("day", "amount")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    writeSource(Seq(("d1", 10L), ("d1", 11L), ("d2", 20L)))
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("daily_agg.sql"),
+      s"""SELECT day, count() AS n, sum(amount) AS total
+         |FROM read_parquet('$parq')
+         |{% if is_incremental() %} WHERE day >= 'd2' {% endif %}
+         |GROUP BY day""".stripMargin)
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  daily_agg:
+         |    materialize: incremental
+         |    incremental_strategy: insert_overwrite
+         |    partition_by: day""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def rows(): Map[String, (Long, Long)] = spark.table("daily_agg")
+      .collect().map(r => (r.getString(r.fieldIndex("day")),
+        (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("total")))))
+      .toMap
+
+    // bootstrap: full history, partitioned layout
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows() == Map("d1" -> ((2L, 21L)), "d2" -> ((1L, 20L))))
+
+    // late data lands in d2 and d3 appears; d1 ALSO changes in the
+    // source but the fresh slice doesn't cover it — insert_overwrite
+    // must leave the d1 partition byte-identical
+    writeSource(Seq(("d1", 999L), ("d2", 20L), ("d2", 22L), ("d3", 30L)))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows() == Map(
+      "d1" -> ((2L, 21L)),   // untouched partition kept as-is
+      "d2" -> ((2L, 42L)),   // replaced wholesale
+      "d3" -> ((1L, 30L))))  // new partition
+
+    // unknown strategy errors loudly
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  daily_agg:
+         |    materialize: incremental
+         |    incremental_strategy: upsert_magic
+         |    partition_by: day""".stripMargin)
+    val bad = new PipelineSession(spark,
+      PipelineConfig.load(dir.resolve("config.yaml"))).runNodes()
+    assert(bad.errors.nonEmpty &&
+      bad.errors.head.render.contains("upsert_magic"))
+  }
+
   test("materialize: snapshot — SCD2 check strategy: changed content " +
       "closes the old version and opens a new one, new keys open, " +
       "missing keys stay open, history never moves") {
