@@ -9,7 +9,7 @@ import graft.viz.GraphViz
   * (/root/reference/src/main.rs:24-84):
   *
   *   run       [--config C] [--models-dir D] [--db-path P] [--parallel]
-  *             [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,…]
+  *             [--changed-only] [--dry-run] [--full-refresh] [--select m1[+],+m2,path:dir,state:modified,…]
   *             [--exclude m3[+],path:glob,…]
   *   run-file  <script.sql> [more.sql …]
   *   viz       <out.svg>
@@ -56,6 +56,8 @@ object Main {
       case "--changed-only" :: t =>
         go(t, flags + ("changed-only" -> "true"), pos)
       case "--dry-run" :: t => go(t, flags + ("dry-run" -> "true"), pos)
+      case "--full-refresh" :: t =>
+        go(t, flags + ("full-refresh" -> "true"), pos)
       case a :: _ if a.startsWith("--") =>
         System.err.println(s"Unknown flag: $a"); sys.exit(2)
       case a :: t => go(t, flags, pos :+ a)
@@ -107,7 +109,8 @@ object Main {
         parallel = flags.contains("parallel"),
         changedOnly = flags.contains("changed-only"),
         selectors = selectorsOf(flags),
-        excludes = excludesOf(flags))
+        excludes = excludesOf(flags),
+        fullRefresh = flags.contains("full-refresh"))
       val report = session.runNodes()
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {

@@ -28,7 +28,8 @@ final class PipelineSession(
     parallel: Boolean = false,
     changedOnly: Boolean = false,
     selectors: Seq[String] = Nil,
-    excludes: Seq[String] = Nil) {
+    excludes: Seq[String] = Nil,
+    fullRefresh: Boolean = false) {
 
   // by-name + lazy: graph building and viz never touch Spark, so `viz`
   // can construct a session-free PipelineSession and skip Spark startup
@@ -158,7 +159,7 @@ final class PipelineSession(
       val stripped = SqlText.stripComments(node.rawSrc)
       val withCtx = PipelineSession.renderIncrementalContext(stripped, id,
         incremental = node.materialize.map(_.toLowerCase)
-          .contains("incremental") && targetTableExists(id))
+          .contains("incremental") && !fullRefresh && targetTableExists(id))
       val rendered = MacroRenderer.render(withCtx, fileMacros)
       val prevs = DepExtractor.modelRefsInModel(rendered, modelIds)
         .flatMap(byLower.get) - id
@@ -825,9 +826,13 @@ final class PipelineSession(
       case Some("incremental") =>
         try {
           spark.catalog.dropTempView(node.id)
-          val exists =
-            try spark.catalog.tableExists(node.id)
-            catch { case _: Exception => false }
+          // --full-refresh: rebuild from scratch — the escape hatch when
+          // the guard predicate or the model's shape changed and the
+          // accumulated table would be wrong to merge into (dbt parity);
+          // is_incremental() rendered false above for the same reason
+          val exists = !fullRefresh &&
+            (try spark.catalog.tableExists(node.id)
+             catch { case _: Exception => false })
           if (!exists) {
             // bootstrap run: identical to a table build — is_incremental()
             // rendered false, so the SELECT covers the full history;
@@ -909,9 +914,10 @@ final class PipelineSession(
             s"snapshot `${node.id}`: unique_key `$key` is not a column " +
               s"of the SELECT (${fresh.columns.mkString(", ")})")
           val ts = java.sql.Timestamp.from(java.time.Instant.now())
-          val exists =
-            try spark.catalog.tableExists(node.id)
-            catch { case _: Exception => false }
+          // --full-refresh restarts the history from a fresh bootstrap
+          val exists = !fullRefresh &&
+            (try spark.catalog.tableExists(node.id)
+             catch { case _: Exception => false })
           if (!exists) {
             ViewStore.dropTableClearingLocation(spark, node.id)
             fresh

@@ -521,6 +521,40 @@ class PipelineE2ESpec extends AnyFunSuite {
       (1L to 7L).map(i => i -> i * 10).toMap + (8L -> 999L) + (9L -> 90L))
   }
 
+  test("--full-refresh rebuilds an incremental model from scratch " +
+      "(is_incremental() renders false, the accumulated table drops)") {
+    val db = Files.createTempDirectory("graft-fr-db")
+    val dir = Files.createTempDirectory("graft-fr")
+    val dataDir = Files.createTempDirectory("graft-fr-data")
+    val parq = dataDir.resolve("rows.parquet").toString
+    spark.range(1, 4).selectExpr("id").write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("fr_inc.sql"),
+      s"""SELECT id FROM read_parquet('$parq')
+         |{% if is_incremental() %} WHERE id >
+         |  (SELECT max(id) FROM {{ this }}) {% endif %}""".stripMargin)
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  fr_inc:
+         |    materialize: incremental""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    // poison the table's history by shrinking the SOURCE: a plain
+    // incremental run cannot shed the stale rows (guard selects nothing)
+    spark.range(1, 3).selectExpr("id").write.mode("overwrite").parquet(parq)
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(spark.table("fr_inc").count() == 3L,
+      "plain incremental keeps accumulated history by design")
+    // --full-refresh rebuilds from the full (shrunken) history
+    val r = new PipelineSession(spark, config, fullRefresh = true)
+      .runNodes()
+    assert(r.errors.isEmpty, r.errors.mkString("; "))
+    assert(spark.table("fr_inc").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
   test("materialize: incremental without unique_key appends the fresh " +
       "slice (the dbt append default)") {
     val db = Files.createTempDirectory("graft-incr-app-db")
