@@ -24,16 +24,25 @@ object GraphViz {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // the \n in the label is DOT's own line-break escape — appended AFTER
     // id escaping so q() cannot double-escape it
-    def tagged(s: String, tag: String) =
-      q(s).dropRight(1) + "\\n[" + tag + "]\""
+    def tagged(s: String, tags: Seq[String]) =
+      q(s).dropRight(1) + tags.map(t => "\\n[" + t + "]").mkString + "\""
     val nodes = nodeNames.map { s =>
-      preview match {
-        case None => s"\t${q(s)};"
-        case Some(skips) if skips(s) =>
-          s"\t${q(s)} [color=green, label=${tagged(s, "skip")}];"
-        case Some(_) =>
-          s"\t${q(s)} [color=red, label=${tagged(s, "run")}];"
-      }
+      // non-view materializations annotate the node (box shape + a label
+      // tag) — a pipeline mixing views/tables/incremental/snapshot reads
+      // its persistence boundaries straight off the graph; plain views
+      // stay the reference's bare-node DOT
+      val mat = nodeMap.get(s).flatMap(_.materialize)
+        .map(_.toLowerCase).filterNot(_ == "view")
+      val prevTag = preview.map(skips => if (skips(s)) "skip" else "run")
+      val attrs =
+        prevTag.map(t =>
+          if (t == "skip") "color=green" else "color=red").toSeq ++
+        mat.map(_ => "shape=box").toSeq ++ {
+          val tags = prevTag.toSeq ++ mat.toSeq
+          if (tags.nonEmpty) Seq("label=" + tagged(s, tags)) else Nil
+        }
+      if (attrs.isEmpty) s"\t${q(s)};"
+      else s"\t${q(s)} [${attrs.mkString(", ")}];"
     }.mkString("\n")
     val edges = nodeNames.flatMap { name =>
       nodeMap.get(name).toSeq

@@ -21,6 +21,16 @@ class GraphVizSpec extends AnyFunSuite {
   test("DOT: one quoted line per node, one per edge, reference shape") {
     val dot = GraphViz.renderDot(order, nodeMap)
     assert(dot.startsWith("digraph LR {"))
+    // non-view materializations annotate the node; views stay bare
+    locally {
+      val withMat = nodeMap.map { case (id, n) =>
+        id -> (if (id == order.head) n.copy(materialize = Some("snapshot"))
+               else n)
+      }
+      val d2 = GraphViz.renderDot(order, withMat)
+      assert(d2.contains("shape=box") && d2.contains("[snapshot]"), d2)
+      assert(d2.contains("\"" + order.last + "\";"), d2)
+    }
     order.foreach(id => assert(dot.contains("\"" + id + "\";"), id))
     val expectedEdges = nodeMap.values.map(_.nexts.size).sum
     assert("->".r.findAllIn(dot).size == expectedEdges)
