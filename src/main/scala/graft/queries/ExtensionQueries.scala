@@ -862,6 +862,39 @@ object ExtensionQueries {
     // q107/q110 histogram discipline applied to selection); the oracle IS
     // the naive global-order window, so the green row is a differential
     // proof of the scale-shaped algorithm -------------------------------
+    // Quality-calibration audit (q149): is the quality score PREDICTIVE
+    // — where do near-dups and contamination concentrate along it? Per
+    // score decile over the train slice: doc count, docs touched by any
+    // MinHash near-dup pair (q27's committed banding), docs sharing a
+    // 3-gram with the eval split (q63). The report a curation engineer
+    // reads before committing gate/dedup thresholds: a flat dup rate
+    // says the score is orthogonal to duplication; dup/contamination
+    // piling into low deciles says the gate already absorbs them.
+    // Integer-only output; oracle composes the q27 + q63 + q64 CTEs ----
+    "q149_quality_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+      val evalDocs = d.filter(col("doc_id") % 50 === 0)
+      val pairs = portableMinHashPairs(train)
+      val dupIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+        .withColumn("__dup", lit(true))
+      val contam = TextOps.contaminationFlags(train, evalDocs,
+          "doc_id", "text", k = 3)
+        .filter(col("contaminated")).select(col("doc_id"))
+        .withColumn("__ct", lit(true))
+      train
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .join(dupIds, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy(least(lit(9), floor(col("quality") * 10)).cast("int")
+          .as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("__dup")).as("n_neardup"),
+          count(col("__ct")).as("n_contaminated"))
+        .orderBy(col("decile"))
+    }),
+
     // Per-source token budgets (q148): the mixture recipe's exact
     // selection — best-first prefix per source within its own budget
     // (src0 partial, src1 all-fits, src2 partial, srcX absent); one
@@ -3791,6 +3824,46 @@ object ExtensionQueries {
     "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
     "q127_token_budget" -> tokenBudgetOracleSql,
     "q148_budget_by_source" -> budgetBySourceOracleSql,
+    // q149: q27's pair CTEs over the train slice + q63's gram CTEs +
+    // q64's quality arithmetic, rolled up per score decile
+    "q149_quality_calibration" ->
+      s"""WITH ${minHashPairCtes(
+            "(SELECT * FROM documents WHERE doc_id % 50 <> 0) s")},
+         |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+         |dup AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)),
+         |d2 AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+         |    for i in generate_series(1, len(toks) - 2)]) AS g FROM d2),
+         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |tg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+         |ct AS (SELECT DISTINCT doc_id FROM tg JOIN ev USING (g)),
+         |tr AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |r AS (SELECT doc_id,
+         |  round(CAST(len(list_filter(toks, t -> t IN
+         |    ('the','a','of','and','to','in','is','it','for','on')))
+         |    AS DOUBLE) / len(toks), 4) AS stop_ratio,
+         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+         |    'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+         |  len(toks) AS n_toks
+         |  FROM tr),
+         |q AS (SELECT doc_id,
+         |  round(stop_ratio * 0.4 + least(CAST(n_toks AS DOUBLE) / 100.0,
+         |    1.0) * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS quality FROM r),
+         |dd AS (SELECT q.doc_id,
+         |  CAST(least(9, floor(quality * 10)) AS INT) AS decile,
+         |  q.doc_id IN (SELECT id FROM dup) AS is_dup,
+         |  q.doc_id IN (SELECT doc_id FROM ct) AS is_ct
+         |  FROM q)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_neardup,
+         |  CAST(count(CASE WHEN is_ct THEN 1 END) AS BIGINT)
+         |    AS n_contaminated
+         |FROM dd GROUP BY decile ORDER BY decile""".stripMargin,
     "q128_embedding_drift" -> embeddingDriftOracleSql,
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,

@@ -64,4 +64,24 @@ class RecipeSpec extends AnyFunSuite {
       t.last == chain.map(_.getLong(2)).sum,
       "the funnel's budget stage must equal the recipe's actual output")
   }
+
+  test("q149 calibration report conserves its inputs: deciles partition " +
+      "the train slice, flag totals equal the flagging stages' own counts") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ExtensionQueries.queries("q149_quality_calibration")(
+      spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    assert(rows.map(_._2).sum == train.count(),
+      "deciles must partition the train slice")
+    val pairs = ExtensionQueries.portableMinHashPairs(train)
+    val nDup = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().count()
+    assert(rows.map(_._3).sum == nDup,
+      "per-decile dup counts must sum to the distinct flagged docs")
+    // rates are bounded by construction
+    assert(rows.forall { case (dec, nd, du, ct) =>
+      dec >= 0 && dec <= 9 && du <= nd && ct <= nd })
+  }
 }
