@@ -31,4 +31,9 @@ final case class ModelNode(
     tests: Seq[ModelTest] = Nil,
     tags: Seq[String] = Nil,
     incrementalStrategy: Option[String] = None,
-    partitionBy: Option[String] = None)
+    partitionBy: Option[String] = None,
+    snapshotStrategy: Option[String] = None,
+    updatedAt: Option[String] = None,
+    onSchemaChange: Option[String] = None,
+    preHooks: Seq[String] = Nil,
+    postHooks: Seq[String] = Nil)

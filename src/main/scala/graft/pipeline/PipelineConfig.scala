@@ -32,7 +32,12 @@ final case class ModelConfig(materialize: Option[String] = None,
                              tests: Seq[ModelTest] = Nil,
                              tags: Seq[String] = Nil,
                              incrementalStrategy: Option[String] = None,
-                             partitionBy: Option[String] = None)
+                             partitionBy: Option[String] = None,
+                             snapshotStrategy: Option[String] = None,
+                             updatedAt: Option[String] = None,
+                             onSchemaChange: Option[String] = None,
+                             preHooks: Seq[String] = Nil,
+                             postHooks: Seq[String] = Nil)
 
 /** A dbt-style data test declared on a model (`models.<id>.tests:`) and
   * run against the materialized result right after the model executes —
@@ -49,6 +54,36 @@ object ModelTest {
   final case class AcceptedValues(column: String, values: Seq[String])
       extends ModelTest {
     def describe = s"accepted_values($column in ${values.mkString("[", ", ", "]")})"
+  }
+  /** dbt's referential-integrity test: every non-null value of `column`
+    * must exist in `to`.`field`. Declaring it also WIRES a DAG edge from
+    * `to` to the tested model (the test can only run once its target is
+    * materialized — order matters, and the dependency belongs in the
+    * graph, visible in `viz`).
+    */
+  final case class Relationships(column: String, to: String, field: String)
+      extends ModelTest {
+    def describe = s"relationships($column -> $to.$field)"
+  }
+  /** A custom-SQL data test (dbt's singular test): a SQL file whose
+    * SELECT returns VIOLATING rows — any row fails the model. `{{ this }}`
+    * in the file refers to the tested model. The file's content folds
+    * into [[describe]] (and therefore the model's closure fingerprint),
+    * so editing the test re-executes the model under `--changed-only`;
+    * a missing file describes as such and fails loudly at run time.
+    */
+  final case class CustomSql(path: String) extends ModelTest {
+    def content: Option[String] =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      catch { case _: Exception => None }
+    def describe: String = {
+      val fp = content match {
+        case Some(c) => java.security.MessageDigest.getInstance("MD5")
+          .digest(c.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        case None => "missing"
+      }
+      s"sql($path#$fp)"
+    }
   }
 }
 
@@ -83,7 +118,16 @@ object PipelineConfig {
       // a cwd-dependent location (a second session launched elsewhere
       // would "lose" every persisted view). A CLI --db-path flag is
       // applied after load and stays cwd-relative, as flags should.
-      dbPath = loaded.dbPath.map(rebase))
+      dbPath = loaded.dbPath.map(rebase),
+      // custom-SQL test files resolve against the config file too —
+      // `run --config some/dir/config.yaml` must find `tests/foo.sql`
+      // under some/dir from any cwd, like the model files themselves
+      models = loaded.models.view.mapValues { mc =>
+        mc.copy(tests = mc.tests.map {
+          case ModelTest.CustomSql(p) => ModelTest.CustomSql(rebase(p))
+          case t => t
+        })
+      }.toMap)
   }
 
   def fromYaml(text: String): PipelineConfig = {
@@ -138,10 +182,30 @@ object PipelineConfig {
               }.getOrElse(Nil)
             case _ => Nil
           }
+          // hooks accept a single string or a list; both dbt spellings
+          // (pre-hook / pre_hook) are read
+          def hookList(names: String*): Seq[String] = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, mv) if names.contains(String.valueOf(mk)) &&
+                  mv != null => mv
+              } match {
+                case Some(l: java.util.List[_]) =>
+                  l.asScala.toSeq.map(String.valueOf(_))
+                case Some(s) => Seq(s.toString)
+                case None => Nil
+              }
+            case _ => Nil
+          }
           id -> ModelConfig(field("materialize"), field("unique_key"),
             tests, tags = list("tags"),
             incrementalStrategy = field("incremental_strategy"),
-            partitionBy = field("partition_by"))
+            partitionBy = field("partition_by"),
+            snapshotStrategy = field("strategy"),
+            updatedAt = field("updated_at"),
+            onSchemaChange = field("on_schema_change"),
+            preHooks = hookList("pre_hook", "pre-hook"),
+            postHooks = hookList("post_hook", "post-hook"))
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 
@@ -158,6 +222,8 @@ object PipelineConfig {
     *   - not_null: col
     *   - unique: col
     *   - accepted_values: { column: col, values: [a, b, …] }
+    *   - relationships: { column: col, to: model, field: col }
+    *   - sql: path/to/test.sql   (a SELECT returning violating rows)
     * An unknown test name fails NAMED at config load — a typo'd test
     * silently testing nothing would defeat the point of declaring it.
     */
@@ -182,9 +248,21 @@ object PipelineConfig {
               s"models.$modelId.tests: accepted_values needs a `values` list")
           }
           ModelTest.AcceptedValues(colName, values)
+        case ("relationships", rm: java.util.Map[_, _]) =>
+          val fields = rm.asScala.map { case (rk, rv) =>
+            String.valueOf(rk) -> rv }.toMap
+          def req(name: String): String =
+            fields.get(name).flatMap(Option(_)).map(_.toString)
+              .getOrElse(throw GenericError(
+                s"models.$modelId.tests: relationships needs `$name` " +
+                  "(column, to, field)"))
+          ModelTest.Relationships(req("column"), req("to"), req("field"))
+        case ("sql", p) if p != null =>
+          ModelTest.CustomSql(p.toString)
         case (other, _) => throw GenericError(
           s"models.$modelId.tests: unknown test `$other` " +
-            "(supported: not_null, unique, accepted_values)")
+            "(supported: not_null, unique, accepted_values, " +
+            "relationships, sql)")
       }
     case other => throw GenericError(
       s"models.$modelId.tests: each entry must be a single-key mapping, " +

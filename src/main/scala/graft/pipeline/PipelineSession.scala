@@ -134,11 +134,25 @@ final class PipelineSession(
         tags = config.models.get(id).map(_.tags).getOrElse(Nil),
         incrementalStrategy =
           config.models.get(id).flatMap(_.incrementalStrategy),
-        partitionBy = config.models.get(id).flatMap(_.partitionBy))
+        partitionBy = config.models.get(id).flatMap(_.partitionBy),
+        snapshotStrategy = config.models.get(id).flatMap(_.snapshotStrategy),
+        updatedAt = config.models.get(id).flatMap(_.updatedAt),
+        onSchemaChange = config.models.get(id).flatMap(_.onSchemaChange),
+        preHooks = config.models.get(id).map(_.preHooks).getOrElse(Nil),
+        postHooks = config.models.get(id).map(_.postHooks).getOrElse(Nil))
     }.toMap ++ seedPaths.map { p =>
       val fn = p.getFileName.toString
       val id = fn.substring(0, fn.lastIndexOf('.'))
       println(s"Found seed source: $p")
+      // the path lands inside a single-quoted SQL literal below; a quote
+      // in it would break that SQL at EXECUTION with a confusing parse
+      // error attributed to the synthetic statement — fail named at
+      // discovery instead (escaping would have to round-trip the dialect
+      // shim's literal parsing too, for a path nobody should have)
+      if (p.toString.contains("'"))
+        throw GenericError(s"Seed file path contains a single quote, " +
+          s"which cannot be embedded in the synthetic read_csv_auto " +
+          s"statement: $p — rename the seeds directory/file")
       // seeds are tables (dbt semantics); their "SQL" is the synthetic
       // read — header detected like DuckDB's sniffer, types inferred
       id -> ModelNode(id, p.toString,
@@ -164,6 +178,20 @@ final class PipelineSession(
       val prevs = DepExtractor.modelRefsInModel(rendered, modelIds)
         .flatMap(byLower.get) - id
       id -> node.copy(renderedSrc = rendered, prevs = prevs)
+    }
+    // a relationships test reads its target model when the TESTED model
+    // runs — that is a real dependency: fold it into the DAG (ordering
+    // under --parallel, visibility in viz, selection walks). A target
+    // that is not a model at all can never pass; fail named at build.
+    nodeMap = nodeMap.map { case (id, node) =>
+      val relPrevs = node.tests.collect {
+        case ModelTest.Relationships(_, to, _) =>
+          byLower.getOrElse(to.toLowerCase, throw GenericError(
+            s"models.$id.tests: relationships target `$to` is not a " +
+              s"known model (known: ${modelIds.toSeq.sorted.mkString(", ")})"))
+      }.toSet - id
+      if (relPrevs.isEmpty) id -> node
+      else id -> node.copy(prevs = node.prevs ++ relPrevs)
     }
     // A model calling a SQL macro (CREATE MACRO) DEFINED in another model
     // must run after the definer: macros register in the session registry
@@ -254,11 +282,14 @@ final class PipelineSession(
     order.foreach { id =>
       val n = nodeMap(id)
       val own = PipelineSession.md5hex(
-        n.renderedSrc + " " + n.materialize.getOrElse("view") +
+        n.renderedSrc + "\u0000" + n.materialize.getOrElse("view") +
           // tests fold in: adding/editing a test must re-execute the
-          // model under --changed-only (a skipped model never re-tests)
-          " " + n.tests.map(_.describe).mkString(",") +
-          " " + sourceDataFp(n.renderedSrc))
+          // model under --changed-only (a skipped model never re-tests);
+          // hooks fold in for the same reason (a skipped model would
+          // never re-run an added/edited hook's side effects)
+          "\u0000" + n.tests.map(_.describe).mkString(",") +
+          "\u0000" + (n.preHooks ++ n.postHooks).mkString("\u0000") +
+          "\u0000" + sourceDataFp(n.renderedSrc))
       val anc = n.prevs.filter(nodeMap.contains).toSeq.sorted
         .map(p => memo.getOrElse(p, "?"))
       memo(id) = PipelineSession.md5hex((own +: anc).mkString(""))
@@ -475,6 +506,14 @@ final class PipelineSession(
     // alone never touches the lazy session)
     val _ = spark
     applySettings()
+    // adopt any swap a previous session's crash interrupted BEFORE
+    // rendering: is_incremental()/bootstrap decisions must see the
+    // recovered target, not bootstrap over a recoverable history
+    config.models.foreach { case (id, mc) =>
+      val mat = mc.materialize.map(_.toLowerCase)
+      if (mat.contains("incremental") || mat.contains("snapshot"))
+        recoverStagedSwap(id)
+    }
     val (order, nodeMap) = buildGraph()
     println(s"Start pipeline execution on " +
       LocalDateTime.now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd")))
@@ -568,6 +607,11 @@ final class PipelineSession(
     }
     println(s"\nPipeline execution completed in ${formatElapsed(report.totalMillis)} " +
       s"with ${report.nSuccess} success and ${report.errors.size} errors")
+    // every result is materialized (tables written, view counts taken),
+    // so any manifest caches the run's operators registered are dead
+    // weight now — release them so a long-lived session holds zero
+    // blocks between runs (the cachedManifest lifecycle contract)
+    graft.ext.DedupOps.releaseManifests()
     report
   }
 
@@ -671,12 +715,31 @@ final class PipelineSession(
       try SqlExec.run(spark, st)
       catch { case e: Exception =>
         throw StatementExecutionError(e.getMessage, st, node.path) }
+    // config-declared hooks (dbt pre-hook/post-hook): side statements run
+    // around the model's own statements, attributed to the node on
+    // failure; `{{ this }}` refers to the model being built
+    def runHooks(hooks: Seq[String], kind: String): Unit =
+      hooks.foreach { h =>
+        val rendered = PipelineSession.renderIncrementalContext(
+          SqlText.stripComments(h), node.id, incremental = false)
+        try SqlExec.run(spark, DialectShim.rewrite(rendered, spark))
+        catch {
+          case e: GraftError => throw e
+          case e: Exception => throw StatementExecutionError(
+            s"$kind failed: ${e.getMessage}", h, node.path)
+        }
+      }
+    runHooks(node.preHooks, "pre-hook")
     beforePairs.foreach { case (_, st) => runSide(st) }
 
     val select = rest.head._2
     val rawSelect = rest.head._1
     val status = materializeSelect(node, select, rawSelect)
     afterPairs.foreach { case (_, st) => runSide(st) }
+    // post-hooks see the materialized model (dbt runs them after the
+    // model builds); they run BEFORE the data tests, which must judge
+    // the final state including any hook-applied mutation
+    runHooks(node.postHooks, "post-hook")
     // data tests run against the FINAL materialized result — after the
     // tail side statements, which may mutate it. A violation fails the
     // node like a SQL error: the report names the test and its count,
@@ -701,19 +764,77 @@ final class PipelineSession(
 
   /** Replace table `id` with `df`, which may READ `id` (Spark cannot
     * overwrite a table it is reading): materialize to a staging table,
-    * drop the original, rename the staging in — both sides are
-    * warehouse-managed, so the rename is a directory move, not a
-    * rewrite. Shared by the incremental merge and the snapshot update.
+    * SWAP it in — target steps aside to `__graft_backup`, stage renames
+    * to target, backup drops last. Shared by the incremental merge and
+    * the snapshot update.
+    *
+    * Crash-safe at every step (the [[StoreSwap]] discipline the parquet
+    * stores already hold): once the stage write completes, either the
+    * old table or the finished new one is a single directory move away
+    * from `id` at all times — [[recoverStagedSwap]] (runNodes startup)
+    * adopts the complete stage when the target vanished mid-swap, or
+    * restores the backup, so a crash can no longer strand a snapshot's
+    * accumulated SCD2 history in an orphaned staging table. The target
+    * steps aside as a bare directory move (works for managed AND
+    * restored-external tables — an external table's RENAME would keep
+    * its location and collide with the incoming stage directory).
     */
   private def overwriteViaStaging(id: String,
                                   df: org.apache.spark.sql.DataFrame)
       : Unit = {
-    val tmp = id + "__graft_stage"
-    ViewStore.dropTableClearingLocation(spark, tmp)
-    df.write.mode("overwrite").saveAsTable(tmp)
-    ViewStore.dropTableClearingLocation(spark, id)
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$id`")
+    val stage = id + "__graft_stage"
+    val backup = id + "__graft_backup"
+    ViewStore.dropTableClearingLocation(spark, stage)
+    ViewStore.dropTableClearingLocation(spark, backup)
+    df.write.mode("overwrite").saveAsTable(stage)
+    val tgtLoc = ViewStore.warehouseLocation(spark, id)
+    val backupLoc = ViewStore.warehouseLocation(spark, backup)
+    if (Files.exists(tgtLoc)) Files.move(tgtLoc, backupLoc)
+    spark.sql(s"DROP TABLE IF EXISTS `$id`")
+    // managed-table rename moves <wh>/<stage> to <wh>/<id> atomically
+    // enough: a crash before it leaves the complete stage adoptable
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$id`")
+    ViewStore.dropTableClearingLocation(spark, backup)
     ()
+  }
+
+  /** Startup recovery for a swap interrupted by a crash
+    * ([[overwriteViaStaging]]'s counterpart, run from [[runNodes]] for
+    * every incremental/snapshot model BEFORE rendering — the render's
+    * `is_incremental()` decision must see the recovered target).
+    * Directory presence is the ground truth (a fresh session's catalog
+    * is empty until ViewStore.restore, and a crashed swap can leave the
+    * catalog pointing at a moved directory): when the target's data
+    * directory is missing, adopt the stage if its write COMPLETED
+    * (`_SUCCESS` present — the swap had begun, so the stage holds the
+    * finished merge), else restore the backup (the pre-swap table); in
+    * both cases re-register the adopted directory. Leftover staging
+    * machinery is then dropped either way. Idempotent and cheap (two
+    * directory stats) when nothing crashed.
+    */
+  private[pipeline] def recoverStagedSwap(id: String): Unit = {
+    val stage = id + "__graft_stage"
+    val backup = id + "__graft_backup"
+    val tgtLoc = ViewStore.warehouseLocation(spark, id)
+    val stageLoc = ViewStore.warehouseLocation(spark, stage)
+    val backupLoc = ViewStore.warehouseLocation(spark, backup)
+    if (!Files.exists(tgtLoc)) {
+      val donorLoc =
+        if (Files.exists(stageLoc.resolve("_SUCCESS"))) Some(stageLoc)
+        else if (Files.exists(backupLoc)) Some(backupLoc)
+        else None
+      donorLoc.foreach { loc =>
+        // the catalog may still map `id` to the now-empty location (or a
+        // crashed session may have lost the entry entirely) — normalize:
+        // move the surviving data in, then (re-)register it
+        spark.sql(s"DROP TABLE IF EXISTS `$id`")
+        Files.move(loc, tgtLoc)
+        spark.catalog.createTable(id, tgtLoc.toString, "parquet")
+        ()
+      }
+    }
+    ViewStore.dropTableClearingLocation(spark, stage)
+    ViewStore.dropTableClearingLocation(spark, backup)
   }
 
   /** One SCD2 update under the dbt `check` strategy: versions whose
@@ -737,6 +858,7 @@ final class PipelineSession(
       c == "valid_from" || c == "valid_to").toSeq
     val history = snap.filter(col("valid_to").isNotNull)
     val current = snap.filter(col("valid_to").isNull)
+    requireUniqueFreshKeys(id, fresh, key)
     val f = fresh.select(dataCols.map(c => fresh(c)): _*)
     // keys whose current content differs from the fresh content
     val changedKeys = current.alias("c")
@@ -755,6 +877,140 @@ final class PipelineSession(
     val keeping = current.join(changedKeys, Seq(key), "left_anti")
     history.unionByName(keeping).unionByName(closing)
       .unionByName(opening)
+  }
+
+  /** Duplicate `unique_key` values in one snapshot run would open
+    * multiple concurrent `valid_to IS NULL` versions of the same key and
+    * silently corrupt every LATER merge (multi-row current joins, double
+    * closes) — fail this run loudly instead. One count-distinct
+    * aggregate over the fresh slice (narrow relative to the history).
+    */
+  private def requireUniqueFreshKeys(id: String,
+                                     fresh: org.apache.spark.sql.DataFrame,
+                                     key: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = fresh.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).count()
+    if (dup > 0)
+      throw GenericError(s"snapshot `$id`: the fresh SELECT has $dup " +
+        s"duplicate `$key` values — a snapshot's unique_key must be " +
+        s"unique per run (declare a `unique: $key` test, or fix the " +
+        "model's grain)")
+  }
+
+  /** One SCD2 update under the dbt `timestamp` strategy: versioning is
+    * driven by `updated_at` alone (cheaper than `check` — no per-column
+    * null-safe comparison, no content join on wide rows): a fresh row
+    * whose `updated_at` is LATER than its key's current `valid_from`
+    * opens a new version valid from that `updated_at` (the closed
+    * version's `valid_to` = the new `valid_from` — dbt semantics: the
+    * validity interval is the source system's clock, not the run
+    * clock); an equal timestamp is "unchanged" (no-op); an EARLIER one
+    * is out-of-order source data and fails loudly — silently accepting
+    * it would write a version whose interval ends before it begins.
+    * New keys open at their `updated_at`; keys absent from the fresh
+    * SELECT stay open; historical rows never move. A NULL `updated_at`
+    * fails loudly too (it cannot be ordered against anything).
+    */
+  private def snapshotMergeByTimestamp(id: String,
+                                       fresh: org.apache.spark.sql.DataFrame,
+                                       key: String, updatedAt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val snap = spark.table(id)
+    val dataCols = snap.columns.filterNot(c =>
+      c == "valid_from" || c == "valid_to").toSeq
+    require(dataCols.contains(updatedAt),
+      s"snapshot `$id`: updated_at column `$updatedAt` is not a column " +
+        s"of the snapshot (${dataCols.mkString(", ")})")
+    val history = snap.filter(col("valid_to").isNotNull)
+    val current = snap.filter(col("valid_to").isNull)
+    requireUniqueFreshKeys(id, fresh, key)
+    val f = fresh.select(dataCols.map(c => fresh(c)): _*)
+    // one pass over the key-joined (current, fresh) pairs classifies
+    // every fresh row and counts the failure modes in the same job
+    val joined = f.alias("f")
+      .join(current.select(col(key).as("__ck"),
+          col(updatedAt).as("__cur_ts")),
+        col(s"f.$key") === col("__ck"), "left")
+    val audit = joined.agg(
+      sum(when(col(s"f.$updatedAt").isNull, 1L).otherwise(0L))
+        .as("__nulls"),
+      sum(when(col(s"f.$updatedAt") < col("__cur_ts"), 1L).otherwise(0L))
+        .as("__backwards")).collect()(0)
+    if (audit.getLong(0) > 0)
+      throw GenericError(s"snapshot `$id` (strategy: timestamp): " +
+        s"${audit.getLong(0)} fresh rows have NULL `$updatedAt` — a " +
+        "null update time cannot be versioned")
+    if (audit.getLong(1) > 0)
+      throw GenericError(s"snapshot `$id` (strategy: timestamp): " +
+        s"${audit.getLong(1)} fresh rows have `$updatedAt` EARLIER than " +
+        "the key's current valid_from — out-of-order source data; " +
+        "re-run with --full-refresh after fixing the source, or fix " +
+        "the model's updated_at")
+    val opening = joined
+      .filter(col("__cur_ts").isNull || col(s"f.$updatedAt") > col("__cur_ts"))
+      .select((dataCols.map(c => col(s"f.$c")) :+
+        col(s"f.$updatedAt").cast("timestamp").as("valid_from") :+
+        lit(null).cast("timestamp").as("valid_to")): _*)
+    val closing = current.alias("c")
+      .join(opening.select(col(key).as("__ok"),
+          col("valid_from").as("__new_from")),
+        col(s"c.$key") === col("__ok"), "inner")
+      .select((dataCols.map(c => col(s"c.$c")) :+
+        col(s"c.valid_from") :+ col("__new_from").as("valid_to")): _*)
+    val keeping = current.join(opening.select(col(key)), Seq(key),
+      "left_anti")
+    history.unionByName(keeping).unionByName(closing)
+      .unionByName(opening)
+  }
+
+  /** dbt's `on_schema_change` contract for incremental merges: when the
+    * fresh slice's column SET differs from the target table's, the
+    * declared policy decides —
+    *   fail (the default)   — loud, named, with the drifted columns; an
+    *                          undeclared schema drift merging silently
+    *                          is how incremental tables rot;
+    *   append_new_columns   — the merge widens to the union: new fresh
+    *                          columns back-fill NULL on historical rows,
+    *                          columns the fresh slice stopped producing
+    *                          stay, NULL on the new rows;
+    *   ignore               — dbt parity: new fresh columns are NOT
+    *                          written (projected away); columns the
+    *                          fresh slice stopped producing stay, NULL
+    *                          on the new rows.
+    * Returns the (possibly projected) fresh frame plus whether the
+    * union must tolerate missing columns. Type changes on SAME-named
+    * columns are left to unionByName's own loud analysis error.
+    */
+  private def alignIncrementalSchema(node: ModelNode,
+                                     fresh: org.apache.spark.sql.DataFrame,
+                                     existing: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Boolean) = {
+    val tcols = existing.columns.toSeq
+    val fcols = fresh.columns.toSeq
+    if (tcols.toSet == fcols.toSet) (fresh, false)
+    else {
+      val added = fcols.filterNot(tcols.contains)
+      val removed = tcols.filterNot(fcols.contains)
+      node.onSchemaChange.map(_.toLowerCase).getOrElse("fail") match {
+        case "fail" => throw GenericError(
+          s"incremental `${node.id}`: the fresh SELECT's schema drifted " +
+            s"from the target table (new columns: " +
+            s"${if (added.isEmpty) "none" else added.mkString(", ")}; " +
+            s"missing columns: " +
+            s"${if (removed.isEmpty) "none" else removed.mkString(", ")})" +
+            " and on_schema_change is `fail` (the default) — declare " +
+            "append_new_columns or ignore, or rebuild with --full-refresh")
+        case "append_new_columns" => (fresh, true)
+        case "ignore" =>
+          (fresh.select(tcols.filter(fcols.contains).map(fresh(_)): _*),
+            true)
+        case other => throw GenericError(
+          s"Unknown on_schema_change for `${node.id}`: $other " +
+            "(supported: fail, append_new_columns, ignore)")
+      }
+    }
   }
 
   /** Run the node's declared data tests against its materialized result
@@ -781,6 +1037,32 @@ final class PipelineSession(
             .filter(col("__n") > 1).count()
         case ModelTest.AcceptedValues(c, vs) =>
           df.filter(col(c).isNotNull && !col(c).isin(vs: _*)).count()
+        case ModelTest.Relationships(c, to, field) =>
+          // referential integrity = one anti-join against the target's
+          // materialization (which the DAG edge guarantees ran first);
+          // nulls are not violations — declare not_null alongside
+          val target =
+            try spark.table(to)
+            catch { case e: Exception =>
+              throw StatementExecutionError(
+                s"test ${t.describe}: cannot read relationships target " +
+                  s"`$to`: ${e.getMessage}", node.renderedSrc, node.path) }
+          df.filter(col(c).isNotNull)
+            .join(target.select(col(field).as(c)), Seq(c), "left_anti")
+            .count()
+        case tc @ ModelTest.CustomSql(p) =>
+          val sql = tc.content.getOrElse(throw StatementExecutionError(
+            s"test ${t.describe}: cannot read test file $p",
+            node.renderedSrc, node.path))
+          val rendered = PipelineSession.renderIncrementalContext(
+            SqlText.stripComments(sql), node.id, incremental = false)
+          try spark.sql(DialectShim.rewrite(rendered, spark)).count()
+          catch {
+            case e: GraftError => throw e
+            case e: Exception => throw StatementExecutionError(
+              s"test ${t.describe} failed to execute: ${e.getMessage}",
+              sql, node.path)
+          }
       }
       if (bad > 0)
         throw StatementExecutionError(
@@ -858,6 +1140,18 @@ final class PipelineSession(
                 s"partition_by `$partCol` is not a column of `${node.id}`")
               val fresh = spark.sql(select)
               val target = spark.table(node.id)
+              // schema drift has no insert_overwrite story (partitions
+              // are replaced positionally into the existing layout):
+              // fail NAMED rather than let the positional align below
+              // throw an unattributed analysis error
+              if (fresh.columns.toSet != target.columns.toSet)
+                throw GenericError(
+                  s"incremental `${node.id}` (insert_overwrite): the " +
+                    s"fresh SELECT's schema (${fresh.columns.mkString(", ")})" +
+                    s" differs from the table's " +
+                    s"(${target.columns.mkString(", ")}) — " +
+                    "insert_overwrite cannot evolve a schema; rebuild " +
+                    "with --full-refresh")
               val key = "spark.sql.sources.partitionOverwriteMode"
               val prev = spark.conf.getOption(key)
               try {
@@ -882,14 +1176,16 @@ final class PipelineSession(
               // append-only (the dbt default). The merged snapshot is
               // written to a staging table first (Spark cannot overwrite
               // a table it is reading), then swapped in by rename.
-              val fresh = spark.sql(select)
               val existing = spark.table(node.id)
+              val (fresh, widen) =
+                alignIncrementalSchema(node, spark.sql(select), existing)
               val merged = node.uniqueKey match {
                 case Some(k) =>
                   existing.join(fresh.select(fresh.col(k)).distinct(),
                       Seq(k), "left_anti")
-                    .unionByName(fresh)
-                case None => existing.unionByName(fresh)
+                    .unionByName(fresh, allowMissingColumns = widen)
+                case None =>
+                  existing.unionByName(fresh, allowMissingColumns = widen)
               }
               overwriteViaStaging(node.id, merged)
             case Some(other) =>
@@ -914,21 +1210,56 @@ final class PipelineSession(
             s"snapshot `${node.id}`: unique_key `$key` is not a column " +
               s"of the SELECT (${fresh.columns.mkString(", ")})")
           val ts = java.sql.Timestamp.from(java.time.Instant.now())
+          val strategy = node.snapshotStrategy.map(_.toLowerCase)
+            .getOrElse("check")
+          val updatedAt = strategy match {
+            case "check" => None
+            case "timestamp" => Some(node.updatedAt.getOrElse(
+              throw GenericError(s"snapshot `${node.id}` with " +
+                s"strategy: timestamp requires models.${node.id}" +
+                ".updated_at")))
+            case other => throw GenericError(s"Unknown snapshot strategy " +
+              s"for `${node.id}`: $other (supported: check, timestamp)")
+          }
+          updatedAt.foreach { ua =>
+            require(fresh.columns.contains(ua),
+              s"snapshot `${node.id}`: updated_at `$ua` is not a column " +
+                s"of the SELECT (${fresh.columns.mkString(", ")})")
+          }
           // --full-refresh restarts the history from a fresh bootstrap
           val exists = !fullRefresh &&
             (try spark.catalog.tableExists(node.id)
              catch { case _: Exception => false })
           if (!exists) {
+            import org.apache.spark.sql.functions.{col, lit, sum, when}
+            requireUniqueFreshKeys(node.id, fresh, key)
+            // check-strategy bootstrap opens at the RUN clock; the
+            // timestamp strategy opens each row at its own source-system
+            // update time (dbt semantics) — and a NULL there can never be
+            // versioned, so it fails loudly up front
+            val validFrom = updatedAt match {
+              case None => lit(ts)
+              case Some(ua) =>
+                val nNull = fresh.filter(col(ua).isNull).count()
+                if (nNull > 0)
+                  throw GenericError(s"snapshot `${node.id}` (strategy: " +
+                    s"timestamp): $nNull fresh rows have NULL `$ua` — a " +
+                    "null update time cannot be versioned")
+                col(ua).cast("timestamp")
+            }
             ViewStore.dropTableClearingLocation(spark, node.id)
             fresh
-              .withColumn("valid_from",
-                org.apache.spark.sql.functions.lit(ts))
+              .withColumn("valid_from", validFrom)
               .withColumn("valid_to", org.apache.spark.sql.functions
                 .lit(null).cast("timestamp"))
               .write.mode("overwrite").saveAsTable(node.id)
           } else {
-            overwriteViaStaging(node.id, snapshotMerge(node.id, fresh,
-              key, ts))
+            val merged = updatedAt match {
+              case None => snapshotMerge(node.id, fresh, key, ts)
+              case Some(ua) =>
+                snapshotMergeByTimestamp(node.id, fresh, key, ua)
+            }
+            overwriteViaStaging(node.id, merged)
           }
           ViewStore.saveTable(spark, config.dbPath, node.id)
           "SELECT" // row-count postlude runs after the tail statements

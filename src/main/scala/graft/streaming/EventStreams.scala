@@ -435,6 +435,14 @@ object EventStreams {
     * makes redelivered batches no-ops, and an absent store bootstraps
     * from an empty publish so the stream can start before any batch
     * corpus exists. Streamed ≡ batch-built store (spec-pinned).
+    *
+    * The one crash window (append done, marker not) re-appends the batch
+    * on restart, duplicating its rows EXACTLY. That residue cannot wrong
+    * a served score's tf/df — the serving core dedupes its bounded
+    * pruned slice ([[graft.ext.RetrievalOps]]' storedContributions) —
+    * and the N/avgdl scalars drift by at most one batch until
+    * [[graft.ext.RetrievalOps.compactLexicalStats]], which dedupes both
+    * store sides and fully heals it (spec-pinned in RetrievalOpsSpec).
     */
   def runLexicalStatsIngest(docStream: DataFrame, statsPath: String,
                             checkpoint: String, idCol: String,

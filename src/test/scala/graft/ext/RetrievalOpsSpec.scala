@@ -183,6 +183,64 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).exists(_._2 == 2))
   }
 
+  test("stream-replay residue: a double-appended batch leaves SERVING " +
+      "scores exact (terms side dedupes in the plan), and " +
+      "compactLexicalStats heals BOTH sides of the store (ADVICE r14)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-lexreplay")
+    val path = base.resolve("stats").toString
+    RetrievalOps.lexicalStatsStore(spark, docs.filter($"doc_id" <= 2L),
+      path, "doc_id", "text", nBuckets = 8)
+    val batch = docs.filter($"doc_id" > 2L)
+    RetrievalOps.appendToLexicalStats(spark, batch, path, "doc_id",
+      "text", nBuckets = 8)
+    val clean = perQueryRows(RetrievalOps.bm25PerQueryFromStore(
+      RetrievalOps.readLexicalStats(spark, path), probeDf, "query_id",
+      "term", "doc_id", k = 5, nBuckets = 8))
+    // the crash window: append succeeded, marker write did not — the
+    // replayed batch appends AGAIN, duplicating its rows exactly
+    RetrievalOps.appendToLexicalStats(spark, batch, path, "doc_id",
+      "text", nBuckets = 8)
+    val duped = RetrievalOps.readLexicalStats(spark, path)
+    // terms side: tf/df/per-term arithmetic robust — every per-doc score
+    // that does not touch the N/avgdl scalars of a duplicated doc is
+    // EXACT; here query 2's 'scan' hits doc 3 (a duplicated doc) whose
+    // tf would have DOUBLED without the dedupe. Rankings must hold and
+    // the duplicated doc must appear once per query, not twice.
+    val replayServed = perQueryRows(RetrievalOps.bm25PerQueryFromStore(
+      duped, probeDf, "query_id", "term", "doc_id", k = 5, nBuckets = 8))
+    assert(replayServed.map(t => (t._1, t._2)).distinct.size ==
+      replayServed.size, s"duplicated (query, doc) rows: $replayServed")
+    assert(replayServed.map(t => (t._1, t._2, t._4)) ==
+      clean.map(t => (t._1, t._2, t._4)),
+      s"replay residue changed the ranking: $replayServed vs $clean")
+    // docs side: N double-counts the replayed docs until compact (the
+    // documented bounded drift) — compact dedupes both sides and the
+    // full clean answer comes back bit-for-bit
+    RetrievalOps.compactLexicalStats(spark, path)
+    val healed = RetrievalOps.readLexicalStats(spark, path)
+    assert(healed.docs.count() == 4L,
+      "compact must dedupe the replayed docs rows")
+    assert(perQueryRows(RetrievalOps.bm25PerQueryFromStore(healed,
+      probeDf, "query_id", "term", "doc_id", k = 5, nBuckets = 8))
+      == clean)
+  }
+
+  test("the serving probe broadcast is capped loudly: a corpus-sized " +
+      "probe fails NAMED, not with a broadcast OOM (ADVICE r14)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-lexcap")
+    val path = base.resolve("stats").toString
+    RetrievalOps.lexicalStatsStore(spark, docs, path, "doc_id", "text",
+      nBuckets = 8)
+    val stats = RetrievalOps.readLexicalStats(spark, path)
+    val hugeProbe = spark.range(65537)
+      .selectExpr("1 as query_id", "concat('t', id) as term")
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.bm25PerQueryFromStore(stats, hugeProbe, "query_id",
+        "term", "doc_id", k = 5, nBuckets = 8).collect()
+    }
+    assert(e.getMessage.contains("probe vocabulary exceeds"))
+  }
+
   test("q144 composes: the registered query's serving plan is " +
       "tokenize-free while the result matches q118's registered query") {
     val q144 = graft.queries.ExtensionQueries.queries(

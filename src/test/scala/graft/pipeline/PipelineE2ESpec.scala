@@ -1543,4 +1543,463 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(svg.startsWith("<svg"))
     assert(svg.contains(">up<") && svg.contains(">down<"))
   }
+
+  test("materialize: snapshot — timestamp strategy: versions open at " +
+      "their own updated_at, equal timestamps are no-ops, out-of-order " +
+      "and NULL update times fail loudly, history never moves") {
+    val db = Files.createTempDirectory("graft-snapts-db")
+    val dir = Files.createTempDirectory("graft-snapts")
+    val dataDir = Files.createTempDirectory("graft-snapts-data")
+    val parq = dataDir.resolve("dim.parquet").toString
+    def writeSource(rows: Seq[(Long, String, String)]): Unit = {
+      spark.createDataFrame(rows).toDF("id", "status", "upd")
+        .selectExpr("id", "status", "cast(upd as timestamp) as updated_at")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    writeSource(Seq((1L, "active", "2026-01-01 00:00:00"),
+      (2L, "active", "2026-01-02 00:00:00")))
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("dim_ts_snap.sql"),
+      s"SELECT id, status, updated_at FROM read_parquet('$parq')")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  dim_ts_snap:
+         |    materialize: snapshot
+         |    strategy: timestamp
+         |    unique_key: id
+         |    updated_at: updated_at""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def rows(): Seq[(Long, String, String, Boolean)] =
+      spark.table("dim_ts_snap").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(3).toString, r.isNullAt(4)))
+        .sortBy(t => (t._1, t._3)).toSeq
+
+    // bootstrap: valid_from is each row's OWN updated_at, not the run clock
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows() == Seq(
+      (1L, "active", "2026-01-01 00:00:00.0", true),
+      (2L, "active", "2026-01-02 00:00:00.0", true)))
+
+    // id 2 updated later (content changed), id 3 appears, id 1 untouched
+    writeSource(Seq((1L, "active", "2026-01-01 00:00:00"),
+      (2L, "churned", "2026-02-01 00:00:00"),
+      (3L, "trial", "2026-01-15 00:00:00")))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows() == Seq(
+      (1L, "active", "2026-01-01 00:00:00.0", true),
+      (2L, "active", "2026-01-02 00:00:00.0", false),
+      (2L, "churned", "2026-02-01 00:00:00.0", true),
+      (3L, "trial", "2026-01-15 00:00:00.0", true)))
+    // the closed version's valid_to IS the new version's updated_at
+    val closed2 = spark.table("dim_ts_snap")
+      .filter("id = 2 AND valid_to IS NOT NULL").collect()(0)
+    assert(closed2.getTimestamp(4).toString == "2026-02-01 00:00:00.0")
+
+    // same updated_at again (even with content equal): no new version
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(rows().size == 4)
+
+    // out-of-order: id 2 arrives with an EARLIER update time → loud error
+    writeSource(Seq((2L, "zombie", "2026-01-20 00:00:00")))
+    val bad = new PipelineSession(spark, config).runNodes()
+    assert(bad.errors.nonEmpty &&
+      bad.errors.head.render.contains("out-of-order"),
+      bad.errors.map(_.render).mkString("; "))
+    assert(rows().size == 4) // history untouched by the failed run
+
+    // NULL updated_at → loud error
+    spark.createDataFrame(Seq((5L, "x"))).toDF("id", "status")
+      .selectExpr("id", "status", "cast(null as timestamp) as updated_at")
+      .write.mode("overwrite").parquet(parq)
+    val badNull = new PipelineSession(spark, config).runNodes()
+    assert(badNull.errors.nonEmpty &&
+      badNull.errors.head.render.contains("NULL `updated_at`"),
+      badNull.errors.map(_.render).mkString("; "))
+
+    // strategy: timestamp without updated_at config → loud error
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: ${Files.createTempDirectory("graft-snapts-db2")}
+         |models:
+         |  dim_ts_snap:
+         |    materialize: snapshot
+         |    strategy: timestamp
+         |    unique_key: id""".stripMargin)
+    val noUa = new PipelineSession(spark,
+      PipelineConfig.load(dir.resolve("config.yaml"))).runNodes()
+    assert(noUa.errors.nonEmpty &&
+      noUa.errors.head.render.contains("updated_at"),
+      noUa.errors.map(_.render).mkString("; "))
+  }
+
+  test("snapshot: duplicate unique_key values in one fresh slice fail " +
+      "loudly instead of opening concurrent current versions") {
+    val db = Files.createTempDirectory("graft-snapdup-db")
+    val dir = Files.createTempDirectory("graft-snapdup")
+    val dataDir = Files.createTempDirectory("graft-snapdup-data")
+    val parq = dataDir.resolve("dim.parquet").toString
+    spark.createDataFrame(Seq((1L, "a"), (1L, "b"), (2L, "c")))
+      .toDF("id", "status").write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("dup_snap.sql"),
+      s"SELECT id, status FROM read_parquet('$parq')")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  dup_snap:
+         |    materialize: snapshot
+         |    unique_key: id""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    // the BOOTSTRAP already refuses (a corrupt day-one history is no
+    // better than a corrupt merge)
+    val r1 = new PipelineSession(spark, config).runNodes()
+    assert(r1.errors.nonEmpty &&
+      r1.errors.head.render.contains("duplicate `id`"),
+      r1.errors.map(_.render).mkString("; "))
+    // and so does the merge path (bootstrap clean, then duplicates)
+    spark.createDataFrame(Seq((1L, "a"), (2L, "c"))).toDF("id", "status")
+      .write.mode("overwrite").parquet(parq)
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    spark.createDataFrame(Seq((2L, "x"), (2L, "y"))).toDF("id", "status")
+      .write.mode("overwrite").parquet(parq)
+    val r3 = new PipelineSession(spark, config).runNodes()
+    assert(r3.errors.nonEmpty &&
+      r3.errors.head.render.contains("duplicate `id`"),
+      r3.errors.map(_.render).mkString("; "))
+  }
+
+  test("relationships test: wires a DAG edge to its target (viz-visible), " +
+      "violations fail the node naming the test, unknown targets fail " +
+      "at graph build") {
+    val db = Files.createTempDirectory("graft-rel-db")
+    val (dir, config) = fixture(
+      models = Map(
+        "dim_status" -> "SELECT 'active' AS code UNION ALL SELECT 'trial'",
+        // fct does NOT reference dim_status in SQL: the edge must come
+        // from the relationships declaration alone
+        "fct_orders" ->
+          "SELECT 1 AS oid, 'active' AS code UNION ALL SELECT 2, 'ghost'"),
+      configExtra =
+        s"""db_path: $db
+           |models:
+           |  fct_orders:
+           |    tests:
+           |      - relationships: { column: code, to: dim_status, field: code }""".stripMargin)
+    val session = new PipelineSession(spark, config)
+    val (order, nodeMap) = session.buildGraph()
+    assert(nodeMap("fct_orders").prevs.contains("dim_status"))
+    assert(order.indexOf("dim_status") < order.indexOf("fct_orders"))
+    val dot = graft.viz.GraphViz.renderDot(order, nodeMap)
+    assert(dot.contains("\"dim_status\" -> \"fct_orders\";"))
+    // 'ghost' violates referential integrity → the node fails, named
+    val report = session.runNodes()
+    assert(report.errors.nonEmpty &&
+      report.errors.head.render.contains("relationships(code -> dim_status.code)"),
+      report.errors.map(_.render).mkString("; "))
+    // fix the data → green
+    Files.writeString(dir.resolve("models").resolve("fct_orders.sql"),
+      "SELECT 1 AS oid, 'active' AS code UNION ALL SELECT 2, 'trial'")
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    // a relationships target that is not a model: loud at build
+    val (_, badCfg) = fixture(
+      models = Map("lone" -> "SELECT 1 AS x"),
+      configExtra =
+        """models:
+          |  lone:
+          |    tests:
+          |      - relationships: { column: x, to: nowhere, field: x }""".stripMargin)
+    val e = intercept[GraftError] {
+      new PipelineSession(spark, badCfg).buildGraph()
+    }
+    assert(e.render.contains("nowhere"))
+  }
+
+  test("custom SQL test: violating rows fail the node naming the file, " +
+      "{{ this }} renders, and EDITING the test file re-executes the " +
+      "model under --changed-only (content folds into the fingerprint)") {
+    val db = Files.createTempDirectory("graft-sqltest-db")
+    val dir = Files.createTempDirectory("graft-sqltest")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    val testsDir = dir.resolve("tests"); Files.createDirectories(testsDir)
+    Files.writeString(modelsDir.resolve("accounts.sql"),
+      "SELECT 1 AS id, 10 AS balance UNION ALL SELECT 2, -5")
+    // the test is config-relative (tests/…), like dbt's singular tests
+    Files.writeString(testsDir.resolve("no_negative_balance.sql"),
+      "SELECT * FROM {{ this }} WHERE balance < 0")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  accounts:
+         |    tests:
+         |      - sql: tests/no_negative_balance.sql""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    val report = new PipelineSession(spark, config).runNodes()
+    assert(report.errors.nonEmpty &&
+      report.errors.head.render.contains("no_negative_balance.sql"),
+      report.errors.map(_.render).mkString("; "))
+    // fix the MODEL → green; then a no-op changed-only run skips
+    Files.writeString(modelsDir.resolve("accounts.sql"),
+      "SELECT 1 AS id, 10 AS balance UNION ALL SELECT 2, 5")
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    val skipped = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(skipped.results.map(_.status) == Seq("SKIP unchanged"))
+    // editing the TEST file alone re-executes the model (and its new
+    // stricter rule now fails it)
+    Files.writeString(testsDir.resolve("no_negative_balance.sql"),
+      "SELECT * FROM {{ this }} WHERE balance < 6")
+    val reRun = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(reRun.errors.nonEmpty &&
+      reRun.errors.head.render.contains("no_negative_balance.sql"),
+      reRun.results.map(_.status).mkString("; "))
+    // a missing test file fails loudly, not silently-green
+    Files.delete(testsDir.resolve("no_negative_balance.sql"))
+    val gone = new PipelineSession(spark, config).runNodes()
+    assert(gone.errors.nonEmpty &&
+      gone.errors.head.render.contains("cannot read test file"),
+      gone.errors.map(_.render).mkString("; "))
+  }
+
+  test("on_schema_change: drifted incremental fresh slice fails loudly " +
+      "by default; append_new_columns widens with NULL back-fill and " +
+      "merge ≡ rebuild on the widened schema; ignore projects new " +
+      "columns away") {
+    val db = Files.createTempDirectory("graft-osc-db")
+    val dir = Files.createTempDirectory("graft-osc")
+    val dataDir = Files.createTempDirectory("graft-osc-data")
+    val parq = dataDir.resolve("events.parquet").toString
+    def writeV1(): Unit = {
+      spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "v")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    def writeV2(): Unit = { // adds column `extra`
+      spark.createDataFrame(Seq((3L, "c", 30L), (4L, "d", 40L)))
+        .toDF("id", "v", "extra")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    writeV1()
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("inc_osc.sql"),
+      s"""SELECT * FROM read_parquet('$parq')
+         |{% if is_incremental() %} WHERE id > (SELECT max(id) FROM {{ this }}) {% endif %}""".stripMargin)
+    def cfg(extra: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |db_path: $db
+           |models:
+           |  inc_osc:
+           |    materialize: incremental
+           |    unique_key: id
+           |$extra""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // bootstrap on v1, then drift to v2: default policy fails NAMED
+    assert(new PipelineSession(spark, cfg("")).runNodes().errors.isEmpty)
+    writeV2()
+    val failed = new PipelineSession(spark, cfg("")).runNodes()
+    assert(failed.errors.nonEmpty &&
+      failed.errors.head.render.contains("on_schema_change"),
+      failed.errors.map(_.render).mkString("; "))
+    // append_new_columns: old rows back-fill NULL, new rows carry extra
+    val widened = new PipelineSession(spark,
+      cfg("    on_schema_change: append_new_columns")).runNodes()
+    assert(widened.errors.isEmpty,
+      widened.errors.map(_.render).mkString("; "))
+    val got = spark.table("inc_osc").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L),
+      (4L, "d", 40L)))
+    // merge ≡ rebuild on the widened schema (--full-refresh over the
+    // same v2 source sees ONLY v2 rows — the differential is the shape,
+    // not the content; check the schema and the v2 slice agree)
+    assert(spark.table("inc_osc").columns.toSeq ==
+      Seq("id", "v", "extra"))
+    // ignore: a further drift (drop back to v1's columns + new noise
+    // column) keeps the table's schema; noise is projected away
+    spark.createDataFrame(Seq((9L, "z", true))).toDF("id", "v", "noise")
+      .write.mode("overwrite").parquet(parq)
+    val ignored = new PipelineSession(spark,
+      cfg("    on_schema_change: ignore")).runNodes()
+    assert(ignored.errors.isEmpty,
+      ignored.errors.map(_.render).mkString("; "))
+    val afterIgnore = spark.table("inc_osc")
+    assert(afterIgnore.columns.toSeq == Seq("id", "v", "extra"))
+    val row9 = afterIgnore.filter("id = 9").collect()(0)
+    assert(row9.getString(1) == "z" && row9.isNullAt(2))
+  }
+
+  test("pre/post hooks run around the model ({{ this }} renders), fold " +
+      "into the changed-only fingerprint, and a failing hook is " +
+      "attributed to the node") {
+    val db = Files.createTempDirectory("graft-hooks-db")
+    val dir = Files.createTempDirectory("graft-hooks")
+    val out = Files.createTempDirectory("graft-hooks-out")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("hooked.sql"),
+      "SELECT 1 AS a UNION ALL SELECT 2")
+    def cfg(pre: String, post: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |db_path: $db
+           |models:
+           |  hooked:
+           |    materialize: table
+           |    pre_hook: "$pre"
+           |    post-hook: "$post"""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // post-hook sees the materialized model via {{ this }} and COPYes it
+    val config = cfg("SET spark.sql.shuffle.partitions = 4",
+      s"COPY (SELECT * FROM {{ this }}) TO '$out/hooked.csv' (HEADER, DELIMITER ',')")
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty,
+      "hooked run")
+    val csv = spark.read.option("header", "true").csv(s"$out/hooked.csv")
+    assert(csv.count() == 2)
+    // unchanged: skips; editing a HOOK re-executes (fingerprint folds it)
+    val skipped = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    assert(skipped.results.map(_.status) == Seq("SKIP unchanged"))
+    val edited = cfg("SET spark.sql.shuffle.partitions = 8",
+      s"COPY (SELECT * FROM {{ this }}) TO '$out/hooked.csv' (HEADER, DELIMITER ',')")
+    val reRun = new PipelineSession(spark, edited, changedOnly = true)
+      .runNodes()
+    assert(reRun.results.map(_.status).exists(_.startsWith("SELECT")),
+      reRun.results.mkString("; "))
+    // a failing pre-hook fails the node, named
+    val broken = cfg("SELECT * FROM no_such_table_anywhere",
+      "SET spark.sql.shuffle.partitions = 32")
+    val bad = new PipelineSession(spark, broken).runNodes()
+    assert(bad.errors.nonEmpty &&
+      bad.errors.head.render.contains("pre-hook failed"),
+      bad.errors.map(_.render).mkString("; "))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+  }
+
+  test("crash-atomic staged swap: a swap interrupted at EVERY window " +
+      "recovers — complete stage adopted, backup restored, orphans " +
+      "cleared — and snapshot history survives (ADVICE r14)") {
+    val db = Files.createTempDirectory("graft-crash-db")
+    val dir = Files.createTempDirectory("graft-crash")
+    val dataDir = Files.createTempDirectory("graft-crash-data")
+    val parq = dataDir.resolve("dim.parquet").toString
+    def writeSource(rows: Seq[(Long, String)]): Unit = {
+      spark.createDataFrame(rows).toDF("id", "status")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    writeSource(Seq((1L, "a"), (2L, "b")))
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("crash_snap.sql"),
+      s"SELECT id, status FROM read_parquet('$parq')")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  crash_snap:
+         |    materialize: snapshot
+         |    unique_key: id""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    // two clean runs → history exists (id 2 versioned)
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    writeSource(Seq((1L, "a"), (2L, "b2")))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    val fullHistory = spark.table("crash_snap").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(fullHistory.size == 3)
+
+    val tgtLoc = ViewStore.warehouseLocation(spark, "crash_snap")
+    val stageLoc = ViewStore.warehouseLocation(spark,
+      "crash_snap__graft_stage")
+    val backupLoc = ViewStore.warehouseLocation(spark,
+      "crash_snap__graft_backup")
+
+    // WINDOW 2/3: stage written completely, target stepped aside, crash
+    // before the stage renamed in — the next run must adopt the STAGE
+    // (it holds the finished merge = the current table content here)
+    spark.table("crash_snap").write.mode("overwrite")
+      .saveAsTable("crash_snap__graft_stage")
+    java.nio.file.Files.move(tgtLoc, backupLoc)
+    spark.sql("DROP TABLE IF EXISTS `crash_snap`")
+    spark.sql("DROP TABLE IF EXISTS `crash_snap__graft_stage`") // fresh-session catalog
+    val recovered = new PipelineSession(spark, config).runNodes()
+    assert(recovered.errors.isEmpty,
+      recovered.errors.map(_.render).mkString("; "))
+    val afterRecover = spark.table("crash_snap").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // history preserved (same source → merge was a no-op on the adopted
+    // history)
+    assert(afterRecover == fullHistory,
+      s"history lost: $afterRecover vs $fullHistory")
+    assert(!java.nio.file.Files.exists(stageLoc) &&
+      !java.nio.file.Files.exists(backupLoc))
+
+    // WINDOW without a complete stage: target stepped aside, stage dir
+    // INCOMPLETE (no _SUCCESS) — the next run restores the BACKUP
+    java.nio.file.Files.move(tgtLoc, backupLoc)
+    spark.sql("DROP TABLE IF EXISTS `crash_snap`")
+    java.nio.file.Files.createDirectories(stageLoc)
+    java.nio.file.Files.writeString(stageLoc.resolve("part-junk"), "junk")
+    val restored = new PipelineSession(spark, config).runNodes()
+    assert(restored.errors.isEmpty,
+      restored.errors.map(_.render).mkString("; "))
+    assert(spark.table("crash_snap").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq == fullHistory)
+    assert(!java.nio.file.Files.exists(stageLoc) &&
+      !java.nio.file.Files.exists(backupLoc))
+
+    // WINDOW 1: crash after the stage write, before the swap began —
+    // target intact; the stale stage is an orphan and is cleared
+    spark.table("crash_snap").write.mode("overwrite")
+      .saveAsTable("crash_snap__graft_stage")
+    val cleared = new PipelineSession(spark, config).runNodes()
+    assert(cleared.errors.isEmpty)
+    assert(!java.nio.file.Files.exists(stageLoc))
+    assert(spark.table("crash_snap").count() == 3)
+  }
+
+  test("runNodes releases every cached operator manifest at end-of-run " +
+      "(the cachedManifest session-lifecycle contract)") {
+    graft.ext.DedupOps.releaseManifests()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // populate the manifest registry the way a long-lived session would
+    // (Scala-API operators used between pipeline runs)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 100L).map(i => (i, (i % 7).toDouble / 7.0, 5L))
+      .toDF("id", "score", "n")
+    graft.ext.DedupOps.tokenBudgetSelect(docs, "id", col("score"),
+      col("n"), budgetTokens = 50L).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "expected a live manifest before the run")
+    val (_, config) = fixture(models = Map("tiny" -> "SELECT 1 AS x"))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "runNodes must release cached manifests at end-of-run")
+  }
+
+  test("a seed path containing a single quote fails NAMED at discovery") {
+    val dir = Files.createTempDirectory("graft-seedq")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    val seedsDir = dir.resolve("it's seeds")
+    Files.createDirectories(seedsDir)
+    Files.writeString(seedsDir.resolve("s.csv"), "a,b\n1,2\n")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |seeds_dir: $seedsDir""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    val e = intercept[GraftError] {
+      new PipelineSession(spark, config).buildGraph()
+    }
+    assert(e.render.contains("single quote"))
+  }
 }
