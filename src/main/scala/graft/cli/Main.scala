@@ -115,7 +115,12 @@ object Main {
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {
       case e: GraftError => System.err.println(e.render); sys.exit(1)
-    } finally spark.stop()
+    } finally {
+      // the cachedManifest lifecycle contract: the CLI owns this session,
+      // so it drops any operator manifest caches before tearing it down
+      graft.ext.DedupOps.releaseManifests()
+      spark.stop()
+    }
   }
 
   /** Per-file batch execution: no rendering, no DAG, no materialization; a
@@ -134,7 +139,10 @@ object Main {
     try {
       config.dbPath.foreach(ViewStore.restore(spark, _))
       runFilesOn(spark, paths).foreach { case (_, status) => println(status) }
-    } finally spark.stop()
+    } finally {
+      graft.ext.DedupOps.releaseManifests()
+      spark.stop()
+    }
   }
 
   /** Testable core of run-file: returns (path, status line) per script;

@@ -28,10 +28,31 @@ object TextOps {
     * punctuation marks. A real BPE vocab lookup would be a broadcast-map
     * join against a merges table; the regex keeps the token *count*
     * deterministic and cheap (the common use: cost estimation / filtering
-    * by token budget).
+    * by token budget). For LEARNED subword pricing use
+    * [[subwordTokenCount]].
     */
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** LEARNED subword token count under the committed [[BpeMerges]]
+    * vocabulary — the pricing scalar the budget/packing/mixture family
+    * should feed as its `nTokCol` when whitespace counts would misprice
+    * (q150 wires it into [[DedupOps.tokenBudgetSelect]]). Map-only: a
+    * native codegen'd expression over the text column, no fit job, no
+    * join — see [[Bpe]] for the algorithm and its cross-engine-exact
+    * oracle contract. NULL text → NULL; a whitespace-only text → 0.
+    */
+  def subwordTokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.SubwordFunctions
+      .subwordTokenCount(text, BpeMerges.merges)
+
+  /** [[subwordTokenCount]] under an explicit merges table (differential
+    * specs; custom vocabularies fit with [[Bpe.fit]]).
+    */
+  def subwordTokenCount(text: Column,
+                        merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.SubwordFunctions
+      .subwordTokenCount(text, merges)
 
   /** Token k-gram shingles: ["a b c", "b c d", ...]; empty when fewer than
     * k tokens. Delegates to the native codegen'd

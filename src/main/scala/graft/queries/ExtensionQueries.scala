@@ -911,6 +911,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Learned-subword budget selection (q150): q127's exact best-first
+    // prefix, priced in LEARNED subword tokens — the committed BpeMerges
+    // vocabulary applied by the native map-only encoder — instead of
+    // whitespace tokens, closing the 1.3–1.6× whitespace mispricing of
+    // what a trainer actually pays. The oracle REBUILDS the encoding
+    // from the committed merges in SQL (recursive-CTE replace chain) and
+    // runs the naive global window over it — a differential proof of
+    // BOTH the scale-shaped selection and the cross-engine tokenizer --
+    "q150_subword_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("n_tok", TextOps.subwordTokenCount(col("text")))
+      DedupOps.tokenBudgetSelect(scored, "doc_id", col("quality"),
+          col("n_tok"), budgetTokens = SubwordBudget)
+        .orderBy(col("doc_id"))
+    }),
+
     "q127_token_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val scored = d
@@ -2758,6 +2776,12 @@ object ExtensionQueries {
     */
   private[graft] val TokenBudget: Long = 12000L
 
+  /** q150's budget, priced in LEARNED subword tokens (≥ the whitespace
+    * count: fused words cost 1, rarer words split) — interior at both
+    * SFs like [[TokenBudget]].
+    */
+  private[graft] val SubwordBudget: Long = 14000L
+
   /** q133's per-source token targets: src0 = several full epochs + a
     * remainder prefix at sf0.01, src1/src3 = sub-epoch prefixes, src2 = 0
     * (scheduled but unused). Literals, so the regimes shift with SF —
@@ -2843,6 +2867,64 @@ object ExtensionQueries {
        |    ROWS UNBOUNDED PRECEDING) AS cum FROM q2)
        |SELECT doc_id, score, n_tokens FROM c WHERE cum <= $TokenBudget
        |ORDER BY doc_id""".stripMargin
+
+  /** q150's oracle: q127's naive global-window selection, with n_tokens
+    * REBUILT from the committed [[graft.ext.BpeMerges]] literals — the
+    * per-word encode is a recursive CTE applying each merge in rank
+    * order via `replace` on the space-delimited state (byte-identical
+    * semantics to the Scala encoder's String.replace; see
+    * [[graft.ext.Bpe]]). Distinct words encode once (the corpus has a
+    * bounded vocabulary; the CTE is |vocab| × |merges| rows), then join
+    * back onto the exploded tokens.
+    */
+  private lazy val subwordBudgetOracleSql: String = {
+    val mergeRows = graft.ext.BpeMerges.merges.zipWithIndex
+      .map { case ((l, r), i) =>
+        def esc(s: String) = s.replace("'", "''")
+        s"(${i + 1}, '${esc(l)}', '${esc(r)}')"
+      }.mkString(",\n    ")
+    s"""WITH RECURSIVE merges(rank, l, r) AS (VALUES
+       |    $mergeRows),
+       |words AS (SELECT DISTINCT unnest(regexp_split_to_array(lower(text),
+       |    '\\s+')) AS w FROM documents WHERE text IS NOT NULL),
+       |w0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
+       |    AS state FROM words WHERE length(w) > 0),
+       |enc AS (
+       |  SELECT w, state, 1 AS nxt FROM w0
+       |  UNION ALL
+       |  SELECT e.w, replace(e.state, ' ' || m.l || ' ' || m.r || ' ',
+       |      ' ' || m.l || m.r || ' '), e.nxt + 1
+       |  FROM enc e JOIN merges m ON m.rank = e.nxt
+       |),
+       |wc AS (SELECT w,
+       |    length(state) - length(replace(state, ' ', '')) - 1 AS np
+       |  FROM enc WHERE nxt = (SELECT max(rank) FROM merges) + 1),
+       |doc_toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+       |    lower(text), '\\s+')) AS w FROM documents),
+       |dtok AS (SELECT doc_toks.doc_id,
+       |    CAST(sum(wc.np) AS BIGINT) AS n_tokens
+       |  FROM doc_toks JOIN wc ON wc.w = doc_toks.w
+       |  GROUP BY doc_toks.doc_id),
+       |q0 AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |q1 AS (SELECT doc_id, toks,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+       |    / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |    AS DOUBLE) / length(text), 4) AS punct_ratio
+       |  FROM q0),
+       |q2 AS (SELECT q1.doc_id,
+       |  round(stop_ratio * 0.4 + least(CAST(len(toks) AS DOUBLE) / 100.0,
+       |    1.0) * 0.3 + (1.0 - punct_ratio) * 0.3, 4) AS score,
+       |  dtok.n_tokens
+       |  FROM q1 JOIN dtok ON dtok.doc_id = q1.doc_id),
+       |c AS (SELECT doc_id, score, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM q2)
+       |SELECT doc_id, score, n_tokens FROM c WHERE cum <= $SubwordBudget
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** q128: cell assignment mirrors the q31/q115 centroid-literal chain
     * (argmax dot, ties → lowest cell; rn=1 keeps the max dot itself as
@@ -3823,6 +3905,7 @@ object ExtensionQueries {
     "q122_hard_negatives_ann" -> hardNegAnnOracleSql,
     "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
     "q127_token_budget" -> tokenBudgetOracleSql,
+    "q150_subword_budget" -> subwordBudgetOracleSql,
     "q148_budget_by_source" -> budgetBySourceOracleSql,
     // q149: q27's pair CTEs over the train slice + q63's gram CTEs +
     // q64's quality arithmetic, rolled up per score decile

@@ -263,6 +263,14 @@ object ScaleCurve {
       "q118_bm25_per_query" -> (n =>
         RetrievalOps.bm25PerQuery(docs(spark, dirs(n)), bm25Probe,
           "query_id", "term", "doc_id", "text", k = 5)),
+      // the learned-subword encode pass (q150's pricing scalar): a
+      // native map-only expression — one scan + partial agg, no
+      // shuffle, so the curve should be ≈N×
+      "q150_subword_encode" -> { n =>
+        docs(spark, dirs(n)).agg(
+          sum(TextOps.subwordTokenCount(col("text")))
+            .as("total_subword"))
+      },
       "q27_minhash_neardup" -> (n => minhashPairs(docs(spark, dirs(n)))),
       "q53_connected_components" -> (n =>
         DedupOps.connectedComponents(

@@ -1,0 +1,128 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The learned subword tokenizer (q150): the encode algorithm's pinned
+  * semantics, fit determinism, the whitespace-degeneracy differential,
+  * and the native expression's parity with the driver-side encoder.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("encode: merges apply in rank order, once each, with the " +
+      "String.replace pass semantics (hand-derived states)") {
+    val merges = Seq(("a", "n"), ("s", "c"), ("sc", "an"))
+    assert(Bpe.encodeState("scan", merges) == " scan ")
+    assert(Bpe.pieces("scan", merges) == Seq("scan"))
+    assert(Bpe.pieceCount("scan", merges) == 1)
+    // rank order matters: (s,c) fires only after (a,n) freed nothing for
+    // it here, but (sc,an) can only fire because BOTH ran before it
+    assert(Bpe.pieces("scans", merges) == Seq("scan", "s"))
+    // untouched word: one piece per codepoint
+    assert(Bpe.pieceCount("xyz", merges) == 3)
+    assert(Bpe.pieces("xyz", merges) == Seq("x", "y", "z"))
+    // the empty word (a leading-whitespace split token) counts 0
+    assert(Bpe.pieceCount("", merges) == 0)
+  }
+
+  test("the boundary-sharing divergence from classic BPE is PINNED: " +
+      "consecutive occurrences sharing a delimiter merge once per pass " +
+      "(both engines' replace agree on this — q150's oracle rebuilds it)") {
+    // " b a n a n a ": the second ' a n ' shares the first's trailing
+    // space, so single-pass replace leaves it — 5 pieces, not 4
+    assert(Bpe.pieces("banana", Seq(("a", "n"))) ==
+      Seq("b", "an", "a", "n", "a"))
+    // java.lang.String.replace IS the definition
+    assert(" b a n a n a ".replace(" a n ", " an ") == " b an a n a ")
+  }
+
+  test("whitespace ≡ the fully-fused degenerate vocabulary: with merges " +
+      "that fuse every corpus word to one piece, subwordTokenCount " +
+      "equals the whitespace token count (the w≡1 differential)") {
+    // corpus over {ab, cd, abcd}: merges fusing each word completely
+    // (adjacent-distinct characters, so the single-pass boundary rule
+    // never blocks a merge)
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"))
+    assert(Bpe.pieceCount("ab", merges) == 1)
+    assert(Bpe.pieceCount("cd", merges) == 1)
+    assert(Bpe.pieceCount("abcd", merges) == 1)
+    val docs = Seq("ab abcd cd", "abcd abcd", "cd", "ab ab ab ab")
+      .toDF("text")
+    val got = docs.select(
+        TextOps.subwordTokenCount(col("text"), merges).as("sub"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (sub, ws) => assert(sub == ws, got.toSeq) }
+  }
+
+  test("the committed artifact on the fixture: subword counts are " +
+      "bounded below by whitespace counts (pieces ≥ 1 per word) and " +
+      "strictly exceed them somewhere (rarer words stay multi-piece)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = d.select(
+        TextOps.subwordTokenCount(col("text")).as("sub"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.nonEmpty)
+    counts.foreach { case (sub, ws) => assert(sub >= ws, (sub, ws)) }
+    assert(counts.exists { case (sub, ws) => sub > ws },
+      "every word fused — the committed vocabulary is degenerate")
+  }
+
+  test("the native expression equals the driver-side encoder word-for-" +
+      "word; NULL text is NULL; whitespace-only text is 0") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val viaExpr = d.select(col("doc_id"),
+        TextOps.subwordTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = d.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val words = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+", -1)
+        r.getLong(0) ->
+          words.map(w => Bpe.pieceCount(w, BpeMerges.merges).toLong).sum
+      }.toMap
+    assert(viaExpr == viaDriver)
+    val edge = Seq((1L, null: String), (2L, "   "), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.subwordTokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(edge == Map(1L -> -1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("fit is deterministic and input-order independent; ties break on " +
+      "the lexicographically smallest pair; minCount stops noise merges") {
+    val hist = Seq(("scan", 10L), ("scala", 7L), ("span", 5L),
+      ("batch", 3L), ("zz", 1L))
+    val m1 = Bpe.fit(hist, nMerges = 16)
+    val m2 = Bpe.fit(hist, nMerges = 16)
+    val m3 = Bpe.fit(hist.reverse, nMerges = 16)
+    assert(m1 == m2 && m1 == m3)
+    // (s,c) and (c,a) both score 17 (scan + scala): the tie breaks on
+    // the lexicographically smallest pair — (c,a)
+    assert(m1.head == ("c", "a"))
+    // ("zz" alone): pair (z,z) has weight 1 < minCount → never merged
+    assert(!m1.contains(("z", "z")))
+    assert(Bpe.pieceCount("zz", m1) == 2)
+    // fully converged vocab: the top word fuses to one piece
+    assert(Bpe.pieceCount("scan", m1) == 1)
+  }
+
+  test("q150 plan: the encode is map-only — no shuffle below the budget " +
+      "histogram's aggregate, the expression inside the scan's project") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counted = d.select(col("doc_id"),
+      TextOps.subwordTokenCount(col("text")).as("n"))
+    import org.apache.spark.sql.execution.ExplainMode
+    val plan = counted.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"),
+      s"the encode pass must not shuffle:\n$plan")
+    assert(plan.contains("subword_token_count"), plan)
+  }
+}
