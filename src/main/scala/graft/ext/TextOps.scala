@@ -54,6 +54,28 @@ object TextOps {
     org.apache.spark.sql.graft.SubwordFunctions
       .subwordTokenCount(text, merges)
 
+  /** TRAINED quality score under the committed [[QualityLrWeights]]
+    * classifier (hashed-n-gram logistic regression — the fastText-style
+    * seed-labeled gate; see [[QualityLr]]): σ of the mean hashed-gram
+    * weight plus bias, served by one native map-only expression. The
+    * learned counterpart of the heuristic [[qualityScore]] — q151 scores
+    * the corpus with it, and it slots into [[DedupOps.tokenBudgetSelect]]
+    * (q127's shape) or the q64 banded sampling as the score column (E2E in
+    * QualityLrSpec). NULL text → NULL. Unrounded; callers round for
+    * cross-engine comparison (q151 rounds at 6).
+    */
+  def qualityLrScore(text: Column): Column =
+    org.apache.spark.sql.graft.SubwordFunctions.hashedGramScore(text,
+      QualityLrWeights.weights.toIndexedSeq, QualityLrWeights.bias)
+
+  /** [[qualityLrScore]] under explicit weights (specs; custom gates fit
+    * with [[QualityLr.fit]]).
+    */
+  def qualityLrScore(text: Column, weights: Seq[Double],
+                     bias: Double): Column =
+    org.apache.spark.sql.graft.SubwordFunctions
+      .hashedGramScore(text, weights, bias)
+
   /** Token k-gram shingles: ["a b c", "b c d", ...]; empty when fewer than
     * k tokens. Delegates to the native codegen'd
     * [[org.apache.spark.sql.graft.Shingles]] expression.

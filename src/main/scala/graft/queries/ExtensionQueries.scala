@@ -270,6 +270,18 @@ object ExtensionQueries {
           "doc_id", "text", nBuckets = 256)
         .orderBy(col("doc_id"))),
 
+    // -- Trained quality classifier (q151): the committed hashed-n-gram
+    // logistic regression scores the corpus map-only — the fastText-
+    // style seed-labeled gate beside q22's heuristic and q113's DSIR
+    // weights. The oracle recomputes the score as a SQL dot product
+    // over the SAME committed weights (the shared md5 feature map) ----
+    "q151_quality_classifier" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityLrScore(col("text")), 6).as("score"))
+        .withColumn("is_quality", col("score") >= 0.5)
+        .orderBy(col("doc_id"))),
+
     // -- Run collapse: q62's execution counterpart — adjacent identical
     // tokens collapse to the first occurrence; the fixture's "batch batch
     // batch" stutter actually shrinks -----------------------------------
@@ -2868,6 +2880,40 @@ object ExtensionQueries {
        |SELECT doc_id, score, n_tokens FROM c WHERE cum <= $TokenBudget
        |ORDER BY doc_id""".stripMargin
 
+  /** q151's oracle: the committed classifier as a SQL dot product — see
+    * the oracle-map comment at the registration site.
+    */
+  private lazy val qualityLrOracleSql: String = {
+    val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
+    val bias = graft.ext.QualityLrWeights.bias
+    val nb = graft.ext.QualityLrWeights.nBuckets
+    s"""WITH w(b, wt) AS (VALUES
+       |    $wRows),
+       |d AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(toks ||
+       |    [array_to_string(toks[i:i+1], ' ')
+       |     for i in generate_series(1, len(toks) - 1)]) AS g
+       |  FROM d),
+       |db AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
+       |    count(*) AS n
+       |  FROM g GROUP BY 1, 2),
+       |z AS (SELECT doc_id, sum(n * wt) / sum(n) AS zz
+       |  FROM db JOIN w USING (b) GROUP BY doc_id)
+       |SELECT dd.doc_id,
+       |  CASE WHEN dd.text IS NOT NULL THEN
+       |    round(1.0 / (1.0 + exp(-(coalesce(zz, 0.0) + $bias))), 6)
+       |  END AS score,
+       |  CASE WHEN dd.text IS NOT NULL THEN
+       |    round(1.0 / (1.0 + exp(-(coalesce(zz, 0.0) + $bias))), 6) >= 0.5
+       |  END AS is_quality
+       |FROM documents dd LEFT JOIN z USING (doc_id)
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   /** q150's oracle: q127's naive global-window selection, with n_tokens
     * REBUILT from the committed [[graft.ext.BpeMerges]] literals — the
     * per-word encode is a recursive CTE applying each merge in rank
@@ -3392,6 +3438,13 @@ object ExtensionQueries {
         |  log_w
         |FROM documents dd LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q151: the committed weights as a VALUES table (Double.toString
+    // round-trips exactly through both parsers — the q31 centroid
+    // trick); feature map and bucket hash are q113's verbatim; the
+    // score is sum(n·w)/sum(n) + bias through the same σ, rounded at 6
+    // (fold-order and libm-exp jitter ~1e-15 « 5e-7). A null-text doc
+    // keeps a NULL score like the Spark expression.
+    "q151_quality_classifier" -> qualityLrOracleSql,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark

@@ -78,9 +78,92 @@ case class SubwordTokenCount(child: Expression,
       : SubwordTokenCount = copy(child = newChild)
 }
 
+/** Trained-classifier quality score of a text (q151): logistic
+  * regression over hashed n-gram buckets, served map-only —
+  *
+  *   score = σ( (Σ_{g ∈ grams(text)} w[bucket(g)]) / |grams| + bias )
+  *
+  * with grams = unigrams ∪ adjacent bigram shingles of the lowercased
+  * whitespace tokens and bucket(g) = first-8-md5-hex-chars mod nBuckets
+  * — EXACTLY the [[graft.ext.TextOps.dsirWeights]] feature map, which is
+  * md5-based precisely so a DuckDB oracle rebuilds the same buckets and
+  * the score reduces to a SQL dot product over the committed weights
+  * ([[graft.ext.QualityLrWeights]]). A gramless text (empty/whitespace)
+  * scores σ(bias); NULL text is NULL. Accumulation order is document
+  * order here and bucket-grouped in the oracle — callers round (q151
+  * rounds at 6; fold-order jitter ~1e-15).
+  *
+  * Native expression, not a UDF, for the same whole-stage-codegen
+  * reasons as [[SubwordTokenCount]]; the weights ride the expression
+  * object (a 256-double array — nothing to join, nothing to broadcast).
+  */
+case class HashedGramScore(child: Expression, weights: Seq[Double],
+                           bias: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_gram_score"
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def bucketOf(g: String): Int = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 8 hex chars = the top 4 bytes as an unsigned 32-bit value
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % wArr.length).toInt
+  }
+
+  def compute(s: UTF8String): Double = {
+    // the tokens()/dsirWeights split semantics: limit −1, empties kept
+    // (they are grams there too — the fixture is trimmed, but the maps
+    // must agree on untrimmed input)
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+", -1)
+    var acc = 0.0
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      acc += wArr(bucketOf(words(i)))
+      n += 1
+      if (i + 1 < words.length) {
+        acc += wArr(bucketOf(words(i) + " " + words(i + 1)))
+        n += 1
+      }
+      i += 1
+    }
+    val z = (if (n == 0) 0.0 else acc / n) + bias
+    1.0 / (1.0 + math.exp(-z))
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramScore", this,
+      classOf[HashedGramScore].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashedGramScore = copy(child = newChild)
+}
+
 object SubwordFunctions {
   def subwordTokenCount(text: Column,
                         merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(SubwordTokenCount(
       ExpressionUtils.expression(text), merges))
+
+  def hashedGramScore(text: Column, weights: Seq[Double],
+                      bias: Double): Column =
+    ExpressionUtils.column(HashedGramScore(
+      ExpressionUtils.expression(text), weights, bias))
 }
