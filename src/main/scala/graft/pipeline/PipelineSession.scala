@@ -780,20 +780,48 @@ final class PipelineSession(
     * its location and collide with the incoming stage directory).
     */
   private def overwriteViaStaging(id: String,
-                                  df: org.apache.spark.sql.DataFrame)
+                                  df: org.apache.spark.sql.DataFrame,
+                                  partitionBy: Option[String] = None)
       : Unit = {
     val stage = id + "__graft_stage"
     val backup = id + "__graft_backup"
     ViewStore.dropTableClearingLocation(spark, stage)
     ViewStore.dropTableClearingLocation(spark, backup)
-    df.write.mode("overwrite").saveAsTable(stage)
+    // preserve the table's declared partition layout through the swap:
+    // a bootstrap lays the table out partitioned for pruned consumers,
+    // and a merge that rewrote it UNPARTITIONED would silently kill
+    // every downstream partition filter after the first incremental run
+    val w = df.write.mode("overwrite")
+    partitionBy.fold(w)(c => w.partitionBy(c)).saveAsTable(stage)
     val tgtLoc = ViewStore.warehouseLocation(spark, id)
+    val stageLoc = ViewStore.warehouseLocation(spark, stage)
     val backupLoc = ViewStore.warehouseLocation(spark, backup)
     if (Files.exists(tgtLoc)) Files.move(tgtLoc, backupLoc)
     spark.sql(s"DROP TABLE IF EXISTS `$id`")
-    // managed-table rename moves <wh>/<stage> to <wh>/<id> atomically
-    // enough: a crash before it leaves the complete stage adoptable
-    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$id`")
+    partitionBy match {
+      case None =>
+        // managed-table rename moves <wh>/<stage> to <wh>/<id> atomically
+        // enough: a crash before it leaves the complete stage adoptable
+        spark.sql(s"ALTER TABLE `$stage` RENAME TO `$id`")
+      case Some(_) =>
+        // a catalog RENAME of a PARTITIONED managed table moves the
+        // directory but leaves its partition metadata pointing at the
+        // old location — the renamed table reads zero rows. Swap by
+        // directory move + path registration instead: partition
+        // discovery re-derives the layout from the moved directory
+        // (the same registration ViewStore.restore uses)
+        Files.move(stageLoc, tgtLoc)
+        // the stage's catalog entry now points at a moved (absent)
+        // directory; dropping it is metadata-only
+        spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+        spark.catalog.createTable(id, tgtLoc.toString, "parquet")
+        // datasource tables track partitions IN THE CATALOG
+        // (manageFilesourcePartitions): a freshly path-registered
+        // partitioned table has none registered and reads zero rows
+        // until they are recovered from the directory layout
+        spark.sql(s"MSCK REPAIR TABLE `$id`")
+        ()
+    }
     ViewStore.dropTableClearingLocation(spark, backup)
     ()
   }
@@ -1187,7 +1215,7 @@ final class PipelineSession(
                 case None =>
                   existing.unionByName(fresh, allowMissingColumns = widen)
               }
-              overwriteViaStaging(node.id, merged)
+              overwriteViaStaging(node.id, merged, node.partitionBy)
             case Some(other) =>
               throw GenericError(s"Unknown incremental_strategy for " +
                 s"`${node.id}`: $other (supported: merge, insert_overwrite)")
@@ -1248,18 +1276,20 @@ final class PipelineSession(
                 col(ua).cast("timestamp")
             }
             ViewStore.dropTableClearingLocation(spark, node.id)
-            fresh
+            val w0 = fresh
               .withColumn("valid_from", validFrom)
               .withColumn("valid_to", org.apache.spark.sql.functions
                 .lit(null).cast("timestamp"))
-              .write.mode("overwrite").saveAsTable(node.id)
+              .write.mode("overwrite")
+            node.partitionBy.fold(w0)(c => w0.partitionBy(c))
+              .saveAsTable(node.id)
           } else {
             val merged = updatedAt match {
               case None => snapshotMerge(node.id, fresh, key, ts)
               case Some(ua) =>
                 snapshotMergeByTimestamp(node.id, fresh, key, ua)
             }
-            overwriteViaStaging(node.id, merged)
+            overwriteViaStaging(node.id, merged, node.partitionBy)
           }
           ViewStore.saveTable(spark, config.dbPath, node.id)
           "SELECT" // row-count postlude runs after the tail statements

@@ -220,8 +220,17 @@ object ViewStore {
                 spark.sql(s"CREATE TABLE `$id` ($schemaDDL) USING parquet " +
                   s"CLUSTERED BY ($bcols) ${sorted}INTO $nBuckets BUCKETS " +
                   s"LOCATION '${loc.toString}'")
-              } else
+              } else {
                 spark.catalog.createTable(id, loc.toString, "parquet")
+                // a PARTITIONED table's partitions are catalog-tracked
+                // (manageFilesourcePartitions) and a path registration
+                // starts with none — recover them from the directory
+                // layout or the restored table reads zero rows. MSCK on
+                // an unpartitioned table errors; that error is the
+                // common no-op case here.
+                try { spark.sql(s"MSCK REPAIR TABLE `$id`"); () }
+                catch { case _: Exception => () }
+              }
               n += 1 // count only tables this call actually registered
             }
           } catch { case e: Exception =>

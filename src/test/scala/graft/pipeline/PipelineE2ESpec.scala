@@ -1987,6 +1987,50 @@ class PipelineE2ESpec extends AnyFunSuite {
       "runNodes must release cached manifests at end-of-run")
   }
 
+  test("incremental merge preserves the declared partition layout: the " +
+      "staging swap rewrites partitionBy'd, so downstream partition " +
+      "pruning survives the first merge run") {
+    val db = Files.createTempDirectory("graft-mergepart-db")
+    val dir = Files.createTempDirectory("graft-mergepart")
+    val dataDir = Files.createTempDirectory("graft-mergepart-data")
+    val parq = dataDir.resolve("ev.parquet").toString
+    def writeSource(rows: Seq[(Long, String)]): Unit = {
+      spark.createDataFrame(rows).toDF("id", "day")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    writeSource(Seq((1L, "d1"), (2L, "d1"), (3L, "d2")))
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("part_inc.sql"),
+      s"""SELECT * FROM read_parquet('$parq')
+         |{% if is_incremental() %} WHERE id > (SELECT max(id) FROM {{ this }}) {% endif %}""".stripMargin)
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  part_inc:
+         |    materialize: incremental
+         |    unique_key: id
+         |    partition_by: day""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def partitionDirs(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val loc = ViewStore.warehouseLocation(spark, "part_inc")
+      val s = Files.list(loc)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("day=")).toSeq.sorted
+      finally s.close()
+    }
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(partitionDirs() == Seq("day=d1", "day=d2"))
+    // merge run: new rows in a new partition — the rewritten table must
+    // STAY partitioned (the silent-unpartition regression this pins)
+    writeSource(Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d3")))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    assert(partitionDirs() == Seq("day=d1", "day=d2", "day=d3"),
+      "merge dropped the partition layout")
+    assert(spark.table("part_inc").count() == 4)
+  }
+
   test("a seed path containing a single quote fails NAMED at discovery") {
     val dir = Files.createTempDirectory("graft-seedq")
     val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
