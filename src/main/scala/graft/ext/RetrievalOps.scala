@@ -418,18 +418,22 @@ object RetrievalOps {
   private def storedContributions(stats: LexicalStats,
                                   probeTerms: DataFrame, what: String,
                                   k1: Double, b: Double): DataFrame = {
-    // the probe broadcasts below — a bounded-probe CONTRACT, stated
-    // loudly (the inline form's cap, moved to the broadcast seam): a
-    // probe is an eval set, not a corpus, and a corpus-sized one must
-    // fail named here rather than OOM the broadcast. The count is
-    // limit-bounded, so a runaway probe costs one capped scan.
-    val nProbe = probeTerms.limit(MaxProbeTerms + 1).count()
-    require(nProbe <= MaxProbeTerms,
+    // ONE bounded driver probe serves two needs: the bucket IN-list for
+    // the static partition filter, and the bounded-probe CONTRACT
+    // stated loudly (the inline form's cap, moved to the broadcast
+    // seam): a probe is an eval set, not a corpus, and a corpus-sized
+    // one must fail named here rather than OOM the broadcast below.
+    // The limit bounds the collect at ≤ cap+1 ints (~256 KB) whatever
+    // the caller feeds — and keeps the serving path at the same job
+    // count it had before the cap existed (a separate count() job
+    // measurably regressed q144/q145/q147 by ~0.1 s each).
+    val tbRows = probeTerms.select(col("tb"))
+      .limit(MaxProbeTerms + 1).collect()
+    require(tbRows.length <= MaxProbeTerms,
       s"$what: probe vocabulary exceeds $MaxProbeTerms distinct terms — " +
         "a probe table is an eval set, not a corpus; split the probe " +
         "into batches if it is genuinely this large")
-    val buckets = probeTerms.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val buckets = tbRows.map(_.getInt(0)).distinct.sorted
     require(buckets.nonEmpty, s"$what: empty probe")
     val pruned = stats.terms
       .filter(col("tb").isin(buckets.map(Int.box).toIndexedSeq: _*))

@@ -923,6 +923,42 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility audit (q152): per source — whitespace vs
+    // learned-subword token mass and their ratio (fertility), the
+    // report that QUANTIFIES the whitespace mispricing per corpus
+    // slice before a budget/mixture run commits to either pricing.
+    // Map-only over one scan + one small rollup ---------------------
+    "q152_tokenizer_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("ws_tokens"),
+          sum(TextOps.subwordTokenCount(col("text")))
+            .as("subword_tokens"))
+        .withColumn("fertility",
+          round(col("subword_tokens").cast("double") / col("ws_tokens"),
+            4))
+        .orderBy(col("source"))
+    }),
+
+    // Fully-learned curation gate (q153): the committed classifier
+    // scores (q151's weights), the committed tokenizer prices (q150's
+    // merges), and the exact budget selector keeps the best-first
+    // prefix — all three learned/committed artifacts composed into the
+    // one selection a production curation run executes. Oracle chains
+    // both artifact rebuilds under the naive global window ----------
+    "q153_learned_gate_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d
+        .withColumn("quality",
+          round(TextOps.qualityLrScore(col("text")), 6))
+        .withColumn("n_tok", TextOps.subwordTokenCount(col("text")))
+      DedupOps.tokenBudgetSelect(scored, "doc_id", col("quality"),
+          col("n_tok"), budgetTokens = LearnedGateBudget)
+        .orderBy(col("doc_id"))
+    }),
+
     // Learned-subword budget selection (q150): q127's exact best-first
     // prefix, priced in LEARNED subword tokens — the committed BpeMerges
     // vocabulary applied by the native map-only encoder — instead of
@@ -2794,6 +2830,11 @@ object ExtensionQueries {
     */
   private[graft] val SubwordBudget: Long = 14000L
 
+  /** q153's budget — interior under the classifier-scored subword
+    * pricing at both SFs.
+    */
+  private[graft] val LearnedGateBudget: Long = 8000L
+
   /** q133's per-source token targets: src0 = several full epochs + a
     * remainder prefix at sf0.01, src1/src3 = sub-epoch prefixes, src2 = 0
     * (scheduled but unused). Literals, so the regimes shift with SF —
@@ -2923,13 +2964,19 @@ object ExtensionQueries {
     * bounded vocabulary; the CTE is |vocab| × |merges| rows), then join
     * back onto the exploded tokens.
     */
-  private lazy val subwordBudgetOracleSql: String = {
+  /** The committed-merges encode REBUILT in SQL, shared by the
+    * q150/q152/q153 oracles: per distinct word, a recursive CTE applies
+    * each merge in rank order via `replace` on the space-delimited
+    * state (byte-identical semantics to the Scala encoder — see
+    * [[graft.ext.Bpe]]); `dtok` is the per-doc subword token sum.
+    */
+  private lazy val subwordEncCtes: String = {
     val mergeRows = graft.ext.BpeMerges.merges.zipWithIndex
       .map { case ((l, r), i) =>
         def esc(s: String) = s.replace("'", "''")
         s"(${i + 1}, '${esc(l)}', '${esc(r)}')"
       }.mkString(",\n    ")
-    s"""WITH RECURSIVE merges(rank, l, r) AS (VALUES
+    s"""merges(rank, l, r) AS (VALUES
        |    $mergeRows),
        |words AS (SELECT DISTINCT unnest(regexp_split_to_array(lower(text),
        |    '\\s+')) AS w FROM documents WHERE text IS NOT NULL),
@@ -2950,7 +2997,11 @@ object ExtensionQueries {
        |dtok AS (SELECT doc_toks.doc_id,
        |    CAST(sum(wc.np) AS BIGINT) AS n_tokens
        |  FROM doc_toks JOIN wc ON wc.w = doc_toks.w
-       |  GROUP BY doc_toks.doc_id),
+       |  GROUP BY doc_toks.doc_id)""".stripMargin
+  }
+
+  private lazy val subwordBudgetOracleSql: String = {
+    s"""WITH RECURSIVE $subwordEncCtes,
        |q0 AS (SELECT doc_id, text,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
        |q1 AS (SELECT doc_id, toks,
@@ -2969,6 +3020,61 @@ object ExtensionQueries {
        |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id
        |    ROWS UNBOUNDED PRECEDING) AS cum FROM q2)
        |SELECT doc_id, score, n_tokens FROM c WHERE cum <= $SubwordBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q152's oracle: the shared encode rebuild + a per-source rollup of
+    * whitespace vs subword token mass.
+    */
+  private lazy val tokenizerFertilityOracleSql: String =
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |ws AS (SELECT doc_id, source,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS wt
+       |  FROM documents)
+       |SELECT ws.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws.wt) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(dtok.n_tokens) AS BIGINT) AS subword_tokens,
+       |  round(CAST(sum(dtok.n_tokens) AS DOUBLE) / sum(ws.wt), 4)
+       |    AS fertility
+       |FROM ws JOIN dtok USING (doc_id)
+       |GROUP BY ws.source
+       |ORDER BY ws.source""".stripMargin
+
+  /** q153's oracle: BOTH committed artifacts rebuilt in SQL — the
+    * classifier score as the weights dot product (q151's CTEs) and the
+    * subword pricing from the merges (the shared encode) — under q127's
+    * naive global-window selection.
+    */
+  private lazy val learnedGateBudgetOracleSql: String = {
+    val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
+    val bias = graft.ext.QualityLrWeights.bias
+    val nb = graft.ext.QualityLrWeights.nBuckets
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |lw(b, wt) AS (VALUES
+       |    $wRows),
+       |d2 AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |g2 AS (SELECT doc_id, unnest(toks ||
+       |    [array_to_string(toks[i:i+1], ' ')
+       |     for i in generate_series(1, len(toks) - 1)]) AS g
+       |  FROM d2),
+       |db2 AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
+       |    count(*) AS n
+       |  FROM g2 GROUP BY 1, 2),
+       |z2 AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-(sum(n * wt) / sum(n) + $bias))), 6)
+       |      AS score
+       |  FROM db2 JOIN lw USING (b) GROUP BY doc_id),
+       |m2 AS (SELECT z2.doc_id, z2.score, dtok.n_tokens
+       |  FROM z2 JOIN dtok USING (doc_id)),
+       |c AS (SELECT doc_id, score, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM m2)
+       |SELECT doc_id, score, n_tokens FROM c
+       |WHERE cum <= $LearnedGateBudget
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3959,6 +4065,8 @@ object ExtensionQueries {
     "q126_contrastive_triples_ann" -> contrastiveTriplesAnnOracleSql,
     "q127_token_budget" -> tokenBudgetOracleSql,
     "q150_subword_budget" -> subwordBudgetOracleSql,
+    "q152_tokenizer_fertility" -> tokenizerFertilityOracleSql,
+    "q153_learned_gate_budget" -> learnedGateBudgetOracleSql,
     "q148_budget_by_source" -> budgetBySourceOracleSql,
     // q149: q27's pair CTEs over the train slice + q63's gram CTEs +
     // q64's quality arithmetic, rolled up per score decile
