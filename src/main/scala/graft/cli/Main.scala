@@ -33,7 +33,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>""".stripMargin)
       sys.exit(2)
@@ -50,7 +50,7 @@ object Main {
            pos: List[String]): (Map[String, String], List[String]) = l match {
       case k :: v :: t
           if Set("--config", "--models-dir", "--db-path", "--select",
-            "--exclude")(k) =>
+            "--exclude", "--vars")(k) =>
         go(t, flags + (k.drop(2) -> v), pos)
       case "--parallel" :: t => go(t, flags + ("parallel" -> "true"), pos)
       case "--changed-only" :: t =>
@@ -110,7 +110,8 @@ object Main {
         changedOnly = flags.contains("changed-only"),
         selectors = selectorsOf(flags),
         excludes = excludesOf(flags),
-        fullRefresh = flags.contains("full-refresh"))
+        fullRefresh = flags.contains("full-refresh"),
+        cliVars = varsOf(flags))
       val report = session.runNodes()
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {
@@ -186,13 +187,27 @@ object Main {
     flags.get(key).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
+  /** `--vars k=v,k2=v2` — the CLI overlay over the config's `vars:`
+    * mapping (dbt precedence: the command line wins). A malformed entry
+    * is a loud error, not a silently-ignored var.
+    */
+  private def varsOf(flags: Map[String, String]): Map[String, String] =
+    listFlag(flags, "vars").map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => k.trim -> v
+        case _ =>
+          System.err.println(s"--vars: expected name=value, got '$kv'")
+          sys.exit(2)
+      }
+    }.toMap
+
   private[cli] def dryRun(flags: Map[String, String]): Unit = {
     val config = loadConfig(flags)
     try {
       val session = new PipelineSession(
         throw new IllegalStateException("dry-run does not execute SQL"),
         config, selectors = selectorsOf(flags),
-        excludes = excludesOf(flags))
+        excludes = excludesOf(flags), cliVars = varsOf(flags))
       val (order, nodeMap) = session.buildGraph()
       val runOrder = session.selectionSet(order, nodeMap)
         .fold(order)(s => order.filter(s))
@@ -224,7 +239,8 @@ object Main {
       // multi-second Spark startup entirely
       val session = new PipelineSession(
         throw new IllegalStateException("viz does not execute SQL"), config,
-        selectors = selectorsOf(flags), excludes = excludesOf(flags))
+        selectors = selectorsOf(flags), excludes = excludesOf(flags),
+        cliVars = varsOf(flags))
       val (order, nodeMap) = session.buildGraph()
       // --changed-only preview: paint would-skip nodes green, would-run
       // red, against the stored fingerprints — still entirely Spark-free

@@ -25,7 +25,8 @@ final case class PipelineConfig(
     macroPath: Option[String] = None,
     seedsDir: Option[String] = None,
     settings: Map[String, String] = Map.empty,
-    models: Map[String, ModelConfig] = Map.empty)
+    models: Map[String, ModelConfig] = Map.empty,
+    vars: Map[String, String] = Map.empty)
 
 final case class ModelConfig(materialize: Option[String] = None,
                              uniqueKey: Option[String] = None,
@@ -209,13 +210,23 @@ object PipelineConfig {
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 
+    // dbt vars: a top-level `vars:` mapping of project-wide values the
+    // models reference as {{ var('name') }}; the CLI --vars overlay is
+    // applied by the session, not here
+    val vars = root.get("vars").flatMap(Option(_))
+      .collect { case m: java.util.Map[_, _] =>
+        m.asScala.collect { case (k, v) if v != null =>
+          String.valueOf(k) -> v.toString }.toMap }
+      .getOrElse(Map.empty[String, String])
+
     PipelineConfig(
       modelsDir = str("models_dir").getOrElse("."),
       dbPath = str("db_path"),
       macroPath = str("macro_path"),
       seedsDir = str("seeds_dir"),
       settings = settings,
-      models = models)
+      models = models,
+      vars = vars)
   }
 
   /** One `tests:` list element. Accepted shapes (dbt's common forms):

@@ -29,7 +29,16 @@ final class PipelineSession(
     changedOnly: Boolean = false,
     selectors: Seq[String] = Nil,
     excludes: Seq[String] = Nil,
-    fullRefresh: Boolean = false) {
+    fullRefresh: Boolean = false,
+    cliVars: Map[String, String] = Map.empty) {
+
+  /** dbt vars, CLI overlay winning over the config's `vars:` mapping.
+    * Substituted into model SQL (and hooks/custom tests) BEFORE macro
+    * rendering, so a changed var value changes the rendered text and —
+    * through it — the closure fingerprint: `--changed-only` re-executes
+    * exactly the models whose vars moved.
+    */
+  private val effectiveVars: Map[String, String] = config.vars ++ cliVars
 
   // by-name + lazy: graph building and viz never touch Spark, so `viz`
   // can construct a session-free PipelineSession and skip Spark startup
@@ -170,7 +179,8 @@ final class PipelineSession(
     // render: strip comments → incremental context ({{ this }} /
     // is_incremental()) → expand macros → extract refs (src/node.rs:62-107)
     nodeMap = nodeMap.map { case (id, node) =>
-      val stripped = SqlText.stripComments(node.rawSrc)
+      val stripped = PipelineSession.renderVars(
+        SqlText.stripComments(node.rawSrc), effectiveVars, id)
       val withCtx = PipelineSession.renderIncrementalContext(stripped, id,
         incremental = node.materialize.map(_.toLowerCase)
           .contains("incremental") && !fullRefresh && targetTableExists(id))
@@ -721,7 +731,9 @@ final class PipelineSession(
     def runHooks(hooks: Seq[String], kind: String): Unit =
       hooks.foreach { h =>
         val rendered = PipelineSession.renderIncrementalContext(
-          SqlText.stripComments(h), node.id, incremental = false)
+          PipelineSession.renderVars(SqlText.stripComments(h),
+            effectiveVars, node.id),
+          node.id, incremental = false)
         try SqlExec.run(spark, DialectShim.rewrite(rendered, spark))
         catch {
           case e: GraftError => throw e
@@ -1083,7 +1095,9 @@ final class PipelineSession(
             s"test ${t.describe}: cannot read test file $p",
             node.renderedSrc, node.path))
           val rendered = PipelineSession.renderIncrementalContext(
-            SqlText.stripComments(sql), node.id, incremental = false)
+            PipelineSession.renderVars(SqlText.stripComments(sql),
+              effectiveVars, node.id),
+            node.id, incremental = false)
           try spark.sql(DialectShim.rewrite(rendered, spark)).count()
           catch {
             case e: GraftError => throw e
@@ -1370,6 +1384,38 @@ object PipelineSession {
       .replaceAllIn(sql, incremental.toString)
       .replaceAll("""\{\{\s*this\s*\}\}""",
         java.util.regex.Matcher.quoteReplacement(id))
+
+  /** dbt `{{ var('name') }}` / `{{ var('name', default) }}` rendering —
+    * a pre-macro substitution like [[renderIncrementalContext]]: the
+    * value (config `vars:` overlaid by `--vars`) drops in as RAW TEXT
+    * (the user supplies SQL quoting: `'{{ var("lang") }}'`), so values
+    * work as literals, identifiers, or expression fragments alike. A
+    * quoted default unquotes; an unknown var with no default fails
+    * LOUDLY naming the model and the known vars — dbt's behavior, and a
+    * silently-empty substitution would execute the wrong query.
+    */
+  private[pipeline] def renderVars(sql: String,
+                                   vars: Map[String, String],
+                                   where: String): String = {
+    val rx =
+      """\{\{\s*var\s*\(\s*['"]([^'"]+)['"]\s*(?:,\s*(.*?)\s*)?\)\s*\}\}""".r
+    rx.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      val default = Option(m.group(2)).map { d =>
+        if (d.length >= 2 &&
+            ((d.head == '\'' && d.last == '\'') ||
+             (d.head == '"' && d.last == '"')))
+          d.substring(1, d.length - 1)
+        else d
+      }
+      val value = vars.get(name).orElse(default).getOrElse(
+        throw GenericError(s"$where: {{ var('$name') }} has no value — " +
+          s"declare it under `vars:` or pass --vars $name=… " +
+          (if (vars.isEmpty) "(no vars are set)"
+           else s"(known vars: ${vars.keys.toSeq.sorted.mkString(", ")})")))
+      java.util.regex.Matcher.quoteReplacement(value)
+    })
+  }
 
   private[pipeline] def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

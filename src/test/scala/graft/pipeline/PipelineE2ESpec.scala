@@ -2031,6 +2031,52 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(spark.table("part_inc").count() == 4)
   }
 
+  test("dbt vars: {{ var('name') }} renders from config vars with CLI " +
+      "overlay winning, quoted defaults unquote, unknown vars fail " +
+      "loudly, and a changed var re-executes under --changed-only") {
+    val db = Files.createTempDirectory("graft-vars-db")
+    val dir = Files.createTempDirectory("graft-vars")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("by_lang.sql"),
+      """SELECT '{{ var("lang") }}' AS lang,
+        |  {{ var('factor', '2') }} * 10 AS scaled,
+        |  '{{ var("region", "emea") }}' AS region""".stripMargin)
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |vars:
+         |  lang: en
+         |  factor: 3""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    def row(vars: Map[String, String] = Map.empty) = {
+      val r = new PipelineSession(spark, config, cliVars = vars).runNodes()
+      assert(r.errors.isEmpty, r.errors.map(_.render).mkString("; "))
+      val x = spark.table("by_lang").collect()(0)
+      (x.getString(0), x.getInt(1), x.getString(2))
+    }
+    // config vars + unset var's quoted default
+    assert(row() == ("en", 30, "emea"))
+    // CLI overlay wins; unquoted numeric default still in play
+    assert(row(Map("lang" -> "zh", "factor" -> "5")) == ("zh", 50, "emea"))
+    // a changed var re-executes under --changed-only (value flows into
+    // the rendered text, so the closure fingerprint moves)
+    assert(row(Map("lang" -> "zh", "factor" -> "5")) == ("zh", 50, "emea"))
+    val skip = new PipelineSession(spark, config, changedOnly = true,
+      cliVars = Map("lang" -> "zh", "factor" -> "5")).runNodes()
+    assert(skip.results.map(_.status) == Seq("SKIP unchanged"))
+    val rerun = new PipelineSession(spark, config, changedOnly = true,
+      cliVars = Map("lang" -> "fr", "factor" -> "5")).runNodes()
+    assert(rerun.results.map(_.status).exists(_.startsWith("CREATE VIEW")),
+      rerun.results.mkString("; "))
+    assert(spark.table("by_lang").collect()(0).getString(0) == "fr")
+    // unknown var without a default: loud, names the var and the knowns
+    Files.writeString(modelsDir.resolve("by_lang.sql"),
+      "SELECT '{{ var(\"nope\") }}' AS x")
+    val bad = new PipelineSession(spark, config)
+    val e = intercept[GraftError] { bad.buildGraph() }
+    assert(e.render.contains("nope") && e.render.contains("lang"))
+  }
+
   test("a seed path containing a single quote fails NAMED at discovery") {
     val dir = Files.createTempDirectory("graft-seedq")
     val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
