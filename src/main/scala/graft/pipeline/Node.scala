@@ -36,4 +36,5 @@ final case class ModelNode(
     updatedAt: Option[String] = None,
     onSchemaChange: Option[String] = None,
     preHooks: Seq[String] = Nil,
-    postHooks: Seq[String] = Nil)
+    postHooks: Seq[String] = Nil,
+    freshness: Option[Freshness] = None)

@@ -38,7 +38,16 @@ final case class ModelConfig(materialize: Option[String] = None,
                              updatedAt: Option[String] = None,
                              onSchemaChange: Option[String] = None,
                              preHooks: Seq[String] = Nil,
-                             postHooks: Seq[String] = Nil)
+                             postHooks: Seq[String] = Nil,
+                             freshness: Option[Freshness] = None)
+
+/** dbt source freshness declared on a file-reading model: how old may
+  * the newest backing file be before the run warns / fails. Checked
+  * against the `read_*` targets' modification times right before the
+  * node executes.
+  */
+final case class Freshness(warnAfterSeconds: Option[Long],
+                           errorAfterSeconds: Option[Long])
 
 /** A dbt-style data test declared on a model (`models.<id>.tests:`) and
   * run against the materialized result right after the model executes —
@@ -198,6 +207,32 @@ object PipelineConfig {
               }
             case _ => Nil
           }
+          // freshness: { warn_after_seconds: N, error_after_seconds: M }
+          // — either bound optional, but an empty mapping is a loud
+          // error (a freshness block that checks nothing is a typo)
+          val freshness: Option[Freshness] = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, fm: java.util.Map[_, _])
+                    if String.valueOf(mk) == "freshness" =>
+                  val fields = fm.asScala.map { case (fk, fv) =>
+                    String.valueOf(fk) -> fv }.toMap
+                  def sec(name: String): Option[Long] =
+                    fields.get(name).flatMap(Option(_))
+                      .map(x => try x.toString.toLong
+                        catch { case _: NumberFormatException =>
+                          throw GenericError(s"models.$id.freshness." +
+                            s"$name: expected seconds, got `$x`") })
+                  val f = Freshness(sec("warn_after_seconds"),
+                    sec("error_after_seconds"))
+                  if (f.warnAfterSeconds.isEmpty &&
+                      f.errorAfterSeconds.isEmpty)
+                    throw GenericError(s"models.$id.freshness: declare " +
+                      "warn_after_seconds and/or error_after_seconds")
+                  f
+              }
+            case _ => None
+          }
           id -> ModelConfig(field("materialize"), field("unique_key"),
             tests, tags = list("tags"),
             incrementalStrategy = field("incremental_strategy"),
@@ -206,7 +241,8 @@ object PipelineConfig {
             updatedAt = field("updated_at"),
             onSchemaChange = field("on_schema_change"),
             preHooks = hookList("pre_hook", "pre-hook"),
-            postHooks = hookList("post_hook", "post-hook"))
+            postHooks = hookList("post_hook", "post-hook"),
+            freshness = freshness)
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 

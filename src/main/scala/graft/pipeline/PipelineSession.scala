@@ -148,7 +148,8 @@ final class PipelineSession(
         updatedAt = config.models.get(id).flatMap(_.updatedAt),
         onSchemaChange = config.models.get(id).flatMap(_.onSchemaChange),
         preHooks = config.models.get(id).map(_.preHooks).getOrElse(Nil),
-        postHooks = config.models.get(id).map(_.postHooks).getOrElse(Nil))
+        postHooks = config.models.get(id).map(_.postHooks).getOrElse(Nil),
+        freshness = config.models.get(id).flatMap(_.freshness))
     }.toMap ++ seedPaths.map { p =>
       val fn = p.getFileName.toString
       val id = fn.substring(0, fn.lastIndexOf('.'))
@@ -741,6 +742,9 @@ final class PipelineSession(
             s"$kind failed: ${e.getMessage}", h, node.path)
         }
       }
+    // freshness gates the node BEFORE any SQL runs: executing a model
+    // over data already known stale just materializes the staleness
+    checkFreshness(node)
     runHooks(node.preHooks, "pre-hook")
     beforePairs.foreach { case (_, st) => runSide(st) }
 
@@ -1004,6 +1008,67 @@ final class PipelineSession(
     history.unionByName(keeping).unionByName(closing)
       .unionByName(opening)
   }
+
+  /** dbt source freshness: how old may the newest file behind this
+    * model's `read_*` targets be (the [[sourceDataFp]] stat machinery's
+    * surface turned into a gate)? Stats through the session's hadoop
+    * configuration; http(s) targets have no cheap mtime and are skipped
+    * (a model reading ONLY remote sources cannot declare freshness —
+    * loud, not silently green); a missing target is at least as bad as
+    * a stale one and fails outright. `error_after` fails the node named;
+    * `warn_after` prints a WARNING and continues.
+    */
+  private def checkFreshness(node: ModelNode): Unit =
+    node.freshness.foreach { f =>
+      val rx = """(?i)read_\w+\s*\(\s*['"]([^'"]+)['"]""".r
+      val targets = rx.findAllMatchIn(node.renderedSrc).map(_.group(1))
+        .toSeq.distinct
+        .filterNot(p => p.startsWith("http://") || p.startsWith("https://"))
+      if (targets.isEmpty)
+        throw StatementExecutionError(
+          "freshness declared but the model reads no stat-able " +
+            "read_* source (http(s) sources have no modification time)",
+          node.renderedSrc, node.path)
+      val mtimes: Seq[Long] = targets.flatMap { p =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val matched = Option(fs.globStatus(hp))
+            .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          if (matched.isEmpty)
+            throw StatementExecutionError(
+              s"freshness check: source `$p` does not exist — a missing " +
+                "source is staler than any threshold",
+              node.renderedSrc, node.path)
+          matched.flatMap { st =>
+            if (st.isDirectory)
+              fs.listStatus(st.getPath).filterNot(_.isDirectory)
+            else Array(st)
+          }.map(_.getModificationTime).toSeq
+        } catch {
+          case e: GraftError => throw e
+          case e: Exception => throw StatementExecutionError(
+            s"freshness check: cannot stat `$p`: ${e.getMessage}",
+            node.renderedSrc, node.path)
+        }
+      }
+      if (mtimes.nonEmpty) {
+        val ageSec =
+          (System.currentTimeMillis() - mtimes.max) / 1000
+        f.errorAfterSeconds.foreach { err =>
+          if (ageSec > err)
+            throw StatementExecutionError(
+              s"source data is STALE: newest file behind `${node.id}` " +
+                s"is ${ageSec}s old (error_after_seconds: $err)",
+              node.renderedSrc, node.path)
+        }
+        f.warnAfterSeconds.foreach { warn =>
+          if (ageSec > warn)
+            println(s"WARNING: source data for `${node.id}` is ${ageSec}s " +
+              s"old (warn_after_seconds: $warn)")
+        }
+      }
+    }
 
   /** dbt's `on_schema_change` contract for incremental merges: when the
     * fresh slice's column SET differs from the target table's, the

@@ -2077,6 +2077,70 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(e.render.contains("nope") && e.render.contains("lang"))
   }
 
+  test("source freshness: fresh sources run clean, warn_after prints a " +
+      "warning, error_after fails the node named, a missing source " +
+      "fails, and freshness on a sourceless model is a loud error") {
+    val dir = Files.createTempDirectory("graft-fresh")
+    val dataDir = Files.createTempDirectory("graft-fresh-data")
+    val parq = dataDir.resolve("src.parquet").toString
+    spark.createDataFrame(Seq((1L, "a"))).toDF("id", "v")
+      .write.mode("overwrite").parquet(parq)
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("fresh_src.sql"),
+      s"SELECT * FROM read_parquet('$parq')")
+    def cfg(freshness: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |models:
+           |  fresh_src:
+           |    freshness:
+           |$freshness""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // freshly written data: inside both bounds → clean
+    assert(new PipelineSession(spark,
+      cfg("      warn_after_seconds: 3600\n" +
+          "      error_after_seconds: 86400")).runNodes().errors.isEmpty)
+    // age the data files: set mtimes 2 hours into the past
+    import scala.jdk.CollectionConverters._
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200L * 1000)
+    val walk = Files.walk(java.nio.file.Paths.get(parq))
+    try walk.iterator().asScala.foreach(p =>
+      Files.setLastModifiedTime(p, old))
+    finally walk.close()
+    // past warn, inside error: runs with a warning
+    val warned = new PipelineSession(spark,
+      cfg("      warn_after_seconds: 3600\n" +
+          "      error_after_seconds: 86400")).runNodes()
+    assert(warned.errors.isEmpty)
+    // past error: the node fails, named
+    val stale = new PipelineSession(spark,
+      cfg("      error_after_seconds: 3600")).runNodes()
+    assert(stale.errors.nonEmpty &&
+      stale.errors.head.render.contains("STALE"),
+      stale.errors.map(_.render).mkString("; "))
+    // missing source: fails outright
+    val goneDir = Files.createTempDirectory("graft-fresh-gone")
+    Files.writeString(modelsDir.resolve("fresh_src.sql"),
+      s"SELECT * FROM read_parquet('$goneDir/nothing.parquet')")
+    val missing = new PipelineSession(spark,
+      cfg("      error_after_seconds: 3600")).runNodes()
+    assert(missing.errors.nonEmpty &&
+      missing.errors.head.render.contains("does not exist"),
+      missing.errors.map(_.render).mkString("; "))
+    // freshness on a model with no read_* target: loud
+    Files.writeString(modelsDir.resolve("fresh_src.sql"), "SELECT 1 AS x")
+    val sourceless = new PipelineSession(spark,
+      cfg("      error_after_seconds: 3600")).runNodes()
+    assert(sourceless.errors.nonEmpty &&
+      sourceless.errors.head.render.contains("no stat-able"),
+      sourceless.errors.map(_.render).mkString("; "))
+    // an empty freshness block is a config error
+    val e = intercept[GraftError] { cfg("      {}") }
+    assert(e.render.contains("warn_after_seconds"))
+  }
+
   test("a seed path containing a single quote fails NAMED at discovery") {
     val dir = Files.createTempDirectory("graft-seedq")
     val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
