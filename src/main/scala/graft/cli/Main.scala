@@ -33,7 +33,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2] [--fail-fast]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>""".stripMargin)
       sys.exit(2)
@@ -58,6 +58,8 @@ object Main {
       case "--dry-run" :: t => go(t, flags + ("dry-run" -> "true"), pos)
       case "--full-refresh" :: t =>
         go(t, flags + ("full-refresh" -> "true"), pos)
+      case "--fail-fast" :: t =>
+        go(t, flags + ("fail-fast" -> "true"), pos)
       case a :: _ if a.startsWith("--") =>
         System.err.println(s"Unknown flag: $a"); sys.exit(2)
       case a :: t => go(t, flags, pos :+ a)
@@ -111,7 +113,8 @@ object Main {
         selectors = selectorsOf(flags),
         excludes = excludesOf(flags),
         fullRefresh = flags.contains("full-refresh"),
-        cliVars = varsOf(flags))
+        cliVars = varsOf(flags),
+        failFast = flags.contains("fail-fast"))
       val report = session.runNodes()
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {

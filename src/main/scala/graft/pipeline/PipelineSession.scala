@@ -30,7 +30,8 @@ final class PipelineSession(
     selectors: Seq[String] = Nil,
     excludes: Seq[String] = Nil,
     fullRefresh: Boolean = false,
-    cliVars: Map[String, String] = Map.empty) {
+    cliVars: Map[String, String] = Map.empty,
+    failFast: Boolean = false) {
 
   /** dbt vars, CLI overlay winning over the config's `vars:` mapping.
     * Substituted into model SQL (and hooks/custom tests) BEFORE macro
@@ -551,10 +552,36 @@ final class PipelineSession(
     }
 
     val t0 = System.nanoTime()
+    // dbt execution semantics: a failed node SKIPS its downstream (a
+    // descendant executing against a missing — or worse, a STALE
+    // restored — upstream registration is not a success, it is a wrong
+    // answer waiting to be read), and --fail-fast aborts the whole run
+    // at the first error. Skip statuses carry no error: the report's
+    // error list stays exactly the real failures, and the fingerprint
+    // base already drops failed closures so everything skipped here
+    // re-executes next run.
+    val failedIds = mutable.Set[String]()
+    def forcedStatusOf(id: String, aborted: Boolean): Option[String] =
+      if (aborted) Some("SKIP fail-fast")
+      else if (nodeMap(id).prevs.exists(failedIds.contains))
+        Some("SKIP upstream failed")
+      else None
+    def note(r: NodeResult, forced: Option[String]): NodeResult = {
+      if (r.error.nonEmpty || forced.contains("SKIP upstream failed")) {
+        failedIds += r.id; ()
+      }
+      r
+    }
     val results =
-      if (!parallel) runOrder.zipWithIndex.map { case (id, i) =>
-        executeReported(nodeMap(id), i + 1, runOrder.size,
-          skip = skip(id))
+      if (!parallel) {
+        var aborted = false
+        runOrder.zipWithIndex.map { case (id, i) =>
+          val forced = forcedStatusOf(id, aborted)
+          val r = note(executeReported(nodeMap(id), i + 1, runOrder.size,
+            skip = skip(id), forcedStatus = forced), forced)
+          if (failFast && r.error.nonEmpty) aborted = true
+          r
+        }
       }
       else {
         val inRun = runOrder.toSet
@@ -562,12 +589,20 @@ final class PipelineSession(
           case (id, n) if inRun(id) =>
             id -> n.prevs.filter(p => inRun(p) && nodeMap.contains(p)) })
         val idx = runOrder.zipWithIndex.toMap
+        var aborted = false
         Dag.waves(graph).flatMap { wave =>
           val valid = wave.filter(idx.contains)
-          valid.par.map(id =>
-            executeReported(nodeMap(id), idx(id) + 1, runOrder.size,
-              buffered = true, skip = skip(id))).toList
-            .sortBy(r => idx(r.id))
+          // the skip decision is wave-boundary-safe: every upstream ran
+          // in an earlier wave, so failedIds is complete for this wave
+          val decided = valid.map(id => id -> forcedStatusOf(id, aborted))
+          val rs = decided.par.map { case (id, forced) =>
+            (executeReported(nodeMap(id), idx(id) + 1, runOrder.size,
+              buffered = true, skip = skip(id), forcedStatus = forced),
+              forced)
+          }.toList
+          rs.foreach { case (r, forced) => note(r, forced); () }
+          if (failFast && rs.exists(_._1.error.nonEmpty)) aborted = true
+          rs.map(_._1).sortBy(r => idx(r.id))
         }
       }
     val report = RunReport(results, (System.nanoTime() - t0) / 1000000)
@@ -603,7 +638,13 @@ final class PipelineSession(
       // drop failures, then fold in this run's successes
       (storedBase.view.filterKeys(nodeMap.contains).toMap -- failedClosure)
         ++ closureFps.view.filterKeys(id =>
-          results.exists(r => r.id == id && r.error.isEmpty) &&
+          results.exists(r => r.id == id && r.error.isEmpty &&
+            // forced skips never ran: recording their fingerprint would
+            // let the next --changed-only treat unexecuted work as done
+            // (a changed-only "SKIP unchanged" IS a verified skip and
+            // does record)
+            !r.status.startsWith("SKIP upstream") &&
+            !r.status.startsWith("SKIP fail-fast")) &&
             !failedClosure.contains(id)).toMap)
 
     if (report.errors.nonEmpty) {
@@ -647,7 +688,9 @@ final class PipelineSession(
 
   private def executeReported(node: ModelNode, nth: Int, total: Int,
                               buffered: Boolean = false,
-                              skip: Boolean = false): NodeResult = {
+                              skip: Boolean = false,
+                              forcedStatus: Option[String] = None)
+      : NodeResult = {
     val ts = LocalDateTime.now.format(DateTimeFormatter.ofPattern("HH:mm:ss"))
     val mat = node.materialize.getOrElse("view").toLowerCase
     val info = s"$ts  $nth of $total: creating ${node.id} $mat model"
@@ -658,16 +701,22 @@ final class PipelineSession(
     // per node instead (println of a single String is synchronized).
     if (!buffered) print(header)
     val t0 = System.nanoTime()
-    val (status, err) =
-      try {
-        val st = if (skip) skipNode(node) else executeNode(node)
-        (st, None)
-      }
-      catch {
-        case e: GraftError => ("ERROR", Some(e))
-        case e: Exception =>
-          ("ERROR", Some(StatementExecutionError(e.getMessage, node.renderedSrc, node.path)))
-      }
+    val (status, err) = forcedStatus match {
+      // a forced skip (failed upstream / fail-fast abort) executes
+      // NOTHING — not even the view re-registration a changed-only skip
+      // performs
+      case Some(st) => (st, None)
+      case None =>
+        try {
+          val st = if (skip) skipNode(node) else executeNode(node)
+          (st, None)
+        }
+        catch {
+          case e: GraftError => ("ERROR", Some(e))
+          case e: Exception =>
+            ("ERROR", Some(StatementExecutionError(e.getMessage, node.renderedSrc, node.path)))
+        }
+    }
     val ms = (System.nanoTime() - t0) / 1000000
     val tail = s"[$status in ${formatElapsed(ms)}]"
     if (buffered) println(header + tail) else println(tail)

@@ -1089,9 +1089,9 @@ class PipelineE2ESpec extends AnyFunSuite {
         "forever once its base is stored")
   }
 
-  test("run --changed-only: a descendant that succeeded under a FAILED " +
-      "upstream is not frozen into the fingerprint base — it re-executes " +
-      "next run instead of skipping against stale data") {
+  test("run --changed-only: a descendant of a FAILED upstream is " +
+      "SKIPPED (dbt semantics), never frozen into the fingerprint base " +
+      "— it re-executes next run instead of skipping against stale data") {
     val db = Files.createTempDirectory("graft-ancfail-db")
     val dir = Files.createTempDirectory("graft-ancfail")
     val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
@@ -1111,8 +1111,9 @@ class PipelineE2ESpec extends AnyFunSuite {
     val r1 = new PipelineSession(spark, config).runNodes()
     assert(r1.errors.isEmpty)
 
-    // break the upstream: its OWN run fails, but the descendant still
-    // succeeds against af_src's stale registration from run 1
+    // break the upstream: its OWN run fails; the descendant SKIPS
+    // (running it against af_src's stale run-1 registration would
+    // "succeed" with a wrong answer)
     write("af_src", "SELECT broken_col FROM graft_no_such_table")
     val r2 = new PipelineSession(spark, config, changedOnly = true)
       .runNodes()
@@ -2139,6 +2140,71 @@ class PipelineE2ESpec extends AnyFunSuite {
     // an empty freshness block is a config error
     val e = intercept[GraftError] { cfg("      {}") }
     assert(e.render.contains("warn_after_seconds"))
+  }
+
+  test("a failed node SKIPS its transitive downstream (dbt semantics) " +
+      "while independent branches still run; --fail-fast aborts " +
+      "everything after the first error; skipped work never records a " +
+      "fingerprint") {
+    val db = Files.createTempDirectory("graft-skipdown-db")
+    val dir = Files.createTempDirectory("graft-skipdown")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    // a_bad → b_mid → c_leaf is the failing chain; z_ok is independent
+    Files.writeString(modelsDir.resolve("a_bad.sql"),
+      "SELECT no_col FROM graft_no_such_table")
+    Files.writeString(modelsDir.resolve("b_mid.sql"),
+      "SELECT * FROM a_bad")
+    Files.writeString(modelsDir.resolve("c_leaf.sql"),
+      "SELECT * FROM b_mid")
+    Files.writeString(modelsDir.resolve("z_ok.sql"), "SELECT 1 AS x")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    val r = new PipelineSession(spark, config).runNodes()
+    val st = r.results.map(x => x.id -> x.status).toMap
+    assert(st("a_bad") == "ERROR", st)
+    assert(st("b_mid") == "SKIP upstream failed", st)
+    assert(st("c_leaf") == "SKIP upstream failed", st) // transitive
+    assert(st("z_ok").startsWith("CREATE VIEW"), st)   // independent
+    assert(r.errors.size == 1, "skips are not errors")
+    // skipped nodes recorded NO fingerprint: a later changed-only run
+    // re-executes them (they re-skip here because the upstream re-fails,
+    // which is exactly right — never "SKIP unchanged")
+    val r2 = new PipelineSession(spark, config, changedOnly = true)
+      .runNodes()
+    val st2 = r2.results.map(x => x.id -> x.status).toMap
+    assert(st2("b_mid") == "SKIP upstream failed" &&
+      st2("c_leaf") == "SKIP upstream failed", st2)
+    assert(st2("z_ok") == "SKIP unchanged", st2)
+    // --fail-fast: everything after the first error is SKIP fail-fast
+    // (sequential order: a_bad fails first, z_ok sorts after)
+    val ff = new PipelineSession(spark, config, failFast = true)
+      .runNodes()
+    val stf = ff.results.map(x => x.id -> x.status).toMap
+    assert(stf("a_bad") == "ERROR", stf)
+    assert(stf("b_mid") == "SKIP fail-fast" &&
+      stf("c_leaf") == "SKIP fail-fast" &&
+      stf("z_ok") == "SKIP fail-fast", stf)
+    // the fail-fast-skipped z_ok did NOT record a fingerprint: it RUNS
+    // under the next changed-only (it was never executed in this store
+    // state... force a fresh store to isolate)
+    val db2 = Files.createTempDirectory("graft-skipdown-db2")
+    val config2 = config.copy(dbPath = Some(db2.toString))
+    assert(new PipelineSession(spark, config2, failFast = true)
+      .runNodes().results.map(x => x.id -> x.status).toMap
+      .apply("z_ok") == "SKIP fail-fast")
+    val after = new PipelineSession(spark, config2, changedOnly = true)
+      .runNodes()
+    assert(after.results.find(_.id == "z_ok").get.status
+      .startsWith("CREATE VIEW"),
+      s"fail-fast skip must not satisfy changed-only: ${after.results}")
+    // parallel waves skip downstream the same way
+    val rp = new PipelineSession(spark, config, parallel = true).runNodes()
+    val stp = rp.results.map(x => x.id -> x.status).toMap
+    assert(stp("b_mid") == "SKIP upstream failed" &&
+      stp("c_leaf") == "SKIP upstream failed" &&
+      stp("z_ok").startsWith("CREATE VIEW"), stp)
   }
 
   test("a seed path containing a single quote fails NAMED at discovery") {
