@@ -2207,6 +2207,41 @@ class PipelineE2ESpec extends AnyFunSuite {
       stp("z_ok").startsWith("CREATE VIEW"), stp)
   }
 
+  test("examples/warehouse: the committed dbt-parity project runs E2E — " +
+      "seeds, incremental merge, timestamp snapshot, hooks, vars, " +
+      "relationships + custom-SQL tests") {
+    val exampleDir = java.nio.file.Paths.get("examples/warehouse")
+    assume(Files.isDirectory(exampleDir.resolve("models")))
+    val wh = Files.createTempDirectory("graft-warehouse-example")
+    val config = PipelineConfig.load(exampleDir.resolve("config.yaml"))
+      .copy(dbPath = Some(wh.toString))
+    // first run: seeds load, events bootstrap, snapshot bootstraps at
+    // each customer's own updated_at, tests all pass
+    val r1 = new PipelineSession(spark, config,
+      cliVars = Map("min_qty" -> "1")).runNodes()
+    assert(r1.errors.isEmpty, r1.errors.map(_.render).mkString("; "))
+    assert(spark.table("order_events").count() == 4)
+    assert(spark.table("customer_dim")
+      .filter("valid_to IS NULL").count() == 3)
+    val summary = spark.table("order_summary")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(summary == Map(1 -> 6L, 2 -> 3L, 3 -> 4L), summary.toString)
+    // second run, same data: incremental merges nothing new, snapshot
+    // versions nothing (same updated_at), everything stays green
+    val r2 = new PipelineSession(spark, config,
+      cliVars = Map("min_qty" -> "1")).runNodes()
+    assert(r2.errors.isEmpty, r2.errors.map(_.render).mkString("; "))
+    assert(spark.table("order_events").count() == 4)
+    assert(spark.table("customer_dim").count() == 3)
+    // a raised min_qty var changes the rendered SQL (and would filter
+    // the bootstrap); on the MERGE path it only gates NEW events — the
+    // dry-run surface proves the var reached the model text
+    val session3 = new PipelineSession(spark, config,
+      cliVars = Map("min_qty" -> "3"))
+    val (_, nm3) = session3.buildGraph()
+    assert(nm3("order_events").renderedSrc.contains("qty >= 3"))
+  }
+
   test("a seed path containing a single quote fails NAMED at discovery") {
     val dir = Files.createTempDirectory("graft-seedq")
     val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
