@@ -270,6 +270,34 @@ object ExtensionQueries {
           "doc_id", "text", nBuckets = 256)
         .orderBy(col("doc_id"))),
 
+    // -- Trained language ID (q154): one-vs-rest hashed-n-gram logistic
+    // regressions (the committed LangIdWeights), argmax-served by ONE
+    // fused map-only expression (grams hash once, dot k weight vectors)
+    // — the LEARNED counterpart of the n-gram-heuristic language ID.
+    // Ties on the rounded score break to the lexicographically smallest
+    // language on both engines ----------------------------------------
+    "q154_language_id" -> ((s, dir) => {
+      import graft.ext.LangIdWeights
+      val langs = LangIdWeights.langs
+      val scores = org.apache.spark.sql.graft.SubwordFunctions
+        .hashedGramScoreVec(col("text"),
+          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), scores.as("__s"))
+        .withColumn("__best", langs.zipWithIndex.tail.foldLeft(
+          struct(round(element_at(col("__s"), 1), 6).as("sc"),
+            lit(langs.head).as("l"))) { case (best, (l, i)) =>
+          val sc = round(element_at(col("__s"), i + 1), 6)
+          when(sc > best.getField("sc"),
+            struct(sc.as("sc"), lit(l).as("l"))).otherwise(best)
+        })
+        .select(col("doc_id"), col("lang"),
+          col("__best").getField("l").as("predicted"),
+          col("__best").getField("sc").as("score"),
+          (col("__best").getField("l") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Trained quality classifier (q151): the committed hashed-n-gram
     // logistic regression scores the corpus map-only — the fastText-
     // style seed-labeled gate beside q22's heuristic and q113's DSIR
@@ -2955,6 +2983,47 @@ object ExtensionQueries {
        |ORDER BY dd.doc_id""".stripMargin
   }
 
+  /** q154's oracle: every class score re-derived from the committed
+    * weight matrices as SQL dot products (q151's CTEs stacked per
+    * language), argmax via row_number over (rounded score DESC, lang).
+    */
+  private lazy val langIdOracleSql: String = {
+    import graft.ext.LangIdWeights
+    val wRows = LangIdWeights.langs.zip(LangIdWeights.weights)
+      .flatMap { case (l, w) =>
+        w.zipWithIndex.map { case (v, i) => s"('$l', $i, $v)" }
+      }.mkString(",\n    ")
+    val bRows = LangIdWeights.langs.zip(LangIdWeights.biases)
+      .map { case (l, b) => s"('$l', $b)" }.mkString(", ")
+    val nb = LangIdWeights.nBuckets
+    s"""WITH w154(lang, b, wt) AS (VALUES
+       |    $wRows),
+       |b154(lang, bias) AS (VALUES $bRows),
+       |d AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, unnest(toks ||
+       |    [array_to_string(toks[i:i+1], ' ')
+       |     for i in generate_series(1, len(toks) - 1)]) AS g
+       |  FROM d),
+       |db AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
+       |    count(*) AS n
+       |  FROM g GROUP BY 1, 2),
+       |z AS (SELECT db.doc_id, w154.lang, sum(n * wt) / sum(n) AS zz
+       |  FROM db JOIN w154 USING (b) GROUP BY 1, 2),
+       |sc AS (SELECT z.doc_id, z.lang,
+       |    round(1.0 / (1.0 + exp(-(z.zz + b154.bias))), 6) AS score
+       |  FROM z JOIN b154 USING (lang)),
+       |best AS (SELECT doc_id, lang, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
+       |SELECT dd.doc_id, dd.lang, best.lang AS predicted, best.score,
+       |  (best.lang = dd.lang) AS correct
+       |FROM documents dd JOIN best
+       |  ON best.doc_id = dd.doc_id AND best.rn = 1
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   /** q150's oracle: q127's naive global-window selection, with n_tokens
     * REBUILT from the committed [[graft.ext.BpeMerges]] literals — the
     * per-word encode is a recursive CTE applying each merge in rank
@@ -3551,6 +3620,7 @@ object ExtensionQueries {
     // (fold-order and libm-exp jitter ~1e-15 « 5e-7). A null-text doc
     // keeps a NULL score like the Spark expression.
     "q151_quality_classifier" -> qualityLrOracleSql,
+    "q154_language_id" -> langIdOracleSql,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark

@@ -156,6 +156,82 @@ case class HashedGramScore(child: Expression, weights: Seq[Double],
       : HashedGramScore = copy(child = newChild)
 }
 
+/** The MULTICLASS sibling of [[HashedGramScore]]: one pass hashes the
+  * grams ONCE and dots them against EVERY class's weight vector
+  * (one-vs-rest language ID, q154 — k separate HashedGramScore columns
+  * would md5 the text k times). Returns array<double> of the per-class
+  * sigmoids, in the classes' declared order. NULL text → NULL.
+  */
+case class HashedGramScoreVec(child: Expression,
+                              weights: Seq[Seq[Double]],
+                              biases: Seq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(weights.nonEmpty && weights.size == biases.size,
+    "hashed_gram_score_vec: one weight vector and bias per class")
+  require(weights.forall(_.size == weights.head.size),
+    "hashed_gram_score_vec: all classes share one bucket count")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_gram_score_vec"
+
+  @transient private lazy val wArr: Array[Array[Double]] =
+    weights.map(_.toArray).toArray
+  @transient private lazy val bArr: Array[Double] = biases.toArray
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def bucketOf(g: String): Int = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % wArr(0).length).toInt
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+", -1)
+    val acc = new Array[Double](wArr.length)
+    var n = 0
+    def add(g: String): Unit = {
+      val b = bucketOf(g)
+      var c = 0
+      while (c < wArr.length) { acc(c) += wArr(c)(b); c += 1 }
+      n += 1
+    }
+    var i = 0
+    while (i < words.length) {
+      add(words(i))
+      if (i + 1 < words.length) add(words(i) + " " + words(i + 1))
+      i += 1
+    }
+    val out = new Array[Double](wArr.length)
+    var c = 0
+    while (c < wArr.length) {
+      val z = (if (n == 0) 0.0 else acc(c) / n) + bArr(c)
+      out(c) = 1.0 / (1.0 + math.exp(-z))
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramScoreVec", this,
+      classOf[HashedGramScoreVec].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashedGramScoreVec = copy(child = newChild)
+}
+
 object SubwordFunctions {
   def subwordTokenCount(text: Column,
                         merges: Seq[(String, String)]): Column =
@@ -166,4 +242,9 @@ object SubwordFunctions {
                       bias: Double): Column =
     ExpressionUtils.column(HashedGramScore(
       ExpressionUtils.expression(text), weights, bias))
+
+  def hashedGramScoreVec(text: Column, weights: Seq[Seq[Double]],
+                         biases: Seq[Double]): Column =
+    ExpressionUtils.column(HashedGramScoreVec(
+      ExpressionUtils.expression(text), weights, biases))
 }
