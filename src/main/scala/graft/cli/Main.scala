@@ -24,6 +24,8 @@ object Main {
     case "run" :: rest =>
       val flags = parseArgs(rest)._1
       if (flags.contains("dry-run")) dryRun(flags) else runPipeline(flags)
+    case "test" :: rest =>
+      testPipeline(parseArgs(rest)._1)
     case "run-file" :: rest =>
       val (flags, paths) = parseArgs(rest)
       runFiles(flags, paths)
@@ -34,6 +36,7 @@ object Main {
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2] [--fail-fast]
+           |       graft test [--config C] [--db-path P] [--select ...] [--exclude ...] [--vars k=v]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>""".stripMargin)
       sys.exit(2)
@@ -122,6 +125,37 @@ object Main {
     } finally {
       // the cachedManifest lifecycle contract: the CLI owns this session,
       // so it drops any operator manifest caches before tearing it down
+      graft.ext.DedupOps.releaseManifests()
+      spark.stop()
+    }
+  }
+
+  /** dbt `test`: data tests against the EXISTING materializations
+    * (restored from db_path) without executing any model — verify
+    * yesterday's build before reading it. Exit 1 on any failure.
+    */
+  private def testPipeline(flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
+    val spark = buildSpark(config)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      config.dbPath.foreach(ViewStore.restore(spark, _))
+      val session = new PipelineSession(spark, config,
+        selectors = selectorsOf(flags),
+        excludes = excludesOf(flags),
+        cliVars = varsOf(flags))
+      val results = session.runTestsOnly()
+      results.foreach { case (id, desc, err) =>
+        println(s"${if (err.isEmpty) "PASS" else "FAIL"}  $id: $desc")
+        err.foreach(e => println(e.render.linesIterator
+          .map("      " + _).mkString("\n")))
+      }
+      val nFail = results.count(_._3.nonEmpty)
+      println(s"\n${results.size - nFail} passed, $nFail failed")
+      if (nFail > 0) sys.exit(1)
+    } catch {
+      case e: GraftError => System.err.println(e.render); sys.exit(1)
+    } finally {
       graft.ext.DedupOps.releaseManifests()
       spark.stop()
     }

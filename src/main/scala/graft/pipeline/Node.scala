@@ -37,4 +37,5 @@ final case class ModelNode(
     onSchemaChange: Option[String] = None,
     preHooks: Seq[String] = Nil,
     postHooks: Seq[String] = Nil,
-    freshness: Option[Freshness] = None)
+    freshness: Option[Freshness] = None,
+    invalidateHardDeletes: Boolean = false)

@@ -39,7 +39,8 @@ final case class ModelConfig(materialize: Option[String] = None,
                              onSchemaChange: Option[String] = None,
                              preHooks: Seq[String] = Nil,
                              postHooks: Seq[String] = Nil,
-                             freshness: Option[Freshness] = None)
+                             freshness: Option[Freshness] = None,
+                             invalidateHardDeletes: Boolean = false)
 
 /** dbt source freshness declared on a file-reading model: how old may
   * the newest backing file be before the run warns / fails. Checked
@@ -242,7 +243,9 @@ object PipelineConfig {
             onSchemaChange = field("on_schema_change"),
             preHooks = hookList("pre_hook", "pre-hook"),
             postHooks = hookList("post_hook", "post-hook"),
-            freshness = freshness)
+            freshness = freshness,
+            invalidateHardDeletes =
+              field("invalidate_hard_deletes").exists(_.toBoolean))
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 

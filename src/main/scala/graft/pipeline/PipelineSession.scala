@@ -150,7 +150,9 @@ final class PipelineSession(
         onSchemaChange = config.models.get(id).flatMap(_.onSchemaChange),
         preHooks = config.models.get(id).map(_.preHooks).getOrElse(Nil),
         postHooks = config.models.get(id).map(_.postHooks).getOrElse(Nil),
-        freshness = config.models.get(id).flatMap(_.freshness))
+        freshness = config.models.get(id).flatMap(_.freshness),
+        invalidateHardDeletes = config.models.get(id)
+          .exists(_.invalidateHardDeletes))
     }.toMap ++ seedPaths.map { p =>
       val fn = p.getFileName.toString
       val id = fn.substring(0, fn.lastIndexOf('.'))
@@ -943,7 +945,8 @@ final class PipelineSession(
     */
   private def snapshotMerge(id: String,
                             fresh: org.apache.spark.sql.DataFrame,
-                            key: String, ts: java.sql.Timestamp)
+                            key: String, ts: java.sql.Timestamp,
+                            invalidateHardDeletes: Boolean)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = spark.table(id)
@@ -967,9 +970,33 @@ final class PipelineSession(
       .withColumn("valid_to", lit(null).cast("timestamp"))
     val closing = current.join(changedKeys, Seq(key), "left_semi")
       .withColumn("valid_to", lit(ts))
-    val keeping = current.join(changedKeys, Seq(key), "left_anti")
+    val keeping = hardDeleteClose(
+      current.join(changedKeys, Seq(key), "left_anti"),
+      f, key, ts, invalidateHardDeletes)
     history.unionByName(keeping).unionByName(closing)
       .unionByName(opening)
+  }
+
+  /** dbt `invalidate_hard_deletes`: when enabled, CURRENT versions whose
+    * key VANISHED from the fresh SELECT close at the run timestamp —
+    * absence becomes evidence of deletion (the dbt default keeps them
+    * open, which both strategies do when the flag is off). Hard deletes
+    * close at the RUN clock under either strategy: a vanished row has no
+    * source `updated_at` to version by.
+    */
+  private def hardDeleteClose(keeping: org.apache.spark.sql.DataFrame,
+                              fresh: org.apache.spark.sql.DataFrame,
+                              key: String, ts: java.sql.Timestamp,
+                              enabled: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!enabled) keeping
+    else {
+      val freshKeys = fresh.select(col(key)).distinct()
+      keeping.join(freshKeys, Seq(key), "left_semi")
+        .unionByName(keeping.join(freshKeys, Seq(key), "left_anti")
+          .withColumn("valid_to", lit(ts)))
+    }
   }
 
   /** Duplicate `unique_key` values in one snapshot run would open
@@ -1007,7 +1034,9 @@ final class PipelineSession(
     */
   private def snapshotMergeByTimestamp(id: String,
                                        fresh: org.apache.spark.sql.DataFrame,
-                                       key: String, updatedAt: String)
+                                       key: String, updatedAt: String,
+                                       ts: java.sql.Timestamp,
+                                       invalidateHardDeletes: Boolean)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     val snap = spark.table(id)
@@ -1052,8 +1081,9 @@ final class PipelineSession(
         col(s"c.$key") === col("__ok"), "inner")
       .select((dataCols.map(c => col(s"c.$c")) :+
         col(s"c.valid_from") :+ col("__new_from").as("valid_to")): _*)
-    val keeping = current.join(opening.select(col(key)), Seq(key),
-      "left_anti")
+    val keeping = hardDeleteClose(
+      current.join(opening.select(col(key)), Seq(key), "left_anti"),
+      f, key, ts, invalidateHardDeletes)
     history.unionByName(keeping).unionByName(closing)
       .unionByName(opening)
   }
@@ -1176,7 +1206,38 @@ final class PipelineSession(
     * declare `not_null` alongside when it should be).
     */
   private def runModelTests(node: ModelNode): Unit =
-    node.tests.foreach { t =>
+    node.tests.foreach(t => runModelTest(node, t))
+
+  /** dbt `test`: every declared data test run against the EXISTING
+    * materializations (typically restored from db_path) WITHOUT
+    * executing any model — the standalone verification pass over
+    * yesterday's build. Respects `--select`/`--exclude`; returns one
+    * row per test (model id, test description, failure). The CLI `test`
+    * subcommand prints these and exits non-zero on any failure.
+    */
+  def runTestsOnly(): Seq[(String, String, Option[GraftError])] = {
+    val _ = spark
+    applySettings()
+    val (order, nodeMap) = buildGraph()
+    val selected = selectionSet(order, nodeMap)
+    val runOrder = selected.fold(order)(s => order.filter(s))
+    runOrder.flatMap { id =>
+      val n = nodeMap(id)
+      n.tests.map { t =>
+        val err =
+          try { runModelTest(n, t); None }
+          catch {
+            case e: GraftError => Some(e)
+            case e: Exception => Some(StatementExecutionError(
+              e.getMessage, n.renderedSrc, n.path))
+          }
+        (id, t.describe, err)
+      }
+    }
+  }
+
+  private def runModelTest(node: ModelNode, t: ModelTest): Unit =
+    locally {
       import org.apache.spark.sql.functions.{col, count, lit}
       val df =
         try spark.table(node.id)
@@ -1413,9 +1474,11 @@ final class PipelineSession(
               .saveAsTable(node.id)
           } else {
             val merged = updatedAt match {
-              case None => snapshotMerge(node.id, fresh, key, ts)
+              case None => snapshotMerge(node.id, fresh, key, ts,
+                node.invalidateHardDeletes)
               case Some(ua) =>
-                snapshotMergeByTimestamp(node.id, fresh, key, ua)
+                snapshotMergeByTimestamp(node.id, fresh, key, ua, ts,
+                  node.invalidateHardDeletes)
             }
             overwriteViaStaging(node.id, merged, node.partitionBy)
           }

@@ -2242,6 +2242,113 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(nm3("order_events").renderedSrc.contains("qty >= 3"))
   }
 
+  test("snapshot invalidate_hard_deletes: a vanished key's current " +
+      "version closes at the run clock (both strategies); off by " +
+      "default, absence keeps versions open") {
+    val dataDir = Files.createTempDirectory("graft-hd-data")
+    val parq = dataDir.resolve("dim.parquet").toString
+    def writeSource(rows: Seq[(Long, String, String)]): Unit = {
+      spark.createDataFrame(rows).toDF("id", "status", "upd")
+        .selectExpr("id", "status", "cast(upd as timestamp) as updated_at")
+        .write.mode("overwrite").parquet(parq); ()
+    }
+    // distinct model (= table) names per sub-case: the shared test
+    // session's catalog would otherwise leak one case's table into the
+    // next case's bootstrap decision
+    def project(name: String, strategy: String,
+                hardDeletes: Boolean): PipelineConfig = {
+      val dir = Files.createTempDirectory("graft-hd")
+      val modelsDir = dir.resolve("models")
+      Files.createDirectories(modelsDir)
+      Files.writeString(modelsDir.resolve(s"$name.sql"),
+        s"SELECT id, status, updated_at FROM read_parquet('$parq')")
+      val strategyLines = strategy match {
+        case "check" => ""
+        case "timestamp" => "    strategy: timestamp\n" +
+          "    updated_at: updated_at\n"
+      }
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |db_path: ${Files.createTempDirectory("graft-hd-db")}
+           |models:
+           |  $name:
+           |    materialize: snapshot
+           |    unique_key: id
+           |$strategyLines    invalidate_hard_deletes: $hardDeletes""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    def openIds(name: String): Set[Long] = spark.table(name)
+      .filter("valid_to IS NULL").collect().map(_.getLong(0)).toSet
+    Seq("check", "timestamp").foreach { strategy =>
+      // ON: id 2 vanishes → its version closes; id 1 stays open
+      val onName = s"hd_${strategy}_on"
+      writeSource(Seq((1L, "a", "2026-01-01 00:00:00"),
+        (2L, "b", "2026-01-02 00:00:00")))
+      val cfg = project(onName, strategy, hardDeletes = true)
+      assert(new PipelineSession(spark, cfg).runNodes().errors.isEmpty,
+        strategy)
+      writeSource(Seq((1L, "a", "2026-01-01 00:00:00")))
+      assert(new PipelineSession(spark, cfg).runNodes().errors.isEmpty,
+        strategy)
+      assert(openIds(onName) == Set(1L), s"$strategy: ${openIds(onName)}")
+      val closed2 = spark.table(onName)
+        .filter("id = 2 AND valid_to IS NOT NULL").count()
+      assert(closed2 == 1, s"$strategy closed versions: $closed2")
+      // OFF (default): absence is not deletion — both stay open
+      val offName = s"hd_${strategy}_off"
+      writeSource(Seq((1L, "a", "2026-01-01 00:00:00"),
+        (2L, "b", "2026-01-02 00:00:00")))
+      val cfgOff = project(offName, strategy, hardDeletes = false)
+      assert(new PipelineSession(spark, cfgOff).runNodes().errors.isEmpty)
+      writeSource(Seq((1L, "a", "2026-01-01 00:00:00")))
+      assert(new PipelineSession(spark, cfgOff).runNodes().errors.isEmpty)
+      assert(openIds(offName) == Set(1L, 2L),
+        s"$strategy off: ${openIds(offName)}")
+    }
+  }
+
+  test("runTestsOnly (dbt `test`): data tests run against EXISTING " +
+      "materializations without executing models; failures name the " +
+      "test; --select restricts the tested set") {
+    val db = Files.createTempDirectory("graft-testonly-db")
+    val dir = Files.createTempDirectory("graft-testonly")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("t_accounts.sql"),
+      "SELECT 1 AS id, 10 AS bal UNION ALL SELECT 2, 20")
+    Files.writeString(modelsDir.resolve("t_other.sql"),
+      "SELECT 'x' AS code")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  t_accounts:
+         |    materialize: table
+         |    tests:
+         |      - not_null: id
+         |      - unique: id
+         |  t_other:
+         |    materialize: table
+         |    tests:
+         |      - accepted_values: { column: code, values: [x, y] }""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    assert(new PipelineSession(spark, config).runNodes().errors.isEmpty)
+    // all green against the existing tables, no model re-executes (the
+    // tables are left exactly as built — assert by row identity after)
+    val r1 = new PipelineSession(spark, config).runTestsOnly()
+    assert(r1.size == 3 && r1.forall(_._3.isEmpty), r1.toString)
+    // corrupt a materialization BEHIND the pipeline's back: test-only
+    // catches it without running any model
+    spark.createDataFrame(Seq((1, 10), (1, 7))).toDF("id", "bal")
+      .write.mode("overwrite").saveAsTable("t_accounts")
+    val r2 = new PipelineSession(spark, config).runTestsOnly()
+    val failed = r2.filter(_._3.nonEmpty)
+    assert(failed.map(_._2) == Seq("unique(id)"), r2.toString)
+    // --select restricts the tested set
+    val r3 = new PipelineSession(spark, config,
+      selectors = Seq("t_other")).runTestsOnly()
+    assert(r3.map(_._1).distinct == Seq("t_other"), r3.toString)
+  }
+
   test("a seed path containing a single quote fails NAMED at discovery") {
     val dir = Files.createTempDirectory("graft-seedq")
     val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
