@@ -271,6 +271,16 @@ object ScaleCurve {
           sum(TextOps.subwordTokenCount(col("text")))
             .as("total_subword"))
       },
+      // the fused multiclass classifier pass (q154's scorer): grams
+      // hash once, dot k weight vectors — map-only, same ≈N× shape
+      "q154_langid_score" -> { n =>
+        import graft.ext.LangIdWeights
+        docs(spark, dirs(n)).agg(
+          sum(element_at(org.apache.spark.sql.graft.SubwordFunctions
+            .hashedGramScoreVec(col("text"),
+              LangIdWeights.weights.map(_.toIndexedSeq),
+              LangIdWeights.biases), 1)).as("score_mass"))
+      },
       "q27_minhash_neardup" -> (n => minhashPairs(docs(spark, dirs(n)))),
       "q53_connected_components" -> (n =>
         DedupOps.connectedComponents(
