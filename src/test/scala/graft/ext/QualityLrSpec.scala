@@ -142,6 +142,20 @@ class QualityLrSpec extends AnyFunSuite {
     assert(hoAcc > 0.2, s"held-out below 5-class chance: $hoAcc")
   }
 
+  test("serving plans are explode-free: q151 and q154 score inside the " +
+      "scan's projection (zero Generate nodes) — the FIT explodes " +
+      "grams, the committed gates never do") {
+    import org.apache.spark.sql.execution.ExplainMode
+    Seq("q151_quality_classifier", "q154_language_id").foreach { q =>
+      val df = graft.queries.ExtensionQueries.queries(q)(spark,
+        "/root/testdata/sf0.001")
+      val plan = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Generate"),
+        s"$q serving must not explode grams:\n${plan.take(3000)}")
+    }
+  }
+
   test("E2E: the trained score feeds tokenBudgetSelect as scoreCol " +
       "(q127's shape) and the kept set equals the naive best-first " +
       "prefix under that score") {
