@@ -40,7 +40,8 @@ final case class ModelConfig(materialize: Option[String] = None,
                              preHooks: Seq[String] = Nil,
                              postHooks: Seq[String] = Nil,
                              freshness: Option[Freshness] = None,
-                             invalidateHardDeletes: Boolean = false)
+                             invalidateHardDeletes: Boolean = false,
+                             enabled: Boolean = true)
 
 /** dbt source freshness declared on a file-reading model: how old may
   * the newest backing file be before the run warns / fails. Checked
@@ -245,7 +246,8 @@ object PipelineConfig {
             postHooks = hookList("post_hook", "post-hook"),
             freshness = freshness,
             invalidateHardDeletes =
-              field("invalidate_hard_deletes").exists(_.toBoolean))
+              field("invalidate_hard_deletes").exists(_.toBoolean),
+            enabled = field("enabled").forall(_.toBoolean))
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 

@@ -175,6 +175,18 @@ final class PipelineSession(
         tags = config.models.get(id).map(_.tags).getOrElse(Nil))
     }.toMap
 
+    // dbt `enabled: false` — the model is dropped from the graph at
+    // discovery: it never renders, never runs, never previews. An
+    // ENABLED model referencing it fails LOUDLY below (dbt semantics —
+    // a declared-off dependency is a configuration contradiction, not
+    // the warn-and-fail-at-exec path a typo'd unknown ref takes).
+    val disabledIds: Set[String] = nodeMap.keySet
+      .filter(id => config.models.get(id).exists(!_.enabled))
+    if (disabledIds.nonEmpty) {
+      disabledIds.toSeq.sorted.foreach(id =>
+        println(s"Model `$id` is disabled (enabled: false); skipping"))
+      nodeMap = nodeMap -- disabledIds
+    }
     val modelIds = nodeMap.keySet
     // refs come back lowercased (Spark resolution is case-insensitive);
     // map them to the original-case model ids or an uppercase model would
@@ -189,8 +201,16 @@ final class PipelineSession(
         incremental = node.materialize.map(_.toLowerCase)
           .contains("incremental") && !fullRefresh && targetTableExists(id))
       val rendered = MacroRenderer.render(withCtx, fileMacros)
-      val prevs = DepExtractor.modelRefsInModel(rendered, modelIds)
-        .flatMap(byLower.get) - id
+      val refs = DepExtractor.modelRefsInModel(rendered,
+        modelIds ++ disabledIds)
+      val hitDisabled = refs.intersect(disabledIds.map(_.toLowerCase))
+      if (hitDisabled.nonEmpty)
+        throw GenericError(s"Model `$id` depends on disabled model" +
+          s"${if (hitDisabled.size > 1) "s" else ""} " +
+          s"${hitDisabled.toSeq.sorted.mkString("`", "`, `", "`")} — " +
+          s"re-enable ${if (hitDisabled.size > 1) "them" else "it"} or " +
+          s"disable `$id` too")
+      val prevs = refs.flatMap(byLower.get) - id
       id -> node.copy(renderedSrc = rendered, prevs = prevs)
     }
     // a relationships test reads its target model when the TESTED model

@@ -2349,6 +2349,40 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r3.map(_._1).distinct == Seq("t_other"), r3.toString)
   }
 
+  test("enabled: false drops a model from the graph at discovery — it " +
+      "never runs, and a model depending on it fails LOUDLY at build " +
+      "(a declared-off dependency is a config contradiction)") {
+    val dir = Files.createTempDirectory("graft-disabled")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("live_one.sql"), "SELECT 1 AS x")
+    Files.writeString(modelsDir.resolve("dead_one.sql"),
+      "SELECT broken FROM nowhere_at_all") // would ERROR if it ever ran
+    Files.writeString(modelsDir.resolve("wants_dead.sql"),
+      "SELECT * FROM dead_one")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |models:
+         |  dead_one:
+         |    enabled: false""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    // depending on a DISABLED model is a loud configuration
+    // contradiction (dbt semantics), not a runtime surprise
+    val e = intercept[GraftError] {
+      new PipelineSession(spark, config).buildGraph()
+    }
+    assert(e.render.contains("disabled model") &&
+      e.render.contains("dead_one"), e.render)
+    // with the dependent gone, the disabled model just drops out
+    Files.delete(modelsDir.resolve("wants_dead.sql"))
+    val session = new PipelineSession(spark, config)
+    val (order, nodeMap) = session.buildGraph()
+    assert(!nodeMap.contains("dead_one"), order)
+    assert(order == Seq("live_one"), order)
+    val report = session.runNodes()
+    assert(report.results.map(_.id) == Seq("live_one") &&
+      report.errors.isEmpty, report.results.mkString("; "))
+  }
+
   test("a seed path containing a single quote fails NAMED at discovery") {
     val dir = Files.createTempDirectory("graft-seedq")
     val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
