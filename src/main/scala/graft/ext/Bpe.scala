@@ -80,6 +80,67 @@ object Bpe {
   def pieces(word: String, merges: Seq[(String, String)]): Seq[String] =
     encodeState(word, merges).split(' ').filter(_.nonEmpty).toSeq
 
+  /** A word's initial piece array: one piece per codepoint (the array
+    * form of [[initState]]; "" → empty).
+    */
+  def codepointPieces(word: String): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** One merge pass in piece-array form — EXACTLY [[applyMerge]]'s
+    * String.replace semantics, re-derived: a replace occurrence spans the
+    * delimiter before `l` through the delimiter after `r`, and the search
+    * continues after the occurrence's end, so the consumed trailing
+    * delimiter (= the delimiter before the NEXT piece) blocks a match
+    * whose left piece immediately follows a fusion. Concretely: after
+    * fusing at left index i, the pair at left index i+2 is blocked (its
+    * leading delimiter was the previous occurrence's trailing one); i+3
+    * onward is free. The `blocked` flag encodes exactly that.
+    */
+  def fusePass(pieces: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    var blocked = false
+    while (i < pieces.length) {
+      if (!blocked && i + 1 < pieces.length &&
+          pieces(i) == l && pieces(i + 1) == r) {
+        out += l + r
+        i += 2
+        blocked = true
+      } else {
+        out += pieces(i)
+        i += 1
+        blocked = false
+      }
+    }
+    out.result()
+  }
+
+  /** How many occurrences [[applyMerge]] would actually fuse, given the
+    * ascending left indexes where the pair occurs adjacently: greedy
+    * left-to-right with the +3 spacing of the blocked walk (fusing at i
+    * blocks i+1 — consumed — and i+2 — leading delimiter consumed).
+    * Shared by [[fit]] so selection scores what the merge can DO, not
+    * what a sliding window sees (" a a a " has two (a,a) windows but one
+    * fusable occurrence).
+    */
+  private def fusableCount(positions: Seq[Int]): Long = {
+    var last = Int.MinValue
+    var n = 0L
+    positions.foreach { p =>
+      if (last == Int.MinValue || p >= last + 3) { n += 1; last = p }
+    }
+    n
+  }
+
   /** Piece count = delimiters − 1 (the formula the DuckDB oracle uses on
     * the same state string); the empty word counts 0.
     */
@@ -99,8 +160,10 @@ object Bpe {
     * (l, r); no RNG anywhere. Stops early when no pair reaches
     * `minCount` (further merges would memorize noise). Pair occurrences
     * are counted on the SAME single-pass replace states the encoder
-    * produces, so the fit optimizes exactly the segmentation that will
-    * be served.
+    * produces, AND with the same non-overlapping left-to-right walk the
+    * replace performs — so a pair's score is exactly the number of
+    * fusions selecting it would buy (" a a a " scores (a,a) once, not
+    * twice), and the fit optimizes exactly the segmentation served.
     */
   def fit(wordCounts: Seq[(String, Long)], nMerges: Int,
           minCount: Long = 2L): Seq[(String, String)] = {
@@ -113,11 +176,20 @@ object Bpe {
       val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
       states.foreach { case (st, c) =>
         val toks = st.split(' ').filter(_.nonEmpty)
+        // collect each pair's adjacent left indexes, then score the
+        // NON-OVERLAPPING fusable count (the same blocked left-to-right
+        // walk applyMerge performs) — a sliding window over-scores
+        // run-heavy pairs the single-pass replace cannot actually merge
+        val positions = scala.collection.mutable
+          .Map[(String, String), scala.collection.mutable.ArrayBuffer[Int]]()
         var i = 0
         while (i + 1 < toks.length) {
-          val p = (toks(i), toks(i + 1))
-          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          positions.getOrElseUpdate((toks(i), toks(i + 1)),
+            new scala.collection.mutable.ArrayBuffer[Int]) += i
           i += 1
+        }
+        positions.foreach { case (p, ps) =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + fusableCount(ps.toSeq) * c
         }
       }
       if (pairCounts.isEmpty) done = true
@@ -136,4 +208,119 @@ object Bpe {
     }
     merges.result()
   }
+}
+
+/** Pair-indexed encoder over a fixed merges list: hash (l, r) → ranks,
+  * then apply ONLY the merges whose pair is actually present, in rank
+  * order — provably the same result as [[Bpe.encodeState]]'s run-every-
+  * merge loop, because a merge whose pair is absent is a no-op replace
+  * and the present-pair set only changes when a merge APPLIES.
+  *
+  * Cost: O(|word| · merges-applied) hash probes instead of
+  * O(|merges| · |word|) replace passes — per-word encode cost is
+  * INDEPENDENT of vocabulary size (merges-applied ≤ |word| − 1, each
+  * fusion shrinks the piece array), which is what makes a production
+  * 8k–32k-merge vocabulary servable (the naive loop pays thousands of
+  * full passes per cache-miss word; see SCALING.md's encode-vs-vocab
+  * row). The differential spec (BpeSpec) pins indexed ≡ naive on
+  * generated words, generated merges lists (including duplicate pairs —
+  * a pair RE-CREATED by a later multi-char fusion can legitimately be
+  * selected again at a later rank, hence ranks is an array), and the
+  * committed artifact over the fixture corpus.
+  */
+final class MergeIndex(merges0: Seq[(String, String)]) extends Serializable {
+  private val merges: Array[(String, String)] = merges0.toArray
+  // (l, r) → ascending ranks where this pair merges
+  private val ranks: scala.collection.mutable.HashMap[(String, String), Array[Int]] = {
+    val m = scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < merges.length) {
+      m.getOrElseUpdate(merges(i),
+        new scala.collection.mutable.ArrayBuffer[Int]) += i
+      i += 1
+    }
+    m.map { case (p, b) => (p, b.toArray) } // already ascending
+  }
+
+  def size: Int = merges.length
+
+  /** Smallest rank strictly greater than `after` whose pair is adjacent
+    * in `pieces`; −1 when no further merge applies.
+    */
+  private def nextRank(pieces: Array[String], after: Int): Int = {
+    var best = Int.MaxValue
+    var i = 0
+    while (i + 1 < pieces.length) {
+      ranks.getOrElse((pieces(i), pieces(i + 1)), null) match {
+        case null => ()
+        case arr =>
+          // first rank > after (arr is ascending and tiny — linear scan)
+          var j = 0
+          while (j < arr.length && arr(j) <= after) j += 1
+          if (j < arr.length && arr(j) < best) best = arr(j)
+      }
+      i += 1
+    }
+    if (best == Int.MaxValue) -1 else best
+  }
+
+  /** Encode a word to its piece array — bit-identical to
+    * [[Bpe.pieces]](word, merges).
+    */
+  def encode(word: String): Array[String] = {
+    var pieces = Bpe.codepointPieces(word)
+    if (pieces.length < 2) return pieces
+    var k = nextRank(pieces, -1)
+    while (k >= 0) {
+      val (l, r) = merges(k)
+      pieces = Bpe.fusePass(pieces, l, r)
+      k = if (pieces.length < 2) -1 else nextRank(pieces, k)
+    }
+    pieces
+  }
+}
+
+/** The shared per-executor word→pieces memo over a [[MergeIndex]]:
+  * generational (two-segment) eviction instead of a full clear, so a
+  * corpus with more than `cacheCap` distinct words per executor evicts
+  * the cold tail while the Zipf head stays resident (a hot word is
+  * re-promoted into the new generation on its next access; a full clear
+  * refaulted the ENTIRE head at one encode each per clear-storm).
+  * Resident bound: ≤ 2 × cacheCap entries. Thread-safe: both segments
+  * are concurrent maps and the swap is synchronized; a racing reader at
+  * worst re-encodes a word (idempotent — the encode is deterministic).
+  */
+final class SubwordEncoder(merges: Seq[(String, String)],
+                           cacheCap: Int = 65536) extends Serializable {
+  private val index = new MergeIndex(merges)
+  @transient @volatile private var hot =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  @transient @volatile private var cold =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  private def readResolve(): Object =
+    new SubwordEncoder(merges, cacheCap) // fresh maps after deserialization
+
+  def pieceArray(word: String): Array[String] = {
+    var a = hot.get(word)
+    if (a == null) {
+      a = cold.get(word)
+      if (a == null) a = index.encode(word)
+      if (hot.size >= cacheCap) synchronized {
+        if (hot.size >= cacheCap) {
+          cold = hot
+          hot = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+        }
+      }
+      hot.put(word, a)
+      ()
+    }
+    a
+  }
+
+  def pieceCount(word: String): Int = pieceArray(word).length
+
+  /** Spec hook: current generation sizes (hot, cold). */
+  private[graft] def generationSizes: (Int, Int) = (hot.size, cold.size)
 }

@@ -54,6 +54,22 @@ object TextOps {
     org.apache.spark.sql.graft.SubwordFunctions
       .subwordTokenCount(text, merges)
 
+  /** The text's full learned-subword PIECE SEQUENCE (array<string>, all
+    * words' pieces concatenated in document order) under the committed
+    * [[BpeMerges]] vocabulary — the token stream a trainer loads, before
+    * id assignment; `size(subwordPieces(t)) ≡ subwordTokenCount(t)`.
+    * [[PackOps.packTokenStreams]] (q156) consumes it to emit per-bin
+    * concatenated sequences with document boundaries. NULL → NULL;
+    * whitespace-only → empty array.
+    */
+  def subwordPieces(text: Column): Column =
+    org.apache.spark.sql.graft.SubwordFunctions
+      .subwordPieces(text, BpeMerges.merges)
+
+  /** [[subwordPieces]] under an explicit merges table (specs). */
+  def subwordPieces(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.SubwordFunctions.subwordPieces(text, merges)
+
   /** TRAINED quality score under the committed [[QualityLrWeights]]
     * classifier (hashed-n-gram logistic regression — the fastText-style
     * seed-labeled gate; see [[QualityLr]]): σ of the mean hashed-gram

@@ -20,12 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * a UDF so it stays inside whole-stage codegen (the generated code calls
   * [[compute]] through a reference object — the NearestCell pattern; a
   * merges-table when-chain would de-JIT, the q31 lesson). Word encodes
-  * memoize in a bounded per-expression cache: natural text is Zipf-
-  * distributed, so the hit rate is near 1 after the first rows and the
-  * per-row cost is one whitespace split + hash lookups.
+  * go through the PAIR-INDEXED encoder ([[graft.ext.MergeIndex]] — cost
+  * independent of vocabulary size) and memoize in a bounded GENERATIONAL
+  * per-expression cache ([[graft.ext.SubwordEncoder]]): natural text is
+  * Zipf-distributed, so the hit rate is near 1 after the first rows and
+  * the per-row cost is one whitespace split + hash lookups; a corpus
+  * with more distinct words than the cap evicts the cold generation
+  * rather than clearing the resident head.
   */
 case class SubwordTokenCount(child: Expression,
-                             merges: Seq[(String, String)])
+                             merges: Seq[(String, String)],
+                             cacheCap: Int = 65536)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -33,11 +38,9 @@ case class SubwordTokenCount(child: Expression,
   override def prettyName: String = "subword_token_count"
 
   // shared across this expression's tasks on an executor (codegen
-  // references the expression object): concurrent, and bounded so an
-  // unbounded-vocabulary pathology cannot grow it without limit
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
-  private final val CacheCap = 65536
+  // references the expression object)
+  @transient private lazy val enc =
+    new graft.ext.SubwordEncoder(merges, cacheCap)
 
   def compute(s: UTF8String): Long = {
     // EXACTLY the TextOps.tokens split semantics (split(lower(text),
@@ -50,16 +53,7 @@ case class SubwordTokenCount(child: Expression,
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      if (w.nonEmpty) {
-        var n = cache.get(w)
-        if (n == null) {
-          if (cache.size > CacheCap) cache.clear()
-          n = Int.box(graft.ext.Bpe.pieceCount(w, merges))
-          cache.put(w, n)
-          ()
-        }
-        total += n.intValue()
-      }
+      if (w.nonEmpty) total += enc.pieceCount(w)
       i += 1
     }
     total
@@ -78,6 +72,56 @@ case class SubwordTokenCount(child: Expression,
       : SubwordTokenCount = copy(child = newChild)
 }
 
+/** The PIECES sibling of [[SubwordTokenCount]]: the text's full learned-
+  * subword piece sequence as array<string> — every whitespace word's BPE
+  * pieces, concatenated in document order (the token-id stream a trainer
+  * ultimately loads, before id assignment). Same split semantics, same
+  * pair-indexed encoder, same generational memo; `size(subword_pieces)`
+  * ≡ `subword_token_count` by construction (spec-pinned). NULL text →
+  * NULL; empty/whitespace-only text → empty array.
+  */
+case class SubwordPieces(child: Expression,
+                         merges: Seq[(String, String)],
+                         cacheCap: Int = 65536)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "subword_pieces"
+
+  @transient private lazy val enc =
+    new graft.ext.SubwordEncoder(merges, cacheCap)
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+", -1)
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        val ps = enc.pieceArray(w)
+        var j = 0
+        while (j < ps.length) { out += UTF8String.fromString(ps(j)); j += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordPieces", this,
+      classOf[SubwordPieces].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SubwordPieces = copy(child = newChild)
+}
+
 /** Trained-classifier quality score of a text (q151): logistic
   * regression over hashed n-gram buckets, served map-only —
   *
@@ -88,8 +132,11 @@ case class SubwordTokenCount(child: Expression,
   * — EXACTLY the [[graft.ext.TextOps.dsirWeights]] feature map, which is
   * md5-based precisely so a DuckDB oracle rebuilds the same buckets and
   * the score reduces to a SQL dot product over the committed weights
-  * ([[graft.ext.QualityLrWeights]]). A gramless text (empty/whitespace)
-  * scores σ(bias); NULL text is NULL. Accumulation order is document
+  * ([[graft.ext.QualityLrWeights]]). Empty text is NOT gramless: the
+  * limit-−1 split always yields ≥1 word, so "" hashes the "" gram and
+  * scores σ(w[bucket("")] + bias) — cross-engine consistent, because the
+  * oracle's regexp_split_to_array emits the same "" gram. NULL text is
+  * NULL. Accumulation order is document
   * order here and bucket-grouped in the oracle — callers round (q151
   * rounds at 6; fold-order jitter ~1e-15).
   *
@@ -139,7 +186,9 @@ case class HashedGramScore(child: Expression, weights: Seq[Double],
       }
       i += 1
     }
-    val z = (if (n == 0) 0.0 else acc / n) + bias
+    // n ≥ 1 always (the limit-−1 split yields at least one word — see the
+    // Scaladoc's empty-text note), so the mean is well-defined
+    val z = acc / n + bias
     1.0 / (1.0 + math.exp(-z))
   }
 
@@ -212,7 +261,8 @@ case class HashedGramScoreVec(child: Expression,
     val out = new Array[Double](wArr.length)
     var c = 0
     while (c < wArr.length) {
-      val z = (if (n == 0) 0.0 else acc(c) / n) + bArr(c)
+      // n ≥ 1 always — same limit-−1 split note as HashedGramScore
+      val z = acc(c) / n + bArr(c)
       out(c) = 1.0 / (1.0 + math.exp(-z))
       c += 1
     }
@@ -236,6 +286,19 @@ object SubwordFunctions {
   def subwordTokenCount(text: Column,
                         merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(SubwordTokenCount(
+      ExpressionUtils.expression(text), merges))
+
+  /** Spec hook: explicit memo cap, to exercise the generational-eviction
+    * overflow path at test scale.
+    */
+  def subwordTokenCount(text: Column, merges: Seq[(String, String)],
+                        cacheCap: Int): Column =
+    ExpressionUtils.column(SubwordTokenCount(
+      ExpressionUtils.expression(text), merges, cacheCap))
+
+  def subwordPieces(text: Column,
+                    merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(SubwordPieces(
       ExpressionUtils.expression(text), merges))
 
   def hashedGramScore(text: Column, weights: Seq[Double],

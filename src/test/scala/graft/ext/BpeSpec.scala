@@ -113,6 +113,77 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.pieceCount("scan", m1) == 1)
   }
 
+  test("fit scores a pair by what the merge can ACTUALLY apply: the " +
+      "non-overlapping blocked walk, not a sliding window (run-heavy " +
+      "selection fix — VERDICT r15 'What's wrong' #1)") {
+    // "aaaa" has THREE (a,a) windows but replace fuses only ONE
+    // (" a a a a " → " aa a a "); a window count would score (a,a) at
+    // 3×2=6 and out-vote (b,c)'s honest 3 — the fixed fit must pick
+    // (b,c) first because one (a,a) merge buys only 2 fusions corpus-wide
+    val hist = Seq(("aaaa", 2L), ("bc", 3L))
+    val m = Bpe.fit(hist, nMerges = 1, minCount = 1L)
+    assert(m == Seq(("b", "c")))
+    // and the selected score equals the applied count: after one (a,a)
+    // merge, "aaaa" really is [aa, a, a]
+    assert(Bpe.pieces("aaaa", Seq(("a", "a"))) == Seq("aa", "a", "a"))
+    // the 4-run blocks even the SECOND selection of (a,a) at rank 2's
+    // state (" aa a a " has (a,a) once at the tail) — fit stays exact
+    val m2 = Bpe.fit(Seq(("aaaa", 1L)), nMerges = 8, minCount = 1L)
+    assert(Bpe.pieces("aaaa", m2).size == 1, (m2, Bpe.pieces("aaaa", m2)))
+  }
+
+  test("the generational memo survives overflow: counts unchanged across " +
+      "the swap, the hot word stays resident, eviction never clears " +
+      "everything (VERDICT r15 'What's wrong' #2)") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val enc = new SubwordEncoder(merges, cacheCap = 8)
+    // 40 distinct words — 5× the cap — interleaved with one hot word
+    val words = (0 until 40).map(i => s"abc$i")
+    words.foreach { w =>
+      assert(enc.pieceArray("abc").toSeq == Seq("abc")) // the hot word
+      assert(enc.pieceArray(w).toSeq == Bpe.pieces(w, merges), w)
+    }
+    // recheck every word AFTER the swaps: values are re-derived or
+    // served from a generation, identically either way
+    words.foreach { w =>
+      assert(enc.pieceCount(w) == Bpe.pieceCount(w, merges), w)
+    }
+    val (hot, cold) = enc.generationSizes
+    assert(hot <= 9 && cold <= 9, (hot, cold)) // bounded: ≤ cap (+1 racer)
+    assert(hot + cold > 0)
+    // the overflow path through the EXPRESSION: a tiny cap, many words
+    val d = words.map(w => s"abc $w abc").toDF("text")
+    val got = d.select(org.apache.spark.sql.graft.SubwordFunctions
+        .subwordTokenCount(col("text"), merges, 4).as("n"))
+      .collect().map(_.getLong(0))
+    val want = words.map(w => 2L + Bpe.pieceCount(w, merges))
+    assert(got.toSeq == want)
+  }
+
+  test("subwordPieces: the full piece stream in document order; " +
+      "size ≡ subwordTokenCount; NULL → NULL; whitespace-only → empty") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val rows = d.select(col("doc_id"), col("text"),
+        TextOps.subwordPieces(col("text")).as("p"),
+        TextOps.subwordTokenCount(col("text")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val pieces = r.getSeq[String](2)
+      assert(pieces.size.toLong == r.getLong(3))
+      val want = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+", -1).filter(_.nonEmpty)
+        .flatMap(w => Bpe.pieces(w, BpeMerges.merges)).toSeq
+      assert(pieces == want, r.getLong(0))
+    }
+    val edge = Seq((1L, null: String), (2L, "   "))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.subwordPieces(col("text")).as("p"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(edge(1L) == null && edge(2L) == Seq.empty)
+  }
+
   test("q150 plan: the encode is map-only — no shuffle below the budget " +
       "histogram's aggregate, the expression inside the scan's project") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
