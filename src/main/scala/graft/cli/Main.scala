@@ -226,10 +226,25 @@ object Main {
 
   /** `--vars k=v,k2=v2` — the CLI overlay over the config's `vars:`
     * mapping (dbt precedence: the command line wins). A malformed entry
-    * is a loud error, not a silently-ignored var.
+    * is a loud error, not a silently-ignored var. Commas split only
+    * BETWEEN k=v pairs: a fragment without '=' belongs to the previous
+    * var's value (`--vars list=a,b,k2=v` → list=a,b — ADVICE r15; a
+    * value that itself contains `=` still needs its own --vars-free
+    * escape, which dbt doesn't offer either).
     */
-  private def varsOf(flags: Map[String, String]): Map[String, String] =
-    listFlag(flags, "vars").map { kv =>
+  private[cli] def varsOf(flags: Map[String, String]): Map[String, String] = {
+    val raw0 = flags.get("vars").toSeq
+      .flatMap(_.split(",", -1).toSeq) // keep empties: "a,,b" stays visible
+    // a trailing comma is a typo, not an empty value fragment
+    val raw = if (raw0.nonEmpty && raw0.last.isEmpty) raw0.dropRight(1)
+              else raw0
+    // re-join value fragments: a piece with no '=' continues the
+    // previous k=v entry's value
+    val entries = raw.foldLeft(List.empty[String]) { (acc, piece) =>
+      if (piece.contains("=") || acc.isEmpty) piece :: acc
+      else (acc.head + "," + piece) :: acc.tail
+    }.reverse.map(_.trim).filter(_.nonEmpty)
+    entries.map { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.trim.nonEmpty => k.trim -> v
         case _ =>
@@ -237,6 +252,7 @@ object Main {
           sys.exit(2)
       }
     }.toMap
+  }
 
   private[cli] def dryRun(flags: Map[String, String]): Unit = {
     val config = loadConfig(flags)

@@ -334,8 +334,11 @@ object RetrievalOps {
     * from the pruned rows (≤ Σ df(term) rows), every join below them
     * broadcasts, and the final ranking is the same per-query window.
     * Identical Okapi arithmetic to [[bm25PerQuery]] — q144 is pinned by
-    * q118's oracle — and the probe TERMS never collect to the driver
-    * (the inline form's 65,536-term cap does not apply). Returns
+    * q118's oracle. The bounded-probe cap applies to this store-served
+    * path too: the (tb) collect behind the static IN-list is limited to
+    * [[MaxProbeTerms]]+1 rows (≤ 65,536 distinct probe terms, ~256 KB),
+    * and a corpus-sized probe fails with a named error rather than
+    * OOMing the broadcast below. Returns
     * (queryIdCol, idCol, score, rank), rank 1..≤k per query,
     * (score DESC, id) tie-break.
     */

@@ -227,9 +227,21 @@ object ViewStore {
                 // starts with none — recover them from the directory
                 // layout or the restored table reads zero rows. MSCK on
                 // an unpartitioned table errors; that error is the
-                // common no-op case here.
+                // common no-op case here — but a GENUINE repair failure
+                // on a partitioned table would leave a registered table
+                // that silently reads zero rows, so it must be visible
+                // (ADVICE r15): log anything that isn't the
+                // not-partitioned no-op.
                 try { spark.sql(s"MSCK REPAIR TABLE `$id`"); () }
-                catch { case _: Exception => () }
+                catch { case e: Exception =>
+                  // NOT_A_PARTITIONED_TABLE's message: "... because it
+                  // is not a partitioned table."
+                  val msg = String.valueOf(e.getMessage).toLowerCase
+                  if (!msg.contains("not a partitioned table"))
+                    println(s"WARNING: MSCK REPAIR failed for restored " +
+                      s"table `$id` — if it is partitioned it may read " +
+                      s"zero rows: ${e.getMessage}")
+                }
               }
               n += 1 // count only tables this call actually registered
             }

@@ -283,6 +283,10 @@ object ExtensionQueries {
         .hashedGramScoreVec(col("text"),
           LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
       t(s, dir, "documents")
+        // null-text docs are EXCLUDED by contract on both engines (the
+        // argmax would otherwise fabricate predicted=langs.head with a
+        // NULL score for them — ADVICE r15)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("lang"), scores.as("__s"))
         .withColumn("__best", langs.zipWithIndex.tail.foldLeft(
           struct(round(element_at(col("__s"), 1), 6).as("sc"),
@@ -957,7 +961,8 @@ object ExtensionQueries {
     // slice before a budget/mixture run commits to either pricing.
     // Map-only over one scan + one small rollup ---------------------
     "q152_tokenizer_fertility" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // null-text docs excluded by contract on both engines (ADVICE r15)
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
       d.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextOps.tokens(col("text"))).cast("long"))
@@ -977,7 +982,8 @@ object ExtensionQueries {
     // one selection a production curation run executes. Oracle chains
     // both artifact rebuilds under the naive global window ----------
     "q153_learned_gate_budget" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // null-text docs excluded by contract on both engines (ADVICE r15)
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
       val scored = d
         .withColumn("quality",
           round(TextOps.qualityLrScore(col("text")), 6))
@@ -996,7 +1002,8 @@ object ExtensionQueries {
     // runs the naive global window over it — a differential proof of
     // BOTH the scale-shaped selection and the cross-engine tokenizer --
     "q150_subword_budget" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // null-text docs excluded by contract on both engines (ADVICE r15)
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
       val scored = d
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .withColumn("n_tok", TextOps.subwordTokenCount(col("text")))
@@ -3037,7 +3044,11 @@ object ExtensionQueries {
     * q150/q152/q153 oracles: per distinct word, a recursive CTE applies
     * each merge in rank order via `replace` on the space-delimited
     * state (byte-identical semantics to the Scala encoder — see
-    * [[graft.ext.Bpe]]); `dtok` is the per-doc subword token sum.
+    * [[graft.ext.Bpe]]); `dtok` is the per-doc subword token sum over
+    * every NON-NULL-text document — a LEFT join defaulting to 0, so a
+    * whitespace-only doc prices 0 rather than vanishing, and null-text
+    * docs are excluded by the same explicit contract the Spark side
+    * applies (the q151-style null defense — ADVICE r15).
     */
   private lazy val subwordEncCtes: String = {
     val mergeRows = graft.ext.BpeMerges.merges.zipWithIndex
@@ -3062,17 +3073,22 @@ object ExtensionQueries {
        |    length(state) - length(replace(state, ' ', '')) - 1 AS np
        |  FROM enc WHERE nxt = (SELECT max(rank) FROM merges) + 1),
        |doc_toks AS (SELECT doc_id, unnest(regexp_split_to_array(
-       |    lower(text), '\\s+')) AS w FROM documents),
-       |dtok AS (SELECT doc_toks.doc_id,
-       |    CAST(sum(wc.np) AS BIGINT) AS n_tokens
-       |  FROM doc_toks JOIN wc ON wc.w = doc_toks.w
-       |  GROUP BY doc_toks.doc_id)""".stripMargin
+       |    lower(text), '\\s+')) AS w FROM documents
+       |  WHERE text IS NOT NULL),
+       |dtok AS (SELECT d.doc_id,
+       |    CAST(coalesce(sum(wc.np), 0) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  LEFT JOIN doc_toks ON doc_toks.doc_id = d.doc_id
+       |  LEFT JOIN wc ON wc.w = doc_toks.w
+       |  WHERE d.text IS NOT NULL
+       |  GROUP BY d.doc_id)""".stripMargin
   }
 
   private lazy val subwordBudgetOracleSql: String = {
     s"""WITH RECURSIVE $subwordEncCtes,
        |q0 AS (SELECT doc_id, text,
-       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
        |q1 AS (SELECT doc_id, toks,
        |  round(CAST(len(list_filter(toks, t -> t IN
        |    ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
@@ -3099,7 +3115,7 @@ object ExtensionQueries {
     s"""WITH RECURSIVE $subwordEncCtes,
        |ws AS (SELECT doc_id, source,
        |    len(regexp_split_to_array(lower(text), '\\s+')) AS wt
-       |  FROM documents)
+       |  FROM documents WHERE text IS NOT NULL)
        |SELECT ws.source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ws.wt) AS BIGINT) AS ws_tokens,
        |  CAST(sum(dtok.n_tokens) AS BIGINT) AS subword_tokens,

@@ -76,4 +76,17 @@ class DryRunSpec extends AnyFunSuite {
     assert(out3.linesIterator.count(_.endsWith("[would RUN]")) == 2, out3)
     assert(out3.contains("Dry run: 2 would run, 0 would skip"), out3)
   }
+
+  test("--vars splits on commas only BETWEEN k=v pairs: a fragment " +
+      "without '=' continues the previous value (ADVICE r15); trailing " +
+      "comma tolerated; empty-interior commas preserved in the value") {
+    def vars(s: String) = Main.varsOf(Map("vars" -> s))
+    assert(vars("a=1,b=2") == Map("a" -> "1", "b" -> "2"))
+    assert(vars("list=a,b,c") == Map("list" -> "a,b,c"))
+    assert(vars("list=a,b,k2=v") == Map("list" -> "a,b", "k2" -> "v"))
+    assert(vars("x=1,y=a,,b,z=3") ==
+      Map("x" -> "1", "y" -> "a,,b", "z" -> "3"))
+    assert(vars("a=1,") == Map("a" -> "1"))
+    assert(vars("a=") == Map("a" -> ""))
+  }
 }
