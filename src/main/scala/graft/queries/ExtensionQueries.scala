@@ -116,9 +116,21 @@ object ExtensionQueries {
     * an eval doc that fails the quality gate still bans its grams).
     */
   private[graft] val RecipeBudget: Long = 5000L
+
+  /** The chain is PARAMETERIZED over its score and pricing columns
+    * (VERDICT r15 task 2): q129 runs it with the heuristic
+    * [[TextOps.qualityScore]] and whitespace counts; q155 runs the SAME
+    * stages with the LEARNED artifacts — q151's committed classifier as
+    * the gate score and q150's committed subword vocabulary as the
+    * pricing — so the recipe a training run actually consumes is the
+    * proven learned stack end-to-end, not a parallel re-implementation.
+    */
   private[graft] def pretrainRecipeChain(docs0: DataFrame,
-                                         evalDocs: DataFrame): DataFrame = {
-    val docs = docs0.withColumn("quality", TextOps.qualityScore(col("text")))
+      evalDocs: DataFrame,
+      scoreCol: Column = TextOps.qualityScore(col("text")),
+      nTokCol: Column = size(TextOps.tokens(col("text"))).cast("long"),
+      budget: Long = RecipeBudget): DataFrame = {
+    val docs = docs0.withColumn("quality", scoreCol)
     val qual = docs.filter(col("quality") >= 0.5)
     val keepExact = qual
       .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
@@ -132,8 +144,8 @@ object ExtensionQueries {
         .filter(!col("contaminated")).select("doc_id"),
       Seq("doc_id"))
     DedupOps.tokenBudgetSelect(
-      clean.withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long")),
-      "doc_id", col("quality"), col("__nt"), RecipeBudget)
+      clean.withColumn("__nt", nTokCol),
+      "doc_id", col("quality"), col("__nt"), budget)
   }
 
   /** q132: the q129 recipe's survivorship funnel as ONE wide aggregate —
@@ -150,11 +162,14 @@ object ExtensionQueries {
     * integer-only output, so the oracle comparison has zero FP surface.
     */
   private[graft] def recipeFunnelReport(docs0: DataFrame,
-                                        evalDocs: DataFrame): DataFrame = {
+      evalDocs: DataFrame,
+      scoreCol: Column = TextOps.qualityScore(col("text")),
+      nTokCol: Column = size(TextOps.tokens(col("text"))).cast("long"),
+      budget: Long = RecipeBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs0
-      .withColumn("quality", TextOps.qualityScore(col("text")))
-      .withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("quality", scoreCol)
+      .withColumn("__nt", nTokCol)
       .withColumn("__fp", TextOps.docFingerprint(col("text")))
     val flags = base
       .withColumn("__gate", col("quality") >= 0.5)
@@ -177,7 +192,7 @@ object ExtensionQueries {
       .withColumn("__clean",
         col("__near") && !coalesce(col("contaminated"), lit(false)))
     val kept = DedupOps.tokenBudgetSelect(ann.filter(col("__clean")),
-        "doc_id", col("quality"), col("__nt"), RecipeBudget)
+        "doc_id", col("quality"), col("__nt"), budget)
       .select(col("doc_id"), lit(true).as("__kept"))
     def n(c: Column) = count(when(c, 1))
     def tk(c: Column) = coalesce(sum(when(c, col("__nt"))), lit(0L))
@@ -1030,6 +1045,38 @@ object ExtensionQueries {
       recipeFunnelReport(
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0))
+    }),
+
+    // LEARNED pretraining recipe (q155): the SAME gate→exact→near-dup→
+    // decontam→budget chain as q129, but gated by the committed q151
+    // classifier and priced by the committed q150 subword vocabulary —
+    // the recipe a production run consumes once the learned stack is
+    // trusted. Oracle chains the proven CTE families (classifier dot
+    // product + merges rebuild + q129's stage CTEs). Null-text docs
+    // excluded by contract on both engines; scores round at 6 BEFORE
+    // the gate and the ordering (q153's discipline) ------------------
+    "q155_learned_recipe" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      pretrainRecipeChain(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          scoreCol = round(TextOps.qualityLrScore(col("text")), 6),
+          nTokCol = TextOps.subwordTokenCount(col("text")),
+          budget = LearnedRecipeBudget)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Learned-recipe survivorship funnel (q158): q132's 12-counter
+    // monitoring row over the LEARNED chain — where the corpus goes
+    // when the trained gate and subword pricing drive the recipe ------
+    "q158_learned_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      recipeFunnelReport(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        scoreCol = round(TextOps.qualityLrScore(col("text")), 6),
+        nTokCol = TextOps.subwordTokenCount(col("text")),
+        budget = LearnedRecipeBudget)
     }),
 
     // Repetition schedule (q133): data-constrained repeat-epochs — src0
@@ -2870,6 +2917,14 @@ object ExtensionQueries {
     */
   private[graft] val LearnedGateBudget: Long = 8000L
 
+  /** q155/q158's budget — interior to the LEARNED chain's surviving
+    * token mass at BOTH SFs (measured: the decontaminated survivors
+    * carry 8,485 subword tokens at sf0.01 but only 1,148 at sf0.1 —
+    * the 10× eval slice bans far more 3-grams — so the budget sits
+    * below the smaller mass and exercises a boundary bucket either way).
+    */
+  private[graft] val LearnedRecipeBudget: Long = 800L
+
   /** q133's per-source token targets: src0 = several full epochs + a
     * remainder prefix at sf0.01, src1/src3 = sub-epoch prefixes, src2 = 0
     * (scheduled but unused). Literals, so the regimes shift with SF —
@@ -3291,6 +3346,106 @@ object ExtensionQueries {
        |  (SELECT count(*) FROM c WHERE cum <= $RecipeBudget) AS n_budget,
        |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM c
        |    WHERE cum <= $RecipeBudget) AS t_budget""".stripMargin
+
+  /** q155's oracle: the q129 stage CTEs with the quality gate REBUILT
+    * from the committed classifier weights (q151's dot-product CTEs,
+    * rounded at 6 before the gate and the ordering) and the pricing
+    * REBUILT from the committed merges (the shared [[subwordEncCtes]]) —
+    * one green row differentially proves the whole learned stack
+    * COMPOSED through gate→exact→near-dup→decontam→budget. Shared with
+    * q158's funnel SELECT so the two oracles can never drift.
+    */
+  private lazy val learnedRecipeCtes: String = {
+    val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
+    val bias = graft.ext.QualityLrWeights.bias
+    val nb = graft.ext.QualityLrWeights.nBuckets
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |lw(b, wt) AS (VALUES
+       |    $wRows),
+       |d2 AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |g2 AS (SELECT doc_id, unnest(toks ||
+       |    [array_to_string(toks[i:i+1], ' ')
+       |     for i in generate_series(1, len(toks) - 1)]) AS g
+       |  FROM d2),
+       |db2 AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
+       |    count(*) AS n
+       |  FROM g2 GROUP BY 1, 2),
+       |z2 AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-(sum(n * wt) / sum(n) + $bias))), 6)
+       |      AS score
+       |  FROM db2 JOIN lw USING (b) GROUP BY doc_id),
+       |q0 AS (SELECT d.doc_id, d.text,
+       |    regexp_split_to_array(lower(d.text), '\\s+') AS toks,
+       |    z2.score AS quality, dtok.n_tokens
+       |  FROM documents d JOIN z2 USING (doc_id) JOIN dtok USING (doc_id)
+       |  WHERE d.doc_id % 50 <> 0),
+       |qual AS (SELECT * FROM q0 WHERE quality >= 0.5),
+       |keepx AS (SELECT min(doc_id) AS doc_id FROM qual
+       |  GROUP BY md5(array_to_string(toks, ' '))),
+       |base AS (SELECT q.* FROM qual q JOIN keepx USING (doc_id)),
+       |${minHashPairCtes(source = "base")},
+       |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |rr(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       |dropids AS (SELECT a AS id FROM rr GROUP BY a HAVING min(b) < a),
+       |nk AS (SELECT b.* FROM base b
+       |  LEFT JOIN dropids ON b.doc_id = dropids.id
+       |  WHERE dropids.id IS NULL),
+       |evd AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+       |  WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+       |evg AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+2], ' ')
+       |    for i in generate_series(1, len(toks) - 2)]) AS g FROM evd),
+       |ng AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+       |    for i in generate_series(1, len(toks) - 2)]) AS g FROM nk),
+       |hit AS (SELECT DISTINCT ng.doc_id FROM ng JOIN evg USING (g)),
+       |surv AS (SELECT nk.doc_id, nk.quality, nk.n_tokens
+       |  FROM nk LEFT JOIN hit ON nk.doc_id = hit.doc_id
+       |  WHERE hit.doc_id IS NULL),
+       |c AS (SELECT doc_id, quality, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM surv)""".stripMargin
+  }
+
+  private lazy val learnedRecipeOracleSql: String =
+    s"""$learnedRecipeCtes
+       |SELECT doc_id, quality AS score, n_tokens FROM c
+       |WHERE cum <= $LearnedRecipeBudget
+       |ORDER BY doc_id""".stripMargin
+
+  /** q158: the learned chain's funnel — token mass at every stage in
+    * LEARNED subword tokens (the pricing the budget actually spends).
+    */
+  private lazy val learnedFunnelOracleSql: String =
+    s"""$learnedRecipeCtes
+       |SELECT
+       |  (SELECT count(*) FROM q0) AS n_input,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q0)
+       |    AS t_input,
+       |  (SELECT count(*) FROM qual) AS n_gate,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM qual)
+       |    AS t_gate,
+       |  (SELECT count(*) FROM base) AS n_exact,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM base)
+       |    AS t_exact,
+       |  (SELECT count(*) FROM nk) AS n_near,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM nk)
+       |    AS t_near,
+       |  (SELECT count(*) FROM surv) AS n_clean,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv)
+       |    AS t_clean,
+       |  (SELECT count(*) FROM c WHERE cum <= $LearnedRecipeBudget)
+       |    AS n_budget,
+       |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM c
+       |    WHERE cum <= $LearnedRecipeBudget) AS t_budget""".stripMargin
 
   private lazy val targetMixOracleSql: String = {
     val values = MixTargets.toSeq.sorted
@@ -4196,6 +4351,8 @@ object ExtensionQueries {
          |FROM dd GROUP BY decile ORDER BY decile""".stripMargin,
     "q128_embedding_drift" -> embeddingDriftOracleSql,
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
+    "q155_learned_recipe" -> learnedRecipeOracleSql,
+    "q158_learned_funnel" -> learnedFunnelOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,
     "q131_best_of_cluster" -> bestOfClusterOracleSql,
     "q132_recipe_funnel" -> recipeFunnelOracleSql,
