@@ -149,4 +149,48 @@ object PackOps {
         sum(col("n_tok")).as("n_tokens"),
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
+
+  /** Packing on REAL token sequences (q156 — VERDICT r15 task 3): the
+    * bin manifests [[packSummary]] ships become per-bin CONCATENATED
+    * piece streams with document boundaries — the thing a trainer
+    * actually loads. `piecesCol` is the per-document token sequence
+    * (array<string>, e.g. [[graft.ext.TextOps.subwordPieces]]); a
+    * document's token count is its piece count, so the bin layout is
+    * [[packBins]]'s running-window scheme priced in the SAME units the
+    * stream carries — n_tokens per bin counts exactly the stream's
+    * tokens. Documents concatenate in id order within a bin, joined by
+    * `docSep` (a reserved boundary token, never a corpus piece).
+    *
+    * Plan shape: ONE shuffle (hash by shard) + the per-shard window,
+    * then the (shard, bin) aggregate rides the same partitioning —
+    * plan-asserted single exchange. At 100 TB the piece streams ARE the
+    * payload (unlike the count-manifest ops nothing narrow can stand in
+    * for them), so the shard count is the file-size knob: ~(corpus
+    * tokens / target shard file size); each bin's concat happens inside
+    * one task, bounded by budget tokens per bin.
+    *
+    * Returns (shard, bin, n_docs, n_tokens, first_id, last_id,
+    * token_stream) — token_stream the space-joined pieces with
+    * ` docSep ` between documents (a doc with zero pieces contributes an
+    * empty segment, so boundaries are position-faithful).
+    */
+  def packTokenStreams(docs: DataFrame, idCol: String, piecesCol: Column,
+                       budget: Int, nShards: Int,
+                       docSep: String = "<|doc|>"): DataFrame = {
+    val binned = packBins(docs.withColumn("__pieces", piecesCol), idCol,
+      size(col("__pieces")).cast("long"), budget, nShards)
+    binned
+      .withColumn("__str", array_join(col("__pieces"), " "))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("id"),
+              col("__str").as("s")))),
+            x => x.getField("s")),
+          s" $docSep ").as("token_stream"))
+  }
 }

@@ -1539,6 +1539,20 @@ object ExtensionQueries {
           size(TextOps.tokens(col("text"))), budget = 512, nShards = 8)
         .orderBy(col("shard"), col("bin"))),
 
+    // -- Token-STREAM packing (q156): q65's bins, but carrying the real
+    // learned-subword piece sequences a trainer loads — per bin, the
+    // concatenated streams with <|doc|> boundaries, priced in the SAME
+    // units the stream carries. Oracle rebuilds every word's pieces from
+    // the committed merges (the shared recursive CTEs), reassembles the
+    // per-doc streams positionally, and re-bins with the naive window.
+    // Null-text docs excluded by contract on both engines ---------------
+    "q156_token_stream_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      PackOps.packTokenStreams(d, "doc_id",
+          TextOps.subwordPieces(col("text")), budget = 512, nShards = 8)
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // -- Int8 embedding quantization audit (native fused kernel) --------
     "q66_int8_quant" -> ((s, dir) => {
       val st = VectorFunctions.int8QuantStats(col("embedding"))
@@ -3415,6 +3429,46 @@ object ExtensionQueries {
        |    ROWS UNBOUNDED PRECEDING) AS cum FROM surv)""".stripMargin
   }
 
+  /** q156's oracle: the shared merges-rebuild CTEs extended with the
+    * piece STRING per word (`trim(state)` — pieces joined by single
+    * spaces), per-doc streams reassembled positionally (a struct
+    * comprehension carries the word index through the unnest, since
+    * DuckDB's generate_series can't lateral-join a column), then the
+    * naive shard/bin window and an ordered per-bin string_agg.
+    */
+  private lazy val tokenStreamPackOracleSql: String =
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |wcs AS (SELECT w, trim(state) AS ps FROM enc
+       |  WHERE nxt = (SELECT max(rank) FROM merges) + 1),
+       |dw AS (SELECT doc_id, unnest([{'i': i, 'w': toks[i]}
+       |      for i in generate_series(1, len(toks))]) AS s
+       |  FROM (SELECT doc_id,
+       |      regexp_split_to_array(lower(text), '\\s+') AS toks
+       |    FROM documents WHERE text IS NOT NULL)),
+       |dstr0 AS (SELECT dw.doc_id,
+       |    string_agg(wcs.ps, ' ' ORDER BY dw.s.i) AS ps
+       |  FROM dw JOIN wcs ON wcs.w = dw.s.w
+       |  WHERE dw.s.w <> ''
+       |  GROUP BY dw.doc_id),
+       |dstr AS (SELECT d.doc_id, coalesce(dstr0.ps, '') AS ps,
+       |    dtok.n_tokens
+       |  FROM documents d
+       |  LEFT JOIN dstr0 ON dstr0.doc_id = d.doc_id
+       |  JOIN dtok ON dtok.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL),
+       |b AS (SELECT doc_id, ps, n_tokens,
+       |  CAST(doc_id % 8 AS INTEGER) AS shard,
+       |  CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 8
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+       |    / 512.0) AS INTEGER) AS bin
+       |  FROM dstr)
+       |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+       |  string_agg(ps, ' <|doc|> ' ORDER BY doc_id) AS token_stream
+       |FROM b GROUP BY shard, bin
+       |ORDER BY shard, bin""".stripMargin
+
   private lazy val learnedRecipeOracleSql: String =
     s"""$learnedRecipeCtes
        |SELECT doc_id, quality AS score, n_tokens FROM c
@@ -4352,6 +4406,7 @@ object ExtensionQueries {
     "q128_embedding_drift" -> embeddingDriftOracleSql,
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     "q155_learned_recipe" -> learnedRecipeOracleSql,
+    "q156_token_stream_pack" -> tokenStreamPackOracleSql,
     "q158_learned_funnel" -> learnedFunnelOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,
     "q131_best_of_cluster" -> bestOfClusterOracleSql,

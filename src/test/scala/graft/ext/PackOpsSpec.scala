@@ -101,6 +101,56 @@ class PackOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected single shard exchange:\n$plan")
   }
 
+  test("packTokenStreams: per-bin streams carry every document's pieces " +
+      "in id order with position-faithful <|doc|> boundaries; n_tokens " +
+      "counts exactly the stream's tokens; zero-piece docs keep their " +
+      "boundary slot") {
+    val d = Seq(
+      (0L, Seq("a", "b", "c")),   // shard 0
+      (8L, Seq.empty[String]),    // shard 0, zero pieces
+      (16L, Seq("xy")),           // shard 0
+      (1L, Seq("q", "r"))         // shard 1
+    ).toDF("doc_id", "pieces")
+    val r = PackOps.packTokenStreams(d, "doc_id", col("pieces"),
+        budget = 512, nShards = 8)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getString(6)))).toMap
+    assert(r((0, 0)) == ((3L, 4L, "a b c <|doc|>  <|doc|> xy")))
+    assert(r((1, 0)) == ((1L, 2L, "q r")))
+    // n_tokens ≡ the stream's own token count (boundaries excluded)
+    r.values.foreach { case (_, nTok, stream) =>
+      val toks = stream.split(" ").filter(t => t.nonEmpty && t != "<|doc|>")
+      assert(toks.length.toLong == nTok, stream)
+    }
+  }
+
+  test("packTokenStreams: the stream is the subwordPieces reassembly on " +
+      "real fixture text, and the plan pays ONE exchange (the bin " +
+      "aggregate rides the shard window's partitioning)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = PackOps.packTokenStreams(d, "doc_id",
+      TextOps.subwordPieces(col("text")), budget = 512, nShards = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected single shard exchange:\n$plan")
+    // token conservation: Σ bin n_tokens = Σ doc subword counts
+    val binTokens = out.agg(sum(col("n_tokens"))).head().getLong(0)
+    val docTokens = d.agg(sum(TextOps.subwordTokenCount(col("text"))))
+      .head().getLong(0)
+    assert(binTokens == docTokens)
+    // every piece of a sampled doc appears contiguously in its bin
+    val doc = d.select(col("doc_id"),
+        TextOps.subwordPieces(col("text")).as("p"))
+      .orderBy(col("doc_id")).head()
+    val expect = doc.getSeq[String](1).mkString(" ")
+    val stream = out
+      .filter(col("first_id") <= doc.getLong(0) &&
+        col("last_id") >= doc.getLong(0) &&
+        pmod(lit(doc.getLong(0)), lit(4)) === col("shard"))
+      .collect().map(_.getString(6))
+    assert(stream.exists(_.contains(expect)), s"$expect not in any stream")
+  }
+
   test("epochShuffle: reproducible per seed, permuted across seeds, " +
       "(shard, ord) is a dense total order") {
     import spark.implicits._
