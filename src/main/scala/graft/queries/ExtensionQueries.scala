@@ -80,6 +80,40 @@ object ExtensionQueries {
       fixturePath(s, dir, "documents", "pairs", "k3_b8_r2_j080"))(
       portableMinHashPairs(t(s, dir, "documents")))
 
+  /** The argmax of a [[org.apache.spark.sql.graft.HashedGramScoreVec]]
+    * column as a (sc, l) struct: per-class scores ROUND AT 6 before the
+    * comparison (so both engines order identically) and ties break to
+    * the lexicographically smallest language — `langs` is sorted and the
+    * fold keeps the earlier entry on equality. Shared by q154/q157/q159
+    * and spec-tested on synthetic weights (tie + all-below-threshold
+    * cases, QualityLrSpec).
+    */
+  private[graft] def langIdBest(langs: Seq[String],
+                                scoresCol: Column): Column =
+    langs.zipWithIndex.tail.foldLeft(
+      struct(round(element_at(scoresCol, 1), 6).as("sc"),
+        lit(langs.head).as("l"))) { case (best, (l, i)) =>
+      val sc = round(element_at(scoresCol, i + 1), 6)
+      when(sc > best.getField("sc"),
+        struct(sc.as("sc"), lit(l).as("l"))).otherwise(best)
+    }
+
+  /** q157's committed reject threshold: a best one-vs-rest sigmoid below
+    * this abstains to 'und' (out-of-family text must not pollute
+    * per-language budgets/mixtures). Sized from the fixture's score
+    * distribution: the 10th percentile of best scores sits at ≈0.31 and
+    * wrong predictions average 0.42, so 0.30 rejects a real-but-small
+    * low-confidence slice at both SFs.
+    */
+  private[graft] val LangIdUndThreshold: Double = 0.30
+
+  /** `predicted` with the reject option: 'und' when the best rounded
+    * score is below [[LangIdUndThreshold]].
+    */
+  private[graft] def langIdPredictedOrUnd(bestCol: Column): Column =
+    when(bestCol.getField("sc") < LangIdUndThreshold, lit("und"))
+      .otherwise(bestCol.getField("l"))
+
   /** q59's full decision chain (quality gate → exact dedup → MinHash-LSH
     * cluster dedup → per-language stratified sample), unordered. Defined
     * HERE only — the registered query appends its orderBy and
@@ -303,18 +337,63 @@ object ExtensionQueries {
         // NULL score for them — ADVICE r15)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("lang"), scores.as("__s"))
-        .withColumn("__best", langs.zipWithIndex.tail.foldLeft(
-          struct(round(element_at(col("__s"), 1), 6).as("sc"),
-            lit(langs.head).as("l"))) { case (best, (l, i)) =>
-          val sc = round(element_at(col("__s"), i + 1), 6)
-          when(sc > best.getField("sc"),
-            struct(sc.as("sc"), lit(l).as("l"))).otherwise(best)
-        })
+        .withColumn("__best", langIdBest(langs, col("__s")))
         .select(col("doc_id"), col("lang"),
           col("__best").getField("l").as("predicted"),
           col("__best").getField("sc").as("score"),
           (col("__best").getField("l") === col("lang")).as("correct"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- Language ID with a REJECT option (q157): q154's argmax, but a
+    // best score below the committed `und` threshold abstains — the
+    // guard that keeps out-of-family text from polluting per-language
+    // budgets and mixtures. Same tie discipline (rounded score DESC,
+    // lexicographically smallest lang); correct is false for 'und' on
+    // this fixture (no und labels exist) --------------------------------
+    "q157_language_id_reject" -> ((s, dir) => {
+      import graft.ext.LangIdWeights
+      val langs = LangIdWeights.langs
+      val scores = org.apache.spark.sql.graft.SubwordFunctions
+        .hashedGramScoreVec(col("text"),
+          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), scores.as("__s"))
+        .withColumn("__best", langIdBest(langs, col("__s")))
+        .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
+        .select(col("doc_id"), col("lang"), col("predicted"),
+          col("__best").getField("sc").as("score"),
+          (col("predicted") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Fertility by PREDICTED language (q159): the q152 × q157
+    // composition — per predicted language (including 'und'), whitespace
+    // vs learned-subword token mass and their ratio. The per-language
+    // mispricing report a mixture run reads before committing per-lang
+    // budgets; one scan, map-only scoring + encode, ≤|langs|+1 rows ----
+    "q159_fertility_by_lang" -> ((s, dir) => {
+      import graft.ext.LangIdWeights
+      val langs = LangIdWeights.langs
+      val scores = org.apache.spark.sql.graft.SubwordFunctions
+        .hashedGramScoreVec(col("text"),
+          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), scores.as("__s"))
+        .withColumn("__best", langIdBest(langs, col("__s")))
+        .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("ws_tokens"),
+          sum(TextOps.subwordTokenCount(col("text")))
+            .as("subword_tokens"))
+        .withColumn("fertility",
+          round(col("subword_tokens").cast("double") / col("ws_tokens"),
+            4))
+        .orderBy(col("predicted"))
     }),
 
     // -- Trained quality classifier (q151): the committed hashed-n-gram
@@ -3059,11 +3138,12 @@ object ExtensionQueries {
        |ORDER BY dd.doc_id""".stripMargin
   }
 
-  /** q154's oracle: every class score re-derived from the committed
-    * weight matrices as SQL dot products (q151's CTEs stacked per
-    * language), argmax via row_number over (rounded score DESC, lang).
+  /** The committed language-ID scorer REBUILT in SQL, shared by the
+    * q154/q157/q159 oracles: every class score as a dot product over the
+    * committed weight matrices (q151's CTEs stacked per language),
+    * argmax via row_number over (rounded score DESC, lang).
     */
-  private lazy val langIdOracleSql: String = {
+  private lazy val langIdCtes: String = {
     import graft.ext.LangIdWeights
     val wRows = LangIdWeights.langs.zip(LangIdWeights.weights)
       .flatMap { case (l, w) =>
@@ -3072,33 +3152,75 @@ object ExtensionQueries {
     val bRows = LangIdWeights.langs.zip(LangIdWeights.biases)
       .map { case (l, b) => s"('$l', $b)" }.mkString(", ")
     val nb = LangIdWeights.nBuckets
-    s"""WITH w154(lang, b, wt) AS (VALUES
+    s"""w154(lang, b, wt) AS (VALUES
        |    $wRows),
        |b154(lang, bias) AS (VALUES $bRows),
-       |d AS (SELECT doc_id,
+       |d154 AS (SELECT doc_id,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL),
-       |g AS (SELECT doc_id, unnest(toks ||
+       |g154 AS (SELECT doc_id, unnest(toks ||
        |    [array_to_string(toks[i:i+1], ' ')
        |     for i in generate_series(1, len(toks) - 1)]) AS g
-       |  FROM d),
-       |db AS (SELECT doc_id,
+       |  FROM d154),
+       |db154 AS (SELECT doc_id,
        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
        |    count(*) AS n
-       |  FROM g GROUP BY 1, 2),
-       |z AS (SELECT db.doc_id, w154.lang, sum(n * wt) / sum(n) AS zz
-       |  FROM db JOIN w154 USING (b) GROUP BY 1, 2),
-       |sc AS (SELECT z.doc_id, z.lang,
-       |    round(1.0 / (1.0 + exp(-(z.zz + b154.bias))), 6) AS score
-       |  FROM z JOIN b154 USING (lang)),
+       |  FROM g154 GROUP BY 1, 2),
+       |z154 AS (SELECT db154.doc_id, w154.lang, sum(n * wt) / sum(n) AS zz
+       |  FROM db154 JOIN w154 USING (b) GROUP BY 1, 2),
+       |sc154 AS (SELECT z154.doc_id, z154.lang,
+       |    round(1.0 / (1.0 + exp(-(z154.zz + b154.bias))), 6) AS score
+       |  FROM z154 JOIN b154 USING (lang)),
        |best AS (SELECT doc_id, lang, score, row_number() OVER (
-       |    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc)
+       |    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM sc154)"""
+      .stripMargin
+  }
+
+  /** q154's oracle: the shared scorer + the plain argmax. */
+  private lazy val langIdOracleSql: String =
+    s"""WITH $langIdCtes
        |SELECT dd.doc_id, dd.lang, best.lang AS predicted, best.score,
        |  (best.lang = dd.lang) AS correct
        |FROM documents dd JOIN best
        |  ON best.doc_id = dd.doc_id AND best.rn = 1
        |ORDER BY dd.doc_id""".stripMargin
-  }
+
+  /** q157's oracle: the shared scorer with the committed reject
+    * threshold carried as a literal — best score below it → 'und'.
+    */
+  private lazy val langIdRejectOracleSql: String =
+    s"""WITH $langIdCtes
+       |SELECT dd.doc_id, dd.lang,
+       |  CASE WHEN best.score < $LangIdUndThreshold THEN 'und'
+       |       ELSE best.lang END AS predicted,
+       |  best.score,
+       |  ((CASE WHEN best.score < $LangIdUndThreshold THEN 'und'
+       |         ELSE best.lang END) = dd.lang) AS correct
+       |FROM documents dd JOIN best
+       |  ON best.doc_id = dd.doc_id AND best.rn = 1
+       |ORDER BY dd.doc_id""".stripMargin
+
+  /** q159's oracle: the shared scorer (with the reject CASE) composed
+    * with the shared merges rebuild — fertility per PREDICTED language.
+    */
+  private lazy val fertilityByLangOracleSql: String =
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |$langIdCtes,
+       |pr AS (SELECT doc_id,
+       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
+       |         ELSE lang END AS predicted
+       |  FROM best WHERE rn = 1),
+       |ws159 AS (SELECT doc_id,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS wt
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT pr.predicted, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws159.wt) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(dtok.n_tokens) AS BIGINT) AS subword_tokens,
+       |  round(CAST(sum(dtok.n_tokens) AS DOUBLE) / sum(ws159.wt), 4)
+       |    AS fertility
+       |FROM pr JOIN ws159 USING (doc_id) JOIN dtok USING (doc_id)
+       |GROUP BY pr.predicted
+       |ORDER BY pr.predicted""".stripMargin
 
   /** q150's oracle: q127's naive global-window selection, with n_tokens
     * REBUILT from the committed [[graft.ext.BpeMerges]] literals — the
@@ -3846,6 +3968,8 @@ object ExtensionQueries {
     // keeps a NULL score like the Spark expression.
     "q151_quality_classifier" -> qualityLrOracleSql,
     "q154_language_id" -> langIdOracleSql,
+    "q157_language_id_reject" -> langIdRejectOracleSql,
+    "q159_fertility_by_lang" -> fertilityByLangOracleSql,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark

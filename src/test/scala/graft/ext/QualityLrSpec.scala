@@ -175,4 +175,52 @@ class QualityLrSpec extends AnyFunSuite {
     }
     assert(kept == naive && kept.nonEmpty)
   }
+
+  test("langIdBest + the und reject (q157): ties break to the " +
+      "lexicographically smallest language; a text scoring below the " +
+      "committed threshold on EVERY class abstains to 'und'; at the " +
+      "threshold itself it does not (strict <)") {
+    import graft.queries.ExtensionQueries
+    import org.apache.spark.sql.graft.SubwordFunctions
+    val langs = Seq("aa", "bb") // sorted — the helper's contract
+    val nb = 8
+    // identical weight vectors + biases → every text TIES on both
+    // classes → the fold must keep 'aa'
+    val wTie = Seq(Seq.fill(nb)(0.0), Seq.fill(nb)(0.0))
+    val tieRow = Seq("hello world").toDF("text")
+      .select(ExtensionQueries.langIdBest(langs,
+        SubwordFunctions.hashedGramScoreVec(col("text"), wTie,
+          Seq(1.0, 1.0))).as("b"))
+      .select(col("b").getField("l"), col("b").getField("sc")).head()
+    assert(tieRow.getString(0) == "aa")
+    assert(tieRow.getDouble(1) == 0.731059) // σ(1) rounded at 6
+    // strongly negative biases → both sigmoids ≈ 0 < threshold → 'und'
+    val undRow = Seq("hello world").toDF("text")
+      .select(ExtensionQueries.langIdBest(langs,
+        SubwordFunctions.hashedGramScoreVec(col("text"), wTie,
+          Seq(-9.0, -9.0))).as("b"))
+      .select(ExtensionQueries.langIdPredictedOrUnd(col("b"))).head()
+    assert(undRow.getString(0) == "und")
+    // exactly AT the threshold: kept (the reject is strict <) — σ(z) =
+    // threshold when bias z = logit(threshold)
+    val t = ExtensionQueries.LangIdUndThreshold
+    val zAt = math.log(t / (1.0 - t))
+    val atRow = Seq("hello world").toDF("text")
+      .select(ExtensionQueries.langIdBest(langs,
+        SubwordFunctions.hashedGramScoreVec(col("text"), wTie,
+          Seq(zAt, -9.0))).as("b"))
+      .select(ExtensionQueries.langIdPredictedOrUnd(col("b"))).head()
+    assert(atRow.getString(0) == "aa")
+    // the fixture actually exercises the reject: q157 emits BOTH real
+    // languages and 'und' at sf0.001
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val preds = graft.queries.ExtensionQueries
+      .queries("q157_language_id_reject")(spark,
+        "/root/testdata/sf0.001")
+      .select(col("predicted")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.contains("und"), preds)
+    assert((preds - "und").nonEmpty, preds)
+    assert(d.count() > 0)
+  }
 }
