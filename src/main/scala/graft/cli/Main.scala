@@ -145,13 +145,19 @@ object Main {
         excludes = excludesOf(flags),
         cliVars = varsOf(flags))
       val results = session.runTestsOnly()
-      results.foreach { case (id, desc, err) =>
-        println(s"${if (err.isEmpty) "PASS" else "FAIL"}  $id: $desc")
+      results.foreach { case (id, desc, err, warnOnly) =>
+        val status =
+          if (err.isEmpty) "PASS" else if (warnOnly) "WARN" else "FAIL"
+        println(s"$status  $id: $desc")
         err.foreach(e => println(e.render.linesIterator
           .map("      " + _).mkString("\n")))
       }
-      val nFail = results.count(_._3.nonEmpty)
-      println(s"\n${results.size - nFail} passed, $nFail failed")
+      val nFail = results.count(r => r._3.nonEmpty && !r._4)
+      val nWarn = results.count(r => r._3.nonEmpty && r._4)
+      println(s"\n${results.size - nFail - nWarn} passed, " +
+        s"$nWarn warned, $nFail failed")
+      // warn-level violations report but only ERROR severity flips the
+      // exit code (dbt's warn semantics)
       if (nFail > 0) sys.exit(1)
     } catch {
       case e: GraftError => System.err.println(e.render); sys.exit(1)

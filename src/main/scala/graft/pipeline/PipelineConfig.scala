@@ -97,6 +97,23 @@ object ModelTest {
       s"sql($path#$fp)"
     }
   }
+  /** dbt's `severity: warn`: the wrapped test runs identically, but a
+    * violation REPORTS without failing the node (the standard migration
+    * path for a new constraint on old data — declare it, watch it, then
+    * promote it to error). The `warn:` describe prefix folds the
+    * severity into the model's closure fingerprint, so flipping a
+    * test's severity re-executes the model under `--changed-only`.
+    */
+  final case class Warn(inner: ModelTest) extends ModelTest {
+    def describe = s"warn:${inner.describe}"
+  }
+
+  /** The severity-stripped test (what actually executes). */
+  @annotation.tailrec
+  def base(t: ModelTest): ModelTest = t match {
+    case Warn(i) => base(i)
+    case x => x
+  }
 }
 
 object PipelineConfig {
@@ -137,6 +154,8 @@ object PipelineConfig {
       models = loaded.models.view.mapValues { mc =>
         mc.copy(tests = mc.tests.map {
           case ModelTest.CustomSql(p) => ModelTest.CustomSql(rebase(p))
+          case ModelTest.Warn(ModelTest.CustomSql(p)) =>
+            ModelTest.Warn(ModelTest.CustomSql(rebase(p)))
           case t => t
         })
       }.toMap)
@@ -276,13 +295,30 @@ object PipelineConfig {
     *   - accepted_values: { column: col, values: [a, b, …] }
     *   - relationships: { column: col, to: model, field: col }
     *   - sql: path/to/test.sql   (a SELECT returning violating rows)
-    * An unknown test name fails NAMED at config load — a typo'd test
-    * silently testing nothing would defeat the point of declaring it.
+    * Any shape may carry `severity: warn` alongside the test key
+    * (dbt's config): the test runs but a violation reports without
+    * failing the node. An unknown test name or severity fails NAMED at
+    * config load — a typo'd test silently testing nothing would defeat
+    * the point of declaring it.
     */
   private def parseTest(modelId: String, raw: Any): ModelTest = raw match {
-    case m: java.util.Map[_, _] if m.size == 1 =>
-      val (k, v) = m.asScala.head
-      (String.valueOf(k), v) match {
+    case m0: java.util.Map[_, _] if m0.size >= 1 =>
+      val fields = m0.asScala.map { case (fk, fv) =>
+        String.valueOf(fk) -> fv }.toMap
+      val severity = fields.get("severity").map(s =>
+        String.valueOf(s).toLowerCase)
+      severity.foreach { s =>
+        if (s != "warn" && s != "error") throw GenericError(
+          s"models.$modelId.tests: severity must be `warn` or `error`, " +
+            s"got `$s`")
+      }
+      val rest = fields -- Seq("severity")
+      if (rest.size != 1) throw GenericError(
+        s"models.$modelId.tests: each entry must be one test key plus " +
+          s"an optional `severity`, got keys ${fields.keys.toSeq.sorted
+            .mkString("[", ", ", "]")}")
+      val (k, v) = rest.head
+      val parsed = (k, v) match {
         case ("not_null", c) if c != null =>
           ModelTest.NotNull(c.toString)
         case ("unique", c) if c != null =>
@@ -316,6 +352,7 @@ object PipelineConfig {
             "(supported: not_null, unique, accepted_values, " +
             "relationships, sql)")
       }
+      if (severity.contains("warn")) ModelTest.Warn(parsed) else parsed
     case other => throw GenericError(
       s"models.$modelId.tests: each entry must be a single-key mapping, " +
         s"got ${String.valueOf(other)}")

@@ -218,7 +218,9 @@ final class PipelineSession(
     // under --parallel, visibility in viz, selection walks). A target
     // that is not a model at all can never pass; fail named at build.
     nodeMap = nodeMap.map { case (id, node) =>
-      val relPrevs = node.tests.collect {
+      // severity wrappers don't change WHAT a test reads — unwrap before
+      // the edge walk so a warn-level relationships test still orders
+      val relPrevs = node.tests.map(ModelTest.base).collect {
         case ModelTest.Relationships(_, to, _) =>
           byLower.getOrElse(to.toLowerCase, throw GenericError(
             s"models.$id.tests: relationships target `$to` is not a " +
@@ -1223,19 +1225,34 @@ final class PipelineSession(
     * semantics mirror dbt's: `not_null` counts null rows, `unique`
     * counts values occurring more than once, `accepted_values` counts
     * non-null rows outside the list (a null is not a value violation —
-    * declare `not_null` alongside when it should be).
+    * declare `not_null` alongside when it should be). A `severity: warn`
+    * test's violation PRINTS and continues — the node succeeds and its
+    * fingerprint saves (dbt's warn semantics; the severity rides the
+    * test's describe, so promoting warn→error re-executes the model
+    * under --changed-only).
     */
   private def runModelTests(node: ModelNode): Unit =
-    node.tests.foreach(t => runModelTest(node, t))
+    node.tests.foreach {
+      case ModelTest.Warn(inner) =>
+        try runModelTest(node, inner)
+        catch { case e: GraftError =>
+          println(s"    WARN  ${node.id}: " +
+            e.getMessage.linesIterator.next() +
+            " (severity: warn — not failing the node)")
+        }
+      case t => runModelTest(node, t)
+    }
 
   /** dbt `test`: every declared data test run against the EXISTING
     * materializations (typically restored from db_path) WITHOUT
     * executing any model — the standalone verification pass over
     * yesterday's build. Respects `--select`/`--exclude`; returns one
-    * row per test (model id, test description, failure). The CLI `test`
-    * subcommand prints these and exits non-zero on any failure.
+    * row per test (model id, test description, failure, warn-only).
+    * The CLI `test` subcommand prints these and exits non-zero on any
+    * ERROR-severity failure — warn-level violations report but don't
+    * flip the exit code (dbt's warn semantics).
     */
-  def runTestsOnly(): Seq[(String, String, Option[GraftError])] = {
+  def runTestsOnly(): Seq[(String, String, Option[GraftError], Boolean)] = {
     val _ = spark
     applySettings()
     val (order, nodeMap) = buildGraph()
@@ -1244,14 +1261,15 @@ final class PipelineSession(
     runOrder.flatMap { id =>
       val n = nodeMap(id)
       n.tests.map { t =>
+        val warnOnly = t.isInstanceOf[ModelTest.Warn]
         val err =
-          try { runModelTest(n, t); None }
+          try { runModelTest(n, ModelTest.base(t)); None }
           catch {
             case e: GraftError => Some(e)
             case e: Exception => Some(StatementExecutionError(
               e.getMessage, n.renderedSrc, n.path))
           }
-        (id, t.describe, err)
+        (id, t.describe, err, warnOnly)
       }
     }
   }

@@ -2398,4 +2398,58 @@ class PipelineE2ESpec extends AnyFunSuite {
     }
     assert(e.render.contains("single quote"))
   }
+
+  test("severity: warn — a violating warn test prints but the node " +
+      "SUCCEEDS and its fingerprint saves; an error test still fails; " +
+      "`graft test` reports WARN without flipping the failure count; " +
+      "promoting warn→error re-executes under --changed-only") {
+    val db = Files.createTempDirectory("graft-sev-db")
+    val dir = Files.createTempDirectory("graft-sev")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    // sv_dups VIOLATES unique(id) by construction
+    Files.writeString(modelsDir.resolve("sv_dups.sql"),
+      "SELECT 1 AS id UNION ALL SELECT 1 UNION ALL SELECT 2")
+    Files.writeString(modelsDir.resolve("sv_leaf.sql"),
+      "SELECT count(*) AS n FROM sv_dups")
+    def writeCfg(severity: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |db_path: $db
+           |models:
+           |  sv_dups:
+           |    materialize: table
+           |    tests:
+           |      - not_null: id
+           |      - unique: id
+           |        severity: $severity""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // warn: the violation prints, the node succeeds, downstream runs,
+    // and the fingerprint SAVES (the immediate re-run skips everything)
+    val warnCfg = writeCfg("warn")
+    val r1 = new PipelineSession(spark, warnCfg).runNodes()
+    assert(r1.errors.isEmpty, r1.errors.map(_.render).mkString("\n"))
+    assert(r1.results.map(_.id) == Seq("sv_dups", "sv_leaf"))
+    val r2 = new PipelineSession(spark, warnCfg,
+      changedOnly = true).runNodes()
+    assert(r2.results.forall(_.status == "SKIP unchanged"), r2.results)
+    // graft test: the warn failure REPORTS (err carried, warnOnly true)
+    // but only error severity counts as failure
+    val t1 = new PipelineSession(spark, warnCfg).runTestsOnly()
+    val byDesc = t1.map(r => r._2 -> ((r._3.nonEmpty, r._4))).toMap
+    assert(byDesc("not_null(id)") == ((false, false)), t1)
+    assert(byDesc("warn:unique(id)") == ((true, true)), t1)
+    assert(t1.count(r => r._3.nonEmpty && !r._4) == 0, t1)
+    // promoting warn→error: the describe changes, so --changed-only
+    // re-executes the model — and now the violation FAILS it
+    val errCfg = writeCfg("error")
+    val r3 = new PipelineSession(spark, errCfg,
+      changedOnly = true).runNodes()
+    assert(r3.errors.nonEmpty)
+    assert(r3.errors.exists(_.render.contains("unique(id)")),
+      r3.errors.map(_.render).mkString("\n"))
+    // an unknown severity fails NAMED at config load
+    val e = intercept[GraftError] { writeCfg("maybe") }
+    assert(e.render.contains("severity"), e.render)
+  }
 }
