@@ -24,13 +24,32 @@ import graft.ext.RetrievalOps
   * Probe batches rotate deterministically over the corpus vocabulary —
   * no RNG, identical batches on both paths.
   *
-  *   SPARK_GRAFT_CPUS=16 sbt "runMain graft.tools.LexLoopAb <dir> <nBatches> <reps>"
+  * r16: the r15 run honestly recorded the sf0.1 fixture as the store's
+  * ADVERSARIAL regime — a 31-word vocabulary makes every probe term's
+  * df ≈ corpus, so pruning prunes nothing. `--gen-longdoc` measures the
+  * claimed FAVORABLE regime instead: long documents (tokenize-dominant
+  * inline cost) over a wide vocabulary ([[ScaleGen.generateLongDocs]]),
+  * and `--probe-tail` draws the probe terms from the RARE end of the
+  * frequency-ordered vocabulary (an eval set's distinctive terms), so
+  * Σ df(probe) is genuinely small.
+  *
+  *   SPARK_GRAFT_CPUS=16 sbt "runMain graft.tools.LexLoopAb <dir> <nBatches> <reps> [--gen-longdoc] [--probe-tail]"
   */
 object LexLoopAb {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nBatches = if (args.length > 1) args(1).toInt else 10
     val reps = if (args.length > 2) args(2).toInt else 3
+    // --gen-longdoc[=nDocs,wordsPerDoc,vocabSize] (defaults 5000,1000,50000)
+    val genSpec = args.find(_.startsWith("--gen-longdoc"))
+    val genLongDoc = genSpec.isDefined
+    val (genDocs, genWords, genVocab) = genSpec match {
+      case Some(s) if s.contains("=") =>
+        val p = s.split("=", 2)(1).split(",").map(_.trim.toInt)
+        (p(0), p(1), p(2))
+      case _ => (5000, 1000, 50000)
+    }
+    val probeTail = args.contains("--probe-tail")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -43,21 +62,29 @@ object LexLoopAb {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    if (genLongDoc)
+      ScaleGen.generateLongDocs(spark, dir, nDocs = genDocs,
+        wordsPerDoc = genWords, vocabSize = genVocab)
     val d = spark.read.parquet(s"$dir/documents.parquet")
     // the corpus vocabulary, most frequent first — the probe batches
-    // rotate through it deterministically
+    // rotate through it deterministically (collect bounded: the widest
+    // synthetic vocabulary is 50k words, histogram-scale)
     val vocab = d.select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
+      .limit(65536)
       .collect().map(_.getString(0)).toSeq
     def probeBatch(i: Int): DataFrame = {
       // 4 queries × 3 terms per batch, sliding over the vocabulary so
       // every batch prunes DIFFERENT term buckets (a loop's eval slices
-      // are disjoint-ish, not identical)
+      // are disjoint-ish, not identical); --probe-tail indexes from the
+      // RARE end (small df — the favorable-regime probe shape)
       val rows = (0 until 4).flatMap { q =>
         (0 until 3).map { t =>
-          (i * 4 + q, vocab((i * 7 + q * 3 + t) % vocab.size))
+          val k = (i * 7 + q * 3 + t) % vocab.size
+          val idx = if (probeTail) vocab.size - 1 - k else k
+          (i * 4 + q, vocab(idx))
         }
       }
       rows.toDF("query_id", "term")
@@ -101,6 +128,7 @@ object LexLoopAb {
     val tSto = sto.min
     def r3(x: Double) = math.rint(x * 1000) / 1000
     println(s"""{"metric":"lex_loop_ab","dir":"$dir",""" +
+      s""""longdoc":$genLongDoc,"probe_tail":$probeTail,""" +
       s""""n_batches":$nBatches,"reps":$reps,""" +
       s""""store_build_sec":${r3(tBuild)},""" +
       s""""inline_loop_sec":${r3(tInl)},""" +

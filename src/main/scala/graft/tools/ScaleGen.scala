@@ -82,6 +82,61 @@ object ScaleGen {
         col("label"))
     }.reduce(_ unionAll _)
 
+  /** Deterministic syllable word for a vocabulary index: base-20 digits
+    * over consonant+vowel syllables, 2–6 syllables (4–12 chars) — words
+    * with real character structure, so a BPE fit finds genuine merges.
+    */
+  def syllableWord(idx: Int): String = {
+    val cons = "bcdfghjklmnpqrstvwxz"
+    val vowels = "aeiou"
+    val sb = new StringBuilder
+    var v = idx
+    do {
+      // consonant = the base-20 digit; vowel varies with the higher
+      // digits and the position so adjacent indexes differ in shape
+      sb.append(cons(v % 20)).append(vowels((v / 20 + sb.length) % 5))
+      v /= 20
+    } while (v > 0)
+    // pad short words to ≥4 chars so single-syllable heads still give
+    // the fit something to merge
+    while (sb.length < 4) sb.append(vowels(idx % 5))
+    sb.toString
+  }
+
+  /** The LONG-DOC / WIDE-VOCAB synthetic corpus (VERDICT r15 task 7 —
+    * the lexical store's claimed favorable regime, and the encode-vs-
+    * vocab measurement corpus): `nDocs` documents of `wordsPerDoc`
+    * words each, drawn md5-deterministically from a `vocabSize`-word
+    * syllable vocabulary with a quadratic skew toward low indexes (a
+    * Zipf-ish head, so memo hit rates and df distributions behave like
+    * natural text: common heads, a long rare tail). No RNG anywhere —
+    * regeneration is bit-identical on any machine.
+    */
+  def generateLongDocs(spark: SparkSession, outDir: String, nDocs: Int,
+                       wordsPerDoc: Int, vocabSize: Int): Unit = {
+    if (new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists())
+      return
+    val vocab = (0 until vocabSize).map(syllableWord)
+    val vocabLit = typedLit(vocab)
+    val words = transform(
+      sequence(lit(0), lit(wordsPerDoc - 1)),
+      i => {
+        // u ∈ [0,1) from md5(doc:i); u² skews toward the vocabulary head
+        val u = conv(substring(md5(concat(col("id").cast("string"),
+          lit(":"), i.cast("string"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        element_at(vocabLit,
+          (floor(u * u * vocabSize) + 1).cast("int"))
+      })
+    spark.range(nDocs.toLong)
+      .select(col("id").as("doc_id"),
+        array_join(words, " ").as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(4))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   /** Writes `outDir/documents.parquet` + `outDir/embeddings.parquet` (the
     * only tables the scale suite reads). Idempotent: skips a table whose
     * _SUCCESS marker already exists, so repeated ScaleCurve runs pay
