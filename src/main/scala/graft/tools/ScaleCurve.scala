@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DedupOps, RetrievalOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, PackOps, RetrievalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.graft.VectorFunctions
 
 /** Empirical 1×→N× scale curves for the heavy dedup/ANN pipelines — the
@@ -231,6 +231,30 @@ object ScaleCurve {
         graft.queries.ExtensionQueries.recipeFunnelReport(
           d.filter(col("doc_id") % 50 =!= 0),
           d.filter(col("doc_id") % 50 === 0))
+      },
+      // the LEARNED recipe (q155): q129's stages with the classifier
+      // gate + subword pricing — measures whether the learned scoring
+      // adds anything beyond its map-only cost to the composition; the
+      // budget scales with the corpus (a budget is relative, the q148
+      // reasoning) so the selection stage stays meaningfully interior
+      "q155_learned_recipe" -> { n =>
+        val d = docs(spark, dirs(n)).filter(col("text").isNotNull)
+        graft.queries.ExtensionQueries.pretrainRecipeChain(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          scoreCol = round(TextOps.qualityLrScore(col("text")), 6),
+          nTokCol = TextOps.subwordTokenCount(col("text")),
+          budget =
+            graft.queries.ExtensionQueries.LearnedRecipeBudget * n)
+      },
+      // token-stream packing (q156): shard count scales with the corpus
+      // (the op's own file-size knob — per-shard work stays constant),
+      // so the expected curve is ≈N× with the streams as the payload
+      "q156_token_streams" -> { n =>
+        PackOps.packTokenStreams(
+          docs(spark, dirs(n)).filter(col("text").isNotNull), "doc_id",
+          TextOps.subwordPieces(col("text")), budget = 512,
+          nShards = 8 * n)
       },
       "q143_reencode_full" -> { n =>
         val c = SimilarityOps.reencodeAnnIndex(spark, embs(spark, dirs(n)),

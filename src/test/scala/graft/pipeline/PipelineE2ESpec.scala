@@ -2209,7 +2209,8 @@ class PipelineE2ESpec extends AnyFunSuite {
 
   test("examples/warehouse: the committed dbt-parity project runs E2E — " +
       "seeds, incremental merge, timestamp snapshot, hooks, vars, " +
-      "relationships + custom-SQL tests") {
+      "relationships + custom-SQL tests, and a deliberately-violating " +
+      "warn-severity test that doesn't fail the run") {
     val exampleDir = java.nio.file.Paths.get("examples/warehouse")
     assume(Files.isDirectory(exampleDir.resolve("models")))
     val wh = Files.createTempDirectory("graft-warehouse-example")
@@ -2240,6 +2241,16 @@ class PipelineE2ESpec extends AnyFunSuite {
       cliVars = Map("min_qty" -> "3"))
     val (_, nm3) = session3.buildGraph()
     assert(nm3("order_events").renderedSrc.contains("qty >= 3"))
+    // the committed warn test really does VIOLATE (customer 1 has two
+    // orders) — and really is warn-only: it reported above without
+    // failing either run
+    val t = new PipelineSession(spark, config,
+      cliVars = Map("min_qty" -> "1")).runTestsOnly()
+    val warnRows = t.filter(_._4)
+    assert(warnRows.map(_._2) == Seq("warn:accepted_values(n_orders in [1])"),
+      t.toString)
+    assert(warnRows.forall(_._3.nonEmpty), t.toString)
+    assert(t.filter(!_._4).forall(_._3.isEmpty), t.toString)
   }
 
   test("snapshot invalidate_hard_deletes: a vanished key's current " +
