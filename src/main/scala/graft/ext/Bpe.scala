@@ -141,6 +141,25 @@ object Bpe {
     n
   }
 
+  /** The deterministic TOKEN-ID vocabulary of a committed artifact:
+    * ids 0..|alphabet|−1 for the sorted base characters, then one id
+    * per merge output (l+r) in RANK ORDER, first occurrence winning
+    * when two merges produce the same piece string (e.g. (a,bc) and
+    * (ab,c) both yielding "abc" — one piece, one id). Every piece an
+    * encode can emit over alphabet-covered text is in this vocabulary
+    * (an encode piece is either a base character or some merge's
+    * output); out-of-alphabet pieces map to −1/<unk> at the call sites.
+    * Pure function of the committed literals — both engines rebuild
+    * the same (piece, id) table.
+    */
+  def vocabulary(alphabet: Seq[String],
+                 merges: Seq[(String, String)]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    alphabet.sorted.foreach(seen += _)
+    merges.foreach { case (l, r) => seen += (l + r) }
+    seen.toSeq
+  }
+
   /** Piece count = delimiters − 1 (the formula the DuckDB oracle uses on
     * the same state string); the empty word counts 0.
     */

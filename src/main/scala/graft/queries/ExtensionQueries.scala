@@ -1632,6 +1632,26 @@ object ExtensionQueries {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // -- Token-ID packing (q160): q156's bins carrying INTEGER token-id
+    // streams — the exact artifact a trainer memory-maps. Ids are a pure
+    // function of the committed artifact (Bpe.vocabulary: sorted base
+    // alphabet, then merge outputs in rank order); out-of-vocabulary
+    // pieces serve as -1/<unk>. The id map rides a map literal inside
+    // whole-stage codegen — no join, no broadcast, no new expression.
+    // Oracle rebuilds the SAME (piece, id) table as VALUES and maps the
+    // rebuilt piece streams through it ----------------------------------
+    "q160_token_id_pack" -> ((s, dir) => {
+      import graft.ext.{Bpe, BpeMerges}
+      val vocab = Bpe.vocabulary(BpeMerges.alphabet, BpeMerges.merges)
+      val idMap = typedLit(vocab.zipWithIndex.toMap)
+      val ids = transform(TextOps.subwordPieces(col("text")),
+        p => coalesce(element_at(idMap, p), lit(-1)).cast("string"))
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      PackOps.packTokenStreams(d, "doc_id", ids, budget = 512,
+          nShards = 8)
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // -- Int8 embedding quantization audit (native fused kernel) --------
     "q66_int8_quant" -> ((s, dir) => {
       val st = VectorFunctions.int8QuantStats(col("embedding"))
@@ -3591,6 +3611,61 @@ object ExtensionQueries {
        |FROM b GROUP BY shard, bin
        |ORDER BY shard, bin""".stripMargin
 
+  /** q160's oracle: q156's stream reassembly with every piece mapped
+    * through the (piece, id) table REBUILT from the committed artifact —
+    * the same `Bpe.vocabulary` order as VALUES literals; unknown pieces
+    * (none on this fixture — the alphabet covers it) would map to −1
+    * via the LEFT JOIN's coalesce.
+    */
+  private lazy val tokenIdPackOracleSql: String = {
+    val vocab = graft.ext.Bpe.vocabulary(graft.ext.BpeMerges.alphabet,
+      graft.ext.BpeMerges.merges)
+    def esc(s: String) = s.replace("'", "''")
+    val vRows = vocab.zipWithIndex
+      .map { case (p, i) => s"('${esc(p)}', $i)" }
+      .grouped(8).map(g => "    " + g.mkString(", ")).mkString(",\n")
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |v160(piece, id) AS (VALUES
+       |$vRows),
+       |wp AS (SELECT w, regexp_split_to_array(trim(state), ' ') AS pcs
+       |  FROM enc WHERE nxt = (SELECT max(rank) FROM merges) + 1),
+       |wpi AS (SELECT w, unnest([{'i': i, 'p': pcs[i]}
+       |    for i in generate_series(1, len(pcs))]) AS s FROM wp),
+       |wids AS (SELECT w,
+       |    string_agg(CAST(coalesce(v160.id, -1) AS VARCHAR), ' '
+       |      ORDER BY s.i) AS ids
+       |  FROM wpi LEFT JOIN v160 ON v160.piece = wpi.s.p
+       |  GROUP BY w),
+       |dw AS (SELECT doc_id, unnest([{'i': i, 'w': toks[i]}
+       |      for i in generate_series(1, len(toks))]) AS s
+       |  FROM (SELECT doc_id,
+       |      regexp_split_to_array(lower(text), '\\s+') AS toks
+       |    FROM documents WHERE text IS NOT NULL)),
+       |dstr0 AS (SELECT dw.doc_id,
+       |    string_agg(wids.ids, ' ' ORDER BY dw.s.i) AS ids
+       |  FROM dw JOIN wids ON wids.w = dw.s.w
+       |  WHERE dw.s.w <> ''
+       |  GROUP BY dw.doc_id),
+       |dstr AS (SELECT d.doc_id, coalesce(dstr0.ids, '') AS ids,
+       |    dtok.n_tokens
+       |  FROM documents d
+       |  LEFT JOIN dstr0 ON dstr0.doc_id = d.doc_id
+       |  JOIN dtok ON dtok.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL),
+       |b AS (SELECT doc_id, ids, n_tokens,
+       |  CAST(doc_id % 8 AS INTEGER) AS shard,
+       |  CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 8
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+       |    / 512.0) AS INTEGER) AS bin
+       |  FROM dstr)
+       |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+       |  string_agg(ids, ' <|doc|> ' ORDER BY doc_id) AS token_stream
+       |FROM b GROUP BY shard, bin
+       |ORDER BY shard, bin""".stripMargin
+  }
+
   private lazy val learnedRecipeOracleSql: String =
     s"""$learnedRecipeCtes
        |SELECT doc_id, quality AS score, n_tokens FROM c
@@ -4531,6 +4606,7 @@ object ExtensionQueries {
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     "q155_learned_recipe" -> learnedRecipeOracleSql,
     "q156_token_stream_pack" -> tokenStreamPackOracleSql,
+    "q160_token_id_pack" -> tokenIdPackOracleSql,
     "q158_learned_funnel" -> learnedFunnelOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,
     "q131_best_of_cluster" -> bestOfClusterOracleSql,

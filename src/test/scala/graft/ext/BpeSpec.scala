@@ -184,6 +184,37 @@ class BpeSpec extends AnyFunSuite {
     assert(edge(1L) == null && edge(2L) == Seq.empty)
   }
 
+  test("Bpe.vocabulary: sorted alphabet first, merge outputs in rank " +
+      "order, duplicate outputs deduped (one piece, one id); the " +
+      "committed vocabulary COVERS every piece the fixture can emit, " +
+      "and out-of-alphabet pieces map to -1") {
+    // two merges producing the SAME string "abc": first occurrence wins
+    val v = Bpe.vocabulary(Seq("b", "a", "c"),
+      Seq(("a", "b"), ("ab", "c"), ("a", "bc"), ("b", "c")))
+    assert(v == Seq("a", "b", "c", "ab", "abc", "bc"))
+    // the committed artifact: every piece of every fixture word has an
+    // id ≥ 0 (an encode piece is a base char or a merge output — the
+    // closure property q160 rides)
+    val vocab = Bpe.vocabulary(BpeMerges.alphabet, BpeMerges.merges)
+    val idOf = vocab.zipWithIndex.toMap
+    assert(BpeMerges.alphabet.sorted.zipWithIndex.forall {
+      case (a, i) => idOf(a) == i
+    })
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = d.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    words.foreach { w =>
+      Bpe.pieces(w, BpeMerges.merges).foreach { p =>
+        assert(idOf.contains(p), s"piece '$p' of '$w' has no id")
+      }
+    }
+    // out-of-alphabet text: its pieces are NOT in the vocabulary — the
+    // call sites' coalesce serves them as -1/<unk>
+    assert(Bpe.pieces("zürich", BpeMerges.merges)
+      .exists(p => !idOf.contains(p)))
+  }
+
   test("q150 plan: the encode is map-only — no shuffle below the budget " +
       "histogram's aggregate, the expression inside the scan's project") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -142,11 +142,12 @@ class QualityLrSpec extends AnyFunSuite {
     assert(hoAcc > 0.2, s"held-out below 5-class chance: $hoAcc")
   }
 
-  test("serving plans are explode-free: q151 and q154 score inside the " +
-      "scan's projection (zero Generate nodes) — the FIT explodes " +
-      "grams, the committed gates never do") {
+  test("serving plans are explode-free: q151/q154/q157/q159 score " +
+      "inside the scan's projection (zero Generate nodes) — the FIT " +
+      "explodes grams, the committed gates never do") {
     import org.apache.spark.sql.execution.ExplainMode
-    Seq("q151_quality_classifier", "q154_language_id").foreach { q =>
+    Seq("q151_quality_classifier", "q154_language_id",
+        "q157_language_id_reject", "q159_fertility_by_lang").foreach { q =>
       val df = graft.queries.ExtensionQueries.queries(q)(spark,
         "/root/testdata/sf0.001")
       val plan = df.queryExecution
