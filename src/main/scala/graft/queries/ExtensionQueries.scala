@@ -98,6 +98,17 @@ object ExtensionQueries {
         struct(sc.as("sc"), lit(l).as("l"))).otherwise(best)
     }
 
+  /** q161's per-PREDICTED-language budgets — the selection the `und`
+    * threshold exists to protect (out-of-family text must not spend a
+    * real language's budget). Regimes mirror q148's: en partial at both
+    * SFs (8k of 44.6k sf0.01 subword tokens), de all-fits, zh and und
+    * partial (und rate-limited — kept, but capped), ja absent from the
+    * data, fr/es untargeted (excluded). Subword masses measured by q159.
+    */
+  private[graft] val LangBudgets: Map[String, Long] = Map(
+    "en" -> 8000L, "de" -> 10000000L, "zh" -> 900L, "und" -> 1000L,
+    "ja" -> 10L)
+
   /** q157's committed reject threshold: a best one-vs-rest sigmoid below
     * this abstains to 'und' (out-of-family text must not pollute
     * per-language budgets/mixtures). Sized from the fixture's score
@@ -365,6 +376,32 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("predicted"),
           col("__best").getField("sc").as("score"),
           (col("predicted") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Per-predicted-language token budgets (q161): the selection the
+    // `und` threshold protects — q148's stratified exact budgets keyed
+    // by q157's predicted language (und capped, not dropped), scored by
+    // the committed classifier and priced by the committed tokenizer:
+    // all FOUR learned/committed artifacts composed into one operator
+    // call. Oracle = langid CTEs + reject CASE + classifier dot product
+    // + merges rebuild + the naive per-language window ------------------
+    "q161_budget_by_predicted_lang" -> ((s, dir) => {
+      import graft.ext.LangIdWeights
+      val langs = LangIdWeights.langs
+      val scores = org.apache.spark.sql.graft.SubwordFunctions
+        .hashedGramScoreVec(col("text"),
+          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
+      val scored = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), scores.as("__s"))
+        .withColumn("__best", langIdBest(langs, col("__s")))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("quality",
+          round(TextOps.qualityLrScore(col("text")), 6))
+        .withColumn("n_tok", TextOps.subwordTokenCount(col("text")))
+      DedupOps.tokenBudgetSelectBySource(scored, "doc_id", "pred_lang",
+          col("quality"), col("n_tok"), LangBudgets)
         .orderBy(col("doc_id"))
     }),
 
@@ -3220,6 +3257,53 @@ object ExtensionQueries {
        |  ON best.doc_id = dd.doc_id AND best.rn = 1
        |ORDER BY dd.doc_id""".stripMargin
 
+  /** q161's oracle: all four committed artifacts rebuilt in SQL — the
+    * language scorer (+ reject CASE), the quality classifier's dot
+    * product, and the merges-rebuilt pricing — under the naive
+    * per-predicted-language window with the budget CASE (q148's
+    * differential shape, stratified by a LEARNED key).
+    */
+  private lazy val budgetByPredictedLangOracleSql: String = {
+    val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
+    val bias = graft.ext.QualityLrWeights.bias
+    val nb = graft.ext.QualityLrWeights.nBuckets
+    val inList = LangBudgets.keys.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    val caseArms = LangBudgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |$langIdCtes,
+       |lw(b, wt) AS (VALUES
+       |    $wRows),
+       |g2 AS (SELECT doc_id, unnest(toks ||
+       |    [array_to_string(toks[i:i+1], ' ')
+       |     for i in generate_series(1, len(toks) - 1)]) AS g
+       |  FROM d154),
+       |db2 AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
+       |    count(*) AS n
+       |  FROM g2 GROUP BY 1, 2),
+       |z2 AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-(sum(n * wt) / sum(n) + $bias))), 6)
+       |      AS score
+       |  FROM db2 JOIN lw USING (b) GROUP BY doc_id),
+       |pr AS (SELECT doc_id,
+       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
+       |         ELSE lang END AS pred_lang
+       |  FROM best WHERE rn = 1),
+       |m AS (SELECT pr.doc_id, pr.pred_lang, z2.score, dtok.n_tokens
+       |  FROM pr JOIN z2 USING (doc_id) JOIN dtok USING (doc_id)
+       |  WHERE pr.pred_lang IN ($inList)),
+       |c AS (SELECT doc_id, pred_lang, score, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY pred_lang
+       |    ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+       |SELECT doc_id, pred_lang, score, n_tokens FROM c
+       |WHERE cum <= CASE pred_lang $caseArms END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q159's oracle: the shared scorer (with the reject CASE) composed
     * with the shared merges rebuild — fertility per PREDICTED language.
     */
@@ -4045,6 +4129,7 @@ object ExtensionQueries {
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,
+    "q161_budget_by_predicted_lang" -> budgetByPredictedLangOracleSql,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark
