@@ -221,4 +221,58 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(trulyContaminated.forall(id => s(id)._2),
       "gate missed a truly contaminated document")
   }
+
+  test("the LEARNED stack is stream-safe: classifier score, subword " +
+      "pricing, and language-ID-with-reject score a document stream " +
+      "IDENTICALLY to batch — every serving path is a stateless " +
+      "map-only expression, so a streaming curation gate needs no " +
+      "extra machinery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.{LangIdWeights, TextOps}
+    import graft.queries.ExtensionQueries
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    def gate(df: DataFrame): DataFrame = {
+      val scores = org.apache.spark.sql.graft.SubwordFunctions
+        .hashedGramScoreVec(col("text"),
+          LangIdWeights.weights.map(_.toIndexedSeq),
+          LangIdWeights.biases)
+      df.select(col("doc_id"),
+          round(TextOps.qualityLrScore(col("text")), 6).as("quality"),
+          TextOps.subwordTokenCount(col("text")).as("n_tok"),
+          scores.as("__s"))
+        .withColumn("__best",
+          ExtensionQueries.langIdBest(LangIdWeights.langs, col("__s")))
+        .withColumn("pred_lang",
+          ExtensionQueries.langIdPredictedOrUnd(col("__best")))
+        .select(col("doc_id"), col("quality"), col("n_tok"),
+          col("pred_lang"))
+    }
+    def toMapOf(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+    val batch = toMapOf(gate(docs).collect())
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = gate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("parity_learned_gate")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        q.processAllAvailable()
+        toMapOf(spark.table("parity_learned_gate").collect())
+      } finally q.stop()
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // the stream really exercised the reject path too
+    assert(streamed.values.exists(_._3 == "und"))
+    assert(streamed.values.exists(_._3 != "und"))
+  }
 }
