@@ -231,12 +231,14 @@ object Main {
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
   /** `--vars k=v,k2=v2` — the CLI overlay over the config's `vars:`
-    * mapping (dbt precedence: the command line wins). A malformed entry
-    * is a loud error, not a silently-ignored var. Commas split only
-    * BETWEEN k=v pairs: a fragment without '=' belongs to the previous
-    * var's value (`--vars list=a,b,k2=v` → list=a,b — ADVICE r15; a
-    * value that itself contains `=` still needs its own --vars-free
-    * escape, which dbt doesn't offer either).
+    * mapping (dbt precedence: the command line wins). A malformed FIRST
+    * entry is a loud error; a later fragment without '=' is BY
+    * DEFINITION part of the previous var's value — the price of
+    * supporting comma-containing values without quoting (`--vars
+    * list=a,b,k2=v` → list=a,b — ADVICE r15). Because that rule can
+    * also swallow a typo (`--vars min_qty=1,fail_fast` meant
+    * `fail_fast=true`), every fold prints a visible stderr note naming
+    * what went where.
     */
   private[cli] def varsOf(flags: Map[String, String]): Map[String, String] = {
     val raw0 = flags.get("vars").toSeq
@@ -245,10 +247,15 @@ object Main {
     val raw = if (raw0.nonEmpty && raw0.last.isEmpty) raw0.dropRight(1)
               else raw0
     // re-join value fragments: a piece with no '=' continues the
-    // previous k=v entry's value
+    // previous k=v entry's value — announced, so a typo'd flag-like
+    // fragment is visible rather than silently folded
     val entries = raw.foldLeft(List.empty[String]) { (acc, piece) =>
       if (piece.contains("=") || acc.isEmpty) piece :: acc
-      else (acc.head + "," + piece) :: acc.tail
+      else {
+        System.err.println(s"--vars: '$piece' has no '=' — treating it " +
+          s"as part of the previous value ('${acc.head},$piece')")
+        (acc.head + "," + piece) :: acc.tail
+      }
     }.reverse.map(_.trim).filter(_.nonEmpty)
     entries.map { kv =>
       kv.split("=", 2) match {

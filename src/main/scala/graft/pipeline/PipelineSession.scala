@@ -1234,8 +1234,11 @@ final class PipelineSession(
   private def runModelTests(node: ModelNode): Unit =
     node.tests.foreach {
       case ModelTest.Warn(inner) =>
+        // warn downgrades VIOLATIONS only — a test that could not
+        // execute (missing file, typo'd column) fails the node at any
+        // severity, or the declared test would silently test nothing
         try runModelTest(node, inner)
-        catch { case e: GraftError =>
+        catch { case e: DataTestViolation =>
           println(s"    WARN  ${node.id}: " +
             e.getMessage.linesIterator.next() +
             " (severity: warn — not failing the node)")
@@ -1261,7 +1264,6 @@ final class PipelineSession(
     runOrder.flatMap { id =>
       val n = nodeMap(id)
       n.tests.map { t =>
-        val warnOnly = t.isInstanceOf[ModelTest.Warn]
         val err =
           try { runModelTest(n, ModelTest.base(t)); None }
           catch {
@@ -1269,6 +1271,11 @@ final class PipelineSession(
             case e: Exception => Some(StatementExecutionError(
               e.getMessage, n.renderedSrc, n.path))
           }
+        // warn downgrades VIOLATIONS only: a warn test that could not
+        // EXECUTE reports as a real failure (exit-code-flipping), same
+        // as the run path
+        val warnOnly = t.isInstanceOf[ModelTest.Warn] &&
+          err.forall(_.isInstanceOf[DataTestViolation])
         (id, t.describe, err, warnOnly)
       }
     }
@@ -1320,7 +1327,7 @@ final class PipelineSession(
           }
       }
       if (bad > 0)
-        throw StatementExecutionError(
+        throw DataTestViolation(
           s"data test ${t.describe} failed: $bad violating " +
             (t match { case _: ModelTest.Unique => "duplicated values"
                        case _ => "rows" }),

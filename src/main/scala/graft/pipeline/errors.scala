@@ -31,3 +31,18 @@ final case class UnknownModelType(ext: String) extends GraftError {
   override def getMessage: String = s"Unknown model type: $ext"
   def render: String = s"Error: unknown model type `$ext`"
 }
+
+/** A data test's VIOLATION — rows failed the declared constraint — as
+  * opposed to a test that could not EXECUTE (missing test file, typo'd
+  * column, unreadable model output). The distinction exists for
+  * `severity: warn`: warn downgrades VIOLATIONS only; a broken test is
+  * an error at any severity, or a declared warn test could silently
+  * test nothing forever (the exact failure mode the loud unknown-test
+  * parse guard exists to prevent). Renders in the same report shape as
+  * [[StatementExecutionError]].
+  */
+final case class DataTestViolation(msg: String, sql: String, path: String)
+    extends GraftError {
+  override def getMessage: String = msg
+  def render: String = StatementExecutionError(msg, sql, path).render
+}

@@ -3264,36 +3264,19 @@ object ExtensionQueries {
     * differential shape, stratified by a LEARNED key).
     */
   private lazy val budgetByPredictedLangOracleSql: String = {
-    val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
-      .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
-    val bias = graft.ext.QualityLrWeights.bias
-    val nb = graft.ext.QualityLrWeights.nBuckets
     val inList = LangBudgets.keys.toSeq.sorted
       .map(s => s"'$s'").mkString(", ")
     val caseArms = LangBudgets.toSeq.sortBy(_._1)
       .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
     s"""WITH RECURSIVE $subwordEncCtes,
        |$langIdCtes,
-       |lw(b, wt) AS (VALUES
-       |    $wRows),
-       |g2 AS (SELECT doc_id, unnest(toks ||
-       |    [array_to_string(toks[i:i+1], ' ')
-       |     for i in generate_series(1, len(toks) - 1)]) AS g
-       |  FROM d154),
-       |db2 AS (SELECT doc_id,
-       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
-       |    count(*) AS n
-       |  FROM g2 GROUP BY 1, 2),
-       |z2 AS (SELECT doc_id,
-       |    round(1.0 / (1.0 + exp(-(sum(n * wt) / sum(n) + $bias))), 6)
-       |      AS score
-       |  FROM db2 JOIN lw USING (b) GROUP BY doc_id),
+       |${qualityLrScoreCtes("d154")},
        |pr AS (SELECT doc_id,
        |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
        |         ELSE lang END AS pred_lang
        |  FROM best WHERE rn = 1),
-       |m AS (SELECT pr.doc_id, pr.pred_lang, z2.score, dtok.n_tokens
-       |  FROM pr JOIN z2 USING (doc_id) JOIN dtok USING (doc_id)
+       |m AS (SELECT pr.doc_id, pr.pred_lang, qz.score, dtok.n_tokens
+       |  FROM pr JOIN qz USING (doc_id) JOIN dtok USING (doc_id)
        |  WHERE pr.pred_lang IN ($inList)),
        |c AS (SELECT doc_id, pred_lang, score, n_tokens,
        |  sum(n_tokens) OVER (PARTITION BY pred_lang
@@ -3420,36 +3403,49 @@ object ExtensionQueries {
        |GROUP BY ws.source
        |ORDER BY ws.source""".stripMargin
 
-  /** q153's oracle: BOTH committed artifacts rebuilt in SQL — the
-    * classifier score as the weights dot product (q151's CTEs) and the
-    * subword pricing from the merges (the shared encode) — under q127's
-    * naive global-window selection.
+  /** The committed quality classifier's ROUNDED score rebuilt in SQL,
+    * shared by the q153/q155/q161 oracles (extracted after the review
+    * caught three drifting copies — the langIdCtes lesson): the weights
+    * VALUES (`lw`) + gram unnest + md5 bucket + the rounded-at-6
+    * sigmoid, over a source CTE providing (doc_id, toks). Emits CTEs
+    * `lw`/`qg`/`qdb`/`qz` (qz: doc_id, score). q151's OWN oracle keeps
+    * its distinct shape (LEFT JOIN + gramless coalesce over ALL docs —
+    * the null-defense the others inherit by filtering upstream).
     */
-  private lazy val learnedGateBudgetOracleSql: String = {
+  private def qualityLrScoreCtes(src: String): String = {
     val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
       .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
     val bias = graft.ext.QualityLrWeights.bias
     val nb = graft.ext.QualityLrWeights.nBuckets
-    s"""WITH RECURSIVE $subwordEncCtes,
-       |lw(b, wt) AS (VALUES
+    s"""lw(b, wt) AS (VALUES
        |    $wRows),
+       |qg AS (SELECT doc_id, unnest(toks ||
+       |    [array_to_string(toks[i:i+1], ' ')
+       |     for i in generate_series(1, len(toks) - 1)]) AS g
+       |  FROM $src),
+       |qdb AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
+       |    count(*) AS n
+       |  FROM qg GROUP BY 1, 2),
+       |qz AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-(sum(n * wt) / sum(n) + $bias))), 6)
+       |      AS score
+       |  FROM qdb JOIN lw USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q153's oracle: BOTH committed artifacts rebuilt in SQL — the
+    * classifier score as the weights dot product (the shared
+    * [[qualityLrScoreCtes]]) and the subword pricing from the merges
+    * (the shared encode) — under q127's naive global-window selection.
+    */
+  private lazy val learnedGateBudgetOracleSql: String = {
+    s"""WITH RECURSIVE $subwordEncCtes,
        |d2 AS (SELECT doc_id,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL),
-       |g2 AS (SELECT doc_id, unnest(toks ||
-       |    [array_to_string(toks[i:i+1], ' ')
-       |     for i in generate_series(1, len(toks) - 1)]) AS g
-       |  FROM d2),
-       |db2 AS (SELECT doc_id,
-       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
-       |    count(*) AS n
-       |  FROM g2 GROUP BY 1, 2),
-       |z2 AS (SELECT doc_id,
-       |    round(1.0 / (1.0 + exp(-(sum(n * wt) / sum(n) + $bias))), 6)
-       |      AS score
-       |  FROM db2 JOIN lw USING (b) GROUP BY doc_id),
-       |m2 AS (SELECT z2.doc_id, z2.score, dtok.n_tokens
-       |  FROM z2 JOIN dtok USING (doc_id)),
+       |${qualityLrScoreCtes("d2")},
+       |m2 AS (SELECT qz.doc_id, qz.score, dtok.n_tokens
+       |  FROM qz JOIN dtok USING (doc_id)),
        |c AS (SELECT doc_id, score, n_tokens,
        |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id
        |    ROWS UNBOUNDED PRECEDING) AS cum FROM m2)
@@ -3596,32 +3592,15 @@ object ExtensionQueries {
     * q158's funnel SELECT so the two oracles can never drift.
     */
   private lazy val learnedRecipeCtes: String = {
-    val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
-      .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
-    val bias = graft.ext.QualityLrWeights.bias
-    val nb = graft.ext.QualityLrWeights.nBuckets
     s"""WITH RECURSIVE $subwordEncCtes,
-       |lw(b, wt) AS (VALUES
-       |    $wRows),
        |d2 AS (SELECT doc_id,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL),
-       |g2 AS (SELECT doc_id, unnest(toks ||
-       |    [array_to_string(toks[i:i+1], ' ')
-       |     for i in generate_series(1, len(toks) - 1)]) AS g
-       |  FROM d2),
-       |db2 AS (SELECT doc_id,
-       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
-       |    count(*) AS n
-       |  FROM g2 GROUP BY 1, 2),
-       |z2 AS (SELECT doc_id,
-       |    round(1.0 / (1.0 + exp(-(sum(n * wt) / sum(n) + $bias))), 6)
-       |      AS score
-       |  FROM db2 JOIN lw USING (b) GROUP BY doc_id),
+       |${qualityLrScoreCtes("d2")},
        |q0 AS (SELECT d.doc_id, d.text,
        |    regexp_split_to_array(lower(d.text), '\\s+') AS toks,
-       |    z2.score AS quality, dtok.n_tokens
-       |  FROM documents d JOIN z2 USING (doc_id) JOIN dtok USING (doc_id)
+       |    qz.score AS quality, dtok.n_tokens
+       |  FROM documents d JOIN qz USING (doc_id) JOIN dtok USING (doc_id)
        |  WHERE d.doc_id % 50 <> 0),
        |qual AS (SELECT * FROM q0 WHERE quality >= 0.5),
        |keepx AS (SELECT min(doc_id) AS doc_id FROM qual

@@ -45,7 +45,14 @@ object LexLoopAb {
     val genLongDoc = genSpec.isDefined
     val (genDocs, genWords, genVocab) = genSpec match {
       case Some(s) if s.contains("=") =>
-        val p = s.split("=", 2)(1).split(",").map(_.trim.toInt)
+        val p = try s.split("=", 2)(1).split(",").map(_.trim.toInt)
+          catch { case _: NumberFormatException =>
+            sys.error(s"LexLoopAb: --gen-longdoc expects three integers " +
+              s"nDocs,wordsPerDoc,vocabSize — got '$s'")
+          }
+        require(p.length == 3,
+          s"LexLoopAb: --gen-longdoc expects nDocs,wordsPerDoc,vocabSize " +
+            s"(three comma-separated integers), got '$s'")
         (p(0), p(1), p(2))
       case _ => (5000, 1000, 50000)
     }

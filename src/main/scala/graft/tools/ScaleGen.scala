@@ -114,8 +114,15 @@ object ScaleGen {
     */
   def generateLongDocs(spark: SparkSession, outDir: String, nDocs: Int,
                        wordsPerDoc: Int, vocabSize: Int): Unit = {
-    if (new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists())
-      return
+    // idempotence keys on the PARAMETERS, not mere existence — a second
+    // tool run with a different shape must regenerate, or its
+    // measurement silently times the stale corpus under the new label
+    val params = s"$nDocs,$wordsPerDoc,$vocabSize"
+    val marker = java.nio.file.Paths.get(outDir, "_LONGDOC_PARAMS")
+    val fresh = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
+      .exists() && java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == params
+    if (fresh) return
     val vocab = (0 until vocabSize).map(syllableWord)
     val vocabLit = typedLit(vocab)
     val words = transform(
@@ -135,6 +142,9 @@ object ScaleGen {
         concat(lit("src"), pmod(col("id"), lit(4))).as("source"))
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker, params)
+    ()
   }
 
   /** Writes `outDir/documents.parquet` + `outDir/embeddings.parquet` (the

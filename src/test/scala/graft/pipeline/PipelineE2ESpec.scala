@@ -2463,4 +2463,30 @@ class PipelineE2ESpec extends AnyFunSuite {
     val e = intercept[GraftError] { writeCfg("maybe") }
     assert(e.render.contains("severity"), e.render)
   }
+
+  test("severity: warn downgrades VIOLATIONS only — a warn test that " +
+      "cannot EXECUTE (typo'd column) fails the node AND flips the " +
+      "`graft test` failure count (a broken test must not silently " +
+      "test nothing forever)") {
+    val db = Files.createTempDirectory("graft-sevx-db")
+    val dir = Files.createTempDirectory("graft-sevx")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("sx_base.sql"), "SELECT 1 AS id")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  sx_base:
+         |    materialize: table
+         |    tests:
+         |      - not_null: no_such_column
+         |        severity: warn""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    // the run path: the broken warn test FAILS the node
+    val r = new PipelineSession(spark, config).runNodes()
+    assert(r.errors.nonEmpty, r.results.toString)
+    // the test path: reported as a non-warn failure (exit-flipping)
+    val t = new PipelineSession(spark, config).runTestsOnly()
+    assert(t.size == 1 && t.head._3.nonEmpty && !t.head._4, t.toString)
+  }
 }
