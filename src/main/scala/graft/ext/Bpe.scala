@@ -124,22 +124,6 @@ object Bpe {
     out.result()
   }
 
-  /** How many occurrences [[applyMerge]] would actually fuse, given the
-    * ascending left indexes where the pair occurs adjacently: greedy
-    * left-to-right with the +3 spacing of the blocked walk (fusing at i
-    * blocks i+1 — consumed — and i+2 — leading delimiter consumed).
-    * Shared by [[fit]] so selection scores what the merge can DO, not
-    * what a sliding window sees (" a a a " has two (a,a) windows but one
-    * fusable occurrence).
-    */
-  private def fusableCount(positions: Seq[Int]): Long = {
-    var last = Int.MinValue
-    var n = 0L
-    positions.foreach { p =>
-      if (last == Int.MinValue || p >= last + 3) { n += 1; last = p }
-    }
-    n
-  }
 
   /** The deterministic TOKEN-ID vocabulary of a committed artifact:
     * ids 0..|alphabet|−1 for the sorted base characters, then one id
@@ -195,20 +179,24 @@ object Bpe {
       val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
       states.foreach { case (st, c) =>
         val toks = st.split(' ').filter(_.nonEmpty)
-        // collect each pair's adjacent left indexes, then score the
-        // NON-OVERLAPPING fusable count (the same blocked left-to-right
-        // walk applyMerge performs) — a sliding window over-scores
-        // run-heavy pairs the single-pass replace cannot actually merge
-        val positions = scala.collection.mutable
-          .Map[(String, String), scala.collection.mutable.ArrayBuffer[Int]]()
+        // score each pair by its NON-OVERLAPPING fusable count — the
+        // same blocked left-to-right walk applyMerge performs (fusing at
+        // i consumes i+1 and blocks the pair at left index i+2, so the
+        // next countable occurrence is ≥ i+3). A sliding window would
+        // over-score run-heavy pairs the single-pass replace cannot
+        // actually merge (" a a a " has two (a,a) windows, one fusion).
+        // Streaming: positions arrive ascending, so a per-pair
+        // last-kept index IS the greedy walk — no position buffers.
+        val lastKept = scala.collection.mutable.Map[(String, String), Int]()
         var i = 0
         while (i + 1 < toks.length) {
-          positions.getOrElseUpdate((toks(i), toks(i + 1)),
-            new scala.collection.mutable.ArrayBuffer[Int]) += i
+          val p = (toks(i), toks(i + 1))
+          val lk = lastKept.getOrElse(p, Int.MinValue)
+          if (lk == Int.MinValue || i >= lk + 3) {
+            pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+            lastKept(p) = i
+          }
           i += 1
-        }
-        positions.foreach { case (p, ps) =>
-          pairCounts(p) = pairCounts.getOrElse(p, 0L) + fusableCount(ps.toSeq) * c
         }
       }
       if (pairCounts.isEmpty) done = true

@@ -172,13 +172,19 @@ object PackOps {
     * Returns (shard, bin, n_docs, n_tokens, first_id, last_id,
     * token_stream) — token_stream the space-joined pieces with
     * ` docSep ` between documents (a doc with zero pieces contributes an
-    * empty segment, so boundaries are position-faithful).
+    * empty segment, so boundaries are position-faithful). A NULL
+    * `piecesCol` row (e.g. NULL text under [[TextOps.subwordPieces]])
+    * normalizes to the SAME empty segment — without the coalesce it
+    * would NULL its window term and land in a phantom (shard, NULL) bin
+    * that downstream consumers iterate over with no error.
     */
   def packTokenStreams(docs: DataFrame, idCol: String, piecesCol: Column,
                        budget: Int, nShards: Int,
                        docSep: String = "<|doc|>"): DataFrame = {
-    val binned = packBins(docs.withColumn("__pieces", piecesCol), idCol,
-      size(col("__pieces")).cast("long"), budget, nShards)
+    val binned = packBins(
+      docs.withColumn("__pieces",
+        coalesce(piecesCol, array().cast("array<string>"))),
+      idCol, size(col("__pieces")).cast("long"), budget, nShards)
     binned
       .withColumn("__str", array_join(col("__pieces"), " "))
       .groupBy(col("shard"), col("bin"))

@@ -234,10 +234,17 @@ object ViewStore {
                 // not-partitioned no-op.
                 try { spark.sql(s"MSCK REPAIR TABLE `$id`"); () }
                 catch { case e: Exception =>
-                  // NOT_A_PARTITIONED_TABLE's message: "... because it
-                  // is not a partitioned table."
-                  val msg = String.valueOf(e.getMessage).toLowerCase
-                  if (!msg.contains("not a partitioned table"))
+                  // the common no-op is the NOT_A_PARTITIONED_TABLE
+                  // error condition — gate on the error CLASS (stable
+                  // API), with the message phrase as a fallback for
+                  // engines that don't carry conditions
+                  val noOp = (e match {
+                    case st: org.apache.spark.SparkThrowable =>
+                      st.getCondition == "NOT_A_PARTITIONED_TABLE"
+                    case _ => false
+                  }) || String.valueOf(e.getMessage).toLowerCase
+                    .contains("not a partitioned table")
+                  if (!noOp)
                     println(s"WARNING: MSCK REPAIR failed for restored " +
                       s"table `$id` — if it is partitioned it may read " +
                       s"zero rows: ${e.getMessage}")

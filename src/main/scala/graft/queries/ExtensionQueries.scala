@@ -109,6 +109,24 @@ object ExtensionQueries {
     "en" -> 8000L, "de" -> 10000000L, "zh" -> 900L, "und" -> 1000L,
     "ja" -> 10L)
 
+  /** The shared language-ID scoring prelude (q154/q157/q159/q161 —
+    * extracted after the review flagged four hand-synced copies): the
+    * committed weights through the fused one-pass scorer, null-text
+    * docs excluded by contract on both engines (the argmax would
+    * otherwise fabricate predicted=langs.head with a NULL score —
+    * ADVICE r15), and the rounded argmax as `__best`. Callers project
+    * what they need and drop the working columns.
+    */
+  private def langIdScored(df: DataFrame): DataFrame = {
+    import graft.ext.LangIdWeights
+    val scores = org.apache.spark.sql.graft.SubwordFunctions
+      .hashedGramScoreVec(col("text"),
+        LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
+    df.filter(col("text").isNotNull)
+      .withColumn("__s", scores)
+      .withColumn("__best", langIdBest(LangIdWeights.langs, col("__s")))
+  }
+
   /** q157's committed reject threshold: a best one-vs-rest sigmoid below
     * this abstains to 'und' (out-of-family text must not pollute
     * per-language budgets/mixtures). Sized from the fixture's score
@@ -336,25 +354,13 @@ object ExtensionQueries {
     // — the LEARNED counterpart of the n-gram-heuristic language ID.
     // Ties on the rounded score break to the lexicographically smallest
     // language on both engines ----------------------------------------
-    "q154_language_id" -> ((s, dir) => {
-      import graft.ext.LangIdWeights
-      val langs = LangIdWeights.langs
-      val scores = org.apache.spark.sql.graft.SubwordFunctions
-        .hashedGramScoreVec(col("text"),
-          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
-      t(s, dir, "documents")
-        // null-text docs are EXCLUDED by contract on both engines (the
-        // argmax would otherwise fabricate predicted=langs.head with a
-        // NULL score for them — ADVICE r15)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"), scores.as("__s"))
-        .withColumn("__best", langIdBest(langs, col("__s")))
+    "q154_language_id" -> ((s, dir) =>
+      langIdScored(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           col("__best").getField("l").as("predicted"),
           col("__best").getField("sc").as("score"),
           (col("__best").getField("l") === col("lang")).as("correct"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // -- Language ID with a REJECT option (q157): q154's argmax, but a
     // best score below the committed `und` threshold abstains — the
@@ -362,22 +368,13 @@ object ExtensionQueries {
     // budgets and mixtures. Same tie discipline (rounded score DESC,
     // lexicographically smallest lang); correct is false for 'und' on
     // this fixture (no und labels exist) --------------------------------
-    "q157_language_id_reject" -> ((s, dir) => {
-      import graft.ext.LangIdWeights
-      val langs = LangIdWeights.langs
-      val scores = org.apache.spark.sql.graft.SubwordFunctions
-        .hashedGramScoreVec(col("text"),
-          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
-      t(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"), scores.as("__s"))
-        .withColumn("__best", langIdBest(langs, col("__s")))
+    "q157_language_id_reject" -> ((s, dir) =>
+      langIdScored(t(s, dir, "documents"))
         .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
         .select(col("doc_id"), col("lang"), col("predicted"),
           col("__best").getField("sc").as("score"),
           (col("predicted") === col("lang")).as("correct"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // -- Per-predicted-language token budgets (q161): the selection the
     // `und` threshold protects — q148's stratified exact budgets keyed
@@ -387,15 +384,7 @@ object ExtensionQueries {
     // call. Oracle = langid CTEs + reject CASE + classifier dot product
     // + merges rebuild + the naive per-language window ------------------
     "q161_budget_by_predicted_lang" -> ((s, dir) => {
-      import graft.ext.LangIdWeights
-      val langs = LangIdWeights.langs
-      val scores = org.apache.spark.sql.graft.SubwordFunctions
-        .hashedGramScoreVec(col("text"),
-          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
-      val scored = t(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"), scores.as("__s"))
-        .withColumn("__best", langIdBest(langs, col("__s")))
+      val scored = langIdScored(t(s, dir, "documents"))
         .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
         .withColumn("quality",
           round(TextOps.qualityLrScore(col("text")), 6))
@@ -410,16 +399,8 @@ object ExtensionQueries {
     // vs learned-subword token mass and their ratio. The per-language
     // mispricing report a mixture run reads before committing per-lang
     // budgets; one scan, map-only scoring + encode, ≤|langs|+1 rows ----
-    "q159_fertility_by_lang" -> ((s, dir) => {
-      import graft.ext.LangIdWeights
-      val langs = LangIdWeights.langs
-      val scores = org.apache.spark.sql.graft.SubwordFunctions
-        .hashedGramScoreVec(col("text"),
-          LangIdWeights.weights.map(_.toIndexedSeq), LangIdWeights.biases)
-      t(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"), scores.as("__s"))
-        .withColumn("__best", langIdBest(langs, col("__s")))
+    "q159_fertility_by_lang" -> ((s, dir) =>
+      langIdScored(t(s, dir, "documents"))
         .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
         .groupBy(col("predicted"))
         .agg(count(lit(1)).as("n_docs"),
@@ -430,8 +411,7 @@ object ExtensionQueries {
         .withColumn("fertility",
           round(col("subword_tokens").cast("double") / col("ws_tokens"),
             4))
-        .orderBy(col("predicted"))
-    }),
+        .orderBy(col("predicted"))),
 
     // -- Trained quality classifier (q151): the committed hashed-n-gram
     // logistic regression scores the corpus map-only — the fastText-
@@ -3634,25 +3614,28 @@ object ExtensionQueries {
        |    ROWS UNBOUNDED PRECEDING) AS cum FROM surv)""".stripMargin
   }
 
-  /** q156's oracle: the shared merges-rebuild CTEs extended with the
-    * piece STRING per word (`trim(state)` — pieces joined by single
-    * spaces), per-doc streams reassembled positionally (a struct
-    * comprehension carries the word index through the unnest, since
-    * DuckDB's generate_series can't lateral-join a column), then the
-    * naive shard/bin window and an ordered per-bin string_agg.
+  /** The shared packed-stream oracle scaffolding (q156/q160 — extracted
+    * after the review flagged two drifting copies, the langIdCtes
+    * lesson): per-doc streams reassembled positionally from a per-WORD
+    * stream table (a struct comprehension carries the word index
+    * through the unnest, since DuckDB's generate_series can't
+    * lateral-join a column), then the naive shard/bin window and an
+    * ordered per-bin string_agg. The per-word table — `wordTable`
+    * providing (w, `wordCol`) — is the ONLY thing the two oracles
+    * differ on: piece strings (q156) vs id strings (q160).
     */
-  private lazy val tokenStreamPackOracleSql: String =
+  private def packedStreamOracleSql(wordCtes: String, wordTable: String,
+                                    wordCol: String): String =
     s"""WITH RECURSIVE $subwordEncCtes,
-       |wcs AS (SELECT w, trim(state) AS ps FROM enc
-       |  WHERE nxt = (SELECT max(rank) FROM merges) + 1),
+       |$wordCtes,
        |dw AS (SELECT doc_id, unnest([{'i': i, 'w': toks[i]}
        |      for i in generate_series(1, len(toks))]) AS s
        |  FROM (SELECT doc_id,
        |      regexp_split_to_array(lower(text), '\\s+') AS toks
        |    FROM documents WHERE text IS NOT NULL)),
        |dstr0 AS (SELECT dw.doc_id,
-       |    string_agg(wcs.ps, ' ' ORDER BY dw.s.i) AS ps
-       |  FROM dw JOIN wcs ON wcs.w = dw.s.w
+       |    string_agg($wordTable.$wordCol, ' ' ORDER BY dw.s.i) AS ps
+       |  FROM dw JOIN $wordTable ON $wordTable.w = dw.s.w
        |  WHERE dw.s.w <> ''
        |  GROUP BY dw.doc_id),
        |dstr AS (SELECT d.doc_id, coalesce(dstr0.ps, '') AS ps,
@@ -3674,6 +3657,15 @@ object ExtensionQueries {
        |FROM b GROUP BY shard, bin
        |ORDER BY shard, bin""".stripMargin
 
+  /** q156's oracle: the scaffolding over each word's piece STRING
+    * (`trim(state)` — pieces joined by single spaces).
+    */
+  private lazy val tokenStreamPackOracleSql: String =
+    packedStreamOracleSql(
+      """wcs AS (SELECT w, trim(state) AS ps FROM enc
+        |  WHERE nxt = (SELECT max(rank) FROM merges) + 1)""".stripMargin,
+      "wcs", "ps")
+
   /** q160's oracle: q156's stream reassembly with every piece mapped
     * through the (piece, id) table REBUILT from the committed artifact —
     * the same `Bpe.vocabulary` order as VALUES literals; unknown pieces
@@ -3687,46 +3679,19 @@ object ExtensionQueries {
     val vRows = vocab.zipWithIndex
       .map { case (p, i) => s"('${esc(p)}', $i)" }
       .grouped(8).map(g => "    " + g.mkString(", ")).mkString(",\n")
-    s"""WITH RECURSIVE $subwordEncCtes,
-       |v160(piece, id) AS (VALUES
-       |$vRows),
-       |wp AS (SELECT w, regexp_split_to_array(trim(state), ' ') AS pcs
-       |  FROM enc WHERE nxt = (SELECT max(rank) FROM merges) + 1),
-       |wpi AS (SELECT w, unnest([{'i': i, 'p': pcs[i]}
-       |    for i in generate_series(1, len(pcs))]) AS s FROM wp),
-       |wids AS (SELECT w,
-       |    string_agg(CAST(coalesce(v160.id, -1) AS VARCHAR), ' '
-       |      ORDER BY s.i) AS ids
-       |  FROM wpi LEFT JOIN v160 ON v160.piece = wpi.s.p
-       |  GROUP BY w),
-       |dw AS (SELECT doc_id, unnest([{'i': i, 'w': toks[i]}
-       |      for i in generate_series(1, len(toks))]) AS s
-       |  FROM (SELECT doc_id,
-       |      regexp_split_to_array(lower(text), '\\s+') AS toks
-       |    FROM documents WHERE text IS NOT NULL)),
-       |dstr0 AS (SELECT dw.doc_id,
-       |    string_agg(wids.ids, ' ' ORDER BY dw.s.i) AS ids
-       |  FROM dw JOIN wids ON wids.w = dw.s.w
-       |  WHERE dw.s.w <> ''
-       |  GROUP BY dw.doc_id),
-       |dstr AS (SELECT d.doc_id, coalesce(dstr0.ids, '') AS ids,
-       |    dtok.n_tokens
-       |  FROM documents d
-       |  LEFT JOIN dstr0 ON dstr0.doc_id = d.doc_id
-       |  JOIN dtok ON dtok.doc_id = d.doc_id
-       |  WHERE d.text IS NOT NULL),
-       |b AS (SELECT doc_id, ids, n_tokens,
-       |  CAST(doc_id % 8 AS INTEGER) AS shard,
-       |  CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 8
-       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
-       |    / 512.0) AS INTEGER) AS bin
-       |  FROM dstr)
-       |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       |  min(doc_id) AS first_id, max(doc_id) AS last_id,
-       |  string_agg(ids, ' <|doc|> ' ORDER BY doc_id) AS token_stream
-       |FROM b GROUP BY shard, bin
-       |ORDER BY shard, bin""".stripMargin
+    packedStreamOracleSql(
+      s"""v160(piece, id) AS (VALUES
+         |$vRows),
+         |wp AS (SELECT w, regexp_split_to_array(trim(state), ' ') AS pcs
+         |  FROM enc WHERE nxt = (SELECT max(rank) FROM merges) + 1),
+         |wpi AS (SELECT w, unnest([{'i': i, 'p': pcs[i]}
+         |    for i in generate_series(1, len(pcs))]) AS s FROM wp),
+         |wids AS (SELECT w,
+         |    string_agg(CAST(coalesce(v160.id, -1) AS VARCHAR), ' '
+         |      ORDER BY s.i) AS ids
+         |  FROM wpi LEFT JOIN v160 ON v160.piece = wpi.s.p
+         |  GROUP BY w)""".stripMargin,
+      "wids", "ids")
   }
 
   private lazy val learnedRecipeOracleSql: String =

@@ -37,9 +37,13 @@ import graft.ext.RetrievalOps
   */
 object LexLoopAb {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val nBatches = if (args.length > 1) args(1).toInt else 10
-    val reps = if (args.length > 2) args(2).toInt else 3
+    // positionals are the non-flag args, so any flag can appear without
+    // spelling out all three defaults ("LexLoopAb /dir --gen-longdoc"
+    // must not parse the flag as nBatches)
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = if (pos.length > 0) pos(0) else "/root/testdata/sf0.1"
+    val nBatches = if (pos.length > 1) pos(1).toInt else 10
+    val reps = if (pos.length > 2) pos(2).toInt else 3
     // --gen-longdoc[=nDocs,wordsPerDoc,vocabSize] (defaults 5000,1000,50000)
     val genSpec = args.find(_.startsWith("--gen-longdoc"))
     val genLongDoc = genSpec.isDefined

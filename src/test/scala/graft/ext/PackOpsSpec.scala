@@ -109,14 +109,18 @@ class PackOpsSpec extends AnyFunSuite {
       (0L, Seq("a", "b", "c")),   // shard 0
       (8L, Seq.empty[String]),    // shard 0, zero pieces
       (16L, Seq("xy")),           // shard 0
-      (1L, Seq("q", "r"))         // shard 1
+      (1L, Seq("q", "r")),        // shard 1
+      (9L, null)                  // shard 1, NULL pieces — normalizes to
+                                  // an empty segment, NOT a phantom
+                                  // (shard, NULL) bin
     ).toDF("doc_id", "pieces")
     val r = PackOps.packTokenStreams(d, "doc_id", col("pieces"),
         budget = 512, nShards = 8)
       .collect().map(x => (x.getInt(0), x.getInt(1)) ->
         ((x.getLong(2), x.getLong(3), x.getString(6)))).toMap
+    assert(r.size == 2, r) // no NULL-bin row
     assert(r((0, 0)) == ((3L, 4L, "a b c <|doc|>  <|doc|> xy")))
-    assert(r((1, 0)) == ((1L, 2L, "q r")))
+    assert(r((1, 0)) == ((2L, 2L, "q r <|doc|> ")))
     // n_tokens ≡ the stream's own token count (boundaries excluded)
     r.values.foreach { case (_, nTok, stream) =>
       val toks = stream.split(" ").filter(t => t.nonEmpty && t != "<|doc|>")
