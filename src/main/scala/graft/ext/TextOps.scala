@@ -358,6 +358,46 @@ object TextOps {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** The EVAL-SIDE contamination view (q162): per evaluation document,
+    * what fraction of its distinct token k-grams appears ANYWHERE in the
+    * training corpus — the overlap table a benchmark-hygiene writeup
+    * actually cites ("eval doc X is N% covered by train"), where
+    * [[contaminationFlags]] is the train-side view (which training docs
+    * to drop). Scale shape mirrors it: the eval gram set broadcasts (an
+    * eval suite is tiny by definition) and the TRAIN side is ONE scan
+    * whose exploded gram stream is cut map-side by that broadcast
+    * BEFORE any shuffle — the only shuffled rows are matched grams,
+    * bounded by the EVAL vocabulary, never corpus-sized. Eval docs with
+    * fewer than k tokens have no grams: kept with n_grams = 0 and a
+    * NULL fraction (0/0 is unmeasurable, not "clean").
+    * Output: (idCol, n_grams, n_hit, overlap_frac).
+    */
+  def evalOverlapReport(train: org.apache.spark.sql.DataFrame,
+                        evalDocs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val evGrams = evalDocs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), k)).as("__g"))
+      .distinct()
+    val evGramSet = evGrams.select(col("__g")).distinct()
+    val hitGrams = train
+      .select(explode(shingles(tokens(col(textCol)), k)).as("__g"))
+      .join(broadcast(evGramSet), Seq("__g"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val per = evGrams.join(hitGrams, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+    evalDocs.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0,
+          round(col("n_hit").cast("double") / col("n_grams"), 4)))
+  }
+
   /** [[contaminationFlags]] with a Bloom prefilter — the formulation for
     * banned sets too large to broadcast-hash-join. Identical output by
     * construction (the Bloom pass has no false negatives, and an exact

@@ -461,6 +461,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- The EVAL-SIDE contamination view (q162): per eval doc, the
+    // fraction of its distinct 3-grams found ANYWHERE in the train
+    // corpus — the overlap table a hygiene writeup cites (q63 is the
+    // train-side view). Same broadcast-before-shuffle scale shape -----
+    "q162_eval_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.evalOverlapReport(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Same decontamination contract, Bloom-prefilter formulation: the
     // scale path for banned sets beyond the broadcast ceiling. Same
     // DuckDB oracle as q63 — identical output is the operator's claim
@@ -3925,6 +3938,33 @@ object ExtensionQueries {
       |LEFT JOIN h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q162's oracle: the q63 gram CTEs viewed from the EVAL side — per
+    * eval doc, distinct grams vs grams present in the train gram set;
+    * gramless eval docs (fewer than k tokens, or null text) keep
+    * n_grams = 0 with a NULL fraction on both engines.
+    */
+  private lazy val evalOverlapOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+      |    for i in generate_series(1, len(toks) - 2)]) AS g FROM d),
+      |evg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 = 0),
+      |trg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 <> 0),
+      |hit AS (SELECT DISTINCT evg.g FROM evg JOIN trg USING (g)),
+      |per AS (SELECT evg.doc_id, count(*) AS n_grams,
+      |    count(hit.g) AS n_hit
+      |  FROM evg LEFT JOIN hit ON hit.g = evg.g
+      |  GROUP BY evg.doc_id)
+      |SELECT e.doc_id,
+      |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(per.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+      |    round(CAST(per.n_hit AS DOUBLE) / per.n_grams, 4)
+      |  END AS overlap_frac
+      |FROM (SELECT doc_id FROM d WHERE doc_id % 50 = 0) e
+      |LEFT JOIN per USING (doc_id)
+      |ORDER BY e.doc_id""".stripMargin
+
   /** q72: the minhash pair CTEs + recursive closure give each doc its
     * min-reachable component label (the hash-min fixpoint, as in q53/q56);
     * the split coin is the q57 md5-nibble applied to that label.
@@ -4216,6 +4256,7 @@ object ExtensionQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q95_target_mix" -> targetMixOracleSql,
     "q63_decontam" -> decontamOracleSql,
+    "q162_eval_overlap" -> evalOverlapOracleSql,
     // q92 claims OUTPUT-identity with q63 (Bloom prefilter + exact
     // confirm ≡ exact join), so it shares the oracle verbatim
     "q92_bloom_decontam" -> decontamOracleSql,

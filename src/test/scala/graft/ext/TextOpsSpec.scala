@@ -132,6 +132,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r(1).getAs[Boolean]("contaminated"))
   }
 
+  test("evalOverlapReport: per-eval-doc distinct-gram overlap fraction; " +
+      "gramless docs keep n_grams=0 with a NULL fraction; the train " +
+      "gram stream is cut by a BROADCAST before any shuffle") {
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta"), // 2 grams, 1 in train → 0.5
+      (101L, "p q r"),                  // 1 gram, absent → 0.0
+      (102L, "x y"),                    // < k tokens → gramless
+      (103L, null: String)              // null text → gramless
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma x y"),
+      (2L, "alpha beta gamma z")).toDF("doc_id", "text")
+    val out = TextOps.evalOverlapReport(train, evalSet, "doc_id", "text",
+      k = 3)
+    val r = out.orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L, 103L))
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3)) ==
+      ((2L, 1L, 0.5)))
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getDouble(3)) ==
+      ((1L, 0L, 0.0)))
+    assert(r(2).getLong(1) == 0L && r(2).isNullAt(3))
+    assert(r(3).getLong(1) == 0L && r(3).isNullAt(3))
+    // a train gram appearing in MANY train docs counts the eval gram
+    // once (the hit set is distinct grams, not occurrences)
+    // plan: the train side joins the broadcast eval gram set (no
+    // corpus-gram shuffle reaches the aggregate)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
   test("contaminationFlags counts distinct grams once per doc") {
     // the shared gram occurs twice in the train doc — distinct-per-doc
     // semantics count it once
