@@ -192,6 +192,115 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col(groupCol), col("rk"), col(idCol), col("sim"))
 
+  /** One selected row of [[mmrRerank]]'s greedy walk. */
+  case class MmrPick(probe_id: Long, cand_id: Long, mmr_score: Double,
+                     mmr_rank: Int)
+
+  /** The (candidate, relevance, pairwise-sim) rows [[mmrRerank]] groups
+    * per probe; `other`/`psim` are None only for a singleton pool.
+    */
+  case class MmrRow(probe_id: Long, cand_id: Long, rel: Double,
+                    other: Option[Long], psim: Option[Double])
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * "The Use of MMR, Diversity-Based Reranking for Reordering Documents
+    * and Producing Summaries", SIGIR): from each probe's exact cosine
+    * top-`poolK` pool, greedily select `k` results maximizing
+    *
+    *   λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * — the standard diversity re-ranker a RAG serving layer runs so the
+    * k results aren't k paraphrases of the same document. The first pick
+    * is the pure-relevance argmax (the max term over an empty selection
+    * is 0).
+    *
+    * Plan shape at 100 TB: the pool is top-k-bounded per probe (`poolK`
+    * ≤ 1024 enforced — the m² pairwise stage and the per-group greedy
+    * walk are both pool-sized, never corpus-sized), pairwise sims are
+    * computed DISTRIBUTEDLY by the same unit-vec dot kernel the pool
+    * ranking uses, and the greedy walk runs per probe inside
+    * `flatMapGroups` — imperative by nature (each pick depends on all
+    * prior picks), bounded by contract, exactly the mapGroups niche.
+    *
+    * Cross-engine determinism: rel and psim are rounded at 6 BEFORE the
+    * walk, λ and 1−λ are exact binary for the default 0.5, candidates
+    * are scanned in ascending id with strict-> improvement (score ties
+    * break to the smaller id), and `mmr_score` is rounded at 6 only for
+    * OUTPUT — decisions use the unrounded value on both engines. Pass a
+    * λ that is exact in binary (0.5, 0.25, 0.75) if an external system
+    * must reproduce the walk bitwise.
+    *
+    * Returns (probe_id, cand_id, mmr_score, mmr_rank) with mmr_rank
+    * 1..≤k per probe in selection order.
+    */
+  def mmrRerank(probes: DataFrame, candidates: DataFrame, poolK: Int,
+                k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k > 0, "mmrRerank: k must be positive")
+    require(poolK >= k, s"mmrRerank: poolK=$poolK must be >= k=$k")
+    require(poolK <= 1024,
+      s"mmrRerank: poolK=$poolK exceeds 1024 — the pairwise stage is " +
+        "O(poolK²) per probe; a bigger pool is a ranking, not a " +
+        "re-ranking")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda=$lambda must be in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(probes, candidates, poolK)
+      .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
+    val cu = withUnitVec(candidates, "embedding", "__u")
+      .select(col("vec_id"), col("__u"))
+    val pv = pool.join(cu, col("cand_id") === col("vec_id"))
+      .select(col("probe_id"), col("cand_id"), col("rel"), col("__u"))
+    val pairs = pv.as("x").join(pv.as("y"),
+        col("x.probe_id") === col("y.probe_id") &&
+          col("x.cand_id") =!= col("y.cand_id"))
+      .select(col("x.probe_id").as("probe_id"),
+        col("x.cand_id").as("cand_id"),
+        col("y.cand_id").as("other"),
+        round(dot(col("x.__u"), col("y.__u")), 6).as("psim"))
+    val rows = pv.select(col("probe_id"), col("cand_id"), col("rel"))
+      .join(pairs, Seq("probe_id", "cand_id"), "left")
+      .as[MmrRow]
+    rows.groupByKey(_.probe_id).flatMapGroups { (pid, it) =>
+      val rs = it.toArray
+      val rel = scala.collection.mutable.LongMap.empty[Double]
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+      rs.foreach { r =>
+        rel(r.cand_id) = r.rel
+        r.other.foreach(o => sim((r.cand_id, o)) = r.psim.get)
+      }
+      val ids = rel.keys.toArray.sorted
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val chosen = scala.collection.mutable.HashSet.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      while (selected.size < k && selected.size < ids.length) {
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        ids.foreach { id =>
+          if (!chosen(id)) {
+            var mx = 0.0
+            if (selected.nonEmpty) {
+              mx = Double.NegativeInfinity
+              selected.foreach { s =>
+                val v = sim.getOrElse((id, s), 0.0)
+                if (v > mx) mx = v
+              }
+            }
+            val score = lambda * rel(id) - (1 - lambda) * mx
+            if (score > bestScore) { bestScore = score; bestId = id }
+          }
+        }
+        selected += bestId
+        chosen += bestId
+        out += MmrPick(pid, bestId,
+          BigDecimal(bestScore)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          selected.size)
+      }
+      out.iterator
+    }.toDF()
+  }
+
   /** Exact near-duplicate pairs *within blocks*: candidate pairs only form
     * inside a blocking key (here the label; in production a coarse quantizer
     * / IVF cell id). Within a block the scan is exact, so — unlike LSH —

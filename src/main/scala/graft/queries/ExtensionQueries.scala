@@ -1512,6 +1512,40 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hybrid retrieval (q163): reciprocal-rank fusion of q118's lexical
+    // BM25 ranking and a q30-style exact cosine ranking probed at the
+    // same query ids — the production hybrid-search combiner. Both legs
+    // are bounded top-k outputs, so the fusion never sees corpus-sized
+    // rows; query 3's lexical terms are corpus-absent, so its fused list
+    // is vector-only (the one-modality-misses robustness case) ----------
+    "q163_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
+          "query_id", "term", "doc_id", "text", k = 5)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val e = t(s, dir, "embeddings").drop("label")
+      val vec = SimilarityOps.bruteForceTopK(
+          e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
+        .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
+          col("rk").as("rank"))
+      RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id", "rank", k = 5)
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
+    // MMR diversity re-ranking (q164): greedy λ·rel − (1−λ)·max-sim walk
+    // over each probe's exact top-8 pool — the serving-side re-ranker
+    // that keeps k results from being k paraphrases. Pool and pairwise
+    // sims are distributed (bounded by poolK², never corpus-sized); the
+    // inherently sequential walk runs per probe in flatMapGroups --------
+    "q164_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      SimilarityOps.mmrRerank(e.filter(col("vec_id") < 6), e,
+          poolK = 8, k = 4)
+        .orderBy(col("probe_id"), col("mmr_rank"))
+    }),
+
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
     // SAME committed centroids as q31 (map-only NearestCell kernel), exact
     // cosine over within-cell pairs only, frontier-delta CC over the dup
@@ -2607,10 +2641,11 @@ object ExtensionQueries {
 
   /** q118's Okapi arithmetic with the probe table inlined as a VALUES
     * CTE; shared verbatim by q144 (the persisted-stats serving path must
-    * answer exactly what the per-call tokenize answers). Query 3's terms
-    * are corpus-absent → no rows for it, on both engines.
+    * answer exactly what the per-call tokenize answers) and as q163's
+    * lexical leg. Query 3's terms are corpus-absent → no rows for it,
+    * on both engines.
     */
-  private lazy val bm25PerQueryOracleSql: String =
+  private lazy val bm25PerQueryChainSql: String =
     """WITH probe(query_id, term) AS (VALUES
       |    (1, 'join'), (1, 'merge'), (2, 'scan'), (2, 'join'),
       |    (3, 'zzzabsent'), (3, 'qqqmissing')),
@@ -2640,9 +2675,110 @@ object ExtensionQueries {
       |  FROM contrib c JOIN probe p ON c.qt = p.term GROUP BY 1, 2),
       |r AS (SELECT query_id, doc_id, score,
       |    CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY score DESC, doc_id) AS INT) AS "rank" FROM s)
-      |SELECT query_id, doc_id, score, "rank" FROM r
-      |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+      |      ORDER BY score DESC, doc_id) AS INT) AS "rank" FROM s)""".stripMargin
+
+  private lazy val bm25PerQueryOracleSql: String =
+    bm25PerQueryChainSql +
+      "\nSELECT query_id, doc_id, score, \"rank\" FROM r" +
+      "\nWHERE \"rank\" <= 5 ORDER BY query_id, \"rank\""
+
+  /** q163: reciprocal-rank fusion of the q118 lexical ranking and a
+    * q30-style cosine ranking probed at the SAME query ids — both legs
+    * are the proven CTE families, so the only new arithmetic under test
+    * is the fusion itself: weight/(60+rank) per leg, summed per
+    * (query, id), rounded at 6 (two doubles — order-insensitive),
+    * re-ranked (score DESC, id). Query 3's lexical terms are
+    * corpus-absent, so its fusion is vector-only — the one-modality-
+    * misses robustness case, exercised not just allowed.
+    */
+  private lazy val hybridRrfOracleSql: String =
+    bm25PerQueryChainSql + """,
+      |lex AS (SELECT query_id, doc_id AS id, "rank" AS lrank FROM r
+      |  WHERE "rank" <= 5),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |vsc AS (SELECT p.vec_id AS query_id, c.vec_id AS id,
+      |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
+      |  FROM e p JOIN e c ON p.vec_id IN (1, 2, 3)
+      |    AND p.vec_id <> c.vec_id),
+      |vec AS (SELECT query_id, id, vrank FROM (
+      |    SELECT query_id, id, CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY sim DESC, id) AS INT) AS vrank
+      |    FROM vsc) t
+      |  WHERE vrank <= 5),
+      |uni AS (SELECT query_id, id,
+      |    CAST(1 AS DOUBLE) / (60 + CAST(lrank AS DOUBLE)) AS c FROM lex
+      |  UNION ALL SELECT query_id, id,
+      |    CAST(1 AS DOUBLE) / (60 + CAST(vrank AS DOUBLE)) AS c FROM vec),
+      |fus AS (SELECT query_id, id, round(sum(c), 6) AS rrf_score
+      |  FROM uni GROUP BY 1, 2),
+      |frk AS (SELECT query_id, id, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, id) AS INT) AS fused_rank FROM fus)
+      |SELECT query_id, id, rrf_score, fused_rank FROM frk
+      |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
+
+  /** q164: the MMR greedy walk UNROLLED into one CTE per selection step
+    * (k is a small literal, so the sequential dependence that makes MMR
+    * imperative on the Spark side is just k chained CTEs here — no
+    * recursive aggregate needed). Pool relevance and pairwise sims are
+    * the q30 cosine arithmetic; each step joins the remaining candidates
+    * to their max-sim-over-selected and picks the (score DESC, cand_id)
+    * head. Decisions use the UNROUNDED score on both engines; output
+    * rounds at 6 — mirroring [[graft.ext.SimilarityOps.mmrRerank]].
+    */
+  private def mmrOracleSql(poolK: Int, k: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
+         |  FROM e p JOIN e c ON p.vec_id < 6 AND p.vec_id <> c.vec_id),
+         |rel AS (SELECT probe_id, cand_id, sim AS rel FROM (
+         |    SELECT probe_id, cand_id, sim, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rk
+         |    FROM sc) t
+         |  WHERE rk <= $poolK),
+         |pp AS (SELECT r1.probe_id, r1.cand_id AS a, r2.cand_id AS b,
+         |    round(list_cosine_similarity(ea.emb, eb.emb), 6) AS psim
+         |  FROM rel r1 JOIN rel r2 ON r1.probe_id = r2.probe_id
+         |    AND r1.cand_id <> r2.cand_id
+         |  JOIN e ea ON ea.vec_id = r1.cand_id
+         |  JOIN e eb ON eb.vec_id = r2.cand_id),
+         |sel1 AS (SELECT probe_id, cand_id,
+         |    CAST(0.5 AS DOUBLE) * rel AS score, 1 AS mmr_rank FROM (
+         |    SELECT probe_id, cand_id, rel, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn
+         |    FROM rel) t
+         |  WHERE rn = 1),
+         |selu1 AS (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""cand$i AS (SELECT c.probe_id, c.cand_id,
+         |    CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * m.mx
+         |      AS score
+         |  FROM rel c JOIN (
+         |    SELECT pp.probe_id, pp.a AS cand_id, max(pp.psim) AS mx
+         |    FROM pp JOIN selu${i - 1} s
+         |      ON pp.probe_id = s.probe_id AND pp.b = s.cand_id
+         |    GROUP BY 1, 2) m
+         |    ON c.probe_id = m.probe_id AND c.cand_id = m.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} s2
+         |    WHERE s2.probe_id = c.probe_id
+         |      AND s2.cand_id = c.cand_id)),
+         |sel$i AS (SELECT probe_id, cand_id, score, $i AS mmr_rank FROM (
+         |    SELECT probe_id, cand_id, score, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+         |    FROM cand$i) t
+         |  WHERE rn = 1),
+         |selu$i AS (SELECT * FROM selu${i - 1}
+         |  UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT probe_id, cand_id, round(score, 6) AS mmr_score," +
+      s" mmr_rank FROM selu$k ORDER BY probe_id, mmr_rank"
+  }
+
+  private lazy val mmrRerankOracleSql: String = mmrOracleSql(poolK = 8, k = 4)
 
   /** q136: recall@5 of the q115/q117 approximate answer against the
     * exact brute-force top-5 — the chain's `rk` CTE is the approximate
@@ -4697,6 +4833,8 @@ object ExtensionQueries {
     // scores fan out per query through the probe join. Query 3's terms
     // are corpus-absent → no rows for it, on both engines.
     "q118_bm25_per_query" -> bm25PerQueryOracleSql,
+    "q163_hybrid_rrf" -> hybridRrfOracleSql,
+    "q164_mmr_rerank" -> mmrRerankOracleSql,
     // q144: the store must answer exactly what the per-call tokenize
     // answers — q118's oracle pins the whole build + serving path
     "q144_bm25_from_store" -> bm25PerQueryOracleSql,

@@ -250,4 +250,71 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(q144.collect().toSeq == q118.collect().toSeq)
     assert(!q144.queryExecution.executedPlan.toString.contains("Generate"))
   }
+
+  // --- rrfFuse (q163) ------------------------------------------------
+
+  private def leg(rows: (Int, Long, Int)*) =
+    rows.toDF("query_id", "id", "rank")
+
+  private def rrf(rank: Int, w: Double = 1.0): Double = w / (60 + rank)
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse matches the closed form: overlap beats single-leg, " +
+      "ranking is (score desc, id)") {
+    val a = leg((1, 10L, 1), (1, 20L, 2), (1, 30L, 3))
+    val b = leg((1, 20L, 1), (1, 30L, 2), (1, 40L, 3))
+    val r = RetrievalOps.rrfFuse(Seq(a, b), "query_id", "id", "rank",
+        k = 10)
+      .orderBy("fused_rank")
+      .collect().map(x => (x.getLong(1), x.getDouble(2), x.getInt(3)))
+    val exp = Seq(
+      20L -> r6(rrf(2) + rrf(1)),
+      30L -> r6(rrf(3) + rrf(2)),
+      10L -> r6(rrf(1)),
+      40L -> r6(rrf(3)))
+    assert(r.map(x => x._1 -> x._2).toSeq == exp, r.toSeq)
+    assert(r.map(_._3).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse k truncates per query; queries fuse independently; a " +
+      "query present in only one leg still ranks (modality-miss case)") {
+    val a = leg((1, 10L, 1), (1, 20L, 2), (2, 50L, 1))
+    val b = leg((1, 30L, 1), (3, 70L, 1), (3, 80L, 2))
+    val r = RetrievalOps.rrfFuse(Seq(a, b), "query_id", "id", "rank",
+        k = 2)
+      .orderBy("query_id", "fused_rank")
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    // q1: 10 and 30 tie at 1/61 → id order; 20 (1/62) truncated by k=2
+    assert(r.toSeq == Seq((1, 10L), (1, 30L), (2, 50L), (3, 70L),
+      (3, 80L)))
+  }
+
+  test("rrfFuse leg weights scale contributions (a 2x vector leg " +
+      "outvotes a 1x lexical leg at equal ranks)") {
+    val a = leg((1, 10L, 1))
+    val b = leg((1, 20L, 1))
+    val r = RetrievalOps.rrfFuse(Seq(a, b), "query_id", "id", "rank",
+        k = 2, weights = Seq(1.0, 2.0))
+      .orderBy("fused_rank")
+      .collect().map(x => (x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(20L -> r6(rrf(1, 2.0)), 10L -> r6(rrf(1))))
+  }
+
+  test("rrfFuse validates its arguments loudly") {
+    val a = leg((1, 10L, 1))
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(RetrievalOps.rrfFuse(Nil, "q", "id", "rank", k = 1))
+      .contains("no legs"))
+    assert(msg(RetrievalOps.rrfFuse(Seq(a), "query_id", "id", "rank",
+      k = 0)).contains("k must be positive"))
+    assert(msg(RetrievalOps.rrfFuse(Seq(a), "query_id", "id", "rank",
+      k = 1, kRrf = 0)).contains("kRrf must be positive"))
+    assert(msg(RetrievalOps.rrfFuse(Seq(a, a), "query_id", "id", "rank",
+      k = 1, weights = Seq(1.0))).contains("weights"))
+    assert(msg(RetrievalOps.rrfFuse(Seq(a), "query_id", "id", "rank",
+      k = 1, weights = Seq(-1.0))).contains("positive"))
+  }
 }

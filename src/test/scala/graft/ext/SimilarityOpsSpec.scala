@@ -784,4 +784,82 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val deltaSum = r.map(_.getDouble(5)).sum
     assert(math.abs(deltaSum) < 1e-9)
   }
+
+  // --- mmrRerank (q164) ----------------------------------------------
+
+  test("mmrRerank: first pick is pure relevance; second pick trades " +
+      "relevance for diversity (the redundant near-twin loses)") {
+    // probe 0 along x; slopes: 1 at +0.0087, 2 at +0.0105 (1's near
+    // twin), 3 at −0.0349 (the other side of the probe). Relevance
+    // order is 1 > 2 > 3, so pure relevance returns (1, 2) — asserted
+    // below. MMR must return (1, 3): after selecting 1, the twin's
+    // max-sim to {1} ≈ 1 collapses its marginal score below zero,
+    // while 3's max-sim cos(θ₁+θ₃) sits BELOW its own relevance,
+    // leaving a positive margin.
+    val data = vecs(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.0087f, 0f), 0),
+      (2L, Seq(1f, 0.0105f, 0f), 0),
+      (3L, Seq(1f, -0.0349f, 0f), 0))
+    val relOrder = SimilarityOps.bruteForceTopK(
+        data.filter(col("vec_id") === 0), data, k = 2)
+      .orderBy("rk").collect().map(_.getLong(2)).toSeq
+    assert(relOrder == Seq(1L, 2L), s"relevance baseline: $relOrder")
+    val r = SimilarityOps.mmrRerank(
+        data.filter(col("vec_id") === 0), data, poolK = 3, k = 2)
+      .orderBy("mmr_rank").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 3L), r.toSeq)
+    // rank-1 score is λ·rel with rel the rounded cosine
+    val rel1 = SimilarityOps.bruteForceTopK(
+      data.filter(col("vec_id") === 0), data, k = 1)
+      .collect()(0).getDouble(3)
+    assert(r(0).getDouble(2) ==
+      BigDecimal(0.5 * rel1).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("mmrRerank: λ=1 reduces to pure relevance order") {
+    val data = vecs(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.99f, 0.01f, 0f), 0),
+      (2L, Seq(0.99f, 0.011f, 0f), 0),
+      (3L, Seq(0.7f, 0.7f, 0f), 0))
+    val mmr = SimilarityOps.mmrRerank(
+        data.filter(col("vec_id") === 0), data, poolK = 3, k = 3,
+        lambda = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    val rel = SimilarityOps.bruteForceTopK(
+        data.filter(col("vec_id") === 0), data, k = 3)
+      .orderBy("rk").collect().map(_.getLong(2)).toSeq
+    assert(mmr == rel)
+  }
+
+  test("mmrRerank: pool smaller than k returns the whole pool, ranked; " +
+      "ties break to the smaller id") {
+    // two candidates orthogonal to each other, equidistant from the
+    // probe: rank-1 goes to the smaller id, rank-2 to the other
+    val data = vecs(
+      (0L, Seq(1f, 1f, 0f), 0),
+      (5L, Seq(1f, 0f, 0f), 0),
+      (7L, Seq(0f, 1f, 0f), 0))
+    val r = SimilarityOps.mmrRerank(
+        data.filter(col("vec_id") === 0), data, poolK = 8, k = 8)
+      .orderBy("mmr_rank").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(5L, 7L))
+    assert(r.map(_.getInt(3)).toSeq == Seq(1, 2))
+  }
+
+  test("mmrRerank validates its arguments loudly") {
+    val data = vecs((0L, Seq(1f, 0f), 0))
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(SimilarityOps.mmrRerank(data, data, poolK = 5, k = 0))
+      .contains("k must be positive"))
+    assert(msg(SimilarityOps.mmrRerank(data, data, poolK = 2, k = 5))
+      .contains("must be >= k"))
+    assert(msg(SimilarityOps.mmrRerank(data, data, poolK = 2048, k = 5))
+      .contains("exceeds 1024"))
+    assert(msg(SimilarityOps.mmrRerank(data, data, poolK = 5, k = 2,
+      lambda = 1.5)).contains("lambda"))
+  }
 }
