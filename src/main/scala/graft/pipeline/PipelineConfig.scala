@@ -108,10 +108,36 @@ object ModelTest {
     def describe = s"warn:${inner.describe}"
   }
 
-  /** The severity-stripped test (what actually executes). */
+  /** dbt's `store_failures: true`: the wrapped test's VIOLATING ROWS are
+    * persisted under `<db_path>/test_failures/<model>/<test-slug>` (and
+    * registered as a `<model>__failures__<slug>` temp view) every time
+    * the test runs — the debugging table an engineer queries instead of
+    * re-deriving the failures by hand. The violation count is computed
+    * FROM the stored table (one execution of the test query, a
+    * metadata-only count on the written parquet), so the stored rows and
+    * the reported count can never disagree. The describe prefix folds
+    * the flag into the closure fingerprint like `severity` does.
+    * Nesting is always Warn(StoreFailures(test)) — severity outermost.
+    */
+  final case class StoreFailures(inner: ModelTest) extends ModelTest {
+    def describe = s"store_failures:${inner.describe}"
+  }
+
+  /** The wrapper-stripped test (what actually executes). */
   @annotation.tailrec
   def base(t: ModelTest): ModelTest = t match {
     case Warn(i) => base(i)
+    case StoreFailures(i) => base(i)
+    case x => x
+  }
+
+  /** Strip only the severity wrapper, keeping StoreFailures — the
+    * standalone `graft test` path runs this so warn-downgrading is the
+    * caller's decision while the failure store still writes.
+    */
+  @annotation.tailrec
+  def stripWarn(t: ModelTest): ModelTest = t match {
+    case Warn(i) => stripWarn(i)
     case x => x
   }
 }
@@ -312,11 +338,20 @@ object PipelineConfig {
           s"models.$modelId.tests: severity must be `warn` or `error`, " +
             s"got `$s`")
       }
-      val rest = fields -- Seq("severity")
+      val storeFailures = fields.get("store_failures").map { s =>
+        String.valueOf(s).toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw GenericError(
+            s"models.$modelId.tests: store_failures must be true or " +
+              s"false, got `$other`")
+        }
+      }.getOrElse(false)
+      val rest = fields -- Seq("severity", "store_failures")
       if (rest.size != 1) throw GenericError(
         s"models.$modelId.tests: each entry must be one test key plus " +
-          s"an optional `severity`, got keys ${fields.keys.toSeq.sorted
-            .mkString("[", ", ", "]")}")
+          s"optional `severity`/`store_failures`, got keys " +
+          s"${fields.keys.toSeq.sorted.mkString("[", ", ", "]")}")
       val (k, v) = rest.head
       val parsed = (k, v) match {
         case ("not_null", c) if c != null =>
@@ -352,7 +387,9 @@ object PipelineConfig {
             "(supported: not_null, unique, accepted_values, " +
             "relationships, sql)")
       }
-      if (severity.contains("warn")) ModelTest.Warn(parsed) else parsed
+      val stored =
+        if (storeFailures) ModelTest.StoreFailures(parsed) else parsed
+      if (severity.contains("warn")) ModelTest.Warn(stored) else stored
     case other => throw GenericError(
       s"models.$modelId.tests: each entry must be a single-key mapping, " +
         s"got ${String.valueOf(other)}")

@@ -1265,7 +1265,9 @@ final class PipelineSession(
       val n = nodeMap(id)
       n.tests.map { t =>
         val err =
-          try { runModelTest(n, ModelTest.base(t)); None }
+          // strip only the severity wrapper: warn-downgrading is decided
+          // below, while a store_failures flag must still write its store
+          try { runModelTest(n, ModelTest.stripWarn(t)); None }
           catch {
             case e: GraftError => Some(e)
             case e: Exception => Some(StatementExecutionError(
@@ -1281,22 +1283,43 @@ final class PipelineSession(
     }
   }
 
-  private def runModelTest(node: ModelNode, t: ModelTest): Unit =
+  /** A filesystem/view-name-safe slug for a test's failure store. */
+  private def testSlug(t: ModelTest): String = (t match {
+    case ModelTest.NotNull(c) => s"not_null_$c"
+    case ModelTest.Unique(c) => s"unique_$c"
+    case ModelTest.AcceptedValues(c, _) => s"accepted_values_$c"
+    case ModelTest.Relationships(c, to, f) => s"relationships_${c}_${to}_$f"
+    case ModelTest.CustomSql(p) =>
+      val base = new java.io.File(p).getName
+      s"sql_${base.stripSuffix(".sql")}"
+    case w => testSlug(ModelTest.base(w)) // wrappers never reach here
+  }).replaceAll("[^A-Za-z0-9_]", "_")
+
+  private def runModelTest(node: ModelNode, t0: ModelTest): Unit =
     locally {
       import org.apache.spark.sql.functions.{col, count, lit}
+      // store_failures rides inside the severity wrapper; unwrap it here
+      // so both the run path (which strips Warn) and `graft test` (which
+      // keeps Warn for its own downgrade decision) persist the failures
+      val (store, t) = t0 match {
+        case ModelTest.StoreFailures(inner) => (true, inner)
+        case x => (false, x)
+      }
       val df =
         try spark.table(node.id)
         catch { case e: Exception =>
           throw StatementExecutionError(
             s"test ${t.describe}: cannot read model output: ${e.getMessage}",
             node.renderedSrc, node.path) }
-      val bad: Long = t match {
-        case ModelTest.NotNull(c) => df.filter(col(c).isNull).count()
+      // each shape yields its VIOLATING ROWS as a DataFrame; the count
+      // (and optional failure store) runs it exactly once below
+      val badDf: org.apache.spark.sql.DataFrame = t match {
+        case ModelTest.NotNull(c) => df.filter(col(c).isNull)
         case ModelTest.Unique(c) =>
-          df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > 1).count()
+          df.groupBy(col(c)).agg(count(lit(1)).as("n_records"))
+            .filter(col("n_records") > 1)
         case ModelTest.AcceptedValues(c, vs) =>
-          df.filter(col(c).isNotNull && !col(c).isin(vs: _*)).count()
+          df.filter(col(c).isNotNull && !col(c).isin(vs: _*))
         case ModelTest.Relationships(c, to, field) =>
           // referential integrity = one anti-join against the target's
           // materialization (which the DAG edge guarantees ran first);
@@ -1309,7 +1332,6 @@ final class PipelineSession(
                   s"`$to`: ${e.getMessage}", node.renderedSrc, node.path) }
           df.filter(col(c).isNotNull)
             .join(target.select(col(field).as(c)), Seq(c), "left_anti")
-            .count()
         case tc @ ModelTest.CustomSql(p) =>
           val sql = tc.content.getOrElse(throw StatementExecutionError(
             s"test ${t.describe}: cannot read test file $p",
@@ -1318,7 +1340,7 @@ final class PipelineSession(
             PipelineSession.renderVars(SqlText.stripComments(sql),
               effectiveVars, node.id),
             node.id, incremental = false)
-          try spark.sql(DialectShim.rewrite(rendered, spark)).count()
+          try spark.sql(DialectShim.rewrite(rendered, spark))
           catch {
             case e: GraftError => throw e
             case e: Exception => throw StatementExecutionError(
@@ -1326,11 +1348,51 @@ final class PipelineSession(
               sql, node.path)
           }
       }
+      // store_failures: persist the violating rows (even zero of them —
+      // the table must exist for an engineer to query), then count the
+      // WRITTEN parquet: one execution of the test query, a metadata-only
+      // count, and the stored rows can never disagree with the verdict.
+      // repartition(1) guarantees at least one part file so the empty
+      // store reads back with its schema intact.
+      val storeDir: Option[String] =
+        if (!store) None
+        else {
+          val db = config.dbPath.getOrElse(throw GenericError(
+            s"models.${node.id}.tests: store_failures requires db_path " +
+              "in config.yaml (the failure store persists under it)"))
+          val dir = java.nio.file.Paths.get(db, "test_failures", node.id,
+            testSlug(t)).toString
+          Some(dir)
+        }
+      val bad: Long = storeDir match {
+        case Some(dir) =>
+          try {
+            badDf.repartition(1).write.mode("overwrite").parquet(dir)
+            val back = spark.read.parquet(dir)
+            back.createOrReplaceTempView(
+              s"${node.id}__failures__${testSlug(t)}")
+            back.count()
+          } catch {
+            case e: GraftError => throw e
+            case e: Exception => throw StatementExecutionError(
+              s"test ${t.describe}: store_failures write to $dir " +
+                s"failed: ${e.getMessage}", node.renderedSrc, node.path)
+          }
+        case None =>
+          try badDf.count()
+          catch {
+            case e: GraftError => throw e
+            case e: Exception => throw StatementExecutionError(
+              s"test ${t.describe} failed to execute: ${e.getMessage}",
+              node.renderedSrc, node.path)
+          }
+      }
       if (bad > 0)
         throw DataTestViolation(
           s"data test ${t.describe} failed: $bad violating " +
             (t match { case _: ModelTest.Unique => "duplicated values"
-                       case _ => "rows" }),
+                       case _ => "rows" }) +
+            storeDir.map(d => s" (failures stored: $d)").getOrElse(""),
           node.renderedSrc, node.path)
     }
 

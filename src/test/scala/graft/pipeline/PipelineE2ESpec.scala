@@ -2489,4 +2489,92 @@ class PipelineE2ESpec extends AnyFunSuite {
     val t = new PipelineSession(spark, config).runTestsOnly()
     assert(t.size == 1 && t.head._3.nonEmpty && !t.head._4, t.toString)
   }
+
+  test("store_failures: violating rows persist under db_path/" +
+      "test_failures and register as a queryable view; the violation " +
+      "message names the store; a fixed re-run overwrites to an empty " +
+      "but schema-readable store; `graft test` writes it too; " +
+      "store_failures without db_path fails NAMED") {
+    val db = Files.createTempDirectory("graft-sf-db")
+    val dir = Files.createTempDirectory("graft-sf")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("sf_dups.sql"),
+      "SELECT 1 AS id UNION ALL SELECT 1 UNION ALL SELECT 2")
+    def writeCfg(severity: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |db_path: $db
+           |models:
+           |  sf_dups:
+           |    materialize: table
+           |    tests:
+           |      - unique: id
+           |        severity: $severity
+           |        store_failures: true""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    val storeDir = db.resolve("test_failures").resolve("sf_dups")
+      .resolve("unique_id")
+    // warn + store: node succeeds, store holds the duplicated key with
+    // its count, and the session can query the registered failures view
+    val r1 = new PipelineSession(spark, writeCfg("warn")).runNodes()
+    assert(r1.errors.isEmpty, r1.errors.map(_.render).mkString("\n"))
+    val stored = spark.read.parquet(storeDir.toString)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(stored.toSeq == Seq((1, 2L)), stored.toSeq)
+    assert(spark.table("sf_dups__failures__unique_id").count() == 1)
+    // error + store: the node fails and the message names the store dir
+    val r2 = new PipelineSession(spark, writeCfg("error")).runNodes()
+    assert(r2.errors.nonEmpty)
+    assert(r2.errors.exists(_.render.contains("failures stored: ")),
+      r2.errors.map(_.render).mkString("\n"))
+    // fix the model: the store overwrites to EMPTY but keeps its schema
+    // (an engineer's dashboard over the store must not 404 after a fix)
+    Files.writeString(modelsDir.resolve("sf_dups.sql"),
+      "SELECT 1 AS id UNION ALL SELECT 2")
+    val r3 = new PipelineSession(spark, writeCfg("error")).runNodes()
+    assert(r3.errors.isEmpty, r3.errors.map(_.render).mkString("\n"))
+    val fixed = spark.read.parquet(storeDir.toString)
+    assert(fixed.count() == 0)
+    assert(fixed.columns.toSeq == Seq("id", "n_records"))
+    // `graft test` (standalone) also writes the store: re-break the
+    // model file on disk is not needed — point the test at a violating
+    // materialization by re-running the dup model first
+    Files.writeString(modelsDir.resolve("sf_dups.sql"),
+      "SELECT 1 AS id UNION ALL SELECT 1 UNION ALL SELECT 2")
+    val warnCfg = writeCfg("warn")
+    assert(new PipelineSession(spark, warnCfg).runNodes().errors.isEmpty)
+    val t = new PipelineSession(spark, warnCfg).runTestsOnly()
+    assert(t.size == 1 && t.head._3.nonEmpty && t.head._4, t.toString)
+    assert(spark.read.parquet(storeDir.toString).count() == 1)
+    // no db_path: the store has nowhere to live — loud, named
+    val dir2 = Files.createTempDirectory("graft-sf2")
+    val m2 = dir2.resolve("models"); Files.createDirectories(m2)
+    Files.writeString(m2.resolve("sf2_m.sql"), "SELECT 1 AS id")
+    Files.writeString(dir2.resolve("config.yaml"),
+      s"""models_dir: $m2
+         |models:
+         |  sf2_m:
+         |    tests:
+         |      - not_null: id
+         |        store_failures: true""".stripMargin)
+    val cfg2 = PipelineConfig.load(dir2.resolve("config.yaml"))
+    val r4 = new PipelineSession(spark, cfg2).runNodes()
+    assert(r4.errors.exists(_.render.contains(
+      "store_failures requires db_path")),
+      r4.errors.map(_.render).mkString("\n"))
+    // a non-boolean flag fails NAMED at config load
+    Files.writeString(dir2.resolve("config.yaml"),
+      s"""models_dir: $m2
+         |models:
+         |  sf2_m:
+         |    tests:
+         |      - not_null: id
+         |        store_failures: maybe""".stripMargin)
+    val e = intercept[GraftError] {
+      PipelineConfig.load(dir2.resolve("config.yaml"))
+    }
+    assert(e.render.contains("store_failures must be true or false"),
+      e.render)
+  }
 }
