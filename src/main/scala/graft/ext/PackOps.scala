@@ -199,4 +199,86 @@ object PackOps {
             x => x.getField("s")),
           s" $docSep ").as("token_stream"))
   }
+
+  /** Curriculum ordering of packed training bins: [[packBins]]'s
+    * (shard, bin) layout rolled up per bin and assigned a GLOBAL
+    * consumption position by mean document quality — highest-scored
+    * bins first by default (`highFirst = false` flips to an
+    * easy-last/anneal-on-quality schedule). This is the manifest a
+    * curriculum-scheduled trainer reads: it says in which ORDER to load
+    * the bins the packer laid out, without moving a single document.
+    *
+    * Cross-engine determinism (the averaged-float-rounding trap): the
+    * per-bin mean is NEVER a float `avg` — each (pre-rounded-at-6)
+    * score converts to an exact integer micro-score, the bin sums
+    * integers, and the mean is ONE double division of exact operands,
+    * identical on any engine and any aggregation order. Rows with a
+    * NULL score contribute nothing to the mean but still count in
+    * `n_docs` (`bin_score` divides by the scored-row count; a bin with
+    * zero scored rows has a NULL key and is excluded — the curriculum
+    * cannot place it). Ties order by (shard, bin).
+    *
+    * Plan shape at 100 TB: the SPEC is one row_number over the global
+    * bin order, but the PLAN never builds it (the q107/q110 global-
+    * window lesson, [[DedupOps.tokenBudgetSelect]]'s histogram move):
+    * bins bucket by score, per-bucket COUNTS collect to the driver
+    * (≤ `nBuckets` rows — a bounded probe), each bucket gets its
+    * position offset back by broadcast, and the exact row_number runs
+    * per bucket (≈1/B of the bin manifest per window partition). Any
+    * score-monotone bucketing yields the same positions; out-of-range
+    * scores clamp into the edge buckets. The bin manifest is cached
+    * ([[DedupOps.cachedManifest]]) so the corpus-sized packing lineage
+    * runs once, not once per pass.
+    *
+    * Returns (shard, bin, n_docs, n_tokens, bin_score, curriculum_pos)
+    * with curriculum_pos 1..|bins|.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, nTokCol: Column,
+                      scoreCol: Column, budget: Int, nShards: Int,
+                      highFirst: Boolean = true, scoreLo: Double = 0.0,
+                      scoreHi: Double = 1.0,
+                      nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0,
+      s"curriculumOrder: nBuckets must be positive, got $nBuckets")
+    require(scoreHi > scoreLo,
+      s"curriculumOrder: score range [$scoreLo, $scoreHi) is empty")
+    val spark = docs.sparkSession
+    val packed = packBins(
+      docs.withColumn("__sm",
+        round(scoreCol.cast("double") * 1e6).cast("long")),
+      idCol, nTokCol, budget, nShards)
+    val bins = DedupOps.cachedManifest(packed
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("__sm")).as("__sms"),
+        count(col("__sm")).as("__nsc"))
+      .withColumn("bin_score",
+        round(col("__sms").cast("double") /
+          (col("__nsc").cast("double") * lit(1e6)), 6))
+      .filter(col("bin_score").isNotNull)
+      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col("bin_score") - scoreLo) / (scoreHi - scoreLo) *
+          nBuckets).cast("int")))))
+    // bounded driver probe: per-bucket bin counts → curriculum-direction
+    // position offsets, joined back by broadcast
+    val counts = bins.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val ordered = if (highFirst) counts.sortBy(-_._1) else counts.sortBy(_._1)
+    var acc = 0L
+    val offsets = ordered.map { case (b, n) =>
+      val o = acc; acc += n; (b, o)
+    }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__b", "__off")
+    val ordCols =
+      if (highFirst) Seq(col("bin_score").desc, col("shard"), col("bin"))
+      else Seq(col("bin_score").asc, col("shard"), col("bin"))
+    val w = Window.partitionBy(col("__b")).orderBy(ordCols: _*)
+    bins.join(broadcast(offDf), Seq("__b"))
+      .withColumn("curriculum_pos",
+        (col("__off") + row_number().over(w)).cast("long"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        col("bin_score"), col("curriculum_pos"))
+  }
 }

@@ -1696,6 +1696,25 @@ object ExtensionQueries {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // -- Curriculum pack ordering (q165): the all-learned composition of
+    // the packing and quality families — bins packed in LEARNED subword
+    // tokens (committed BpeMerges pricing), each bin keyed by the mean
+    // LEARNED classifier score (exact integer micro-score sums, ONE
+    // double division — never a float avg), and the global consumption
+    // order a curriculum-scheduled trainer reads. The plan is two-phase
+    // (score-bucket histogram + per-bucket row_number, a bounded driver
+    // probe); the oracle runs the naive global window over the same
+    // rebuilt artifacts ---------------------------------------------------
+    "q165_curriculum_pack" -> ((s, dir) => {
+      // null-text docs excluded by contract on both engines
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      PackOps.curriculumOrder(d, "doc_id",
+          TextOps.subwordTokenCount(col("text")),
+          round(TextOps.qualityLrScore(col("text")), 6),
+          budget = 512, nShards = 8)
+        .orderBy(col("curriculum_pos"))
+    }),
+
     // -- Token-ID packing (q160): q156's bins carrying INTEGER token-id
     // streams — the exact artifact a trainer memory-maps. Ids are a pure
     // function of the committed artifact (Bpe.vocabulary: sorted base
@@ -3583,6 +3602,41 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q165's oracle: both committed artifacts rebuilt (the shared encode
+    * + classifier CTEs), q65's running-window pack over the LEARNED
+    * token counts, per-bin integer micro-score sums (mean = ONE double
+    * division — never a float avg; mirrors
+    * [[graft.ext.PackOps.curriculumOrder]]'s determinism contract), and
+    * the naive global row_number the two-phase Spark plan must equal.
+    */
+  private lazy val curriculumPackOracleSql: String = {
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |d2 AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |${qualityLrScoreCtes("d2")},
+       |m2 AS (SELECT qz.doc_id, qz.doc_id % 8 AS shard, dtok.n_tokens,
+       |    CAST(round(qz.score * 1000000) AS BIGINT) AS sm
+       |  FROM qz JOIN dtok USING (doc_id)),
+       |c AS (SELECT doc_id, shard, n_tokens, sm,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM m2),
+       |b AS (SELECT shard, doc_id, n_tokens, sm,
+       |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS INTEGER)
+       |      AS bin
+       |  FROM c),
+       |bins AS (SELECT CAST(shard AS INTEGER) AS shard, bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    round(CAST(sum(sm) AS DOUBLE) /
+       |      (CAST(count(sm) AS DOUBLE) * 1000000), 6) AS bin_score
+       |  FROM b GROUP BY shard, bin)
+       |SELECT shard, bin, n_docs, n_tokens, bin_score,
+       |  CAST(row_number() OVER (ORDER BY bin_score DESC, shard, bin)
+       |    AS BIGINT) AS curriculum_pos
+       |FROM bins ORDER BY curriculum_pos""".stripMargin
+  }
+
   /** q128: cell assignment mirrors the q31/q115 centroid-literal chain
     * (argmax dot, ties → lowest cell; rn=1 keeps the max dot itself as
     * the cohesion contribution); per-side group-by + full-outer on cell.
@@ -4767,6 +4821,7 @@ object ExtensionQueries {
     "q150_subword_budget" -> subwordBudgetOracleSql,
     "q152_tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "q153_learned_gate_budget" -> learnedGateBudgetOracleSql,
+    "q165_curriculum_pack" -> curriculumPackOracleSql,
     "q148_budget_by_source" -> budgetBySourceOracleSql,
     // q149: q27's pair CTEs over the train slice + q63's gram CTEs +
     // q64's quality arithmetic, rolled up per score decile

@@ -247,4 +247,69 @@ class PackOpsSpec extends AnyFunSuite {
     assert(run(5L) != run(6L)) // same instances, different layout
     assert(run(5L).map(r => (r._1, r._2)) == run(6L).map(r => (r._1, r._2)))
   }
+
+  // --- curriculumOrder (q165) -----------------------------------------
+
+  private def scoredDocs = Seq(
+    // (doc_id, n_tok, score): shard 0 packs docs 0,8 into bin 0 and 16
+    // into bin 1 (budget 512); shard 1 packs 1,9 into bin 0
+    (0L, 300L, 0.9), (8L, 300L, 0.5), (16L, 200L, 0.2), // s0: b0 b0 b1
+    (1L, 400L, 0.8), (9L, 200L, 0.6)                    // s1: b0 b0
+  ).toDF("doc_id", "n_tok", "score")
+
+  test("curriculumOrder: bin rollups are exact integer micro-score " +
+      "means and positions follow the quality order (high first)") {
+    val r = PackOps.curriculumOrder(scoredDocs, "doc_id", col("n_tok"),
+        col("score"), budget = 512, nShards = 8)
+      .orderBy("curriculum_pos")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4), x.getLong(5)))
+    // bins: (s0,b0) mean(0.9,0.5)=0.7; (s1,b0) mean(0.8,0.6)=0.7;
+    // (s0,b1) 0.2. Tie at 0.7 breaks by (shard, bin): s0 first.
+    assert(r.toSeq == Seq(
+      (0, 0, 2L, 600L, 0.7, 1L),
+      (1, 0, 2L, 600L, 0.7, 2L),
+      (0, 1, 1L, 200L, 0.2, 3L)), r.toSeq)
+  }
+
+  test("curriculumOrder: highFirst=false reverses the schedule; the " +
+      "two-phase positions are bucketing-independent (nBuckets=1 == " +
+      "nBuckets=4096)") {
+    def positions(nb: Int, hf: Boolean) =
+      PackOps.curriculumOrder(scoredDocs, "doc_id", col("n_tok"),
+          col("score"), budget = 512, nShards = 8, highFirst = hf,
+          nBuckets = nb)
+        .orderBy("curriculum_pos")
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(5))).toSeq
+    val asc = positions(4096, hf = false)
+    assert(asc == Seq((0, 1, 1L), (0, 0, 2L), (1, 0, 3L)), asc)
+    assert(positions(1, hf = true) == positions(4096, hf = true))
+    assert(positions(1, hf = false) == positions(4096, hf = false))
+    assert(positions(3, hf = true) == positions(4096, hf = true))
+  }
+
+  test("curriculumOrder: NULL scores don't poison the mean (they skip " +
+      "the sum AND the divisor); an all-NULL bin is excluded") {
+    val d = Seq(
+      (0L, 300L, Some(0.9)), (8L, 300L, None), // s0 b0: mean over {0.9}
+      (2L, 100L, Option.empty[Double])         // s2 b0: all-NULL
+    ).toDF("doc_id", "n_tok", "score")
+    val r = PackOps.curriculumOrder(d, "doc_id", col("n_tok"),
+        col("score"), budget = 512, nShards = 8)
+      .collect().map(x => ((x.getInt(0), x.getInt(1)),
+        (x.getLong(2), x.getDouble(4), x.getLong(5)))).toMap
+    assert(r.keySet == Set((0, 0)), r)
+    assert(r((0, 0)) == ((2L, 0.9, 1L)), r) // n_docs counts the null row
+  }
+
+  test("curriculumOrder validates its arguments loudly") {
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(PackOps.curriculumOrder(scoredDocs, "doc_id",
+      col("n_tok"), col("score"), 512, 8, nBuckets = 0))
+      .contains("nBuckets"))
+    assert(msg(PackOps.curriculumOrder(scoredDocs, "doc_id",
+      col("n_tok"), col("score"), 512, 8, scoreLo = 1.0, scoreHi = 1.0))
+      .contains("empty"))
+  }
 }
