@@ -216,6 +216,31 @@ object ScaleCurve {
     // (name, per-scale frame builder). Builders take the scale so the
     // `scaled` variants can pick their banding from the corpus size.
     val suite: Seq[(String, Int => DataFrame)] = Seq(
+      // the r16 serving/trainer additions, registered forms verbatim:
+      // q163 should ride its legs (BM25 tokenize + brute-force scan —
+      // the fusion itself is top-k-bounded), q164 should ride the pool
+      // SCAN (the m² pairwise and greedy terms are poolK-fixed), q165
+      // should ride the pack window + map-only scoring (the ordering
+      // pass is bin-manifest-sized)
+      "q163_hybrid_rrf" -> { n =>
+        graft.queries.ExtensionQueries.queries("q163_hybrid_rrf")(
+          spark, dirs(n))
+      },
+      "q164_mmr_rerank" -> { n =>
+        graft.queries.ExtensionQueries.queries("q164_mmr_rerank")(
+          spark, dirs(n))
+      },
+      // the poolK² term isolated at fixed corpus: 8 → 64 candidates per
+      // probe is 64× the pairwise rows; per-probe cost must stay bounded
+      "q164_mmr_pool64" -> { n =>
+        val e = embs(spark, dirs(n))
+        SimilarityOps.mmrRerank(e.filter(col("vec_id") < 6), e,
+          poolK = 64, k = 8)
+      },
+      "q165_curriculum_pack" -> { n =>
+        graft.queries.ExtensionQueries.queries("q165_curriculum_pack")(
+          spark, dirs(n))
+      },
       // the composed q129/q132 recipe chains VERBATIM (single-definition
       // rule: these are the registered queries' own builders) — each
       // stage has its own scale row already; this measures whether the
