@@ -32,13 +32,17 @@ object Main {
     case "viz" :: rest if parseArgs(rest)._2.nonEmpty =>
       val (flags, pos) = parseArgs(rest)
       viz(pos.head, flags)
+    case "docs" :: rest =>
+      val (flags, pos) = parseArgs(rest)
+      docs(pos.headOption.getOrElse("docs"), flags)
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2] [--fail-fast]
            |       graft test [--config C] [--db-path P] [--select ...] [--exclude ...] [--vars k=v]
            |       graft run-file [--config C] <script.sql> […]
-           |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>""".stripMargin)
+           |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>
+           |       graft docs [--config C] [--db-path P] [--select ...] [--exclude ...] [<outDir>=docs]""".stripMargin)
       sys.exit(2)
   }
 
@@ -297,6 +301,39 @@ object Main {
   /** Build the graph (no SQL execution) and write DOT-derived SVG; `.svg`
     * suffix auto-appended (src/main.rs:63-84).
     */
+  /** dbt `docs generate`: catalog.json + catalog.md into `outDir` from
+    * the built graph and the warehouse as restored from db_path. Column
+    * listings need a prior `run` (dbt's catalog has the same contract);
+    * un-materialized models document as such instead of failing the
+    * generation. Respects --select/--exclude so a team can publish a
+    * subproject's catalog.
+    */
+  private def docs(outDir: String, flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
+    val spark = buildSpark(config)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      config.dbPath.foreach(ViewStore.restore(spark, _))
+      val session = new PipelineSession(spark, config,
+        selectors = selectorsOf(flags), excludes = excludesOf(flags),
+        cliVars = varsOf(flags))
+      val (order, nodeMap) = session.buildGraph()
+      val (dOrder, dMap) = session.restrictToSelection(order, nodeMap)
+      Files.createDirectories(Paths.get(outDir))
+      Files.writeString(Paths.get(outDir, "catalog.json"),
+        DocsGen.catalogJson(spark, dOrder, dMap))
+      Files.writeString(Paths.get(outDir, "catalog.md"),
+        DocsGen.catalogMarkdown(spark, dOrder, dMap))
+      println(s"Catalog saved to $outDir/catalog.json and " +
+        s"$outDir/catalog.md (${dOrder.size} models)")
+    } catch {
+      case e: GraftError => System.err.println(e.render); sys.exit(1)
+    } finally {
+      graft.ext.DedupOps.releaseManifests()
+      spark.stop()
+    }
+  }
+
   private def viz(out: String, flags: Map[String, String]): Unit = {
     val config = loadConfig(flags)
     try {
