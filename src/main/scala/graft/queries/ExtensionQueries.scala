@@ -1534,6 +1534,41 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("fused_rank"))
     }),
 
+    // Hybrid retrieval from PERSISTED stores (q166): q163's fusion with
+    // both legs served from their stores — lexical scores from the q144
+    // stats store (tokenize-free), vector ranks from the q120 IVF-PQ
+    // index + vector stores (encode-free). The oracle is the INLINE
+    // truth (q118 chain fused with the q115 chain), so one fused diff
+    // proves both serving paths faithful at once. The vector leg is the
+    // approximate IVF-PQ ranking — the honest production trade the
+    // exact-cosine q163 doesn't make -----------------------------------
+    "q166_hybrid_from_stores" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
+        fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
+        "doc_id", "text", nBuckets = 64)
+      val lex = RetrievalOps.bm25PerQueryFromStore(stats, probe,
+          "query_id", "term", "doc_id", k = 5)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      val vecs = SimilarityOps.vectorStore(s, e,
+        fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
+      val vec = SimilarityOps.ivfPqTopKFromStores(
+          e.filter(col("vec_id").isin(1L, 2L, 3L)), index, vecs, 64,
+          cents, cbs, k = 5, nprobe = 3, refineFactor = 8)
+        .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
+          col("rk").as("rank"))
+      RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id", "rank", k = 5)
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // MMR diversity re-ranking (q164): greedy λ·rel − (1−λ)·max-sim walk
     // over each probe's exact top-8 pool — the serving-side re-ranker
     // that keeps k results from being k paraphrases. Pool and pairwise
@@ -2725,6 +2760,33 @@ object ExtensionQueries {
       |      PARTITION BY query_id ORDER BY sim DESC, id) AS INT) AS vrank
       |    FROM vsc) t
       |  WHERE vrank <= 5),
+      |uni AS (SELECT query_id, id,
+      |    CAST(1 AS DOUBLE) / (60 + CAST(lrank AS DOUBLE)) AS c FROM lex
+      |  UNION ALL SELECT query_id, id,
+      |    CAST(1 AS DOUBLE) / (60 + CAST(vrank AS DOUBLE)) AS c FROM vec),
+      |fus AS (SELECT query_id, id, round(sum(c), 6) AS rrf_score
+      |  FROM uni GROUP BY 1, 2),
+      |frk AS (SELECT query_id, id, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, id) AS INT) AS fused_rank FROM fus)
+      |SELECT query_id, id, rrf_score, fused_rank FROM frk
+      |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
+
+  /** q166: the hybrid fusion served entirely from PERSISTED stores —
+    * lexical scores from the q144 stats store, vector ranks from the
+    * q120 IVF-PQ index+vector stores. The oracle is the inline truth
+    * both serving paths claim to equal: the q118 BM25 CTE chain fused
+    * with the q115/q120 IVF-PQ chain (the SAME rank arithmetic the
+    * store-backed operators must reproduce), so a stale or unfaithful
+    * store on EITHER leg fails the one fused diff.
+    */
+  private lazy val hybridFromStoresOracleSql: String =
+    ivfPqChainSql(k = 5, refineFactor = 8) + ",\n" +
+      bm25PerQueryChainSql.stripPrefix("WITH ") + """,
+      |lex AS (SELECT query_id, doc_id AS id, "rank" AS lrank FROM r
+      |  WHERE "rank" <= 5),
+      |vec AS (SELECT probe_id AS query_id, cand_id AS id, rk AS vrank
+      |  FROM rk WHERE rk <= 5 AND probe_id IN (1, 2, 3)),
       |uni AS (SELECT query_id, id,
       |    CAST(1 AS DOUBLE) / (60 + CAST(lrank AS DOUBLE)) AS c FROM lex
       |  UNION ALL SELECT query_id, id,
@@ -4890,6 +4952,7 @@ object ExtensionQueries {
     "q118_bm25_per_query" -> bm25PerQueryOracleSql,
     "q163_hybrid_rrf" -> hybridRrfOracleSql,
     "q164_mmr_rerank" -> mmrRerankOracleSql,
+    "q166_hybrid_from_stores" -> hybridFromStoresOracleSql,
     // q144: the store must answer exactly what the per-call tokenize
     // answers — q118's oracle pins the whole build + serving path
     "q144_bm25_from_store" -> bm25PerQueryOracleSql,
