@@ -320,10 +320,13 @@ object Main {
       val (order, nodeMap) = session.buildGraph()
       val (dOrder, dMap) = session.restrictToSelection(order, nodeMap)
       Files.createDirectories(Paths.get(outDir))
+      // only exposures fully inside the selection document (the viz rule)
+      val dEx = config.exposures
+        .filter(_.dependsOn.forall(dOrder.contains))
       Files.writeString(Paths.get(outDir, "catalog.json"),
-        DocsGen.catalogJson(spark, dOrder, dMap))
+        DocsGen.catalogJson(spark, dOrder, dMap, dEx))
       Files.writeString(Paths.get(outDir, "catalog.md"),
-        DocsGen.catalogMarkdown(spark, dOrder, dMap))
+        DocsGen.catalogMarkdown(spark, dOrder, dMap, dEx))
       println(s"Catalog saved to $outDir/catalog.json and " +
         s"$outDir/catalog.md (${dOrder.size} models)")
     } catch {
@@ -359,7 +362,7 @@ object Main {
       Files.writeString(Paths.get(target),
         GraphViz.renderSvg(vOrder, vMap, preview))
       Files.writeString(Paths.get(target.stripSuffix(".svg") + ".dot"),
-        GraphViz.renderDot(vOrder, vMap, preview))
+        GraphViz.renderDot(vOrder, vMap, preview, config.exposures))
       preview.foreach(p => println(
         s"Preview: ${vOrder.count(p)} of ${vOrder.size} models would " +
           "skip unchanged"))

@@ -65,6 +65,38 @@ object DocsGen {
       s""""n_models":${order.size}}"""
   }
 
+  def catalogJson(spark: SparkSession, order: Seq[String],
+                  nodeMap: Map[String, ModelNode],
+                  exposures: Seq[Exposure]): String = {
+    val base = catalogJson(spark, order, nodeMap)
+    val exJson = exposures.map { ex =>
+      s"""{"name":${jstr(ex.name)},"type":${jstr(ex.exposureType)},""" +
+        s""""owner":${ex.owner.fold("null")(jstr)},""" +
+        s""""url":${ex.url.fold("null")(jstr)},""" +
+        s""""depends_on":${jarr(ex.dependsOn)}}"""
+    }.mkString("[", ",", "]")
+    base.dropRight(1) + s""","exposures":$exJson}"""
+  }
+
+  def catalogMarkdown(spark: SparkSession, order: Seq[String],
+                      nodeMap: Map[String, ModelNode],
+                      exposures: Seq[Exposure]): String = {
+    val base = catalogMarkdown(spark, order, nodeMap)
+    if (exposures.isEmpty) base
+    else {
+      val sb = new StringBuilder(base)
+      sb ++= "\n# Exposures\n"
+      exposures.foreach { ex =>
+        sb ++= s"\n## ${ex.name} (${ex.exposureType})\n\n"
+        ex.owner.foreach(o => sb ++= s"- **owner**: $o\n")
+        ex.url.foreach(u => sb ++= s"- **url**: $u\n")
+        sb ++= s"- **depends on**: ${ex.dependsOn
+          .map("`" + _ + "`").mkString(", ")}\n"
+      }
+      sb.result()
+    }
+  }
+
   def catalogMarkdown(spark: SparkSession, order: Seq[String],
                       nodeMap: Map[String, ModelNode]): String = {
     val sb = new StringBuilder

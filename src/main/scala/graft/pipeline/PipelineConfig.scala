@@ -26,7 +26,21 @@ final case class PipelineConfig(
     seedsDir: Option[String] = None,
     settings: Map[String, String] = Map.empty,
     models: Map[String, ModelConfig] = Map.empty,
-    vars: Map[String, String] = Map.empty)
+    vars: Map[String, String] = Map.empty,
+    exposures: Seq[Exposure] = Nil)
+
+/** A dbt exposure: a named DOWNSTREAM consumer of models (a dashboard,
+  * an ML job, an application) declared in config so the dependency is
+  * visible in the graph even though no SQL file exists for it. Exposures
+  * never execute; they give `viz`/`docs` their real leaf nodes and
+  * `--select +exposure:<name>` the "rebuild everything this dashboard
+  * reads" selection dbt teams run before a publish.
+  */
+final case class Exposure(name: String,
+                          exposureType: String,
+                          owner: Option[String],
+                          url: Option[String],
+                          dependsOn: Seq[String])
 
 final case class ModelConfig(materialize: Option[String] = None,
                              uniqueKey: Option[String] = None,
@@ -305,6 +319,47 @@ object PipelineConfig {
           String.valueOf(k) -> v.toString }.toMap }
       .getOrElse(Map.empty[String, String])
 
+    // dbt exposures: named downstream consumers with declared model
+    // dependencies — validated structurally here (name/type/depends_on),
+    // against the actual model set at graph build
+    val exposureTypes =
+      Set("dashboard", "notebook", "analysis", "ml", "application")
+    val exposures: Seq[Exposure] = root.get("exposures").flatMap(Option(_))
+      .collect { case l: java.util.List[_] =>
+        l.asScala.toSeq.map {
+          case m: java.util.Map[_, _] =>
+            val fields = m.asScala.map { case (k, v) =>
+              String.valueOf(k) -> v }.toMap
+            def opt(k: String): Option[String] =
+              fields.get(k).flatMap(Option(_)).map(_.toString)
+            val name = opt("name").getOrElse(throw GenericError(
+              "exposures: each entry needs a `name`"))
+            val tpe = opt("type").getOrElse(throw GenericError(
+              s"exposures.$name: needs a `type` (one of " +
+                s"${exposureTypes.toSeq.sorted.mkString(", ")})"))
+            if (!exposureTypes(tpe)) throw GenericError(
+              s"exposures.$name: unknown type `$tpe` (one of " +
+                s"${exposureTypes.toSeq.sorted.mkString(", ")})")
+            val deps = fields.get("depends_on").flatMap(Option(_)) match {
+              case Some(dl: java.util.List[_]) =>
+                dl.asScala.toSeq.map(String.valueOf(_))
+              case _ => Nil
+            }
+            if (deps.isEmpty) throw GenericError(
+              s"exposures.$name: needs a non-empty `depends_on` model " +
+                "list (an exposure that reads nothing is a typo)")
+            Exposure(name, tpe, opt("owner"), opt("url"), deps)
+          case other => throw GenericError(
+            s"exposures: each entry must be a mapping, got " +
+              String.valueOf(other))
+        }
+      }.getOrElse(Nil)
+    locally {
+      val dup = exposures.groupBy(_.name).filter(_._2.size > 1).keys
+      if (dup.nonEmpty) throw GenericError(
+        s"exposures: duplicate names ${dup.toSeq.sorted.mkString(", ")}")
+    }
+
     PipelineConfig(
       modelsDir = str("models_dir").getOrElse("."),
       dbPath = str("db_path"),
@@ -312,7 +367,8 @@ object PipelineConfig {
       seedsDir = str("seeds_dir"),
       settings = settings,
       models = models,
-      vars = vars)
+      vars = vars,
+      exposures = exposures)
   }
 
   /** One `tests:` list element. Accepted shapes (dbt's common forms):

@@ -285,6 +285,21 @@ final class PipelineSession(
       }
     }
 
+    // exposures validate against the REAL model set (config load can't):
+    // a dashboard declared over a typo'd model would otherwise document
+    // and select nothing, silently
+    config.exposures.foreach { ex =>
+      if (nodeMap.contains(ex.name))
+        throw GenericError(s"exposures.${ex.name}: name collides with a " +
+          "model id — exposures share the graph namespace")
+      val missing = ex.dependsOn.filterNot(nodeMap.contains)
+      if (missing.nonEmpty)
+        throw GenericError(s"exposures.${ex.name}: depends_on names " +
+          s"unknown model${if (missing.size > 1) "s" else ""} " +
+          s"${missing.mkString(", ")} (known: " +
+          s"${nodeMap.keys.toSeq.sorted.mkString(", ")})")
+    }
+
     val graph = Dag.Graph(nodeMap.map { case (id, n) =>
       id -> n.prevs.filter(nodeMap.contains) })
     val order = Dag.topoSort(graph).filterNot(invalid.contains)
@@ -410,7 +425,9 @@ final class PipelineSession(
     * descendants), `+name` (plus transitive ancestors), `+name+`,
     * `path:<glob>` (every model whose SOURCE FILE path matches — a bare
     * directory pattern selects everything under it; `*` does not cross
-    * `/`, `**` does; `+` affixes compose, e.g. `+path:models/marts`), or
+    * `/`, `**` does; `+` affixes compose, e.g. `+path:models/marts`),
+    * `exposure:<name>` (the exposure's declared model dependencies —
+    * `+exposure:x` walks their ancestors: dbt's pre-publish selection), or
     * `state:modified` (every model whose closure fingerprint differs
     * from the stored base — the dbt CI pattern; may resolve empty);
     * comma-separated selectors union. The final selection is the selected
@@ -456,6 +473,18 @@ final class PipelineSession(
             throw GenericError(s"$flag: tag selector '$core' matches no " +
               s"model (declare tags under models.<id>.tags)")
           matched
+        }
+        else if (core.startsWith("exposure:")) {
+          // the exposure's declared model dependencies; `+exposure:x`
+          // then walks their ancestors — "rebuild everything this
+          // dashboard reads" (dbt's pre-publish selection)
+          val ex = core.stripPrefix("exposure:")
+          config.exposures.find(_.name == ex) match {
+            case Some(e) => e.dependsOn.toSet
+            case None => throw GenericError(
+              s"$flag: unknown exposure '$ex' (declared: " +
+                s"${config.exposures.map(_.name).sorted.mkString(", ")})")
+          }
         }
         else if (core.startsWith("path:")) {
           val pat = core.stripPrefix("path:")

@@ -16,7 +16,8 @@ object GraphViz {
     * look-before-you-run a daily user wants ahead of an expensive run.
     */
   def renderDot(nodeNames: Seq[String], nodeMap: Map[String, ModelNode],
-                preview: Option[Set[String]] = None): String = {
+                preview: Option[Set[String]] = None,
+                exposures: Seq[graft.pipeline.Exposure] = Nil): String = {
     // ids are quoted: a model file named daily-orders.sql is a legal model
     // but `daily-orders` is not a bare DOT identifier. Backslash first —
     // an id ending in \ would otherwise escape the closing quote
@@ -48,7 +49,22 @@ object GraphViz {
       nodeMap.get(name).toSeq
         .flatMap(_.nexts.toSeq.sorted.map(n => s"\t${q(name)} -> ${q(n)};"))
     }.mkString("\n")
-    s"digraph LR {\n $nodes \n $edges \n}"
+    // exposures are graph LEAVES with no SQL of their own: note-shaped,
+    // dashed, labeled with their declared type; edges point model →
+    // exposure. Only exposures whose every dependency is in the rendered
+    // selection appear (a --select subgraph must not sprout dangling
+    // exposure edges — the same rule the model edges follow).
+    val shown = exposures.filter(_.dependsOn.forall(nodeNames.contains))
+    val exNodes = shown.map { ex =>
+      s"\t${q(ex.name)} [shape=note, style=dashed, " +
+        s"label=${tagged(ex.name, Seq(ex.exposureType))}];"
+    }.mkString("\n")
+    val exEdges = shown.flatMap { ex =>
+      ex.dependsOn.sorted.map(d => s"\t${q(d)} -> ${q(ex.name)};")
+    }.mkString("\n")
+    val exBlock =
+      if (shown.isEmpty) "" else s"\n $exNodes \n $exEdges"
+    s"digraph LR {\n $nodes \n $edges$exBlock \n}"
   }
 
   /** Layered SVG: levels = longest path from sources; nodes are rounded
