@@ -553,6 +553,35 @@ object RetrievalOps {
     * Returns (queryCol, idCol, rrf_score, fused_rank) with fused_rank
     * 1..≤k per query.
     */
+  /** Per-query agreement between two ranked legs — the diagnostic read
+    * BEFORE tuning [[rrfFuse]]'s kRrf/weights: when the legs already
+    * agree (high jaccard), fusion adds nothing; when they disagree,
+    * fusion is doing the work and the weights matter. Counts are exact
+    * integers; jaccard is ONE double division of them (deterministic on
+    * any engine, any aggregation order). A query present in only one
+    * leg still reports (n_other = 0, jaccard 0) — the modality-miss
+    * rows are exactly the ones a tuning pass must see.
+    *
+    * Returns (queryCol, n_a, n_b, n_both, jaccard). Same bounded scale
+    * shape as the fusion: every row here is a leg top-k output.
+    */
+  def legAgreement(legA: DataFrame, legB: DataFrame, queryCol: String,
+                   idCol: String): DataFrame = {
+    val a = legA.select(col(queryCol), col(idCol),
+      lit(1).as("__a"), lit(0).as("__b"))
+    val b = legB.select(col(queryCol), col(idCol),
+      lit(0).as("__a"), lit(1).as("__b"))
+    a.unionAll(b)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(max(col("__a")).as("__ia"), max(col("__b")).as("__ib"))
+      .groupBy(col(queryCol))
+      .agg(sum(col("__ia")).as("n_a"), sum(col("__ib")).as("n_b"),
+        sum(col("__ia") * col("__ib")).as("n_both"))
+      .withColumn("jaccard",
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], queryCol: String, idCol: String,
               rankCol: String, k: Int, kRrf: Int = 60,
               weights: Seq[Double] = Nil): DataFrame = {

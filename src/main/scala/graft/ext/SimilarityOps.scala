@@ -235,18 +235,32 @@ object SimilarityOps {
     */
   def mmrRerank(probes: DataFrame, candidates: DataFrame, poolK: Int,
                 k: Int, lambda: Double = 0.5): DataFrame = {
-    require(k > 0, "mmrRerank: k must be positive")
     require(poolK >= k, s"mmrRerank: poolK=$poolK must be >= k=$k")
     require(poolK <= 1024,
       s"mmrRerank: poolK=$poolK exceeds 1024 — the pairwise stage is " +
         "O(poolK²) per probe; a bigger pool is a ranking, not a " +
         "re-ranking")
+    mmrRerankPool(
+      bruteForceTopK(probes, candidates, poolK)
+        .select(col("probe_id"), col("cand_id"), col("sim").as("rel")),
+      candidates, k, lambda)
+  }
+
+  /** [[mmrRerank]] over an EXPLICIT candidate pool — the serving form:
+    * the pool is whatever ranking the caller already paid for (the
+    * store-served IVF-PQ shortlist being the production case, q167),
+    * as (probe_id, cand_id, rel) rows with `rel` rounded at 6. The
+    * per-probe pool must be top-k-bounded by construction; the walk
+    * enforces the 1024 cap per probe loudly rather than silently
+    * holding a corpus-sized group in one task.
+    */
+  def mmrRerankPool(pool: DataFrame, candidates: DataFrame, k: Int,
+                    lambda: Double = 0.5): DataFrame = {
+    require(k > 0, "mmrRerank: k must be positive")
     require(lambda >= 0.0 && lambda <= 1.0,
       s"mmrRerank: lambda=$lambda must be in [0, 1]")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val pool = bruteForceTopK(probes, candidates, poolK)
-      .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
     val cu = withUnitVec(candidates, "embedding", "__u")
       .select(col("vec_id"), col("__u"))
     val pv = pool.join(cu, col("cand_id") === col("vec_id"))
@@ -263,6 +277,9 @@ object SimilarityOps {
       .as[MmrRow]
     rows.groupByKey(_.probe_id).flatMapGroups { (pid, it) =>
       val rs = it.toArray
+      require(rs.length <= 1024 * 1024,
+        s"mmrRerankPool: probe $pid's pool exceeds 1024 candidates — " +
+          "pass a top-k-bounded ranking, not a corpus")
       val rel = scala.collection.mutable.LongMap.empty[Double]
       val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
       rs.foreach { r =>

@@ -1569,6 +1569,48 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("fused_rank"))
     }),
 
+    // Fusion diagnostics (q168): per-query agreement between q163's two
+    // legs — the report read before tuning kRrf/weights (legs that
+    // already agree make fusion a no-op; disagreement is where the
+    // weights matter). Query 3 is the modality-miss row: lexical-empty,
+    // jaccard 0 ---------------------------------------------------------
+    "q168_leg_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
+          "query_id", "term", "doc_id", "text", k = 5)
+        .select(col("query_id"), col("doc_id").as("id"))
+      val e = t(s, dir, "embeddings").drop("label")
+      val vec = SimilarityOps.bruteForceTopK(
+          e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
+        .select(col("probe_id").as("query_id"), col("cand_id").as("id"))
+      RetrievalOps.legAgreement(lex, vec, "query_id", "id")
+        .orderBy(col("query_id"))
+    }),
+
+    // MMR over the store-served ANN shortlist (q167): the production
+    // diversity re-rank — the pool is the IVF-PQ index/vector stores'
+    // top-8 (paid once, encode-free), the walk is q164's greedy over it.
+    // One oracle diff proves the store-served pool, the refine
+    // arithmetic, and the walk composed -------------------------------
+    "q167_mmr_from_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").drop("label")
+      val cents = graft.ext.IvfCentroids.centroids
+      val cbs = graft.ext.PqCodebooks.codebooks
+      val index = SimilarityOps.annIndexStore(s, e,
+        fixturePath(s, dir, "embeddings", "annidx",
+          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+      val vecs = SimilarityOps.vectorStore(s, e,
+        fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
+      val pool = SimilarityOps.ivfPqTopKFromStores(
+          e.filter(col("vec_id") < 10), index, vecs, 64, cents, cbs,
+          k = 8, nprobe = 3, refineFactor = 8)
+        .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
+      SimilarityOps.mmrRerankPool(pool, e, k = 4)
+        .orderBy(col("probe_id"), col("mmr_rank"))
+    }),
+
     // MMR diversity re-ranking (q164): greedy λ·rel − (1−λ)·max-sim walk
     // over each probe's exact top-8 pool — the serving-side re-ranker
     // that keeps k results from being k paraphrases. Pool and pairwise
@@ -2799,6 +2841,33 @@ object ExtensionQueries {
       |SELECT query_id, id, rrf_score, fused_rank FROM frk
       |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
 
+  /** q168: the two q163 legs aggregated into the per-query agreement
+    * report — exact integer counts, jaccard = one double division.
+    */
+  private lazy val legAgreementOracleSql: String =
+    bm25PerQueryChainSql + """,
+      |lexm AS (SELECT query_id, doc_id AS id FROM r WHERE "rank" <= 5),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |vsc AS (SELECT p.vec_id AS query_id, c.vec_id AS id,
+      |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
+      |  FROM e p JOIN e c ON p.vec_id IN (1, 2, 3)
+      |    AND p.vec_id <> c.vec_id),
+      |vecm AS (SELECT query_id, id FROM (
+      |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, id) AS vrank FROM vsc) t
+      |  WHERE vrank <= 5),
+      |uni AS (SELECT query_id, id, 1 AS ia, 0 AS ib FROM lexm
+      |  UNION ALL SELECT query_id, id, 0, 1 FROM vecm),
+      |mrk AS (SELECT query_id, id, max(ia) AS ia, max(ib) AS ib
+      |  FROM uni GROUP BY 1, 2)
+      |SELECT query_id, CAST(sum(ia) AS BIGINT) AS n_a,
+      |  CAST(sum(ib) AS BIGINT) AS n_b,
+      |  CAST(sum(ia * ib) AS BIGINT) AS n_both,
+      |  round(CAST(sum(ia * ib) AS DOUBLE) /
+      |    CAST(sum(ia) + sum(ib) - sum(ia * ib) AS DOUBLE), 6) AS jaccard
+      |FROM mrk GROUP BY query_id ORDER BY query_id""".stripMargin
+
   /** q164: the MMR greedy walk UNROLLED into one CTE per selection step
     * (k is a small literal, so the sequential dependence that makes MMR
     * imperative on the Spark side is just k chained CTEs here — no
@@ -2808,25 +2877,15 @@ object ExtensionQueries {
     * head. Decisions use the UNROUNDED score on both engines; output
     * rounds at 6 — mirroring [[graft.ext.SimilarityOps.mmrRerank]].
     */
-  private def mmrOracleSql(poolK: Int, k: Int): String = {
+  /** The unrolled MMR greedy walk, generic over its inputs: expects a
+    * `rel` CTE (probe_id, cand_id, rel) and a `pp` CTE (probe_id, a, b,
+    * psim) to already exist in the chain. Shared by q164 (exact-cosine
+    * pool) and q167 (store-served IVF-PQ pool) — one arithmetic, two
+    * pool providers.
+    */
+  private def mmrGreedySql(k: Int): String = {
     val head =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |  FROM embeddings),
-         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-         |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
-         |  FROM e p JOIN e c ON p.vec_id < 6 AND p.vec_id <> c.vec_id),
-         |rel AS (SELECT probe_id, cand_id, sim AS rel FROM (
-         |    SELECT probe_id, cand_id, sim, row_number() OVER (
-         |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rk
-         |    FROM sc) t
-         |  WHERE rk <= $poolK),
-         |pp AS (SELECT r1.probe_id, r1.cand_id AS a, r2.cand_id AS b,
-         |    round(list_cosine_similarity(ea.emb, eb.emb), 6) AS psim
-         |  FROM rel r1 JOIN rel r2 ON r1.probe_id = r2.probe_id
-         |    AND r1.cand_id <> r2.cand_id
-         |  JOIN e ea ON ea.vec_id = r1.cand_id
-         |  JOIN e eb ON eb.vec_id = r2.cand_id),
-         |sel1 AS (SELECT probe_id, cand_id,
+      s"""sel1 AS (SELECT probe_id, cand_id,
          |    CAST(0.5 AS DOUBLE) * rel AS score, 1 AS mmr_rank FROM (
          |    SELECT probe_id, cand_id, rel, row_number() OVER (
          |      PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn
@@ -2859,7 +2918,48 @@ object ExtensionQueries {
       s" mmr_rank FROM selu$k ORDER BY probe_id, mmr_rank"
   }
 
+  private def mmrOracleSql(poolK: Int, k: Int): String = {
+    val pool =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
+         |  FROM e p JOIN e c ON p.vec_id < 6 AND p.vec_id <> c.vec_id),
+         |rel AS (SELECT probe_id, cand_id, sim AS rel FROM (
+         |    SELECT probe_id, cand_id, sim, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rk
+         |    FROM sc) t
+         |  WHERE rk <= $poolK),
+         |pp AS (SELECT r1.probe_id, r1.cand_id AS a, r2.cand_id AS b,
+         |    round(list_cosine_similarity(ea.emb, eb.emb), 6) AS psim
+         |  FROM rel r1 JOIN rel r2 ON r1.probe_id = r2.probe_id
+         |    AND r1.cand_id <> r2.cand_id
+         |  JOIN e ea ON ea.vec_id = r1.cand_id
+         |  JOIN e eb ON eb.vec_id = r2.cand_id)""".stripMargin
+    pool + ",\n" + mmrGreedySql(k)
+  }
+
   private lazy val mmrRerankOracleSql: String = mmrOracleSql(poolK = 8, k = 4)
+
+  /** q167: the MMR walk over the STORE-SERVED IVF-PQ shortlist — the
+    * chain's refined exact sims are the pool relevance (`rk <= poolK`),
+    * pairwise diversity sims come from the raw embeddings, and the
+    * greedy steps are the shared q164 unroll. One diff proves the
+    * store-served pool, the refine arithmetic, and the walk together.
+    */
+  private lazy val mmrFromStoreOracleSql: String =
+    ivfPqChainSql(k = 8, refineFactor = 8) + s""",
+      |me AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |rel AS (SELECT probe_id, cand_id, sim AS rel FROM rk
+      |  WHERE rk <= 8),
+      |pp AS (SELECT r1.probe_id, r1.cand_id AS a, r2.cand_id AS b,
+      |    round(list_cosine_similarity(ea.emb, eb.emb), 6) AS psim
+      |  FROM rel r1 JOIN rel r2 ON r1.probe_id = r2.probe_id
+      |    AND r1.cand_id <> r2.cand_id
+      |  JOIN me ea ON ea.vec_id = r1.cand_id
+      |  JOIN me eb ON eb.vec_id = r2.cand_id)""".stripMargin +
+      ",\n" + mmrGreedySql(4)
 
   /** q136: recall@5 of the q115/q117 approximate answer against the
     * exact brute-force top-5 — the chain's `rk` CTE is the approximate
@@ -4953,6 +5053,8 @@ object ExtensionQueries {
     "q163_hybrid_rrf" -> hybridRrfOracleSql,
     "q164_mmr_rerank" -> mmrRerankOracleSql,
     "q166_hybrid_from_stores" -> hybridFromStoresOracleSql,
+    "q167_mmr_from_store" -> mmrFromStoreOracleSql,
+    "q168_leg_agreement" -> legAgreementOracleSql,
     // q144: the store must answer exactly what the per-call tokenize
     // answers — q118's oracle pins the whole build + serving path
     "q144_bm25_from_store" -> bm25PerQueryOracleSql,

@@ -302,6 +302,20 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(20L -> r6(rrf(1, 2.0)), 10L -> r6(rrf(1))))
   }
 
+  test("legAgreement: exact counts, one-division jaccard, and the " +
+      "one-leg-only query reports jaccard 0 instead of vanishing") {
+    val a = leg((1, 10L, 1), (1, 20L, 2), (1, 30L, 3), (2, 50L, 1))
+    val b = leg((1, 20L, 1), (1, 30L, 2), (1, 40L, 3))
+    val r = RetrievalOps.legAgreement(
+        a.drop("rank"), b.drop("rank"), "query_id", "id")
+      .orderBy("query_id")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    // q1: a={10,20,30}, b={20,30,40} → both=2, union=4, jaccard=0.5
+    assert(r.toSeq == Seq((1, 3L, 3L, 2L, 0.5), (2, 1L, 0L, 0L, 0.0)),
+      r.toSeq)
+  }
+
   test("rrfFuse validates its arguments loudly") {
     val a = leg((1, 10L, 1))
     def msg(f: => Any): String =
