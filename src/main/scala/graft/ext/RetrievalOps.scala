@@ -553,6 +553,51 @@ object RetrievalOps {
     * Returns (queryCol, idCol, rrf_score, fused_rank) with fused_rank
     * 1..≤k per query.
     */
+  /** Weighted min-max score fusion (CombSUM with per-query min-max
+    * normalization — Fox & Shaw 1994's comb family, the OTHER standard
+    * hybrid combiner): each leg's scores normalize to [0, 1] WITHIN the
+    * query ((s − min)/(max − min); a degenerate single-score leg
+    * normalizes to 1), then the fused score is the weighted sum. Use
+    * this over [[rrfFuse]] when score MAGNITUDES carry signal (a 0.99
+    * cosine should beat a 0.51 by more than one rank step); use RRF
+    * when the leg scales are incomparable garbage.
+    *
+    * Legs are (DataFrame, weight) with columns (queryCol, idCol,
+    * scoreCol), scores pre-rounded at 6. An id in only some legs fuses
+    * from those legs alone. Determinism: per-query min/max are exact
+    * selections of identical doubles, the normalization is two
+    * subtractions + one division of them, and the default two legs sum
+    * order-insensitively; rounded at 6 after the sum. Ties by id.
+    *
+    * Scale shape mirrors [[rrfFuse]]: legs are top-k outputs, the
+    * min/max window partitions on the query key over ≤ k rows each, and
+    * nothing corpus-sized reaches the fusion.
+    *
+    * Returns (queryCol, idCol, fused_score, fused_rank).
+    */
+  def scoreFuse(legs: Seq[(DataFrame, Double)], queryCol: String,
+                idCol: String, scoreCol: String, k: Int): DataFrame = {
+    require(legs.nonEmpty, "scoreFuse: no legs")
+    require(k > 0, "scoreFuse: k must be positive")
+    require(legs.forall(_._2 > 0.0), "scoreFuse: weights must be positive")
+    val contribs = legs.map { case (leg, wt) =>
+      val w = Window.partitionBy(col(queryCol))
+      val mn = min(col(scoreCol)).over(w)
+      val mx = max(col(scoreCol)).over(w)
+      leg.select(col(queryCol), col(idCol), col(scoreCol))
+        .withColumn("__c", lit(wt) *
+          when(mx === mn, lit(1.0))
+            .otherwise((col(scoreCol) - mn) / (mx - mn)))
+        .select(col(queryCol), col(idCol), col("__c"))
+    }.reduce(_ unionAll _)
+    contribs.groupBy(col(queryCol), col(idCol))
+      .agg(round(sum(col("__c")), 6).as("fused_score"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("fused_score").desc, col(idCol))))
+      .filter(col("fused_rank") <= k)
+  }
+
   /** Per-query agreement between two ranked legs — the diagnostic read
     * BEFORE tuning [[rrfFuse]]'s kRrf/weights: when the legs already
     * agree (high jaccard), fusion adds nothing; when they disagree,

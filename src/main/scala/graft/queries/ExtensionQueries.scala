@@ -1569,6 +1569,27 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("fused_rank"))
     }),
 
+    // Min-max score fusion (q169): the comb-family combiner — per-query
+    // min-max-normalized scores, weighted sum — for when score
+    // MAGNITUDES carry signal (q163's RRF is the rank-only sibling).
+    // Same legs, same modality-miss robustness -------------------------
+    "q169_score_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
+          "query_id", "term", "doc_id", "text", k = 5)
+        .select(col("query_id"), col("doc_id").as("id"), col("score"))
+      val e = t(s, dir, "embeddings").drop("label")
+      val vec = SimilarityOps.bruteForceTopK(
+          e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
+        .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
+          col("sim").as("score"))
+      RetrievalOps.scoreFuse(Seq(lex -> 1.0, vec -> 1.0),
+          "query_id", "id", "score", k = 5)
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // Fusion diagnostics (q168): per-query agreement between q163's two
     // legs — the report read before tuning kRrf/weights (legs that
     // already agree make fusion a no-op; disagreement is where the
@@ -2867,6 +2888,45 @@ object ExtensionQueries {
       |  round(CAST(sum(ia * ib) AS DOUBLE) /
       |    CAST(sum(ia) + sum(ib) - sum(ia * ib) AS DOUBLE), 6) AS jaccard
       |FROM mrk GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  /** q169: both legs min-max-normalized per query, summed, re-ranked —
+    * the q163 CTE families with the comb-family normalization instead
+    * of rank reciprocals. Weight-1.0 multiplications are omitted (1·x
+    * is bitwise x on both engines).
+    */
+  private lazy val scoreFusionOracleSql: String =
+    bm25PerQueryChainSql + """,
+      |lexs AS (SELECT query_id, doc_id AS id, score FROM r
+      |  WHERE "rank" <= 5),
+      |lnorm AS (SELECT query_id, id, CASE WHEN mx = mn
+      |    THEN CAST(1 AS DOUBLE) ELSE (score - mn) / (mx - mn) END AS c
+      |  FROM (SELECT query_id, id, score,
+      |      min(score) OVER (PARTITION BY query_id) AS mn,
+      |      max(score) OVER (PARTITION BY query_id) AS mx FROM lexs) t),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |vsc AS (SELECT p.vec_id AS query_id, c.vec_id AS id,
+      |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
+      |  FROM e p JOIN e c ON p.vec_id IN (1, 2, 3)
+      |    AND p.vec_id <> c.vec_id),
+      |vecs AS (SELECT query_id, id, sim AS score FROM (
+      |    SELECT query_id, id, sim, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY sim DESC, id) AS vrank
+      |    FROM vsc) t
+      |  WHERE vrank <= 5),
+      |vnorm AS (SELECT query_id, id, CASE WHEN mx = mn
+      |    THEN CAST(1 AS DOUBLE) ELSE (score - mn) / (mx - mn) END AS c
+      |  FROM (SELECT query_id, id, score,
+      |      min(score) OVER (PARTITION BY query_id) AS mn,
+      |      max(score) OVER (PARTITION BY query_id) AS mx FROM vecs) t),
+      |uni AS (SELECT * FROM lnorm UNION ALL SELECT * FROM vnorm),
+      |fus AS (SELECT query_id, id, round(sum(c), 6) AS fused_score
+      |  FROM uni GROUP BY 1, 2),
+      |frk AS (SELECT query_id, id, fused_score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY fused_score DESC, id) AS INT) AS fused_rank FROM fus)
+      |SELECT query_id, id, fused_score, fused_rank FROM frk
+      |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
 
   /** q164: the MMR greedy walk UNROLLED into one CTE per selection step
     * (k is a small literal, so the sequential dependence that makes MMR
@@ -5055,6 +5115,7 @@ object ExtensionQueries {
     "q166_hybrid_from_stores" -> hybridFromStoresOracleSql,
     "q167_mmr_from_store" -> mmrFromStoreOracleSql,
     "q168_leg_agreement" -> legAgreementOracleSql,
+    "q169_score_fusion" -> scoreFusionOracleSql,
     // q144: the store must answer exactly what the per-call tokenize
     // answers — q118's oracle pins the whole build + serving path
     "q144_bm25_from_store" -> bm25PerQueryOracleSql,

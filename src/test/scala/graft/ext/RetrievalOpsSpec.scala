@@ -316,6 +316,39 @@ class RetrievalOpsSpec extends AnyFunSuite {
       r.toSeq)
   }
 
+  private def scoredLeg(rows: (Int, Long, Double)*) =
+    rows.toDF("query_id", "id", "score")
+
+  test("scoreFuse: per-query min-max normalization, weighted sum, and " +
+      "the degenerate single-score leg normalizes to 1") {
+    // leg A scores: 10→2.0, 20→1.0, 30→0.0 → norms 1.0, 0.5, 0.0
+    // leg B: only 30 → degenerate → norm 1.0
+    val a = scoredLeg((1, 10L, 2.0), (1, 20L, 1.0), (1, 30L, 0.0))
+    val b = scoredLeg((1, 30L, 0.123456))
+    val r = RetrievalOps.scoreFuse(Seq(a -> 1.0, b -> 1.0),
+        "query_id", "id", "score", k = 10)
+      .orderBy("fused_rank")
+      .collect().map(x => (x.getLong(1), x.getDouble(2)))
+    // 30: 0.0 + 1.0 = 1.0 ties with 10: 1.0 → id order puts 10 first
+    assert(r.toSeq == Seq(10L -> 1.0, 30L -> 1.0, 20L -> 0.5), r.toSeq)
+  }
+
+  test("scoreFuse: a heavier vector leg outvotes; validation is loud") {
+    val a = scoredLeg((1, 10L, 1.0), (1, 20L, 0.0))
+    val b = scoredLeg((1, 20L, 1.0), (1, 10L, 0.0))
+    val r = RetrievalOps.scoreFuse(Seq(a -> 1.0, b -> 3.0),
+        "query_id", "id", "score", k = 2)
+      .orderBy("fused_rank")
+      .collect().map(x => (x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(20L -> 3.0, 10L -> 1.0), r.toSeq)
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(RetrievalOps.scoreFuse(Nil, "q", "id", "score", k = 1))
+      .contains("no legs"))
+    assert(msg(RetrievalOps.scoreFuse(Seq(a -> 0.0), "query_id", "id",
+      "score", k = 1)).contains("positive"))
+  }
+
   test("rrfFuse validates its arguments loudly") {
     val a = leg((1, 10L, 1))
     def msg(f: => Any): String =

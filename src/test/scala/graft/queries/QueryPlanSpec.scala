@@ -356,10 +356,16 @@ class QueryPlanSpec extends AnyFunSuite {
     //   contract). q136/q137's recall monitors broadcast the SAMPLED
     //   probe set for the exact brute-force baseline (the monitor's
     //   documented cost model: one exact scan priced by the sample).
+    //   The r16 serving family rides the same documented probe-broadcast
+    //   shape: q163/q168/q169's vector leg and q164/q167's pool are
+    //   bruteForceTopK/MMR pools over ≤10 broadcast probe vectors (the
+    //   corpus side stays map-side; poolK ≤ 1024 by contract).
     val nonScalarIntentional = Set("q30_ann_topk", "q89_int8_ann",
       "q26_ngram_jaccard", "q80_generate_series", "q114_pq_ann",
       "q121_hard_negatives", "q124_contrastive_triples",
-      "q136_ann_recall", "q137_ann_recall_sweep", "q139_ann_recall_grid")
+      "q136_ann_recall", "q137_ann_recall_sweep", "q139_ann_recall_grid",
+      "q163_hybrid_rrf", "q164_mmr_rerank", "q166_hybrid_from_stores",
+      "q167_mmr_from_store", "q168_leg_agreement", "q169_score_fusion")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
