@@ -298,9 +298,6 @@ object Main {
     }
   }
 
-  /** Build the graph (no SQL execution) and write DOT-derived SVG; `.svg`
-    * suffix auto-appended (src/main.rs:63-84).
-    */
   /** dbt `docs generate`: catalog.json + catalog.md into `outDir` from
     * the built graph and the warehouse as restored from db_path. Column
     * listings need a prior `run` (dbt's catalog has the same contract);
@@ -323,10 +320,12 @@ object Main {
       // only exposures fully inside the selection document (the viz rule)
       val dEx = config.exposures
         .filter(_.dependsOn.forall(dOrder.contains))
+      // one warehouse schema lookup per model, shared by both renderers
+      val cols = DocsGen.columnsMap(spark, dOrder)
       Files.writeString(Paths.get(outDir, "catalog.json"),
-        DocsGen.catalogJson(spark, dOrder, dMap, dEx))
+        DocsGen.catalogJson(dOrder, dMap, cols, dEx))
       Files.writeString(Paths.get(outDir, "catalog.md"),
-        DocsGen.catalogMarkdown(spark, dOrder, dMap, dEx))
+        DocsGen.catalogMarkdown(dOrder, dMap, cols, dEx))
       println(s"Catalog saved to $outDir/catalog.json and " +
         s"$outDir/catalog.md (${dOrder.size} models)")
     } catch {
@@ -337,6 +336,9 @@ object Main {
     }
   }
 
+  /** Build the graph (no SQL execution) and write DOT-derived SVG; `.svg`
+    * suffix auto-appended (src/main.rs:63-84).
+    */
   private def viz(out: String, flags: Map[String, String]): Unit = {
     val config = loadConfig(flags)
     try {
@@ -360,7 +362,7 @@ object Main {
       val (vOrder, vMap) = session.restrictToSelection(order, nodeMap)
       val target = if (out.endsWith(".svg")) out else out + ".svg"
       Files.writeString(Paths.get(target),
-        GraphViz.renderSvg(vOrder, vMap, preview))
+        GraphViz.renderSvg(vOrder, vMap, preview, config.exposures))
       Files.writeString(Paths.get(target.stripSuffix(".svg") + ".dot"),
         GraphViz.renderDot(vOrder, vMap, preview, config.exposures))
       preview.foreach(p => println(

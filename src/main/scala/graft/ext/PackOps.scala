@@ -213,7 +213,7 @@ object PackOps {
     * score converts to an exact integer micro-score, the bin sums
     * integers, and the mean is ONE double division of exact operands,
     * identical on any engine and any aggregation order. Rows with a
-    * NULL score contribute nothing to the mean but still count in
+    * NULL (or NaN) score contribute nothing to the mean but still count in
     * `n_docs` (`bin_score` divides by the scored-row count; a bin with
     * zero scored rows has a NULL key and is excluded — the curriculum
     * cannot place it). Ties order by (shard, bin).
@@ -243,9 +243,14 @@ object PackOps {
     require(scoreHi > scoreLo,
       s"curriculumOrder: score range [$scoreLo, $scoreHi) is empty")
     val spark = docs.sparkSession
+    // NaN is a NULL for curriculum purposes (round(NaN)·cast would
+    // silently become micro-score 0 and drag the bin mean — and DuckDB
+    // errors on the same cast, so it would also be a cross-engine split)
+    val score = scoreCol.cast("double")
     val packed = packBins(
       docs.withColumn("__sm",
-        round(scoreCol.cast("double") * 1e6).cast("long")),
+        when(isnan(score), lit(null))
+          .otherwise(round(score * 1e6)).cast("long")),
       idCol, nTokCol, budget, nShards)
     val bins = DedupOps.cachedManifest(packed
       .groupBy(col("shard"), col("bin"))

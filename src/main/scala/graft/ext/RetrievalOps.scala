@@ -525,34 +525,6 @@ object RetrievalOps {
           .as("__c"))
   }
 
-  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal
-    * Rank Fusion outperforms Condorcet and individual Rank Learning
-    * Methods", SIGIR) — the standard hybrid-retrieval combiner: given N
-    * independently-ranked legs over the same (query, id) space (a lexical
-    * BM25 ranking and a vector cosine ranking being THE production pair),
-    * each leg contributes weight/(kRrf + rank) and the fused ranking is
-    * by the summed contribution. Rank-based fusion deliberately ignores
-    * the legs' incomparable score scales — that is the point.
-    *
-    * Each leg is a DataFrame of (queryCol, idCol, rankCol) — the output
-    * shape of [[bm25PerQuery]] and [[SimilarityOps.bruteForceTopK]] /
-    * the ANN serving paths after a rename. An id present in only SOME
-    * legs still fuses (the absent legs contribute nothing) — standard
-    * RRF, and exactly what makes it robust when one modality misses.
-    *
-    * Plan shape at 100 TB: the legs are already top-k outputs, so every
-    * row here is bounded by Σ_leg k_leg·|queries| — corpus size never
-    * appears. The fusion is one union (no join tree growing with leg
-    * count), one (query, id) aggregate, one per-query window top-k.
-    *
-    * Cross-engine determinism: contributions are exact binary rationals'
-    * quotients computed identically on both engines; the fused score is
-    * rounded at 6 AFTER the sum, and with the default two legs the sum
-    * of two doubles is order-insensitive. Ties break by id ascending.
-    *
-    * Returns (queryCol, idCol, rrf_score, fused_rank) with fused_rank
-    * 1..≤k per query.
-    */
   /** Weighted min-max score fusion (CombSUM with per-query min-max
     * normalization — Fox & Shaw 1994's comb family, the OTHER standard
     * hybrid combiner): each leg's scores normalize to [0, 1] WITHIN the
@@ -627,6 +599,34 @@ object RetrievalOps {
           (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods", SIGIR) — the standard hybrid-retrieval combiner: given N
+    * independently-ranked legs over the same (query, id) space (a lexical
+    * BM25 ranking and a vector cosine ranking being THE production pair),
+    * each leg contributes weight/(kRrf + rank) and the fused ranking is
+    * by the summed contribution. Rank-based fusion deliberately ignores
+    * the legs' incomparable score scales — that is the point.
+    *
+    * Each leg is a DataFrame of (queryCol, idCol, rankCol) — the output
+    * shape of [[bm25PerQuery]] and [[SimilarityOps.bruteForceTopK]] /
+    * the ANN serving paths after a rename. An id present in only SOME
+    * legs still fuses (the absent legs contribute nothing) — standard
+    * RRF, and exactly what makes it robust when one modality misses.
+    *
+    * Plan shape at 100 TB: the legs are already top-k outputs, so every
+    * row here is bounded by Σ_leg k_leg·|queries| — corpus size never
+    * appears. The fusion is one union (no join tree growing with leg
+    * count), one (query, id) aggregate, one per-query window top-k.
+    *
+    * Cross-engine determinism: contributions are exact binary rationals'
+    * quotients computed identically on both engines; the fused score is
+    * rounded at 6 AFTER the sum, and with the default two legs the sum
+    * of two doubles is order-insensitive. Ties break by id ascending.
+    *
+    * Returns (queryCol, idCol, rrf_score, fused_rank) with fused_rank
+    * 1..≤k per query.
+    */
   def rrfFuse(legs: Seq[DataFrame], queryCol: String, idCol: String,
               rankCol: String, k: Int, kRrf: Int = 60,
               weights: Seq[Double] = Nil): DataFrame = {

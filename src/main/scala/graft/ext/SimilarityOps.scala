@@ -263,7 +263,10 @@ object SimilarityOps {
     import spark.implicits._
     val cu = withUnitVec(candidates, "embedding", "__u")
       .select(col("vec_id"), col("__u"))
-    val pv = pool.join(cu, col("cand_id") === col("vec_id"))
+    // LEFT join: a pool id missing from the candidates table must not
+    // silently shrink the pool (its NULL unit vec surfaces as a NULL
+    // pairwise sim, which the walk turns into a NAMED error below)
+    val pv = pool.join(cu, col("cand_id") === col("vec_id"), "left")
       .select(col("probe_id"), col("cand_id"), col("rel"), col("__u"))
     val pairs = pv.as("x").join(pv.as("y"),
         col("x.probe_id") === col("y.probe_id") &&
@@ -284,7 +287,18 @@ object SimilarityOps {
       val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
       rs.foreach { r =>
         rel(r.cand_id) = r.rel
-        r.other.foreach(o => sim((r.cand_id, o)) = r.psim.get)
+        r.other.foreach { o =>
+          // a pair row with no similarity means the walk cannot compare
+          // the two candidates: zero-norm embedding (cosine undefined)
+          // or a pool id absent from the candidates table — both are
+          // upstream data defects; fail NAMED instead of mis-ranking
+          val p = r.psim.getOrElse(throw new IllegalArgumentException(
+            s"mmrRerankPool: probe $pid has an undefined pairwise " +
+              s"similarity between candidates ${r.cand_id} and $o — " +
+              "zero-norm or missing embedding; filter zero vectors " +
+              "and reconcile the pool against the candidates table"))
+          sim((r.cand_id, o)) = p
+        }
       }
       val ids = rel.keys.toArray.sorted
       val selected = scala.collection.mutable.ArrayBuffer.empty[Long]

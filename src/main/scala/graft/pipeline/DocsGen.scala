@@ -32,11 +32,24 @@ object DocsGen {
       .map(f => f.name -> f.dataType.simpleString))
     catch { case _: Exception => None }
 
+  /** One warehouse schema lookup per model, shared by both renderers —
+    * the CLI passes this to catalogJson AND catalogMarkdown so a large
+    * project pays N catalog round-trips, not 2N.
+    */
+  def columnsMap(spark: SparkSession,
+                 order: Seq[String]): Map[String, Option[Seq[(String, String)]]] =
+    order.map(id => id -> columnsOf(spark, id)).toMap
+
   def catalogJson(spark: SparkSession, order: Seq[String],
-                  nodeMap: Map[String, ModelNode]): String = {
+                  nodeMap: Map[String, ModelNode]): String =
+    catalogJson(order, nodeMap, columnsMap(spark, order))
+
+  def catalogJson(order: Seq[String], nodeMap: Map[String, ModelNode],
+                  colsMap: Map[String, Option[Seq[(String, String)]]])
+      : String = {
     val models = order.map { id =>
       val n = nodeMap(id)
-      val cols = columnsOf(spark, id)
+      val cols = colsMap.getOrElse(id, None)
       val colJson = cols.getOrElse(Nil).map { case (c, t) =>
         s"""{"name":${jstr(c)},"type":${jstr(t)}}"""
       }.mkString("[", ",", "]")
@@ -67,8 +80,13 @@ object DocsGen {
 
   def catalogJson(spark: SparkSession, order: Seq[String],
                   nodeMap: Map[String, ModelNode],
+                  exposures: Seq[Exposure]): String =
+    catalogJson(order, nodeMap, columnsMap(spark, order), exposures)
+
+  def catalogJson(order: Seq[String], nodeMap: Map[String, ModelNode],
+                  colsMap: Map[String, Option[Seq[(String, String)]]],
                   exposures: Seq[Exposure]): String = {
-    val base = catalogJson(spark, order, nodeMap)
+    val base = catalogJson(order, nodeMap, colsMap)
     val exJson = exposures.map { ex =>
       s"""{"name":${jstr(ex.name)},"type":${jstr(ex.exposureType)},""" +
         s""""owner":${ex.owner.fold("null")(jstr)},""" +
@@ -80,8 +98,13 @@ object DocsGen {
 
   def catalogMarkdown(spark: SparkSession, order: Seq[String],
                       nodeMap: Map[String, ModelNode],
+                      exposures: Seq[Exposure]): String =
+    catalogMarkdown(order, nodeMap, columnsMap(spark, order), exposures)
+
+  def catalogMarkdown(order: Seq[String], nodeMap: Map[String, ModelNode],
+                      colsMap: Map[String, Option[Seq[(String, String)]]],
                       exposures: Seq[Exposure]): String = {
-    val base = catalogMarkdown(spark, order, nodeMap)
+    val base = catalogMarkdown(order, nodeMap, colsMap)
     if (exposures.isEmpty) base
     else {
       val sb = new StringBuilder(base)
@@ -98,7 +121,12 @@ object DocsGen {
   }
 
   def catalogMarkdown(spark: SparkSession, order: Seq[String],
-                      nodeMap: Map[String, ModelNode]): String = {
+                      nodeMap: Map[String, ModelNode]): String =
+    catalogMarkdown(order, nodeMap, columnsMap(spark, order))
+
+  def catalogMarkdown(order: Seq[String], nodeMap: Map[String, ModelNode],
+                      colsMap: Map[String, Option[Seq[(String, String)]]])
+      : String = {
     val sb = new StringBuilder
     sb ++= s"# Project catalog\n\n${order.size} models in execution " +
       "order. Columns reflect the warehouse as restored/built in the " +
@@ -121,7 +149,7 @@ object DocsGen {
           s"${f.warnAfterSeconds.fold("-")(_.toString)}s, error>" +
           s"${f.errorAfterSeconds.fold("-")(_.toString)}s\n"
       }
-      columnsOf(spark, id) match {
+      colsMap.getOrElse(id, None) match {
         case Some(cols) if cols.nonEmpty =>
           sb ++= "\n| column | type |\n|---|---|\n"
           cols.foreach { case (c, t) => sb ++= s"| $c | $t |\n" }

@@ -1312,15 +1312,24 @@ final class PipelineSession(
     }
   }
 
-  /** A filesystem/view-name-safe slug for a test's failure store. */
+  /** A filesystem/view-name-safe slug for a test's failure store —
+    * UNIQUE per distinct test on a model, stable across runs:
+    * accepted_values folds a short hash of its value list (two lists on
+    * one column are two different tests and must not share a store);
+    * custom SQL slugs from the full path, not the basename (tests/a/x.sql
+    * vs tests/b/x.sql). The remaining shapes are fully keyed by their
+    * column/target — declaring one twice is the same test twice.
+    */
   private def testSlug(t: ModelTest): String = (t match {
     case ModelTest.NotNull(c) => s"not_null_$c"
     case ModelTest.Unique(c) => s"unique_$c"
-    case ModelTest.AcceptedValues(c, _) => s"accepted_values_$c"
+    case ModelTest.AcceptedValues(c, vs) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(vs.mkString(" ").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      s"accepted_values_${c}_$h"
     case ModelTest.Relationships(c, to, f) => s"relationships_${c}_${to}_$f"
-    case ModelTest.CustomSql(p) =>
-      val base = new java.io.File(p).getName
-      s"sql_${base.stripSuffix(".sql")}"
+    case ModelTest.CustomSql(p) => s"sql_${p.stripSuffix(".sql")}"
     case w => testSlug(ModelTest.base(w)) // wrappers never reach here
   }).replaceAll("[^A-Za-z0-9_]", "_")
 

@@ -72,9 +72,17 @@ object GraphViz {
     * [[renderDot]]'s would-skip (green) / would-execute (red) split.
     */
   def renderSvg(nodeNames: Seq[String], nodeMap: Map[String, ModelNode],
-                preview: Option[Set[String]] = None): String = {
-    val graph = Dag.Graph(nodeNames.map { id =>
-      id -> nodeMap.get(id).map(_.prevs.filter(nodeMap.contains)).getOrElse(Set.empty)
+                preview: Option[Set[String]] = None,
+                exposures: Seq[graft.pipeline.Exposure] = Nil): String = {
+    // exposures join the layout as extra leaves (same visibility rule as
+    // [[renderDot]]: only when every dependency is in the selection) —
+    // dashed rects so a consumer reads as declared, not executable
+    val shownEx = exposures.filter(_.dependsOn.forall(nodeNames.contains))
+    val exIds = shownEx.map(_.name)
+    val exDeps = shownEx.map(e => e.name -> e.dependsOn.toSet).toMap
+    val graph = Dag.Graph((nodeNames ++ exIds).map { id =>
+      id -> nodeMap.get(id).map(_.prevs.filter(nodeMap.contains))
+        .orElse(exDeps.get(id)).getOrElse(Set.empty)
     }.toMap)
     val levels = Dag.waves(graph)
     val boxW = 180; val boxH = 40; val hGap = 60; val vGap = 50
@@ -92,22 +100,32 @@ object GraphViz {
 
     def esc(s: String) = s.replace("&", "&amp;")
       .replace("<", "&lt;").replace(">", "&gt;")
+    val exIdSet = exIds.toSet
     val rects = pos.toSeq.sortBy(_._1).map { case (id, (x, y)) =>
-      val fill = preview match {
-        case None => "#eef2f7"
-        case Some(skips) if skips(id) => "#e2f5e2" // would skip
-        case Some(_) => "#fbe4e4"                  // would execute
-      }
-      s"""<rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6" fill="$fill" stroke="#4a5568"/>
+      val isEx = exIdSet(id)
+      val fill =
+        if (isEx) "#f7f3e8" // exposure: declared consumer, not executable
+        else preview match {
+          case None => "#eef2f7"
+          case Some(skips) if skips(id) => "#e2f5e2" // would skip
+          case Some(_) => "#fbe4e4"                  // would execute
+        }
+      val dash = if (isEx) " stroke-dasharray=\"6,3\"" else ""
+      s"""<rect x="$x" y="$y" width="$boxW" height="$boxH" rx="6" fill="$fill" stroke="#4a5568"$dash/>
          |<text x="${x + boxW / 2}" y="${y + boxH / 2 + 5}" text-anchor="middle" font-family="monospace" font-size="13">${esc(id)}</text>""".stripMargin
     }.mkString("\n")
 
-    val lines = nodeNames.flatMap { from =>
+    val lines = (nodeNames.flatMap { from =>
       nodeMap.get(from).toSeq.flatMap(_.nexts.toSeq.sorted).flatMap { to =>
         for { (x1, y1) <- pos.get(from); (x2, y2) <- pos.get(to) } yield
           s"""<line x1="${x1 + boxW / 2}" y1="${y1 + boxH}" x2="${x2 + boxW / 2}" y2="$y2" stroke="#4a5568" marker-end="url(#arr)"/>"""
       }
-    }.mkString("\n")
+    } ++ shownEx.flatMap { ex =>
+      ex.dependsOn.sorted.flatMap { from =>
+        for { (x1, y1) <- pos.get(from); (x2, y2) <- pos.get(ex.name) } yield
+          s"""<line x1="${x1 + boxW / 2}" y1="${y1 + boxH}" x2="${x2 + boxW / 2}" y2="$y2" stroke="#4a5568" stroke-dasharray="6,3" marker-end="url(#arr)"/>"""
+      }
+    }).mkString("\n")
 
     s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height">
        |<defs><marker id="arr" markerWidth="8" markerHeight="8" refX="7" refY="3" orient="auto">

@@ -288,18 +288,22 @@ class PackOpsSpec extends AnyFunSuite {
     assert(positions(3, hf = true) == positions(4096, hf = true))
   }
 
-  test("curriculumOrder: NULL scores don't poison the mean (they skip " +
-      "the sum AND the divisor); an all-NULL bin is excluded") {
+  test("curriculumOrder: NULL and NaN scores don't poison the mean " +
+      "(they skip the sum AND the divisor); an all-NULL bin is excluded") {
     val d = Seq(
-      (0L, 300L, Some(0.9)), (8L, 300L, None), // s0 b0: mean over {0.9}
-      (2L, 100L, Option.empty[Double])         // s2 b0: all-NULL
+      (0L, 300L, Some(0.9)),
+      (8L, 300L, None),                  // s0 b0: NULL skips
+      (16L, 100L, Some(Double.NaN)),     // s0 b1: NaN == NULL here
+      (2L, 100L, Option.empty[Double])   // s2 b0: all-NULL
     ).toDF("doc_id", "n_tok", "score")
     val r = PackOps.curriculumOrder(d, "doc_id", col("n_tok"),
         col("score"), budget = 512, nShards = 8)
       .collect().map(x => ((x.getInt(0), x.getInt(1)),
         (x.getLong(2), x.getDouble(4), x.getLong(5)))).toMap
+    // (0,1) holds only the NaN-scored doc → excluded like the all-NULL
+    // bin; (0,0)'s mean skips its NULL row but n_docs still counts it
     assert(r.keySet == Set((0, 0)), r)
-    assert(r((0, 0)) == ((2L, 0.9, 1L)), r) // n_docs counts the null row
+    assert(r((0, 0)) == ((2L, 0.9, 1L)), r)
   }
 
   test("curriculumOrder validates its arguments loudly") {

@@ -849,6 +849,37 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(r.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
 
+  test("mmrRerankPool fails NAMED (not silently re-ranked) when a pool " +
+      "id is missing from the candidates table or has a zero-norm " +
+      "embedding") {
+    import spark.implicits._
+    val cands = vecs(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 0),
+      (3L, Seq(0f, 0f), 0)) // zero-norm: cosine undefined
+    def poolOf(ids: Long*) =
+      ids.map(i => (0L, i, 0.5)).toDF("probe_id", "cand_id", "rel")
+    // executor-side failures surface wrapped; search the cause chain
+    def fullMsg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // id 9 exists in the pool but not in candidates
+    val missing = intercept[Exception] {
+      SimilarityOps.mmrRerankPool(poolOf(1L, 9L), cands, k = 2).collect()
+    }
+    assert(fullMsg(missing).contains("undefined pairwise similarity"),
+      fullMsg(missing))
+    val zero = intercept[Exception] {
+      SimilarityOps.mmrRerankPool(poolOf(1L, 3L), cands, k = 2).collect()
+    }
+    assert(fullMsg(zero).contains("undefined pairwise similarity"),
+      fullMsg(zero))
+    // the healthy pool still works after the left-join change
+    val ok = SimilarityOps.mmrRerankPool(poolOf(1L, 2L), cands, k = 2)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(ok == Seq(1L, 2L), ok)
+  }
+
   test("mmrRerank validates its arguments loudly") {
     val data = vecs((0L, Seq(1f, 0f), 0))
     def msg(f: => Any): String =

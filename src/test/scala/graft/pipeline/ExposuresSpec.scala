@@ -107,6 +107,14 @@ class ExposuresSpec extends AnyFunSuite {
     val partial = GraphViz.renderDot(Seq("ex_other"),
       nodeMap.view.filterKeys(_ == "ex_other").toMap, None, cfg.exposures)
     assert(!partial.contains("weekly_dash"), partial)
+    // the SVG (the artifact `graft viz` names) carries the exposure too:
+    // a dashed leaf rect positioned a wave below its dependency
+    val svg = GraphViz.renderSvg(order, nodeMap, None, cfg.exposures)
+    assert(svg.contains(">weekly_dash</text>"), svg)
+    assert(svg.contains("stroke-dasharray"), svg)
+    val svgPartial = GraphViz.renderSvg(Seq("ex_other"),
+      nodeMap.view.filterKeys(_ == "ex_other").toMap, None, cfg.exposures)
+    assert(!svgPartial.contains("weekly_dash"), svgPartial)
   }
 
   test("docs catalog carries the exposures section in JSON and markdown") {

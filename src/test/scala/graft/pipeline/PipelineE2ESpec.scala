@@ -2577,4 +2577,38 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(e.render.contains("store_failures must be true or false"),
       e.render)
   }
+
+  test("store_failures: two same-kind tests on one column get DISTINCT " +
+      "stores (the value-list hash disambiguates) — neither clobbers " +
+      "the other's failure rows") {
+    val db = Files.createTempDirectory("graft-sfd-db")
+    val dir = Files.createTempDirectory("graft-sfd")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("sfd_m.sql"),
+      "SELECT 1 AS id UNION ALL SELECT 2 UNION ALL SELECT 3")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  sfd_m:
+         |    materialize: table
+         |    tests:
+         |      - accepted_values: { column: id, values: ["1", "2"] }
+         |        severity: warn
+         |        store_failures: true
+         |      - accepted_values: { column: id, values: ["1"] }
+         |        severity: warn
+         |        store_failures: true""".stripMargin)
+    val cfg = PipelineConfig.load(dir.resolve("config.yaml"))
+    val r = new PipelineSession(spark, cfg).runNodes()
+    assert(r.errors.isEmpty, r.errors.map(_.render).mkString("\n"))
+    val stores = db.resolve("test_failures").resolve("sfd_m").toFile
+      .listFiles().map(_.getName).sorted.toSeq
+    assert(stores.size == 2 && stores.forall(_.startsWith(
+      "accepted_values_id_")), stores)
+    val counts = stores.map(s => spark.read.parquet(
+      db.resolve("test_failures").resolve("sfd_m").resolve(s).toString)
+      .count()).sorted
+    assert(counts == Seq(1L, 2L), counts) // {3} and {2,3} violate
+  }
 }
