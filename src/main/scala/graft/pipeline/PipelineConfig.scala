@@ -137,11 +137,57 @@ object ModelTest {
     def describe = s"store_failures:${inner.describe}"
   }
 
+  /** dbt's per-test `where` / `warn_if` / `error_if` configs, carried as
+    * one wrapper (innermost — severity and store_failures stack outside):
+    * `where` scopes the tested relation with a SQL predicate before the
+    * test runs (the "only recent partitions" migration scoping; rejected
+    * on custom-SQL tests, whose query already owns its own WHERE);
+    * `error_if`/`warn_if` are conditions on the VIOLATION COUNT
+    * (`"> 10"`, `">= 5"`, `"!= 0"`): error_if failing throws, else
+    * warn_if failing reports a warning without failing the node, else
+    * the test passes — dbt's threshold semantics, with dbt's `"!= 0"`
+    * defaults. All three fold into describe (and therefore the closure
+    * fingerprint), so editing a threshold re-executes under
+    * `--changed-only`.
+    */
+  final case class Configured(inner: ModelTest, where: Option[String],
+                              warnIf: Option[String],
+                              errorIf: Option[String]) extends ModelTest {
+    def describe: String = {
+      val parts = where.map(w => s"where($w)").toSeq ++
+        warnIf.map(w => s"warn_if($w)") ++
+        errorIf.map(e => s"error_if($e)")
+      s"${parts.mkString(":")}:${inner.describe}"
+    }
+  }
+
+  /** A parsed threshold condition over the violation count. */
+  def parseCondition(modelId: String, knob: String,
+                     raw: String): Long => Boolean = {
+    val m = "^\\s*(>=|<=|!=|=|>|<)\\s*(\\d+)\\s*$".r
+    raw match {
+      case m(op, n) =>
+        val v = n.toLong
+        op match {
+          case ">"  => _ > v
+          case ">=" => _ >= v
+          case "<"  => _ < v
+          case "<=" => _ <= v
+          case "!=" => _ != v
+          case "="  => _ == v
+        }
+      case other => throw GenericError(
+        s"models.$modelId.tests: $knob must be like `> 10`, `>= 5`, " +
+          s"`!= 0`; got `$other`")
+    }
+  }
+
   /** The wrapper-stripped test (what actually executes). */
   @annotation.tailrec
   def base(t: ModelTest): ModelTest = t match {
     case Warn(i) => base(i)
     case StoreFailures(i) => base(i)
+    case Configured(i, _, _, _) => base(i)
     case x => x
   }
 
@@ -403,10 +449,20 @@ object PipelineConfig {
               s"false, got `$other`")
         }
       }.getOrElse(false)
-      val rest = fields -- Seq("severity", "store_failures")
+      def opt(k: String): Option[String] =
+        fields.get(k).flatMap(Option(_)).map(_.toString)
+      val where = opt("where")
+      val warnIf = opt("warn_if")
+      val errorIf = opt("error_if")
+      // validate condition syntax at LOAD, not first execution
+      warnIf.foreach(ModelTest.parseCondition(modelId, "warn_if", _))
+      errorIf.foreach(ModelTest.parseCondition(modelId, "error_if", _))
+      val rest = fields -- Seq("severity", "store_failures", "where",
+        "warn_if", "error_if")
       if (rest.size != 1) throw GenericError(
         s"models.$modelId.tests: each entry must be one test key plus " +
-          s"optional `severity`/`store_failures`, got keys " +
+          s"optional `severity`/`store_failures`/`where`/`warn_if`/" +
+          s"`error_if`, got keys " +
           s"${fields.keys.toSeq.sorted.mkString("[", ", ", "]")}")
       val (k, v) = rest.head
       val parsed = (k, v) match {
@@ -443,8 +499,17 @@ object PipelineConfig {
             "(supported: not_null, unique, accepted_values, " +
             "relationships, sql)")
       }
+      if (where.isDefined && parsed.isInstanceOf[ModelTest.CustomSql])
+        throw GenericError(
+          s"models.$modelId.tests: `where` does not apply to a custom " +
+            "SQL test — its query already owns its own WHERE clause")
+      val configured =
+        if (where.isDefined || warnIf.isDefined || errorIf.isDefined)
+          ModelTest.Configured(parsed, where, warnIf, errorIf)
+        else parsed
       val stored =
-        if (storeFailures) ModelTest.StoreFailures(parsed) else parsed
+        if (storeFailures) ModelTest.StoreFailures(configured)
+        else configured
       if (severity.contains("warn")) ModelTest.Warn(stored) else stored
     case other => throw GenericError(
       s"models.$modelId.tests: each entry must be a single-key mapping, " +

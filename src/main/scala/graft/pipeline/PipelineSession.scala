@@ -1267,12 +1267,24 @@ final class PipelineSession(
         // execute (missing file, typo'd column) fails the node at any
         // severity, or the declared test would silently test nothing
         try runModelTest(node, inner)
-        catch { case e: DataTestViolation =>
+        catch {
+          case e: DataTestViolation =>
+            println(s"    WARN  ${node.id}: " +
+              e.getMessage.linesIterator.next() +
+              " (severity: warn — not failing the node)")
+          case e: DataTestWarning =>
+            println(s"    WARN  ${node.id}: " +
+              e.getMessage.linesIterator.next())
+        }
+      case t =>
+        // a warn_if-level result reports without failing the node at
+        // ANY severity (dbt's threshold semantics)
+        try runModelTest(node, t)
+        catch { case e: DataTestWarning =>
           println(s"    WARN  ${node.id}: " +
             e.getMessage.linesIterator.next() +
-            " (severity: warn — not failing the node)")
+            " (warn_if — not failing the node)")
         }
-      case t => runModelTest(node, t)
     }
 
   /** dbt `test`: every declared data test run against the EXISTING
@@ -1304,9 +1316,11 @@ final class PipelineSession(
           }
         // warn downgrades VIOLATIONS only: a warn test that could not
         // EXECUTE reports as a real failure (exit-code-flipping), same
-        // as the run path
-        val warnOnly = t.isInstanceOf[ModelTest.Warn] &&
-          err.forall(_.isInstanceOf[DataTestViolation])
+        // as the run path. A threshold-level DataTestWarning is
+        // warn-only at ANY severity.
+        val warnOnly = err.exists(_.isInstanceOf[DataTestWarning]) ||
+          (t.isInstanceOf[ModelTest.Warn] &&
+            err.forall(_.isInstanceOf[DataTestViolation]))
         (id, t.describe, err, warnOnly)
       }
     }
@@ -1330,7 +1344,14 @@ final class PipelineSession(
       s"accepted_values_${c}_$h"
     case ModelTest.Relationships(c, to, f) => s"relationships_${c}_${to}_$f"
     case ModelTest.CustomSql(p) => s"sql_${p.stripSuffix(".sql")}"
-    case w => testSlug(ModelTest.base(w)) // wrappers never reach here
+    // a configured (where/threshold) variant is a DIFFERENT test from
+    // its unscoped sibling — fold the config into the slug
+    case c @ ModelTest.Configured(i, _, _, _) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.describe.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      s"${testSlug(i)}_$h"
+    case w => testSlug(ModelTest.base(w)) // severity/store never reach here
   }).replaceAll("[^A-Za-z0-9_]", "_")
 
   private def runModelTest(node: ModelNode, t0: ModelTest): Unit =
@@ -1339,16 +1360,40 @@ final class PipelineSession(
       // store_failures rides inside the severity wrapper; unwrap it here
       // so both the run path (which strips Warn) and `graft test` (which
       // keeps Warn for its own downgrade decision) persist the failures
-      val (store, t) = t0 match {
+      val (store, t1) = t0 match {
         case ModelTest.StoreFailures(inner) => (true, inner)
         case x => (false, x)
       }
-      val df =
+      // where/threshold config sits innermost; the slug keys on the
+      // CONFIGURED test so a scoped variant never shares a store with
+      // its unscoped sibling
+      val (cfg, t) = t1 match {
+        case c @ ModelTest.Configured(inner, _, _, _) => (Some(c), inner)
+        case x => (None, x)
+      }
+      val slug = testSlug(t1)
+      val df0 =
         try spark.table(node.id)
         catch { case e: Exception =>
           throw StatementExecutionError(
             s"test ${t.describe}: cannot read model output: ${e.getMessage}",
             node.renderedSrc, node.path) }
+      // dbt's `where` config: scope the tested relation BEFORE the test
+      // (custom SQL rejects `where` at config load — its query owns its
+      // own predicate). A broken predicate is a broken test: loud.
+      val df = cfg.flatMap(_.where) match {
+        case Some(w) =>
+          try {
+            val filtered = df0.filter(org.apache.spark.sql.functions.expr(w))
+            filtered.queryExecution.analyzed // surface a bad predicate NOW
+            filtered
+          } catch {
+            case e: Exception => throw StatementExecutionError(
+              s"test ${t1.describe}: `where` predicate failed: " +
+                e.getMessage, node.renderedSrc, node.path)
+          }
+        case None => df0
+      }
       // each shape yields its VIOLATING ROWS as a DataFrame; the count
       // (and optional failure store) runs it exactly once below
       val badDf: org.apache.spark.sql.DataFrame = t match {
@@ -1399,7 +1444,7 @@ final class PipelineSession(
             s"models.${node.id}.tests: store_failures requires db_path " +
               "in config.yaml (the failure store persists under it)"))
           val dir = java.nio.file.Paths.get(db, "test_failures", node.id,
-            testSlug(t)).toString
+            slug).toString
           Some(dir)
         }
       val bad: Long = storeDir match {
@@ -1408,7 +1453,7 @@ final class PipelineSession(
             badDf.repartition(1).write.mode("overwrite").parquet(dir)
             val back = spark.read.parquet(dir)
             back.createOrReplaceTempView(
-              s"${node.id}__failures__${testSlug(t)}")
+              s"${node.id}__failures__$slug")
             back.count()
           } catch {
             case e: GraftError => throw e
@@ -1425,12 +1470,27 @@ final class PipelineSession(
               node.renderedSrc, node.path)
           }
       }
-      if (bad > 0)
+      // dbt's threshold semantics (defaults `!= 0`): error_if decides
+      // failure; otherwise warn_if decides a non-failing warning. With
+      // no thresholds configured, error_if's default reproduces the
+      // plain `bad > 0 -> fail` behavior exactly.
+      val errorIfHolds = cfg.flatMap(_.errorIf)
+        .map(ModelTest.parseCondition(node.id, "error_if", _))
+        .getOrElse((n: Long) => n != 0L)
+      val warnIfHolds = cfg.flatMap(_.warnIf)
+        .map(ModelTest.parseCondition(node.id, "warn_if", _))
+        .getOrElse((n: Long) => n != 0L)
+      val what = s"$bad violating " +
+        (t match { case _: ModelTest.Unique => "duplicated values"
+                   case _ => "rows" }) +
+        storeDir.map(d => s" (failures stored: $d)").getOrElse("")
+      if (errorIfHolds(bad))
         throw DataTestViolation(
-          s"data test ${t.describe} failed: $bad violating " +
-            (t match { case _: ModelTest.Unique => "duplicated values"
-                       case _ => "rows" }) +
-            storeDir.map(d => s" (failures stored: $d)").getOrElse(""),
+          s"data test ${t1.describe} failed: $what",
+          node.renderedSrc, node.path)
+      else if (warnIfHolds(bad))
+        throw DataTestWarning(
+          s"data test ${t1.describe} warning: $what",
           node.renderedSrc, node.path)
     }
 

@@ -46,3 +46,15 @@ final case class DataTestViolation(msg: String, sql: String, path: String)
   override def getMessage: String = msg
   def render: String = StatementExecutionError(msg, sql, path).render
 }
+
+/** A data-test WARNING: the violation count satisfied `warn_if` but not
+  * `error_if` — reported (and surfaced by `graft test` as WARN) without
+  * failing the node, regardless of the test's severity. Distinct from
+  * [[DataTestViolation]] so the run path can downgrade it unconditionally
+  * while a broken test (which throws neither) still fails loudly.
+  */
+final case class DataTestWarning(msg: String, sql: String, path: String)
+    extends GraftError {
+  override def getMessage: String = msg
+  def render: String = StatementExecutionError(msg, sql, path).render
+}

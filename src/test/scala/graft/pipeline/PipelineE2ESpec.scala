@@ -2611,4 +2611,72 @@ class PipelineE2ESpec extends AnyFunSuite {
       .count()).sorted
     assert(counts == Seq(1L, 2L), counts) // {3} and {2,3} violate
   }
+
+  test("test where/warn_if/error_if: where scopes the tested relation; " +
+      "error_if decides failure, warn_if reports without failing at any " +
+      "severity; broken predicates and bad conditions fail NAMED") {
+    val db = Files.createTempDirectory("graft-thr-db")
+    val dir = Files.createTempDirectory("graft-thr")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    // rows: id 1..5, flag null for ids >= 4 (2 null flags)
+    Files.writeString(modelsDir.resolve("th_m.sql"),
+      "SELECT id, CASE WHEN id < 4 THEN id END AS flag " +
+        "FROM range(1, 6) t(id)")
+    def cfgWith(testsYaml: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |db_path: $db
+           |models:
+           |  th_m:
+           |    materialize: table
+           |    tests:
+           |$testsYaml""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // where scopes away the nulls → passes; unscoped → fails
+    val scoped = cfgWith("      - not_null: flag\n        where: id < 4")
+    val r1 = new PipelineSession(spark, scoped).runNodes()
+    assert(r1.errors.isEmpty, r1.errors.map(_.render).mkString("\n"))
+    val unscoped = cfgWith("      - not_null: flag")
+    assert(new PipelineSession(spark, unscoped).runNodes().errors.nonEmpty)
+    // error_if "> 2": 2 nulls → default warn_if (!=0) fires as a
+    // NON-FAILING warning; the node succeeds
+    val thresh = cfgWith(
+      "      - not_null: flag\n        error_if: '> 2'")
+    val r2 = new PipelineSession(spark, thresh).runNodes()
+    assert(r2.errors.isEmpty, r2.errors.map(_.render).mkString("\n"))
+    // graft test reports it as WARN (err carried, warnOnly) without
+    // flipping the failure count
+    val t = new PipelineSession(spark, thresh).runTestsOnly()
+    assert(t.size == 1 && t.head._3.exists(
+      _.isInstanceOf[DataTestWarning]) && t.head._4, t.toString)
+    // warn_if "> 5" too: 2 nulls → clean pass, nothing reported
+    val quiet = cfgWith(
+      "      - not_null: flag\n        error_if: '> 2'\n" +
+        "        warn_if: '> 5'")
+    val t2 = new PipelineSession(spark, quiet).runTestsOnly()
+    assert(t2.size == 1 && t2.head._3.isEmpty, t2.toString)
+    // error_if "> 1": 2 nulls → fails
+    val strict = cfgWith(
+      "      - not_null: flag\n        error_if: '> 1'")
+    assert(new PipelineSession(spark, strict).runNodes().errors.nonEmpty)
+    // a broken where predicate is a broken test: loud at any severity
+    val broken = cfgWith(
+      "      - not_null: flag\n        where: no_such_col < 4\n" +
+        "        severity: warn")
+    val r3 = new PipelineSession(spark, broken).runNodes()
+    assert(r3.errors.exists(_.render.contains("`where` predicate failed")),
+      r3.errors.map(_.render).mkString("\n"))
+    // bad condition syntax and where-on-sql fail NAMED at config load
+    val e1 = intercept[GraftError] {
+      cfgWith("      - not_null: flag\n        error_if: 'about 10'")
+    }
+    assert(e1.render.contains("error_if must be like"), e1.render)
+    Files.writeString(dir.resolve("custom.sql"),
+      "SELECT * FROM th_m WHERE flag IS NULL")
+    val e2 = intercept[GraftError] {
+      cfgWith("      - sql: custom.sql\n        where: id < 4")
+    }
+    assert(e2.render.contains("does not apply to a custom"), e2.render)
+  }
 }
