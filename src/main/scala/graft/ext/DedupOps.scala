@@ -1648,4 +1648,52 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol))
     docs.join(keep, Seq(idCol))
   }
+
+  /** The budget-quality curve: token mass per fixed-width score bucket,
+    * cumulated BEST-FIRST — the report a recipe owner reads to SET the
+    * budget literal [[tokenBudgetSelect]] then enforces ("the top bucket
+    * alone holds 12% of the tokens; going one bucket deeper buys 31%
+    * more at a 0.1 quality discount"). Fixed-width buckets, not ntile:
+    * an ntile boundary depends on engine-specific tie placement, a
+    * floor(score·n) bucket is a pure function of the rounded score.
+    *
+    * Determinism: per-bucket counts and token sums are exact integers,
+    * the best-first cumulation is a window over ≤ nBuckets aggregate
+    * rows (bounded — this is the one place a global window is free),
+    * and `cum_share` is ONE double division of exact longs, rounded at
+    * 6. NULL/NaN scores and NULL token counts are excluded (the curve
+    * cannot place them — [[tokenBudgetSelect]]'s rule).
+    *
+    * Returns (bucket, n_docs, n_tokens, cum_tokens, cum_share) ordered
+    * bucket DESC (best first); buckets with no documents are absent.
+    */
+  def budgetCurve(docs: DataFrame, scoreCol: Column, nTokCol: Column,
+                  nBuckets: Int = 10, scoreLo: Double = 0.0,
+                  scoreHi: Double = 1.0): DataFrame = {
+    require(nBuckets > 0, s"budgetCurve: nBuckets must be positive")
+    require(scoreHi > scoreLo,
+      s"budgetCurve: score range [$scoreLo, $scoreHi) is empty")
+    val s = scoreCol.cast("double")
+    val t = nTokCol.cast("long")
+    val bucketed = docs
+      .filter(s.isNotNull && !isnan(s) && t.isNotNull && t >= 0L)
+      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
+        floor((s - scoreLo) / (scoreHi - scoreLo) * nBuckets)
+          .cast("int"))))
+      .withColumn("__t", t)
+    val byBucket = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val w = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_share",
+        round(col("cum_tokens").cast("double") /
+          sum(col("n_tokens")).over(
+            Window.orderBy(col("__b").desc).rowsBetween(
+              Window.unboundedPreceding,
+              Window.unboundedFollowing)).cast("double"), 6))
+      .select(col("__b").as("bucket"), col("n_docs"), col("n_tokens"),
+        col("cum_tokens"), col("cum_share"))
+  }
 }

@@ -200,6 +200,41 @@ object PackOps {
           s" $docSep ").as("token_stream"))
   }
 
+  /** Packing-efficiency report: per shard, how full the [[packBins]]
+    * layout actually is — the padding-waste diagnostic a trainer reads
+    * before committing a context length (`budget`). Because a document
+    * never splits, a bin can RUN OVER its budget (the doc that straddles
+    * the boundary belongs to the bin it started in) and the final bin of
+    * a shard usually runs under; `fill_ratio` prices both effects in one
+    * number and `overflow_bins` counts the stragglers.
+    *
+    * Determinism: every aggregate is an exact integer (docs, tokens,
+    * bins, capacity = bins·budget); `fill_ratio` is ONE double division
+    * of exact operands, rounded at 6 — no float aggregation anywhere.
+    * Scale shape: rides [[packBins]]'s one shuffle; the report is
+    * ≤ nShards rows.
+    *
+    * Returns (shard, n_bins, n_docs, n_tokens, capacity, fill_ratio,
+    * overflow_bins) ordered by shard.
+    */
+  def packEfficiency(docs: DataFrame, idCol: String, nTokCol: Column,
+                     budget: Int, nShards: Int): DataFrame =
+    packBins(docs, idCol, nTokCol, budget, nShards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("__nd"), sum(col("n_tok")).as("__nt"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("__nd")).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        (count(lit(1)) * budget).as("capacity"),
+        count(when(col("__nt") > budget, lit(1))).as("overflow_bins"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens").cast("double") /
+          col("capacity").cast("double"), 6))
+      .select(col("shard"), col("n_bins"), col("n_docs"),
+        col("n_tokens"), col("capacity"), col("fill_ratio"),
+        col("overflow_bins"))
+
   /** Curriculum ordering of packed training bins: [[packBins]]'s
     * (shard, bin) layout rolled up per bin and assigned a GLOBAL
     * consumption position by mean document quality — highest-scored

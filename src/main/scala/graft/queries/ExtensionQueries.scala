@@ -1794,6 +1794,28 @@ object ExtensionQueries {
         .orderBy(col("shard"), col("bin"))
     }),
 
+    // -- Budget-quality curve (q170): token mass per learned-score
+    // bucket, cumulated best-first — the report that SETS the budget
+    // literal q127/q150/q153 then enforce. Fixed-width buckets (never
+    // ntile: a tie at an ntile boundary is engine-specific), exact
+    // integer sums, one division per share --------------------------------
+    "q170_budget_curve" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      DedupOps.budgetCurve(d,
+          round(TextOps.qualityLrScore(col("text")), 6),
+          TextOps.subwordTokenCount(col("text")))
+        .orderBy(col("bucket").desc)
+    }),
+
+    // -- Packing-efficiency report (q171): per shard, how full q65's
+    // layout is — fill ratio vs capacity and the straddler count, the
+    // padding-waste diagnostic read before committing a context length --
+    "q171_pack_efficiency" -> ((s, dir) =>
+      PackOps.packEfficiency(t(s, dir, "documents"), "doc_id",
+          size(TextOps.tokens(col("text"))).cast("long"),
+          budget = 512, nShards = 8)
+        .orderBy(col("shard"))),
+
     // -- Curriculum pack ordering (q165): the all-learned composition of
     // the packing and quality families — bins packed in LEARNED subword
     // tokens (committed BpeMerges pricing), each bin keyed by the mean
@@ -2861,6 +2883,60 @@ object ExtensionQueries {
       |      ORDER BY rrf_score DESC, id) AS INT) AS fused_rank FROM fus)
       |SELECT query_id, id, rrf_score, fused_rank FROM frk
       |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
+
+  /** q170: the shared classifier + merges CTEs bucketed fixed-width,
+    * best-first cumulative sums over the ≤10 aggregate rows, one
+    * division per share.
+    */
+  private lazy val budgetCurveOracleSql: String =
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |d2 AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |${qualityLrScoreCtes("d2")},
+       |m2 AS (SELECT qz.doc_id,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(qz.score * 10) AS INT)))
+       |      AS INT) AS bucket,
+       |    dtok.n_tokens
+       |  FROM qz JOIN dtok USING (doc_id)),
+       |bb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM m2 GROUP BY bucket),
+       |cc2 AS (SELECT bucket, n_docs, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY bucket DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM bb)
+       |SELECT bucket, n_docs, n_tokens, cum_tokens,
+       |  round(CAST(cum_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+       |    AS cum_share
+       |FROM cc2 ORDER BY bucket DESC""".stripMargin
+
+  /** q171: q65's pack CTEs rolled up per shard — exact integer fill
+    * accounting, one division per ratio.
+    */
+  private lazy val packEfficiencyOracleSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, shard, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+      |b AS (SELECT shard, doc_id, n_tok,
+      |    CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS INTEGER) AS bin
+      |  FROM c),
+      |bins AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(sum(n_tok) AS BIGINT) AS nt
+      |  FROM b GROUP BY shard, bin)
+      |SELECT CAST(shard AS INTEGER) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  CAST(sum(nd) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) * 512 AS BIGINT) AS capacity,
+      |  round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) * 512 AS DOUBLE), 6)
+      |    AS fill_ratio,
+      |  CAST(count(*) FILTER (WHERE nt > 512) AS BIGINT) AS overflow_bins
+      |FROM bins GROUP BY shard ORDER BY shard""".stripMargin
 
   /** q168: the two q163 legs aggregated into the per-query agreement
     * report — exact integer counts, jaccard = one double division.
@@ -5044,6 +5120,8 @@ object ExtensionQueries {
     "q152_tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "q153_learned_gate_budget" -> learnedGateBudgetOracleSql,
     "q165_curriculum_pack" -> curriculumPackOracleSql,
+    "q170_budget_curve" -> budgetCurveOracleSql,
+    "q171_pack_efficiency" -> packEfficiencyOracleSql,
     "q148_budget_by_source" -> budgetBySourceOracleSql,
     // q149: q27's pair CTEs over the train slice + q63's gram CTEs +
     // q64's quality arithmetic, rolled up per score decile

@@ -1093,4 +1093,34 @@ class DedupOpsSpec extends AnyFunSuite {
       DedupOps.tokenBudgetSelect(docs, "id", col("score"), col("n"),
         budgetTokens = 50L).collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("budgetCurve: fixed-width buckets, best-first cumulation, exact " +
+      "shares; NULL/NaN scores and NULL tokens are excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some(0.95), Some(100L)), // bucket 9
+      (2L, Some(0.92), Some(50L)),  // bucket 9
+      (3L, Some(0.45), Some(200L)), // bucket 4
+      (4L, Some(0.05), Some(150L)), // bucket 0
+      (5L, Option.empty[Double], Some(999L)),  // NULL score: out
+      (6L, Some(Double.NaN), Some(999L)),      // NaN: out
+      (7L, Some(0.5), Option.empty[Long])      // NULL tokens: out
+    ).toDF("id", "score", "n")
+    val r = DedupOps.budgetCurve(d, col("score"), col("n"))
+      .orderBy(col("bucket").desc)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    // total 500: bucket 9 (150 cum 150, .3), 4 (200 cum 350, .7),
+    // 0 (150 cum 500, 1.0)
+    assert(r.toSeq == Seq(
+      (9, 2L, 150L, 150L, 0.3),
+      (4, 1L, 200L, 350L, 0.7),
+      (0, 1L, 150L, 500L, 1.0)), r.toSeq)
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(DedupOps.budgetCurve(d, col("score"), col("n"),
+      nBuckets = 0)).contains("nBuckets"))
+    assert(msg(DedupOps.budgetCurve(d, col("score"), col("n"),
+      scoreLo = 1.0, scoreHi = 1.0)).contains("empty"))
+  }
 }

@@ -248,6 +248,23 @@ class PackOpsSpec extends AnyFunSuite {
     assert(run(5L).map(r => (r._1, r._2)) == run(6L).map(r => (r._1, r._2)))
   }
 
+  test("packEfficiency: exact integer fill accounting — straddlers " +
+      "overflow their bin, the last bin runs under, fill_ratio is one " +
+      "division") {
+    // shard 0 (docs 0,8,16,24; budget 512): prefix 0,100,400,600 →
+    // bins 0,0,0,1; bin 0 holds 600 tokens (overflow: doc 16 straddles),
+    // bin 1 holds 50 (the under-full tail)
+    val r = PackOps.packEfficiency(docs, "doc_id", col("n"),
+        budget = 512, nShards = 8)
+      .orderBy("shard")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5), x.getLong(6)))
+    // shard 1 (docs 1,9): prefix 0,400 → one bin of 600 — overflowing
+    assert(r.toSeq == Seq(
+      (0, 2L, 4L, 650L, 1024L, 0.634766, 1L),
+      (1, 1L, 2L, 600L, 512L, 1.171875, 1L)), r.toSeq)
+  }
+
   // --- curriculumOrder (q165) -----------------------------------------
 
   private def scoredDocs = Seq(
