@@ -913,8 +913,8 @@ object DedupOps {
         nTokCol.cast("long").as("__t"))
       .filter(col("__id").isNotNull && col("__s").isNotNull &&
         !isnan(col("__s")) && col("__t").isNotNull && col("__t") >= 0L)
-      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
-        floor((col("__s") - scoreLo) / width * nBuckets).cast("int")))))
+      .withColumn("__b", least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+        floor((col("__s") - scoreLo) / width * nBuckets))).cast("int")))
     // pass 1: per-bucket token mass (map-side partial agg; ≤ nBuckets
     // rows reach the driver — a bounded probe that also materializes the
     // cached manifest for the selection pass)
@@ -987,8 +987,8 @@ object DedupOps {
         scoreCol.cast("double").as("__s"), nTokCol.cast("long").as("__t"))
       .filter(col("__s").isNotNull && !isnan(col("__s")) &&
         col("__t").isNotNull && col("__t") >= 0L)
-      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
-        floor((col("__s") - scoreLo) / width * nBuckets).cast("int")))))
+      .withColumn("__b", least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+        floor((col("__s") - scoreLo) / width * nBuckets))).cast("int")))
     val hist = m.groupBy(col("__src"), col("__b"))
       .agg(sum(col("__t")).as("__bt"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
@@ -1677,9 +1677,13 @@ object DedupOps {
     val t = nTokCol.cast("long")
     val bucketed = docs
       .filter(s.isNotNull && !isnan(s) && t.isNotNull && t >= 0L)
-      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
-        floor((s - scoreLo) / (scoreHi - scoreLo) * nBuckets)
-          .cast("int"))))
+      // clamp on the LONG floor result BEFORE the int cast: a wild
+      // out-of-range score would otherwise overflow the cast and wrap
+      // into the wrong bucket instead of the documented edge clamp
+      .withColumn("__b", least(lit((nBuckets - 1).toLong),
+        greatest(lit(0L),
+          floor((s - scoreLo) / (scoreHi - scoreLo) * nBuckets)))
+        .cast("int"))
       .withColumn("__t", t)
     val byBucket = bucketed.groupBy(col("__b"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))

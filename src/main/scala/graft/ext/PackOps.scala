@@ -297,9 +297,9 @@ object PackOps {
         round(col("__sms").cast("double") /
           (col("__nsc").cast("double") * lit(1e6)), 6))
       .filter(col("bin_score").isNotNull)
-      .withColumn("__b", least(lit(nBuckets - 1), greatest(lit(0),
+      .withColumn("__b", least(lit((nBuckets - 1).toLong), greatest(lit(0L),
         floor((col("bin_score") - scoreLo) / (scoreHi - scoreLo) *
-          nBuckets).cast("int")))))
+          nBuckets))).cast("int")))
     // bounded driver probe: per-bucket bin counts → curriculum-direction
     // position offsets, joined back by broadcast
     val counts = bins.groupBy(col("__b"))

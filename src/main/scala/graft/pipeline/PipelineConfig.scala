@@ -167,7 +167,11 @@ object ModelTest {
     val m = "^\\s*(>=|<=|!=|=|>|<)\\s*(\\d+)\\s*$".r
     raw match {
       case m(op, n) =>
-        val v = n.toLong
+        val v =
+          try n.toLong
+          catch { case _: NumberFormatException => throw GenericError(
+            s"models.$modelId.tests: $knob threshold `$n` exceeds the " +
+              "64-bit integer range") }
         op match {
           case ">"  => _ > v
           case ">=" => _ >= v
@@ -225,6 +229,22 @@ object PipelineConfig {
       if (pp.isAbsolute) p
       else baseDir.map(_.resolve(pp).toString).getOrElse(p)
     }
+    // custom-SQL test files resolve against the config file too —
+    // `run --config some/dir/config.yaml` must find `tests/foo.sql`
+    // under some/dir from any cwd, like the model files themselves.
+    // The rebase RECURSES through every wrapper (severity, store,
+    // where/thresholds) — enumerating shapes here missed
+    // StoreFailures(CustomSql) and Configured(CustomSql) combinations,
+    // leaving cwd-relative paths that fingerprint as `#missing`
+    def rebaseTest(t: ModelTest): ModelTest = t match {
+      case ModelTest.CustomSql(p) => ModelTest.CustomSql(rebase(p))
+      case ModelTest.Warn(i) => ModelTest.Warn(rebaseTest(i))
+      case ModelTest.StoreFailures(i) =>
+        ModelTest.StoreFailures(rebaseTest(i))
+      case ModelTest.Configured(i, w, wi, ei) =>
+        ModelTest.Configured(rebaseTest(i), w, wi, ei)
+      case x => x
+    }
     loaded.copy(
       modelsDir = rebase(loaded.modelsDir),
       macroPath = loaded.macroPath.map(rebase),
@@ -234,16 +254,8 @@ object PipelineConfig {
       // would "lose" every persisted view). A CLI --db-path flag is
       // applied after load and stays cwd-relative, as flags should.
       dbPath = loaded.dbPath.map(rebase),
-      // custom-SQL test files resolve against the config file too —
-      // `run --config some/dir/config.yaml` must find `tests/foo.sql`
-      // under some/dir from any cwd, like the model files themselves
       models = loaded.models.view.mapValues { mc =>
-        mc.copy(tests = mc.tests.map {
-          case ModelTest.CustomSql(p) => ModelTest.CustomSql(rebase(p))
-          case ModelTest.Warn(ModelTest.CustomSql(p)) =>
-            ModelTest.Warn(ModelTest.CustomSql(rebase(p)))
-          case t => t
-        })
+        mc.copy(tests = mc.tests.map(rebaseTest))
       }.toMap)
   }
 

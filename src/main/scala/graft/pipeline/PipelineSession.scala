@@ -1338,21 +1338,23 @@ final class PipelineSession(
     case ModelTest.NotNull(c) => s"not_null_$c"
     case ModelTest.Unique(c) => s"unique_$c"
     case ModelTest.AcceptedValues(c, vs) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(vs.mkString(" ").getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(8)
-      s"accepted_values_${c}_$h"
+      // NUL-joined so ["a b"] and ["a","b"] hash differently
+      s"accepted_values_${c}_${md5Hex8(vs.mkString("\u0000"))}"
     case ModelTest.Relationships(c, to, f) => s"relationships_${c}_${to}_$f"
     case ModelTest.CustomSql(p) => s"sql_${p.stripSuffix(".sql")}"
     // a configured (where/threshold) variant is a DIFFERENT test from
     // its unscoped sibling — fold the config into the slug
     case c @ ModelTest.Configured(i, _, _, _) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(c.describe.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(8)
-      s"${testSlug(i)}_$h"
+      s"${testSlug(i)}_${md5Hex8(c.describe)}"
     case w => testSlug(ModelTest.base(w)) // severity/store never reach here
   }).replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Shared slug-hash fragment: one definition, or stores and
+    * fingerprints silently diverge when the hashing ever changes.
+    */
+  private def md5Hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
 
   private def runModelTest(node: ModelNode, t0: ModelTest): Unit =
     locally {
