@@ -280,9 +280,17 @@ object SimilarityOps {
       .as[MmrRow]
     rows.groupByKey(_.probe_id).flatMapGroups { (pid, it) =>
       val rs = it.toArray
-      require(rs.length <= 1024 * 1024,
-        s"mmrRerankPool: probe $pid's pool exceeds 1024 candidates — " +
-          "pass a top-k-bounded ranking, not a corpus")
+      // the group holds the PAIR EXPANSION: a pool of m candidates is
+      // m(m−1) rows (m ≥ 2), so capping rows at 1024·1024 caps m at 1024
+      // (1024·1023 ≤ 1024² < 1025·1024). Derive m back from the row
+      // count so the error names the candidate count, not the row bound.
+      require(rs.length <= 1024 * 1024, {
+        val m = ((1 + math.sqrt(1.0 + 4.0 * rs.length)) / 2).toLong
+        s"mmrRerankPool: probe $pid's pool has ~$m candidates " +
+          s"(${rs.length} pair-expanded rows = m(m−1)); the walk caps " +
+          "the pool at 1024 candidates per probe — pass a " +
+          "top-k-bounded ranking, not a corpus"
+      })
       val rel = scala.collection.mutable.LongMap.empty[Double]
       val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
       rs.foreach { r =>

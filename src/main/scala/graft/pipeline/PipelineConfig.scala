@@ -27,7 +27,12 @@ final case class PipelineConfig(
     settings: Map[String, String] = Map.empty,
     models: Map[String, ModelConfig] = Map.empty,
     vars: Map[String, String] = Map.empty,
-    exposures: Seq[Exposure] = Nil)
+    exposures: Seq[Exposure] = Nil,
+    // the config file's directory (set by `load`) — the anchor for
+    // machine-independent identities like the custom-SQL test slug
+    // (ADVICE r16: an absolute-path slug embeds the mount point, so
+    // relocating the project orphans failure stores and renames views)
+    baseDir: Option[String] = None)
 
 /** A dbt exposure: a named DOWNSTREAM consumer of models (a dashboard,
   * an ML job, an application) declared in config so the dependency is
@@ -256,7 +261,8 @@ object PipelineConfig {
       dbPath = loaded.dbPath.map(rebase),
       models = loaded.models.view.mapValues { mc =>
         mc.copy(tests = mc.tests.map(rebaseTest))
-      }.toMap)
+      }.toMap,
+      baseDir = baseDir.map(_.toString))
   }
 
   def fromYaml(text: String): PipelineConfig = {
@@ -382,6 +388,15 @@ object PipelineConfig {
     // against the actual model set at graph build
     val exposureTypes =
       Set("dashboard", "notebook", "analysis", "ml", "application")
+    // ADVICE r16: a present-but-not-a-list `exposures:` (mapping,
+    // scalar) must fail loudly like every other malformed shape, not
+    // silently parse as zero exposures
+    root.get("exposures").flatMap(Option(_)).foreach {
+      case _: java.util.List[_] => ()
+      case other => throw GenericError(
+        "exposures: must be a list of mappings, got " +
+          other.getClass.getSimpleName)
+    }
     val exposures: Seq[Exposure] = root.get("exposures").flatMap(Option(_))
       .collect { case l: java.util.List[_] =>
         l.asScala.toSeq.map {

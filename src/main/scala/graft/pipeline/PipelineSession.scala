@@ -1266,7 +1266,7 @@ final class PipelineSession(
         // warn downgrades VIOLATIONS only — a test that could not
         // execute (missing file, typo'd column) fails the node at any
         // severity, or the declared test would silently test nothing
-        try runModelTest(node, inner)
+        try runModelTest(node, inner, warnSeverity = true)
         catch {
           case e: DataTestViolation =>
             println(s"    WARN  ${node.id}: " +
@@ -1308,7 +1308,8 @@ final class PipelineSession(
         val err =
           // strip only the severity wrapper: warn-downgrading is decided
           // below, while a store_failures flag must still write its store
-          try { runModelTest(n, ModelTest.stripWarn(t)); None }
+          try { runModelTest(n, ModelTest.stripWarn(t),
+            warnSeverity = t.isInstanceOf[ModelTest.Warn]); None }
           catch {
             case e: GraftError => Some(e)
             case e: Exception => Some(StatementExecutionError(
@@ -1341,7 +1342,20 @@ final class PipelineSession(
       // NUL-joined so ["a b"] and ["a","b"] hash differently
       s"accepted_values_${c}_${md5Hex8(vs.mkString("\u0000"))}"
     case ModelTest.Relationships(c, to, f) => s"relationships_${c}_${to}_$f"
-    case ModelTest.CustomSql(p) => s"sql_${p.stripSuffix(".sql")}"
+    // ADVICE r16: slug from the CONFIG-RELATIVE path (still unique
+    // across tests/a/x.sql vs tests/b/x.sql) so the failure-store
+    // directory and `__failures__` view name survive relocating the
+    // project or mounting it elsewhere; a path outside the project
+    // keeps its absolute form (unique either way, and honest about it)
+    case ModelTest.CustomSql(p) =>
+      val rel = config.baseDir.map { b =>
+        val bp = java.nio.file.Paths.get(b)
+        val pp = java.nio.file.Paths.get(p)
+        if (pp.isAbsolute && pp.startsWith(bp))
+          bp.relativize(pp).toString
+        else p
+      }.getOrElse(p)
+      s"sql_${rel.stripSuffix(".sql")}"
     // a configured (where/threshold) variant is a DIFFERENT test from
     // its unscoped sibling — fold the config into the slug
     case c @ ModelTest.Configured(i, _, _, _) =>
@@ -1356,7 +1370,8 @@ final class PipelineSession(
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
 
-  private def runModelTest(node: ModelNode, t0: ModelTest): Unit =
+  private def runModelTest(node: ModelNode, t0: ModelTest,
+                           warnSeverity: Boolean = false): Unit =
     locally {
       import org.apache.spark.sql.functions.{col, count, lit}
       // store_failures rides inside the severity wrapper; unwrap it here
@@ -1475,7 +1490,10 @@ final class PipelineSession(
       // dbt's threshold semantics (defaults `!= 0`): error_if decides
       // failure; otherwise warn_if decides a non-failing warning. With
       // no thresholds configured, error_if's default reproduces the
-      // plain `bad > 0 -> fail` behavior exactly.
+      // plain `bad > 0 -> fail` behavior exactly. Under severity: warn
+      // dbt skips error_if entirely and consults warn_if only (ADVICE
+      // r16) — a count below a configured warn_if passes SILENTLY
+      // instead of tripping the default error_if and warning spuriously.
       val errorIfHolds = cfg.flatMap(_.errorIf)
         .map(ModelTest.parseCondition(node.id, "error_if", _))
         .getOrElse((n: Long) => n != 0L)
@@ -1486,7 +1504,15 @@ final class PipelineSession(
         (t match { case _: ModelTest.Unique => "duplicated values"
                    case _ => "rows" }) +
         storeDir.map(d => s" (failures stored: $d)").getOrElse("")
-      if (errorIfHolds(bad))
+      if (warnSeverity) {
+        // thrown as a Violation so the Warn-severity callers' existing
+        // downgrade paths (print-and-continue; warnOnly in `graft test`)
+        // classify it the same as before thresholds existed
+        if (warnIfHolds(bad))
+          throw DataTestViolation(
+            s"data test ${t1.describe} failed: $what",
+            node.renderedSrc, node.path)
+      } else if (errorIfHolds(bad))
         throw DataTestViolation(
           s"data test ${t1.describe} failed: $what",
           node.renderedSrc, node.path)

@@ -880,6 +880,27 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(ok == Seq(1L, 2L), ok)
   }
 
+  test("mmrRerankPool's in-group cap derives the candidate count from " +
+      "the m(m-1) pair-row expansion and names it in the error") {
+    import spark.implicits._
+    // 1025 candidates for one probe → 1025·1024 pair rows > 1024²
+    val n = 1025
+    val cands = vecs((0 until n).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.001).toFloat,
+        math.sin(i * 0.001).toFloat), 0)): _*)
+    val pool = (0 until n).map(i => (0L, i.toLong, 0.5))
+      .toDF("probe_id", "cand_id", "rel")
+    def fullMsg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception] {
+      SimilarityOps.mmrRerankPool(pool, cands, k = 2).collect()
+    }
+    val msg = fullMsg(e)
+    assert(msg.contains("~1025 candidates"), msg)
+    assert(msg.contains("caps the pool at 1024 candidates"), msg)
+  }
+
   test("mmrRerank validates its arguments loudly") {
     val data = vecs((0L, Seq(1f, 0f), 0))
     def msg(f: => Any): String =

@@ -53,6 +53,13 @@ class ExposuresSpec extends AnyFunSuite {
         |    type: ml""".stripMargin).contains("non-empty `depends_on`"))
     assert(err(dashYaml + "\n" + dashYaml.linesIterator.drop(1)
       .mkString("\n")).contains("duplicate"))
+    // ADVICE r16: a present-but-not-a-list exposures section must fail
+    // NAMED, not silently parse as zero exposures
+    assert(err("exposures: 42").contains("must be a list"))
+    assert(err(
+      """exposures:
+        |  name: not_a_list
+        |  type: dashboard""".stripMargin).contains("must be a list"))
   }
 
   test("graph build validates exposures against the REAL model set: an " +

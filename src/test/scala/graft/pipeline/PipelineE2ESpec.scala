@@ -2679,4 +2679,69 @@ class PipelineE2ESpec extends AnyFunSuite {
     }
     assert(e2.render.contains("does not apply to a custom"), e2.render)
   }
+
+  test("severity: warn skips error_if and consults warn_if only (dbt " +
+      "semantics, ADVICE r16) — a count below a configured warn_if " +
+      "passes silently instead of tripping the default error_if") {
+    val dir = Files.createTempDirectory("graft-warnthr")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    // 2 null flags
+    Files.writeString(modelsDir.resolve("wt_m.sql"),
+      "SELECT id, CASE WHEN id < 4 THEN id END AS flag " +
+        "FROM range(1, 6) t(id)")
+    def cfgWith(testsYaml: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |models:
+           |  wt_m:
+           |    tests:
+           |$testsYaml""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // warn severity + warn_if '> 5': 2 nulls stay BELOW the threshold →
+    // silent pass (pre-fix: the default error_if (!= 0) fired and was
+    // downgraded to a spurious WARN)
+    val quiet = cfgWith("      - not_null: flag\n" +
+      "        warn_if: '> 5'\n        severity: warn")
+    // run first: `graft test` verifies EXISTING materializations
+    assert(new PipelineSession(spark, quiet).runNodes().errors.isEmpty)
+    val tq = new PipelineSession(spark, quiet).runTestsOnly()
+    assert(tq.size == 1 && tq.head._3.isEmpty, tq.toString)
+    // warn severity ignores error_if entirely: error_if '> 100' would
+    // pass, but the default warn_if (!= 0) holds → warn-only report
+    val warned = cfgWith("      - not_null: flag\n" +
+      "        error_if: '> 100'\n        severity: warn")
+    assert(new PipelineSession(spark, warned).runNodes().errors.isEmpty)
+    val tw = new PipelineSession(spark, warned).runTestsOnly()
+    assert(tw.size == 1 && tw.head._3.nonEmpty && tw.head._4, tw.toString)
+  }
+
+  test("custom-SQL failure-store slug is config-relative (ADVICE r16): " +
+      "the store directory and view name don't embed the machine path") {
+    val db = Files.createTempDirectory("graft-slug-db")
+    val dir = Files.createTempDirectory("graft-slug")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    val testsDir = dir.resolve("tests"); Files.createDirectories(testsDir)
+    Files.writeString(modelsDir.resolve("slug_m.sql"),
+      "SELECT id FROM range(1, 4) t(id)")
+    Files.writeString(testsDir.resolve("chk.sql"),
+      "SELECT * FROM slug_m WHERE id > 2")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  slug_m:
+         |    materialize: table
+         |    tests:
+         |      - sql: tests/chk.sql
+         |        severity: warn
+         |        store_failures: true""".stripMargin)
+    val cfg = PipelineConfig.load(dir.resolve("config.yaml"))
+    val r = new PipelineSession(spark, cfg).runNodes()
+    assert(r.errors.isEmpty, r.errors.map(_.render).mkString("\n"))
+    val stores = db.resolve("test_failures").resolve("slug_m").toFile
+      .listFiles().map(_.getName).toSeq
+    assert(stores == Seq("sql_tests_chk"), stores)
+    assert(spark.table("slug_m__failures__sql_tests_chk").count() == 1)
+  }
 }
