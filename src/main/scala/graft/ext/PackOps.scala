@@ -177,27 +177,64 @@ object PackOps {
     * normalizes to the SAME empty segment — without the coalesce it
     * would NULL its window term and land in a phantom (shard, NULL) bin
     * that downstream consumers iterate over with no error.
+    *
+    * With `withBoundaries = true` (q173 — VERDICT r16 task 2) each bin
+    * also carries its attention-boundary sidecar — the arrays a trainer
+    * builds attention masks / position-id resets from WITHOUT re-scanning
+    * the stream for separators:
+    *
+    *   doc_ids:     array<long> — documents in stream order
+    *   doc_offsets: array<int>  — token position where each doc starts
+    *                (0-based; offsets(0) = 0, offsets(i+1) =
+    *                offsets(i) + doc_lengths(i) + 1 — the +1 is the
+    *                separator token between documents)
+    *   doc_lengths: array<int>  — per-doc token counts
+    *                (Σ doc_lengths = n_tokens; the stream itself has
+    *                n_tokens + n_docs − 1 tokens counting separators)
+    *
+    * The arrays ride the SAME collect_list aggregate the stream is
+    * built from (the offsets are a pure post-aggregation fold over the
+    * sorted per-doc structs) — the plan is unchanged: one shuffle, one
+    * aggregate, no second lineage.
     */
   def packTokenStreams(docs: DataFrame, idCol: String, piecesCol: Column,
                        budget: Int, nShards: Int,
-                       docSep: String = "<|doc|>"): DataFrame = {
+                       docSep: String = "<|doc|>",
+                       withBoundaries: Boolean = false): DataFrame = {
     val binned = packBins(
       docs.withColumn("__pieces",
         coalesce(piecesCol, array().cast("array<string>"))),
       idCol, size(col("__pieces")).cast("long"), budget, nShards)
-    binned
+    val base = binned
       .withColumn("__str", array_join(col("__pieces"), " "))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col(idCol).as("id"),
-              col("__str").as("s")))),
-            x => x.getField("s")),
-          s" $docSep ").as("token_stream"))
+        array_sort(collect_list(struct(col(idCol).as("id"),
+          col("n_tok").as("n"), col("__str").as("s")))).as("__docs"))
+      .withColumn("token_stream",
+        array_join(transform(col("__docs"), x => x.getField("s")),
+          s" $docSep "))
+    val out =
+      if (!withBoundaries) base
+      else base
+        .withColumn("doc_ids",
+          transform(col("__docs"), x => x.getField("id")))
+        .withColumn("doc_offsets", aggregate(
+          col("__docs"),
+          struct(array().cast("array<int>").as("offs"),
+            lit(0).as("cum")),
+          (acc, x) => struct(
+            concat(acc.getField("offs"),
+              array(acc.getField("cum"))).as("offs"),
+            (acc.getField("cum") + x.getField("n").cast("int") + 1)
+              .as("cum")),
+          acc => acc.getField("offs")))
+        .withColumn("doc_lengths",
+          transform(col("__docs"), x => x.getField("n").cast("int")))
+    out.drop("__docs")
   }
 
   /** Packing-efficiency report: per shard, how full the [[packBins]]

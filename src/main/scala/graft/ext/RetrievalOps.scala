@@ -648,4 +648,215 @@ object RetrievalOps {
           .orderBy(col("rrf_score").desc, col(idCol))))
       .filter(col("fused_rank") <= k)
   }
+
+  /** The fixed nDCG discount table in integer micro-units:
+    * disc(r) = round(10⁶ / log₂(r+1)) for r = 1..k. A COMMITTED literal
+    * table — not a per-engine log computed at eval time — so the Spark
+    * side and a SQL oracle price rank positions from the same integers
+    * and every DCG is an EXACT integer sum (gain · disc summed in
+    * longs, order-insensitive), with one double division at the end.
+    * The 10⁶ quantization error (< 5·10⁻⁷ per position) is orders of
+    * magnitude below any decision a tuning pass makes on these metrics.
+    */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranking-quality evaluation against labeled relevance — the judge
+    * the hybrid tier ([[rrfFuse]]/[[scoreFuse]]/MMR) was missing: given
+    * a `run` (queryCol, idCol, rankCol — any top-k-bounded ranking) and
+    * a `qrels` table (queryCol, idCol, relCol with integer gains ≥ 0,
+    * the trec_eval shape), reports per query:
+    *
+    *   n_rel        — judged-relevant ids (rel > 0) for the query
+    *   n_rel_at_k   — of those, how many the run retrieved in its top-k
+    *   recall_at_k  — n_rel_at_k / n_rel
+    *   ndcg_at_k    — Σ gain·disc(rank) / ideal Σ (linear gains; the
+    *                  fixed [[ndcgDiscountsMicro]] table)
+    *   rr           — 1/rank of the first relevant retrieved id (0 if
+    *                  none in the top-k); its mean across queries is MRR
+    *
+    * plus ONE mean row (queryCol = −1, counts summed) — the number a
+    * weights/λ tuning loop actually compares. trec_eval conventions:
+    * the qrels define the query universe (a run-only query is not
+    * evaluable and is ignored; a qrels query missing from the run
+    * scores zeros), rel = 0 rows are explicit irrelevance judgments
+    * (they gate nothing and never count as hits), and a query whose
+    * judgments are ALL rel = 0 has no definable ideal and is excluded.
+    *
+    * Cross-engine determinism (the q170 discipline): every numerator
+    * and denominator is an exact integer — DCG/IDCG are long sums of
+    * gain·disc products, hits and n_rel are counts, and the per-query
+    * metrics are ONE double division each of identical integers. The
+    * mean row re-quantizes each per-query metric to an integer
+    * micro-value with pure long arithmetic ((2·10⁶·num + den) div
+    * (2·den) — round-half-up without ever touching a float), sums
+    * those exactly, averages STILL in integers (round-half-up by the
+    * query count), and only then divides the resulting micro-int by
+    * 10⁶ — so no float round() ever meets a .5 decimal boundary.
+    *
+    * Scale shape: the run is top-k-bounded by construction and qrels
+    * are human-budget-bounded (labels are expensive) — both sides are
+    * tiny relative to any corpus; the whole evaluation is two
+    * per-query aggregates and one join on the query key. k ≤ 1000
+    * keeps the discount-table literal a literal.
+    */
+  def rankingQuality(run: DataFrame, qrels: DataFrame, queryCol: String,
+                     idCol: String, rankCol: String, relCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0 && k <= 1000, s"rankingQuality: k=$k not in 1..1000")
+    val disc = typedLit(ndcgDiscountsMicro(k))
+    val rel = qrels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(idCol), col(relCol).cast("long").as("__rel"))
+    val ideal = rel.withColumn("__irank", row_number().over(
+      Window.partitionBy(col(queryCol))
+        .orderBy(col("__rel").desc, col(idCol))))
+    val qAgg = ideal.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("n_rel"),
+      sum(when(col("__irank") <= k,
+        col("__rel") * element_at(disc, col("__irank")))
+        .otherwise(0L)).as("__idcg"))
+    val topk = run.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol), col(rankCol).cast("int").as("__rk"))
+      .join(rel, Seq(queryCol, idCol), "left")
+    val rAgg = topk.groupBy(col(queryCol)).agg(
+      sum(when(col("__rel").isNotNull,
+        col("__rel") * element_at(disc, col("__rk"))).otherwise(0L))
+        .as("__dcg"),
+      sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("n_rel_at_k"),
+      min(when(col("__rel").isNotNull, col("__rk"))).as("__frk"))
+    val per = qAgg.join(rAgg, Seq(queryCol), "left")
+      .na.fill(0L, Seq("__dcg", "n_rel_at_k"))
+      .withColumn("recall_at_k",
+        round(col("n_rel_at_k").cast("double") / col("n_rel"), 6))
+      .withColumn("ndcg_at_k",
+        round(col("__dcg").cast("double") / col("__idcg"), 6))
+      .withColumn("rr", when(col("__frk").isNull, lit(0.0))
+        .otherwise(round(lit(1.0) / col("__frk").cast("double"), 6)))
+      // exact integer micro-metrics for the mean: round-half-up via
+      // long division, no float ever enters the sum
+      .withColumn("__rec_u",
+        expr("(2000000 * n_rel_at_k + n_rel) div (2 * n_rel)"))
+      .withColumn("__ndcg_u", expr("(2000000 * __dcg + __idcg) div (2 * __idcg)"))
+      .withColumn("__rr_u", expr(
+        "CASE WHEN __frk IS NULL THEN 0L " +
+          "ELSE (2000000 + CAST(__frk AS BIGINT)) div " +
+          "(2 * CAST(__frk AS BIGINT)) END"))
+    val outCols = Seq(col(queryCol), col("n_rel"), col("n_rel_at_k"),
+      col("recall_at_k"), col("ndcg_at_k"), col("rr"))
+    // the mean's 6-dp rounding happens in INTEGER space (round-half-up
+    // long division), then ONE exact division by 10⁶ — a float round()
+    // here can land exactly on a .5 decimal boundary and split engines
+    val mean = per.agg(
+        count(lit(1)).as("__q"),
+        sum(col("n_rel")).as("n_rel"),
+        sum(col("n_rel_at_k")).as("n_rel_at_k"),
+        sum(col("__rec_u")).as("__ru"),
+        sum(col("__ndcg_u")).as("__nu"),
+        sum(col("__rr_u")).as("__mu"))
+      .select(
+        lit(-1).cast(per.schema(queryCol).dataType).as(queryCol),
+        col("n_rel"), col("n_rel_at_k"),
+        (expr("(2 * __ru + __q) div (2 * __q)").cast("double") /
+          1000000.0).as("recall_at_k"),
+        (expr("(2 * __nu + __q) div (2 * __q)").cast("double") /
+          1000000.0).as("ndcg_at_k"),
+        (expr("(2 * __mu + __q) div (2 * __q)").cast("double") /
+          1000000.0).as("rr"))
+    per.select(outCols: _*).unionAll(mean)
+  }
+
+  /** [[rrfFuse]] quality over a (kRrf × lexical-weight) tuning grid in
+    * ONE pass — the q139 re-slice discipline applied to fusion tuning:
+    * the two legs are computed ONCE by the caller (they are the
+    * expensive part — corpus-touching retrieval); here each leg row
+    * explodes across the |grid| configurations (bounded: leg rows are
+    * top-k outputs, the grid is a handful of points), contributions are
+    * re-priced per config with the config's kRrf and weight, fused with
+    * one (config, query, id) aggregate, re-ranked per (config, query),
+    * and judged by [[rankingQuality]]'s arithmetic per config. Output:
+    * one MEAN quality row per configuration (config_id, k_rrf, w_a,
+    * w_b, ndcg_at_k, recall_at_k, mrr) — the table a serving config is
+    * picked from.
+    */
+  def rrfQualityGrid(legA: DataFrame, legB: DataFrame, qrels: DataFrame,
+                     queryCol: String, idCol: String, rankCol: String,
+                     relCol: String, k: Int,
+                     grid: Seq[(Int, Double, Double)]): DataFrame = {
+    require(grid.nonEmpty && grid.forall { case (kr, wa, wb) =>
+      kr > 0 && wa > 0.0 && wb > 0.0 }, "rrfQualityGrid: bad grid")
+    require(grid.distinct.size == grid.size, "rrfQualityGrid: dup configs")
+    val spark = legA.sparkSession
+    import spark.implicits._
+    val cfg = grid.zipWithIndex.map { case ((kr, wa, wb), i) =>
+      (i, kr, wa, wb) }.toDF("config_id", "k_rrf", "w_a", "w_b")
+    def contribs(leg: DataFrame, wCol: String): DataFrame =
+      leg.select(col(queryCol), col(idCol), col(rankCol))
+        .crossJoin(broadcast(cfg))
+        .select(col("config_id"), col("k_rrf"), col("w_a"), col("w_b"),
+          col(queryCol), col(idCol),
+          (col(wCol) / (col("k_rrf") + col(rankCol).cast("double")))
+            .as("__rrf"))
+    val fused = contribs(legA, "w_a").unionAll(contribs(legB, "w_b"))
+      .groupBy(col("config_id"), col("k_rrf"), col("w_a"), col("w_b"),
+        col(queryCol), col(idCol))
+      .agg(round(sum(col("__rrf")), 6).as("rrf_score"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("config_id"), col(queryCol))
+          .orderBy(col("rrf_score").desc, col(idCol))))
+      .filter(col("fused_rank") <= k)
+    // rankingQuality's arithmetic with config_id carried through the
+    // group keys; only the mean row per config survives
+    val disc = typedLit(ndcgDiscountsMicro(k))
+    val rel = qrels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(idCol), col(relCol).cast("long").as("__rel"))
+    val qAgg = rel.withColumn("__irank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("__rel").desc, col(idCol))))
+      .groupBy(col(queryCol)).agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__irank") <= k,
+          col("__rel") * element_at(disc, col("__irank")))
+          .otherwise(0L)).as("__idcg"))
+    val rAgg = fused
+      .select(col("config_id"), col("k_rrf"), col("w_a"), col("w_b"),
+        col(queryCol), col(idCol), col("fused_rank").cast("int").as("__rk"))
+      .join(rel, Seq(queryCol, idCol), "left")
+      .groupBy(col("config_id"), col("k_rrf"), col("w_a"), col("w_b"),
+        col(queryCol))
+      .agg(
+        sum(when(col("__rel").isNotNull,
+          col("__rel") * element_at(disc, col("__rk"))).otherwise(0L))
+          .as("__dcg"),
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L))
+          .as("n_rel_at_k"),
+        min(when(col("__rel").isNotNull, col("__rk"))).as("__frk"))
+    // every (config, qrels-query) pair must score — a config whose
+    // fused list misses a judged query entirely scores zeros there,
+    // not a shrunken mean
+    val shell = cfg.crossJoin(qAgg)
+    shell.join(rAgg,
+        Seq("config_id", "k_rrf", "w_a", "w_b", queryCol), "left")
+      .na.fill(0L, Seq("__dcg", "n_rel_at_k"))
+      .withColumn("__rec_u",
+        expr("(2000000 * n_rel_at_k + n_rel) div (2 * n_rel)"))
+      .withColumn("__ndcg_u",
+        expr("(2000000 * __dcg + __idcg) div (2 * __idcg)"))
+      .withColumn("__rr_u", expr(
+        "CASE WHEN __frk IS NULL THEN 0L " +
+          "ELSE (2000000 + CAST(__frk AS BIGINT)) div " +
+          "(2 * CAST(__frk AS BIGINT)) END"))
+      .groupBy(col("config_id"), col("k_rrf"), col("w_a"), col("w_b"))
+      .agg(count(lit(1)).as("__q"),
+        sum(col("__ndcg_u")).as("__nu"),
+        sum(col("__rec_u")).as("__ru"),
+        sum(col("__rr_u")).as("__mu"))
+      // integer round-half-up, then one exact /10⁶ (see rankingQuality)
+      .select(col("config_id"), col("k_rrf"), col("w_a"), col("w_b"),
+        (expr("(2 * __nu + __q) div (2 * __q)").cast("double") /
+          1000000.0).as("ndcg_at_k"),
+        (expr("(2 * __ru + __q) div (2 * __q)").cast("double") /
+          1000000.0).as("recall_at_k"),
+        (expr("(2 * __mu + __q) div (2 * __q)").cast("double") /
+          1000000.0).as("mrr"))
+  }
 }

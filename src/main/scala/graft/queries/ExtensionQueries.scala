@@ -285,6 +285,55 @@ object ExtensionQueries {
       sixteenths = Map("high" -> 16, "mid" -> 8, "low" -> 2))
   }
 
+  /** The two q163 hybrid-retrieval legs — q118's BM25 per-query top-5
+    * (lexical) and a q30-style exact-cosine top-5 (vector), both as
+    * (query_id, id, rank). One definition feeds the single-config
+    * fusion (q163), the quality judgment over it (q172), and the
+    * tuning grid (q176), so "the ranking being judged" and "the
+    * ranking being served" can never drift apart.
+    */
+  private def hybridLegs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+      (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+    val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
+        "query_id", "term", "doc_id", "text", k = 5)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val e = t(s, dir, "embeddings").drop("label")
+    val vec = SimilarityOps.bruteForceTopK(
+        e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
+      .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
+        col("rk").as("rank"))
+    (lex, vec)
+  }
+
+  /** Committed qrels fixture for the hybrid tier's quality evaluation
+    * (q172/q176) — graded relevance labels over the q163 query ids in
+    * the trec_eval shape (query_id, id, rel). Chosen to exercise every
+    * judgment kind at sf0.01: hits at several fused ranks with mixed
+    * grades, judged-relevant ids the run misses (999/888, and 777
+    * carrying the query's HIGHEST grade so its nDCG < 1 even with
+    * hits), an explicit rel = 0 irrelevance judgment on a retrieved id
+    * (1, 62), and a judged query the run never answers (query 4). The
+    * oracle carries these rows as a VALUES literal generated from THIS
+    * sequence.
+    */
+  private[graft] val fusionQrels: Seq[(Int, Long, Int)] = Seq(
+    (1, 103L, 3), (1, 27L, 2), (1, 359L, 1), (1, 999L, 2), (1, 62L, 0),
+    (2, 117L, 3), (2, 7L, 1), (2, 888L, 1),
+    (3, 130L, 2), (3, 343L, 2), (3, 777L, 3),
+    (4, 103L, 1))
+
+  /** The committed q176 tuning grid: kRrf at 10/60/240 (sharp → flat
+    * rank discounting) at equal weights, then the weight axis at the
+    * standard kRrf=60 (lexical-heavy, vector-heavy, and a mixed
+    * half/double point). All weights are exact binary doubles.
+    */
+  private[graft] val fusionGrid: Seq[(Int, Double, Double)] = Seq(
+    (10, 1.0, 1.0), (60, 1.0, 1.0), (240, 1.0, 1.0),
+    (60, 2.0, 1.0), (60, 1.0, 2.0), (60, 0.5, 2.0))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Text analysis -------------------------------------------------
     "q21_token_stats" -> ((s, dir) => {
@@ -1519,19 +1568,43 @@ object ExtensionQueries {
     // rows; query 3's lexical terms are corpus-absent, so its fused list
     // is vector-only (the one-modality-misses robustness case) ----------
     "q163_hybrid_rrf" -> ((s, dir) => {
-      import s.implicits._
-      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
-      val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
-          "query_id", "term", "doc_id", "text", k = 5)
-        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-      val e = t(s, dir, "embeddings").drop("label")
-      val vec = SimilarityOps.bruteForceTopK(
-          e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
-        .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
-          col("rk").as("rank"))
+      val (lex, vec) = hybridLegs(s, dir)
       RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id", "rank", k = 5)
         .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
+    // Ranking-quality evaluation (q172): q163's fused ranking judged
+    // against the committed qrels fixture — per-query nDCG@5, recall@5,
+    // and reciprocal rank, plus the mean row (query_id −1) a tuning
+    // loop compares. The fixture exercises every trec_eval convention:
+    // graded hits at several ranks, judged-relevant ids the run misses,
+    // an explicit rel=0 judgment that must gate nothing, and a judged
+    // query the run never answers (all-zero row, still in the mean) ----
+    "q172_ranking_quality" -> ((s, dir) => {
+      import s.implicits._
+      val (lex, vec) = hybridLegs(s, dir)
+      val fused = RetrievalOps.rrfFuse(Seq(lex, vec),
+        "query_id", "id", "rank", k = 5)
+      RetrievalOps.rankingQuality(fused,
+          fusionQrels.toDF("query_id", "id", "rel"),
+          "query_id", "id", "fused_rank", "rel", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    // Fusion tuning grid (q176): RRF quality across (kRrf × weights)
+    // configurations in ONE pass — the q139 re-slice discipline: the
+    // two corpus-touching legs are computed once, each leg row explodes
+    // across the six committed grid points, and every configuration is
+    // judged by q172's exact-integer quality arithmetic. The output is
+    // the table a serving config is picked FROM — the step that makes
+    // kRrf/weight tuning measured instead of blind -----------------------
+    "q176_fusion_quality_grid" -> ((s, dir) => {
+      import s.implicits._
+      val (lex, vec) = hybridLegs(s, dir)
+      RetrievalOps.rrfQualityGrid(lex, vec,
+          fusionQrels.toDF("query_id", "id", "rel"),
+          "query_id", "id", "rank", "rel", k = 5, grid = fusionGrid)
+        .orderBy(col("config_id"))
     }),
 
     // Hybrid retrieval from PERSISTED stores (q166): q163's fusion with
@@ -1792,6 +1865,29 @@ object ExtensionQueries {
       PackOps.packTokenStreams(d, "doc_id",
           TextOps.subwordPieces(col("text")), budget = 512, nShards = 8)
         .orderBy(col("shard"), col("bin"))
+    }),
+
+    // -- Attention-boundary manifest (q173): q156's bins with the
+    // per-document (id, offset, length) sidecar a trainer builds
+    // attention masks / position-id resets from, exploded to one row
+    // per document so positions diff relationally. The oracle rebuilds
+    // every offset positionally from the same piece CTEs (cumulative
+    // (len+1) window per bin); the arrays ride q156's single aggregate
+    // — no new shuffle, plan-asserted in PackOpsSpec --------------------
+    "q173_pack_boundaries" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      PackOps.packTokenStreams(d, "doc_id",
+          TextOps.subwordPieces(col("text")), budget = 512, nShards = 8,
+          withBoundaries = true)
+        .select(col("shard"), col("bin"),
+          posexplode(arrays_zip(col("doc_ids"), col("doc_offsets"),
+            col("doc_lengths"))).as(Seq("__p", "__z")))
+        .select(col("shard"), col("bin"),
+          (col("__p") + 1).cast("int").as("seq"),
+          col("__z").getField("doc_ids").as("doc_id"),
+          col("__z").getField("doc_offsets").as("doc_offset"),
+          col("__z").getField("doc_lengths").as("doc_len"))
+        .orderBy(col("shard"), col("bin"), col("seq"))
     }),
 
     // -- Budget-quality curve (q170): token mass per learned-score
@@ -2830,7 +2926,11 @@ object ExtensionQueries {
     * corpus-absent, so its fusion is vector-only — the one-modality-
     * misses robustness case, exercised not just allowed.
     */
-  private lazy val hybridRrfOracleSql: String =
+  /** The two q163 legs as CTEs (lex: BM25 top-5 per query; vec: exact
+    * cosine top-5) — shared by the single-config fusion (q163), the
+    * quality evaluation over it (q172), and the tuning grid (q176).
+    */
+  private lazy val hybridLegsCtesSql: String =
     bm25PerQueryChainSql + """,
       |lex AS (SELECT query_id, doc_id AS id, "rank" AS lrank FROM r
       |  WHERE "rank" <= 5),
@@ -2844,7 +2944,10 @@ object ExtensionQueries {
       |    SELECT query_id, id, CAST(row_number() OVER (
       |      PARTITION BY query_id ORDER BY sim DESC, id) AS INT) AS vrank
       |    FROM vsc) t
-      |  WHERE vrank <= 5),
+      |  WHERE vrank <= 5)""".stripMargin
+
+  private lazy val hybridRrfChainSql: String =
+    hybridLegsCtesSql + """,
       |uni AS (SELECT query_id, id,
       |    CAST(1 AS DOUBLE) / (60 + CAST(lrank AS DOUBLE)) AS c FROM lex
       |  UNION ALL SELECT query_id, id,
@@ -2853,9 +2956,151 @@ object ExtensionQueries {
       |  FROM uni GROUP BY 1, 2),
       |frk AS (SELECT query_id, id, rrf_score,
       |    CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY rrf_score DESC, id) AS INT) AS fused_rank FROM fus)
+      |      ORDER BY rrf_score DESC, id) AS INT) AS fused_rank FROM fus)""".stripMargin
+
+  private lazy val hybridRrfOracleSql: String =
+    hybridRrfChainSql + """
       |SELECT query_id, id, rrf_score, fused_rank FROM frk
       |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
+
+  /** The [[fusionQrels]] fixture and the fixed nDCG discount table as
+    * VALUES literals — generated from the SAME Scala values the Spark
+    * operator uses, so literal parity is by construction, not by hand.
+    */
+  private lazy val fusionQrelsValuesSql: String =
+    fusionQrels.map { case (q, id, rel) => s"($q, $id, $rel)" }
+      .mkString(", ")
+
+  private def ndcgDiscValuesSql(k: Int): String =
+    RetrievalOps.ndcgDiscountsMicro(k).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST($d AS BIGINT))" }
+      .mkString(", ")
+
+  /** q172: quality CTEs over the q163 fused chain — DCG/IDCG as exact
+    * integer sums of gain·disc (the committed micro-discount table),
+    * per-query metrics as ONE double division each, and the mean row
+    * re-quantized with pure integer round-half-up division (DuckDB `//`
+    * ≡ Spark `div` on positive integers) before its single division.
+    */
+  private lazy val rankingQualityOracleSql: String =
+    hybridRrfChainSql + s""",
+      |qrels(query_id, id, rel) AS (VALUES $fusionQrelsValuesSql),
+      |disc(r, d) AS (VALUES ${ndcgDiscValuesSql(5)}),
+      |relq AS (SELECT query_id, CAST(id AS BIGINT) AS id,
+      |    CAST(rel AS BIGINT) AS rel FROM qrels WHERE rel > 0),
+      |ideal AS (SELECT query_id, rel, CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rel DESC, id) AS INT) AS irank
+      |  FROM relq),
+      |qa AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+      |    CAST(sum(CASE WHEN irank <= 5 THEN rel * d ELSE 0 END)
+      |      AS BIGINT) AS idcg
+      |  FROM ideal LEFT JOIN disc ON disc.r = ideal.irank GROUP BY 1),
+      |top AS (SELECT f.query_id, f.id, f.fused_rank AS rk, q.rel
+      |  FROM (SELECT query_id, id, fused_rank FROM frk
+      |    WHERE fused_rank <= 5) f
+      |  LEFT JOIN relq q USING (query_id, id)),
+      |ra AS (SELECT query_id,
+      |    CAST(sum(CASE WHEN rel IS NOT NULL THEN rel * d ELSE 0 END)
+      |      AS BIGINT) AS dcg,
+      |    CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_rel_at_k,
+      |    min(CASE WHEN rel IS NOT NULL THEN rk END) AS frk
+      |  FROM top JOIN disc ON disc.r = top.rk GROUP BY 1),
+      |met AS (SELECT qa.query_id, qa.n_rel,
+      |    coalesce(ra.n_rel_at_k, 0) AS n_rel_at_k,
+      |    coalesce(ra.dcg, 0) AS dcg, qa.idcg, ra.frk
+      |  FROM qa LEFT JOIN ra USING (query_id)),
+      |mq AS (SELECT query_id, n_rel, n_rel_at_k,
+      |    round(CAST(n_rel_at_k AS DOUBLE) / n_rel, 6) AS recall_at_k,
+      |    round(CAST(dcg AS DOUBLE) / idcg, 6) AS ndcg_at_k,
+      |    CASE WHEN frk IS NULL THEN CAST(0 AS DOUBLE)
+      |      ELSE round(CAST(1 AS DOUBLE) / frk, 6) END AS rr,
+      |    (2000000 * n_rel_at_k + n_rel) // (2 * n_rel) AS rec_u,
+      |    (2000000 * dcg + idcg) // (2 * idcg) AS ndcg_u,
+      |    CASE WHEN frk IS NULL THEN 0
+      |      ELSE (2000000 + frk) // (2 * frk) END AS rr_u
+      |  FROM met)
+      |SELECT query_id, n_rel, n_rel_at_k, recall_at_k, ndcg_at_k, rr
+      |FROM mq
+      |UNION ALL
+      |SELECT -1, CAST(sum(n_rel) AS BIGINT),
+      |  CAST(sum(n_rel_at_k) AS BIGINT),
+      |  CAST((2 * sum(rec_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  CAST((2 * sum(ndcg_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  CAST((2 * sum(rr_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE)
+      |FROM mq
+      |ORDER BY query_id""".stripMargin
+
+  private lazy val fusionGridValuesSql: String =
+    fusionGrid.zipWithIndex.map { case ((kr, wa, wb), i) =>
+      s"($i, $kr, CAST($wa AS DOUBLE), CAST($wb AS DOUBLE))"
+    }.mkString(", ")
+
+  /** q176: the q163 legs cross-joined with the committed config grid,
+    * re-priced and re-ranked per configuration, judged by q172's
+    * integer quality arithmetic per (config, query), then averaged per
+    * config with the same micro-unit discipline.
+    */
+  private lazy val fusionQualityGridOracleSql: String =
+    hybridLegsCtesSql + s""",
+      |cfg(config_id, k_rrf, w_a, w_b) AS (VALUES $fusionGridValuesSql),
+      |qrels(query_id, id, rel) AS (VALUES $fusionQrelsValuesSql),
+      |disc(r, d) AS (VALUES ${ndcgDiscValuesSql(5)}),
+      |cuni AS (SELECT config_id, k_rrf, w_a, w_b, query_id, id,
+      |    w_a / (k_rrf + CAST(lrank AS DOUBLE)) AS c
+      |  FROM lex CROSS JOIN cfg
+      |  UNION ALL SELECT config_id, k_rrf, w_a, w_b, query_id, id,
+      |    w_b / (k_rrf + CAST(vrank AS DOUBLE)) AS c
+      |  FROM vec CROSS JOIN cfg),
+      |cfus AS (SELECT config_id, k_rrf, w_a, w_b, query_id, id,
+      |    round(sum(c), 6) AS rrf_score
+      |  FROM cuni GROUP BY 1, 2, 3, 4, 5, 6),
+      |cfrk AS (SELECT config_id, k_rrf, w_a, w_b, query_id, id,
+      |    CAST(row_number() OVER (PARTITION BY config_id, query_id
+      |      ORDER BY rrf_score DESC, id) AS INT) AS rk FROM cfus),
+      |relq AS (SELECT query_id, CAST(id AS BIGINT) AS id,
+      |    CAST(rel AS BIGINT) AS rel FROM qrels WHERE rel > 0),
+      |qa AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+      |    CAST(sum(CASE WHEN irank <= 5 THEN rel * d ELSE 0 END)
+      |      AS BIGINT) AS idcg
+      |  FROM (SELECT query_id, rel, CAST(row_number() OVER (
+      |        PARTITION BY query_id ORDER BY rel DESC, id) AS INT)
+      |        AS irank FROM relq) i
+      |  LEFT JOIN disc ON disc.r = i.irank GROUP BY 1),
+      |ra AS (SELECT config_id, k_rrf, w_a, w_b, f.query_id,
+      |    CAST(sum(CASE WHEN rel IS NOT NULL THEN rel * d ELSE 0 END)
+      |      AS BIGINT) AS dcg,
+      |    CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_rel_at_k,
+      |    min(CASE WHEN rel IS NOT NULL THEN f.rk END) AS frk
+      |  FROM (SELECT * FROM cfrk WHERE rk <= 5) f
+      |  JOIN disc ON disc.r = f.rk
+      |  LEFT JOIN relq q ON q.query_id = f.query_id AND q.id = f.id
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |shell AS (SELECT config_id, k_rrf, w_a, w_b, query_id, n_rel,
+      |    idcg FROM cfg CROSS JOIN qa),
+      |met AS (SELECT s.config_id, s.k_rrf, s.w_a, s.w_b, s.query_id,
+      |    s.n_rel, s.idcg, coalesce(ra.n_rel_at_k, 0) AS n_rel_at_k,
+      |    coalesce(ra.dcg, 0) AS dcg, ra.frk
+      |  FROM shell s LEFT JOIN ra ON ra.config_id = s.config_id
+      |    AND ra.query_id = s.query_id),
+      |mu AS (SELECT config_id, k_rrf, w_a, w_b, query_id,
+      |    (2000000 * n_rel_at_k + n_rel) // (2 * n_rel) AS rec_u,
+      |    (2000000 * dcg + idcg) // (2 * idcg) AS ndcg_u,
+      |    CASE WHEN frk IS NULL THEN 0
+      |      ELSE (2000000 + frk) // (2 * frk) END AS rr_u
+      |  FROM met)
+      |SELECT config_id, k_rrf, w_a, w_b,
+      |  CAST((2 * sum(ndcg_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE) AS ndcg_at_k,
+      |  CAST((2 * sum(rec_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE) AS recall_at_k,
+      |  CAST((2 * sum(rr_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE) AS mrr
+      |FROM mu GROUP BY 1, 2, 3, 4 ORDER BY config_id""".stripMargin
 
   /** q166: the hybrid fusion served entirely from PERSISTED stores —
     * lexical scores from the q144 stats store, vector ranks from the
@@ -4125,8 +4370,8 @@ object ExtensionQueries {
     * providing (w, `wordCol`) — is the ONLY thing the two oracles
     * differ on: piece strings (q156) vs id strings (q160).
     */
-  private def packedStreamOracleSql(wordCtes: String, wordTable: String,
-                                    wordCol: String): String =
+  private def packedStreamCtes(wordCtes: String, wordTable: String,
+                               wordCol: String): String =
     s"""WITH RECURSIVE $subwordEncCtes,
        |$wordCtes,
        |dw AS (SELECT doc_id, unnest([{'i': i, 'w': toks[i]}
@@ -4150,7 +4395,11 @@ object ExtensionQueries {
        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 8
        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
        |    / 512.0) AS INTEGER) AS bin
-       |  FROM dstr)
+       |  FROM dstr)""".stripMargin
+
+  private def packedStreamOracleSql(wordCtes: String, wordTable: String,
+                                    wordCol: String): String =
+    packedStreamCtes(wordCtes, wordTable, wordCol) + """
        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        |  min(doc_id) AS first_id, max(doc_id) AS last_id,
@@ -4166,6 +4415,26 @@ object ExtensionQueries {
       """wcs AS (SELECT w, trim(state) AS ps FROM enc
         |  WHERE nxt = (SELECT max(rank) FROM merges) + 1)""".stripMargin,
       "wcs", "ps")
+
+  /** q173: q156's per-doc binning CTEs with every offset rebuilt
+    * POSITIONALLY — the cumulative (length + 1) window per (shard, bin)
+    * in doc_id order, the +1 being the separator token; lengths are the
+    * same per-doc piece counts the stream carries.
+    */
+  private lazy val packBoundariesOracleSql: String =
+    packedStreamCtes(
+      """wcs AS (SELECT w, trim(state) AS ps FROM enc
+        |  WHERE nxt = (SELECT max(rank) FROM merges) + 1)""".stripMargin,
+      "wcs", "ps") + """
+       |SELECT shard, bin,
+       |  CAST(row_number() OVER (PARTITION BY shard, bin
+       |    ORDER BY doc_id) AS INT) AS seq,
+       |  doc_id,
+       |  CAST(sum(n_tokens + 1) OVER (PARTITION BY shard, bin
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |    - (n_tokens + 1) AS INT) AS doc_offset,
+       |  CAST(n_tokens AS INT) AS doc_len
+       |FROM b ORDER BY shard, bin, seq""".stripMargin
 
   /** q160's oracle: q156's stream reassembly with every piece mapped
     * through the (piece, id) table REBUILT from the committed artifact —
@@ -5167,6 +5436,7 @@ object ExtensionQueries {
     "q129_pretrain_recipe" -> pretrainRecipeOracleSql,
     "q155_learned_recipe" -> learnedRecipeOracleSql,
     "q156_token_stream_pack" -> tokenStreamPackOracleSql,
+    "q173_pack_boundaries" -> packBoundariesOracleSql,
     "q160_token_id_pack" -> tokenIdPackOracleSql,
     "q158_learned_funnel" -> learnedFunnelOracleSql,
     "q130_temperature_mix" -> temperatureMixOracleSql,
@@ -5189,6 +5459,8 @@ object ExtensionQueries {
     // are corpus-absent → no rows for it, on both engines.
     "q118_bm25_per_query" -> bm25PerQueryOracleSql,
     "q163_hybrid_rrf" -> hybridRrfOracleSql,
+    "q172_ranking_quality" -> rankingQualityOracleSql,
+    "q176_fusion_quality_grid" -> fusionQualityGridOracleSql,
     "q164_mmr_rerank" -> mmrRerankOracleSql,
     "q166_hybrid_from_stores" -> hybridFromStoresOracleSql,
     "q167_mmr_from_store" -> mmrFromStoreOracleSql,

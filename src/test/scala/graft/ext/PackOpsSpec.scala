@@ -155,6 +155,59 @@ class PackOpsSpec extends AnyFunSuite {
     assert(stream.exists(_.contains(expect)), s"$expect not in any stream")
   }
 
+  test("packTokenStreams withBoundaries: hand-checked ids/offsets/" +
+      "lengths incl. zero-piece and NULL-piece docs; the default " +
+      "schema is unchanged") {
+    val d = Seq(
+      (0L, Seq("a", "b", "c")), (8L, Seq.empty[String]),
+      (16L, Seq("xy")), (1L, Seq("q", "r")), (9L, null)
+    ).toDF("doc_id", "pieces")
+    val r = PackOps.packTokenStreams(d, "doc_id", col("pieces"),
+        budget = 512, nShards = 8, withBoundaries = true)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) ->
+        ((x.getSeq[Long](7), x.getSeq[Int](8), x.getSeq[Int](9)))).toMap
+    // shard 0: docs 0 (3 tok), 8 (0), 16 (1) → the zero-length doc 8
+    // still claims a boundary slot: offsets 0, 3+1=4, 4+0+1=5
+    assert(r((0, 0)) == ((Seq(0L, 8L, 16L), Seq(0, 4, 5), Seq(3, 0, 1))))
+    // shard 1: docs 1 (2 tok), 9 (NULL → 0 tok)
+    assert(r((1, 0)) == ((Seq(1L, 9L), Seq(0, 3), Seq(2, 0))))
+    val cols = PackOps.packTokenStreams(d, "doc_id", col("pieces"),
+      budget = 512, nShards = 8).columns.toSeq
+    assert(!cols.contains("doc_ids"), cols)
+  }
+
+  test("packTokenStreams withBoundaries: invariants on real fixture " +
+      "text (offsets start at 0, advance by length+1, Σ lengths = " +
+      "n_tokens, array sizes = n_docs) and the plan STILL pays one " +
+      "exchange — the arrays ride the same aggregate") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = PackOps.packTokenStreams(d, "doc_id",
+      TextOps.subwordPieces(col("text")), budget = 512, nShards = 4,
+      withBoundaries = true)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected single shard exchange:\n$plan")
+    out.collect().foreach { x =>
+      val (nDocs, nTok) = (x.getLong(2), x.getLong(3))
+      val ids = x.getSeq[Long](7)
+      val offs = x.getSeq[Int](8)
+      val lens = x.getSeq[Int](9)
+      assert(ids.size == nDocs && offs.size == nDocs && lens.size == nDocs)
+      assert(ids == ids.sorted) // stream order is id order
+      assert(offs.head == 0)
+      offs.zip(lens).sliding(2).foreach {
+        case Seq((o1, l1), (o2, _)) => assert(o2 == o1 + l1 + 1)
+        case _ => ()
+      }
+      assert(lens.map(_.toLong).sum == nTok)
+      // the i-th stream segment has exactly lengths(i) tokens
+      val segs = x.getString(6).split(" <\\|doc\\|> ", -1)
+      assert(segs.length == nDocs)
+      segs.zip(lens).foreach { case (seg, l) =>
+        assert(seg.split(" ").count(_.nonEmpty) == l, s"'$seg' vs $l") }
+    }
+  }
+
   test("epochShuffle: reproducible per seed, permuted across seeds, " +
       "(shard, ord) is a dense total order") {
     import spark.implicits._

@@ -349,6 +349,104 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "score", k = 1)).contains("positive"))
   }
 
+  // --- rankingQuality (q172) / rrfQualityGrid (q176) ------------------
+
+  test("ndcgDiscountsMicro is the fixed micro table: disc(1)=10^6, " +
+      "disc(3)=500000 (log2(4)=2), monotone decreasing") {
+    val d = RetrievalOps.ndcgDiscountsMicro(5)
+    assert(d(0) == 1000000L && d(2) == 500000L, d)
+    assert(d(1) == 630930L, d) // round(1e6/log2 3)
+    assert(d == d.sorted.reverse, d)
+  }
+
+  test("rankingQuality: hand-computed nDCG/recall/RR per query, " +
+      "trec_eval conventions (rel=0 judged, unjudged retrieved, " +
+      "all-zero query excluded, run-only query ignored, missing " +
+      "query scores zeros), and the integer-mean row") {
+    // run: q1 retrieves 10,50,12 (50 unjudged); q2 misses everything;
+    // q3 (all judgments rel=0) and q4 (unjudged query) also have rows
+    val run = Seq(
+      (1, 10L, 1), (1, 50L, 2), (1, 12L, 3),
+      (2, 21L, 1), (2, 22L, 2), (2, 23L, 3),
+      (3, 30L, 1), (4, 40L, 1)).toDF("query_id", "id", "rank")
+    val qrels = Seq(
+      (1, 10L, 3), (1, 11L, 1), (1, 12L, 2), (1, 99L, 0),
+      (2, 20L, 1),
+      (3, 30L, 0)).toDF("query_id", "id", "rel")
+    val r = RetrievalOps.rankingQuality(run, qrels, "query_id", "id",
+        "rank", "rel", k = 3)
+      .orderBy("query_id").collect()
+    assert(r.length == 3, r.toSeq) // q1, q2, mean(-1); q3/q4 excluded
+    val Array(mean, q1, q2) = r
+    // q1: disc = (1000000, 630930, 500000)
+    //   idcg = 3·1000000 + 2·630930 + 1·500000 = 4761860
+    //   dcg  = 3·1000000 (10@1) + 2·500000 (12@3) = 4000000
+    assert(q1.getAs[Long]("n_rel") == 3 && q1.getAs[Long]("n_rel_at_k") == 2)
+    assert(q1.getAs[Double]("ndcg_at_k") == r6(4000000.0 / 4761860))
+    assert(q1.getAs[Double]("recall_at_k") == 0.666667)
+    assert(q1.getAs[Double]("rr") == 1.0)
+    assert(q2.getAs[Long]("n_rel") == 1 && q2.getAs[Long]("n_rel_at_k") == 0)
+    assert(q2.getAs[Double]("ndcg_at_k") == 0.0)
+    assert(q2.getAs[Double]("recall_at_k") == 0.0)
+    assert(q2.getAs[Double]("rr") == 0.0)
+    // mean row: micro-ints (666667, 840008, 1000000) + q2's zeros,
+    // averaged half-up over 2 queries, divided once by 10^6
+    assert(mean.getAs[Int]("query_id") == -1)
+    assert(mean.getAs[Long]("n_rel") == 4 &&
+      mean.getAs[Long]("n_rel_at_k") == 2)
+    assert(mean.getAs[Double]("recall_at_k") == 0.333334) // (2/3)/2 ↑
+    assert(mean.getAs[Double]("ndcg_at_k") == 0.420004)
+    assert(mean.getAs[Double]("rr") == 0.5)
+  }
+
+  test("rankingQuality validates k; qrels with no positive judgments " +
+      "yield only the (empty) mean row") {
+    val run = leg((1, 10L, 1))
+    val qrels = Seq((1, 10L, 0)).toDF("query_id", "id", "rel")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(RetrievalOps.rankingQuality(run, qrels, "query_id", "id",
+      "rank", "rel", k = 0)).contains("not in 1..1000"))
+    assert(msg(RetrievalOps.rankingQuality(run, qrels, "query_id", "id",
+      "rank", "rel", k = 1001)).contains("not in 1..1000"))
+  }
+
+  test("rrfQualityGrid at a single config equals rankingQuality over " +
+      "rrfFuse at the same config (differential), and weight-skewed " +
+      "configs move the metrics") {
+    val lex = leg((1, 10L, 1), (1, 11L, 2), (2, 20L, 1))
+    val vec = leg((1, 30L, 1), (1, 10L, 2), (2, 21L, 1))
+    val qrels = Seq((1, 10L, 2), (1, 30L, 1), (2, 21L, 1))
+      .toDF("query_id", "id", "rel")
+    val grid = RetrievalOps.rrfQualityGrid(lex, vec, qrels,
+        "query_id", "id", "rank", "rel", k = 3,
+        grid = Seq((60, 1.0, 1.0), (60, 1.0, 8.0)))
+      .orderBy("config_id").collect()
+    val fused = RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id",
+      "rank", k = 3)
+    val mean = RetrievalOps.rankingQuality(fused, qrels, "query_id",
+        "id", "fused_rank", "rel", k = 3)
+      .filter($"query_id" === -1).collect().head
+    assert(grid(0).getAs[Double]("ndcg_at_k") ==
+      mean.getAs[Double]("ndcg_at_k"))
+    assert(grid(0).getAs[Double]("recall_at_k") ==
+      mean.getAs[Double]("recall_at_k"))
+    assert(grid(0).getAs[Double]("mrr") == mean.getAs[Double]("rr"))
+    // both configs retrieve everything at k=3 (recall equal), but the
+    // vector-heavy weighting promotes 30 over 10 on q1 — nDCG moves
+    assert(grid(1).getAs[Double]("recall_at_k") ==
+      grid(0).getAs[Double]("recall_at_k"))
+    assert(grid(1).getAs[Double]("ndcg_at_k") !=
+      grid(0).getAs[Double]("ndcg_at_k"))
+    def bad(g: Seq[(Int, Double, Double)]): String =
+      intercept[IllegalArgumentException](RetrievalOps.rrfQualityGrid(
+        lex, vec, qrels, "query_id", "id", "rank", "rel", 3, g))
+        .getMessage
+    assert(bad(Nil).contains("bad grid"))
+    assert(bad(Seq((0, 1.0, 1.0))).contains("bad grid"))
+    assert(bad(Seq((60, 1.0, 1.0), (60, 1.0, 1.0))).contains("dup"))
+  }
+
   test("rrfFuse validates its arguments loudly") {
     val a = leg((1, 10L, 1))
     def msg(f: => Any): String =

@@ -365,7 +365,10 @@ class QueryPlanSpec extends AnyFunSuite {
       "q121_hard_negatives", "q124_contrastive_triples",
       "q136_ann_recall", "q137_ann_recall_sweep", "q139_ann_recall_grid",
       "q163_hybrid_rrf", "q164_mmr_rerank", "q166_hybrid_from_stores",
-      "q167_mmr_from_store", "q168_leg_agreement", "q169_score_fusion")
+      "q167_mmr_from_store", "q168_leg_agreement", "q169_score_fusion",
+      // q172/q176 ride q163's bruteForceTopK vector leg (3-probe
+      // broadcast) — same intentional probe-side BNLJ as q163 itself
+      "q172_ranking_quality", "q176_fusion_quality_grid")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
