@@ -226,4 +226,74 @@ object ProfileOps {
       .select(col("col_name"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_num").as("min_v"),
         col("max_num").as("max_v"), col("mean_v"))
+
+  /** Classifier calibration report (q175 — VERDICT r16 task 6): does a
+    * predicted probability MEAN anything — is "0.7" an empirical 0.7?
+    * Buckets `scoreCol` (a probability pre-rounded at 6, e.g.
+    * [[TextOps.qualityLrScore]]) into `nBuckets` fixed-width bins and
+    * reports per bucket:
+    *
+    *   n         — labeled rows in the bucket
+    *   n_pos     — of those, actually positive
+    *   pos_rate  — n_pos / n (the empirical rate)
+    *   mean_pred — the bucket's mean predicted probability
+    *   abs_gap   — |mean_pred − pos_rate| (the reliability-diagram bar)
+    *
+    * plus ONE summary row (bucket = −1, counts summed) whose `abs_gap`
+    * is the Expected Calibration Error — Σ_b (n_b/N)·gap_b — the number
+    * read before a score threshold commits a corpus (Naeini, Cooper &
+    * Hauskrecht 2015, "Obtaining Well Calibrated Probabilities Using
+    * Bayesian Binning", AAAI — the standard binned ECE).
+    *
+    * Cross-engine determinism (the q170/q172 discipline): scores become
+    * exact integer micro-units (round(score·10⁶) — exact for a score
+    * already rounded at 6), every bucket aggregate is an integer sum,
+    * the per-bucket gap numerator |Σmicro − 10⁶·n_pos| is an exact
+    * integer, and ECE's numerator is the plain integer sum of those —
+    * so ECE needs no float-weighted average at all. Every reported
+    * ratio is integer-rounded half-up at 6 first, then divided once by
+    * 10⁶ (no float round() near a .5 boundary). Buckets are fixed-width
+    * (never ntile), clamped on the LONG floor BEFORE the int cast;
+    * NaN scores normalize to NULL; unscored (NULL-score) and unlabeled
+    * (NULL-label) rows are excluded — calibration is only definable on
+    * the labeled, scored slice.
+    *
+    * Plan shape: one map-side projection + one ≤nBuckets-row aggregate
+    * — the corpus is touched once, nothing collects beyond the bucket
+    * histogram.
+    */
+  def calibrationReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+                        nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 10000,
+      s"calibrationReport: nBuckets=$nBuckets not in 1..10000")
+    val s = scoreCol.cast("double")
+    val rows = df
+      .withColumn("__su", when(isnan(s), lit(null))
+        .otherwise(round(s * 1e6)).cast("long"))
+      .withColumn("__pos", when(labelCol, 1L)
+        .when(!labelCol, 0L).otherwise(lit(null)))
+      .filter(col("__su").isNotNull && col("__pos").isNotNull)
+      .withColumn("bucket", least(lit((nBuckets - 1).toLong),
+        greatest(lit(0L), floor(s * nBuckets))).cast("int"))
+    val per = rows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"),
+        sum(col("__su")).as("__su"))
+      .withColumn("__gap_u",
+        abs(col("__su") - lit(1000000L) * col("n_pos")))
+    def ratio6(numExpr: String): Column =
+      (expr(numExpr).cast("double") / 1000000.0)
+    val perOut = per.select(col("bucket"), col("n"), col("n_pos"),
+      ratio6("(2 * 1000000 * n_pos + n) div (2 * n)").as("pos_rate"),
+      ratio6("(2 * __su + n) div (2 * n)").as("mean_pred"),
+      ratio6("(2 * __gap_u + n) div (2 * n)").as("abs_gap"))
+    val summary = per.agg(sum(col("n")).as("n"),
+        sum(col("n_pos")).as("n_pos"), sum(col("__su")).as("__su"),
+        sum(col("__gap_u")).as("__gap_u"))
+      .select(lit(-1).as("bucket"), col("n"), col("n_pos"),
+        ratio6("(2 * 1000000 * n_pos + n) div (2 * n)").as("pos_rate"),
+        ratio6("(2 * __su + n) div (2 * n)").as("mean_pred"),
+        // ECE: Σ_b (n_b/N)·gap_b = (Σ_b gap_u_b) / (10⁶·N)
+        ratio6("(2 * __gap_u + n) div (2 * n)").as("abs_gap"))
+    perOut.unionAll(summary)
+  }
 }

@@ -474,6 +474,18 @@ object ExtensionQueries {
         .withColumn("is_quality", col("score") >= 0.5)
         .orderBy(col("doc_id"))),
 
+    // -- Calibration report (q175): is q151's predicted 0.7 a real 0.7?
+    // Reliability buckets + ECE over the labeled slice (the lang='en'
+    // positive seed the classifier was FIT against) — exact integer
+    // micro-sums, integer-rounded ratios, the q170 bucket discipline.
+    // The summary row (bucket -1) carries ECE in abs_gap ---------------
+    "q175_calibration_report" -> ((s, dir) =>
+      ProfileOps.calibrationReport(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          round(TextOps.qualityLrScore(col("text")), 6),
+          col("lang") === "en", nBuckets = 10)
+        .orderBy(col("bucket"))),
+
     // -- Run collapse: q62's execution counterpart — adjacent identical
     // tokens collapse to the first occurrence; the fixture's "batch batch
     // batch" stutter actually shrinks -----------------------------------
@@ -3886,6 +3898,67 @@ object ExtensionQueries {
        |ORDER BY dd.doc_id""".stripMargin
   }
 
+  /** q175: q151's score chain bucketed fixed-width over the labeled
+    * slice — integer micro-sums per bucket, the exact integer gap
+    * numerator |Σmicro − 10⁶·n_pos|, integer-rounded ratios (`//` ≡
+    * Spark `div`), and ECE as the plain integer gap sum over 10⁶·N.
+    */
+  private lazy val calibrationReportOracleSql: String = {
+    val wRows = graft.ext.QualityLrWeights.weights.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(",\n    ")
+    val bias = graft.ext.QualityLrWeights.bias
+    val nb = graft.ext.QualityLrWeights.nBuckets
+    s"""WITH w(b, wt) AS (VALUES
+       |    $wRows),
+       |d AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, unnest(toks ||
+       |    [array_to_string(toks[i:i+1], ' ')
+       |     for i in generate_series(1, len(toks) - 1)]) AS g
+       |  FROM d),
+       |db AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $nb AS b,
+       |    count(*) AS n
+       |  FROM g GROUP BY 1, 2),
+       |z AS (SELECT doc_id, sum(n * wt) / sum(n) AS zz
+       |  FROM db JOIN w USING (b) GROUP BY doc_id),
+       |sc AS (SELECT d.doc_id,
+       |    round(1.0 / (1.0 + exp(-(coalesce(zz, 0.0) + $bias))), 6)
+       |      AS score, dd.lang
+       |  FROM d LEFT JOIN z USING (doc_id)
+       |  JOIN documents dd ON dd.doc_id = d.doc_id),
+       |lab AS (SELECT doc_id,
+       |    CAST(round(score * 1000000) AS BIGINT) AS su,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(score * 10) AS BIGINT)))
+       |      AS INTEGER) AS bucket,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM sc WHERE lang IS NOT NULL),
+       |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(su) AS BIGINT) AS su
+       |  FROM lab GROUP BY bucket),
+       |pm AS (SELECT bucket, n, n_pos, su,
+       |    abs(su - 1000000 * n_pos) AS gap_u FROM pb)
+       |SELECT bucket, n, n_pos,
+       |  CAST((2 * 1000000 * n_pos + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS pos_rate,
+       |  CAST((2 * su + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS mean_pred,
+       |  CAST((2 * gap_u + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS abs_gap
+       |FROM pm
+       |UNION ALL
+       |SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
+       |  CAST((2 * 1000000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+       |    AS DOUBLE) / CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(su) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(gap_u) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE)
+       |FROM pm ORDER BY bucket""".stripMargin
+  }
+
   /** The committed language-ID scorer REBUILT in SQL, shared by the
     * q154/q157/q159 oracles: every class score as a dot product over the
     * committed weight matrices (q151's CTEs stacked per language),
@@ -4867,6 +4940,7 @@ object ExtensionQueries {
     // (fold-order and libm-exp jitter ~1e-15 « 5e-7). A null-text doc
     // keeps a NULL score like the Spark expression.
     "q151_quality_classifier" -> qualityLrOracleSql,
+    "q175_calibration_report" -> calibrationReportOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,

@@ -199,4 +199,46 @@ class ProfileOpsSpec extends AnyFunSuite {
     assert(byId == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "unchanged"))
   }
+
+  test("calibrationReport: hand-computed reliability buckets and ECE; " +
+      "score 1.0 clamps into the top bucket; NaN scores, NULL scores " +
+      "and NULL labels are excluded; the summary row carries ECE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq[(java.lang.Double, java.lang.Boolean)](
+      (0.95, true), (1.0, true),            // bucket 9 (1.0 clamps)
+      (0.85, true),                         // bucket 8
+      (0.55, true),                         // bucket 5
+      (0.45, false),                        // bucket 4
+      (0.15, false),                        // bucket 1
+      (0.05, false),                        // bucket 0
+      (Double.NaN, true), (null, true), (0.5, null) // all excluded
+    ).toDF("score", "label")
+    val r = ProfileOps.calibrationReport(rows, col("score"), col("label"))
+      .orderBy("bucket").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r.keySet == Set(-1, 0, 1, 4, 5, 8, 9))
+    // bucket 9: micro sum 1950000 over 2 rows → mean 0.975, gap 0.025
+    assert(r(9) == ((2L, 2L, 1.0, 0.975, 0.025)))
+    assert(r(8) == ((1L, 1L, 1.0, 0.85, 0.15)))
+    assert(r(5) == ((1L, 1L, 1.0, 0.55, 0.45)))
+    assert(r(4) == ((1L, 0L, 0.0, 0.45, 0.45)))
+    assert(r(1) == ((1L, 0L, 0.0, 0.15, 0.15)))
+    assert(r(0) == ((1L, 0L, 0.0, 0.05, 0.05)))
+    // summary: N=7, pos=4; ECE = Σgap_u/(10⁶·N) = 1300000/7000000,
+    // integer-rounded half-up at 6 → 0.185714
+    assert(r(-1) == ((7L, 4L, 0.571429, 0.571429, 0.185714)))
+  }
+
+  test("calibrationReport validates nBuckets loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq((0.5, true)).toDF("score", "label")
+    def msg(n: Int): String = intercept[IllegalArgumentException](
+      ProfileOps.calibrationReport(d, col("score"), col("label"), n))
+      .getMessage
+    assert(msg(0).contains("not in 1..10000"))
+    assert(msg(10001).contains("not in 1..10000"))
+  }
 }
