@@ -144,6 +144,39 @@ object Bpe {
     seen.toSeq
   }
 
+  /** TOTAL token-id mapping with codepoint fallback (q160 — VERDICT r16
+    * task 7, the byte-fallback idea at codepoint granularity): a piece
+    * in the committed vocabulary keeps its vocabulary id; an
+    * out-of-vocabulary piece falls back to `vocabSize + codepoint`. The
+    * fallback is well-defined because an OOV piece is ALWAYS a single
+    * codepoint: [[initState]] splits words into codepoints and every
+    * merge output is a string of alphabet characters, so a non-alphabet
+    * codepoint can never fuse with anything — it rides the encode as
+    * itself. Fallback ids start past the vocabulary (collision-free by
+    * construction) and [[decodeId]] inverts them arithmetically — no
+    * table, no RNG, same rule in the DuckDB oracle (`unicode(piece)`).
+    * NO text maps to −1; decode(encode(text)) round-trips on anything.
+    */
+  def tokenId(idOf: Map[String, Int], vocabSize: Int,
+              piece: String): Int =
+    idOf.getOrElse(piece, {
+      require(piece.codePointCount(0, piece.length) == 1,
+        s"tokenId: out-of-vocabulary piece '$piece' is not a single " +
+          "codepoint — it cannot come from this artifact's encode")
+      vocabSize + piece.codePointAt(0)
+    })
+
+  /** Inverse of [[tokenId]]: vocabulary ids look up their piece,
+    * fallback ids decode arithmetically to their codepoint.
+    */
+  def decodeId(vocab: IndexedSeq[String], id: Int): String =
+    if (id >= 0 && id < vocab.length) vocab(id)
+    else {
+      require(id >= vocab.length,
+        s"decodeId: negative id $id is not a token id")
+      new String(Character.toChars(id - vocab.length))
+    }
+
   /** Piece count = delimiters − 1 (the formula the DuckDB oracle uses on
     * the same state string); the empty word counts 0.
     */

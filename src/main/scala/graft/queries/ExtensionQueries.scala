@@ -1947,16 +1947,20 @@ object ExtensionQueries {
     // streams — the exact artifact a trainer memory-maps. Ids are a pure
     // function of the committed artifact (Bpe.vocabulary: sorted base
     // alphabet, then merge outputs in rank order); out-of-vocabulary
-    // pieces serve as -1/<unk>. The id map rides a map literal inside
-    // whole-stage codegen — no join, no broadcast, no new expression.
-    // Oracle rebuilds the SAME (piece, id) table as VALUES and maps the
-    // rebuilt piece streams through it ----------------------------------
+    // pieces — always single codepoints (Bpe.tokenId) — fall back to
+    // vocabSize + codepoint, so NO text maps to -1 and decode(encode)
+    // round-trips (ADVICE/VERDICT r16 task 7). The id map rides a map
+    // literal inside whole-stage codegen, the fallback is ascii() (the
+    // full-codepoint Spark expression) — no join, no broadcast, no new
+    // expression. Oracle rebuilds the SAME (piece, id) table as VALUES
+    // and applies the same unicode(piece) fallback rule ------------------
     "q160_token_id_pack" -> ((s, dir) => {
       import graft.ext.{Bpe, BpeMerges}
       val vocab = Bpe.vocabulary(BpeMerges.alphabet, BpeMerges.merges)
       val idMap = typedLit(vocab.zipWithIndex.toMap)
       val ids = transform(TextOps.subwordPieces(col("text")),
-        p => coalesce(element_at(idMap, p), lit(-1)).cast("string"))
+        p => coalesce(element_at(idMap, p),
+          lit(vocab.size) + ascii(p)).cast("string"))
       val d = t(s, dir, "documents").filter(col("text").isNotNull)
       PackOps.packTokenStreams(d, "doc_id", ids, budget = 512,
           nShards = 8)
@@ -4512,8 +4516,9 @@ object ExtensionQueries {
   /** q160's oracle: q156's stream reassembly with every piece mapped
     * through the (piece, id) table REBUILT from the committed artifact —
     * the same `Bpe.vocabulary` order as VALUES literals; unknown pieces
-    * (none on this fixture — the alphabet covers it) would map to −1
-    * via the LEFT JOIN's coalesce.
+    * (always single codepoints — see Bpe.tokenId) fall back to the SAME
+    * vocabSize + unicode(piece) rule the Spark side applies, so NO text
+    * maps to −1 on either engine.
     */
   private lazy val tokenIdPackOracleSql: String = {
     val vocab = graft.ext.Bpe.vocabulary(graft.ext.BpeMerges.alphabet,
@@ -4530,7 +4535,8 @@ object ExtensionQueries {
          |wpi AS (SELECT w, unnest([{'i': i, 'p': pcs[i]}
          |    for i in generate_series(1, len(pcs))]) AS s FROM wp),
          |wids AS (SELECT w,
-         |    string_agg(CAST(coalesce(v160.id, -1) AS VARCHAR), ' '
+         |    string_agg(CAST(coalesce(v160.id,
+         |      ${vocab.size} + unicode(wpi.s.p)) AS VARCHAR), ' '
          |      ORDER BY s.i) AS ids
          |  FROM wpi LEFT JOIN v160 ON v160.piece = wpi.s.p
          |  GROUP BY w)""".stripMargin,

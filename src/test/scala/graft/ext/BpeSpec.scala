@@ -209,10 +209,48 @@ class BpeSpec extends AnyFunSuite {
         assert(idOf.contains(p), s"piece '$p' of '$w' has no id")
       }
     }
-    // out-of-alphabet text: its pieces are NOT in the vocabulary — the
-    // call sites' coalesce serves them as -1/<unk>
-    assert(Bpe.pieces("zürich", BpeMerges.merges)
-      .exists(p => !idOf.contains(p)))
+    // out-of-alphabet text: its pieces are NOT in the vocabulary, but
+    // the codepoint fallback still ids them — NO text maps to -1
+    val oov = Bpe.pieces("zürich", BpeMerges.merges)
+    assert(oov.exists(p => !idOf.contains(p)))
+    oov.foreach { p =>
+      val id = Bpe.tokenId(idOf, vocab.size, p)
+      assert(id >= 0, s"piece '$p' mapped to $id")
+      if (!idOf.contains(p)) assert(id >= vocab.size, s"'$p' -> $id")
+    }
+  }
+
+  test("codepoint-fallback ids: decode(encode) round-trips on ANY text " +
+      "(alphabet-covered, out-of-alphabet, astral-plane); fallback ids " +
+      "never collide with vocabulary ids; a multi-codepoint OOV piece " +
+      "and a negative id fail loudly") {
+    val vocab = Bpe.vocabulary(BpeMerges.alphabet, BpeMerges.merges)
+      .toIndexedSeq
+    val idOf = vocab.zipWithIndex.toMap
+    def roundTrip(word: String): Unit = {
+      val pieces = Bpe.pieces(word, BpeMerges.merges)
+      val ids = pieces.map(p => Bpe.tokenId(idOf, vocab.size, p))
+      assert(ids.forall(_ >= 0), s"'$word' -> $ids")
+      assert(ids.map(Bpe.decodeId(vocab, _)).mkString == word,
+        s"'$word' did not round-trip via $ids")
+    }
+    Seq("merge", "vector", "zürich", "x9z!", "𝄞clef", "日本語",
+      "tab\tand~`", "order", "z").foreach(roundTrip)
+    // deterministic pseudo-random unicode words (no RNG seed drift):
+    // cycle through a codepoint pool spanning ascii, latin-1, CJK, astral
+    val pool = Array(97, 98, 122, 48, 252, 8364, 26085, 119070, 33, 95)
+    (0 until 200).foreach { i =>
+      val len = i % 7 + 1
+      val w = new StringBuilder
+      (0 until len).foreach(j => w.appendAll(
+        Character.toChars(pool((i * 31 + j * 7) % pool.length))))
+      roundTrip(w.toString)
+    }
+    // fallback ids sit strictly past the vocabulary
+    assert(Bpe.tokenId(idOf, vocab.size, "z") == vocab.size + 'z'.toInt)
+    intercept[IllegalArgumentException](
+      Bpe.tokenId(idOf, vocab.size, "zz"))
+    intercept[IllegalArgumentException](Bpe.decodeId(vocab, -1))
   }
 
   test("q150 plan: the encode is map-only — no shuffle below the budget " +
