@@ -70,6 +70,18 @@ object TextOps {
   def subwordPieces(text: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graft.SubwordFunctions.subwordPieces(text, merges)
 
+  /** [[subwordTokenCount]] dispatched by a language column (q174): each
+    * row prices with its language's committed [[BpeMergesByLang]]
+    * vocabulary, falling back to the global [[BpeMerges]] for 'und' or
+    * any language without an artifact. ONE native expression holding
+    * all the encoders — a when-chain of five encode expressions blows
+    * the generated method past Janino's limit and de-JITs the stage.
+    * NULL text or NULL language → NULL.
+    */
+  def subwordTokenCountByLang(text: Column, lang: Column): Column =
+    org.apache.spark.sql.graft.SubwordFunctions.subwordTokenCountByLang(
+      text, lang, BpeMergesByLang.merges, BpeMerges.merges)
+
   /** TRAINED quality score under the committed [[QualityLrWeights]]
     * classifier (hashed-n-gram logistic regression — the fastText-style
     * seed-labeled gate; see [[QualityLr]]): σ of the mean hashed-gram

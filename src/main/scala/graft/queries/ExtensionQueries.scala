@@ -88,15 +88,23 @@ object ExtensionQueries {
     * and spec-tested on synthetic weights (tie + all-below-threshold
     * cases, QualityLrSpec).
     */
+  /** Rounded argmax over the per-language score vector as (sc, l) —
+    * ties break to the FIRST (lexicographically smallest, since `langs`
+    * is sorted) language, exactly like the oracle's row_number over
+    * (score DESC, lang). Linear array expressions, NOT the former
+    * fold of nested when(struct) branches: that shape re-inlines the
+    * whole accumulated subtree at every getField, growing the generated
+    * code exponentially in |langs| — with q174's extra pricing
+    * reference the fused stage blew Janino's 64 KB method limit and
+    * de-JITted to interpreted execution.
+    */
   private[graft] def langIdBest(langs: Seq[String],
-                                scoresCol: Column): Column =
-    langs.zipWithIndex.tail.foldLeft(
-      struct(round(element_at(scoresCol, 1), 6).as("sc"),
-        lit(langs.head).as("l"))) { case (best, (l, i)) =>
-      val sc = round(element_at(scoresCol, i + 1), 6)
-      when(sc > best.getField("sc"),
-        struct(sc.as("sc"), lit(l).as("l"))).otherwise(best)
-    }
+                                scoresCol: Column): Column = {
+    val r = transform(scoresCol, s => round(s, 6))
+    struct(array_max(r).as("sc"),
+      element_at(typedLit(langs),
+        array_position(r, array_max(r)).cast("int")).as("l"))
+  }
 
   /** q161's per-PREDICTED-language budgets — the selection the `und`
     * threshold exists to protect (out-of-family text must not spend a
@@ -117,7 +125,7 @@ object ExtensionQueries {
     * ADVICE r15), and the rounded argmax as `__best`. Callers project
     * what they need and drop the working columns.
     */
-  private def langIdScored(df: DataFrame): DataFrame = {
+  private[graft] def langIdScored(df: DataFrame): DataFrame = {
     import graft.ext.LangIdWeights
     val scores = org.apache.spark.sql.graft.SubwordFunctions
       .hashedGramScoreVec(col("text"),
@@ -443,6 +451,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Per-language-PRICED budgets (q174): q161 with the misprice
+    // q159 reports actually corrected — each document priced by its
+    // PREDICTED language's committed vocabulary (BpeMergesByLang;
+    // 'und' keeps the global merges: an unidentifiable document has no
+    // language artifact to claim). Still map-only pricing: ONE native
+    // expression holds every per-lang encoder and dispatches per row,
+    // no join — and no five-branch when-chain, which blew Janino's
+    // method limit and de-JITted the stage.
+    // Oracle rebuilds ALL FIVE per-lang merge chains + the global one
+    // and carries each through the naive per-language window -----------
+    "q174_budget_per_lang_priced" -> ((s, dir) => {
+      val scored = langIdScored(t(s, dir, "documents"))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("quality",
+          round(TextOps.qualityLrScore(col("text")), 6))
+        .withColumn("n_tok",
+          TextOps.subwordTokenCountByLang(col("text"), col("pred_lang")))
+      DedupOps.tokenBudgetSelectBySource(scored, "doc_id", "pred_lang",
+          col("quality"), col("n_tok"), LangBudgets)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Fertility by PREDICTED language (q159): the q152 × q157
     // composition — per predicted language (including 'und'), whitespace
     // vs learned-subword token mass and their ratio. The per-language
@@ -457,6 +487,25 @@ object ExtensionQueries {
             .as("ws_tokens"),
           sum(TextOps.subwordTokenCount(col("text")))
             .as("subword_tokens"))
+        .withColumn("fertility",
+          round(col("subword_tokens").cast("double") / col("ws_tokens"),
+            4))
+        .orderBy(col("predicted"))),
+
+    // -- Fertility under per-language pricing (q177): q159's report
+    // with each language priced by ITS committed vocabulary — the
+    // after-picture of the misprice q159 measures (the per-lang
+    // fertilities converge toward en's; SCALING.md records the shrink).
+    // Same one-scan map-only shape; 'und' keeps global pricing --------
+    "q177_fertility_per_lang_priced" -> ((s, dir) =>
+      langIdScored(t(s, dir, "documents"))
+        .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("ws_tokens"),
+          sum(TextOps.subwordTokenCountByLang(col("text"),
+            col("predicted"))).as("subword_tokens"))
         .withColumn("fertility",
           round(col("subword_tokens").cast("double") / col("ws_tokens"),
             4))
@@ -4055,6 +4104,124 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** One per-language recursive encode chain (q174): the
+    * [[subwordEncCtes]] scaffold parameterized by a tag, that
+    * language's committed merges, and the word slice of documents
+    * PREDICTED as that language (requires the `pr` CTE in scope).
+    * Yields `dtok_<tag>` — per-doc subword counts for that slice under
+    * that vocabulary.
+    */
+  private def perLangEncChainSql(tag: String,
+                                 merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val mergeRows = merges.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1}, '${esc(l)}', '${esc(r)}')" }
+      .mkString(",\n    ")
+    s"""merges_$tag(rank, l, r) AS (VALUES
+       |    $mergeRows),
+       |w0_$tag AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
+       |    AS state
+       |  FROM (SELECT DISTINCT unnest(regexp_split_to_array(
+       |      lower(d.text), '\\s+')) AS w
+       |    FROM documents d JOIN pr ON pr.doc_id = d.doc_id
+       |    WHERE pr.pred_lang = '$tag' AND d.text IS NOT NULL) t
+       |  WHERE length(w) > 0),
+       |enc_$tag AS (
+       |  SELECT w, state, 1 AS nxt FROM w0_$tag
+       |  UNION ALL
+       |  SELECT e.w, replace(e.state, ' ' || m.l || ' ' || m.r || ' ',
+       |      ' ' || m.l || m.r || ' '), e.nxt + 1
+       |  FROM enc_$tag e JOIN merges_$tag m ON m.rank = e.nxt
+       |),
+       |wc_$tag AS (SELECT w,
+       |    length(state) - length(replace(state, ' ', '')) - 1 AS np
+       |  FROM enc_$tag
+       |  WHERE nxt = (SELECT max(rank) FROM merges_$tag) + 1),
+       |dtok_$tag AS (SELECT d.doc_id,
+       |    CAST(coalesce(sum(wc_$tag.np), 0) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN pr ON pr.doc_id = d.doc_id
+       |  LEFT JOIN doc_toks ON doc_toks.doc_id = d.doc_id
+       |  LEFT JOIN wc_$tag ON wc_$tag.w = doc_toks.w
+       |  WHERE pr.pred_lang = '$tag' AND d.text IS NOT NULL
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
+  /** q174's oracle: q161's chain with the pricing REBUILT per predicted
+    * language — five per-language recursive merge chains (each over
+    * only ITS slice's words) plus the global chain for 'und', unioned
+    * into the per-doc token table the naive per-language window then
+    * selects from.
+    */
+  private lazy val budgetPerLangPricedOracleSql: String = {
+    import graft.ext.BpeMergesByLang
+    val inList = LangBudgets.keys.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    val caseArms = LangBudgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    val chains = BpeMergesByLang.langs
+      .map(l => perLangEncChainSql(l, BpeMergesByLang.merges(l)))
+      .mkString(",\n")
+    val unions = BpeMergesByLang.langs
+      .map(l => s"SELECT doc_id, n_tokens FROM dtok_$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |$langIdCtes,
+       |${qualityLrScoreCtes("d154")},
+       |pr AS (SELECT doc_id,
+       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
+       |         ELSE lang END AS pred_lang
+       |  FROM best WHERE rn = 1),
+       |$chains,
+       |dtokp AS ($unions
+       |  UNION ALL SELECT dtok.doc_id, dtok.n_tokens
+       |  FROM dtok JOIN pr USING (doc_id) WHERE pr.pred_lang = 'und'),
+       |m AS (SELECT pr.doc_id, pr.pred_lang, qz.score, dtokp.n_tokens
+       |  FROM pr JOIN qz USING (doc_id) JOIN dtokp USING (doc_id)
+       |  WHERE pr.pred_lang IN ($inList)),
+       |c AS (SELECT doc_id, pred_lang, score, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY pred_lang
+       |    ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+       |SELECT doc_id, pred_lang, score, n_tokens FROM c
+       |WHERE cum <= CASE pred_lang $caseArms END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q177's oracle: q159's fertility rollup with the per-doc token sums
+    * swapped for the per-language chains' union (the q174 `dtokp`).
+    */
+  private lazy val fertilityPerLangPricedOracleSql: String = {
+    import graft.ext.BpeMergesByLang
+    val chains = BpeMergesByLang.langs
+      .map(l => perLangEncChainSql(l, BpeMergesByLang.merges(l)))
+      .mkString(",\n")
+    val unions = BpeMergesByLang.langs
+      .map(l => s"SELECT doc_id, n_tokens FROM dtok_$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |$langIdCtes,
+       |pr AS (SELECT doc_id,
+       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
+       |         ELSE lang END AS pred_lang
+       |  FROM best WHERE rn = 1),
+       |$chains,
+       |dtokp AS ($unions
+       |  UNION ALL SELECT dtok.doc_id, dtok.n_tokens
+       |  FROM dtok JOIN pr USING (doc_id) WHERE pr.pred_lang = 'und'),
+       |ws177 AS (SELECT doc_id,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS wt
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT pr.pred_lang AS predicted,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws177.wt) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(dtokp.n_tokens) AS BIGINT) AS subword_tokens,
+       |  round(CAST(sum(dtokp.n_tokens) AS DOUBLE) / sum(ws177.wt), 4)
+       |    AS fertility
+       |FROM pr JOIN ws177 USING (doc_id) JOIN dtokp USING (doc_id)
+       |GROUP BY pr.pred_lang
+       |ORDER BY pr.pred_lang""".stripMargin
+  }
+
   /** q159's oracle: the shared scorer (with the reject CASE) composed
     * with the shared merges rebuild — fertility per PREDICTED language.
     */
@@ -4951,6 +5118,8 @@ object ExtensionQueries {
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,
     "q161_budget_by_predicted_lang" -> budgetByPredictedLangOracleSql,
+    "q174_budget_per_lang_priced" -> budgetPerLangPricedOracleSql,
+    "q177_fertility_per_lang_priced" -> fertilityPerLangPricedOracleSql,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark

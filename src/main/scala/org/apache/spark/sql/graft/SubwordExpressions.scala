@@ -4,7 +4,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -282,6 +282,66 @@ case class HashedGramScoreVec(child: Expression,
       : HashedGramScoreVec = copy(child = newChild)
 }
 
+/** [[SubwordTokenCount]] dispatched by a LANGUAGE column (q174): one
+  * expression holding every per-language encoder plus the global
+  * fallback, so per-language pricing is a single reference-object call
+  * — NOT a when-chain of five separate encode expressions, which blows
+  * the generated processNext() past Janino's method limit and de-JITs
+  * the whole stage (observed: the q174 projection fused with the
+  * langid/classifier scorers fell back to interpreted execution).
+  * A language with no committed vocabulary — 'und' by construction —
+  * prices with the fallback merges. NULL text or NULL language → NULL
+  * (callers materialize the language first; q174's pred_lang is never
+  * null — 'und' is a real value, not an absence).
+  */
+case class SubwordTokenCountByLang(left: Expression, right: Expression,
+                                   byLang: Map[String, Seq[(String, String)]],
+                                   fallback: Seq[(String, String)],
+                                   cacheCap: Int = 65536)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_token_count_by_lang"
+
+  @transient private lazy val encs
+      : Map[String, graft.ext.SubwordEncoder] =
+    byLang.map { case (l, m) =>
+      l -> new graft.ext.SubwordEncoder(m, cacheCap) }
+  @transient private lazy val fallbackEnc =
+    new graft.ext.SubwordEncoder(fallback, cacheCap)
+
+  def compute(s: UTF8String, lang: UTF8String): Long = {
+    val enc = encs.getOrElse(lang.toString, fallbackEnc)
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+", -1)
+    var total = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) total += enc.pieceCount(w)
+      i += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(t: Any, l: Any): Any =
+    compute(t.asInstanceOf[UTF8String], l.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("subwordCountByLang", this,
+      classOf[SubwordTokenCountByLang].getName)
+    nullSafeCodeGen(ctx, ev,
+      (t, l) => s"${ev.value} = $ref.compute($t, $l);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubwordTokenCountByLang =
+    copy(left = newLeft, right = newRight)
+}
+
 object SubwordFunctions {
   def subwordTokenCount(text: Column,
                         merges: Seq[(String, String)]): Column =
@@ -300,6 +360,13 @@ object SubwordFunctions {
                     merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(SubwordPieces(
       ExpressionUtils.expression(text), merges))
+
+  def subwordTokenCountByLang(text: Column, lang: Column,
+                              byLang: Map[String, Seq[(String, String)]],
+                              fallback: Seq[(String, String)]): Column =
+    ExpressionUtils.column(SubwordTokenCountByLang(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(lang),
+      byLang, fallback))
 
   def hashedGramScore(text: Column, weights: Seq[Double],
                       bias: Double): Column =

@@ -253,6 +253,52 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bpe.decodeId(vocab, -1))
   }
 
+  test("subwordTokenCountByLang: each language prices with ITS " +
+      "committed vocabulary (differential vs the single-vocab " +
+      "expression), unknown languages and 'und' fall back to the " +
+      "global merges, NULLs null the row; map-only plan") {
+    import graft.ext.BpeMergesByLang
+    val texts = Seq("merge the vector order", "slow query batch scan",
+      "hash join filter row table", "")
+    val langs = BpeMergesByLang.langs :+ "und" :+ "xx"
+    val rows = for (t <- texts; l <- langs) yield (t, l)
+    val df = rows.toDF("text", "lang")
+      .withColumn("by_lang",
+        TextOps.subwordTokenCountByLang(col("text"), col("lang")))
+    // differential: dispatch ≡ the explicitly-selected vocabulary
+    langs.foreach { l =>
+      val merges = BpeMergesByLang.merges.getOrElse(l, BpeMerges.merges)
+      val got = df.filter(col("lang") === l)
+        .select(col("by_lang"),
+          TextOps.subwordTokenCount(col("text"), merges).as("direct"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"lang=$l: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+    // the vocabularies genuinely differ: at least one text prices
+    // differently under some pair of languages
+    val spread = df.filter(col("text") =!= "")
+      .groupBy(col("text"))
+      .agg(countDistinct(col("by_lang")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(spread > 1, "per-lang vocabularies priced everything equally")
+    // NULL text / NULL lang → NULL
+    val nulls = Seq((null, "en"), ("merge", null),
+        (null, null)).asInstanceOf[Seq[(String, String)]]
+      .toDF("text", "lang")
+      .select(TextOps.subwordTokenCountByLang(col("text"), col("lang")))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)), nulls.toSeq)
+    // map-only: no exchange, the expression inside the scan's project
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextOps.subwordTokenCountByLang(col("text"), col("lang")))
+    import org.apache.spark.sql.execution.ExplainMode
+    val plan = d.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("subword_token_count_by_lang"), plan)
+  }
+
   test("q150 plan: the encode is map-only — no shuffle below the budget " +
       "histogram's aggregate, the expression inside the scan's project") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
