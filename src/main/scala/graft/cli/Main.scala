@@ -24,6 +24,9 @@ object Main {
     case "run" :: rest =>
       val flags = parseArgs(rest)._1
       if (flags.contains("dry-run")) dryRun(flags) else runPipeline(flags)
+    case "build" :: rest =>
+      val flags = parseArgs(rest)._1
+      if (flags.contains("dry-run")) dryRun(flags) else buildPipeline(flags)
     case "test" :: rest =>
       testPipeline(parseArgs(rest)._1)
     case "run-file" :: rest =>
@@ -39,6 +42,7 @@ object Main {
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2] [--fail-fast]
+           |       graft build [same flags as run] — seeds, models, snapshots and ALL their tests in one DAG-ordered pass; a failing test skips downstream models
            |       graft test [--config C] [--db-path P] [--select ...] [--exclude ...] [--vars k=v]
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>
@@ -129,6 +133,59 @@ object Main {
     } finally {
       // the cachedManifest lifecycle contract: the CLI owns this session,
       // so it drops any operator manifest caches before tearing it down
+      graft.ext.DedupOps.releaseManifests()
+      spark.stop()
+    }
+  }
+
+  /** dbt `build` — the daily driver: seeds, models, snapshots and ALL
+    * their data tests interleaved in one DAG-ordered invocation (they
+    * are all graph nodes here, so the engine's wave executor already
+    * orders them); a node whose error-severity test fails forces `SKIP
+    * upstream failed` on its downstream, warn severity reports without
+    * gating, and every declared test runs and prints its own
+    * PASS/WARN/FAIL row (run's fail-on-first would shadow sibling
+    * tests). Exit codes compose run's and test's: 1 on any node error
+    * (an error-severity test failure IS one), 0 when only warn-level
+    * results occurred. --select/--exclude/--vars/--parallel/
+    * --fail-fast/--changed-only/--full-refresh compose exactly as for
+    * `run`.
+    */
+  private def buildPipeline(flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
+    val spark = buildSpark(config)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      config.dbPath.foreach(ViewStore.restore(spark, _))
+      val session = new PipelineSession(spark, config,
+        parallel = flags.contains("parallel"),
+        changedOnly = flags.contains("changed-only"),
+        selectors = selectorsOf(flags),
+        excludes = excludesOf(flags),
+        fullRefresh = flags.contains("full-refresh"),
+        cliVars = varsOf(flags),
+        failFast = flags.contains("fail-fast"),
+        buildMode = true)
+      val report = session.runNodes()
+      val tests = session.collectedTests
+      if (tests.nonEmpty) {
+        println("\nData tests:")
+        tests.foreach { case (id, desc, err, warnOnly) =>
+          val status =
+            if (err.isEmpty) "PASS" else if (warnOnly) "WARN" else "FAIL"
+          println(s"$status  $id: $desc")
+          err.foreach(e => println(e.render.linesIterator
+            .map("      " + _).mkString("\n")))
+        }
+        val nFail = tests.count(r => r._3.nonEmpty && !r._4)
+        val nWarn = tests.count(r => r._3.nonEmpty && r._4)
+        println(s"${tests.size - nFail - nWarn} passed, " +
+          s"$nWarn warned, $nFail failed")
+      }
+      if (report.errors.nonEmpty) sys.exit(1)
+    } catch {
+      case e: GraftError => System.err.println(e.render); sys.exit(1)
+    } finally {
       graft.ext.DedupOps.releaseManifests()
       spark.stop()
     }

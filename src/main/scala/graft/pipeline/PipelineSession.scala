@@ -31,7 +31,8 @@ final class PipelineSession(
     excludes: Seq[String] = Nil,
     fullRefresh: Boolean = false,
     cliVars: Map[String, String] = Map.empty,
-    failFast: Boolean = false) {
+    failFast: Boolean = false,
+    buildMode: Boolean = false) {
 
   /** dbt vars, CLI overlay winning over the config's `vars:` mapping.
     * Substituted into model SQL (and hooks/custom tests) BEFORE macro
@@ -52,6 +53,18 @@ final class PipelineSession(
     def nSuccess: Int = results.count(_.error.isEmpty)
     def errors: Seq[GraftError] = results.flatMap(_.error)
   }
+
+  /** `graft build`'s per-test ledger (model id, test description,
+    * error, warn-only), appended as nodes execute — the dbt-build
+    * contract that EVERY declared test of a node runs and reports, not
+    * just the first violation. Only populated under `buildMode`;
+    * synchronized because parallel waves append from pool threads.
+    */
+  private val testLedger =
+    scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Option[GraftError], Boolean)]
+  def collectedTests: Seq[(String, String, Option[GraftError], Boolean)] =
+    testLedger.synchronized(testLedger.toList)
 
   // --- graph build (src/session.rs:56-181) --------------------------------
 
@@ -1261,7 +1274,8 @@ final class PipelineSession(
     * under --changed-only).
     */
   private def runModelTests(node: ModelNode): Unit =
-    node.tests.foreach {
+    if (buildMode) runModelTestsBuild(node)
+    else node.tests.foreach {
       case ModelTest.Warn(inner) =>
         // warn downgrades VIOLATIONS only — a test that could not
         // execute (missing file, typo'd column) fails the node at any
@@ -1286,6 +1300,43 @@ final class PipelineSession(
             " (warn_if — not failing the node)")
         }
     }
+
+  /** `graft build`'s test pass over a just-materialized node: EVERY
+    * declared test runs (dbt treats each test as its own DAG node —
+    * one violation must not shadow the next test's result), each
+    * outcome lands in the [[testLedger]], warn-severity violations and
+    * warn_if-level counts report without gating, and any HARD failure
+    * (error-severity violation or a test that could not execute)
+    * fails the node afterwards — so the downstream `SKIP upstream
+    * failed` / fingerprint-drop machinery fires exactly as for a SQL
+    * error, which is dbt build's test-gates-downstream semantics.
+    */
+  private def runModelTestsBuild(node: ModelNode): Unit = {
+    val results = node.tests.map { t =>
+      val warnSev = t.isInstanceOf[ModelTest.Warn]
+      val err =
+        try { runModelTest(node, ModelTest.stripWarn(t),
+          warnSeverity = warnSev); None }
+        catch {
+          case e: GraftError => Some(e)
+          case e: Exception => Some(StatementExecutionError(
+            e.getMessage, node.renderedSrc, node.path))
+        }
+      val warnOnly = err.exists(_.isInstanceOf[DataTestWarning]) ||
+        (warnSev && err.forall(_.isInstanceOf[DataTestViolation]))
+      (node.id, t.describe, err, warnOnly)
+    }
+    testLedger.synchronized { testLedger ++= results }
+    val hard = results.filter(r => r._3.nonEmpty && !r._4)
+    hard.foreach { case (_, desc, err, _) =>
+      println(s"    FAIL  ${node.id}: $desc — " +
+        err.get.getMessage.linesIterator.next())
+    }
+    if (hard.nonEmpty) throw DataTestViolation(
+      s"${hard.size} of ${results.size} data tests failed " +
+        s"(first: ${hard.head._2})",
+      node.renderedSrc, node.path)
+  }
 
   /** dbt `test`: every declared data test run against the EXISTING
     * materializations (typically restored from db_path) WITHOUT

@@ -2716,6 +2716,106 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(tw.size == 1 && tw.head._3.nonEmpty && tw.head._4, tw.toString)
   }
 
+  test("graft build: seeds, models and snapshots interleave in DAG " +
+      "order; an error-severity test failure on a mid node forces SKIP " +
+      "upstream failed on its downstream; EVERY declared test runs and " +
+      "lands in the ledger; warn severity reports without gating") {
+    val db = Files.createTempDirectory("graft-build-db")
+    val dir = Files.createTempDirectory("graft-build")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    val seedsDir = dir.resolve("seeds"); Files.createDirectories(seedsDir)
+    Files.writeString(seedsDir.resolve("bl_ids.csv"),
+      "id,grp\n1,a\n2,b\n3,zz\n")
+    Files.writeString(modelsDir.resolve("bl_clean.sql"),
+      "SELECT id, grp FROM bl_ids")
+    Files.writeString(modelsDir.resolve("bl_snap.sql"),
+      "SELECT id, grp FROM bl_clean")
+    def cfgWith(sev: String): PipelineConfig = {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |seeds_dir: $seedsDir
+           |db_path: $db
+           |models:
+           |  bl_ids:
+           |    tests:
+           |      - not_null: id
+           |  bl_clean:
+           |    materialize: table
+           |    tests:
+           |      - accepted_values: { column: grp, values: ["a", "b"] }$sev
+           |      - not_null: grp
+           |  bl_snap:
+           |    materialize: snapshot
+           |    unique_key: id""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    // error severity: grp 'zz' violates → bl_clean fails, snapshot skips
+    val s1 = new PipelineSession(spark, cfgWith(""), buildMode = true)
+    val r1 = s1.runNodes()
+    val st1 = r1.results.map(r => r.id -> r.status).toMap
+    assert(st1("bl_ids").startsWith("SELECT"), st1)
+    assert(st1("bl_clean") == "ERROR", st1)
+    assert(st1("bl_snap") == "SKIP upstream failed", st1)
+    assert(r1.errors.size == 1 &&
+      r1.errors.head.render.contains("1 of 2 data tests failed"),
+      r1.errors.map(_.render))
+    // the ledger holds ALL THREE tests — the sibling not_null on
+    // bl_clean ran and passed despite the accepted_values failure
+    val led1 = s1.collectedTests.map(t => (t._1, t._3.isEmpty, t._4))
+    assert(led1.toSet == Set(("bl_ids", true, false),
+      ("bl_clean", false, false), ("bl_clean", true, false)), led1)
+
+    // warn severity: same violation reports WARN, nothing gates — the
+    // snapshot materializes downstream of the warned model
+    val s2 = new PipelineSession(spark,
+      cfgWith("\n        severity: warn"), buildMode = true)
+    val r2 = s2.runNodes()
+    assert(r2.errors.isEmpty, r2.errors.map(_.render))
+    assert(r2.results.map(_.status).count(_ == "ERROR") == 0)
+    assert(spark.table("bl_snap").count() == 3)
+    val led2 = s2.collectedTests.map(t => (t._1, t._3.isEmpty, t._4))
+    assert(led2.toSet == Set(("bl_ids", true, false),
+      ("bl_clean", false, true), ("bl_clean", true, false)), led2)
+  }
+
+  test("graft build: --select/--exclude/--vars compose and --parallel " +
+      "reports the same statuses and the same test ledger") {
+    val db = Files.createTempDirectory("graft-build2-db")
+    val dir = Files.createTempDirectory("graft-build2")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("bv_a.sql"),
+      "SELECT {{ var('lo') }} AS v FROM range(1, 2)")
+    Files.writeString(modelsDir.resolve("bv_b.sql"),
+      "SELECT v FROM bv_a")
+    Files.writeString(modelsDir.resolve("bv_other.sql"),
+      "SELECT 1 AS x")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |db_path: $db
+         |models:
+         |  bv_b:
+         |    tests:
+         |      - accepted_values: { column: v, values: ["7"] }""".stripMargin)
+    val cfg = PipelineConfig.load(dir.resolve("config.yaml"))
+    def build(parallel: Boolean) = {
+      val s = new PipelineSession(spark, cfg, parallel = parallel,
+        selectors = Seq("bv_a+"), excludes = Seq("bv_other"),
+        cliVars = Map("lo" -> "7"), buildMode = true)
+      val r = s.runNodes()
+      (r.results.map(x => x.id -> x.status).toMap,
+        s.collectedTests.map(t => (t._1, t._3.isEmpty, t._4)).toSet,
+        r.errors.size)
+    }
+    val (stSeq, ledSeq, errSeq) = build(parallel = false)
+    // selection ran exactly the bv_a closure; the var satisfied the test
+    assert(stSeq.keySet == Set("bv_a", "bv_b"), stSeq)
+    assert(ledSeq == Set(("bv_b", true, false)), ledSeq)
+    assert(errSeq == 0)
+    val (stPar, ledPar, errPar) = build(parallel = true)
+    assert(stPar == stSeq && ledPar == ledSeq && errPar == errSeq,
+      s"$stPar vs $stSeq")
+  }
+
   test("custom-SQL failure-store slug is config-relative (ADVICE r16): " +
       "the store directory and view name don't embed the machine path") {
     val db = Files.createTempDirectory("graft-slug-db")
