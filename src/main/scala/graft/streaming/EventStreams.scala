@@ -424,6 +424,70 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming VECTOR-SERVING ingest (VERDICT r16 task 5 — closes the
+    * lexical/vector serving asymmetry): one micro-batch loop that keeps
+    * BOTH halves of the fully-store-served ANN path current — the
+    * IVF-PQ index ([[graft.ext.SimilarityOps.appendToAnnIndex]]) and
+    * the refine-side vector store
+    * ([[graft.ext.SimilarityOps.appendToVectorStore]]) — so
+    * `ivfPqTopKFromStores` (q120/q166/q167's serving shape) answers
+    * over a streamed corpus encode-free, exactly as the lexical store
+    * already could via [[runLexicalStatsIngest]]. Per-batch cost is
+    * batch-bound: each micro-batch encodes/assigns ONLY its own rows.
+    *
+    * Replay contract (foreachBatch is at-least-once): ONE batch-id
+    * marker beside the VECTOR store, created after BOTH appends, makes
+    * redelivered batches no-ops; both stores bootstrap from an explicit
+    * empty publish when absent, so the stream can start first. The
+    * crash windows re-append at most one batch into one or both stores
+    * as EXACT duplicate rows — the same residue contract as
+    * [[runAnnIndexIngest]]: a duplicated candidate can occupy two
+    * shortlist slots until
+    * [[graft.ext.SimilarityOps.compactAnnIndex]]'s dedup pass heals it,
+    * bounded by the one replayed batch.
+    */
+  def runVectorServingIngest(vecStream: DataFrame, indexPath: String,
+                             vecPath: String, checkpoint: String,
+                             cents: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]],
+                             nBuckets: Int = 64) = {
+    import graft.ext.SimilarityOps
+    import org.apache.hadoop.fs.Path
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new Path(s"$vecPath.appended", s"batch-$batchId")
+        val mfs = marker.getFileSystem(hconf)
+        if (!mfs.exists(marker)) {
+          val b = batch.persist()
+          try {
+            val idxDir = new Path(indexPath)
+            if (!idxDir.getFileSystem(hconf).exists(idxDir)) {
+              SimilarityOps.annIndexStore(spark, b.limit(0), indexPath,
+                cents, cbs)
+              ()
+            }
+            val vecSuccess = new Path(vecPath, "_SUCCESS")
+            if (!vecSuccess.getFileSystem(hconf).exists(vecSuccess)) {
+              SimilarityOps.vectorStore(spark, b.limit(0), vecPath,
+                nBuckets)
+              ()
+            }
+            SimilarityOps.appendToAnnIndex(spark, b, indexPath, cents, cbs)
+            SimilarityOps.appendToVectorStore(spark, b, vecPath, nBuckets)
+            mfs.mkdirs(marker.getParent)
+            mfs.create(marker, true).close()
+            ()
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** Streaming lexical-stats ingest — keeps a
     * [[graft.ext.RetrievalOps.lexicalStatsStore]] current as documents
     * stream in, so retrieval (q144/q145) serves from live statistics

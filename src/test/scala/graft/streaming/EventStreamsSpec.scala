@@ -535,6 +535,82 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(lag == 50L)
   }
 
+  test("runVectorServingIngest: BOTH stores (IVF-PQ index + refine-side " +
+      "vector store) stream-built over two micro-batches are " +
+      "row-identical to batch-built ones and the fully store-served " +
+      "ivfPqTopKFromStores answers identically; replay marker-skips " +
+      "both appends; absent stores bootstrap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.SimilarityOps
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .drop("label")
+    val cents = graft.ext.IvfCentroids.centroids
+    val cbs = graft.ext.PqCodebooks.codebooks
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecserve")
+    val corpus = e.filter(col("vec_id") < 300)
+    val probes = e.filter(col("vec_id") < 5)
+
+    // batch reference: both stores built in one shot
+    val idxB = tmp.resolve("idxB").toString
+    val vecB = tmp.resolve("vecB").toString
+    SimilarityOps.annIndexStore(spark, corpus, idxB, cents, cbs)
+    SimilarityOps.vectorStore(spark, corpus, vecB, nBuckets = 16)
+
+    // stream side: both stores bootstrap ABSENT, fill over two batches
+    val idxS = tmp.resolve("idxS").toString
+    val vecS = tmp.resolve("vecS").toString
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.runVectorServingIngest(
+      mem.toDF().toDF("vec_id", "embedding"), idxS, vecS,
+      tmp.resolve("ckpt").toString, cents, cbs, nBuckets = 16)
+    try {
+      mem.addData(rows.filter(_._1 < 150).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= 150).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the SERVING shape: every input store-resident, encode-free
+    def answer(idx: String, vec: String) =
+      SimilarityOps.ivfPqTopKFromStores(probes,
+          SimilarityOps.readAnnIndexStore(spark, idx),
+          SimilarityOps.readVectorStore(spark, vec), 16, cents, cbs,
+          k = 5, nprobe = 3, refineFactor = 4)
+        .orderBy("probe_id", "rk").collect().toSeq
+    assert(answer(idxS, vecS) == answer(idxB, vecB))
+    assert(answer(idxS, vecS).nonEmpty)
+    // row-identical stores, not just answer-identical
+    def idxRows(p: String) = spark.read.parquet(p)
+      .select("cand_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxRows(idxS) == idxRows(idxB))
+    def vecRows(p: String) = SimilarityOps.readVectorStore(spark, p)
+      .select("cand_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(vecRows(vecS) == vecRows(vecB))
+
+    // replay with a fresh checkpoint: ONE marker gates BOTH appends
+    val beforeIdx = spark.read.parquet(idxS).count()
+    val beforeVec = spark.read.parquet(vecS).count()
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreams.runVectorServingIngest(
+      mem2.toDF().toDF("vec_id", "embedding"), idxS, vecS,
+      tmp.resolve("ckpt2").toString, cents, cbs, nBuckets = 16)
+    try {
+      mem2.addData(rows.filter(_._1 < 150).toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(idxS).count() == beforeIdx,
+      "replay must not grow the index")
+    assert(spark.read.parquet(vecS).count() == beforeVec,
+      "replay must not grow the vector store")
+  }
+
   test("runSemanticIngestDedup bootstraps from an ABSENT store: the first " +
       "batch publishes an explicit empty store, then seeds it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
