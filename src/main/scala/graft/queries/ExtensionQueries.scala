@@ -333,6 +333,21 @@ object ExtensionQueries {
     (3, 130L, 2), (3, 343L, 2), (3, 777L, 3),
     (4, 103L, 1))
 
+  /** Committed qrels fixture for the MMR quality delta (q178) — graded
+    * labels over the q164 probe/candidate space, chosen so the MMR and
+    * plain rankings genuinely score DIFFERENTLY at sf0.01: ids each
+    * ranking retrieves exclusively (334/423 plain-only, 7/207 MMR-only),
+    * shared ids at different ranks (450), an explicit rel = 0 on a
+    * plain-retrieved id (423), a miss for both (999), and a judged
+    * probe neither answers (9).
+    */
+  private[graft] val mmrQrels: Seq[(Long, Long, Int)] = Seq(
+    (0L, 365L, 3), (0L, 334L, 2), (0L, 7L, 1), (0L, 423L, 0),
+    (1L, 386L, 2), (1L, 27L, 2), (1L, 999L, 1),
+    (2L, 117L, 2), (2L, 450L, 1),
+    (3L, 130L, 3), (3L, 207L, 1), (3L, 174L, 1),
+    (9L, 114L, 1))
+
   /** The committed q176 tuning grid: kRrf at 10/60/240 (sharp → flat
     * rank discounting) at equal weights, then the weight axis at the
     * standard kRrf=60 (lexical-heavy, vector-heavy, and a mixed
@@ -1776,6 +1791,32 @@ object ExtensionQueries {
       SimilarityOps.mmrRerank(e.filter(col("vec_id") < 6), e,
           poolK = 8, k = 4)
         .orderBy(col("probe_id"), col("mmr_rank"))
+    }),
+
+    // -- MMR quality delta (q178): what diversity COSTS in relevance —
+    // q164's MMR walk and the plain top-k it re-ranked, both judged by
+    // q172's exact quality arithmetic against one committed qrels
+    // fixture. The per-ranking mean rows are the number a λ decision
+    // reads (diversity trades nDCG for de-redundancy; this prices the
+    // trade instead of asserting it). Oracle composes the shared
+    // unrolled-greedy CTEs with the quality CTEs, the plain run ranked
+    // from the SAME pool relevance ---------------------------------------
+    "q178_mmr_quality_delta" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").drop("label")
+      val probes = e.filter(col("vec_id") < 6)
+      val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
+      val mmr = SimilarityOps.mmrRerank(probes, e, poolK = 8, k = 4)
+        .select(col("probe_id"), col("cand_id"), col("mmr_rank"))
+      val plain = SimilarityOps.bruteForceTopK(probes, e, k = 4)
+        .select(col("probe_id"), col("cand_id"), col("rk"))
+      RetrievalOps.rankingQuality(mmr, qrels, "probe_id", "cand_id",
+          "mmr_rank", "rel", k = 4)
+        .withColumn("ranking", lit("mmr"))
+        .unionAll(RetrievalOps.rankingQuality(plain, qrels, "probe_id",
+            "cand_id", "rk", "rel", k = 4)
+          .withColumn("ranking", lit("plain")))
+        .orderBy(col("ranking"), col("probe_id"))
     }),
 
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
@@ -3329,7 +3370,16 @@ object ExtensionQueries {
     * pool) and q167 (store-served IVF-PQ pool) — one arithmetic, two
     * pool providers.
     */
-  private def mmrGreedySql(k: Int): String = {
+  private def mmrGreedySql(k: Int): String =
+    mmrGreedyCtes(k) +
+      s"\nSELECT probe_id, cand_id, round(score, 6) AS mmr_score," +
+      s" mmr_rank FROM selu$k ORDER BY probe_id, mmr_rank"
+
+  /** The walk's CTE chain alone (ending at `selu<k>`), for oracles that
+    * compose the walk into a LARGER chain (q178 judges it against
+    * qrels) instead of selecting it as the result.
+    */
+  private def mmrGreedyCtes(k: Int): String = {
     val head =
       s"""sel1 AS (SELECT probe_id, cand_id,
          |    CAST(0.5 AS DOUBLE) * rel AS score, 1 AS mmr_rank FROM (
@@ -3359,33 +3409,103 @@ object ExtensionQueries {
          |selu$i AS (SELECT * FROM selu${i - 1}
          |  UNION ALL SELECT * FROM sel$i)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
-      s"\nSELECT probe_id, cand_id, round(score, 6) AS mmr_score," +
-      s" mmr_rank FROM selu$k ORDER BY probe_id, mmr_rank"
+    (head +: steps).mkString(",\n")
   }
 
-  private def mmrOracleSql(poolK: Int, k: Int): String = {
-    val pool =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |  FROM embeddings),
-         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-         |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
-         |  FROM e p JOIN e c ON p.vec_id < 6 AND p.vec_id <> c.vec_id),
-         |rel AS (SELECT probe_id, cand_id, sim AS rel FROM (
-         |    SELECT probe_id, cand_id, sim, row_number() OVER (
-         |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rk
-         |    FROM sc) t
-         |  WHERE rk <= $poolK),
-         |pp AS (SELECT r1.probe_id, r1.cand_id AS a, r2.cand_id AS b,
-         |    round(list_cosine_similarity(ea.emb, eb.emb), 6) AS psim
-         |  FROM rel r1 JOIN rel r2 ON r1.probe_id = r2.probe_id
-         |    AND r1.cand_id <> r2.cand_id
-         |  JOIN e ea ON ea.vec_id = r1.cand_id
-         |  JOIN e eb ON eb.vec_id = r2.cand_id)""".stripMargin
-    pool + ",\n" + mmrGreedySql(k)
-  }
+  private def mmrPoolCtes(poolK: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
+       |  FROM e p JOIN e c ON p.vec_id < 6 AND p.vec_id <> c.vec_id),
+       |rel AS (SELECT probe_id, cand_id, sim AS rel FROM (
+       |    SELECT probe_id, cand_id, sim, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rk
+       |    FROM sc) t
+       |  WHERE rk <= $poolK),
+       |pp AS (SELECT r1.probe_id, r1.cand_id AS a, r2.cand_id AS b,
+       |    round(list_cosine_similarity(ea.emb, eb.emb), 6) AS psim
+       |  FROM rel r1 JOIN rel r2 ON r1.probe_id = r2.probe_id
+       |    AND r1.cand_id <> r2.cand_id
+       |  JOIN e ea ON ea.vec_id = r1.cand_id
+       |  JOIN e eb ON eb.vec_id = r2.cand_id)""".stripMargin
+
+  private def mmrOracleSql(poolK: Int, k: Int): String =
+    mmrPoolCtes(poolK) + ",\n" + mmrGreedySql(k)
 
   private lazy val mmrRerankOracleSql: String = mmrOracleSql(poolK = 8, k = 4)
+
+  /** q178: the shared pool + unrolled-greedy CTEs produce the MMR run,
+    * the plain run re-ranks the SAME pool relevance, and both are
+    * judged by q172's integer quality arithmetic with `ranking` carried
+    * through the group keys (the q176 config-dimension pattern).
+    */
+  private lazy val mmrQualityDeltaOracleSql: String = {
+    val qrelsVals = mmrQrels
+      .map { case (p, c, r) => s"($p, $c, $r)" }.mkString(", ")
+    mmrPoolCtes(8) + ",\n" + mmrGreedyCtes(4) + s""",
+      |run_m AS (SELECT 'mmr' AS ranking, probe_id, cand_id,
+      |    mmr_rank AS rk2 FROM selu4),
+      |run_p AS (SELECT 'plain' AS ranking, probe_id, cand_id, rk2 FROM (
+      |    SELECT probe_id, cand_id, CAST(row_number() OVER (
+      |      PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS INT)
+      |      AS rk2 FROM rel) t
+      |  WHERE rk2 <= 4),
+      |runs AS (SELECT * FROM run_m UNION ALL SELECT * FROM run_p),
+      |qrels(probe_id, cand_id, rel0) AS (VALUES $qrelsVals),
+      |disc(r, d) AS (VALUES ${ndcgDiscValuesSql(4)}),
+      |relq AS (SELECT CAST(probe_id AS BIGINT) AS probe_id,
+      |    CAST(cand_id AS BIGINT) AS cand_id,
+      |    CAST(rel0 AS BIGINT) AS rel0 FROM qrels WHERE rel0 > 0),
+      |qa AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_rel,
+      |    CAST(sum(CASE WHEN irank <= 4 THEN rel0 * d ELSE 0 END)
+      |      AS BIGINT) AS idcg
+      |  FROM (SELECT probe_id, rel0, CAST(row_number() OVER (
+      |      PARTITION BY probe_id ORDER BY rel0 DESC, cand_id) AS INT)
+      |      AS irank FROM relq) i
+      |  LEFT JOIN disc ON disc.r = i.irank GROUP BY 1),
+      |ra AS (SELECT ranking, rr2.probe_id,
+      |    CAST(sum(CASE WHEN q.rel0 IS NOT NULL THEN q.rel0 * d
+      |      ELSE 0 END) AS BIGINT) AS dcg,
+      |    CAST(sum(CASE WHEN q.rel0 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_rel_at_k,
+      |    min(CASE WHEN q.rel0 IS NOT NULL THEN rr2.rk2 END) AS frk
+      |  FROM runs rr2 JOIN disc ON disc.r = rr2.rk2
+      |  LEFT JOIN relq q ON q.probe_id = rr2.probe_id
+      |    AND q.cand_id = rr2.cand_id
+      |  GROUP BY 1, 2),
+      |shell AS (SELECT rnk.ranking, qa.* FROM
+      |  (SELECT DISTINCT ranking FROM runs) rnk CROSS JOIN qa),
+      |met AS (SELECT s.ranking, s.probe_id, s.n_rel, s.idcg,
+      |    coalesce(ra.n_rel_at_k, 0) AS n_rel_at_k,
+      |    coalesce(ra.dcg, 0) AS dcg, ra.frk
+      |  FROM shell s LEFT JOIN ra ON ra.ranking = s.ranking
+      |    AND ra.probe_id = s.probe_id),
+      |mq AS (SELECT ranking, probe_id, n_rel, n_rel_at_k,
+      |    round(CAST(n_rel_at_k AS DOUBLE) / n_rel, 6) AS recall_at_k,
+      |    round(CAST(dcg AS DOUBLE) / idcg, 6) AS ndcg_at_k,
+      |    CASE WHEN frk IS NULL THEN CAST(0 AS DOUBLE)
+      |      ELSE round(CAST(1 AS DOUBLE) / frk, 6) END AS rr,
+      |    (2000000 * n_rel_at_k + n_rel) // (2 * n_rel) AS rec_u,
+      |    (2000000 * dcg + idcg) // (2 * idcg) AS ndcg_u,
+      |    CASE WHEN frk IS NULL THEN 0
+      |      ELSE (2000000 + frk) // (2 * frk) END AS rr_u
+      |  FROM met)
+      |SELECT probe_id, n_rel, n_rel_at_k, recall_at_k, ndcg_at_k, rr,
+      |  ranking FROM mq
+      |UNION ALL
+      |SELECT -1, CAST(sum(n_rel) AS BIGINT),
+      |  CAST(sum(n_rel_at_k) AS BIGINT),
+      |  CAST((2 * sum(rec_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  CAST((2 * sum(ndcg_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  CAST((2 * sum(rr_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  ranking
+      |FROM mq GROUP BY ranking
+      |ORDER BY ranking, probe_id""".stripMargin
+  }
 
   /** q167: the MMR walk over the STORE-SERVED IVF-PQ shortlist — the
     * chain's refined exact sims are the pool relevance (`rk <= poolK`),
@@ -5711,6 +5831,7 @@ object ExtensionQueries {
     "q172_ranking_quality" -> rankingQualityOracleSql,
     "q176_fusion_quality_grid" -> fusionQualityGridOracleSql,
     "q164_mmr_rerank" -> mmrRerankOracleSql,
+    "q178_mmr_quality_delta" -> mmrQualityDeltaOracleSql,
     "q166_hybrid_from_stores" -> hybridFromStoresOracleSql,
     "q167_mmr_from_store" -> mmrFromStoreOracleSql,
     "q168_leg_agreement" -> legAgreementOracleSql,

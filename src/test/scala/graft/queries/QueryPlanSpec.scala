@@ -367,8 +367,10 @@ class QueryPlanSpec extends AnyFunSuite {
       "q163_hybrid_rrf", "q164_mmr_rerank", "q166_hybrid_from_stores",
       "q167_mmr_from_store", "q168_leg_agreement", "q169_score_fusion",
       // q172/q176 ride q163's bruteForceTopK vector leg (3-probe
-      // broadcast) — same intentional probe-side BNLJ as q163 itself
-      "q172_ranking_quality", "q176_fusion_quality_grid")
+      // broadcast) — same intentional probe-side BNLJ as q163 itself;
+      // q178 rides q164's pool scan (6-probe broadcast)
+      "q172_ranking_quality", "q176_fusion_quality_grid",
+      "q178_mmr_quality_delta")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
