@@ -1700,4 +1700,74 @@ object DedupOps {
       .select(col("__b").as("bucket"), col("n_docs"), col("n_tokens"),
         col("cum_tokens"), col("cum_share"))
   }
+
+  /** Budget ALLOCATION (q179): turn [[budgetCurve]]'s report into the
+    * per-source budget literals [[tokenBudgetSelectBySource]] then
+    * enforces — given a GLOBAL token budget, take (source, score-bucket)
+    * cells globally best-bucket-first until the budget exhausts (ties
+    * across sources at the same bucket break by source ascending; the
+    * crossing cell gets the remaining allowance). Best-first greedy is
+    * the exact optimum under any score-monotone preference — precisely
+    * the objective the per-source selections optimize locally, now
+    * solved globally so no source's mediocre bucket displaces another's
+    * good one.
+    *
+    * Determinism and scale (the q170 discipline): the corpus collapses
+    * to ONE (source, bucket) aggregate — ≤ |sources|·nBuckets rows, the
+    * histogram-scale contract, which is why the global allocation
+    * window over those cells is free (same bounded-window argument as
+    * [[budgetCurve]]); every take is pure integer arithmetic
+    * (full cells take their mass, the crossing cell takes
+    * budget − cum_before, later cells take 0), and `alloc_share` is
+    * integer-rounded half-up then divided once by 10⁶ (the q172 rule —
+    * no float round at a .5 boundary). NULL/NaN scores, NULL sources
+    * and NULL token counts are excluded, as in the selection ops.
+    *
+    * Returns per source: (source, avail_tokens, alloc_tokens,
+    * alloc_share, cut_bucket) — cut_bucket the LOWEST score bucket the
+    * source takes anything from (NULL when the budget exhausts before
+    * reaching any of its cells).
+    */
+  def allocateBudgets(docs: DataFrame, sourceCol: String,
+                      scoreCol: Column, nTokCol: Column,
+                      totalBudget: Long, nBuckets: Int = 10,
+                      scoreLo: Double = 0.0,
+                      scoreHi: Double = 1.0): DataFrame = {
+    require(totalBudget > 0,
+      s"allocateBudgets: totalBudget=$totalBudget must be positive")
+    require(nBuckets > 0, "allocateBudgets: nBuckets must be positive")
+    require(scoreHi > scoreLo,
+      s"allocateBudgets: score range [$scoreLo, $scoreHi) is empty")
+    val s = scoreCol.cast("double")
+    val t = nTokCol.cast("long")
+    val cells = docs
+      .filter(col(sourceCol).isNotNull && s.isNotNull && !isnan(s) &&
+        t.isNotNull && t >= 0L)
+      .withColumn("__b", least(lit((nBuckets - 1).toLong),
+        greatest(lit(0L),
+          floor((s - scoreLo) / (scoreHi - scoreLo) * nBuckets)))
+        .cast("int"))
+      .groupBy(col(sourceCol).as("__src"), col("__b"))
+      .agg(sum(t).as("__mass"))
+    val w = Window.orderBy(col("__b").desc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__cum", sum(col("__mass")).over(w))
+      .withColumn("__take",
+        when(col("__cum") <= totalBudget, col("__mass"))
+          .when(col("__cum") - col("__mass") < totalBudget,
+            lit(totalBudget) - (col("__cum") - col("__mass")))
+          .otherwise(0L))
+      .groupBy(col("__src"))
+      .agg(sum(col("__mass")).as("avail_tokens"),
+        sum(col("__take")).as("alloc_tokens"),
+        min(when(col("__take") > 0, col("__b"))).as("cut_bucket"))
+      // a source whose every doc prices at 0 tokens has no definable
+      // share (and DuckDB's `// 0` would error where Spark's div NULLs)
+      .withColumn("alloc_share", when(col("avail_tokens") > 0,
+        expr("(2000000 * alloc_tokens + avail_tokens) div " +
+          "(2 * avail_tokens)").cast("double") / 1000000.0))
+      .select(col("__src").as(sourceCol), col("avail_tokens"),
+        col("alloc_tokens"), col("alloc_share"), col("cut_bucket"))
+  }
 }

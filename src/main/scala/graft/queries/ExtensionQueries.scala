@@ -2005,6 +2005,21 @@ object ExtensionQueries {
         .orderBy(col("bucket").desc)
     }),
 
+    // -- Budget allocation (q179): q170's curve turned into the
+    // per-source budget literals q148/q161/q174 consume — a 20k global
+    // token budget water-filled globally best-bucket-first over the
+    // (source, learned-score-bucket) histogram, so no source's mediocre
+    // bucket displaces another's good one. Histogram-scale: the corpus
+    // collapses to ≤|sources|·10 cells before any windowing ------------
+    "q179_budget_allocation" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      DedupOps.allocateBudgets(d, "source",
+          round(TextOps.qualityLrScore(col("text")), 6),
+          TextOps.subwordTokenCount(col("text")),
+          totalBudget = 20000L, nBuckets = 10)
+        .orderBy(col("source"))
+    }),
+
     // -- Packing-efficiency report (q171): per shard, how full q65's
     // layout is — fill ratio vs capacity and the straddler count, the
     // padding-waste diagnostic read before committing a context length --
@@ -3261,6 +3276,42 @@ object ExtensionQueries {
        |  round(CAST(cum_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
        |    AS cum_share
        |FROM cc2 ORDER BY bucket DESC""".stripMargin
+
+  /** q179: the shared classifier + merges CTEs bucketed per source,
+    * the global best-first allocation as a window cum over the cell
+    * histogram (full cells take mass, the crossing cell takes the
+    * remainder, later cells 0 — pure integers), shares integer-rounded.
+    */
+  private lazy val budgetAllocationOracleSql: String =
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |d2 AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |${qualityLrScoreCtes("d2")},
+       |cells AS (SELECT d.source AS src,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(qz.score * 10) AS INT)))
+       |      AS INT) AS b,
+       |    CAST(sum(dtok.n_tokens) AS BIGINT) AS mass
+       |  FROM qz JOIN dtok USING (doc_id)
+       |  JOIN documents d ON d.doc_id = qz.doc_id
+       |  WHERE d.source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |alloc AS (SELECT src, b, mass,
+       |    sum(mass) OVER (ORDER BY b DESC, src
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM cells),
+       |takes AS (SELECT src, b, mass,
+       |    CASE WHEN cum <= 20000 THEN mass
+       |         WHEN cum - mass < 20000 THEN 20000 - (cum - mass)
+       |         ELSE 0 END AS take
+       |  FROM alloc)
+       |SELECT src AS source,
+       |  CAST(sum(mass) AS BIGINT) AS avail_tokens,
+       |  CAST(sum(take) AS BIGINT) AS alloc_tokens,
+       |  CASE WHEN sum(mass) > 0 THEN
+       |    CAST((2000000 * sum(take) + sum(mass)) // (2 * sum(mass))
+       |      AS DOUBLE) / CAST(1000000 AS DOUBLE) END AS alloc_share,
+       |  min(CASE WHEN take > 0 THEN b END) AS cut_bucket
+       |FROM takes GROUP BY src ORDER BY src""".stripMargin
 
   /** q171: q65's pack CTEs rolled up per shard — exact integer fill
     * accounting, one division per ratio.
@@ -5760,6 +5811,7 @@ object ExtensionQueries {
     "q165_curriculum_pack" -> curriculumPackOracleSql,
     "q170_budget_curve" -> budgetCurveOracleSql,
     "q171_pack_efficiency" -> packEfficiencyOracleSql,
+    "q179_budget_allocation" -> budgetAllocationOracleSql,
     "q148_budget_by_source" -> budgetBySourceOracleSql,
     // q149: q27's pair CTEs over the train slice + q63's gram CTEs +
     // q64's quality arithmetic, rolled up per score decile

@@ -1123,4 +1123,41 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(msg(DedupOps.budgetCurve(d, col("score"), col("n"),
       scoreLo = 1.0, scoreHi = 1.0)).contains("empty"))
   }
+
+  test("allocateBudgets: global best-bucket-first water-filling with a " +
+      "mid-bucket crossing cell; ties at a bucket break by source asc; " +
+      "NULL source/score/tokens excluded; loud validation") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some("A"), Some(0.95), Some(10L)),  // A bucket 9, mass 10
+      (2L, Some("A"), Some(0.55), Some(20L)),  // A bucket 5, mass 20
+      (3L, Some("B"), Some(0.85), Some(15L)),  // B bucket 8, mass 15
+      (4L, Some("B"), Some(0.35), Some(40L)),  // B bucket 3, mass 40
+      (5L, Option.empty[String], Some(0.9), Some(99L)), // NULL source
+      (6L, Some("A"), Some(Double.NaN), Some(99L)),     // NaN score
+      (7L, Some("B"), Some(0.9), Option.empty[Long])    // NULL tokens
+    ).toDF("id", "source", "score", "n")
+    // budget 30, global order (9,A,10) (8,B,15) (5,A,20) (3,B,40):
+    // cum 10, 25, 45, 85 → A9 full, B8 full, A5 takes 30−25=5, B3 zero
+    val r = DedupOps.allocateBudgets(d, "source", col("score"), col("n"),
+        totalBudget = 30L)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), if (x.isNullAt(4)) -1 else x.getInt(4)))
+    // A: avail 30, alloc 15, share 0.5, cut bucket 5
+    // B: avail 55, alloc 15, share round-half-up(15/55 at 6) = 0.272727
+    assert(r.toSeq == Seq(("A", 30L, 15L, 0.5, 5),
+      ("B", 55L, 15L, 0.272727, 8)), r.toSeq)
+    // a budget bigger than everything takes everything
+    val all = DedupOps.allocateBudgets(d, "source", col("score"),
+        col("n"), totalBudget = 1000000L)
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(all == Map("A" -> 1.0, "B" -> 1.0), all)
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(DedupOps.allocateBudgets(d, "source", col("score"),
+      col("n"), totalBudget = 0L)).contains("positive"))
+    assert(msg(DedupOps.allocateBudgets(d, "source", col("score"),
+      col("n"), totalBudget = 10L, nBuckets = 0)).contains("nBuckets"))
+  }
 }
