@@ -49,7 +49,11 @@ object Bench {
       val t0 = System.nanoTime()
       // bit_xor, not sum: summing the hashes overflows long under ANSI.
       // DO NOT change the workload or the row count: a drift ratio is only
-      // meaningful between records that ran the IDENTICAL calibration.
+      // meaningful between records that ran the IDENTICAL calibration —
+      // which includes the CORE COUNT: the fixed workload splits over
+      // `cpus` partitions, so a CPUS=8 run reads ~2.5× a 32-core run by
+      // construction (the r17 adjudication). The record carries "cpus"
+      // so a mismatch is visible instead of masquerading as drift.
       spark.range(0L, 8000000000L, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) as h")
         .write.format("noop").mode("overwrite").save()
@@ -286,7 +290,7 @@ object Bench {
           s""","shared_ratio_norm":${f"$norm%.4f"},"drift_suspect":$suspect"""
       }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_shuffle":$calibrationShuffle,"queries":$qs$errField$ccField$retimeField$suiteField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_shuffle":$calibrationShuffle,"cpus":$cpus,"queries":$qs$errField$ccField$retimeField$suiteField,"sf":"$sfDir"}"""
     println(fullLine)
     // Stdout capture has truncated the long per-query record two rounds in a
     // row (r4 lost the total, r5 lost 21/81 per-query times), so the complete
@@ -326,7 +330,7 @@ object Bench {
     // queries map and is lost when the driver keeps only the line's tail
     // (BENCH_r10.json did), which would leave the round's record
     // un-normalizable against machine drift.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","calibration":$calibration,"calibration_shuffle":$calibrationShuffle,"n_queries":${results.size},"n_errors":${errs.size},"n_retimed":${retimes.size}$suiteField$recordField}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","calibration":$calibration,"calibration_shuffle":$calibrationShuffle,"cpus":$cpus,"n_queries":${results.size},"n_errors":${errs.size},"n_retimed":${retimes.size}$suiteField$recordField}""")
     spark.stop()
   }
 }

@@ -390,6 +390,26 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q179: ONE corpus scan; the allocation window runs over the " +
+      "(source, bucket) histogram, never the corpus — at most the cell " +
+      "aggregate's shuffle, the bounded single-partition window, and " +
+      "the per-source rollup") {
+    val p = plan("q179_budget_allocation")
+    assert("Location:".r.findAllIn(p).size == 1,
+      s"expected one documents scan:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q176: the six-config grid adds NO scan over the single-config " +
+      "fusion — the config axis explodes the legs' bounded top-k " +
+      "outputs, never the corpus (differential vs q163's census)") {
+    def scans(n: String): Int = "Location:".r.findAllIn(plan(n)).size
+    assert(scans("q176_fusion_quality_grid") == scans("q163_hybrid_rrf"),
+      s"grid=${scans("q176_fusion_quality_grid")} " +
+        s"single=${scans("q163_hybrid_rrf")}")
+  }
+
   test("q109: the token stream shuffles ONCE (doc key) — windows, the " +
       "(fp,doc) aggregate, and the rollup all ride it; only the fp rollup " +
       "adds a hash exchange") {
