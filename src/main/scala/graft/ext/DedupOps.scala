@@ -1770,4 +1770,47 @@ object DedupOps {
       .select(col("__src").as(sourceCol), col("avail_tokens"),
         col("alloc_tokens"), col("alloc_share"), col("cut_bucket"))
   }
+
+  /** Allocation → enforcement in one call (q180): [[allocateBudgets]]
+    * solves the per-source budgets for a GLOBAL token budget, then
+    * [[tokenBudgetSelectBySource]] enforces them — curve (q170) →
+    * allocation (q179) → selection, the whole mixture loop closed with
+    * no hand-carried literals in between. The allocation collects as a
+    * ≤ |sources|-row driver probe (the documented two-phase bounded-
+    * probe pattern — sources are a catalog, not a corpus); sources
+    * allocated ZERO tokens are excluded from the selection exactly like
+    * sources with no declared budget.
+    *
+    * Granularity contract, stated honestly: the allocation is
+    * BUCKET-granular (the crossing bucket's remainder goes to one
+    * source) while the enforcement is DOC-granular best-first within
+    * each source's allowance — so around the global crossing point the
+    * selected set can differ from a pure doc-level global greedy by up
+    * to one bucket's straddlers (the packBins straddler class). Every
+    * per-source total still respects its allocation, so the global
+    * budget is never exceeded.
+    *
+    * Returns [[tokenBudgetSelectBySource]]'s (idCol, sourceCol, score,
+    * n_tokens).
+    */
+  def selectWithAllocatedBudgets(docs: DataFrame, idCol: String,
+                                 sourceCol: String, scoreCol: Column,
+                                 nTokCol: Column, totalBudget: Long,
+                                 nBuckets: Int = 10,
+                                 scoreLo: Double = 0.0,
+                                 scoreHi: Double = 1.0): DataFrame = {
+    val budgets: Map[String, Long] =
+      allocateBudgets(docs, sourceCol, scoreCol, nTokCol, totalBudget,
+          nBuckets, scoreLo, scoreHi)
+        .select(col(sourceCol), col("alloc_tokens"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .filter(_._2 > 0L)
+        .toMap
+    require(budgets.nonEmpty,
+      "selectWithAllocatedBudgets: the allocation assigned zero tokens " +
+        "everywhere — no source has any scored token mass to select")
+    tokenBudgetSelectBySource(docs, idCol, sourceCol, scoreCol, nTokCol,
+      budgets, scoreLo, scoreHi, nBuckets)
+  }
 }

@@ -2020,6 +2020,21 @@ object ExtensionQueries {
         .orderBy(col("source"))
     }),
 
+    // -- Allocated selection (q180): the mixture loop CLOSED — q179's
+    // allocation feeds tokenBudgetSelectBySource directly, so curve →
+    // allocation → enforcement runs as one call with no hand-carried
+    // budget literals. The allocation is a ≤|sources|-row driver probe;
+    // the oracle computes the allocation AND the per-source naive
+    // window selection in one chain, budgets read from the takes CTE --
+    "q180_allocated_selection" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      DedupOps.selectWithAllocatedBudgets(d, "doc_id", "source",
+          round(TextOps.qualityLrScore(col("text")), 6),
+          TextOps.subwordTokenCount(col("text")),
+          totalBudget = 20000L, nBuckets = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Packing-efficiency report (q171): per shard, how full q65's
     // layout is — fill ratio vs capacity and the straddler count, the
     // padding-waste diagnostic read before committing a context length --
@@ -3312,6 +3327,47 @@ object ExtensionQueries {
        |      AS DOUBLE) / CAST(1000000 AS DOUBLE) END AS alloc_share,
        |  min(CASE WHEN take > 0 THEN b END) AS cut_bucket
        |FROM takes GROUP BY src ORDER BY src""".stripMargin
+
+  /** q180: q179's allocation CTEs rolled up per source, then q161's
+    * naive per-source window selection with the budget read FROM the
+    * allocation — one chain proves allocation and enforcement composed.
+    */
+  private lazy val allocatedSelectionOracleSql: String =
+    s"""WITH RECURSIVE $subwordEncCtes,
+       |d2 AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |${qualityLrScoreCtes("d2")},
+       |cells AS (SELECT d.source AS src,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(qz.score * 10) AS INT)))
+       |      AS INT) AS b,
+       |    CAST(sum(dtok.n_tokens) AS BIGINT) AS mass
+       |  FROM qz JOIN dtok USING (doc_id)
+       |  JOIN documents d ON d.doc_id = qz.doc_id
+       |  WHERE d.source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |alloc AS (SELECT src, b, mass,
+       |    sum(mass) OVER (ORDER BY b DESC, src
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM cells),
+       |takes AS (SELECT src, b, mass,
+       |    CASE WHEN cum <= 20000 THEN mass
+       |         WHEN cum - mass < 20000 THEN 20000 - (cum - mass)
+       |         ELSE 0 END AS take
+       |  FROM alloc),
+       |ab AS (SELECT src, CAST(sum(take) AS BIGINT) AS alloc
+       |  FROM takes GROUP BY src),
+       |m AS (SELECT qz.doc_id, d.source AS src, qz.score, dtok.n_tokens
+       |  FROM qz JOIN dtok USING (doc_id)
+       |  JOIN documents d ON d.doc_id = qz.doc_id
+       |  WHERE d.source IS NOT NULL),
+       |c AS (SELECT doc_id, src, score, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY src
+       |    ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+       |SELECT c.doc_id, c.src AS source, c.score, c.n_tokens
+       |FROM c JOIN ab ON ab.src = c.src AND ab.alloc > 0
+       |WHERE c.cum <= ab.alloc
+       |ORDER BY c.doc_id""".stripMargin
 
   /** q171: q65's pack CTEs rolled up per shard — exact integer fill
     * accounting, one division per ratio.
@@ -5812,6 +5868,7 @@ object ExtensionQueries {
     "q170_budget_curve" -> budgetCurveOracleSql,
     "q171_pack_efficiency" -> packEfficiencyOracleSql,
     "q179_budget_allocation" -> budgetAllocationOracleSql,
+    "q180_allocated_selection" -> allocatedSelectionOracleSql,
     "q148_budget_by_source" -> budgetBySourceOracleSql,
     // q149: q27's pair CTEs over the train slice + q63's gram CTEs +
     // q64's quality arithmetic, rolled up per score decile

@@ -1160,4 +1160,27 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(msg(DedupOps.allocateBudgets(d, "source", col("score"),
       col("n"), totalBudget = 10L, nBuckets = 0)).contains("nBuckets"))
   }
+
+  test("selectWithAllocatedBudgets: the composed selection respects " +
+      "every per-source allocation and the global budget; an all-zero " +
+      "allocation fails loudly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", 0.95, 10L), (2L, "A", 0.55, 20L),
+      (3L, "B", 0.85, 15L), (4L, "B", 0.35, 40L)
+    ).toDF("id", "source", "score", "n")
+    // budget 30 → allocations A:15, B:15 (see the allocateBudgets
+    // test); enforcement best-first per source at DOC granularity:
+    // A takes doc 1 (10 ≤ 15; adding doc 2 would cross), B takes doc 3
+    val r = DedupOps.selectWithAllocatedBudgets(d, "id", "source",
+        col("score"), col("n"), totalBudget = 30L)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(3)))
+    assert(r.map(_._1).sorted.toSeq == Seq(1L, 3L), r.toSeq)
+    assert(r.map(_._3).sum <= 30L)
+    val zero = Seq((1L, "A", 0.9, 0L)).toDF("id", "source", "score", "n")
+    val e = intercept[IllegalArgumentException](
+      DedupOps.selectWithAllocatedBudgets(zero, "id", "source",
+        col("score"), col("n"), totalBudget = 30L))
+    assert(e.getMessage.contains("zero tokens"), e.getMessage)
+  }
 }
