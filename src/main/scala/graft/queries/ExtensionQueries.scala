@@ -488,6 +488,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Per-language ALLOCATED selection (q181): the round's two
+    // threads composed — per-language pricing (q174) × global budget
+    // allocation (q179/q180), keyed by predicted language: the 20k
+    // budget water-fills over (pred_lang, score-bucket) cells and the
+    // per-language enforcement reads its budget FROM the allocation.
+    // The full multilingual mixture pipeline, one call, one oracle ------
+    "q181_per_lang_allocated" -> ((s, dir) => {
+      val scored = langIdScored(t(s, dir, "documents"))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("quality",
+          round(TextOps.qualityLrScore(col("text")), 6))
+        .withColumn("n_tok",
+          TextOps.subwordTokenCountByLang(col("text"), col("pred_lang")))
+      DedupOps.selectWithAllocatedBudgets(scored, "doc_id", "pred_lang",
+          col("quality"), col("n_tok"), totalBudget = 20000L,
+          nBuckets = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Fertility by PREDICTED language (q159): the q152 × q157
     // composition — per predicted language (including 'und'), whitespace
     // vs learned-subword token mass and their ratio. The per-language
@@ -4379,12 +4398,13 @@ object ExtensionQueries {
     * into the per-doc token table the naive per-language window then
     * selects from.
     */
-  private lazy val budgetPerLangPricedOracleSql: String = {
+  /** The shared q174/q181 prelude: langid + reject + classifier + the
+    * five per-language merge chains + the global chain, unioned into
+    * `dtokp` (per-doc tokens under per-language pricing), with `pr`
+    * (predicted language) and `qz` (classifier score) in scope.
+    */
+  private lazy val perLangPricedPreludeSql: String = {
     import graft.ext.BpeMergesByLang
-    val inList = LangBudgets.keys.toSeq.sorted
-      .map(s => s"'$s'").mkString(", ")
-    val caseArms = LangBudgets.toSeq.sortBy(_._1)
-      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
     val chains = BpeMergesByLang.langs
       .map(l => perLangEncChainSql(l, BpeMergesByLang.merges(l)))
       .mkString(",\n")
@@ -4401,7 +4421,16 @@ object ExtensionQueries {
        |$chains,
        |dtokp AS ($unions
        |  UNION ALL SELECT dtok.doc_id, dtok.n_tokens
-       |  FROM dtok JOIN pr USING (doc_id) WHERE pr.pred_lang = 'und'),
+       |  FROM dtok JOIN pr USING (doc_id) WHERE pr.pred_lang = 'und')"""
+      .stripMargin
+  }
+
+  private lazy val budgetPerLangPricedOracleSql: String = {
+    val inList = LangBudgets.keys.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    val caseArms = LangBudgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    perLangPricedPreludeSql + s""",
        |m AS (SELECT pr.doc_id, pr.pred_lang, qz.score, dtokp.n_tokens
        |  FROM pr JOIN qz USING (doc_id) JOIN dtokp USING (doc_id)
        |  WHERE pr.pred_lang IN ($inList)),
@@ -4413,6 +4442,42 @@ object ExtensionQueries {
        |WHERE cum <= CASE pred_lang $caseArms END
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q181: the full multilingual mixture pipeline in one chain —
+    * per-language pricing (q174's prelude), the global best-first
+    * allocation over (predicted language, score bucket) cells (q179's
+    * arithmetic), and the per-language enforcement window with budgets
+    * read FROM the allocation (q180's composition).
+    */
+  private lazy val perLangAllocatedOracleSql: String =
+    perLangPricedPreludeSql + s""",
+       |cells AS (SELECT pr.pred_lang AS src,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(qz.score * 10) AS INT)))
+       |      AS INT) AS b,
+       |    CAST(sum(dtokp.n_tokens) AS BIGINT) AS mass
+       |  FROM pr JOIN qz USING (doc_id) JOIN dtokp USING (doc_id)
+       |  GROUP BY 1, 2),
+       |alloc AS (SELECT src, b, mass,
+       |    sum(mass) OVER (ORDER BY b DESC, src
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM cells),
+       |takes AS (SELECT src, b, mass,
+       |    CASE WHEN cum <= 20000 THEN mass
+       |         WHEN cum - mass < 20000 THEN 20000 - (cum - mass)
+       |         ELSE 0 END AS take
+       |  FROM alloc),
+       |ab AS (SELECT src, CAST(sum(take) AS BIGINT) AS alloc
+       |  FROM takes GROUP BY src),
+       |m AS (SELECT pr.doc_id, pr.pred_lang AS src, qz.score,
+       |    dtokp.n_tokens
+       |  FROM pr JOIN qz USING (doc_id) JOIN dtokp USING (doc_id)),
+       |c AS (SELECT doc_id, src, score, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY src
+       |    ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+       |SELECT c.doc_id, c.src AS pred_lang, c.score, c.n_tokens
+       |FROM c JOIN ab ON ab.src = c.src AND ab.alloc > 0
+       |WHERE c.cum <= ab.alloc
+       |ORDER BY c.doc_id""".stripMargin
 
   /** q177's oracle: q159's fertility rollup with the per-doc token sums
     * swapped for the per-language chains' union (the q174 `dtokp`).
@@ -5347,6 +5412,7 @@ object ExtensionQueries {
     "q161_budget_by_predicted_lang" -> budgetByPredictedLangOracleSql,
     "q174_budget_per_lang_priced" -> budgetPerLangPricedOracleSql,
     "q177_fertility_per_lang_priced" -> fertilityPerLangPricedOracleSql,
+    "q181_per_lang_allocated" -> perLangAllocatedOracleSql,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
     // string_agg's ORDER BY i skips the CASE's NULLs like the Spark
