@@ -661,6 +661,19 @@ object RetrievalOps {
   def ndcgDiscountsMicro(k: Int): Seq[Long] =
     (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
 
+  /** The qrels' positive judgments, deduped: a (query, id) judged more
+    * than once keeps its HIGHEST grade — duplicate judgments exist in
+    * real pooled assessments (two assessors, two rounds), and without
+    * the dedupe a duplicated row would silently double-count in both
+    * DCG and IDCG and take two slots in the ideal ranking. Deterministic
+    * (max is order-free), no action triggered — the qrels stay lazy.
+    */
+  private def dedupedRels(qrels: DataFrame, queryCol: String,
+                          idCol: String, relCol: String): DataFrame =
+    qrels.filter(col(relCol) > 0)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(max(col(relCol).cast("long")).as("__rel"))
+
   /** Ranking-quality evaluation against labeled relevance — the judge
     * the hybrid tier ([[rrfFuse]]/[[scoreFuse]]/MMR) was missing: given
     * a `run` (queryCol, idCol, rankCol — any top-k-bounded ranking) and
@@ -680,8 +693,11 @@ object RetrievalOps {
     * the qrels define the query universe (a run-only query is not
     * evaluable and is ignored; a qrels query missing from the run
     * scores zeros), rel = 0 rows are explicit irrelevance judgments
-    * (they gate nothing and never count as hits), and a query whose
-    * judgments are ALL rel = 0 has no definable ideal and is excluded.
+    * (they gate nothing and never count as hits), a (query, id) judged
+    * MORE THAN ONCE keeps its highest grade (pooled assessments
+    * duplicate; double-counting would corrupt both DCG and the ideal),
+    * and a query whose judgments are ALL rel = 0 has no definable
+    * ideal and is excluded.
     *
     * Cross-engine determinism (the q170 discipline): every numerator
     * and denominator is an exact integer — DCG/IDCG are long sums of
@@ -705,8 +721,7 @@ object RetrievalOps {
                      k: Int): DataFrame = {
     require(k > 0 && k <= 1000, s"rankingQuality: k=$k not in 1..1000")
     val disc = typedLit(ndcgDiscountsMicro(k))
-    val rel = qrels.filter(col(relCol) > 0)
-      .select(col(queryCol), col(idCol), col(relCol).cast("long").as("__rel"))
+    val rel = dedupedRels(qrels, queryCol, idCol, relCol)
     val ideal = rel.withColumn("__irank", row_number().over(
       Window.partitionBy(col(queryCol))
         .orderBy(col("__rel").desc, col(idCol))))
@@ -807,8 +822,7 @@ object RetrievalOps {
     // rankingQuality's arithmetic with config_id carried through the
     // group keys; only the mean row per config survives
     val disc = typedLit(ndcgDiscountsMicro(k))
-    val rel = qrels.filter(col(relCol) > 0)
-      .select(col(queryCol), col(idCol), col(relCol).cast("long").as("__rel"))
+    val rel = dedupedRels(qrels, queryCol, idCol, relCol)
     val qAgg = rel.withColumn("__irank", row_number().over(
         Window.partitionBy(col(queryCol))
           .orderBy(col("__rel").desc, col(idCol))))

@@ -1838,6 +1838,33 @@ object ExtensionQueries {
         .orderBy(col("ranking"), col("probe_id"))
     }),
 
+    // -- MMR λ sweep (q182): the diversity knob MEASURED — the pool is
+    // paid ONCE (the serving shape: mmrRerankPool over the brute-force
+    // top-8), the walk runs at λ 0.25/0.5/0.75, and each λ's ranking is
+    // judged by q172's arithmetic against the q178 qrels; output is the
+    // three mean rows a λ decision compares. Oracle: three unrolled
+    // walks (tagged CTEs, exact-binary λ literals) + the quality CTEs
+    // with λ carried through the group keys -----------------------------
+    "q182_mmr_lambda_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").drop("label")
+      val probes = e.filter(col("vec_id") < 6)
+      val pool = SimilarityOps.bruteForceTopK(probes, e, k = 8)
+        .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
+      val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
+      Seq(0.25, 0.5, 0.75).map { lam =>
+        RetrievalOps.rankingQuality(
+            SimilarityOps.mmrRerankPool(pool, e, k = 4, lambda = lam)
+              .select(col("probe_id"), col("cand_id"), col("mmr_rank")),
+            qrels, "probe_id", "cand_id", "mmr_rank", "rel", k = 4)
+          .filter(col("probe_id") === -1) // the mean row
+          .withColumn("lambda", lit(lam))
+      }.reduce(_ unionAll _)
+        .select(col("lambda"), col("n_rel"), col("n_rel_at_k"),
+          col("recall_at_k"), col("ndcg_at_k"), col("rr"))
+        .orderBy(col("lambda"))
+    }),
+
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
     // SAME committed centroids as q31 (map-only NearestCell kernel), exact
     // cosine over within-cell pairs only, frontier-delta CC over the dup
@@ -3501,39 +3528,45 @@ object ExtensionQueries {
       s"\nSELECT probe_id, cand_id, round(score, 6) AS mmr_score," +
       s" mmr_rank FROM selu$k ORDER BY probe_id, mmr_rank"
 
-  /** The walk's CTE chain alone (ending at `selu<k>`), for oracles that
-    * compose the walk into a LARGER chain (q178 judges it against
-    * qrels) instead of selecting it as the result.
+  /** The walk's CTE chain alone (ending at `selu<k><tag>`), for oracles
+    * that compose the walk into a LARGER chain (q178 judges it against
+    * qrels; q182 runs THREE walks at different λ — `tag` keeps their
+    * CTE names distinct, `lambda` must be exact-binary so both engines
+    * carry the identical literal).
     */
-  private def mmrGreedyCtes(k: Int): String = {
+  private def mmrGreedyCtes(k: Int, lambda: Double = 0.5,
+                            tag: String = ""): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val inv = s"CAST(${1.0 - lambda} AS DOUBLE)"
     val head =
-      s"""sel1 AS (SELECT probe_id, cand_id,
-         |    CAST(0.5 AS DOUBLE) * rel AS score, 1 AS mmr_rank FROM (
+      s"""sel1$tag AS (SELECT probe_id, cand_id,
+         |    $lam * rel AS score, 1 AS mmr_rank FROM (
          |    SELECT probe_id, cand_id, rel, row_number() OVER (
          |      PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rn
          |    FROM rel) t
          |  WHERE rn = 1),
-         |selu1 AS (SELECT * FROM sel1)""".stripMargin
+         |selu1$tag AS (SELECT * FROM sel1$tag)""".stripMargin
     val steps = (2 to k).map { i =>
-      s"""cand$i AS (SELECT c.probe_id, c.cand_id,
-         |    CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * m.mx
+      s"""cand$i$tag AS (SELECT c.probe_id, c.cand_id,
+         |    $lam * c.rel - $inv * m.mx
          |      AS score
          |  FROM rel c JOIN (
          |    SELECT pp.probe_id, pp.a AS cand_id, max(pp.psim) AS mx
-         |    FROM pp JOIN selu${i - 1} s
+         |    FROM pp JOIN selu${i - 1}$tag s
          |      ON pp.probe_id = s.probe_id AND pp.b = s.cand_id
          |    GROUP BY 1, 2) m
          |    ON c.probe_id = m.probe_id AND c.cand_id = m.cand_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} s2
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1}$tag s2
          |    WHERE s2.probe_id = c.probe_id
          |      AND s2.cand_id = c.cand_id)),
-         |sel$i AS (SELECT probe_id, cand_id, score, $i AS mmr_rank FROM (
+         |sel$i$tag AS (SELECT probe_id, cand_id, score, $i AS mmr_rank
+         |  FROM (
          |    SELECT probe_id, cand_id, score, row_number() OVER (
          |      PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
-         |    FROM cand$i) t
+         |    FROM cand$i$tag) t
          |  WHERE rn = 1),
-         |selu$i AS (SELECT * FROM selu${i - 1}
-         |  UNION ALL SELECT * FROM sel$i)""".stripMargin
+         |selu$i$tag AS (SELECT * FROM selu${i - 1}$tag
+         |  UNION ALL SELECT * FROM sel$i$tag)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
@@ -3652,6 +3685,68 @@ object ExtensionQueries {
       |  JOIN me ea ON ea.vec_id = r1.cand_id
       |  JOIN me eb ON eb.vec_id = r2.cand_id)""".stripMargin +
       ",\n" + mmrGreedySql(4)
+
+  /** q182: three tagged greedy walks at exact-binary λ over the SHARED
+    * pool CTEs, each judged by q172's integer arithmetic with λ carried
+    * through the group keys; only the per-λ mean rows survive.
+    */
+  private lazy val mmrLambdaSweepOracleSql: String = {
+    val qrelsVals = mmrQrels
+      .map { case (p, c, r) => s"($p, $c, $r)" }.mkString(", ")
+    val lams = Seq((0.25, "_l25"), (0.5, "_l50"), (0.75, "_l75"))
+    val chains = lams
+      .map { case (l, t) => mmrGreedyCtes(4, l, t) }.mkString(",\n")
+    val runUnion = lams.map { case (l, t) =>
+      s"""SELECT CAST($l AS DOUBLE) AS lambda, probe_id, cand_id,
+         |    mmr_rank AS rk2 FROM selu4$t""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    mmrPoolCtes(8) + ",\n" + chains + s""",
+      |runs AS ($runUnion),
+      |qrels(probe_id, cand_id, rel0) AS (VALUES $qrelsVals),
+      |disc(r, d) AS (VALUES ${ndcgDiscValuesSql(4)}),
+      |relq AS (SELECT CAST(probe_id AS BIGINT) AS probe_id,
+      |    CAST(cand_id AS BIGINT) AS cand_id,
+      |    CAST(rel0 AS BIGINT) AS rel0 FROM qrels WHERE rel0 > 0),
+      |qa AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_rel,
+      |    CAST(sum(CASE WHEN irank <= 4 THEN rel0 * d ELSE 0 END)
+      |      AS BIGINT) AS idcg
+      |  FROM (SELECT probe_id, rel0, CAST(row_number() OVER (
+      |      PARTITION BY probe_id ORDER BY rel0 DESC, cand_id) AS INT)
+      |      AS irank FROM relq) i
+      |  LEFT JOIN disc ON disc.r = i.irank GROUP BY 1),
+      |ra AS (SELECT lambda, rr2.probe_id,
+      |    CAST(sum(CASE WHEN q.rel0 IS NOT NULL THEN q.rel0 * d
+      |      ELSE 0 END) AS BIGINT) AS dcg,
+      |    CAST(sum(CASE WHEN q.rel0 IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_rel_at_k,
+      |    min(CASE WHEN q.rel0 IS NOT NULL THEN rr2.rk2 END) AS frk
+      |  FROM runs rr2 JOIN disc ON disc.r = rr2.rk2
+      |  LEFT JOIN relq q ON q.probe_id = rr2.probe_id
+      |    AND q.cand_id = rr2.cand_id
+      |  GROUP BY 1, 2),
+      |shell AS (SELECT lams.lambda, qa.* FROM
+      |  (SELECT DISTINCT lambda FROM runs) lams CROSS JOIN qa),
+      |met AS (SELECT s.lambda, s.probe_id, s.n_rel, s.idcg,
+      |    coalesce(ra.n_rel_at_k, 0) AS n_rel_at_k,
+      |    coalesce(ra.dcg, 0) AS dcg, ra.frk
+      |  FROM shell s LEFT JOIN ra ON ra.lambda = s.lambda
+      |    AND ra.probe_id = s.probe_id),
+      |mu AS (SELECT lambda, probe_id, n_rel, n_rel_at_k,
+      |    (2000000 * n_rel_at_k + n_rel) // (2 * n_rel) AS rec_u,
+      |    (2000000 * dcg + idcg) // (2 * idcg) AS ndcg_u,
+      |    CASE WHEN frk IS NULL THEN 0
+      |      ELSE (2000000 + frk) // (2 * frk) END AS rr_u
+      |  FROM met)
+      |SELECT lambda, CAST(sum(n_rel) AS BIGINT) AS n_rel,
+      |  CAST(sum(n_rel_at_k) AS BIGINT) AS n_rel_at_k,
+      |  CAST((2 * sum(rec_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE) AS recall_at_k,
+      |  CAST((2 * sum(ndcg_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE) AS ndcg_at_k,
+      |  CAST((2 * sum(rr_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE) AS rr
+      |FROM mu GROUP BY lambda ORDER BY lambda""".stripMargin
+  }
 
   /** q136: recall@5 of the q115/q117 approximate answer against the
     * exact brute-force top-5 — the chain's `rk` CTE is the approximate
@@ -6007,6 +6102,7 @@ object ExtensionQueries {
     "q176_fusion_quality_grid" -> fusionQualityGridOracleSql,
     "q164_mmr_rerank" -> mmrRerankOracleSql,
     "q178_mmr_quality_delta" -> mmrQualityDeltaOracleSql,
+    "q182_mmr_lambda_sweep" -> mmrLambdaSweepOracleSql,
     "q166_hybrid_from_stores" -> hybridFromStoresOracleSql,
     "q167_mmr_from_store" -> mmrFromStoreOracleSql,
     "q168_leg_agreement" -> legAgreementOracleSql,

@@ -399,6 +399,20 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(mean.getAs[Double]("rr") == 0.5)
   }
 
+  test("rankingQuality: a (query, id) judged more than once keeps its " +
+      "HIGHEST grade — duplicates never double-count in DCG, the " +
+      "ideal, n_rel, or recall") {
+    val run = Seq((1, 10L, 1), (1, 11L, 2)).toDF("query_id", "id", "rank")
+    val dup = Seq((1, 10L, 1), (1, 10L, 3), (1, 11L, 2))
+      .toDF("query_id", "id", "rel")
+    val clean = Seq((1, 10L, 3), (1, 11L, 2))
+      .toDF("query_id", "id", "rel")
+    def rows(q: org.apache.spark.sql.DataFrame) =
+      RetrievalOps.rankingQuality(run, q, "query_id", "id", "rank",
+        "rel", k = 2).orderBy("query_id").collect().map(_.toSeq).toSeq
+    assert(rows(dup) == rows(clean), s"${rows(dup)} vs ${rows(clean)}")
+  }
+
   test("rankingQuality validates k; qrels with no positive judgments " +
       "yield only the (empty) mean row") {
     val run = leg((1, 10L, 1))

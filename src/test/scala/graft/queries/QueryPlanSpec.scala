@@ -370,7 +370,7 @@ class QueryPlanSpec extends AnyFunSuite {
       // broadcast) — same intentional probe-side BNLJ as q163 itself;
       // q178 rides q164's pool scan (6-probe broadcast)
       "q172_ranking_quality", "q176_fusion_quality_grid",
-      "q178_mmr_quality_delta")
+      "q178_mmr_quality_delta", "q182_mmr_lambda_sweep")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
