@@ -242,7 +242,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
         .hashedGramScoreVec(col("text"),
           LangIdWeights.weights.map(_.toIndexedSeq),
           LangIdWeights.biases)
-      df.select(col("doc_id"),
+      df.select(col("doc_id"), col("text"),
           round(TextOps.qualityLrScore(col("text")), 6).as("quality"),
           TextOps.subwordTokenCount(col("text")).as("n_tok"),
           scores.as("__s"))
@@ -250,12 +250,15 @@ class StreamBatchParitySpec extends AnyFunSuite {
           ExtensionQueries.langIdBest(LangIdWeights.langs, col("__s")))
         .withColumn("pred_lang",
           ExtensionQueries.langIdPredictedOrUnd(col("__best")))
+        // the r17 per-language pricing rides the same stateless path
+        .withColumn("n_tok_lang",
+          TextOps.subwordTokenCountByLang(col("text"), col("pred_lang")))
         .select(col("doc_id"), col("quality"), col("n_tok"),
-          col("pred_lang"))
+          col("pred_lang"), col("n_tok_lang"))
     }
     def toMapOf(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
-      r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getString(3))))
-      .toMap
+      r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))).toMap
 
     val batch = toMapOf(gate(docs).collect())
     val mem = MemoryStream[(Long, String)]
@@ -271,8 +274,11 @@ class StreamBatchParitySpec extends AnyFunSuite {
       } finally q.stop()
     assert(streamed.nonEmpty)
     assert(streamed == batch)
-    // the stream really exercised the reject path too
+    // the stream really exercised the reject path too, and the
+    // per-language pricing genuinely repriced something (global vs
+    // per-lang token counts differ somewhere)
     assert(streamed.values.exists(_._3 == "und"))
     assert(streamed.values.exists(_._3 != "und"))
+    assert(streamed.values.exists(v => v._2 != v._4))
   }
 }
