@@ -569,6 +569,23 @@ object ExtensionQueries {
           col("lang") === "en", nBuckets = 10)
         .orderBy(col("bucket"))),
 
+    // -- Language-ID calibration (q183): q175's reliability machinery
+    // pointed at the OTHER committed classifier — per best-score bucket,
+    // how often the argmax is actually right. This is the empirical
+    // basis the 0.30 und threshold claims ("wrong predictions average
+    // 0.42"): the low buckets should show low pos_rate, and the summary
+    // ECE says whether the one-vs-rest sigmoid means anything. Label =
+    // argmax == true lang (BEFORE the reject — the threshold is what's
+    // being judged, so it must not filter the evidence) -----------------
+    "q183_langid_calibration" -> ((s, dir) =>
+      ProfileOps.calibrationReport(
+          langIdScored(t(s, dir, "documents"))
+            .filter(col("lang").isNotNull),
+          col("__best").getField("sc"),
+          col("__best").getField("l") === col("lang"),
+          nBuckets = 10)
+        .orderBy(col("bucket"))),
+
     // -- Run collapse: q62's execution counterpart — adjacent identical
     // tokens collapse to the first occurrence; the fixture's "batch batch
     // batch" stutter actually shrinks -----------------------------------
@@ -4353,6 +4370,46 @@ object ExtensionQueries {
        |FROM pm ORDER BY bucket""".stripMargin
   }
 
+  /** q183: the langid CTEs' argmax judged against the true lang, rolled
+    * up by q175's bucket/ECE arithmetic (integer micro-sums, exact gap
+    * numerators, integer-rounded ratios).
+    */
+  private lazy val langIdCalibrationOracleSql: String =
+    s"""WITH $langIdCtes,
+       |sc183 AS (SELECT b.doc_id, b.score,
+       |    CASE WHEN b.lang = d.lang THEN 1 ELSE 0 END AS pos
+       |  FROM best b JOIN documents d ON d.doc_id = b.doc_id
+       |  WHERE b.rn = 1 AND d.lang IS NOT NULL),
+       |lab AS (SELECT doc_id,
+       |    CAST(round(score * 1000000) AS BIGINT) AS su,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(score * 10) AS BIGINT)))
+       |      AS INTEGER) AS bucket,
+       |    pos
+       |  FROM sc183),
+       |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(su) AS BIGINT) AS su
+       |  FROM lab GROUP BY bucket),
+       |pm AS (SELECT bucket, n, n_pos, su,
+       |    abs(su - 1000000 * n_pos) AS gap_u FROM pb)
+       |SELECT bucket, n, n_pos,
+       |  CAST((2 * 1000000 * n_pos + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS pos_rate,
+       |  CAST((2 * su + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS mean_pred,
+       |  CAST((2 * gap_u + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS abs_gap
+       |FROM pm
+       |UNION ALL
+       |SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
+       |  CAST((2 * 1000000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+       |    AS DOUBLE) / CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(su) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(gap_u) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE)
+       |FROM pm ORDER BY bucket""".stripMargin
+
   /** The committed language-ID scorer REBUILT in SQL, shared by the
     * q154/q157/q159 oracles: every class score as a dot product over the
     * committed weight matrices (q151's CTEs stacked per language),
@@ -5501,6 +5558,7 @@ object ExtensionQueries {
     // keeps a NULL score like the Spark expression.
     "q151_quality_classifier" -> qualityLrOracleSql,
     "q175_calibration_report" -> calibrationReportOracleSql,
+    "q183_langid_calibration" -> langIdCalibrationOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,
