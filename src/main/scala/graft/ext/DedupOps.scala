@@ -1735,6 +1735,15 @@ object DedupOps {
                       scoreHi: Double = 1.0): DataFrame = {
     require(totalBudget > 0,
       s"allocateBudgets: totalBudget=$totalBudget must be positive")
+    // alloc_share's integer rounding computes 2000000 * alloc_tokens in
+    // Long; alloc_tokens ≤ totalBudget, so bounding the budget keeps the
+    // micro-share arithmetic overflow-free (ANSI would throw, non-ANSI
+    // would silently wrap) at trillion-token scales and beyond the guard
+    // fails NAMED instead
+    require(totalBudget <= Long.MaxValue / 2000000L,
+      s"allocateBudgets: totalBudget=$totalBudget exceeds " +
+        s"${Long.MaxValue / 2000000L} — the micro-unit share arithmetic " +
+        "(2000000 * alloc_tokens) would overflow Long")
     require(nBuckets > 0, "allocateBudgets: nBuckets must be positive")
     require(scoreHi > scoreLo,
       s"allocateBudgets: score range [$scoreLo, $scoreHi) is empty")
@@ -1802,7 +1811,11 @@ object DedupOps {
     val budgets: Map[String, Long] =
       allocateBudgets(docs, sourceCol, scoreCol, nTokCol, totalBudget,
           nBuckets, scoreLo, scoreHi)
-        .select(col(sourceCol), col("alloc_tokens"))
+        // tokenBudgetSelectBySource keys budgets by String — cast the
+        // probe column so a non-string source surfaces as the selection's
+        // usual string-keyed budgets, not an opaque driver-side
+        // ClassCastException (ADVICE r17)
+        .select(col(sourceCol).cast("string"), col("alloc_tokens"))
         .collect()
         .map(r => r.getString(0) -> r.getLong(1))
         .filter(_._2 > 0L)

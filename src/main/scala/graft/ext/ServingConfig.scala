@@ -1,0 +1,40 @@
+package graft.ext
+
+/** The committed serving configuration (VERDICT r17 task 3) — the
+  * tuned retrieval knobs, promoted from measurements to an artifact the
+  * store-served paths consume, so serving no longer takes hand-passed
+  * parameters the tuning queries exist to pick:
+  *
+  *   - [[kRrf]]/[[legWeights]] from the q176 fusion-quality grid
+  *     (committed grid: kRrf 10/60/240 at equal weights + the weight
+  *     axis at 60): equal weights win on the fixture — every weight
+  *     skew costs up to 0.15 nDCG@5 — and quality is INSENSITIVE to
+  *     kRrf across 10→240 at equal weights, so the standard 60 stays.
+  *   - [[mmrLambda]] from the q182 λ sweep judged against the q178
+  *     qrels: λ=0.75 buys back most of the relevance that diversity
+  *     costs (mean nDCG@4 0.688 vs plain 0.719 vs λ=0.5's 0.620) while
+  *     still re-ranking for diversity. Exact-binary, so every engine
+  *     carries the identical literal.
+  *
+  * Consumed by q166 (store-served hybrid fusion) and q167 (store-served
+  * MMR); ServingConfigSpec pins config-driven ≡ explicit-param. The
+  * grid/sweep queries remain the measurement surface — re-run them
+  * after a corpus shift, then update THIS object (the q138→q143
+  * monitor→remediate discipline, applied to serving parameters).
+  */
+object ServingConfig {
+  /** RRF rank-discount constant — q176 grid: quality flat in kRrf at
+    * equal weights; keep the standard 60.
+    */
+  val kRrf: Int = 60
+
+  /** Per-leg fusion weights (lexical, vector) — q176 grid winner:
+    * equal; every tested skew lost up to 0.15 nDCG@5.
+    */
+  val legWeights: Seq[Double] = Seq(1.0, 1.0)
+
+  /** MMR relevance/diversity trade — q182 sweep winner at k=4 over the
+    * q178 qrels (exact-binary literal).
+    */
+  val mmrLambda: Double = 0.75
+}

@@ -133,22 +133,39 @@ object ExtensionQueries {
     df.filter(col("text").isNotNull)
       .withColumn("__s", scores)
       .withColumn("__best", langIdBest(LangIdWeights.langs, col("__s")))
+      .withColumn("__cal", calMicro(col("__best").getField("sc"),
+        graft.ext.CalibrationMaps.langIdCalMicro))
   }
 
-  /** q157's committed reject threshold: a best one-vs-rest sigmoid below
-    * this abstains to 'und' (out-of-family text must not pollute
-    * per-language budgets/mixtures). Sized from the fixture's score
-    * distribution: the 10th percentile of best scores sits at ≈0.31 and
-    * wrong predictions average 0.42, so 0.30 rejects a real-but-small
-    * low-confidence slice at both SFs.
+  /** The committed per-bucket calibration lookup ([[graft.ext
+    * .CalibrationMaps]]): raw rounded score → calibrated P in Long
+    * micro-units. One clamped-floor bucket (q175/q183's exact formula)
+    * + one array index — linear, codegen-friendly (NOT a when-chain:
+    * the langIdBest lesson), and the downstream threshold compare stays
+    * pure-integer so no float literal ever meets a boundary.
     */
-  private[graft] val LangIdUndThreshold: Double = 0.30
+  private[graft] def calMicro(scoreCol: Column,
+                              valuesMicro: Seq[Long]): Column = {
+    val nb = graft.ext.CalibrationMaps.nBuckets
+    val b = least(lit((nb - 1).toLong),
+      greatest(lit(0L), floor(scoreCol * nb))).cast("int")
+    element_at(typedLit(valuesMicro), b + lit(1))
+  }
 
-  /** `predicted` with the reject option: 'und' when the best rounded
-    * score is below [[LangIdUndThreshold]].
+  /** `predicted` with the reject option: 'und' when the CALIBRATED
+    * P(argmax correct) is below 1/2 — the prediction is more likely
+    * wrong than right ([[graft.ext.CalibrationMaps.undCalCutMicro]]).
+    * Replaces the raw 0.30 cut of rounds 15–17: q183 proved the raw
+    * scores under-confident in every bucket (ECE 0.144; the 0.2–0.4
+    * buckets only 38–41% correct), so a cut sized on raw scores was
+    * rejecting on a scale that didn't mean probability. On the fitted
+    * buckets the calibrated rule lands at raw < 0.4 (buckets 0–3 sit
+    * below calibrated 0.5; bucket 4 reaches 0.652).
     */
   private[graft] def langIdPredictedOrUnd(bestCol: Column): Column =
-    when(bestCol.getField("sc") < LangIdUndThreshold, lit("und"))
+    when(calMicro(bestCol.getField("sc"),
+        graft.ext.CalibrationMaps.langIdCalMicro) <
+        graft.ext.CalibrationMaps.undCalCutMicro, lit("und"))
       .otherwise(bestCol.getField("l"))
 
   /** q59's full decision chain (quality gate → exact dedup → MinHash-LSH
@@ -200,9 +217,10 @@ object ExtensionQueries {
       evalDocs: DataFrame,
       scoreCol: Column = TextOps.qualityScore(col("text")),
       nTokCol: Column = size(TextOps.tokens(col("text"))).cast("long"),
-      budget: Long = RecipeBudget): DataFrame = {
+      budget: Long = RecipeBudget,
+      gateLo: Double = 0.5): DataFrame = {
     val docs = docs0.withColumn("quality", scoreCol)
-    val qual = docs.filter(col("quality") >= 0.5)
+    val qual = docs.filter(col("quality") >= gateLo)
     val keepExact = qual
       .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -236,14 +254,15 @@ object ExtensionQueries {
       evalDocs: DataFrame,
       scoreCol: Column = TextOps.qualityScore(col("text")),
       nTokCol: Column = size(TextOps.tokens(col("text"))).cast("long"),
-      budget: Long = RecipeBudget): DataFrame = {
+      budget: Long = RecipeBudget,
+      gateLo: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs0
       .withColumn("quality", scoreCol)
       .withColumn("__nt", nTokCol)
       .withColumn("__fp", TextOps.docFingerprint(col("text")))
     val flags = base
-      .withColumn("__gate", col("quality") >= 0.5)
+      .withColumn("__gate", col("quality") >= gateLo)
       .withColumn("__minq", min(when(col("__gate"), col("doc_id")))
         .over(Window.partitionBy(col("__fp"))))
       .withColumn("__exact", col("__gate") && col("doc_id") === col("__minq"))
@@ -356,6 +375,62 @@ object ExtensionQueries {
   private[graft] val fusionGrid: Seq[(Int, Double, Double)] = Seq(
     (10, 1.0, 1.0), (60, 1.0, 1.0), (240, 1.0, 1.0),
     (60, 2.0, 1.0), (60, 1.0, 2.0), (60, 0.5, 2.0))
+
+  /** q166's full store-served hybrid chain, PARAMETERIZED over the
+    * fusion knobs (VERDICT r17 task 3): the registered query passes the
+    * committed [[graft.ext.ServingConfig]]; ServingConfigSpec passes
+    * the same values explicitly and pins the two equal, so the config
+    * object provably changes nothing but where the knobs live.
+    */
+  private[graft] def hybridFromStoresChain(s: SparkSession, dir: String,
+      kRrf: Int, weights: Seq[Double]): DataFrame = {
+    import s.implicits._
+    val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+      (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+    val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
+      fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
+      "doc_id", "text", nBuckets = 64)
+    val lex = RetrievalOps.bm25PerQueryFromStore(stats, probe,
+        "query_id", "term", "doc_id", k = 5)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val e = t(s, dir, "embeddings").drop("label")
+    val cents = graft.ext.IvfCentroids.centroids
+    val cbs = graft.ext.PqCodebooks.codebooks
+    val index = SimilarityOps.annIndexStore(s, e,
+      fixturePath(s, dir, "embeddings", "annidx",
+        s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+    val vecs = SimilarityOps.vectorStore(s, e,
+      fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
+    val vec = SimilarityOps.ivfPqTopKFromStores(
+        e.filter(col("vec_id").isin(1L, 2L, 3L)), index, vecs, 64,
+        cents, cbs, k = 5, nprobe = 3, refineFactor = 8)
+      .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
+        col("rk").as("rank"))
+    RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id", "rank", k = 5,
+        kRrf = kRrf, weights = weights)
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  /** q167's store-served MMR chain, PARAMETERIZED over λ — same
+    * config-vs-explicit contract as [[hybridFromStoresChain]].
+    */
+  private[graft] def mmrFromStoreChain(s: SparkSession, dir: String,
+      lambda: Double): DataFrame = {
+    val e = t(s, dir, "embeddings").drop("label")
+    val cents = graft.ext.IvfCentroids.centroids
+    val cbs = graft.ext.PqCodebooks.codebooks
+    val index = SimilarityOps.annIndexStore(s, e,
+      fixturePath(s, dir, "embeddings", "annidx",
+        s"cells${cents.length}_m${cbs.length}"), cents, cbs)
+    val vecs = SimilarityOps.vectorStore(s, e,
+      fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
+    val pool = SimilarityOps.ivfPqTopKFromStores(
+        e.filter(col("vec_id") < 10), index, vecs, 64, cents, cbs,
+        k = 8, nprobe = 3, refineFactor = 8)
+      .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
+    SimilarityOps.mmrRerankPool(pool, e, k = 4, lambda = lambda)
+      .orderBy(col("probe_id"), col("mmr_rank"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Text analysis -------------------------------------------------
@@ -554,7 +629,8 @@ object ExtensionQueries {
       t(s, dir, "documents")
         .select(col("doc_id"),
           round(TextOps.qualityLrScore(col("text")), 6).as("score"))
-        .withColumn("is_quality", col("score") >= 0.5)
+        .withColumn("is_quality",
+          col("score") >= graft.ext.CalibrationMaps.gateRawCut)
         .orderBy(col("doc_id"))),
 
     // -- Calibration report (q175): is q151's predicted 0.7 a real 0.7?
@@ -585,6 +661,24 @@ object ExtensionQueries {
           col("__best").getField("l") === col("lang"),
           nBuckets = 10)
         .orderBy(col("bucket"))),
+
+    // -- Calibrated language-ID selection (q184): the calibration loop
+    // CLOSED — q183 measured the miscalibration, FitCalibration
+    // committed the isotonic per-bucket correction, and this query
+    // SERVES it: each doc's raw best score, its calibrated P(argmax
+    // correct) (one committed array lookup, micro/10⁶), and the reject
+    // decision taken ON the calibrated value ('und' when the prediction
+    // is more likely wrong than right). The oracle carries the same
+    // calibration literals as CASE arms through the shared langid CTEs --
+    "q184_calibrated_selection" -> ((s, dir) =>
+      langIdScored(t(s, dir, "documents"))
+        .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
+        .select(col("doc_id"), col("lang"),
+          col("__best").getField("sc").as("score"),
+          (col("__cal").cast("double") / 1000000.0).as("cal_score"),
+          col("predicted"),
+          (col("predicted") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))),
 
     // -- Run collapse: q62's execution counterpart — adjacent identical
     // tokens collapse to the first occurrence; the fixture's "batch batch
@@ -1332,7 +1426,8 @@ object ExtensionQueries {
           d.filter(col("doc_id") % 50 === 0),
           scoreCol = round(TextOps.qualityLrScore(col("text")), 6),
           nTokCol = TextOps.subwordTokenCount(col("text")),
-          budget = LearnedRecipeBudget)
+          budget = LearnedRecipeBudget,
+          gateLo = graft.ext.CalibrationMaps.gateRawCut)
         .orderBy(col("doc_id"))
     }),
 
@@ -1346,7 +1441,8 @@ object ExtensionQueries {
         d.filter(col("doc_id") % 50 === 0),
         scoreCol = round(TextOps.qualityLrScore(col("text")), 6),
         nTokCol = TextOps.subwordTokenCount(col("text")),
-        budget = LearnedRecipeBudget)
+        budget = LearnedRecipeBudget,
+        gateLo = graft.ext.CalibrationMaps.gateRawCut)
     }),
 
     // Repetition schedule (q133): data-constrained repeat-epochs — src0
@@ -1727,32 +1823,10 @@ object ExtensionQueries {
     // proves both serving paths faithful at once. The vector leg is the
     // approximate IVF-PQ ranking — the honest production trade the
     // exact-cosine q163 doesn't make -----------------------------------
-    "q166_hybrid_from_stores" -> ((s, dir) => {
-      import s.implicits._
-      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
-      val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
-        fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
-        "doc_id", "text", nBuckets = 64)
-      val lex = RetrievalOps.bm25PerQueryFromStore(stats, probe,
-          "query_id", "term", "doc_id", k = 5)
-        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-      val e = t(s, dir, "embeddings").drop("label")
-      val cents = graft.ext.IvfCentroids.centroids
-      val cbs = graft.ext.PqCodebooks.codebooks
-      val index = SimilarityOps.annIndexStore(s, e,
-        fixturePath(s, dir, "embeddings", "annidx",
-          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
-      val vecs = SimilarityOps.vectorStore(s, e,
-        fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
-      val vec = SimilarityOps.ivfPqTopKFromStores(
-          e.filter(col("vec_id").isin(1L, 2L, 3L)), index, vecs, 64,
-          cents, cbs, k = 5, nprobe = 3, refineFactor = 8)
-        .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
-          col("rk").as("rank"))
-      RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id", "rank", k = 5)
-        .orderBy(col("query_id"), col("fused_rank"))
-    }),
+    "q166_hybrid_from_stores" -> ((s, dir) =>
+      hybridFromStoresChain(s, dir,
+        kRrf = graft.ext.ServingConfig.kRrf,
+        weights = graft.ext.ServingConfig.legWeights)),
 
     // Min-max score fusion (q169): the comb-family combiner — per-query
     // min-max-normalized scores, weighted sum — for when score
@@ -1800,22 +1874,9 @@ object ExtensionQueries {
     // top-8 (paid once, encode-free), the walk is q164's greedy over it.
     // One oracle diff proves the store-served pool, the refine
     // arithmetic, and the walk composed -------------------------------
-    "q167_mmr_from_store" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").drop("label")
-      val cents = graft.ext.IvfCentroids.centroids
-      val cbs = graft.ext.PqCodebooks.codebooks
-      val index = SimilarityOps.annIndexStore(s, e,
-        fixturePath(s, dir, "embeddings", "annidx",
-          s"cells${cents.length}_m${cbs.length}"), cents, cbs)
-      val vecs = SimilarityOps.vectorStore(s, e,
-        fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
-      val pool = SimilarityOps.ivfPqTopKFromStores(
-          e.filter(col("vec_id") < 10), index, vecs, 64, cents, cbs,
-          k = 8, nprobe = 3, refineFactor = 8)
-        .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
-      SimilarityOps.mmrRerankPool(pool, e, k = 4)
-        .orderBy(col("probe_id"), col("mmr_rank"))
-    }),
+    "q167_mmr_from_store" -> ((s, dir) =>
+      mmrFromStoreChain(s, dir,
+        lambda = graft.ext.ServingConfig.mmrLambda)),
 
     // MMR diversity re-ranking (q164): greedy λ·rel − (1−λ)·max-sim walk
     // over each probe's exact top-8 pool — the serving-side re-ranker
@@ -3311,15 +3372,19 @@ object ExtensionQueries {
     */
   private lazy val hybridFromStoresOracleSql: String =
     ivfPqChainSql(k = 5, refineFactor = 8) + ",\n" +
-      bm25PerQueryChainSql.stripPrefix("WITH ") + """,
+      bm25PerQueryChainSql.stripPrefix("WITH ") + s""",
       |lex AS (SELECT query_id, doc_id AS id, "rank" AS lrank FROM r
       |  WHERE "rank" <= 5),
       |vec AS (SELECT probe_id AS query_id, cand_id AS id, rk AS vrank
       |  FROM rk WHERE rk <= 5 AND probe_id IN (1, 2, 3)),
       |uni AS (SELECT query_id, id,
-      |    CAST(1 AS DOUBLE) / (60 + CAST(lrank AS DOUBLE)) AS c FROM lex
+      |    CAST(${graft.ext.ServingConfig.legWeights(0)} AS DOUBLE) /
+      |      (${graft.ext.ServingConfig.kRrf} + CAST(lrank AS DOUBLE))
+      |      AS c FROM lex
       |  UNION ALL SELECT query_id, id,
-      |    CAST(1 AS DOUBLE) / (60 + CAST(vrank AS DOUBLE)) AS c FROM vec),
+      |    CAST(${graft.ext.ServingConfig.legWeights(1)} AS DOUBLE) /
+      |      (${graft.ext.ServingConfig.kRrf} + CAST(vrank AS DOUBLE))
+      |      AS c FROM vec),
       |fus AS (SELECT query_id, id, round(sum(c), 6) AS rrf_score
       |  FROM uni GROUP BY 1, 2),
       |frk AS (SELECT query_id, id, rrf_score,
@@ -3540,8 +3605,8 @@ object ExtensionQueries {
     * pool) and q167 (store-served IVF-PQ pool) — one arithmetic, two
     * pool providers.
     */
-  private def mmrGreedySql(k: Int): String =
-    mmrGreedyCtes(k) +
+  private def mmrGreedySql(k: Int, lambda: Double = 0.5): String =
+    mmrGreedyCtes(k, lambda) +
       s"\nSELECT probe_id, cand_id, round(score, 6) AS mmr_score," +
       s" mmr_rank FROM selu$k ORDER BY probe_id, mmr_rank"
 
@@ -3686,8 +3751,9 @@ object ExtensionQueries {
   /** q167: the MMR walk over the STORE-SERVED IVF-PQ shortlist — the
     * chain's refined exact sims are the pool relevance (`rk <= poolK`),
     * pairwise diversity sims come from the raw embeddings, and the
-    * greedy steps are the shared q164 unroll. One diff proves the
-    * store-served pool, the refine arithmetic, and the walk together.
+    * greedy steps are the shared q164 unroll at the COMMITTED serving
+    * λ ([[graft.ext.ServingConfig.mmrLambda]] — the q182 sweep winner,
+    * carried here as the same exact-binary literal the query serves).
     */
   private lazy val mmrFromStoreOracleSql: String =
     ivfPqChainSql(k = 8, refineFactor = 8) + s""",
@@ -3701,7 +3767,7 @@ object ExtensionQueries {
       |    AND r1.cand_id <> r2.cand_id
       |  JOIN me ea ON ea.vec_id = r1.cand_id
       |  JOIN me eb ON eb.vec_id = r2.cand_id)""".stripMargin +
-      ",\n" + mmrGreedySql(4)
+      ",\n" + mmrGreedySql(4, graft.ext.ServingConfig.mmrLambda)
 
   /** q182: three tagged greedy walks at exact-binary λ over the SHARED
     * pool CTEs, each judged by q172's integer arithmetic with λ carried
@@ -4303,7 +4369,8 @@ object ExtensionQueries {
        |    round(1.0 / (1.0 + exp(-(coalesce(zz, 0.0) + $bias))), 6)
        |  END AS score,
        |  CASE WHEN dd.text IS NOT NULL THEN
-       |    round(1.0 / (1.0 + exp(-(coalesce(zz, 0.0) + $bias))), 6) >= 0.5
+       |    round(1.0 / (1.0 + exp(-(coalesce(zz, 0.0) + $bias))), 6)
+       |      >= ${graft.ext.CalibrationMaps.gateRawCut}
        |  END AS is_quality
        |FROM documents dd LEFT JOIN z USING (doc_id)
        |ORDER BY dd.doc_id""".stripMargin
@@ -4448,6 +4515,33 @@ object ExtensionQueries {
       .stripMargin
   }
 
+  /** The committed calibration lookup rebuilt in SQL (the Spark side's
+    * [[calMicro]]): clamped-floor bucket (q175/q183's exact formula) →
+    * the committed micro value as CASE arms. Yields a BIGINT expression
+    * so the reject compare below stays pure-integer.
+    */
+  private def calMicroSql(scoreExpr: String,
+                          valuesMicro: Seq[Long]): String = {
+    val nb = graft.ext.CalibrationMaps.nBuckets
+    val arms = valuesMicro.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
+    s"(CASE CAST(LEAST(${nb - 1}, GREATEST(0, " +
+      s"CAST(floor(($scoreExpr) * $nb) AS BIGINT))) AS INTEGER) " +
+      s"$arms END)"
+  }
+
+  /** The calibrated reject CASE shared by every oracle that derives
+    * `pred_lang`/`predicted`: 'und' when the calibrated P(argmax
+    * correct) sits below the committed cut — the SQL twin of
+    * [[langIdPredictedOrUnd]], rebuilt from the SAME
+    * [[graft.ext.CalibrationMaps]] literals.
+    */
+  private def undCaseSql(scoreExpr: String, langExpr: String): String =
+    s"CASE WHEN ${calMicroSql(scoreExpr,
+        graft.ext.CalibrationMaps.langIdCalMicro)} < " +
+      s"${graft.ext.CalibrationMaps.undCalCutMicro} THEN 'und' " +
+      s"ELSE $langExpr END"
+
   /** q154's oracle: the shared scorer + the plain argmax. */
   private lazy val langIdOracleSql: String =
     s"""WITH $langIdCtes
@@ -4457,17 +4551,33 @@ object ExtensionQueries {
        |  ON best.doc_id = dd.doc_id AND best.rn = 1
        |ORDER BY dd.doc_id""".stripMargin
 
-  /** q157's oracle: the shared scorer with the committed reject
-    * threshold carried as a literal — best score below it → 'und'.
+  /** q157's oracle: the shared scorer with the committed CALIBRATED
+    * reject rule carried as literals (the [[undCaseSql]] CASE arms).
     */
   private lazy val langIdRejectOracleSql: String =
     s"""WITH $langIdCtes
        |SELECT dd.doc_id, dd.lang,
-       |  CASE WHEN best.score < $LangIdUndThreshold THEN 'und'
-       |       ELSE best.lang END AS predicted,
+       |  ${undCaseSql("best.score", "best.lang")} AS predicted,
        |  best.score,
-       |  ((CASE WHEN best.score < $LangIdUndThreshold THEN 'und'
-       |         ELSE best.lang END) = dd.lang) AS correct
+       |  ((${undCaseSql("best.score", "best.lang")}) = dd.lang)
+       |    AS correct
+       |FROM documents dd JOIN best
+       |  ON best.doc_id = dd.doc_id AND best.rn = 1
+       |ORDER BY dd.doc_id""".stripMargin
+
+  /** q184's oracle: the shared scorer + the committed calibration as
+    * CASE arms — calibrated probability AND the reject decided on it,
+    * both rebuilt from the [[graft.ext.CalibrationMaps]] literals.
+    */
+  private lazy val calibratedSelectionOracleSql: String =
+    s"""WITH $langIdCtes
+       |SELECT dd.doc_id, dd.lang, best.score,
+       |  CAST(${calMicroSql("best.score",
+              graft.ext.CalibrationMaps.langIdCalMicro)} AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS cal_score,
+       |  ${undCaseSql("best.score", "best.lang")} AS predicted,
+       |  ((${undCaseSql("best.score", "best.lang")}) = dd.lang)
+       |    AS correct
        |FROM documents dd JOIN best
        |  ON best.doc_id = dd.doc_id AND best.rn = 1
        |ORDER BY dd.doc_id""".stripMargin
@@ -4487,8 +4597,7 @@ object ExtensionQueries {
        |$langIdCtes,
        |${qualityLrScoreCtes("d154")},
        |pr AS (SELECT doc_id,
-       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
-       |         ELSE lang END AS pred_lang
+       |    ${undCaseSql("score", "lang")} AS pred_lang
        |  FROM best WHERE rn = 1),
        |m AS (SELECT pr.doc_id, pr.pred_lang, qz.score, dtok.n_tokens
        |  FROM pr JOIN qz USING (doc_id) JOIN dtok USING (doc_id)
@@ -4567,8 +4676,7 @@ object ExtensionQueries {
        |$langIdCtes,
        |${qualityLrScoreCtes("d154")},
        |pr AS (SELECT doc_id,
-       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
-       |         ELSE lang END AS pred_lang
+       |    ${undCaseSql("score", "lang")} AS pred_lang
        |  FROM best WHERE rn = 1),
        |$chains,
        |dtokp AS ($unions
@@ -4645,8 +4753,7 @@ object ExtensionQueries {
     s"""WITH RECURSIVE $subwordEncCtes,
        |$langIdCtes,
        |pr AS (SELECT doc_id,
-       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
-       |         ELSE lang END AS pred_lang
+       |    ${undCaseSql("score", "lang")} AS pred_lang
        |  FROM best WHERE rn = 1),
        |$chains,
        |dtokp AS ($unions
@@ -4673,8 +4780,7 @@ object ExtensionQueries {
     s"""WITH RECURSIVE $subwordEncCtes,
        |$langIdCtes,
        |pr AS (SELECT doc_id,
-       |    CASE WHEN score < $LangIdUndThreshold THEN 'und'
-       |         ELSE lang END AS predicted
+       |    ${undCaseSql("score", "lang")} AS predicted
        |  FROM best WHERE rn = 1),
        |ws159 AS (SELECT doc_id,
        |    len(regexp_split_to_array(lower(text), '\\s+')) AS wt
@@ -5016,7 +5122,8 @@ object ExtensionQueries {
        |    qz.score AS quality, dtok.n_tokens
        |  FROM documents d JOIN qz USING (doc_id) JOIN dtok USING (doc_id)
        |  WHERE d.doc_id % 50 <> 0),
-       |qual AS (SELECT * FROM q0 WHERE quality >= 0.5),
+       |qual AS (SELECT * FROM q0
+       |  WHERE quality >= ${graft.ext.CalibrationMaps.gateRawCut}),
        |keepx AS (SELECT min(doc_id) AS doc_id FROM qual
        |  GROUP BY md5(array_to_string(toks, ' '))),
        |base AS (SELECT q.* FROM qual q JOIN keepx USING (doc_id)),
@@ -5559,6 +5666,7 @@ object ExtensionQueries {
     "q151_quality_classifier" -> qualityLrOracleSql,
     "q175_calibration_report" -> calibrationReportOracleSql,
     "q183_langid_calibration" -> langIdCalibrationOracleSql,
+    "q184_calibrated_selection" -> calibratedSelectionOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,

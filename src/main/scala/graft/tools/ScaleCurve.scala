@@ -122,26 +122,35 @@ object ScaleCurve {
 
     // r17 streaming-vector-serving claim: "per-batch cost is
     // batch-bound" — the q93 pattern on the vector side: pre-build BOTH
-    // serving stores per scale (untimed; appends mutate them, so a fresh
-    // per-run copy keeps repeated ScaleCurve invocations comparable) and
-    // time one fixed 1×-batch append pass (encode+assign the batch, two
-    // partitioned appends) against the 1× vs N× stores.
-    lazy val serveStorePaths: Map[Int, (String, String)] = {
+    // serving stores per scale (untimed) and time one fixed 1×-batch
+    // append pass (encode+assign the batch, two partitioned appends).
+    // Appends MUTATE the store, so a single shared copy would make every
+    // retime append into an already-grown store (ADVICE r17: the row
+    // wasn't idempotent like its siblings) — instead pre-build a POOL of
+    // pristine copies, one per potential timed invocation (warmup + reps),
+    // and have each invocation consume a fresh one. The extra builds are
+    // untimed setup; the timed body stays append-only.
+    lazy val serveStorePool
+        : Map[Int, java.util.ArrayDeque[(String, String)]] = {
       val runRoot = java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get(workDir), "serve")
         .toString
       dirs.map { case (n, d) =>
-        val idx = s"$runRoot/x${n}_idx.parquet"
-        val vec = s"$runRoot/x${n}_vec.parquet"
-        SimilarityOps.annIndexStore(spark, embs(spark, d), idx,
-          graft.ext.IvfCentroids.centroids,
-          graft.ext.PqCodebooks.codebooks)
-        SimilarityOps.vectorStore(spark, embs(spark, d), vec,
-          nBuckets = 64)
-        n -> ((idx, vec))
+        val copies = new java.util.ArrayDeque[(String, String)]()
+        (0 to reps).foreach { i =>
+          val idx = s"$runRoot/x${n}_idx_$i.parquet"
+          val vec = s"$runRoot/x${n}_vec_$i.parquet"
+          SimilarityOps.annIndexStore(spark, embs(spark, d), idx,
+            graft.ext.IvfCentroids.centroids,
+            graft.ext.PqCodebooks.codebooks)
+          SimilarityOps.vectorStore(spark, embs(spark, d), vec,
+            nBuckets = 64)
+          copies.add((idx, vec))
+        }
+        n -> copies
       }
     }
-    if (wanted("q_vec_serving_append")) serveStorePaths
+    if (wanted("q_vec_serving_append")) serveStorePool
 
     val nVecs: Map[Int, Long] =
       dirs.map { case (n, d) => n -> embs(spark, d).count() }
@@ -289,7 +298,11 @@ object ScaleCurve {
       // assign ONLY the batch and write new part files; nothing reads
       // the accumulated store, so the ratio to beat is 1.0)
       "q_vec_serving_append" -> { n =>
-        val (idx, vec) = serveStorePaths(n)
+        val (idx, vec) = Option(serveStorePool(n).poll()).getOrElse(
+          throw new IllegalStateException(
+            "q_vec_serving_append: pristine-store pool exhausted at " +
+              s"x$n — the pool sizes to warmup + SPARK_GRAFT_SCALE_REPS " +
+              "invocations; raise reps if retiming beyond that"))
         val batch = embs(spark, dirs(scales.min))
           .filter(col("vec_id") % 10 === 0)
         SimilarityOps.appendToAnnIndex(spark, batch, idx,

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.queries.ExtensionQueries
+import graft.tools.FitCalibration
+
+/** The calibration loop (VERDICT r17 task 1): the committed isotonic
+  * corrections in [[CalibrationMaps]] — fit provenance, monotonicity,
+  * the post-calibration ECE actually dropping, and the PAV kernel's
+  * edge cases.
+  */
+class CalibrationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("pavMicro: monotone input is identity (round-half-up micro)") {
+    // rates 0/10, 5/10, 9/10 — already isotonic
+    val v = FitCalibration.pavMicro(
+      Seq((10L, 0L), (10L, 5L), (10L, 9L)))
+    assert(v == Seq(0L, 500000L, 900000L))
+  }
+
+  test("pavMicro: a violator pools with its neighbor, weighted") {
+    // rates .8 then .2 with weights 10/30 → pooled (8+6)/40 = .35
+    val v = FitCalibration.pavMicro(Seq((10L, 8L), (30L, 6L)))
+    assert(v == Seq(350000L, 350000L))
+    // cascading: .9, .8, .1 (equal weights) → all pool to .6
+    val v2 = FitCalibration.pavMicro(
+      Seq((10L, 9L), (10L, 8L), (10L, 1L)))
+    assert(v2 == Seq(600000L, 600000L, 600000L))
+  }
+
+  test("pavMicro: empty buckets carry the neighboring block's value") {
+    val v = FitCalibration.pavMicro(
+      Seq((0L, 0L), (10L, 2L), (0L, 0L), (10L, 8L), (0L, 0L)))
+    assert(v == Seq(200000L, 200000L, 200000L, 800000L, 800000L))
+  }
+
+  test("committed maps are monotone and the thresholds derive from them") {
+    assert(CalibrationMaps.langIdCalMicro.size == CalibrationMaps.nBuckets)
+    assert(CalibrationMaps.qualityCalMicro.size == CalibrationMaps.nBuckets)
+    Seq(CalibrationMaps.langIdCalMicro,
+        CalibrationMaps.qualityCalMicro).foreach { m =>
+      assert(m.zip(m.tail).forall { case (a, b) => a <= b }, m)
+      assert(m.forall(v => v >= 0L && v <= 1000000L), m)
+    }
+    // the committed gate cut IS the first quality bucket reaching 1/2
+    val gb = CalibrationMaps.qualityCalMicro.indexWhere(_ >= 500000L)
+    assert(CalibrationMaps.gateRawCut ==
+      gb.toDouble / CalibrationMaps.nBuckets)
+  }
+
+  test("committed maps regenerate from the fit dir (artifact drift guard)") {
+    // the SAME reliability buckets the registered q175/q183 reports
+    // produce, through the SAME PAV — byte-equal to the committed Seqs
+    val d = graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    def hist(rep: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val per = rep.collect().filter(_.getInt(0) >= 0)
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (0 until CalibrationMaps.nBuckets).map(b =>
+        per.getOrElse(b, (0L, 0L)))
+    }
+    val q = hist(ProfileOps.calibrationReport(d,
+      round(TextOps.qualityLrScore(col("text")), 6),
+      col("lang") === "en", CalibrationMaps.nBuckets))
+    assert(FitCalibration.pavMicro(q) == CalibrationMaps.qualityCalMicro)
+    val scored = ExtensionQueries.langIdScored(d)
+      .filter(col("lang").isNotNull)
+    val l = hist(ProfileOps.calibrationReport(scored,
+      col("__best").getField("sc"),
+      col("__best").getField("l") === col("lang"),
+      CalibrationMaps.nBuckets))
+    assert(FitCalibration.pavMicro(l) == CalibrationMaps.langIdCalMicro)
+  }
+
+  test("post-calibration ECE < pre-calibration ECE for both classifiers") {
+    val d = graft.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    def ece(rep: org.apache.spark.sql.DataFrame): Double =
+      rep.filter(col("bucket") === -1).collect()(0).getDouble(5)
+    def calScore(score: org.apache.spark.sql.Column,
+                 m: Seq[Long]): org.apache.spark.sql.Column =
+      ExtensionQueries.calMicro(score, m).cast("double") / 1000000.0
+
+    val qRaw = round(TextOps.qualityLrScore(col("text")), 6)
+    val qLabel = col("lang") === "en"
+    val qPre = ece(ProfileOps.calibrationReport(d, qRaw, qLabel))
+    val qPost = ece(ProfileOps.calibrationReport(d,
+      calScore(qRaw, CalibrationMaps.qualityCalMicro), qLabel))
+    assert(qPost < qPre, s"quality ECE $qPre -> $qPost")
+
+    val scored = ExtensionQueries.langIdScored(d)
+      .filter(col("lang").isNotNull)
+    val lRaw = col("__best").getField("sc")
+    val lLabel = col("__best").getField("l") === col("lang")
+    val lPre = ece(ProfileOps.calibrationReport(scored, lRaw, lLabel))
+    val lPost = ece(ProfileOps.calibrationReport(scored,
+      calScore(lRaw, CalibrationMaps.langIdCalMicro), lLabel))
+    assert(lPost < lPre, s"langid ECE $lPre -> $lPost")
+    // the headline the artifact records: both substantially calibrated
+    assert(qPost <= 0.01 && lPost <= 0.01, s"$qPost / $lPost")
+  }
+
+  test("q184 serves the committed lookup: cal_score is the bucket's " +
+      "literal and the reject flips exactly at the calibrated cut") {
+    val rows = ExtensionQueries
+      .queries("q184_calibrated_selection")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byBucket = CalibrationMaps.langIdCalMicro.map(_ / 1e6)
+    rows.foreach { r =>
+      val sc = r.getDouble(2)
+      val b = math.min(CalibrationMaps.nBuckets - 1,
+        math.max(0, math.floor(sc * CalibrationMaps.nBuckets).toInt))
+      assert(r.getDouble(3) == byBucket(b), s"doc ${r.getLong(0)}")
+      val expectUnd =
+        CalibrationMaps.langIdCalMicro(b) < CalibrationMaps.undCalCutMicro
+      assert((r.getString(4) == "und") == expectUnd, s"doc ${r.getLong(0)}")
+    }
+    // both branches of the reject are exercised by the fixture
+    assert(rows.exists(_.getString(4) == "und"))
+    assert(rows.exists(_.getString(4) != "und"))
+  }
+}

@@ -202,9 +202,13 @@ class QualityLrSpec extends AnyFunSuite {
           Seq(-9.0, -9.0))).as("b"))
       .select(ExtensionQueries.langIdPredictedOrUnd(col("b"))).head()
     assert(undRow.getString(0) == "und")
-    // exactly AT the threshold: kept (the reject is strict <) — σ(z) =
-    // threshold when bias z = logit(threshold)
-    val t = ExtensionQueries.LangIdUndThreshold
+    // exactly AT the calibrated boundary: kept (the reject is strict <
+    // on the CALIBRATED micro value) — the first bucket whose committed
+    // calibration reaches the cut starts at raw t = b/10, and σ(z) = t
+    // when bias z = logit(t)
+    val cutBucket = graft.ext.CalibrationMaps.langIdCalMicro
+      .indexWhere(_ >= graft.ext.CalibrationMaps.undCalCutMicro)
+    val t = cutBucket.toDouble / graft.ext.CalibrationMaps.nBuckets
     val zAt = math.log(t / (1.0 - t))
     val atRow = Seq("hello world").toDF("text")
       .select(ExtensionQueries.langIdBest(langs,
