@@ -367,6 +367,16 @@ object ExtensionQueries {
     (3L, 130L, 3), (3L, 207L, 1), (3L, 174L, 1),
     (9L, 114L, 1))
 
+  /** q185's permutation count — BOUNDED by construction: the sign-flip
+    * draws are seeded md5 parities (not enumerated 2ⁿ patterns), so the
+    * test costs nPerms × |judged probes| rows at ANY corpus/query scale.
+    * 256 draws resolve p to ±1/257, plenty to separate "noise" from
+    * "real" for a gate read by humans; on the fixture's 5 judged probes
+    * the draws sample the 32 distinct patterns with repetition, which
+    * keeps the estimator valid (standard Monte-Carlo permutation test).
+    */
+  private[graft] val MmrPermCount: Int = 256
+
   /** The committed q176 tuning grid: kRrf at 10/60/240 (sharp → flat
     * rank discounting) at equal weights, then the weight axis at the
     * standard kRrf=60 (lexical-heavy, vector-heavy, and a mixed
@@ -1941,6 +1951,56 @@ object ExtensionQueries {
         .select(col("lambda"), col("n_rel"), col("n_rel_at_k"),
           col("recall_at_k"), col("ndcg_at_k"), col("rr"))
         .orderBy(col("lambda"))
+    }),
+
+    // -- Paired permutation test for the MMR quality delta (q185): the
+    // q178 mean hides a sign-flipping probe — this prices the
+    // SIGNIFICANCE of the delta instead of just its size. Per judged
+    // probe, the exact micro nDCG@4 delta (mmr − plain, the q178
+    // numbers); the statistic is the integer delta sum; the null is
+    // 256 seeded sign-flip draws whose per-probe signs are md5 parities
+    // both engines compute byte-identically (no RNG anywhere); p is the
+    // standard (1 + #as-extreme)/(1 + n_perms) with ONE final division.
+    // The fixture's verdict: the delta is NOT significant at 5 probes —
+    // exactly the honesty the q178 headline needed -----------------------
+    "q185_mmr_delta_significance" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").drop("label")
+      val probes = e.filter(col("vec_id") < 6)
+      val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
+      val mmr = SimilarityOps.mmrRerank(probes, e, poolK = 8, k = 4)
+        .select(col("probe_id"), col("cand_id"), col("mmr_rank"))
+      val plain = SimilarityOps.bruteForceTopK(probes, e, k = 4)
+        .select(col("probe_id"), col("cand_id"), col("rk"))
+      def microNdcg(ranked: DataFrame, rankCol: String) =
+        RetrievalOps.rankingQuality(ranked, qrels, "probe_id", "cand_id",
+            rankCol, "rel", k = 4)
+          .filter(col("probe_id") >= 0)
+          .select(col("probe_id"),
+            round(col("ndcg_at_k") * 1000000).cast("long").as("u"))
+      val d = microNdcg(mmr, "mmr_rank").as("m")
+        .join(microNdcg(plain, "rk").as("p"), Seq("probe_id"))
+        .select(col("probe_id"),
+          (col("m.u") - col("p.u")).as("d"))
+      val obs = d.agg(sum(col("d")).as("t_obs"),
+        count(lit(1)).as("n_probes"))
+      val signs = d.withColumn("i",
+          explode(sequence(lit(0), lit(MmrPermCount - 1))))
+        .withColumn("sign", when(
+          conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
+            lit(":"), col("probe_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("i"))
+        .agg(sum(col("sign") * col("d")).as("t_i"))
+      signs.crossJoin(broadcast(obs))
+        .agg(first(col("n_probes")).as("n_probes"),
+          lit(MmrPermCount.toLong).as("n_perms"),
+          first(col("t_obs")).as("delta_sum_u"),
+          sum(when(abs(col("t_i")) >= abs(col("t_obs")), 1L)
+            .otherwise(0L)).as("n_as_extreme"))
+        .withColumn("p_value",
+          (col("n_as_extreme") + lit(1L)).cast("double") /
+            lit((MmrPermCount + 1).toDouble))
     }),
 
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
@@ -3681,7 +3741,28 @@ object ExtensionQueries {
     * judged by q172's integer quality arithmetic with `ranking` carried
     * through the group keys (the q176 config-dimension pattern).
     */
-  private lazy val mmrQualityDeltaOracleSql: String = {
+  private lazy val mmrQualityDeltaOracleSql: String =
+    mmrQualityMqCtes + s"""
+      |SELECT probe_id, n_rel, n_rel_at_k, recall_at_k, ndcg_at_k, rr,
+      |  ranking FROM mq
+      |UNION ALL
+      |SELECT -1, CAST(sum(n_rel) AS BIGINT),
+      |  CAST(sum(n_rel_at_k) AS BIGINT),
+      |  CAST((2 * sum(rec_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  CAST((2 * sum(ndcg_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  CAST((2 * sum(rr_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
+      |    CAST(1000000 AS DOUBLE),
+      |  ranking
+      |FROM mq GROUP BY ranking
+      |ORDER BY ranking, probe_id""".stripMargin
+
+  /** The q178 chain's CTE prefix through `mq` (per-(ranking, probe)
+    * exact metrics) — shared by the q178 delta report and the q185
+    * significance test so both judge the IDENTICAL per-probe numbers.
+    */
+  private lazy val mmrQualityMqCtes: String = {
     val qrelsVals = mmrQrels
       .map { case (p, c, r) => s"($p, $c, $r)" }.mkString(", ")
     mmrPoolCtes(8) + ",\n" + mmrGreedyCtes(4) + s""",
@@ -3731,22 +3812,41 @@ object ExtensionQueries {
       |    (2000000 * dcg + idcg) // (2 * idcg) AS ndcg_u,
       |    CASE WHEN frk IS NULL THEN 0
       |      ELSE (2000000 + frk) // (2 * frk) END AS rr_u
-      |  FROM met)
-      |SELECT probe_id, n_rel, n_rel_at_k, recall_at_k, ndcg_at_k, rr,
-      |  ranking FROM mq
-      |UNION ALL
-      |SELECT -1, CAST(sum(n_rel) AS BIGINT),
-      |  CAST(sum(n_rel_at_k) AS BIGINT),
-      |  CAST((2 * sum(rec_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
-      |    CAST(1000000 AS DOUBLE),
-      |  CAST((2 * sum(ndcg_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
-      |    CAST(1000000 AS DOUBLE),
-      |  CAST((2 * sum(rr_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
-      |    CAST(1000000 AS DOUBLE),
-      |  ranking
-      |FROM mq GROUP BY ranking
-      |ORDER BY ranking, probe_id""".stripMargin
+      |  FROM met)""".stripMargin
   }
+
+  /** q185's oracle: the shared per-probe metric CTEs (`mq`), paired
+    * into per-probe micro deltas, then the seeded sign-flip permutation
+    * set as a bounded generate_series — each draw's sign per probe is
+    * the md5 parity BOTH engines compute byte-identically (the langid
+    * feature-hash discipline), the statistic is an exact integer sum,
+    * and the p-value is the one final division.
+    */
+  private lazy val mmrDeltaSignificanceOracleSql: String =
+    mmrQualityMqCtes + s""",
+      |dlt AS (SELECT m.probe_id,
+      |    CAST(round(m.ndcg_at_k * 1000000) AS BIGINT) -
+      |      CAST(round(p.ndcg_at_k * 1000000) AS BIGINT) AS d
+      |  FROM mq m JOIN mq p ON m.probe_id = p.probe_id
+      |    AND m.ranking = 'mmr' AND p.ranking = 'plain'),
+      |obs AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+      |    CAST(count(*) AS BIGINT) AS n_probes FROM dlt),
+      |prm AS (SELECT i FROM generate_series(0, ${MmrPermCount - 1}) t(i)),
+      |ti AS (SELECT i, CAST(sum(CASE WHEN
+      |      CAST(('0x' || substr(md5('perm' || i || ':' || probe_id),
+      |        1, 8)) AS BIGINT) % 2 = 0
+      |      THEN d ELSE -d END) AS BIGINT) AS t_i
+      |  FROM prm CROSS JOIN dlt GROUP BY i)
+      |SELECT obs.n_probes,
+      |  CAST($MmrPermCount AS BIGINT) AS n_perms,
+      |  obs.t_obs AS delta_sum_u,
+      |  CAST(sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+      |  CAST(1 + sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+      |    THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(${MmrPermCount + 1} AS DOUBLE) AS p_value
+      |FROM ti CROSS JOIN obs
+      |GROUP BY obs.n_probes, obs.t_obs""".stripMargin
 
   /** q167: the MMR walk over the STORE-SERVED IVF-PQ shortlist — the
     * chain's refined exact sims are the pool relevance (`rk <= poolK`),
@@ -6269,6 +6369,7 @@ object ExtensionQueries {
     "q164_mmr_rerank" -> mmrRerankOracleSql,
     "q178_mmr_quality_delta" -> mmrQualityDeltaOracleSql,
     "q182_mmr_lambda_sweep" -> mmrLambdaSweepOracleSql,
+    "q185_mmr_delta_significance" -> mmrDeltaSignificanceOracleSql,
     "q166_hybrid_from_stores" -> hybridFromStoresOracleSql,
     "q167_mmr_from_store" -> mmrFromStoreOracleSql,
     "q168_leg_agreement" -> legAgreementOracleSql,
