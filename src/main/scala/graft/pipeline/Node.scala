@@ -38,4 +38,7 @@ final case class ModelNode(
     preHooks: Seq[String] = Nil,
     postHooks: Seq[String] = Nil,
     freshness: Option[Freshness] = None,
-    invalidateHardDeletes: Boolean = false)
+    invalidateHardDeletes: Boolean = false,
+    unitTests: Seq[UnitTest] = Nil,
+    contract: Boolean = false,
+    contractColumns: Seq[ContractColumn] = Nil)

@@ -60,7 +60,44 @@ final case class ModelConfig(materialize: Option[String] = None,
                              postHooks: Seq[String] = Nil,
                              freshness: Option[Freshness] = None,
                              invalidateHardDeletes: Boolean = false,
-                             enabled: Boolean = true)
+                             enabled: Boolean = true,
+                             unitTests: Seq[UnitTest] = Nil,
+                             contract: Boolean = false,
+                             contractColumns: Seq[ContractColumn] = Nil)
+
+/** One dbt 1.8-style unit test (`models.<id>.unit_tests:`): mock rows
+  * for every model input the SELECT reads, and the exact rows the logic
+  * must produce from them. Runs BEFORE the model materializes (`graft
+  * build` / `graft test`) in an isolated session — the model's SELECT
+  * over the mocks, diffed against `expect` on the expect columns — so
+  * broken transform logic is caught before it publishes anything.
+  * Row values keep their YAML scalar types; a column omitted from a row
+  * is NULL (dbt's partial-row convention).
+  */
+final case class UnitTest(name: String,
+                          given: Seq[(String, Seq[Map[String, Any]])],
+                          expect: Seq[Map[String, Any]]) {
+  /** Folds into the closure fingerprint: editing a unit test's rows
+    * must re-execute the model under `--changed-only`, exactly like
+    * editing a data test.
+    */
+  def describe: String = {
+    def rowsStr(rows: Seq[Map[String, Any]]): String =
+      rows.map(_.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(",")).mkString(";")
+    val body = given.map { case (in, rows) => s"$in:${rowsStr(rows)}" }
+      .mkString("|") + "=>" + rowsStr(expect)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"unit_test($name#$fp)"
+  }
+}
+
+/** One declared column of an enforced model contract
+  * (`models.<id>.columns:` under `contract: enforced`): the name and
+  * the Spark SQL data_type the materialized model must expose.
+  */
+final case class ContractColumn(name: String, dataType: String)
 
 /** dbt source freshness declared on a file-reading model: how old may
   * the newest backing file be before the run warns / fails. Checked
@@ -358,6 +395,90 @@ object PipelineConfig {
               }
             case _ => None
           }
+          // dbt 1.8 unit tests: name + given (input/rows) + expect rows
+          val unitTests: Seq[UnitTest] = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, mv) if String.valueOf(mk) == "unit_tests" &&
+                    mv != null =>
+                  mv match {
+                    case l: java.util.List[_] =>
+                      l.asScala.toSeq.map(parseUnitTest(id, _))
+                    case other => throw GenericError(
+                      s"models.$id.unit_tests: must be a list, got " +
+                        other.getClass.getSimpleName)
+                  }
+              }.getOrElse(Nil)
+            case _ => Nil
+          }
+          locally {
+            val dup = unitTests.groupBy(_.name).filter(_._2.size > 1).keys
+            if (dup.nonEmpty) throw GenericError(
+              s"models.$id.unit_tests: duplicate names " +
+                dup.toSeq.sorted.mkString(", "))
+          }
+          // dbt model contracts: `contract: enforced` (also the dbt
+          // mapping spelling `contract: {enforced: true}`) + declared
+          // columns with data types
+          val contract: Boolean = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, mv) if String.valueOf(mk) == "contract" &&
+                    mv != null =>
+                  mv match {
+                    case s: String if s == "enforced" => true
+                    case cm: java.util.Map[_, _] =>
+                      cm.asScala.collectFirst {
+                        case (ck, cv) if String.valueOf(ck) == "enforced" =>
+                          String.valueOf(cv).toBoolean
+                      }.getOrElse(throw GenericError(
+                        s"models.$id.contract: mapping form needs " +
+                          "`enforced: true|false`"))
+                    case other => throw GenericError(
+                      s"models.$id.contract: expected `enforced` or " +
+                        s"`{enforced: true}`, got `$other`")
+                  }
+              }.getOrElse(false)
+            case _ => false
+          }
+          val contractColumns: Seq[ContractColumn] = v match {
+            case vm: java.util.Map[_, _] =>
+              vm.asScala.collectFirst {
+                case (mk, mv) if String.valueOf(mk) == "columns" &&
+                    mv != null =>
+                  mv match {
+                    case l: java.util.List[_] => l.asScala.toSeq.map {
+                      case cm: java.util.Map[_, _] =>
+                        val fs = cm.asScala.map { case (k2, v2) =>
+                          String.valueOf(k2) -> v2 }.toMap
+                        def req(k2: String): String =
+                          fs.get(k2).flatMap(Option(_)).map(_.toString)
+                            .getOrElse(throw GenericError(
+                              s"models.$id.columns: each entry needs " +
+                                s"`$k2`"))
+                        ContractColumn(req("name"), req("data_type"))
+                      case other => throw GenericError(
+                        s"models.$id.columns: each entry must be a " +
+                          s"mapping, got ${String.valueOf(other)}")
+                    }
+                    case other => throw GenericError(
+                      s"models.$id.columns: must be a list, got " +
+                        other.getClass.getSimpleName)
+                  }
+              }.getOrElse(Nil)
+            case _ => Nil
+          }
+          locally {
+            val dup = contractColumns.groupBy(_.name.toLowerCase)
+              .filter(_._2.size > 1).keys
+            if (dup.nonEmpty) throw GenericError(
+              s"models.$id.columns: duplicate column names " +
+                dup.toSeq.sorted.mkString(", "))
+            if (contract && contractColumns.isEmpty) throw GenericError(
+              s"models.$id: contract: enforced requires a non-empty " +
+                "`columns:` list (a contract that declares nothing " +
+                "enforces nothing)")
+          }
           id -> ModelConfig(field("materialize"), field("unique_key"),
             tests, tags = list("tags"),
             incrementalStrategy = field("incremental_strategy"),
@@ -370,7 +491,10 @@ object PipelineConfig {
             freshness = freshness,
             invalidateHardDeletes =
               field("invalidate_hard_deletes").exists(_.toBoolean),
-            enabled = field("enabled").forall(_.toBoolean))
+            enabled = field("enabled").forall(_.toBoolean),
+            unitTests = unitTests,
+            contract = contract,
+            contractColumns = contractColumns)
         }.toMap }
       .getOrElse(Map.empty[String, ModelConfig])
 
@@ -456,6 +580,85 @@ object PipelineConfig {
     * config load — a typo'd test silently testing nothing would defeat
     * the point of declaring it.
     */
+  /** One `unit_tests:` list element (dbt 1.8's shape):
+    *   - name: distinct_ids
+    *     given:
+    *       - input: upstream_model
+    *         rows:
+    *           - {id: 1, x: a}
+    *     expect:
+    *       rows:
+    *         - {id: 1}
+    * `given` mocks MODEL inputs (every model ref the SELECT reads must
+    * be mocked — enforced at run, where the dependency set is known);
+    * `expect.rows` are compared on exactly the columns they declare.
+    * Malformed shapes fail NAMED at config load.
+    */
+  private def parseUnitTest(modelId: String, raw: Any): UnitTest = {
+    def rows(where: String, v: Any): Seq[Map[String, Any]] = v match {
+      case l: java.util.List[_] => l.asScala.toSeq.map {
+        case rm: java.util.Map[_, _] =>
+          rm.asScala.map { case (k, rv) => String.valueOf(k) -> rv }.toMap
+        case other => throw GenericError(
+          s"models.$modelId.unit_tests: $where rows must be mappings, " +
+            s"got ${String.valueOf(other)}")
+      }
+      case other => throw GenericError(
+        s"models.$modelId.unit_tests: $where needs a `rows:` list, " +
+          s"got ${if (other == null) "nothing" else other.getClass.getSimpleName}")
+    }
+    raw match {
+      case m: java.util.Map[_, _] =>
+        val fields = m.asScala.map { case (k, v) =>
+          String.valueOf(k) -> v }.toMap
+        val name = fields.get("name").flatMap(Option(_)).map(_.toString)
+          .getOrElse(throw GenericError(
+            s"models.$modelId.unit_tests: each entry needs a `name`"))
+        val given: Seq[(String, Seq[Map[String, Any]])] =
+          fields.get("given").flatMap(Option(_)) match {
+            case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
+              case gm: java.util.Map[_, _] =>
+                val gf = gm.asScala.map { case (k, v) =>
+                  String.valueOf(k) -> v }.toMap
+                val input = gf.get("input").flatMap(Option(_))
+                  .map(_.toString).getOrElse(throw GenericError(
+                    s"models.$modelId.unit_tests.$name: each given " +
+                      "entry needs an `input` model name"))
+                input -> rows(s"given.$input", gf.get("rows").orNull)
+              case other => throw GenericError(
+                s"models.$modelId.unit_tests.$name: given entries must " +
+                  s"be mappings, got ${String.valueOf(other)}")
+            }
+            case Some(other) => throw GenericError(
+              s"models.$modelId.unit_tests.$name: given must be a " +
+                s"list, got ${other.getClass.getSimpleName}")
+            case None => Nil
+          }
+        locally {
+          val dup = given.groupBy(_._1).filter(_._2.size > 1).keys
+          if (dup.nonEmpty) throw GenericError(
+            s"models.$modelId.unit_tests.$name: duplicate given " +
+              s"inputs ${dup.toSeq.sorted.mkString(", ")}")
+        }
+        val expect = fields.get("expect").flatMap(Option(_)) match {
+          case Some(em: java.util.Map[_, _]) =>
+            val ef = em.asScala.map { case (k, v) =>
+              String.valueOf(k) -> v }.toMap
+            rows("expect", ef.get("rows").orNull)
+          case _ => throw GenericError(
+            s"models.$modelId.unit_tests.$name: needs an `expect:` " +
+              "mapping with a `rows:` list")
+        }
+        // an explicit `rows: []` is a legitimate expectation (the
+        // logic must produce NOTHING from these inputs); only a
+        // missing `rows:` key errors (in rows() above)
+        UnitTest(name, given, expect)
+      case other => throw GenericError(
+        s"models.$modelId.unit_tests: each entry must be a mapping, " +
+          s"got ${String.valueOf(other)}")
+    }
+  }
+
   private def parseTest(modelId: String, raw: Any): ModelTest = raw match {
     case m0: java.util.Map[_, _] if m0.size >= 1 =>
       val fields = m0.asScala.map { case (fk, fv) =>

@@ -165,7 +165,11 @@ final class PipelineSession(
         postHooks = config.models.get(id).map(_.postHooks).getOrElse(Nil),
         freshness = config.models.get(id).flatMap(_.freshness),
         invalidateHardDeletes = config.models.get(id)
-          .exists(_.invalidateHardDeletes))
+          .exists(_.invalidateHardDeletes),
+        unitTests = config.models.get(id).map(_.unitTests).getOrElse(Nil),
+        contract = config.models.get(id).exists(_.contract),
+        contractColumns = config.models.get(id)
+          .map(_.contractColumns).getOrElse(Nil))
     }.toMap ++ seedPaths.map { p =>
       val fn = p.getFileName.toString
       val id = fn.substring(0, fn.lastIndexOf('.'))
@@ -352,11 +356,17 @@ final class PipelineSession(
           // hooks fold in for the same reason (a skipped model would
           // never re-run an added/edited hook's side effects)
           "\u0000" + n.tests.map(_.describe).mkString(",") +
+          // unit tests and contracts fold in for the same reason as
+          // data tests: editing mock rows or a declared column must
+          // re-execute the model under --changed-only
+          "\u0000" + n.unitTests.map(_.describe).mkString(",") +
+          "\u0000" + (if (n.contract) n.contractColumns
+            .map(c => s"${c.name}:${c.dataType}").mkString(",") else "") +
           "\u0000" + (n.preHooks ++ n.postHooks).mkString("\u0000") +
           "\u0000" + sourceDataFp(n.renderedSrc))
       val anc = n.prevs.filter(nodeMap.contains).toSeq.sorted
         .map(p => memo.getOrElse(p, "?"))
-      memo(id) = PipelineSession.md5hex((own +: anc).mkString(""))
+      memo(id) = PipelineSession.md5hex((own +: anc).mkString("\u0001"))
     }
     memo.toMap
   }
@@ -857,6 +867,12 @@ final class PipelineSession(
             s"$kind failed: ${e.getMessage}", h, node.path)
         }
       }
+    // dbt 1.8 unit tests (build/test surfaces only — `run` skips them,
+    // dbt semantics): the SELECT logic checked over mocked inputs
+    // BEFORE anything materializes, so a failing unit test gates the
+    // node and its downstream exactly like a failing data test while
+    // nothing of the broken logic publishes
+    if (buildMode && node.unitTests.nonEmpty) runUnitTestsBuild(node)
     // freshness gates the node BEFORE any SQL runs: executing a model
     // over data already known stale just materializes the staleness
     checkFreshness(node)
@@ -865,6 +881,10 @@ final class PipelineSession(
 
     val select = rest.head._2
     val rawSelect = rest.head._1
+    // an enforced contract is checked on EVERY execution path (run,
+    // build, incremental, snapshot) against the SELECT's analyzed
+    // schema — analysis-only, before the swap publishes anything
+    if (node.contract) checkContract(node, select)
     val status = materializeSelect(node, select, rawSelect)
     afterPairs.foreach { case (_, st) => runSide(st) }
     // post-hooks see the materialized model (dbt runs them after the
@@ -1338,6 +1358,239 @@ final class PipelineSession(
       node.renderedSrc, node.path)
   }
 
+  /** One dbt 1.8 unit test: the model's single record-producing SELECT
+    * executed over MOCKED inputs in an isolated `spark.newSession()`
+    * (its temp views shadow nothing in the run session), diffed exactly
+    * against the declared expect rows on the columns they name. Every
+    * model input the SELECT reads must be mocked — the isolated session
+    * holds no upstream state, so an unmocked ref is a configuration
+    * error, caught NAMED before execution (and a mock for an input the
+    * model never reads is the same typo in reverse). A mismatch throws
+    * [[DataTestViolation]] (a genuine logic failure); anything that
+    * prevents the test from executing throws
+    * [[StatementExecutionError]] (broken test ≠ passing test).
+    */
+  private def runUnitTest(node: ModelNode, utst: UnitTest): Unit = {
+    def broken(msg: String): Nothing =
+      throw StatementExecutionError(
+        s"unit test `${utst.name}`: $msg", node.renderedSrc, node.path)
+    val producing = SqlText.splitStatements(node.renderedSrc)
+      .filter(SqlText.producesRecords)
+    if (producing.size != 1)
+      broken(s"model has ${producing.size} record-producing statements; " +
+        "unit tests need exactly one")
+    val deps = node.prevs
+    val givenNames = utst.given.map(_._1).toSet
+    val missing = (deps -- givenNames).toSeq.sorted
+    if (missing.nonEmpty)
+      broken(s"inputs not mocked: ${missing.mkString(", ")} — every " +
+        "model input the SELECT reads needs a `given` entry (the test " +
+        "runs in an isolated session with no upstream state)")
+    val extra = (givenNames -- deps).toSeq.sorted
+    if (extra.nonEmpty)
+      broken(s"given mocks inputs the model never reads: " +
+        extra.mkString(", "))
+    val ut = spark.newSession()
+    utst.given.foreach { case (in, rows) =>
+      if (rows.isEmpty)
+        broken(s"given.$in has no rows — an empty mock carries no " +
+          "schema; give at least one row (the SELECT may filter it out)")
+      unitMockDf(ut, rows, err => broken(s"given.$in: $err"))
+        .createOrReplaceTempView(in)
+    }
+    val adf =
+      try ut.sql(DialectShim.rewrite(producing.head, ut))
+      catch {
+        case e: GraftError => throw e
+        case e: Exception => broken(e.getMessage)
+      }
+    val expectCols = utst.expect.foldLeft(Vector.empty[String]) {
+      (acc, r) => acc ++ r.keys.filterNot(k =>
+        acc.exists(_.equalsIgnoreCase(k)))
+    }
+    val resolved = expectCols.map { c =>
+      adf.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        broken(s"expect column `$c` not in the model output " +
+          s"(columns: ${adf.columns.mkString(", ")})"))
+    }
+    val actualRows =
+      try {
+        (if (resolved.isEmpty) adf
+         else adf.select(resolved.map(org.apache.spark.sql.functions.col): _*))
+          .collect()
+      } catch {
+        case e: GraftError => throw e
+        case e: Exception => broken(e.getMessage)
+      }
+    def rowKey(cells: Seq[Any]): String =
+      cells.map(PipelineSession.canonCell).mkString("\u0001")
+    val got = actualRows.toSeq.map(r => rowKey(r.toSeq))
+    val want = utst.expect.map(r => rowKey(expectCols.map(r.get(_).orNull)))
+    if (got.sorted != want.sorted) {
+      def fmt(keys: Seq[String]): String = keys.take(5)
+        .map(_.replace("\u0001", ", ").replace("\u2205", "NULL"))
+        .map(k => s"($k)").mkString("; ")
+      val missingRows = diffMultiset(want, got)
+      val unexpected = diffMultiset(got, want)
+      throw DataTestViolation(
+        s"unit test `${utst.name}` failed on " +
+          s"(${expectCols.mkString(", ")}): ${utst.expect.size} row(s) " +
+          s"expected, ${got.size} produced" +
+          (if (missingRows.nonEmpty)
+            s"; missing: ${fmt(missingRows)}" else "") +
+          (if (unexpected.nonEmpty)
+            s"; unexpected: ${fmt(unexpected)}" else ""),
+        node.renderedSrc, node.path)
+    }
+  }
+
+  /** Multiset difference a − b (duplicates counted). */
+  private def diffMultiset(a: Seq[String], b: Seq[String]): Seq[String] = {
+    val counts = mutable.Map.empty[String, Int]
+    b.foreach(k => counts(k) = counts.getOrElse(k, 0) + 1)
+    a.filter { k =>
+      val c = counts.getOrElse(k, 0)
+      if (c > 0) { counts(k) = c - 1; false } else true
+    }
+  }
+
+  /** A mock input DataFrame from YAML rows: column order is first
+    * appearance, each column's Spark type comes from its first non-null
+    * scalar (int → bigint, float/decimal → double, bool, else string —
+    * an all-null column is string), a key omitted from a row is NULL
+    * (dbt's partial-row convention), and a later row mixing types in a
+    * column fails NAMED.
+    */
+  private def unitMockDf(ut: SparkSession, rows: Seq[Map[String, Any]],
+                         broken: String => Nothing)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val cols = rows.foldLeft(Vector.empty[String]) { (acc, r) =>
+      acc ++ r.keys.filterNot(acc.contains)
+    }
+    if (cols.isEmpty) broken("rows carry no columns")
+    val types: Seq[DataType] = cols.map { c =>
+      rows.flatMap(_.get(c)).find(_ != null) match {
+        case Some(_: java.lang.Boolean) => BooleanType
+        case Some(_: java.lang.Integer) | Some(_: java.lang.Long) =>
+          LongType
+        case Some(_: java.lang.Double) | Some(_: java.lang.Float) |
+             Some(_: java.math.BigDecimal) => DoubleType
+        case _ => StringType
+      }
+    }
+    val schema = StructType(cols.zip(types).map { case (c, t) =>
+      StructField(c, t, nullable = true) })
+    val data: Seq[Row] = rows.map { r =>
+      Row(cols.zip(types).map { case (c, t) =>
+        r.get(c).orNull match {
+          case null => null
+          case v => (t, v) match {
+            case (LongType, n: java.lang.Number) => n.longValue()
+            case (DoubleType, n: java.lang.Number) => n.doubleValue()
+            case (BooleanType, b: java.lang.Boolean) => b.booleanValue()
+            case (StringType, x) => String.valueOf(x)
+            case (_, x) => broken(s"column `$c` mixes types " +
+              s"(${x.getClass.getSimpleName} vs ${t.simpleString})")
+          }
+        }
+      }: _*)
+    }
+    ut.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava, schema)
+  }
+
+  /** `graft build`'s unit-test pass over a node, BEFORE it
+    * materializes: every declared unit test runs (one failure must not
+    * shadow the next test's result), each outcome lands in the
+    * [[testLedger]], and any failure gates the node afterwards — the
+    * downstream `SKIP upstream failed` machinery fires and nothing of
+    * the broken logic publishes (dbt 1.8 build semantics).
+    */
+  private def runUnitTestsBuild(node: ModelNode): Unit = {
+    val results = node.unitTests.map { utst =>
+      val err =
+        try { runUnitTest(node, utst); None }
+        catch {
+          case e: GraftError => Some(e)
+          case e: Exception => Some(StatementExecutionError(
+            e.getMessage, node.renderedSrc, node.path))
+        }
+      (node.id, utst.describe, err, false)
+    }
+    testLedger.synchronized { testLedger ++= results }
+    val hard = results.filter(_._3.nonEmpty)
+    hard.foreach { case (_, desc, err, _) =>
+      println(s"    FAIL  ${node.id}: $desc — " +
+        err.get.getMessage.linesIterator.next())
+    }
+    if (hard.nonEmpty) throw DataTestViolation(
+      s"${hard.size} of ${results.size} unit tests failed " +
+        s"(first: ${hard.head._2})",
+      node.renderedSrc, node.path)
+  }
+
+  /** dbt model contracts: the declared columns checked against the
+    * schema the SELECT actually produces — analysis-only (no job runs)
+    * and BEFORE the materialization publishes, so a drifted model never
+    * replaces a conforming table. Names compare case-insensitively
+    * (Spark's resolution default), types by Spark's own parse of the
+    * declared data_type (so `bigint`/`long` and `string`/`varchar`
+    * spellings agree); declaration order is not enforced (dbt
+    * semantics). Missing, extra, and type-drifted columns all report
+    * together, NAMED.
+    */
+  private def checkContract(node: ModelNode, select: String): Unit = {
+    val actual =
+      try spark.sql(select).schema
+      catch {
+        case e: GraftError => throw e
+        case e: Exception =>
+          throw StatementExecutionError(e.getMessage, select, node.path)
+      }
+    def norm(c: ContractColumn): String =
+      // char/varchar declarations normalize to string — Spark itself
+      // stores them as string, so a varchar(25) contract must accept
+      // the string column the engine actually materializes
+      try org.apache.spark.sql.catalyst.util.CharVarcharUtils
+        .replaceCharVarcharWithString(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(c.dataType)).simpleString
+      catch {
+        case e: Exception => throw ContractViolation(
+          s"contract column `${c.name}`: unparseable data_type " +
+            s"`${c.dataType}`: ${e.getMessage}", select, node.path)
+      }
+    val actualByName = actual.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    val declaredNames = node.contractColumns.map(_.name.toLowerCase)
+    val missing = declaredNames.filterNot(actualByName.contains)
+    val extra = actual.fields.map(_.name.toLowerCase)
+      .filterNot(declaredNames.contains)
+    val drift = node.contractColumns.flatMap { c =>
+      actualByName.get(c.name.toLowerCase).flatMap { f =>
+        val want = norm(c)
+        val got = f.dataType.simpleString
+        if (want != got) Some(s"`${c.name}` declared $want, got $got")
+        else None
+      }
+    }
+    if (missing.nonEmpty || extra.nonEmpty || drift.nonEmpty)
+      throw ContractViolation(
+        s"model `${node.id}` violates its enforced contract:" +
+          (if (missing.nonEmpty)
+            s" missing declared column(s) ${missing.mkString(", ")};"
+          else "") +
+          (if (extra.nonEmpty)
+            s" undeclared column(s) ${extra.mkString(", ")};"
+          else "") +
+          (if (drift.nonEmpty)
+            s" type drift: ${drift.mkString("; ")};"
+          else ""),
+        select, node.path)
+  }
+
   /** dbt `test`: every declared data test run against the EXISTING
     * materializations (typically restored from db_path) WITHOUT
     * executing any model — the standalone verification pass over
@@ -1355,7 +1608,19 @@ final class PipelineSession(
     val runOrder = selected.fold(order)(s => order.filter(s))
     runOrder.flatMap { id =>
       val n = nodeMap(id)
-      n.tests.map { t =>
+      // unit tests run here too (dbt 1.8: `dbt test` includes them) —
+      // they need no materialized state, only their mocks
+      val unitRows = n.unitTests.map { utst =>
+        val err =
+          try { runUnitTest(n, utst); None }
+          catch {
+            case e: GraftError => Some(e)
+            case e: Exception => Some(StatementExecutionError(
+              e.getMessage, n.renderedSrc, n.path))
+          }
+        (id, utst.describe, err, false)
+      }
+      unitRows ++ n.tests.map { t =>
         val err =
           // strip only the severity wrapper: warn-downgrading is decided
           // below, while a store_failures flag must still write its store
@@ -1882,6 +2147,32 @@ object PipelineSession {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
+
+  /** Canonical cell value for unit-test row comparison: numerics
+    * normalize through BigDecimal (so a YAML `1` matches a DOUBLE 1.0
+    * and a BIGINT 1 alike), NULL gets a sentinel no real string starts
+    * with, everything else is its string form. NaN/Infinity keep their
+    * Double spelling (BigDecimal cannot carry them).
+    */
+  private[pipeline] def canonCell(v: Any): String = v match {
+    case null => "∅"
+    case b: java.lang.Boolean => b.toString
+    case d: java.lang.Double if d.isNaN || d.isInfinite => d.toString
+    case f: java.lang.Float if f.isNaN || f.isInfinite => f.toString
+    case n @ (_: java.lang.Byte | _: java.lang.Short |
+              _: java.lang.Integer | _: java.lang.Long) =>
+      canonNum(new java.math.BigDecimal(n.toString))
+    case f: java.lang.Float =>
+      canonNum(java.math.BigDecimal.valueOf(f.doubleValue()))
+    case d: java.lang.Double => canonNum(java.math.BigDecimal.valueOf(d))
+    case bd: java.math.BigDecimal => canonNum(bd)
+    case bd: scala.math.BigDecimal => canonNum(bd.bigDecimal)
+    case other => String.valueOf(other)
+  }
+
+  private def canonNum(bd: java.math.BigDecimal): String =
+    if (bd.compareTo(java.math.BigDecimal.ZERO) == 0) "0"
+    else bd.stripTrailingZeros.toPlainString
 
   // shared across sessions (a long-lived driver may build many): daemon
   // threads, so JVM exit is never held up

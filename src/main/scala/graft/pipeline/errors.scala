@@ -58,3 +58,16 @@ final case class DataTestWarning(msg: String, sql: String, path: String)
   override def getMessage: String = msg
   def render: String = StatementExecutionError(msg, sql, path).render
 }
+
+/** A model whose `contract: enforced` declaration disagrees with the
+  * schema its SELECT actually produces — missing/extra columns or a
+  * data_type drift. Raised BEFORE the materialization publishes (the
+  * on_schema_change discipline applied to the DECLARED schema instead
+  * of the incumbent one), so a drifted model never replaces a
+  * contract-conforming table.
+  */
+final case class ContractViolation(msg: String, sql: String, path: String)
+    extends GraftError {
+  override def getMessage: String = msg
+  def render: String = StatementExecutionError(msg, sql, path).render
+}
