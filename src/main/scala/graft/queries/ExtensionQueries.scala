@@ -168,6 +168,31 @@ object ExtensionQueries {
         graft.ext.CalibrationMaps.undCalCutMicro, lit("und"))
       .otherwise(bestCol.getField("l"))
 
+  /** The PER-LANGUAGE quality score (VERDICT r17 task 5): the committed
+    * [[graft.ext.QualityLrWeightsByLang]] gate for the row's predicted
+    * language, the global [[graft.ext.QualityLrWeights]] for 'und' (an
+    * unidentifiable document has no language artifact to claim — the
+    * BpeMergesByLang discipline). ONE fused
+    * [[org.apache.spark.sql.graft.HashedGramScoreVec]] call scores all
+    * six classes — the gram hashing (the real cost) is shared across
+    * classes, so serving six gates costs one tokenize + six
+    * multiply-adds per gram, and the dispatch is a linear
+    * array_position + element_at (NOT a when-chain — the langIdBest
+    * codegen lesson).
+    */
+  private[graft] def qualityLrScoreByLang(textCol: Column,
+                                          predLangCol: Column): Column = {
+    import graft.ext.{QualityLrWeights, QualityLrWeightsByLang => W}
+    val all = W.langs.map(l => W.weights(l).toIndexedSeq) :+
+      QualityLrWeights.weights.toIndexedSeq
+    val biases = W.langs.map(W.biases) :+ QualityLrWeights.bias
+    val vec = org.apache.spark.sql.graft.SubwordFunctions
+      .hashedGramScoreVec(textCol, all, biases)
+    val idx = array_position(typedLit(W.langs), predLangCol).cast("int")
+    element_at(vec,
+      when(idx === 0, lit(all.size)).otherwise(idx))
+  }
+
   /** q59's full decision chain (quality gate → exact dedup → MinHash-LSH
     * cluster dedup → per-language stratified sample), unordered. Defined
     * HERE only — the registered query appends its orderBy and
@@ -671,6 +696,47 @@ object ExtensionQueries {
           col("__best").getField("l") === col("lang"),
           nBuckets = 10)
         .orderBy(col("bucket"))),
+
+    // -- Per-language quality-gated selection (q186): the EN-fitted
+    // gate asymmetry closed — each document is gated by ITS predicted
+    // language's committed quality LR (fit on that slice against the
+    // language-agnostic heuristic seed; 'und' keeps the global gate),
+    // so fr/es/zh/de docs stop being scored by how English they look.
+    // One scan, map-only: fused six-class scorer + linear dispatch ------
+    "q186_per_lang_gated_selection" -> ((s, dir) => {
+      val scored = langIdScored(t(s, dir, "documents"))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("score",
+          round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6))
+      scored.filter(col("score") >= 0.5)
+        .select(col("doc_id"), col("pred_lang"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Gate accuracy by language (q187): the measurement behind q186 —
+    // per predicted language, how often each gate (per-lang vs the
+    // EN-only baseline) agrees with the heuristic quality seed both
+    // were judged against. Integer counts only (no float surface); the
+    // row a gate migration reads before trusting q186 over q153 --------
+    "q187_gate_accuracy_by_lang" -> ((s, dir) => {
+      val label = TextOps.qualityScore(col("text")) >= 0.5
+      langIdScored(t(s, dir, "documents"))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("__lab", label)
+        .withColumn("__pl",
+          round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6)
+            >= 0.5)
+        .withColumn("__en",
+          round(TextOps.qualityLrScore(col("text")), 6) >=
+            graft.ext.CalibrationMaps.gateRawCut)
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__pl") === col("__lab"), 1L).otherwise(0L))
+            .as("n_correct_perlang"),
+          sum(when(col("__en") === col("__lab"), 1L).otherwise(0L))
+            .as("n_correct_en"))
+        .orderBy(col("pred_lang"))
+    }),
 
     // -- Calibrated language-ID selection (q184): the calibration loop
     // CLOSED — q183 measured the miscalibration, FitCalibration
@@ -4665,6 +4731,85 @@ object ExtensionQueries {
        |  ON best.doc_id = dd.doc_id AND best.rn = 1
        |ORDER BY dd.doc_id""".stripMargin
 
+  /** The per-language quality scorer rebuilt in SQL (q186/q187): the
+    * committed per-lang weight matrices + the global 'und' fallback as
+    * one (lang, b, wt) table, joined on the SAME md5-bucket gram rows
+    * the langid CTEs already compute (db154 — both classifiers share
+    * nBuckets=256 and the feature map), dispatched by the calibrated
+    * pred_lang. Yields `pr186` (doc_id, pred_lang) and `qz186`
+    * (doc_id, pred_lang, score).
+    */
+  private lazy val perLangQualityCtes: String = {
+    import graft.ext.{QualityLrWeights, QualityLrWeightsByLang => W}
+    val wRows = (W.langs.map(l => l -> W.weights(l)) :+
+        ("und" -> QualityLrWeights.weights))
+      .flatMap { case (l, w) =>
+        w.zipWithIndex.map { case (v, i) => s"('$l', $i, $v)" }
+      }.mkString(",\n    ")
+    val bRows = (W.langs.map(l => l -> W.biases(l)) :+
+        ("und" -> QualityLrWeights.bias))
+      .map { case (l, b) => s"('$l', $b)" }.mkString(", ")
+    s"""pr186 AS (SELECT doc_id,
+       |    ${undCaseSql("score", "lang")} AS pred_lang
+       |  FROM best WHERE rn = 1),
+       |wpl(lang, b, wt) AS (VALUES
+       |    $wRows),
+       |bpl(lang, bias) AS (VALUES $bRows),
+       |z186 AS (SELECT db154.doc_id, pr186.pred_lang,
+       |    sum(n * wt) / sum(n) AS zz
+       |  FROM db154 JOIN pr186 USING (doc_id)
+       |  JOIN wpl ON wpl.b = db154.b AND wpl.lang = pr186.pred_lang
+       |  GROUP BY 1, 2),
+       |qz186 AS (SELECT z186.doc_id, z186.pred_lang,
+       |    round(1.0 / (1.0 + exp(-(z186.zz + bpl.bias))), 6) AS score
+       |  FROM z186 JOIN bpl ON bpl.lang = z186.pred_lang)""".stripMargin
+  }
+
+  /** q186's oracle: calibrated pred_lang → that language's committed
+    * dot product → the 0.5 gate, all from literals.
+    */
+  private lazy val perLangGatedSelectionOracleSql: String =
+    s"""WITH $langIdCtes,
+       |$perLangQualityCtes
+       |SELECT doc_id, pred_lang, score FROM qz186
+       |WHERE score >= 0.5
+       |ORDER BY doc_id""".stripMargin
+
+  /** q187's oracle: the heuristic quality seed (q22's exact
+    * arithmetic), the EN-only gate (shared qz CTEs at the committed
+    * calibrated cut), and the per-lang gate — agreement counts per
+    * predicted language, integers only.
+    */
+  private lazy val gateAccuracyByLangOracleSql: String =
+    s"""WITH $langIdCtes,
+       |$perLangQualityCtes,
+       |${qualityLrScoreCtes("d154")},
+       |hd AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |hq1 AS (SELECT doc_id,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on')))
+       |    AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+       |    'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+       |  len(toks) AS n_toks
+       |  FROM hd),
+       |hq AS (SELECT doc_id,
+       |  (round(stop_ratio * 0.4 +
+       |    least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3 +
+       |    (1.0 - punct_ratio) * 0.3, 4) >= 0.5) AS lab
+       |  FROM hq1)
+       |SELECT pr186.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN (qz186.score >= 0.5) = hq.lab
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_perlang,
+       |  CAST(sum(CASE WHEN
+       |    (qz.score >= ${graft.ext.CalibrationMaps.gateRawCut}) = hq.lab
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_en
+       |FROM pr186 JOIN qz186 USING (doc_id) JOIN qz USING (doc_id)
+       |JOIN hq USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q184's oracle: the shared scorer + the committed calibration as
     * CASE arms — calibrated probability AND the reject decided on it,
     * both rebuilt from the [[graft.ext.CalibrationMaps]] literals.
@@ -5767,6 +5912,8 @@ object ExtensionQueries {
     "q175_calibration_report" -> calibrationReportOracleSql,
     "q183_langid_calibration" -> langIdCalibrationOracleSql,
     "q184_calibrated_selection" -> calibratedSelectionOracleSql,
+    "q186_per_lang_gated_selection" -> perLangGatedSelectionOracleSql,
+    "q187_gate_accuracy_by_lang" -> gateAccuracyByLangOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,

@@ -368,9 +368,13 @@ class QueryPlanSpec extends AnyFunSuite {
       "q167_mmr_from_store", "q168_leg_agreement", "q169_score_fusion",
       // q172/q176 ride q163's bruteForceTopK vector leg (3-probe
       // broadcast) — same intentional probe-side BNLJ as q163 itself;
-      // q178 rides q164's pool scan (6-probe broadcast)
+      // q178 rides q164's pool scan (6-probe broadcast); q185 re-runs
+      // q178's exact metric chain (same 6-probe pool broadcast) under
+      // the permutation draws — its own obs-side BNLJ IS scalar, but
+      // the inherited pool one is this same documented shape
       "q172_ranking_quality", "q176_fusion_quality_grid",
-      "q178_mmr_quality_delta", "q182_mmr_lambda_sweep")
+      "q178_mmr_quality_delta", "q182_mmr_lambda_sweep",
+      "q185_mmr_delta_significance")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
