@@ -980,10 +980,15 @@ object DedupOps {
     require(scoreHi > scoreLo,
       s"tokenBudgetSelectBySource: score range [$scoreLo, $scoreHi) is empty")
     val width = scoreHi - scoreLo
+    // budgets are string-keyed by contract; casting the source column
+    // (a no-op for the common string case) lets a numeric source
+    // select through the same contract instead of CCE-ing at the
+    // histogram probe (ADVICE r17)
+    val srcStr = col(sourceCol).cast("string")
     val m = cachedManifest(docs
-      .filter(col(idCol).isNotNull && col(sourceCol).isNotNull &&
-        col(sourceCol).isin(budgets.keys.toSeq.map(lit): _*))
-      .select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+      .filter(col(idCol).isNotNull && srcStr.isNotNull &&
+        srcStr.isin(budgets.keys.toSeq.map(lit): _*))
+      .select(col(idCol).as("__id"), srcStr.as("__src"),
         scoreCol.cast("double").as("__s"), nTokCol.cast("long").as("__t"))
       .filter(col("__s").isNotNull && !isnan(col("__s")) &&
         col("__t").isNotNull && col("__t") >= 0L)

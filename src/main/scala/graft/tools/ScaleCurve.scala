@@ -293,6 +293,50 @@ object ScaleCurve {
         graft.queries.ExtensionQueries.queries(
           "q174_budget_per_lang_priced")(spark, dirs(n))
       },
+      // r18 (VERDICT r17 task 8): curve rows for the allocation/
+      // selection/calibration family, whose bounded-histogram claims
+      // were plan-asserted but not measured. q179's allocation window
+      // runs over the ≤|sources|·nBuckets histogram (ratio ≈ the cell
+      // aggregate's scan); q180/q181 add the bounded driver probe +
+      // per-source enforcement; q182's three walks re-rank the SAME
+      // bounded pool (probe count is fixed, so near-flat); q183/q184's
+      // reports collapse to ≤nBuckets rows after one map-side pass.
+      "q179_budget_allocation" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q179_budget_allocation")(spark, dirs(n))
+      },
+      "q180_allocated_selection" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q180_allocated_selection")(spark, dirs(n))
+      },
+      "q181_per_lang_allocated" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q181_per_lang_allocated")(spark, dirs(n))
+      },
+      "q182_mmr_lambda_sweep" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q182_mmr_lambda_sweep")(spark, dirs(n))
+      },
+      "q183_langid_calibration" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q183_langid_calibration")(spark, dirs(n))
+      },
+      // r18: the calibration-loop serving row (one extra array lookup
+      // over q157's scan — the ratio to match is q154/q157's) and the
+      // per-language gate (ONE fused six-class scorer — the claim is
+      // that serving six gates scales like serving one)
+      "q184_calibrated_selection" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q184_calibrated_selection")(spark, dirs(n))
+      },
+      "q186_per_lang_gated" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q186_per_lang_gated_selection")(spark, dirs(n))
+      },
+      "q187_gate_accuracy" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q187_gate_accuracy_by_lang")(spark, dirs(n))
+      },
       // fixed 1× batch appended to the 1× vs N× serving stores — the
       // runVectorServingIngest per-batch unit (the two appends encode/
       // assign ONLY the batch and write new part files; nothing reads

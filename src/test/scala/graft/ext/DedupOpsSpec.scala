@@ -1159,6 +1159,33 @@ class DedupOpsSpec extends AnyFunSuite {
       col("n"), totalBudget = 0L)).contains("positive"))
     assert(msg(DedupOps.allocateBudgets(d, "source", col("score"),
       col("n"), totalBudget = 10L, nBuckets = 0)).contains("nBuckets"))
+    // ADVICE r17: the micro-share arithmetic (2000000 * alloc_tokens)
+    // must not silently wrap at trillion-token budgets — the guard
+    // fails NAMED above the overflow line
+    assert(msg(DedupOps.allocateBudgets(d, "source", col("score"),
+      col("n"), totalBudget = Long.MaxValue / 2000000L + 1L))
+      .contains("overflow"))
+    // ...and exactly AT the bound it runs (no off-by-one rejection)
+    val atBound = DedupOps.allocateBudgets(d, "source", col("score"),
+        col("n"), totalBudget = Long.MaxValue / 2000000L)
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(atBound == Map("A" -> 1.0, "B" -> 1.0), atBound)
+  }
+
+  test("selectWithAllocatedBudgets: a non-string source column selects " +
+      "through the string-cast probe instead of a driver-side " +
+      "ClassCastException (ADVICE r17)") {
+    import spark.implicits._
+    // integer sources: the allocation probe casts them to string, and
+    // tokenBudgetSelectBySource's string-keyed budgets match the
+    // cast-at-filter semantics of isin over a cast column
+    val d = Seq((1L, 7, 0.95, 10L), (2L, 7, 0.55, 20L),
+      (3L, 8, 0.85, 15L), (4L, 8, 0.35, 40L))
+      .toDF("id", "source", "score", "n")
+    val r = DedupOps.selectWithAllocatedBudgets(d, "id", "source",
+        col("score"), col("n"), totalBudget = 30L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(r == Seq(1L, 3L), r)
   }
 
   test("selectWithAllocatedBudgets: the composed selection respects " +
