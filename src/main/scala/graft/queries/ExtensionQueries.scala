@@ -392,6 +392,41 @@ object ExtensionQueries {
     (3L, 130L, 3), (3L, 207L, 1), (3L, 174L, 1),
     (9L, 114L, 1))
 
+  /** The shared paired sign-flip permutation test (q185/q190): given
+    * per-item integer deltas, the observed statistic is the exact
+    * integer sum; the null is [[MmrPermCount]] seeded draws whose
+    * per-item signs are md5 parities both engines compute
+    * byte-identically (no RNG); p = (1 + #as-extreme)/(1 + n_perms)
+    * with ONE final division. Cost: n_perms × |deltas| rows — callers
+    * keep |deltas| bounded (q185: judged probes; q190: discordant
+    * docs). The observed-stat side of the final cross join is a scalar
+    * aggregate (the documented BNLJ-allowed shape).
+    */
+  private[graft] def signFlipPermutationTest(deltas: DataFrame,
+      idCol: String, dCol: String,
+      nLabel: String = "n_deltas",
+      sumLabel: String = "delta_sum"): DataFrame = {
+    val obs = deltas.agg(sum(col(dCol)).as("t_obs"),
+      count(lit(1)).as(nLabel))
+    val signs = deltas.withColumn("i",
+        explode(sequence(lit(0), lit(MmrPermCount - 1))))
+      .withColumn("sign", when(
+        conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
+          lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("i"))
+      .agg(sum(col("sign") * col(dCol)).as("t_i"))
+    signs.crossJoin(broadcast(obs))
+      .agg(first(col(nLabel)).as(nLabel),
+        lit(MmrPermCount.toLong).as("n_perms"),
+        first(col("t_obs")).as(sumLabel),
+        sum(when(abs(col("t_i")) >= abs(col("t_obs")), 1L)
+          .otherwise(0L)).as("n_as_extreme"))
+      .withColumn("p_value",
+        (col("n_as_extreme") + lit(1L)).cast("double") /
+          lit((MmrPermCount + 1).toDouble))
+  }
+
   /** q185's permutation count — BOUNDED by construction: the sign-flip
     * draws are seeded md5 parities (not enumerated 2ⁿ patterns), so the
     * test costs nPerms × |judged probes| rows at ANY corpus/query scale.
@@ -2019,6 +2054,68 @@ object ExtensionQueries {
         .orderBy(col("lambda"))
     }),
 
+    // -- Mixture pipeline scored per-language (q188): q181 with the
+    // round's gate asymmetry closed — the allocation/enforcement score
+    // is each document's OWN language's committed quality LR (q186's
+    // dispatch) instead of the EN-only classifier, composing all SIX
+    // committed artifact families (langid weights, calibration, per-lang
+    // gates + global fallback, per-lang merges + global fallback) into
+    // one selection. Same bounded shapes as q181: one corpus scan, the
+    // ≤|langs|·10-cell allocation histogram, per-language enforcement ---
+    "q188_mixture_per_lang_scored" -> ((s, dir) => {
+      val scored = langIdScored(t(s, dir, "documents"))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("quality",
+          round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6))
+        .withColumn("n_tok",
+          TextOps.subwordTokenCountByLang(col("text"), col("pred_lang")))
+      DedupOps.selectWithAllocatedBudgets(scored, "doc_id", "pred_lang",
+          col("quality"), col("n_tok"), totalBudget = 20000L,
+          nBuckets = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Per-language gate calibration (q189): the round's own
+    // discipline applied to the round's own artifact — q175's
+    // reliability machinery over the per-language dispatch's score,
+    // labeled by the heuristic seed the gates were fit against. The
+    // report a future FitCalibration run for these gates reads ---------
+    "q189_per_lang_gate_calibration" -> ((s, dir) =>
+      ProfileOps.calibrationReport(
+          langIdScored(t(s, dir, "documents"))
+            .withColumn("pred_lang", langIdPredictedOrUnd(col("__best"))),
+          round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6),
+          TextOps.qualityScore(col("text")) >= 0.5,
+          nBuckets = 10)
+        .orderBy(col("bucket"))),
+
+    // -- Gate-delta significance (q190): is q187's per-lang win real?
+    // The q185 discipline pointed at the round's own measurement: per
+    // doc, the agreement delta d = [per-lang gate agrees with the seed]
+    // − [EN gate agrees] ∈ {−1,0,1}; CONCORDANT docs drop first
+    // (flipping a zero is the identity — McNemar's reduction, and what
+    // keeps the draw table |discordant| × n_perms instead of
+    // corpus × n_perms), then the shared seeded sign-flip test. On the
+    // und slice both gates are the same gate, so those docs are
+    // concordant by construction ----------------------------------------
+    "q190_gate_delta_significance" -> ((s, dir) => {
+      val deltas = langIdScored(t(s, dir, "documents"))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("__lab", TextOps.qualityScore(col("text")) >= 0.5)
+        .withColumn("__pl",
+          round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6)
+            >= 0.5)
+        .withColumn("__en",
+          round(TextOps.qualityLrScore(col("text")), 6) >=
+            graft.ext.CalibrationMaps.gateRawCut)
+        .select(col("doc_id"),
+          (when(col("__pl") === col("__lab"), 1L).otherwise(0L) -
+            when(col("__en") === col("__lab"), 1L).otherwise(0L)).as("d"))
+        .filter(col("d") =!= 0L)
+      signFlipPermutationTest(deltas, "doc_id", "d",
+        nLabel = "n_discordant")
+    }),
+
     // -- Paired permutation test for the MMR quality delta (q185): the
     // q178 mean hides a sign-flipping probe — this prices the
     // SIGNIFICANCE of the delta instead of just its size. Per judged
@@ -2048,25 +2145,8 @@ object ExtensionQueries {
         .join(microNdcg(plain, "rk").as("p"), Seq("probe_id"))
         .select(col("probe_id"),
           (col("m.u") - col("p.u")).as("d"))
-      val obs = d.agg(sum(col("d")).as("t_obs"),
-        count(lit(1)).as("n_probes"))
-      val signs = d.withColumn("i",
-          explode(sequence(lit(0), lit(MmrPermCount - 1))))
-        .withColumn("sign", when(
-          conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
-            lit(":"), col("probe_id").cast("string"))), 1, 8), 16, 10)
-            .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
-        .groupBy(col("i"))
-        .agg(sum(col("sign") * col("d")).as("t_i"))
-      signs.crossJoin(broadcast(obs))
-        .agg(first(col("n_probes")).as("n_probes"),
-          lit(MmrPermCount.toLong).as("n_perms"),
-          first(col("t_obs")).as("delta_sum_u"),
-          sum(when(abs(col("t_i")) >= abs(col("t_obs")), 1L)
-            .otherwise(0L)).as("n_as_extreme"))
-        .withColumn("p_value",
-          (col("n_as_extreme") + lit(1L)).cast("double") /
-            lit((MmrPermCount + 1).toDouble))
+      signFlipPermutationTest(d, "probe_id", "d", nLabel = "n_probes",
+        sumLabel = "delta_sum_u")
     }),
 
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
@@ -4784,22 +4864,7 @@ object ExtensionQueries {
     s"""WITH $langIdCtes,
        |$perLangQualityCtes,
        |${qualityLrScoreCtes("d154")},
-       |hd AS (SELECT doc_id, text,
-       |    regexp_split_to_array(lower(text), '\\s+') AS toks
-       |  FROM documents WHERE text IS NOT NULL),
-       |hq1 AS (SELECT doc_id,
-       |  round(CAST(len(list_filter(toks, t -> t IN
-       |    ('the','a','of','and','to','in','is','it','for','on')))
-       |    AS DOUBLE) / len(toks), 4) AS stop_ratio,
-       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
-       |    'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
-       |  len(toks) AS n_toks
-       |  FROM hd),
-       |hq AS (SELECT doc_id,
-       |  (round(stop_ratio * 0.4 +
-       |    least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3 +
-       |    (1.0 - punct_ratio) * 0.3, 4) >= 0.5) AS lab
-       |  FROM hq1)
+       |$heuristicLabelCtes
        |SELECT pr186.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN (qz186.score >= 0.5) = hq.lab
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_perlang,
@@ -4983,6 +5048,136 @@ object ExtensionQueries {
        |FROM c JOIN ab ON ab.src = c.src AND ab.alloc > 0
        |WHERE c.cum <= ab.alloc
        |ORDER BY c.doc_id""".stripMargin
+
+  /** q188's oracle: q181's allocation/enforcement chain with the score
+    * source swapped from the EN-only classifier (`qz`) to the
+    * per-language gates (`qz186`) — the same committed-literal rebuild
+    * of every artifact in the composition.
+    */
+  private lazy val mixturePerLangScoredOracleSql: String =
+    perLangPricedPreludeSql + s""",
+       |$perLangQualityCtes,
+       |cells AS (SELECT pr.pred_lang AS src,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(qz186.score * 10)
+       |      AS INT))) AS INT) AS b,
+       |    CAST(sum(dtokp.n_tokens) AS BIGINT) AS mass
+       |  FROM pr JOIN qz186 USING (doc_id) JOIN dtokp USING (doc_id)
+       |  GROUP BY 1, 2),
+       |alloc AS (SELECT src, b, mass,
+       |    sum(mass) OVER (ORDER BY b DESC, src
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM cells),
+       |takes AS (SELECT src, b, mass,
+       |    CASE WHEN cum <= 20000 THEN mass
+       |         WHEN cum - mass < 20000 THEN 20000 - (cum - mass)
+       |         ELSE 0 END AS take
+       |  FROM alloc),
+       |ab AS (SELECT src, CAST(sum(take) AS BIGINT) AS alloc
+       |  FROM takes GROUP BY src),
+       |m AS (SELECT pr.doc_id, pr.pred_lang AS src, qz186.score,
+       |    dtokp.n_tokens
+       |  FROM pr JOIN qz186 USING (doc_id) JOIN dtokp USING (doc_id)),
+       |c AS (SELECT doc_id, src, score, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY src
+       |    ORDER BY score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+       |SELECT c.doc_id, c.src AS pred_lang, c.score, c.n_tokens
+       |FROM c JOIN ab ON ab.src = c.src AND ab.alloc > 0
+       |WHERE c.cum <= ab.alloc
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** q189's oracle: the per-language dispatch's score (qz186) bucketed
+    * by the q175 reliability arithmetic, labeled by the heuristic seed.
+    */
+  private lazy val perLangGateCalibrationOracleSql: String =
+    s"""WITH $langIdCtes,
+       |$perLangQualityCtes,
+       |$heuristicLabelCtes,
+       |lab AS (SELECT qz186.doc_id,
+       |    CAST(round(qz186.score * 1000000) AS BIGINT) AS su,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(qz186.score * 10)
+       |      AS BIGINT))) AS INTEGER) AS bucket,
+       |    CASE WHEN hq.lab THEN 1 ELSE 0 END AS pos
+       |  FROM qz186 JOIN hq USING (doc_id)),
+       |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(su) AS BIGINT) AS su
+       |  FROM lab GROUP BY bucket),
+       |pm AS (SELECT bucket, n, n_pos, su,
+       |    abs(su - 1000000 * n_pos) AS gap_u FROM pb)
+       |SELECT bucket, n, n_pos,
+       |  CAST((2 * 1000000 * n_pos + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS pos_rate,
+       |  CAST((2 * su + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS mean_pred,
+       |  CAST((2 * gap_u + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS abs_gap
+       |FROM pm
+       |UNION ALL
+       |SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
+       |  CAST((2 * 1000000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+       |    AS DOUBLE) / CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(su) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(gap_u) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE)
+       |FROM pm ORDER BY bucket""".stripMargin
+
+  /** q190's oracle: the per-doc agreement deltas (per-lang gate vs the
+    * EN-only gate, both against the heuristic seed), discordant docs
+    * only, under the SHARED seeded sign-flip draw arithmetic.
+    */
+  private lazy val gateDeltaSignificanceOracleSql: String =
+    s"""WITH $langIdCtes,
+       |$perLangQualityCtes,
+       |${qualityLrScoreCtes("d154")},
+       |$heuristicLabelCtes,
+       |dlt AS (SELECT qz186.doc_id,
+       |    (CASE WHEN (qz186.score >= 0.5) = hq.lab THEN 1 ELSE 0 END) -
+       |    (CASE WHEN
+       |      (qz.score >= ${graft.ext.CalibrationMaps.gateRawCut}) =
+       |        hq.lab THEN 1 ELSE 0 END) AS d
+       |  FROM qz186 JOIN qz USING (doc_id) JOIN hq USING (doc_id)),
+       |dd AS (SELECT doc_id, CAST(d AS BIGINT) AS d FROM dlt
+       |  WHERE d <> 0),
+       |obs AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+       |    CAST(count(*) AS BIGINT) AS n_discordant FROM dd),
+       |prm AS (SELECT i FROM generate_series(0, ${MmrPermCount - 1}) t(i)),
+       |ti AS (SELECT i, CAST(sum(CASE WHEN
+       |      CAST(('0x' || substr(md5('perm' || i || ':' || doc_id),
+       |        1, 8)) AS BIGINT) % 2 = 0
+       |      THEN d ELSE -d END) AS BIGINT) AS t_i
+       |  FROM prm CROSS JOIN dd GROUP BY i)
+       |SELECT obs.n_discordant,
+       |  CAST($MmrPermCount AS BIGINT) AS n_perms,
+       |  obs.t_obs AS delta_sum,
+       |  CAST(sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+       |  CAST(1 + sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+       |    THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(${MmrPermCount + 1} AS DOUBLE) AS p_value
+       |FROM ti CROSS JOIN obs
+       |GROUP BY obs.n_discordant, obs.t_obs""".stripMargin
+
+  /** The heuristic quality seed as a per-doc boolean (q187/q189/q190 —
+    * q22's exact arithmetic, over the non-null-text population).
+    */
+  private lazy val heuristicLabelCtes: String =
+    s"""hd AS (SELECT doc_id, text,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |hq1 AS (SELECT doc_id,
+       |  round(CAST(len(list_filter(toks, t -> t IN
+       |    ('the','a','of','and','to','in','is','it','for','on')))
+       |    AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+       |    'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+       |  len(toks) AS n_toks
+       |  FROM hd),
+       |hq AS (SELECT doc_id,
+       |  (round(stop_ratio * 0.4 +
+       |    least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3 +
+       |    (1.0 - punct_ratio) * 0.3, 4) >= 0.5) AS lab
+       |  FROM hq1)""".stripMargin
 
   /** q177's oracle: q159's fertility rollup with the per-doc token sums
     * swapped for the per-language chains' union (the q174 `dtokp`).
@@ -5914,6 +6109,9 @@ object ExtensionQueries {
     "q184_calibrated_selection" -> calibratedSelectionOracleSql,
     "q186_per_lang_gated_selection" -> perLangGatedSelectionOracleSql,
     "q187_gate_accuracy_by_lang" -> gateAccuracyByLangOracleSql,
+    "q188_mixture_per_lang_scored" -> mixturePerLangScoredOracleSql,
+    "q189_per_lang_gate_calibration" -> perLangGateCalibrationOracleSql,
+    "q190_gate_delta_significance" -> gateDeltaSignificanceOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,

@@ -59,4 +59,30 @@ class QualityByLangSpec extends AnyFunSuite {
     assert(QualityLrWeightsByLang.langs.filter(rows.contains)
       .exists(l => rows(l)._2 > rows(l)._3))
   }
+
+  test("q190: the gate delta is significant (the q185 discipline on the " +
+      "round's own measurement), and its bound is the discordant set") {
+    val r = ExtensionQueries
+      .queries("q190_gate_delta_significance")(spark, dir).collect()(0)
+    val (n, perms, delta, extreme, p) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(perms == 256 && extreme <= perms)
+    assert(p > 0.0 && p <= 1.0)
+    // the per-lang win is real on the fixture: p at the 256-draw floor
+    assert(p < 0.05, s"delta=$delta n=$n p=$p")
+    // concordant docs (incl. the whole und slice — same gate on both
+    // sides) never enter: the draw table is discordant-bounded
+    assert(n < 500, s"n_discordant=$n must exclude concordant docs")
+  }
+
+  test("q188: the per-lang-scored mixture respects the global budget " +
+      "and only selects docs the allocation funded") {
+    import org.apache.spark.sql.functions._
+    val out = ExtensionQueries
+      .queries("q188_mixture_per_lang_scored")(spark, dir)
+    val sums = out.groupBy(col("pred_lang"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+    assert(sums.nonEmpty)
+    assert(sums.map(_.getLong(1)).sum <= 20000L)
+  }
 }
