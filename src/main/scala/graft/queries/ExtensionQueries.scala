@@ -743,7 +743,8 @@ object ExtensionQueries {
         .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
         .withColumn("score",
           round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6))
-      scored.filter(col("score") >= 0.5)
+      scored.filter(col("score") >=
+          graft.ext.CalibrationMaps.perLangGateRawCut)
         .select(col("doc_id"), col("pred_lang"), col("score"))
         .orderBy(col("doc_id"))
     }),
@@ -760,7 +761,7 @@ object ExtensionQueries {
         .withColumn("__lab", label)
         .withColumn("__pl",
           round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6)
-            >= 0.5)
+            >= graft.ext.CalibrationMaps.perLangGateRawCut)
         .withColumn("__en",
           round(TextOps.qualityLrScore(col("text")), 6) >=
             graft.ext.CalibrationMaps.gateRawCut)
@@ -2104,7 +2105,7 @@ object ExtensionQueries {
         .withColumn("__lab", TextOps.qualityScore(col("text")) >= 0.5)
         .withColumn("__pl",
           round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6)
-            >= 0.5)
+            >= graft.ext.CalibrationMaps.perLangGateRawCut)
         .withColumn("__en",
           round(TextOps.qualityLrScore(col("text")), 6) >=
             graft.ext.CalibrationMaps.gateRawCut)
@@ -4852,7 +4853,7 @@ object ExtensionQueries {
     s"""WITH $langIdCtes,
        |$perLangQualityCtes
        |SELECT doc_id, pred_lang, score FROM qz186
-       |WHERE score >= 0.5
+       |WHERE score >= ${graft.ext.CalibrationMaps.perLangGateRawCut}
        |ORDER BY doc_id""".stripMargin
 
   /** q187's oracle: the heuristic quality seed (q22's exact
@@ -4866,7 +4867,8 @@ object ExtensionQueries {
        |${qualityLrScoreCtes("d154")},
        |$heuristicLabelCtes
        |SELECT pr186.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(CASE WHEN (qz186.score >= 0.5) = hq.lab
+       |  CAST(sum(CASE WHEN (qz186.score >=
+       |    ${graft.ext.CalibrationMaps.perLangGateRawCut}) = hq.lab
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_perlang,
        |  CAST(sum(CASE WHEN
        |    (qz.score >= ${graft.ext.CalibrationMaps.gateRawCut}) = hq.lab
@@ -5132,7 +5134,9 @@ object ExtensionQueries {
        |${qualityLrScoreCtes("d154")},
        |$heuristicLabelCtes,
        |dlt AS (SELECT qz186.doc_id,
-       |    (CASE WHEN (qz186.score >= 0.5) = hq.lab THEN 1 ELSE 0 END) -
+       |    (CASE WHEN (qz186.score >=
+       |      ${graft.ext.CalibrationMaps.perLangGateRawCut}) = hq.lab
+       |      THEN 1 ELSE 0 END) -
        |    (CASE WHEN
        |      (qz.score >= ${graft.ext.CalibrationMaps.gateRawCut}) =
        |        hq.lab THEN 1 ELSE 0 END) AS d

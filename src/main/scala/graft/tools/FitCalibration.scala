@@ -117,6 +117,19 @@ object FitCalibration {
         col("__best").getField("l") === col("lang"), nBuckets), nBuckets)
     val lCal = pavMicro(lHist)
 
+    // -- per-language gate dispatch (q189's exact report shape: the
+    // full serving population incl. the und slice's global fallback,
+    // labeled by the heuristic seed the gates were fit against) --------
+    val dispatched = scored.withColumn("pred_lang",
+      graft.queries.ExtensionQueries.langIdPredictedOrUnd(col("__best")))
+    val plScore = round(graft.queries.ExtensionQueries
+      .qualityLrScoreByLang(col("text"), col("pred_lang")), 6)
+    val plLabel = TextOps.qualityScore(col("text")) >= 0.5
+    val (gHist, gEce) = histogram(
+      ProfileOps.calibrationReport(dispatched, plScore, plLabel,
+        nBuckets), nBuckets)
+    val gCal = pavMicro(gHist)
+
     // post-calibration ECE: re-bucket the CALIBRATED score with the same
     // report (the spec re-asserts this; printed here as the fit record)
     def postEce(df: DataFrame, score: org.apache.spark.sql.Column,
@@ -134,16 +147,22 @@ object FitCalibration {
     val lPost = postEce(scored.filter(col("lang").isNotNull),
       col("__best").getField("sc"),
       col("__best").getField("l") === col("lang"), lCal)
+    val gPost = postEce(dispatched, plScore, plLabel, gCal)
 
     // re-derived thresholds on calibrated scores
     val gateBucket = qCal.indexWhere(_ >= 500000L)
     require(gateBucket >= 0, "quality calibration never reaches 0.5 — " +
       "no gate cut is derivable; inspect the classifier first")
+    val plGateBucket = gCal.indexWhere(_ >= 500000L)
+    require(plGateBucket >= 0, "per-lang gate calibration never " +
+      "reaches 0.5 — no gate cut is derivable; inspect the gates first")
     println(s"quality: hist=$qHist cal=$qCal " +
       f"ece $qEce%.6f -> $qPost%.6f gateBucket=$gateBucket")
     println(s"langid:  hist=$lHist cal=$lCal " +
       f"ece $lEce%.6f -> $lPost%.6f " +
       s"rejectBuckets=${lCal.takeWhile(_ < 500000L).length}")
+    println(s"perlang: hist=$gHist cal=$gCal " +
+      f"ece $gEce%.6f -> $gPost%.6f gateBucket=$plGateBucket")
 
     def seqLit(xs: Seq[Long]) = xs.map(_ + "L").mkString(", ")
     val src =
@@ -166,6 +185,7 @@ object FitCalibration {
          |  * Fit record ($sfDir):
          |  *   quality ECE ${f"$qEce%.6f"} -> ${f"$qPost%.6f"} (post-calibration)
          |  *   langid  ECE ${f"$lEce%.6f"} -> ${f"$lPost%.6f"} (post-calibration)
+         |  *   perlang ECE ${f"$gEce%.6f"} -> ${f"$gPost%.6f"} (post-calibration)
          |  */
          |object CalibrationMaps {
          |  val nBuckets: Int = $nBuckets
@@ -175,6 +195,12 @@ object FitCalibration {
          |
          |  /** P(lang='en' seed | quality-score bucket), isotonic, micro. */
          |  val qualityCalMicro: Seq[Long] = Seq(${seqLit(qCal)})
+         |
+         |  /** P(heuristic-quality seed | per-language gate dispatch
+         |    * bucket — q189's exact population, und's global fallback
+         |    * included), isotonic, micro.
+         |    */
+         |  val perLangGateCalMicro: Seq[Long] = Seq(${seqLit(gCal)})
          |
          |  /** The re-derived reject rule: 'und' when the CALIBRATED
          |    * P(argmax correct) is below 1/2 — the prediction is more
@@ -192,6 +218,12 @@ object FitCalibration {
          |    * in every consuming oracle.
          |    */
          |  val gateRawCut: Double = ${gateBucket / 10.0}
+         |
+         |  /** The per-language gate's cut, same derivation on ITS
+         |    * calibration (first bucket reaching 1/2 = bucket
+         |    * $plGateBucket) — consumed by the q186/q188 selections.
+         |    */
+         |  val perLangGateRawCut: Double = ${plGateBucket / 10.0}
          |}
          |""".stripMargin
     val w = new java.io.PrintWriter(new java.io.File(scalaOut), "UTF-8")

@@ -43,14 +43,19 @@ class CalibrationSpec extends AnyFunSuite {
     assert(CalibrationMaps.langIdCalMicro.size == CalibrationMaps.nBuckets)
     assert(CalibrationMaps.qualityCalMicro.size == CalibrationMaps.nBuckets)
     Seq(CalibrationMaps.langIdCalMicro,
-        CalibrationMaps.qualityCalMicro).foreach { m =>
+        CalibrationMaps.qualityCalMicro,
+        CalibrationMaps.perLangGateCalMicro).foreach { m =>
+      assert(m.size == CalibrationMaps.nBuckets)
       assert(m.zip(m.tail).forall { case (a, b) => a <= b }, m)
       assert(m.forall(v => v >= 0L && v <= 1000000L), m)
     }
-    // the committed gate cut IS the first quality bucket reaching 1/2
+    // each committed gate cut IS the first bucket reaching 1/2 of ITS map
     val gb = CalibrationMaps.qualityCalMicro.indexWhere(_ >= 500000L)
     assert(CalibrationMaps.gateRawCut ==
       gb.toDouble / CalibrationMaps.nBuckets)
+    val pgb = CalibrationMaps.perLangGateCalMicro.indexWhere(_ >= 500000L)
+    assert(CalibrationMaps.perLangGateRawCut ==
+      pgb.toDouble / CalibrationMaps.nBuckets)
   }
 
   test("committed maps regenerate from the fit dir (artifact drift guard)") {
@@ -75,6 +80,18 @@ class CalibrationSpec extends AnyFunSuite {
       col("__best").getField("l") === col("lang"),
       CalibrationMaps.nBuckets))
     assert(FitCalibration.pavMicro(l) == CalibrationMaps.langIdCalMicro)
+    // the per-language gate map regenerates from q189's exact
+    // population (und's global fallback included, heuristic seed label)
+    val dispatched = ExtensionQueries.langIdScored(d)
+      .withColumn("pred_lang",
+        ExtensionQueries.langIdPredictedOrUnd(col("__best")))
+    val g = hist(ProfileOps.calibrationReport(dispatched,
+      round(ExtensionQueries.qualityLrScoreByLang(col("text"),
+        col("pred_lang")), 6),
+      TextOps.qualityScore(col("text")) >= 0.5,
+      CalibrationMaps.nBuckets))
+    assert(FitCalibration.pavMicro(g) ==
+      CalibrationMaps.perLangGateCalMicro)
   }
 
   test("post-calibration ECE < pre-calibration ECE for both classifiers") {
@@ -101,8 +118,20 @@ class CalibrationSpec extends AnyFunSuite {
     val lPost = ece(ProfileOps.calibrationReport(scored,
       calScore(lRaw, CalibrationMaps.langIdCalMicro), lLabel))
     assert(lPost < lPre, s"langid ECE $lPre -> $lPost")
-    // the headline the artifact records: both substantially calibrated
-    assert(qPost <= 0.01 && lPost <= 0.01, s"$qPost / $lPost")
+    // the per-language gate dispatch (q189's population)
+    val dispatched = ExtensionQueries.langIdScored(d)
+      .withColumn("pred_lang",
+        ExtensionQueries.langIdPredictedOrUnd(col("__best")))
+    val gRaw = round(ExtensionQueries.qualityLrScoreByLang(col("text"),
+      col("pred_lang")), 6)
+    val gLabel = TextOps.qualityScore(col("text")) >= 0.5
+    val gPre = ece(ProfileOps.calibrationReport(dispatched, gRaw, gLabel))
+    val gPost = ece(ProfileOps.calibrationReport(dispatched,
+      calScore(gRaw, CalibrationMaps.perLangGateCalMicro), gLabel))
+    assert(gPost < gPre, s"per-lang gate ECE $gPre -> $gPost")
+    // the headline the artifact records: all substantially calibrated
+    assert(qPost <= 0.01 && lPost <= 0.01 && gPost <= 0.01,
+      s"$qPost / $lPost / $gPost")
   }
 
   test("q184 serves the committed lookup: cal_score is the bucket's " +
