@@ -1379,7 +1379,11 @@ final class PipelineSession(
     if (producing.size != 1)
       broken(s"model has ${producing.size} record-producing statements; " +
         "unit tests need exactly one")
-    val deps = node.prevs
+    // mock exactly what the SELECT reads — node.prevs also carries
+    // test-wired DAG edges (a relationships test declares a dependency
+    // on its target model) and side-statement refs, which the logic
+    // under test never touches
+    val deps = DepExtractor.modelRefs(producing.head, node.prevs)
     val givenNames = utst.given.map(_._1).toSet
     val missing = (deps -- givenNames).toSeq.sorted
     if (missing.nonEmpty)

@@ -2251,6 +2251,19 @@ class PipelineE2ESpec extends AnyFunSuite {
       t.toString)
     assert(warnRows.forall(_._3.nonEmpty), t.toString)
     assert(t.filter(!_._4).forall(_._3.isEmpty), t.toString)
+    // the committed unit test + enforced contract (r18): the unit row
+    // appears in `graft test` green, and a build runs the unit test
+    // BEFORE materializing, also green — the committed example now
+    // exercises the whole dbt 1.8 test surface
+    assert(config.models("order_summary").contract)
+    assert(t.exists(r => r._2.startsWith("unit_test(rollup_math#") &&
+      r._3.isEmpty), t.toString)
+    val sb = new PipelineSession(spark, config,
+      cliVars = Map("min_qty" -> "1"), buildMode = true)
+    val rb = sb.runNodes()
+    assert(rb.errors.isEmpty, rb.errors.map(_.render).mkString("; "))
+    assert(sb.collectedTests.exists(r =>
+      r._2.startsWith("unit_test(rollup_math#") && r._3.isEmpty))
   }
 
   test("snapshot invalidate_hard_deletes: a vanished key's current " +
