@@ -37,4 +37,15 @@ object ServingConfig {
     * q178 qrels (exact-binary literal).
     */
   val mmrLambda: Double = 0.75
+
+  /** IVF-PQ serving shortlist knobs — q139's recall grid (nprobe
+    * {3,10} × refine {2,8,32}, k=5, sf0.01): this is the LATENCY point
+    * (recall 0.66), chosen deliberately — at nprobe 3, raising refine
+    * past 8 buys almost nothing (0.68 at 32: cell coverage, not
+    * refinement, binds), so the measured upgrade path is nprobe
+    * (10/8 → 0.82, 10/32 → 1.00), priced by q139 whenever recall
+    * matters more than probe cost.
+    */
+  val annNprobe: Int = 3
+  val annRefineFactor: Int = 8
 }

@@ -453,7 +453,8 @@ object ExtensionQueries {
     * object provably changes nothing but where the knobs live.
     */
   private[graft] def hybridFromStoresChain(s: SparkSession, dir: String,
-      kRrf: Int, weights: Seq[Double]): DataFrame = {
+      kRrf: Int, weights: Seq[Double], nprobe: Int,
+      refineFactor: Int): DataFrame = {
     import s.implicits._
     val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
       (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
@@ -473,7 +474,8 @@ object ExtensionQueries {
       fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
     val vec = SimilarityOps.ivfPqTopKFromStores(
         e.filter(col("vec_id").isin(1L, 2L, 3L)), index, vecs, 64,
-        cents, cbs, k = 5, nprobe = 3, refineFactor = 8)
+        cents, cbs, k = 5, nprobe = nprobe,
+        refineFactor = refineFactor)
       .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
         col("rk").as("rank"))
     RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id", "rank", k = 5,
@@ -485,7 +487,7 @@ object ExtensionQueries {
     * config-vs-explicit contract as [[hybridFromStoresChain]].
     */
   private[graft] def mmrFromStoreChain(s: SparkSession, dir: String,
-      lambda: Double): DataFrame = {
+      lambda: Double, nprobe: Int, refineFactor: Int): DataFrame = {
     val e = t(s, dir, "embeddings").drop("label")
     val cents = graft.ext.IvfCentroids.centroids
     val cbs = graft.ext.PqCodebooks.codebooks
@@ -496,7 +498,7 @@ object ExtensionQueries {
       fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
     val pool = SimilarityOps.ivfPqTopKFromStores(
         e.filter(col("vec_id") < 10), index, vecs, 64, cents, cbs,
-        k = 8, nprobe = 3, refineFactor = 8)
+        k = 8, nprobe = nprobe, refineFactor = refineFactor)
       .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
     SimilarityOps.mmrRerankPool(pool, e, k = 4, lambda = lambda)
       .orderBy(col("probe_id"), col("mmr_rank"))
@@ -773,6 +775,23 @@ object ExtensionQueries {
             .as("n_correct_en"))
         .orderBy(col("pred_lang"))
     }),
+
+    // -- Calibration staleness (q191): the q138→q143 monitor discipline
+    // pointed at the calibration artifact — the COMMITTED langid map
+    // applied to the current corpus and re-bucketed by the same
+    // reliability arithmetic: the summary row's abs_gap IS the residual
+    // ECE of the committed calibration on today's data (≈0 right after
+    // a fit; rises as the score distribution drifts under the frozen
+    // map → rerun FitCalibration, the q143 remediation analog). One
+    // map-side pass into ≤11 rows, like q183 ----------------------------
+    "q191_calibration_staleness" -> ((s, dir) =>
+      ProfileOps.calibrationReport(
+          langIdScored(t(s, dir, "documents"))
+            .filter(col("lang").isNotNull),
+          col("__cal").cast("double") / 1000000.0,
+          col("__best").getField("l") === col("lang"),
+          nBuckets = 10)
+        .orderBy(col("bucket"))),
 
     // -- Calibrated language-ID selection (q184): the calibration loop
     // CLOSED — q183 measured the miscalibration, FitCalibration
@@ -1938,7 +1957,9 @@ object ExtensionQueries {
     "q166_hybrid_from_stores" -> ((s, dir) =>
       hybridFromStoresChain(s, dir,
         kRrf = graft.ext.ServingConfig.kRrf,
-        weights = graft.ext.ServingConfig.legWeights)),
+        weights = graft.ext.ServingConfig.legWeights,
+        nprobe = graft.ext.ServingConfig.annNprobe,
+        refineFactor = graft.ext.ServingConfig.annRefineFactor)),
 
     // Min-max score fusion (q169): the comb-family combiner — per-query
     // min-max-normalized scores, weighted sum — for when score
@@ -1988,7 +2009,9 @@ object ExtensionQueries {
     // arithmetic, and the walk composed -------------------------------
     "q167_mmr_from_store" -> ((s, dir) =>
       mmrFromStoreChain(s, dir,
-        lambda = graft.ext.ServingConfig.mmrLambda)),
+        lambda = graft.ext.ServingConfig.mmrLambda,
+        nprobe = graft.ext.ServingConfig.annNprobe,
+        refineFactor = graft.ext.ServingConfig.annRefineFactor)),
 
     // MMR diversity re-ranking (q164): greedy λ·rel − (1−λ)·max-sim walk
     // over each probe's exact top-8 pool — the serving-side re-ranker
@@ -4877,6 +4900,49 @@ object ExtensionQueries {
        |JOIN hq USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q191's oracle: the committed calibration applied (the same CASE
+    * arms), then q183's exact bucket/ECE arithmetic over the CALIBRATED
+    * score — the staleness monitor's residual-ECE row.
+    */
+  private lazy val calibrationStalenessOracleSql: String =
+    s"""WITH $langIdCtes,
+       |cs AS (SELECT b.doc_id,
+       |    CAST(${calMicroSql("b.score",
+              graft.ext.CalibrationMaps.langIdCalMicro)} AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) AS score,
+       |    CASE WHEN b.lang = d.lang THEN 1 ELSE 0 END AS pos
+       |  FROM best b JOIN documents d ON d.doc_id = b.doc_id
+       |  WHERE b.rn = 1 AND d.lang IS NOT NULL),
+       |lab AS (SELECT doc_id,
+       |    CAST(round(score * 1000000) AS BIGINT) AS su,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(score * 10) AS BIGINT)))
+       |      AS INTEGER) AS bucket,
+       |    pos
+       |  FROM cs),
+       |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(su) AS BIGINT) AS su
+       |  FROM lab GROUP BY bucket),
+       |pm AS (SELECT bucket, n, n_pos, su,
+       |    abs(su - 1000000 * n_pos) AS gap_u FROM pb)
+       |SELECT bucket, n, n_pos,
+       |  CAST((2 * 1000000 * n_pos + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS pos_rate,
+       |  CAST((2 * su + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS mean_pred,
+       |  CAST((2 * gap_u + n) // (2 * n) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE) AS abs_gap
+       |FROM pm
+       |UNION ALL
+       |SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
+       |  CAST((2 * 1000000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+       |    AS DOUBLE) / CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(su) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE),
+       |  CAST((2 * sum(gap_u) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |    CAST(1000000 AS DOUBLE)
+       |FROM pm ORDER BY bucket""".stripMargin
+
   /** q184's oracle: the shared scorer + the committed calibration as
     * CASE arms — calibrated probability AND the reject decided on it,
     * both rebuilt from the [[graft.ext.CalibrationMaps]] literals.
@@ -6116,6 +6182,7 @@ object ExtensionQueries {
     "q188_mixture_per_lang_scored" -> mixturePerLangScoredOracleSql,
     "q189_per_lang_gate_calibration" -> perLangGateCalibrationOracleSql,
     "q190_gate_delta_significance" -> gateDeltaSignificanceOracleSql,
+    "q191_calibration_staleness" -> calibrationStalenessOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,

@@ -21,6 +21,10 @@ class ServingConfigSpec extends AnyFunSuite {
     assert(ServingConfig.mmrLambda == 0.75)
     // λ must be exact-binary so the oracle literal round-trips
     assert(ServingConfig.mmrLambda == 3.0 / 4.0)
+    // q139 grid: (3, 8) is the latency point — at nprobe 3, refine 32
+    // buys ~nothing (0.66 -> 0.68); the upgrade path is nprobe
+    assert(ServingConfig.annNprobe == 3)
+    assert(ServingConfig.annRefineFactor == 8)
   }
 
   test("q166 config-driven ≡ explicit-param fusion") {
@@ -28,7 +32,8 @@ class ServingConfigSpec extends AnyFunSuite {
       .queries("q166_hybrid_from_stores")(spark, dir).collect().toSeq
     val exp = ExtensionQueries
       .hybridFromStoresChain(spark, dir, kRrf = 60,
-        weights = Seq(1.0, 1.0)).collect().toSeq
+        weights = Seq(1.0, 1.0), nprobe = 3, refineFactor = 8)
+      .collect().toSeq
     assert(cfg.nonEmpty && cfg == exp)
   }
 
@@ -36,13 +41,15 @@ class ServingConfigSpec extends AnyFunSuite {
     val cfg = ExtensionQueries
       .queries("q167_mmr_from_store")(spark, dir).collect().toSeq
     val exp = ExtensionQueries
-      .mmrFromStoreChain(spark, dir, lambda = 0.75).collect().toSeq
+      .mmrFromStoreChain(spark, dir, lambda = 0.75, nprobe = 3,
+        refineFactor = 8).collect().toSeq
     assert(cfg.nonEmpty && cfg == exp)
     // and the committed λ genuinely differs from the old hand default:
     // the walk at 0.5 must NOT be what serving runs (otherwise the
     // artifact would be decorative)
     val old = ExtensionQueries
-      .mmrFromStoreChain(spark, dir, lambda = 0.5).collect().toSeq
+      .mmrFromStoreChain(spark, dir, lambda = 0.5, nprobe = 3,
+        refineFactor = 8).collect().toSeq
     assert(old != exp)
   }
 }
