@@ -447,16 +447,28 @@ object PipelineConfig {
                 case (mk, mv) if String.valueOf(mk) == "columns" &&
                     mv != null =>
                   mv match {
-                    case l: java.util.List[_] => l.asScala.toSeq.map {
+                    case l: java.util.List[_] => l.asScala.toSeq.flatMap {
                       case cm: java.util.Map[_, _] =>
                         val fs = cm.asScala.map { case (k2, v2) =>
                           String.valueOf(k2) -> v2 }.toMap
-                        def req(k2: String): String =
+                        def opt2(k2: String): Option[String] =
                           fs.get(k2).flatMap(Option(_)).map(_.toString)
-                            .getOrElse(throw GenericError(
-                              s"models.$id.columns: each entry needs " +
-                                s"`$k2`"))
-                        ContractColumn(req("name"), req("data_type"))
+                        val name = opt2("name").getOrElse(
+                          throw GenericError(
+                            s"models.$id.columns: each entry needs " +
+                              "`name`"))
+                        opt2("data_type") match {
+                          case Some(dt) => Some(ContractColumn(name, dt))
+                          // a documentation-only column (dbt's common
+                          // `- name: x` + description blocks) carries
+                          // no contract obligation UNLESS the contract
+                          // is enforced, where every column must be
+                          // typed (dbt's own rule)
+                          case None if contract => throw GenericError(
+                            s"models.$id.columns: `$name` needs a " +
+                              "data_type under contract: enforced")
+                          case None => None
+                        }
                       case other => throw GenericError(
                         s"models.$id.columns: each entry must be a " +
                           s"mapping, got ${String.valueOf(other)}")

@@ -1304,11 +1304,11 @@ final class PipelineSession(
         catch {
           case e: DataTestViolation =>
             println(s"    WARN  ${node.id}: " +
-              e.getMessage.linesIterator.next() +
+              PipelineSession.firstLine(e) +
               " (severity: warn — not failing the node)")
           case e: DataTestWarning =>
             println(s"    WARN  ${node.id}: " +
-              e.getMessage.linesIterator.next())
+              PipelineSession.firstLine(e))
         }
       case t =>
         // a warn_if-level result reports without failing the node at
@@ -1316,7 +1316,7 @@ final class PipelineSession(
         try runModelTest(node, t)
         catch { case e: DataTestWarning =>
           println(s"    WARN  ${node.id}: " +
-            e.getMessage.linesIterator.next() +
+            PipelineSession.firstLine(e) +
             " (warn_if — not failing the node)")
         }
     }
@@ -1350,7 +1350,7 @@ final class PipelineSession(
     val hard = results.filter(r => r._3.nonEmpty && !r._4)
     hard.foreach { case (_, desc, err, _) =>
       println(s"    FAIL  ${node.id}: $desc — " +
-        err.get.getMessage.linesIterator.next())
+        PipelineSession.firstLine(err.get))
     }
     if (hard.nonEmpty) throw DataTestViolation(
       s"${hard.size} of ${results.size} data tests failed " +
@@ -1382,9 +1382,14 @@ final class PipelineSession(
     // mock exactly what the SELECT reads — node.prevs also carries
     // test-wired DAG edges (a relationships test declares a dependency
     // on its target model) and side-statement refs, which the logic
-    // under test never touches
-    val deps = DepExtractor.modelRefs(producing.head, node.prevs)
-    val givenNames = utst.given.map(_._1).toSet
+    // under test never touches. Extraction goes through the SAME
+    // shim-aware path the DAG uses (modelRefsInModel: DialectShim
+    // rewrite + parseNormalize), so DuckDB-dialect forms Catalyst
+    // cannot parse raw (UNION BY NAME, leading FROM, …) still yield
+    // their refs instead of an empty dep set
+    val deps = DepExtractor.modelRefsInModel(producing.head,
+      node.prevs)
+    val givenNames = utst.given.map(_._1.toLowerCase).toSet
     val missing = (deps -- givenNames).toSeq.sorted
     if (missing.nonEmpty)
       broken(s"inputs not mocked: ${missing.mkString(", ")} — every " +
@@ -1429,7 +1434,11 @@ final class PipelineSession(
     def rowKey(cells: Seq[Any]): String =
       cells.map(PipelineSession.canonCell).mkString("\u0001")
     val got = actualRows.toSeq.map(r => rowKey(r.toSeq))
-    val want = utst.expect.map(r => rowKey(expectCols.map(r.get(_).orNull)))
+    // value lookup matches the dedupe above: case-insensitive, so a row
+    // spelling a column `Bucket` after another spelled it `bucket`
+    // contributes its value instead of a silent NULL
+    val want = utst.expect.map(r => rowKey(expectCols.map(c =>
+      r.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }.orNull)))
     if (got.sorted != want.sorted) {
       def fmt(keys: Seq[String]): String = keys.take(5)
         .map(_.replace("\u0001", ", ").replace("\u2205", "NULL"))
@@ -1474,15 +1483,19 @@ final class PipelineSession(
       acc ++ r.keys.filterNot(acc.contains)
     }
     if (cols.isEmpty) broken("rows carry no columns")
+    // type inference scans EVERY value of the column (not just the
+    // first non-null): a column mixing ints and floats widens to
+    // double instead of silently truncating the later float to a Long
     val types: Seq[DataType] = cols.map { c =>
-      rows.flatMap(_.get(c)).find(_ != null) match {
-        case Some(_: java.lang.Boolean) => BooleanType
-        case Some(_: java.lang.Integer) | Some(_: java.lang.Long) =>
-          LongType
-        case Some(_: java.lang.Double) | Some(_: java.lang.Float) |
-             Some(_: java.math.BigDecimal) => DoubleType
-        case _ => StringType
-      }
+      val vs = rows.flatMap(_.get(c)).filter(_ != null)
+      if (vs.isEmpty) StringType
+      else if (vs.exists(v => v.isInstanceOf[java.lang.Double] ||
+          v.isInstanceOf[java.lang.Float] ||
+          v.isInstanceOf[java.math.BigDecimal])) DoubleType
+      else if (vs.forall(v => v.isInstanceOf[java.lang.Integer] ||
+          v.isInstanceOf[java.lang.Long])) LongType
+      else if (vs.forall(_.isInstanceOf[java.lang.Boolean])) BooleanType
+      else StringType
     }
     val schema = StructType(cols.zip(types).map { case (c, t) =>
       StructField(c, t, nullable = true) })
@@ -1491,7 +1504,9 @@ final class PipelineSession(
         r.get(c).orNull match {
           case null => null
           case v => (t, v) match {
-            case (LongType, n: java.lang.Number) => n.longValue()
+            case (LongType, n @ (_: java.lang.Integer |
+                                 _: java.lang.Long)) =>
+              n.asInstanceOf[java.lang.Number].longValue()
             case (DoubleType, n: java.lang.Number) => n.doubleValue()
             case (BooleanType, b: java.lang.Boolean) => b.booleanValue()
             case (StringType, x) => String.valueOf(x)
@@ -1527,7 +1542,7 @@ final class PipelineSession(
     val hard = results.filter(_._3.nonEmpty)
     hard.foreach { case (_, desc, err, _) =>
       println(s"    FAIL  ${node.id}: $desc — " +
-        err.get.getMessage.linesIterator.next())
+        PipelineSession.firstLine(err.get))
     }
     if (hard.nonEmpty) throw DataTestViolation(
       s"${hard.size} of ${results.size} unit tests failed " +
@@ -2146,6 +2161,14 @@ object PipelineSession {
       java.util.regex.Matcher.quoteReplacement(value)
     })
   }
+
+  /** First message line for one-line reports — null-safe (a raw NPE
+    * from Spark wraps with getMessage == null) and empty-safe, falling
+    * back to the error's class name.
+    */
+  private[pipeline] def firstLine(e: Throwable): String =
+    Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+      .getOrElse(e.getClass.getSimpleName)
 
   private[pipeline] def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

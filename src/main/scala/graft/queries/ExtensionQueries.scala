@@ -425,6 +425,12 @@ object ExtensionQueries {
       .withColumn("p_value",
         (col("n_as_extreme") + lit(1L)).cast("double") /
           lit((MmrPermCount + 1).toDouble))
+      // EMPTY deltas (q190 on a corpus where the gates fully agree):
+      // there is nothing to test — emit ZERO rows rather than one
+      // all-NULL row, matching the oracle's GROUP BY over an empty draw
+      // table (the global agg above always emits a row; its NULL count
+      // marks the vacuous case)
+      .filter(col(nLabel).isNotNull)
   }
 
   /** q185's permutation count — BOUNDED by construction: the sign-flip
@@ -3242,16 +3248,17 @@ object ExtensionQueries {
     * can reuse the identical machinery with its own (k, refineFactor)
     * and append band-filter CTEs — callers supply the final SELECT.
     */
-  private def ivfPqChainSql(k: Int, refineFactor: Int): String =
-    ivfPqChainParts(k, refineFactor)._1
+  private def ivfPqChainSql(k: Int, refineFactor: Int,
+                            nprobe: Int = 3): String =
+    ivfPqChainParts(k, refineFactor, nprobe)._1
 
   /** The chain plus its ADC building blocks (`adcSum` scoring expression
     * over `p`/`e` aliases, `adcJoins` codebook joins) so the q137 sweep
     * oracle can rebuild the scoring CTE with an extra sweep dimension
     * without forking the 60-line chain body.
     */
-  private def ivfPqChainParts(k: Int,
-                              refineFactor: Int): (String, String, String) = {
+  private def ivfPqChainParts(k: Int, refineFactor: Int,
+                              nprobe: Int = 3): (String, String, String) = {
     val cbs = graft.ext.PqCodebooks.codebooks
     val m = cbs.length
     val dsub = cbs(0).head.length
@@ -3305,7 +3312,7 @@ object ExtensionQueries {
        |      ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell)
        |      AS crk
        |  FROM n, cents WHERE n.vec_id < 10),
-       |p AS (SELECT probe_id, pu, cell FROM pcand WHERE crk <= 3),
+       |p AS (SELECT probe_id, pu, cell FROM pcand WHERE crk <= $nprobe),
        |pv AS (SELECT vec_id AS probe_id, u AS pu FROM n WHERE vec_id < 10),
        |sc AS (SELECT p.probe_id, e.vec_id AS cand_id,
        |    round($adcSum, 6) AS sim
@@ -3601,7 +3608,9 @@ object ExtensionQueries {
     * store on EITHER leg fails the one fused diff.
     */
   private lazy val hybridFromStoresOracleSql: String =
-    ivfPqChainSql(k = 5, refineFactor = 8) + ",\n" +
+    ivfPqChainSql(k = 5,
+        refineFactor = graft.ext.ServingConfig.annRefineFactor,
+        nprobe = graft.ext.ServingConfig.annNprobe) + ",\n" +
       bm25PerQueryChainSql.stripPrefix("WITH ") + s""",
       |lex AS (SELECT query_id, doc_id AS id, "rank" AS lrank FROM r
       |  WHERE "rank" <= 5),
@@ -4026,7 +4035,9 @@ object ExtensionQueries {
     * carried here as the same exact-binary literal the query serves).
     */
   private lazy val mmrFromStoreOracleSql: String =
-    ivfPqChainSql(k = 8, refineFactor = 8) + s""",
+    ivfPqChainSql(k = 8,
+        refineFactor = graft.ext.ServingConfig.annRefineFactor,
+        nprobe = graft.ext.ServingConfig.annNprobe) + s""",
       |me AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
       |  FROM embeddings),
       |rel AS (SELECT probe_id, cand_id, sim AS rel FROM rk

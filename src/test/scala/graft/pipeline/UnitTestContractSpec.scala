@@ -279,6 +279,56 @@ class UnitTestContractSpec extends AnyFunSuite {
     val r5 = new PipelineSession(spark, badType).runNodes()
     assert(r5.errors.exists(_.render.contains("unparseable data_type")),
       r5.errors.map(_.render))
+
+    // documentation-only columns (no data_type) are tolerated WITHOUT
+    // a contract (dbt's description blocks) ...
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |models:
+         |  ct_m:
+         |    columns:
+         |      - {name: id, description: the key}""".stripMargin)
+    val docOnly = PipelineConfig.load(dir.resolve("config.yaml"))
+    assert(!docOnly.models("ct_m").contract &&
+      docOnly.models("ct_m").contractColumns.isEmpty)
+    // ...but an enforced contract requires every column typed
+    val e2 = intercept[GenericError] {
+      Files.writeString(dir.resolve("config.yaml"),
+        s"""models_dir: $modelsDir
+           |models:
+           |  ct_m:
+           |    contract: enforced
+           |    columns:
+           |      - {name: id}""".stripMargin)
+      PipelineConfig.load(dir.resolve("config.yaml"))
+    }
+    assert(e2.getMessage.contains(
+      "needs a data_type under contract: enforced"))
+  }
+
+  test("unit-test mocks: a column mixing ints and floats widens to " +
+      "double instead of truncating the float") {
+    val dir = Files.createTempDirectory("graft-ut3")
+    val modelsDir = dir.resolve("models"); Files.createDirectories(modelsDir)
+    Files.writeString(modelsDir.resolve("u3_src.sql"), "SELECT 1.0 AS x")
+    Files.writeString(modelsDir.resolve("u3_sum.sql"),
+      "SELECT CAST(sum(x) AS DOUBLE) AS s FROM u3_src")
+    Files.writeString(dir.resolve("config.yaml"),
+      s"""models_dir: $modelsDir
+         |models:
+         |  u3_sum:
+         |    unit_tests:
+         |      - name: widen
+         |        given:
+         |          - input: u3_src
+         |            rows:
+         |              - {x: 1}
+         |              - {x: 2.5}
+         |        expect:
+         |          rows: [{s: 3.5}]""".stripMargin)
+    val config = PipelineConfig.load(dir.resolve("config.yaml"))
+    val r = new PipelineSession(spark, config, buildMode = true).runNodes()
+    assert(r.errors.isEmpty, r.errors.map(_.render))
   }
 
   test("contracts: an incremental model re-checks every run — a drifted " +
