@@ -337,6 +337,33 @@ object ScaleCurve {
         graft.queries.ExtensionQueries.queries(
           "q187_gate_accuracy_by_lang")(spark, dirs(n))
       },
+      // r18 close: the round's own late additions get rows too (the
+      // r17 lesson — late-round ops must not ship with prose-only
+      // pricing). q185's draw table is qrels-bounded (judged probes),
+      // q190's is discordant-bounded (flips scale with gate
+      // disagreement, not the corpus), q188 composes q181's bounded
+      // shapes with the fused six-class score, q189/q191 are map-side
+      // passes into ≤11 report rows.
+      "q185_mmr_significance" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q185_mmr_delta_significance")(spark, dirs(n))
+      },
+      "q188_mixture_per_lang" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q188_mixture_per_lang_scored")(spark, dirs(n))
+      },
+      "q189_gate_calibration" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q189_per_lang_gate_calibration")(spark, dirs(n))
+      },
+      "q190_gate_significance" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q190_gate_delta_significance")(spark, dirs(n))
+      },
+      "q191_calibration_staleness" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q191_calibration_staleness")(spark, dirs(n))
+      },
       // fixed 1× batch appended to the 1× vs N× serving stores — the
       // runVectorServingIngest per-batch unit (the two appends encode/
       // assign ONLY the batch and write new part files; nothing reads
