@@ -41,7 +41,7 @@ object Main {
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
-           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2] [--fail-fast]
+           |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2] [--fail-fast] [--defer --state DIR] [--event-time-start T --event-time-end T]
            |       graft build [same flags as run] — seeds, models, snapshots and ALL their tests in one DAG-ordered pass; a failing test skips downstream models
            |       graft test [--config C] [--db-path P] [--select ...] [--exclude ...] [--vars k=v]
            |       graft run-file [--config C] <script.sql> […]
@@ -61,9 +61,11 @@ object Main {
            pos: List[String]): (Map[String, String], List[String]) = l match {
       case k :: v :: t
           if Set("--config", "--models-dir", "--db-path", "--select",
-            "--exclude", "--vars")(k) =>
+            "--exclude", "--vars", "--state", "--event-time-start",
+            "--event-time-end")(k) =>
         go(t, flags + (k.drop(2) -> v), pos)
       case "--parallel" :: t => go(t, flags + ("parallel" -> "true"), pos)
+      case "--defer" :: t => go(t, flags + ("defer" -> "true"), pos)
       case "--changed-only" :: t =>
         go(t, flags + ("changed-only" -> "true"), pos)
       case "--dry-run" :: t => go(t, flags + ("dry-run" -> "true"), pos)
@@ -125,7 +127,11 @@ object Main {
         excludes = excludesOf(flags),
         fullRefresh = flags.contains("full-refresh"),
         cliVars = varsOf(flags),
-        failFast = flags.contains("fail-fast"))
+        failFast = flags.contains("fail-fast"),
+        deferEnabled = deferOf(flags),
+        stateDir = flags.get("state"),
+        eventTimeStart = flags.get("event-time-start"),
+        eventTimeEnd = flags.get("event-time-end"))
       val report = session.runNodes()
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {
@@ -165,7 +171,11 @@ object Main {
         fullRefresh = flags.contains("full-refresh"),
         cliVars = varsOf(flags),
         failFast = flags.contains("fail-fast"),
-        buildMode = true)
+        buildMode = true,
+        deferEnabled = deferOf(flags),
+        stateDir = flags.get("state"),
+        eventTimeStart = flags.get("event-time-start"),
+        eventTimeEnd = flags.get("event-time-end"))
       val report = session.runNodes()
       val tests = session.collectedTests
       if (tests.nonEmpty) {
@@ -281,6 +291,22 @@ object Main {
     * table existence); without it every model reports `would RUN`. Exits 0
     * always (nothing executed, nothing can fail but graph building).
     */
+  /** `--defer` requires `--state` (there is nothing to defer TO without
+    * a prior state's artifacts) — dbt's own contract, failed loudly at
+    * parse time rather than as a missing-ref error mid-run. `--state`
+    * WITHOUT `--defer` is legal: it only re-bases `state:modified`
+    * comparisons (the dbt slim-CI split).
+    */
+  private def deferOf(flags: Map[String, String]): Boolean = {
+    val d = flags.contains("defer")
+    if (d && !flags.contains("state")) {
+      System.err.println("--defer requires --state <dir> (the prior " +
+        "run's db_path whose artifacts unselected refs resolve to)")
+      sys.exit(2)
+    }
+    d
+  }
+
   private def selectorsOf(flags: Map[String, String]): Seq[String] =
     listFlag(flags, "select")
 

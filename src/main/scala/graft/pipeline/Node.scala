@@ -32,6 +32,9 @@ final case class ModelNode(
     tags: Seq[String] = Nil,
     incrementalStrategy: Option[String] = None,
     partitionBy: Option[String] = None,
+    eventTime: Option[String] = None,
+    batchSize: Option[String] = None,
+    lookback: Option[Int] = None,
     snapshotStrategy: Option[String] = None,
     updatedAt: Option[String] = None,
     onSchemaChange: Option[String] = None,

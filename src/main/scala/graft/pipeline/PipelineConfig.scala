@@ -53,6 +53,9 @@ final case class ModelConfig(materialize: Option[String] = None,
                              tags: Seq[String] = Nil,
                              incrementalStrategy: Option[String] = None,
                              partitionBy: Option[String] = None,
+                             eventTime: Option[String] = None,
+                             batchSize: Option[String] = None,
+                             lookback: Option[Int] = None,
                              snapshotStrategy: Option[String] = None,
                              updatedAt: Option[String] = None,
                              onSchemaChange: Option[String] = None,
@@ -430,7 +433,14 @@ object PipelineConfig {
                     case cm: java.util.Map[_, _] =>
                       cm.asScala.collectFirst {
                         case (ck, cv) if String.valueOf(ck) == "enforced" =>
-                          String.valueOf(cv).toBoolean
+                          cv match {
+                            case b: java.lang.Boolean => b.booleanValue()
+                            case s: String if s == "true" => true
+                            case s: String if s == "false" => false
+                            case other => throw GenericError(
+                              s"models.$id.contract.enforced: expected " +
+                                s"true|false, got `$other`")
+                          }
                       }.getOrElse(throw GenericError(
                         s"models.$id.contract: mapping form needs " +
                           "`enforced: true|false`"))
@@ -495,6 +505,13 @@ object PipelineConfig {
             tests, tags = list("tags"),
             incrementalStrategy = field("incremental_strategy"),
             partitionBy = field("partition_by"),
+            eventTime = field("event_time"),
+            batchSize = field("batch_size"),
+            lookback = field("lookback").map { v =>
+              try v.toInt catch { case _: NumberFormatException =>
+                throw GenericError(s"models.$id.lookback: expected an " +
+                  s"integer batch count, got `$v`") }
+            },
             snapshotStrategy = field("strategy"),
             updatedAt = field("updated_at"),
             onSchemaChange = field("on_schema_change"),

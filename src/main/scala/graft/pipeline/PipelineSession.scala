@@ -32,7 +32,14 @@ final class PipelineSession(
     fullRefresh: Boolean = false,
     cliVars: Map[String, String] = Map.empty,
     failFast: Boolean = false,
-    buildMode: Boolean = false) {
+    buildMode: Boolean = false,
+    deferEnabled: Boolean = false,
+    stateDir: Option[String] = None,
+    eventTimeStart: Option[String] = None,
+    eventTimeEnd: Option[String] = None) {
+
+  require(!deferEnabled || stateDir.nonEmpty,
+    "--defer requires --state <dir>")
 
   /** dbt vars, CLI overlay winning over the config's `vars:` mapping.
     * Substituted into model SQL (and hooks/custom tests) BEFORE macro
@@ -158,6 +165,9 @@ final class PipelineSession(
         incrementalStrategy =
           config.models.get(id).flatMap(_.incrementalStrategy),
         partitionBy = config.models.get(id).flatMap(_.partitionBy),
+        eventTime = config.models.get(id).flatMap(_.eventTime),
+        batchSize = config.models.get(id).flatMap(_.batchSize),
+        lookback = config.models.get(id).flatMap(_.lookback),
         snapshotStrategy = config.models.get(id).flatMap(_.snapshotStrategy),
         updatedAt = config.models.get(id).flatMap(_.updatedAt),
         onSchemaChange = config.models.get(id).flatMap(_.onSchemaChange),
@@ -477,7 +487,12 @@ final class PipelineSession(
     // nothing), unlike a no-match name/path which is an error.
     lazy val modified: Set[String] = {
       val fps = closureFingerprints(order, nodeMap)
-      val stored = config.dbPath.map(ViewStore.loadFingerprints)
+      // with --state, modification is judged against THAT state's
+      // fingerprint base (dbt slim CI: "what changed vs prod?"), not
+      // the local db_path's — composing with --defer so the changed
+      // subgraph builds fresh while its unselected refs read prod
+      val stored = stateDir.orElse(config.dbPath)
+        .map(ViewStore.loadFingerprints)
         .getOrElse(Map.empty[String, String])
       order.filterNot(id => stored.get(id).contains(fps(id))).toSet
     }
@@ -625,6 +640,37 @@ final class PipelineSession(
         else None).flatten.mkString(" ")
       println(s"Selected ${runOrder.size} of ${order.size} models " +
         s"($flagsUsed)")
+    }
+
+    // --defer: every UNSELECTED model a selected node (transitively)
+    // reads resolves from the --state dir's artifacts — dbt's slim-CI
+    // other half: build only what changed, defer the rest to prod. The
+    // ancestor CLOSURE restores (a deferred view's SELECT references
+    // ITS upstreams by name), in the state manifest's topo-safe order;
+    // an id already registered in this session (dbt's default
+    // dev-favoring rule) is left alone; a needed id absent from the
+    // state fails NAMED before anything executes.
+    if (deferEnabled) selected.foreach { sel =>
+      val needed = mutable.Set[String]()
+      var frontier = runOrder.flatMap(id => nodeMap(id).prevs)
+        .filter(p => nodeMap.contains(p) && !sel(p)).toSet
+      while (frontier.nonEmpty) {
+        needed ++= frontier
+        frontier = frontier.flatMap(id => nodeMap(id).prevs)
+          .filter(p => nodeMap.contains(p) && !needed(p) && !sel(p))
+      }
+      if (needed.nonEmpty) {
+        val st = stateDir.get
+        val (restored, missing) =
+          ViewStore.restoreDeferred(spark, st, needed.toSet)
+        if (missing.nonEmpty) throw GenericError(
+          s"--defer: ${missing.size} unselected ref(s) not found in " +
+            s"--state $st: ${missing.toSeq.sorted.mkString(", ")} — " +
+            "run them there first or widen --select")
+        if (restored.nonEmpty) println(
+          s"Deferred ${restored.size} unselected ref(s) to --state " +
+            s"$st: ${restored.sorted.mkString(", ")}")
+      }
     }
 
     val t0 = System.nanoTime()
@@ -1251,6 +1297,121 @@ final class PipelineSession(
     * union must tolerate missing columns. Type changes on SAME-named
     * columns are left to unionByName's own loud analysis error.
     */
+  /** dbt 1.9 `incremental_strategy: microbatch` (VERDICT r18 task 5):
+    * the model's full-history SELECT is processed as independent
+    * event-time WINDOWS, each swapped into the table as a dynamic
+    * partition overwrite — no key join, no history rewrite, work
+    * bounded by the touched windows. Requires `event_time` (the
+    * timestamp column), `batch_size` (hour|day|month|year, default
+    * day), and `partition_by` — which must be batch-aligned (one
+    * partition value per batch window, e.g. a DATE column for
+    * `batch_size: day`): the swap replaces partitions, so a coarser
+    * partition would drop in-partition rows outside the window.
+    *
+    * Window selection:
+    *   - backfill: `--event-time-start X [--event-time-end Y)` process
+    *     exactly the batches intersecting [X, Y);
+    *   - default: batches from date_trunc(batch, max(event_time) in
+    *     the TARGET) − (lookback−1) batches onward — the latest
+    *     `lookback` (default 1) already-materialized windows reprocess
+    *     (late-arriving rows land), plus every newer batch in the
+    *     fresh SELECT. Deterministic: based on the data's own clock,
+    *     never the wall clock.
+    *
+    * A window inside the selection whose fresh SELECT has NO rows is a
+    * disappeared window (upstream deleted it): its partitions DROP, so
+    * a microbatch run converges to exactly what --full-refresh would
+    * build (the parity contract MicrobatchSpec pins bit-for-bit).
+    */
+  private def microbatchRun(node: ModelNode, select: String): Unit = {
+    val evCol = node.eventTime.getOrElse(throw GenericError(
+      s"incremental_strategy: microbatch for `${node.id}` requires " +
+        s"models.${node.id}.event_time"))
+    val unit = node.batchSize.map(_.toLowerCase).getOrElse("day") match {
+      case u @ ("hour" | "day" | "month" | "year") => u.toUpperCase
+      case other => throw GenericError(s"models.${node.id}.batch_size: " +
+        s"expected hour|day|month|year, got `$other`")
+    }
+    val partCol = node.partitionBy.getOrElse(throw GenericError(
+      s"incremental_strategy: microbatch for `${node.id}` requires " +
+        s"models.${node.id}.partition_by (the batch-aligned partition " +
+        "column each window swaps)"))
+    val lookback = node.lookback.getOrElse(1)
+    if (lookback < 1) throw GenericError(
+      s"models.${node.id}.lookback: must be >= 1, got $lookback")
+    val fresh0 = spark.sql(select)
+    if (!fresh0.columns.contains(evCol)) throw GenericError(
+      s"microbatch `${node.id}`: event_time `$evCol` is not a column " +
+        s"of the SELECT (${fresh0.columns.mkString(", ")})")
+    val target = spark.table(node.id)
+    if (fresh0.columns.toSet != target.columns.toSet) throw GenericError(
+      s"incremental `${node.id}` (microbatch): the fresh SELECT's " +
+        s"schema (${fresh0.columns.mkString(", ")}) differs from the " +
+        s"table's (${target.columns.mkString(", ")}) — microbatch " +
+        "cannot evolve a schema; rebuild with --full-refresh")
+    def tsLit(v: String, flag: String): String = {
+      val r = spark.sql(s"SELECT CAST('$v' AS TIMESTAMP)").collect()(0)
+      if (r.isNullAt(0)) throw GenericError(
+        s"$flag: cannot parse '$v' as a timestamp")
+      s"TIMESTAMP '${r.getTimestamp(0)}'"
+    }
+    val startLit: Option[String] =
+      eventTimeStart.map(tsLit(_, "--event-time-start")).orElse {
+        val r = spark.sql(s"SELECT date_trunc('$unit', max(`$evCol`)) " +
+          s"- INTERVAL ${lookback - 1} $unit FROM `${node.id}`")
+          .collect()(0)
+        if (r.isNullAt(0)) None // empty target: process everything
+        else Some(s"TIMESTAMP '${r.getTimestamp(0)}'")
+      }
+    val endLit: Option[String] =
+      eventTimeEnd.map(tsLit(_, "--event-time-end"))
+    val windowCond = (startLit.map(s => s"`$evCol` >= $s") ++
+      endLit.map(e => s"`$evCol` < $e")).mkString(" AND ")
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      if (windowCond.isEmpty) df else df.where(windowCond)
+    val bexpr = s"date_trunc('$unit', `$evCol`)"
+    def batchesOf(df: org.apache.spark.sql.DataFrame): Seq[java.sql.Timestamp] =
+      windowed(df).selectExpr(s"$bexpr AS __b").where("__b IS NOT NULL")
+        .distinct().collect().map(_.getTimestamp(0)).toSeq
+    // both sets BEFORE any write: the swaps below mutate the target
+    val freshBatches = batchesOf(fresh0).sortBy(_.getTime)
+    val staleBatches = (batchesOf(target).toSet -- freshBatches)
+      .toSeq.sortBy(_.getTime)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      freshBatches.foreach { b =>
+        // each window is its own bounded job (dbt's batch independence:
+        // a wide backfill progresses window by window)
+        val bslice = fresh0.where(s"$bexpr = TIMESTAMP '$b'")
+        bslice.select(target.columns.map(c => bslice(c)).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(node.id)
+        println(s"    microbatch ${unit.toLowerCase} $b: swapped")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    // disappeared windows: in-window target batches with no fresh rows
+    // drop their (batch-aligned) partitions, converging on the
+    // full-refresh result
+    staleBatches.foreach { b =>
+      val vals = spark.table(node.id)
+        .where(s"$bexpr = TIMESTAMP '$b'")
+        .selectExpr(s"CAST(`$partCol` AS STRING) AS __p")
+        .distinct().collect().map(_.getString(0))
+      vals.foreach { v =>
+        spark.sql(s"ALTER TABLE `${node.id}` DROP IF EXISTS " +
+          s"PARTITION (`$partCol` = '$v')")
+      }
+      println(s"    microbatch ${unit.toLowerCase} $b: dropped " +
+        s"(no fresh rows in window)")
+    }
+  }
+
   private def alignIncrementalSchema(node: ModelNode,
                                      fresh: org.apache.spark.sql.DataFrame,
                                      existing: org.apache.spark.sql.DataFrame)
@@ -1441,7 +1602,8 @@ final class PipelineSession(
       r.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }.orNull)))
     if (got.sorted != want.sorted) {
       def fmt(keys: Seq[String]): String = keys.take(5)
-        .map(_.replace("\u0001", ", ").replace("\u2205", "NULL"))
+        .map(_.replace("\u0001", ", ").replace("\u0000N", "NULL")
+          .replace("\u0000S", ""))
         .map(k => s"($k)").mkString("; ")
       val missingRows = diffMultiset(want, got)
       val unexpected = diffMultiset(got, want)
@@ -1495,7 +1657,24 @@ final class PipelineSession(
       else if (vs.forall(v => v.isInstanceOf[java.lang.Integer] ||
           v.isInstanceOf[java.lang.Long])) LongType
       else if (vs.forall(_.isInstanceOf[java.lang.Boolean])) BooleanType
-      else StringType
+      else {
+        // an unquoted YAML date/timestamp parses to java.util.Date and
+        // would stringify as 'Thu Jan 01 ...' — never matching a
+        // model's DATE output; fail NAMED instead (ADVICE r18)
+        vs.find(_.isInstanceOf[java.util.Date]).foreach { d =>
+          broken(s"column `$c` contains an unquoted YAML " +
+            s"date/timestamp ($d); quote the scalar (e.g. " +
+            "'2026-01-01') so it compares as the model renders it")
+        }
+        // ints+strings (or bools+ints) must not silently stringify —
+        // heterogeneous columns fail NAMED too (ADVICE r18); only a
+        // genuinely all-string column types as string
+        if (vs.forall(_.isInstanceOf[String])) StringType
+        else broken(s"column `$c` mixes incompatible scalar types (" +
+          vs.map(_.getClass.getSimpleName).distinct.sorted
+            .mkString(", ") + "); use one type per column or quote " +
+          "every value to compare as strings")
+      }
     }
     val schema = StructType(cols.zip(types).map { case (c, t) =>
       StructField(c, t, nullable = true) })
@@ -1952,6 +2131,8 @@ final class PipelineSession(
                   case None    => spark.conf.unset(key)
                 }
               }
+            case Some("microbatch") =>
+              microbatchRun(node, select)
             case None | Some("merge") | Some("delete+insert") =>
               // merge run: is_incremental() rendered true, so the SELECT
               // is the user-restricted fresh slice (typically `WHERE ts >
@@ -1975,7 +2156,8 @@ final class PipelineSession(
               overwriteViaStaging(node.id, merged, node.partitionBy)
             case Some(other) =>
               throw GenericError(s"Unknown incremental_strategy for " +
-                s"`${node.id}`: $other (supported: merge, insert_overwrite)")
+                s"`${node.id}`: $other (supported: merge, " +
+                "insert_overwrite, microbatch)")
           }
           ViewStore.saveTable(spark, config.dbPath, node.id)
           "SELECT" // row-count postlude runs after the tail statements
@@ -2177,12 +2359,25 @@ object PipelineSession {
 
   /** Canonical cell value for unit-test row comparison: numerics
     * normalize through BigDecimal (so a YAML `1` matches a DOUBLE 1.0
-    * and a BIGINT 1 alike), NULL gets a sentinel no real string starts
-    * with, everything else is its string form. NaN/Infinity keep their
-    * Double spelling (BigDecimal cannot carry them).
+    * and a BIGINT 1 alike), everything else is its string form.
+    * NaN/Infinity keep their Double spelling (BigDecimal cannot carry
+    * them). The encoding is INJECTIVE on null-ness (ADVICE r18 — the
+    * old bare "∅" sentinel collided with a real string "∅"): NULL maps
+    * to "\u0000N", and any real string that itself starts with U+0000
+    * is escaped behind "\u0000S", so no string value can forge the
+    * null key. An unquoted YAML date/timestamp (java.util.Date, never
+    * produced by Spark — model output arrives as java.sql.Date /
+    * Timestamp, which render ISO) fails NAMED instead of stringifying
+    * as 'Thu Jan 01 ...'.
     */
   private[pipeline] def canonCell(v: Any): String = v match {
-    case null => "∅"
+    case null => "\u0000N"
+    case s: String if s.startsWith("\u0000") => "\u0000S" + s
+    case d: java.util.Date if !d.isInstanceOf[java.sql.Date] &&
+        !d.isInstanceOf[java.sql.Timestamp] =>
+      throw GenericError("unit-test rows contain an unquoted YAML " +
+        s"date/timestamp ($d); quote the scalar (e.g. '2026-01-01') " +
+        "so it compares as the model renders it")
     case b: java.lang.Boolean => b.toString
     case d: java.lang.Double if d.isNaN || d.isInfinite => d.toString
     case f: java.lang.Float if f.isNaN || f.isInfinite => f.toString

@@ -180,19 +180,7 @@ object ViewStore {
       line.split("\t", -1) match {
         case Array("view", id) =>
           try {
-            def register(sql: String): Unit =
-              spark.sql(sql).createOrReplaceTempView(id)
-            val stored = Files.readString(storeDir(dbPath).resolve(s"$id.sql"))
-            try register(stored)
-            catch { case e: Exception =>
-              // the rewritten form may reference session-scoped state (a
-              // kwarg read_* temp view); re-shim the raw text in THIS
-              // session instead
-              val rawF = storeDir(dbPath).resolve(s"$id.raw.sql")
-              if (Files.exists(rawF))
-                register(DialectShim.rewrite(Files.readString(rawF), spark))
-              else throw e
-            }
+            restoreViewEntry(spark, dbPath, id)
             n += 1
           } catch { case e: Exception =>
             println(s"WARNING: could not restore view `$id`: ${e.getMessage}")
@@ -203,8 +191,94 @@ object ViewStore {
             if (!spark.catalog.tableExists(id)) {
               // managed-table data written by saveAsTable lives at
               // <warehouse>/<id>; re-register it as a parquet table
-              val loc = warehouseLocation(spark, id)
-              if (fields.length >= 4) {
+              restoreTableEntry(spark, fields, warehouseLocation(spark, id))
+              n += 1 // count only tables this call actually registered
+            }
+          } catch { case e: Exception =>
+            println(s"WARNING: could not restore table `$id`: ${e.getMessage}")
+          }
+        case _ => ()
+      }
+    }
+    n
+  }
+
+  /** `--defer --state <stateDir>`: register ONLY `ids` from the state
+    * dir's manifest, in its (topo-safe) order — views re-registered
+    * from their stored SELECTs, tables from their parquet under the
+    * STATE dir's warehouse root (a state dir is just another run's
+    * db_path, whose warehouse IS that dir). Ids already present in the
+    * session are left alone (dbt's dev-favoring default). Returns
+    * (restored, needed-but-absent-from-state); restore FAILURES on a
+    * needed id also count as missing — a deferred ref that cannot
+    * register must fail the run loudly, not at first read.
+    */
+  def restoreDeferred(spark: SparkSession, stateDir: String,
+                      ids: Set[String]): (Seq[String], Set[String]) = {
+    val m = manifest(stateDir)
+    val entries =
+      if (!Files.exists(m)) Seq.empty
+      else Files.readAllLines(m).asScala.toSeq
+        .map(_.split("\t", -1)).filter(_.length >= 2)
+    val inState = entries.map(_(1)).toSet
+    var missing = ids -- inState
+    val restored = entries.flatMap {
+      case fields if ids(fields(1)) =>
+        val id = fields(1)
+        try {
+          if (spark.catalog.tableExists(id)) None
+          else fields(0) match {
+            case "view" =>
+              restoreViewEntry(spark, stateDir, id); Some(id)
+            case "table" =>
+              restoreTableEntry(spark, fields,
+                Paths.get(stateDir).resolve(
+                  id.toLowerCase(java.util.Locale.ROOT)))
+              Some(id)
+            case _ => None
+          }
+        } catch { case e: Exception =>
+          println(s"WARNING: could not defer `$id` from state: " +
+            e.getMessage)
+          missing += id
+          None
+        }
+      case _ => None
+    }
+    (restored, missing)
+  }
+
+  /** One view manifest entry → temp-view registration (shared by
+    * [[restore]] and [[restoreDeferred]]): the stored rewritten SELECT,
+    * falling back to re-shimming the raw text when the rewritten form
+    * referenced session-scoped state.
+    */
+  private def restoreViewEntry(spark: SparkSession, dbPath: String,
+                               id: String): Unit = {
+    def register(sql: String): Unit =
+      spark.sql(sql).createOrReplaceTempView(id)
+    val stored = Files.readString(storeDir(dbPath).resolve(s"$id.sql"))
+    try register(stored)
+    catch { case e: Exception =>
+      // the rewritten form may reference session-scoped state (a
+      // kwarg read_* temp view); re-shim the raw text in THIS
+      // session instead
+      val rawF = storeDir(dbPath).resolve(s"$id.raw.sql")
+      if (Files.exists(rawF))
+        register(DialectShim.rewrite(Files.readString(rawF), spark))
+      else throw e
+    }
+  }
+
+  /** One table manifest entry → catalog registration at `loc` (shared
+    * by [[restore]] and [[restoreDeferred]]).
+    */
+  private def restoreTableEntry(spark: SparkSession,
+                                fields: Array[String],
+                                loc: Path): Unit = {
+    val id = fields(1)
+    locally {
+      if (fields.length >= 4) {
                 // bucketed: re-register with the recorded CLUSTERED BY so
                 // the bucketed-scan distribution (zero-exchange joins)
                 // survives the session boundary. saveAsTable encodes the
@@ -250,14 +324,6 @@ object ViewStore {
                       s"zero rows: ${e.getMessage}")
                 }
               }
-              n += 1 // count only tables this call actually registered
-            }
-          } catch { case e: Exception =>
-            println(s"WARNING: could not restore table `$id`: ${e.getMessage}")
-          }
-        case _ => ()
-      }
     }
-    n
   }
 }
