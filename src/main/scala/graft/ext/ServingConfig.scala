@@ -10,11 +10,18 @@ package graft.ext
   *     axis at 60): equal weights win on the fixture — every weight
   *     skew costs up to 0.15 nDCG@5 — and quality is INSENSITIVE to
   *     kRrf across 10→240 at equal weights, so the standard 60 stays.
+  *     (r19 note: the fusion qrels remain the 4-judged-query fixture —
+  *     the r19 pool growth landed on the MMR side, where the λ knob
+  *     lives; the term-probe surface is the fusion fixture's limit.)
   *   - [[mmrLambda]] from the q182 λ sweep judged against the q178
-  *     qrels: λ=0.75 buys back most of the relevance that diversity
-  *     costs (mean nDCG@4 0.688 vs plain 0.719 vs λ=0.5's 0.620) while
-  *     still re-ranking for diversity. Exact-binary, so every engine
-  *     carries the identical literal.
+  *     qrels. RE-VALIDATED in r19 on the grown 23-judged-probe pool
+  *     (VERDICT r18 task 3 — the r18 sweep rested on 5 probes its own
+  *     significance test called underpowered): mean nDCG@4 climbs
+  *     monotonically 0.783 (λ=.25) → 0.799 (λ=.5) → 0.901 (λ=.75),
+  *     and q185 now shows with real power (p=0.00098 at 1024 draws)
+  *     that diversity genuinely costs relevance — so the most
+  *     relevance-weighted sweep point serves. Exact-binary, so every
+  *     engine carries the identical literal.
   *
   * Consumed by q166 (store-served hybrid fusion) and q167 (store-served
   * MMR); ServingConfigSpec pins config-driven ≡ explicit-param. The

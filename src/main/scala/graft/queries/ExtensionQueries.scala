@@ -137,6 +137,21 @@ object ExtensionQueries {
         graft.ext.CalibrationMaps.langIdCalMicro))
   }
 
+  /** The deterministic train/eval document split every fitted artifact
+    * is now fit and judged under (VERDICT r18 task 1): md5 parity of
+    * the namespaced doc id — `true` = the HELD-OUT evaluation half,
+    * `false` = the fit half. Both engines compute the same parity
+    * byte-identically (the signFlipPermutationTest hash discipline), no
+    * RNG, stable under corpus growth (a new doc lands in one half
+    * forever). Fit tools train on `!holdoutEval`; q192/q193 report
+    * generalization on `holdoutEval` — the numbers a user should trust
+    * at corpus scale, vs the train-half numbers the committed-artifact
+    * comments record.
+    */
+  private[graft] def holdoutEval(idCol: Column): Column =
+    conv(substring(md5(concat(lit("split:"), idCol.cast("string"))),
+      1, 8), 16, 10).cast("long") % 2 === 1
+
   /** The committed per-bucket calibration lookup ([[graft.ext
     * .CalibrationMaps]]): raw rounded score → calibrated P in Long
     * micro-units. One clamped-floor bucket (q175/q183's exact formula)
@@ -170,15 +185,16 @@ object ExtensionQueries {
 
   /** The PER-LANGUAGE quality score (VERDICT r17 task 5): the committed
     * [[graft.ext.QualityLrWeightsByLang]] gate for the row's predicted
-    * language, the global [[graft.ext.QualityLrWeights]] for 'und' (an
-    * unidentifiable document has no language artifact to claim — the
-    * BpeMergesByLang discipline). ONE fused
-    * [[org.apache.spark.sql.graft.HashedGramScoreVec]] call scores all
-    * six classes — the gram hashing (the real cost) is shared across
-    * classes, so serving six gates costs one tokenize + six
-    * multiply-adds per gram, and the dispatch is a linear
-    * array_position + element_at (NOT a when-chain — the langIdBest
-    * codegen lesson).
+    * language. 'und' uses its own committed gate when the fit tool
+    * found one that generalizes on the held-out und half (r19 — the
+    * slice grew to a third of the corpus under the calibrated reject);
+    * the global [[graft.ext.QualityLrWeights]] remains the appended
+    * fallback class for any dispatch value without an artifact. ONE
+    * fused [[org.apache.spark.sql.graft.HashedGramScoreVec]] call
+    * scores all classes — the gram hashing (the real cost) is shared,
+    * so serving k gates costs one tokenize + k multiply-adds per gram,
+    * and the dispatch is a linear array_position + element_at (NOT a
+    * when-chain — the langIdBest codegen lesson).
     */
   private[graft] def qualityLrScoreByLang(textCol: Column,
                                           predLangCol: Column): Column = {
@@ -377,20 +393,78 @@ object ExtensionQueries {
     (3, 130L, 2), (3, 343L, 2), (3, 777L, 3),
     (4, 103L, 1))
 
+  /** The q164/q178/q182/q185 probe set: embeddings with vec_id below
+    * this bound. Grown 6 → 22 in r19 (VERDICT r18 task 3) so the
+    * judged pool carries real statistical power — q185's verdict at 5
+    * probes was honest but underpowered (p=0.237 could not separate
+    * "no effect" from "no data").
+    */
+  private[graft] val MmrProbeCount: Int = 22
+
   /** Committed qrels fixture for the MMR quality delta (q178) — graded
-    * labels over the q164 probe/candidate space, chosen so the MMR and
-    * plain rankings genuinely score DIFFERENTLY at sf0.01: ids each
-    * ranking retrieves exclusively (334/423 plain-only, 7/207 MMR-only),
-    * shared ids at different ranks (450), an explicit rel = 0 on a
-    * plain-retrieved id (423), a miss for both (999), and a judged
-    * probe neither answers (9).
+    * labels over the q164 probe/candidate space. 23 judged probes
+    * (VERDICT r18 task 3):
+    *
+    *   - probes 0–3 keep the r15 HAND labels that exercise every
+    *     judgment edge kind: ids each ranking retrieves exclusively
+    *     (334/423 plain-only, 7/207 MMR-only), shared ids at different
+    *     ranks (450), an explicit rel = 0 on a plain-retrieved id
+    *     (423), a miss for both (999);
+    *   - probes 4–21 carry SYNTHESIZED grades from the documented
+    *     deterministic rule in [[graft.tools.SynthMmrQrels]]: the
+    *     graded ideal is the exact-cosine ranking the stack
+    *     approximates (rank 1 → 3, ranks 2–3 → 2, ranks 4–6 → 1, an
+    *     explicit rel 0 at rank 8) — the same
+    *     ground-truth-by-exhaustive-scan discipline the ANN recall
+    *     monitors use, so the plain ranking is near-ideal by
+    *     construction and the MMR delta prices diversity's real
+    *     relevance cost;
+    *   - probe 25 is judged but never answered (outside the probe
+    *     set — the old probe-9 role; 9 now sits inside the pool with
+    *     synthesized grades).
     */
   private[graft] val mmrQrels: Seq[(Long, Long, Int)] = Seq(
     (0L, 365L, 3), (0L, 334L, 2), (0L, 7L, 1), (0L, 423L, 0),
     (1L, 386L, 2), (1L, 27L, 2), (1L, 999L, 1),
     (2L, 117L, 2), (2L, 450L, 1),
     (3L, 130L, 3), (3L, 207L, 1), (3L, 174L, 1),
-    (9L, 114L, 1))
+    (4L, 114L, 3), (4L, 496L, 2), (4L, 408L, 2), (4L, 482L, 1),
+    (4L, 280L, 1), (4L, 249L, 1), (4L, 89L, 0),
+    (5L, 404L, 3), (5L, 419L, 2), (5L, 157L, 2), (5L, 33L, 1),
+    (5L, 359L, 1), (5L, 316L, 1), (5L, 464L, 0),
+    (6L, 350L, 3), (6L, 430L, 2), (6L, 145L, 2), (6L, 437L, 1),
+    (6L, 386L, 1), (6L, 268L, 1), (6L, 214L, 0),
+    (7L, 340L, 3), (7L, 425L, 2), (7L, 209L, 2), (7L, 334L, 1),
+    (7L, 381L, 1), (7L, 445L, 1), (7L, 302L, 0),
+    (8L, 39L, 3), (8L, 138L, 2), (8L, 403L, 2), (8L, 497L, 1),
+    (8L, 380L, 1), (8L, 173L, 1), (8L, 494L, 0),
+    (9L, 49L, 3), (9L, 489L, 2), (9L, 414L, 2), (9L, 386L, 1),
+    (9L, 107L, 1), (9L, 256L, 1), (9L, 259L, 0),
+    (10L, 233L, 3), (10L, 272L, 2), (10L, 44L, 2), (10L, 313L, 1),
+    (10L, 123L, 1), (10L, 390L, 1), (10L, 484L, 0),
+    (11L, 30L, 3), (11L, 399L, 2), (11L, 277L, 2), (11L, 20L, 1),
+    (11L, 252L, 1), (11L, 130L, 1), (11L, 78L, 0),
+    (12L, 127L, 3), (12L, 402L, 2), (12L, 297L, 2), (12L, 281L, 1),
+    (12L, 161L, 1), (12L, 173L, 1), (12L, 16L, 0),
+    (13L, 440L, 3), (13L, 479L, 2), (13L, 337L, 2), (13L, 430L, 1),
+    (13L, 55L, 1), (13L, 395L, 1), (13L, 398L, 0),
+    (14L, 146L, 3), (14L, 147L, 2), (14L, 298L, 2), (14L, 271L, 1),
+    (14L, 479L, 1), (14L, 156L, 1), (14L, 59L, 0),
+    (15L, 424L, 3), (15L, 436L, 2), (15L, 59L, 2), (15L, 284L, 1),
+    (15L, 452L, 1), (15L, 365L, 1), (15L, 396L, 0),
+    (16L, 402L, 3), (16L, 421L, 2), (16L, 216L, 2), (16L, 35L, 1),
+    (16L, 222L, 1), (16L, 124L, 1), (16L, 88L, 0),
+    (17L, 135L, 3), (17L, 115L, 2), (17L, 197L, 2), (17L, 416L, 1),
+    (17L, 385L, 1), (17L, 70L, 1), (17L, 446L, 0),
+    (18L, 120L, 3), (18L, 181L, 2), (18L, 112L, 2), (18L, 263L, 1),
+    (18L, 495L, 1), (18L, 228L, 1), (18L, 468L, 0),
+    (19L, 87L, 3), (19L, 317L, 2), (19L, 54L, 2), (19L, 276L, 1),
+    (19L, 52L, 1), (19L, 191L, 1), (19L, 495L, 0),
+    (20L, 117L, 3), (20L, 11L, 2), (20L, 354L, 2), (20L, 302L, 1),
+    (20L, 252L, 1), (20L, 166L, 1), (20L, 54L, 0),
+    (21L, 331L, 3), (21L, 94L, 2), (21L, 24L, 2), (21L, 54L, 1),
+    (21L, 155L, 1), (21L, 136L, 1), (21L, 85L, 0),
+    (25L, 114L, 1))
 
   /** The shared paired sign-flip permutation test (q185/q190): given
     * per-item integer deltas, the observed statistic is the exact
@@ -405,43 +479,89 @@ object ExtensionQueries {
   private[graft] def signFlipPermutationTest(deltas: DataFrame,
       idCol: String, dCol: String,
       nLabel: String = "n_deltas",
-      sumLabel: String = "delta_sum"): DataFrame = {
+      sumLabel: String = "delta_sum",
+      nPerms: Int = MmrPermCount,
+      enumerateN: Option[Int] = None): DataFrame = {
     val obs = deltas.agg(sum(col(dCol)).as("t_obs"),
       count(lit(1)).as(nLabel))
-    val signs = deltas.withColumn("i",
-        explode(sequence(lit(0), lit(MmrPermCount - 1))))
-      .withColumn("sign", when(
-        conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
-          lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
-          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
-      .groupBy(col("i"))
-      .agg(sum(col("sign") * col(dCol)).as("t_i"))
-    signs.crossJoin(broadcast(obs))
+    val exact = enumerateN.filter(_ <= MaxEnumExponent)
+    val signs = exact match {
+      case Some(n) =>
+        // EXACT enumeration (ADVICE r18 / VERDICT task 3): when the
+        // caller can statically bound the item count at ≤ 2^12, the
+        // full 2^n sign-pattern null is cheaper AND tighter than
+        // Monte-Carlo draws that resample 2^n patterns with
+        // repetition. Item j's sign in draw i is bit j of i (j = the
+        // item's dense rank by id — a single-partition window, fine by
+        // contract: the caller promised ≤ MaxEnumExponent rows). If
+        // fewer than n items exist, unused bits repeat each distinct
+        // pattern uniformly, leaving p unchanged.
+        val total = 1 << n
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+        deltas.withColumn("__j", row_number().over(w) - 1)
+          .withColumn("__i",
+            explode(sequence(lit(0), lit(total - 1))))
+          .withColumn("sign",
+            when(expr("(__i & shiftleft(1, __j)) = 0"), lit(1L))
+              .otherwise(lit(-1L)))
+          .groupBy(col("__i").as("i"))
+          .agg(sum(col("sign") * col(dCol)).as("t_i"))
+      case None =>
+        deltas.withColumn("i",
+            explode(sequence(lit(0), lit(nPerms - 1))))
+          .withColumn("sign", when(
+            conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
+              lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+          .groupBy(col("i"))
+          .agg(sum(col("sign") * col(dCol)).as("t_i"))
+    }
+    val nDraws = exact.map(1 << _).getOrElse(nPerms)
+    val base = signs.crossJoin(broadcast(obs))
       .agg(first(col(nLabel)).as(nLabel),
-        lit(MmrPermCount.toLong).as("n_perms"),
+        lit(nDraws.toLong).as("n_perms"),
         first(col("t_obs")).as(sumLabel),
         sum(when(abs(col("t_i")) >= abs(col("t_obs")), 1L)
           .otherwise(0L)).as("n_as_extreme"))
-      .withColumn("p_value",
+    // exact mode: the enumerated null contains the identity draw, so
+    // p = extreme/2^n is already ≥ 1/2^n and needs no +1 smoothing;
+    // MC mode keeps the standard (1 + extreme)/(1 + draws)
+    val withP = exact match {
+      case Some(_) => base.withColumn("p_value",
+        col("n_as_extreme").cast("double") / lit(nDraws.toDouble))
+      case None => base.withColumn("p_value",
         (col("n_as_extreme") + lit(1L)).cast("double") /
-          lit((MmrPermCount + 1).toDouble))
-      // EMPTY deltas (q190 on a corpus where the gates fully agree):
-      // there is nothing to test — emit ZERO rows rather than one
-      // all-NULL row, matching the oracle's GROUP BY over an empty draw
-      // table (the global agg above always emits a row; its NULL count
-      // marks the vacuous case)
-      .filter(col(nLabel).isNotNull)
+          lit((nDraws + 1).toDouble))
+    }
+    // EMPTY deltas (q190 on a corpus where the gates fully agree):
+    // there is nothing to test — emit ZERO rows rather than one
+    // all-NULL row, matching the oracle's GROUP BY over an empty draw
+    // table (the global agg above always emits a row; its NULL count
+    // marks the vacuous case)
+    withP.filter(col(nLabel).isNotNull)
   }
 
-  /** q185's permutation count — BOUNDED by construction: the sign-flip
-    * draws are seeded md5 parities (not enumerated 2ⁿ patterns), so the
-    * test costs nPerms × |judged probes| rows at ANY corpus/query scale.
-    * 256 draws resolve p to ±1/257, plenty to separate "noise" from
-    * "real" for a gate read by humans; on the fixture's 5 judged probes
-    * the draws sample the 32 distinct patterns with repetition, which
-    * keeps the estimator valid (standard Monte-Carlo permutation test).
+  /** Enumeration cutoff: 2^12 = 4096 draws — above this the seeded
+    * Monte-Carlo null is cheaper; below it the exact null is free and
+    * has no sampling error.
+    */
+  private[graft] val MaxEnumExponent: Int = 12
+
+  /** The default Monte-Carlo permutation count — BOUNDED by
+    * construction: the sign-flip draws are seeded md5 parities, so the
+    * test costs nPerms × |items| rows at ANY corpus scale. 256 draws
+    * resolve p to ±1/257 — q190's per-doc discordant set uses this.
+    * Callers whose item count is statically ≤ [[MaxEnumExponent]]
+    * should enumerate exactly instead (q195).
     */
   private[graft] val MmrPermCount: Int = 256
+
+  /** q185's permutation count: the 23-judged-probe pool (2²³ patterns)
+    * stays Monte-Carlo, but the headline significance number deserves
+    * finer resolution than ±1/257 — 1024 draws cost 1024 × 23 rows
+    * (trivial) and resolve p to ±1/1025.
+    */
+  private[graft] val MmrPermCountWide: Int = 1024
 
   /** The committed q176 tuning grid: kRrf at 10/60/240 (sharp → flat
     * rank discounting) at equal weights, then the weight axis at the
@@ -780,6 +900,118 @@ object ExtensionQueries {
           sum(when(col("__en") === col("__lab"), 1L).otherwise(0L))
             .as("n_correct_en"))
         .orderBy(col("pred_lang"))
+    }),
+
+    // -- HELD-OUT calibration report (q192): every fitted-artifact ECE
+    // in the repo, measured on the md5-parity eval half the fits never
+    // saw (VERDICT r18 task 1 — the train-half "ECE → 0.000000" rows in
+    // the artifact comments are tautological; THESE are the numbers a
+    // user should trust at corpus scale). Three reliability reports over
+    // CALIBRATED scores — quality vs the en seed, langid vs the true
+    // lang, per-lang gate vs the heuristic seed — stacked with a
+    // classifier tag; each summary row's abs_gap is that artifact's
+    // held-out residual ECE. One scan per classifier into ≤11 rows -----
+    "q192_heldout_calibration" -> ((s, dir) => {
+      import graft.ext.CalibrationMaps
+      val ev = holdoutEval(col("doc_id"))
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val quality = ProfileOps.calibrationReport(
+          docs.filter(ev),
+          calMicro(round(TextOps.qualityLrScore(col("text")), 6),
+            CalibrationMaps.qualityCalMicro).cast("double") / 1000000.0,
+          col("lang") === "en", nBuckets = 10)
+        .withColumn("classifier", lit("quality"))
+      val scored = langIdScored(t(s, dir, "documents")).filter(ev)
+      val langid = ProfileOps.calibrationReport(
+          scored.filter(col("lang").isNotNull),
+          col("__cal").cast("double") / 1000000.0,
+          col("__best").getField("l") === col("lang"), nBuckets = 10)
+        .withColumn("classifier", lit("langid"))
+      val disp = scored.withColumn("pred_lang",
+        langIdPredictedOrUnd(col("__best")))
+      val gate = ProfileOps.calibrationReport(
+          disp,
+          calMicro(round(qualityLrScoreByLang(col("text"),
+              col("pred_lang")), 6),
+            CalibrationMaps.perLangGateCalMicro).cast("double")
+            / 1000000.0,
+          TextOps.qualityScore(col("text")) >= 0.5, nBuckets = 10)
+        .withColumn("classifier", lit("perlang_gate"))
+      quality.unionAll(langid).unionAll(gate)
+        .select(col("classifier"), col("bucket"), col("n"),
+          col("n_pos"), col("pos_rate"), col("mean_pred"),
+          col("abs_gap"))
+        .orderBy(col("classifier"), col("bucket"))
+    }),
+
+    // -- HELD-OUT gate accuracy by language (q193): q187's exact shape
+    // on the eval half only — the generalization row behind the per-lang
+    // gate migration (q187's full-population numbers include the very
+    // docs each gate was fit on; these don't) ---------------------------
+    "q193_heldout_gate_accuracy" -> ((s, dir) => {
+      val label = TextOps.qualityScore(col("text")) >= 0.5
+      langIdScored(t(s, dir, "documents"))
+        .filter(holdoutEval(col("doc_id")))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .withColumn("__lab", label)
+        .withColumn("__pl",
+          round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6)
+            >= graft.ext.CalibrationMaps.perLangGateRawCut)
+        .withColumn("__en",
+          round(TextOps.qualityLrScore(col("text")), 6) >=
+            graft.ext.CalibrationMaps.gateRawCut)
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__pl") === col("__lab"), 1L).otherwise(0L))
+            .as("n_correct_perlang"),
+          sum(when(col("__en") === col("__lab"), 1L).otherwise(0L))
+            .as("n_correct_en"))
+        .orderBy(col("pred_lang"))
+    }),
+
+    // -- Und-gated selection (q194): the corpus's largest gated-blind
+    // segment closed (VERDICT r18 task 2) — every document the
+    // calibrated reject sends to 'und' (a third of the fixture), with
+    // the score and keep decision of whichever und arm the fit tool
+    // committed BY MEASUREMENT (its own und-fit gate if that beat the
+    // global EN fallback on the held-out und half, else the fallback).
+    // q193's und row carries the held-out agreement evidence ------------
+    "q194_und_gated_selection" -> ((s, dir) =>
+      langIdScored(t(s, dir, "documents"))
+        .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
+        .filter(col("pred_lang") === "und")
+        .withColumn("score",
+          round(qualityLrScoreByLang(col("text"), col("pred_lang")), 6))
+        .select(col("doc_id"), col("score"),
+          (col("score") >= graft.ext.CalibrationMaps.perLangGateRawCut)
+            .as("keep"))
+        .orderBy(col("doc_id"))),
+
+    // -- Fertility-delta significance (q195): is the per-language
+    // pricing win (q159 → q177) real, or a few languages' noise? Per
+    // predicted language, the exact ten-thousandths fertility delta
+    // (global-vocabulary pricing − per-language pricing — positive
+    // means the per-lang vocabulary genuinely compresses that slice);
+    // the item count is STATICALLY |langs|+1 = 6, so the null is the
+    // EXACT 2⁶ = 64-pattern sign-flip enumeration (the ADVICE r18
+    // fix: below 2^12 patterns, enumerating beats Monte-Carlo draws
+    // that resample the same patterns with repetition) — p has zero
+    // sampling error and needs no +1 smoothing ---------------------------
+    "q195_fertility_delta_significance" -> ((s, dir) => {
+      val deltas = langIdScored(t(s, dir, "documents"))
+        .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
+        .groupBy(col("predicted"))
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("ws"),
+          sum(TextOps.subwordTokenCount(col("text"))).as("tg"),
+          sum(TextOps.subwordTokenCountByLang(col("text"),
+            col("predicted"))).as("tp"))
+        .select(col("predicted"),
+          (expr("(2 * 10000 * tg + ws) div (2 * ws)") -
+            expr("(2 * 10000 * tp + ws) div (2 * ws)")).as("d"))
+      signFlipPermutationTest(deltas, "predicted", "d",
+        nLabel = "n_langs", sumLabel = "delta_sum_u4",
+        enumerateN = Some(graft.ext.LangIdWeights.langs.length + 1))
     }),
 
     // -- Calibration staleness (q191): the q138→q143 monitor discipline
@@ -2026,7 +2258,7 @@ object ExtensionQueries {
     // inherently sequential walk runs per probe in flatMapGroups --------
     "q164_mmr_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").drop("label")
-      SimilarityOps.mmrRerank(e.filter(col("vec_id") < 6), e,
+      SimilarityOps.mmrRerank(e.filter(col("vec_id") < MmrProbeCount), e,
           poolK = 8, k = 4)
         .orderBy(col("probe_id"), col("mmr_rank"))
     }),
@@ -2042,7 +2274,7 @@ object ExtensionQueries {
     "q178_mmr_quality_delta" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings").drop("label")
-      val probes = e.filter(col("vec_id") < 6)
+      val probes = e.filter(col("vec_id") < MmrProbeCount)
       val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
       val mmr = SimilarityOps.mmrRerank(probes, e, poolK = 8, k = 4)
         .select(col("probe_id"), col("cand_id"), col("mmr_rank"))
@@ -2067,7 +2299,7 @@ object ExtensionQueries {
     "q182_mmr_lambda_sweep" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings").drop("label")
-      val probes = e.filter(col("vec_id") < 6)
+      val probes = e.filter(col("vec_id") < MmrProbeCount)
       val pool = SimilarityOps.bruteForceTopK(probes, e, k = 8)
         .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
       val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
@@ -2147,19 +2379,21 @@ object ExtensionQueries {
     }),
 
     // -- Paired permutation test for the MMR quality delta (q185): the
-    // q178 mean hides a sign-flipping probe — this prices the
+    // q178 mean hides sign-flipping probes — this prices the
     // SIGNIFICANCE of the delta instead of just its size. Per judged
-    // probe, the exact micro nDCG@4 delta (mmr − plain, the q178
-    // numbers); the statistic is the integer delta sum; the null is
-    // 256 seeded sign-flip draws whose per-probe signs are md5 parities
-    // both engines compute byte-identically (no RNG anywhere); p is the
-    // standard (1 + #as-extreme)/(1 + n_perms) with ONE final division.
-    // The fixture's verdict: the delta is NOT significant at 5 probes —
-    // exactly the honesty the q178 headline needed -----------------------
+    // probe (23 after the r19 qrels growth — the r18 fixture's 5 were
+    // honest but underpowered), the exact micro nDCG@4 delta (mmr −
+    // plain, the q178 numbers); the statistic is the integer delta
+    // sum; the null is 1024 seeded sign-flip draws whose per-probe
+    // signs are md5 parities both engines compute byte-identically (no
+    // RNG anywhere); p is the standard (1 + #as-extreme)/(1 + n_perms)
+    // with ONE final division. Under the cosine-ideal synthesized
+    // grades the plain ranking is near-ideal by construction, so the
+    // test now measures diversity's real relevance cost with power ------
     "q185_mmr_delta_significance" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings").drop("label")
-      val probes = e.filter(col("vec_id") < 6)
+      val probes = e.filter(col("vec_id") < MmrProbeCount)
       val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
       val mmr = SimilarityOps.mmrRerank(probes, e, poolK = 8, k = 4)
         .select(col("probe_id"), col("cand_id"), col("mmr_rank"))
@@ -2176,7 +2410,7 @@ object ExtensionQueries {
         .select(col("probe_id"),
           (col("m.u") - col("p.u")).as("d"))
       signFlipPermutationTest(d, "probe_id", "d", nLabel = "n_probes",
-        sumLabel = "delta_sum_u")
+        sumLabel = "delta_sum_u", nPerms = MmrPermCountWide)
     }),
 
     // -- SemDeDup (Abbas et al. 2023): nearest-cell assignment against the
@@ -3897,7 +4131,7 @@ object ExtensionQueries {
        |  FROM embeddings),
        |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
        |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
-       |  FROM e p JOIN e c ON p.vec_id < 6 AND p.vec_id <> c.vec_id),
+       |  FROM e p JOIN e c ON p.vec_id < $MmrProbeCount AND p.vec_id <> c.vec_id),
        |rel AS (SELECT probe_id, cand_id, sim AS rel FROM (
        |    SELECT probe_id, cand_id, sim, row_number() OVER (
        |      PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rk
@@ -4010,20 +4244,21 @@ object ExtensionQueries {
       |    AND m.ranking = 'mmr' AND p.ranking = 'plain'),
       |obs AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
       |    CAST(count(*) AS BIGINT) AS n_probes FROM dlt),
-      |prm AS (SELECT i FROM generate_series(0, ${MmrPermCount - 1}) t(i)),
+      |prm AS (SELECT i FROM generate_series(0, ${MmrPermCountWide - 1})
+      |  t(i)),
       |ti AS (SELECT i, CAST(sum(CASE WHEN
       |      CAST(('0x' || substr(md5('perm' || i || ':' || probe_id),
       |        1, 8)) AS BIGINT) % 2 = 0
       |      THEN d ELSE -d END) AS BIGINT) AS t_i
       |  FROM prm CROSS JOIN dlt GROUP BY i)
       |SELECT obs.n_probes,
-      |  CAST($MmrPermCount AS BIGINT) AS n_perms,
+      |  CAST($MmrPermCountWide AS BIGINT) AS n_perms,
       |  obs.t_obs AS delta_sum_u,
       |  CAST(sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
       |  CAST(1 + sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
       |    THEN 1 ELSE 0 END) AS DOUBLE) /
-      |    CAST(${MmrPermCount + 1} AS DOUBLE) AS p_value
+      |    CAST(${MmrPermCountWide + 1} AS DOUBLE) AS p_value
       |FROM ti CROSS JOIN obs
       |GROUP BY obs.n_probes, obs.t_obs""".stripMargin
 
@@ -4811,6 +5046,13 @@ object ExtensionQueries {
       s"$arms END)"
   }
 
+  /** SQL twin of [[holdoutEval]] — the eval-half predicate as a DuckDB
+    * expression over a doc-id column (same md5 parity, same namespace).
+    */
+  private[graft] def holdoutEvalSql(idExpr: String): String =
+    s"(CAST(('0x' || substr(md5('split:' || $idExpr), 1, 8)) " +
+      "AS BIGINT) % 2 = 1)"
+
   /** The calibrated reject CASE shared by every oracle that derives
     * `pred_lang`/`predicted`: 'und' when the calibrated P(argmax
     * correct) sits below the committed cut — the SQL twin of
@@ -4855,15 +5097,23 @@ object ExtensionQueries {
     * (doc_id, pred_lang, score).
     */
   private lazy val perLangQualityCtes: String = {
-    import graft.ext.{QualityLrWeights, QualityLrWeightsByLang => W}
-    val wRows = (W.langs.map(l => l -> W.weights(l)) :+
-        ("und" -> QualityLrWeights.weights))
-      .flatMap { case (l, w) =>
+    import graft.ext.{LangIdWeights, QualityLrWeights,
+      QualityLrWeightsByLang => W}
+    // every dispatch value (the five langid classes + 'und') resolves
+    // to its COMMITTED per-slice gate when the fit tool's held-out
+    // measurement kept one, and to the global EN-fitted gate otherwise
+    // (r19: arms are committed per-slice by measurement, so any slice
+    // may be on the fallback at a given SF)
+    val dispatch = (LangIdWeights.langs :+ "und").map { l =>
+      if (W.langs.contains(l)) (l, W.weights(l), W.biases(l))
+      else (l, QualityLrWeights.weights, QualityLrWeights.bias)
+    }
+    val wRows = dispatch
+      .flatMap { case (l, w, _) =>
         w.zipWithIndex.map { case (v, i) => s"('$l', $i, $v)" }
       }.mkString(",\n    ")
-    val bRows = (W.langs.map(l => l -> W.biases(l)) :+
-        ("und" -> QualityLrWeights.bias))
-      .map { case (l, b) => s"('$l', $b)" }.mkString(", ")
+    val bRows = dispatch
+      .map { case (l, _, b) => s"('$l', $b)" }.mkString(", ")
     s"""pr186 AS (SELECT doc_id,
        |    ${undCaseSql("score", "lang")} AS pred_lang
        |  FROM best WHERE rn = 1),
@@ -4890,12 +5140,12 @@ object ExtensionQueries {
        |WHERE score >= ${graft.ext.CalibrationMaps.perLangGateRawCut}
        |ORDER BY doc_id""".stripMargin
 
-  /** q187's oracle: the heuristic quality seed (q22's exact
-    * arithmetic), the EN-only gate (shared qz CTEs at the committed
-    * calibrated cut), and the per-lang gate — agreement counts per
-    * predicted language, integers only.
+  /** q187's oracle (and, restricted to the held-out half, q193's): the
+    * heuristic quality seed (q22's exact arithmetic), the EN-only gate
+    * (shared qz CTEs at the committed calibrated cut), and the per-lang
+    * gate — agreement counts per predicted language, integers only.
     */
-  private lazy val gateAccuracyByLangOracleSql: String =
+  private def gateAccuracyByLangSql(where: String): String =
     s"""WITH $langIdCtes,
        |$perLangQualityCtes,
        |${qualityLrScoreCtes("d154")},
@@ -4909,7 +5159,110 @@ object ExtensionQueries {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_en
        |FROM pr186 JOIN qz186 USING (doc_id) JOIN qz USING (doc_id)
        |JOIN hq USING (doc_id)
+       |WHERE $where
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private lazy val gateAccuracyByLangOracleSql: String =
+    gateAccuracyByLangSql("TRUE")
+
+  /** q193's oracle: q187's exact arithmetic over the md5-parity
+    * held-out half only — the committed gates' generalization rows.
+    */
+  private lazy val heldoutGateAccuracyOracleSql: String =
+    gateAccuracyByLangSql(holdoutEvalSql("pr186.doc_id"))
+
+  /** q194's oracle: the und slice of the shared per-lang dispatch
+    * (whatever arm [[graft.ext.QualityLrWeightsByLang]] committed for
+    * 'und'), with the keep decision at the committed cut.
+    */
+  private lazy val undGatedSelectionOracleSql: String =
+    s"""WITH $langIdCtes,
+       |$perLangQualityCtes
+       |SELECT doc_id, score,
+       |  (score >= ${graft.ext.CalibrationMaps.perLangGateRawCut})
+       |    AS keep
+       |FROM qz186 WHERE pred_lang = 'und'
+       |ORDER BY doc_id""".stripMargin
+
+  /** One reliability-report block (q175's exact integer arithmetic)
+    * over a CTE yielding (doc_id, score, pos), with suffixed CTE names
+    * and a classifier tag — q192 stacks three. Emits `rep$sfx`.
+    */
+  private def calibReportBlockSql(srcCte: String, tag: String,
+                                  sfx: String): String =
+    s"""lab$sfx AS (SELECT doc_id,
+       |    CAST(round(score * 1000000) AS BIGINT) AS su,
+       |    CAST(LEAST(9, GREATEST(0, CAST(floor(score * 10) AS BIGINT)))
+       |      AS INTEGER) AS bucket, pos
+       |  FROM $srcCte),
+       |pb$sfx AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(su) AS BIGINT) AS su
+       |  FROM lab$sfx GROUP BY bucket),
+       |pm$sfx AS (SELECT bucket, n, n_pos, su,
+       |    abs(su - 1000000 * n_pos) AS gap_u FROM pb$sfx),
+       |rep$sfx AS (
+       |  SELECT '$tag' AS classifier, bucket, n, n_pos,
+       |    CAST((2 * 1000000 * n_pos + n) // (2 * n) AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) AS pos_rate,
+       |    CAST((2 * su + n) // (2 * n) AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) AS mean_pred,
+       |    CAST((2 * gap_u + n) // (2 * n) AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) AS abs_gap
+       |  FROM pm$sfx
+       |  UNION ALL
+       |  SELECT '$tag', -1, CAST(sum(n) AS BIGINT),
+       |    CAST(sum(n_pos) AS BIGINT),
+       |    CAST((2 * 1000000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+       |      AS DOUBLE) / CAST(1000000 AS DOUBLE),
+       |    CAST((2 * sum(su) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE),
+       |    CAST((2 * sum(gap_u) + sum(n)) // (2 * sum(n)) AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE)
+       |  FROM pm$sfx)""".stripMargin
+
+  /** q192's oracle: the three fitted artifacts' CALIBRATED scores (the
+    * committed CASE arms) on the md5-parity held-out half, each rolled
+    * up by the shared reliability block and stacked under a classifier
+    * tag — every summary row's abs_gap is a held-out residual ECE.
+    */
+  private lazy val heldoutCalibrationOracleSql: String = {
+    import graft.ext.CalibrationMaps
+    s"""WITH $langIdCtes,
+       |$perLangQualityCtes,
+       |${qualityLrScoreCtes("d154")},
+       |$heuristicLabelCtes,
+       |src_q AS (SELECT qz.doc_id,
+       |    CAST(${calMicroSql("qz.score",
+              CalibrationMaps.qualityCalMicro)} AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) AS score,
+       |    CASE WHEN dd.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM qz JOIN documents dd ON dd.doc_id = qz.doc_id
+       |  WHERE dd.lang IS NOT NULL
+       |    AND ${holdoutEvalSql("qz.doc_id")}),
+       |src_l AS (SELECT b.doc_id,
+       |    CAST(${calMicroSql("b.score",
+              CalibrationMaps.langIdCalMicro)} AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) AS score,
+       |    CASE WHEN b.lang = d.lang THEN 1 ELSE 0 END AS pos
+       |  FROM best b JOIN documents d ON d.doc_id = b.doc_id
+       |  WHERE b.rn = 1 AND d.lang IS NOT NULL
+       |    AND ${holdoutEvalSql("b.doc_id")}),
+       |src_g AS (SELECT qz186.doc_id,
+       |    CAST(${calMicroSql("qz186.score",
+              CalibrationMaps.perLangGateCalMicro)} AS DOUBLE) /
+       |      CAST(1000000 AS DOUBLE) AS score,
+       |    CASE WHEN hq.lab THEN 1 ELSE 0 END AS pos
+       |  FROM qz186 JOIN hq USING (doc_id)
+       |  WHERE ${holdoutEvalSql("qz186.doc_id")}),
+       |${calibReportBlockSql("src_q", "quality", "_q")},
+       |${calibReportBlockSql("src_l", "langid", "_l")},
+       |${calibReportBlockSql("src_g", "perlang_gate", "_g")}
+       |SELECT * FROM rep_q
+       |UNION ALL SELECT * FROM rep_l
+       |UNION ALL SELECT * FROM rep_g
+       |ORDER BY classifier, bucket""".stripMargin
+  }
 
   /** q191's oracle: the committed calibration applied (the same CASE
     * arms), then q183's exact bucket/ECE arithmetic over the CALIBRATED
@@ -5314,6 +5667,51 @@ object ExtensionQueries {
        |FROM pr JOIN ws159 USING (doc_id) JOIN dtok USING (doc_id)
        |GROUP BY pr.predicted
        |ORDER BY pr.predicted""".stripMargin
+
+  /** q195's oracle: both pricing chains (the global `dtok` and the
+    * per-language `dtokp`) aggregated into one exact ten-thousandths
+    * fertility delta per predicted language, then the EXACT 2⁶
+    * sign-flip enumeration — draw i flips item j (dense rank by
+    * language) when bit j of i is set; p is the exact fraction of
+    * as-extreme patterns (the identity draw included, so no +1
+    * smoothing).
+    */
+  private lazy val fertilityDeltaSignificanceOracleSql: String = {
+    val total = 1 << (graft.ext.LangIdWeights.langs.length + 1)
+    perLangPricedPreludeSql + s""",
+       |ws195 AS (SELECT doc_id,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS wt
+       |  FROM documents WHERE text IS NOT NULL),
+       |fz AS (SELECT pr.pred_lang AS predicted,
+       |    CAST(sum(ws195.wt) AS BIGINT) AS ws,
+       |    CAST(sum(dtok.n_tokens) AS BIGINT) AS tg,
+       |    CAST(sum(dtokp.n_tokens) AS BIGINT) AS tp
+       |  FROM pr JOIN ws195 USING (doc_id) JOIN dtok USING (doc_id)
+       |  JOIN dtokp USING (doc_id)
+       |  GROUP BY 1),
+       |dlt AS (SELECT predicted,
+       |    ((2 * 10000 * tg + ws) // (2 * ws)) -
+       |      ((2 * 10000 * tp + ws) // (2 * ws)) AS d
+       |  FROM fz),
+       |idx AS (SELECT predicted, CAST(d AS BIGINT) AS d,
+       |    CAST(row_number() OVER (ORDER BY predicted) AS INT) - 1 AS j
+       |  FROM dlt),
+       |obs AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+       |    CAST(count(*) AS BIGINT) AS n_langs FROM dlt),
+       |prm AS (SELECT i FROM generate_series(0, ${total - 1}) t(i)),
+       |ti AS (SELECT i, CAST(sum(CASE WHEN (i & (1 << j)) = 0
+       |      THEN d ELSE -d END) AS BIGINT) AS t_i
+       |  FROM prm CROSS JOIN idx GROUP BY i)
+       |SELECT obs.n_langs, CAST($total AS BIGINT) AS n_perms,
+       |  obs.t_obs AS delta_sum_u4,
+       |  CAST(sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+       |  CAST(sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+       |    THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST($total AS DOUBLE) AS p_value
+       |FROM ti CROSS JOIN obs
+       |GROUP BY obs.n_langs, obs.t_obs""".stripMargin
+  }
 
   /** q150's oracle: q127's naive global-window selection, with n_tokens
     * REBUILT from the committed [[graft.ext.BpeMerges]] literals — the
@@ -6194,6 +6592,11 @@ object ExtensionQueries {
     "q189_per_lang_gate_calibration" -> perLangGateCalibrationOracleSql,
     "q190_gate_delta_significance" -> gateDeltaSignificanceOracleSql,
     "q191_calibration_staleness" -> calibrationStalenessOracleSql,
+    "q192_heldout_calibration" -> heldoutCalibrationOracleSql,
+    "q193_heldout_gate_accuracy" -> heldoutGateAccuracyOracleSql,
+    "q194_und_gated_selection" -> undGatedSelectionOracleSql,
+    "q195_fertility_delta_significance" ->
+      fertilityDeltaSignificanceOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,

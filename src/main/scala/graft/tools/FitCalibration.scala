@@ -101,33 +101,44 @@ object FitCalibration {
     spark.sparkContext.setLogLevel("WARN")
     val d = graft.Tables.load(spark, sfDir, "documents")
       .filter(col("text").isNotNull).persist()
+    // md5-parity held-out split (VERDICT r18 task 1): the PAV fit sees
+    // ONLY the train half; the eval half exists so the committed
+    // artifact's ECE can be reported out-of-sample (q192) instead of on
+    // the very buckets the correction was fit to.
+    val isEval = graft.queries.ExtensionQueries.holdoutEval(col("doc_id"))
+    val dTrain = d.filter(!isEval)
 
     // -- quality classifier (q175's exact report shape) -----------------
+    val qScore = round(TextOps.qualityLrScore(col("text")), 6)
+    val qLabel = col("lang") === "en"
     val (qHist, qEce) = histogram(
-      ProfileOps.calibrationReport(d,
-        round(TextOps.qualityLrScore(col("text")), 6),
-        col("lang") === "en", nBuckets), nBuckets)
+      ProfileOps.calibrationReport(dTrain, qScore, qLabel, nBuckets),
+      nBuckets)
     val qCal = pavMicro(qHist)
 
     // -- language ID (q183's exact report shape: judged BEFORE reject) --
-    val scored = graft.queries.ExtensionQueries.langIdScored(d)
+    val scored = graft.queries.ExtensionQueries.langIdScored(d).persist()
+    val sTrain = scored.filter(!isEval)
+    val lScore = col("__best").getField("sc")
+    val lLabel = col("__best").getField("l") === col("lang")
     val (lHist, lEce) = histogram(
-      ProfileOps.calibrationReport(scored.filter(col("lang").isNotNull),
-        col("__best").getField("sc"),
-        col("__best").getField("l") === col("lang"), nBuckets), nBuckets)
+      ProfileOps.calibrationReport(
+        sTrain.filter(col("lang").isNotNull), lScore, lLabel, nBuckets),
+      nBuckets)
     val lCal = pavMicro(lHist)
 
     // -- per-language gate dispatch (q189's exact report shape: the
-    // full serving population incl. the und slice's global fallback,
-    // labeled by the heuristic seed the gates were fit against) --------
+    // full serving population incl. the und slice, labeled by the
+    // heuristic seed the gates were fit against) ------------------------
     val dispatched = scored.withColumn("pred_lang",
       graft.queries.ExtensionQueries.langIdPredictedOrUnd(col("__best")))
+      .persist()
     val plScore = round(graft.queries.ExtensionQueries
       .qualityLrScoreByLang(col("text"), col("pred_lang")), 6)
     val plLabel = TextOps.qualityScore(col("text")) >= 0.5
     val (gHist, gEce) = histogram(
-      ProfileOps.calibrationReport(dispatched, plScore, plLabel,
-        nBuckets), nBuckets)
+      ProfileOps.calibrationReport(dispatched.filter(!isEval),
+        plScore, plLabel, nBuckets), nBuckets)
     val gCal = pavMicro(gHist)
 
     // post-calibration ECE: re-bucket the CALIBRATED score with the same
@@ -142,12 +153,16 @@ object FitCalibration {
       ProfileOps.calibrationReport(df, calScore, label, nBuckets)
         .filter(col("bucket") === -1).collect()(0).getDouble(5)
     }
-    val qPost = postEce(d, round(TextOps.qualityLrScore(col("text")), 6),
-      col("lang") === "en", qCal)
-    val lPost = postEce(scored.filter(col("lang").isNotNull),
-      col("__best").getField("sc"),
-      col("__best").getField("l") === col("lang"), lCal)
-    val gPost = postEce(dispatched, plScore, plLabel, gCal)
+    val qPost = postEce(dTrain, qScore, qLabel, qCal)
+    val lPost = postEce(sTrain.filter(col("lang").isNotNull),
+      lScore, lLabel, lCal)
+    val gPost = postEce(dispatched.filter(!isEval), plScore, plLabel, gCal)
+    // the honest numbers: residual ECE of the train-fit map on the
+    // HELD-OUT half (what q192 registers per-round)
+    val qHeld = postEce(d.filter(isEval), qScore, qLabel, qCal)
+    val lHeld = postEce(
+      scored.filter(isEval && col("lang").isNotNull), lScore, lLabel, lCal)
+    val gHeld = postEce(dispatched.filter(isEval), plScore, plLabel, gCal)
 
     // re-derived thresholds on calibrated scores
     val gateBucket = qCal.indexWhere(_ >= 500000L)
@@ -157,12 +172,14 @@ object FitCalibration {
     require(plGateBucket >= 0, "per-lang gate calibration never " +
       "reaches 0.5 — no gate cut is derivable; inspect the gates first")
     println(s"quality: hist=$qHist cal=$qCal " +
-      f"ece $qEce%.6f -> $qPost%.6f gateBucket=$gateBucket")
+      f"ece $qEce%.6f -> $qPost%.6f (held-out $qHeld%.6f) " +
+      s"gateBucket=$gateBucket")
     println(s"langid:  hist=$lHist cal=$lCal " +
-      f"ece $lEce%.6f -> $lPost%.6f " +
+      f"ece $lEce%.6f -> $lPost%.6f (held-out $lHeld%.6f) " +
       s"rejectBuckets=${lCal.takeWhile(_ < 500000L).length}")
     println(s"perlang: hist=$gHist cal=$gCal " +
-      f"ece $gEce%.6f -> $gPost%.6f gateBucket=$plGateBucket")
+      f"ece $gEce%.6f -> $gPost%.6f (held-out $gHeld%.6f) " +
+      s"gateBucket=$plGateBucket")
 
     def seqLit(xs: Seq[Long]) = xs.map(_ + "L").mkString(", ")
     val src =
@@ -182,10 +199,15 @@ object FitCalibration {
          |  * map-only (one array lookup); every consuming oracle rebuilds
          |  * the lookup as SQL CASE arms from these same literals.
          |  *
+         |  * Fit on the md5-parity TRAIN half only (holdoutEval=false);
+         |  * the held-out column is the residual ECE of this committed map
+         |  * on the eval half the fit never saw (q192 re-measures it
+         |  * per-round).
+         |  *
          |  * Fit record ($sfDir):
-         |  *   quality ECE ${f"$qEce%.6f"} -> ${f"$qPost%.6f"} (post-calibration)
-         |  *   langid  ECE ${f"$lEce%.6f"} -> ${f"$lPost%.6f"} (post-calibration)
-         |  *   perlang ECE ${f"$gEce%.6f"} -> ${f"$gPost%.6f"} (post-calibration)
+         |  *   quality ECE ${f"$qEce%.6f"} -> ${f"$qPost%.6f"} (train) / ${f"$qHeld%.6f"} (held-out)
+         |  *   langid  ECE ${f"$lEce%.6f"} -> ${f"$lPost%.6f"} (train) / ${f"$lHeld%.6f"} (held-out)
+         |  *   perlang ECE ${f"$gEce%.6f"} -> ${f"$gPost%.6f"} (train) / ${f"$gHeld%.6f"} (held-out)
          |  */
          |object CalibrationMaps {
          |  val nBuckets: Int = $nBuckets

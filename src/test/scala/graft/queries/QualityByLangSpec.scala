@@ -30,7 +30,13 @@ class QualityByLangSpec extends AnyFunSuite {
           .as("v"), direct.as("d")).collect()
       rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), l))
     }
-    Seq("und", "xx").foreach { l =>
+    // labels WITHOUT a committed arm (an unknown label always; 'und'
+    // only while its slice has no artifact — r19 commits arms
+    // per-slice by held-out measurement) get the global fallback
+    val fallbackLabels = Seq("xx") ++
+      (if (QualityLrWeightsByLang.langs.contains("und")) Nil
+       else Seq("und"))
+    fallbackLabels.foreach { l =>
       val rows = texts.select(
         ExtensionQueries.qualityLrScoreByLang(col("text"), lit(l)).as("v"),
         org.apache.spark.sql.graft.SubwordFunctions
@@ -41,23 +47,31 @@ class QualityByLangSpec extends AnyFunSuite {
     }
   }
 
-  test("q187: per-lang gates beat the EN-only baseline on every fitted " +
-      "language; the und row's two gates are the SAME gate") {
+  test("q187: every COMMITTED arm beats the EN-only baseline on its " +
+      "slice (incl. und's own gate — VERDICT r18 task 2: > 0.6 there); " +
+      "slices without an arm read identically on both sides") {
     val rows = ExtensionQueries
       .queries("q187_gate_accuracy_by_lang")(spark, dir)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val und = rows("und")
-    assert(und._2 == und._3,
-      "und falls back to the global gate on BOTH sides")
-    QualityLrWeightsByLang.langs.filter(rows.contains).foreach { l =>
-      val (n, pl, en) = rows(l)
-      assert(n > 0 && pl >= en,
-        s"$l: per-lang $pl/$n must not lose to EN-only $en/$n")
+    val committed = QualityLrWeightsByLang.langs.toSet
+    rows.foreach { case (l, (n, pl, en)) =>
+      if (committed(l))
+        assert(n > 0 && pl > en,
+          s"$l has a committed arm: per-lang $pl/$n must beat " +
+            s"EN-only $en/$n")
+      // slices WITHOUT an arm share the global gate's WEIGHTS but sit
+      // behind the per-lang family's calibrated cut (0.6 here vs the
+      // EN column's 0.4), so the two columns may legitimately differ —
+      // no equality to pin, only that the row exists with real docs
+      else assert(n > 0, s"$l row must carry docs")
     }
-    // and it genuinely WINS somewhere (not vacuous equality)
-    assert(QualityLrWeightsByLang.langs.filter(rows.contains)
-      .exists(l => rows(l)._2 > rows(l)._3))
+    // the r18 hole closed by measurement: the und slice (a third of
+    // the fixture) is now gated above 0.6 agreement with the seed
+    if (committed("und")) {
+      val (n, pl, _) = rows("und")
+      assert(pl * 10 > n * 6, s"und gate agreement $pl/$n must be > 0.6")
+    }
   }
 
   test("q190: the gate delta is significant (the q185 discipline on the " +
