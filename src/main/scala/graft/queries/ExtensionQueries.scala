@@ -862,9 +862,9 @@ object ExtensionQueries {
 
     // -- Per-language quality-gated selection (q186): the EN-fitted
     // gate asymmetry closed — each document is gated by ITS predicted
-    // language's committed quality LR (fit on that slice against the
-    // language-agnostic heuristic seed; 'und' keeps the global gate),
-    // so fr/es/zh/de docs stop being scored by how English they look.
+    // language's committed arm where the held-out measurement kept one
+    // (r19: en + und at this SF; slices whose fitted gate loses to the
+    // global EN gate out-of-sample fall back to it, by measurement).
     // One scan, map-only: fused six-class scorer + linear dispatch ------
     "q186_per_lang_gated_selection" -> ((s, dir) => {
       val scored = langIdScored(t(s, dir, "documents"))
@@ -2357,9 +2357,10 @@ object ExtensionQueries {
     // − [EN gate agrees] ∈ {−1,0,1}; CONCORDANT docs drop first
     // (flipping a zero is the identity — McNemar's reduction, and what
     // keeps the draw table |discordant| × n_perms instead of
-    // corpus × n_perms), then the shared seeded sign-flip test. On the
-    // und slice both gates are the same gate, so those docs are
-    // concordant by construction ----------------------------------------
+    // corpus × n_perms), then the shared seeded sign-flip test. Slices
+    // whose per-lang arm was not committed share the global WEIGHTS on
+    // both sides (only the calibrated cuts differ), so most of their
+    // docs are concordant and drop ---------------------------------------
     "q190_gate_delta_significance" -> ((s, dir) => {
       val deltas = langIdScored(t(s, dir, "documents"))
         .withColumn("pred_lang", langIdPredictedOrUnd(col("__best")))
@@ -5089,7 +5090,8 @@ object ExtensionQueries {
        |ORDER BY dd.doc_id""".stripMargin
 
   /** The per-language quality scorer rebuilt in SQL (q186/q187): the
-    * committed per-lang weight matrices + the global 'und' fallback as
+    * committed per-slice arms (+ the global gate for slices without
+    * one) as
     * one (lang, b, wt) table, joined on the SAME md5-bucket gram rows
     * the langid CTEs already compute (db154 — both classifiers share
     * nBuckets=256 and the feature map), dispatched by the calibrated

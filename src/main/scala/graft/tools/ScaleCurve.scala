@@ -383,6 +383,28 @@ object ScaleCurve {
         graft.queries.ExtensionQueries.queries(
           "q191_calibration_staleness")(spark, dirs(n))
       },
+      // r19: the held-out measurement surface (q192/q193 are the same
+      // map-side report passes as q189/q187 plus one md5-parity filter
+      // — the split predicate must not change the cost class), the
+      // und-gated selection (one fused-scorer scan over a filtered
+      // slice), and the exact-enumeration significance test (64 draws
+      // × |langs| rows — corpus cost is the two pricing scans)
+      "q192_heldout_calibration" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q192_heldout_calibration")(spark, dirs(n))
+      },
+      "q193_heldout_gate_accuracy" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q193_heldout_gate_accuracy")(spark, dirs(n))
+      },
+      "q194_und_gated_selection" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q194_und_gated_selection")(spark, dirs(n))
+      },
+      "q195_fertility_significance" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q195_fertility_delta_significance")(spark, dirs(n))
+      },
       // fixed 1× batch appended to the 1× vs N× serving stores — the
       // runVectorServingIngest per-batch unit (the two appends encode/
       // assign ONLY the batch and write new part files; nothing reads

@@ -44,6 +44,31 @@ object ScaleGen {
     Movable.substring(k) + Movable.substring(0, k)
   }
 
+  /** Movable-letter bijection for replica r: the cyclic rotation while
+    * it lasts (byte-compatible with every earlier SCALING.md corpus),
+    * and a seeded Fisher–Yates permutation beyond — the rotation GROUP
+    * is exhausted at 15 replicas, but ANY permutation of the movable
+    * letters carries the same invariants (stopword-preserving,
+    * length-preserving character bijection: intra-replica Jaccard is
+    * exactly the original's, cross-replica token overlap stays at the
+    * stopword floor). Seeded per replica, so regeneration is
+    * bit-identical on any machine — this is what unlocks the 100×
+    * corpora (r19).
+    */
+  def letterMap(r: Int): String =
+    if (r < Movable.length) rotation(r)
+    else {
+      val rnd = new scala.util.Random(77000L + r)
+      val arr = Movable.toCharArray
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
   /** ±1 sign pattern for replica r (r = 0 → identity). Seeded per replica,
     * so regeneration is reproducible across runs and machines.
     */
@@ -55,14 +80,13 @@ object ScaleGen {
     }
 
   def replicateDocuments(docs: DataFrame, n: Int): DataFrame = {
-    require(n >= 1 && n <= Movable.length,
-      s"n=$n: rotation repeats after ${Movable.length} replicas")
+    require(n >= 1, s"n=$n: need at least one replica")
     (0 until n).map { r =>
-      // both cases rotate: the dedup pipeline lowercases before hashing,
+      // both cases map: the dedup pipeline lowercases before hashing,
       // so an uppercase movable left untouched would make its document
       // byte-identical (post-lower) across replicas — breaking the
       // no-exact-dup-crosses-replicas invariant SCALING.md rests on
-      val rot = rotation(r)
+      val rot = letterMap(r)
       docs.select(
         (col("doc_id") * n + r).as("doc_id"),
         (if (r == 0) col("text")
