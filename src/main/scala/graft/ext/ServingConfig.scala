@@ -7,12 +7,13 @@ package graft.ext
   *
   *   - [[kRrf]]/[[legWeights]] from the q176 fusion-quality grid
   *     (committed grid: kRrf 10/60/240 at equal weights + the weight
-  *     axis at 60): equal weights win on the fixture — every weight
-  *     skew costs up to 0.15 nDCG@5 — and quality is INSENSITIVE to
-  *     kRrf across 10→240 at equal weights, so the standard 60 stays.
-  *     (r19 note: the fusion qrels remain the 4-judged-query fixture —
-  *     the r19 pool growth landed on the MMR side, where the λ knob
-  *     lives; the term-probe surface is the fusion fixture's limit.)
+  *     axis at 60). RE-VALIDATED in r19 on the grown 20-query
+  *     leg-balanced pool (21 judged queries): equal weights win
+  *     decisively — nDCG@5 0.900 vs 0.602–0.620 for every tested skew
+  *     — and q196's permutation test prices the win at p=0.00098
+  *     (1024 draws), so the committed weights are a measurement, not
+  *     a default. Quality stays INSENSITIVE to kRrf across 10→240 at
+  *     equal weights, so the standard 60 stays.
   *   - [[mmrLambda]] from the q182 λ sweep judged against the q178
   *     qrels. RE-VALIDATED in r19 on the grown 23-judged-probe pool
   *     (VERDICT r18 task 3 — the r18 sweep rested on 5 probes its own

@@ -363,35 +363,121 @@ object ExtensionQueries {
   private def hybridLegs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     import s.implicits._
-    val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-      (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+    val probe = fusionProbesDf(s)
     val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
         "query_id", "term", "doc_id", "text", k = 5)
       .select(col("query_id"), col("doc_id").as("id"), col("rank"))
     val e = t(s, dir, "embeddings").drop("label")
     val vec = SimilarityOps.bruteForceTopK(
-        e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
+        e.filter(col("vec_id").isin(fusionVecProbeIds: _*)), e, k = 5)
       .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
         col("rk").as("rank"))
     (lex, vec)
   }
 
+  /** The shared hybrid-retrieval probe fixture (q118/q144/q163/q166/
+    * q168/q169/q172/q176 — r19: ONE committed sequence replaces seven
+    * hand-synced inline copies, grown 3 → 20 queries so the fusion
+    * tuning stops resting on a pool its own significance test calls
+    * underpowered). Queries 1–3 are the r14 originals and keep their
+    * edge roles (1 and 2 share a term — idf sharing exercised; 3's
+    * terms are corpus-absent — the one-modality-miss case). Queries
+    * 4–20 pair terms from the sf0.01 corpus's top-26 df-ranked
+    * non-stopword tokens (length > 2, join/merge/scan excluded as
+    * already used) in df order, wrapping after query 16 — so queries
+    * 17–20 repeat earlier term PAIRS while their vector probes differ,
+    * exercising identical-lex-leg fusion. Every query id doubles as
+    * its vector probe id ([[fusionVecProbeIds]]).
+    */
+  private[graft] val fusionProbes: Seq[(Int, String)] = {
+    val pool = Seq("batch", "small", "agg", "data", "big", "customer",
+      "hash", "slow", "filter", "row", "table", "stream", "sort",
+      "window", "order", "group", "part", "query", "spark", "column",
+      "value", "vector", "line", "fast", "key", "dup")
+    Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+      (3, "zzzabsent"), (3, "qqqmissing")) ++
+      (4 to 20).flatMap { q =>
+        val i = 2 * (q - 4)
+        Seq((q, pool(i % pool.length)), (q, pool((i + 1) % pool.length)))
+      }
+  }
+
+  private[graft] def fusionProbesDf(s: SparkSession)
+      : DataFrame = {
+    import s.implicits._
+    fusionProbes.toDF("query_id", "term")
+  }
+
+  /** The hybrid tier's vector probes — one embedding probe per lexical
+    * query id (the fused id space is shared).
+    */
+  private[graft] val fusionVecProbeIds: Seq[Long] = (1L to 20L)
+
+  /** q147's eval-suite probe fixture — the r14 6-row set, now distinct
+    * from the GROWN fusion probes (r19): decontamination audits a
+    * fixed eval suite, not the retrieval tuning pool.
+    */
+  private[graft] val decontamEvalProbes: Seq[(Int, String)] = Seq(
+    (1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
+    (3, "zzzabsent"), (3, "qqqmissing"))
+  private lazy val decontamEvalProbesValuesSql: String =
+    decontamEvalProbes.map { case (q, t) => s"($q, '$t')" }
+      .mkString(",\n    ")
+
+  private lazy val fusionProbesValuesSql: String =
+    fusionProbes.map { case (q, t) => s"($q, '$t')" }.mkString(",\n    ")
+  private lazy val fusionVecIdsSql: String =
+    fusionVecProbeIds.mkString(", ")
+
   /** Committed qrels fixture for the hybrid tier's quality evaluation
     * (q172/q176) — graded relevance labels over the q163 query ids in
-    * the trec_eval shape (query_id, id, rel). Chosen to exercise every
-    * judgment kind at sf0.01: hits at several fused ranks with mixed
-    * grades, judged-relevant ids the run misses (999/888, and 777
-    * carrying the query's HIGHEST grade so its nDCG < 1 even with
-    * hits), an explicit rel = 0 irrelevance judgment on a retrieved id
-    * (1, 62), and a judged query the run never answers (query 4). The
-    * oracle carries these rows as a VALUES literal generated from THIS
-    * sequence.
+    * the trec_eval shape (query_id, id, rel).
+    *
+    * Queries 1–3 keep the r14 HAND labels that exercise every judgment
+    * kind at sf0.01: hits at several fused ranks with mixed grades,
+    * judged-relevant ids the run misses (999/888, and 777 carrying the
+    * query's HIGHEST grade so its nDCG < 1 even with hits), an
+    * explicit rel = 0 irrelevance judgment on a retrieved id (1, 62).
+    * Query 25 is judged but never answered (the old query-4 role — 4
+    * is now inside the probe set).
+    *
+    * Queries 4–20 carry SYNTHESIZED grades from the documented
+    * LEG-BALANCED rule in [[graft.tools.SynthFusionQrels]]: each leg's
+    * own exact ideal contributes equally — the exact-BM25 top-3 (3/2/1)
+    * ∪ the exact-cosine top-3 (3/2/1), max-merged on overlap, plus an
+    * explicit rel 0 on the BM25 rank-5 id. Neither leg's ranking is
+    * favored by construction, so the q176 weight tuning measures how
+    * the legs COMBINE rather than echoing one leg's ordering back.
     */
+  /** The queries-4–20 grades (pasted from the SynthFusionQrels
+    * printout; regenerate with
+    * `sbt "runMain graft.tools.SynthFusionQrels"`).
+    */
+  private[graft] val synthFusionQrels: Seq[(Int, Long, Int)] = Seq(
+    (4, 114L, 3), (4, 418L, 3), (4, 85L, 2), (4, 496L, 2), (4, 316L, 1), (4, 408L, 1), (4, 13L, 0),
+    (5, 335L, 3), (5, 404L, 3), (5, 250L, 2), (5, 419L, 2), (5, 157L, 1), (5, 467L, 1), (5, 252L, 0),
+    (6, 350L, 3), (6, 489L, 3), (6, 255L, 2), (6, 430L, 2), (6, 145L, 1), (6, 385L, 1), (6, 322L, 0),
+    (7, 209L, 3), (7, 340L, 3), (7, 269L, 2), (7, 425L, 2), (7, 203L, 1), (7, 114L, 0),
+    (8, 17L, 3), (8, 39L, 3), (8, 138L, 2), (8, 381L, 2), (8, 352L, 1), (8, 403L, 1), (8, 449L, 0),
+    (9, 49L, 3), (9, 98L, 3), (9, 290L, 2), (9, 489L, 2), (9, 414L, 1), (9, 454L, 1), (9, 114L, 0),
+    (10, 233L, 3), (10, 317L, 3), (10, 174L, 2), (10, 272L, 2), (10, 42L, 1), (10, 44L, 1), (10, 55L, 0),
+    (11, 30L, 3), (11, 37L, 3), (11, 245L, 2), (11, 399L, 2), (11, 8L, 1), (11, 277L, 1), (11, 436L, 0),
+    (12, 127L, 3), (12, 214L, 3), (12, 402L, 2), (12, 472L, 2), (12, 159L, 1), (12, 297L, 1), (12, 143L, 0),
+    (13, 370L, 3), (13, 440L, 3), (13, 427L, 2), (13, 479L, 2), (13, 337L, 1), (13, 349L, 1), (13, 395L, 0),
+    (14, 146L, 3), (14, 342L, 3), (14, 147L, 2), (14, 169L, 2), (14, 46L, 1), (14, 298L, 1), (14, 496L, 0),
+    (15, 33L, 3), (15, 424L, 3), (15, 400L, 2), (15, 436L, 2), (15, 59L, 1), (15, 441L, 1), (15, 297L, 0),
+    (16, 26L, 3), (16, 402L, 3), (16, 236L, 2), (16, 421L, 2), (16, 134L, 1), (16, 216L, 1), (16, 295L, 0),
+    (17, 135L, 3), (17, 418L, 3), (17, 85L, 2), (17, 115L, 2), (17, 197L, 1), (17, 316L, 1), (17, 13L, 0),
+    (18, 120L, 3), (18, 335L, 3), (18, 181L, 2), (18, 250L, 2), (18, 112L, 1), (18, 467L, 1), (18, 252L, 0),
+    (19, 87L, 3), (19, 489L, 3), (19, 255L, 2), (19, 317L, 2), (19, 54L, 1), (19, 385L, 1), (19, 322L, 0),
+    (20, 117L, 3), (20, 209L, 3), (20, 11L, 2), (20, 269L, 2), (20, 203L, 1), (20, 354L, 1), (20, 114L, 0))
+
   private[graft] val fusionQrels: Seq[(Int, Long, Int)] = Seq(
     (1, 103L, 3), (1, 27L, 2), (1, 359L, 1), (1, 999L, 2), (1, 62L, 0),
     (2, 117L, 3), (2, 7L, 1), (2, 888L, 1),
     (3, 130L, 2), (3, 343L, 2), (3, 777L, 3),
-    (4, 103L, 1))
+    (25, 103L, 1)) ++ synthFusionQrels
+
 
   /** The q164/q178/q182/q185 probe set: embeddings with vec_id below
     * this bound. Grown 6 → 22 in r19 (VERDICT r18 task 3) so the
@@ -582,8 +668,7 @@ object ExtensionQueries {
       kRrf: Int, weights: Seq[Double], nprobe: Int,
       refineFactor: Int): DataFrame = {
     import s.implicits._
-    val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-      (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+    val probe = fusionProbesDf(s)
     val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
       fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
       "doc_id", "text", nBuckets = 64)
@@ -599,7 +684,7 @@ object ExtensionQueries {
     val vecs = SimilarityOps.vectorStore(s, e,
       fixturePath(s, dir, "embeddings", "vecstore", "b64"), nBuckets = 64)
     val vec = SimilarityOps.ivfPqTopKFromStores(
-        e.filter(col("vec_id").isin(1L, 2L, 3L)), index, vecs, 64,
+        e.filter(col("vec_id").isin(fusionVecProbeIds: _*)), index, vecs, 64,
         cents, cbs, k = 5, nprobe = nprobe,
         refineFactor = refineFactor)
       .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
@@ -813,6 +898,31 @@ object ExtensionQueries {
             .as("ws_tokens"),
           sum(TextOps.subwordTokenCountByLang(col("text"),
             col("predicted"))).as("subword_tokens"))
+        .withColumn("fertility",
+          round(col("subword_tokens").cast("double") / col("ws_tokens"),
+            4))
+        .orderBy(col("predicted"))),
+
+    // -- Fertility under the REALISTIC-SCALE vocabulary (q197): q159's
+    // per-language rollup priced by the committed 1536-merge
+    // [[graft.ext.BpeMergesLarge]] artifact — the registered consumer
+    // the large artifact lacked (VERDICT r18 task 6 completed: fit
+    // tool → committed artifact → spec → ORACLED query). Same map-only
+    // one-scan shape as q159/q177; the served path is the same
+    // pair-indexed native expression, just 32× the merge table. The
+    // oracle rebuilds the encode at FULL 1536 depth (the fixture
+    // vocabulary is bounded, so |vocab| × 1536 recursive rows stay
+    // cheap in DuckDB — the reason the per-round gate can afford the
+    // real regime here while q150/q152 keep the 48-merge vocabulary) --
+    "q197_fertility_large_vocab" -> ((s, dir) =>
+      langIdScored(t(s, dir, "documents"))
+        .withColumn("predicted", langIdPredictedOrUnd(col("__best")))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("ws_tokens"),
+          sum(TextOps.subwordTokenCount(col("text"),
+            graft.ext.BpeMergesLarge.merges)).as("subword_tokens"))
         .withColumn("fertility",
           round(col("subword_tokens").cast("double") / col("ws_tokens"),
             4))
@@ -1881,9 +1991,7 @@ object ExtensionQueries {
     // store; oracle = q118's CTEs + the per-doc candidate rollup -------
     "q147_bm25_decontam" -> ((s, dir) => {
       import s.implicits._
-      val evalProbe = Seq((1, "join"), (1, "merge"), (2, "scan"),
-        (2, "join"), (3, "zzzabsent"), (3, "qqqmissing"))
-        .toDF("query_id", "term")
+      val evalProbe = decontamEvalProbes.toDF("query_id", "term")
       val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
         fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
         "doc_id", "text", nBuckets = 64)
@@ -1930,8 +2038,7 @@ object ExtensionQueries {
     // the narrow docs side for N/avgdl. Oracle IS q118's: store ≡ inline
     "q144_bm25_from_store" -> ((s, dir) => {
       import s.implicits._
-      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val probe = fusionProbesDf(s)
       val stats = RetrievalOps.lexicalStatsStore(s, t(s, dir, "documents"),
         fixturePath(s, dir, "documents", "lexstats", "ws_b64v2"),
         "doc_id", "text", nBuckets = 64)
@@ -2131,8 +2238,7 @@ object ExtensionQueries {
     // so the idf sharing is exercised, not just allowed ------------------
     "q118_bm25_per_query" -> ((s, dir) => {
       import s.implicits._
-      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val probe = fusionProbesDf(s)
       RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
           "query_id", "term", "doc_id", "text", k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -2148,6 +2254,34 @@ object ExtensionQueries {
       val (lex, vec) = hybridLegs(s, dir)
       RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id", "rank", k = 5)
         .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
+    // -- Fusion-weight significance (q196): is q176's "equal weights
+    // beat every skew" conclusion real, or 21-query noise? The q185
+    // discipline pointed at the tuning knob ServingConfig commits: per
+    // judged query, the exact micro nDCG@5 delta between the committed
+    // equal-weights config and the grid's best SKEWED config (kRrf 60,
+    // weights 1/2); 1024 seeded sign-flip draws. On the grown
+    // leg-balanced pool the delta is decisive — the number that makes
+    // the committed legWeights a measurement, not a default -------------
+    "q196_fusion_delta_significance" -> ((s, dir) => {
+      import s.implicits._
+      val (lex, vec) = hybridLegs(s, dir)
+      val qrels = fusionQrels.toDF("query_id", "id", "rel")
+      def microNdcg(w: Seq[Double]) =
+        RetrievalOps.rankingQuality(
+            RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id",
+                "rank", k = 5, kRrf = 60, weights = w)
+              .select(col("query_id"), col("id"), col("fused_rank")),
+            qrels, "query_id", "id", "fused_rank", "rel", k = 5)
+          .filter(col("query_id") >= 0)
+          .select(col("query_id"),
+            round(col("ndcg_at_k") * 1000000).cast("long").as("u"))
+      val d = microNdcg(Seq(1.0, 1.0)).as("a")
+        .join(microNdcg(Seq(1.0, 2.0)).as("b"), Seq("query_id"))
+        .select(col("query_id"), (col("a.u") - col("b.u")).as("d"))
+      signFlipPermutationTest(d, "query_id", "d", nLabel = "n_queries",
+        sumLabel = "delta_sum_u", nPerms = MmrPermCountWide)
     }),
 
     // Ranking-quality evaluation (q172): q163's fused ranking judged
@@ -2205,14 +2339,13 @@ object ExtensionQueries {
     // Same legs, same modality-miss robustness -------------------------
     "q169_score_fusion" -> ((s, dir) => {
       import s.implicits._
-      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val probe = fusionProbesDf(s)
       val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
           "query_id", "term", "doc_id", "text", k = 5)
         .select(col("query_id"), col("doc_id").as("id"), col("score"))
       val e = t(s, dir, "embeddings").drop("label")
       val vec = SimilarityOps.bruteForceTopK(
-          e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
+          e.filter(col("vec_id").isin(fusionVecProbeIds: _*)), e, k = 5)
         .select(col("probe_id").as("query_id"), col("cand_id").as("id"),
           col("sim").as("score"))
       RetrievalOps.scoreFuse(Seq(lex -> 1.0, vec -> 1.0),
@@ -2227,14 +2360,13 @@ object ExtensionQueries {
     // jaccard 0 ---------------------------------------------------------
     "q168_leg_agreement" -> ((s, dir) => {
       import s.implicits._
-      val probe = Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
+      val probe = fusionProbesDf(s)
       val lex = RetrievalOps.bm25PerQuery(t(s, dir, "documents"), probe,
           "query_id", "term", "doc_id", "text", k = 5)
         .select(col("query_id"), col("doc_id").as("id"))
       val e = t(s, dir, "embeddings").drop("label")
       val vec = SimilarityOps.bruteForceTopK(
-          e.filter(col("vec_id").isin(1L, 2L, 3L)), e, k = 5)
+          e.filter(col("vec_id").isin(fusionVecProbeIds: _*)), e, k = 5)
         .select(col("probe_id").as("query_id"), col("cand_id").as("id"))
       RetrievalOps.legAgreement(lex, vec, "query_id", "id")
         .orderBy(col("query_id"))
@@ -3484,8 +3616,9 @@ object ExtensionQueries {
     * and append band-filter CTEs — callers supply the final SELECT.
     */
   private def ivfPqChainSql(k: Int, refineFactor: Int,
-                            nprobe: Int = 3): String =
-    ivfPqChainParts(k, refineFactor, nprobe)._1
+                            nprobe: Int = 3,
+                            probeBound: Int = 10): String =
+    ivfPqChainParts(k, refineFactor, nprobe, probeBound)._1
 
   /** The chain plus its ADC building blocks (`adcSum` scoring expression
     * over `p`/`e` aliases, `adcJoins` codebook joins) so the q137 sweep
@@ -3493,7 +3626,9 @@ object ExtensionQueries {
     * without forking the 60-line chain body.
     */
   private def ivfPqChainParts(k: Int, refineFactor: Int,
-                              nprobe: Int = 3): (String, String, String) = {
+                              nprobe: Int = 3,
+                              probeBound: Int = 10)
+      : (String, String, String) = {
     val cbs = graft.ext.PqCodebooks.codebooks
     val m = cbs.length
     val dsub = cbs(0).head.length
@@ -3546,9 +3681,10 @@ object ExtensionQueries {
        |    row_number() OVER (PARTITION BY n.vec_id
        |      ORDER BY list_dot_product(n.u, cents.c) DESC, cents.cell)
        |      AS crk
-       |  FROM n, cents WHERE n.vec_id < 10),
+       |  FROM n, cents WHERE n.vec_id < $probeBound),
        |p AS (SELECT probe_id, pu, cell FROM pcand WHERE crk <= $nprobe),
-       |pv AS (SELECT vec_id AS probe_id, u AS pu FROM n WHERE vec_id < 10),
+       |pv AS (SELECT vec_id AS probe_id, u AS pu FROM n
+       |  WHERE vec_id < $probeBound),
        |sc AS (SELECT p.probe_id, e.vec_id AS cand_id,
        |    round($adcSum, 6) AS sim
        |  FROM enc e JOIN p USING (cell)
@@ -3612,11 +3748,10 @@ object ExtensionQueries {
     * lexical leg. Query 3's terms are corpus-absent → no rows for it,
     * on both engines.
     */
-  private lazy val bm25PerQueryChainSql: String =
-    """WITH probe(query_id, term) AS (VALUES
-      |    (1, 'join'), (1, 'merge'), (2, 'scan'), (2, 'join'),
-      |    (3, 'zzzabsent'), (3, 'qqqmissing')),
-      |tok AS (SELECT doc_id,
+  private def bm25PerQueryChainSqlFor(probeValues: String): String =
+    "WITH probe(query_id, term) AS (VALUES\n    " +
+      probeValues + "),\n" +
+    """tok AS (SELECT doc_id,
       |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
       |  FROM documents),
       |cnt AS (SELECT doc_id,
@@ -3644,6 +3779,9 @@ object ExtensionQueries {
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id) AS INT) AS "rank" FROM s)""".stripMargin
 
+  private lazy val bm25PerQueryChainSql: String =
+    bm25PerQueryChainSqlFor(fusionProbesValuesSql)
+
   private lazy val bm25PerQueryOracleSql: String =
     bm25PerQueryChainSql +
       "\nSELECT query_id, doc_id, score, \"rank\" FROM r" +
@@ -3663,14 +3801,14 @@ object ExtensionQueries {
     * quality evaluation over it (q172), and the tuning grid (q176).
     */
   private lazy val hybridLegsCtesSql: String =
-    bm25PerQueryChainSql + """,
+    bm25PerQueryChainSql + s""",
       |lex AS (SELECT query_id, doc_id AS id, "rank" AS lrank FROM r
       |  WHERE "rank" <= 5),
       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
       |  FROM embeddings),
       |vsc AS (SELECT p.vec_id AS query_id, c.vec_id AS id,
       |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
-      |  FROM e p JOIN e c ON p.vec_id IN (1, 2, 3)
+      |  FROM e p JOIN e c ON p.vec_id IN ($fusionVecIdsSql)
       |    AND p.vec_id <> c.vec_id),
       |vec AS (SELECT query_id, id, vrank FROM (
       |    SELECT query_id, id, CAST(row_number() OVER (
@@ -3776,7 +3914,11 @@ object ExtensionQueries {
     * integer quality arithmetic per (config, query), then averaged per
     * config with the same micro-unit discipline.
     */
-  private lazy val fusionQualityGridOracleSql: String =
+  /** The grid chain's CTE prefix through `mu` (per-(config, query)
+    * exact micro metrics) — shared by the q176 grid report and the
+    * q196 significance test so both judge IDENTICAL per-query numbers.
+    */
+  private lazy val fusionGridMuCtes: String =
     hybridLegsCtesSql + s""",
       |cfg(config_id, k_rrf, w_a, w_b) AS (VALUES $fusionGridValuesSql),
       |qrels(query_id, id, rel) AS (VALUES $fusionQrelsValuesSql),
@@ -3824,7 +3966,10 @@ object ExtensionQueries {
       |    (2000000 * dcg + idcg) // (2 * idcg) AS ndcg_u,
       |    CASE WHEN frk IS NULL THEN 0
       |      ELSE (2000000 + frk) // (2 * frk) END AS rr_u
-      |  FROM met)
+      |  FROM met)""".stripMargin
+
+  private lazy val fusionQualityGridOracleSql: String =
+    fusionGridMuCtes + """
       |SELECT config_id, k_rrf, w_a, w_b,
       |  CAST((2 * sum(ndcg_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
       |    CAST(1000000 AS DOUBLE) AS ndcg_at_k,
@@ -3833,6 +3978,37 @@ object ExtensionQueries {
       |  CAST((2 * sum(rr_u) + count(*)) // (2 * count(*)) AS DOUBLE) /
       |    CAST(1000000 AS DOUBLE) AS mrr
       |FROM mu GROUP BY 1, 2, 3, 4 ORDER BY config_id""".stripMargin
+
+  /** q196's oracle: the shared per-(config, query) micro metrics,
+    * paired into per-query nDCG deltas between the EQUAL-WEIGHTS
+    * config (id 1: kRrf 60, 1/1) and the best SKEWED config by the
+    * q176 grid (id 4: kRrf 60, 1/2), then the seeded sign-flip null —
+    * the q185 discipline pointed at the fusion-weight conclusion.
+    */
+  private lazy val fusionDeltaSignificanceOracleSql: String =
+    fusionGridMuCtes + s""",
+      |dlt AS (SELECT a.query_id, CAST(a.ndcg_u - b.ndcg_u AS BIGINT) AS d
+      |  FROM mu a JOIN mu b ON a.query_id = b.query_id
+      |  WHERE a.config_id = 1 AND b.config_id = 4),
+      |obs AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+      |    CAST(count(*) AS BIGINT) AS n_queries FROM dlt),
+      |prm AS (SELECT i FROM generate_series(0, ${MmrPermCountWide - 1})
+      |  t(i)),
+      |ti AS (SELECT i, CAST(sum(CASE WHEN
+      |      CAST(('0x' || substr(md5('perm' || i || ':' || query_id),
+      |        1, 8)) AS BIGINT) % 2 = 0
+      |      THEN d ELSE -d END) AS BIGINT) AS t_i
+      |  FROM prm CROSS JOIN dlt GROUP BY i)
+      |SELECT obs.n_queries,
+      |  CAST($MmrPermCountWide AS BIGINT) AS n_perms,
+      |  obs.t_obs AS delta_sum_u,
+      |  CAST(sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+      |  CAST(1 + sum(CASE WHEN abs(ti.t_i) >= abs(obs.t_obs)
+      |    THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(${MmrPermCountWide + 1} AS DOUBLE) AS p_value
+      |FROM ti CROSS JOIN obs
+      |GROUP BY obs.n_queries, obs.t_obs""".stripMargin
 
   /** q166: the hybrid fusion served entirely from PERSISTED stores —
     * lexical scores from the q144 stats store, vector ranks from the
@@ -3845,12 +4021,13 @@ object ExtensionQueries {
   private lazy val hybridFromStoresOracleSql: String =
     ivfPqChainSql(k = 5,
         refineFactor = graft.ext.ServingConfig.annRefineFactor,
-        nprobe = graft.ext.ServingConfig.annNprobe) + ",\n" +
+        nprobe = graft.ext.ServingConfig.annNprobe,
+        probeBound = fusionVecProbeIds.max.toInt + 1) + ",\n" +
       bm25PerQueryChainSql.stripPrefix("WITH ") + s""",
       |lex AS (SELECT query_id, doc_id AS id, "rank" AS lrank FROM r
       |  WHERE "rank" <= 5),
       |vec AS (SELECT probe_id AS query_id, cand_id AS id, rk AS vrank
-      |  FROM rk WHERE rk <= 5 AND probe_id IN (1, 2, 3)),
+      |  FROM rk WHERE rk <= 5 AND probe_id IN ($fusionVecIdsSql)),
       |uni AS (SELECT query_id, id,
       |    CAST(${graft.ext.ServingConfig.legWeights(0)} AS DOUBLE) /
       |      (${graft.ext.ServingConfig.kRrf} + CAST(lrank AS DOUBLE))
@@ -4002,13 +4179,13 @@ object ExtensionQueries {
     * report — exact integer counts, jaccard = one double division.
     */
   private lazy val legAgreementOracleSql: String =
-    bm25PerQueryChainSql + """,
+    bm25PerQueryChainSql + s""",
       |lexm AS (SELECT query_id, doc_id AS id FROM r WHERE "rank" <= 5),
       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
       |  FROM embeddings),
       |vsc AS (SELECT p.vec_id AS query_id, c.vec_id AS id,
       |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
-      |  FROM e p JOIN e c ON p.vec_id IN (1, 2, 3)
+      |  FROM e p JOIN e c ON p.vec_id IN ($fusionVecIdsSql)
       |    AND p.vec_id <> c.vec_id),
       |vecm AS (SELECT query_id, id FROM (
       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
@@ -4031,7 +4208,7 @@ object ExtensionQueries {
     * is bitwise x on both engines).
     */
   private lazy val scoreFusionOracleSql: String =
-    bm25PerQueryChainSql + """,
+    bm25PerQueryChainSql + s""",
       |lexs AS (SELECT query_id, doc_id AS id, score FROM r
       |  WHERE "rank" <= 5),
       |lnorm AS (SELECT query_id, id, CASE WHEN mx = mn
@@ -4043,7 +4220,7 @@ object ExtensionQueries {
       |  FROM embeddings),
       |vsc AS (SELECT p.vec_id AS query_id, c.vec_id AS id,
       |    round(list_cosine_similarity(p.emb, c.emb), 6) AS sim
-      |  FROM e p JOIN e c ON p.vec_id IN (1, 2, 3)
+      |  FROM e p JOIN e c ON p.vec_id IN ($fusionVecIdsSql)
       |    AND p.vec_id <> c.vec_id),
       |vecs AS (SELECT query_id, id, sim AS score FROM (
       |    SELECT query_id, id, sim, row_number() OVER (
@@ -5670,6 +5847,30 @@ object ExtensionQueries {
        |GROUP BY pr.predicted
        |ORDER BY pr.predicted""".stripMargin
 
+  /** q197's oracle: q159's shape with the encode rebuilt from the
+    * LARGE committed artifact ([[graft.ext.BpeMergesLarge]], 1536
+    * merges) at full depth — the `_lv`-suffixed twin of the shared
+    * chain, same replace-semantics contract.
+    */
+  private lazy val fertilityLargeVocabOracleSql: String =
+    s"""WITH RECURSIVE ${subwordEncCtesFor(
+        graft.ext.BpeMergesLarge.merges, "_lv")},
+       |$langIdCtes,
+       |pr AS (SELECT doc_id,
+       |    ${undCaseSql("score", "lang")} AS predicted
+       |  FROM best WHERE rn = 1),
+       |ws197 AS (SELECT doc_id,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS wt
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT pr.predicted, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws197.wt) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(dtok_lv.n_tokens) AS BIGINT) AS subword_tokens,
+       |  round(CAST(sum(dtok_lv.n_tokens) AS DOUBLE) / sum(ws197.wt), 4)
+       |    AS fertility
+       |FROM pr JOIN ws197 USING (doc_id) JOIN dtok_lv USING (doc_id)
+       |GROUP BY pr.predicted
+       |ORDER BY pr.predicted""".stripMargin
+
   /** q195's oracle: both pricing chains (the global `dtok` and the
     * per-language `dtokp`) aggregated into one exact ten-thousandths
     * fertility delta per predicted language, then the EXACT 2⁶
@@ -5734,39 +5935,43 @@ object ExtensionQueries {
     * docs are excluded by the same explicit contract the Spark side
     * applies (the q151-style null defense — ADVICE r15).
     */
-  private lazy val subwordEncCtes: String = {
-    val mergeRows = graft.ext.BpeMerges.merges.zipWithIndex
+  private def subwordEncCtesFor(ms: Seq[(String, String)],
+                                sfx: String): String = {
+    val mergeRows = ms.zipWithIndex
       .map { case ((l, r), i) =>
         def esc(s: String) = s.replace("'", "''")
         s"(${i + 1}, '${esc(l)}', '${esc(r)}')"
       }.mkString(",\n    ")
-    s"""merges(rank, l, r) AS (VALUES
+    s"""merges$sfx(rank, l, r) AS (VALUES
        |    $mergeRows),
-       |words AS (SELECT DISTINCT unnest(regexp_split_to_array(lower(text),
+       |words$sfx AS (SELECT DISTINCT unnest(regexp_split_to_array(lower(text),
        |    '\\s+')) AS w FROM documents WHERE text IS NOT NULL),
-       |w0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
-       |    AS state FROM words WHERE length(w) > 0),
-       |enc AS (
-       |  SELECT w, state, 1 AS nxt FROM w0
+       |w0$sfx AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
+       |    AS state FROM words$sfx WHERE length(w) > 0),
+       |enc$sfx AS (
+       |  SELECT w, state, 1 AS nxt FROM w0$sfx
        |  UNION ALL
        |  SELECT e.w, replace(e.state, ' ' || m.l || ' ' || m.r || ' ',
        |      ' ' || m.l || m.r || ' '), e.nxt + 1
-       |  FROM enc e JOIN merges m ON m.rank = e.nxt
+       |  FROM enc$sfx e JOIN merges$sfx m ON m.rank = e.nxt
        |),
-       |wc AS (SELECT w,
+       |wc$sfx AS (SELECT w,
        |    length(state) - length(replace(state, ' ', '')) - 1 AS np
-       |  FROM enc WHERE nxt = (SELECT max(rank) FROM merges) + 1),
-       |doc_toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+       |  FROM enc$sfx WHERE nxt = (SELECT max(rank) FROM merges$sfx) + 1),
+       |doc_toks$sfx AS (SELECT doc_id, unnest(regexp_split_to_array(
        |    lower(text), '\\s+')) AS w FROM documents
        |  WHERE text IS NOT NULL),
-       |dtok AS (SELECT d.doc_id,
-       |    CAST(coalesce(sum(wc.np), 0) AS BIGINT) AS n_tokens
+       |dtok$sfx AS (SELECT d.doc_id,
+       |    CAST(coalesce(sum(wc$sfx.np), 0) AS BIGINT) AS n_tokens
        |  FROM documents d
-       |  LEFT JOIN doc_toks ON doc_toks.doc_id = d.doc_id
-       |  LEFT JOIN wc ON wc.w = doc_toks.w
+       |  LEFT JOIN doc_toks$sfx ON doc_toks$sfx.doc_id = d.doc_id
+       |  LEFT JOIN wc$sfx ON wc$sfx.w = doc_toks$sfx.w
        |  WHERE d.text IS NOT NULL
        |  GROUP BY d.doc_id)""".stripMargin
   }
+
+  private lazy val subwordEncCtes: String =
+    subwordEncCtesFor(graft.ext.BpeMerges.merges, "")
 
   private lazy val subwordBudgetOracleSql: String = {
     s"""WITH RECURSIVE $subwordEncCtes,
@@ -6599,12 +6804,15 @@ object ExtensionQueries {
     "q194_und_gated_selection" -> undGatedSelectionOracleSql,
     "q195_fertility_delta_significance" ->
       fertilityDeltaSignificanceOracleSql,
+    "q196_fusion_delta_significance" ->
+      fusionDeltaSignificanceOracleSql,
     "q154_language_id" -> langIdOracleSql,
     "q157_language_id_reject" -> langIdRejectOracleSql,
     "q159_fertility_by_lang" -> fertilityByLangOracleSql,
     "q161_budget_by_predicted_lang" -> budgetByPredictedLangOracleSql,
     "q174_budget_per_lang_priced" -> budgetPerLangPricedOracleSql,
     "q177_fertility_per_lang_priced" -> fertilityPerLangPricedOracleSql,
+    "q197_fertility_large_vocab" -> fertilityLargeVocabOracleSql,
     "q181_per_lang_allocated" -> perLangAllocatedOracleSql,
     // q112: keep rule = first token of every run (prev IS NULL OR w <>
     // prev, with prev read straight from the token array — no window);
@@ -7213,7 +7421,9 @@ object ExtensionQueries {
     // oracle wraps the shared CTE chain in the same rollup
     "q147_bm25_decontam" -> (
       "WITH base AS (" +
-        bm25PerQueryOracleSql.replace("ORDER BY query_id, \"rank\"", "") +
+        (bm25PerQueryChainSqlFor(decontamEvalProbesValuesSql) +
+          "\nSELECT query_id, doc_id, score, \"rank\" FROM r" +
+          "\nWHERE \"rank\" <= 5 ") +
         """)
           |SELECT doc_id, CAST(count(*) AS INT) AS n_queries,
           |  min("rank") AS best_rank, max(score) AS best_score

@@ -258,11 +258,10 @@ object ScaleCurve {
       }
     if (wanted("q120_ivfpq_from_stores") ||
       wanted("q166_hybrid_from_stores")) annStoreRo
-    def bm25Probe: DataFrame = {
-      import spark.implicits._
-      Seq((1, "join"), (1, "merge"), (2, "scan"), (2, "join"),
-        (3, "zzzabsent"), (3, "qqqmissing")).toDF("query_id", "term")
-    }
+    // the REGISTERED probe fixture (single-definition rule: the r19
+    // pool growth must move this measurement too)
+    def bm25Probe: DataFrame =
+      graft.queries.ExtensionQueries.fusionProbesDf(spark)
 
     // (name, per-scale frame builder). Builders take the scale so the
     // `scaled` variants can pick their banding from the corpus size.
@@ -405,6 +404,14 @@ object ScaleCurve {
         graft.queries.ExtensionQueries.queries(
           "q195_fertility_delta_significance")(spark, dirs(n))
       },
+      // q197: the q159 rollup under the 1536-merge artifact — same
+      // one-scan map-only class; the 32× merge table must price as a
+      // constant factor (the r16 MergeIndex flatness claim, now
+      // measured on a REGISTERED query), not a per-row scale term
+      "q197_fertility_large_vocab" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q197_fertility_large_vocab")(spark, dirs(n))
+      },
       // fixed 1× batch appended to the 1× vs N× serving stores — the
       // runVectorServingIngest per-batch unit (the two appends encode/
       // assign ONLY the batch and write new part files; nothing reads
@@ -494,7 +501,7 @@ object ScaleCurve {
           graft.ext.IvfCentroids.centroids, graft.ext.PqCodebooks.codebooks)
         val vecs = SimilarityOps.vectorStore(spark, e, vecP, nBuckets = 64)
         SimilarityOps.ivfPqTopKFromStores(
-          e.filter(col("vec_id").isin(1L, 2L, 3L)), idx, vecs, 64,
+          e.filter(col("vec_id").isin(graft.queries.ExtensionQueries.fusionVecProbeIds: _*)), idx, vecs, 64,
           graft.ext.IvfCentroids.centroids, graft.ext.PqCodebooks.codebooks,
           k = 5, nprobe = graft.ext.ServingConfig.annNprobe,
           refineFactor = graft.ext.ServingConfig.annRefineFactor)
@@ -510,7 +517,7 @@ object ScaleCurve {
             bm25Probe, "query_id", "term", "doc_id", k = 5)
           .select(col("query_id"), col("doc_id").as("id"), col("rank"))
         val vec = SimilarityOps.ivfPqTopKFromStores(
-            e.filter(col("vec_id").isin(1L, 2L, 3L)), idx, vecs, 64,
+            e.filter(col("vec_id").isin(graft.queries.ExtensionQueries.fusionVecProbeIds: _*)), idx, vecs, 64,
             graft.ext.IvfCentroids.centroids,
             graft.ext.PqCodebooks.codebooks,
             k = 5, nprobe = graft.ext.ServingConfig.annNprobe,

@@ -374,7 +374,8 @@ class QueryPlanSpec extends AnyFunSuite {
       // the inherited pool one is this same documented shape
       "q172_ranking_quality", "q176_fusion_quality_grid",
       "q178_mmr_quality_delta", "q182_mmr_lambda_sweep",
-      "q185_mmr_delta_significance")
+      // q196 rides the same q163 legs twice (once per compared config)
+      "q185_mmr_delta_significance", "q196_fusion_delta_significance")
     def scalarSide(p: SparkPlan): Boolean = p.collectFirst {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     }.isDefined
