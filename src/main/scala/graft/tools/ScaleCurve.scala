@@ -404,6 +404,14 @@ object ScaleCurve {
         graft.queries.ExtensionQueries.queries(
           "q195_fertility_delta_significance")(spark, dirs(n))
       },
+      // q196: the fusion-weight significance test — its draw table is
+      // bounded by the JUDGED query set (21 qrels queries), so corpus
+      // growth should price only through the two leg scans (the q185
+      // qrels-bounded argument, re-measured on the fusion side)
+      "q196_fusion_significance" -> { n =>
+        graft.queries.ExtensionQueries.queries(
+          "q196_fusion_delta_significance")(spark, dirs(n))
+      },
       // q197: the q159 rollup under the 1536-merge artifact — same
       // one-scan map-only class; the 32× merge table must price as a
       // constant factor (the r16 MergeIndex flatness claim, now

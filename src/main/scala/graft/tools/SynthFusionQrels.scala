@@ -27,13 +27,15 @@ import graft.ext.{RetrievalOps, SimilarityOps}
   *   sbt "runMain graft.tools.SynthFusionQrels [sfDir]"
   */
 object SynthFusionQrels {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The leg-balanced rule evaluated on the CURRENT corpus, in the
+    * committed fixture's own (query, −rel, id) order. The pasted
+    * [[graft.queries.ExtensionQueries.synthFusionQrels]] must equal
+    * this exactly — SynthQrelsSpec pins it, so corpus or operator
+    * drift fails a test instead of silently detaching the committed
+    * grades from their documented rule.
+    */
+  def synthesize(spark: SparkSession,
+                 sfDir: String): Seq[(Int, Long, Int)] = {
     import spark.implicits._
 
     val probes = graft.queries.ExtensionQueries.fusionProbes
@@ -60,13 +62,25 @@ object SynthFusionQrels {
     lex.filter(_._3 == 5).foreach { case (q, id, _) =>
       if (!graded.contains((q, id))) graded((q, id)) = 0
     }
-    (4 to 20).foreach { q =>
-      val rows = graded.toSeq.collect {
-        case ((`q`, id), rel) => (id, rel)
-      }.sortBy { case (id, rel) => (-rel, id) }
-        .map { case (id, rel) => s"($q, ${id}L, $rel)" }
-      println("    " + rows.mkString(", ") + ",")
+    (4 to 20).flatMap { q =>
+      graded.toSeq.collect { case ((`q`, id), rel) => (id, rel) }
+        .sortBy { case (id, rel) => (-rel, id) }
+        .map { case (id, rel) => (q, id, rel) }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, sfDir).groupBy(_._1).toSeq.sortBy(_._1)
+      .foreach { case (q, rows) =>
+        println("    " + rows.map { case (_, id, rel) =>
+          s"($q, ${id}L, $rel)" }.mkString(", ") + ",")
+      }
     spark.stop()
   }
 }

@@ -34,16 +34,19 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.SynthMmrQrels [sfDir]"
   */
 object SynthMmrQrels {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The exact-cosine grading rule evaluated on the CURRENT corpus:
+    * (probe, cand, rk, rel) rows in (probe, rk) order. The pasted
+    * probes-4–21 rows of
+    * [[graft.queries.ExtensionQueries.mmrQrels]] must carry exactly
+    * these (probe, cand, rel) triples — SynthQrelsSpec pins it, so
+    * corpus or operator drift fails a test instead of silently
+    * detaching the committed grades from their documented rule.
+    */
+  def synthesize(spark: SparkSession,
+                 sfDir: String): Seq[(Long, Long, Int, Int)] = {
     val e = graft.Tables.load(spark, sfDir, "embeddings").drop("label")
     val probes = e.filter(col("vec_id") >= 4 && col("vec_id") < 22)
-    val top = graft.ext.SimilarityOps.bruteForceTopK(probes, e, k = 8)
+    graft.ext.SimilarityOps.bruteForceTopK(probes, e, k = 8)
       .select(col("probe_id"), col("cand_id"), col("rk"))
       .filter(col("rk") <= 6 || col("rk") === 8)
       .withColumn("rel",
@@ -53,10 +56,21 @@ object SynthMmrQrels {
         col("rk").cast("int"), col("rel").cast("int"))
       .orderBy(col("probe_id"), col("rk"))
       .collect()
-    top.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach {
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, sfDir).groupBy(_._1).toSeq.sortBy(_._1).foreach {
       case (p, rows) =>
-        val cells = rows.sortBy(_.getInt(2)).map { r =>
-          s"(${p}L, ${r.getLong(1)}L, ${r.getInt(3)})"
+        val cells = rows.sortBy(_._3).map { case (_, cand, _, rel) =>
+          s"(${p}L, ${cand}L, $rel)"
         }.mkString(", ")
         println(s"    $cells,")
     }
