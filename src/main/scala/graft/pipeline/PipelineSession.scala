@@ -1350,6 +1350,11 @@ final class PipelineSession(
         s"table's (${target.columns.mkString(", ")}) — microbatch " +
         "cannot evolve a schema; rebuild with --full-refresh")
     def tsLit(v: String, flag: String): String = {
+      // shape-check BEFORE interpolating into SQL: a stray quote (or
+      // anything non-timestamp-shaped) must fail NAMED like every
+      // other misconfig, not as a bare parser exception
+      if (!v.matches("[0-9TtZz+\\-:. ]{4,40}")) throw GenericError(
+        s"$flag: cannot parse '$v' as a timestamp")
       val r = spark.sql(s"SELECT CAST('$v' AS TIMESTAMP)").collect()(0)
       if (r.isNullAt(0)) throw GenericError(
         s"$flag: cannot parse '$v' as a timestamp")

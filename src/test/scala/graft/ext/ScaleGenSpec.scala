@@ -24,6 +24,36 @@ class ScaleGenSpec extends AnyFunSuite {
     assert((ScaleGen.Movable.toSet ++ stopLetters) == ('a' to 'z').toSet)
   }
 
+  test("letterMap extends the rotation past its 15-replica group: " +
+      "byte-compatible below the bound, a distinct Movable permutation " +
+      "per replica beyond, and the no-exact-dup invariant holds in the " +
+      "permutation regime") {
+    // byte-compat: the first |Movable| replicas ARE the rotations, so
+    // every earlier SCALING.md corpus regenerates bit-identically
+    (0 until ScaleGen.Movable.length).foreach { r =>
+      assert(ScaleGen.letterMap(r) == ScaleGen.rotation(r), s"r=$r")
+    }
+    // beyond the bound: still a permutation of Movable, deterministic,
+    // never the identity, and no two replicas share a map (a shared
+    // map would make those replicas byte-identical post-lowercase)
+    val maps = (0 until 120).map(ScaleGen.letterMap)
+    maps.zipWithIndex.foreach { case (m, r) =>
+      assert(m.sorted == ScaleGen.Movable.sorted, s"r=$r not a perm") }
+    assert(maps.distinct.size == maps.size, "two replicas share a map")
+    maps.zipWithIndex.drop(1).foreach { case (m, r) =>
+      assert(m != ScaleGen.Movable, s"replica $r maps identity") }
+    // the invariant the 100x corpora rest on, tested IN the permutation
+    // regime (n=20 > the 15-replica rotation bound): identical-text
+    // groups never mix replicas
+    val docs20 = ScaleGen.replicateDocuments(docs.limit(40), 20)
+    val mixed20 = docs20
+      .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
+      .agg(countDistinct(col("doc_id") % 20).as("nr"))
+      .filter(col("nr") > 1)
+    assert(mixed20.count() == 0,
+      "exact dup crosses replicas in the permutation regime")
+  }
+
   test("documents: N× rows, distinct ids, replica 0 verbatim") {
     val n0 = docs.count()
     assert(docs3.count() == 3 * n0)

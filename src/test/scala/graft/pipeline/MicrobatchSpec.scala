@@ -175,4 +175,22 @@ class MicrobatchSpec extends AnyFunSuite {
       r2.errors.mkString("; "))
     drop()
   }
+
+  test("a non-timestamp --event-time-start fails NAMED, never as a " +
+      "SQL parse error") {
+    drop()
+    val src = Files.createTempDirectory("graft-mb-src")
+    writeSource(src, day1)
+    val db = Files.createTempDirectory("graft-mb-db")
+    val cfg = fixture(src, db)
+    run(cfg) // bootstrap
+    val s2 = new PipelineSession(spark, cfg,
+      eventTimeStart = Some("not-a'timestamp"))
+    val r2 = s2.runNodes()
+    assert(r2.errors.exists { e =>
+      e.render.contains("--event-time-start") &&
+        e.render.contains("cannot parse")
+    }, r2.errors.mkString("; "))
+    drop()
+  }
 }
