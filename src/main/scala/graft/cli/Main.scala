@@ -29,6 +29,8 @@ object Main {
       if (flags.contains("dry-run")) dryRun(flags) else buildPipeline(flags)
     case "test" :: rest =>
       testPipeline(parseArgs(rest)._1)
+    case "retry" :: rest =>
+      retryPipeline(parseArgs(rest)._1)
     case "run-file" :: rest =>
       val (flags, paths) = parseArgs(rest)
       runFiles(flags, paths)
@@ -44,6 +46,7 @@ object Main {
            |Usage: graft run [--config C] [--models-dir D] [--db-path P] [--parallel] [--changed-only] [--dry-run] [--select m1[+],+m2,path:dir,state:modified,...] [--exclude m3[+],path:glob,...] [--vars k=v,k2=v2] [--fail-fast] [--defer --state DIR] [--event-time-start T --event-time-end T]
            |       graft build [same flags as run] — seeds, models, snapshots and ALL their tests in one DAG-ordered pass; a failing test skips downstream models
            |       graft test [--config C] [--db-path P] [--select ...] [--exclude ...] [--vars k=v]
+           |       graft retry [--config C] [--db-path P] — re-run exactly the failed/skipped nodes of the last recorded run, under its flags
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>
            |       graft docs [--config C] [--db-path P] [--select ...] [--exclude ...] [<outDir>=docs]""".stripMargin)
@@ -177,27 +180,73 @@ object Main {
         eventTimeStart = flags.get("event-time-start"),
         eventTimeEnd = flags.get("event-time-end"))
       val report = session.runNodes()
-      val tests = session.collectedTests
-      if (tests.nonEmpty) {
-        println("\nData tests:")
-        tests.foreach { case (id, desc, err, warnOnly) =>
-          val status =
-            if (err.isEmpty) "PASS" else if (warnOnly) "WARN" else "FAIL"
-          println(s"$status  $id: $desc")
-          err.foreach(e => println(e.render.linesIterator
-            .map("      " + _).mkString("\n")))
-        }
-        val nFail = tests.count(r => r._3.nonEmpty && !r._4)
-        val nWarn = tests.count(r => r._3.nonEmpty && r._4)
-        println(s"${tests.size - nFail - nWarn} passed, " +
-          s"$nWarn warned, $nFail failed")
-      }
+      printDataTests(session)
       if (report.errors.nonEmpty) sys.exit(1)
     } catch {
       case e: GraftError => System.err.println(e.render); sys.exit(1)
     } finally {
       graft.ext.DedupOps.releaseManifests()
       spark.stop()
+    }
+  }
+
+  /** The `graft build` per-test report (shared with build-mode retry). */
+  private def printDataTests(session: PipelineSession): Unit = {
+    val tests = session.collectedTests
+    if (tests.nonEmpty) {
+      println("\nData tests:")
+      tests.foreach { case (id, desc, err, warnOnly) =>
+        val status =
+          if (err.isEmpty) "PASS" else if (warnOnly) "WARN" else "FAIL"
+        println(s"$status  $id: $desc")
+        err.foreach(e => println(e.render.linesIterator
+          .map("      " + _).mkString("\n")))
+      }
+      val nFail = tests.count(r => r._3.nonEmpty && !r._4)
+      val nWarn = tests.count(r => r._3.nonEmpty && r._4)
+      println(s"${tests.size - nFail - nWarn} passed, " +
+        s"$nWarn warned, $nFail failed")
+    }
+  }
+
+  /** dbt `retry`: re-run exactly the failed/skipped nodes of the last
+    * recorded run against this db_path, under that run's flags (vars,
+    * --full-refresh, build mode, --defer --state, microbatch window).
+    * Exit 0 with a message when there is nothing to retry; exit 1 when
+    * no run was ever recorded (nothing to retry FROM) or the retry
+    * itself fails.
+    */
+  private def retryPipeline(flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
+    val planned =
+      try Retry.plan(config)
+      catch { case e: GraftError =>
+        System.err.println(e.render); sys.exit(1) }
+    planned match {
+      case None =>
+        System.err.println("graft retry: no previous run recorded " +
+          s"against db_path ${config.dbPath.getOrElse("(none)")}")
+        sys.exit(1)
+      case Some(p) if p.ids.isEmpty =>
+        println("Nothing to retry — the last recorded run had no " +
+          "failed or skipped nodes")
+      case Some(p) =>
+        println(s"Retrying ${p.ids.size} node(s) from the last run: " +
+          p.ids.mkString(", "))
+        val spark = buildSpark(config)
+        spark.sparkContext.setLogLevel("WARN")
+        try {
+          config.dbPath.foreach(ViewStore.restore(spark, _))
+          val session = Retry.session(spark, config, p)
+          val report = session.runNodes()
+          printDataTests(session)
+          if (report.errors.nonEmpty) sys.exit(1)
+        } catch {
+          case e: GraftError => System.err.println(e.render); sys.exit(1)
+        } finally {
+          graft.ext.DedupOps.releaseManifests()
+          spark.stop()
+        }
     }
   }
 

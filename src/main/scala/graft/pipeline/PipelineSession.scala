@@ -769,6 +769,23 @@ final class PipelineSession(
             !r.status.startsWith("SKIP fail-fast")) &&
             !failedClosure.contains(id)).toMap)
 
+    // dbt run_results parity for `graft retry`: record every reported
+    // node's status plus the flags a retry must re-apply (vars and the
+    // refresh/windowing/mode context). Selection is deliberately NOT
+    // recorded — the retry set IS the failed/skipped rows, which were
+    // all inside the original selection by construction.
+    ViewStore.saveRunLedger(config.dbPath,
+      results.map(r => r.status -> r.id),
+      cliVars.map { case (k, v) => s"var:$k" -> v } ++
+        Seq(
+          "parallel" -> parallel, "full-refresh" -> fullRefresh,
+          "fail-fast" -> failFast, "build" -> buildMode,
+          "defer" -> deferEnabled)
+          .collect { case (k, true) => k -> "true" } ++
+        stateDir.map("state" -> _) ++
+        eventTimeStart.map("event-time-start" -> _) ++
+        eventTimeEnd.map("event-time-end" -> _))
+
     if (report.errors.nonEmpty) {
       println("\nErrors:")
       report.errors.foreach {

@@ -169,6 +169,47 @@ object ViewStore {
     }.toMap
   }
 
+  private def runLedgerFile(dbPath: String): Path =
+    storeDir(dbPath).resolve("last_run.tsv")
+
+  /** dbt run_results parity — the minimum `graft retry` needs: one
+    * `node\t<status>\t<id>` row per reported node (in report order)
+    * plus the invocation flags a retry must re-apply (URL-encoded so
+    * tabs/newlines in values cannot corrupt the TSV). Overwritten by
+    * every runNodes() against this db_path, retries included — so
+    * consecutive retries converge to an empty retry set.
+    */
+  def saveRunLedger(dbPath: Option[String], rows: Seq[(String, String)],
+                    flags: Map[String, String]): Unit =
+    dbPath.foreach { db =>
+      Files.createDirectories(storeDir(db))
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val lines =
+        flags.toSeq.sorted.map { case (k, v) =>
+          s"flag\t${enc(k)}\t${enc(v)}" } ++
+          rows.map { case (status, id) => s"node\t$status\t$id" }
+      Files.write(runLedgerFile(db), lines.asJava)
+      ()
+    }
+
+  /** The last recorded run against this db_path: (status→id rows in
+    * report order, re-apply flags). None = no run recorded.
+    */
+  def loadRunLedger(dbPath: String)
+      : Option[(Seq[(String, String)], Map[String, String])] = {
+    val f = runLedgerFile(dbPath)
+    if (!Files.exists(f)) None
+    else {
+      def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      val ls = Files.readAllLines(f).asScala.toSeq.map(_.split("\t", -1))
+      val flags = ls.collect {
+        case Array("flag", k, v) => dec(k) -> dec(v) }.toMap
+      val rows = ls.collect {
+        case Array("node", status, id) => status -> id }
+      Some((rows, flags))
+    }
+  }
+
   /** Replay persisted models into `spark` (typically a fresh session over
     * an existing db_path). Returns the number restored.
     */

@@ -223,12 +223,14 @@ class StreamBatchParitySpec extends AnyFunSuite {
   }
 
   test("the LEARNED stack is stream-safe: classifier score, subword " +
-      "pricing, and language-ID-with-reject score a document stream " +
-      "IDENTICALLY to batch — every serving path is a stateless " +
-      "map-only expression, so a streaming curation gate needs no " +
-      "extra machinery") {
+      "pricing, language-ID-with-CALIBRATED-reject, the calibrated " +
+      "quality probability, and the per-language gate score a " +
+      "document stream IDENTICALLY to batch — every serving path " +
+      "(r18/r19 calibration and per-lang dispatch included) is a " +
+      "stateless map-only expression, so a streaming curation gate " +
+      "needs no extra machinery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import graft.ext.{LangIdWeights, TextOps}
+    import graft.ext.{CalibrationMaps, LangIdWeights, TextOps}
     import graft.queries.ExtensionQueries
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
       spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
@@ -253,12 +255,21 @@ class StreamBatchParitySpec extends AnyFunSuite {
         // the r17 per-language pricing rides the same stateless path
         .withColumn("n_tok_lang",
           TextOps.subwordTokenCountByLang(col("text"), col("pred_lang")))
+        // r18/r19: the committed isotonic correction (q184's serving
+        // path) and the per-language gate dispatch are array lookups —
+        // stateless too
+        .withColumn("quality_cal_u", ExtensionQueries.calMicro(
+          col("quality"), CalibrationMaps.qualityCalMicro))
+        .withColumn("gate_lang",
+          round(ExtensionQueries.qualityLrScoreByLang(col("text"),
+            col("pred_lang")), 6) >= CalibrationMaps.perLangGateRawCut)
         .select(col("doc_id"), col("quality"), col("n_tok"),
-          col("pred_lang"), col("n_tok_lang"))
+          col("pred_lang"), col("n_tok_lang"), col("quality_cal_u"),
+          col("gate_lang"))
     }
     def toMapOf(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
       r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getString(3),
-        r.getLong(4)))).toMap
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
 
     val batch = toMapOf(gate(docs).collect())
     val mem = MemoryStream[(Long, String)]
@@ -280,5 +291,11 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(streamed.values.exists(_._3 == "und"))
     assert(streamed.values.exists(_._3 != "und"))
     assert(streamed.values.exists(v => v._2 != v._4))
+    // the calibration genuinely corrected something (raw micro !=
+    // calibrated micro somewhere) and the per-lang gate split the
+    // corpus (both verdicts occur)
+    assert(streamed.values.exists(v =>
+      math.round(v._1 * 1000000) != v._5))
+    assert(streamed.values.exists(_._6) && streamed.values.exists(!_._6))
   }
 }
