@@ -2227,13 +2227,20 @@ class PipelineE2ESpec extends AnyFunSuite {
     val summary = spark.table("order_summary")
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(summary == Map(1 -> 6L, 2 -> 3L, 3 -> 4L), summary.toString)
+    // the microbatch model bootstrapped day-partitioned: every seed
+    // event landed, one partition per event-time day
+    assert(spark.table("daily_events").count() == 4)
+    assert(spark.table("daily_events").select("d").distinct().count() == 4)
     // second run, same data: incremental merges nothing new, snapshot
-    // versions nothing (same updated_at), everything stays green
+    // versions nothing (same updated_at), everything stays green —
+    // and the microbatch default window reprocesses only the latest
+    // day, converging bit-for-bit
     val r2 = new PipelineSession(spark, config,
       cliVars = Map("min_qty" -> "1")).runNodes()
     assert(r2.errors.isEmpty, r2.errors.map(_.render).mkString("; "))
     assert(spark.table("order_events").count() == 4)
     assert(spark.table("customer_dim").count() == 3)
+    assert(spark.table("daily_events").count() == 4)
     // a raised min_qty var changes the rendered SQL (and would filter
     // the bootstrap); on the MERGE path it only gates NEW events — the
     // dry-run surface proves the var reached the model text
