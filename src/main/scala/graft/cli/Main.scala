@@ -31,6 +31,8 @@ object Main {
       testPipeline(parseArgs(rest)._1)
     case "retry" :: rest =>
       retryPipeline(parseArgs(rest)._1)
+    case "clone" :: rest =>
+      clonePipeline(parseArgs(rest)._1)
     case "run-file" :: rest =>
       val (flags, paths) = parseArgs(rest)
       runFiles(flags, paths)
@@ -47,6 +49,7 @@ object Main {
            |       graft build [same flags as run] — seeds, models, snapshots and ALL their tests in one DAG-ordered pass; a failing test skips downstream models
            |       graft test [--config C] [--db-path P] [--select ...] [--exclude ...] [--vars k=v]
            |       graft retry [--config C] [--db-path P] — re-run exactly the failed/skipped nodes of the last recorded run, under its flags
+           |       graft clone --state DIR [--select id1,id2] [--full-refresh] — copy the state's relations into the local db_path (existing ids skipped unless --full-refresh)
            |       graft run-file [--config C] <script.sql> […]
            |       graft viz [--config C] [--db-path P] [--changed-only] [--select ...] [--exclude ...] <out.svg>
            |       graft docs [--config C] [--db-path P] [--select ...] [--exclude ...] [<outDir>=docs]""".stripMargin)
@@ -209,6 +212,56 @@ object Main {
     }
   }
 
+  /** dbt 1.6 `clone`: copy the --state dir's relations into the local
+    * db_path as INDEPENDENT artifacts (tables copy their parquet under
+    * the local warehouse; views persist their SELECTs) — the
+    * materializing sibling of `--defer` for a dev environment that
+    * should own its copies. `--select` takes exact ids (comma
+    * separated, default = everything in the state); ids already
+    * registered locally are skipped unless `--full-refresh` (dbt's
+    * rule). Exits 1 when a wanted id is absent from the state or fails
+    * to clone.
+    */
+  private def clonePipeline(flags: Map[String, String]): Unit = {
+    val config = loadConfig(flags)
+    val state = flags.get("state").getOrElse {
+      System.err.println("graft clone requires --state <dir> (the " +
+        "prior run's db_path to clone from)")
+      sys.exit(2)
+    }
+    if (config.dbPath.isEmpty) {
+      System.err.println("graft clone needs a persistent db_path (the " +
+        "clones are materialized there)")
+      sys.exit(2)
+    }
+    val spark = buildSpark(config)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // local registrations first: the skip-existing rule judges
+      // against what the target ALREADY has
+      config.dbPath.foreach(ViewStore.restore(spark, _))
+      val ids = flags.get("select").map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val (cloned, skipped, missing) = ViewStore.cloneFromState(
+        spark, state, config.dbPath, ids,
+        fullRefresh = flags.contains("full-refresh"))
+      if (cloned.nonEmpty) println(s"Cloned ${cloned.size} relation(s) " +
+        s"from --state $state: ${cloned.sorted.mkString(", ")}")
+      if (skipped.nonEmpty) println(s"Skipped ${skipped.size} already-" +
+        s"existing relation(s) (use --full-refresh to replace): " +
+        skipped.sorted.mkString(", "))
+      if (missing.nonEmpty) {
+        System.err.println(s"graft clone: ${missing.size} id(s) not " +
+          s"cloneable from --state $state: " +
+          missing.toSeq.sorted.mkString(", "))
+        sys.exit(1)
+      }
+    } finally {
+      graft.ext.DedupOps.releaseManifests()
+      spark.stop()
+    }
+  }
+
   /** dbt `retry`: re-run exactly the failed/skipped nodes of the last
     * recorded run against this db_path, under that run's flags (vars,
     * --full-refresh, build mode, --defer --state, microbatch window).
@@ -217,6 +270,18 @@ object Main {
     * itself fails.
     */
   private def retryPipeline(flags: Map[String, String]): Unit = {
+    // retry REPLAYS the recorded invocation — accepting fresh
+    // selection/vars/mode flags here would silently contradict that
+    // contract, so anything beyond the config/db-path pointers is a
+    // loud usage error (dbt retry takes no selection either)
+    val extraneous =
+      (flags.keySet -- Set("config", "db-path", "models-dir")).toSeq.sorted
+    if (extraneous.nonEmpty) {
+      System.err.println("graft retry re-applies the LAST run's " +
+        "recorded flags; it takes only --config/--models-dir/--db-path " +
+        s"(got: ${extraneous.map("--" + _).mkString(", ")})")
+      sys.exit(2)
+    }
     val config = loadConfig(flags)
     val planned =
       try Retry.plan(config)

@@ -289,6 +289,97 @@ object ViewStore {
     (restored, missing)
   }
 
+  /** dbt 1.6 `clone`: materialize the state dir's artifacts as LOCAL
+    * copies. Unlike [[restoreDeferred]] (which registers state-BACKED
+    * relations for one session), a clone copies table parquet under
+    * the LOCAL warehouse and persists every relation to the local
+    * db_path store — later sessions own independent artifacts, and
+    * prod can move on without the dev copies shifting underneath.
+    * Views clone as their stored SELECTs (raw text carried along for
+    * the re-shim fallback); tables keep their recorded bucket spec.
+    * dbt's skip rule applies: an id already registered in this session
+    * is left alone unless `fullRefresh` (dbt clone --full-refresh
+    * replaces). Returns (cloned, skipped-existing, wanted-but-absent);
+    * a clone FAILURE on a wanted id counts as missing — it must fail
+    * the command loudly, not at first read.
+    */
+  def cloneFromState(spark: SparkSession, stateDir: String,
+                     localDbPath: Option[String],
+                     ids: Option[Set[String]],
+                     fullRefresh: Boolean = false)
+      : (Seq[String], Seq[String], Set[String]) = {
+    val m = manifest(stateDir)
+    val entries =
+      if (!Files.exists(m)) Seq.empty
+      else Files.readAllLines(m).asScala.toSeq
+        .map(_.split("\t", -1)).filter(_.length >= 2)
+    val inState = entries.map(_(1)).toSet
+    val wanted = ids.getOrElse(inState)
+    var missing = wanted -- inState
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cloned = entries.flatMap {
+      case fields if wanted(fields(1)) =>
+        val id = fields(1)
+        try {
+          if (!fullRefresh && spark.catalog.tableExists(id)) {
+            skipped += id; None
+          } else fields(0) match {
+            case "view" =>
+              restoreViewEntry(spark, stateDir, id)
+              val sel =
+                Files.readString(storeDir(stateDir).resolve(s"$id.sql"))
+              val rawF = storeDir(stateDir).resolve(s"$id.raw.sql")
+              saveView(localDbPath, id, sel,
+                if (Files.exists(rawF)) Some(Files.readString(rawF))
+                else None)
+              Some(id)
+            case "table" =>
+              // stage the copy BEFORE destroying anything (the swap
+              // discipline): a broken state source must not take the
+              // existing local copy down with it
+              val src = Paths.get(stateDir)
+                .resolve(id.toLowerCase(java.util.Locale.ROOT))
+              val stage = Files.createTempDirectory("graft-clone-stage")
+              copyDir(src, stage)
+              // then replace the previous registration AND its data,
+              // and register the clone under the LOCAL warehouse
+              // (bucket spec preserved via the manifest fields)
+              dropTableClearingLocation(spark, id)
+              val dst = warehouseLocation(spark, id)
+              copyDir(stage, dst)
+              deleteTree(stage)
+              restoreTableEntry(spark, fields, dst)
+              saveTable(spark, localDbPath, id)
+              Some(id)
+            case _ => None
+          }
+        } catch { case e: Exception =>
+          println(s"WARNING: could not clone `$id` from state: " +
+            e.getMessage)
+          missing += id
+          None
+        }
+      case _ => None
+    }
+    (cloned, skipped.toList, missing)
+  }
+
+  private def copyDir(src: Path, dst: Path): Unit = {
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+    } finally s.close()
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
   /** One view manifest entry → temp-view registration (shared by
     * [[restore]] and [[restoreDeferred]]): the stored rewritten SELECT,
     * falling back to re-shimming the raw text when the rewritten form
