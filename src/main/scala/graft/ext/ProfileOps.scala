@@ -282,18 +282,25 @@ object ProfileOps {
         abs(col("__su") - lit(1000000L) * col("n_pos")))
     def ratio6(numExpr: String): Column =
       (expr(numExpr).cast("double") / 1000000.0)
-    val perOut = per.select(col("bucket"), col("n"), col("n_pos"),
-      ratio6("(2 * 1000000 * n_pos + n) div (2 * n)").as("pos_rate"),
-      ratio6("(2 * __su + n) div (2 * n)").as("mean_pred"),
-      ratio6("(2 * __gap_u + n) div (2 * n)").as("abs_gap"))
-    val summary = per.agg(sum(col("n")).as("n"),
-        sum(col("n_pos")).as("n_pos"), sum(col("__su")).as("__su"),
-        sum(col("__gap_u")).as("__gap_u"))
-      .select(lit(-1).as("bucket"), col("n"), col("n_pos"),
+    // ONE pass emits the per-bucket rows AND the −1 summary row (r19):
+    // the former per∪summary union referenced `per` twice, and runtime
+    // exchange reuse did not deduplicate the branches (ExecDump:
+    // reused=0 — the corpus was scanned and re-scored once per branch).
+    // Instead each bucket row explodes into its own group plus the −1
+    // group (≤ 2·nBuckets rows) and ONE re-aggregate serves both:
+    // per-bucket groups are singletons, so their sums are exactly the
+    // row values, and the summary group's sums are the old summary's —
+    // the ratio formulas below are shared verbatim (the ECE identity:
+    // Σ_b (n_b/N)·gap_b = (Σ_b gap_u_b) / (10⁶·N)). No second corpus
+    // pass, no materialization barrier.
+    per.select(explode(array(col("bucket"), lit(-1))).as("bucket"),
+        col("n"), col("n_pos"), col("__su"), col("__gap_u"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("__su")).as("__su"), sum(col("__gap_u")).as("__gap_u"))
+      .select(col("bucket"), col("n"), col("n_pos"),
         ratio6("(2 * 1000000 * n_pos + n) div (2 * n)").as("pos_rate"),
         ratio6("(2 * __su + n) div (2 * n)").as("mean_pred"),
-        // ECE: Σ_b (n_b/N)·gap_b = (Σ_b gap_u_b) / (10⁶·N)
         ratio6("(2 * __gap_u + n) div (2 * n)").as("abs_gap"))
-    perOut.unionAll(summary)
   }
 }

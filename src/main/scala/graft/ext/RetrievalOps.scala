@@ -756,28 +756,47 @@ object RetrievalOps {
         "CASE WHEN __frk IS NULL THEN 0L " +
           "ELSE (2000000 + CAST(__frk AS BIGINT)) div " +
           "(2 * CAST(__frk AS BIGINT)) END"))
-    val outCols = Seq(col(queryCol), col("n_rel"), col("n_rel_at_k"),
-      col("recall_at_k"), col("ndcg_at_k"), col("rr"))
-    // the mean's 6-dp rounding happens in INTEGER space (round-half-up
-    // long division), then ONE exact division by 10⁶ — a float round()
-    // here can land exactly on a .5 decimal boundary and split engines
-    val mean = per.agg(
-        count(lit(1)).as("__q"),
+    // ONE pass emits the per-query rows AND the −1 mean row (r19): the
+    // former per∪mean union referenced `per` twice, and runtime exchange
+    // reuse did not deduplicate the branches (ExecDump: reused=0 — every
+    // consumer paid the run's whole retrieval lineage twice, q172 ran 14
+    // executed scans). Each per-query row explodes into its own group
+    // plus the −1 group and ONE re-aggregate serves both: per-query
+    // groups are singletons (max() returns the row's own metric), the −1
+    // group gets the mean formulas. The mean's 6-dp rounding stays in
+    // INTEGER space (round-half-up long division, then ONE exact /10⁶ —
+    // a float round() here can land exactly on a .5 decimal boundary and
+    // split engines). queryCol = −1 stays reserved for the mean row.
+    val qType = per.schema(queryCol).dataType
+    per.select(
+        explode(array(col(queryCol).cast(qType), lit(-1).cast(qType)))
+          .as("__oq"),
+        col("n_rel"), col("n_rel_at_k"), col("recall_at_k"),
+        col("ndcg_at_k"), col("rr"),
+        col("__rec_u"), col("__ndcg_u"), col("__rr_u"))
+      .groupBy(col("__oq"))
+      .agg(count(lit(1)).as("__q"),
         sum(col("n_rel")).as("n_rel"),
         sum(col("n_rel_at_k")).as("n_rel_at_k"),
+        max(col("recall_at_k")).as("__rec1"),
+        max(col("ndcg_at_k")).as("__ndcg1"),
+        max(col("rr")).as("__rr1"),
         sum(col("__rec_u")).as("__ru"),
         sum(col("__ndcg_u")).as("__nu"),
         sum(col("__rr_u")).as("__mu"))
-      .select(
-        lit(-1).cast(per.schema(queryCol).dataType).as(queryCol),
-        col("n_rel"), col("n_rel_at_k"),
-        (expr("(2 * __ru + __q) div (2 * __q)").cast("double") /
-          1000000.0).as("recall_at_k"),
-        (expr("(2 * __nu + __q) div (2 * __q)").cast("double") /
-          1000000.0).as("ndcg_at_k"),
-        (expr("(2 * __mu + __q) div (2 * __q)").cast("double") /
-          1000000.0).as("rr"))
-    per.select(outCols: _*).unionAll(mean)
+      .select(col("__oq").as(queryCol), col("n_rel"), col("n_rel_at_k"),
+        when(col("__oq") === lit(-1).cast(qType),
+            expr("(2 * __ru + __q) div (2 * __q)").cast("double") /
+              1000000.0)
+          .otherwise(col("__rec1")).as("recall_at_k"),
+        when(col("__oq") === lit(-1).cast(qType),
+            expr("(2 * __nu + __q) div (2 * __q)").cast("double") /
+              1000000.0)
+          .otherwise(col("__ndcg1")).as("ndcg_at_k"),
+        when(col("__oq") === lit(-1).cast(qType),
+            expr("(2 * __mu + __q) div (2 * __q)").cast("double") /
+              1000000.0)
+          .otherwise(col("__rr1")).as("rr"))
   }
 
   /** [[rrfFuse]] quality over a (kRrf × lexical-weight) tuning grid in

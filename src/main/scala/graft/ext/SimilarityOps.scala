@@ -196,6 +196,12 @@ object SimilarityOps {
   case class MmrPick(probe_id: Long, cand_id: Long, mmr_score: Double,
                      mmr_rank: Int)
 
+  /** [[MmrPick]] with its λ — the [[mmrRerankPoolSweep]] row; the
+    * single-λ form drops the leading column.
+    */
+  case class MmrPickL(lambda: Double, probe_id: Long, cand_id: Long,
+                      mmr_score: Double, mmr_rank: Int)
+
   /** The (candidate, relevance, pairwise-sim) rows [[mmrRerank]] groups
     * per probe; `other`/`psim` are None only for a singleton pool.
     */
@@ -255,10 +261,23 @@ object SimilarityOps {
     * holding a corpus-sized group in one task.
     */
   def mmrRerankPool(pool: DataFrame, candidates: DataFrame, k: Int,
-                    lambda: Double = 0.5): DataFrame = {
+                    lambda: Double = 0.5): DataFrame =
+    mmrRerankPoolSweep(pool, candidates, k, Seq(lambda)).drop("lambda")
+
+  /** [[mmrRerankPool]] swept over SEVERAL λ values in one pass — the
+    * tuning form (q182): the pool join, the pairwise-similarity
+    * expansion, and the per-probe group build are paid ONCE, and each
+    * probe's greedy walk re-runs per λ over the same in-memory rel/sim
+    * maps (the walk is microseconds; the pairwise stage is the cost).
+    * Output adds a leading `lambda` column; per-λ slices are
+    * bit-identical to separate [[mmrRerankPool]] calls at that λ.
+    */
+  def mmrRerankPoolSweep(pool: DataFrame, candidates: DataFrame, k: Int,
+                         lambdas: Seq[Double]): DataFrame = {
     require(k > 0, "mmrRerank: k must be positive")
-    require(lambda >= 0.0 && lambda <= 1.0,
-      s"mmrRerank: lambda=$lambda must be in [0, 1]")
+    require(lambdas.nonEmpty, "mmrRerank: no lambdas")
+    lambdas.foreach(lambda => require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda=$lambda must be in [0, 1]"))
     val spark = candidates.sparkSession
     import spark.implicits._
     val cu = withUnitVec(candidates, "embedding", "__u")
@@ -266,8 +285,16 @@ object SimilarityOps {
     // LEFT join: a pool id missing from the candidates table must not
     // silently shrink the pool (its NULL unit vec surfaces as a NULL
     // pairwise sim, which the walk turns into a NAMED error below)
+    // pv is top-k-bounded by contract (≤1024 candidates per probe) but
+    // its lineage includes the caller's pool ranking AND the corpus-wide
+    // unit-vec join — and it is read THREE times below (both sides of
+    // the pairwise self-join + the rel rows). Runtime exchange reuse
+    // does not collapse those reads (ExecDump r19: q182 paid the
+    // brute-force pool 9×). Materialize it once per invocation
+    // (localCheckpoint — nothing survives the call).
     val pv = pool.join(cu, col("cand_id") === col("vec_id"), "left")
       .select(col("probe_id"), col("cand_id"), col("rel"), col("__u"))
+      .localCheckpoint(true)
     val pairs = pv.as("x").join(pv.as("y"),
         col("x.probe_id") === col("y.probe_id") &&
           col("x.cand_id") =!= col("y.cand_id"))
@@ -309,34 +336,36 @@ object SimilarityOps {
         }
       }
       val ids = rel.keys.toArray.sorted
-      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val chosen = scala.collection.mutable.HashSet.empty[Long]
-      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
-      while (selected.size < k && selected.size < ids.length) {
-        var bestId = -1L
-        var bestScore = Double.NegativeInfinity
-        ids.foreach { id =>
-          if (!chosen(id)) {
-            var mx = 0.0
-            if (selected.nonEmpty) {
-              mx = Double.NegativeInfinity
-              selected.foreach { s =>
-                val v = sim.getOrElse((id, s), 0.0)
-                if (v > mx) mx = v
+      lambdas.iterator.flatMap { lambda =>
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val chosen = scala.collection.mutable.HashSet.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPickL]
+        while (selected.size < k && selected.size < ids.length) {
+          var bestId = -1L
+          var bestScore = Double.NegativeInfinity
+          ids.foreach { id =>
+            if (!chosen(id)) {
+              var mx = 0.0
+              if (selected.nonEmpty) {
+                mx = Double.NegativeInfinity
+                selected.foreach { s =>
+                  val v = sim.getOrElse((id, s), 0.0)
+                  if (v > mx) mx = v
+                }
               }
+              val score = lambda * rel(id) - (1 - lambda) * mx
+              if (score > bestScore) { bestScore = score; bestId = id }
             }
-            val score = lambda * rel(id) - (1 - lambda) * mx
-            if (score > bestScore) { bestScore = score; bestId = id }
           }
+          selected += bestId
+          chosen += bestId
+          out += MmrPickL(lambda, pid, bestId,
+            BigDecimal(bestScore)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            selected.size)
         }
-        selected += bestId
-        chosen += bestId
-        out += MmrPick(pid, bestId,
-          BigDecimal(bestScore)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          selected.size)
+        out.iterator
       }
-      out.iterator
     }.toDF()
   }
 

@@ -568,7 +568,16 @@ object ExtensionQueries {
       sumLabel: String = "delta_sum",
       nPerms: Int = MmrPermCount,
       enumerateN: Option[Int] = None): DataFrame = {
-    val obs = deltas.agg(sum(col(dCol)).as("t_obs"),
+    // the deltas are BOUNDED by contract (judged probes / discordant
+    // docs) but their lineage is the caller's whole measurement chain,
+    // and this test reads them twice (observed statistic + the draw
+    // table) with no runtime exchange reuse between the branches
+    // (ExecDump r19: q190 scored the corpus with both gate families
+    // twice, q196 re-ran both retrieval legs per branch). Materialize
+    // the tiny delta table once per invocation (localCheckpoint — no
+    // state survives the call, nothing memoizes across invocations).
+    val d = deltas.localCheckpoint(true)
+    val obs = d.agg(sum(col(dCol)).as("t_obs"),
       count(lit(1)).as(nLabel))
     val exact = enumerateN.filter(_ <= MaxEnumExponent)
     val signs = exact match {
@@ -584,7 +593,7 @@ object ExtensionQueries {
         // pattern uniformly, leaving p unchanged.
         val total = 1 << n
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-        deltas.withColumn("__j", row_number().over(w) - 1)
+        d.withColumn("__j", row_number().over(w) - 1)
           .withColumn("__i",
             explode(sequence(lit(0), lit(total - 1))))
           .withColumn("sign",
@@ -593,7 +602,7 @@ object ExtensionQueries {
           .groupBy(col("__i").as("i"))
           .agg(sum(col("sign") * col(dCol)).as("t_i"))
       case None =>
-        deltas.withColumn("i",
+        d.withColumn("i",
             explode(sequence(lit(0), lit(nPerms - 1))))
           .withColumn("sign", when(
             conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
@@ -2266,7 +2275,14 @@ object ExtensionQueries {
     // the committed legWeights a measurement, not a default -------------
     "q196_fusion_delta_significance" -> ((s, dir) => {
       import s.implicits._
-      val (lex, vec) = hybridLegs(s, dir)
+      // both compared configs fuse the SAME two legs — pay each leg's
+      // corpus-touching retrieval once (r19): without this the BM25 and
+      // exact-cosine legs re-ran per config per permutation branch
+      // (ExecDump: 28 executed scans, 75 shuffles). Legs are
+      // top-5-bounded; materialized per invocation.
+      val (lex0, vec0) = hybridLegs(s, dir)
+      val lex = lex0.localCheckpoint(true)
+      val vec = vec0.localCheckpoint(true)
       val qrels = fusionQrels.toDF("query_id", "id", "rel")
       def microNdcg(w: Seq[Double]) =
         RetrievalOps.rankingQuality(
@@ -2408,9 +2424,19 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings").drop("label")
       val probes = e.filter(col("vec_id") < MmrProbeCount)
       val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
-      val mmr = SimilarityOps.mmrRerank(probes, e, poolK = 8, k = 4)
+      // ONE exact top-8 pool serves both rankings (r19): the MMR walk
+      // re-ranks it, and the "plain" arm is its rk ≤ 4 prefix — by the
+      // top-k prefix property (same (sim DESC, cand_id) window order),
+      // bruteForceTopK(k=4) ≡ bruteForceTopK(k=8).filter(rk ≤ 4), so
+      // the corpus-wide exact scoring pass runs once, not twice.
+      // Materialized per invocation (bounded: probes × 8 rows).
+      val pool = SimilarityOps.bruteForceTopK(probes, e, k = 8)
+        .localCheckpoint(true)
+      val mmr = SimilarityOps.mmrRerankPool(
+          pool.select(col("probe_id"), col("cand_id"),
+            col("sim").as("rel")), e, k = 4)
         .select(col("probe_id"), col("cand_id"), col("mmr_rank"))
-      val plain = SimilarityOps.bruteForceTopK(probes, e, k = 4)
+      val plain = pool.filter(col("rk") <= 4)
         .select(col("probe_id"), col("cand_id"), col("rk"))
       RetrievalOps.rankingQuality(mmr, qrels, "probe_id", "cand_id",
           "mmr_rank", "rel", k = 4)
@@ -2432,12 +2458,23 @@ object ExtensionQueries {
       import s.implicits._
       val e = t(s, dir, "embeddings").drop("label")
       val probes = e.filter(col("vec_id") < MmrProbeCount)
+      // the pool is "paid ONCE" by design — made true at runtime too
+      // (r19): the three λ branches each re-ran the pool ranking, the
+      // unit-vec join, and the pairwise expansion, and exchange reuse
+      // did not collapse them (ExecDump: 27 executed scans). The swept
+      // walk pays all of that once and re-runs only the per-probe
+      // greedy loop per λ; the bounded sweep output (|λ|·probes·4
+      // rows) materializes once and each λ's quality judgment reads
+      // its slice.
       val pool = SimilarityOps.bruteForceTopK(probes, e, k = 8)
         .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
       val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
+      val sweep = SimilarityOps.mmrRerankPoolSweep(pool, e, k = 4,
+          lambdas = Seq(0.25, 0.5, 0.75))
+        .localCheckpoint(true)
       Seq(0.25, 0.5, 0.75).map { lam =>
         RetrievalOps.rankingQuality(
-            SimilarityOps.mmrRerankPool(pool, e, k = 4, lambda = lam)
+            sweep.filter(col("lambda") === lam)
               .select(col("probe_id"), col("cand_id"), col("mmr_rank")),
             qrels, "probe_id", "cand_id", "mmr_rank", "rel", k = 4)
           .filter(col("probe_id") === -1) // the mean row
@@ -2528,9 +2565,15 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings").drop("label")
       val probes = e.filter(col("vec_id") < MmrProbeCount)
       val qrels = mmrQrels.toDF("probe_id", "cand_id", "rel")
-      val mmr = SimilarityOps.mmrRerank(probes, e, poolK = 8, k = 4)
+      // same one-pool discipline as q178 (r19): the plain arm is the
+      // top-8 pool's rk ≤ 4 prefix — one exact scoring pass, not two
+      val pool = SimilarityOps.bruteForceTopK(probes, e, k = 8)
+        .localCheckpoint(true)
+      val mmr = SimilarityOps.mmrRerankPool(
+          pool.select(col("probe_id"), col("cand_id"),
+            col("sim").as("rel")), e, k = 4)
         .select(col("probe_id"), col("cand_id"), col("mmr_rank"))
-      val plain = SimilarityOps.bruteForceTopK(probes, e, k = 4)
+      val plain = pool.filter(col("rk") <= 4)
         .select(col("probe_id"), col("cand_id"), col("rk"))
       def microNdcg(ranked: DataFrame, rankCol: String) =
         RetrievalOps.rankingQuality(ranked, qrels, "probe_id", "cand_id",

@@ -913,5 +913,35 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .contains("exceeds 1024"))
     assert(msg(SimilarityOps.mmrRerank(data, data, poolK = 5, k = 2,
       lambda = 1.5)).contains("lambda"))
+    assert(msg(SimilarityOps.mmrRerankPoolSweep(
+      data.select(col("vec_id").as("probe_id"),
+        col("vec_id").as("cand_id"), lit(0.5).as("rel")),
+      data, k = 2, lambdas = Nil)).contains("no lambdas"))
+  }
+
+  test("mmrRerankPoolSweep: each λ slice is bit-identical to a separate " +
+      "single-λ walk (the q182 one-pass sweep's equivalence contract)") {
+    import spark.implicits._
+    val data = vecs(
+      (0L, Seq(1f, 0.1f, 0f), 0),
+      (1L, Seq(0.98f, 0.2f, 0f), 0),
+      (2L, Seq(0.97f, 0.22f, 0f), 0),
+      (3L, Seq(0.6f, 0.8f, 0f), 0),
+      (4L, Seq(0.5f, 0.5f, 0.7f), 0),
+      (10L, Seq(0.9f, 0.3f, 0.1f), 0))
+    val probes = data.filter(col("vec_id") < 2)
+    val pool = SimilarityOps.bruteForceTopK(probes, data, k = 4)
+      .select(col("probe_id"), col("cand_id"), col("sim").as("rel"))
+    val lambdas = Seq(0.25, 0.5, 0.75)
+    val swept = SimilarityOps.mmrRerankPoolSweep(pool, data, k = 3, lambdas)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val singles = lambdas.flatMap { lam =>
+      SimilarityOps.mmrRerankPool(pool, data, k = 3, lambda = lam)
+        .collect().map(r => (lam, r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3)))
+    }.toSet
+    assert(swept == singles,
+      s"sweep/single diverged:\n swept=$swept\n singles=$singles")
   }
 }
