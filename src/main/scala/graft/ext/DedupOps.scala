@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * exact, n-gram Jaccard, SimHash, and MinHash-LSH (see [[MinHashDedup]]).
   * Shared design rule: the only shuffles are on uniformly-distributed hash
   * keys (md5 / xxhash64 / band values), so no operator has a skew problem at
-  * 100 TB, and nothing ever collects to the driver.
+  * 100 TB, and nothing unbounded ever collects to the driver (the bounded
+  * probes — budget histograms, [[MaxDriverCcPairs]]-capped pair
+  * contraction — carry named caps and distributed fallbacks).
   */
 object DedupOps {
 
@@ -1211,9 +1213,88 @@ object DedupOps {
     */
   def resetCcStats(): Unit = _lastCcStats.remove()
 
+  /** The most candidate pairs [[connectedComponents]] contracts on the
+    * DRIVER instead of running the distributed label-propagation loop.
+    * Dedup pair sets are sparse (ids only — the r19 measurement: every
+    * fixture CC spent its wall-clock on per-round scheduling, not data),
+    * and 1M (id, id) rows is ~16 MB of longs: collect, union-find, and
+    * the broadcast label map are all tens of MB — comfortably inside any
+    * driver. Beyond the cap (or for non-integral id types) the loop
+    * below runs unchanged, so the operator still scales to pair sets
+    * that do NOT fit a driver; the cap is the same bounded-probe
+    * contract as [[tokenBudgetSelect]]'s histogram.
+    */
+  private[graft] val MaxDriverCcPairs: Long = 1000000L
+
+  /** Union-find (min-representative) over a collected pair set: roots
+    * only ever decrease (the larger root attaches under the smaller), so
+    * by induction every set's root IS its minimum member — exactly the
+    * fixpoint the hash-min propagation loop reaches. Returns (id, comp)
+    * for every pair endpoint whose label differs from itself (identity
+    * rows are implicit; singletons never appear in a pair).
+    */
+  private[graft] def unionFindMinLabels(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val ids = scala.collection.mutable.LongMap.empty[Unit]
+    edges.foreach { case (a, b) => ids(a) = (); ids(b) = () }
+    ids.keysIterator.map(id => id -> find(id))
+      .filter { case (id, c) => c != id }.toArray
+  }
+
+  /** The driver-side contraction both [[connectedComponents]] and
+    * [[clusterDedup]] share: materialize the pair set once (the same
+    * lineage cut the loop would pay for its edges), and when it is
+    * integral-typed and within [[MaxDriverCcPairs]], collect and
+    * union-find it. None → the caller must run the distributed loop on
+    * the returned cut pair frame. Records CcRunStats(0, []) on the
+    * driver path — zero propagation rounds ran.
+    */
+  private[graft] def driverCcLabels(pairs: DataFrame, durable: Boolean,
+      maxDriverPairs: Long)
+      : Either[DataFrame, Array[(Long, Long)]] = {
+    def cut(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val p = cut(pairs.select(col("id_a"), col("id_b")))
+    val integral = Seq("id_a", "id_b").forall(c =>
+      p.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      })
+    if (maxDriverPairs > 0 && integral && p.count() <= maxDriverPairs) {
+      def toL(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+        case l: Long => l
+        case n: Int => n.toLong
+        case other => throw new IllegalStateException(
+          s"driverCcLabels: unexpected id value $other")
+      }
+      val arr = p.collect().map(r => (toL(r, 0), toL(r, 1)))
+      _lastCcStats.set(Some(CcRunStats(0, Seq.empty)))
+      Right(unionFindMinLabels(arr))
+    } else Left(p)
+  }
+
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 20,
-                          durable: Boolean = false): DataFrame = {
+                          durable: Boolean = false,
+                          maxDriverPairs: Long = MaxDriverCcPairs)
+      : DataFrame = {
     if (durable &&
         vertices.sparkSession.sparkContext.getCheckpointDir.isEmpty)
       throw new IllegalStateException(
@@ -1221,9 +1302,23 @@ object DedupOps {
           "spark.sparkContext.setCheckpointDir(<reliable storage path>)")
     def cut(df: DataFrame): DataFrame =
       if (durable) df.checkpoint(eager = true) else df.localCheckpoint(true)
-    val edges = cut(pairs
+    val cutPairs = driverCcLabels(pairs, durable, maxDriverPairs) match {
+      case Right(map) =>
+        val spark = vertices.sparkSession
+        import spark.implicits._
+        val vType = vertices.schema(idCol).dataType
+        val mapDf = map.toSeq.toDF("id", "__mcomp")
+          .select(col("id").cast(vType).as("id"),
+            col("__mcomp").cast(vType).as("__mcomp"))
+        return vertices.select(col(idCol).as("id")).distinct()
+          .join(broadcast(mapDf), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__mcomp"), col("id")).as("comp"))
+      case Left(p) => p
+    }
+    val edges = cut(cutPairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      .union(cutPairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = cut(vertices.select(col(idCol).as("id"))
       .distinct().withColumn("comp", col("id")))
     // Frontier delta (VERDICT r8 #4): only vertices whose label CHANGED
@@ -1622,10 +1717,27 @@ object DedupOps {
     * (min id) is another document. Singletons survive untouched.
     */
   def clusterDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val nonCanonical = connectedComponents(docs.select(col(idCol)), idCol, pairs)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as(idCol))
-    docs.join(nonCanonical, Seq(idCol), "left_anti")
+    // Driver-path shortcut (r19): the non-canonical ids are exactly the
+    // union-find map's keys (a component member differing from its min
+    // label), so the anti-join side is a LOCAL relation — the old
+    // labels-based form re-derived `docs`' whole lineage a second time
+    // for the vertices side of the CC. Falls back to the distributed
+    // loop past [[MaxDriverCcPairs]] (same results, plan-shape only).
+    driverCcLabels(pairs, durable = false, MaxDriverCcPairs) match {
+      case Right(map) =>
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val vType = docs.schema(idCol).dataType
+        val nc = map.map(_._1).toSeq.toDF(idCol)
+          .select(col(idCol).cast(vType).as(idCol))
+        docs.join(nc, Seq(idCol), "left_anti")
+      case Left(p) =>
+        val nonCanonical =
+          connectedComponents(docs.select(col(idCol)), idCol, p)
+            .filter(col("id") =!= col("comp"))
+            .select(col("id").as(idCol))
+        docs.join(nonCanonical, Seq(idCol), "left_anti")
+    }
   }
 
   /** Quality-aware canonical selection: [[clusterDedup]] keeps the LOWEST

@@ -530,36 +530,69 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(f2.head.getAs[Boolean]("dup") && f2.head.getAs[Long]("n_dups") == 1L)
   }
 
-  test("connectedComponents records per-round frontier sizes; the q53/q85 " +
-      "fixture round structure is pinned (a frontier regression cannot " +
-      "hide in bench noise)") {
-    // the operator's own record, on a hand-built graph: a 4-chain takes
-    // 2 label rounds + the fixpoint probe
+  test("connectedComponents records per-round frontier sizes on the " +
+      "distributed loop; the driver contraction records zero rounds " +
+      "(the r19 path the registered CC queries now take under the cap)") {
+    // the LOOP's own record, on a hand-built graph: a 4-chain takes
+    // 2 label rounds + the fixpoint probe — pinned by forcing the loop
+    // (maxDriverPairs = 0), the exact fallback a >cap pair set runs
     import spark.implicits._
     val verts = (1L to 6L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
     DedupOps.resetCcStats()
     assert(DedupOps.lastCcStats.isEmpty)
-    DedupOps.connectedComponents(verts, "id", pairs).count()
+    DedupOps.connectedComponents(verts, "id", pairs, maxDriverPairs = 0L)
+      .count()
     val s = DedupOps.lastCcStats.get
     assert(s.rounds == s.changedPerRound.size)
     assert(s.changedPerRound.last == 0L, "final round is the fixpoint probe")
     assert(s.changedPerRound.init.forall(_ > 0L))
-    // the registered CC queries on the sf0.001 fixture: 1 propagation
-    // round + the fixpoint probe, with THESE frontier sizes (near-dup
-    // clusters are shallow — that's the operator's whole cost model)
+    // under the cap the driver contraction runs instead: zero
+    // propagation rounds, and the labels are IDENTICAL to the loop's
+    DedupOps.resetCcStats()
+    val viaDriver = DedupOps.connectedComponents(verts, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(DedupOps.lastCcStats.get == DedupOps.CcRunStats(0, Seq.empty),
+      s"driver path stats drifted: ${DedupOps.lastCcStats}")
+    val viaLoop = DedupOps.connectedComponents(verts, "id", pairs,
+        maxDriverPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop, s"driver=$viaDriver loop=$viaLoop")
+    // the registered CC queries on the sf0.001 fixture take the driver
+    // path (their pair sets are far under MaxDriverCcPairs): the bench's
+    // cc record now reads rounds=0 for them
     DedupOps.resetCcStats()
     graft.queries.ExtensionQueries.queries("q53_dedup_clusters")(
       spark, "/root/testdata/sf0.001").write.format("noop")
       .mode("overwrite").save()
-    assert(DedupOps.lastCcStats.get == DedupOps.CcRunStats(2, Seq(9L, 0L)),
-      s"q53 round structure drifted: ${DedupOps.lastCcStats}")
+    assert(DedupOps.lastCcStats.get == DedupOps.CcRunStats(0, Seq.empty),
+      s"q53 CC path drifted: ${DedupOps.lastCcStats}")
     DedupOps.resetCcStats()
     graft.queries.ExtensionQueries.queries("q85_lsh_cc")(
       spark, "/root/testdata/sf0.001").write.format("noop")
       .mode("overwrite").save()
-    assert(DedupOps.lastCcStats.get == DedupOps.CcRunStats(2, Seq(24L, 0L)),
-      s"q85 round structure drifted: ${DedupOps.lastCcStats}")
+    assert(DedupOps.lastCcStats.get == DedupOps.CcRunStats(0, Seq.empty),
+      s"q85 CC path drifted: ${DedupOps.lastCcStats}")
+  }
+
+  test("clusterDedup driver path and distributed-loop path keep the " +
+      "same canonical docs (r19: the anti-join side becomes a local " +
+      "relation under the pair cap)") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(25)((rnd.nextInt(30) + 1L, rnd.nextInt(30) + 1L))
+      .filter(e => e._1 != e._2).distinct.toDF("id_a", "id_b")
+    val fast = DedupOps.clusterDedup(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // the loop path, via connectedComponents with the cap disabled —
+    // the exact pre-r19 formulation
+    val labels = DedupOps.connectedComponents(
+      docs.select(col("doc_id")), "doc_id", pairs, maxDriverPairs = 0L)
+    val slow = docs.join(labels.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(fast == slow, s"driver=$fast loop=$slow")
   }
 
   test("compactSignatureStore: per-ingest small files collapse to few, " +
