@@ -1183,6 +1183,17 @@ object DedupOps {
     * themselves); pass e.g. the full doc-id column so singletons appear
     * in the output.
     *
+    * PRECONDITION: pair endpoints must be a subset of `vertices` (every
+    * current caller derives pairs from the vertex set, so this holds by
+    * construction). On inputs that violate it the two execution paths
+    * legitimately differ: the distributed loop never propagates through
+    * an unlabeled endpoint (such edges drop at the frontier/labels
+    * joins), while the under-cap driver union-find would merge THROUGH a
+    * non-vertex id — so the same input could label differently depending
+    * on whether the pair count crosses `maxDriverPairs` (ADVICE r19).
+    * Callers with externally-sourced pairs must semi-join them against
+    * the vertex ids on BOTH endpoints first.
+    *
     * Throws if labels still changed on the `maxIter`-th round: a silent
     * early exit would hand downstream decisions (cluster dedup keeps,
     * [[leakageSafeSplit]]'s no-straddle guarantee) labels that are NOT a
@@ -1229,9 +1240,12 @@ object DedupOps {
   /** Union-find (min-representative) over a collected pair set: roots
     * only ever decrease (the larger root attaches under the smaller), so
     * by induction every set's root IS its minimum member — exactly the
-    * fixpoint the hash-min propagation loop reaches. Returns (id, comp)
-    * for every pair endpoint whose label differs from itself (identity
-    * rows are implicit; singletons never appear in a pair).
+    * fixpoint the hash-min propagation loop reaches WHEN every endpoint
+    * is a labeled vertex (the [[connectedComponents]] precondition; on
+    * endpoints outside the vertex set the loop drops the edge while this
+    * merges through it). Returns (id, comp) for every pair endpoint
+    * whose label differs from itself (identity rows are implicit;
+    * singletons never appear in a pair).
     */
   private[graft] def unionFindMinLabels(
       edges: Array[(Long, Long)]): Array[(Long, Long)] = {
@@ -1270,7 +1284,13 @@ object DedupOps {
       : Either[DataFrame, Array[(Long, Long)]] = {
     def cut(df: DataFrame): DataFrame =
       if (durable) df.checkpoint(eager = true) else df.localCheckpoint(true)
-    val p = cut(pairs.select(col("id_a"), col("id_b")))
+    // null-keyed pairs are dropped HERE so both paths agree: the loop's
+    // equi-joins silently drop them anyway, but the collected array used
+    // to hard-fail on a NULL id only under the cap (ADVICE r19) — a
+    // cap-dependent behavior difference. For non-nullable id schemas
+    // Catalyst elides the filter.
+    val p = cut(pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull))
     val integral = Seq("id_a", "id_b").forall(c =>
       p.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
@@ -1300,9 +1320,7 @@ object DedupOps {
       throw new IllegalStateException(
         "connectedComponents(durable = true) needs " +
           "spark.sparkContext.setCheckpointDir(<reliable storage path>)")
-    def cut(df: DataFrame): DataFrame =
-      if (durable) df.checkpoint(eager = true) else df.localCheckpoint(true)
-    val cutPairs = driverCcLabels(pairs, durable, maxDriverPairs) match {
+    driverCcLabels(pairs, durable, maxDriverPairs) match {
       case Right(map) =>
         val spark = vertices.sparkSession
         import spark.implicits._
@@ -1310,12 +1328,25 @@ object DedupOps {
         val mapDf = map.toSeq.toDF("id", "__mcomp")
           .select(col("id").cast(vType).as("id"),
             col("__mcomp").cast(vType).as("__mcomp"))
-        return vertices.select(col(idCol).as("id")).distinct()
+        vertices.select(col(idCol).as("id")).distinct()
           .join(broadcast(mapDf), Seq("id"), "left")
           .select(col("id"),
             coalesce(col("__mcomp"), col("id")).as("comp"))
-      case Left(p) => p
+      case Left(p) => ccLoop(vertices, idCol, p, maxIter, durable)
     }
+  }
+
+  /** The distributed frontier-delta label-propagation loop over an
+    * ALREADY-CUT pair frame — the shared fallback [[connectedComponents]]
+    * and [[clusterDedup]] run past [[MaxDriverCcPairs]] (taking the cut
+    * frame directly avoids a second eager checkpoint + count of a >1M-row
+    * pair set on every over-cap call — ADVICE r19).
+    */
+  private def ccLoop(vertices: DataFrame, idCol: String,
+                     cutPairs: DataFrame, maxIter: Int,
+                     durable: Boolean): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (durable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val edges = cut(cutPairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(cutPairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
@@ -1732,8 +1763,13 @@ object DedupOps {
           .select(col(idCol).cast(vType).as(idCol))
         docs.join(nc, Seq(idCol), "left_anti")
       case Left(p) =>
+        // p is ALREADY cut and counted by driverCcLabels: enter the loop
+        // directly rather than re-entering connectedComponents, whose
+        // own driverCcLabels would eagerly checkpoint + count the >1M-row
+        // pair set a second time (ADVICE r19)
         val nonCanonical =
-          connectedComponents(docs.select(col(idCol)), idCol, p)
+          ccLoop(docs.select(col(idCol)), idCol, p, maxIter = 20,
+              durable = false)
             .filter(col("id") =!= col("comp"))
             .select(col("id").as(idCol))
         docs.join(nonCanonical, Seq(idCol), "left_anti")

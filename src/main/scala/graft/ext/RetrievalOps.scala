@@ -768,8 +768,17 @@ object RetrievalOps {
     // a float round() here can land exactly on a .5 decimal boundary and
     // split engines). queryCol = −1 stays reserved for the mean row.
     val qType = per.schema(queryCol).dataType
+    // the −1 sentinel is LOAD-BEARING since the one-pass rewrite: a
+    // genuine query id of −1 would silently aggregate INTO the mean
+    // group (ADVICE r19) — fail NAMED instead. Evaluated per PER-QUERY
+    // row (qrels-bounded), not per corpus row.
+    val qGuarded = when(col(queryCol) <=> lit(-1).cast(qType),
+        raise_error(lit("rankingQuality: query id -1 is reserved for " +
+          "the mean row — re-key the offending run/qrels query"))
+          .cast(qType))
+      .otherwise(col(queryCol).cast(qType))
     per.select(
-        explode(array(col(queryCol).cast(qType), lit(-1).cast(qType)))
+        explode(array(qGuarded, lit(-1).cast(qType)))
           .as("__oq"),
         col("n_rel"), col("n_rel_at_k"), col("recall_at_k"),
         col("ndcg_at_k"), col("rr"),

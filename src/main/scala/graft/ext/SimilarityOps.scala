@@ -202,11 +202,14 @@ object SimilarityOps {
   case class MmrPickL(lambda: Double, probe_id: Long, cand_id: Long,
                       mmr_score: Double, mmr_rank: Int)
 
-  /** The (candidate, relevance, pairwise-sim) rows [[mmrRerank]] groups
-    * per probe; `other`/`psim` are None only for a singleton pool.
+  /** The (candidate, relevance, unit-vector) rows [[mmrRerank]] groups
+    * per probe; `u` is null for a pool id missing from the candidates
+    * table or a zero-norm embedding (the walk raises NAMED on either
+    * when the pool has ≥ 2 candidates — a singleton pool never needs a
+    * pairwise similarity).
     */
-  case class MmrRow(probe_id: Long, cand_id: Long, rel: Double,
-                    other: Option[Long], psim: Option[Double])
+  case class MmrCand(probe_id: Long, cand_id: Long, rel: Double,
+                     u: Array[Double])
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
     * "The Use of MMR, Diversity-Based Reranking for Reordering Documents
@@ -283,59 +286,69 @@ object SimilarityOps {
     val cu = withUnitVec(candidates, "embedding", "__u")
       .select(col("vec_id"), col("__u"))
     // LEFT join: a pool id missing from the candidates table must not
-    // silently shrink the pool (its NULL unit vec surfaces as a NULL
-    // pairwise sim, which the walk turns into a NAMED error below)
-    // pv is top-k-bounded by contract (≤1024 candidates per probe) but
-    // its lineage includes the caller's pool ranking AND the corpus-wide
-    // unit-vec join — and it is read THREE times below (both sides of
-    // the pairwise self-join + the rel rows). Runtime exchange reuse
-    // does not collapse those reads (ExecDump r19: q182 paid the
-    // brute-force pool 9×). Materialize it once per invocation
-    // (localCheckpoint — nothing survives the call).
+    // silently shrink the pool (its NULL unit vec surfaces as an
+    // undefined pairwise sim, which the walk turns into a NAMED error
+    // below). The pool lineage is referenced exactly ONCE — the m²
+    // pairwise similarities are computed INSIDE the per-probe group
+    // from the m carried unit vectors (m ≤ 1024 by contract), with the
+    // identical fold order and HALF_UP-at-6 rounding as the codegen'd
+    // round(dot(...), 6) the r19 self-join form used. That removes the
+    // pairwise self-join, the triple read of the pool lineage, and the
+    // localCheckpoint barrier it needed (VERDICT r19: the barrier taxed
+    // single-λ small-pool callers like q164), and shuffles m rows per
+    // probe instead of the m(m−1) pair expansion.
     val pv = pool.join(cu, col("cand_id") === col("vec_id"), "left")
-      .select(col("probe_id"), col("cand_id"), col("rel"), col("__u"))
-      .localCheckpoint(true)
-    val pairs = pv.as("x").join(pv.as("y"),
-        col("x.probe_id") === col("y.probe_id") &&
-          col("x.cand_id") =!= col("y.cand_id"))
-      .select(col("x.probe_id").as("probe_id"),
-        col("x.cand_id").as("cand_id"),
-        col("y.cand_id").as("other"),
-        round(dot(col("x.__u"), col("y.__u")), 6).as("psim"))
-    val rows = pv.select(col("probe_id"), col("cand_id"), col("rel"))
-      .join(pairs, Seq("probe_id", "cand_id"), "left")
-      .as[MmrRow]
-    rows.groupByKey(_.probe_id).flatMapGroups { (pid, it) =>
+      .select(col("probe_id"), col("cand_id"), col("rel"), col("__u").as("u"))
+      .as[MmrCand]
+    pv.groupByKey(_.probe_id).flatMapGroups { (pid, it) =>
       val rs = it.toArray
-      // the group holds the PAIR EXPANSION: a pool of m candidates is
-      // m(m−1) rows (m ≥ 2), so capping rows at 1024·1024 caps m at 1024
-      // (1024·1023 ≤ 1024² < 1025·1024). Derive m back from the row
-      // count so the error names the candidate count, not the row bound.
-      require(rs.length <= 1024 * 1024, {
-        val m = ((1 + math.sqrt(1.0 + 4.0 * rs.length)) / 2).toLong
-        s"mmrRerankPool: probe $pid's pool has ~$m candidates " +
-          s"(${rs.length} pair-expanded rows = m(m−1)); the walk caps " +
-          "the pool at 1024 candidates per probe — pass a " +
-          "top-k-bounded ranking, not a corpus"
-      })
+      require(rs.length <= 1024,
+        s"mmrRerankPool: probe $pid's pool has ${rs.length} candidates; " +
+          "the walk caps the pool at 1024 candidates per probe — pass " +
+          "a top-k-bounded ranking, not a corpus")
       val rel = scala.collection.mutable.LongMap.empty[Double]
-      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+      val uv = scala.collection.mutable.LongMap.empty[Array[Double]]
       rs.foreach { r =>
         rel(r.cand_id) = r.rel
-        r.other.foreach { o =>
-          // a pair row with no similarity means the walk cannot compare
-          // the two candidates: zero-norm embedding (cosine undefined)
-          // or a pool id absent from the candidates table — both are
-          // upstream data defects; fail NAMED instead of mis-ranking
-          val p = r.psim.getOrElse(throw new IllegalArgumentException(
-            s"mmrRerankPool: probe $pid has an undefined pairwise " +
-              s"similarity between candidates ${r.cand_id} and $o — " +
-              "zero-norm or missing embedding; filter zero vectors " +
-              "and reconcile the pool against the candidates table"))
-          sim((r.cand_id, o)) = p
-        }
+        uv(r.cand_id) = r.u
       }
       val ids = rel.keys.toArray.sorted
+      // pairwise sims over the bounded pool, replicating the codegen
+      // kernel bit-for-bit: DotProduct's ascending-index fold over the
+      // min length, then Round(HALF_UP, 6)'s BigDecimal.valueOf path
+      // (NaN/Inf pass through untouched, like RoundBase).
+      def round6(x: Double): Double =
+        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+        else java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+      var ai = 0
+      while (ai < ids.length) {
+        var bi = ai + 1
+        while (bi < ids.length) {
+          val a = ids(ai); val b = ids(bi)
+          val ua = uv(a); val ub = uv(b)
+          // an absent unit vector means the walk cannot compare the two
+          // candidates: zero-norm embedding (cosine undefined) or a pool
+          // id absent from the candidates table — both are upstream data
+          // defects; fail NAMED instead of mis-ranking
+          if (ua == null || ub == null)
+            throw new IllegalArgumentException(
+              s"mmrRerankPool: probe $pid has an undefined pairwise " +
+                s"similarity between candidates $a and $b — " +
+                "zero-norm or missing embedding; filter zero vectors " +
+                "and reconcile the pool against the candidates table")
+          val n = math.min(ua.length, ub.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += ua(i) * ub(i); i += 1 }
+          val p = round6(s)
+          sim((a, b)) = p
+          sim((b, a)) = p
+          bi += 1
+        }
+        ai += 1
+      }
       lambdas.iterator.flatMap { lambda =>
         val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
         val chosen = scala.collection.mutable.HashSet.empty[Long]
@@ -671,8 +684,18 @@ object SimilarityOps {
   private[graft] def knnGraphScoreOnce(vecs: DataFrame, k: Int,
       nBands: Int = 8, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val p = scoreOncePairs(vecs, nBands, bitsPerBand, seed, dim = -1)
-    val both = p.select(col("id_a").as("src"), col("id_b").as("dst"), col("sim"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst"), col("sim")))
+    // both orientations via ONE explode over the scored pairs, not a
+    // union of two selects: a self-union references the band-join +
+    // distinct + score lineage twice, and runtime exchange reuse does
+    // not collapse the copies (the r19/r20 ExecDump finding), so the
+    // union form executed the whole pair derivation twice. Same row
+    // multiset — the per-source top-k downstream is order-free.
+    val both = p.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("sim")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("sim"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
+        col("__e.sim").as("sim"))
     topKPerGroup(both, "src", "dst", k)
   }
 

@@ -956,12 +956,20 @@ object TextOps {
     // fitCentroids' nCells-row collect, not a corpus-sized sort
     val wCum = Window.orderBy(col("avg_logp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("avg_logp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the scored-row count the quantiles divide is the histogram's own
+    // mass — a whole-frame sum over the SAME tiny single-partition
+    // window, not a separate count branch that would re-execute the
+    // whole LM-scoring lineage a third time (r20: ExecDump measured
+    // q110 at 15 executed scans; runtime exchange reuse never fires
+    // across the branches)
     val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
-    val n = scored.agg(count(col("avg_logp")).as("__n"))
+      .withColumn("__n", sum(col("__c")).over(wAll))
     // disc quantile: smallest score value whose cumulative count reaches
     // ceil(q*n); ceil(n/3) = floor((n+2)/3) in integer arithmetic, written
     // as floor(double-div) because both engines divide integers to double
-    val thr = cum.crossJoin(broadcast(n)).agg(
+    val thr = cum.agg(
       min(when(col("__cum") >= floor((col("__n") + 2) / 3),
         col("avg_logp"))).as("__t1"),
       min(when(col("__cum") >= floor((col("__n") * 2 + 2) / 3),

@@ -585,8 +585,10 @@ object ExtensionQueries {
     * byte-identically (no RNG); p = (1 + #as-extreme)/(1 + n_perms)
     * with ONE final division. Cost: n_perms × |deltas| rows — callers
     * keep |deltas| bounded (q185: judged probes; q190: discordant
-    * docs). The observed-stat side of the final cross join is a scalar
-    * aggregate (the documented BNLJ-allowed shape).
+    * docs). The observed statistic rides the draw table as the
+    * identity draw (exact mode's draw 0; a sentinel draw −1 in MC
+    * mode), so the caller's measurement lineage executes exactly once
+    * with no materialization barrier.
     */
   private[graft] def signFlipPermutationTest(deltas: DataFrame,
       idCol: String, dCol: String,
@@ -595,18 +597,18 @@ object ExtensionQueries {
       nPerms: Int = MmrPermCount,
       enumerateN: Option[Int] = None): DataFrame = {
     // the deltas are BOUNDED by contract (judged probes / discordant
-    // docs) but their lineage is the caller's whole measurement chain,
-    // and this test reads them twice (observed statistic + the draw
-    // table) with no runtime exchange reuse between the branches
-    // (ExecDump r19: q190 scored the corpus with both gate families
-    // twice, q196 re-ran both retrieval legs per branch). Materialize
-    // the tiny delta table once per invocation (localCheckpoint — no
-    // state survives the call, nothing memoizes across invocations).
-    val d = deltas.localCheckpoint(true)
-    val obs = d.agg(sum(col(dCol)).as("t_obs"),
-      count(lit(1)).as(nLabel))
+    // docs) but their lineage is the caller's whole measurement chain.
+    // ONE lineage, no materialization barrier (r19 localCheckpoint'ed
+    // the delta table because the observed-statistic branch and the
+    // draw table each re-executed that chain; the eager barrier then
+    // cost more than the duplicate compute it saved on idle cores —
+    // VERDICT r19 item 2). Instead the observed statistic IS a draw:
+    // exact mode's draw 0 already has every sign +1 (bit j of 0 = 0),
+    // and MC mode adds sentinel draw −1 with all signs +1. The deltas
+    // lineage is referenced exactly once; t_obs is attached back with
+    // a single-partition window over the ≤ 4097-row draw table.
     val exact = enumerateN.filter(_ <= MaxEnumExponent)
-    val signs = exact match {
+    val draws = exact match {
       case Some(n) =>
         // EXACT enumeration (ADVICE r18 / VERDICT task 3): when the
         // caller can statically bound the item count at ≤ 2^12, the
@@ -619,30 +621,43 @@ object ExtensionQueries {
         // pattern uniformly, leaving p unchanged.
         val total = 1 << n
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-        d.withColumn("__j", row_number().over(w) - 1)
+        deltas.withColumn("__j", row_number().over(w) - 1)
           .withColumn("__i",
             explode(sequence(lit(0), lit(total - 1))))
           .withColumn("sign",
             when(expr("(__i & shiftleft(1, __j)) = 0"), lit(1L))
               .otherwise(lit(-1L)))
           .groupBy(col("__i").as("i"))
-          .agg(sum(col("sign") * col(dCol)).as("t_i"))
+          .agg(sum(col("sign") * col(dCol)).as("t_i"),
+            count(lit(1)).as("__n"))
       case None =>
-        d.withColumn("i",
-            explode(sequence(lit(0), lit(nPerms - 1))))
-          .withColumn("sign", when(
-            conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
-              lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
-              .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+        deltas.withColumn("i",
+            explode(sequence(lit(-1), lit(nPerms - 1))))
+          .withColumn("sign", when(col("i") === -1, lit(1L)).otherwise(
+            when(
+              conv(substring(md5(concat(lit("perm"), col("i").cast("string"),
+                lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+                .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))))
           .groupBy(col("i"))
-          .agg(sum(col("sign") * col(dCol)).as("t_i"))
+          .agg(sum(col("sign") * col(dCol)).as("t_i"),
+            count(lit(1)).as("__n"))
     }
     val nDraws = exact.map(1 << _).getOrElse(nPerms)
-    val base = signs.crossJoin(broadcast(obs))
-      .agg(first(col(nLabel)).as(nLabel),
+    // the identity draw's statistic is the observed one; broadcast it to
+    // every draw row with an unpartitioned whole-frame window (bounded:
+    // nDraws + 1 rows), then fold the extreme count in one aggregate
+    val obsI = if (exact.isDefined) 0 else -1
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val base = draws
+      .withColumn("__t_obs",
+        max(when(col("i") === obsI, col("t_i"))).over(wAll))
+      .filter(if (exact.isDefined) lit(true) else col("i") >= 0)
+      .agg(max(col("__n")).as(nLabel),
         lit(nDraws.toLong).as("n_perms"),
-        first(col("t_obs")).as(sumLabel),
-        sum(when(abs(col("t_i")) >= abs(col("t_obs")), 1L)
+        max(col("__t_obs")).as(sumLabel),
+        sum(when(abs(col("t_i")) >= abs(col("__t_obs")), 1L)
           .otherwise(0L)).as("n_as_extreme"))
     // exact mode: the enumerated null contains the identity draw, so
     // p = extreme/2^n is already ≥ 1/2^n and needs no +1 smoothing;
@@ -2305,23 +2320,56 @@ object ExtensionQueries {
       // corpus-touching retrieval once (r19): without this the BM25 and
       // exact-cosine legs re-ran per config per permutation branch
       // (ExecDump: 28 executed scans, 75 shuffles). Legs are
-      // top-5-bounded; materialized per invocation.
-      val (lex0, vec0) = hybridLegs(s, dir)
-      val lex = lex0.localCheckpoint(true)
-      val vec = vec0.localCheckpoint(true)
-      val qrels = fusionQrels.toDF("query_id", "id", "rel")
-      def microNdcg(w: Seq[Double]) =
-        RetrievalOps.rankingQuality(
-            RetrievalOps.rrfFuse(Seq(lex, vec), "query_id", "id",
-                "rank", k = 5, kRrf = 60, weights = w)
-              .select(col("query_id"), col("id"), col("fused_rank")),
-            qrels, "query_id", "id", "fused_rank", "rel", k = 5)
-          .filter(col("query_id") >= 0)
-          .select(col("query_id"),
-            round(col("ndcg_at_k") * 1000000).cast("long").as("u"))
-      val d = microNdcg(Seq(1.0, 1.0)).as("a")
-        .join(microNdcg(Seq(1.0, 2.0)).as("b"), Seq("query_id"))
-        .select(col("query_id"), (col("a.u") - col("b.u")).as("d"))
+      // top-5-bounded; materialized per invocation, and CONCURRENTLY
+      // (r20, guide §2.6): the legs scan different tables with no
+      // dependency, so the two eager checkpoint jobs overlap — wall
+      // time ≈ max(lex, vec) instead of the r19 sum, which is what kept
+      // q196 flat at fixture scale (VERDICT r19 item 2). A lazy
+      // checkpoint was A/B-rejected first (4.28 s vs eager 3.38 s on a
+      // faster window: the two consumer stages race to compute the same
+      // blocks and serialize on block locks).
+      val (lex0, vec) = hybridLegs(s, dir)
+      // Both configs fused and judged in ONE pass (r20, the q176 grid
+      // discipline): composite query key qid·2+cfg makes the two
+      // configs DISJOINT query groups, so one rrfFuse and one
+      // rankingQuality compute per-(cfg, qid) values bit-identical to
+      // the r19 two-branch form — each composite group sums the same
+      // two contributions, ranks the same window, prices the same
+      // integer micro-nDCG. The per-query delta then needs no join:
+      // d(qid) = u(cfg 0) − u(cfg 1) is one conditional-sign aggregate.
+      // The lex leg's weight is 1.0 under BOTH configs, so its rows
+      // EXPLODE into the two composite key spaces — one reference, no
+      // materialization barrier (r19 eagerly checkpointed it). The vec
+      // leg's weight differs per config (1.0 vs 2.0), so it enters as
+      // two rrfFuse legs and keeps the r19 checkpoint to stay
+      // single-computed — one barrier job instead of two serialized
+      // ones. (8-core A/B, cal-normalized: one-pass 1.016 vs two-branch
+      // 1.092; the lazy-checkpoint variant was rejected at 4.28 s vs
+      // eager 3.38 s — consumer stages race on block locks.)
+      val lexBoth = lex0.select(explode(array(
+          (col("query_id") * 2).as("k0"),
+          (col("query_id") * 2 + 1).as("k1"))).as("query_id"),
+        col("id"), col("rank"))
+      def keyed(leg: DataFrame, cfg: Int) =
+        leg.select((col("query_id") * 2 + cfg).as("query_id"), col("id"),
+          col("rank"))
+      val vecCp = vec.localCheckpoint(true)
+      val qrels2 = fusionQrels.flatMap { case (q, i, r) =>
+        Seq((q * 2, i, r), (q * 2 + 1, i, r))
+      }.toDF("query_id", "id", "rel")
+      val fused = RetrievalOps.rrfFuse(
+        Seq(lexBoth, keyed(vecCp, 0), keyed(vecCp, 1)),
+        "query_id", "id", "rank", k = 5, kRrf = 60,
+        weights = Seq(1.0, 1.0, 2.0))
+      val d = RetrievalOps.rankingQuality(
+          fused.select(col("query_id"), col("id"), col("fused_rank")),
+          qrels2, "query_id", "id", "fused_rank", "rel", k = 5)
+        .filter(col("query_id") >= 0)
+        .select(expr("query_id div 2").as("query_id"),
+          (when(col("query_id") % 2 === 0, lit(1L)).otherwise(lit(-1L)) *
+            round(col("ndcg_at_k") * 1000000).cast("long")).as("du"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("du")).as("d"))
       signFlipPermutationTest(d, "query_id", "d", nLabel = "n_queries",
         sumLabel = "delta_sum_u", nPerms = MmrPermCountWide)
     }),
@@ -2911,8 +2959,12 @@ object ExtensionQueries {
       val survivors = e.join(dropIds, Seq("vec_id"), "left_anti")
       val prs = SimilarityOps.lshNearDupPairs(survivors, minSim = 0.3,
         dim = dim)
-      val deg = prs.select(col("id_a").as("vec_id"))
-        .union(prs.select(col("id_b").as("vec_id")))
+      // both endpoints via ONE explode, not a self-union: the union form
+      // referenced the whole pair lineage (banded self-join over the
+      // anti-joined survivors) twice, and runtime exchange reuse never
+      // collapses the copies (ExecDump r19: q75 at 15 executed scans)
+      val deg = prs.select(explode(array(col("id_a"), col("id_b")))
+          .as("vec_id"))
         .groupBy(col("vec_id")).agg(count(lit(1)).as("density"))
       val st = VectorFunctions.int8QuantStats(col("embedding"))
       survivors.select(col("vec_id"), st.as("st"))

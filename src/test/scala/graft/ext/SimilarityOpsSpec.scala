@@ -880,10 +880,10 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(ok == Seq(1L, 2L), ok)
   }
 
-  test("mmrRerankPool's in-group cap derives the candidate count from " +
-      "the m(m-1) pair-row expansion and names it in the error") {
+  test("mmrRerankPool's in-group cap counts the pool candidates " +
+      "directly and names the count in the error") {
     import spark.implicits._
-    // 1025 candidates for one probe → 1025·1024 pair rows > 1024²
+    // 1025 candidates for one probe → one row per candidate > 1024
     val n = 1025
     val cands = vecs((0 until n).map(i =>
       (i.toLong, Seq(math.cos(i * 0.001).toFloat,
@@ -897,7 +897,7 @@ class SimilarityOpsSpec extends AnyFunSuite {
       SimilarityOps.mmrRerankPool(pool, cands, k = 2).collect()
     }
     val msg = fullMsg(e)
-    assert(msg.contains("~1025 candidates"), msg)
+    assert(msg.contains("1025 candidates"), msg)
     assert(msg.contains("caps the pool at 1024 candidates"), msg)
   }
 
